@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Table loaders shared by every operator. One parquet file per table
+  * (TESTDATA.md); at production scale these would be partitioned
+  * directories — the loader is the single place to swap that in.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+      // rejects. Read the physical INT64 (legacy nanosAsLong) and floor to
+      // microseconds — exactly what DuckDB does when it reads the same
+      // file (verified: truncation, not rounding).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+}
+
+/** Determinism helpers (SURVEY.md §7.4).
+  *
+  * The driver hash-compares our parquet output against DuckDB 1.0.0, so
+  * every floating-point aggregate must be BIT-identical on both sides.
+  * Doubles summed in different orders differ in the last ulps, so instead:
+  * cast every addend to an exact DECIMAL (deterministic round-to-nearest of
+  * the same IEEE value on both engines; exact ties are not binary-
+  * representable, so rounding-mode differences can never fire), sum
+  * exactly (order-insensitive), and cast the exact result back to DOUBLE
+  * (again round-to-nearest of an exact value — identical on both sides).
+  *
+  * This also makes every aggregation safe under AQE re-partitioning,
+  * speculative re-execution and partial (map-side) aggregation at cluster
+  * scale: the result does not depend on partitioning or merge order.
+  */
+object Det {
+  /** Order-insensitive exact sum of a double column, emitted as DOUBLE.
+    * Oracle mirror: [[sqlDsum]]. */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Deterministic average: exact decimal sum cast to double, divided by
+    * the (exact) count. Oracle mirror: [[sqlDavg]]. */
+  def davg(c: Column, scale: Int = 4): Column = dsum(c, scale) / count(c)
+
+  /** SQL (DuckDB) mirror of [[dsum]]. */
+  def sqlDsum(x: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** SQL (DuckDB) mirror of [[davg]]. */
+  def sqlDavg(x: String, scale: Int = 4): String =
+    s"${sqlDsum(x, scale)} / COUNT($x)"
+}

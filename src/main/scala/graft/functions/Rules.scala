@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Factory-rule layer: the reference's per-event field-transform rules
+  * re-expressed as Spark Column combinators (SURVEY.md §2.1 R5, R7–R13;
+  * public reference paths `nyuki/utils/transform.py`,
+  * `nyuki/workflow/tasks/factory.py` — mount empty, see SURVEY.md §0).
+  *
+  * The reference interprets an ordered rule list per event dict, one event
+  * at a time. Here a rule list compiles to a chain of narrow projections on
+  * a DataFrame — Catalyst collapses the whole chain into a single
+  * whole-stage-codegen'd projection, so an arbitrarily long converter runs
+  * at full columnar scan speed with zero shuffles, at any scale.
+  */
+sealed trait Rule
+
+/** Regex with a capture group over `src` → new field `dst` (ref rule
+  * "extract"). */
+final case class Extract(dst: String, src: String, pattern: String,
+    group: Int = 1) extends Rule
+
+/** Regex substitution on a field in place (ref rule "sub"). */
+final case class Sub(field: String, pattern: String, replacement: String)
+  extends Rule
+
+/** Set a field to a constant / arbitrary Column (ref rule "set"). */
+final case class Set(field: String, value: Column) extends Rule
+
+/** Delete a field (ref rule "unset"). */
+final case class Unset(field: String) extends Rule
+
+/** Map a field through a value→value table into `dst` (ref rule "lookup").
+  * Small inline maps compile to a codegen'd CASE WHEN chain; large lookup
+  * tables should be a `broadcast()` join instead. */
+final case class Lookup(dst: String, src: String,
+    table: Map[String, Column], default: Column) extends Rule
+
+/** if / elif / else over row predicates; each branch contributes `Set`
+  * rules (ref "condition-block" + `nyuki/utils/evaluate.py` conditions).
+  * Compiles to per-field `when()` chains — one codegen'd expression, no
+  * branching in the plan. */
+final case class CondBlock(branches: Seq[(Column, Seq[Set])],
+    otherwise: Seq[Set]) extends Rule
+
+object Converter {
+
+  /** Apply an ordered rule list — the reference's "converter" — to a
+    * DataFrame as one chained (and Catalyst-collapsed) projection. */
+  def apply(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    rules.foldLeft(df)(applyRule)
+
+  private def applyRule(df: DataFrame, rule: Rule): DataFrame = rule match {
+    case Extract(dst, src, pattern, group) =>
+      df.withColumn(dst, regexp_extract(col(src), pattern, group))
+    case Sub(field, pattern, replacement) =>
+      df.withColumn(field, regexp_replace(col(field), pattern, replacement))
+    case Set(field, value) =>
+      df.withColumn(field, value)
+    case Unset(field) =>
+      df.drop(field)
+    case Lookup(dst, src, table, default) =>
+      val chain = table.toSeq.sortBy(_._1).foldLeft[Option[Column]](None) {
+        case (acc, (k, v)) =>
+          Some(acc.fold(when(col(src) === k, v))(_.when(col(src) === k, v)))
+      }
+      df.withColumn(dst, chain.fold(default)(_.otherwise(default)))
+    case CondBlock(branches, otherwise) =>
+      // Per assigned field, build one when() chain over the branch
+      // predicates (first matching branch wins, like if/elif/else).
+      val fields =
+        (branches.flatMap(_._2) ++ otherwise).map(_.field).distinct
+      fields.foldLeft(df) { (acc, f) =>
+        val expr0 = branches.foldLeft[Option[Column]](None) {
+          case (acc2, (cond, sets)) =>
+            sets.find(_.field == f) match {
+              case Some(Set(_, v)) =>
+                Some(acc2.fold(when(cond, v))(_.when(cond, v)))
+              case None => acc2
+            }
+        }
+        val default = otherwise.find(_.field == f).map(_.value)
+          .getOrElse(if (acc.columns.contains(f)) col(f) else lit(null))
+        acc.withColumn(f, expr0.fold(default)(_.otherwise(default)))
+      }
+  }
+}
+
+/** Safe condition DSL (ref `nyuki/utils/evaluate.py`): the reference
+  * whitelists an AST of comparisons / boolean ops / `in` / regex over event
+  * fields. Here conditions compile to Catalyst via `expr()` after a token
+  * whitelist check — the resulting predicate is codegen'd and pushable.
+  */
+object ConditionDsl {
+  private val allowed =
+    ("""(?i)^(\s|\(|\)|,|'[^']*'|-?\d+(\.\d+)?|[a-z_][a-z0-9_.]*|""" +
+      """<=|>=|!=|=|<|>|\+|-|\*|/|%)+$""").r
+  private val allowedWords =
+    scala.collection.immutable.Set("and", "or", "not", "in", "is", "null",
+      "true", "false", "rlike", "like", "between")
+
+  /** Compile a whitelisted boolean expression over row fields. Rejects
+    * anything but field refs, literals, comparisons, boolean connectives,
+    * IN, LIKE and RLIKE (regex). */
+  def compile(condition: String, fields: scala.collection.Set[String]): Column = {
+    require(allowed.matches(condition),
+      s"condition contains disallowed tokens: $condition")
+    val noLiterals = condition.replaceAll("'[^']*'", " ")
+    val idents = """[a-zA-Z_][a-zA-Z0-9_.]*""".r
+      .findAllIn(noLiterals).map(_.toLowerCase).toSet
+    val unknown = idents -- allowedWords -- fields.map(_.toLowerCase)
+    require(unknown.isEmpty,
+      s"condition references unknown identifiers: $unknown")
+    expr(condition)
+  }
+}

@@ -1,0 +1,449 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.{Det, Tables}
+
+/** Core relational operators: scans, filters, joins, aggregations, window
+  * functions, sorts and set operations (SURVEY.md §2.2).
+  *
+  * Scale design (targets a 1000-executor cluster; tested on local[n]):
+  *  - dimension joins (customer/nation/region/supplier) are explicitly
+  *    `broadcast()` — the fact side is never shuffled for them;
+  *  - fact⋈fact joins project join keys + payload *before* the join so the
+  *    exchange carries the minimal row;
+  *  - aggregations are declarative `groupBy().agg()` so Catalyst always
+  *    plans partial (map-side) aggregation before the shuffle;
+  *  - every aggregate over doubles uses [[graft.Det]] exact-decimal sums,
+  *    which are merge-order-insensitive — safe under AQE re-planning,
+  *    speculative execution and skew-join splitting;
+  *  - the as-of join is the union+window formulation (one shuffle by key,
+  *    linear) instead of the O(n·m) range-join formulation.
+  */
+object Relational {
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+  private def dec(scale: Int) = DecimalType(18, scale)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans ---------------------------------------------------------
+    "q_scan_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        // lineitem has no unique key (dup (orderkey, linenumber) pairs) —
+        // total order requires sorting by every output column.
+        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"),
+          asc_nulls_last("l_quantity"), asc_nulls_last("l_extendedprice"))),
+
+    // Projection + predicate both reach the parquet scan (PushedFilters /
+    // ReadSchema in `.explain` — at 100 TB this is the difference between
+    // reading 2 columns of a few row groups vs the whole table).
+    "q_scan_pruned" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"),
+          asc_nulls_last("l_shipdate"))),
+
+    // ---- joins ---------------------------------------------------------
+    "q_join_broadcast" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = broadcast(t(s, d, "customer").select("c_custkey", "c_name"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderkey"), c("c_custkey"), c("c_name"), o("o_totalprice"))
+        .orderBy(asc_nulls_last("o_orderkey"))
+    }),
+
+    // Fact⋈fact: shuffle join on the key, minimal projected payload. At
+    // scale, bucketing both tables by orderkey turns this into a
+    // shuffle-free sort-merge join.
+    "q_join_shuffle" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      val o = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(li("l_orderkey"), li("l_linenumber"),
+          li("l_extendedprice"), o("o_totalprice"))
+        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"),
+          asc_nulls_last("l_extendedprice"), asc_nulls_last("o_totalprice"))
+    }),
+
+    "q_join_outer" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(c("c_custkey"), o("o_orderkey"),
+          coalesce(o("o_totalprice"), lit(0.0)).as("totalprice_filled"))
+        .orderBy(asc_nulls_last("c_custkey"), asc_nulls_last("o_orderkey"))
+    }),
+
+    "q_join_semi" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(asc_nulls_last("c_custkey"))
+    }),
+
+    "q_join_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(asc_nulls_last("c_custkey"))
+    }),
+
+    // Equi + range predicate: Catalyst plans the equi part as the join key
+    // and evaluates the range as a post-join filter — no cartesian product.
+    "q_join_range" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+      val o = t(s, d, "orders").select("o_orderkey", "o_orderdate")
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(o("o_orderkey"), li("l_linenumber"),
+          datediff(li("l_shipdate"), o("o_orderdate")).cast("long")
+            .as("ship_lag_days"))
+        .orderBy(asc_nulls_last("o_orderkey"), asc_nulls_last("l_linenumber"),
+          asc_nulls_last("ship_lag_days"))
+    }),
+
+    // As-of join: each purchase joined to the most recent signup at-or-
+    // before it, per user. Union+window formulation: ONE shuffle by
+    // user_id, linear scan — the scalable shape (vs correlated subquery /
+    // range join). Signups sort before purchases at equal ts so the
+    // at-or-before (<=) semantics hold exactly.
+    "q_join_asof" -> ((s, d) => {
+      val e = t(s, d, "events").select("event_id", "user_id", "event_type", "ts")
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("is_purchase"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.filter(col("event_type").isin("signup", "purchase"))
+        .withColumn("is_purchase",
+          when(col("event_type") === "purchase", 1).otherwise(0))
+        .withColumn("asof_signup_ts",
+          last(when(col("event_type") === "signup", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "asof_signup_ts")
+        .orderBy(asc_nulls_last("event_id"))
+    }),
+
+    // ---- aggregations --------------------------------------------------
+    "q_agg_hash" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(dec(6))).cast("double").as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).cast(dec(6))).cast("double")
+            .as("sum_charge"),
+          Det.davg(col("l_quantity")).as("avg_qty"),
+          Det.davg(col("l_extendedprice")).as("avg_price"),
+          Det.davg(col("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus"))),
+
+    "q_agg_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_items"))
+        .orderBy(asc_nulls_last("l_suppkey"))),
+
+    // HLL sketch — mergeable across partitions, constant memory per group;
+    // estimates are engine-specific, so this is a declared no-oracle query.
+    "q_agg_approx_distinct" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_last("event_type"))),
+
+    "q_agg_rollup" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val n = broadcast(t(s, d, "nation"))
+      val r = broadcast(t(s, d, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .rollup(col("r_name"), col("n_name"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_cust"),
+          Det.dsum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy(asc_nulls_last("gid"),
+          asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    "q_agg_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_items"),
+          Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_last("gid"),
+          asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // ---- window functions ----------------------------------------------
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc_nulls_last("o_totalprice"), asc_nulls_last("o_orderkey"))
+      t(s, d, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .orderBy(asc_nulls_last("o_custkey"), asc_nulls_last("rn"))
+    }),
+
+    "q_window_analytic" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
+      t(s, d, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("next_value", lead("value", 1).over(w))
+        .orderBy(asc_nulls_last("event_id"))
+    }),
+
+    // Frames over exact decimals: running sums are re-computed by both
+    // engines with different algorithms (Spark: sequential; DuckDB:
+    // segment tree), so only order-insensitive exact arithmetic hashes
+    // identically.
+    "q_window_frame" -> ((s, d) => {
+      val ob = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
+      val wRun = ob.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wMov = ob.rowsBetween(-6, 0)
+      t(s, d, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("running_sum",
+          sum(col("value").cast(dec(4))).over(wRun).cast("double"))
+        .withColumn("moving_avg",
+          sum(col("value").cast(dec(4))).over(wMov).cast("double")
+            / count(lit(1)).over(wMov))
+        .orderBy(asc_nulls_last("event_id"))
+    }),
+
+    "q_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc_nulls_last("o_totalprice"), asc_nulls_last("o_orderkey"))
+      t(s, d, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy(asc_nulls_last("o_custkey"), asc_nulls_last("rn"))
+    }),
+
+    // ---- sorts / limits ------------------------------------------------
+    // Plans as TakeOrderedAndProject: each partition keeps a 10-row heap,
+    // driver merges — no global sort at any scale.
+    "q_sort_limit" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc_nulls_last("o_totalprice"), asc_nulls_last("o_orderkey"))
+        .limit(10)),
+
+    // ---- set ops -------------------------------------------------------
+    "q_union" -> ((s, d) => {
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.union(sn).distinct().orderBy(asc_nulls_last("nationkey"))
+    }),
+
+    "q_intersect" -> ((s, d) => {
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.intersect(sn).orderBy(asc_nulls_last("nationkey"))
+    }),
+
+    "q_except" -> ((s, d) => {
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.except(sn).orderBy(asc_nulls_last("nationkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
+        |  l_quantity ASC NULLS LAST, l_extendedprice ASC NULLS LAST"""
+        .stripMargin,
+
+    "q_scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
+        |  l_shipdate ASC NULLS LAST""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+
+    "q_join_shuffle" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
+        |  l_extendedprice ASC NULLS LAST, o_totalprice ASC NULLS LAST"""
+        .stripMargin,
+
+    "q_join_outer" ->
+      """SELECT c_custkey, o_orderkey,
+        |  COALESCE(o_totalprice, 0.0) AS totalprice_filled
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST"""
+        .stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey ASC NULLS LAST""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey ASC NULLS LAST""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT o_orderkey, l_linenumber,
+        |  datediff('day', o_orderdate, l_shipdate) AS ship_lag_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |ORDER BY o_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
+        |  ship_lag_days ASC NULLS LAST""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  (SELECT max(s.ts) FROM events s
+        |   WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+        |     AND s.ts <= p.ts) AS asof_signup_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id ASC NULLS LAST""".stripMargin,
+
+    "q_agg_hash" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Det.sqlDsum("l_quantity")} AS sum_qty,
+         |  ${Det.sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+         |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+         |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         |  ${Det.sqlDavg("l_quantity")} AS avg_qty,
+         |  ${Det.sqlDavg("l_extendedprice")} AS avg_price,
+         |  ${Det.sqlDavg("l_discount", 6)} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST"""
+        .stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY l_suppkey ASC NULLS LAST""".stripMargin,
+
+    "q_agg_rollup" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+         |  COUNT(*) AS n_cust,
+         |  ${Det.sqlDsum("c_acctbal")} AS sum_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY gid ASC NULLS LAST,
+         |  r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  COUNT(*) AS n_items,
+         |  ${Det.sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY gid ASC NULLS LAST,
+         |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  row_number() OVER w AS rn
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST)
+        |ORDER BY o_custkey ASC NULLS LAST, rn ASC NULLS LAST""".stripMargin,
+
+    "q_window_analytic" ->
+      """SELECT event_id, user_id, ts, value,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+        |ORDER BY event_id ASC NULLS LAST""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT event_id, user_id, ts, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER wrun AS DOUBLE)
+        |    AS running_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER wmov AS DOUBLE)
+        |    / COUNT(*) OVER wmov AS moving_avg
+        |FROM events
+        |WINDOW
+        |  wrun AS (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wmov AS (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id ASC NULLS LAST""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST)
+        |    AS rn
+        |FROM orders
+        |QUALIFY rn <= 3
+        |ORDER BY o_custkey ASC NULLS LAST, rn ASC NULLS LAST""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST
+        |LIMIT 10""".stripMargin,
+
+    "q_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey ASC NULLS LAST""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey ASC NULLS LAST""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey ASC NULLS LAST""".stripMargin
+  )
+}

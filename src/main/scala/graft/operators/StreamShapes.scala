@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.{Det, Tables}
+
+/** Event-time windowing and dedup — the reference's stream-processing
+  * surface (bus events → windowed aggregation / replay dedup / instance
+  * state), declared here as batch queries over the `events` table.
+  *
+  * The SAME column logic runs unchanged in Structured Streaming: the
+  * builders in [[graft.streaming.EventPipelines]] apply these transforms to
+  * a `readStream` DataFrame with a watermark; MemoryStream parity tests
+  * live in the test tree. `window()` / `session_window()` group keys
+  * shuffle by (key, window), so state is evenly spread across executors
+  * and each micro-batch touches only open windows — the standard scalable
+  * shape for 100 TB/day event streams.
+  */
+object StreamShapes {
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  /** Transform builders shared verbatim by batch queries and the streaming
+    * pipelines (single-sourced so batch/stream parity is by construction).
+    */
+  def tumbling(events: DataFrame): DataFrame =
+    events.groupBy(
+        window(col("ts"), "1 day")("start").as("wstart"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+
+  def sliding(events: DataFrame): DataFrame =
+    events.groupBy(
+        window(col("ts"), "1 day", "6 hours")("start").as("wstart"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  def session(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> ((s, d) =>
+      tumbling(t(s, d, "events"))
+        .orderBy(asc_nulls_last("wstart"), asc_nulls_last("event_type"))),
+
+    "q_stream_sliding" -> ((s, d) =>
+      sliding(t(s, d, "events"))
+        .orderBy(asc_nulls_last("wstart"), asc_nulls_last("event_type"))),
+
+    "q_stream_session" -> ((s, d) =>
+      session(t(s, d, "events"))
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("session_start"))),
+
+    // Deterministic replay-dedup (the bus is at-least-once in the
+    // reference): keep the first event per (user_id, event_type) by
+    // (ts, event_id). Streaming twin: dropDuplicatesWithinWatermark.
+    "q_stream_dedup" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_type"))
+    }),
+
+    // Workflow-instance state machine (per-user running state) — typed
+    // groupByKey; procedural state is not SQL-expressible, so declared
+    // no-oracle (driver records a rows-only check). Streaming twin uses
+    // flatMapGroupsWithState (graft.streaming.Sessionize).
+    "q_stateful_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val rows = t(s, d, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .as[(Long, Long, String, java.sql.Timestamp)]
+      rows.groupByKey(_._1)
+        .flatMapGroups { (uid: Long,
+            it: Iterator[(Long, Long, String, java.sql.Timestamp)]) =>
+          val evs = it.toVector.sortBy(e => (e._4.getTime, e._2))
+          val transitions = evs.iterator.map(_._3).sliding(2)
+            .count { case Seq(a, b) => a != b; case _ => false }
+          Iterator.single(
+            (uid, evs.size.toLong, transitions.toLong, evs.last._3))
+        }
+        .toDF("user_id", "n_events", "n_transitions", "last_type")
+        .orderBy(asc_nulls_last("user_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS wstart,
+         |  event_type, COUNT(*) AS n, ${Det.sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2
+         |ORDER BY wstart ASC NULLS LAST, event_type ASC NULLS LAST"""
+        .stripMargin,
+
+    // Each event belongs to exactly 4 sliding windows (1d span / 6h hop);
+    // time_bucket's origin (2000-01-03) and Spark's (1970-01-01) are both
+    // midnight-aligned, so the 6h grids coincide.
+    "q_stream_sliding" ->
+      """SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP)
+        |    - k.k * INTERVAL 6 HOUR AS wstart,
+        |  event_type, COUNT(*) AS n
+        |FROM events, (SELECT unnest(range(4)) AS k) k
+        |GROUP BY 1, 2
+        |ORDER BY wstart ASC NULLS LAST, event_type ASC NULLS LAST"""
+        .stripMargin,
+
+    // Gaps-and-islands with the exact session_window semantics: a new
+    // session starts when the gap is >= 30 min; session end = last ts + gap.
+    "q_stream_session" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+        |), g AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id ASC NULLS LAST, session_start ASC NULLS LAST"""
+        .stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) = 1
+        |ORDER BY user_id ASC NULLS LAST, event_type ASC NULLS LAST"""
+        .stripMargin
+    // q_stateful_sessionize: declared no-oracle (procedural state).
+  )
+}

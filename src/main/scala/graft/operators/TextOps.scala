@@ -1,0 +1,383 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis + deduplication operators for large-scale training-data
+  * pipelines: tokenization, per-language stats, exact dedup, MinHash+LSH,
+  * SimHash, n-gram Jaccard, language-ID, quality scoring, fingerprinting,
+  * token counting.
+  *
+  * Scale design:
+  *  - all per-document features are narrow codegen'd projections (array
+  *    higher-order functions — no UDFs, no shuffles);
+  *  - MinHash signatures/bands make near-dup detection O(n·bands) via a
+  *    shuffle on band key instead of the O(n²) pair join: at 100 TB you
+  *    group by `band_*` and only verify bucket-mates;
+  *  - SimHash packs a document into one BIGINT so candidate pairs can be
+  *    bucketed by hash prefix;
+  *  - the pairwise n-gram Jaccard is intentionally bounded (doc_id < 50) —
+  *    it is the verification step applied to LSH candidates, not a scan;
+  *  - hashes are md5 (identical on Spark and DuckDB), and minhash order is
+  *    lexicographic over hex — deterministic everywhere, no seed state.
+  */
+object TextOps {
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  private val NumHashes = 8
+  private val NumBands = 4 // rows-per-band = 2
+
+  // argmax with deterministic alphabetical tie-break; valid Spark AND
+  // DuckDB SQL — shared verbatim by both sides.
+  private val langCase =
+    """CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+      |       AND s_de >= s_zh THEN 'de'
+      |     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |     WHEN s_fr >= s_zh THEN 'fr'
+      |     ELSE 'zh' END""".stripMargin
+  private val markers = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "les", "et", "du"),
+    "zh" -> Seq("de5", "le5", "shi4", "bu4"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokenize" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc_nulls_last("cnt"), asc_nulls_last("token"))
+        .limit(20)),
+
+    "q_text_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("avg_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+        .orderBy(asc_nulls_last("lang"))),
+
+    // Exact dedup: hash-groupBy on a normalization fingerprint. At scale
+    // this is one shuffle on the 128-bit key; groups with n_docs > 1 are
+    // exact duplicates (this corpus has none — the grouping itself is the
+    // declared result).
+    "q_text_dedup" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("fp", md5(lower(trim(col("text")))))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+        .orderBy(asc_nulls_last("fp"))),
+
+    // MinHash signatures + LSH band keys (shingle → minhash → band).
+    "q_dedup_minhash" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shingles", expr(
+          "transform(sequence(0, size(toks) - 3), " +
+            "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+      val sigs = (0 until NumHashes).map(i =>
+        expr(s"array_min(transform(shingles, s -> md5(concat('$i|', s))))")
+          .as(s"sig_$i"))
+      val withSigs = base.select(col("doc_id") +: sigs: _*)
+      val bands = (0 until NumBands).map(j =>
+        md5(concat(col(s"sig_${2 * j}"), col(s"sig_${2 * j + 1}")))
+          .as(s"band_$j"))
+      withSigs
+        .select(col("doc_id") +:
+          ((0 until NumHashes).map(i => col(s"sig_$i")) ++ bands): _*)
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // 16-bit SimHash over token hashes (sign of per-bit vote).
+    "q_dedup_simhash" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val bits = broadcast(s.range(0, 16).toDF("j"))
+      tok.crossJoin(bits)
+        .withColumn("bit", expr(
+          "CAST(floor((instr('0123456789abcdef', " +
+            "substring(h, CAST(floor(j/4) AS INT) + 1, 1)) - 1) " +
+            "/ pow(2, 3 - j % 4)) AS BIGINT) % 2"))
+        .groupBy("doc_id", "j")
+        .agg(sum(lit(2) * col("bit") - lit(1)).as("sj"))
+        .withColumn("bitval", when(col("sj") > 0, 1L).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(sum(expr("CAST(pow(2, j) AS BIGINT)") * col("bitval"))
+          .cast("long").as("simhash"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // Token-set Jaccard over a bounded pair set (the verify stage of the
+    // LSH pipeline).
+    "q_dedup_ngram" -> ((s, d) => {
+      val dtok = t(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val sizes = dtok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = dtok.as("a")
+        .join(dtok.as("b"), col("a.tok") === col("b.tok")
+          && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          "doc_b")
+        .withColumn("jaccard", col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy(asc_nulls_last("doc_a"), asc_nulls_last("doc_b"))
+    }),
+
+    // n-gram-marker language ID (deterministic heuristic scoring).
+    "q_text_langid" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+      val scored = markers.toSeq.sortBy(_._1).foldLeft(base) {
+        case (df, (lang, words)) =>
+          val list = words.map(w => s"'$w'").mkString(", ")
+          df.withColumn(s"s_$lang",
+            expr(s"CAST(size(filter(toks, t -> t IN ($list))) AS BIGINT)"))
+      }
+      scored
+        .withColumn("pred_lang", expr(langCase))
+        .select("doc_id", "lang", "pred_lang",
+          "s_de", "s_en", "s_es", "s_fr", "s_zh")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // Quality scoring: length / type-token ratio features.
+    "q_text_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_distinct",
+          size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("ttr",
+          col("n_distinct").cast("double") / col("n_tokens"))
+        .withColumn("avg_token_len",
+          (col("n_chars") - (col("n_tokens") - 1)).cast("double")
+            / col("n_tokens"))
+        .withColumn("score", col("ttr")
+          * (least(col("n_tokens"), lit(100L)).cast("double") / 100))
+        .withColumn("is_quality", col("score") > 0.3)
+        .select("doc_id", "n_tokens", "n_distinct", "ttr", "avg_token_len",
+          "score", "is_quality")
+        .orderBy(asc_nulls_last("doc_id"))),
+
+    // Document fingerprint: extremal 2-gram shingle hashes (winnowing-
+    // style representative selection, deterministic).
+    "q_text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .withColumn("fp_min", expr(
+          "array_min(transform(sequence(0, size(toks) - 2), " +
+            "i -> md5(concat(toks[i], ' ', toks[i+1]))))"))
+        .withColumn("fp_max", expr(
+          "array_max(transform(sequence(0, size(toks) - 2), " +
+            "i -> md5(concat(toks[i], ' ', toks[i+1]))))"))
+        .select("doc_id", "fp_min", "fp_max")
+        .orderBy(asc_nulls_last("doc_id"))),
+
+    // Token counting: whitespace tokens + a BPE-ish segmentation count
+    // (vowel-run / consonant-run segments via regex).
+    "q_text_tokencount" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("ws_tokens",
+          size(split(col("text"), " ")).cast("long"))
+        .withColumn("vowel_runs",
+          size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+            .cast("long"))
+        .withColumn("other_runs",
+          size(regexp_extract_all(col("text"), lit("[^aeiou ]+"), lit(0)))
+            .cast("long"))
+        .withColumn("subword_total", col("vowel_runs") + col("other_runs"))
+        .select("doc_id", "ws_tokens", "vowel_runs", "other_runs",
+          "subword_total")
+        .orderBy(asc_nulls_last("doc_id"))),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata. The
+    // "decode" is a deterministic fake (byte stats) — real image/audio
+    // decode plugs into graft.operators.Multimodal without touching this
+    // schema/partitioning contract.
+    "q_multimodal_features" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
+          md5(col("payload")).as("checksum"),
+          col("lang"), col("source"))
+        .orderBy(asc_nulls_last("doc_id")))
+  )
+
+  private def minhashOracle: String = {
+    val sigCols = (0 until NumHashes)
+      .map(i => s"min(md5('$i|' || shingle)) AS sig_$i").mkString(",\n    ")
+    val bandCols = (0 until NumBands)
+      .map(j => s"md5(sig_${2 * j} || sig_${2 * j + 1}) AS band_$j")
+      .mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, unnest(generate_series(0, len(toks) - 3)) AS i, toks
+       |  FROM t WHERE len(toks) >= 3
+       |), sh AS (
+       |  SELECT doc_id,
+       |    toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+       |  FROM s
+       |), m AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM sh GROUP BY doc_id
+       |)
+       |SELECT doc_id, ${(0 until NumHashes).map(i => s"sig_$i").mkString(", ")},
+       |  $bandCols
+       |FROM m ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  }
+
+  private def langidOracle: String = {
+    val scoreCols = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($list))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n    ")
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, $langCase AS pred_lang,
+       |  s_de, s_en, s_es, s_fr, s_zh
+       |FROM sc ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_text_tokenize" ->
+      """SELECT token, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |) WHERE length(token) > 0
+        |GROUP BY token
+        |ORDER BY cnt DESC NULLS LAST, token ASC NULLS LAST
+        |LIMIT 20""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  max(n_chars) AS max_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang
+        |ORDER BY lang ASC NULLS LAST""".stripMargin,
+
+    "q_text_dedup" ->
+      """SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs,
+        |  min(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1
+        |ORDER BY fp ASC NULLS LAST""".stripMargin,
+
+    "q_dedup_minhash" -> minhashOracle,
+
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, md5(tk) AS h, j.j AS j
+        |  FROM tok, (SELECT unnest(range(16)) AS j) j
+        |), b AS (
+        |  SELECT doc_id, j,
+        |    SUM(2 * (CAST(floor((strpos('0123456789abcdef',
+        |      substring(h, CAST(floor(j/4) AS INT) + 1, 1)) - 1)
+        |      / pow(2, 3 - j % 4)) AS BIGINT) % 2) - 1) AS sj
+        |  FROM g GROUP BY doc_id, j
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN sj > 0 THEN CAST(pow(2, j) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS simhash
+        |FROM b GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH s AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 50
+        |), c AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id
+        |), i AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+        |FROM i JOIN c ca ON doc_a = ca.doc_id JOIN c cb ON doc_b = cb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+        |ORDER BY doc_a ASC NULLS LAST, doc_b ASC NULLS LAST""".stripMargin,
+
+    "q_text_langid" -> langidOracle,
+
+    "q_text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_distinct,
+        |    n_chars
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, n_tokens, n_distinct,
+        |    CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+        |    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
+        |      AS avg_token_len,
+        |    (CAST(n_distinct AS DOUBLE) / n_tokens)
+        |      * (CAST(least(n_tokens, 100) AS DOUBLE) / 100) AS score
+        |  FROM f
+        |)
+        |SELECT doc_id, n_tokens, n_distinct, ttr, avg_token_len, score,
+        |  score > 0.3 AS is_quality
+        |FROM q ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(generate_series(0, len(toks) - 2)) AS i, toks
+        |  FROM t WHERE len(toks) >= 2
+        |), sh AS (
+        |  SELECT doc_id, md5(toks[i+1] || ' ' || toks[i+2]) AS h FROM s
+        |)
+        |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max
+        |FROM sh GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    "q_text_tokencount" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+        |    AS vowel_runs,
+        |  CAST(len(regexp_extract_all(text, '[^aeiou ]+')) AS BIGINT)
+        |    AS other_runs,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]+'))
+        |    + len(regexp_extract_all(text, '[^aeiou ]+')) AS BIGINT)
+        |    AS subword_total
+        |FROM documents ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
+        |  md5(text) AS checksum,
+        |  lang, source
+        |FROM documents ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  )
+}

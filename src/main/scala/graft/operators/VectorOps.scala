@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over embedding columns (`array<float>`, unit-norm so
+  * cosine == dot product).
+  *
+  * Scale design:
+  *  - brute-force top-k against a FIXED probe is a narrow map + global
+  *    top-k (TakeOrderedAndProject): linear, no shuffle of the vectors;
+  *  - the all-pairs variant is the bounded verification step; the scale
+  *    path is [[annBuckets]] — deterministic random-hyperplane LSH that
+  *    partitions vectors into 2^planes buckets so candidate generation
+  *    becomes a shuffle on bucket id instead of an O(n²) cross join;
+  *  - dot products fold through exact DECIMAL accumulation (see
+  *    [[graft.Det]]): merge-order-insensitive, hash-identical to DuckDB.
+  */
+object VectorOps {
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  /** Exact-decimal dot product of two `array<float>` columns, as DOUBLE. */
+  def dotExpr(a: String, b: String): Column = expr(
+    s"CAST(aggregate(zip_with($a, $b, " +
+      "(x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) " +
+      "AS DECIMAL(20,10))), CAST(0 AS DECIMAL(30,10)), " +
+      "(acc, p) -> CAST(acc + p AS DECIMAL(30,10))) AS DOUBLE)")
+
+  private def sqlDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+      "p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) " +
+      "AS DECIMAL(20,10)))) AS DOUBLE)"
+
+  /** Deterministic random-hyperplane LSH bucket id (2^`planes` buckets).
+    * Hyperplane weights derive from md5(plane, dim) — no RNG state, so the
+    * assignment is reproducible on any engine and any cluster. */
+  def annBuckets(emb: DataFrame, planes: Int = 4, dim: Int = 64): DataFrame = {
+    val proj =
+      "CAST(aggregate(sequence(0, " + (dim - 1) + "), " +
+        "CAST(0 AS DECIMAL(30,8)), (acc, i) -> CAST(acc + " +
+        "CAST(CAST(embedding[i] AS DOUBLE) * " +
+        "(CAST(instr('0123456789abcdef', substring(md5(concat(" +
+        "CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 1)) AS INT) " +
+        "- 1 - 7.5) AS DECIMAL(20,8)) AS DECIMAL(30,8))) AS DOUBLE)"
+    val bucket =
+      s"CAST(aggregate(transform(sequence(0, ${planes - 1}), " +
+        s"p -> CASE WHEN $proj > 0 THEN CAST(pow(2, p) AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), " +
+        "(acc, x) -> acc + x) AS BIGINT)"
+    emb.withColumn("bucket", expr(bucket))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-k against probe vec_id=0 (the baseline).
+    "q_simsearch_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb")))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .withColumn("cosine", dotExpr("embedding", "probe_emb"))
+        .select("vec_id", "cosine")
+        .orderBy(desc_nulls_last("cosine"), asc_nulls_last("vec_id"))
+        .limit(10)
+    }),
+
+    // Embedding-cosine near-dup: top-20 most similar pairs (bounded to
+    // vec_id < 1000 — the brute-force verify stage; candidate generation
+    // at scale goes through q_ann_lsh buckets).
+    "q_dedup_embed" -> ((s, d) => {
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 1000)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cosine", dotExpr("ea", "eb"))
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy(desc_nulls_last("cosine"),
+          asc_nulls_last("vec_a"), asc_nulls_last("vec_b"))
+        .limit(20)
+    }),
+
+    // LSH bucket assignment for every vector — the scale path for ANN.
+    "q_ann_lsh" -> ((s, d) =>
+      annBuckets(t(s, d, "embeddings"))
+        .select("vec_id", "bucket")
+        .orderBy(asc_nulls_last("vec_id"))),
+
+    // Multimodal join: text metadata ⋈ vector stats on doc_id == vec_id.
+    "q_multimodal_join" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"),
+          struct(docs("lang"), docs("source")).as("meta"),
+          docs("n_chars"),
+          size(col("embedding")).cast("long").as("dim"),
+          col("label"))
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+  )
+
+  private val annOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT vec_id, p.p AS p,
+      |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) *
+      |      (strpos('0123456789abcdef', substring(md5(
+      |        CAST(p.p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1))
+      |        - 1 - 7.5) AS DECIMAL(20,8))) AS DOUBLE) AS proj
+      |  FROM e, (SELECT unnest(range(4)) AS p) p
+      |  GROUP BY vec_id, p.p
+      |)
+      |SELECT vec_id,
+      |  CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS bucket
+      |FROM c GROUP BY vec_id ORDER BY vec_id ASC NULLS LAST""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_simsearch_topk" ->
+      s"""SELECT e.vec_id, ${sqlDot("e.embedding", "p.embedding")} AS cosine
+         |FROM embeddings e,
+         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+         |WHERE e.vec_id <> 0
+         |ORDER BY cosine DESC NULLS LAST, vec_id ASC NULLS LAST
+         |LIMIT 10""".stripMargin,
+
+    "q_dedup_embed" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${sqlDot("a.embedding", "b.embedding")} AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE a.vec_id < 1000 AND b.vec_id < 1000
+         |ORDER BY cosine DESC NULLS LAST, vec_a ASC NULLS LAST,
+         |  vec_b ASC NULLS LAST
+         |LIMIT 20""".stripMargin,
+
+    "q_ann_lsh" -> annOracle,
+
+    "q_multimodal_join" ->
+      """SELECT doc_id, struct_pack(lang := lang, source := source) AS meta,
+        |  n_chars, CAST(len(embedding) AS BIGINT) AS dim, label
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  )
+}

@@ -1,0 +1,245 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.Det
+import graft.functions._
+
+/** Workflow-template compiler: the reference's workflow engine executes a
+  * JSON template — `{id, tasks: [{id, name, config}], graph: {parent:
+  * [children]}}` — as an interpreted DAG, one task coroutine per event
+  * (public reference: tukio `workflow.py`/`dag.py`, `nyuki/workflow/`;
+  * mount empty, see SURVEY.md §0).
+  *
+  * Here the SAME template shape compiles to ONE composed DataFrame program
+  * — i.e. one Catalyst plan. Spark then does what the reference's asyncio
+  * loop did (schedule the DAG) but whole-dataset, whole-stage-codegen'd and
+  * distributed: an arbitrarily long task chain costs a single pass over
+  * the data, and fan-in tasks become unions/joins planned together with
+  * everything else.
+  *
+  * Supported task names (ref task modules in parentheses):
+  *  - `trigger_filter` — config `{condition}`, the trigger/condition DSL
+  *    (engine trigger match + `utils/evaluate.py`);
+  *  - `factory` — config `{rules: [...]}` ordered rule list
+  *    (`tasks/factory.py` + `utils/transform.py`);
+  *  - `select` — config `{columns: [...]}` projection;
+  *  - `aggregate` — config `{group_by: [...], aggs: [{fn, col, as}]}`
+  *    with fn ∈ count|dsum|min|max (partial-agg friendly);
+  *  - `union` — fan-in of all parent branches (`tasks/join.py`);
+  *  - `sleep` — no-op in batch compile (`tasks/sleep.py`);
+  *  - `report` — no-op marker; streaming sinks attach here
+  *    (`tasks/report.py`).
+  */
+object TemplateCompiler {
+
+  final case class Task(id: String, name: String, config: JValue)
+  final case class Template(id: String, tasks: Seq[Task],
+      graph: Map[String, Seq[String]])
+
+  def parse(json: String): Template = {
+    implicit val fmts: Formats = DefaultFormats
+    val jv = JsonMethods.parse(json)
+    val tasks = (jv \ "tasks").children.map { t =>
+      Task((t \ "id").extract[String], (t \ "name").extract[String],
+        t \ "config")
+    }
+    val graph = (jv \ "graph") match {
+      case JObject(fields) =>
+        fields.map { case (k, v) =>
+          k -> v.children.map(_.extract[String])
+        }.toMap
+      case _ => Map.empty[String, Seq[String]]
+    }
+    Template((jv \ "id").extract[String], tasks, graph)
+  }
+
+  /** Compile a template to a single DataFrame program rooted at `source`.
+    * Tasks execute in topological order; fan-in tasks receive every parent
+    * branch. The result is the output of the (single) sink task. */
+  def compile(template: Template, source: DataFrame): DataFrame = {
+    implicit val fmts: Formats = DefaultFormats
+    val byId = template.tasks.map(t => t.id -> t).toMap
+    val parents: Map[String, Seq[String]] = {
+      val m = scala.collection.mutable.Map.empty[String, Vector[String]]
+      template.tasks.foreach(t => m(t.id) = Vector.empty)
+      template.graph.foreach { case (p, cs) =>
+        cs.foreach(c => m(c) = m.getOrElse(c, Vector.empty) :+ p)
+      }
+      m.toMap
+    }
+    // Kahn topological order (the reference validates acyclicity on
+    // template upsert; we enforce it at compile time).
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val indeg = scala.collection.mutable.Map(parents.view.mapValues(_.size).toSeq: _*)
+    val queue = scala.collection.mutable.Queue(
+      template.tasks.filter(t => indeg(t.id) == 0).map(_.id): _*)
+    while (queue.nonEmpty) {
+      val id = queue.dequeue(); order += id
+      template.graph.getOrElse(id, Nil).foreach { c =>
+        indeg(c) -= 1; if (indeg(c) == 0) queue.enqueue(c)
+      }
+    }
+    require(order.size == template.tasks.size,
+      s"template ${template.id}: task graph has a cycle")
+
+    val out = scala.collection.mutable.Map.empty[String, DataFrame]
+    order.foreach { id =>
+      val task = byId(id)
+      val ins = parents(id) match {
+        case Seq() => Seq(source)
+        case ps    => ps.map(out)
+      }
+      out(id) = applyTask(task, ins)
+    }
+    val sinks = template.tasks.map(_.id)
+      .filter(id => template.graph.getOrElse(id, Nil).isEmpty)
+    require(sinks.size == 1,
+      s"template ${template.id}: expected exactly one sink task, got $sinks")
+    out(sinks.head)
+  }
+
+  def compileJson(json: String, source: DataFrame): DataFrame =
+    compile(parse(json), source)
+
+  private def applyTask(task: Task, inputs: Seq[DataFrame]): DataFrame = {
+    implicit val fmts: Formats = DefaultFormats
+    task.name match {
+      case "trigger_filter" =>
+        val cond = (task.config \ "condition").extract[String]
+        val df = inputs.head
+        df.filter(ConditionDsl.compile(cond, df.columns.toSet))
+      case "factory" =>
+        Converter(inputs.head, (task.config \ "rules").children.map(parseRule))
+      case "select" =>
+        val cols = (task.config \ "columns").children.map(_.extract[String])
+        inputs.head.select(cols.map(col): _*)
+      case "aggregate" =>
+        val groupCols = (task.config \ "group_by").children
+          .map(_.extract[String])
+        val aggs = (task.config \ "aggs").children.map { a =>
+          val fn = (a \ "fn").extract[String]
+          val alias = (a \ "as").extract[String]
+          val c = (a \ "col").extractOpt[String].map(col).getOrElse(lit(1))
+          (fn match {
+            case "count" => count(lit(1))
+            case "dsum"  => Det.dsum(c)
+            case "min"   => min(c)
+            case "max"   => max(c)
+            case other   => throw new IllegalArgumentException(
+              s"unsupported agg fn: $other")
+          }).as(alias)
+        }
+        inputs.head.groupBy(groupCols.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+      case "union" =>
+        inputs.reduce(_ unionByName _)
+      case "sleep" | "report" =>
+        inputs.head
+      case other =>
+        throw new IllegalArgumentException(s"unsupported task: $other")
+    }
+  }
+
+  private def parseRule(jv: JValue): Rule = {
+    implicit val fmts: Formats = DefaultFormats
+    def str(f: String) = (jv \ f).extract[String]
+    (jv \ "type").extract[String] match {
+      case "extract" => Extract(str("dst"), str("src"), str("pattern"),
+        (jv \ "group").extractOpt[Int].getOrElse(1))
+      case "sub"     => Sub(str("field"), str("pattern"), str("replacement"))
+      case "set"     => Set(str("field"), jv \ "value" match {
+        case JString(v) => lit(v)
+        case JInt(v)    => lit(v.toLong)
+        case JDouble(v) => lit(v)
+        case JBool(v)   => lit(v)
+        case other      => throw new IllegalArgumentException(
+          s"unsupported set value: $other")
+      })
+      case "unset"   => Unset(str("field"))
+      case "lookup"  =>
+        val table = (jv \ "table") match {
+          case JObject(fields) => fields.map { case (k, v) =>
+            k -> (lit(v.extract[String]): Column)
+          }.toMap
+          case _ => Map.empty[String, Column]
+        }
+        Lookup(str("dst"), str("src"), table, lit(str("default")))
+      case "condition_block" =>
+        val branches = (jv \ "branches").children.map { b =>
+          val cond = (b \ "condition").extract[String]
+          val sets = (b \ "set").children.map(sv =>
+            Set((sv \ "field").extract[String], sv \ "value" match {
+              case JString(v) => lit(v)
+              case JInt(v)    => lit(v.toLong)
+              case JDouble(v) => lit(v)
+              case other      => throw new IllegalArgumentException(
+                s"unsupported set value: $other")
+            }))
+          // Condition fields validated against the frame at compile time
+          // by trigger_filter; inside blocks we trust template validation.
+          (expr(cond), sets)
+        }
+        val otherwise = (jv \ "otherwise").children.map(sv =>
+          Set((sv \ "field").extract[String], sv \ "value" match {
+            case JString(v) => lit(v)
+            case JInt(v)    => lit(v.toLong)
+            case JDouble(v) => lit(v)
+            case other      => throw new IllegalArgumentException(
+              s"unsupported set value: $other")
+          }))
+        CondBlock(branches, otherwise)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported rule: $other")
+    }
+  }
+}
+
+/** Declared query exercising the whole compiler path end-to-end: a
+  * nyuki-shaped JSON template (trigger → factory rules → aggregate)
+  * compiled onto the events table as one Catalyst plan. */
+object TemplateQueries {
+  import org.apache.spark.sql.SparkSession
+
+  val purchaseRollupTemplate: String =
+    """{
+      |  "id": "purchase-rollup", "version": 1,
+      |  "tasks": [
+      |    {"id": "t1", "name": "trigger_filter",
+      |     "config": {"condition": "event_type = 'purchase'"}},
+      |    {"id": "t2", "name": "factory", "config": {"rules": [
+      |       {"type": "condition_block", "branches": [
+      |          {"condition": "value < 50",
+      |           "set": [{"field": "band", "value": "low"}]},
+      |          {"condition": "value < 200",
+      |           "set": [{"field": "band", "value": "mid"}]}],
+      |        "otherwise": [{"field": "band", "value": "high"}]},
+      |       {"type": "set", "field": "pipeline", "value": "bus"},
+      |       {"type": "unset", "field": "props"}]}},
+      |    {"id": "t3", "name": "aggregate",
+      |     "config": {"group_by": ["band"], "aggs": [
+      |        {"fn": "count", "as": "n"},
+      |        {"fn": "dsum", "col": "value", "as": "sum_value"}]}}
+      |  ],
+      |  "graph": {"t1": ["t2"], "t2": ["t3"]}
+      |}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_template_pipeline" -> ((s, d) =>
+      TemplateCompiler.compileJson(purchaseRollupTemplate,
+          graft.Tables.table(s, d, "events"))
+        .orderBy(asc_nulls_last("band")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_template_pipeline" ->
+      s"""SELECT CASE WHEN value < 50 THEN 'low'
+         |       WHEN value < 200 THEN 'mid' ELSE 'high' END AS band,
+         |  COUNT(*) AS n, ${Det.sqlDsum("value")} AS sum_value
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY band ASC NULLS LAST""".stripMargin
+  )
+}
