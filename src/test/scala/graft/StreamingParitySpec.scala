@@ -1,0 +1,159 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.operators.StreamShapes
+import graft.streaming.{EventPipelines, Sessionize}
+
+/** Top-level so Spark can derive an Encoder (inner classes can't). */
+case class E(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Batch↔stream parity: the SAME transforms (StreamShapes builders) fed
+  * through MemoryStream must produce the batch answer once the stream
+  * drains; plus watermark late-drop and stateful sessionize semantics. */
+class StreamingParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts = (s: String) => Timestamp.valueOf(s)
+
+  private def sampleEvents: Seq[E] = Seq(
+    E(1, ts("2024-01-01 00:10:00"), 1, "click", 10.0, "{}"),
+    E(2, ts("2024-01-01 05:00:00"), 1, "view", 20.0, "{}"),
+    E(3, ts("2024-01-01 23:59:00"), 2, "click", 30.0, "{}"),
+    E(4, ts("2024-01-02 00:01:00"), 2, "click", 40.0, "{}"),
+    E(5, ts("2024-01-02 12:00:00"), 1, "purchase", 50.0, "{}"))
+
+  private def runStream(transform: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame, events: Seq[E],
+      mode: OutputMode = OutputMode.Append()): org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[E]
+    val sinkName = s"parity_${System.nanoTime()}"
+    // AvailableNow snapshots offsets at start — data must be queued first.
+    // Two addData calls → two micro-batches, exercising incremental state.
+    val (first, rest) = events.splitAt(2)
+    mem.addData(first)
+    mem.addData(rest)
+    val q = transform(mem.toDF())
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
+  test("tumbling window: stream (complete) equals batch") {
+    val batch = StreamShapes.tumbling(sampleEvents.toDF())
+      .orderBy("wstart", "event_type").collect().toSeq
+    val stream = runStream(df => EventPipelines.tumbling(df),
+        sampleEvents, OutputMode.Complete())
+      .orderBy("wstart", "event_type").collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("session window: stream (append, watermark-closed) equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = StreamShapes.session(sampleEvents.toDF())
+      .orderBy("user_id", "session_start").collect().toSeq
+    val mem = MemoryStream[E]
+    val name = s"sessap_${System.nanoTime()}"
+    // Sessions only emit in append mode once the watermark passes their
+    // end — push it far ahead with sentinel events (user 99), then run one
+    // more batch so the eviction fires.
+    val q = EventPipelines.session(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    val (first, rest) = sampleEvents.splitAt(2)
+    mem.addData(first)
+    q.processAllAvailable()
+    mem.addData(rest)
+    q.processAllAvailable()
+    mem.addData(E(98, ts("2024-02-01 00:00:00"), 99, "click", 0.0, "{}"))
+    q.processAllAvailable()
+    mem.addData(E(99, ts("2024-02-02 00:00:00"), 99, "click", 0.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).filter($"user_id" =!= 99)
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("watermark drops late events in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[E]
+    val name = s"late_${System.nanoTime()}"
+    val q = mem.toDF().withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").as("win"))
+      .agg(count(lit(1)).as("n"))
+      .select($"win.start".as("w"), $"n")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    // batch 1 advances the watermark far ahead
+    mem.addData(E(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0, "{}"),
+      E(2, ts("2024-01-03 10:00:00"), 1, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: an event 2 days late — behind the watermark, must be dropped
+    mem.addData(E(3, ts("2024-01-01 00:20:00"), 1, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    // batch 3: advance watermark past everything to flush finals
+    mem.addData(E(4, ts("2024-01-05 00:00:00"), 1, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => r.getAs[Timestamp]("w") -> r.getAs[Long]("n")).toMap
+    // the late event did NOT bump the 00:00 window to 2
+    assert(rows(ts("2024-01-01 00:00:00")) == 1L)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[E]
+    val name = s"dedup_${System.nanoTime()}"
+    val q = EventPipelines.dedup(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    val e = E(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0, "{}")
+    mem.addData(e, e.copy(value = 999.0)) // bus replay: same event_id
+    q.processAllAvailable()
+    mem.addData(e) // replayed again in a later batch
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table(name).filter($"event_id" === 1).count() == 1)
+  }
+
+  test("stateful sessionize: streaming state accumulates across batches " +
+      "and matches the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Ev]
+    val name = s"sess_${System.nanoTime()}"
+    val evs = Seq(
+      Sessionize.Ev(1, 1, "click", ts("2024-01-01 00:00:00"), 1.0),
+      Sessionize.Ev(2, 1, "view", ts("2024-01-01 00:05:00"), 1.0),
+      Sessionize.Ev(3, 1, "view", ts("2024-01-01 00:06:00"), 1.0))
+    val q = Sessionize.stream(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    mem.addData(evs.take(2))
+    mem.addData(evs.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    // last emitted row per user carries the final accumulated state
+    val last = spark.table(name).orderBy(desc("n_events")).head
+    assert(last.getAs[Long]("n_events") == 3)
+    assert(last.getAs[Long]("n_transitions") == 1)
+    assert(last.getAs[String]("last_type") == "view")
+    val batch = Sessionize.fold(None, evs)
+    assert(batch.nEvents == 3 && batch.nTransitions == 1
+      && batch.lastType == "view")
+  }
+}
