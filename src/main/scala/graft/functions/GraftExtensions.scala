@@ -1,0 +1,14 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session-extension installer: `SparkSession.builder()
+  * .withExtensions(new GraftExtensions)` or cluster-wide via
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  * Injects the engine's native expressions into the function registry so
+  * plain SQL (`SELECT float_dot(a, b)`) resolves them on every executor.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

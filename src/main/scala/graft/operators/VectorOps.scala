@@ -27,17 +27,15 @@ object VectorOps {
       "AS DECIMAL(20,10))), CAST(0 AS DECIMAL(30,10)), " +
       "(acc, p) -> CAST(acc + p AS DECIMAL(30,10))) AS DOUBLE)")
 
-  /** Fast screening dot product: tight JVM loop over the float arrays.
-    * Used only to PRE-RANK candidates — the exact-decimal [[dotExpr]]
-    * makes the final, oracle-deterministic ordering. */
-  val fastDot: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((a: Seq[Float], b: Seq[Float]) => {
-      var s = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    })
+  /** Fast screening dot product: the native codegen'd
+    * [[graft.functions.FloatDot]] expression (no per-row serialization,
+    * stays inside whole-stage codegen). Used only to PRE-RANK candidates —
+    * the exact-decimal [[dotExpr]] makes the final, oracle-deterministic
+    * ordering. */
+  def fastDot(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    expr(s"float_dot($a, $b)")
+  }
 
   private def sqlDot(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), " +
@@ -92,7 +90,7 @@ object VectorOps {
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("fastdot", fastDot(col("ea"), col("eb")))
+        .withColumn("fastdot", fastDot(s, "ea", "eb"))
         .orderBy(desc_nulls_last("fastdot"),
           asc_nulls_last("vec_a"), asc_nulls_last("vec_b"))
         .limit(100)
