@@ -231,6 +231,9 @@ object Relational {
         .orderBy(asc_nulls_last("event_id"))
     }),
 
+    // Plan audit: Spark 4 plans this as partial WindowGroupLimit (per-
+    // partition bounded top-k heaps) below the exchange + final above —
+    // the scalable grouped-top-k shape, no custom operator needed.
     "q_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(desc_nulls_last("o_totalprice"), asc_nulls_last("o_orderkey"))

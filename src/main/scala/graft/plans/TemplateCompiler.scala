@@ -57,11 +57,42 @@ object TemplateCompiler {
     Template((jv \ "id").extract[String], tasks, graph)
   }
 
+  /** Kahn topological order; throws on cycles. Shared by the compiler and
+    * the registry's upsert validation (the reference validates on upsert). */
+  def topoOrder(template: Template): Seq[String] = {
+    val parents: Map[String, Seq[String]] = {
+      val m = scala.collection.mutable.Map.empty[String, Vector[String]]
+      template.tasks.foreach(t => m(t.id) = Vector.empty)
+      template.graph.foreach { case (p, cs) =>
+        cs.foreach(c => m(c) = m.getOrElse(c, Vector.empty) :+ p)
+      }
+      m.toMap
+    }
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val indeg = scala.collection.mutable.Map(
+      parents.view.mapValues(_.size).toSeq: _*)
+    val queue = scala.collection.mutable.Queue(
+      template.tasks.filter(t => indeg(t.id) == 0).map(_.id): _*)
+    while (queue.nonEmpty) {
+      val id = queue.dequeue(); order += id
+      template.graph.getOrElse(id, Nil).foreach { c =>
+        indeg(c) -= 1; if (indeg(c) == 0) queue.enqueue(c)
+      }
+    }
+    if (order.size != template.tasks.size)
+      throw new IllegalArgumentException(
+        s"template ${template.id}: task graph has a cycle")
+    order.toSeq
+  }
+
   /** Compile a template to a single DataFrame program rooted at `source`.
     * Tasks execute in topological order; fan-in tasks receive every parent
-    * branch. The result is the output of the (single) sink task. */
-  def compile(template: Template, source: DataFrame): DataFrame = {
-    implicit val fmts: Formats = DefaultFormats
+    * branch; `trigger_workflow` tasks inline the referenced sub-template's
+    * compiled plan (R16 — the reference spawns a nested workflow; here the
+    * sub-plan fuses into the SAME Catalyst plan). The result is the output
+    * of the (single) sink task. */
+  def compile(template: Template, source: DataFrame,
+      registry: TemplateRegistry = null): DataFrame = {
     val byId = template.tasks.map(t => t.id -> t).toMap
     val parents: Map[String, Seq[String]] = {
       val m = scala.collection.mutable.Map.empty[String, Vector[String]]
@@ -71,21 +102,7 @@ object TemplateCompiler {
       }
       m.toMap
     }
-    // Kahn topological order (the reference validates acyclicity on
-    // template upsert; we enforce it at compile time).
-    val order = scala.collection.mutable.ArrayBuffer.empty[String]
-    val indeg = scala.collection.mutable.Map(parents.view.mapValues(_.size).toSeq: _*)
-    val queue = scala.collection.mutable.Queue(
-      template.tasks.filter(t => indeg(t.id) == 0).map(_.id): _*)
-    while (queue.nonEmpty) {
-      val id = queue.dequeue(); order += id
-      template.graph.getOrElse(id, Nil).foreach { c =>
-        indeg(c) -= 1; if (indeg(c) == 0) queue.enqueue(c)
-      }
-    }
-    require(order.size == template.tasks.size,
-      s"template ${template.id}: task graph has a cycle")
-
+    val order = topoOrder(template)
     val out = scala.collection.mutable.Map.empty[String, DataFrame]
     order.foreach { id =>
       val task = byId(id)
@@ -93,7 +110,7 @@ object TemplateCompiler {
         case Seq() => Seq(source)
         case ps    => ps.map(out)
       }
-      out(id) = applyTask(task, ins)
+      out(id) = applyTask(task, ins, registry)
     }
     val sinks = template.tasks.map(_.id)
       .filter(id => template.graph.getOrElse(id, Nil).isEmpty)
@@ -102,10 +119,12 @@ object TemplateCompiler {
     out(sinks.head)
   }
 
-  def compileJson(json: String, source: DataFrame): DataFrame =
-    compile(parse(json), source)
+  def compileJson(json: String, source: DataFrame,
+      registry: TemplateRegistry = null): DataFrame =
+    compile(parse(json), source, registry)
 
-  private def applyTask(task: Task, inputs: Seq[DataFrame]): DataFrame = {
+  private def applyTask(task: Task, inputs: Seq[DataFrame],
+      registry: TemplateRegistry): DataFrame = {
     implicit val fmts: Formats = DefaultFormats
     task.name match {
       case "trigger_filter" =>
@@ -137,6 +156,24 @@ object TemplateCompiler {
           .agg(aggs.head, aggs.tail: _*)
       case "union" =>
         inputs.reduce(_ unionByName _)
+      case "trigger_workflow" =>
+        // Sub-workflow (R16): resolve by id (published-latest unless a
+        // version is pinned) or take an inline template; the sub-plan
+        // inlines into this plan — Catalyst optimizes across the boundary.
+        (task.config \ "template_id").extractOpt[String] match {
+          case Some(id) =>
+            require(registry != null,
+              s"trigger_workflow '$id' needs a TemplateRegistry")
+            val sub = registry.resolve(id,
+              (task.config \ "version").extractOpt[Int])
+            compile(sub, inputs.head, registry)
+          case None =>
+            val inline = (task.config \ "template")
+            require(inline != JNothing,
+              "trigger_workflow needs template_id or an inline template")
+            compile(parse(JsonMethods.compact(
+              JsonMethods.render(inline))), inputs.head, registry)
+        }
       case "sleep" | "report" =>
         inputs.head
       case other =>

