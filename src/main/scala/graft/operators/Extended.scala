@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.{Det, Tables}
+
+/** Extended relational surface: SQL-text entry (multi-join analytics the
+  * way a reference user would write them), pivot/unpivot, HAVING, full
+  * outer join, exact statistical moments, RANGE frames, min_by/max_by,
+  * extra calendar functions.
+  *
+  * The q_sql_* queries run ONE SQL text through BOTH engines (temp views
+  * over the same parquet on the Spark side) — the strongest form of the
+  * oracle contract, and proof of the `spark.sql` entry path.
+  */
+object Extended {
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  /** Register every fixture table as a temp view, then run SQL. */
+  def sql(s: SparkSession, d: String, query: String): DataFrame = {
+    Tables.names.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(query)
+  }
+
+  /** TPC-H Q3 shape — identical text runs on Spark and DuckDB. */
+  val sqlQ3: String =
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  o_orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC NULLS LAST, o_orderkey ASC NULLS LAST
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q5 shape (local-supplier volume) — identical text on both. */
+  val sqlQ5: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS LAST""".stripMargin
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_q3" -> ((s, d) => sql(s, d, sqlQ3)),
+    "q_sql_q5" -> ((s, d) => sql(s, d, sqlQ5)),
+
+    "q_join_full" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_custkey") < 100)
+        .select("c_custkey", "c_name")
+      val o = t(s, d, "orders").filter(col("o_custkey") > 50)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(c("c_custkey"), c("c_name"), o("o_orderkey"),
+          o("o_totalprice"))
+        .orderBy(asc_nulls_last("c_custkey"), asc_nulls_last("o_orderkey"))
+    }),
+
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+        .orderBy(asc_nulls_last("user_id"))),
+
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "part")
+        .selectExpr("p_partkey",
+          "stack(2, 'retailprice', p_retailprice, " +
+            "'size', CAST(p_size AS DOUBLE)) AS (metric, val)")
+        .orderBy(asc_nulls_last("p_partkey"), asc_nulls_last("metric"))),
+
+    "q_agg_having" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_items"),
+          Det.dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("n_items") > 600)
+        .orderBy(asc_nulls_last("l_suppkey"))),
+
+    // Exact moments: variance/stddev recomputed from order-insensitive
+    // decimal sums with IDENTICAL double arithmetic on both engines
+    // (built-in var_samp/stddev use engine-specific update formulas —
+    // never hash-comparable).
+    "q_stats_moments" -> ((s, d) => {
+      val s1 = sum(col("l_discount").cast(DecimalType(18, 6)))
+        .cast("double").as("s1")
+      val s2 = sum((col("l_discount") * col("l_discount"))
+        .cast(DecimalType(18, 12))).cast("double").as("s2")
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), s1, s2)
+        .select(col("l_returnflag"), col("n"),
+          (col("s1") / col("n")).as("mean"),
+          ((col("s2") - col("s1") * col("s1") / col("n"))
+            / (col("n") - 1)).as("var_samp"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+            / (col("n") - 1)).as("stddev"))
+        .orderBy(asc_nulls_last("l_returnflag"))
+    }),
+
+    // Value-based RANGE frame (well-defined under order ties, unlike ROWS).
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, 0L)
+      t(s, d, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("near_sum",
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+            .cast("double"))
+        .withColumn("near_n", count(lit(1)).over(w))
+        .orderBy(asc_nulls_last("o_custkey"), asc_nulls_last("o_orderkey"))
+    }),
+
+    // Tie-safe here: o_totalprice is unique within each customer (checked
+    // at sf0.01/sf0.1); for adversarial data min_by needs a composite
+    // unique ordering value.
+    "q_agg_minmax_by" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(min_by(col("o_orderkey"), col("o_totalprice"))
+            .as("cheapest_order"),
+          max_by(col("o_orderkey"), col("o_totalprice"))
+            .as("priciest_order"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(asc_nulls_last("o_custkey"))),
+
+    "q_date_funcs2" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          quarter(col("ts")).cast("long").as("q"),
+          dayofmonth(col("ts")).cast("long").as("dom"),
+          hour(col("ts")).cast("long").as("h"),
+          minute(col("ts")).cast("long").as("m"),
+          last_day(col("ts")).as("month_end"))
+        .orderBy(asc_nulls_last("event_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sql_q3" -> sqlQ3,
+    "q_sql_q5" -> sqlQ5,
+
+    "q_join_full" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 100) c
+        |FULL OUTER JOIN (SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_custkey > 50) o
+        |ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST"""
+        .stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+        |    AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+        |    AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+        |    AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+        |    AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+        |    AS view
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+        |FROM part
+        |ORDER BY p_partkey ASC NULLS LAST, metric ASC NULLS LAST"""
+        .stripMargin,
+
+    "q_agg_having" ->
+      s"""SELECT l_suppkey, COUNT(*) AS n_items,
+         |  ${Det.sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_suppkey
+         |HAVING COUNT(*) > 600
+         |ORDER BY l_suppkey ASC NULLS LAST""".stripMargin,
+
+    "q_stats_moments" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,12)))
+        |      AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  s1 / n AS mean,
+        |  (s2 - s1 * s1 / n) / (n - 1) AS var_samp,
+        |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev
+        |FROM a ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    AS near_sum,
+        |  COUNT(*) OVER w AS near_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST"""
+        .stripMargin,
+
+    "q_agg_minmax_by" ->
+      """SELECT o_custkey,
+        |  arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+        |  arg_max(o_orderkey, o_totalprice) AS priciest_order,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey ASC NULLS LAST""".stripMargin,
+
+    "q_date_funcs2" ->
+      """SELECT event_id,
+        |  CAST(quarter(ts) AS BIGINT) AS q,
+        |  CAST(day(ts) AS BIGINT) AS dom,
+        |  CAST(hour(ts) AS BIGINT) AS h,
+        |  CAST(minute(ts) AS BIGINT) AS m,
+        |  last_day(ts) AS month_end
+        |FROM events ORDER BY event_id ASC NULLS LAST""".stripMargin
+  )
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot keys at cluster scale.
+  *
+  * AQE's skew-join splitting (on by default) handles most cases at
+  * runtime; these helpers are for the declarative path when a key's
+  * heat is known up front (the classic 100 TB failure mode: one user /
+  * one null key holding 10% of the table pins a single reducer).
+  *
+  * Both transforms are algebraic rewrites — results equal the unsalted
+  * form exactly (aggregation uses order-insensitive combiners; the join
+  * replicates the small side), verified by tests.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: spread each group over `buckets`
+    * partial groups, combine, then merge partials. `aggs` must be
+    * decomposable (sum/count/min/max — anything with an associative,
+    * commutative combine). Phase 1 shuffles on (key, salt) — no single
+    * reducer sees a whole hot group. */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(buckets)))
+    val partial = salted
+      .groupBy((keys :+ "_salt").map(col): _*)
+      .agg(count(lit(1)).as("_n"),
+        sum(col(valueCol).cast("decimal(18,4)")).as("_s"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_n")).as("n"),
+        sum(col("_s")).cast("double").as(s"sum_$valueCol"))
+  }
+
+  /** Skew-safe equi-join: replicate the (broadcastable) small side
+    * `buckets` times and salt the big side's key, so a hot key's rows
+    * spread over `buckets` tasks instead of one. */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, buckets: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(buckets)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedBig.join(broadcast(replicated),
+        saltedBig(bigKey) === replicated(smallKey)
+          && saltedBig("_salt") === replicated("_salt"),
+        joinType)
+      .drop("_salt")
+  }
+
+  /** Deterministic-but-spread salt expression for reuse. */
+  def saltExpr(buckets: Int): Column =
+    pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets))
+}
