@@ -152,7 +152,52 @@ object Extended {
           hour(col("ts")).cast("long").as("h"),
           minute(col("ts")).cast("long").as("m"),
           last_day(col("ts")).as("month_end"))
-        .orderBy(asc_nulls_last("event_id")))
+        .orderBy(asc_nulls_last("event_id"))),
+
+    "q_string_funcs2" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+          rpad(col("p_type"), 10, ".").as("type_rpad"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"),
+          levenshtein(col("p_brand"), lit("Brand#10")).cast("long")
+            .as("brand_dist"),
+          reverse(col("p_name")).as("name_rev"),
+          expr("split_part(p_brand, '#', 2)").as("brand_no"),
+          expr("left(p_name, 4)").as("name_l4"),
+          expr("right(p_name, 3)").as("name_r3"))
+        .orderBy(asc_nulls_last("p_partkey"))),
+
+    "q_conditional_agg" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count_if(col("value") > 100).as("n_big"),
+          bool_and(col("value") > 0).as("all_positive"),
+          bool_or(col("value") > 300).as("any_huge"),
+          sum(when(col("value") > 100, col("value"))
+            .cast(DecimalType(18, 4))).cast("double").as("sum_big"))
+        .orderBy(asc_nulls_last("event_type"))),
+
+    "q_bitwise" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          col("event_id").bitwiseAND(lit(255L)).as("ek_and"),
+          col("event_id").bitwiseOR(lit(4096L)).as("ek_or"),
+          col("event_id").bitwiseXOR(col("user_id")).as("ek_xor"),
+          expr("shiftleft(event_id % 16, 2)").as("ek_shl"),
+          expr("shiftright(event_id, 3)").as("ek_shr"))
+        .orderBy(asc_nulls_last("event_id"))),
+
+    "q_array_funcs2" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          slice(sort_array(col("embedding")), 1, 3).as("smallest3"),
+          array_max(col("embedding")).cast("double").as("max_val"),
+          array_min(col("embedding")).cast("double").as("min_val"),
+          reverse(slice(col("embedding"), 1, 4)).as("head4_rev"),
+          size(flatten(array(slice(col("embedding"), 1, 2),
+            slice(col("embedding"), 3, 2)))).cast("long").as("flat_n"))
+        .orderBy(asc_nulls_last("vec_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -240,6 +285,47 @@ object Extended {
         |  CAST(hour(ts) AS BIGINT) AS h,
         |  CAST(minute(ts) AS BIGINT) AS m,
         |  last_day(ts) AS month_end
-        |FROM events ORDER BY event_id ASC NULLS LAST""".stripMargin
+        |FROM events ORDER BY event_id ASC NULLS LAST""".stripMargin,
+
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS brand_lpad,
+        |  rpad(p_type, 10, '.') AS type_rpad,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+        |  levenshtein(p_brand, 'Brand#10') AS brand_dist,
+        |  reverse(p_name) AS name_rev,
+        |  split_part(p_brand, '#', 2) AS brand_no,
+        |  left(p_name, 4) AS name_l4,
+        |  right(p_name, 3) AS name_r3
+        |FROM part ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT event_type,
+        |  COUNT(*) FILTER (WHERE value > 100) AS n_big,
+        |  bool_and(value > 0) AS all_positive,
+        |  bool_or(value > 300) AS any_huge,
+        |  CAST(SUM(CASE WHEN value > 100 THEN CAST(value AS DECIMAL(18,4))
+        |    END) AS DOUBLE) AS sum_big
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    "q_bitwise" ->
+      """SELECT event_id,
+        |  event_id & 255 AS ek_and,
+        |  event_id | 4096 AS ek_or,
+        |  xor(event_id, user_id) AS ek_xor,
+        |  (event_id % 16) << 2 AS ek_shl,
+        |  event_id >> 3 AS ek_shr
+        |FROM events ORDER BY event_id ASC NULLS LAST""".stripMargin,
+
+    "q_array_funcs2" ->
+      """SELECT vec_id,
+        |  list_slice(list_sort(embedding), 1, 3) AS smallest3,
+        |  CAST(list_max(embedding) AS DOUBLE) AS max_val,
+        |  CAST(list_min(embedding) AS DOUBLE) AS min_val,
+        |  list_reverse(list_slice(embedding, 1, 4)) AS head4_rev,
+        |  CAST(len(flatten([list_slice(embedding, 1, 2),
+        |    list_slice(embedding, 3, 4)])) AS BIGINT) AS flat_n
+        |FROM embeddings ORDER BY vec_id ASC NULLS LAST""".stripMargin
   )
 }
