@@ -9,6 +9,12 @@ import graft.Tables
   * SimHash, n-gram Jaccard, language-ID, quality scoring, fingerprinting,
   * token counting.
   *
+  * Algorithms (public literature): MinHash resemblance sketching — Broder,
+  * "On the resemblance and containment of documents" (SEQUENCES 1997);
+  * banded LSH — Gionis/Indyk/Motwani, "Similarity search in high
+  * dimensions via hashing" (VLDB 1999); SimHash — Charikar, "Similarity
+  * estimation techniques from rounding algorithms" (STOC 2002).
+  *
   * Scale design:
   *  - all per-document features are narrow codegen'd projections (array
   *    higher-order functions — no UDFs, no shuffles);

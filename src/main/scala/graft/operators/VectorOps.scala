@@ -7,6 +7,11 @@ import graft.Tables
 /** Similarity search over embedding columns (`array<float>`, unit-norm so
   * cosine == dot product).
   *
+  * The bucketing scheme is random-hyperplane LSH (Charikar, STOC 2002):
+  * sign patterns of projections onto fixed pseudo-random hyperplanes
+  * approximate angular similarity; the hyperplanes here derive from md5
+  * so every engine and every run agrees without shared RNG state.
+  *
   * Scale design:
   *  - brute-force top-k against a FIXED probe is a narrow map + global
   *    top-k (TakeOrderedAndProject): linear, no shuffle of the vectors;

@@ -1,0 +1,52 @@
+package graft
+
+import graft.sources.Layout
+
+/** Bucketed layout must eliminate the join shuffle entirely — the
+  * 100 TB fact⋈fact strategy, asserted on the actual physical plan. */
+class LayoutSpec extends SparkSpec {
+
+  test("co-located join of bucketed tables plans with zero Exchange") {
+    val li = Tables.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val o = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Layout.writeBucketed(li, "li_bkt", "l_orderkey", 8)
+    Layout.writeBucketed(o, "o_bkt", "o_orderkey", 8)
+    // force the SMJ path (at real scale neither side broadcasts anyway)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Layout.colocatedJoin(spark, "li_bkt", "o_bkt",
+        "l_orderkey", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("ShuffleExchange")
+        && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      // and it is still correct
+      val expect = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+      assert(joined.count() == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+    }
+  }
+
+  test("unbucketed baseline of the same join DOES shuffle (sanity)") {
+    val li = Tables.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val o = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    // disable auto-broadcast so the baseline is a genuine SMJ
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

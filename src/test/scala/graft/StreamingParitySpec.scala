@@ -57,6 +57,15 @@ class StreamingParitySpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("sliding window: stream (complete) equals batch") {
+    val batch = StreamShapes.sliding(sampleEvents.toDF())
+      .orderBy("wstart", "event_type").collect().toSeq
+    val stream = runStream(df => EventPipelines.sliding(df),
+        sampleEvents, OutputMode.Complete())
+      .orderBy("wstart", "event_type").collect().toSeq
+    assert(stream == batch)
+  }
+
   test("session window: stream (append, watermark-closed) equals batch") {
     implicit val sqlCtx = spark.sqlContext
     val batch = StreamShapes.session(sampleEvents.toDF())
