@@ -80,6 +80,42 @@ object EventPipelines {
   def session(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     StreamShapes.session(events.withWatermark("ts", watermark))
 
+  /** Watermarked stream⋈stream join: each left event pairs with right
+    * events for the same key within `window` BEFORE it (the streaming twin
+    * of the as-of/range join). Both watermarks bound the join state —
+    * without them state grows forever; with them rows older than
+    * (watermark − window) are evicted every micro-batch. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+      window: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("lts", watermark)
+    val r = right.withWatermark("rts", watermark)
+    l.join(r,
+      l(key) === r(s"r_$key")
+        && r("rts") <= l("lts")
+        && r("rts") >= l("lts") - expr(s"INTERVAL $window"))
+  }
+
+  /** R15 report task: mid-DAG side publish. foreachBatch fans each
+    * micro-batch out to the main sink AND a report sink from ONE pass
+    * (persist the batch; both writes are per-batch idempotent via
+    * batchId-scoped overwrite, giving exactly-once on replay). */
+  def withReportSink(df: DataFrame, mainDir: String, reportDir: String,
+      checkpoint: String,
+      report: DataFrame => DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          batch.write.mode("overwrite")
+            .parquet(s"$mainDir/batch=$batchId")
+          report(batch).write.mode("overwrite")
+            .parquet(s"$reportDir/batch=$batchId")
+        } finally batch.unpersist()
+        ()
+      }
+
   /** R2/R15: publish — checkpointed parquet sink (exactly-once). `report`
     * tasks mid-DAG attach the same way via foreachBatch. */
   def sink(df: DataFrame, outDir: String, checkpoint: String,

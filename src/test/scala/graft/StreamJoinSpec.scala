@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.EventPipelines
+
+case class LeftEv(user: Long, lts: Timestamp, amount: Double)
+case class RightEv(r_user: Long, rts: Timestamp, source: String)
+
+/** Stream⋈stream interval join and the mid-DAG report sink (R15). */
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts = (s: String) => Timestamp.valueOf(s)
+
+  test("watermarked stream-stream join pairs events within the window " +
+      "and matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val lm = MemoryStream[LeftEv]
+    val rm = MemoryStream[RightEv]
+    lm.addData(
+      LeftEv(1, ts("2024-01-01 10:00:00"), 50.0),
+      LeftEv(1, ts("2024-01-01 12:00:00"), 70.0),
+      LeftEv(2, ts("2024-01-01 10:30:00"), 90.0))
+    rm.addData(
+      RightEv(1, ts("2024-01-01 09:30:00"), "ad"),   // within 1h of 10:00
+      RightEv(1, ts("2024-01-01 11:30:00"), "mail"), // within 1h of 12:00
+      RightEv(2, ts("2024-01-01 08:00:00"), "ad"))   // too old for 10:30
+    val name = s"ssj_${System.nanoTime()}"
+    val q = EventPipelines.streamStreamJoin(
+        lm.toDF(), rm.toDF(), "user")
+      .select("user", "lts", "amount", "rts", "source")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(name)
+      .orderBy("user", "lts", "rts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(4))).toSeq
+    assert(got == Seq(
+      (1L, ts("2024-01-01 10:00:00"), "ad"),
+      (1L, ts("2024-01-01 12:00:00"), "mail"),
+      ))
+    // batch twin agrees
+    val lb = Seq(LeftEv(1, ts("2024-01-01 10:00:00"), 50.0),
+      LeftEv(1, ts("2024-01-01 12:00:00"), 70.0),
+      LeftEv(2, ts("2024-01-01 10:30:00"), 90.0)).toDF()
+    val rb = Seq(RightEv(1, ts("2024-01-01 09:30:00"), "ad"),
+      RightEv(1, ts("2024-01-01 11:30:00"), "mail"),
+      RightEv(2, ts("2024-01-01 08:00:00"), "ad")).toDF()
+    val batch = lb.join(rb, lb("user") === rb("r_user")
+        && rb("rts") <= lb("lts")
+        && rb("rts") >= lb("lts") - expr("INTERVAL 1 hour"))
+      .count()
+    assert(batch == got.size)
+  }
+
+  test("report sink publishes both main and side outputs per batch (R15)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[LeftEv]
+    mem.addData(LeftEv(1, ts("2024-01-01 10:00:00"), 50.0),
+      LeftEv(2, ts("2024-01-01 10:05:00"), 150.0))
+    val q = EventPipelines.withReportSink(
+        mem.toDF(), s"$tmp/main", s"$tmp/report", s"$tmp/ckpt",
+        report = b => b.filter(col("amount") > 100))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$tmp/main/batch=0").count() == 2)
+    assert(spark.read.parquet(s"$tmp/report/batch=0").count() == 1)
+  }
+}
