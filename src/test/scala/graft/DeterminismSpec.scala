@@ -1,0 +1,30 @@
+package graft
+
+/** The grading gate runs at whatever parallelism the driver picks — every
+  * FP-bearing query must produce BIT-identical rows regardless of
+  * shuffle partitioning (this is what graft.Det's exact-decimal
+  * accumulation guarantees). Representative queries, two partition
+  * settings, whole-result equality. */
+class DeterminismSpec extends SparkSpec {
+
+  private val sensitive = Seq(
+    "q_agg_hash",        // grouped decimal sums + averages
+    "q_window_frame",    // running/moving window sums
+    "q_stats_moments",   // variance from decimal moments
+    "q_udaf_weighted",   // custom Aggregator with BigDecimal buffer
+    "q_simsearch_topk",  // decimal dot products + top-k boundary
+    "q_stream_tumbling") // windowed decimal sums
+
+  sensitive.foreach { name =>
+    test(s"$name is identical at shuffle.partitions 3 vs 13") {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
+        assert(a == b, s"$name changed under repartitioning")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+}
