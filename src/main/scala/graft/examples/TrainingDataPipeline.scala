@@ -1,0 +1,75 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{TextDedup, VectorOps}
+
+/** End-to-end showcase: the training-data curation pipeline this engine
+  * exists for, composed from the library's building blocks as ONE job.
+  *
+  *   raw docs → exact dedup → near-dup removal (MinHash LSH) → quality +
+  *   language gate → token accounting → embedding join → ANN bucket
+  *   assignment → curated corpus, partitioned for downstream training.
+  *
+  * Every stage is a declarative transform: the whole pipeline is a single
+  * Catalyst plan per output, shuffles only on dedup keys / the doc⋈vector
+  * join, and scales by adding executors — no driver-side loops anywhere.
+  *
+  * Run: sbt "runMain graft.examples.TrainingDataPipeline <sfDir> <outDir>"
+  */
+object TrainingDataPipeline {
+
+  def curate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+
+    // 1. exact dedup (deterministic lowest-id survivor)
+    val exact = TextDedup.exactDedup(docs)
+
+    // 2. near-dup removal: drop the higher id of every LSH-verified pair
+    val nearDupIds = TextDedup.nearDuplicates(exact, threshold = 0.85)
+      .select(col("id_b").as("doc_id")).distinct()
+    val deduped = exact.join(nearDupIds, Seq("doc_id"), "left_anti")
+
+    // 3. quality + language gate (cheap codegen'd predicates)
+    val gated = deduped
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("ttr",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      .filter(col("n_tokens") >= 8 && col("ttr") > 0.2)
+      .filter(col("lang").isin("en", "de", "es", "fr", "zh"))
+
+    // 4. token accounting for budget planning
+    val accounted = gated.withColumn("approx_tokens",
+      (col("n_chars") / 4).cast("long"))
+
+    // 5. embedding join + ANN bucket for similarity-aware sampling
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val withVec = accounted.join(emb,
+      accounted("doc_id") === emb("vec_id"), "left")
+    VectorOps.annBuckets(withVec)
+      .select("doc_id", "lang", "source", "n_chars", "n_tokens", "ttr",
+        "approx_tokens", "label", "bucket")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.drop(1).headOption.getOrElse("/tmp/graft_curated")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = curate(spark, sfDir)
+    // partition by language: downstream training reads one language
+    // without touching the rest (partition pruning)
+    out.write.mode("overwrite").partitionBy("lang").parquet(outDir)
+    println(s"curated ${spark.read.parquet(outDir).count()} docs -> $outDir")
+    spark.stop()
+  }
+}

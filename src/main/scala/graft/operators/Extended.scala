@@ -57,11 +57,33 @@ object Extended {
       |GROUP BY n_name
       |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS LAST""".stripMargin
 
+  /** Correlated scalar subquery (Catalyst decorrelates to a left outer
+    * aggregate join) — one text, both engines. */
+  val sqlScalarSub: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey)
+      |    AS n_orders,
+      |  (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders
+      |   WHERE o_custkey = c_custkey) AS max_price
+      |FROM customer
+      |ORDER BY c_custkey ASC NULLS LAST""".stripMargin
+
+  /** IN / NOT IN subqueries (rewritten to semi/anti joins). */
+  val sqlInSub: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+      |                    WHERE l_quantity >= 49)
+      |  AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
+      |                        WHERE l_quantity <= 1)
+      |ORDER BY p_partkey ASC NULLS LAST""".stripMargin
+
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_q3" -> ((s, d) => sql(s, d, sqlQ3)),
     "q_sql_q5" -> ((s, d) => sql(s, d, sqlQ5)),
+    "q_sql_scalar_subquery" -> ((s, d) => sql(s, d, sqlScalarSub)),
+    "q_sql_in_subquery" -> ((s, d) => sql(s, d, sqlInSub)),
 
     "q_join_full" -> ((s, d) => {
       val c = t(s, d, "customer").filter(col("c_custkey") < 100)
@@ -203,6 +225,8 @@ object Extended {
   val oracle: Map[String, String] = Map(
     "q_sql_q3" -> sqlQ3,
     "q_sql_q5" -> sqlQ5,
+    "q_sql_scalar_subquery" -> sqlScalarSub,
+    "q_sql_in_subquery" -> sqlInSub,
 
     "q_join_full" ->
       """SELECT c_custkey, c_name, o_orderkey, o_totalprice

@@ -44,6 +44,12 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Multimodal ingest: whole files as (path, modificationTime, length,
+    * content binary) — the real on-ramp for image/audio payloads into
+    * [[graft.operators.Multimodal]]'s binary-column contract. */
+  def binaryFiles(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.format("binaryFile").load(pathGlob)
+
   // ---- streaming -------------------------------------------------------
   def parquetStream(spark: SparkSession, dir: String, schema: StructType,
       maxFilesPerTrigger: Int = 1): DataFrame =
