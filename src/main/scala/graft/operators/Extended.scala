@@ -210,6 +210,26 @@ object Extended {
           expr("shiftright(event_id, 3)").as("ek_shr"))
         .orderBy(asc_nulls_last("event_id"))),
 
+    // Exact median — identical window-rank formulation on both engines
+    // (built-in percentile/quantile interpolation orders differ).
+    "q_median_exact" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(asc_nulls_last("o_totalprice"), asc_nulls_last("o_orderkey"))
+      t(s, d, "orders")
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy("o_orderstatus")))
+        // explicit floor: `/` is float division on BOTH engines, which
+        // would otherwise silently drop the lower-middle row for even n
+        .filter(col("rn") === floor((col("n") + 1) / 2)
+          || col("rn") === floor((col("n") + 2) / 2))
+        .groupBy("o_orderstatus")
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 4)))
+          .cast("double") / count(lit(1))).as("median_price"))
+        .orderBy(asc_nulls_last("o_orderstatus"))
+    }),
+
     "q_array_funcs2" -> ((s, d) =>
       t(s, d, "embeddings")
         .select(col("vec_id"),
@@ -341,6 +361,22 @@ object Extended {
         |  (event_id % 16) << 2 AS ek_shl,
         |  event_id >> 3 AS ek_shr
         |FROM events ORDER BY event_id ASC NULLS LAST""".stripMargin,
+
+    "q_median_exact" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice ASC NULLS LAST,
+        |        o_orderkey ASC NULLS LAST) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders
+        |)
+        |SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(*) AS median_price
+        |FROM r WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin,
 
     "q_array_funcs2" ->
       """SELECT vec_id,

@@ -53,6 +53,38 @@ object Sessionize {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  final case class ClosedSession(user_id: Long, n_events: Long,
+      last_type: String, closed: Boolean)
+
+  /** Timeout variant — the reference's per-instance timeout: a user whose
+    * state sees no event before the event-time watermark passes
+    * lastTs + gap is CLOSED and emitted exactly once, then the state is
+    * dropped (bounded state: the watermark is the GC horizon). Input must
+    * carry a watermark on `ts`. */
+  def streamWithTimeout(events: Dataset[Ev],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.nEvents, s.lastType,
+              closed = true))
+          } else {
+            val evs = it.toSeq
+            if (evs.nonEmpty) {
+              val next = fold(state.getOption, evs)
+              state.update(next)
+              state.setTimeoutTimestamp(next.lastTs + gapMs)
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   /** Batch twin over the events table (same fold, one shot). */
   def batch(spark: SparkSession, sfDir: String): Dataset[UserUpdate] = {
     import spark.implicits._

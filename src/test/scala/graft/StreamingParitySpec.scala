@@ -139,6 +139,34 @@ class StreamingParitySpec extends SparkSpec {
     assert(spark.table(name).filter($"event_id" === 1).count() == 1)
   }
 
+  test("event-time timeout closes idle sessions exactly once and drops " +
+      "their state (reference per-instance timeout)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Ev]
+    val name = s"timeout_${System.nanoTime()}"
+    val q = Sessionize.streamWithTimeout(
+        mem.toDS().withWatermark("ts", "0 seconds").as[Sessionize.Ev])
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    // user 1 active at 10:00; user 2 at 12:00 pushes the watermark past
+    // user 1's timeout (10:30) in the NEXT batch
+    mem.addData(Sessionize.Ev(1, 1, "click", ts("2024-01-01 10:00:00"), 1.0),
+      Sessionize.Ev(2, 1, "view", ts("2024-01-01 10:10:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Ev(3, 2, "click", ts("2024-01-01 12:00:00"), 1.0))
+    q.processAllAvailable()
+    // one more batch so the timeout (watermark now 12:00) actually fires
+    mem.addData(Sessionize.Ev(4, 2, "view", ts("2024-01-01 12:30:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table(name).filter($"closed" && $"user_id" === 1)
+      .collect()
+    assert(closed.length == 1, "idle session must close exactly once")
+    assert(closed.head.getAs[Long]("n_events") == 2)
+    assert(closed.head.getAs[String]("last_type") == "view")
+  }
+
   test("stateful sessionize: streaming state accumulates across batches " +
       "and matches the batch fold") {
     implicit val sqlCtx = spark.sqlContext
