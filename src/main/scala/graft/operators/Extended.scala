@@ -77,9 +77,34 @@ object Extended {
       |                        WHERE l_quantity <= 1)
       |ORDER BY p_partkey ASC NULLS LAST""".stripMargin
 
+  /** Explicit GROUPING SETS (beyond rollup/cube) — one text, both
+    * engines. */
+  val sqlGroupingSets: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+       |  (l_returnflag, l_linestatus))
+       |ORDER BY l_returnflag ASC NULLS FIRST,
+       |  l_linestatus ASC NULLS FIRST""".stripMargin
+
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_grouping_sets" -> ((s, d) => sql(s, d, sqlGroupingSets)),
+
+    // Dynamic JSON payload → typed map column (the reference's schemaless
+    // event props made relational).
+    "q_map_funcs" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("props_map",
+          from_json(col("props"), lit("map<string,bigint>")))
+        .select(col("event_id"),
+          map_keys(col("props_map")).as("prop_keys"),
+          element_at(col("props_map"), "k").as("k_val"),
+          size(col("props_map")).cast("long").as("n_props"))
+        .orderBy(asc_nulls_last("event_id"))),
     "q_sql_q3" -> ((s, d) => sql(s, d, sqlQ3)),
     "q_sql_q5" -> ((s, d) => sql(s, d, sqlQ5)),
     "q_sql_scalar_subquery" -> ((s, d) => sql(s, d, sqlScalarSub)),
@@ -243,6 +268,15 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_grouping_sets" -> sqlGroupingSets,
+
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |  json_keys(props) AS prop_keys,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_props
+        |FROM events ORDER BY event_id ASC NULLS LAST""".stripMargin,
+
     "q_sql_q3" -> sqlQ3,
     "q_sql_q5" -> sqlQ5,
     "q_sql_scalar_subquery" -> sqlScalarSub,
