@@ -67,23 +67,39 @@ object Converter {
       }
       df.withColumn(dst, chain.fold(default)(_.otherwise(default)))
     case CondBlock(branches, otherwise) =>
-      // Per assigned field, build one when() chain over the branch
-      // predicates (first matching branch wins, like if/elif/else).
+      // True if/elif/else: exactly ONE branch (or the else) fires per row.
+      // A single matched-branch index drives every field assignment, so a
+      // branch that matches but does not set a field leaves it unchanged
+      // (and suppresses the else), exactly like the reference's
+      // interpreter. One codegen'd CASE per field, no plan branching.
+      val matchIdx = branches.zipWithIndex
+        .foldLeft[Option[Column]](None) { case (acc, ((cond, _), i)) =>
+          Some(acc.fold(when(cond, lit(i)))(_.when(cond, lit(i))))
+        }.fold(lit(-1))(_.otherwise(lit(-1)))
+      val tmp = "_graft_cond_branch"
+      val withIdx = df.withColumn(tmp, matchIdx)
       val fields =
         (branches.flatMap(_._2) ++ otherwise).map(_.field).distinct
-      fields.foldLeft(df) { (acc, f) =>
-        val expr0 = branches.foldLeft[Option[Column]](None) {
-          case (acc2, (cond, sets)) =>
-            sets.find(_.field == f) match {
-              case Some(Set(_, v)) =>
-                Some(acc2.fold(when(cond, v))(_.when(cond, v)))
-              case None => acc2
-            }
+      val assigned = fields.foldLeft(withIdx) { (acc, f) =>
+        val existing: Column =
+          if (acc.columns.contains(f)) col(f) else lit(null)
+        val branchChain = branches.zipWithIndex
+          .foldLeft[Option[Column]](None) {
+            case (acc2, ((_, sets), i)) =>
+              sets.find(_.field == f).map { s =>
+                acc2.fold(when(col(tmp) === i, s.value))(
+                  _.when(col(tmp) === i, s.value))
+              }.orElse(acc2)
+          }
+        val elseValue = otherwise.find(_.field == f).map(_.value)
+        val withElse = elseValue match {
+          case Some(v) => Some(branchChain
+            .fold(when(col(tmp) === -1, v))(_.when(col(tmp) === -1, v)))
+          case None => branchChain
         }
-        val default = otherwise.find(_.field == f).map(_.value)
-          .getOrElse(if (acc.columns.contains(f)) col(f) else lit(null))
-        acc.withColumn(f, expr0.fold(default)(_.otherwise(default)))
+        acc.withColumn(f, withElse.fold(existing)(_.otherwise(existing)))
       }
+      assigned.drop(tmp)
   }
 }
 

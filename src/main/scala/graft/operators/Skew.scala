@@ -42,6 +42,11 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, buckets: Int = 16,
       joinType: String = "inner"): DataFrame = {
+    // right/full would emit `buckets` copies of every unmatched
+    // small-side replica — only big-side-preserving types are exact.
+    require(Set("inner", "cross", "left", "leftouter", "leftsemi",
+      "leftanti").contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin preserves only big-side join types, got $joinType")
     val saltedBig = big.withColumn("_salt",
       pmod(spark_partition_id() + monotonically_increasing_id(),
         lit(buckets)))

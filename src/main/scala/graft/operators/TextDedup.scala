@@ -22,23 +22,11 @@ object TextDedup {
   def nearDuplicates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", numHashes: Int = 8, numBands: Int = 4,
       threshold: Double = 0.7): DataFrame = {
-    val rows = numHashes / numBands
-    val base = docs
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(
-        "transform(sequence(0, size(toks) - 3), " +
-          "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
-    val sigs = (0 until numHashes).map(i =>
-      expr(s"array_min(transform(shingles, s -> md5(concat('$i|', s))))")
-        .as(s"sig_$i"))
-    val signed = base.select(col("id") +: col("toks") +: sigs: _*)
+    val signed = MinHash.withSignatures(
+      docs.select(col(idCol).as("id"), col(textCol).as("text")),
+      "text", numHashes)
     val banded = signed.select(col("id"), col("toks"),
-      explode(array((0 until numBands).map { b =>
-        md5(concat_ws("", (0 until rows)
-          .map(r => col(s"sig_${b * rows + r}")): _*))
-      }: _*)).as("band"))
+      explode(array(MinHash.bandKeys(numHashes, numBands): _*)).as("band"))
     // candidates: pairs sharing ANY band (distinct to collapse multi-band
     // collisions) — the only shuffle keyed wider than the corpus itself
     val cands = banded.as("x").join(banded.as("y"),

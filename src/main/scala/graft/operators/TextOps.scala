@@ -80,24 +80,16 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
         .orderBy(asc_nulls_last("fp"))),
 
-    // MinHash signatures + LSH band keys (shingle → minhash → band).
+    // MinHash signatures + LSH band keys (shingle → minhash → band) —
+    // built from the shared [[MinHash]] blocks the TextDedup pipeline
+    // also uses.
     "q_dedup_minhash" -> ((s, d) => {
-      val base = t(s, d, "documents")
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 3)
-        .withColumn("shingles", expr(
-          "transform(sequence(0, size(toks) - 3), " +
-            "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
-      val sigs = (0 until NumHashes).map(i =>
-        expr(s"array_min(transform(shingles, s -> md5(concat('$i|', s))))")
-          .as(s"sig_$i"))
-      val withSigs = base.select(col("doc_id") +: sigs: _*)
-      val bands = (0 until NumBands).map(j =>
-        md5(concat(col(s"sig_${2 * j}"), col(s"sig_${2 * j + 1}")))
-          .as(s"band_$j"))
+      val withSigs = MinHash.withSignatures(
+        t(s, d, "documents").select("doc_id", "text"), "text", NumHashes)
       withSigs
         .select(col("doc_id") +:
-          ((0 until NumHashes).map(i => col(s"sig_$i")) ++ bands): _*)
+          ((0 until NumHashes).map(i => col(s"sig_$i")) ++
+            MinHash.bandKeys(NumHashes, NumBands)): _*)
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
@@ -234,7 +226,7 @@ object TextOps {
     val sigCols = (0 until NumHashes)
       .map(i => s"min(md5('$i|' || shingle)) AS sig_$i").mkString(",\n    ")
     val bandCols = (0 until NumBands)
-      .map(j => s"md5(sig_${2 * j} || sig_${2 * j + 1}) AS band_$j")
+      .map(j => s"md5('$j|' || sig_${2 * j} || sig_${2 * j + 1}) AS band_$j")
       .mkString(", ")
     s"""WITH t AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

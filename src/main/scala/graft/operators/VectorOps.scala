@@ -63,7 +63,11 @@ object VectorOps {
         s"p -> CASE WHEN $proj > 0 THEN CAST(pow(2, p) AS BIGINT) " +
         "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), " +
         "(acc, x) -> acc + x) AS BIGINT)"
-    emb.withColumn("bucket", expr(bucket))
+    // NULL embedding → NULL bucket (a CASE over NULL projections would
+    // otherwise silently land every vector-less row in bucket 0)
+    emb.withColumn("bucket",
+      when(col("embedding").isNotNull, expr(bucket))
+        .otherwise(lit(null).cast("long")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

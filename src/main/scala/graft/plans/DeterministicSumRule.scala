@@ -43,11 +43,16 @@ object DeterministicSumRule extends Rule[LogicalPlan] {
         else agg.copy(aggregateExpressions = rewritten)
     }
 
+  // Preserve the original exprId/qualifier/metadata: a fresh Alias would
+  // orphan every upstream reference to the rewritten column (filters,
+  // sorts, projections above the aggregate would fail to bind).
   private def rewriteNamed(ne: NamedExpression): NamedExpression =
     (ne match {
-      case Alias(child, name) =>
+      case a @ Alias(child, name) =>
         val r = rewrite(child)
-        if (r.eq(child)) ne else Alias(r, name)()
+        if (r.eq(child)) ne
+        else Alias(r, name)(exprId = a.exprId, qualifier = a.qualifier,
+          explicitMetadata = a.explicitMetadata)
       case other => other
     }).asInstanceOf[NamedExpression]
 

@@ -78,7 +78,12 @@ object Sessionize {
             if (evs.nonEmpty) {
               val next = fold(state.getOption, evs)
               state.update(next)
-              state.setTimeoutTimestamp(next.lastTs + gapMs)
+              // flatMapGroupsWithState does NOT drop late rows: events can
+              // arrive with lastTs + gap already behind the watermark, and
+              // setTimeoutTimestamp would throw — clamp to just past it.
+              state.setTimeoutTimestamp(
+                math.max(next.lastTs + gapMs,
+                  state.getCurrentWatermarkMs() + 1))
             }
             Iterator.empty
           }

@@ -131,6 +131,13 @@ class ControlPlaneSpec extends SparkSpec {
         sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double"))
         .head.getDouble(0)
       assert(a == explicitDec)
+      // operators ABOVE the rewritten aggregate must still bind to its
+      // output (regression: the rule once re-aliased with a fresh exprId)
+      val filtered = li.groupBy()
+        .agg(sum("l_extendedprice").as("s"))
+        .filter(col("s") > 0).orderBy(col("s"))
+        .head.getDouble(0)
+      assert(filtered == a)
       s2.conf.set("spark.graft.deterministicSum", "false")
       val plain = li.agg(sum("l_extendedprice")).queryExecution
         .optimizedPlan.toString

@@ -56,6 +56,26 @@ class RulesSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("low", "mid", "high"))
   }
 
+  test("condition block: a matching branch suppresses the else for " +
+      "fields it does not set, and later branches never fire") {
+    // branch 1 sets only a; branch 2 sets only b; else sets b.
+    val out = Converter(
+      df1(("both", 10.0), ("second", 100.0), ("none", 500.0)), Seq(
+        CondBlock(Seq(
+          (col("value") < 50) -> Seq(Set("a", lit("A1"))),
+          (col("value") < 200) -> Seq(Set("b", lit("B2")))),
+          Seq(Set("b", lit("BE"))))))
+      .orderBy("value").collect()
+    // row 1: branch 1 wins -> a=A1, b untouched (null), NOT else
+    assert(out(0).getAs[String]("a") == "A1")
+    assert(out(0).getAs[String]("b") == null)
+    // row 2: branch 2 wins -> b=B2, a untouched
+    assert(out(1).getAs[String]("a") == null)
+    assert(out(1).getAs[String]("b") == "B2")
+    // row 3: else -> b=BE
+    assert(out(2).getAs[String]("b") == "BE")
+  }
+
   test("condition DSL compiles whitelisted predicates") {
     val c = ConditionDsl.compile("value > 10 AND name = 'a'",
       scala.collection.Set("value", "name"))
