@@ -74,6 +74,14 @@ def main():
                   f"oracle={sorted(orc_cols)}")
             n_fail += 1
             continue
+        # warn (not fail) on dtype differences, in case the driver's
+        # schema check is stricter than value equality
+        s_types = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
+        o_types = dict(zip(orc_rel.columns, [str(t) for t in orc_rel.types]))
+        for c in spark_cols:
+            if s_types[c] != o_types[c]:
+                print(f"  WARN {name}.{c}: spark type {s_types[c]} "
+                      f"vs oracle {o_types[c]}")
         if len(spark_rows) != len(orc_rows):
             print(f"FAIL {name}: rowcount spark={len(spark_rows)} "
                   f"oracle={len(orc_rows)}")
