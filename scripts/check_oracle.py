@@ -82,6 +82,21 @@ def main():
             if s_types[c] != o_types[c]:
                 print(f"  WARN {name}.{c}: spark type {s_types[c]} "
                       f"vs oracle {o_types[c]}")
+        # The driver's checker canonicalizes with pandas sort_values over
+        # every column, which raises on list/dict cells — so any non-scalar
+        # output column is a driver-side FAIL even if values match here.
+        nonscalar = [c for i, c in enumerate(spark_cols)
+                     if any(isinstance(r[i], (list, dict))
+                            for r in spark_rows[:50])]
+        nonscalar += [c for i, c in enumerate(orc_cols)
+                      if any(isinstance(r[i], (list, dict))
+                             for r in orc_rows[:50])
+                      and c not in nonscalar]
+        if nonscalar:
+            print(f"FAIL {name}: non-scalar output columns {nonscalar} "
+                  f"(driver's pandas sort_values would crash)")
+            n_fail += 1
+            continue
         if len(spark_rows) != len(orc_rows):
             print(f"FAIL {name}: rowcount spark={len(spark_rows)} "
                   f"oracle={len(orc_rows)}")

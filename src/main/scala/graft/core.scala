@@ -18,10 +18,20 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
       // rejects. Read the physical INT64 (legacy nanosAsLong) and floor to
       // microseconds — exactly what DuckDB does when it reads the same
-      // file (verified: truncation, not rounding).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      // file (verified: truncation, not rounding). The conf only matters
+      // during the eager schema conversion inside spark.read.parquet, so
+      // it is restored immediately — other nanos-parquet reads in the same
+      // session keep their own behavior (verified: the restored-conf scan
+      // still executes).
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
@@ -59,4 +69,23 @@ object Det {
   /** SQL (DuckDB) mirror of [[davg]]. */
   def sqlDavg(x: String, scale: Int = 4): String =
     s"${sqlDsum(x, scale)} / COUNT($x)"
+
+  /** Serialize a float-array expression to a deterministic scalar: each
+    * element widened to DOUBLE (exact), cast to DECIMAL(18,7) (the parity
+    * cast proven by the round-1 oracle), scaled to an exact BIGINT, and
+    * comma-joined. Integers stringify identically on every engine, unlike
+    * decimals (java BigDecimal flips to scientific notation below 1e-7)
+    * or raw floats (shortest-roundtrip rules differ). The driver's
+    * row-sorting checker needs scalar cells — arrays crash pandas
+    * sort_values. Oracle mirror: [[sqlArrCsv]]. */
+  def arrCsv(arrExpr: String): Column = expr(
+    s"concat_ws(',', transform($arrExpr, " +
+      "x -> CAST(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) " +
+      "* 10000000 AS BIGINT) AS STRING)))")
+
+  /** SQL (DuckDB) mirror of [[arrCsv]]. */
+  def sqlArrCsv(arrExpr: String): String =
+    s"list_aggr(list_transform($arrExpr, " +
+      "x -> CAST(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) " +
+      "* 10000000 AS BIGINT) AS VARCHAR)), 'string_agg', ',')"
 }

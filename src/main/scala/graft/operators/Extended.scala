@@ -101,7 +101,9 @@ object Extended {
         .withColumn("props_map",
           from_json(col("props"), lit("map<string,bigint>")))
         .select(col("event_id"),
-          map_keys(col("props_map")).as("prop_keys"),
+          // sorted + JSON-serialized: map key order is undefined on both
+          // engines, and the driver's checker can't sort array cells
+          to_json(array_sort(map_keys(col("props_map")))).as("prop_keys"),
           element_at(col("props_map"), "k").as("k_val"),
           size(col("props_map")).cast("long").as("n_props"))
         .orderBy(asc_nulls_last("event_id"))),
@@ -258,10 +260,11 @@ object Extended {
     "q_array_funcs2" -> ((s, d) =>
       t(s, d, "embeddings")
         .select(col("vec_id"),
-          slice(sort_array(col("embedding")), 1, 3).as("smallest3"),
+          // serialized scalars (driver's checker can't sort array cells)
+          Det.arrCsv("slice(sort_array(embedding), 1, 3)").as("smallest3"),
           array_max(col("embedding")).cast("double").as("max_val"),
           array_min(col("embedding")).cast("double").as("min_val"),
-          reverse(slice(col("embedding"), 1, 4)).as("head4_rev"),
+          Det.arrCsv("reverse(slice(embedding, 1, 4))").as("head4_rev"),
           size(flatten(array(slice(col("embedding"), 1, 2),
             slice(col("embedding"), 3, 2)))).cast("long").as("flat_n"))
         .orderBy(asc_nulls_last("vec_id")))
@@ -272,7 +275,7 @@ object Extended {
 
     "q_map_funcs" ->
       """SELECT event_id,
-        |  json_keys(props) AS prop_keys,
+        |  CAST(to_json(list_sort(json_keys(props))) AS VARCHAR) AS prop_keys,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
         |  CAST(len(json_keys(props)) AS BIGINT) AS n_props
         |FROM events ORDER BY event_id ASC NULLS LAST""".stripMargin,
@@ -413,11 +416,13 @@ object Extended {
         |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin,
 
     "q_array_funcs2" ->
-      """SELECT vec_id,
-        |  list_slice(list_sort(embedding), 1, 3) AS smallest3,
+      s"""SELECT vec_id,
+        |  ${Det.sqlArrCsv("list_slice(list_sort(embedding), 1, 3)")}
+        |    AS smallest3,
         |  CAST(list_max(embedding) AS DOUBLE) AS max_val,
         |  CAST(list_min(embedding) AS DOUBLE) AS min_val,
-        |  list_reverse(list_slice(embedding, 1, 4)) AS head4_rev,
+        |  ${Det.sqlArrCsv("list_reverse(list_slice(embedding, 1, 4))")}
+        |    AS head4_rev,
         |  CAST(len(flatten([list_slice(embedding, 1, 2),
         |    list_slice(embedding, 3, 4)])) AS BIGINT) AS flat_n
         |FROM embeddings ORDER BY vec_id ASC NULLS LAST""".stripMargin

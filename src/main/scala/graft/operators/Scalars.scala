@@ -100,7 +100,8 @@ object Scalars {
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         element_at(col("embedding"), 1).cast("double").as("first_val"),
-        slice(col("embedding"), 1, 3).as("head3"),
+        // serialized scalar (driver's checker can't sort array cells)
+        graft.Det.arrCsv("slice(embedding, 1, 3)").as("head3"),
         // Exact decimal fold: order-insensitive, hash-identical to the
         // DuckDB list_sum-over-decimals mirror (see graft.Det).
         // float → DOUBLE (exact widening) before the decimal cast: DuckDB's
@@ -179,10 +180,10 @@ object Scalars {
         |FROM part ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
 
     "q_array_funcs" ->
-      """SELECT vec_id,
+      s"""SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
         |  CAST(embedding[1] AS DOUBLE) AS first_val,
-        |  list_slice(embedding, 1, 3) AS head3,
+        |  ${graft.Det.sqlArrCsv("list_slice(embedding, 1, 3)")} AS head3,
         |  CAST(list_sum(list_transform(embedding,
         |    x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)))) AS DOUBLE)
         |    AS sum_vals

@@ -122,7 +122,10 @@ object VectorOps {
       val emb = t(s, d, "embeddings")
       docs.join(emb, docs("doc_id") === emb("vec_id"))
         .select(docs("doc_id"),
-          struct(docs("lang"), docs("source")).as("meta"),
+          // JSON-serialized: the driver's checker needs scalar cells (it
+          // row-sorts with pandas, which can't hash struct/dict values);
+          // both engines print {"lang":…,"source":…} identically here
+          to_json(struct(docs("lang"), docs("source"))).as("meta"),
           docs("n_chars"),
           size(col("embedding")).cast("long").as("dim"),
           col("label"))
@@ -169,7 +172,9 @@ object VectorOps {
     "q_ann_lsh" -> annOracle,
 
     "q_multimodal_join" ->
-      """SELECT doc_id, struct_pack(lang := lang, source := source) AS meta,
+      """SELECT doc_id,
+        |  CAST(to_json(struct_pack(lang := lang, source := source))
+        |    AS VARCHAR) AS meta,
         |  n_chars, CAST(len(embedding) AS BIGINT) AS dim, label
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id ASC NULLS LAST""".stripMargin
