@@ -20,9 +20,7 @@ object MinHash {
     * with fewer than 3 tokens are dropped — they have no shingles). */
   def withSignatures(df: DataFrame, textCol: String = "text",
       numHashes: Int = DefaultHashes): DataFrame = {
-    val base = df
-      .withColumn("toks", split(col(textCol), " "))
-      .filter(size(col("toks")) >= 3)
+    val base = tokens(df, textCol)
       .withColumn("shingles", expr(
         "transform(sequence(0, size(toks) - 3), " +
           "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
@@ -31,6 +29,13 @@ object MinHash {
         .as(s"sig_$i"))
     base.select((df.columns.map(col) :+ col("toks")) ++ sigs: _*)
   }
+
+  /** Just the tokenization used by [[withSignatures]] (same ≥3-token
+    * filter), for callers that need token sets without the signature
+    * columns. */
+  def tokens(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("toks", split(col(textCol), " "))
+      .filter(size(col("toks")) >= 3)
 
   /** Band key for band `b` over `rows` consecutive signatures. */
   def bandKey(b: Int, rows: Int): Column =

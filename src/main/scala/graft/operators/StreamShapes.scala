@@ -73,18 +73,21 @@ object StreamShapes {
     }),
 
     // Workflow-instance state machine (per-user running state) — typed
-    // groupByKey; procedural state is not SQL-expressible, so declared
-    // no-oracle (driver records a rows-only check). Streaming twin uses
-    // flatMapGroupsWithState (graft.streaming.Sessionize).
+    // groupByKey with procedural per-group logic. Event order is the full
+    // MICROsecond timestamp (unix_micros) + event_id: Timestamp.getTime is
+    // ms-truncated and would order same-millisecond events differently
+    // from any SQL mirror. Streaming twin uses flatMapGroupsWithState
+    // (graft.streaming.Sessionize).
     "q_stateful_sessionize" -> ((s, d) => {
       import s.implicits._
       val rows = t(s, d, "events")
-        .select("user_id", "event_id", "event_type", "ts")
-        .as[(Long, Long, String, java.sql.Timestamp)]
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"))
+        .as[(Long, Long, String, Long)]
       rows.groupByKey(_._1)
         .flatMapGroups { (uid: Long,
-            it: Iterator[(Long, Long, String, java.sql.Timestamp)]) =>
-          val evs = it.toVector.sortBy(e => (e._4.getTime, e._2))
+            it: Iterator[(Long, Long, String, Long)]) =>
+          val evs = it.toVector.sortBy(e => (e._4, e._2))
           val transitions = evs.iterator.map(_._3).sliding(2)
             .count { case Seq(a, b) => a != b; case _ => false }
           Iterator.single(
@@ -147,7 +150,26 @@ object StreamShapes {
         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
         |  ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) = 1
         |ORDER BY user_id ASC NULLS LAST, event_type ASC NULLS LAST"""
+        .stripMargin,
+
+    // Window-SQL mirror of the procedural state machine: a transition is
+    // a row whose type differs from the previous row's in (ts, event_id)
+    // order; last_type is the max-(ts, event_id) row's type.
+    "q_stateful_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER w AS prev_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn_desc
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+        |)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(COUNT(*) FILTER (WHERE prev_type IS NOT NULL
+        |    AND prev_type <> event_type) AS BIGINT) AS n_transitions,
+        |  max(CASE WHEN rn_desc = 1 THEN event_type END) AS last_type
+        |FROM o GROUP BY user_id ORDER BY user_id ASC NULLS LAST"""
         .stripMargin
-    // q_stateful_sessionize: declared no-oracle (procedural state).
   )
 }

@@ -18,24 +18,42 @@ import org.apache.spark.sql.functions._
 object TextDedup {
 
   /** doc frame (idCol, textCol) → duplicate candidate pairs with exact
-    * token-set Jaccard, filtered to `threshold`. */
+    * token-set Jaccard, filtered to `threshold`.
+    *
+    * Candidate generation is ONE shuffle of slim (id, band) rows: group by
+    * band key, emit the in-row id-pair combinations of each bucket. This
+    * computes the (expensive) MinHash signatures once — a band-key
+    * self-join would recompute the whole signature subtree on both sides
+    * and shuffle token arrays 2·bands times. Bucket pair fan-out is
+    * quadratic in BUCKET size only; band buckets are near-dup clusters,
+    * so real corpora keep them tiny (cap bucket size upstream if a
+    * degenerate corpus says otherwise). */
   def nearDuplicates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", numHashes: Int = 8, numBands: Int = 4,
       threshold: Double = 0.7): DataFrame = {
-    val signed = MinHash.withSignatures(
-      docs.select(col(idCol).as("id"), col(textCol).as("text")),
-      "text", numHashes)
-    val banded = signed.select(col("id"), col("toks"),
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val signed = MinHash.withSignatures(base, "text", numHashes)
+    val banded = signed.select(col("id"),
       explode(array(MinHash.bandKeys(numHashes, numBands): _*)).as("band"))
-    // candidates: pairs sharing ANY band (distinct to collapse multi-band
-    // collisions) — the only shuffle keyed wider than the corpus itself
-    val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.toks").as("toks_a"), col("y.toks").as("toks_b"))
-      .dropDuplicates("id_a", "id_b")
-    // exact verify on the candidates only
+    // bucket-mates → in-row ordered pairs (ids sorted, so a < b); distinct
+    // collapses multi-band collisions
+    val cands = banded
+      .groupBy("band").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> struct(a AS id_a, b AS id_b))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    // exact verify on the candidates only; token sets re-joined here so
+    // only candidate pairs ever shuffle an array
+    val toks = MinHash.tokens(base, "text")
     cands
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")),
+        "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")),
+        "id_b")
       .withColumn("inter", size(array_intersect(
         array_distinct(col("toks_a")), array_distinct(col("toks_b")))))
       .withColumn("uni", size(array_union(

@@ -113,6 +113,14 @@ object TextOps {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // END-TO-END LSH near-dup pipeline: shingle → minhash → band keys →
+    // band-bucket self-join (candidates only) → exact Jaccard verify.
+    // The composed scale path — candidate generation shuffles on band key
+    // (O(n·bands)), never the O(n²) pair space.
+    "q_dedup_pairs" -> ((s, d) =>
+      TextDedup.nearDuplicates(t(s, d, "documents"))
+        .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))),
+
     // Token-set Jaccard over a bounded pair set (the verify stage of the
     // LSH pipeline).
     "q_dedup_ngram" -> ((s, d) => {
@@ -247,6 +255,45 @@ object TextOps {
        |FROM m ORDER BY doc_id ASC NULLS LAST""".stripMargin
   }
 
+  /** Mirror of [[TextDedup.nearDuplicates]] with the default parameters
+    * (8 hashes, 4 bands of 2, threshold 0.7) — same md5 signature/band
+    * math as [[minhashOracle]], then the band-bucket pair join and exact
+    * token-set Jaccard verify. */
+  private def dedupPairsOracle: String = {
+    val sigCols = (0 until NumHashes)
+      .map(i => s"min(md5('$i|' || shingle)) AS sig_$i").mkString(",\n    ")
+    val bandList = (0 until NumBands)
+      .map(j => s"md5('$j|' || sig_${2 * j} || sig_${2 * j + 1})")
+      .mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id AS id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+       |), s AS (
+       |  SELECT id, unnest(generate_series(0, len(toks) - 3)) AS i, toks
+       |  FROM t
+       |), sh AS (
+       |  SELECT id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+       |    AS shingle FROM s
+       |), m AS (
+       |  SELECT id,
+       |    $sigCols
+       |  FROM sh GROUP BY id
+       |), banded AS (
+       |  SELECT id, unnest([$bandList]) AS band FROM m
+       |), cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.id < y.id
+       |), j AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_distinct(list_intersect(a.toks, b.toks)))
+       |      AS DOUBLE) / len(list_distinct(a.toks || b.toks)) AS jaccard
+       |  FROM cand c JOIN t a ON a.id = c.id_a JOIN t b ON b.id = c.id_b
+       |)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7
+       |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin
+  }
+
   private def langidOracle: String = {
     val scoreCols = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString(", ")
@@ -286,6 +333,8 @@ object TextOps {
         |ORDER BY fp ASC NULLS LAST""".stripMargin,
 
     "q_dedup_minhash" -> minhashOracle,
+
+    "q_dedup_pairs" -> dedupPairsOracle,
 
     "q_dedup_simhash" ->
       """WITH tok AS (

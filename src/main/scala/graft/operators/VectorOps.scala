@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -25,6 +26,9 @@ import graft.Tables
 object VectorOps {
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
+  /** Hyperplane count for q_ann_neighbors (2^6 = 64 buckets). */
+  private val NeighborPlanes = 6
+
   /** Exact-decimal dot product of two `array<float>` columns, as DOUBLE. */
   def dotExpr(a: String, b: String): Column = expr(
     s"CAST(aggregate(zip_with($a, $b, " +
@@ -48,21 +52,34 @@ object VectorOps {
       "AS DECIMAL(20,10)))) AS DOUBLE)"
 
   /** Deterministic random-hyperplane LSH bucket id (2^`planes` buckets).
-    * Hyperplane weights derive from md5(plane, dim) — no RNG state, so the
-    * assignment is reproducible on any engine and any cluster. */
+    * Hyperplane weight (p, i) = first hex digit of md5("p_i") − 7.5 — no
+    * RNG state, so the assignment is reproducible on any engine and any
+    * cluster. The weights depend only on (plane, dim), so they are
+    * evaluated ONCE here (same md5, via MessageDigest) and embedded as
+    * array literals: the runtime expression is a pure zip_with/aggregate
+    * fold with zero hashing — planes × dim md5 calls per ROW would
+    * otherwise dominate every query that buckets (measured 4-6 s/5k rows
+    * at planes=6). Weights are k + 0.5 halves, exactly representable, so
+    * the literal embeds bit-identically to the oracle's strpos-on-md5
+    * arithmetic. */
   def annBuckets(emb: DataFrame, planes: Int = 4, dim: Int = 64): DataFrame = {
-    val proj =
-      "CAST(aggregate(sequence(0, " + (dim - 1) + "), " +
-        "CAST(0 AS DECIMAL(30,8)), (acc, i) -> CAST(acc + " +
-        "CAST(CAST(embedding[i] AS DOUBLE) * " +
-        "(CAST(instr('0123456789abcdef', substring(md5(concat(" +
-        "CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 1)) AS INT) " +
-        "- 1 - 7.5) AS DECIMAL(20,8)) AS DECIMAL(30,8))) AS DOUBLE)"
-    val bucket =
-      s"CAST(aggregate(transform(sequence(0, ${planes - 1}), " +
-        s"p -> CASE WHEN $proj > 0 THEN CAST(pow(2, p) AS BIGINT) " +
-        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), " +
-        "(acc, x) -> acc + x) AS BIGINT)"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(p: Int, i: Int): Double = {
+      val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(hex.charAt(0)) - 7.5
+    }
+    def proj(p: Int): String = {
+      // D suffix: double literals (a bare 7.5 parses as DECIMAL(2,1))
+      val w = (0 until dim).map(i => s"${weight(p, i)}D").mkString(", ")
+      s"CAST(aggregate(zip_with(embedding, array($w), " +
+        "(x, w) -> CAST(CAST(x AS DOUBLE) * w AS DECIMAL(20,8))), " +
+        "CAST(0 AS DECIMAL(30,8)), " +
+        "(acc, t) -> CAST(acc + t AS DECIMAL(30,8))) AS DOUBLE)"
+    }
+    val bucket = (0 until planes)
+      .map(p => s"CASE WHEN ${proj(p)} > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString("CAST(", " + ", " AS BIGINT)")
     // NULL embedding → NULL bucket (a CASE over NULL projections would
     // otherwise silently land every vector-less row in bucket 0)
     emb.withColumn("bucket",
@@ -115,6 +132,49 @@ object VectorOps {
       annBuckets(t(s, d, "embeddings"))
         .select("vec_id", "bucket")
         .orderBy(asc_nulls_last("vec_id"))),
+
+    // Bucketed ANN neighbors — the composed scale path end-to-end: LSH
+    // bucket assignment, a pair join SHUFFLED ON BUCKET (never the O(n²)
+    // pair space; no BroadcastNestedLoopJoin), codegen'd FloatDot
+    // prefilter to top-8 per vector, exact-decimal rerank to the final
+    // top-3. The 8→3 margin makes the fast/exact phase swap safe: a
+    // selection difference would need the double dot's <1e-12 error to
+    // exceed the #3→#8 cosine gap. planes=6 (64 buckets) keeps the
+    // within-bucket pair fan-out ~n·(n/2^planes); at 100 TB planes grows
+    // with the corpus so avg bucket size (and per-bucket quadratic cost)
+    // stays bounded — 2^planes is also the join's parallelism.
+    "q_ann_neighbors" -> ((s, d) => {
+      val e = annBuckets(t(s, d, "embeddings"), planes = NeighborPlanes)
+        .select(col("vec_id"), col("bucket"), col("embedding"))
+      val a = e.select(col("vec_id"), col("bucket"),
+        col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("nb_id"),
+        col("bucket").as("bucket_b"), col("embedding").as("eb"))
+      val wFast = Window.partitionBy("vec_id")
+        .orderBy(desc_nulls_last("fastdot"), asc_nulls_last("nb_id"))
+      val wExact = Window.partitionBy("vec_id")
+        .orderBy(desc_nulls_last("cosine"), asc_nulls_last("nb_id"))
+      // fastdot computed at the join, then SLIM (vec_id, nb_id, fastdot)
+      // rows through the WindowGroupLimit shuffle — dragging two 64-float
+      // embeddings per pair through the window sort was 25× the bytes;
+      // the top-8 survivors re-join their embeddings for the exact rerank
+      val top8 = a.join(b, col("bucket") === col("bucket_b")
+          && col("vec_id") =!= col("nb_id"))
+        .withColumn("fastdot", fastDot(s, "ea", "eb"))
+        .select("vec_id", "nb_id", "fastdot")
+        .withColumn("_rn", row_number().over(wFast))
+        .filter(col("_rn") <= 8)
+      top8
+        .join(e.select(col("vec_id"), col("embedding").as("ea")), "vec_id")
+        .join(e.select(col("vec_id").as("nb_id"),
+          col("embedding").as("eb")), "nb_id")
+        .withColumn("cosine", dotExpr("ea", "eb"))
+        .withColumn("_rx", row_number().over(wExact))
+        .filter(col("_rx") <= 3)
+        .select("vec_id", "nb_id", "cosine")
+        .orderBy(asc_nulls_last("vec_id"), desc_nulls_last("cosine"),
+          asc_nulls_last("nb_id"))
+    }),
 
     // Multimodal join: text metadata ⋈ vector stats on doc_id == vec_id.
     "q_multimodal_join" -> ((s, d) => {
@@ -170,6 +230,43 @@ object VectorOps {
          |LIMIT 20""".stripMargin,
 
     "q_ann_lsh" -> annOracle,
+
+    // Same bucket math as annOracle (at NeighborPlanes planes), then the
+    // within-bucket pair join and an exact-decimal top-3 per vector (the
+    // oracle ranks by the exact cosine directly — the Spark side's
+    // fast-prefilter margin guarantees the same selection).
+    "q_ann_neighbors" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+         |  FROM embeddings
+         |), c AS (
+         |  SELECT vec_id, p.p AS p,
+         |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) *
+         |      (strpos('0123456789abcdef', substring(md5(
+         |        CAST(p.p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1))
+         |        - 1 - 7.5) AS DECIMAL(20,8))) AS DOUBLE) AS proj
+         |  FROM e, (SELECT unnest(range($NeighborPlanes)) AS p) p
+         |  GROUP BY vec_id, p.p
+         |), bk AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM c GROUP BY vec_id
+         |), j AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+         |    ${sqlDot("ea.embedding", "eb.embedding")} AS cosine
+         |  FROM bk a JOIN bk b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |), r AS (
+         |  SELECT vec_id, nb_id, cosine, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cosine DESC, nb_id ASC) AS rn
+         |  FROM j
+         |)
+         |SELECT vec_id, nb_id, cosine FROM r WHERE rn <= 3
+         |ORDER BY vec_id ASC NULLS LAST, cosine DESC NULLS LAST,
+         |  nb_id ASC NULLS LAST""".stripMargin,
 
     "q_multimodal_join" ->
       """SELECT doc_id,

@@ -41,4 +41,35 @@ class PlanRegressionSpec extends SparkSpec {
         s"$name plans a cartesian product")
     }
   }
+
+  // The scale-killer gate: a nested-loop join is quadratic in its inputs,
+  // so it is only acceptable where one side is provably bounded — the
+  // 1-row probe broadcast (q_simsearch_topk), the 16-row bit grid
+  // (q_dedup_simhash), and the explicitly vec_id-bounded LSH verify stage
+  // (q_dedup_embed). Any OTHER query that plans one is a regression that
+  // would melt at 100 TB even though its values still verify.
+  test("BroadcastNestedLoopJoin only on the allowlisted bounded queries") {
+    val allowed = Set("q_dedup_embed", "q_dedup_simhash", "q_simsearch_topk")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      if (!allowed(name))
+        assert(!plan(name).contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unbounded nested-loop join")
+    }
+  }
+
+  test("q_ann_neighbors pairs via an equi-join on bucket (hash-joinable)") {
+    val p = plan("q_ann_neighbors")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // equi-join on bucket: broadcastable at test SF, shuffles on bucket at
+    // scale — either way a hash/merge join, never nested-loop
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"))
+  }
+
+  test("q_dedup_pairs candidates via an equi-join on band key") {
+    val p = plan("q_dedup_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"))
+  }
 }

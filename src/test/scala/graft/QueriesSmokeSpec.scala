@@ -15,9 +15,9 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(extra.isEmpty, s"oracle entries without queries: $extra")
   }
 
-  test("only the two declared no-oracle queries lack oracle SQL") {
+  test("only the declared no-oracle query (HLL sketch) lacks oracle SQL") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == Set("q_agg_approx_distinct", "q_stateful_sessionize"))
+    assert(missing == Set("q_agg_approx_distinct"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
