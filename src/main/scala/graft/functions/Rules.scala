@@ -39,9 +39,14 @@ final case class Lookup(dst: String, src: String,
 
 /** if / elif / else over row predicates; each branch contributes `Set`
   * rules (ref "condition-block" + `nyuki/utils/evaluate.py` conditions).
-  * Compiles to per-field `when()` chains — one codegen'd expression, no
-  * branching in the plan. */
-final case class CondBlock(branches: Seq[(Column, Seq[Set])],
+  * Conditions are DSL STRINGS, compiled through [[ConditionDsl]] against
+  * the frame's columns when the rule is applied — template JSON (untrusted
+  * control-plane input) can therefore never smuggle arbitrary SQL
+  * expressions (`java_method`, non-deterministic functions, …) into a
+  * plan; the same sandbox the reference enforces with its whitelisted
+  * condition AST. Compiles to per-field `when()` chains — one codegen'd
+  * expression, no branching in the plan. */
+final case class CondBlock(branches: Seq[(String, Seq[Set])],
     otherwise: Seq[Set]) extends Rule
 
 object Converter {
@@ -72,8 +77,10 @@ object Converter {
       // branch that matches but does not set a field leaves it unchanged
       // (and suppresses the else), exactly like the reference's
       // interpreter. One codegen'd CASE per field, no plan branching.
+      val fieldsInScope = df.columns.toSet
       val matchIdx = branches.zipWithIndex
-        .foldLeft[Option[Column]](None) { case (acc, ((cond, _), i)) =>
+        .foldLeft[Option[Column]](None) { case (acc, ((condStr, _), i)) =>
+          val cond = ConditionDsl.compile(condStr, fieldsInScope)
           Some(acc.fold(when(cond, lit(i)))(_.when(cond, lit(i))))
         }.fold(lit(-1))(_.otherwise(lit(-1)))
       val tmp = "_graft_cond_branch"
@@ -116,12 +123,27 @@ object ConditionDsl {
     scala.collection.immutable.Set("and", "or", "not", "in", "is", "null",
       "true", "false", "rlike", "like", "between")
 
+  /** Schema-independent syntax gate: token whitelist plus a structural
+    * function-call guard (`ident(` is rejected unless `ident` is a grammar
+    * word like IN). Runs at template UPSERT, where the event schema is not
+    * yet known — so `java_method('…')`-style calls fail at put() like the
+    * reference's AST validation, not at fire(). */
+  def validateSyntax(condition: String): Unit = {
+    require(allowed.matches(condition),
+      s"condition contains disallowed tokens: $condition")
+    val noLiterals = condition.replaceAll("'[^']*'", " ")
+    """([a-zA-Z_][a-zA-Z0-9_.]*)\s*\(""".r
+      .findAllMatchIn(noLiterals).foreach { m =>
+        require(allowedWords.contains(m.group(1).toLowerCase),
+          s"condition may not call functions: ${m.group(1)}")
+      }
+  }
+
   /** Compile a whitelisted boolean expression over row fields. Rejects
     * anything but field refs, literals, comparisons, boolean connectives,
     * IN, LIKE and RLIKE (regex). */
   def compile(condition: String, fields: scala.collection.Set[String]): Column = {
-    require(allowed.matches(condition),
-      s"condition contains disallowed tokens: $condition")
+    validateSyntax(condition)
     val noLiterals = condition.replaceAll("'[^']*'", " ")
     val idents = """[a-zA-Z_][a-zA-Z0-9_.]*""".r
       .findAllIn(noLiterals).map(_.toLowerCase).toSet

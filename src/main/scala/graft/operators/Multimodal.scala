@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video travel as opaque `binary`
@@ -66,4 +66,116 @@ object Multimodal {
   /** End-to-end: ingest → decode → typed feature DataFrame. */
   def features(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(withPayloads(spark, sfDir)).toDF()
+
+  // ---- binary header parsing (real parsing over a binary column) ----
+  //
+  // The corpus ships no real media bytes, so the PAYLOAD is a
+  // deterministic fixture: a spec-correct PNG signature+IHDR or JFIF
+  // APP0+SOF0 header (dimensions derived from doc fields) followed by
+  // text bytes. The PARSE side is the real thing — magic-byte sniffing
+  // and big-endian dimension extraction at the spec offsets — and would
+  // return correct dimensions for any canonical PNG / baseline-JFIF file
+  // dropped into the payload column.
+
+  /** Sniff a payload's format from its magic bytes (PNG 8-byte signature,
+    * JPEG FFD8FF). `ph` is the payload's hex string. */
+  def sniffFormat(ph: Column): Column =
+    when(substring(ph, 1, 16) === "89504E470D0A1A0A", "png")
+      .when(substring(ph, 1, 6) === "FFD8FF", "jpeg")
+      .otherwise("unknown")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_headers" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val w = (col("n_chars") % 1024 + 1).cast("int")
+      val h = (col("doc_id") % 768 + 1).cast("int")
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val pngHex = concat(
+        lit("89504E470D0A1A0A" + // PNG signature
+          "0000000D" + "49484452"), // IHDR length + type
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+        lit("0806000000"), // bit depth 8, RGBA, default methods
+        textHex)
+      val jpegHex = concat(
+        lit("FFD8" + // SOI
+          "FFE00010" + "4A46494600010100000100010000" + // APP0 (JFIF)
+          "FFC00011" + "08"), // SOF0, 8-bit precision
+        lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+        lit("03012200021101031101"), // 3 components
+        textHex)
+      val payloadHex = when(col("doc_id") % 7 === 0, textHex)
+        .when(col("doc_id") % 2 === 0, pngHex)
+        .otherwise(jpegHex)
+      val withPayload = docs.select(col("doc_id"),
+        unhex(payloadHex).as("payload"))
+      // parse — everything below reads ONLY (doc_id, payload)
+      val ph = hex(col("payload"))
+      val fmt = sniffFormat(ph)
+      def be(off: Int, n: Int) = // byte offset → hex-string offset
+        expr(s"CAST(conv(substring(hex(payload), ${2 * off - 1}, ${2 * n})," +
+          " 16, 10) AS BIGINT)")
+      withPayload.select(
+        col("doc_id"),
+        fmt.as("media_format"),
+        when(fmt === "png", be(17, 4)) // IHDR width, bytes 17-20
+          .when(fmt === "jpeg", be(28, 2)) // SOF0 width, bytes 28-29
+          .as("img_w"),
+        when(fmt === "png", be(21, 4)) // IHDR height, bytes 21-24
+          .when(fmt === "jpeg", be(26, 2)) // SOF0 height, bytes 26-27
+          .as("img_h"),
+        length(col("payload")).cast("long").as("n_bytes"))
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Constructs the identical payload blob (from_hex) and parses it back
+    // with DuckDB's blob functions — hex-slice + 0x-cast big-endian reads
+    // at the same spec offsets.
+    "q_multimodal_headers" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars % 1024 + 1 AS INTEGER) AS w,
+        |    CAST(doc_id % 768 + 1 AS INTEGER) AS h,
+        |    hex(encode(substring(text, 1, 8))) AS th
+        |  FROM documents
+        |), built AS (
+        |  SELECT doc_id, from_hex(
+        |    CASE WHEN doc_id % 7 = 0 THEN th
+        |      WHEN doc_id % 2 = 0 THEN
+        |        '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+        |        lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0') ||
+        |        '0806000000' || th
+        |      ELSE
+        |        'FFD8' || 'FFE00010' || '4A46494600010100000100010000' ||
+        |        'FFC00011' || '08' ||
+        |        lpad(hex(h), 4, '0') || lpad(hex(w), 4, '0') ||
+        |        '03012200021101031101' || th
+        |    END) AS payload
+        |  FROM src
+        |), parsed AS (
+        |  SELECT doc_id, hex(payload) AS ph,
+        |    CAST(octet_length(payload) AS BIGINT) AS n_bytes
+        |  FROM built
+        |), sniffed AS (
+        |  SELECT doc_id, ph, n_bytes,
+        |    CASE WHEN substring(ph, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+        |         WHEN substring(ph, 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |         ELSE 'unknown' END AS media_format
+        |  FROM parsed
+        |)
+        |SELECT doc_id, media_format,
+        |  CASE WHEN media_format = 'png'
+        |         THEN CAST('0x' || substring(ph, 33, 8) AS BIGINT)
+        |       WHEN media_format = 'jpeg'
+        |         THEN CAST('0x' || substring(ph, 55, 4) AS BIGINT)
+        |  END AS img_w,
+        |  CASE WHEN media_format = 'png'
+        |         THEN CAST('0x' || substring(ph, 41, 8) AS BIGINT)
+        |       WHEN media_format = 'jpeg'
+        |         THEN CAST('0x' || substring(ph, 51, 4) AS BIGINT)
+        |  END AS img_h,
+        |  n_bytes
+        |FROM sniffed ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  )
 }

@@ -30,8 +30,8 @@ object Scalars {
     "q_condition_block" -> ((s, d) => {
       val rules = Seq(CondBlock(
         branches = Seq(
-          (col("value") < 50) -> Seq(Set("band", lit("low"))),
-          (col("value") < 200) -> Seq(Set("band", lit("mid")))),
+          "value < 50" -> Seq(Set("band", lit("low"))),
+          "value < 200" -> Seq(Set("band", lit("mid")))),
         otherwise = Seq(Set("band", lit("high")))))
       Converter(t(s, d, "events"), rules)
         .select("event_id", "value", "band")

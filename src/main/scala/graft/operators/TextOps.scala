@@ -93,25 +93,24 @@ object TextOps {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
-    // 16-bit SimHash over token hashes (sign of per-bit vote).
-    "q_dedup_simhash" -> ((s, d) => {
-      val tok = t(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h", md5(col("tok")))
-      val bits = broadcast(s.range(0, 16).toDF("j"))
-      tok.crossJoin(bits)
-        .withColumn("bit", expr(
-          "CAST(floor((instr('0123456789abcdef', " +
+    // 16-bit SimHash over token hashes (sign of per-bit vote), computed
+    // entirely IN-ROW: md5 once per token, then a 16-way bit-vote fold
+    // over the hash array — zero shuffles (the previous explode +
+    // 16-row-grid crossJoin + two groupBys shuffled 16× the token count).
+    // Per-document work is identical; at 100 TB this is a pure map.
+    "q_dedup_simhash" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("hs", expr("transform(split(text, ' '), t -> md5(t))"))
+        .withColumn("simhash", expr(
+          "CAST(aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) -> " +
+            "acc + CASE WHEN aggregate(hs, CAST(0 AS BIGINT), (a2, h) -> " +
+            "a2 + 2 * (CAST(floor((instr('0123456789abcdef', " +
             "substring(h, CAST(floor(j/4) AS INT) + 1, 1)) - 1) " +
-            "/ pow(2, 3 - j % 4)) AS BIGINT) % 2"))
-        .groupBy("doc_id", "j")
-        .agg(sum(lit(2) * col("bit") - lit(1)).as("sj"))
-        .withColumn("bitval", when(col("sj") > 0, 1L).otherwise(0L))
-        .groupBy("doc_id")
-        .agg(sum(expr("CAST(pow(2, j) AS BIGINT)") * col("bitval"))
-          .cast("long").as("simhash"))
-        .orderBy(asc_nulls_last("doc_id"))
-    }),
+            "/ pow(2, 3 - j % 4)) AS BIGINT) % 2) - 1) > 0 " +
+            "THEN CAST(pow(2, j) AS BIGINT) " +
+            "ELSE CAST(0 AS BIGINT) END) AS BIGINT)"))
+        .select("doc_id", "simhash")
+        .orderBy(asc_nulls_last("doc_id"))),
 
     // END-TO-END LSH near-dup pipeline: shingle → minhash → band keys →
     // band-bucket self-join (candidates only) → exact Jaccard verify.

@@ -56,12 +56,16 @@ object DeterministicSumRule extends Rule[LogicalPlan] {
       case other => other
     }).asInstanceOf[NamedExpression]
 
+  // DECIMAL(38,6): the rule applies to ARBITRARY user queries, so the
+  // per-addend cast must not overflow at plausible magnitudes — 38,6
+  // holds |x| < 1e32 (an 18,6 cast silently nulled beyond 1e12 in
+  // non-ANSI mode). Sum over decimal(38,6) stays decimal(38,6).
   private def rewrite(e: Expression): Expression = e.transformUp {
     case ae @ AggregateExpression(s @ Sum(child, _), _, false, None, _)
         if child.dataType == DoubleType =>
       Cast(
         ae.copy(aggregateFunction =
-          s.copy(child = Cast(child, DecimalType(18, 6)))),
+          s.copy(child = Cast(child, DecimalType(38, 6)))),
         DoubleType)
   }
 }

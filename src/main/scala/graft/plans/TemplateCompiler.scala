@@ -57,6 +57,26 @@ object TemplateCompiler {
     Template((jv \ "id").extract[String], tasks, graph)
   }
 
+  /** All condition-DSL strings a task's config carries (trigger_filter
+    * condition, factory condition_block branch conditions) — so the
+    * registry can syntax-check every expression-bearing config field at
+    * upsert. Any future task that embeds conditions must be added here. */
+  def conditionStrings(task: Task): Seq[String] = {
+    implicit val fmts: Formats = DefaultFormats
+    task.name match {
+      case "trigger_filter" =>
+        (task.config \ "condition").extractOpt[String].toSeq
+      case "factory" =>
+        (task.config \ "rules").children.flatMap { r =>
+          if ((r \ "type").extractOpt[String].contains("condition_block"))
+            (r \ "branches").children
+              .flatMap(b => (b \ "condition").extractOpt[String])
+          else Nil
+        }
+      case _ => Nil
+    }
+  }
+
   /** Kahn topological order; throws on cycles. Shared by the compiler and
     * the registry's upsert validation (the reference validates on upsert). */
   def topoOrder(template: Template): Seq[String] = {
@@ -216,9 +236,10 @@ object TemplateCompiler {
               case other      => throw new IllegalArgumentException(
                 s"unsupported set value: $other")
             }))
-          // Condition fields validated against the frame at compile time
-          // by trigger_filter; inside blocks we trust template validation.
-          (expr(cond), sets)
+          // Raw string: CondBlock routes it through ConditionDsl.compile
+          // against the in-scope columns when the rule is applied, so
+          // template JSON cannot inject arbitrary SQL expressions.
+          (cond, sets)
         }
         val otherwise = (jv \ "otherwise").children.map(sv =>
           Set((sv \ "field").extract[String], sv \ "value" match {

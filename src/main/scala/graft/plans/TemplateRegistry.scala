@@ -89,9 +89,18 @@ final class TemplateRegistry {
       cs.foreach(c => require(ids.contains(c),
         s"graph references unknown task $c"))
     }
-    // acyclicity + single sink checked by the compiler's Kahn pass at
-    // compile time; run it eagerly here so bad templates fail on upsert
-    // (ref behavior), using a structural dry-run ordering.
+    // single sink: compile() would reject this too, but only at fire()
+    // time — the reference rejects on upsert
+    val sinks = ids.filter(id => tpl.graph.getOrElse(id, Nil).isEmpty)
+    require(sinks.size == 1,
+      s"template must have exactly one sink task, got $sinks")
+    // every expression-bearing config string must pass the condition DSL's
+    // schema-independent syntax gate (token whitelist, no function calls)
+    // so a template cannot smuggle arbitrary SQL into a compiled plan
+    tpl.tasks.flatMap(TemplateCompiler.conditionStrings)
+      .foreach(graft.functions.ConditionDsl.validateSyntax)
+    // acyclicity checked by the compiler's Kahn pass; run it eagerly here
+    // so bad templates fail on upsert (ref behavior)
     TemplateCompiler.topoOrder(tpl)
   }
 }

@@ -59,6 +59,31 @@ class ControlPlaneSpec extends SparkSpec {
         | "graph": {"a": ["b"], "b": ["a"]}}""".stripMargin, 1))
   }
 
+  test("upsert rejects function-calling conditions and multi-sink graphs") {
+    val reg = new TemplateRegistry
+    // java_method smuggled into a condition_block branch fails at put()
+    intercept[IllegalArgumentException](reg.put(
+      """{"id": "evil", "tasks": [
+        |  {"id": "f", "name": "factory", "config": {"rules": [
+        |     {"type": "condition_block", "branches": [
+        |        {"condition": "java_method('java.lang.System', 'exit')",
+        |         "set": [{"field": "x", "value": "y"}]}],
+        |      "otherwise": []}]}}],
+        | "graph": {}}""".stripMargin, 1))
+    // trigger_filter conditions get the same schema-independent gate
+    intercept[IllegalArgumentException](reg.put(
+      """{"id": "evil2", "tasks": [
+        |  {"id": "t", "name": "trigger_filter",
+        |   "config": {"condition": "rand() > 0.5"}}],
+        | "graph": {}}""".stripMargin, 1))
+    // two sinks fail at put(), not later inside compile() at fire() time
+    intercept[IllegalArgumentException](reg.put(
+      """{"id": "twosink", "tasks": [
+        |  {"id": "a", "name": "sleep", "config": {}},
+        |  {"id": "b", "name": "sleep", "config": {}}],
+        | "graph": {}}""".stripMargin, 1))
+  }
+
   test("sub-workflow inlines into one plan and trigger routing fires") {
     val reg = new TemplateRegistry
     reg.put(child, 1); reg.publish("band-only", 1)
@@ -128,7 +153,7 @@ class ControlPlaneSpec extends SparkSpec {
       val b = li.repartition(32).agg(sum("l_extendedprice")).head.getDouble(0)
       assert(a == b, "decimal-rewritten sums must be partition-invariant")
       val explicitDec = li.agg(
-        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double"))
+        sum(col("l_extendedprice").cast("decimal(38,6)")).cast("double"))
         .head.getDouble(0)
       assert(a == explicitDec)
       // operators ABOVE the rewritten aggregate must still bind to its
@@ -141,7 +166,7 @@ class ControlPlaneSpec extends SparkSpec {
       s2.conf.set("spark.graft.deterministicSum", "false")
       val plain = li.agg(sum("l_extendedprice")).queryExecution
         .optimizedPlan.toString
-      assert(!plain.contains("decimal(18,6)"),
+      assert(!plain.contains("decimal(38,6)"),
         "rule must be inert when disabled")
     } finally {
       // do not stop s2 (it shares the JVM-wide SparkContext) — clear the

@@ -49,8 +49,8 @@ class RulesSpec extends SparkSpec {
   test("condition block is first-match-wins with else") {
     val out = Converter(df1(("a", 10.0), ("b", 100.0), ("c", 500.0)), Seq(
       CondBlock(Seq(
-        (col("value") < 50) -> Seq(Set("band", lit("low"))),
-        (col("value") < 200) -> Seq(Set("band", lit("mid")))),
+        "value < 50" -> Seq(Set("band", lit("low"))),
+        "value < 200" -> Seq(Set("band", lit("mid")))),
         Seq(Set("band", lit("high"))))))
     assert(out.orderBy("value").select("band").collect()
       .map(_.getString(0)).toSeq == Seq("low", "mid", "high"))
@@ -62,8 +62,8 @@ class RulesSpec extends SparkSpec {
     val out = Converter(
       df1(("both", 10.0), ("second", 100.0), ("none", 500.0)), Seq(
         CondBlock(Seq(
-          (col("value") < 50) -> Seq(Set("a", lit("A1"))),
-          (col("value") < 200) -> Seq(Set("b", lit("B2")))),
+          "value < 50" -> Seq(Set("a", lit("A1"))),
+          "value < 200" -> Seq(Set("b", lit("B2")))),
           Seq(Set("b", lit("BE"))))))
       .orderBy("value").collect()
     // row 1: branch 1 wins -> a=A1, b untouched (null), NOT else
