@@ -24,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scalars.queries ++ StreamShapes.queries ++
       TextOps.queries ++ VectorOps.queries ++ Custom.queries ++
-      TemplateQueries.queries ++ Extended.queries ++ Multimodal.queries
+      TemplateQueries.queries ++ Extended.queries ++ Multimodal.queries ++
+      Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -32,5 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Scalars.oracle ++ StreamShapes.oracle ++
       TextOps.oracle ++ VectorOps.oracle ++ Custom.oracle ++
-      TemplateQueries.oracle ++ Extended.oracle ++ Multimodal.oracle
+      TemplateQueries.oracle ++ Extended.oracle ++ Multimodal.oracle ++
+      Skew.oracle
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for hot keys at cluster scale.
@@ -62,4 +62,35 @@ object Skew {
   /** Deterministic-but-spread salt expression for reuse. */
   def saltExpr(buckets: Int): Column =
     pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets))
+
+  // Declared queries: the salted rewrites ARE algebraic identities, so
+  // their oracles are the plain unsalted SQL — a green row proves the
+  // whole salted path (salt → partial → merge / replicate → join)
+  // produces exactly the unsalted answer, not just in unit tests.
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_salted_agg" -> ((s, d) =>
+      saltedCountSum(graft.Tables.table(s, d, "events"),
+          Seq("event_type"), "value")
+        .orderBy(asc_nulls_last("event_type"))),
+
+    "q_skew_salted_join" -> ((s, d) =>
+      saltedJoin(graft.Tables.table(s, d, "orders"),
+          graft.Tables.table(s, d, "customer"),
+          "o_custkey", "c_custkey")
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+        .orderBy(asc_nulls_last("o_orderkey")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_skew_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    "q_skew_salted_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
+  )
 }

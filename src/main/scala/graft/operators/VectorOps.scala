@@ -29,6 +29,9 @@ object VectorOps {
   /** Hyperplane count for q_ann_neighbors (2^6 = 64 buckets). */
   private val NeighborPlanes = 6
 
+  /** Coarse-quantizer size for q_ann_ivf (first k vectors as centroids). */
+  private val IvfCentroids = 8
+
   /** Exact-decimal dot product of two `array<float>` columns, as DOUBLE. */
   def dotExpr(a: String, b: String): Column = expr(
     s"CAST(aggregate(zip_with($a, $b, " +
@@ -176,6 +179,47 @@ object VectorOps {
           asc_nulls_last("nb_id"))
     }),
 
+    // IVF-style ANN (inverted-file coarse quantization): k deterministic
+    // centroids (the first k vectors — a fixed, engine-agnostic choice
+    // standing in for trained k-means centroids), every vector assigned
+    // to its max-cosine centroid, then the probe searches ONLY its own
+    // cluster — nprobe=1. All phases linear: assignment is a broadcast of
+    // k rows (equi-join on a constant key, so the plan is a hash join,
+    // never nested-loop) + a per-vector top-1 window; search is a
+    // cluster-filtered exact-dot TakeOrderedAndProject. At 100 TB, k
+    // scales with corpus size and assignment stays one narrow pass.
+    // Assignment ranks by the codegen'd double dot; the oracle ranks by
+    // the exact-decimal dot — selection can only differ on a <1e-12
+    // centroid-dot tie, which distinct centroids cannot produce.
+    "q_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = broadcast(e.filter(col("vec_id") < IvfCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+          lit(1).as("_one")))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(desc_nulls_last("cdot"), asc_nulls_last("cid"))
+      val clusters = e.withColumn("_one", lit(1))
+        .join(cents, "_one")
+        .withColumn("cdot", fastDot(s, "embedding", "cemb"))
+        .select("vec_id", "cid", "cdot")
+        .withColumn("_rn", row_number().over(wAssign))
+        .filter(col("_rn") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"))
+      val probeCluster = broadcast(
+        clusters.filter(col("vec_id") === 0)
+          .select(col("cluster").as("probe_cluster")))
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb")))
+      clusters.filter(col("vec_id") =!= 0)
+        .join(probeCluster, col("cluster") === col("probe_cluster"))
+        .join(e, "vec_id")
+        .crossJoin(probe)
+        .withColumn("cosine", dotExpr("embedding", "probe_emb"))
+        .select("vec_id", "cosine")
+        .orderBy(desc_nulls_last("cosine"), asc_nulls_last("vec_id"))
+        .limit(10)
+    }),
+
     // Multimodal join: text metadata ⋈ vector stats on doc_id == vec_id.
     "q_multimodal_join" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -230,6 +274,32 @@ object VectorOps {
          |LIMIT 20""".stripMargin,
 
     "q_ann_lsh" -> annOracle,
+
+    // Mirrors the IVF phases with exact-decimal dots throughout:
+    // assignment argmax via window top-1 (dot DESC, cid ASC tiebreak),
+    // probe-cluster filter, exact top-10.
+    "q_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < $IvfCentroids
+         |), a AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${sqlDot("e.embedding", "c.cemb")} AS cdot
+         |  FROM embeddings e, cents c
+         |), cl AS (
+         |  SELECT vec_id, cid AS cluster FROM a
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cdot DESC, cid ASC) = 1
+         |)
+         |SELECT e.vec_id, ${sqlDot("e.embedding", "p.embedding")} AS cosine
+         |FROM embeddings e
+         |JOIN cl ON e.vec_id = cl.vec_id
+         |JOIN (SELECT cluster FROM cl WHERE vec_id = 0) pc
+         |  ON cl.cluster = pc.cluster,
+         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+         |WHERE e.vec_id <> 0
+         |ORDER BY cosine DESC NULLS LAST, e.vec_id ASC NULLS LAST
+         |LIMIT 10""".stripMargin,
 
     // Same bucket math as annOracle (at NeighborPlanes planes), then the
     // within-bucket pair join and an exact-decimal top-3 per vector (the
