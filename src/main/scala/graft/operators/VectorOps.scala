@@ -198,15 +198,19 @@ object VectorOps {
           lit(1).as("_one")))
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(desc_nulls_last("cdot"), asc_nulls_last("cid"))
-      val clusters = e.withColumn("_one", lit(1))
+      def assign(vecs: DataFrame): DataFrame = vecs
+        .withColumn("_one", lit(1))
         .join(cents, "_one")
         .withColumn("cdot", fastDot(s, "embedding", "cemb"))
         .select("vec_id", "cid", "cdot")
         .withColumn("_rn", row_number().over(wAssign))
         .filter(col("_rn") === 1)
         .select(col("vec_id"), col("cid").as("cluster"))
+      val clusters = assign(e)
+      // the probe's cluster needs only the probe row's k dots — deriving
+      // it from `clusters` would re-run the full corpus assignment
       val probeCluster = broadcast(
-        clusters.filter(col("vec_id") === 0)
+        assign(e.filter(col("vec_id") === 0))
           .select(col("cluster").as("probe_cluster")))
       val probe = broadcast(e.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe_emb")))
