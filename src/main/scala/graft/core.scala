@@ -62,9 +62,14 @@ object Det {
     * the (exact) count. Oracle mirror: [[sqlDavg]]. */
   def davg(c: Column, scale: Int = 4): Column = dsum(c, scale) / count(c)
 
-  /** SQL (DuckDB) mirror of [[dsum]]. */
+  /** SQL (DuckDB) mirror of [[dsum]]. The DOUBLE conversion routes
+    * through VARCHAR: DuckDB's direct DECIMAL→DOUBLE cast computes
+    * scaled_int/10^scale in double arithmetic, which double-rounds (1 ulp
+    * off Spark's correctly-rounded BigDecimal path) once the scaled sum
+    * exceeds 2^53; the string parse is correctly rounded at any
+    * magnitude. */
   def sqlDsum(x: String, scale: Int = 4): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($x AS DECIMAL(18,$scale))) AS VARCHAR) AS DOUBLE)"
 
   /** SQL (DuckDB) mirror of [[davg]]. */
   def sqlDavg(x: String, scale: Int = 4): String =

@@ -166,6 +166,52 @@ object Extended {
         .orderBy(asc_nulls_last("l_returnflag"))
     }),
 
+    // Pearson correlation + sample covariance from order-insensitive
+    // exact-decimal sums, with the closed-form double arithmetic written
+    // IDENTICALLY on both engines (built-in corr/covar use per-engine
+    // update formulas — never hash-comparable). Same pattern as
+    // q_stats_moments.
+    "q_stats_corr" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast("double").as("sx"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+            .cast("double").as("sy"),
+          // cast each FACTOR to decimal, then multiply exactly — casting
+          // the double product rounds differently per engine (Spark goes
+          // through the shortest decimal string, DuckDB through the exact
+          // binary value) and broke hash parity at the 13th digit
+          sum(col("l_quantity").cast(DecimalType(18, 4))
+            * col("l_extendedprice").cast(DecimalType(19, 4)))
+            .cast("double").as("sxy"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))
+            * col("l_quantity").cast(DecimalType(19, 4)))
+            .cast("double").as("sxx"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 4))
+            * col("l_extendedprice").cast(DecimalType(19, 4)))
+            .cast("double").as("syy"))
+        .selectExpr("l_returnflag", "n",
+          "(sxy - sx * sy / n) / (n - 1) AS covar_samp",
+          "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) " +
+            "* sqrt(n * syy - sy * sy)) AS corr")
+        .orderBy(asc_nulls_last("l_returnflag"))),
+
+    // Distribution window functions; ordering includes the unique key so
+    // ranks (hence percent_rank/cume_dist) are tie-free and exact
+    // small-integer ratios — bit-identical on both engines.
+    "q_window_cume" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(asc_nulls_last("o_totalprice"), asc_nulls_last("o_orderkey"))
+      t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("nt", ntile(4).over(w).cast("long"))
+        .orderBy(asc_nulls_last("o_orderkey"))
+    }),
+
     // Value-based RANGE frame (well-defined under order ties, unlike ROWS).
     "q_window_range" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
@@ -272,6 +318,40 @@ object Extended {
 
   val oracle: Map[String, String] = Map(
     "q_sql_grouping_sets" -> sqlGroupingSets,
+
+    "q_stats_corr" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |      AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |      AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+        |      * CAST(l_extendedprice AS DECIMAL(19,4)))
+        |      AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+        |      * CAST(l_quantity AS DECIMAL(19,4)))
+        |      AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * CAST(l_extendedprice AS DECIMAL(19,4)))
+        |      AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
+        |    * sqrt(n * syy - sy * sy)) AS corr
+        |FROM g ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+
+    "q_window_cume" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS nt
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice ASC NULLS LAST, o_orderkey ASC NULLS LAST)
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
 
     "q_map_funcs" ->
       """SELECT event_id,

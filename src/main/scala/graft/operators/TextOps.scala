@@ -213,6 +213,32 @@ object TextOps {
           "subword_total")
         .orderBy(asc_nulls_last("doc_id"))),
 
+    // PII redaction — the standard scrubbing pass of a training-data
+    // pipeline. The corpus is synthetic, so a deterministic contact line
+    // (email + phone derived from doc_id) is appended first; the
+    // REDACTION is the real operator: regex patterns valid in both Java
+    // regex and RE2, global replacement, match counting. Output carries
+    // md5(redacted) so the oracle proves byte-identical redaction without
+    // shipping full texts through the checker.
+    "q_text_pii_redact" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+      val phoneRe = "[0-9]{3}-[0-9]{4}"
+      t(s, d, "documents")
+        .withColumn("text2", concat(col("text"),
+          lit(" Contact: user"), col("doc_id").cast("string"),
+          lit("@mail.example (tel 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit(")")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text2"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("text2"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("text2"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("redacted_md5"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The
     // "decode" is a deterministic fake (byte stats) — real image/audio
     // decode plugs into graft.operators.Multimodal without touching this
@@ -372,6 +398,26 @@ object TextOps {
         |ORDER BY doc_a ASC NULLS LAST, doc_b ASC NULLS LAST""".stripMargin,
 
     "q_text_langid" -> langidOracle,
+
+    "q_text_pii_redact" ->
+      """WITH t2 AS (
+        |  SELECT doc_id,
+        |    text || ' Contact: user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example (tel 555-01' ||
+        |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ')' AS text2
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text2,
+        |    '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexpreplace_tmp, '[0-9]{3}-[0-9]{4}',
+        |    '<PHONE>', 'g')) AS redacted_md5
+        |FROM (SELECT doc_id, text2,
+        |  regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+        |    '<EMAIL>', 'g') AS regexpreplace_tmp FROM t2)
+        |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     "q_text_quality" ->
       """WITH f AS (
