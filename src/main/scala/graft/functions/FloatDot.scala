@@ -76,7 +76,10 @@ object GraftFunctions {
       Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+      (children: Seq[Expression]) => FloatDot(children(0), children(1))),
+    (new FunctionIdentifier("decimal_dot"),
+      new ExpressionInfo(classOf[DecimalDot].getName, "decimal_dot"),
+      (children: Seq[Expression]) => DecimalDot(children(0), children(1))))
 
   def ensureRegistered(spark: SparkSession): Unit =
     all.foreach { case (ident, info, builder) =>

@@ -257,7 +257,7 @@ object TextOps {
 
   private def minhashOracle: String = {
     val sigCols = (0 until NumHashes)
-      .map(i => s"min(md5('$i|' || shingle)) AS sig_$i").mkString(",\n    ")
+      .map(i => s"min(${MinHash.sqlRot(i)}) AS sig_$i").mkString(",\n    ")
     val bandCols = (0 until NumBands)
       .map(j => s"md5('$j|' || sig_${2 * j} || sig_${2 * j + 1}) AS band_$j")
       .mkString(", ")
@@ -268,7 +268,7 @@ object TextOps {
        |  FROM t WHERE len(toks) >= 3
        |), sh AS (
        |  SELECT doc_id,
-       |    toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+       |    md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS h
        |  FROM s
        |), m AS (
        |  SELECT doc_id,
@@ -286,7 +286,7 @@ object TextOps {
     * token-set Jaccard verify. */
   private def dedupPairsOracle: String = {
     val sigCols = (0 until NumHashes)
-      .map(i => s"min(md5('$i|' || shingle)) AS sig_$i").mkString(",\n    ")
+      .map(i => s"min(${MinHash.sqlRot(i)}) AS sig_$i").mkString(",\n    ")
     val bandList = (0 until NumBands)
       .map(j => s"md5('$j|' || sig_${2 * j} || sig_${2 * j + 1})")
       .mkString(", ")
@@ -297,8 +297,8 @@ object TextOps {
        |  SELECT id, unnest(generate_series(0, len(toks) - 3)) AS i, toks
        |  FROM t
        |), sh AS (
-       |  SELECT id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
-       |    AS shingle FROM s
+       |  SELECT id, md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+       |    AS h FROM s
        |), m AS (
        |  SELECT id,
        |    $sigCols

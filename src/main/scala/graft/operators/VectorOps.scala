@@ -32,8 +32,19 @@ object VectorOps {
   /** Coarse-quantizer size for q_ann_ivf (first k vectors as centroids). */
   private val IvfCentroids = 8
 
-  /** Exact-decimal dot product of two `array<float>` columns, as DOUBLE. */
-  def dotExpr(a: String, b: String): Column = expr(
+  /** Exact-decimal dot product of two `array<float>` columns, as DOUBLE —
+    * the native codegen'd [[graft.functions.DecimalDot]], bit-identical
+    * to the interpreted decimal fold (and hence the DuckDB oracle) but
+    * without a Decimal allocation per element. The interpreted reference
+    * form it replaces is kept in [[dotFoldReference]] and equality is
+    * property-locked in FunctionsAndSourcesSpec. */
+  def dotExpr(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    expr(s"decimal_dot($a, $b)")
+  }
+
+  /** The interpreted exact fold [[dotExpr]] is proven against. */
+  def dotFoldReference(a: String, b: String): Column = expr(
     s"CAST(aggregate(zip_with($a, $b, " +
       "(x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) " +
       "AS DECIMAL(20,10))), CAST(0 AS DECIMAL(30,10)), " +
@@ -98,7 +109,7 @@ object VectorOps {
         .select(col("embedding").as("probe_emb")))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(probe)
-        .withColumn("cosine", dotExpr("embedding", "probe_emb"))
+        .withColumn("cosine", dotExpr(s, "embedding", "probe_emb"))
         .select("vec_id", "cosine")
         .orderBy(desc_nulls_last("cosine"), asc_nulls_last("vec_id"))
         .limit(10)
@@ -123,7 +134,7 @@ object VectorOps {
         .orderBy(desc_nulls_last("fastdot"),
           asc_nulls_last("vec_a"), asc_nulls_last("vec_b"))
         .limit(100)
-        .withColumn("cosine", dotExpr("ea", "eb"))
+        .withColumn("cosine", dotExpr(s, "ea", "eb"))
         .select("vec_a", "vec_b", "cosine")
         .orderBy(desc_nulls_last("cosine"),
           asc_nulls_last("vec_a"), asc_nulls_last("vec_b"))
@@ -171,7 +182,7 @@ object VectorOps {
         .join(e.select(col("vec_id"), col("embedding").as("ea")), "vec_id")
         .join(e.select(col("vec_id").as("nb_id"),
           col("embedding").as("eb")), "nb_id")
-        .withColumn("cosine", dotExpr("ea", "eb"))
+        .withColumn("cosine", dotExpr(s, "ea", "eb"))
         .withColumn("_rx", row_number().over(wExact))
         .filter(col("_rx") <= 3)
         .select("vec_id", "nb_id", "cosine")
@@ -218,7 +229,7 @@ object VectorOps {
         .join(probeCluster, col("cluster") === col("probe_cluster"))
         .join(e, "vec_id")
         .crossJoin(probe)
-        .withColumn("cosine", dotExpr("embedding", "probe_emb"))
+        .withColumn("cosine", dotExpr(s, "embedding", "probe_emb"))
         .select("vec_id", "cosine")
         .orderBy(desc_nulls_last("cosine"), asc_nulls_last("vec_id"))
         .limit(10)

@@ -48,6 +48,44 @@ class FunctionsAndSourcesSpec extends SparkSpec {
     assert(out(1).getDouble(0) == 2.0)
   }
 
+  test("decimal_dot equals the interpreted exact-decimal fold bit-for-bit " +
+      "over all real embedding pairs and adversarial values") {
+    GraftFunctions.ensureRegistered(spark)
+    // every pair from the fixture corpus: codegen'd DecimalDot vs the
+    // interpreted reference fold it replaced
+    val e = Tables.table(spark, sf, "embeddings").limit(60)
+    val pairs = e.select($"vec_id".as("ia"), $"embedding".as("ea"))
+      .crossJoin(e.select($"vec_id".as("ib"), $"embedding".as("eb")))
+    val diff = pairs.select(
+      expr("decimal_dot(ea, eb)").as("fast"),
+      graft.operators.VectorOps.dotFoldReference("ea", "eb").as("ref"))
+      .filter(!($"fast" <=> $"ref"))
+    assert(diff.count() == 0)
+    // adversarial: rounding-boundary products, negatives, zeros, subnormal
+    // floats, and deterministic pseudo-random values
+    val rnd = new scala.util.Random(42)
+    val adv: Seq[(Seq[Float], Seq[Float])] = Seq(
+      (Seq(0.5f, -0.5f, 1.0f), Seq(1e-10f, 1e-10f, 0.00000000005f)),
+      (Seq(Float.MinPositiveValue, 1f), Seq(1f, -1f)),
+      (Seq(0f, -0f, 3.3f), Seq(7.7f, 1f, -3.14159f))) ++
+      (1 to 50).map(_ => (Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+        Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val advDf = adv.toDF("a", "b")
+    val advDiff = advDf.select(
+      expr("decimal_dot(a, b)").as("fast"),
+      graft.operators.VectorOps.dotFoldReference("a", "b").as("ref"))
+      .filter(!($"fast" <=> $"ref"))
+    assert(advDiff.count() == 0)
+    // null semantics match the fold: null array, null element, mismatch
+    val nulls = Seq(
+      (Some(Seq(1.0f, 2.0f)), Option.empty[Seq[Float]]),
+      (Some(Seq(1.0f, 2.0f, 3.0f)), Some(Seq(2.0f))))
+      .toDF("a", "b")
+    val out = nulls.select(expr("decimal_dot(a, b)")).collect()
+    assert(out(0).isNullAt(0)) // null array
+    assert(out(1).isNullAt(0)) // length mismatch (zip_with pads null)
+  }
+
   test("json-lines round trip (bus-payload shape) batch and stream") {
     val dir = Files.createTempDirectory("graft_json").toString
     val events = Tables.table(spark, sf, "events").limit(100)
