@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Breadth operators rounding out the everyday surface: deterministic
+  * hash splits (the train/test assignment every training-data pipeline
+  * needs), null-handling scalars, multiset (ALL) set operations, exact
+  * interpolated percentiles, and outer explode.
+  *
+  * Scale notes: the hash split is a pure narrow map (no shuffle, no RNG
+  * state — the same row lands in the same split on any cluster, any
+  * partitioning, any rerun); percentiles use one window sort per group —
+  * at 100 TB that is the same shuffle a groupBy would need; the rest are
+  * projections.
+  */
+object Breadth {
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  /** Deterministic hash-split expression: md5 of the key's decimal string
+    * → first 8 hex digits → bucket in [0, 100). Reproducible everywhere;
+    * the standard seed-free train/test assignment. */
+  private val splitBucket =
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+      "AS BIGINT) % 100"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reproducible train/test split: 80/20 by key hash, verified by the
+    // per-split counts, id extrema and an id-sum checksum.
+    "q_split_hash" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("split",
+          when(expr(splitBucket) < 80, "train").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(asc_nulls_last("split"))),
+
+    // Null-handling scalar surface. Nulls are CREATED with nullif (the
+    // fixture tables are dense), then routed through coalesce / greatest
+    // / least / CASE — both engines ignore nulls inside greatest/least.
+    "q_null_funcs" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+            .as("status_filled"),
+          when(nullif(col("o_orderstatus"), lit("O")).isNotNull,
+            lit("closed-ish")).otherwise(lit("open")).as("nvl2_like"),
+          greatest(col("o_totalprice"), lit(100000.0),
+            lit(null).cast("double")).as("g"),
+          least(col("o_totalprice"), lit(100000.0),
+            lit(null).cast("double")).as("l"))
+        .orderBy(asc_nulls_last("o_orderkey"))),
+
+    // Multiset set operations (bag semantics): nation keys of customers
+    // vs suppliers WITH multiplicities.
+    "q_setops_all" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_nationkey").as("k"))
+      val su = t(s, d, "supplier").select(col("s_nationkey").as("k"))
+      c.exceptAll(su)
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_last("k"))
+    }),
+
+    // Exact interpolated percentiles (the percentile_cont formula spelled
+    // out so both engines compute the identical double arithmetic):
+    // pos = (n-1)*q, v = v_lo + (pos - floor(pos)) * (v_hi - v_lo).
+    "q_percentile_exact" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .orderBy(asc_nulls_last("value"), asc_nulls_last("event_id"))
+      val ranked = t(s, d, "events")
+        .select("event_type", "event_id", "value")
+        .withColumn("rn", row_number().over(w))
+      val sized = ranked.groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      def pct(q: String, alias: String) = {
+        // positions are exact in double for n < 2^50
+        expr(s"max(CASE WHEN rn = CAST(floor(($q) * (n - 1)) AS BIGINT) + 1 " +
+          s"THEN value END) + (($q) * (n - 1) - floor(($q) * (n - 1))) * " +
+          s"(max(CASE WHEN rn = CAST(ceil(($q) * (n - 1)) AS BIGINT) + 1 " +
+          s"THEN value END) - max(CASE WHEN rn = " +
+          s"CAST(floor(($q) * (n - 1)) AS BIGINT) + 1 THEN value END))")
+          .as(alias)
+      }
+      ranked.join(sized, "event_type")
+        .groupBy("event_type", "n")
+        .agg(pct("0.25", "p25"), pct("0.5", "p50"), pct("0.75", "p75"))
+        .select("event_type", "n", "p25", "p50", "p75")
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
+    // Outer explode: empty token arrays keep their row (null token) —
+    // the generator form that does not silently drop parents.
+    "q_explode_outer" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks",
+          when(col("doc_id") % 10 === 0, array().cast("array<string>"))
+            .otherwise(split(col("text"), " ")))
+        .select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("tok")).as("n_tokens"))
+        .orderBy(asc_nulls_last("doc_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_split_hash" ->
+      """SELECT CASE WHEN CAST('0x' ||
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |    % 100 < 80 THEN 'train' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1
+        |ORDER BY split ASC NULLS LAST""".stripMargin,
+
+    "q_null_funcs" ->
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS status_or_null,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+        |  CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+        |    THEN 'closed-ish' ELSE 'open' END AS nvl2_like,
+        |  greatest(o_totalprice, 100000.0, NULL) AS g,
+        |  least(o_totalprice, 100000.0, NULL) AS l
+        |FROM orders ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+
+    "q_setops_all" ->
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey AS k FROM supplier
+        |) GROUP BY k ORDER BY k ASC NULLS LAST""".stripMargin,
+
+    "q_percentile_exact" ->
+      """WITH r AS (
+        |  SELECT event_type, value, row_number() OVER (
+        |    PARTITION BY event_type
+        |    ORDER BY value ASC NULLS LAST, event_id ASC NULLS LAST) AS rn
+        |  FROM events
+        |), s AS (
+        |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+        |)
+        |SELECT r.event_type, s.n,
+        |  max(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1
+        |    THEN value END) + (0.25 * (n - 1) - floor(0.25 * (n - 1))) *
+        |    (max(CASE WHEN rn = CAST(ceil(0.25 * (n - 1)) AS BIGINT) + 1
+        |    THEN value END) - max(CASE WHEN rn =
+        |    CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1 THEN value END))
+        |    AS p25,
+        |  max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+        |    THEN value END) + (0.5 * (n - 1) - floor(0.5 * (n - 1))) *
+        |    (max(CASE WHEN rn = CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1
+        |    THEN value END) - max(CASE WHEN rn =
+        |    CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN value END))
+        |    AS p50,
+        |  max(CASE WHEN rn = CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1
+        |    THEN value END) + (0.75 * (n - 1) - floor(0.75 * (n - 1))) *
+        |    (max(CASE WHEN rn = CAST(ceil(0.75 * (n - 1)) AS BIGINT) + 1
+        |    THEN value END) - max(CASE WHEN rn =
+        |    CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1 THEN value END))
+        |    AS p75
+        |FROM r JOIN s ON r.event_type = s.event_type
+        |GROUP BY r.event_type, s.n
+        |ORDER BY r.event_type ASC NULLS LAST""".stripMargin,
+
+    "q_explode_outer" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split(text, ' ') END AS toks
+        |  FROM documents
+        |), x AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) = 0
+        |    THEN [NULL]::VARCHAR[] ELSE toks END) AS tok
+        |  FROM t
+        |)
+        |SELECT doc_id, COUNT(*) AS n_rows, COUNT(tok) AS n_tokens
+        |FROM x GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  )
+}
