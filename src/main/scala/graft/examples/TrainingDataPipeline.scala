@@ -10,8 +10,9 @@ import graft.operators.{TextDedup, VectorOps}
   * exists for, composed from the library's building blocks as ONE job.
   *
   *   raw docs → exact dedup → near-dup removal (MinHash LSH) → quality +
-  *   language gate → token accounting → embedding join → ANN bucket
-  *   assignment → curated corpus, partitioned for downstream training.
+  *   language gate → PII redaction → token accounting → embedding join →
+  *   ANN bucket assignment → reproducible train/test split → curated
+  *   corpus, partitioned for downstream training.
   *
   * Every stage is a declarative transform: the whole pipeline is a single
   * Catalyst plan per output, shuffles only on dedup keys / the doc⋈vector
@@ -41,17 +42,30 @@ object TrainingDataPipeline {
       .filter(col("n_tokens") >= 8 && col("ttr") > 0.2)
       .filter(col("lang").isin("en", "de", "es", "fr", "zh"))
 
-    // 4. token accounting for budget planning
-    val accounted = gated.withColumn("approx_tokens",
+    // 4. PII scrub (global regex redaction — a pure narrow map)
+    val scrubbed = gated.withColumn("text",
+      regexp_replace(
+        regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        "[0-9]{3}-[0-9]{4}", "<PHONE>"))
+
+    // 5. token accounting for budget planning
+    val accounted = scrubbed.withColumn("approx_tokens",
       (col("n_chars") / 4).cast("long"))
 
-    // 5. embedding join + ANN bucket for similarity-aware sampling
+    // 6. embedding join + ANN bucket for similarity-aware sampling
     val emb = Tables.table(spark, sfDir, "embeddings")
     val withVec = accounted.join(emb,
       accounted("doc_id") === emb("vec_id"), "left")
+
+    // 7. reproducible 95/5 train/eval split: seed-free key hash, the same
+    // row lands in the same split on any cluster and any rerun
     VectorOps.annBuckets(withVec)
+      .withColumn("split", when(expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT) % 100") < 95, "train").otherwise("eval"))
       .select("doc_id", "lang", "source", "n_chars", "n_tokens", "ttr",
-        "approx_tokens", "label", "bucket")
+        "approx_tokens", "label", "bucket", "split")
   }
 
   def main(args: Array[String]): Unit = {
