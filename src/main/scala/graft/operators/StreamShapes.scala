@@ -46,6 +46,19 @@ object StreamShapes {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  /** Dynamic per-event gap: purchases hold a session open for 60 min,
+    * everything else 30 min. Verified Spark semantics (locked by the
+    * oracle): each event contributes [ts, ts+gap); overlapping OR
+    * touching intervals merge; merged end = max(ts+gap). */
+  def sessionDynamic(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"),
+        when(col("event_type") === "purchase", "60 minutes")
+          .otherwise("30 minutes")).as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> ((s, d) =>
       tumbling(t(s, d, "events"))
@@ -57,6 +70,10 @@ object StreamShapes {
 
     "q_stream_session" -> ((s, d) =>
       session(t(s, d, "events"))
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("session_start"))),
+
+    "q_stream_session_dynamic" -> ((s, d) =>
+      sessionDynamic(t(s, d, "events"))
         .orderBy(asc_nulls_last("user_id"), asc_nulls_last("session_start"))),
 
     // Deterministic replay-dedup (the bus is at-least-once in the
@@ -142,6 +159,41 @@ object StreamShapes {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  COUNT(*) AS n_events
         |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id ASC NULLS LAST, session_start ASC NULLS LAST"""
+        .stripMargin,
+
+    // Dynamic-gap gaps-and-islands: each event's interval is
+    // [ts, ts+gap(event)); a session breaks only when ts is STRICTLY
+    // past the running max end (touching merges — verified against
+    // Spark); merged end = max(ts + gap).
+    "q_stream_session_dynamic" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+        |         ELSE INTERVAL 30 MINUTE END AS gap
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, ts, event_id, gap,
+        |    max(ts + gap) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max_end
+        |  FROM g
+        |), b AS (
+        |  SELECT user_id, ts, event_id, gap,
+        |    CASE WHEN prev_max_end IS NULL OR ts > prev_max_end
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM m
+        |), grp AS (
+        |  SELECT user_id, ts, gap,
+        |    SUM(brk) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+        |      ROWS UNBOUNDED PRECEDING) AS gid
+        |  FROM b
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts + gap) AS session_end, COUNT(*) AS n_events
+        |FROM grp GROUP BY user_id, gid
         |ORDER BY user_id ASC NULLS LAST, session_start ASC NULLS LAST"""
         .stripMargin,
 

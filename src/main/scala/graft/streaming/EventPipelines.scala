@@ -80,6 +80,10 @@ object EventPipelines {
   def session(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     StreamShapes.session(events.withWatermark("ts", watermark))
 
+  def sessionDynamic(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    StreamShapes.sessionDynamic(events.withWatermark("ts", watermark))
+
   /** Watermarked stream⋈stream join: each left event pairs with right
     * events for the same key within `window` BEFORE it (the streaming twin
     * of the as-of/range join). Both watermarks bound the join state —

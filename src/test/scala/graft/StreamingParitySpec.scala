@@ -94,6 +94,32 @@ class StreamingParitySpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("dynamic-gap session window: stream (append, watermark-closed) " +
+      "equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = StreamShapes.sessionDynamic(sampleEvents.toDF())
+      .orderBy("user_id", "session_start").collect().toSeq
+    val mem = MemoryStream[E]
+    val name = s"sessdyn_${System.nanoTime()}"
+    val q = EventPipelines.sessionDynamic(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    val (first, rest) = sampleEvents.splitAt(2)
+    mem.addData(first)
+    q.processAllAvailable()
+    mem.addData(rest)
+    q.processAllAvailable()
+    mem.addData(E(98, ts("2024-02-01 00:00:00"), 99, "click", 0.0, "{}"))
+    q.processAllAvailable()
+    mem.addData(E(99, ts("2024-02-02 00:00:00"), 99, "click", 0.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).filter($"user_id" =!= 99)
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(stream == batch)
+  }
+
   test("watermark drops late events in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[E]
