@@ -18,9 +18,18 @@ import graft.{Det, Tables}
 object Extended {
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
-  /** Register every fixture table as a temp view, then run SQL. */
+  // last sfDir registered per session — re-registering 10 views (each a
+  // parquet schema read) on EVERY q_sql_* call was measurable in bench
+  private val viewsFor =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Register every fixture table as a temp view (memoized per session +
+    * data dir), then run SQL. */
   def sql(s: SparkSession, d: String, query: String): DataFrame = {
-    Tables.names.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    if (viewsFor.get(s) != d) {
+      Tables.names.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+      viewsFor.put(s, d)
+    }
     s.sql(query)
   }
 
