@@ -221,6 +221,35 @@ object Extended {
         .orderBy(asc_nulls_last("o_orderkey"))
     }),
 
+    // Boundary window functions over an explicit FULL frame (the default
+    // ORDER BY frame stops at CURRENT ROW, which makes last_value a
+    // no-op trap — spelled out on both engines).
+    "q_window_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(asc_nulls_last("o_totalprice"), asc_nulls_last("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .withColumn("cheapest", first(col("o_orderkey")).over(w))
+        .withColumn("priciest", last(col("o_orderkey")).over(w))
+        .withColumn("third", nth_value(col("o_orderkey"), 3).over(w))
+        .orderBy(asc_nulls_last("o_orderkey"))
+    }),
+
+    // Calendar arithmetic: month addition with end-of-month clamping,
+    // last_day, strictly-after next-Monday, ISO week — DuckDB mirrors via
+    // interval arithmetic and an explicit day-of-week formula (its
+    // dayofweek is 0=Sunday, Spark's is 1=Sunday).
+    "q_date_arith" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          add_months(col("o_orderdate"), 2).as("plus2m"),
+          last_day(col("o_orderdate")).as("eom"),
+          next_day(col("o_orderdate"), "Mon").as("next_mon"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"))
+        .orderBy(asc_nulls_last("o_orderkey"))),
+
     // Value-based RANGE frame (well-defined under order ties, unlike ROWS).
     "q_window_range" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
@@ -351,6 +380,28 @@ object Extended {
         |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
         |    * sqrt(n * syy - sy * sy)) AS corr
         |FROM g ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+
+    "q_window_first_last" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  first_value(o_orderkey) OVER w AS cheapest,
+        |  last_value(o_orderkey) OVER w AS priciest,
+        |  nth_value(o_orderkey, 3) OVER w AS third
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice ASC NULLS LAST, o_orderkey ASC NULLS LAST
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 DAY
+        |    * ((1 - dayofweek(o_orderdate) + 6) % 7 + 1) AS DATE)
+        |    AS next_mon,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
+        |FROM orders ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
 
     "q_window_cume" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
