@@ -213,6 +213,34 @@ object TextOps {
           "subword_total")
         .orderBy(asc_nulls_last("doc_id"))),
 
+    // Repetition scoring — the standard "degenerate text" gate of a
+    // curation pipeline: duplicate-bigram ratio and the mode token's
+    // count. Bigram stats are in-row array exprs; the mode count is one
+    // (doc, token) shuffle + a max — both linear.
+    "q_text_repetition" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+      val inRow = base.select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks"))).as("distinct_ratio"),
+        when(size(col("toks")) >= 2,
+          lit(1.0) - expr(
+            "CAST(size(array_distinct(transform(sequence(0, " +
+              "size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1])))) " +
+              "AS DOUBLE) / (size(toks) - 1)"))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+      val top = base
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_token_n"))
+      inRow.join(top, "doc_id")
+        .select("doc_id", "n_tokens", "top_token_n", "distinct_ratio",
+          "dup_bigram_ratio")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // PII redaction — the standard scrubbing pass of a training-data
     // pipeline. The corpus is synthetic, so a deterministic contact line
     // (email + phone derived from doc_id) is appended first; the
@@ -398,6 +426,32 @@ object TextOps {
         |ORDER BY doc_a ASC NULLS LAST, doc_b ASC NULLS LAST""".stripMargin,
 
     "q_text_langid" -> langidOracle,
+
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), cnt AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(toks) AS tok FROM t
+        |  ) GROUP BY doc_id, tok
+        |), top AS (
+        |  SELECT doc_id, max(c) AS top_token_n FROM cnt GROUP BY doc_id
+        |), r AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |      AS distinct_ratio,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      1.0 - CAST(len(list_distinct(list_transform(
+        |        range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])))
+        |        AS DOUBLE) / (len(toks) - 1)
+        |    ELSE 0.0 END AS dup_bigram_ratio
+        |  FROM t
+        |)
+        |SELECT r.doc_id, n_tokens, top_token_n, distinct_ratio,
+        |  dup_bigram_ratio
+        |FROM r JOIN top ON r.doc_id = top.doc_id
+        |ORDER BY r.doc_id ASC NULLS LAST""".stripMargin,
 
     "q_text_pii_redact" ->
       """WITH t2 AS (
