@@ -87,10 +87,10 @@ def main():
         # output column is a driver-side FAIL even if values match here.
         nonscalar = [c for i, c in enumerate(spark_cols)
                      if any(isinstance(r[i], (list, dict))
-                            for r in spark_rows[:50])]
+                            for r in spark_rows)]
         nonscalar += [c for i, c in enumerate(orc_cols)
                       if any(isinstance(r[i], (list, dict))
-                             for r in orc_rows[:50])
+                             for r in orc_rows)
                       and c not in nonscalar]
         if nonscalar:
             print(f"FAIL {name}: non-scalar output columns {nonscalar} "

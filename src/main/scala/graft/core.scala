@@ -84,9 +84,12 @@ object Det {
     * row-sorting checker needs scalar cells — arrays crash pandas
     * sort_values. Oracle mirror: [[sqlArrCsv]]. */
   def arrCsv(arrExpr: String): Column = expr(
-    s"concat_ws(',', transform($arrExpr, " +
+    // explicit null guard: concat_ws IGNORES a null array argument (→ ''),
+    // while the DuckDB mirror's list_aggr propagates NULL
+    s"CASE WHEN $arrExpr IS NULL THEN NULL ELSE " +
+      s"concat_ws(',', transform($arrExpr, " +
       "x -> CAST(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) " +
-      "* 10000000 AS BIGINT) AS STRING)))")
+      "* 10000000 AS BIGINT) AS STRING))) END")
 
   /** SQL (DuckDB) mirror of [[arrCsv]]. */
   def sqlArrCsv(arrExpr: String): String =

@@ -61,9 +61,9 @@ object TrainingDataPipeline {
     // 7. reproducible 95/5 train/eval split: seed-free key hash, the same
     // row lands in the same split on any cluster and any rerun
     VectorOps.annBuckets(withVec)
-      .withColumn("split", when(expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
-          "AS BIGINT) % 100") < 95, "train").otherwise("eval"))
+      .withColumn("split",
+        when(expr(graft.operators.Breadth.splitBucket("doc_id")) < 95,
+          "train").otherwise("eval"))
       .select("doc_id", "lang", "source", "n_chars", "n_tokens", "ttr",
         "approx_tokens", "label", "bucket", "split")
   }

@@ -32,8 +32,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * fold is locked by a property test (FunctionsAndSourcesSpec).
   *
   * NULL semantics (same as the fold): null array, length mismatch
-  * (zip_with pads with null), null element, or a non-finite product
-  * (decimal cast yields null in non-ANSI mode) → NULL result.
+  * (zip_with pads with null), or null element → NULL result. Decimal
+  * overflow (|term| ≥ 1e10, |acc| ≥ 1e20) and non-finite products mirror
+  * the fold under the session's ANSI setting: throw when ANSI (the
+  * Spark 4 default), NULL when not.
   */
 case class DecimalDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -71,39 +73,72 @@ case class DecimalDot(left: Expression, right: Expression)
 
 object DecimalDot {
   private val Eps = 1e-4
-  // beyond this, floor/long arithmetic on y = |p|·1e10 is no longer exact
-  private val FastMax = 9.0e15
+  // DECIMAL(20,10) holds |v| < 1e10; the cast of anything larger is null
+  // (non-ANSI), nulling the whole fold
+  private val TermOverflow = 1e10
+  // DECIMAL(30,10) accumulator bound — the fold re-casts acc every step
+  private val SumOverflow = new JBigDecimal("1e20")
+  // |p| ≤ 1 keeps the fast path's rounding provably identical to
+  // BigDecimal.valueOf half-up: the binary-vs-shortest-string discrepancy
+  // is ≤ ~2·ulp(p)·1e10 ≈ 4.4e-6 there, far inside Eps. Above 1 the
+  // discrepancy grows with ulp(p) (measured mismatches from |p| ≈ 64), so
+  // larger terms take the exact BigDecimal route.
+  private val FastMaxP = 1.0
 
-  /** `BigDecimal.valueOf(p).setScale(10, HALF_UP)` as a scaled long —
-    * the exact per-term semantics of Spark's double→DECIMAL(20,10). */
-  private def slowTerm(p: Double): Long =
+  /** `BigDecimal.valueOf(p).setScale(10, HALF_UP)` — the exact per-term
+    * semantics of Spark's double→DECIMAL(20,10) cast. */
+  private def slowTerm(p: Double): JBigDecimal =
     JBigDecimal.valueOf(p).setScale(10, RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
 
-  /** Null (boxed) on the fold's null conditions; else the exact result. */
+  /** Decimal overflow mirrors the fold under the session's ANSI setting:
+    * ANSI (Spark 4 default) throws, non-ANSI yields NULL. */
+  private def overflow(p: Double, dt: String): java.lang.Double =
+    if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+      throw new ArithmeticException(
+        s"decimal_dot: $p cannot be represented as $dt " +
+          "(set spark.sql.ansi.enabled=false to return NULL instead)")
+    else null
+
+  /** Null (boxed) on the fold's null/overflow conditions; else the exact
+    * result. Accumulates in a long while every term's |p| ≤ 1 (typical:
+    * unit-norm embedding products; no overflow below 9e8 dims) and
+    * switches to BigDecimal accumulation the first time a term is larger,
+    * so arbitrary magnitudes stay bit-identical to the interpreted fold —
+    * including its overflow-to-null at DECIMAL(20,10)/(30,10) bounds. */
   def dot(x: ArrayData, y: ArrayData): java.lang.Double = {
     val n = x.numElements()
     if (n != y.numElements()) return null // zip_with pads with null
     var sum = 0L
+    var bigSum: JBigDecimal = null // non-null once in BigDecimal mode
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
       if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p))
-        return null // decimal cast of non-finite → null → null sum
-      val ay = Math.abs(p) * 1e10
-      var r: Long = 0L
-      if (ay < FastMax) {
+        return overflow(p, "DECIMAL(20,10)") // non-finite: ANSI throws too
+      val ap = Math.abs(p)
+      if (ap >= TermOverflow) return overflow(p, "DECIMAL(20,10)")
+      if (bigSum == null && ap <= FastMaxP) {
+        val ay = ap * 1e10
         val f = Math.floor(ay)
         val frac = ay - f
-        if (frac > 0.5 + Eps) r = f.toLong + 1L
-        else if (frac < 0.5 - Eps) r = f.toLong
-        else r = Math.abs(slowTerm(p))
-      } else r = Math.abs(slowTerm(p))
-      sum += (if (p < 0) -r else r)
+        if (frac > 0.5 + Eps) {
+          val r = f.toLong + 1L; sum += (if (p < 0) -r else r)
+        } else if (frac < 0.5 - Eps) {
+          val r = f.toLong; sum += (if (p < 0) -r else r)
+        } else sum += slowTerm(p).unscaledValue().longValueExact()
+      } else {
+        if (bigSum == null)
+          bigSum = new JBigDecimal(BigInteger.valueOf(sum), 10)
+        bigSum = bigSum.add(slowTerm(p))
+        if (bigSum.abs.compareTo(SumOverflow) >= 0)
+          return overflow(p, "DECIMAL(30,10)")
+      }
       i += 1
     }
-    java.lang.Double.valueOf(
-      new JBigDecimal(BigInteger.valueOf(sum), 10).doubleValue())
+    val result =
+      if (bigSum != null) bigSum
+      else new JBigDecimal(BigInteger.valueOf(sum), 10)
+    java.lang.Double.valueOf(result.doubleValue())
   }
 }

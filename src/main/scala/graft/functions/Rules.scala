@@ -116,9 +116,30 @@ object Converter {
   * whitelist check — the resulting predicate is codegen'd and pushable.
   */
 object ConditionDsl {
-  private val allowed =
-    ("""(?i)^(\s|\(|\)|,|'[^']*'|-?\d+(\.\d+)?|[a-z_][a-z0-9_.]*|""" +
-      """<=|>=|!=|=|<|>|\+|-|\*|/|%)+$""").r
+  // Linear hand-rolled tokenizer, NOT one `(alt)+` regex: the regex form
+  // backtracks exponentially on a long ident/number followed by a
+  // disallowed char (measured 47 s at 28 chars) — a control-plane DoS
+  // from untrusted template JSON.
+  private val tokenPats: List[java.util.regex.Pattern] = List(
+    """\s+""", "'[^']*'", """\d+(\.\d+)?""", "[a-zA-Z_][a-zA-Z0-9_.]*",
+    """<=|>=|!=|[=<>+\-*/%(),]""").map(_.r.pattern)
+
+  private def tokenizes(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      var next = -1
+      val it = tokenPats.iterator
+      while (next < 0 && it.hasNext) {
+        val m = it.next().matcher(s)
+        m.region(i, s.length)
+        if (m.lookingAt()) next = m.end
+      }
+      if (next < 0) return false
+      i = next
+    }
+    true
+  }
+
   private val allowedWords =
     scala.collection.immutable.Set("and", "or", "not", "in", "is", "null",
       "true", "false", "rlike", "like", "between")
@@ -127,9 +148,20 @@ object ConditionDsl {
     * function-call guard (`ident(` is rejected unless `ident` is a grammar
     * word like IN). Runs at template UPSERT, where the event schema is not
     * yet known — so `java_method('…')`-style calls fail at put() like the
-    * reference's AST validation, not at fire(). */
+    * reference's AST validation, not at fire().
+    *
+    * Comment sequences and backslashes are rejected OUTRIGHT (even inside
+    * string literals): Spark's lexer treats `/*…*/`, `--` and `\'` in
+    * ways a string-level scanner cannot mirror, and a crafted
+    * `/*'*/ … java_method(…)` comment desynchronizes literal stripping
+    * enough to smuggle a call past both guards. None of the four have a
+    * legitimate use in this DSL. */
   def validateSyntax(condition: String): Unit = {
-    require(allowed.matches(condition),
+    Seq("/*", "*/", "--", "\\").foreach { seq =>
+      require(!condition.contains(seq),
+        s"condition may not contain '$seq'")
+    }
+    require(tokenizes(condition),
       s"condition contains disallowed tokens: $condition")
     val noLiterals = condition.replaceAll("'[^']*'", " ")
     """([a-zA-Z_][a-zA-Z0-9_.]*)\s*\(""".r

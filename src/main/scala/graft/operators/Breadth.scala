@@ -20,10 +20,15 @@ object Breadth {
 
   /** Deterministic hash-split expression: md5 of the key's decimal string
     * → first 8 hex digits → bucket in [0, 100). Reproducible everywhere;
-    * the standard seed-free train/test assignment. */
-  private val splitBucket =
-    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+    * the standard seed-free train/test assignment. Single source of truth
+    * for every split in the library (the declared query AND
+    * [[graft.examples.TrainingDataPipeline]]) so thresholds can differ
+    * but the assignment never can. */
+  def splitBucket(keyCol: String): String =
+    s"CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 8), 16, 10) " +
       "AS BIGINT) % 100"
+
+  private val docBucket = splitBucket("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reproducible train/test split: 80/20 by key hash, verified by the
@@ -31,7 +36,7 @@ object Breadth {
     "q_split_hash" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("split",
-          when(expr(splitBucket) < 80, "train").otherwise("test"))
+          when(expr(docBucket) < 80, "train").otherwise("test"))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_id"),

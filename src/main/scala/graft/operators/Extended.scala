@@ -19,9 +19,11 @@ object Extended {
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
   // last sfDir registered per session — re-registering 10 views (each a
-  // parquet schema read) on EVERY q_sql_* call was measurable in bench
-  private val viewsFor =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // parquet schema read) on EVERY q_sql_* call was measurable in bench.
+  // WeakHashMap: a strong session key would pin every session (and its
+  // state) for the JVM lifetime.
+  private val viewsFor = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register every fixture table as a temp view (memoized per session +
     * data dir), then run SQL. */

@@ -83,10 +83,10 @@ object Skew {
 
   val oracle: Map[String, String] = Map(
     "q_skew_salted_agg" ->
-      """SELECT event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type
-        |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${graft.Det.sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY event_type
+         |ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     "q_skew_salted_join" ->
       """SELECT o_orderkey, o_custkey, c_name, o_totalprice

@@ -100,6 +100,9 @@ object TextOps {
     // Per-document work is identical; at 100 TB this is a pure map.
     "q_dedup_simhash" -> ((s, d) =>
       t(s, d, "documents")
+        // null-text docs have no tokens: the old explode form (and the
+        // oracle's unnest) drop them — the in-row fold must too
+        .filter(col("text").isNotNull)
         .withColumn("hs", expr("transform(split(text, ' '), t -> md5(t))"))
         .withColumn("simhash", expr(
           "CAST(aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) -> " +

@@ -76,6 +76,36 @@ class FunctionsAndSourcesSpec extends SparkSpec {
       graft.operators.VectorOps.dotFoldReference("a", "b").as("ref"))
       .filter(!($"fast" <=> $"ref"))
     assert(advDiff.count() == 0)
+    // large magnitudes: the fast path is restricted to |p| <= 1; bigger
+    // products must still agree with the fold, INCLUDING overflow
+    // behavior at the DECIMAL(20,10) term bound (null when ANSI is off,
+    // throw — like the fold's ANSI cast — when on)
+    val rndL = new scala.util.Random(7)
+    val large: Seq[(Seq[Float], Seq[Float])] =
+      (1 to 40).map(_ => (Seq.fill(16)((rndL.nextFloat() * 2 - 1) * 1000f),
+        Seq.fill(16)((rndL.nextFloat() * 2 - 1) * 1000f))) ++ Seq(
+        (Seq(616.9848f), Seq(965.21228f)), // reproduced fast-path mismatch
+        (Seq(40000f), Seq(40000f)), // 1.6e9 product: beyond old long range
+        (Seq(1e6f), Seq(1e6f)), // 1e12 >= 1e10: decimal(20,10) overflow
+        (Seq(3e4f, 1f), Seq(4e4f, 1f))) // mixed big + small terms
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val largeDiff = large.toDF("a", "b").select(
+        expr("decimal_dot(a, b)").as("fast"),
+        graft.operators.VectorOps.dotFoldReference("a", "b").as("ref"))
+        .filter(!($"fast" <=> $"ref"))
+      assert(largeDiff.count() == 0)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    // ANSI on (the default): overflow throws, like the fold's ANSI cast
+    val thrown = intercept[Exception] {
+      Seq((Seq(1e6f), Seq(1e6f))).toDF("a", "b")
+        .select(expr("decimal_dot(a, b)")).collect()
+    }
+    def chain(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: chain(e.getCause)
+    assert(chain(thrown).exists(t =>
+      String.valueOf(t.getMessage).contains("decimal_dot")))
     // null semantics match the fold: null array, null element, mismatch
     val nulls = Seq(
       (Some(Seq(1.0f, 2.0f)), Option.empty[Seq[Float]]),

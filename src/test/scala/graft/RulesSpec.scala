@@ -90,6 +90,30 @@ class RulesSpec extends SparkSpec {
       ConditionDsl.compile("java_method('x')", scala.collection.Set("value")))
   }
 
+  test("condition DSL closes the comment/backslash lexer-desync bypass") {
+    val fields = scala.collection.Set("a", "value")
+    // block comment containing a quote desynchronizes naive literal
+    // stripping from Spark's lexer — must be rejected outright
+    intercept[IllegalArgumentException](ConditionDsl.compile(
+      "a = 1 /*'*/ or java_method(/*'*/'java.lang.System', 'exit') = 'x'",
+      fields))
+    intercept[IllegalArgumentException](
+      ConditionDsl.compile("a = 1 -- anything", fields))
+    intercept[IllegalArgumentException](
+      ConditionDsl.compile("""a = 'x\' or java_method('y','z') = '""",
+        fields))
+  }
+
+  test("condition DSL syntax gate is linear, not exponential (ReDoS)") {
+    // the old (alt)+ regex took 47 s at 28 chars and doubled per char
+    val bomb = "1" * 120 + "!"
+    val t0 = System.nanoTime()
+    intercept[IllegalArgumentException](
+      ConditionDsl.compile(bomb, scala.collection.Set("value")))
+    assert((System.nanoTime() - t0) / 1e9 < 2.0,
+      "syntax gate must reject pathological input in linear time")
+  }
+
   test("property: sub to a non-matching replacement is idempotent") {
     val gen = Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString)
     forSamples(gen) { s0 =>
