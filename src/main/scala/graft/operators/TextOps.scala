@@ -216,6 +216,41 @@ object TextOps {
           "subword_total")
         .orderBy(asc_nulls_last("doc_id"))),
 
+    // Corpus bigram frequencies — the co-occurrence statistic BPE-style
+    // tokenizer training starts from. In-row bigram arrays, one shuffle
+    // on the bigram key.
+    "q_text_bigrams" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc_nulls_last("cnt"), asc_nulls_last("bigram"))
+        .limit(20)),
+
+    // Document frequency per token (the df side of tf-idf; the ratio is
+    // exact small-int division — ln() is NOT bit-portable across libm
+    // implementations, so idf itself stays a caller-side transform).
+    "q_text_docfreq" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // corpus size as a broadcast 1-row aggregate on a constant join key
+      // (declarative — no driver-side count(); hash join, never BNLJ)
+      val total = broadcast(docs.agg(count(lit(1)).as("n_docs"))
+        .withColumn("_one", lit(1)))
+      docs
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .withColumn("_one", lit(1))
+        .join(total, "_one")
+        .withColumn("doc_ratio", col("df").cast("double") / col("n_docs"))
+        .filter(col("df") >= 10)
+        .select("tok", "df", "doc_ratio")
+        .orderBy(desc_nulls_last("df"), asc_nulls_last("tok"))
+    }),
+
     // Repetition scoring — the standard "degenerate text" gate of a
     // curation pipeline: duplicate-bigram ratio and the mode token's
     // count. Bigram stats are in-row array exprs; the mode count is one
@@ -429,6 +464,30 @@ object TextOps {
         |ORDER BY doc_a ASC NULLS LAST, doc_b ASC NULLS LAST""".stripMargin,
 
     "q_text_langid" -> langidOracle,
+
+    "q_text_bigrams" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |)
+        |SELECT bigram, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(range(len(toks) - 1),
+        |    i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+        |  FROM t
+        |) GROUP BY bigram
+        |ORDER BY cnt DESC NULLS LAST, bigram ASC NULLS LAST
+        |LIMIT 20""".stripMargin,
+
+    "q_text_docfreq" ->
+      """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tok, COUNT(*) AS df,
+        |  CAST(COUNT(*) AS DOUBLE) / (SELECT n_docs FROM n) AS doc_ratio
+        |FROM (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+        |    AS tok
+        |  FROM documents
+        |) GROUP BY tok HAVING COUNT(*) >= 10
+        |ORDER BY df DESC NULLS LAST, tok ASC NULLS LAST""".stripMargin,
 
     "q_text_repetition" ->
       """WITH t AS (

@@ -44,12 +44,15 @@ class PlanRegressionSpec extends SparkSpec {
 
   // The scale-killer gate: a nested-loop join is quadratic in its inputs,
   // so it is only acceptable where one side is provably bounded — the
-  // 1-row probe broadcasts (q_simsearch_topk, q_ann_ivf's final scoring)
-  // and the explicitly vec_id-bounded LSH verify stage (q_dedup_embed).
-  // Any OTHER query that plans one is a regression that would melt at
-  // 100 TB even though its values still verify.
+  // 1-row broadcasts (q_simsearch_topk's probe, q_ann_ivf's final
+  // scoring, q_text_docfreq's corpus-count scalar, where Catalyst
+  // constant-folds the dummy equi-key away) and the explicitly
+  // vec_id-bounded LSH verify stage (q_dedup_embed). Any OTHER query
+  // that plans one is a regression that would melt at 100 TB even though
+  // its values still verify.
   test("BroadcastNestedLoopJoin only on the allowlisted bounded queries") {
-    val allowed = Set("q_dedup_embed", "q_simsearch_topk", "q_ann_ivf")
+    val allowed = Set("q_dedup_embed", "q_simsearch_topk", "q_ann_ivf",
+      "q_text_docfreq")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
