@@ -76,6 +76,28 @@ object StreamShapes {
       sessionDynamic(t(s, d, "events"))
         .orderBy(asc_nulls_last("user_id"), asc_nulls_last("session_start"))),
 
+    // Batch twin of EventPipelines.streamStreamJoin: every purchase pairs
+    // with the SAME USER's view events in the hour before it. The exact
+    // condition the watermarked stream-stream join runs; here it plans as
+    // a key-equi join with a range predicate (shuffle on user_id), so the
+    // declared oracle covers the streaming shape's semantics.
+    "q_stream_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+          col("ts").as("v_ts"))
+      purchases.join(views,
+          col("user_id") === col("v_user")
+            && col("v_ts") <= col("p_ts")
+            && col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        .select("user_id", "p_id", "v_id", "p_ts", "v_ts")
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("p_id"),
+          asc_nulls_last("v_id"))
+    }),
+
     // Deterministic replay-dedup (the bus is at-least-once in the
     // reference): keep the first event per (user_id, event_type) by
     // (ts, event_id). Streaming twin: dropDuplicatesWithinWatermark.
@@ -161,6 +183,16 @@ object StreamShapes {
         |FROM g GROUP BY user_id, grp
         |ORDER BY user_id ASC NULLS LAST, session_start ASC NULLS LAST"""
         .stripMargin,
+
+    "q_stream_join" ->
+      """SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id,
+        |  p.ts AS p_ts, v.ts AS v_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY p.user_id ASC NULLS LAST, p_id ASC NULLS LAST,
+        |  v_id ASC NULLS LAST""".stripMargin,
 
     // Dynamic-gap gaps-and-islands: each event's interval is
     // [ts, ts+gap(event)); a session breaks only when ts is STRICTLY
