@@ -103,6 +103,31 @@ class ControlPlaneSpec extends SparkSpec {
     assert(reg.fire("unknown_type", events).isEmpty)
   }
 
+  test("per-task timeout cancels a runaway action and spares a fast one") {
+    import graft.plans.TaskTimeout
+    // runaway: per-row sleeps make the job outlast the timeout by far
+    val slowUdf = udf((x: Long) => { Thread.sleep(200); x })
+    val t0 = System.nanoTime()
+    intercept[TaskTimeout.TaskTimedOutException] {
+      TaskTimeout.runWithTimeout(spark, s"slow_${System.nanoTime()}", 1500) {
+        // aggregate over the UDF output — a bare count() would prune the
+        // column away and never run the sleeps
+        spark.range(0, 1000, 1, 4).select(slowUdf(col("id")).as("x"))
+          .agg(sum("x")).collect()
+      }
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed < 30.0, s"cancellation must be prompt, took $elapsed s")
+    // fast action under the same wrapper completes untouched
+    val n = TaskTimeout.runWithTimeout(
+      spark, s"fast_${System.nanoTime()}", 60000) {
+      spark.range(100).count()
+    }
+    assert(n == 100)
+    // the session stays healthy after a cancellation
+    assert(spark.range(10).count() == 10)
+  }
+
   test("monitoring listener captures per-batch reports (R18)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
