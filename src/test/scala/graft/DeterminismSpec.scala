@@ -13,7 +13,12 @@ class DeterminismSpec extends SparkSpec {
     "q_stats_moments",   // variance from decimal moments
     "q_udaf_weighted",   // custom Aggregator with BigDecimal buffer
     "q_simsearch_topk",  // decimal dot products + top-k boundary
-    "q_stream_tumbling") // windowed decimal sums
+    "q_stream_tumbling", // windowed decimal sums
+    "q_stats_corr",      // correlation from decimal factor products
+    "q_percentile_exact", // interpolated percentiles from window ranks
+    "q_ann_neighbors",   // decimal_dot rerank + window top-k boundaries
+    "q_dedup_pairs",     // band-bucket pair pipeline + jaccard doubles
+    "q_skew_salted_agg") // salted two-phase aggregation identity
 
   sensitive.foreach { name =>
     test(s"$name is identical at shuffle.partitions 3 vs 13") {
