@@ -44,6 +44,27 @@ object Breadth {
           sum(col("doc_id")).as("id_sum"))
         .orderBy(asc_nulls_last("split"))),
 
+    // Stratified downsampling: per-language keep-rates over the same
+    // seed-free hash buckets (en is over-represented in the corpus, so it
+    // keeps 10%; mid-resource de/fr keep 40%; low-resource strata keep
+    // 70%). The per-stratum counts + an id-sum checksum of the kept rows
+    // prove the exact membership, not just the sizes. Pure narrow map +
+    // one groupBy shuffle — the assignment is partitioning-invariant, so
+    // at 100 TB the sample is reproducible across reruns and cluster
+    // layouts.
+    "q_sample_stratified" -> ((s, d) => {
+      val rate = expr(
+        "CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 40 WHEN 'fr' THEN 40 " +
+          "ELSE 70 END")
+      t(s, d, "documents")
+        .withColumn("keep", expr(docBucket) < rate)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("keep"), lit(1))).as("n_sampled"),
+          sum(when(col("keep"), col("doc_id"))).as("sample_id_sum"))
+        .orderBy(asc_nulls_last("lang"), asc_nulls_last("source"))
+    }),
+
     // Null-handling scalar surface. Nulls are CREATED with nullif (the
     // fixture tables are dense), then routed through coalesce / greatest
     // / least / CASE — both engines ignore nulls inside greatest/least.
@@ -122,6 +143,22 @@ object Breadth {
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY 1
         |ORDER BY split ASC NULLS LAST""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH b AS (
+        |  SELECT lang, source, doc_id,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 100 <
+        |    CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 40
+        |      WHEN 'fr' THEN 40 ELSE 70 END AS keep
+        |  FROM documents
+        |)
+        |SELECT lang, source, COUNT(*) AS n_total,
+        |  COUNT(CASE WHEN keep THEN 1 END) AS n_sampled,
+        |  CAST(SUM(CASE WHEN keep THEN doc_id END) AS BIGINT)
+        |    AS sample_id_sum
+        |FROM b GROUP BY lang, source
+        |ORDER BY lang ASC NULLS LAST, source ASC NULLS LAST""".stripMargin,
 
     "q_null_funcs" ->
       """SELECT o_orderkey,
