@@ -122,6 +122,30 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_bytes") > 0)
   }
 
+  test("stratified sample is partitioning-invariant with per-stratum rates") {
+    val out = Breadth.queries("q_sample_stratified")(spark, sf)
+    val rows = out.collect()
+    // sampled never exceeds total, and totals cover the whole corpus
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_total")))
+    assert(rows.map(_.getAs[Long]("n_total")).sum ==
+      Tables.table(spark, sf, "documents").count())
+    // en keeps ~10%, non-en strata keep more: compare aggregate rates
+    val byLang = rows.groupBy(_.getString(0)).map { case (l, rs) =>
+      l -> (rs.map(_.getAs[Long]("n_sampled")).sum.toDouble /
+        rs.map(_.getAs[Long]("n_total")).sum)
+    }
+    assert(byLang("en") < byLang("es") && byLang("en") < byLang("zh"))
+    // the exact same rows are kept regardless of shuffle partitioning
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val repart =
+        Breadth.queries("q_sample_stratified")(spark, sf).collect()
+      assert(repart.sameElements(rows))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("weighted-mean aggregator equals the exact decimal formula") {
     import spark.implicits._
     val wavg = udaf(new WeightedMean(),
