@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// A last-line stdout parse of `sbt "runMain graft.Bench"` must see the bare
+// result JSON: drop sbt's "[success] Total time: …" epilogue, and pass the
+// forked JVM's streams through un-prefixed (otherwise sbt's logger tags the
+// JSON "[info] " and re-routes Spark's stderr log noise onto stdout as
+// "[error] " lines after it).
+ThisBuild / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
