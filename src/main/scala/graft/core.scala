@@ -91,9 +91,12 @@ object Det {
       "x -> CAST(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) " +
       "* 10000000 AS BIGINT) AS STRING))) END")
 
-  /** SQL (DuckDB) mirror of [[arrCsv]]. */
+  /** SQL (DuckDB) mirror of [[arrCsv]]. The coalesce covers the empty
+    * array: Spark concat_ws over [] yields '', DuckDB list_aggr yields
+    * NULL — the outer CASE keeps the NULL-array arm NULL on both. */
   def sqlArrCsv(arrExpr: String): String =
-    s"list_aggr(list_transform($arrExpr, " +
+    s"CASE WHEN ($arrExpr) IS NULL THEN NULL ELSE " +
+      s"coalesce(list_aggr(list_transform($arrExpr, " +
       "x -> CAST(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) " +
-      "* 10000000 AS BIGINT) AS VARCHAR)), 'string_agg', ',')"
+      "* 10000000 AS BIGINT) AS VARCHAR)), 'string_agg', ','), '') END"
 }

@@ -216,7 +216,9 @@ object Breadth {
         |      ELSE string_split(text, ' ') END AS toks
         |  FROM documents
         |), x AS (
-        |  SELECT doc_id, unnest(CASE WHEN len(toks) = 0
+        |  -- toks IS NULL arm mirrors Spark explode_outer(NULL) → one
+        |  -- (doc_id, NULL) row; unnest(NULL) alone would drop the doc
+        |  SELECT doc_id, unnest(CASE WHEN toks IS NULL OR len(toks) = 0
         |    THEN [NULL]::VARCHAR[] ELSE toks END) AS tok
         |  FROM t
         |)

@@ -242,9 +242,13 @@ object VectorOps {
       docs.join(emb, docs("doc_id") === emb("vec_id"))
         .select(docs("doc_id"),
           // JSON-serialized: the driver's checker needs scalar cells (it
-          // row-sorts with pandas, which can't hash struct/dict values);
-          // both engines print {"lang":…,"source":…} identically here
-          to_json(struct(docs("lang"), docs("source"))).as("meta"),
+          // row-sorts with pandas, which can't hash struct/dict values).
+          // lang/source coalesce to a sentinel because Spark's to_json
+          // OMITS null struct fields while DuckDB emits "lang":null —
+          // the coalesced struct prints identically on both engines.
+          to_json(struct(
+            coalesce(docs("lang"), lit("<null>")).as("lang"),
+            coalesce(docs("source"), lit("<null>")).as("source"))).as("meta"),
           docs("n_chars"),
           size(col("embedding")).cast("long").as("dim"),
           col("label"))
@@ -355,8 +359,8 @@ object VectorOps {
 
     "q_multimodal_join" ->
       """SELECT doc_id,
-        |  CAST(to_json(struct_pack(lang := lang, source := source))
-        |    AS VARCHAR) AS meta,
+        |  CAST(to_json(struct_pack(lang := coalesce(lang, '<null>'),
+        |    source := coalesce(source, '<null>'))) AS VARCHAR) AS meta,
         |  n_chars, CAST(len(embedding) AS BIGINT) AS dim, label
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id ASC NULLS LAST""".stripMargin

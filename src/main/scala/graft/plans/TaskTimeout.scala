@@ -28,9 +28,11 @@ import org.apache.spark.sql.SparkSession
   */
 object TaskTimeout {
 
-  final class TaskTimedOutException(groupId: String, ms: Long)
+  final class TaskTimedOutException(groupId: String, ms: Long,
+      cause: Throwable = null)
     extends RuntimeException(
-      s"task group '$groupId' exceeded its ${ms} ms timeout and was cancelled")
+      s"task group '$groupId' exceeded its ${ms} ms timeout and was cancelled",
+      cause)
 
   /** Run `action` with the calling thread's jobs tagged as `groupId`;
     * cancel the whole group if it exceeds `timeoutMs`. Throws
@@ -56,7 +58,9 @@ object TaskTimeout {
     try action
     catch {
       case e: Throwable if fired =>
-        throw new TaskTimedOutException(groupId, timeoutMs)
+        // keep the underlying failure: if the action died for an unrelated
+        // reason while the watchdog fired, the real error must stay visible
+        throw new TaskTimedOutException(groupId, timeoutMs, e)
     } finally {
       cancel.cancel(false)
       watchdog.shutdownNow()
