@@ -323,9 +323,9 @@ object TextOps {
 
   private def minhashOracle: String = {
     val sigCols = (0 until NumHashes)
-      .map(i => s"min(${MinHash.sqlRot(i)}) AS sig_$i").mkString(",\n    ")
+      .map(i => s"${MinHash.sqlSig(i)} AS sig_$i").mkString(",\n    ")
     val bandCols = (0 until NumBands)
-      .map(j => s"md5('$j|' || sig_${2 * j} || sig_${2 * j + 1}) AS band_$j")
+      .map(j => s"${MinHash.sqlBandKey(j, NumHashes / NumBands)} AS band_$j")
       .mkString(", ")
     s"""WITH t AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -334,7 +334,8 @@ object TextOps {
        |  FROM t WHERE len(toks) >= 3
        |), sh AS (
        |  SELECT doc_id,
-       |    md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS h
+       |    ${MinHash.sqlHashVal(
+             "md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])")} AS v
        |  FROM s
        |), m AS (
        |  SELECT doc_id,
@@ -352,9 +353,9 @@ object TextOps {
     * token-set Jaccard verify. */
   private def dedupPairsOracle: String = {
     val sigCols = (0 until NumHashes)
-      .map(i => s"min(${MinHash.sqlRot(i)}) AS sig_$i").mkString(",\n    ")
+      .map(i => s"${MinHash.sqlSig(i)} AS sig_$i").mkString(",\n    ")
     val bandList = (0 until NumBands)
-      .map(j => s"md5('$j|' || sig_${2 * j} || sig_${2 * j + 1})")
+      .map(j => MinHash.sqlBandKey(j, NumHashes / NumBands))
       .mkString(", ")
     s"""WITH t AS (
        |  SELECT doc_id AS id, string_split(text, ' ') AS toks
@@ -363,8 +364,9 @@ object TextOps {
        |  SELECT id, unnest(generate_series(0, len(toks) - 3)) AS i, toks
        |  FROM t
        |), sh AS (
-       |  SELECT id, md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
-       |    AS h FROM s
+       |  SELECT id, ${MinHash.sqlHashVal(
+             "md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])")}
+       |    AS v FROM s
        |), m AS (
        |  SELECT id,
        |    $sigCols
