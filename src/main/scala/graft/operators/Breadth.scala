@@ -131,7 +131,42 @@ object Breadth {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_rows"),
           count(col("tok")).as("n_tokens"))
-        .orderBy(asc_nulls_last("doc_id")))
+        .orderBy(asc_nulls_last("doc_id"))),
+
+    // Quartile bucketing: ntile(4) per order status (identical remainder
+    // rule on both engines: first buckets take the extra rows), then
+    // per-quartile aggregates with the exact-decimal sum convention.
+    "q_window_ntile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus")
+        .orderBy(asc_nulls_last("o_totalprice"), asc_nulls_last("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy("o_orderstatus", "quartile")
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(18, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy(asc_nulls_last("o_orderstatus"),
+          asc_nulls_last("quartile"))
+    }),
+
+    // Ordered-collect aggregate serialized to a scalar (the driver's
+    // checker row-sorts with pandas and can't hash list cells): the five
+    // lowest order keys per priority as a CSV. sort_array makes the
+    // collect order partition-invariant — the AQE/cluster-layout-proof
+    // form of collect_list.
+    "q_agg_collect" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          concat_ws(",", expr(
+            "transform(slice(sort_array(collect_list(o_orderkey)), 1, 5), " +
+              "x -> CAST(x AS STRING))")).as("low5_keys"))
+        .orderBy(asc_nulls_last("o_orderpriority")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -223,6 +258,30 @@ object Breadth {
         |  FROM t
         |)
         |SELECT doc_id, COUNT(*) AS n_rows, COUNT(tok) AS n_tokens
-        |FROM x GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""".stripMargin
+        |FROM x GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    "q_window_ntile" ->
+      """WITH q AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice ASC NULLS LAST,
+        |        o_orderkey ASC NULLS LAST) AS BIGINT) AS quartile
+        |  FROM orders
+        |)
+        |SELECT o_orderstatus, quartile, COUNT(*) AS n_orders,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM q GROUP BY o_orderstatus, quartile
+        |ORDER BY o_orderstatus ASC NULLS LAST, quartile ASC NULLS LAST"""
+        .stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  list_aggr(list_transform(
+        |    list_slice(list_sort(list(o_orderkey)), 1, 5),
+        |    x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS low5_keys
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin
   )
 }

@@ -88,6 +88,38 @@ object Extended {
       |                        WHERE l_quantity <= 1)
       |ORDER BY p_partkey ASC NULLS LAST""".stripMargin
 
+  /** EXISTS / NOT EXISTS correlated subqueries (decorrelated to
+    * semi/anti joins — no per-row re-execution). */
+  val sqlExistsSub: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_totalprice > 200000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey ASC NULLS LAST""".stripMargin
+
+  /** Multi-referenced CTE (nation revenue used three times: rows, count,
+    * sum). The above-average comparison is CROSS-MULTIPLIED — decimal
+    * rev · integer count vs decimal total — so no engine ever divides:
+    * decimal division scale rules differ between Spark and DuckDB, exact
+    * products never do. */
+  val sqlCte: String =
+    """WITH nation_rev AS (
+      |  SELECT n_name,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      |  FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name
+      |)
+      |SELECT n_name, CAST(rev AS DOUBLE) AS revenue
+      |FROM nation_rev
+      |WHERE rev * (SELECT COUNT(*) FROM nation_rev)
+      |      > (SELECT SUM(rev) FROM nation_rev)
+      |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS LAST""".stripMargin
+
   /** Explicit GROUPING SETS (beyond rollup/cube) — one text, both
     * engines. */
   val sqlGroupingSets: String =
@@ -122,6 +154,8 @@ object Extended {
     "q_sql_q5" -> ((s, d) => sql(s, d, sqlQ5)),
     "q_sql_scalar_subquery" -> ((s, d) => sql(s, d, sqlScalarSub)),
     "q_sql_in_subquery" -> ((s, d) => sql(s, d, sqlInSub)),
+    "q_sql_exists_subquery" -> ((s, d) => sql(s, d, sqlExistsSub)),
+    "q_sql_cte" -> ((s, d) => sql(s, d, sqlCte)),
 
     "q_join_full" -> ((s, d) => {
       val c = t(s, d, "customer").filter(col("c_custkey") < 100)
@@ -426,6 +460,8 @@ object Extended {
     "q_sql_q5" -> sqlQ5,
     "q_sql_scalar_subquery" -> sqlScalarSub,
     "q_sql_in_subquery" -> sqlInSub,
+    "q_sql_exists_subquery" -> sqlExistsSub,
+    "q_sql_cte" -> sqlCte,
 
     "q_join_full" ->
       """SELECT c_custkey, c_name, o_orderkey, o_totalprice

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-quality operators of a training-data pipeline beyond the
+  * round-1/2 surface: a multi-rule document gate (Gopher-style), raw
+  * tf-idf term ranking, and an exact token-diversity (Gini impurity)
+  * score.
+  *
+  * Determinism (SURVEY §7.4): every score here is rational arithmetic
+  * over exact integers (counts, lengths) finished by ONE IEEE-exact
+  * double division — no logs, no float accumulation, so Spark and DuckDB
+  * agree bit-for-bit regardless of partitioning.
+  *
+  * Scale notes: the gate is a pure narrow map (per-row array folds, no
+  * shuffle); tf-idf is two hash aggregations (doc,term) → (term) plus a
+  * broadcast 1-row corpus count — the same shape at 100 TB with term
+  * skew absorbed by partial aggregation; Gini uses the explode+groupBy
+  * shape rather than an in-row O(distinct·n) fold so 100k-token
+  * documents cost n log n, not n². */
+object Quality {
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  /** The corpus' closed-class tokens — stands in for a real stopword
+    * list; shared literal between both engines' rules. */
+  private val stopList = Seq("the", "a")
+  private val stopSql = stopList.map(w => s"'$w'").mkString(", ")
+  private val stopIn = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher-style multi-rule gate: token-count bounds, mean token
+    // length bounds, minimum stopword ratio, maximum token length. Each
+    // rule surfaces as a column so a pipeline can report WHY a document
+    // was dropped, plus the composite pass flag.
+    "q_quality_gopher" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("mean_tok_len",
+          (col("n_chars") - (col("n_tokens") - 1)).cast("double")
+            / col("n_tokens"))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(toks, t -> t IN ($stopSql)))").cast("double")
+            / col("n_tokens"))
+        .withColumn("max_tok_len",
+          expr("array_max(transform(toks, t -> length(t)))").cast("long"))
+        .withColumn("passes",
+          col("n_tokens").between(10, 100000) &&
+            col("mean_tok_len").between(2.0, 10.0) &&
+            (col("stop_ratio") >= 0.02) && (col("max_tok_len") <= 20))
+        .select("doc_id", "n_tokens", "mean_tok_len", "stop_ratio",
+          "max_tok_len", "passes")
+        .orderBy(asc_nulls_last("doc_id"))),
+
+    // Raw tf-idf (no log — rational arithmetic only): per-document top-3
+    // terms by tf · N / df, ties broken by term. df falls out of the
+    // (doc, term) aggregate for free; N is a broadcast 1-row aggregate on
+    // a constant key (hash join, never BNLJ).
+    "q_text_tfidf" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val total = broadcast(docs.agg(count(lit(1)).as("n_docs"))
+        .withColumn("_one", lit(1)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(desc_nulls_last("score"), asc_nulls_last("tok"))
+      tf.join(df, "tok")
+        .withColumn("_one", lit(1))
+        .join(total, "_one")
+        // integer product, ONE exact double division — engine-identical
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 3)
+        .select("doc_id", "tok", "tf", "df", "score")
+        .orderBy(asc_nulls_last("doc_id"), desc_nulls_last("score"),
+          asc_nulls_last("tok"))
+    }),
+
+    // Token diversity as Gini impurity 1 − Σ(c/n)² = (n² − Σc²)/n² —
+    // exact integers until the final division. The explode+groupBy shape
+    // keeps long documents n log n (an in-row distinct×scan fold would
+    // be quadratic per row).
+    "q_text_gini" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(col("c") * col("c")).as("sum_sq"))
+        .withColumn("gini",
+          (col("n_tokens") * col("n_tokens") - col("sum_sq")).cast("double")
+            / (col("n_tokens") * col("n_tokens")))
+        .select("doc_id", "n_tokens", "sum_sq", "gini")
+        .orderBy(asc_nulls_last("doc_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_quality_gopher" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+         |  FROM documents WHERE text IS NOT NULL
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks)
+         |      AS mean_tok_len,
+         |    CAST(len(list_filter(toks, t -> t IN $stopIn)) AS DOUBLE)
+         |      / len(toks) AS stop_ratio,
+         |    CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT)
+         |      AS max_tok_len
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, mean_tok_len, stop_ratio, max_tok_len,
+         |  (n_tokens BETWEEN 10 AND 100000)
+         |    AND (mean_tok_len BETWEEN 2.0 AND 10.0)
+         |    AND stop_ratio >= 0.02 AND max_tok_len <= 20 AS passes
+         |FROM m ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE text IS NOT NULL
+        |  ) GROUP BY doc_id, tok
+        |), df AS (
+        |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        |), n AS (
+        |  SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL
+        |), r AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC,
+        |        tf.tok ASC) AS rn
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n
+        |)
+        |SELECT doc_id, tok, tf, df, score FROM r WHERE rn <= 3
+        |ORDER BY doc_id ASC NULLS LAST, score DESC NULLS LAST,
+        |  tok ASC NULLS LAST""".stripMargin,
+
+    "q_text_gini" ->
+      """WITH c AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE text IS NOT NULL
+        |  ) GROUP BY doc_id, tok
+        |), m AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(c * c) AS BIGINT) AS sum_sq
+        |  FROM c GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, sum_sq,
+        |  CAST(n_tokens * n_tokens - sum_sq AS DOUBLE)
+        |    / (n_tokens * n_tokens) AS gini
+        |FROM m ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  )
+}

@@ -98,6 +98,29 @@ object StreamShapes {
           asc_nulls_last("v_id"))
     }),
 
+    // LEFT OUTER stream-stream join shape: purchases with no view in the
+    // preceding hour survive with NULL view columns. In streaming this is
+    // the watermarked outer join (null emission once the watermark passes
+    // p_ts); the batch twin has identical semantics with no watermark
+    // wait. Same equi-key + time-bound plan: shuffle on user_id.
+    "q_stream_outer_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+          col("ts").as("v_ts"))
+      purchases.join(views,
+          col("user_id") === col("v_user")
+            && col("v_ts") <= col("p_ts")
+            && col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select("user_id", "p_id", "v_id", "p_ts", "v_ts")
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("p_id"),
+          asc_nulls_last("v_id"))
+    }),
+
     // Deterministic replay-dedup (the bus is at-least-once in the
     // reference): keep the first event per (user_id, event_type) by
     // (ts, event_id). Streaming twin: dropDuplicatesWithinWatermark.
@@ -189,6 +212,16 @@ object StreamShapes {
         |  p.ts AS p_ts, v.ts AS v_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY p.user_id ASC NULLS LAST, p_id ASC NULLS LAST,
+        |  v_id ASC NULLS LAST""".stripMargin,
+
+    "q_stream_outer_join" ->
+      """SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id,
+        |  p.ts AS p_ts, v.ts AS v_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id
         |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
         |ORDER BY p.user_id ASC NULLS LAST, p_id ASC NULLS LAST,

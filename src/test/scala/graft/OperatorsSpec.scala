@@ -81,15 +81,18 @@ class OperatorsSpec extends SparkSpec {
       ts("2024-01-01 01:30:00"))
   }
 
-  test("minhash signatures are deterministic md5-hex, stable across runs") {
+  test("minhash signatures are deterministic 60-bit values, stable across runs") {
     val out = TextOps.queries("q_dedup_minhash")(spark, sf)
     val row = out.head
     // deterministic across runs
     val row2 = TextOps.queries("q_dedup_minhash")(spark, sf).head
     assert(row == row2)
-    // sig columns are md5 hex
-    (1 to 8).foreach(i =>
-      assert(row.getString(i).matches("[0-9a-f]{32}")))
+    // sig columns are 60-bit non-negative longs (the XOR family's value
+    // space — overflow-free on both engines)
+    (1 to 8).foreach { i =>
+      val v = row.getLong(i)
+      assert(v >= 0L && v < (1L << 60), s"sig_$i out of range: $v")
+    }
   }
 
   test("exact dedup groups: every doc accounted for exactly once") {

@@ -51,8 +51,11 @@ class PlanRegressionSpec extends SparkSpec {
   // that plans one is a regression that would melt at 100 TB even though
   // its values still verify.
   test("BroadcastNestedLoopJoin only on the allowlisted bounded queries") {
+    // allowlisted = provably bounded: one side is a 1-row aggregate on a
+    // constant key (docfreq/tfidf corpus count, simsearch probe) or an
+    // explicitly filtered verify stage (dedup_embed)
     val allowed = Set("q_dedup_embed", "q_simsearch_topk", "q_ann_ivf",
-      "q_text_docfreq")
+      "q_text_docfreq", "q_text_tfidf")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
