@@ -147,6 +147,22 @@ object VectorOps {
         .select("vec_id", "bucket")
         .orderBy(asc_nulls_last("vec_id"))),
 
+    // Embedding L2 normalization — the standard pre-step before cosine
+    // ANN (normalized vectors turn cosine into a plain dot product).
+    // Pure narrow map. norm = sqrt(exact-decimal self-dot): sqrt is
+    // IEEE correctly-rounded, so both engines agree bit-for-bit; the
+    // first normalized component is ONE exact double division.
+    "q_embed_norm" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      e.withColumn("norm", sqrt(dotExpr(s, "embedding", "embedding")))
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          col("norm"),
+          (col("embedding").getItem(0).cast("double") / col("norm"))
+            .as("c0_unit"))
+        .orderBy(asc_nulls_last("vec_id"))
+    }),
+
     // Bucketed ANN neighbors — the composed scale path end-to-end: LSH
     // bucket assignment, a pair join SHUFFLED ON BUCKET (never the O(n²)
     // pair space; no BroadcastNestedLoopJoin), codegen'd FloatDot
@@ -280,6 +296,13 @@ object VectorOps {
       |FROM c GROUP BY vec_id ORDER BY vec_id ASC NULLS LAST""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_embed_norm" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  sqrt(${sqlDot("embedding", "embedding")}) AS norm,
+        |  CAST(embedding[1] AS DOUBLE)
+        |    / sqrt(${sqlDot("embedding", "embedding")}) AS c0_unit
+        |FROM embeddings ORDER BY vec_id ASC NULLS LAST""".stripMargin,
+
     "q_simsearch_topk" ->
       s"""SELECT e.vec_id, ${sqlDot("e.embedding", "p.embedding")} AS cosine
          |FROM embeddings e,

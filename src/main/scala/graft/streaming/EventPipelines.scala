@@ -91,13 +91,15 @@ object EventPipelines {
     * (watermark − window) are evicted every micro-batch. */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
       window: String = "1 hour",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("lts", watermark)
     val r = right.withWatermark("rts", watermark)
     l.join(r,
       l(key) === r(s"r_$key")
         && r("rts") <= l("lts")
-        && r("rts") >= l("lts") - expr(s"INTERVAL $window"))
+        && r("rts") >= l("lts") - expr(s"INTERVAL $window"),
+      joinType)
   }
 
   /** R15 report task: mid-DAG side publish. foreachBatch fans each

@@ -60,6 +60,52 @@ class StreamJoinSpec extends SparkSpec {
     assert(batch == got.size)
   }
 
+  test("watermarked LEFT OUTER stream-stream join emits unmatched lefts " +
+      "as nulls once the watermark passes, matching the batch left join") {
+    implicit val sqlCtx = spark.sqlContext
+    val lm = MemoryStream[LeftEv]
+    val rm = MemoryStream[RightEv]
+    val name = s"ssoj_${System.nanoTime()}"
+    val q = EventPipelines.streamStreamJoin(
+        lm.toDF(), rm.toDF(), "user", joinType = "left_outer")
+      .select("user", "lts", "amount", "rts", "source")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    // batch 1: user 1 matches, user 2 has no view in-window
+    lm.addData(
+      LeftEv(1, ts("2024-01-01 10:00:00"), 50.0),
+      LeftEv(2, ts("2024-01-01 10:30:00"), 90.0))
+    rm.addData(
+      RightEv(1, ts("2024-01-01 09:30:00"), "ad"),
+      RightEv(2, ts("2024-01-01 08:00:00"), "ad")) // too old for 10:30
+    q.processAllAvailable()
+    // batch 2: far-future events push BOTH watermarks a day forward, so
+    // user 2's unmatched row is provably final and must flush as nulls
+    lm.addData(LeftEv(99, ts("2024-01-02 23:00:00"), 1.0))
+    rm.addData(RightEv(99, ts("2024-01-02 23:00:00"), "late"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+      .filter(col("user") < 99)
+      .orderBy("user", "lts")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(4)))).toSeq
+    assert(got == Seq((1L, Some("ad")), (2L, None)))
+    // batch twin agrees on the same input
+    val lb = Seq(LeftEv(1, ts("2024-01-01 10:00:00"), 50.0),
+      LeftEv(2, ts("2024-01-01 10:30:00"), 90.0)).toDF()
+    val rb = Seq(RightEv(1, ts("2024-01-01 09:30:00"), "ad"),
+      RightEv(2, ts("2024-01-01 08:00:00"), "ad")).toDF()
+    val batch = lb.join(rb, lb("user") === rb("r_user")
+        && rb("rts") <= lb("lts")
+        && rb("rts") >= lb("lts") - expr("INTERVAL 1 hour"), "left_outer")
+      .select(lb("user"), rb("source"))
+      .orderBy("user").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(batch == got)
+  }
+
   test("report sink publishes both main and side outputs per batch (R15)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_rep").toString
     implicit val sqlCtx = spark.sqlContext
