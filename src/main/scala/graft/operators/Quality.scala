@@ -56,21 +56,25 @@ object Quality {
         .orderBy(asc_nulls_last("doc_id"))),
 
     // Raw tf-idf (no log — rational arithmetic only): per-document top-3
-    // terms by tf · N / df, ties broken by term. df falls out of the
-    // (doc, term) aggregate for free; N is a broadcast 1-row aggregate on
-    // a constant key (hash join, never BNLJ).
+    // terms by tf · N / df, ties broken by term. df is a COUNT WINDOW
+    // over the (doc, term) aggregate — the tf rows are already distinct
+    // per (doc, term), so partitioning by term and counting gives
+    // document frequency without re-running the corpus scan (a groupBy →
+    // self-join formulation executed the tokenize/explode/aggregate
+    // subtree twice — Catalyst reuses exchanges, not whole branches). N
+    // is a broadcast 1-row aggregate on a constant key.
     "q_text_tfidf" -> ((s, d) => {
       val docs = t(s, d, "documents").filter(col("text").isNotNull)
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val total = broadcast(docs.agg(count(lit(1)).as("n_docs"))
         .withColumn("_one", lit(1)))
+      val wDf = org.apache.spark.sql.expressions.Window.partitionBy("tok")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id")
         .orderBy(desc_nulls_last("score"), asc_nulls_last("tok"))
-      tf.join(df, "tok")
+      tf.withColumn("df", count(lit(1)).over(wDf))
         .withColumn("_one", lit(1))
         .join(total, "_one")
         // integer product, ONE exact double division — engine-identical
