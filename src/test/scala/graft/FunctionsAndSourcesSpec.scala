@@ -141,4 +141,23 @@ class FunctionsAndSourcesSpec extends SparkSpec {
     assert(back.count() == 25)
     assert(back.schema == nation.schema)
   }
+
+  test("orc round trip preserves rows, schema, and filter pushdown") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val orders = Tables.table(spark, sf, "orders")
+    Sources.writeOrc(orders, s"$dir/out")
+    val back = Sources.orc(spark, s"$dir/out")
+    assert(back.count() == orders.count())
+    assert(back.schema == orders.schema)
+    // data values survive the round trip (exact-decimal checksum)
+    val csum = (df: org.apache.spark.sql.DataFrame) => df
+      .selectExpr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING)")
+      .head.getString(0)
+    assert(csum(back) == csum(orders))
+    // ORC scans take pushed filters like parquet
+    val plan = back.filter(col("o_orderkey") < 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), " +
+      "LessThan(o_orderkey,100)]"), plan)
+  }
 }
