@@ -25,7 +25,8 @@ object SparkEntry {
     Relational.queries ++ Scalars.queries ++ StreamShapes.queries ++
       TextOps.queries ++ VectorOps.queries ++ Custom.queries ++
       TemplateQueries.queries ++ Extended.queries ++ Multimodal.queries ++
-      Skew.queries ++ Breadth.queries ++ Quality.queries
+      Skew.queries ++ Breadth.queries ++ Quality.queries ++
+      Packing.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -34,5 +35,6 @@ object SparkEntry {
     Relational.oracle ++ Scalars.oracle ++ StreamShapes.oracle ++
       TextOps.oracle ++ VectorOps.oracle ++ Custom.oracle ++
       TemplateQueries.oracle ++ Extended.oracle ++ Multimodal.oracle ++
-      Skew.oracle ++ Breadth.oracle ++ Quality.oracle
+      Skew.oracle ++ Breadth.oracle ++ Quality.oracle ++
+      Packing.oracle
 }

@@ -166,7 +166,23 @@ object Breadth {
           concat_ws(",", expr(
             "transform(slice(sort_array(collect_list(o_orderkey)), 1, 5), " +
               "x -> CAST(x AS STRING))")).as("low5_keys"))
-        .orderBy(asc_nulls_last("o_orderpriority")))
+        .orderBy(asc_nulls_last("o_orderpriority"))),
+
+    // Fixed-width value histogram: bin = floor(value / width). The
+    // division is ONE IEEE double op (identical on both engines); bins,
+    // counts and the decimal sum are exact. Narrow map + one shuffle.
+    "q_stats_histogram" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("bin", floor(col("value") / 50.0).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"),
+          sum(col("value")
+            .cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(18, 6)))
+            .cast("double").as("sum_v"))
+        .orderBy(asc_nulls_last("bin")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -282,6 +298,14 @@ object Breadth {
         |    list_slice(list_sort(list(o_orderkey)), 1, 5),
         |    x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS low5_keys
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin,
+
+    "q_stats_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n, min(value) AS min_v, max(value) AS max_v,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1
+        |ORDER BY bin ASC NULLS LAST""".stripMargin
   )
 }
