@@ -35,4 +35,22 @@ object Layout {
     val r = readBucketed(spark, rightTable)
     l.join(r, l(leftKey) === r(rightKey))
   }
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * ceil(inputBytes / targetFileBytes) files. Streaming sinks and
+    * per-trigger micro-batches leave thousands of KB-sized files; at
+    * 100 TB the NameNode/listing and per-file open costs dominate reads
+    * long before the data does. Uses coalesce (no shuffle) when shrinking
+    * the file count — the rewrite is one narrow pass. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val inputBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val files = math.max(1, math.ceil(
+      inputBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath).coalesce(files)
+      .write.mode("overwrite").parquet(outPath)
+  }
 }

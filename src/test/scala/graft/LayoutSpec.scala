@@ -49,4 +49,24 @@ class LayoutSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("compaction rewrites a fragmented directory into the target file " +
+      "count with identical data") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact")
+    val in = s"$base/in"
+    val out = s"$base/out"
+    val orders = Tables.table(spark, sf, "orders")
+    orders.repartition(64).write.parquet(in) // simulate micro-batch litter
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) == 64)
+    // target sized so the whole table fits one file
+    Layout.compact(spark, in, out, targetFileBytes = 1L << 30)
+    assert(parquetFiles(out) == 1)
+    val csum = (df: org.apache.spark.sql.DataFrame) => df
+      .selectExpr("COUNT(*)", "CAST(SUM(o_orderkey) AS STRING)",
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING)")
+      .head.toString
+    assert(csum(spark.read.parquet(out)) == csum(orders))
+  }
 }

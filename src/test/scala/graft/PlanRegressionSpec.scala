@@ -42,6 +42,27 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  // A window with an EMPTY partition spec funnels the whole input through
+  // one task (Exchange SinglePartition → sequential sort) — the quietest
+  // scale-killer, because results stay correct. Every declared window
+  // must be partitioned; global rankings go through TakeOrderedAndProject
+  // or WindowGroupLimit instead.
+  test("no declared query plans a global (unpartitioned) window") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      p.foreach {
+        case w: WindowExec =>
+          assert(w.partitionSpec.nonEmpty,
+            s"$name plans a global window: ${w.simpleStringWithNodeId()}")
+        case w: WindowGroupLimitExec =>
+          assert(w.partitionSpec.nonEmpty,
+            s"$name plans a global window-group-limit")
+        case _ => ()
+      }
+    }
+  }
+
   // The scale-killer gate: a nested-loop join is quadratic in its inputs,
   // so it is only acceptable where one side is provably bounded — the
   // 1-row broadcasts (q_simsearch_topk's probe, q_ann_ivf's final
