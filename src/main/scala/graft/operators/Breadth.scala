@@ -168,6 +168,24 @@ object Breadth {
               "x -> CAST(x AS STRING))")).as("low5_keys"))
         .orderBy(asc_nulls_last("o_orderpriority"))),
 
+    // Deterministic MODE per group: most frequent event_type per user,
+    // ties broken by type ascending. Spark's mode() picks an arbitrary
+    // tie winner, so the window formulation with an explicit tie-break
+    // is the only engine-portable form. Two hash aggregations + one
+    // bounded window — partial aggregation absorbs key skew.
+    "q_agg_mode" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(desc_nulls_last("c"), asc_nulls_last("event_type"))
+      t(s, d, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"),
+          col("c").as("n"))
+        .orderBy(asc_nulls_last("user_id"))
+    }),
+
     // Fixed-width value histogram: bin = floor(value / width). The
     // division is ONE IEEE double op (identical on both engines); bins,
     // counts and the decimal sum are exact. Narrow map + one shuffle.
@@ -299,6 +317,20 @@ object Breadth {
         |    x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS low5_keys
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin,
+
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY user_id, event_type
+        |), r AS (
+        |  SELECT user_id, event_type, c,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY c DESC NULLS LAST, event_type ASC NULLS LAST) AS rn
+        |  FROM c
+        |)
+        |SELECT user_id, event_type AS mode_type, c AS n
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id ASC NULLS LAST""".stripMargin,
 
     "q_stats_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
