@@ -117,7 +117,11 @@ object Bench {
       val full = lineOf(2, abbr)
       if (full.length < 1900) full
       else {
-        val keep = results.filter(_._2 >= 0).sortBy(-_._2).take(40).map(_._1).toSet
+        // failed queries (-1) are ALWAYS kept — the elision must only
+        // drop fast successes, never hide which queries broke
+        val keep = (results.filter(_._2 < 0) ++
+          results.filter(_._2 >= 0).sortBy(-_._2).take(40))
+          .map(_._1).toSet
         val qs = results.collect { case (k, v) if keep(k) =>
           "\"" + abbr(k) + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
         val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Det, Tables}
 
 /** Breadth operators rounding out the everyday surface: deterministic
   * hash splits (the train/test assignment every training-data pipeline
@@ -146,10 +146,7 @@ object Breadth {
         .agg(count(lit(1)).as("n_orders"),
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"),
-          sum(col("o_totalprice")
-            .cast(org.apache.spark.sql.types.DataTypes
-              .createDecimalType(18, 4)))
-            .cast("double").as("sum_price"))
+          Det.dsum(col("o_totalprice")).as("sum_price"))
         .orderBy(asc_nulls_last("o_orderstatus"),
           asc_nulls_last("quartile"))
     }),
@@ -295,7 +292,7 @@ object Breadth {
         |FROM x GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     "q_window_ntile" ->
-      """WITH q AS (
+      s"""WITH q AS (
         |  SELECT o_orderstatus, o_totalprice,
         |    CAST(ntile(4) OVER (PARTITION BY o_orderstatus
         |      ORDER BY o_totalprice ASC NULLS LAST,
@@ -304,8 +301,7 @@ object Breadth {
         |)
         |SELECT o_orderstatus, quartile, COUNT(*) AS n_orders,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-        |    AS sum_price
+        |  ${Det.sqlDsum("o_totalprice")} AS sum_price
         |FROM q GROUP BY o_orderstatus, quartile
         |ORDER BY o_orderstatus ASC NULLS LAST, quartile ASC NULLS LAST"""
         .stripMargin,

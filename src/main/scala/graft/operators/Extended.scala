@@ -114,7 +114,7 @@ object Extended {
       |  JOIN nation ON c_nationkey = n_nationkey
       |  GROUP BY n_name
       |)
-      |SELECT n_name, CAST(rev AS DOUBLE) AS revenue
+      |SELECT n_name, CAST(CAST(rev AS STRING) AS DOUBLE) AS revenue
       |FROM nation_rev
       |WHERE rev * (SELECT COUNT(*) FROM nation_rev)
       |      > (SELECT SUM(rev) FROM nation_rev)

@@ -61,14 +61,15 @@ object Packing {
         .filter(col("text").isNotNull)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_toks", size(col("toks")).cast("long"))
+        // chunk starts at c·stride for c in [0, floor((n−1)/stride)]:
+        // every start is < n by construction, and the tail chunk may be
+        // short (or even fully inside the previous chunk's window for
+        // n ≤ prev_start + size — the standard sliding layout keeps it:
+        // it is the only chunk whose span ENDS the document)
         .withColumn("chunk_id", explode(expr(
           s"sequence(0, CAST(floor((n_toks - 1) / $ChunkStride) AS INT))")))
         .withColumn("tok_start",
           (col("chunk_id").cast("long") * ChunkStride).cast("long"))
-        // drop the degenerate fully-contained tail chunk (start inside
-        // the previous chunk's window but nothing new): keep chunks whose
-        // start is a real offset
-        .filter(col("tok_start") < col("n_toks"))
         .withColumn("chunk_len",
           least(lit(ChunkSize), col("n_toks") - col("tok_start"))
             .cast("long"))
@@ -118,7 +119,7 @@ object Packing {
          |  list_aggr(list_slice(toks, chunk_id * $ChunkStride + 1,
          |    least(chunk_id * $ChunkStride + $ChunkSize, n_toks)),
          |    'string_agg', ' ') AS chunk_text
-         |FROM x WHERE chunk_id * $ChunkStride < n_toks
+         |FROM x
          |ORDER BY doc_id ASC NULLS LAST, chunk_id ASC NULLS LAST"""
         .stripMargin
   )

@@ -56,25 +56,26 @@ object Quality {
         .orderBy(asc_nulls_last("doc_id"))),
 
     // Raw tf-idf (no log — rational arithmetic only): per-document top-3
-    // terms by tf · N / df, ties broken by term. df is a COUNT WINDOW
-    // over the (doc, term) aggregate — the tf rows are already distinct
-    // per (doc, term), so partitioning by term and counting gives
-    // document frequency without re-running the corpus scan (a groupBy →
-    // self-join formulation executed the tokenize/explode/aggregate
-    // subtree twice — Catalyst reuses exchanges, not whole branches). N
-    // is a broadcast 1-row aggregate on a constant key.
+    // terms by tf · N / df, ties broken by term. df is a vocabulary-sized
+    // aggregate BROADCAST back onto tf — tf itself never shuffles by
+    // term, so a stopword appearing in every document costs nothing
+    // extra (a COUNT-window-over-term formulation would funnel that
+    // term's n_docs rows through one task; partial aggregation absorbs
+    // the skew here). The df branch re-runs the linear corpus pass —
+    // a production pipeline persists tf to pay it once; both shapes are
+    // cliff-free. N is a broadcast 1-row aggregate on a constant key.
     "q_text_tfidf" -> ((s, d) => {
       val docs = t(s, d, "documents").filter(col("text").isNotNull)
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = broadcast(tf.groupBy("tok").agg(count(lit(1)).as("df")))
       val total = broadcast(docs.agg(count(lit(1)).as("n_docs"))
         .withColumn("_one", lit(1)))
-      val wDf = org.apache.spark.sql.expressions.Window.partitionBy("tok")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id")
         .orderBy(desc_nulls_last("score"), asc_nulls_last("tok"))
-      tf.withColumn("df", count(lit(1)).over(wDf))
+      tf.join(df, "tok")
         .withColumn("_one", lit(1))
         .join(total, "_one")
         // integer product, ONE exact double division — engine-identical

@@ -44,13 +44,17 @@ object Layout {
     * the file count — the rewrite is one narrow pass. */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val inputBytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val path = new org.apache.hadoop.fs.Path(inPath)
+    // resolve the filesystem FROM the path: FileSystem.get(conf) returns
+    // the default FS and throws "Wrong FS" for any other scheme
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inputBytes = fs.getContentSummary(path).getLength
     val files = math.max(1, math.ceil(
       inputBytes.toDouble / targetFileBytes).toInt)
-    spark.read.parquet(inPath).coalesce(files)
-      .write.mode("overwrite").parquet(outPath)
+    val in = spark.read.parquet(inPath)
+    // coalesce only shrinks; growing the file count needs a real shuffle
+    val sized = if (files <= in.rdd.getNumPartitions) in.coalesce(files)
+                else in.repartition(files)
+    sized.write.mode("overwrite").parquet(outPath)
   }
 }

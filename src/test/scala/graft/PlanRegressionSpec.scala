@@ -47,19 +47,46 @@ class PlanRegressionSpec extends SparkSpec {
   // scale-killer, because results stay correct. Every declared window
   // must be partitioned; global rankings go through TakeOrderedAndProject
   // or WindowGroupLimit instead.
-  test("no declared query plans a global (unpartitioned) window") {
+  //
+  // The traversal must unwrap AdaptiveSparkPlanExec: under AQE (default)
+  // executedPlan is a LEAF from TreeNode's point of view, so a naive
+  // p.foreach visits nothing and the gate silently passes everything.
+  private def allPhysicalNodes(
+      p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    val subs = p.subqueries
+    (p +: inner.flatMap(allPhysicalNodes)) ++ subs.flatMap(allPhysicalNodes)
+  }
+
+  private def globalWindows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    allPhysicalNodes(df.queryExecution.executedPlan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+    }
+  }
+
+  test("the global-window detector sees through AQE (not vacuous)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val bad = Tables.table(spark, sf, "nation")
+      .withColumn("rn", row_number()
+        .over(Window.orderBy("n_nationkey"))) // deliberately global
+    assert(globalWindows(bad).nonEmpty,
+      "detector failed to flag a deliberately global window — the gate " +
+        "below would be vacuous")
+  }
+
+  test("no declared query plans a global (unpartitioned) window") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
-      p.foreach {
-        case w: WindowExec =>
-          assert(w.partitionSpec.nonEmpty,
-            s"$name plans a global window: ${w.simpleStringWithNodeId()}")
-        case w: WindowGroupLimitExec =>
-          assert(w.partitionSpec.nonEmpty,
-            s"$name plans a global window-group-limit")
-        case _ => ()
-      }
+      val found = globalWindows(SparkEntry.queries(name)(spark, sf))
+      assert(found.isEmpty, s"$name plans a global window: $found")
     }
   }
 
