@@ -35,7 +35,7 @@ object Bench {
     "first_last" -> "fl", "fingerprint" -> "fprint",
     "tokencount" -> "tokcnt", "tokenize" -> "tok", "repetition" -> "rep",
     "stratified" -> "strat", "grouping_sets" -> "gsets",
-    "scalar_subquery" -> "scalarsub", "in_subquery" -> "insub",
+    "scalar_subquery" -> "scalsub", "in_subquery" -> "insub",
     "exists_subquery" -> "existsub", "pii_redact" -> "pii",
     "_predicate" -> "", "approx_distinct" -> "apxdist",
     "distinct" -> "dist", "neighbors" -> "nbrs", "shuffle" -> "shuf",
@@ -44,7 +44,11 @@ object Bench {
     "docfreq" -> "df", "minmax_by" -> "minmax", "moments" -> "mom",
     "pipeline" -> "pipe", "features" -> "feat", "headers" -> "hdrs",
     "sessionize" -> "sessz", "bigrams" -> "bigr", "block" -> "blk",
-    "weighted" -> "wtd")
+    "weighted" -> "wtd", "sequences" -> "seqs", "outer_join" -> "oj",
+    "histogram" -> "hist", "containment" -> "contain",
+    "tumbling" -> "tumbl",
+    "explode" -> "expl", "gopher" -> "goph", "extract" -> "extr",
+    "project" -> "proj", "sliding" -> "slide")
 
   /** q_join_broadcast → j_bcast. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

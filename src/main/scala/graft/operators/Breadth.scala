@@ -165,6 +165,17 @@ object Breadth {
               "x -> CAST(x AS STRING))")).as("low5_keys"))
         .orderBy(asc_nulls_last("o_orderpriority"))),
 
+    // Boolean aggregates: bool_and / bool_or / count_if — same names and
+    // semantics on both engines (order-insensitive, so partition-proof).
+    "q_agg_bool" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("bool_and(value > 0)").as("all_pos"),
+          expr("bool_or(value > 400)").as("any_big"),
+          expr("count_if(value > 200)").as("n_over200"))
+        .orderBy(asc_nulls_last("event_type"))),
+
     // Deterministic MODE per group: most frequent event_type per user,
     // ties broken by type ascending. Spark's mode() picks an arbitrary
     // tie winner, so the window formulation with an explicit tie-break
@@ -313,6 +324,14 @@ object Breadth {
         |    x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS low5_keys
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin,
+
+    "q_agg_bool" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  bool_and(value > 0) AS all_pos,
+        |  bool_or(value > 400) AS any_big,
+        |  CAST(count_if(value > 200) AS BIGINT) AS n_over200
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     "q_agg_mode" ->
       """WITH c AS (

@@ -148,6 +148,33 @@ object TextOps {
         .orderBy(asc_nulls_last("doc_a"), asc_nulls_last("doc_b"))
     }),
 
+    // ASYMMETRIC containment C(A→B) = |A∩B| / |A|: flags documents
+    // mostly CONTAINED in another (quote/subset duplicates that
+    // symmetric Jaccard under-scores — a 50-token doc inside a
+    // 5000-token doc has Jaccard ~0.01 but containment 1.0). Ordered
+    // pairs, both directions, over the same bounded verify set as
+    // q_dedup_ngram; the scale path feeds LSH candidates through the
+    // identical shape.
+    "q_dedup_containment" -> ((s, d) => {
+      val dtok = t(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val sizes = dtok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = dtok.as("a")
+        .join(dtok.as("b"), col("a.tok") === col("b.tok")
+          && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          "doc_a")
+        .withColumn("containment", col("inter").cast("double") / col("na"))
+        .filter(col("containment") >= 0.8)
+        .select("doc_a", "doc_b", "inter", "containment")
+        .orderBy(asc_nulls_last("doc_a"), asc_nulls_last("doc_b"))
+    }),
+
     // n-gram-marker language ID (deterministic heuristic scoring).
     "q_text_langid" -> ((s, d) => {
       val base = t(s, d, "documents")
@@ -463,6 +490,23 @@ object TextOps {
         |  CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
         |FROM i JOIN c ca ON doc_a = ca.doc_id JOIN c cb ON doc_b = cb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+        |ORDER BY doc_a ASC NULLS LAST, doc_b ASC NULLS LAST""".stripMargin,
+
+    "q_dedup_containment" ->
+      """WITH s AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 50
+        |), c AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id
+        |), i AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, inter,
+        |  CAST(inter AS DOUBLE) / ca.n AS containment
+        |FROM i JOIN c ca ON doc_a = ca.doc_id
+        |WHERE CAST(inter AS DOUBLE) / ca.n >= 0.8
         |ORDER BY doc_a ASC NULLS LAST, doc_b ASC NULLS LAST""".stripMargin,
 
     "q_text_langid" -> langidOracle,
