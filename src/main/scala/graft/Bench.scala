@@ -46,20 +46,52 @@ object Bench {
     "sessionize" -> "sessz", "bigrams" -> "bigr", "block" -> "blk",
     "weighted" -> "wtd", "sequences" -> "seqs", "outer_join" -> "oj",
     "histogram" -> "hist", "containment" -> "contain",
-    "tumbling" -> "tumbl",
+    "tumbling" -> "tumbl", "decontaminate" -> "decontam",
+    "clusters" -> "clus",
     "explode" -> "expl", "gopher" -> "goph", "extract" -> "extr",
     "project" -> "proj", "sliding" -> "slide")
 
-  /** q_join_broadcast → j_bcast. Total function; BenchLineSpec asserts
+  /** Explicit short names for the longest entries — consulted before the
+    * generic famMap/sufMap rules. Keeps the worst-case stdout line inside
+    * the driver's tail buffer as the query count grows (legend:
+    * BASELINE.md §bench name legend). */
+  private val overrides = Map(
+    "q_stateful_sessionize" -> "stfsz", "q_date_arith" -> "dar",
+    "q_embed_norm" -> "enorm", "q_setops_all" -> "seta",
+    "q_sort_limit" -> "slim", "q_split_hash" -> "splh",
+    "q_sql_exists_subquery" -> "s_exs",
+    "q_stream_session_dynamic" -> "st_sdy",
+    "q_agg_approx_distinct" -> "a_apx", "q_agg_collect" -> "a_col",
+    "q_dedup_containment" -> "d_con", "q_dedup_minhash" -> "d_mh",
+    "q_dedup_simhash" -> "d_sh", "q_intersect" -> "isect",
+    "q_pack_sequences" -> "pack", "q_quality_gopher" -> "goph",
+    "q_sample_stratified" -> "smp", "q_scan_pruned" -> "sc_pr",
+    "q_sql_scalar_subquery" -> "s_scs", "q_udf_scala" -> "udf",
+    "q_udtf_explode" -> "udtf", "q_url_parse" -> "urlp",
+    "q_agg_having" -> "a_hav", "q_agg_minmax_by" -> "a_mm",
+    "q_agg_rollup" -> "a_rol", "q_ann_neighbors" -> "ann_nb",
+    "q_array_funcs" -> "arr_f", "q_array_funcs2" -> "arr_f2",
+    "q_condition_block" -> "cblk", "q_conditional_agg" -> "cagg",
+    "q_decontaminate" -> "decon", "q_dedup_clusters" -> "d_cl",
+    "q_dedup_spans" -> "d_sp", "q_sql_grouping_sets" -> "s_gs",
+    "q_join_broadcast" -> "j_bc", "q_multimodal_features" -> "mm_ft",
+    "q_multimodal_headers" -> "mm_hd", "q_multimodal_join" -> "mm_j",
+    "q_text_fingerprint" -> "t_fp", "q_text_tokencount" -> "t_tc",
+    "q_stats_histogram" -> "sta_hg", "q_stream_tumbling" -> "st_tum",
+    "q_stream_sliding" -> "st_sld", "q_filter_predicate" -> "filt",
+    "q_percentile_exact" -> "pct_x", "q_explode_outer" -> "exo",
+    "q_median_exact" -> "med_x", "q_window_first_last" -> "w_fl")
+
+  /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */
-  def abbr(name: String): String = {
+  def abbr(name: String): String = overrides.getOrElse(name, {
     var n = if (name.startsWith("q_")) name.drop(2) else name
     famMap.find { case (p, _) => n.startsWith(p) }.foreach {
       case (p, r) => n = r + n.substring(p.length)
     }
     sufMap.foreach { case (a, b) => n = n.replace(a, b) }
     n
-  }
+  })
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

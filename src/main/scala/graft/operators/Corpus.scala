@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-level training-data operators that work ACROSS documents —
+  * the stages that turn per-document scores into corpus decisions:
+  *
+  *  - `q_dedup_clusters`: connected components over the verified near-dup
+  *    pairs (min-label propagation), turning pairwise duplicates into
+  *    keep-one clusters — the step every dedup pipeline needs between
+  *    "pairs found" and "rows dropped";
+  *  - `q_decontaminate`: 8-gram overlap between a held-out eval split and
+  *    the train split (benchmark decontamination);
+  *  - `q_dedup_spans`: repeated-span removal (C4-style): fixed-width token
+  *    spans that occur more than once in the corpus are dropped from every
+  *    document, and the surviving text is re-assembled;
+  *  - `q_url_parse`: URL structure extraction (host/tld/path/ref) — the
+  *    domain-filtering front door of a web-corpus pipeline.
+  *
+  * Determinism (SURVEY §7.4): md5 keys, integer counts, boolean gates —
+  * no floating-point accumulation anywhere in this file.
+  *
+  * Scale notes per query are inline; none of them materializes an
+  * all-pairs product, and the one iterative algorithm (label propagation)
+  * persists its per-iteration frontier so the lazy plan cannot
+  * re-evaluate the full LSH subtree 2^iters times.
+  */
+object Corpus {
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  /** Fixed propagation depth: labels reach distance `ClusterIters`
+    * neighbors, which covers every component whose radius (from its
+    * minimum-id member) is ≤ 4 — CorpusSpec asserts a 5th iteration is a
+    * fixed point on the fixtures. Both engines run EXACTLY this many
+    * iterations, so parity holds even before convergence. */
+  val ClusterIters = 4
+
+  /** Tokens per span for q_dedup_spans. */
+  val SpanTokens = 10
+
+  /** Gram width for q_decontaminate. */
+  val GramTokens = 8
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Connected components over near-dup pairs by min-label propagation:
+    // lbl(v) ← min(lbl(v), min over neighbors lbl(u)), iterated a FIXED
+    // number of rounds. Edges come from the declared LSH pipeline
+    // (TextDedup.nearDuplicates — itself oracle-proven as q_dedup_pairs).
+    // Scale: edges are persisted once (they are the expensive subtree);
+    // each round is one shuffle join on id — the GraphX/connected-
+    // components shape without the RDD API. Production would checkpoint
+    // every few rounds and use pointer-doubling for log-diameter
+    // convergence; fixture components have tiny diameter.
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = TextDedup.nearDuplicates(t(s, d, "documents"))
+        .select("id_a", "id_b")
+      val edges = pairs
+        .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .toDF("src", "dst")
+        .persist()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .persist()
+      for (_ <- 1 to ClusterIters) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")),
+            "dst")
+          .groupBy("src").agg(min("nlbl").as("nbr_min"))
+          .withColumnRenamed("src", "id")
+        labels = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nbr_min"), col("lbl")))
+              .as("lbl"))
+          .persist()
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
+        (col("id") === col("lbl")).as("survivor"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // Benchmark decontamination: eval split = doc_id % 5 == 0; a train
+    // document is contaminated if any of its distinct 8-gram hashes
+    // appears anywhere in the eval split. Scale: the eval gram set is
+    // small by nature (benchmarks are), so the membership probe is a
+    // broadcast hash join against the exploded train grams — one narrow
+    // pass over the corpus, no shuffle of the train side.
+    "q_decontaminate" -> ((s, d) => {
+      val g = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("grams", expr(
+          s"CASE WHEN size(toks) >= $GramTokens THEN " +
+            s"array_distinct(transform(sequence(0, size(toks) - $GramTokens), " +
+            s"i -> md5(array_join(slice(toks, i + 1, $GramTokens), ' ')))) " +
+            "ELSE array() END"))
+        .select(col("doc_id"), col("grams"),
+          size(col("grams")).cast("long").as("n_grams"))
+      val evalGrams = broadcast(
+        g.filter(col("doc_id") % 5 === 0)
+          .select(explode(col("grams")).as("gm")).distinct())
+      val train = g.filter(col("doc_id") % 5 =!= 0)
+      val hits = train.select(col("doc_id"), explode(col("grams")).as("gm"))
+        .join(evalGrams, "gm")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      train.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // C4-style repeated-span removal: cut each document into consecutive
+    // 10-token spans; any span text occurring MORE THAN ONCE in the whole
+    // corpus (across or within documents) is dropped from every document;
+    // survivors re-assemble in order. Scale: one (span-hash) shuffle for
+    // the occurrence count — O(total tokens / 10) slim rows — and one
+    // doc_id shuffle to re-assemble; the reassembly collect is
+    // sort_array'd so the result is partition-order-invariant.
+    "q_dedup_spans" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_spans", expr(
+          s"CAST((size(toks) + ${SpanTokens - 1}) div $SpanTokens AS BIGINT)"))
+      val spans = base.select(col("doc_id"), col("n_spans"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST(n_spans AS INT) - 1), " +
+            s"c -> array_join(slice(toks, c * $SpanTokens + 1, $SpanTokens)," +
+            " ' '))")).as(Seq("pos", "span")))
+      val occ = spans.groupBy("span").agg(count(lit(1)).as("occ"))
+      val kept = spans.join(occ, "span").filter(col("occ") === 1)
+      val reassembled = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(pos, span))), " +
+              "x -> x.span)")).as("kept_text"))
+      base.select("doc_id", "n_spans")
+        .join(reassembled, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // URL structure extraction: a synthetic-but-realistic URL per document
+    // (host varies by source and language TLD), parsed back with the SAME
+    // regexes on both engines (DuckDB 1.0 has no parse_url, so regexes are
+    // the portable formulation). Pure narrow map — the shape of a
+    // domain-blocklist filter at 100 TB.
+    "q_url_parse" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("tld", expr(
+          "CASE lang WHEN 'de' THEN 'de' WHEN 'es' THEN 'es' " +
+            "WHEN 'fr' THEN 'fr' WHEN 'zh' THEN 'cn' ELSE 'com' END"))
+        .withColumn("url", concat(
+          lit("https://www."), col("source"), lit(".example."), col("tld"),
+          lit("/"), col("lang"), lit("/doc-"), col("doc_id"),
+          lit("?ref=r"), col("doc_id") % 7))
+        .select(col("doc_id"), col("url"),
+          regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+          regexp_extract(col("url"), "^https?://[^/]+(/[^?]*)", 1)
+            .as("path"),
+          regexp_extract(col("url"), "[?&]ref=([^&]+)", 1).as("ref"))
+        .orderBy(asc_nulls_last("doc_id")))
+  )
+
+  private def clustersOracle: String = {
+    val iters = (1 to ClusterIters).map { k =>
+      s"""l$k AS (
+         |  SELECT l.id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+         |  FROM l${k - 1} l
+         |  LEFT JOIN edges e ON e.src = l.id
+         |  LEFT JOIN l${k - 1} n ON n.id = e.dst
+         |  GROUP BY l.id, l.lbl
+         |)"""
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |${TextOps.dedupPairsSubquery}
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), l0 AS (
+       |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+       |), $iters
+       |SELECT id AS doc_id, lbl AS cluster, id = lbl AS survivor
+       |FROM l$ClusterIters
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_clusters" -> clustersOracle,
+
+    "q_decontaminate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(string_split(text, ' ')) >= $GramTokens THEN
+         |      list_distinct(list_transform(
+         |        generate_series(0, len(string_split(text, ' ')) - $GramTokens),
+         |        i -> md5(array_to_string(list_slice(
+         |          string_split(text, ' '), i + 1, i + $GramTokens), ' '))))
+         |    ELSE CAST([] AS VARCHAR[]) END AS grams
+         |  FROM documents WHERE text IS NOT NULL
+         |), ev AS (
+         |  SELECT DISTINCT unnest(grams) AS gm FROM g WHERE doc_id % 5 = 0
+         |), tr AS (
+         |  SELECT doc_id, grams, CAST(len(grams) AS BIGINT) AS n_grams
+         |  FROM g WHERE doc_id % 5 <> 0
+         |), x AS (
+         |  SELECT doc_id, unnest(grams) AS gm FROM tr
+         |), h AS (
+         |  SELECT x.doc_id, COUNT(*) AS n_hits
+         |  FROM x JOIN ev ON x.gm = ev.gm
+         |  GROUP BY x.doc_id
+         |)
+         |SELECT tr.doc_id, tr.n_grams,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  coalesce(h.n_hits, 0) > 0 AS contaminated
+         |FROM tr LEFT JOIN h ON tr.doc_id = h.doc_id
+         |ORDER BY tr.doc_id ASC NULLS LAST""".stripMargin,
+
+    "q_dedup_spans" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    CAST((len(string_split(text, ' ')) + ${SpanTokens - 1})
+         |      // $SpanTokens AS BIGINT) AS n_spans
+         |  FROM documents WHERE text IS NOT NULL
+         |), sp AS (
+         |  SELECT doc_id, n_spans,
+         |    unnest(generate_series(0, CAST(n_spans AS INT) - 1)) AS pos
+         |  FROM base
+         |), spans AS (
+         |  SELECT s.doc_id, s.pos,
+         |    array_to_string(list_slice(b.toks,
+         |      s.pos * $SpanTokens + 1, s.pos * $SpanTokens + $SpanTokens),
+         |      ' ') AS span
+         |  FROM sp s JOIN base b ON s.doc_id = b.doc_id
+         |), occ AS (
+         |  SELECT span, COUNT(*) AS occ FROM spans GROUP BY span
+         |), kept AS (
+         |  SELECT s.doc_id, s.pos, s.span
+         |  FROM spans s JOIN occ o ON s.span = o.span
+         |  WHERE o.occ = 1
+         |), re AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(span, ' ' ORDER BY pos) AS kept_text
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT b.doc_id, b.n_spans,
+         |  coalesce(re.n_kept, 0) AS n_kept,
+         |  md5(coalesce(re.kept_text, '')) AS kept_md5
+         |FROM base b LEFT JOIN re ON b.doc_id = re.doc_id
+         |ORDER BY b.doc_id ASC NULLS LAST""".stripMargin,
+
+    "q_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://www.' || source || '.example.' ||
+        |    (CASE lang WHEN 'de' THEN 'de' WHEN 'es' THEN 'es'
+        |      WHEN 'fr' THEN 'fr' WHEN 'zh' THEN 'cn' ELSE 'com' END) ||
+        |    '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) ||
+        |    '?ref=r' || CAST(doc_id % 7 AS VARCHAR) AS url
+        |  FROM documents
+        |)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]ref=([^&]+)', 1) AS ref
+        |FROM u ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  )
+}

@@ -378,7 +378,10 @@ object TextOps {
     * (8 hashes, 4 bands of 2, threshold 0.7) — same md5 signature/band
     * math as [[minhashOracle]], then the band-bucket pair join and exact
     * token-set Jaccard verify. */
-  private def dedupPairsOracle: String = {
+  /** The q_dedup_pairs oracle WITHOUT its final ORDER BY, reusable as a
+    * parenthesized subquery (e.g. the edge source of the
+    * [[Corpus]] q_dedup_clusters oracle). */
+  def dedupPairsSubquery: String = {
     val sigCols = (0 until NumHashes)
       .map(i => s"${MinHash.sqlSig(i)} AS sig_$i").mkString(",\n    ")
     val bandList = (0 until NumBands)
@@ -410,9 +413,12 @@ object TextOps {
        |      AS DOUBLE) / len(list_distinct(a.toks || b.toks)) AS jaccard
        |  FROM cand c JOIN t a ON a.id = c.id_a JOIN t b ON b.id = c.id_b
        |)
-       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7
-       |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7""".stripMargin
   }
+
+  private def dedupPairsOracle: String =
+    dedupPairsSubquery +
+      "\nORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"
 
   private def langidOracle: String = {
     val scoreCols = markers.toSeq.sortBy(_._1).map { case (lang, words) =>

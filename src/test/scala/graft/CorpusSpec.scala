@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, TextDedup}
+
+/** Corpus-level operators: dedup clustering, decontamination, span dedup,
+  * URL parsing. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_dedup_clusters labels are a fixed point and respect the edges") {
+    val out = Corpus.queries("q_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = TextDedup.nearDuplicates(Tables.table(spark, sf, "documents"))
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every edge endpoint got a label; both ends agree after ClusterIters
+    // rounds (i.e. the iteration count converged on this corpus) — if a
+    // future fixture has a longer-diameter component this catches it
+    pairs.foreach { case (a, b) =>
+      assert(out.contains(a) && out.contains(b))
+      assert(out(a) == out(b), s"edge ($a,$b) straddles clusters")
+    }
+    // a cluster's label is the minimum id among its members
+    out.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl,
+        s"cluster $lbl: min member ${members.keys.min}")
+    }
+    // survivor flag = exactly one per cluster, the representative
+    val surv = Corpus.queries("q_dedup_clusters")(spark, sf)
+      .filter(col("survivor")).collect().map(_.getLong(0)).toSet
+    assert(surv == out.values.toSet)
+  }
+
+  test("q_decontaminate flags planted eval overlap and only that") {
+    val out = Corpus.queries("q_decontaminate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // train split only (doc_id % 5 != 0), hits bounded by gram count
+    out.foreach { case (id, nGrams, nHits, contaminated) =>
+      assert(id % 5 != 0, s"eval doc $id in train output")
+      assert(nHits <= nGrams)
+      assert(contaminated == (nHits > 0))
+    }
+    // ground truth on a small slice: doc 1's grams vs the eval gram set,
+    // computed independently with plain Scala
+    def grams(text: String): Set[String] = {
+      val t = text.split(" ")
+      if (t.length < Corpus.GramTokens) Set.empty
+      else t.sliding(Corpus.GramTokens).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val evalGrams = docs.collect {
+      case (id, tx) if id % 5 == 0 && tx != null => grams(tx)
+    }.flatten.toSet
+    out.foreach { case (id, _, nHits, _) =>
+      val expected = grams(docs(id)).count(evalGrams.contains)
+      assert(nHits == expected, s"doc $id: $nHits vs true $expected")
+    }
+  }
+
+  test("q_dedup_spans drops exactly the corpus-repeated spans") {
+    val out = Corpus.queries("q_dedup_spans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent ground truth in plain Scala
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._2 != null)
+    def spans(text: String): Seq[String] =
+      text.split(" ").grouped(Corpus.SpanTokens).map(_.mkString(" ")).toSeq
+    val occ = docs.flatMap(d => spans(d._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val truth = docs.map { case (id, tx) =>
+      val sp = spans(tx)
+      id -> (sp.length.toLong, sp.count(s => occ(s) == 1).toLong)
+    }.toMap
+    out.foreach { case (id, nSpans, nKept) =>
+      val (tSpans, tKept) = truth(id)
+      assert(nSpans == tSpans && nKept == tKept,
+        s"doc $id: ($nSpans,$nKept) vs ($tSpans,$tKept)")
+    }
+  }
+
+  test("q_url_parse splits host/path/ref consistently") {
+    val out = Corpus.queries("q_url_parse")(spark, sf).collect()
+    out.foreach { r =>
+      val (url, host, path, ref) =
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4))
+      assert(url == s"https://$host$path?ref=$ref", s"$url parsed wrong")
+      assert(host.startsWith("www.") && host.contains(".example."))
+    }
+  }
+}
+
+/** Keeps Corpus' oracle map aligned with its query map. */
+class CorpusContractSpec extends AnyFunSuite {
+  test("every Corpus query has an oracle") {
+    assert(Corpus.oracle.keySet == Corpus.queries.keySet)
+  }
+}
