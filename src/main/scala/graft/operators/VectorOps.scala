@@ -256,6 +256,67 @@ object VectorOps {
         .limit(10)
     }),
 
+    // Int8 scalar quantization (the embedding-store compression step):
+    // per-vector max-abs scale, symmetric round-half-up to [-127, 127],
+    // plus the exact integer reconstruction-error sum. Every element is
+    // routed through the proven exact-integer encoding (DOUBLE →
+    // DECIMAL(18,7) → scaled BIGINT, as in Det.arrCsv), so scale, codes
+    // and error are integer arithmetic finished by ONE IEEE-exact double
+    // division — deterministic on both engines. Pure narrow map: the
+    // 100 TB shape is one pass, no shuffle.
+    "q_embed_quantize" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .withColumn("ints", expr(
+          "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
+            "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
+        .withColumn("mx", expr("array_max(transform(ints, v -> abs(v)))"))
+        .withColumn("q", expr(
+          "CASE WHEN mx = 0 THEN NULL ELSE transform(ints, v -> " +
+            "CAST(floor(CAST(v * 127 AS DOUBLE) / CAST(mx AS DOUBLE) " +
+            "+ 0.5D) AS BIGINT)) END"))
+        .withColumn("err", expr(
+          "CASE WHEN mx = 0 THEN NULL ELSE " +
+            "aggregate(zip_with(ints, q, (v, w) -> abs(v * 127 - w * mx)), " +
+            "CAST(0 AS BIGINT), (a, x) -> a + x) END"))
+        .select(col("vec_id"), col("mx"),
+          expr("concat_ws(',', transform(q, x -> CAST(x AS STRING)))")
+            .as("q_csv"),
+          col("err"))
+        .orderBy(asc_nulls_last("vec_id"))),
+
+    // One k-means (Lloyd) iteration over the IVF centroids: assign every
+    // vector to its max-cosine centroid (same broadcast-k + window-top-1
+    // shape as q_ann_ivf), then recompute per-(cluster, dim) means with
+    // the exact-decimal average so the update is partition-order-
+    // invariant. 8 clusters × 64 dims = 512 rows out. Scale: assignment
+    // is a narrow broadcast pass; the update is ONE shuffle of slim
+    // (cluster, dim, x) rows with map-side partial aggregation — the
+    // canonical distributed k-means step.
+    "q_kmeans_iter" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = broadcast(e.filter(col("vec_id") < IvfCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+          lit(1).as("_one")))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(desc_nulls_last("cdot"), asc_nulls_last("cid"))
+      val clusters = e.withColumn("_one", lit(1))
+        .join(cents, "_one")
+        .withColumn("cdot", fastDot(s, "embedding", "cemb"))
+        .select("vec_id", "cid", "cdot")
+        .withColumn("_rn", row_number().over(wAssign))
+        .filter(col("_rn") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"))
+      clusters.join(e, "vec_id")
+        .select(col("cluster"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(count(lit(1)).as("n_vecs"),
+          graft.Det.davg(col("x").cast("double"), 7).as("mean"))
+        .select(col("cluster"), col("pos").cast("long").as("pos"),
+          col("n_vecs"), col("mean"))
+        .orderBy(asc_nulls_last("cluster"), asc_nulls_last("pos"))
+    }),
+
     // Multimodal join: text metadata ⋈ vector stats on doc_id == vec_id.
     "q_multimodal_join" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -391,6 +452,60 @@ object VectorOps {
         |    source := coalesce(source, '<null>'))) AS VARCHAR) AS meta,
         |  n_chars, CAST(len(embedding) AS BIGINT) AS dim, label
         |FROM documents JOIN embeddings ON doc_id = vec_id
-        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+        |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH t AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) * 10000000
+        |      AS BIGINT)) AS ints
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, ints,
+        |    list_max(list_transform(ints, v -> abs(v))) AS mx
+        |  FROM t
+        |), qq AS (
+        |  SELECT vec_id, ints, mx,
+        |    CASE WHEN mx = 0 THEN NULL ELSE
+        |      list_transform(ints, v -> CAST(floor(CAST(v * 127 AS DOUBLE)
+        |        / CAST(mx AS DOUBLE) + 0.5) AS BIGINT)) END AS q
+        |  FROM m
+        |)
+        |SELECT vec_id, mx,
+        |  CASE WHEN mx = 0 THEN NULL ELSE
+        |    list_aggr(list_transform(q, x -> CAST(x AS VARCHAR)),
+        |      'string_agg', ',') END AS q_csv,
+        |  CASE WHEN mx = 0 THEN NULL ELSE
+        |    CAST(list_sum(list_transform(list_zip(ints, q),
+        |      p -> abs(p[1] * 127 - p[2] * mx))) AS BIGINT) END AS err
+        |FROM qq ORDER BY vec_id ASC NULLS LAST""".stripMargin,
+
+    // Mirrors the Lloyd-step phases: exact-decimal assignment argmax (the
+    // Spark side pre-ranks with the fast double dot — identical selection,
+    // see the q_ann_ivf note), then the exact-decimal per-dim average.
+    "q_kmeans_iter" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < $IvfCentroids
+         |), a AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${sqlDot("e.embedding", "c.cemb")} AS cdot
+         |  FROM embeddings e, cents c
+         |), cl AS (
+         |  SELECT vec_id, cid AS cluster FROM a
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cdot DESC, cid ASC) = 1
+         |), x AS (
+         |  SELECT cl.cluster, e.i - 1 AS pos,
+         |    CAST(e.embedding[e.i] AS DOUBLE) AS x
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(1, 64)) AS i
+         |        FROM embeddings) e
+         |  JOIN cl ON e.vec_id = cl.vec_id
+         |)
+         |SELECT cluster, CAST(pos AS BIGINT) AS pos,
+         |  COUNT(*) AS n_vecs, ${graft.Det.sqlDavg("x", 7)} AS mean
+         |FROM x GROUP BY cluster, pos
+         |ORDER BY cluster ASC NULLS LAST, pos ASC NULLS LAST""".stripMargin
   )
 }

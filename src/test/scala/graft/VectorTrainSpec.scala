@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps
+
+/** Embedding quantization + k-means step: ground truth recomputed in
+  * plain Scala with the same exact-integer arithmetic. */
+class VectorTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def intsOf(emb: Seq[Float]): Seq[Long] = emb.map { x =>
+    BigDecimal(x.toDouble).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+      .*(BigDecimal(10000000)).toLong
+  }
+
+  test("q_embed_quantize matches exact-integer ground truth") {
+    val out = VectorOps.queries("q_embed_quantize")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    val embs = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    embs.foreach { case (id, emb) =>
+      val ints = intsOf(emb)
+      val mx = ints.map(math.abs).max
+      val q = ints.map(v => math.floor(v * 127.0 / mx + 0.5).toLong)
+      val err = ints.zip(q).map { case (v, w) => math.abs(v * 127 - w * mx) }.sum
+      val (oMx, oCsv, oErr) = out(id)
+      assert(oMx == mx && oErr == err, s"vec $id scale/err mismatch")
+      assert(oCsv == q.mkString(","), s"vec $id codes mismatch")
+      q.foreach(c => assert(c >= -127 && c <= 127))
+    }
+  }
+
+  test("q_kmeans_iter assigns by argmax cosine and averages exactly") {
+    val out = VectorOps.queries("q_kmeans_iter")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val embs = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val cents = embs.filter(_._1 < 8).sortBy(_._1)
+    // brute-force assignment with double dots (ties impossible on the
+    // fixtures; the declared query's fast-vs-exact note covers this)
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val assign = embs.map { case (id, e) =>
+      id -> cents.maxBy { case (cid, c) => (dot(e, c), -cid.toDouble) }._1
+    }.toMap
+    // per-(cluster, dim) counts and exact-decimal means
+    val byCluster = embs.groupBy { case (id, _) => assign(id) }
+    byCluster.foreach { case (cid, members) =>
+      (0 until 64).foreach { pos =>
+        val vals = members.map(_._2(pos))
+        val sumDec = vals.map(x => BigDecimal(x.toDouble)
+          .setScale(7, BigDecimal.RoundingMode.HALF_UP)).sum
+        val mean = sumDec.toDouble / vals.size
+        val (n, m) = out((cid, pos.toLong))
+        assert(n == vals.size, s"cluster $cid pos $pos count")
+        assert(m == mean, s"cluster $cid pos $pos mean $m vs $mean")
+      }
+    }
+    // every (cluster, pos) row accounted for
+    assert(out.size == byCluster.size * 64)
+  }
+}
