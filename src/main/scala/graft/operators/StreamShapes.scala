@@ -59,6 +59,13 @@ object StreamShapes {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  /** Stream-static dimension enrichment, shared by the declared batch
+    * twin and the streaming parity test: the dim side is broadcast, so a
+    * streaming caller joins each micro-batch without state. */
+  def staticEnrich(events: DataFrame, nation: DataFrame): DataFrame =
+    events.join(broadcast(nation),
+      events("user_id") % 25 === nation("n_nationkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> ((s, d) =>
       tumbling(t(s, d, "events"))
@@ -121,6 +128,20 @@ object StreamShapes {
           asc_nulls_last("v_id"))
     }),
 
+    // Batch twin of the STREAM-STATIC enrichment join (the reference's
+    // lookup task against a dimension table): events ⋈ broadcast nation
+    // on user_id % 25, aggregated per nation. In streaming the static
+    // side joins each micro-batch with no watermark or state — the
+    // standard dimension-enrichment shape; at 100 TB/day the dim stays a
+    // broadcast and the stream never shuffles for the join. Streaming
+    // parity: StreamJoinSpec "stream-static broadcast enrichment".
+    "q_stream_static_join" -> ((s, d) =>
+      staticEnrich(t(s, d, "events"), t(s, d, "nation"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_events"),
+          Det.dsum(col("value")).as("sum_value"))
+        .orderBy(asc_nulls_last("n_name"))),
+
     // Deterministic replay-dedup (the bus is at-least-once in the
     // reference): keep the first event per (user_id, event_type) by
     // (ts, event_id). Streaming twin: dropDuplicatesWithinWatermark.
@@ -161,6 +182,13 @@ object StreamShapes {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_static_join" ->
+      s"""SELECT n.n_name, COUNT(*) AS n_events,
+         |  ${Det.sqlDsum("e.value")} AS sum_value
+         |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+         |GROUP BY n.n_name
+         |ORDER BY n_name ASC NULLS LAST""".stripMargin,
+
     "q_stream_tumbling" ->
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS wstart,
          |  event_type, COUNT(*) AS n, ${Det.sqlDsum("value")} AS sum_value

@@ -106,6 +106,39 @@ class StreamJoinSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("stream-static broadcast enrichment matches the batch twin " +
+      "row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    val nation = Tables.table(spark, sf, "nation")
+    val mem = MemoryStream[LeftEv]
+    val evs = Seq(
+      LeftEv(3, ts("2024-01-01 10:00:00"), 50.0),
+      LeftEv(28, ts("2024-01-01 11:00:00"), 60.0), // 28 % 25 = key 3 too
+      LeftEv(7, ts("2024-01-01 12:00:00"), 70.0))
+    mem.addData(evs: _*)
+    val name = s"ssenr_${System.nanoTime()}"
+    // same builder as the declared batch query, driven by a stream: the
+    // static side needs no watermark and holds no state
+    val q = graft.operators.StreamShapes.staticEnrich(
+        mem.toDF().withColumnRenamed("user", "user_id"), nation)
+      .select("user_id", "amount", "n_name")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(name).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    val batch = graft.operators.StreamShapes.staticEnrich(
+        evs.toDF().withColumnRenamed("user", "user_id"), nation)
+      .select("user_id", "n_name").orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == batch && got.size == 3)
+    // users 3 and 28 land on the same nation key (mod-25 fold)
+    val byUser = got.toMap
+    assert(byUser(3L) == byUser(28L))
+  }
+
   test("report sink publishes both main and side outputs per batch (R15)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_rep").toString
     implicit val sqlCtx = spark.sqlContext
