@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Event-stream analytics over the bus-event table — the product-side
+  * questions a workflow/event engine answers about its own traffic:
+  *
+  *  - `q_funnel`: ordered-stage conversion (signup → click → purchase,
+  *    each stage strictly after the previous one's FIRST occurrence);
+  *  - `q_retention`: cohort retention (first-seen day × day-offset
+  *    activity grid);
+  *  - `q_resample_ffill`: per-user daily resampling with
+  *    forward-fill — the gap-filling step of feature/time-series
+  *    pipelines.
+  *
+  * Determinism: stage times are MINs of microsecond-floored timestamps,
+  * retention cells are integer counts, and the daily values are exact
+  * decimal sums (graft.Det) — nothing depends on partition order. The
+  * forward-fill window is `last(ignoreNulls)` over ROWS UNBOUNDED
+  * PRECEDING with a unique (user, day) ordering, mirrored by DuckDB's
+  * `last_value(x IGNORE NULLS)` over the same frame.
+  *
+  * Scale: every query aggregates to per-user grain first (one shuffle on
+  * user_id, partial aggregation absorbing hot users), then joins
+  * user-grain frames that are co-partitioned by construction. The spine
+  * explode in the resample is bounded by the observed per-user date span.
+  */
+object EventAnalytics {
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered conversion funnel. Stages must happen in sequence: the
+    // click must be at-or-after the user's FIRST signup, the purchase
+    // at-or-after the first qualifying click. min() of a microsecond
+    // timestamp is deterministic regardless of event ties.
+    "q_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val users = ev.select("user_id").distinct()
+      val sStage = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("s_ts"))
+      val cStage = ev.filter(col("event_type") === "click")
+        .join(sStage, "user_id")
+        .filter(col("ts") >= col("s_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val pStage = ev.filter(col("event_type") === "purchase")
+        .join(cStage, "user_id")
+        .filter(col("ts") >= col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      users
+        .join(sStage, Seq("user_id"), "left")
+        .join(cStage, Seq("user_id"), "left")
+        .join(pStage, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("s_ts").isNull, 0L)
+            .when(col("c_ts").isNull, 1L)
+            .when(col("p_ts").isNull, 2L)
+            .otherwise(3L))
+        .select("user_id", "s_ts", "c_ts", "p_ts", "stage")
+        .orderBy(asc_nulls_last("user_id"))
+    }),
+
+    // Cohort retention: users grouped by first-seen day; a cohort cell
+    // (cohort_day, day_offset) counts the distinct users active exactly
+    // offset days after their first day. Bounded to offsets 0-14 so the
+    // output is a fixed small grid at any corpus size.
+    "q_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val active = ev.distinct()
+      active.join(first, "user_id")
+        .withColumn("day_offset",
+          datediff(col("day"), col("cohort_day")).cast("long"))
+        .filter(col("day_offset").between(0, 14))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy(asc_nulls_last("cohort_day"), asc_nulls_last("day_offset"))
+    }),
+
+    // Daily resample + forward fill: per-user day spine over the user's
+    // observed span, daily exact-decimal value sums, gaps carried forward
+    // from the last observed day.
+    "q_resample_ffill" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(Det.dsum(col("value")).as("dval"))
+      val spine = ev.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled", last(col("dval"), ignoreNulls = true).over(w))
+        .select("user_id", "day", "dval", "filled")
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("day"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |), s AS (
+        |  SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        |  GROUP BY e.user_id
+        |)
+        |SELECT u.user_id, s.s_ts, c.c_ts, p.p_ts,
+        |  CAST(CASE WHEN s.s_ts IS NULL THEN 0
+        |    WHEN c.c_ts IS NULL THEN 1
+        |    WHEN p.p_ts IS NULL THEN 2 ELSE 3 END AS BIGINT) AS stage
+        |FROM u
+        |LEFT JOIN s ON u.user_id = s.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id ASC NULLS LAST""".stripMargin,
+
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+        |)
+        |SELECT f.cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, ev.day) AS BIGINT)
+        |    AS day_offset,
+        |  COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN f ON ev.user_id = f.user_id
+        |WHERE date_diff('day', f.cohort_day, ev.day) BETWEEN 0 AND 14
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day ASC NULLS LAST, day_offset ASC NULLS LAST"""
+        .stripMargin,
+
+    "q_resample_ffill" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+         |), daily AS (
+         |  SELECT user_id, day, ${Det.sqlDsum("value")} AS dval
+         |  FROM ev GROUP BY user_id, day
+         |), span AS (
+         |  SELECT user_id, min(day) AS d0, max(day) AS d1
+         |  FROM ev GROUP BY user_id
+         |), spine AS (
+         |  SELECT user_id, CAST(unnest(generate_series(
+         |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+         |    INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM span
+         |), j AS (
+         |  SELECT s.user_id, s.day, d.dval
+         |  FROM spine s LEFT JOIN daily d
+         |    ON s.user_id = d.user_id AND s.day = d.day
+         |)
+         |SELECT user_id, day, dval,
+         |  last_value(dval IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS filled
+         |FROM j
+         |ORDER BY user_id ASC NULLS LAST, day ASC NULLS LAST""".stripMargin
+  )
+}

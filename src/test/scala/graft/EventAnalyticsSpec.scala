@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.EventAnalytics
+
+/** Funnel / retention / resample-ffill against plain-Scala ground truth
+  * recomputed from the fixture events. */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events: Seq[(Long, Timestamp, String, Double)] =
+    Tables.table(spark, sf, "events")
+      .select("user_id", "ts", "event_type", "value")
+      .as[(Long, Timestamp, String, Double)].collect().toSeq
+
+  test("q_funnel stages are ordered and match brute force") {
+    val out = EventAnalytics.queries("q_funnel")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3)), r.getLong(4))).toMap
+    val byUser = events.groupBy(_._1)
+    assert(out.keySet == byUser.keySet)
+    byUser.foreach { case (uid, evs) =>
+      val s = evs.filter(_._3 == "signup").map(_._2).sortBy(_.getTime)
+        .headOption
+      val c = s.flatMap(st => evs.filter(e => e._3 == "click"
+        && !e._2.before(st)).map(_._2).sortBy(_.getTime).headOption)
+      val p = c.flatMap(ct => evs.filter(e => e._3 == "purchase"
+        && !e._2.before(ct)).map(_._2).sortBy(_.getTime).headOption)
+      val stage = if (s.isEmpty) 0 else if (c.isEmpty) 1
+        else if (p.isEmpty) 2 else 3
+      val (os, oc, op, ost) = out(uid)
+      assert(os == s && oc == c && op == p && ost == stage,
+        s"user $uid funnel mismatch")
+      // ordering invariant: each stage at-or-after the previous
+      for (st <- os; ct <- oc) assert(!ct.before(st))
+      for (ct <- oc; pt <- op) assert(!pt.before(ct))
+    }
+  }
+
+  test("q_retention offset-0 cohorts partition the user base") {
+    val out = EventAnalytics.queries("q_retention")(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // every user is active on their own first day, so summing the
+    // offset-0 cells over all cohorts counts each user exactly once
+    val day0Total = out.collect { case ((_, 0L), n) => n }.sum
+    assert(day0Total == events.map(_._1).distinct.size)
+    // retention can never exceed the cohort's day-0 size
+    out.foreach { case ((cohort, off), n) =>
+      assert(n <= out((cohort, 0L)), s"cohort $cohort offset $off grows")
+    }
+  }
+
+  test("q_resample_ffill fills gaps with the last observed day") {
+    val out = EventAnalytics.queries("q_resample_ffill")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString,
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // spine is contiguous: first and last day observed, no null filled
+      // after the first day (offset 0 always has a value)
+      assert(sorted.head._3.isDefined)
+      var lastSeen: Option[Double] = None
+      sorted.foreach { case (_, _, dval, filled) =>
+        if (dval.isDefined) lastSeen = dval
+        assert(filled == lastSeen)
+      }
+    }
+  }
+}
