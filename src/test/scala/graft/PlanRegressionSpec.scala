@@ -103,7 +103,11 @@ class PlanRegressionSpec extends SparkSpec {
     // constant key (docfreq/tfidf corpus count, simsearch probe) or an
     // explicitly filtered verify stage (dedup_embed)
     val allowed = Set("q_dedup_embed", "q_simsearch_topk", "q_ann_ivf",
-      "q_text_docfreq", "q_text_tfidf")
+      "q_text_docfreq", "q_text_tfidf",
+      // broadcast-k centroid assignment: the equi-key is a constant, so
+      // Catalyst folds it away and the join is a k-row broadcast — linear
+      // in the corpus, bounded by k, same as q_ann_ivf's assignment
+      "q_kmeans_iter")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
