@@ -56,23 +56,28 @@ object Corpus {
     "q_dedup_clusters" -> ((s, d) => {
       val pairs = TextDedup.nearDuplicates(t(s, d, "documents"))
         .select("id_a", "id_b")
-      val edges = pairs
-        .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-        .toDF("src", "dst")
+      // symmetric expansion IN-ROW (explode of both directions), not a
+      // union of two branches — a union would evaluate the whole LSH
+      // subtree twice before the persist can help
+      val sym = pairs
+        .select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select("e.src", "e.dst")
         .persist()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id"))
+      val nodes = sym.select(col("src")).distinct()
+      // self-loops make each round a SINGLE join + groupBy:
+      // lbl'(v) = min over (adj(v) ∪ {v}) of lbl — no left join, no
+      // coalesce, half the per-round shuffles
+      val edges = sym
+        .union(nodes.select(col("src"), col("src").as("dst")))
         .persist()
+      var labels = nodes.select(col("src").as("id"), col("src").as("lbl"))
       for (_ <- 1 to ClusterIters) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")),
-            "dst")
-          .groupBy("src").agg(min("nlbl").as("nbr_min"))
-          .withColumnRenamed("src", "id")
-        labels = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("nbr_min"), col("lbl")))
-              .as("lbl"))
+        labels = edges
+          .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+          .groupBy("src").agg(min("lbl").as("lbl"))
+          .select(col("src").as("id"), col("lbl"))
           .persist()
       }
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
@@ -169,21 +174,25 @@ object Corpus {
   private def clustersOracle: String = {
     val iters = (1 to ClusterIters).map { k =>
       s"""l$k AS (
-         |  SELECT l.id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
-         |  FROM l${k - 1} l
-         |  LEFT JOIN edges e ON e.src = l.id
-         |  LEFT JOIN l${k - 1} n ON n.id = e.dst
-         |  GROUP BY l.id, l.lbl
+         |  SELECT e.src AS id, min(l.lbl) AS lbl
+         |  FROM edges e JOIN l${k - 1} l ON l.id = e.dst
+         |  GROUP BY e.src
          |)"""
     }.mkString(", ")
     s"""WITH pairs AS (
        |${TextOps.dedupPairsSubquery}
-       |), edges AS (
+       |), e0 AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL
        |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), n AS (
+       |  SELECT DISTINCT src FROM e0
+       |), edges AS (
+       |  SELECT src, dst FROM e0
+       |  UNION ALL
+       |  SELECT src, src FROM n
        |), l0 AS (
-       |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+       |  SELECT src AS id, src AS lbl FROM n
        |), $iters
        |SELECT id AS doc_id, lbl AS cluster, id = lbl AS survivor
        |FROM l$ClusterIters
