@@ -81,9 +81,10 @@ object Bench {
     "q_stream_sliding" -> "st_sld", "q_filter_predicate" -> "filt",
     "q_percentile_exact" -> "pct_x", "q_explode_outer" -> "exo",
     "q_median_exact" -> "med_x", "q_window_first_last" -> "w_fl",
-    "q_embed_quantize" -> "equant", "q_kmeans_iter" -> "kmeans",
-    "q_stream_static_join" -> "st_stj", "q_retention" -> "retn",
-    "q_resample_ffill" -> "ffill")
+    "q_embed_quantize" -> "eqnt", "q_kmeans_iter" -> "kmns",
+    "q_stream_static_join" -> "ststj", "q_retention" -> "retn",
+    "q_resample_ffill" -> "ffill", "q_vocab_per_lang" -> "vocab",
+    "q_source_quota" -> "sqta", "q_anomaly_mad" -> "mad")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

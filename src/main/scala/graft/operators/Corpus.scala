@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -149,6 +150,42 @@ object Corpus {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // Per-language vocabulary build: token frequencies per language with
+    // contiguous per-language ids by (freq DESC, token ASC) — the
+    // tokenizer-vocab initialization shape. The ranking window partitions
+    // by lang, so no global sequential funnel exists; at 100 TB each
+    // language ranks independently after one (lang, tok) shuffle with
+    // map-side partial counts.
+    "q_vocab_per_lang" -> ((s, d) => {
+      val tf = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang")
+        .orderBy(desc_nulls_last("n"), asc_nulls_last("tok"))
+      tf.withColumn("vocab_id", row_number().over(w).cast("long"))
+        .filter(col("vocab_id") <= 100)
+        .select("lang", "vocab_id", "tok", "n")
+        .orderBy(asc_nulls_last("lang"), asc_nulls_last("vocab_id"))
+    }),
+
+    // Source-quota sampling (corpus balancing): keep at most 20 docs per
+    // source, chosen by seed-free md5 order so the selection is
+    // partitioning- and cluster-layout-invariant; membership proven to
+    // the oracle by the kept-id checksum. Per-source window + one
+    // groupBy — the per-group variant of q_sample_stratified.
+    "q_source_quota" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")).asc_nulls_last,
+          asc_nulls_last("doc_id"))
+      t(s, d, "documents")
+        .withColumn("rk", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("rk") <= 20, 1)).as("n_kept"),
+          sum(when(col("rk") <= 20, col("doc_id"))).as("kept_id_sum"))
+        .orderBy(asc_nulls_last("source"))
+    }),
+
     // URL structure extraction: a synthetic-but-realistic URL per document
     // (host varies by source and language TLD), parsed back with the SAME
     // regexes on both engines (DuckDB 1.0 has no parse_url, so regexes are
@@ -262,6 +299,37 @@ object Corpus {
          |  md5(coalesce(re.kept_text, '')) AS kept_md5
          |FROM base b LEFT JOIN re ON b.doc_id = re.doc_id
          |ORDER BY b.doc_id ASC NULLS LAST""".stripMargin,
+
+    "q_vocab_per_lang" ->
+      """WITH tf AS (
+        |  SELECT lang, tok, COUNT(*) AS n FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE text IS NOT NULL
+        |  ) GROUP BY lang, tok
+        |), r AS (
+        |  SELECT lang, tok, n,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n DESC NULLS LAST, tok ASC NULLS LAST) AS BIGINT)
+        |      AS vocab_id
+        |  FROM tf
+        |)
+        |SELECT lang, vocab_id, tok, n FROM r WHERE vocab_id <= 100
+        |ORDER BY lang ASC NULLS LAST, vocab_id ASC NULLS LAST""".stripMargin,
+
+    "q_source_quota" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC NULLS LAST,
+        |        doc_id ASC NULLS LAST) AS rk
+        |  FROM documents
+        |)
+        |SELECT source, COUNT(*) AS n_total,
+        |  COUNT(CASE WHEN rk <= 20 THEN 1 END) AS n_kept,
+        |  CAST(SUM(CASE WHEN rk <= 20 THEN doc_id END) AS BIGINT)
+        |    AS kept_id_sum
+        |FROM r GROUP BY source
+        |ORDER BY source ASC NULLS LAST""".stripMargin,
 
     "q_url_parse" ->
       """WITH u AS (

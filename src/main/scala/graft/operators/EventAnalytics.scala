@@ -80,6 +80,41 @@ object EventAnalytics {
         .orderBy(asc_nulls_last("cohort_day"), asc_nulls_last("day_offset"))
     }),
 
+    // Robust outlier gate: per event type, exact median + exact median
+    // absolute deviation (the window-rank median formulation proven by
+    // q_median_exact, applied twice), then count events beyond 3×MAD.
+    // Every float op is either the proven decimal-sum average or ONE
+    // IEEE subtraction/multiply of identically-derived doubles — same
+    // bits on both engines. Two windowed passes + two slim aggregates,
+    // all partitioned by event_type.
+    "q_anomaly_mad" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = t(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+      val wn = Window.partitionBy("event_type")
+      def median(df: DataFrame, c: String, scale: Int, as: String) = {
+        val wv = Window.partitionBy("event_type")
+          .orderBy(asc_nulls_last(c), asc_nulls_last("event_id"))
+        df.withColumn("rn", row_number().over(wv))
+          .withColumn("n", count(lit(1)).over(wn))
+          .filter(col("rn") === floor((col("n") + 1) / 2)
+            || col("rn") === floor((col("n") + 2) / 2))
+          .groupBy("event_type")
+          .agg((sum(col(c).cast(DecimalType(18, scale))).cast("double")
+            / count(lit(1))).as(as))
+      }
+      val med = median(ev, "value", 4, "med")
+      val dev = ev.join(med, "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = median(dev, "adev", 7, "mad")
+      dev.join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("adev") > col("mad") * 3, 1)).as("n_outliers"))
+        .select("event_type", "n_events", "med", "mad", "n_outliers")
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
     // Daily resample + forward fill: per-user day spine over the user's
     // observed span, daily exact-decimal value sums, gaps carried forward
     // from the last observed day.
@@ -145,6 +180,44 @@ object EventAnalytics {
         |GROUP BY 1, 2
         |ORDER BY cohort_day ASC NULLS LAST, day_offset ASC NULLS LAST"""
         .stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, value FROM events
+        |), r1 AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC NULLS LAST, event_id ASC NULLS LAST) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev
+        |), med AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |      AS med
+        |  FROM r1 WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+        |  GROUP BY event_type
+        |), dev AS (
+        |  SELECT e.event_type, e.event_id, e.value,
+        |    abs(e.value - m.med) AS adev, m.med
+        |  FROM ev e JOIN med m USING (event_type)
+        |), r2 AS (
+        |  SELECT event_type, adev, med,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY adev ASC NULLS LAST, event_id ASC NULLS LAST) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev
+        |), mad AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(adev AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*)
+        |      AS mad
+        |  FROM r2 WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+        |  GROUP BY event_type
+        |)
+        |SELECT d.event_type, COUNT(*) AS n_events, d.med, m.mad,
+        |  COUNT(CASE WHEN d.adev > m.mad * 3 THEN 1 END) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type, d.med, m.mad
+        |ORDER BY d.event_type ASC NULLS LAST""".stripMargin,
 
     "q_resample_ffill" ->
       s"""WITH ev AS (

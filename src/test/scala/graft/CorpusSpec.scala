@@ -84,6 +84,44 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q_vocab_per_lang ids are contiguous and frequency-ordered") {
+    val rows = Corpus.queries("q_vocab_per_lang")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (lang, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"$lang ids not contiguous")
+      // frequency non-increasing along ids; ties broken by token asc
+      sorted.sliding(2).foreach {
+        case Array((_, _, t1, n1), (_, _, t2, n2)) =>
+          assert(n1 > n2 || (n1 == n2 && t1 < t2),
+            s"$lang order broken at $t1/$t2")
+        case _ =>
+      }
+    }
+  }
+
+  test("q_source_quota keeps exactly min(20, total) per source with a " +
+      "reproducible selection") {
+    val out = Corpus.queries("q_source_quota")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.table(spark, sf, "documents")
+      .select("source", "doc_id").as[(String, Long)].collect()
+    val bySource = docs.groupBy(_._1)
+    out.foreach { case (src, nTotal, nKept, keptSum) =>
+      val ids = bySource(src).map(_._2)
+      assert(nTotal == ids.length)
+      assert(nKept == math.min(20, ids.length))
+      // brute-force the same md5 ordering
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expect = ids.sortBy(id => (md5hex(id.toString), id))
+        .take(20).sum
+      assert(keptSum == expect, s"$src checksum")
+    }
+  }
+
   test("q_url_parse splits host/path/ref consistently") {
     val out = Corpus.queries("q_url_parse")(spark, sf).collect()
     out.foreach { r =>

@@ -53,6 +53,31 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_anomaly_mad matches brute-force median/MAD and outlier counts") {
+    val out = EventAnalytics.queries("q_anomaly_mad")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    def medianOf(xs: Seq[Double], scale: Int): Double = {
+      val s = xs.sorted
+      val n = s.length
+      val picked =
+        if (n % 2 == 1) Seq(s(n / 2)) else Seq(s(n / 2 - 1), s(n / 2))
+      val dec = picked.map(BigDecimal(_)
+        .setScale(scale, BigDecimal.RoundingMode.HALF_UP)).sum
+      dec.toDouble / picked.size
+    }
+    events.groupBy(_._3).foreach { case (tpe, evs) =>
+      val vals = evs.map(_._4)
+      val med = medianOf(vals, 4)
+      val mad = medianOf(vals.map(v => math.abs(v - med)), 7)
+      val outliers = vals.count(v => math.abs(v - med) > mad * 3)
+      val (n, oMed, oMad, oOut) = out(tpe)
+      assert(n == vals.size)
+      assert(oMed == med && oMad == mad, s"$tpe med/mad")
+      assert(oOut == outliers, s"$tpe outliers")
+    }
+  }
+
   test("q_resample_ffill fills gaps with the last observed day") {
     val out = EventAnalytics.queries("q_resample_ffill")(spark, sf)
       .collect()
