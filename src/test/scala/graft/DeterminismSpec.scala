@@ -18,7 +18,11 @@ class DeterminismSpec extends SparkSpec {
     "q_percentile_exact", // interpolated percentiles from window ranks
     "q_ann_neighbors",   // decimal_dot rerank + window top-k boundaries
     "q_dedup_pairs",     // band-bucket pair pipeline + jaccard doubles
-    "q_skew_salted_agg") // salted two-phase aggregation identity
+    "q_skew_salted_agg", // salted two-phase aggregation identity
+    "q_anomaly_mad",     // median/MAD chain with one IEEE subtraction
+    "q_resample_ffill",  // daily decimal sums + running forward fill
+    "q_kmeans_iter",     // per-(cluster,dim) decimal means
+    "q_dedup_clusters")  // iterative min-label propagation
 
   sensitive.foreach { name =>
     test(s"$name is identical at shuffle.partitions 3 vs 13") {
