@@ -84,7 +84,24 @@ object Bench {
     "q_embed_quantize" -> "eqnt", "q_kmeans_iter" -> "kmns",
     "q_stream_static_join" -> "ststj", "q_retention" -> "retn",
     "q_resample_ffill" -> "ffill", "q_vocab_per_lang" -> "vocab",
-    "q_source_quota" -> "sqta", "q_anomaly_mad" -> "mad")
+    "q_source_quota" -> "sqta", "q_anomaly_mad" -> "mad",
+    "q_sql_lateral" -> "s_lat", "q_sql_recursive" -> "s_rec",
+    "q_sketch_countmin" -> "cms", "q_sketch_bloom" -> "bloom",
+    "q_simsearch_topk" -> "simtk", "q_stats_corr" -> "corr",
+    "q_stream_dedup" -> "st_dd", "q_template_pipeline" -> "tpl",
+    "q_text_langid" -> "t_lid", "q_udaf_weighted" -> "udaf",
+    "q_ann_ivf" -> "ivf", "q_ann_lsh" -> "lsh", "q_bitwise" -> "bitw",
+    "q_date_funcs2" -> "datf2", "q_dedup_embed" -> "d_emb",
+    "q_dedup_ngram" -> "d_ng", "q_dedup_pairs" -> "d_pr",
+    "q_join_outer" -> "j_out", "q_join_range" -> "j_rng",
+    "q_regex_extract" -> "rx_e", "q_scan_project" -> "sc_p",
+    "q_skew_salted_join" -> "sk_j", "q_sql_in_subquery" -> "s_in",
+    "q_stats_moments" -> "mom", "q_stream_join" -> "st_j",
+    "q_stream_session" -> "st_se", "q_text_chunk" -> "t_chk",
+    "q_text_dedup" -> "t_dd", "q_text_stats" -> "t_st",
+    "q_text_tfidf" -> "tfidf", "q_topk_per_group" -> "topk",
+    "q_unpivot" -> "unpiv", "q_window_frame" -> "w_frm",
+    "q_window_ntile" -> "w_nt", "q_window_range" -> "w_rng")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -26,7 +26,8 @@ object SparkEntry {
       TextOps.queries ++ VectorOps.queries ++ Custom.queries ++
       TemplateQueries.queries ++ Extended.queries ++ Multimodal.queries ++
       Skew.queries ++ Breadth.queries ++ Quality.queries ++
-      Packing.queries ++ Corpus.queries ++ EventAnalytics.queries
+      Packing.queries ++ Corpus.queries ++ EventAnalytics.queries ++
+      Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -36,5 +37,6 @@ object SparkEntry {
       TextOps.oracle ++ VectorOps.oracle ++ Custom.oracle ++
       TemplateQueries.oracle ++ Extended.oracle ++ Multimodal.oracle ++
       Skew.oracle ++ Breadth.oracle ++ Quality.oracle ++
-      Packing.oracle ++ Corpus.oracle ++ EventAnalytics.oracle
+      Packing.oracle ++ Corpus.oracle ++ EventAnalytics.oracle ++
+      Sketches.oracle
 }

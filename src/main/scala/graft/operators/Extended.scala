@@ -132,6 +132,32 @@ object Extended {
        |ORDER BY l_returnflag ASC NULLS FIRST,
        |  l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** LATERAL correlated subquery in FROM (top-1 order per customer) —
+    * one text, both engines. Spark decorrelates to a ranked join;
+    * customers without orders drop out (inner lateral). */
+  val sqlLateral: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) o
+      |ORDER BY c.c_custkey ASC NULLS LAST""".stripMargin
+
+  /** RECURSIVE CTE (new in Spark 4) — a depth-bounded functional walk
+    * over the nation keys joined back to names; one text, both engines.
+    * UNION ALL + explicit depth guard, so termination is structural (no
+    * reliance on either engine's cycle detection). */
+  val sqlRecursive: String =
+    """WITH RECURSIVE walk(nk, depth) AS (
+      |  SELECT CAST(0 AS INT) AS nk, CAST(0 AS BIGINT) AS depth
+      |  UNION ALL
+      |  SELECT CAST((nk * 2 + 1) % 25 AS INT), depth + 1
+      |  FROM walk WHERE depth < 10
+      |)
+      |SELECT w.depth, w.nk, n.n_name
+      |FROM walk w JOIN nation n ON n.n_nationkey = w.nk
+      |ORDER BY w.depth ASC NULLS LAST""".stripMargin
+
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -156,6 +182,8 @@ object Extended {
     "q_sql_in_subquery" -> ((s, d) => sql(s, d, sqlInSub)),
     "q_sql_exists_subquery" -> ((s, d) => sql(s, d, sqlExistsSub)),
     "q_sql_cte" -> ((s, d) => sql(s, d, sqlCte)),
+    "q_sql_lateral" -> ((s, d) => sql(s, d, sqlLateral)),
+    "q_sql_recursive" -> ((s, d) => sql(s, d, sqlRecursive)),
 
     "q_join_full" -> ((s, d) => {
       val c = t(s, d, "customer").filter(col("c_custkey") < 100)
@@ -462,6 +490,8 @@ object Extended {
     "q_sql_in_subquery" -> sqlInSub,
     "q_sql_exists_subquery" -> sqlExistsSub,
     "q_sql_cte" -> sqlCte,
+    "q_sql_lateral" -> sqlLateral,
+    "q_sql_recursive" -> sqlRecursive,
 
     "q_join_full" ->
       """SELECT c_custkey, c_name, o_orderkey, o_totalprice

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic frequency/membership sketches over the corpus tokens —
+  * the streaming-friendly summaries a 100 TB pipeline keeps instead of
+  * exact dictionaries:
+  *
+  *  - `q_sketch_countmin`: a 4×32 count-min sketch of token frequencies
+  *    plus the classic overestimate check (top-10 tokens' true count vs
+  *    the sketch's min-over-rows estimate);
+  *  - `q_sketch_bloom`: a 4096-bit Bloom filter (128 × 32-bit words,
+  *    k=3) over the distinct token set, probed with 5 present and 5
+  *    absent keys.
+  *
+  * Unlike HLL (q_agg_approx_distinct, estimator-specific → no-oracle),
+  * BOTH sketches here are bit-deterministic: the hash family is the
+  * proven 60-bit md5 fold XOR'd with [[MinHash.seeds]] (identical on
+  * both engines), so the sketch contents — and therefore estimates and
+  * membership answers — hash-match the DuckDB oracle exactly.
+  *
+  * Scale: both sketches are ONE hash-aggregate over (row/word, cell)
+  * keys — commutative, partial-aggregation-friendly, exactly how a
+  * distributed sketch merge works (cells add; words OR). 32-bit words
+  * because DuckDB overflow-checks `1::BIGINT << 63`.
+  */
+object Sketches {
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  /** Count-min geometry. */
+  val CmDepth = 4
+  val CmWidth = 32
+
+  /** Bloom geometry: 128 words × 32 bits, k = 3. */
+  val BloomWords = 128
+  val BloomBits: Int = BloomWords * 32
+  val BloomK = 3
+
+  /** 60-bit md5 fold of a token (Spark side) — same math as
+    * [[MinHash.withSignatures]]. */
+  private def hvExpr(tok: String): String =
+    s"CAST(conv(substring(md5($tok), 1, 15), 16, 10) AS BIGINT)"
+
+  /** DuckDB mirror of [[hvExpr]]. */
+  private def sqlHv(tok: String): String =
+    s"CAST('0x' || substring(md5($tok), 1, 15) AS BIGINT)"
+
+  private def seedRows: String = (0 until CmDepth)
+    .map(i => s"(${i}, ${MinHash.seeds(i)})").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Count-min: cells[d][c] = Σ counts of tokens with (hv⊕seed_d)%W = c;
+    // estimate(tok) = min_d cells[d][(hv⊕seed_d)%W] ≥ true count. The
+    // probe set is the top-10 tokens (ties by token), so the oracle can
+    // reproduce the exact same rows.
+    "q_sketch_countmin" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .withColumn("hv", expr(hvExpr("tok")))
+      val dims = (0 until CmDepth).map(i =>
+        s"struct(${i}L AS d, pmod(hv ^ ${MinHash.seeds(i)}L, $CmWidth) AS c)")
+        .mkString("array(", ", ", ")")
+      val cells = tf
+        .select(col("n"), explode(expr(dims)).as("dc"))
+        .groupBy(col("dc.d").as("d"), col("dc.c").as("c"))
+        .agg(sum("n").as("cell"))
+      val probes = tf
+        .orderBy(desc_nulls_last("n"), asc_nulls_last("tok"))
+        .limit(10)
+      probes
+        .select(col("tok"), col("n"), explode(expr(dims)).as("dc"))
+        .join(cells, col("dc.d") === cells("d") && col("dc.c") === cells("c"))
+        .groupBy("tok", "n")
+        .agg(min("cell").as("est_n"))
+        .select(col("tok"), col("n").as("true_n"), col("est_n"))
+        .orderBy(desc_nulls_last("true_n"), asc_nulls_last("tok"))
+    }),
+
+    // Bloom filter: 3 bit positions per DISTINCT token; words build by
+    // bit_or; membership = all 3 bits set. Probes: the corpus' top-5
+    // tokens (guaranteed present) and 5 synthetic keys (absent unless
+    // the corpus happens to contain them — the oracle recomputes
+    // `present` from data, so parity holds either way).
+    "q_sketch_bloom" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val tf = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      val positions = (0 until BloomK).map(i =>
+        s"pmod(hv ^ ${MinHash.seeds(i)}L, $BloomBits)")
+        .mkString("array(", ", ", ")")
+      val words = tf
+        .withColumn("hv", expr(hvExpr("tok")))
+        .select(explode(expr(positions)).as("pos"))
+        .select((col("pos") / 32).cast("long").as("word"),
+          expr("CAST(shiftleft(1L, CAST(pos % 32 AS INT)) AS BIGINT)")
+            .as("bit"))
+        .groupBy("word").agg(expr("bit_or(bit)").as("bits"))
+      val present = tf
+        .orderBy(desc_nulls_last("n"), asc_nulls_last("tok"))
+        .limit(5).select("tok")
+      val absent = (0 until 5).map(i => s"zz_absent_$i")
+      val probes = present
+        .unionAll(t(s, d, "region").filter(col("r_regionkey") < 5)
+          .select(element_at(
+            typedLit(absent), col("r_regionkey") + 1).as("tok")))
+      val inCorpus = tf.select(col("tok"), lit(true).as("present"))
+      probes
+        .withColumn("hv", expr(hvExpr("tok")))
+        .select(col("tok"), col("hv"), explode(expr(positions)).as("pos"))
+        .select(col("tok"),
+          (col("pos") / 32).cast("long").as("word"),
+          expr("CAST(shiftleft(1L, CAST(pos % 32 AS INT)) AS BIGINT)")
+            .as("bit"))
+        .join(broadcast(words), Seq("word"), "left")
+        .groupBy("tok")
+        .agg(min(coalesce(col("bits"), lit(0L)).bitwiseAND(col("bit")) =!= 0)
+          .as("bloom_member"))
+        .join(inCorpus, Seq("tok"), "left")
+        .select(col("tok"),
+          coalesce(col("present"), lit(false)).as("present"),
+          col("bloom_member"))
+        .orderBy(asc_nulls_last("tok"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sketch_countmin" ->
+      s"""WITH tf AS (
+         |  SELECT tok, COUNT(*) AS n FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok
+         |    FROM documents WHERE text IS NOT NULL
+         |  ) WHERE length(tok) > 0 GROUP BY tok
+         |), h AS (
+         |  SELECT tok, n, ${sqlHv("tok")} AS hv FROM tf
+         |), sd AS (
+         |  SELECT * FROM (VALUES ${seedRows}) s(d, seed)
+         |), cells AS (
+         |  SELECT sd.d, xor(h.hv, sd.seed) % $CmWidth AS c,
+         |    CAST(SUM(h.n) AS BIGINT) AS cell
+         |  FROM h, sd GROUP BY 1, 2
+         |), probes AS (
+         |  SELECT tok, n, hv FROM h
+         |  ORDER BY n DESC NULLS LAST, tok ASC NULLS LAST LIMIT 10
+         |)
+         |SELECT p.tok, p.n AS true_n, min(c.cell) AS est_n
+         |FROM probes p
+         |JOIN sd ON true
+         |JOIN cells c ON c.d = sd.d
+         |  AND c.c = xor(p.hv, sd.seed) % $CmWidth
+         |GROUP BY p.tok, p.n
+         |ORDER BY true_n DESC NULLS LAST, tok ASC NULLS LAST""".stripMargin,
+
+    "q_sketch_bloom" -> {
+      val seeds3 = (0 until BloomK)
+        .map(i => s"(${MinHash.seeds(i)})").mkString(", ")
+      s"""WITH tf AS (
+         |  SELECT tok, COUNT(*) AS n FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok
+         |    FROM documents WHERE text IS NOT NULL
+         |  ) WHERE length(tok) > 0 GROUP BY tok
+         |), h AS (
+         |  SELECT tok, n, ${sqlHv("tok")} AS hv FROM tf
+         |), ks AS (
+         |  SELECT * FROM (VALUES ${seeds3}) s(seed)
+         |), pos AS (
+         |  SELECT xor(h.hv, ks.seed) % $BloomBits AS pos FROM h, ks
+         |), words AS (
+         |  SELECT pos // 32 AS word,
+         |    bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+         |  FROM pos GROUP BY 1
+         |), probes AS (
+         |  (SELECT tok, hv FROM h
+         |   ORDER BY n DESC NULLS LAST, tok ASC NULLS LAST LIMIT 5)
+         |  UNION ALL
+         |  (SELECT 'zz_absent_' || CAST(r_regionkey AS VARCHAR) AS tok,
+         |    ${sqlHv("'zz_absent_' || CAST(r_regionkey AS VARCHAR)")} AS hv
+         |  FROM region WHERE r_regionkey < 5)
+         |), pp AS (
+         |  SELECT p.tok, xor(p.hv, ks.seed) % $BloomBits AS pos
+         |  FROM probes p, ks
+         |), mem AS (
+         |  SELECT pp.tok,
+         |    bool_and((coalesce(w.bits, 0) &
+         |      (1::BIGINT << CAST(pp.pos % 32 AS INT))) <> 0)
+         |      AS bloom_member
+         |  FROM pp LEFT JOIN words w ON w.word = pp.pos // 32
+         |  GROUP BY pp.tok
+         |)
+         |SELECT m.tok,
+         |  coalesce(tf.tok IS NOT NULL, false) AS present,
+         |  m.bloom_member
+         |FROM mem m LEFT JOIN tf ON m.tok = tf.tok
+         |ORDER BY m.tok ASC NULLS LAST""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{MinHash, Sketches}
+
+/** Sketch invariants: count-min never underestimates (and matches the
+  * brute-force sketch exactly); Bloom has no false negatives. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hv(tok: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private lazy val counts: Map[String, Long] =
+    Tables.table(spark, sf, "documents")
+      .select("text").as[String].collect()
+      .filter(_ != null).flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+
+  test("q_sketch_countmin estimates equal the brute-force sketch and " +
+      "never underestimate") {
+    val out = Sketches.queries("q_sketch_countmin")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 10)
+    // brute-force the same 4×32 sketch
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      .withDefaultValue(0L)
+    counts.foreach { case (tok, n) =>
+      (0 until Sketches.CmDepth).foreach { d =>
+        val c = (hv(tok) ^ MinHash.seeds(d)) % Sketches.CmWidth
+        cells((d, c)) += n
+      }
+    }
+    out.foreach { case (tok, trueN, estN) =>
+      assert(counts(tok) == trueN)
+      val expected = (0 until Sketches.CmDepth).map { d =>
+        cells((d, (hv(tok) ^ MinHash.seeds(d)) % Sketches.CmWidth))
+      }.min
+      assert(estN == expected, s"$tok sketch estimate")
+      assert(estN >= trueN, s"$tok underestimated")
+    }
+  }
+
+  test("q_sketch_bloom has no false negatives and flags presence " +
+      "correctly") {
+    val out = Sketches.queries("q_sketch_bloom")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(out.length == 10)
+    out.foreach { case (tok, present, member) =>
+      assert(present == counts.contains(tok), s"$tok presence")
+      if (present) assert(member, s"$tok is a false negative")
+    }
+    // the synthetic keys really are absent from the fixtures
+    assert(out.count(!_._2) == 5)
+  }
+}
