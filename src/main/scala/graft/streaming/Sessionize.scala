@@ -90,6 +90,52 @@ object Sessionize {
       }
   }
 
+  /** Spark-4 arbitrary-state rewrite of [[stream]]: the SAME fold through
+    * the `transformWithState` StatefulProcessor API (RocksDB-backed
+    * ValueState — TWS only runs on the RocksDB state store provider).
+    * This is the forward path for the reference's per-instance state at
+    * cluster scale: typed per-key state with explicit TTL/timer surfaces,
+    * state spread across executors by key. Parity with the
+    * flatMapGroupsWithState path and the batch fold is locked in
+    * StreamingParitySpec. */
+  class UserStatefulProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, UserUpdate] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("userState",
+        org.apache.spark.sql.Encoders.product[UserState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserUpdate] = {
+      val evs = rows.toSeq
+      if (evs.isEmpty) Iterator.empty
+      else {
+        val prev = if (state.exists()) Some(state.get()) else None
+        val next = fold(prev, evs)
+        state.update(next)
+        Iterator.single(
+          UserUpdate(key, next.nEvents, next.nTransitions, next.lastType))
+      }
+    }
+  }
+
+  /** [[stream]] via transformWithState (requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider on the session). */
+  def streamTws(events: Dataset[Ev]): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserStatefulProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Batch twin over the events table (same fold, one shot). */
   def batch(spark: SparkSession, sfDir: String): Dataset[UserUpdate] = {
     import spark.implicits._

@@ -219,4 +219,46 @@ class StreamingParitySpec extends SparkSpec {
     assert(batch.nEvents == 3 && batch.nTransitions == 1
       && batch.lastType == "view")
   }
+
+  test("transformWithState sessionize matches the FMGWS path and the " +
+      "batch fold (Spark 4 arbitrary state, RocksDB provider)") {
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Sessionize.Ev]
+      val name = s"tws_${System.nanoTime()}"
+      val evs = Seq(
+        Sessionize.Ev(1, 1, "click", ts("2024-01-01 00:00:00"), 1.0),
+        Sessionize.Ev(2, 1, "view", ts("2024-01-01 00:05:00"), 1.0),
+        Sessionize.Ev(3, 2, "signup", ts("2024-01-01 00:06:00"), 1.0),
+        Sessionize.Ev(4, 1, "view", ts("2024-01-01 00:07:00"), 1.0))
+      val q = Sessionize.streamTws(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .start()
+      mem.addData(evs.take(3))
+      mem.addData(evs.drop(3)) // state must survive the batch boundary
+      q.processAllAvailable()
+      q.stop()
+      val byUser = spark.table(name)
+        .orderBy(desc("n_events")).collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) => u -> rows.head }
+      assert(byUser(1L).getAs[Long]("n_events") == 3)
+      assert(byUser(1L).getAs[Long]("n_transitions") == 1)
+      assert(byUser(1L).getAs[String]("last_type") == "view")
+      assert(byUser(2L).getAs[Long]("n_events") == 1)
+      // agrees with the batch fold per user
+      val fold1 = Sessionize.fold(None, evs.filter(_.user_id == 1))
+      assert(fold1.nEvents == 3 && fold1.nTransitions == 1
+        && fold1.lastType == "view")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
 }
