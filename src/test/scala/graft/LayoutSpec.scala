@@ -69,4 +69,25 @@ class LayoutSpec extends SparkSpec {
       .head.toString
     assert(csum(spark.read.parquet(out)) == csum(orders))
   }
+
+  test("hive-partitioned write prunes non-matching directories at read") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_part").toString
+    val ev = Tables.table(spark, sf, "events")
+      .select("event_id", "event_type", "value")
+    graft.sources.Sources.writeParquet(ev, tmp,
+      partitionBy = Seq("event_type"))
+    val read = spark.read.parquet(tmp)
+      .filter(col("event_type") === "purchase")
+    val plan = read.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning),
+    // NOT as a post-scan filter over all partitions
+    assert(plan.contains("PartitionFilters: ") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"),
+      s"no partition pruning in:\n$plan")
+    assert(read.count() ==
+      ev.filter(col("event_type") === "purchase").count())
+  }
 }
