@@ -101,7 +101,8 @@ object Bench {
     "q_text_dedup" -> "t_dd", "q_text_stats" -> "t_st",
     "q_text_tfidf" -> "tfidf", "q_topk_per_group" -> "topk",
     "q_unpivot" -> "unpiv", "q_window_frame" -> "w_frm",
-    "q_window_ntile" -> "w_nt", "q_window_range" -> "w_rng")
+    "q_window_ntile" -> "w_nt", "q_window_range" -> "w_rng",
+    "q_scd2_intervals" -> "scd2", "q_path_per_session" -> "path")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -80,6 +80,64 @@ object EventAnalytics {
         .orderBy(asc_nulls_last("cohort_day"), asc_nulls_last("day_offset"))
     }),
 
+    // SCD2-style state history: collapse each user's event stream into
+    // validity intervals of consecutive same-type runs — the
+    // slowly-changing-dimension build step (and the reference's
+    // workflow-instance history materialized as rows). Run starts are
+    // rows whose type differs from the previous event's; valid_to is the
+    // next run's start (NULL for the open run). Two partitioned windows,
+    // one shuffle on user_id.
+    "q_scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
+      val starts = t(s, d, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull
+          || col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
+      starts
+        .withColumn("valid_to", lead("ts", 1).over(w2))
+        .select(col("user_id"), col("event_id").as("start_event_id"),
+          col("event_type"), col("ts").as("valid_from"), col("valid_to"))
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("valid_from"),
+          asc_nulls_last("start_event_id"))
+    }),
+
+    // Per-session path analysis: sessions by 30-minute inactivity gaps
+    // (gaps-and-islands in exact microsecond arithmetic), each session's
+    // first-5 event-type path, top-20 paths by frequency. The path
+    // collect is sort_array'd (partition-order-invariant); session ids
+    // are running sums of gap indicators — one user_id shuffle, then one
+    // path-key aggregate.
+    "q_path_per_session" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("tsu"), asc_nulls_last("event_id"))
+      val sess = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"))
+        .withColumn("prev_tsu", lag("tsu", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_tsu").isNull
+            || col("tsu") - col("prev_tsu") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum("new_sess").over(w))
+      val ws = Window.partitionBy("user_id", "sess")
+        .orderBy(asc_nulls_last("tsu"), asc_nulls_last("event_id"))
+      sess
+        .withColumn("rn", row_number().over(ws))
+        .filter(col("rn") <= 5)
+        .groupBy("user_id", "sess")
+        .agg(concat_ws(">", expr(
+          "transform(sort_array(collect_list(struct(tsu, event_id, " +
+            "event_type))), x -> x.event_type)")).as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc_nulls_last("n_sessions"), asc_nulls_last("path"))
+        .limit(20)
+    }),
+
     // Robust outlier gate: per event type, exact median + exact median
     // absolute deviation (the window-rank median formulation proven by
     // q_median_exact, applied twice), then count events beyond 3×MAD.
@@ -180,6 +238,60 @@ object EventAnalytics {
         |GROUP BY 1, 2
         |ORDER BY cohort_day ASC NULLS LAST, day_offset ASC NULLS LAST"""
         .stripMargin,
+
+    "q_scd2_intervals" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+        |      AS prev_type
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, event_type, ts FROM r
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |)
+        |SELECT user_id, event_id AS start_event_id, event_type,
+        |  ts AS valid_from,
+        |  lead(ts, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+        |    AS valid_to
+        |FROM s
+        |ORDER BY user_id ASC NULLS LAST, valid_from ASC NULLS LAST,
+        |  start_event_id ASC NULLS LAST""".stripMargin,
+
+    "q_path_per_session" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, event_type, tsu,
+        |    CASE WHEN lag(tsu, 1) OVER w IS NULL
+        |      OR tsu - lag(tsu, 1) OVER w > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY tsu ASC NULLS LAST, event_id ASC NULLS LAST)
+        |), si AS (
+        |  SELECT user_id, event_id, event_type, tsu,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY tsu ASC NULLS LAST, event_id ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g
+        |), rn AS (
+        |  SELECT user_id, sess, event_type, tsu, event_id,
+        |    row_number() OVER (PARTITION BY user_id, sess
+        |      ORDER BY tsu ASC NULLS LAST, event_id ASC NULLS LAST) AS rn
+        |  FROM si
+        |), p AS (
+        |  SELECT user_id, sess,
+        |    string_agg(event_type, '>'
+        |      ORDER BY tsu ASC, event_id ASC) AS path
+        |  FROM rn WHERE rn <= 5 GROUP BY user_id, sess
+        |)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC NULLS LAST, path ASC NULLS LAST
+        |LIMIT 20""".stripMargin,
 
     "q_anomaly_mad" ->
       """WITH ev AS (

@@ -53,6 +53,57 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_scd2_intervals tiles each user's timeline with type runs") {
+    val out = EventAnalytics.queries("q_scd2_intervals")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4))))
+    val byUser = events.groupBy(_._1)
+    out.groupBy(_._1).foreach { case (uid, ivs) =>
+      val sorted = ivs.sortBy(i => (i._4.getTime, i._2))
+      // ground truth: runs of equal type in (ts, event_id) order
+      val evs = byUser(uid).sortBy(e => (e._2.getTime, e._1))
+      val runs = evs.foldLeft(Vector.empty[(String, Timestamp)]) {
+        case (acc, (id, t, tpe, _)) =>
+          if (acc.nonEmpty && acc.last._1 == tpe) acc
+          else acc :+ (tpe, t)
+      }
+      assert(sorted.length == runs.length, s"user $uid run count")
+      sorted.zip(runs).foreach { case ((_, _, tpe, from, _), (rTpe, rTs)) =>
+        assert(tpe == rTpe && from == rTs)
+      }
+      // valid_to chains to the next valid_from; the last run stays open
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5.contains(b._4), s"user $uid gap")
+        case _ =>
+      }
+      assert(sorted.last._5.isEmpty)
+      // consecutive runs always change type
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 != b._3)
+        case _ =>
+      }
+    }
+  }
+
+  test("q_path_per_session counts 30-minute-gap sessions with <=5 hops") {
+    val out = EventAnalytics.queries("q_path_per_session")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { case (path, n) =>
+      assert(path.split(">").length <= 5)
+      assert(n >= 1)
+    }
+    // the top-20 total can never exceed the true session count
+    val gapUs = 1800L * 1000000L
+    val totalSessions = events.groupBy(_._1).map { case (_, evs) =>
+      val ts = evs.sortBy(e => (e._2.getTime, e._1))
+        .map(e => e._2.getTime * 1000L) // ms → µs floor is fine for gaps
+      1 + ts.sliding(2).count { case Seq(a, b) => b - a > gapUs; case _ => false }
+    }.sum
+    assert(out.map(_._2).sum <= totalSessions)
+  }
+
   test("q_anomaly_mad matches brute-force median/MAD and outlier counts") {
     val out = EventAnalytics.queries("q_anomaly_mad")(spark, sf).collect()
       .map(r => r.getString(0) ->
