@@ -12,10 +12,11 @@ import java.nio.file.{Files, Paths}
   * (BENCH_r02.json: `tail` length exactly 2000, valid JSON line of 2339
   * chars → `parsed:null` again). The stdout line therefore uses
   * DETERMINISTICALLY ABBREVIATED query names (legend: BASELINE.md §bench
-  * name legend; e.g. q_join_broadcast→j_bcast, q_window_first_last→w_fl)
-  * and 10 ms precision, keeping the full line < 1900 chars at 120+
-  * queries. `bench_out.json` keeps FULL names at 1 ms precision — that
-  * file is the canonical per-query record. */
+  * name legend; e.g. q_join_broadcast→j_bc, q_window_first_last→w_fl)
+  * and ADAPTIVE value precision (2dp <10 s, 1dp <100 s — ≤4 chars per
+  * value), keeping the full line < 1900 chars at 130+ queries.
+  * `bench_out.json` keeps FULL names at 1 ms precision — that file is
+  * the canonical per-query record. */
 object Bench {
 
   /** Family prefixes, longest-match-first. Applied after stripping `q_`. */
@@ -102,7 +103,8 @@ object Bench {
     "q_text_tfidf" -> "tfidf", "q_topk_per_group" -> "topk",
     "q_unpivot" -> "unpiv", "q_window_frame" -> "w_frm",
     "q_window_ntile" -> "w_nt", "q_window_range" -> "w_rng",
-    "q_scd2_intervals" -> "scd2", "q_path_per_session" -> "path")
+    "q_scd2_intervals" -> "scd2", "q_path_per_session" -> "path",
+    "q_upsert_latest" -> "upsert", "q_text_bigram_prob" -> "t_bgp")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */
@@ -159,8 +161,17 @@ object Bench {
     def fmt(v: Double, dp: Int): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    // stdout values: adaptive precision (2dp <10s, 1dp <100s, else 0dp) —
+    // at most 4 chars per value, so the line length is bounded by the
+    // abbr-name budget alone as the query count grows
+    def fmtAdaptive(v: Double): String =
+      if (v < 0) "-1"
+      else if (v < 10) fmt(v, 2)
+      else if (v < 100) fmt(v, 1)
+      else fmt(v, 0)
     def lineOf(dp: Int, nameOf: String => String): String = {
-      val qs = results.map { case (k, v) => "\"" + nameOf(k) + "\":" + fmt(v, dp) }
+      val qs = results.map { case (k, v) => "\"" + nameOf(k) + "\":" +
+        (if (dp < 0) fmtAdaptive(v) else fmt(v, dp)) }
         .mkString("{", ",", "}")
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
       val sfTag = sfDir.split('/').last
@@ -172,7 +183,7 @@ object Bench {
     // driver's 2000-char tail buffer. Fallback (never expected to fire —
     // BenchLineSpec guards the bound): slowest-40 only, with a marker.
     val stdoutLine = {
-      val full = lineOf(2, abbr)
+      val full = lineOf(-1, abbr)
       if (full.length < 1900) full
       else {
         // failed queries (-1) are ALWAYS kept — the elision must only
@@ -181,7 +192,7 @@ object Bench {
           results.filter(_._2 >= 0).sortBy(-_._2).take(40))
           .map(_._1).toSet
         val qs = results.collect { case (k, v) if keep(k) =>
-          "\"" + abbr(k) + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
+          "\"" + abbr(k) + "\":" + fmtAdaptive(v) }.mkString("{", ",", "}")
         val total = results.collect { case (_, v) if v >= 0 => v }.sum
         s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":${failed.size},"elided_fast_queries":${results.size - keep.size},"queries":$qs,"sf":"${sfDir.split('/').last}"}"""
       }

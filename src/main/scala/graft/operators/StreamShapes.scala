@@ -155,6 +155,23 @@ object StreamShapes {
         .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_type"))
     }),
 
+    // Last-writer-wins upsert view (the MERGE-INTO materialization
+    // without a table format): per (user_id, event_type) keep the LATEST
+    // event by (ts, event_id) — the complement of q_stream_dedup's
+    // keep-first replay dedup. Streaming twin: the same window over a
+    // foreachBatch compaction, or dropDuplicates on the reversed order.
+    "q_upsert_latest" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(desc_nulls_last("ts"), desc_nulls_last("event_id"))
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("latest_event_id"), col("ts").as("latest_ts"),
+          col("value").as("latest_value"))
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_type"))
+    }),
+
     // Workflow-instance state machine (per-user running state) — typed
     // groupByKey with procedural per-group logic. Event order is the full
     // MICROsecond timestamp (unix_micros) + event_id: Timestamp.getTime is
@@ -182,6 +199,16 @@ object StreamShapes {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_upsert_latest" ->
+      """SELECT user_id, event_type,
+        |  event_id AS latest_event_id, ts AS latest_ts,
+        |  value AS latest_value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) = 1
+        |ORDER BY user_id ASC NULLS LAST, event_type ASC NULLS LAST"""
+        .stripMargin,
+
     "q_stream_static_join" ->
       s"""SELECT n.n_name, COUNT(*) AS n_events,
          |  ${Det.sqlDsum("e.value")} AS sum_value

@@ -257,6 +257,28 @@ object TextOps {
         .orderBy(desc_nulls_last("cnt"), asc_nulls_last("bigram"))
         .limit(20)),
 
+    // Bigram conditional probability p(b|a) = cnt(a,b) / cnt(a,·) — the
+    // n-gram language-model statistic. Exact integer counts, ONE IEEE
+    // division; the per-prefix total joins back as a vocabulary-sized
+    // broadcast, so the corpus shuffles once on the bigram key.
+    "q_text_bigram_prob" -> ((s, d) => {
+      val bg = t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))
+        .select(col("p.a"), col("p.b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cnt_ab"))
+      val tot = bg.groupBy("a").agg(sum("cnt_ab").as("cnt_a"))
+      bg.join(tot, "a")
+        .withColumn("p", col("cnt_ab").cast("double") / col("cnt_a"))
+        .orderBy(desc_nulls_last("cnt_ab"), asc_nulls_last("a"),
+          asc_nulls_last("b"))
+        .limit(20)
+        .select("a", "b", "cnt_ab", "cnt_a", "p")
+    }),
+
     // Document frequency per token (the df side of tf-idf; the ratio is
     // exact small-int division — ln() is NOT bit-portable across libm
     // implementations, so idf itself stays a caller-side transform).
@@ -528,6 +550,26 @@ object TextOps {
         |  FROM t
         |) GROUP BY bigram
         |ORDER BY cnt DESC NULLS LAST, bigram ASC NULLS LAST
+        |LIMIT 20""".stripMargin,
+
+    "q_text_bigram_prob" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), x AS (
+        |  SELECT toks, unnest(range(len(toks) - 1)) AS i FROM t
+        |), bg AS (
+        |  SELECT toks[i+1] AS a, toks[i+2] AS b, COUNT(*) AS cnt_ab
+        |  FROM x GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT a, CAST(SUM(cnt_ab) AS BIGINT) AS cnt_a
+        |  FROM bg GROUP BY a
+        |)
+        |SELECT bg.a, bg.b, bg.cnt_ab, tot.cnt_a,
+        |  CAST(bg.cnt_ab AS DOUBLE) / tot.cnt_a AS p
+        |FROM bg JOIN tot ON bg.a = tot.a
+        |ORDER BY cnt_ab DESC NULLS LAST, bg.a ASC NULLS LAST,
+        |  b ASC NULLS LAST
         |LIMIT 20""".stripMargin,
 
     "q_text_docfreq" ->

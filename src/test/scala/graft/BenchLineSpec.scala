@@ -24,9 +24,10 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("worst-case stdout line fits the driver's 2000-char tail buffer") {
-    // worst case: every query at >= 10 s (5 chars at 2 dp), none failed
+    // worst case under the adaptive value format (2dp <10s, 1dp <100s,
+    // 0dp above): at most 4 chars per value below 1000 s
     val qs = names.toSeq.sorted
-      .map(n => "\"" + Bench.abbr(n) + "\":99.99").mkString("{", ",", "}")
+      .map(n => "\"" + Bench.abbr(n) + "\":99.9").mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":9999.99,"unit":"sec","failed":0,"queries":$qs,"sf":"sf0.1"}"""
     assert(line.length < 1900,
