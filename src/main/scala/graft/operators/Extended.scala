@@ -271,6 +271,33 @@ object Extended {
             "* sqrt(n * syy - sy * sy)) AS corr")
         .orderBy(asc_nulls_last("l_returnflag"))),
 
+    // OLS simple linear regression (y = extendedprice on x = quantity)
+    // per returnflag, from the SAME exact-decimal sums as q_stats_corr —
+    // the closed-form slope/intercept written identically on both
+    // engines (built-in regr_slope uses per-engine update formulas). The
+    // intercept reuses the already-computed slope double: one multiply +
+    // one divide of identically-derived doubles, bit-portable (proven by
+    // the q_anomaly_mad precedent).
+    "q_stats_regression" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast("double").as("sx"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+            .cast("double").as("sy"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))
+            * col("l_extendedprice").cast(DecimalType(19, 4)))
+            .cast("double").as("sxy"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))
+            * col("l_quantity").cast(DecimalType(19, 4)))
+            .cast("double").as("sxx"))
+        .selectExpr("l_returnflag", "n",
+          "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope",
+          "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n " +
+            "AS intercept")
+        .orderBy(asc_nulls_last("l_returnflag"))),
+
     // Distribution window functions; ordering includes the unique key so
     // ranks (hence percent_rank/cume_dist) are tie-free and exact
     // small-integer ratios — bit-identical on both engines.
@@ -443,6 +470,27 @@ object Extended {
         |  (sxy - sx * sy / n) / (n - 1) AS covar_samp,
         |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
         |    * sqrt(n * syy - sy * sy)) AS corr
+        |FROM g ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+
+    "q_stats_regression" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |      AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |      AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+        |      * CAST(l_extendedprice AS DECIMAL(19,4)))
+        |      AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+        |      * CAST(l_quantity AS DECIMAL(19,4)))
+        |      AS VARCHAR) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |    AS intercept
         |FROM g ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
 
     "q_window_first_last" ->
