@@ -279,7 +279,12 @@ object VectorOps {
             "aggregate(zip_with(ints, q, (v, w) -> abs(v * 127 - w * mx)), " +
             "CAST(0 AS BIGINT), (a, x) -> a + x) END"))
         .select(col("vec_id"), col("mx"),
-          expr("concat_ws(',', transform(q, x -> CAST(x AS STRING)))")
+          // null guard: concat_ws IGNORES a null array (→ ''), while the
+          // DuckDB mirror's list_aggr propagates NULL — latent mismatch
+          // on a null embedding (fixtures are dense; same rule as
+          // Det.arrCsv)
+          expr("CASE WHEN q IS NULL THEN NULL ELSE " +
+            "concat_ws(',', transform(q, x -> CAST(x AS STRING))) END")
             .as("q_csv"),
           col("err"))
         .orderBy(asc_nulls_last("vec_id"))),
