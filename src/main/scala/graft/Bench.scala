@@ -167,9 +167,14 @@ object Bench {
     // abbr-name budget alone as the query count grows
     def fmtAdaptive(v: Double): String =
       if (v < 0) "-1"
-      else if (v < 10) fmt(v, 2)
-      else if (v < 100) fmt(v, 1)
-      else fmt(v, 0)
+      else {
+        // threshold on the FORMATTED length, not the value: %.2f of
+        // 9.999 rounds to "10.00" (5 chars), which would breach the
+        // 4-char budget BenchLineSpec models
+        val s2 = fmt(v, 2)
+        if (s2.length <= 4) s2
+        else { val s1 = fmt(v, 1); if (s1.length <= 4) s1 else fmt(v, 0) }
+      }
     def lineOf(dp: Int, nameOf: String => String): String = {
       val qs = results.map { case (k, v) => "\"" + nameOf(k) + "\":" +
         (if (dp < 0) fmtAdaptive(v) else fmt(v, dp)) }

@@ -69,7 +69,12 @@ object Corpus {
       val nodes = sym.select(col("src")).distinct()
       // self-loops make each round a SINGLE join + groupBy:
       // lbl'(v) = min over (adj(v) ∪ {v}) of lbl — no left join, no
-      // coalesce, half the per-round shuffles
+      // coalesce, half the per-round shuffles. Each round references
+      // `labels` exactly once, so the chain is linear and only the
+      // edge set (referenced every round) needs caching. The two tiny
+      // cached frames (sym, edges — kilobytes at any dup rate) live for
+      // the session; a production runner would unpersist after its
+      // terminal action.
       val edges = sym
         .union(nodes.select(col("src"), col("src").as("dst")))
         .persist()
@@ -79,7 +84,6 @@ object Corpus {
           .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
           .groupBy("src").agg(min("lbl").as("lbl"))
           .select(col("src").as("id"), col("lbl"))
-          .persist()
       }
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
         (col("id") === col("lbl")).as("survivor"))
@@ -103,6 +107,10 @@ object Corpus {
             "ELSE array() END"))
         .select(col("doc_id"), col("grams"),
           size(col("grams")).cast("long").as("n_grams"))
+        // three consumers (eval set, hit join, final left join) and the
+        // doc_id filters push BELOW the gram transform — without the
+        // cache every branch re-tokenizes and re-hashes its slice
+        .persist()
       val evalGrams = broadcast(
         g.filter(col("doc_id") % 5 === 0)
           .select(explode(col("grams")).as("gm")).distinct())

@@ -101,6 +101,28 @@ object VectorOps {
         .otherwise(lit(null).cast("long")))
   }
 
+  /** Broadcast-k max-cosine centroid assignment shared by q_ann_ivf and
+    * q_kmeans_iter: the first [[IvfCentroids]] vectors are the centroids;
+    * ranking uses the fast double dot with a cid tie-break (selection can
+    * only differ from the oracle's exact-decimal ranking on a <1e-12
+    * centroid-dot tie, which distinct centroids cannot produce). */
+  private def centroidAssign(s: SparkSession, e: DataFrame,
+      vecs: DataFrame): DataFrame = {
+    val cents = broadcast(e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        lit(1).as("_one")))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(desc_nulls_last("cdot"), asc_nulls_last("cid"))
+    vecs
+      .withColumn("_one", lit(1))
+      .join(cents, "_one")
+      .withColumn("cdot", fastDot(s, "embedding", "cemb"))
+      .select("vec_id", "cid", "cdot")
+      .withColumn("_rn", row_number().over(wAssign))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k against probe vec_id=0 (the baseline).
     "q_simsearch_topk" -> ((s, d) => {
@@ -225,24 +247,11 @@ object VectorOps {
     // centroid-dot tie, which distinct centroids cannot produce.
     "q_ann_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val cents = broadcast(e.filter(col("vec_id") < IvfCentroids)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
-          lit(1).as("_one")))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(desc_nulls_last("cdot"), asc_nulls_last("cid"))
-      def assign(vecs: DataFrame): DataFrame = vecs
-        .withColumn("_one", lit(1))
-        .join(cents, "_one")
-        .withColumn("cdot", fastDot(s, "embedding", "cemb"))
-        .select("vec_id", "cid", "cdot")
-        .withColumn("_rn", row_number().over(wAssign))
-        .filter(col("_rn") === 1)
-        .select(col("vec_id"), col("cid").as("cluster"))
-      val clusters = assign(e)
+      val clusters = centroidAssign(s, e, e)
       // the probe's cluster needs only the probe row's k dots — deriving
       // it from `clusters` would re-run the full corpus assignment
       val probeCluster = broadcast(
-        assign(e.filter(col("vec_id") === 0))
+        centroidAssign(s, e, e.filter(col("vec_id") === 0))
           .select(col("cluster").as("probe_cluster")))
       val probe = broadcast(e.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe_emb")))
@@ -270,12 +279,16 @@ object VectorOps {
           "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
             "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
         .withColumn("mx", expr("array_max(transform(ints, v -> abs(v)))"))
+        // `mx IS NULL` also covers the EMPTY embedding (array_max([]) is
+        // NULL): without it Spark would emit ''/0 where DuckDB's
+        // list_aggr([])/list_sum([]) give NULL
         .withColumn("q", expr(
-          "CASE WHEN mx = 0 THEN NULL ELSE transform(ints, v -> " +
+          "CASE WHEN mx IS NULL OR mx = 0 THEN NULL ELSE " +
+            "transform(ints, v -> " +
             "CAST(floor(CAST(v * 127 AS DOUBLE) / CAST(mx AS DOUBLE) " +
             "+ 0.5D) AS BIGINT)) END"))
         .withColumn("err", expr(
-          "CASE WHEN mx = 0 THEN NULL ELSE " +
+          "CASE WHEN mx IS NULL OR mx = 0 THEN NULL ELSE " +
             "aggregate(zip_with(ints, q, (v, w) -> abs(v * 127 - w * mx)), " +
             "CAST(0 AS BIGINT), (a, x) -> a + x) END"))
         .select(col("vec_id"), col("mx"),
@@ -299,19 +312,7 @@ object VectorOps {
     // canonical distributed k-means step.
     "q_kmeans_iter" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val cents = broadcast(e.filter(col("vec_id") < IvfCentroids)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
-          lit(1).as("_one")))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(desc_nulls_last("cdot"), asc_nulls_last("cid"))
-      val clusters = e.withColumn("_one", lit(1))
-        .join(cents, "_one")
-        .withColumn("cdot", fastDot(s, "embedding", "cemb"))
-        .select("vec_id", "cid", "cdot")
-        .withColumn("_rn", row_number().over(wAssign))
-        .filter(col("_rn") === 1)
-        .select(col("vec_id"), col("cid").as("cluster"))
-      clusters.join(e, "vec_id")
+      centroidAssign(s, e, e).join(e, "vec_id")
         .select(col("cluster"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
@@ -471,16 +472,16 @@ object VectorOps {
         |  FROM t
         |), qq AS (
         |  SELECT vec_id, ints, mx,
-        |    CASE WHEN mx = 0 THEN NULL ELSE
+        |    CASE WHEN mx IS NULL OR mx = 0 THEN NULL ELSE
         |      list_transform(ints, v -> CAST(floor(CAST(v * 127 AS DOUBLE)
         |        / CAST(mx AS DOUBLE) + 0.5) AS BIGINT)) END AS q
         |  FROM m
         |)
         |SELECT vec_id, mx,
-        |  CASE WHEN mx = 0 THEN NULL ELSE
+        |  CASE WHEN mx IS NULL OR mx = 0 THEN NULL ELSE
         |    list_aggr(list_transform(q, x -> CAST(x AS VARCHAR)),
         |      'string_agg', ',') END AS q_csv,
-        |  CASE WHEN mx = 0 THEN NULL ELSE
+        |  CASE WHEN mx IS NULL OR mx = 0 THEN NULL ELSE
         |    CAST(list_sum(list_transform(list_zip(ints, q),
         |      p -> abs(p[1] * 127 - p[2] * mx))) AS BIGINT) END AS err
         |FROM qq ORDER BY vec_id ASC NULLS LAST""".stripMargin,

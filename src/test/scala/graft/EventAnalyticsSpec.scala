@@ -9,6 +9,12 @@ import graft.operators.EventAnalytics
 class EventAnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Full-microsecond epoch of a Timestamp — getTime is ms-truncated and
+    * would order same-millisecond events differently from the queries'
+    * (ts, event_id) keys. */
+  private def usOf(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
   private lazy val events: Seq[(Long, Timestamp, String, Double)] =
     Tables.table(spark, sf, "events")
       .select("user_id", "ts", "event_type", "value")
@@ -22,12 +28,12 @@ class EventAnalyticsSpec extends SparkSpec {
     val byUser = events.groupBy(_._1)
     assert(out.keySet == byUser.keySet)
     byUser.foreach { case (uid, evs) =>
-      val s = evs.filter(_._3 == "signup").map(_._2).sortBy(_.getTime)
+      val s = evs.filter(_._3 == "signup").map(_._2).sortBy(usOf)
         .headOption
       val c = s.flatMap(st => evs.filter(e => e._3 == "click"
-        && !e._2.before(st)).map(_._2).sortBy(_.getTime).headOption)
+        && !e._2.before(st)).map(_._2).sortBy(usOf).headOption)
       val p = c.flatMap(ct => evs.filter(e => e._3 == "purchase"
-        && !e._2.before(ct)).map(_._2).sortBy(_.getTime).headOption)
+        && !e._2.before(ct)).map(_._2).sortBy(usOf).headOption)
       val stage = if (s.isEmpty) 0 else if (c.isEmpty) 1
         else if (p.isEmpty) 2 else 3
       val (os, oc, op, ost) = out(uid)
@@ -53,18 +59,25 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  /** (user_id, event_id, ts, event_type) — the scd2/path ground truths
+    * need the event_id tie-break the queries order by. */
+  private lazy val eventsKeyed: Seq[(Long, Long, Timestamp, String)] =
+    Tables.table(spark, sf, "events")
+      .select("user_id", "event_id", "ts", "event_type")
+      .as[(Long, Long, Timestamp, String)].collect().toSeq
+
   test("q_scd2_intervals tiles each user's timeline with type runs") {
     val out = EventAnalytics.queries("q_scd2_intervals")(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getTimestamp(3), Option(r.getTimestamp(4))))
-    val byUser = events.groupBy(_._1)
+    val byUser = eventsKeyed.groupBy(_._1)
     out.groupBy(_._1).foreach { case (uid, ivs) =>
-      val sorted = ivs.sortBy(i => (i._4.getTime, i._2))
+      val sorted = ivs.sortBy(i => (usOf(i._4), i._2))
       // ground truth: runs of equal type in (ts, event_id) order
-      val evs = byUser(uid).sortBy(e => (e._2.getTime, e._1))
+      val evs = byUser(uid).sortBy(e => (usOf(e._3), e._2))
       val runs = evs.foldLeft(Vector.empty[(String, Timestamp)]) {
-        case (acc, (id, t, tpe, _)) =>
+        case (acc, (_, _, t, tpe)) =>
           if (acc.nonEmpty && acc.last._1 == tpe) acc
           else acc :+ (tpe, t)
       }
@@ -96,9 +109,8 @@ class EventAnalyticsSpec extends SparkSpec {
     }
     // the top-20 total can never exceed the true session count
     val gapUs = 1800L * 1000000L
-    val totalSessions = events.groupBy(_._1).map { case (_, evs) =>
-      val ts = evs.sortBy(e => (e._2.getTime, e._1))
-        .map(e => e._2.getTime * 1000L) // ms → µs floor is fine for gaps
+    val totalSessions = eventsKeyed.groupBy(_._1).map { case (_, evs) =>
+      val ts = evs.sortBy(e => (usOf(e._3), e._2)).map(e => usOf(e._3))
       1 + ts.sliding(2).count { case Seq(a, b) => b - a > gapUs; case _ => false }
     }.sum
     assert(out.map(_._2).sum <= totalSessions)
