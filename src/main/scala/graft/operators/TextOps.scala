@@ -123,6 +123,37 @@ object TextOps {
       TextDedup.nearDuplicates(t(s, d, "documents"))
         .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))),
 
+    // MinHash estimator accuracy on the verified near-dup pairs:
+    // est = matching signatures / NumHashes vs the exact token-set
+    // Jaccard — the sketch-quality diagnostic of the LSH pipeline
+    // (min-wise hashing makes each signature match an unbiased Bernoulli
+    // of the true Jaccard). The signature frame is persisted once and
+    // joined to both pair sides.
+    "q_dedup_minhash_est" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = TextDedup.nearDuplicates(docs)
+        .select("id_a", "id_b", "jaccard")
+      val signed = MinHash.withSignatures(
+          docs.select(col("doc_id").as("id"), col("text")),
+          "text", NumHashes)
+        .select(col("id") +:
+          (0 until NumHashes).map(i => col(s"sig_$i")): _*)
+        .persist()
+      val a = signed.toDF(
+        "id_a" +: (0 until NumHashes).map(i => s"a_$i"): _*)
+      val b = signed.toDF(
+        "id_b" +: (0 until NumHashes).map(i => s"b_$i"): _*)
+      val matches = (0 until NumHashes)
+        .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("matches", matches.cast("long"))
+        .withColumn("est_jaccard",
+          col("matches").cast("double") / NumHashes)
+        .select("id_a", "id_b", "jaccard", "matches", "est_jaccard")
+        .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))
+    }),
+
     // Token-set Jaccard over a bounded pair set (the verify stage of the
     // LSH pipeline).
     "q_dedup_ngram" -> ((s, d) => {
@@ -442,6 +473,24 @@ object TextOps {
     dedupPairsSubquery +
       "\nORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"
 
+  /** Estimator-accuracy oracle: the SAME CTE chain, re-joined to the
+    * signature CTE `m` for the per-pair matching-signature count. */
+  private def minhashEstOracle: String = {
+    val matchSum = (0 until NumHashes)
+      .map(i => s"CASE WHEN ma.sig_$i = mb.sig_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    dedupPairsSubquery.replace(
+      "SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7",
+      s"""SELECT j.id_a, j.id_b, j.jaccard,
+         |  CAST($matchSum AS BIGINT) AS matches,
+         |  CAST($matchSum AS DOUBLE) / $NumHashes AS est_jaccard
+         |FROM j
+         |JOIN m ma ON ma.id = j.id_a
+         |JOIN m mb ON mb.id = j.id_b
+         |WHERE j.jaccard >= 0.7
+         |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin)
+  }
+
   private def langidOracle: String = {
     val scoreCols = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString(", ")
@@ -483,6 +532,8 @@ object TextOps {
     "q_dedup_minhash" -> minhashOracle,
 
     "q_dedup_pairs" -> dedupPairsOracle,
+
+    "q_dedup_minhash_est" -> minhashEstOracle,
 
     "q_dedup_simhash" ->
       """WITH tok AS (
