@@ -31,6 +31,11 @@ object Verify {
       } catch { case e: Throwable =>
         failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // builders that persist intermediates (clusters, decontaminate,
+        // minhash_est) would otherwise accumulate caches across the full
+        // 135-query run (ADVICE round 3)
+        spark.catalog.clearCache()
       }
     }
     System.err.println(

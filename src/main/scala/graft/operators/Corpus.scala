@@ -31,12 +31,12 @@ import graft.Tables
 object Corpus {
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
-  /** Fixed propagation depth: labels reach distance `ClusterIters`
-    * neighbors, which covers every component whose radius (from its
-    * minimum-id member) is ≤ 4 — CorpusSpec asserts a 5th iteration is a
-    * fixed point on the fixtures. Both engines run EXACTLY this many
-    * iterations, so parity holds even before convergence. */
-  val ClusterIters = 4
+  /** Safety bound on label-propagation rounds (q_dedup_clusters iterates
+    * to a TRUE fixed point — the bound only turns a pathological
+    * never-converging graph into a loud failure instead of an infinite
+    * loop; min-label propagation converges in ≤ component-eccentricity
+    * rounds, so 64 covers any component of diameter < 64). */
+  val MaxClusterRounds = 64
 
   /** Tokens per span for q_dedup_spans. */
   val SpanTokens = 10
@@ -46,14 +46,18 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Connected components over near-dup pairs by min-label propagation:
-    // lbl(v) ← min(lbl(v), min over neighbors lbl(u)), iterated a FIXED
-    // number of rounds. Edges come from the declared LSH pipeline
-    // (TextDedup.nearDuplicates — itself oracle-proven as q_dedup_pairs).
-    // Scale: edges are persisted once (they are the expensive subtree);
-    // each round is one shuffle join on id — the GraphX/connected-
-    // components shape without the RDD API. Production would checkpoint
-    // every few rounds and use pointer-doubling for log-diameter
-    // convergence; fixture components have tiny diameter.
+    // lbl(v) ← min(lbl(v), min over neighbors lbl(u)), iterated until a
+    // FIXED POINT (no label changes) so arbitrarily-long-diameter
+    // components merge fully — the oracle mirrors with a recursive-CTE
+    // transitive closure, which is exact by construction. Edges come from
+    // the declared LSH pipeline (TextDedup.nearDuplicates — itself
+    // oracle-proven as q_dedup_pairs). Scale: edges are persisted once
+    // (they are the expensive subtree); each round is one shuffle join on
+    // id plus one slim change-count — the GraphX/connected-components
+    // shape without the RDD API. Production at extreme diameters would
+    // add pointer-doubling (lbl ← lbl(lbl)) for log-diameter convergence;
+    // near-dup graphs are dense clusters with tiny diameter, so the
+    // linear-round form converges in a handful of rounds.
     "q_dedup_clusters" -> ((s, d) => {
       val pairs = TextDedup.nearDuplicates(t(s, d, "documents"))
         .select("id_a", "id_b")
@@ -69,22 +73,36 @@ object Corpus {
       val nodes = sym.select(col("src")).distinct()
       // self-loops make each round a SINGLE join + groupBy:
       // lbl'(v) = min over (adj(v) ∪ {v}) of lbl — no left join, no
-      // coalesce, half the per-round shuffles. Each round references
-      // `labels` exactly once, so the chain is linear and only the
-      // edge set (referenced every round) needs caching. The two tiny
-      // cached frames (sym, edges — kilobytes at any dup rate) live for
-      // the session; a production runner would unpersist after its
-      // terminal action.
+      // coalesce, half the per-round shuffles. Every round persists its
+      // labels (the change-count materializes them) and drops the
+      // previous round's cache, so the loop holds at most two label
+      // snapshots plus the edge set in memory; the final labels stay
+      // cached for the caller's terminal action (Verify clears the
+      // cache between queries).
       val edges = sym
         .union(nodes.select(col("src"), col("src").as("dst")))
         .persist()
       var labels = nodes.select(col("src").as("id"), col("src").as("lbl"))
-      for (_ <- 1 to ClusterIters) {
-        labels = edges
+        .persist()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0) {
+        rounds += 1
+        require(rounds <= MaxClusterRounds,
+          s"label propagation did not converge in $MaxClusterRounds rounds")
+        val next = edges
           .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
           .groupBy("src").agg(min("lbl").as("lbl"))
           .select(col("src").as("id"), col("lbl"))
+          .persist()
+        changed = next
+          .join(labels.select(col("id"), col("lbl").as("prev")), "id")
+          .filter(col("lbl") =!= col("prev")).count()
+        labels.unpersist()
+        labels = next
       }
+      edges.unpersist()
+      sym.unpersist()
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
         (col("id") === col("lbl")).as("survivor"))
         .orderBy(asc_nulls_last("doc_id"))
@@ -216,15 +234,14 @@ object Corpus {
         .orderBy(asc_nulls_last("doc_id")))
   )
 
-  private def clustersOracle: String = {
-    val iters = (1 to ClusterIters).map { k =>
-      s"""l$k AS (
-         |  SELECT e.src AS id, min(l.lbl) AS lbl
-         |  FROM edges e JOIN l${k - 1} l ON l.id = e.dst
-         |  GROUP BY e.src
-         |)"""
-    }.mkString(", ")
-    s"""WITH pairs AS (
+  /** Exact connected components as a recursive transitive closure:
+    * `reach` accumulates every label reachable from each node (UNION
+    * dedup terminates the recursion at the closure), and min(reachable
+    * ids) IS the component minimum — a true fixed point, matching the
+    * Spark side's converge-until-stable propagation on ANY graph shape.
+    * Closure size is Σ component_size², fine for near-dup clusters. */
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
        |${TextOps.dedupPairsSubquery}
        |), e0 AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -232,17 +249,16 @@ object Corpus {
        |  SELECT id_b AS src, id_a AS dst FROM pairs
        |), n AS (
        |  SELECT DISTINCT src FROM e0
-       |), edges AS (
-       |  SELECT src, dst FROM e0
-       |  UNION ALL
-       |  SELECT src, src FROM n
-       |), l0 AS (
+       |), reach AS (
        |  SELECT src AS id, src AS lbl FROM n
-       |), $iters
-       |SELECT id AS doc_id, lbl AS cluster, id = lbl AS survivor
-       |FROM l$ClusterIters
+       |  UNION
+       |  SELECT e.src AS id, r.lbl
+       |  FROM e0 e JOIN reach r ON r.id = e.dst
+       |)
+       |SELECT id AS doc_id, min(lbl) AS cluster,
+       |  id = min(lbl) AS survivor
+       |FROM reach GROUP BY id
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
-  }
 
   val oracle: Map[String, String] = Map(
     "q_dedup_clusters" -> clustersOracle,

@@ -125,10 +125,13 @@ object TextOps {
 
     // MinHash estimator accuracy on the verified near-dup pairs:
     // est = matching signatures / NumHashes vs the exact token-set
-    // Jaccard — the sketch-quality diagnostic of the LSH pipeline
-    // (min-wise hashing makes each signature match an unbiased Bernoulli
-    // of the true Jaccard). The signature frame is persisted once and
-    // joined to both pair sides.
+    // Jaccard — the sketch-quality diagnostic of the LSH pipeline. Each
+    // signature match is APPROXIMATELY a Bernoulli of the true Jaccard:
+    // the XOR-by-constant family folds one shared 60-bit md5 per shingle
+    // (see the MinHash scaladoc on the OPH-style correlation), so the
+    // indices are not independent permutations — this very query is the
+    // empirical guard on the resulting bias. The signature frame is
+    // persisted once and joined to both pair sides.
     "q_dedup_minhash_est" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val pairs = TextDedup.nearDuplicates(docs)

@@ -26,6 +26,14 @@ import graft.Tables
 object VectorOps {
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
+  /** Embedding dimensionality of the fixture `embeddings` table — the ONE
+    * constant both sides of every LSH oracle derive from: the Spark side
+    * embeds `EmbDim` hyperplane weights as literals and the oracle SQL
+    * interpolates the same bound into its generate_series, so a fixture
+    * dimensionality change breaks both engines together (loudly) instead
+    * of silently skewing one. */
+  val EmbDim = 64
+
   /** Hyperplane count for q_ann_neighbors (2^6 = 64 buckets). */
   private val NeighborPlanes = 6
 
@@ -76,7 +84,8 @@ object VectorOps {
     * at planes=6). Weights are k + 0.5 halves, exactly representable, so
     * the literal embeds bit-identically to the oracle's strpos-on-md5
     * arithmetic. */
-  def annBuckets(emb: DataFrame, planes: Int = 4, dim: Int = 64): DataFrame = {
+  def annBuckets(emb: DataFrame, planes: Int = 4,
+      dim: Int = EmbDim): DataFrame = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def weight(p: Int, i: Int): Double = {
       val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
@@ -345,8 +354,8 @@ object VectorOps {
   )
 
   private val annOracle: String =
-    """WITH e AS (
-      |  SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding, unnest(generate_series(1, $EmbDim)) AS i
       |  FROM embeddings
       |), c AS (
       |  SELECT vec_id, p.p AS p,
@@ -421,7 +430,8 @@ object VectorOps {
     // fast-prefilter margin guarantees the same selection).
     "q_ann_neighbors" ->
       s"""WITH e AS (
-         |  SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i
+         |  SELECT vec_id, embedding,
+         |    unnest(generate_series(1, $EmbDim)) AS i
          |  FROM embeddings
          |), c AS (
          |  SELECT vec_id, p.p AS p,
@@ -505,7 +515,7 @@ object VectorOps {
          |  SELECT cl.cluster, e.i - 1 AS pos,
          |    CAST(e.embedding[e.i] AS DOUBLE) AS x
          |  FROM (SELECT vec_id, embedding,
-         |          unnest(generate_series(1, 64)) AS i
+         |          unnest(generate_series(1, len(embedding))) AS i
          |        FROM embeddings) e
          |  JOIN cl ON e.vec_id = cl.vec_id
          |)

@@ -16,9 +16,9 @@ class CorpusSpec extends SparkSpec {
     val pairs = TextDedup.nearDuplicates(Tables.table(spark, sf, "documents"))
       .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    // every edge endpoint got a label; both ends agree after ClusterIters
-    // rounds (i.e. the iteration count converged on this corpus) — if a
-    // future fixture has a longer-diameter component this catches it
+    // every edge endpoint got a label; the propagation iterates to a
+    // fixed point, so both ends of every edge must agree regardless of
+    // component diameter
     pairs.foreach { case (a, b) =>
       assert(out.contains(a) && out.contains(b))
       assert(out(a) == out(b), s"edge ($a,$b) straddles clusters")
