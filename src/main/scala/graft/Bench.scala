@@ -105,7 +105,9 @@ object Bench {
     "q_window_ntile" -> "w_nt", "q_window_range" -> "w_rng",
     "q_scd2_intervals" -> "scd2", "q_path_per_session" -> "path",
     "q_upsert_latest" -> "upsert", "q_text_bigram_prob" -> "t_bgp",
-    "q_stats_regression" -> "regr", "q_dedup_minhash_est" -> "d_mhe")
+    "q_stats_regression" -> "regr", "q_dedup_minhash_est" -> "d_mhe",
+    "q_markov_transition" -> "mkv", "q_concurrency_peak" -> "conc",
+    "q_window_time_range" -> "w_tr")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

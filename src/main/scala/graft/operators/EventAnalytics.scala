@@ -173,6 +173,96 @@ object EventAnalytics {
         .orderBy(asc_nulls_last("event_type"))
     }),
 
+    // Event-type transition matrix (the first-order Markov statistic of
+    // a workflow/event stream): per-user ordered lag pairs → exact
+    // transition counts → p(next|prev) as ONE IEEE division of exact
+    // integers (portable; see q_text_bigram_prob). One user_id window
+    // shuffle + one (prev, next) aggregate with map-side partials; the
+    // transition matrix itself is |types|² — tiny at any corpus size.
+    "q_markov_transition" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
+      val pairs = t(s, d, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val counts = pairs.groupBy(col("prev_type"), col("event_type")
+          .as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("prev_type")
+        .agg(sum("n").as("n_prev"))
+      counts.join(totals, "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          col("n_prev"),
+          (col("n").cast("double") / col("n_prev").cast("double")).as("p"))
+        .orderBy(asc_nulls_last("prev_type"), asc_nulls_last("next_type"))
+    }),
+
+    // Peak-concurrency timeline (sweep line over session intervals): 30-
+    // minute-gap sessions per user (the q_path_per_session islands), each
+    // emitting a +1 boundary at its start and a −1 at end+1µs; the
+    // running sum of per-instant deltas IS the number of concurrently
+    // open sessions. A naive global running sum would be one sequential
+    // task, so the prefix sum is TWO-LEVEL: per-day partial sums get a
+    // carry-in from a window over the (tiny, bounded) day totals, and the
+    // within-day running sum is partitioned by day — the distributed
+    // prefix-sum shape that holds at 100 TB. All integer arithmetic.
+    "q_concurrency_peak" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("tsu"), asc_nulls_last("event_id"))
+      val sess = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsu"))
+        .withColumn("prev_tsu", lag("tsu", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_tsu").isNull
+            || col("tsu") - col("prev_tsu") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum("new_sess").over(w))
+        .groupBy("user_id", "sess")
+        .agg(min("tsu").as("s"), max("tsu").as("e"))
+      val deltas = sess
+        .select(explode(array(
+          struct(col("s").as("tsu"), lit(1L).as("delta")),
+          struct((col("e") + 1L).as("tsu"), lit(-1L).as("delta")))).as("b"))
+        .select("b.tsu", "b.delta")
+        .groupBy("tsu").agg(sum("delta").as("d"))
+        .withColumn("day", expr("CAST(timestamp_micros(tsu) AS DATE)"))
+      val wDays = Window.orderBy(asc_nulls_last("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = deltas.groupBy("day").agg(sum("d").as("day_d"))
+        .withColumn("carry", coalesce(sum("day_d").over(wDays), lit(0L)))
+        .select("day", "carry")
+      val wIn = Window.partitionBy("day").orderBy(asc_nulls_last("tsu"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.join(carry, "day")
+        .withColumn("conc", col("carry") + sum("d").over(wIn))
+        .select("tsu", "d", "conc")
+        .orderBy(asc_nulls_last("tsu"))
+    }),
+
+    // Trailing-hour velocity features: for EVERY event, the count and
+    // exact-decimal value sum of the same user's events in the preceding
+    // hour — a value-based RANGE frame over integer microseconds (the
+    // rate-limiting / fraud-velocity feature shape). RANGE includes all
+    // tie rows, so the result is independent of intra-tie order; one
+    // user_id window shuffle, no self-join.
+    "q_window_time_range" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id").orderBy(col("tsu"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsu"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast("double"))
+        .select("user_id", "event_id", "tsu", "n_1h", "sum_1h")
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("tsu"),
+          asc_nulls_last("event_id"))
+    }),
+
     // Daily resample + forward fill: per-user day spine over the user's
     // observed span, daily exact-decimal value sums, gaps carried forward
     // from the last observed day.
@@ -330,6 +420,78 @@ object EventAnalytics {
         |FROM dev d JOIN mad m USING (event_type)
         |GROUP BY d.event_type, d.med, m.mad
         |ORDER BY d.event_type ASC NULLS LAST""".stripMargin,
+
+    "q_markov_transition" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+        |      AS prev_type
+        |  FROM events
+        |), c AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |  FROM r WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type
+        |), tot AS (
+        |  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_prev
+        |  FROM c GROUP BY prev_type
+        |)
+        |SELECT c.prev_type, c.next_type, c.n, tot.n_prev,
+        |  CAST(c.n AS DOUBLE) / CAST(tot.n_prev AS DOUBLE) AS p
+        |FROM c JOIN tot ON c.prev_type = tot.prev_type
+        |ORDER BY c.prev_type ASC NULLS LAST,
+        |  c.next_type ASC NULLS LAST""".stripMargin,
+
+    // The oracle runs the sweep line as ONE global running sum (fine at
+    // oracle scale); the Spark side's two-level day-partitioned prefix
+    // sum must produce the identical timeline.
+    "q_concurrency_peak" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN lag(tsu, 1) OVER w IS NULL
+        |      OR tsu - lag(tsu, 1) OVER w > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY tsu ASC NULLS LAST, event_id ASC NULLS LAST)
+        |), si AS (
+        |  SELECT user_id, tsu,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY tsu ASC NULLS LAST, event_id ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g
+        |), sp AS (
+        |  SELECT user_id, sess, min(tsu) AS s, max(tsu) AS e
+        |  FROM si GROUP BY user_id, sess
+        |), b AS (
+        |  SELECT s AS tsu, 1 AS delta FROM sp
+        |  UNION ALL
+        |  SELECT e + 1 AS tsu, -1 AS delta FROM sp
+        |), p AS (
+        |  SELECT tsu, CAST(SUM(delta) AS BIGINT) AS d
+        |  FROM b GROUP BY tsu
+        |)
+        |SELECT tsu, d,
+        |  CAST(SUM(d) OVER (ORDER BY tsu ASC NULLS LAST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS conc
+        |FROM p ORDER BY tsu ASC NULLS LAST""".stripMargin,
+
+    "q_window_time_range" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+        |)
+        |SELECT user_id, event_id, tsu,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR)
+        |    AS DOUBLE) AS sum_1h
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id ASC NULLS LAST, tsu ASC NULLS LAST,
+        |  event_id ASC NULLS LAST""".stripMargin,
 
     "q_resample_ffill" ->
       s"""WITH ev AS (

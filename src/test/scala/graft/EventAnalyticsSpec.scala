@@ -159,4 +159,76 @@ class EventAnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  private lazy val eventsFull: Seq[(Long, Long, String, Timestamp, Double)] =
+    Tables.table(spark, sf, "events")
+      .select("user_id", "event_id", "event_type", "ts", "value")
+      .as[(Long, Long, String, Timestamp, Double)].collect().toSeq
+
+  test("q_markov_transition counts match brute force; rows normalize") {
+    val rows = EventAnalytics.queries("q_markov_transition")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+    val truth = eventsFull.groupBy(_._1).values.flatMap { evs =>
+      evs.sortBy(e => (usOf(e._4), e._2)).sliding(2).collect {
+        case Seq(a, b) => (a._3, b._3)
+      }
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = rows.toMap
+    assert(got.keySet == truth.keySet)
+    truth.foreach { case (k, n) => assert(got(k)._1 == n, s"pair $k") }
+    rows.groupBy(_._1._1).foreach { case (prev, vs) =>
+      val nPrev = vs.head._2._2
+      assert(vs.map(_._2._1).sum == nPrev, s"$prev row total")
+      assert(math.abs(vs.map(_._2._3).sum - 1.0) < 1e-9, s"$prev norm")
+    }
+  }
+
+  test("q_concurrency_peak is a non-negative prefix sum whose peak " +
+      "matches the brute-force interval count") {
+    val out = EventAnalytics.queries("q_concurrency_peak")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == out.map(_._1).sorted.toSeq)
+    var run = 0L
+    out.foreach { case (tsu, d, conc) =>
+      run += d
+      assert(conc == run, s"prefix sum broken at $tsu")
+      assert(conc >= 0)
+    }
+    assert(run == 0L, "timeline must close every session")
+    // brute-force sessions: 30-min gap islands per user
+    val sessions = eventsFull.groupBy(_._1).values.flatMap { evs =>
+      val ts = evs.map(e => (usOf(e._4), e._2)).sortBy(identity)
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      var start = ts.head._1
+      var prev = ts.head._1
+      ts.tail.foreach { case (t, _) =>
+        if (t - prev > 1800L * 1000000L) { out += ((start, prev)); start = t }
+        prev = t
+      }
+      out += ((start, prev))
+      out.toSeq
+    }.toSeq
+    val (peakT, _, peakC) = out.maxBy(_._3)
+    val brute = sessions.count { case (s, e) => s <= peakT && peakT <= e }
+    assert(peakC == brute, s"peak at $peakT: $peakC vs brute $brute")
+  }
+
+  test("q_window_time_range matches brute-force trailing-hour stats") {
+    val out = EventAnalytics.queries("q_window_time_range")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val byUser = eventsFull.groupBy(_._1)
+    out.foreach { case (uid, _, tsu, n1h, sum1h) =>
+      val win = byUser(uid).filter { e =>
+        val t = usOf(e._4); t >= tsu - 3600L * 1000000L && t <= tsu
+      }
+      assert(n1h == win.size, s"count for user $uid at $tsu")
+      val exact = win.map(e => BigDecimal(e._5)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(sum1h == exact, s"sum for user $uid at $tsu")
+    }
+  }
 }
