@@ -107,7 +107,8 @@ object Bench {
     "q_upsert_latest" -> "upsert", "q_text_bigram_prob" -> "t_bgp",
     "q_stats_regression" -> "regr", "q_dedup_minhash_est" -> "d_mhe",
     "q_markov_transition" -> "mkv", "q_concurrency_peak" -> "conc",
-    "q_window_time_range" -> "w_tr")
+    "q_window_time_range" -> "w_tr", "q_mixture_weights" -> "mixw",
+    "q_label_balance" -> "lbal", "q_text_clean" -> "t_cln")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -18,7 +18,13 @@ import graft.Tables
   *    spans that occur more than once in the corpus are dropped from every
   *    document, and the surviving text is re-assembled;
   *  - `q_url_parse`: URL structure extraction (host/tld/path/ref) — the
-  *    domain-filtering front door of a web-corpus pipeline.
+  *    domain-filtering front door of a web-corpus pipeline;
+  *  - `q_mixture_weights`: dataset-mixture balancing (per-source keep
+  *    rates from integer target weights, cross-multiplied — no division);
+  *  - `q_label_balance`: downsample every class to the minority size by
+  *    seed-free hash order;
+  *  - `q_text_clean`: HTML boilerplate removal (tag strip, entity
+  *    unescape, whitespace collapse).
   *
   * Determinism (SURVEY §7.4): md5 keys, integer counts, boolean gates —
   * no floating-point accumulation anywhere in this file.
@@ -212,6 +218,87 @@ object Corpus {
         .orderBy(asc_nulls_last("source"))
     }),
 
+    // Dataset-mixture balancing: given integer target weights per source
+    // (the mixing ratios of a pretraining recipe), compute each source's
+    // keep rate min(1, w_s·N / (W·n_s)) and sample it with the seed-free
+    // md5 bucket — all comparisons cross-multiplied so no engine ever
+    // divides. Scale: per-source counts are one tiny aggregate broadcast
+    // back; the sampling pass is narrow; buckets are 4-digit so the
+    // cross-product w·N·10^4 stays far inside BIGINT at petabyte corpus
+    // sizes. Membership proven by the kept-id checksum.
+    "q_mixture_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("w", expr(
+          "CAST(1 + (CAST(substring(source, 4) AS INT) % 4) * 2 AS BIGINT)"))
+        .withColumn("b", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)" +
+            " AS BIGINT) % 10000"))
+      val perSource = docs.groupBy("source", "w")
+        .agg(count(lit(1)).as("n_s"))
+      val totals = perSource
+        .agg(sum("n_s").as("n_total"), sum("w").as("w_total"))
+        .withColumn("_k", lit(1))
+      val rates = broadcast(perSource.drop("w").withColumn("_k", lit(1))
+        .join(broadcast(totals), "_k").drop("_k"))
+      docs.join(rates, "source")
+        .withColumn("keep",
+          col("b") * col("w_total") * col("n_s")
+            < col("w") * col("n_total") * lit(10000L))
+        .groupBy("source", "w", "n_s")
+        .agg(count(when(col("keep"), 1)).as("n_kept"),
+          sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"))
+        .select("source", "w", "n_s", "n_kept", "kept_id_sum")
+        .orderBy(asc_nulls_last("source"))
+    }),
+
+    // Class balancing: downsample every label to the MINORITY class size
+    // (the classic class-imbalance fix), selection by seed-free md5 order
+    // so the kept set is partitioning-invariant. The minority size is a
+    // 1-row aggregate broadcast to the ranked rows (bounded nested-loop,
+    // the q_text_docfreq pattern); ranking is one per-label window.
+    "q_label_balance" -> ((s, d) => {
+      val w = Window.partitionBy("label")
+        .orderBy(md5(col("vec_id").cast("string")).asc_nulls_last,
+          asc_nulls_last("vec_id"))
+      val ranked = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+      val minC = broadcast(ranked.groupBy("label")
+        .agg(count(lit(1)).as("cnt"))
+        .agg(min("cnt").as("m")).withColumn("_k", lit(1)))
+      ranked.withColumn("_k", lit(1)).join(minC, "_k")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("rk") <= col("m"), 1)).as("n_kept"),
+          sum(when(col("rk") <= col("m"), col("vec_id")))
+            .as("kept_id_sum"))
+        .orderBy(asc_nulls_last("label"))
+    }),
+
+    // Boilerplate removal: documents wrapped in deterministic HTML (tags,
+    // entities, chrome) and cleaned back — tag strip, entity unescape,
+    // whitespace collapse — with the SAME regexes on both engines (the
+    // C4/CCNet-style HTML-to-text front door). Pure narrow map; output
+    // proven by md5 of the cleaned text plus tag counts.
+    "q_text_clean" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("html", concat(
+          lit("<div class=\"doc\" id=\""), col("doc_id").cast("string"),
+          lit("\"><h1>Doc &amp; friends</h1><p>"), col("text"),
+          lit("</p><br/><span>&copy; example&nbsp;corp</span></div>")))
+        .withColumn("n_tags", expr(
+          "CAST(size(regexp_extract_all(html, '<[^>]*>', 0)) AS BIGINT)"))
+        .withColumn("clean", expr(
+          "trim(regexp_replace(replace(replace(replace(" +
+            "regexp_replace(html, '<[^>]*>', ' '), " +
+            "'&nbsp;', ' '), '&amp;', '&'), '&copy;', '(c)'), " +
+            "'\\\\s+', ' '))"))
+        .select(col("doc_id"), col("n_tags"),
+          length(col("clean")).cast("long").as("clean_len"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(asc_nulls_last("doc_id"))),
+
     // URL structure extraction: a synthetic-but-realistic URL per document
     // (host varies by source and language TLD), parsed back with the SAME
     // regexes on both engines (DuckDB 1.0 has no parse_url, so regexes are
@@ -354,6 +441,72 @@ object Corpus {
         |    AS kept_id_sum
         |FROM r GROUP BY source
         |ORDER BY source ASC NULLS LAST""".stripMargin,
+
+    "q_mixture_weights" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(1 + (CAST(substring(source, 4) AS INT) % 4) * 2
+        |      AS BIGINT) AS w,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 10000 AS b
+        |  FROM documents
+        |), ps AS (
+        |  SELECT source, w, COUNT(*) AS n_s FROM d GROUP BY source, w
+        |), tot AS (
+        |  SELECT CAST(SUM(n_s) AS BIGINT) AS n_total,
+        |    CAST(SUM(w) AS BIGINT) AS w_total
+        |  FROM ps
+        |)
+        |SELECT d.source, d.w, ps.n_s,
+        |  COUNT(CASE WHEN d.b * tot.w_total * ps.n_s
+        |    < d.w * tot.n_total * 10000 THEN 1 END) AS n_kept,
+        |  CAST(SUM(CASE WHEN d.b * tot.w_total * ps.n_s
+        |    < d.w * tot.n_total * 10000 THEN d.doc_id END) AS BIGINT)
+        |    AS kept_id_sum
+        |FROM d JOIN ps ON d.source = ps.source, tot
+        |GROUP BY d.source, d.w, ps.n_s
+        |ORDER BY d.source ASC NULLS LAST""".stripMargin,
+
+    "q_label_balance" ->
+      """WITH r AS (
+        |  SELECT label, vec_id,
+        |    CAST(row_number() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST,
+        |        vec_id ASC NULLS LAST) AS BIGINT) AS rk
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT CAST(min(cnt) AS BIGINT) AS m
+        |  FROM (SELECT COUNT(*) AS cnt FROM r GROUP BY label)
+        |)
+        |SELECT label, COUNT(*) AS n_total,
+        |  COUNT(CASE WHEN rk <= m.m THEN 1 END) AS n_kept,
+        |  CAST(SUM(CASE WHEN rk <= m.m THEN vec_id END) AS BIGINT)
+        |    AS kept_id_sum
+        |FROM r, m
+        |GROUP BY label
+        |ORDER BY label ASC NULLS LAST""".stripMargin,
+
+    "q_text_clean" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<div class="doc" id="' || CAST(doc_id AS VARCHAR) ||
+        |    '"><h1>Doc &amp; friends</h1><p>' || text ||
+        |    '</p><br/><span>&copy; example&nbsp;corp</span></div>' AS html
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT)
+        |      AS n_tags,
+        |    trim(regexp_replace(replace(replace(replace(
+        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&amp;', '&'), '&copy;', '(c)'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM h
+        |)
+        |SELECT doc_id, n_tags,
+        |  CAST(length(clean) AS BIGINT) AS clean_len,
+        |  md5(clean) AS clean_md5
+        |FROM c ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     "q_url_parse" ->
       """WITH u AS (

@@ -101,6 +101,69 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q_mixture_weights keep rates follow the target weights and " +
+      "cap at 1") {
+    val out = Corpus.queries("q_mixture_weights")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nTotal = out.map(_._3).sum
+    val wTotal = out.map(_._2).sum
+    out.foreach { case (src, w, nS, nKept) =>
+      assert(nKept <= nS)
+      // expected rate = min(1, w*N / (W*n_s)); kept count concentrates
+      // around rate*n_s — md5 buckets are near-uniform, so allow a wide
+      // but meaningful band (the oracle already proves exactness; this
+      // test proves the SEMANTICS are a rate, not a fixed cap)
+      val rate = math.min(1.0, w.toDouble * nTotal / (wTotal.toDouble * nS))
+      assert(math.abs(nKept - rate * nS) <= math.max(5.0, 0.3 * nS),
+        s"$src: kept $nKept of $nS at target rate $rate")
+      if (rate == 1.0) assert(nKept == nS, s"$src: capped rate must keep all")
+    }
+  }
+
+  test("q_label_balance keeps exactly the minority-class size per label") {
+    val out = Corpus.queries("q_label_balance")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val m = out.map(_._2).min
+    out.foreach { case (lbl, nTotal, nKept, _) =>
+      assert(nKept == math.min(m, nTotal), s"label $lbl")
+    }
+    // reproducible selection: brute-force the same md5 order for one label
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "label").as[(Long, Int)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val lbl0 = vecs.filter(_._2 == out.head._1).map(_._1)
+    val expect = lbl0.sortBy(id => (md5hex(id.toString), id))
+      .take(m.toInt).sum
+    assert(out.head._4 == expect, "kept-id checksum mismatch")
+  }
+
+  test("q_text_clean strips every tag and unescapes entities") {
+    val out = Corpus.queries("q_text_clean")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._2 != null).toMap
+    assert(out.map(_._1).toSet == docs.keySet)
+    out.foreach { case (id, nTags, cleanLen, cleanMd5) =>
+      // wrapper adds exactly 9 tags (div h1 /h1 p /p br span /span /div)
+      assert(nTags == 9, s"doc $id: $nTags tags")
+      // independent plain-Scala cleaning of the same wrapper
+      val html = s"""<div class="doc" id="$id"><h1>Doc &amp; friends""" +
+        s"</h1><p>${docs(id)}</p><br/><span>&copy; example&nbsp;corp" +
+        "</span></div>"
+      val clean = html.replaceAll("<[^>]*>", " ")
+        .replace("&nbsp;", " ").replace("&amp;", "&")
+        .replace("&copy;", "(c)")
+        .replaceAll("\\s+", " ").trim
+      assert(cleanLen == clean.length, s"doc $id clean length")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(cleanMd5 == md, s"doc $id clean md5")
+    }
+  }
+
   test("q_source_quota keeps exactly min(20, total) per source with a " +
       "reproducible selection") {
     val out = Corpus.queries("q_source_quota")(spark, sf).collect()

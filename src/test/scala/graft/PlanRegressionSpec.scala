@@ -120,7 +120,10 @@ class PlanRegressionSpec extends SparkSpec {
       // broadcast-k centroid assignment: the equi-key is a constant, so
       // Catalyst folds it away and the join is a k-row broadcast — linear
       // in the corpus, bounded by k, same as q_ann_ivf's assignment
-      "q_kmeans_iter")
+      "q_kmeans_iter",
+      // 1-row broadcast of corpus totals (mixture) / the minority class
+      // size (balance) on a constant key — the q_text_docfreq shape
+      "q_mixture_weights", "q_label_balance")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
