@@ -116,7 +116,7 @@ object VectorOps {
     * only differ from the oracle's exact-decimal ranking on a <1e-12
     * centroid-dot tie, which distinct centroids cannot produce). */
   private def centroidAssign(s: SparkSession, e: DataFrame,
-      vecs: DataFrame): DataFrame = {
+      vecs: DataFrame, k: Int = 1): DataFrame = {
     val cents = broadcast(e.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
         lit(1).as("_one")))
@@ -128,7 +128,7 @@ object VectorOps {
       .withColumn("cdot", fastDot(s, "embedding", "cemb"))
       .select("vec_id", "cid", "cdot")
       .withColumn("_rn", row_number().over(wAssign))
-      .filter(col("_rn") === 1)
+      .filter(col("_rn") <= k)
       .select(col("vec_id"), col("cid").as("cluster"))
   }
 
@@ -272,6 +272,61 @@ object VectorOps {
         .select("vec_id", "cosine")
         .orderBy(desc_nulls_last("cosine"), asc_nulls_last("vec_id"))
         .limit(10)
+    }),
+
+    // IVF with nprobe=2: identical phases to q_ann_ivf, but the probe
+    // searches its TWO nearest clusters — the standard recall knob of an
+    // inverted-file index (nprobe trades linear extra search cost for
+    // recall lost at cluster boundaries). The probe-cluster set is a
+    // 2-row broadcast, so the cluster filter is a broadcast hash join on
+    // a real key; everything else stays linear.
+    "q_ann_ivf_nprobe" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val clusters = centroidAssign(s, e, e)
+      val probeClusters = broadcast(
+        centroidAssign(s, e, e.filter(col("vec_id") === 0), k = 2)
+          .select(col("cluster").as("probe_cluster")))
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb")))
+      clusters.filter(col("vec_id") =!= 0)
+        .join(probeClusters, col("cluster") === col("probe_cluster"))
+        .join(e, "vec_id")
+        .crossJoin(probe)
+        .withColumn("cosine", dotExpr(s, "embedding", "probe_emb"))
+        .select("vec_id", "cosine")
+        .orderBy(desc_nulls_last("cosine"), asc_nulls_last("vec_id"))
+        .limit(10)
+    }),
+
+    // Random-projection dimensionality reduction (Achlioptas-style ±1
+    // sign matrix): every vector projected onto 16 md5-derived sign
+    // hyperplanes — the cheap JL-lemma reduction that precedes clustering
+    // or coarse ANN when 64 dims are still too many. Signs derive from
+    // md5 parity (no RNG state, engine-agnostic); projections fold
+    // through exact decimals like annBuckets. Pure narrow map, one row
+    // per (vector, output dim).
+    "q_embed_rp" -> ((s, d) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def sign(p: Int, i: Int): String = {
+        val hex = md.digest(s"rp_${p}_$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if ("0123456789abcdef".indexOf(hex.charAt(0)) % 2 == 0) "1.0D"
+        else "-1.0D"
+      }
+      def proj(p: Int): String = {
+        val w = (0 until EmbDim).map(i => sign(p, i)).mkString(", ")
+        s"CAST(aggregate(zip_with(embedding, array($w), " +
+          "(x, w) -> CAST(CAST(x AS DOUBLE) * w AS DECIMAL(20,8))), " +
+          "CAST(0 AS DECIMAL(30,8)), " +
+          "(acc, t) -> CAST(acc + t AS DECIMAL(30,8))) AS DOUBLE)"
+      }
+      val projArr = (0 until 16).map(proj).mkString("array(", ", ", ")")
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(expr(projArr)).as(Seq("rp_dim", "rp")))
+        .select(col("vec_id"), col("rp_dim").cast("long").as("rp_dim"),
+          col("rp"))
+        .orderBy(asc_nulls_last("vec_id"), asc_nulls_last("rp_dim"))
     }),
 
     // Int8 scalar quantization (the embedding-store compression step):
