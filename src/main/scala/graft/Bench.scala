@@ -57,58 +57,77 @@ object Bench {
     * the driver's tail buffer as the query count grows (legend:
     * BASELINE.md §bench name legend). */
   private val overrides = Map(
-    "q_stateful_sessionize" -> "stfsz", "q_date_arith" -> "dar",
-    "q_embed_norm" -> "enorm", "q_setops_all" -> "seta",
+    "q_stateful_sessionize" -> "stfz", "q_date_arith" -> "dar",
+    "q_embed_norm" -> "enrm", "q_setops_all" -> "seta",
     "q_sort_limit" -> "slim", "q_split_hash" -> "splh",
-    "q_sql_exists_subquery" -> "s_exs",
-    "q_stream_session_dynamic" -> "st_sdy",
-    "q_agg_approx_distinct" -> "a_apx", "q_agg_collect" -> "a_col",
-    "q_dedup_containment" -> "d_con", "q_dedup_minhash" -> "d_mh",
-    "q_dedup_simhash" -> "d_sh", "q_intersect" -> "isect",
+    "q_sql_exists_subquery" -> "sexs",
+    "q_stream_session_dynamic" -> "ssdy",
+    "q_agg_approx_distinct" -> "aapx", "q_agg_collect" -> "acol",
+    "q_dedup_containment" -> "dcnt", "q_dedup_minhash" -> "d_mh",
+    "q_dedup_simhash" -> "d_sh", "q_intersect" -> "isct",
     "q_pack_sequences" -> "pack", "q_quality_gopher" -> "goph",
-    "q_sample_stratified" -> "smp", "q_scan_pruned" -> "sc_pr",
-    "q_sql_scalar_subquery" -> "s_scs", "q_udf_scala" -> "udf",
+    "q_sample_stratified" -> "smp", "q_scan_pruned" -> "scpr",
+    "q_sql_scalar_subquery" -> "sscs", "q_udf_scala" -> "udf",
     "q_udtf_explode" -> "udtf", "q_url_parse" -> "urlp",
-    "q_agg_having" -> "a_hav", "q_agg_minmax_by" -> "a_mm",
-    "q_agg_rollup" -> "a_rol", "q_ann_neighbors" -> "ann_nb",
-    "q_array_funcs" -> "arr_f", "q_array_funcs2" -> "arr_f2",
+    "q_agg_having" -> "ahav", "q_agg_minmax_by" -> "a_mm",
+    "q_agg_rollup" -> "arol", "q_ann_neighbors" -> "annb",
+    "q_array_funcs" -> "arrf", "q_array_funcs2" -> "arf2",
     "q_condition_block" -> "cblk", "q_conditional_agg" -> "cagg",
-    "q_decontaminate" -> "decon", "q_dedup_clusters" -> "d_cl",
+    "q_decontaminate" -> "dcon", "q_dedup_clusters" -> "d_cl",
     "q_dedup_spans" -> "d_sp", "q_sql_grouping_sets" -> "s_gs",
-    "q_join_broadcast" -> "j_bc", "q_multimodal_features" -> "mm_ft",
-    "q_multimodal_headers" -> "mm_hd", "q_multimodal_join" -> "mm_j",
+    "q_join_broadcast" -> "j_bc", "q_multimodal_features" -> "mmft",
+    "q_multimodal_headers" -> "mmhd", "q_multimodal_join" -> "mm_j",
     "q_text_fingerprint" -> "t_fp", "q_text_tokencount" -> "t_tc",
-    "q_stats_histogram" -> "sta_hg", "q_stream_tumbling" -> "st_tum",
-    "q_stream_sliding" -> "st_sld", "q_filter_predicate" -> "filt",
-    "q_percentile_exact" -> "pct_x", "q_explode_outer" -> "exo",
-    "q_median_exact" -> "med_x", "q_window_first_last" -> "w_fl",
+    "q_stats_histogram" -> "hist", "q_stream_tumbling" -> "stum",
+    "q_stream_sliding" -> "ssld", "q_filter_predicate" -> "filt",
+    "q_percentile_exact" -> "pctx", "q_explode_outer" -> "exo",
+    "q_median_exact" -> "medx", "q_window_first_last" -> "w_fl",
     "q_embed_quantize" -> "eqnt", "q_kmeans_iter" -> "kmns",
-    "q_stream_static_join" -> "ststj", "q_retention" -> "retn",
-    "q_resample_ffill" -> "ffill", "q_vocab_per_lang" -> "vocab",
+    "q_stream_static_join" -> "stsj", "q_retention" -> "retn",
+    "q_resample_ffill" -> "ffil", "q_vocab_per_lang" -> "vcb",
     "q_source_quota" -> "sqta", "q_anomaly_mad" -> "mad",
-    "q_sql_lateral" -> "s_lat", "q_sql_recursive" -> "s_rec",
-    "q_sketch_countmin" -> "cms", "q_sketch_bloom" -> "bloom",
-    "q_simsearch_topk" -> "simtk", "q_stats_corr" -> "corr",
-    "q_stream_dedup" -> "st_dd", "q_template_pipeline" -> "tpl",
-    "q_text_langid" -> "t_lid", "q_udaf_weighted" -> "udaf",
+    "q_sql_lateral" -> "slat", "q_sql_recursive" -> "srec",
+    "q_sketch_countmin" -> "cms", "q_sketch_bloom" -> "blm",
+    "q_simsearch_topk" -> "stk", "q_stats_corr" -> "corr",
+    "q_stream_dedup" -> "stdd", "q_template_pipeline" -> "tpl",
+    "q_text_langid" -> "tlid", "q_udaf_weighted" -> "udaf",
     "q_ann_ivf" -> "ivf", "q_ann_lsh" -> "lsh", "q_bitwise" -> "bitw",
-    "q_date_funcs2" -> "datf2", "q_dedup_embed" -> "d_emb",
+    "q_date_funcs2" -> "dtf2", "q_dedup_embed" -> "demb",
     "q_dedup_ngram" -> "d_ng", "q_dedup_pairs" -> "d_pr",
-    "q_join_outer" -> "j_out", "q_join_range" -> "j_rng",
+    "q_join_outer" -> "jout", "q_join_range" -> "jrng",
     "q_regex_extract" -> "rx_e", "q_scan_project" -> "sc_p",
     "q_skew_salted_join" -> "sk_j", "q_sql_in_subquery" -> "s_in",
     "q_stats_moments" -> "mom", "q_stream_join" -> "st_j",
-    "q_stream_session" -> "st_se", "q_text_chunk" -> "t_chk",
+    "q_stream_session" -> "stse", "q_text_chunk" -> "tchk",
     "q_text_dedup" -> "t_dd", "q_text_stats" -> "t_st",
-    "q_text_tfidf" -> "tfidf", "q_topk_per_group" -> "topk",
-    "q_unpivot" -> "unpiv", "q_window_frame" -> "w_frm",
-    "q_window_ntile" -> "w_nt", "q_window_range" -> "w_rng",
+    "q_text_tfidf" -> "tfid", "q_topk_per_group" -> "topk",
+    "q_unpivot" -> "unpv", "q_window_frame" -> "wfrm",
+    "q_window_ntile" -> "w_nt", "q_window_range" -> "wrng",
     "q_scd2_intervals" -> "scd2", "q_path_per_session" -> "path",
-    "q_upsert_latest" -> "upsert", "q_text_bigram_prob" -> "t_bgp",
-    "q_stats_regression" -> "regr", "q_dedup_minhash_est" -> "d_mhe",
+    "q_upsert_latest" -> "upst", "q_text_bigram_prob" -> "tbgp",
+    "q_stats_regression" -> "regr", "q_dedup_minhash_est" -> "dmhe",
     "q_markov_transition" -> "mkv", "q_concurrency_peak" -> "conc",
     "q_window_time_range" -> "w_tr", "q_mixture_weights" -> "mixw",
-    "q_label_balance" -> "lbal", "q_text_clean" -> "t_cln")
+    "q_label_balance" -> "lbal", "q_text_clean" -> "tcln",
+    "q_ann_ivf_nprobe" -> "ivf2", "q_embed_rp" -> "erp",
+    "q_agg_bool" -> "abol", "q_agg_cube" -> "acub",
+    "q_agg_distinct" -> "adst", "q_agg_hash" -> "ahsh",
+    "q_agg_mode" -> "amod", "q_date_funcs" -> "datf",
+    "q_except" -> "exc", "q_funnel" -> "funl",
+    "q_join_anti" -> "jant", "q_join_asof" -> "jasf",
+    "q_join_full" -> "jful", "q_join_semi" -> "jsem",
+    "q_join_shuffle" -> "jshf", "q_json_funcs" -> "jsnf",
+    "q_math_funcs" -> "mthf", "q_null_funcs" -> "nulf",
+    "q_regex_sub" -> "rxs", "q_set_unset_lookup" -> "slkp",
+    "q_skew_salted_agg" -> "skag", "q_string_funcs" -> "strf",
+    "q_string_funcs2" -> "sf2", "q_text_bigrams" -> "tbgr",
+    "q_text_gini" -> "tgin", "q_text_quality" -> "tqal",
+    "q_window_cume" -> "wcum", "q_window_rank" -> "wrnk",
+    "q_map_funcs" -> "mapf", "q_pivot" -> "pvt",
+    "q_sql_cte" -> "scte", "q_stream_outer_join" -> "stoj",
+    "q_text_pii_redact" -> "tpii", "q_text_repetition" -> "trep",
+    "q_text_tokenize" -> "ttok", "q_union" -> "uni",
+    "q_window_analytic" -> "wanl")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -228,6 +228,10 @@ object EventAnalytics {
         .select("b.tsu", "b.delta")
         .groupBy("tsu").agg(sum("delta").as("d"))
         .withColumn("day", expr("CAST(timestamp_micros(tsu) AS DATE)"))
+        // consumed twice (day-carry aggregate + final join): persist so
+        // the sessionization window subtree runs once per pass, not twice
+        // (Verify/Bench clearCache() handles cleanup)
+        .persist()
       val wDays = Window.orderBy(asc_nulls_last("day"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val carry = deltas.groupBy("day").agg(sum("d").as("day_d"))

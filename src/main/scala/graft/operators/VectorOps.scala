@@ -517,6 +517,56 @@ object VectorOps {
          |ORDER BY vec_id ASC NULLS LAST, cosine DESC NULLS LAST,
          |  nb_id ASC NULLS LAST""".stripMargin,
 
+    // q_ann_ivf with a 2-cluster probe set: same exact-decimal assignment
+    // argmax, but pc keeps the probe's TWO nearest centroids (rn <= 2).
+    // The Spark side pre-ranks with the fast double dot — identical
+    // selection, see the q_ann_ivf note.
+    "q_ann_ivf_nprobe" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < $IvfCentroids
+         |), a AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${sqlDot("e.embedding", "c.cemb")} AS cdot
+         |  FROM embeddings e, cents c
+         |), cl AS (
+         |  SELECT vec_id, cid AS cluster FROM a
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cdot DESC, cid ASC) = 1
+         |), pc AS (
+         |  SELECT cid AS probe_cluster FROM a WHERE vec_id = 0
+         |  QUALIFY row_number() OVER (ORDER BY cdot DESC, cid ASC) <= 2
+         |)
+         |SELECT e.vec_id, ${sqlDot("e.embedding", "p.embedding")} AS cosine
+         |FROM embeddings e
+         |JOIN cl ON e.vec_id = cl.vec_id
+         |JOIN pc ON cl.cluster = pc.probe_cluster,
+         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+         |WHERE e.vec_id <> 0
+         |ORDER BY cosine DESC NULLS LAST, e.vec_id ASC NULLS LAST
+         |LIMIT 10""".stripMargin,
+
+    // Mirrors q_embed_rp's md5-parity sign matrix exactly: strpos is
+    // 1-based, so (strpos − 1) is the Scala indexOf and even index → +1
+    // (the annOracle hyperplane pattern with a ±1 weight). Per-element
+    // DECIMAL(20,8) rounding matches the Spark fold's cast.
+    "q_embed_rp" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    unnest(generate_series(1, $EmbDim)) AS i
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, CAST(p.p AS BIGINT) AS rp_dim,
+         |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) *
+         |    (CASE WHEN (strpos('0123456789abcdef', substring(md5(
+         |      'rp_' || CAST(p.p AS VARCHAR) || '_'
+         |      || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+         |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+         |    AS DECIMAL(20,8))) AS DOUBLE) AS rp
+         |FROM e, (SELECT unnest(range(16)) AS p) p
+         |GROUP BY vec_id, p.p
+         |ORDER BY vec_id ASC NULLS LAST, rp_dim ASC NULLS LAST""".stripMargin,
+
     "q_multimodal_join" ->
       """SELECT doc_id,
         |  CAST(to_json(struct_pack(lang := coalesce(lang, '<null>'),
@@ -570,7 +620,7 @@ object VectorOps {
          |  SELECT cl.cluster, e.i - 1 AS pos,
          |    CAST(e.embedding[e.i] AS DOUBLE) AS x
          |  FROM (SELECT vec_id, embedding,
-         |          unnest(generate_series(1, len(embedding))) AS i
+         |          unnest(generate_series(1, $EmbDim)) AS i
          |        FROM embeddings) e
          |  JOIN cl ON e.vec_id = cl.vec_id
          |)

@@ -121,6 +121,10 @@ class PlanRegressionSpec extends SparkSpec {
       // Catalyst folds it away and the join is a k-row broadcast — linear
       // in the corpus, bounded by k, same as q_ann_ivf's assignment
       "q_kmeans_iter",
+      // q_ann_ivf with a 2-row probe-cluster broadcast: the nested-loop
+      // side is bounded by nprobe (= 2), same bounded-probe argument as
+      // q_ann_ivf's 1-row probe
+      "q_ann_ivf_nprobe",
       // 1-row broadcast of corpus totals (mixture) / the minority class
       // size (balance) on a constant key — the q_text_docfreq shape
       "q_mixture_weights", "q_label_balance")

@@ -32,6 +32,58 @@ class VectorTrainSpec extends SparkSpec {
     }
   }
 
+  test("q_embed_rp matches the md5-parity sign projection ground truth") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, i: Int): Double = {
+      val hex = md.digest(s"rp_${p}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("0123456789abcdef".indexOf(hex.charAt(0)) % 2 == 0) 1.0 else -1.0
+    }
+    val out = VectorOps.queries("q_embed_rp")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val embs = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    embs.foreach { case (id, emb) =>
+      (0 until 16).foreach { p =>
+        // mirror the fold: per-element product rounded to DECIMAL(20,8),
+        // exact decimal accumulation, one final toDouble
+        val expected = emb.zipWithIndex.map { case (x, i) =>
+          BigDecimal(x.toDouble * sign(p, i))
+            .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+        assert(out((id, p.toLong)) == expected, s"vec $id dim $p")
+      }
+    }
+    assert(out.size == embs.length * 16)
+  }
+
+  test("q_ann_ivf_nprobe searches exactly the probe's two nearest clusters") {
+    val out = VectorOps.queries("q_ann_ivf_nprobe")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val embs = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val cents = embs.filter(_._1 < 8).sortBy(_._1)
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    // exact-decimal dot, mirroring dotExpr's DECIMAL(20,10) fold
+    def dotExact(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        BigDecimal(x.toDouble * y.toDouble)
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+    val assign = embs.map { case (id, e) =>
+      id -> cents.maxBy { case (cid, c) => (dot(e, c), -cid.toDouble) }._1
+    }.toMap
+    val probeEmb = embs.find(_._1 == 0L).get._2
+    val probeTop2 = cents.map { case (cid, c) => (cid, dot(probeEmb, c)) }
+      .sortBy { case (cid, d) => (-d, cid) }.take(2).map(_._1).toSet
+    val expected = embs
+      .filter { case (id, _) => id != 0L && probeTop2(assign(id)) }
+      .map { case (id, e) => (id, dotExact(e, probeEmb)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(out.toSeq == expected.toSeq)
+  }
+
   test("q_kmeans_iter assigns by argmax cosine and averages exactly") {
     val out = VectorOps.queries("q_kmeans_iter")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
