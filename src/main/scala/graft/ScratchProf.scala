@@ -22,8 +22,8 @@ object ScratchProf {
     spark.range(100000).selectExpr("sum(id)").collect()
     for (round <- 1 to 2) {
       println(s"--- round $round")
-      for (q <- Seq("q_text_tfidf", "q_sql_cte", "q_window_ntile",
-          "q_ann_neighbors", "q_dedup_pairs"))
+      for (q <- Seq("q_embed_rp", "q_ann_lsh", "q_ann_neighbors",
+          "q_dedup_clusters"))
         time(q)(SparkEntry.queries(q)(spark, d).count())
     }
     spark.stop()

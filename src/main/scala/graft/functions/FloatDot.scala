@@ -79,7 +79,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => FloatDot(children(0), children(1))),
     (new FunctionIdentifier("decimal_dot"),
       new ExpressionInfo(classOf[DecimalDot].getName, "decimal_dot"),
-      (children: Seq[Expression]) => DecimalDot(children(0), children(1))))
+      (children: Seq[Expression]) => DecimalDot(children(0), children(1))),
+    (new FunctionIdentifier("decimal_wdot"),
+      new ExpressionInfo(classOf[DecimalWDot].getName, "decimal_wdot"),
+      (children: Seq[Expression]) => DecimalWDot(children(0), children(1))))
 
   def ensureRegistered(spark: SparkSession): Unit =
     all.foreach { case (ident, info, builder) =>

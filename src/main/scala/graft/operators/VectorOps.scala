@@ -68,6 +68,24 @@ object VectorOps {
     expr(s"float_dot($a, $b)")
   }
 
+  /** Exact-decimal (scale 8) weighted dot of a float vector against a
+    * DOUBLE-literal weight array — the codegen'd
+    * [[graft.functions.DecimalWDot]], bit-identical to the interpreted
+    * scale-8 fold it replaced ([[wdotFoldReference]], equality
+    * property-locked in FunctionsAndSourcesSpec) but one tight loop per
+    * row instead of a Decimal allocation per element per plane. */
+  def wdotExpr(s: SparkSession, vec: String, weights: String): Column = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    expr(s"decimal_wdot($vec, $weights)")
+  }
+
+  /** The interpreted scale-8 fold [[wdotExpr]] is proven against. */
+  def wdotFoldReference(vec: String, weights: String): Column = expr(
+    s"CAST(aggregate(zip_with($vec, $weights, " +
+      "(x, w) -> CAST(CAST(x AS DOUBLE) * w AS DECIMAL(20,8))), " +
+      "CAST(0 AS DECIMAL(30,8)), " +
+      "(acc, t) -> CAST(acc + t AS DECIMAL(30,8))) AS DOUBLE)")
+
   private def sqlDot(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), " +
       "p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) " +
@@ -93,16 +111,18 @@ object VectorOps {
       "0123456789abcdef".indexOf(hex.charAt(0)) - 7.5
     }
     def proj(p: Int): String = {
-      // D suffix: double literals (a bare 7.5 parses as DECIMAL(2,1))
+      // D suffix: double literals (a bare 7.5 parses as DECIMAL(2,1));
+      // the codegen'd decimal_wdot is bit-identical to the scale-8 fold
+      // this replaced (wdotFoldReference) and the oracle's strpos-on-md5
+      // arithmetic — weights are k + 0.5 halves, exactly representable
       val w = (0 until dim).map(i => s"${weight(p, i)}D").mkString(", ")
-      s"CAST(aggregate(zip_with(embedding, array($w), " +
-        "(x, w) -> CAST(CAST(x AS DOUBLE) * w AS DECIMAL(20,8))), " +
-        "CAST(0 AS DECIMAL(30,8)), " +
-        "(acc, t) -> CAST(acc + t AS DECIMAL(30,8))) AS DOUBLE)"
+      s"decimal_wdot(embedding, array($w))"
     }
     val bucket = (0 until planes)
       .map(p => s"CASE WHEN ${proj(p)} > 0 THEN ${1L << p} ELSE 0 END")
       .mkString("CAST(", " + ", " AS BIGINT)")
+    graft.functions.GraftFunctions
+      .ensureRegistered(emb.sparkSession)
     // NULL embedding → NULL bucket (a CASE over NULL projections would
     // otherwise silently land every vector-less row in bucket 0)
     emb.withColumn("bucket",
@@ -314,13 +334,14 @@ object VectorOps {
         else "-1.0D"
       }
       def proj(p: Int): String = {
+        // codegen'd scale-8 weighted dot (see wdotExpr) — was 16
+        // interpreted DECIMAL folds per row, the round-4 bench's
+        // slowest narrow map (1.2 s at sf0.1, ADVICE r4)
         val w = (0 until EmbDim).map(i => sign(p, i)).mkString(", ")
-        s"CAST(aggregate(zip_with(embedding, array($w), " +
-          "(x, w) -> CAST(CAST(x AS DOUBLE) * w AS DECIMAL(20,8))), " +
-          "CAST(0 AS DECIMAL(30,8)), " +
-          "(acc, t) -> CAST(acc + t AS DECIMAL(30,8))) AS DOUBLE)"
+        s"decimal_wdot(embedding, array($w))"
       }
       val projArr = (0 until 16).map(proj).mkString("array(", ", ", ")")
+      graft.functions.GraftFunctions.ensureRegistered(s)
       t(s, d, "embeddings")
         .select(col("vec_id"),
           posexplode(expr(projArr)).as(Seq("rp_dim", "rp")))

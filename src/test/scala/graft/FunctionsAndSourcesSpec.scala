@@ -116,6 +116,69 @@ class FunctionsAndSourcesSpec extends SparkSpec {
     assert(out(1).isNullAt(0)) // length mismatch (zip_with pads null)
   }
 
+  test("decimal_wdot equals the interpreted scale-8 weighted fold " +
+      "bit-for-bit over real embeddings and adversarial values") {
+    GraftFunctions.ensureRegistered(spark)
+    // fixture vectors against the actual hyperplane weight families the
+    // engine uses: md5 halves (−7.5 … 7.5, annBuckets) and ±1 signs
+    // (q_embed_rp) — plus pseudo-random double weights
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def half(p: Int, i: Int): Double = {
+      val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(hex.charAt(0)) - 7.5
+    }
+    val rnd = new scala.util.Random(11)
+    val weightFamilies: Seq[Seq[Double]] =
+      (0 until 6).map(p => (0 until 64).map(i => half(p, i)).toSeq) ++
+        (0 until 4).map(p => (0 until 64)
+          .map(i => if (half(p, i) > 0) 1.0 else -1.0).toSeq) ++
+        Seq((0 until 64).map(_ => rnd.nextDouble() * 30 - 15).toSeq)
+    val e = Tables.table(spark, sf, "embeddings").limit(60)
+      .select($"embedding".as("v"))
+    weightFamilies.zipWithIndex.foreach { case (w, fi) =>
+      val arr = w.map(x => s"${x}D").mkString("array(", ", ", ")")
+      val diff = e.select(
+        expr(s"decimal_wdot(v, $arr)").as("fast"),
+        graft.operators.VectorOps.wdotFoldReference("v", arr).as("ref"))
+        .filter(!($"fast" <=> $"ref"))
+      assert(diff.count() == 0, s"weight family $fi diverged")
+    }
+    // adversarial: boundary products, zeros, subnormals, big weights
+    val adv = Seq(
+      (Seq(0.5f, -0.5f, 1.0f), Seq(1e-8, -1e-8, 0.000000005)),
+      (Seq(Float.MinPositiveValue, 1f), Seq(1.0, -1.0)),
+      (Seq(0f, -0f, 3.3f), Seq(7.5, 1.0, -3.14159)),
+      (Seq(40000f, 1f), Seq(40000.0, 1.0)), // 1.6e9: beyond fast path
+      (Seq(1f), Seq(0.000000015))) ++ // half-up boundary at scale 8
+      (1 to 50).map(_ => (Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+        Seq.fill(64)(rnd.nextDouble() * 16 - 8)))
+    adv.toDF("a", "b").createOrReplaceTempView("wdot_adv")
+    val advDiff = spark.table("wdot_adv").select(
+      expr("decimal_wdot(a, b)").as("fast"),
+      graft.operators.VectorOps.wdotFoldReference("a", "b").as("ref"))
+      .filter(!($"fast" <=> $"ref"))
+    assert(advDiff.count() == 0)
+    // overflow mirrors the fold: DECIMAL(20,8) term bound is 1e12
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val big = Seq((Seq(1e6f), Seq(1e7))).toDF("a", "b").select(
+        expr("decimal_wdot(a, b)").as("fast"),
+        graft.operators.VectorOps.wdotFoldReference("a", "b").as("ref"))
+        .collect()
+      assert(big(0).isNullAt(0) && big(0).isNullAt(1))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    // null semantics: null array, length mismatch
+    val nullsW = Seq(
+      (Some(Seq(1.0f, 2.0f)), Option.empty[Seq[Double]]),
+      (Some(Seq(1.0f, 2.0f, 3.0f)), Some(Seq(2.0))))
+      .toDF("a", "b")
+    val outW = nullsW.select(expr("decimal_wdot(a, b)")).collect()
+    assert(outW(0).isNullAt(0))
+    assert(outW(1).isNullAt(0))
+  }
+
   test("json-lines round trip (bus-payload shape) batch and stream") {
     val dir = Files.createTempDirectory("graft_json").toString
     val events = Tables.table(spark, sf, "events").limit(100)
