@@ -22,9 +22,19 @@ object ScratchProf {
     spark.range(100000).selectExpr("sum(id)").collect()
     for (round <- 1 to 2) {
       println(s"--- round $round")
-      for (q <- Seq("q_embed_rp", "q_ann_lsh", "q_ann_neighbors",
-          "q_dedup_clusters"))
-        time(q)(SparkEntry.queries(q)(spark, d).count())
+      val pairs = time("nearDuplicates")(
+        graft.operators.TextDedup.nearDuplicates(
+          Tables.table(spark, d, "documents")).select("id_a", "id_b")
+          .localCheckpoint())
+      val (lbl, rounds) = time("cc")(
+        graft.operators.Corpus.connectedComponentsWithRounds(pairs))
+      time("cc-collect")(lbl.count())
+      println(s"ROUNDS $rounds  pairs ${pairs.count()}")
+      lbl.unpersist()
+      spark.catalog.clearCache()
+      Tables.names.foreach(n =>
+        try Tables.table(spark, d, n).cache().count()
+        catch { case _: Throwable => () })
     }
     spark.stop()
   }

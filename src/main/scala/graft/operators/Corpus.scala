@@ -47,6 +47,94 @@ object Corpus {
   /** Tokens per span for q_dedup_spans. */
   val SpanTokens = 10
 
+  /** Connected components over an undirected edge list (`id_a`, `id_b`)
+    * by min-label propagation WITH pointer doubling — returns one row per
+    * node: (`id`, `lbl` = minimum id of the node's component).
+    *
+    * Each round: (1) propagate — lbl'(v) = min over (adj(v) ∪ {v}) of lbl
+    * (self-loops make this a single join + groupBy: no left join, no
+    * coalesce); (2) pointer-double — lbl ← lbl(lbl). Every label value is
+    * itself a node id (labels start as ids and min preserves that) and
+    * the self-loop guarantees lbl(l) ≤ l, so the extra self-join halves
+    * the remaining distance to the component minimum: O(log diameter)
+    * rounds on path-shaped components instead of O(diameter). The
+    * fixed-point guarantee is unchanged — next == labels forces
+    * prop == labels (prop ≤ labels elementwise and next ≤ prop), i.e. a
+    * fixed point of plain propagation, which is exactly the
+    * connected-components labeling; the recursive-CTE oracle is the
+    * exactness witness.
+    *
+    * Scale: edges are persisted once (they are the expensive subtree);
+    * each round shuffles only slim (id, lbl) rows. Every round persists
+    * its labels (the change-count materializes them) and drops the
+    * previous round's cache, so the loop holds at most two label
+    * snapshots plus the edge set in memory; the final labels stay cached
+    * for the caller's terminal action (Verify clears the cache between
+    * queries). */
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** [[connectedComponents]] plus the number of rounds the loop ran —
+    * exposed so the log-diameter convergence property is testable. */
+  def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    // symmetric expansion IN-ROW (explode of both directions), not a
+    // union of two branches — a union would evaluate the whole upstream
+    // subtree (LSH in the declared query) twice before the persist helps
+    val sym = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select("e.src", "e.dst")
+      .persist()
+    val nodes = sym.select(col("src")).distinct()
+    val edges = sym
+      .union(nodes.select(col("src"), col("src").as("dst")))
+      .persist()
+    var labels = nodes.select(col("src").as("id"), col("src").as("lbl"))
+      .persist()
+    // convergence check = exact-decimal label sum: labels are elementwise
+    // non-increasing (self-loop ⇒ prop ≤ labels, doubling ⇒ next ≤ prop),
+    // so an unchanged sum ⇔ no label changed — one narrow agg over the
+    // just-materialized round instead of a join-against-previous shuffle
+    def lblSum(df: DataFrame): java.math.BigDecimal = Option(
+      df.agg(sum(col("lbl").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0))
+      .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = lblSum(labels)
+    var changed = true
+    var rounds = 0
+    while (changed) {
+      rounds += 1
+      require(rounds <= MaxClusterRounds,
+        s"label propagation did not converge in $MaxClusterRounds rounds")
+      val prop = edges
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy("src").agg(min("lbl").as("lbl"))
+        .select(col("src").as("id"), col("lbl"))
+      // localCheckpoint (eager), not persist: the doubling self-join
+      // references prop TWICE, so the logical plan would otherwise double
+      // per round — 2^rounds analysis cost even with every round cached.
+      // Checkpointing materializes AND truncates lineage, keeping each
+      // round's plan constant-size. (On a multi-node cluster prefer
+      // reliable checkpoint() to a checkpoint dir — localCheckpoint
+      // trades executor-loss recovery for speed; the convergence loop is
+      // short enough to simply re-run on failure.)
+      val next = prop
+        .join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+          "lbl")
+        .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
+        .localCheckpoint()
+      val s = lblSum(next)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    sym.unpersist()
+    (labels, rounds)
+  }
+
   /** Gram width for q_decontaminate. */
   val GramTokens = 8
 
@@ -59,60 +147,17 @@ object Corpus {
     // the declared LSH pipeline (TextDedup.nearDuplicates — itself
     // oracle-proven as q_dedup_pairs). Scale: edges are persisted once
     // (they are the expensive subtree); each round is one shuffle join on
-    // id plus one slim change-count — the GraphX/connected-components
-    // shape without the RDD API. Production at extreme diameters would
-    // add pointer-doubling (lbl ← lbl(lbl)) for log-diameter convergence;
-    // near-dup graphs are dense clusters with tiny diameter, so the
-    // linear-round form converges in a handful of rounds.
-    "q_dedup_clusters" -> ((s, d) => {
-      val pairs = TextDedup.nearDuplicates(t(s, d, "documents"))
-        .select("id_a", "id_b")
-      // symmetric expansion IN-ROW (explode of both directions), not a
-      // union of two branches — a union would evaluate the whole LSH
-      // subtree twice before the persist can help
-      val sym = pairs
-        .select(explode(array(
-          struct(col("id_a").as("src"), col("id_b").as("dst")),
-          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-        .select("e.src", "e.dst")
-        .persist()
-      val nodes = sym.select(col("src")).distinct()
-      // self-loops make each round a SINGLE join + groupBy:
-      // lbl'(v) = min over (adj(v) ∪ {v}) of lbl — no left join, no
-      // coalesce, half the per-round shuffles. Every round persists its
-      // labels (the change-count materializes them) and drops the
-      // previous round's cache, so the loop holds at most two label
-      // snapshots plus the edge set in memory; the final labels stay
-      // cached for the caller's terminal action (Verify clears the
-      // cache between queries).
-      val edges = sym
-        .union(nodes.select(col("src"), col("src").as("dst")))
-        .persist()
-      var labels = nodes.select(col("src").as("id"), col("src").as("lbl"))
-        .persist()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0) {
-        rounds += 1
-        require(rounds <= MaxClusterRounds,
-          s"label propagation did not converge in $MaxClusterRounds rounds")
-        val next = edges
-          .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
-          .groupBy("src").agg(min("lbl").as("lbl"))
-          .select(col("src").as("id"), col("lbl"))
-          .persist()
-        changed = next
-          .join(labels.select(col("id"), col("lbl").as("prev")), "id")
-          .filter(col("lbl") =!= col("prev")).count()
-        labels.unpersist()
-        labels = next
-      }
-      edges.unpersist()
-      sym.unpersist()
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
-        (col("id") === col("lbl")).as("survivor"))
-        .orderBy(asc_nulls_last("doc_id"))
-    }),
+    // id, one label self-join (pointer doubling: lbl ← lbl(lbl), for
+    // log-diameter convergence instead of linear), plus one slim
+    // change-count — the GraphX/connected-components shape without the
+    // RDD API.
+    "q_dedup_clusters" -> ((s, d) =>
+      connectedComponents(
+        TextDedup.nearDuplicates(t(s, d, "documents"))
+          .select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster"),
+          (col("id") === col("lbl")).as("survivor"))
+        .orderBy(asc_nulls_last("doc_id"))),
 
     // Benchmark decontamination: eval split = doc_id % 5 == 0; a train
     // document is contaminated if any of its distinct 8-gram hashes

@@ -34,6 +34,30 @@ class CorpusSpec extends SparkSpec {
     assert(surv == out.values.toSet)
   }
 
+  test("connectedComponents converges in O(log diameter) rounds on a " +
+      "256-node path and labels it exactly") {
+    // a single path 0–1–2–…–255: worst case for plain min-label
+    // propagation (255 rounds); pointer doubling must finish in
+    // ~log2(256) + a constant — the gate at 12 would fail any
+    // linear-round regression loudly
+    val path = (0L until 255L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Corpus.connectedComponentsWithRounds(path)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == 256)
+    assert(out.forall(_._2 == 0L), "path component must all label to 0")
+    assert(rounds <= 12, s"took $rounds rounds — pointer doubling broken?")
+    labels.unpersist()
+    // two components + an isolated self-pair keep labels separated
+    val multi = Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 20L))
+      .toDF("id_a", "id_b")
+    val (l2, _) = Corpus.connectedComponentsWithRounds(multi)
+    val m = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) == 0L && m(1L) == 0L && m(2L) == 0L)
+    assert(m(10L) == 10L && m(11L) == 10L)
+    assert(m(20L) == 20L)
+    l2.unpersist()
+  }
+
   test("q_decontaminate flags planted eval overlap and only that") {
     val out = Corpus.queries("q_decontaminate")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
