@@ -127,7 +127,8 @@ object Bench {
     "q_sql_cte" -> "scte", "q_stream_outer_join" -> "stoj",
     "q_text_pii_redact" -> "tpii", "q_text_repetition" -> "trep",
     "q_text_tokenize" -> "ttok", "q_union" -> "uni",
-    "q_window_analytic" -> "wanl")
+    "q_window_analytic" -> "wanl",
+    "q_ann_ivf_curve" -> "ivfc", "q_ann_recall" -> "rcl")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -130,11 +130,14 @@ object VectorOps {
         .otherwise(lit(null).cast("long")))
   }
 
-  /** Broadcast-k max-cosine centroid assignment shared by q_ann_ivf and
-    * q_kmeans_iter: the first [[IvfCentroids]] vectors are the centroids;
-    * ranking uses the fast double dot with a cid tie-break (selection can
-    * only differ from the oracle's exact-decimal ranking on a <1e-12
-    * centroid-dot tie, which distinct centroids cannot produce). */
+  /** Broadcast-k max-cosine centroid assignment shared by the IVF family
+    * (q_ann_ivf, q_ann_ivf_nprobe, q_ann_ivf_curve) and q_kmeans_iter:
+    * the first [[IvfCentroids]] vectors are the centroids; ranking uses
+    * the fast double dot with a cid tie-break (selection can only differ
+    * from the oracle's exact-decimal ranking on a <1e-12 centroid-dot
+    * tie, which distinct centroids cannot produce). `k` is the nprobe
+    * knob: each vector keeps its k nearest centroids, with the 1-based
+    * nearness rank exposed as `crank` (the recall/cost-curve axis). */
   private def centroidAssign(s: SparkSession, e: DataFrame,
       vecs: DataFrame, k: Int = 1): DataFrame = {
     val cents = broadcast(e.filter(col("vec_id") < IvfCentroids)
@@ -149,7 +152,8 @@ object VectorOps {
       .select("vec_id", "cid", "cdot")
       .withColumn("_rn", row_number().over(wAssign))
       .filter(col("_rn") <= k)
-      .select(col("vec_id"), col("cid").as("cluster"))
+      .select(col("vec_id"), col("cid").as("cluster"),
+        col("_rn").cast("long").as("crank"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -316,6 +320,105 @@ object VectorOps {
         .select("vec_id", "cosine")
         .orderBy(desc_nulls_last("cosine"), asc_nulls_last("vec_id"))
         .limit(10)
+    }),
+
+    // IVF recall/cost curve — the first question a real user asks of an
+    // inverted-file index: how much recall does each extra probed
+    // cluster buy, and at what scan cost? For nprobe ∈ {1, 2, 4}:
+    // n_searched = candidates whose cluster is within the probe's
+    // nprobe nearest centroids (the scan cost), n_hit = how many of the
+    // brute-force exact top-10 those candidates contain (the recall
+    // numerator). ONE pass: every vector's cluster joins the probe's
+    // 8-row centroid ranking (broadcast), membership in the exact top-10
+    // is a 10-row broadcast semi-equi-join, and the three nprobe points
+    // fold out of a single conditional aggregate via stack() — no
+    // per-nprobe rescans, no extra join for the curve axis.
+    "q_ann_ivf_curve" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val clusters = centroidAssign(s, e, e).select("vec_id", "cluster")
+      // the probe's full centroid ranking (8 rows, broadcast)
+      val probeRanks = broadcast(
+        centroidAssign(s, e, e.filter(col("vec_id") === 0),
+          k = IvfCentroids)
+          .select(col("cluster").as("pcluster"), col("crank")))
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb")))
+      val exact10 = broadcast(e.filter(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .withColumn("fd", fastDot(s, "embedding", "probe_emb"))
+        .orderBy(desc_nulls_last("fd"), asc_nulls_last("vec_id"))
+        .limit(100)
+        .withColumn("cosine", dotExpr(s, "embedding", "probe_emb"))
+        .orderBy(desc_nulls_last("cosine"), asc_nulls_last("vec_id"))
+        .limit(10)
+        .select(col("vec_id").as("hit_id"), lit(1L).as("is_hit")))
+      clusters.filter(col("vec_id") =!= 0)
+        .join(probeRanks, col("cluster") === col("pcluster"))
+        .join(exact10, col("vec_id") === col("hit_id"), "left")
+        .agg(
+          sum(when(col("crank") <= 1, 1L).otherwise(0L)).as("s1"),
+          sum(when(col("crank") <= 1, coalesce(col("is_hit"), lit(0L)))
+            .otherwise(0L)).as("h1"),
+          sum(when(col("crank") <= 2, 1L).otherwise(0L)).as("s2"),
+          sum(when(col("crank") <= 2, coalesce(col("is_hit"), lit(0L)))
+            .otherwise(0L)).as("h2"),
+          sum(when(col("crank") <= 4, 1L).otherwise(0L)).as("s4"),
+          sum(when(col("crank") <= 4, coalesce(col("is_hit"), lit(0L)))
+            .otherwise(0L)).as("h4"))
+        .selectExpr("stack(3, 1L, s1, h1, 2L, s2, h2, 4L, s4, h4) " +
+          "AS (nprobe, n_searched, n_hit)")
+        .orderBy(asc_nulls_last("nprobe"))
+    }),
+
+    // LSH recall diagnostic: recall@3 of the bucketed q_ann_neighbors
+    // path against brute-force exact top-3 ground truth, measured on a
+    // FIXED 16-probe panel (vec_id < 16) — the standard ANN methodology:
+    // (On the synthetic fixtures this reports near-zero recall — random
+    // near-orthogonal vectors have no neighbor structure, so ANY
+    // sublinear index scores near the random baseline there; on real
+    // clustered embeddings the same query is the tuning dial for planes
+    // and table count. That it exposes this honestly is the point of a
+    // recall diagnostic.)
+    // ground truth is only computable by exhaustive scan, so it is
+    // estimated on a bounded probe set (cost: 16 broadcast rows × one
+    // linear corpus pass — the q_kmeans_iter broadcast-k shape, never
+    // quadratic). The bucketed side IS the declared q_ann_neighbors
+    // plan with its left side filtered to the panel (the vec_id
+    // predicate pushes below the per-vector ranking windows). Integer
+    // output: (probe, hits-in-top-3, 3).
+    "q_ann_recall" -> ((s, d) => {
+      val probes = broadcast(t(s, d, "embeddings")
+        .filter(col("vec_id") < 16)
+        .select(col("vec_id").as("p_id"), col("embedding").as("pe")))
+      val corpus = t(s, d, "embeddings")
+        .select(col("vec_id").as("nb_id"), col("embedding").as("eb"))
+      val wFast = Window.partitionBy("p_id")
+        .orderBy(desc_nulls_last("fastdot"), asc_nulls_last("nb_id"))
+      val wExact = Window.partitionBy("p_id")
+        .orderBy(desc_nulls_last("cosine"), asc_nulls_last("nb_id"))
+      // exact ground truth: fast top-8 prefilter slim, exact rerank to 3
+      // (the proven q_ann_neighbors two-phase margin argument)
+      val exact3 = corpus
+        .crossJoin(probes)
+        .filter(col("nb_id") =!= col("p_id"))
+        .withColumn("fastdot", fastDot(s, "eb", "pe"))
+        .select("p_id", "nb_id", "fastdot")
+        .withColumn("_rn", row_number().over(wFast))
+        .filter(col("_rn") <= 8)
+        .join(corpus, "nb_id")
+        .join(probes, "p_id")
+        .withColumn("cosine", dotExpr(s, "eb", "pe"))
+        .withColumn("_rx", row_number().over(wExact))
+        .filter(col("_rx") <= 3)
+        .select(col("p_id").as("vec_id"), col("nb_id"))
+      val approx = queries("q_ann_neighbors")(s, d)
+        .filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("nb_id"), lit(1L).as("_m"))
+      exact3.join(approx, Seq("vec_id", "nb_id"), "left")
+        .groupBy("vec_id")
+        .agg(count(col("_m")).as("n_hit"))
+        .select(col("vec_id"), col("n_hit"), lit(3L).as("n_exact"))
+        .orderBy(asc_nulls_last("vec_id"))
     }),
 
     // Random-projection dimensionality reduction (Achlioptas-style ±1
@@ -566,6 +669,93 @@ object VectorOps {
          |WHERE e.vec_id <> 0
          |ORDER BY cosine DESC NULLS LAST, e.vec_id ASC NULLS LAST
          |LIMIT 10""".stripMargin,
+
+    // Mirrors the curve phases with exact-decimal dots: assignment
+    // argmax, the probe's full centroid ranking, brute-force exact
+    // top-10, then the three nprobe points from one grouped aggregate.
+    "q_ann_ivf_curve" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < $IvfCentroids
+         |), a AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${sqlDot("e.embedding", "c.cemb")} AS cdot
+         |  FROM embeddings e, cents c
+         |), cl AS (
+         |  SELECT vec_id, cid AS cluster FROM a
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cdot DESC, cid ASC) = 1
+         |), pr AS (
+         |  SELECT cid AS pcluster, row_number() OVER (
+         |    ORDER BY cdot DESC, cid ASC) AS crank
+         |  FROM a WHERE vec_id = 0
+         |), ex AS (
+         |  SELECT e.vec_id,
+         |    ${sqlDot("e.embedding", "p.embedding")} AS cosine
+         |  FROM embeddings e,
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY cosine DESC NULLS LAST, e.vec_id ASC NULLS LAST
+         |  LIMIT 10
+         |), cand AS (
+         |  SELECT cl.vec_id, pr.crank,
+         |    CASE WHEN cl.vec_id IN (SELECT vec_id FROM ex)
+         |      THEN 1 ELSE 0 END AS is_hit
+         |  FROM cl JOIN pr ON cl.cluster = pr.pcluster
+         |  WHERE cl.vec_id <> 0
+         |), k AS (SELECT unnest([1, 2, 4]) AS nprobe)
+         |SELECT CAST(k.nprobe AS BIGINT) AS nprobe,
+         |  CAST(SUM(CASE WHEN cand.crank <= k.nprobe THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_searched,
+         |  CAST(SUM(CASE WHEN cand.crank <= k.nprobe THEN cand.is_hit
+         |    ELSE 0 END) AS BIGINT) AS n_hit
+         |FROM cand, k GROUP BY k.nprobe
+         |ORDER BY nprobe ASC NULLS LAST""".stripMargin,
+
+    // Same bucket math as the q_ann_neighbors oracle (probe-restricted),
+    // exact-decimal ground-truth top-3, LEFT JOIN count = hits.
+    "q_ann_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    unnest(generate_series(1, $EmbDim)) AS i
+         |  FROM embeddings
+         |), c AS (
+         |  SELECT vec_id, p.p AS p,
+         |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) *
+         |      (strpos('0123456789abcdef', substring(md5(
+         |        CAST(p.p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1))
+         |        - 1 - 7.5) AS DECIMAL(20,8))) AS DOUBLE) AS proj
+         |  FROM e, (SELECT unnest(range($NeighborPlanes)) AS p) p
+         |  GROUP BY vec_id, p.p
+         |), bk AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM c GROUP BY vec_id
+         |), appr AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nb_id
+         |  FROM bk a JOIN bk b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE a.vec_id < 16
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY ${sqlDot("ea.embedding", "eb.embedding")} DESC,
+         |      b.vec_id ASC) <= 3
+         |), ex AS (
+         |  SELECT p.vec_id, x.vec_id AS nb_id
+         |  FROM embeddings p JOIN embeddings x ON x.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 16
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+         |    ORDER BY ${sqlDot("x.embedding", "p.embedding")} DESC,
+         |      x.vec_id ASC) <= 3
+         |)
+         |SELECT ex.vec_id, CAST(COUNT(appr.nb_id) AS BIGINT) AS n_hit,
+         |  CAST(3 AS BIGINT) AS n_exact
+         |FROM ex LEFT JOIN appr
+         |  ON appr.vec_id = ex.vec_id AND appr.nb_id = ex.nb_id
+         |GROUP BY ex.vec_id
+         |ORDER BY ex.vec_id ASC NULLS LAST""".stripMargin,
 
     // Mirrors q_embed_rp's md5-parity sign matrix exactly: strpos is
     // 1-based, so (strpos − 1) is the Scala indexOf and even index → +1

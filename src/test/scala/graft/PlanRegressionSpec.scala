@@ -125,6 +125,11 @@ class PlanRegressionSpec extends SparkSpec {
       // side is bounded by nprobe (= 2), same bounded-probe argument as
       // q_ann_ivf's 1-row probe
       "q_ann_ivf_nprobe",
+      // recall/cost diagnostics: nested-loop sides are the 1-row probe /
+      // 8-row centroid ranking (curve) and the FIXED 16-row probe panel
+      // (recall) — bounded constants independent of corpus size, the
+      // broadcast-k centroid-assignment argument
+      "q_ann_ivf_curve", "q_ann_recall",
       // 1-row broadcast of corpus totals (mixture) / the minority class
       // size (balance) on a constant key — the q_text_docfreq shape
       "q_mixture_weights", "q_label_balance")

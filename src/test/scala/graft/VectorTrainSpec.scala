@@ -84,6 +84,32 @@ class VectorTrainSpec extends SparkSpec {
     assert(out.toSeq == expected.toSeq)
   }
 
+  test("q_ann_ivf_curve is a monotone recall/cost curve bounded by the " +
+      "corpus and top-10") {
+    val rows = VectorOps.queries("q_ann_ivf_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    val n = Tables.table(spark, sf, "embeddings").count() - 1 // minus probe
+    rows.foreach { case (_, searched, hit) =>
+      assert(hit >= 0 && hit <= 10 && hit <= searched)
+      assert(searched <= n)
+    }
+    // more probed clusters can only widen the candidate set
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 })
+    // nprobe = 4 must at least match nprobe = 1's recall on any input
+    assert(rows.last._3 >= rows.head._3)
+  }
+
+  test("q_ann_recall emits one bounded row per panel probe") {
+    val rows = VectorOps.queries("q_ann_recall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0L until 16L))
+    rows.foreach { case (_, hit, total) =>
+      assert(total == 3L && hit >= 0 && hit <= 3)
+    }
+  }
+
   test("q_kmeans_iter assigns by argmax cosine and averages exactly") {
     val out = VectorOps.queries("q_kmeans_iter")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
