@@ -31,6 +31,63 @@ import graft.{Det, Tables}
 object EventAnalytics {
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
+  /** Per-user ordered (prev_type, next_type) transition pairs — the lag
+    * half of q_markov_transition, shared with the streaming twin
+    * ([[graft.streaming.StatefulTwins.transitionStream]]): batch derives
+    * pairs with a lag window, streaming with per-key state; both feed
+    * [[transitionMatrix]]. Ordering is the full µs timestamp + event_id
+    * (Timestamp ms-truncation would misorder same-ms events). */
+  def transitionPairs(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc_nulls_last("tsu"), asc_nulls_last("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("user_id"), col("prev_type"),
+        col("event_type").as("next_type"))
+  }
+
+  /** (prev, next) pair stream → exact transition counts + row-normalized
+    * probabilities (ONE IEEE division of exact integers; see
+    * q_text_bigram_prob). The matrix is |types|² — tiny at any corpus
+    * size — so the totals join is a broadcast at scale. */
+  def transitionMatrix(pairs: DataFrame): DataFrame = {
+    val counts = pairs.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    // row totals via a window over the counts (|types|² rows), not a
+    // counts⋈counts self-join: one shuffle fewer, and it stays valid
+    // over view-backed inputs (self-joining the same streaming sink view
+    // trips Catalyst's reference dedup)
+    val wTot = Window.partitionBy("prev_type")
+    counts.withColumn("n_prev", sum("n").over(wTot))
+      .select(col("prev_type"), col("next_type"), col("n"), col("n_prev"),
+        (col("n").cast("double") / col("n_prev").cast("double")).as("p"))
+      .orderBy(asc_nulls_last("prev_type"), asc_nulls_last("next_type"))
+  }
+
+  /** Trailing-hour per-user velocity features for EVERY event (count +
+    * exact-decimal value sum over the preceding hour) — a value-based
+    * RANGE frame over integer microseconds. RANGE includes all tie rows,
+    * so the result is independent of intra-tie order. Shared with the
+    * streaming twin ([[graft.streaming.StatefulTwins.trailingHourStream]]),
+    * which keeps a 1-hour per-key buffer instead of the window. Unsorted;
+    * the declared query adds its ORDER BY. */
+  def trailingHour(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id").orderBy(col("tsu"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum(col("value").cast(DecimalType(18, 4))).over(w)
+          .cast("double"))
+      .select("user_id", "event_id", "tsu", "n_1h", "sum_1h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Ordered conversion funnel. Stages must happen in sequence: the
     // click must be at-or-after the user's FIRST signup, the purchase
@@ -179,24 +236,8 @@ object EventAnalytics {
     // integers (portable; see q_text_bigram_prob). One user_id window
     // shuffle + one (prev, next) aggregate with map-side partials; the
     // transition matrix itself is |types|² — tiny at any corpus size.
-    "q_markov_transition" -> ((s, d) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
-      val pairs = t(s, d, "events")
-        .select("user_id", "event_id", "event_type", "ts")
-        .withColumn("prev_type", lag("event_type", 1).over(w))
-        .filter(col("prev_type").isNotNull)
-      val counts = pairs.groupBy(col("prev_type"), col("event_type")
-          .as("next_type"))
-        .agg(count(lit(1)).as("n"))
-      val totals = counts.groupBy("prev_type")
-        .agg(sum("n").as("n_prev"))
-      counts.join(totals, "prev_type")
-        .select(col("prev_type"), col("next_type"), col("n"),
-          col("n_prev"),
-          (col("n").cast("double") / col("n_prev").cast("double")).as("p"))
-        .orderBy(asc_nulls_last("prev_type"), asc_nulls_last("next_type"))
-    }),
+    "q_markov_transition" -> ((s, d) =>
+      transitionMatrix(transitionPairs(t(s, d, "events")))),
 
     // Peak-concurrency timeline (sweep line over session intervals): 30-
     // minute-gap sessions per user (the q_path_per_session islands), each
@@ -251,21 +292,10 @@ object EventAnalytics {
     // rate-limiting / fraud-velocity feature shape). RANGE includes all
     // tie rows, so the result is independent of intra-tie order; one
     // user_id window shuffle, no self-join.
-    "q_window_time_range" -> ((s, d) => {
-      import org.apache.spark.sql.types.DecimalType
-      val w = Window.partitionBy("user_id").orderBy(col("tsu"))
-        .rangeBetween(-3600L * 1000000L, 0L)
-      t(s, d, "events")
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("tsu"), col("value"))
-        .withColumn("n_1h", count(lit(1)).over(w))
-        .withColumn("sum_1h",
-          sum(col("value").cast(DecimalType(18, 4))).over(w)
-            .cast("double"))
-        .select("user_id", "event_id", "tsu", "n_1h", "sum_1h")
+    "q_window_time_range" -> ((s, d) =>
+      trailingHour(t(s, d, "events"))
         .orderBy(asc_nulls_last("user_id"), asc_nulls_last("tsu"),
-          asc_nulls_last("event_id"))
-    }),
+          asc_nulls_last("event_id"))),
 
     // Daily resample + forward fill: per-user day spine over the user's
     // observed span, daily exact-decimal value sums, gaps carried forward

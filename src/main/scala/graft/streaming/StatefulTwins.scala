@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.math.{BigDecimal => JBigDecimal, BigInteger, RoundingMode}
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the batch event-analytics queries that carry
+  * per-key ORDER-dependent state — the reference's live-bus side of the
+  * same statistics (tukio task chains observing the event feed; mount
+  * empty, SURVEY.md §0):
+  *
+  *  - [[transitionStream]]: per-user event-type transition pairs
+  *    (q_markov_transition's lag half) from a last-event ValueState;
+  *    downstream, the SAME [[graft.operators.EventAnalytics
+  *    .transitionMatrix]] turns the pair stream into the matrix, so
+  *    batch/stream parity is by construction above the pair grain;
+  *  - [[trailingHourStream]]: q_window_time_range's trailing-hour
+  *    count/exact-sum features from a bounded 1-hour per-key buffer.
+  *
+  * Ordering contract: events must arrive in (tsu, event_id) order PER KEY
+  * across micro-batches (within a batch they are sorted here). That is
+  * the bus-replay guarantee the reference relies on too; for disordered
+  * sources, buffer by watermark before these ops (the
+  * dropDuplicatesWithinWatermark stage in EventPipelines already
+  * establishes the horizon). Tie rows (equal tsu) must share a
+  * micro-batch for the trailing-hour features — the batch RANGE frame
+  * includes all ties, so a tie split across batches would under-count
+  * the earlier row.
+  *
+  * Scale: state is keyed by user_id (spread across executors); the
+  * transition state is ONE last-event row per key, the velocity buffer
+  * is bounded by one hour of per-key traffic — both O(keys), not
+  * O(events).
+  */
+object StatefulTwins {
+
+  /** Event with the full µs timestamp (java.sql.Timestamp.getTime is
+    * ms-truncated and would misorder same-ms events vs the batch twin).
+    * `value` is optional like the nullable column: the batch window SUM
+    * skips nulls while COUNT(1) counts the row. */
+  case class TEv(event_id: Long, user_id: Long, event_type: String,
+      tsu: Long, value: Option[Double])
+
+  case class TPair(user_id: Long, prev_type: String, next_type: String)
+
+  case class LastEv(tsu: Long, event_id: Long, event_type: String)
+
+  /** Per-user transition pairs via flatMapGroupsWithState: state = the
+    * last event seen; each micro-batch chains (state ++ sorted new
+    * events) and emits one pair per adjacency. */
+  def transitionStream(events: Dataset[TEv]): Dataset[TPair] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, TPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[TEv], state: GroupState[LastEv]) =>
+          val evs = it.toVector.sortBy(e => (e.tsu, e.event_id))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val types =
+              state.getOption.map(_.event_type).toVector ++
+                evs.map(_.event_type)
+            val last = evs.last
+            state.update(LastEv(last.tsu, last.event_id, last.event_type))
+            types.sliding(2).collect {
+              case Seq(a, b) => TPair(uid, a, b)
+            }
+          }
+      }
+  }
+
+  case class HourFeat(user_id: Long, event_id: Long, tsu: Long,
+      n_1h: Long, sum_1h: Option[Double])
+
+  case class BufEntry(tsu: Long, event_id: Long, sv: Long,
+      hasV: Boolean)
+  case class HourBuf(entries: List[BufEntry])
+
+  private val HourUs = 3600L * 1000000L
+
+  /** Spark's DOUBLE → DECIMAL(18,4) cast (shortest decimal string,
+    * HALF_UP) as a scaled long — the per-element encoding the batch
+    * twin's exact window sum applies. */
+  private def scaled4(v: Double): Long =
+    JBigDecimal.valueOf(v).setScale(4, RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** Trailing-hour (count, exact-decimal sum) per event via a bounded
+    * per-key buffer: merge the batch's events in (tsu, event_id) order,
+    * evict entries older than one hour, and emit every event of a given
+    * tsu with the SAME stats (the RANGE-frame tie semantics). The sum
+    * accumulates scaled longs and converts once — bit-identical to the
+    * batch DECIMAL(18,4) window sum. */
+  def trailingHourStream(events: Dataset[TEv]): Dataset[HourFeat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[HourBuf, HourFeat](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[TEv], state: GroupState[HourBuf]) =>
+          val evs = it.toVector.sortBy(e => (e.tsu, e.event_id))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            var buf = state.getOption.map(_.entries).getOrElse(Nil)
+            val out = Vector.newBuilder[HourFeat]
+            evs.groupBy(_.tsu).toVector.sortBy(_._1).foreach {
+              case (tsu, group) =>
+                val add = group.map { e =>
+                  BufEntry(e.tsu, e.event_id,
+                    e.value.map(scaled4).getOrElse(0L), e.value.isDefined)
+                }.toList
+                // defensive re-sort: keeps the buffer coherent even if a
+                // source violates per-key order (emitted rows for earlier
+                // events cannot be retracted — see the ordering contract)
+                buf = (buf ++ add).sortBy(e => (e.tsu, e.event_id))
+                buf = buf.dropWhile(_.tsu < tsu - HourUs)
+                val n = buf.size.toLong
+                val vs = buf.filter(_.hasV)
+                val sum =
+                  if (vs.isEmpty) None
+                  else Some(new JBigDecimal(
+                    BigInteger.valueOf(vs.map(_.sv).sum), 4).doubleValue)
+                group.foreach(e =>
+                  out += HourFeat(uid, e.event_id, tsu, n, sum))
+            }
+            state.update(HourBuf(buf))
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -220,6 +220,83 @@ class StreamingParitySpec extends SparkSpec {
       && batch.lastType == "view")
   }
 
+  test("markov transitions: streamed pairs through the SAME matrix " +
+      "builder equal the batch q_markov_transition transform") {
+    import graft.operators.EventAnalytics
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventAnalytics.transitionMatrix(
+        EventAnalytics.transitionPairs(sampleEvents.toDF()))
+      .collect().toSeq
+    val mem = MemoryStream[StatefulTwins.TEv]
+    val name = s"mkv_${System.nanoTime()}"
+    val tevs = sampleEvents.map(e => StatefulTwins.TEv(
+      e.event_id, e.user_id, e.event_type, e.ts.getTime * 1000L,
+      Some(e.value)))
+    val q = StatefulTwins.transitionStream(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    // three batches: state must chain pairs ACROSS batch boundaries
+    // (events are per-key in-order across batches — the ordering contract)
+    mem.addData(tevs.take(2))
+    q.processAllAvailable()
+    mem.addData(tevs.slice(2, 4))
+    q.processAllAvailable()
+    mem.addData(tevs.drop(4))
+    q.processAllAvailable()
+    q.stop()
+    val stream = EventAnalytics.transitionMatrix(
+      spark.table(name).select("prev_type", "next_type")).collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("trailing-hour velocity features: bounded-buffer stream equals " +
+      "the batch RANGE-frame window, ties and eviction included") {
+    import graft.operators.EventAnalytics
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    // crafted panel: in-hour accumulation, an exact-tie pair (e2/e3 —
+    // RANGE must give both the SAME stats), a boundary event exactly 1h
+    // later (RANGE is inclusive both ends), and an eviction (e5)
+    val evs = Seq(
+      E(1, ts("2024-01-01 00:00:00"), 1, "click", 10.5, "{}"),
+      E(2, ts("2024-01-01 00:30:00"), 1, "view", 20.25, "{}"),
+      E(3, ts("2024-01-01 00:30:00"), 1, "click", 0.0625, "{}"),
+      E(4, ts("2024-01-01 01:00:00"), 1, "view", 5.0, "{}"),
+      E(5, ts("2024-01-01 01:31:00"), 1, "purchase", 1.125, "{}"),
+      E(6, ts("2024-01-01 00:45:00"), 2, "click", 7.75, "{}"))
+    val batch = EventAnalytics.trailingHour(evs.toDF())
+      .orderBy("user_id", "tsu", "event_id").collect().toSeq
+    val mem = MemoryStream[StatefulTwins.TEv]
+    val name = s"vel_${System.nanoTime()}"
+    val tevs = evs.map(e => StatefulTwins.TEv(
+      e.event_id, e.user_id, e.event_type, e.ts.getTime * 1000L,
+      Some(e.value)))
+    val q = StatefulTwins.trailingHourStream(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    // tie rows share a batch (the documented contract); later batches
+    // carry strictly later events per key
+    mem.addData(tevs.take(3))
+    q.processAllAvailable()
+    mem.addData(tevs.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name)
+      .select("user_id", "event_id", "tsu", "n_1h", "sum_1h")
+      .orderBy("user_id", "tsu", "event_id").collect().toSeq
+    assert(stream == batch)
+    // spot-check the semantics the panel was built for: the tie pair
+    // shares stats, and the eviction leaves only (e4, e5) in e5's hour
+    val byId = stream.map(r => r.getLong(1) -> r).toMap
+    assert(byId(2L).getLong(3) == 3L && byId(3L).getLong(3) == 3L)
+    assert(byId(2L).getDouble(4) == byId(3L).getDouble(4))
+    assert(byId(4L).getLong(3) == 4L) // 1h boundary is inclusive
+    assert(byId(5L).getLong(3) == 2L) // e1-e3 evicted
+  }
+
   test("transformWithState sessionize matches the FMGWS path and the " +
       "batch fold (Spark 4 arbitrary state, RocksDB provider)") {
     implicit val sqlCtx = spark.sqlContext
