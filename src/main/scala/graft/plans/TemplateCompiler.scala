@@ -30,6 +30,11 @@ import graft.functions._
   *  - `aggregate` — config `{group_by: [...], aggs: [{fn, col, as}]}`
   *    with fn ∈ count|dsum|min|max (partial-agg friendly);
   *  - `union` — fan-in of all parent branches (`tasks/join.py`);
+  *  - `join` — keyed fan-in: config `{on: [...], how}` equi-join of the
+  *    parent branches (`tasks/join.py` for heterogeneous branches);
+  *  - `trigger_workflow` — config `{template_id, version?}` or
+  *    `{template}`: the sub-template's compiled plan inlines into THIS
+  *    plan (R16, `tasks/trigger_workflow.py`);
   *  - `sleep` — no-op in batch compile (`tasks/sleep.py`);
   *  - `report` — no-op marker; streaming sinks attach here
   *    (`tasks/report.py`).
@@ -176,6 +181,21 @@ object TemplateCompiler {
           .agg(aggs.head, aggs.tail: _*)
       case "union" =>
         inputs.reduce(_ unionByName _)
+      case "join" =>
+        // keyed fan-in (R6 `tasks/join.py` when branches carry different
+        // columns for the same entity): equi-join all parent branches on
+        // the configured key columns — equi keys keep the plan a
+        // hash/merge join (broadcast- and shuffle-plannable), never a
+        // nested loop. `how` defaults to inner; all parents after the
+        // first must bring only NEW non-key columns (Spark rejects
+        // ambiguous duplicates at analysis otherwise).
+        require(inputs.size >= 2,
+          s"join task '${task.id}' needs >= 2 parent branches")
+        val on = (task.config \ "on").children.map(_.extract[String])
+        require(on.nonEmpty, s"join task '${task.id}' needs join keys")
+        val how = (task.config \ "how").extractOpt[String]
+          .getOrElse("inner")
+        inputs.reduce((l, r) => l.join(r, on, how))
       case "trigger_workflow" =>
         // Sub-workflow (R16): resolve by id (published-latest unless a
         // version is pinned) or take an inline template; the sub-plan
