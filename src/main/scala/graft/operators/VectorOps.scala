@@ -103,10 +103,14 @@ object VectorOps {
     * the literal embeds bit-identically to the oracle's strpos-on-md5
     * arithmetic. */
   def annBuckets(emb: DataFrame, planes: Int = 4,
-      dim: Int = EmbDim): DataFrame = {
+      dim: Int = EmbDim, table: Int = 0): DataFrame = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    // table 0 keeps the original "p_i" md5 keys (every existing oracle
+    // derives from them); tables ≥ 1 prefix the key — an independent
+    // hyperplane family per table for OR-amplified multi-table LSH
     def weight(p: Int, i: Int): Double = {
-      val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
+      val key = if (table == 0) s"${p}_$i" else s"t${table}_${p}_$i"
+      val hex = md.digest(key.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       "0123456789abcdef".indexOf(hex.charAt(0)) - 7.5
     }
@@ -128,6 +132,74 @@ object VectorOps {
     emb.withColumn("bucket",
       when(col("embedding").isNotNull, expr(bucket))
         .otherwise(lit(null).cast("long")))
+  }
+
+  /** Hash-table count for q_ann_recall_multi (OR-amplified LSH). */
+  private val RecallTables = 4
+
+  /** All `tables` hyperplane families in ONE corpus pass: each vector's
+    * bucket per table computed in-row (the [[annBuckets]] expression at
+    * each table seed) and exploded to slim (vec_id, tbl, bucket) rows —
+    * the multi-table LSH layout whose candidate join is a single
+    * equi-join on (tbl, bucket). NULL embedding → NULL buckets (never
+    * bucket 0), which equi-joins drop. */
+  def annBucketsMulti(emb: DataFrame, planes: Int, tables: Int,
+      dim: Int = EmbDim): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(tb: Int, p: Int, i: Int): Double = {
+      val key = if (tb == 0) s"${p}_$i" else s"t${tb}_${p}_$i"
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(hex.charAt(0)) - 7.5
+    }
+    def bucket(tb: Int): String = {
+      val terms = (0 until planes).map { p =>
+        val w = (0 until dim).map(i => s"${weight(tb, p, i)}D")
+          .mkString(", ")
+        s"CASE WHEN decimal_wdot(embedding, array($w)) > 0 " +
+          s"THEN ${1L << p} ELSE 0 END"
+      }
+      terms.mkString(
+        "CASE WHEN embedding IS NULL THEN NULL ELSE CAST(",
+        " + ", " AS BIGINT) END")
+    }
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val arr = (0 until tables).map(bucket).mkString("array(", ", ", ")")
+    emb.select(col("vec_id"),
+        posexplode(expr(arr)).as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), col("tbl").cast("int").as("tbl"),
+        col("bucket"))
+  }
+
+  /** Brute-force exact top-3 neighbors for the FIXED 16-probe recall
+    * panel (vec_id < 16): a bounded probe broadcast against one linear
+    * corpus pass, fast top-8 prefilter slim through the ranking window,
+    * exact-decimal rerank to 3 (the proven q_ann_neighbors two-phase
+    * margin argument). Ground truth shared by q_ann_recall and
+    * q_ann_recall_multi. */
+  private def panelExactTop3(s: SparkSession, d: String): DataFrame = {
+    val probes = broadcast(t(s, d, "embeddings")
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("p_id"), col("embedding").as("pe")))
+    val corpus = t(s, d, "embeddings")
+      .select(col("vec_id").as("nb_id"), col("embedding").as("eb"))
+    val wFast = Window.partitionBy("p_id")
+      .orderBy(desc_nulls_last("fastdot"), asc_nulls_last("nb_id"))
+    val wExact = Window.partitionBy("p_id")
+      .orderBy(desc_nulls_last("cosine"), asc_nulls_last("nb_id"))
+    corpus
+      .crossJoin(probes)
+      .filter(col("nb_id") =!= col("p_id"))
+      .withColumn("fastdot", fastDot(s, "eb", "pe"))
+      .select("p_id", "nb_id", "fastdot")
+      .withColumn("_rn", row_number().over(wFast))
+      .filter(col("_rn") <= 8)
+      .join(corpus, "nb_id")
+      .join(probes, "p_id")
+      .withColumn("cosine", dotExpr(s, "eb", "pe"))
+      .withColumn("_rx", row_number().over(wExact))
+      .filter(col("_rx") <= 3)
+      .select(col("p_id").as("vec_id"), col("nb_id"))
   }
 
   /** Broadcast-k max-cosine centroid assignment shared by the IVF family
@@ -387,34 +459,47 @@ object VectorOps {
     // predicate pushes below the per-vector ranking windows). Integer
     // output: (probe, hits-in-top-3, 3).
     "q_ann_recall" -> ((s, d) => {
-      val probes = broadcast(t(s, d, "embeddings")
-        .filter(col("vec_id") < 16)
-        .select(col("vec_id").as("p_id"), col("embedding").as("pe")))
-      val corpus = t(s, d, "embeddings")
-        .select(col("vec_id").as("nb_id"), col("embedding").as("eb"))
-      val wFast = Window.partitionBy("p_id")
-        .orderBy(desc_nulls_last("fastdot"), asc_nulls_last("nb_id"))
-      val wExact = Window.partitionBy("p_id")
-        .orderBy(desc_nulls_last("cosine"), asc_nulls_last("nb_id"))
-      // exact ground truth: fast top-8 prefilter slim, exact rerank to 3
-      // (the proven q_ann_neighbors two-phase margin argument)
-      val exact3 = corpus
-        .crossJoin(probes)
-        .filter(col("nb_id") =!= col("p_id"))
-        .withColumn("fastdot", fastDot(s, "eb", "pe"))
-        .select("p_id", "nb_id", "fastdot")
-        .withColumn("_rn", row_number().over(wFast))
-        .filter(col("_rn") <= 8)
-        .join(corpus, "nb_id")
-        .join(probes, "p_id")
-        .withColumn("cosine", dotExpr(s, "eb", "pe"))
-        .withColumn("_rx", row_number().over(wExact))
-        .filter(col("_rx") <= 3)
-        .select(col("p_id").as("vec_id"), col("nb_id"))
       val approx = queries("q_ann_neighbors")(s, d)
         .filter(col("vec_id") < 16)
         .select(col("vec_id"), col("nb_id"), lit(1L).as("_m"))
-      exact3.join(approx, Seq("vec_id", "nb_id"), "left")
+      panelExactTop3(s, d).join(approx, Seq("vec_id", "nb_id"), "left")
+        .groupBy("vec_id")
+        .agg(count(col("_m")).as("n_hit"))
+        .select(col("vec_id"), col("n_hit"), lit(3L).as("n_exact"))
+        .orderBy(asc_nulls_last("vec_id"))
+    }),
+
+    // Multi-table LSH recall — the OR-amplification remedy q_ann_recall
+    // motivates: 4 independent md5-seeded hyperplane families, a vector
+    // pair is a candidate if ANY table co-buckets it (union of 4 bucket
+    // joins collapsed to one equi-join on (tbl, bucket) over in-row
+    // exploded assignments — still ONE corpus pass and one hash-joinable
+    // shuffle, fan-out ×tables), exact-decimal rerank to top-3, recall
+    // measured against the same brute-force panel. More tables trade
+    // candidate volume for recall — the production LSH tuning dial.
+    "q_ann_recall_multi" -> ((s, d) => {
+      val bk = annBucketsMulti(t(s, d, "embeddings"),
+        planes = NeighborPlanes, tables = RecallTables)
+      val a = bk.filter(col("vec_id") < 16)
+      val b = bk.select(col("vec_id").as("nb_id"),
+        col("tbl").as("tbl_b"), col("bucket").as("bucket_b"))
+      val cands = a.join(b,
+          col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b")
+            && col("vec_id") =!= col("nb_id"))
+        .select("vec_id", "nb_id").distinct()
+      val emb = t(s, d, "embeddings")
+      val wEx = Window.partitionBy("vec_id")
+        .orderBy(desc_nulls_last("cosine"), asc_nulls_last("nb_id"))
+      val approx = cands
+        .join(emb.select(col("vec_id"), col("embedding").as("ea")),
+          "vec_id")
+        .join(emb.select(col("vec_id").as("nb_id"),
+          col("embedding").as("eb")), "nb_id")
+        .withColumn("cosine", dotExpr(s, "ea", "eb"))
+        .withColumn("_r", row_number().over(wEx))
+        .filter(col("_r") <= 3)
+        .select(col("vec_id"), col("nb_id"), lit(1L).as("_m"))
+      panelExactTop3(s, d).join(approx, Seq("vec_id", "nb_id"), "left")
         .groupBy("vec_id")
         .agg(count(col("_m")).as("n_hit"))
         .select(col("vec_id"), col("n_hit"), lit(3L).as("n_exact"))
@@ -742,6 +827,61 @@ object VectorOps {
          |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
          |    ORDER BY ${sqlDot("ea.embedding", "eb.embedding")} DESC,
          |      b.vec_id ASC) <= 3
+         |), ex AS (
+         |  SELECT p.vec_id, x.vec_id AS nb_id
+         |  FROM embeddings p JOIN embeddings x ON x.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 16
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+         |    ORDER BY ${sqlDot("x.embedding", "p.embedding")} DESC,
+         |      x.vec_id ASC) <= 3
+         |)
+         |SELECT ex.vec_id, CAST(COUNT(appr.nb_id) AS BIGINT) AS n_hit,
+         |  CAST(3 AS BIGINT) AS n_exact
+         |FROM ex LEFT JOIN appr
+         |  ON appr.vec_id = ex.vec_id AND appr.nb_id = ex.nb_id
+         |GROUP BY ex.vec_id
+         |ORDER BY ex.vec_id ASC NULLS LAST""".stripMargin,
+
+    // The q_ann_recall oracle with a table axis: table 0 keeps the
+    // legacy "p_i" md5 key, tables >= 1 prefix "t<t>_"; candidates are
+    // DISTINCT same-(t, bucket) pairs, exact-decimal rerank to 3.
+    "q_ann_recall_multi" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    unnest(generate_series(1, $EmbDim)) AS i
+         |  FROM embeddings
+         |), c AS (
+         |  SELECT vec_id, t.t AS t, p.p AS p,
+         |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) *
+         |      (strpos('0123456789abcdef', substring(md5(
+         |        CASE WHEN t.t = 0 THEN
+         |          CAST(p.p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)
+         |        ELSE 't' || CAST(t.t AS VARCHAR) || '_'
+         |          || CAST(p.p AS VARCHAR) || '_'
+         |          || CAST(i - 1 AS VARCHAR) END), 1, 1))
+         |        - 1 - 7.5) AS DECIMAL(20,8))) AS DOUBLE) AS proj
+         |  FROM e, (SELECT unnest(range($NeighborPlanes)) AS p) p,
+         |    (SELECT unnest(range($RecallTables)) AS t) t
+         |  GROUP BY vec_id, t.t, p.p
+         |), bk AS (
+         |  SELECT vec_id, t,
+         |    CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM c GROUP BY vec_id, t
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS nb_id
+         |  FROM bk a JOIN bk b
+         |    ON a.t = b.t AND a.bucket = b.bucket
+         |      AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 16
+         |), appr AS (
+         |  SELECT c.vec_id, c.nb_id
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = c.nb_id
+         |  QUALIFY row_number() OVER (PARTITION BY c.vec_id
+         |    ORDER BY ${sqlDot("ea.embedding", "eb.embedding")} DESC,
+         |      c.nb_id ASC) <= 3
          |), ex AS (
          |  SELECT p.vec_id, x.vec_id AS nb_id
          |  FROM embeddings p JOIN embeddings x ON x.vec_id <> p.vec_id

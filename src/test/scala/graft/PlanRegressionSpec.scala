@@ -129,7 +129,7 @@ class PlanRegressionSpec extends SparkSpec {
       // 8-row centroid ranking (curve) and the FIXED 16-row probe panel
       // (recall) — bounded constants independent of corpus size, the
       // broadcast-k centroid-assignment argument
-      "q_ann_ivf_curve", "q_ann_recall",
+      "q_ann_ivf_curve", "q_ann_recall", "q_ann_recall_multi",
       // 1-row broadcast of corpus totals (mixture) / the minority class
       // size (balance) on a constant key — the q_text_docfreq shape
       "q_mixture_weights", "q_label_balance")

@@ -110,6 +110,20 @@ class VectorTrainSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_recall_multi dominates single-table recall per probe " +
+      "(its candidate set is a superset, and a true top-3 neighbor can " +
+      "only be outranked by other true top-3 members)") {
+    def byProbe(q: String): Map[Long, Long] =
+      VectorOps.queries(q)(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = byProbe("q_ann_recall")
+    val multi = byProbe("q_ann_recall_multi")
+    assert(single.keySet == multi.keySet && single.size == 16)
+    single.keySet.foreach { p =>
+      assert(multi(p) >= single(p), s"probe $p lost recall with 4 tables")
+    }
+  }
+
   test("q_kmeans_iter assigns by argmax cosine and averages exactly") {
     val out = VectorOps.queries("q_kmeans_iter")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
