@@ -88,6 +88,57 @@ object EventAnalytics {
       .select("user_id", "event_id", "tsu", "n_1h", "sum_1h")
   }
 
+  /** 30-minute-gap session intervals per user (the q_path_per_session
+    * islands) as (user_id, s, e) in exact µs — the batch half shared
+    * with the streaming twin
+    * ([[graft.streaming.StatefulTwins.sessionIntervalsStream]]), which
+    * closes the same intervals incrementally via event-time timeout. */
+  def sessionIntervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc_nulls_last("tsu"), asc_nulls_last("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("prev_tsu", lag("tsu", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_tsu").isNull
+          || col("tsu") - col("prev_tsu") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum("new_sess").over(w))
+      .groupBy("user_id", "sess")
+      .agg(min("tsu").as("s"), max("tsu").as("e"))
+      .select("user_id", "s", "e")
+  }
+
+  /** Sweep line over (s, e) intervals: ±1 boundaries, per-instant deltas,
+    * and the TWO-LEVEL distributed prefix sum (day carry over bounded
+    * day totals + day-partitioned running sum) that holds at 100 TB
+    * where a global running sum would be one sequential task. Returns
+    * (tsu, d, conc) unsorted; the declared query adds its ORDER BY. */
+  def sweepLine(intervals: DataFrame): DataFrame = {
+    val deltas = intervals
+      .select(explode(array(
+        struct(col("s").as("tsu"), lit(1L).as("delta")),
+        struct((col("e") + 1L).as("tsu"), lit(-1L).as("delta")))).as("b"))
+      .select("b.tsu", "b.delta")
+      .groupBy("tsu").agg(sum("delta").as("d"))
+      .withColumn("day", expr("CAST(timestamp_micros(tsu) AS DATE)"))
+      // consumed twice (day-carry aggregate + final join): persist so
+      // the sessionization window subtree runs once per pass, not twice
+      // (Verify/Bench clearCache() handles cleanup)
+      .persist()
+    val wDays = Window.orderBy(asc_nulls_last("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = deltas.groupBy("day").agg(sum("d").as("day_d"))
+      .withColumn("carry", coalesce(sum("day_d").over(wDays), lit(0L)))
+      .select("day", "carry")
+    val wIn = Window.partitionBy("day").orderBy(asc_nulls_last("tsu"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.join(carry, "day")
+      .withColumn("conc", col("carry") + sum("d").over(wIn))
+      .select("tsu", "d", "conc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Ordered conversion funnel. Stages must happen in sequence: the
     // click must be at-or-after the user's FIRST signup, the purchase
@@ -248,43 +299,9 @@ object EventAnalytics {
     // carry-in from a window over the (tiny, bounded) day totals, and the
     // within-day running sum is partitioned by day — the distributed
     // prefix-sum shape that holds at 100 TB. All integer arithmetic.
-    "q_concurrency_peak" -> ((s, d) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(asc_nulls_last("tsu"), asc_nulls_last("event_id"))
-      val sess = t(s, d, "events")
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("tsu"))
-        .withColumn("prev_tsu", lag("tsu", 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev_tsu").isNull
-            || col("tsu") - col("prev_tsu") > 1800L * 1000000L, 1L)
-            .otherwise(0L))
-        .withColumn("sess", sum("new_sess").over(w))
-        .groupBy("user_id", "sess")
-        .agg(min("tsu").as("s"), max("tsu").as("e"))
-      val deltas = sess
-        .select(explode(array(
-          struct(col("s").as("tsu"), lit(1L).as("delta")),
-          struct((col("e") + 1L).as("tsu"), lit(-1L).as("delta")))).as("b"))
-        .select("b.tsu", "b.delta")
-        .groupBy("tsu").agg(sum("delta").as("d"))
-        .withColumn("day", expr("CAST(timestamp_micros(tsu) AS DATE)"))
-        // consumed twice (day-carry aggregate + final join): persist so
-        // the sessionization window subtree runs once per pass, not twice
-        // (Verify/Bench clearCache() handles cleanup)
-        .persist()
-      val wDays = Window.orderBy(asc_nulls_last("day"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val carry = deltas.groupBy("day").agg(sum("d").as("day_d"))
-        .withColumn("carry", coalesce(sum("day_d").over(wDays), lit(0L)))
-        .select("day", "carry")
-      val wIn = Window.partitionBy("day").orderBy(asc_nulls_last("tsu"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      deltas.join(carry, "day")
-        .withColumn("conc", col("carry") + sum("d").over(wIn))
-        .select("tsu", "d", "conc")
-        .orderBy(asc_nulls_last("tsu"))
-    }),
+    "q_concurrency_peak" -> ((s, d) =>
+      sweepLine(sessionIntervals(t(s, d, "events")))
+        .orderBy(asc_nulls_last("tsu"))),
 
     // Trailing-hour velocity features: for EVERY event, the count and
     // exact-decimal value sum of the same user's events in the preceding

@@ -70,6 +70,65 @@ object StatefulTwins {
       }
   }
 
+  /** Event for the interval closer: carries BOTH the watermark-bearing
+    * Timestamp (event-time timeout needs one) and the exact µs value the
+    * gap logic uses (Timestamp.getTime is ms-truncated). */
+  case class SEv(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      tsu: Long)
+
+  case class SessInterval(user_id: Long, s: Long, e: Long)
+
+  case class SessState(start: Long, last: Long)
+
+  /** Streaming half of q_concurrency_peak's sessionization: closes the
+    * SAME 30-minute-gap (user, s, e) intervals as
+    * [[graft.operators.EventAnalytics.sessionIntervals]], incrementally —
+    * a gap within the batch emits the finished interval immediately, an
+    * idle key is closed by the event-time timeout once the watermark
+    * passes last + gap (bounded state: the watermark is the GC horizon).
+    * Downstream, the SAME [[graft.operators.EventAnalytics.sweepLine]]
+    * turns closed intervals into the concurrency timeline, so
+    * batch/stream parity holds by construction above the interval grain.
+    * Input must carry a watermark on `ts`. */
+  def sessionIntervalsStream(events: Dataset[SEv],
+      gapUs: Long = 1800L * 1000000L): Dataset[SessInterval] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessInterval](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[SEv], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessInterval(uid, s.start, s.last))
+          } else {
+            val evs = it.toVector.sortBy(e => (e.tsu, e.event_id))
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val out = Vector.newBuilder[SessInterval]
+              var cur = state.getOption
+              evs.foreach { ev =>
+                cur = cur match {
+                  case Some(s) if ev.tsu - s.last > gapUs =>
+                    out += SessInterval(uid, s.start, s.last)
+                    Some(SessState(ev.tsu, ev.tsu))
+                  case Some(s) => Some(SessState(s.start, ev.tsu))
+                  case None => Some(SessState(ev.tsu, ev.tsu))
+                }
+              }
+              val st = cur.get
+              state.update(st)
+              // timeout is in ms; clamp past the watermark (FMGWS does
+              // not drop late rows — see Sessionize.streamWithTimeout)
+              state.setTimeoutTimestamp(
+                math.max(st.last / 1000L + gapUs / 1000L + 1L,
+                  state.getCurrentWatermarkMs() + 1L))
+              out.result().iterator
+            }
+          }
+      }
+  }
+
   case class HourFeat(user_id: Long, event_id: Long, tsu: Long,
       n_1h: Long, sum_1h: Option[Double])
 

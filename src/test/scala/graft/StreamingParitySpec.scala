@@ -297,6 +297,58 @@ class StreamingParitySpec extends SparkSpec {
     assert(byId(5L).getLong(3) == 2L) // e1-e3 evicted
   }
 
+  test("concurrency sweep line: timeout-closed streaming intervals " +
+      "through the SAME sweepLine builder equal batch q_concurrency_peak") {
+    import graft.operators.EventAnalytics
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    // two users with overlapping sessions, one mid-stream gap closure
+    // (user 1's second session starts 40 min after the first ends), one
+    // timeout-only closure (user 2 just goes idle)
+    val evs = Seq(
+      E(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0, "{}"),
+      E(2, ts("2024-01-01 00:10:00"), 1, "view", 1.0, "{}"),
+      E(3, ts("2024-01-01 00:05:00"), 2, "click", 1.0, "{}"),
+      E(4, ts("2024-01-01 00:20:00"), 2, "view", 1.0, "{}"),
+      E(5, ts("2024-01-01 00:50:00"), 1, "click", 1.0, "{}"),
+      E(6, ts("2024-01-01 01:00:00"), 1, "view", 1.0, "{}"))
+    val batchIntervals = EventAnalytics.sessionIntervals(evs.toDF())
+      .orderBy("user_id", "s").collect().toSeq
+    val batchConc = EventAnalytics.sweepLine(
+        EventAnalytics.sessionIntervals(evs.toDF()))
+      .orderBy("tsu").collect().toSeq
+    val mem = MemoryStream[StatefulTwins.SEv]
+    val name = s"conc_${System.nanoTime()}"
+    val sevs = evs.map(e => StatefulTwins.SEv(
+      e.event_id, e.user_id, e.ts, e.ts.getTime * 1000L))
+    val q = StatefulTwins.sessionIntervalsStream(
+        mem.toDS().withWatermark("ts", "0 seconds").as[StatefulTwins.SEv])
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    mem.addData(sevs.take(4))
+    q.processAllAvailable()
+    mem.addData(sevs.drop(4)) // user 1's gap closes the first interval
+    q.processAllAvailable()
+    // sentinel batches push the watermark past every open timeout
+    mem.addData(StatefulTwins.SEv(98, 99, ts("2024-02-01 00:00:00"),
+      ts("2024-02-01 00:00:00").getTime * 1000L))
+    q.processAllAvailable()
+    mem.addData(StatefulTwins.SEv(99, 99, ts("2024-03-01 00:00:00"),
+      ts("2024-03-01 00:00:00").getTime * 1000L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name).filter($"user_id" =!= 99)
+    assert(streamed.orderBy("user_id", "s").collect().toSeq
+      == batchIntervals)
+    // the SAME sweep-line over the streamed interval sink reproduces the
+    // declared query's timeline
+    val streamConc = EventAnalytics.sweepLine(
+        streamed.select("s", "e"))
+      .orderBy("tsu").collect().toSeq
+    assert(streamConc == batchConc)
+  }
+
   test("transformWithState sessionize matches the FMGWS path and the " +
       "batch fold (Spark 4 arbitrary state, RocksDB provider)") {
     implicit val sqlCtx = spark.sqlContext
