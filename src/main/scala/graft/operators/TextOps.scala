@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -290,6 +291,43 @@ object TextOps {
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(desc_nulls_last("cnt"), asc_nulls_last("bigram"))
         .limit(20)),
+
+    // Bigram-LM fluency gate (the KenLM-style quality filter without the
+    // log): every document scored by its MEAN corpus-bigram conditional
+    // probability. Log-perplexity is not bit-portable (ln differs across
+    // libm builds — SURVEY §7.4 round 3), so each p(b|a) is quantized to
+    // the exact integer floor(cnt_ab·10⁶ / cnt_a) — identical floor
+    // division on both engines, and the 10⁶ scale keeps the multiply
+    // inside BIGINT up to ~9×10¹² occurrences per bigram — summed
+    // exactly per document; the mean is ONE IEEE division at the end.
+    // Scale: the tokenized corpus is persisted once and feeds both the
+    // stats branch and the per-doc join; the join back to documents is
+    // an equi-join on the bigram key (hash-joinable, shuffles the corpus
+    // once); prefix totals are a window over the |vocab|²-bounded counts.
+    "q_text_lm_score" -> ((s, d) => {
+      val docBg = t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))
+        .select(col("doc_id"), col("p.a"), col("p.b"))
+        .persist()
+      val wTot = Window.partitionBy("a")
+      val probs = docBg.groupBy("a", "b").agg(count(lit(1)).as("cnt_ab"))
+        .withColumn("cnt_a", sum("cnt_ab").over(wTot))
+        .withColumn("p_scaled", expr(
+          "(cnt_ab * CAST(1000000 AS BIGINT)) DIV cnt_a"))
+        .select("a", "b", "p_scaled")
+      docBg.join(probs, Seq("a", "b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum("p_scaled").as("score_sum"))
+        .withColumn("fluency", col("score_sum").cast("double")
+          / (col("n_bigrams").cast("double") * lit(1000000.0d)))
+        .select("doc_id", "n_bigrams", "score_sum", "fluency")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
 
     // Bigram conditional probability p(b|a) = cnt(a,b) / cnt(a,·) — the
     // n-gram language-model statistic. Exact integer counts, ONE IEEE
@@ -605,6 +643,34 @@ object TextOps {
         |) GROUP BY bigram
         |ORDER BY cnt DESC NULLS LAST, bigram ASC NULLS LAST
         |LIMIT 20""".stripMargin,
+
+    // Mirrors the scaled floor division (// is DuckDB floor division,
+    // Spark's DIV truncates — identical on the positive counts here) and
+    // the exact-product-then-one-division mean.
+    "q_text_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), x AS (
+        |  SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i FROM t
+        |), dbg AS (
+        |  SELECT doc_id, toks[i+1] AS a, toks[i+2] AS b FROM x
+        |), bg AS (
+        |  SELECT a, b, COUNT(*) AS cnt_ab FROM dbg GROUP BY a, b
+        |), pr AS (
+        |  SELECT a, b,
+        |    (cnt_ab * CAST(1000000 AS BIGINT))
+        |      // CAST(SUM(cnt_ab) OVER (PARTITION BY a) AS BIGINT)
+        |      AS p_scaled
+        |  FROM bg
+        |)
+        |SELECT dbg.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(pr.p_scaled) AS BIGINT) AS score_sum,
+        |  CAST(CAST(SUM(pr.p_scaled) AS BIGINT) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS fluency
+        |FROM dbg JOIN pr ON dbg.a = pr.a AND dbg.b = pr.b
+        |GROUP BY dbg.doc_id
+        |ORDER BY dbg.doc_id ASC NULLS LAST""".stripMargin,
 
     "q_text_bigram_prob" ->
       """WITH t AS (

@@ -81,6 +81,36 @@ class OperatorsSpec extends SparkSpec {
       ts("2024-01-01 01:30:00"))
   }
 
+  test("q_text_lm_score matches a plain-Scala bigram LM recomputation") {
+    import spark.implicits._
+    val out = TextOps.queries("q_text_lm_score")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def bigrams(tx: String): Seq[(String, String)] = {
+      val t = tx.split(" ", -1) // split keeps empty tokens like Spark's
+      if (t.length < 2) Nil else t.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val all = docs.filter(_._2 != null).flatMap(d => bigrams(d._2))
+    val cntAb = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cntA = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def pScaled(bg: (String, String)): Long =
+      cntAb(bg) * 1000000L / cntA(bg._1)
+    docs.filter(d => d._2 != null && bigrams(d._2).nonEmpty).foreach {
+      case (id, tx) =>
+        val bgs = bigrams(tx)
+        val sum = bgs.map(pScaled).sum
+        val (n, s, f) = out(id)
+        assert(n == bgs.length && s == sum, s"doc $id stats")
+        assert(f == sum.toDouble / (bgs.length.toDouble * 1000000.0),
+          s"doc $id fluency")
+        assert(f >= 0.0 && f <= 1.0)
+    }
+    assert(out.size == docs.count(d =>
+      d._2 != null && bigrams(d._2).nonEmpty))
+  }
+
   test("minhash signatures are deterministic 60-bit values, stable across runs") {
     val out = TextOps.queries("q_dedup_minhash")(spark, sf)
     val row = out.head
