@@ -110,6 +110,36 @@ object Relational {
           asc_nulls_last("ship_lag_days"))
     }),
 
+    // UNKEYED point-in-interval join via grid bucketing — the range-join
+    // shape q_join_range CANNOT cover (no equi key at all: every order's
+    // fulfillment window [o_orderdate, +1..30d] against every distinct
+    // ship date). The naive plan is a nested loop over |points|×|intervals|;
+    // here intervals explode to the month cells they overlap (≤ 2 for a
+    // ≤ 30-day window) and points join their single cell — ONE
+    // hash-joinable equi-join on cell whose fan-out is bounded by
+    // per-cell density, then the exact containment filter. The grid is
+    // the standard spatial-join decomposition: at 100 TB the cell width
+    // tunes fan-out vs parallelism exactly like 2^planes does for LSH.
+    "q_join_interval" -> ((s, d) => {
+      val pts = t(s, d, "lineitem")
+        .select(col("l_shipdate").as("p")).distinct()
+        .withColumn("cell", date_trunc("month", col("p")))
+      val iv = t(s, d, "orders")
+        .select(col("o_orderdate").as("s0"),
+          expr("timestampadd(DAY, CAST(o_orderkey % 30 + 1 AS INT), " +
+            "o_orderdate)").as("e0"))
+        .filter(col("s0").isNotNull)
+        .withColumn("cell", explode(expr(
+          "sequence(date_trunc('month', s0), date_trunc('month', e0), " +
+            "interval 1 month)")))
+      pts.join(iv, "cell")
+        .filter(col("s0") <= col("p") && col("p") <= col("e0"))
+        .groupBy("p")
+        .agg(count(lit(1)).as("n_open"))
+        .select(col("p").as("ship_date"), col("n_open"))
+        .orderBy(asc_nulls_last("ship_date"))
+    }),
+
     // As-of join: each purchase joined to the most recent signup at-or-
     // before it, per user. Union+window formulation: ONE shuffle by
     // user_id, linear scan — the scalable shape (vs correlated subquery /
@@ -326,6 +356,20 @@ object Relational {
         |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
         |ORDER BY o_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
         |  ship_lag_days ASC NULLS LAST""".stripMargin,
+
+    // The oracle states the containment predicate directly (DuckDB's
+    // IEJoin executes it); the Spark side proves the grid-bucketed
+    // decomposition computes the same relation.
+    "q_join_interval" ->
+      """WITH iv AS (
+        |  SELECT o_orderdate AS s0,
+        |    o_orderdate + INTERVAL ((o_orderkey % 30) + 1) DAY AS e0
+        |  FROM orders WHERE o_orderdate IS NOT NULL
+        |), p AS (SELECT DISTINCT l_shipdate AS p FROM lineitem)
+        |SELECT p.p AS ship_date, COUNT(*) AS n_open
+        |FROM p JOIN iv ON iv.s0 <= p.p AND p.p <= iv.e0
+        |GROUP BY p.p
+        |ORDER BY ship_date ASC NULLS LAST""".stripMargin,
 
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id, p.ts,

@@ -81,6 +81,30 @@ class OperatorsSpec extends SparkSpec {
       ts("2024-01-01 01:30:00"))
   }
 
+  test("q_join_interval grid decomposition equals the direct (unbucketed) " +
+      "containment join") {
+    // timestamps decode as LocalDateTime (NTZ parquet) — key generically
+    val out = Relational.queries("q_join_interval")(spark, sf).collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    val pts = Tables.table(spark, sf, "lineitem")
+      .select(col("l_shipdate").as("p")).distinct()
+    val iv = Tables.table(spark, sf, "orders")
+      .select(col("o_orderdate").as("s0"),
+        expr("timestampadd(DAY, CAST(o_orderkey % 30 + 1 AS INT), " +
+          "o_orderdate)").as("e0"))
+    // the slow-but-obviously-correct plan: direct theta join
+    val direct = pts.join(iv,
+        col("s0") <= col("p") && col("p") <= col("e0"))
+      .groupBy("p").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(out == direct)
+    // and the declared plan is hash-joinable, not a nested loop
+    val phys = Relational.queries("q_join_interval")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin")
+      && !phys.contains("CartesianProduct"))
+  }
+
   test("q_text_lm_score matches a plain-Scala bigram LM recomputation") {
     import spark.implicits._
     val out = TextOps.queries("q_text_lm_score")(spark, sf).collect()
