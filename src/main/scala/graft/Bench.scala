@@ -130,7 +130,7 @@ object Bench {
     "q_window_analytic" -> "wanl",
     "q_ann_ivf_curve" -> "ivfc", "q_ann_recall" -> "rcl",
     "q_ann_recall_multi" -> "rclm", "q_text_lm_score" -> "tlm",
-    "q_join_interval" -> "jint")
+    "q_join_interval" -> "jint", "q_graph_pagerank" -> "pgr")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

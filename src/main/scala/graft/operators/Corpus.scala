@@ -159,6 +159,54 @@ object Corpus {
           (col("id") === col("lbl")).as("survivor"))
         .orderBy(asc_nulls_last("doc_id"))),
 
+    // PageRank (2 Jacobi iterations, damping 0.85) over the near-dup
+    // graph — the centrality signal a dedup pipeline uses to pick the
+    // CANONICAL copy of a duplicate cluster (highest-rank member ≈ most
+    // connected). Everything is integer: ranks carry a 10¹² scale,
+    // damping is the exact rational 85/100 applied as one multiply and
+    // one floor division ((85·r) DIV (100·deg) — Spark's DIV and
+    // DuckDB's // agree on non-negative operands), so every engine
+    // reproduces the same BIGINTs with no float accumulation anywhere.
+    // Scale: each iteration is one shuffle of slim (dst, contrib) rows
+    // with map-side partial sums + an id-keyed join — the canonical
+    // distributed power-iteration step; edges/degrees persist once. The
+    // node count joins as a 1-row broadcast on a constant key (the
+    // q_text_docfreq shape).
+    "q_graph_pagerank" -> ((s, d) => {
+      val pairs = TextDedup.nearDuplicates(t(s, d, "documents"))
+        .select("id_a", "id_b")
+      val sym = pairs.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select("e.src", "e.dst")
+        .persist()
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      val n = broadcast(deg.agg(count(lit(1)).as("n_nodes"))
+        .withColumn("_one", lit(1)))
+      val info = deg.withColumn("_one", lit(1)).join(n, "_one")
+        .select(col("src").as("id"), col("deg"),
+          expr("CAST(15000000000000 AS BIGINT) DIV " +
+            "(CAST(100 AS BIGINT) * n_nodes)").as("base"),
+          expr("CAST(1000000000000 AS BIGINT) DIV n_nodes").as("r0"))
+        .persist()
+      var r = info.select(col("id"), col("deg"), col("r0").as("r"))
+      for (_ <- 1 to 2) {
+        val inSum = sym
+          .join(r.select(col("id").as("dst"), col("deg").as("ddeg"),
+            col("r").as("dr")), "dst")
+          .withColumn("c", expr(
+            "(CAST(85 AS BIGINT) * dr) DIV (CAST(100 AS BIGINT) * ddeg)"))
+          .groupBy("src").agg(sum("c").as("in_sum"))
+        // symmetric edges ⇒ every node has an incoming edge: inner join
+        r = info.join(inSum, info("id") === inSum("src"))
+          .select(info("id"), info("deg"),
+            (col("base") + col("in_sum")).as("r"))
+      }
+      r.select(col("id").as("doc_id"), col("deg"),
+          col("r").as("rank_scaled"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // Benchmark decontamination: eval split = doc_id % 5 == 0; a train
     // document is contaminated if any of its distinct 8-gram hashes
     // appears anywhere in the eval split. Scale: the eval gram set is
@@ -392,8 +440,51 @@ object Corpus {
        |FROM reach GROUP BY id
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** Two unrolled integer-scaled power iterations (same constants as the
+    * Spark side; // is DuckDB floor division, exact on the non-negative
+    * operands here; SUM over BIGINT widens to HUGEINT so the per-node
+    * result is cast back). */
+  private def pagerankOracle: String =
+    s"""WITH pairs AS (
+       |${TextOps.dedupPairsSubquery}
+       |), e0 AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), dg AS (
+       |  SELECT src AS id, COUNT(*) AS deg FROM e0 GROUP BY src
+       |), nn AS (SELECT COUNT(*) AS n_nodes FROM dg),
+       |r0 AS (
+       |  SELECT id, deg,
+       |    CAST(1000000000000 AS BIGINT) // n_nodes AS r
+       |  FROM dg, nn
+       |), r1 AS (
+       |  SELECT d.id, d.deg, CAST(
+       |    CAST(15000000000000 AS BIGINT)
+       |      // (CAST(100 AS BIGINT) * nn.n_nodes)
+       |    + SUM((CAST(85 AS BIGINT) * ru.r)
+       |      // (CAST(100 AS BIGINT) * ru.deg)) AS BIGINT) AS r
+       |  FROM e0 e
+       |  JOIN r0 ru ON ru.id = e.dst
+       |  JOIN dg d ON d.id = e.src, nn
+       |  GROUP BY d.id, d.deg, nn.n_nodes
+       |), r2 AS (
+       |  SELECT d.id, d.deg, CAST(
+       |    CAST(15000000000000 AS BIGINT)
+       |      // (CAST(100 AS BIGINT) * nn.n_nodes)
+       |    + SUM((CAST(85 AS BIGINT) * ru.r)
+       |      // (CAST(100 AS BIGINT) * ru.deg)) AS BIGINT) AS r
+       |  FROM e0 e
+       |  JOIN r1 ru ON ru.id = e.dst
+       |  JOIN dg d ON d.id = e.src, nn
+       |  GROUP BY d.id, d.deg, nn.n_nodes
+       |)
+       |SELECT id AS doc_id, deg, r AS rank_scaled FROM r2
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_clusters" -> clustersOracle,
+    "q_graph_pagerank" -> pagerankOracle,
 
     "q_decontaminate" ->
       s"""WITH g AS (

@@ -58,6 +58,35 @@ class CorpusSpec extends SparkSpec {
     l2.unpersist()
   }
 
+  test("q_graph_pagerank matches an exact-integer Scala power iteration " +
+      "and conserves rank mass") {
+    val out = Corpus.queries("q_graph_pagerank")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pairs = TextDedup.nearDuplicates(Tables.table(spark, sf, "documents"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = deg.size.toLong
+    val base = 15000000000000L / (100L * n)
+    var r: Map[Long, Long] = deg.map { case (id, _) =>
+      id -> 1000000000000L / n }
+    for (_ <- 1 to 2) {
+      val in = sym.groupBy(_._1).map { case (v, es) =>
+        v -> es.map { case (_, u) => 85L * r(u) / (100L * deg(u)) }.sum
+      }
+      r = deg.map { case (id, _) => id -> (base + in(id)) }
+    }
+    assert(out.keySet == r.keySet)
+    r.foreach { case (id, rank) =>
+      assert(out(id) == ((deg(id), rank)), s"node $id")
+    }
+    // floor losses only: total mass within (nodes + edges) of 10^12
+    val mass = out.values.map(_._2).sum
+    assert(mass <= 1000000000000L
+      && mass >= 1000000000000L - (n + sym.length + 100L))
+  }
+
   test("q_decontaminate flags planted eval overlap and only that") {
     val out = Corpus.queries("q_decontaminate")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -131,8 +131,9 @@ class PlanRegressionSpec extends SparkSpec {
       // broadcast-k centroid-assignment argument
       "q_ann_ivf_curve", "q_ann_recall", "q_ann_recall_multi",
       // 1-row broadcast of corpus totals (mixture) / the minority class
-      // size (balance) on a constant key — the q_text_docfreq shape
-      "q_mixture_weights", "q_label_balance")
+      // size (balance) / the node count (pagerank) on a constant key —
+      // the q_text_docfreq shape
+      "q_mixture_weights", "q_label_balance", "q_graph_pagerank")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
