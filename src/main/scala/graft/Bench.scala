@@ -104,7 +104,7 @@ object Bench {
     "q_unpivot" -> "unpv", "q_window_frame" -> "wfrm",
     "q_window_ntile" -> "w_nt", "q_window_range" -> "wrng",
     "q_scd2_intervals" -> "scd2", "q_path_per_session" -> "path",
-    "q_upsert_latest" -> "upst", "q_text_bigram_prob" -> "tbgp",
+    "q_upsert_latest" -> "upst", "q_text_bigram_prob" -> "tbp",
     "q_stats_regression" -> "regr", "q_dedup_minhash_est" -> "dmhe",
     "q_markov_transition" -> "mkv", "q_concurrency_peak" -> "conc",
     "q_window_time_range" -> "w_tr", "q_mixture_weights" -> "mixw",
@@ -128,9 +128,12 @@ object Bench {
     "q_text_pii_redact" -> "tpii", "q_text_repetition" -> "trep",
     "q_text_tokenize" -> "ttok", "q_union" -> "uni",
     "q_window_analytic" -> "wanl",
-    "q_ann_ivf_curve" -> "ivfc", "q_ann_recall" -> "rcl",
-    "q_ann_recall_multi" -> "rclm", "q_text_lm_score" -> "tlm",
-    "q_join_interval" -> "jint", "q_graph_pagerank" -> "pgr")
+    "q_ann_ivf_curve" -> "ivc", "q_ann_recall" -> "rcl",
+    "q_ann_recall_multi" -> "rcm", "q_text_lm_score" -> "tlm",
+    "q_join_interval" -> "jint", "q_graph_pagerank" -> "pgr",
+    "q_ann_pq" -> "pq", "q_rolling_distinct" -> "rdu",
+    "q_graph_triangles" -> "tri", "q_join_bloom" -> "jbl",
+    "q_text_pmi" -> "pmi")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -207,6 +207,29 @@ object Corpus {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // Per-node triangle participation over the near-dup graph — the
+    // clustering-coefficient numerator that separates tight duplicate
+    // cliques from chains of borderline matches. Edges are oriented
+    // id_a < id_b (nearDuplicates emits them sorted), so each triangle
+    // a < b < c is enumerated exactly once: wedge join on the shared
+    // middle vertex, closing-edge equi-join on (a, c), then each
+    // triangle credits its 3 corners. Scale: the canonical distributed
+    // triangle count — both joins are hash equi-joins on edge endpoints
+    // (wedge fan-out is bounded by oriented out-degree, the standard
+    // mitigation), edges persist once, and the corner explode is ×3.
+    "q_graph_triangles" -> ((s, d) => {
+      val edges = TextDedup.nearDuplicates(t(s, d, "documents"))
+        .select("id_a", "id_b")
+        .persist()
+      val tri = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+        .join(edges.select(col("id_a").as("b"), col("id_b").as("c")), "b")
+        .join(edges.select(col("id_a").as("a"), col("id_b").as("c")),
+          Seq("a", "c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // Benchmark decontamination: eval split = doc_id % 5 == 0; a train
     // document is contaminated if any of its distinct 8-gram hashes
     // appears anywhere in the eval split. Scale: the eval gram set is
@@ -482,9 +505,26 @@ object Corpus {
        |SELECT id AS doc_id, deg, r AS rank_scaled FROM r2
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** Same oriented wedge + closing-edge enumeration over the proven
+    * near-dup pair subquery, corners credited via unnest. */
+  private def trianglesOracle: String =
+    s"""WITH pairs AS (
+       |${TextOps.dedupPairsSubquery}
+       |), tri AS (
+       |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.id_a = e1.id_b
+       |  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+       |), n AS (
+       |  SELECT unnest([a, b, c]) AS doc_id FROM tri
+       |)
+       |SELECT doc_id, COUNT(*) AS n_tri FROM n GROUP BY doc_id
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_clusters" -> clustersOracle,
     "q_graph_pagerank" -> pagerankOracle,
+    "q_graph_triangles" -> trianglesOracle,
 
     "q_decontaminate" ->
       s"""WITH g AS (

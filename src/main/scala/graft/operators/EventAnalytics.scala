@@ -333,6 +333,30 @@ object EventAnalytics {
         .withColumn("filled", last(col("dval"), ignoreNulls = true).over(w))
         .select("user_id", "day", "dval", "filled")
         .orderBy(asc_nulls_last("user_id"), asc_nulls_last("day"))
+    }),
+
+    // Trailing-7-day distinct users per active day (the rolling-DAU/WAU
+    // panel): sliding-window COUNT DISTINCT, which no window frame can
+    // express (distinct aggregates don't window). Scale shape: dedup to
+    // (day, user) grain first — ONE keyed shuffle absorbing all per-day
+    // repeat traffic — then each (day, user) row fans out to the ≤ 7
+    // target days it contributes to (a BOUNDED explode, versus the
+    // unbounded range self-join the naive form needs), and one distinct
+    // aggregate per target day finishes. The inner join against the
+    // observed-day spine keeps the contract "every day that had any
+    // traffic", so day gaps never invent rows.
+    "q_rolling_distinct" -> ((s, d) => {
+      val du = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val days = du.select(col("day")).distinct()
+      du.withColumn("target",
+          explode(expr("sequence(day, day + interval 6 day)")))
+        .join(days.withColumnRenamed("day", "target"), "target")
+        .groupBy("target")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("target").as("day"), col("n_users"))
+        .orderBy(asc_nulls_last("day"))
     })
   )
 
@@ -568,6 +592,20 @@ object EventAnalytics {
          |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |    AS filled
          |FROM j
-         |ORDER BY user_id ASC NULLS LAST, day ASC NULLS LAST""".stripMargin
+         |ORDER BY user_id ASC NULLS LAST, day ASC NULLS LAST""".stripMargin,
+
+    // States the trailing window directly as a bounded range join —
+    // exact by construction; the Spark side's ×7 explode is the
+    // distributed rewrite of the same predicate.
+    "q_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), days AS (
+        |  SELECT DISTINCT day FROM du
+        |)
+        |SELECT d.day, COUNT(DISTINCT du.user_id) AS n_users
+        |FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day
+        |ORDER BY d.day ASC NULLS LAST""".stripMargin
   )
 }

@@ -372,6 +372,44 @@ object TextOps {
         .orderBy(desc_nulls_last("df"), asc_nulls_last("tok"))
     }),
 
+    // PMI collocation mining: rank adjacent-token pairs by how much more
+    // often they co-occur than their unigram frequencies predict — the
+    // classic phrase detector (Church & Hanks 1990). The log is dropped
+    // (not bit-portable, the q_text_lm_score precedent): the ranking key
+    // is the monotone-equivalent exact integer
+    // floor(n_ab·N·10⁶ / (n_a·n_b)) with both marginals read off the
+    // bigram table itself (n_a = prefix total, n_b = suffix total), so
+    // everything derives from ONE bigram count. BIGINT headroom: the
+    // n_ab·N·10⁶ product stays under 2⁶³ while n_ab·N < 9.2×10¹²; a
+    // corpus past that moves the same expression to DECIMAL(38,0)
+    // unchanged. Scale: one corpus shuffle on the bigram key, two
+    // windows over the vocab²-bounded count table, the grand total as a
+    // 1-row broadcast (the q_text_docfreq shape), min-support n_ab ≥ 5
+    // before the global top-50.
+    "q_text_pmi" -> ((s, d) => {
+      val bg = t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))
+        .select(col("p.a"), col("p.b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      val total = broadcast(bg.agg(sum("n_ab").as("n_total"))
+        .withColumn("_one", lit(1)))
+      bg.withColumn("n_a", sum("n_ab").over(Window.partitionBy("a")))
+        .withColumn("n_b", sum("n_ab").over(Window.partitionBy("b")))
+        .withColumn("_one", lit(1))
+        .join(total, "_one")
+        .filter(col("n_ab") >= 5)
+        .withColumn("pmi_scaled", expr(
+          "(n_ab * n_total * CAST(1000000 AS BIGINT)) DIV (n_a * n_b)"))
+        .select("a", "b", "n_ab", "n_a", "n_b", "pmi_scaled")
+        .orderBy(desc_nulls_last("pmi_scaled"),
+          asc_nulls_last("a"), asc_nulls_last("b"))
+        .limit(50)
+    }),
+
     // Repetition scoring — the standard "degenerate text" gate of a
     // curation pipeline: duplicate-bigram ratio and the mode token's
     // count. Bigram stats are in-row array exprs; the mode count is one
@@ -702,6 +740,34 @@ object TextOps {
         |  FROM documents
         |) GROUP BY tok HAVING COUNT(*) >= 10
         |ORDER BY df DESC NULLS LAST, tok ASC NULLS LAST""".stripMargin,
+
+    // Same single bigram-count source; // is DuckDB's floor division
+    // (exact match for Spark's DIV on these non-negative operands), and
+    // the window sums widen to HUGEINT so every cast pins BIGINT.
+    "q_text_pmi" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), bg AS (
+        |  SELECT toks[i+1] AS a, toks[i+2] AS b
+        |  FROM (SELECT toks, unnest(generate_series(0, len(toks) - 2)) AS i
+        |        FROM t)
+        |), c AS (
+        |  SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY a, b
+        |), m AS (
+        |  SELECT a, b, n_ab,
+        |    CAST(SUM(n_ab) OVER (PARTITION BY a) AS BIGINT) AS n_a,
+        |    CAST(SUM(n_ab) OVER (PARTITION BY b) AS BIGINT) AS n_b,
+        |    CAST((SELECT SUM(n_ab) FROM c) AS BIGINT) AS n_total
+        |  FROM c
+        |)
+        |SELECT a, b, n_ab, n_a, n_b,
+        |  CAST((n_ab * n_total * 1000000) // (n_a * n_b) AS BIGINT)
+        |    AS pmi_scaled
+        |FROM m WHERE n_ab >= 5
+        |ORDER BY pmi_scaled DESC NULLS LAST, a ASC NULLS LAST,
+        |  b ASC NULLS LAST
+        |LIMIT 50""".stripMargin,
 
     "q_text_repetition" ->
       """WITH t AS (

@@ -40,6 +40,15 @@ object VectorOps {
   /** Coarse-quantizer size for q_ann_ivf (first k vectors as centroids). */
   private val IvfCentroids = 8
 
+  /** Product-quantization geometry for q_ann_pq: EmbDim splits into
+    * [[PqM]] contiguous sub-spaces of [[PqSubDim]] dims; the sub-space
+    * codebooks are the matching slices of the first [[PqCodebook]]
+    * vectors (the deterministic stand-in for trained sub-centroids, as
+    * with [[IvfCentroids]]). */
+  private val PqM = 8
+  private val PqSubDim = EmbDim / PqM
+  private val PqCodebook = 4
+
   /** Exact-decimal dot product of two `array<float>` columns, as DOUBLE —
     * the native codegen'd [[graft.functions.DecimalDot]], bit-identical
     * to the interpreted decimal fold (and hence the DuckDB oracle) but
@@ -596,6 +605,51 @@ object VectorOps {
         .orderBy(asc_nulls_last("cluster"), asc_nulls_last("pos"))
     }),
 
+    // Product quantization (the IVF-PQ compression half): each vector
+    // splits into PqM contiguous sub-vectors; each sub-vector snaps to
+    // its nearest codebook slice (min exact L2, codebook = slices of the
+    // first PqCodebook vectors), emitting the PQ code word plus the total
+    // quantization error. All arithmetic is exact integers: elements
+    // route through the proven DOUBLE → DECIMAL(18,7) → scaled-BIGINT
+    // encoding (Det.arrCsv), so squared distances, argmins and the error
+    // sum are integer-identical on every engine (scaled diffs ≤ 2·10⁷,
+    // so a sub-space distance ≤ 8·4·10¹⁴ — no BIGINT overflow). Scale:
+    // the codebook is ONE broadcast row (constant-key equi-join, hash
+    // join — never a nested loop) and everything else is an in-row fold:
+    // PQ encoding of 100 TB is embarrassingly parallel, zero shuffles.
+    "q_ann_pq" -> ((s, d) => {
+      val ints = t(s, d, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .withColumn("iv", expr(
+          "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
+            "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
+      val cb = broadcast(ints.filter(col("vec_id") < PqCodebook)
+        .groupBy()
+        .agg(sort_array(collect_list(struct(
+          col("vec_id").cast("long").as("cid"), col("iv").as("cv"))))
+          .as("cbs"))
+        .withColumn("_one", lit(1)))
+      // per sub-space m: argmin over the codebook of the exact integer
+      // L2 distance between the two slices — array_min over (dist, cid)
+      // structs is the (dist ASC, cid ASC) tie-break in one expression
+      val bestExpr =
+        s"transform(sequence(0, ${PqM - 1}), m -> " +
+          "array_min(transform(cbs, c -> struct(" +
+          s"aggregate(zip_with(slice(iv, m * $PqSubDim + 1, $PqSubDim), " +
+          s"slice(c.cv, m * $PqSubDim + 1, $PqSubDim), " +
+          "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), " +
+          "(a, v) -> a + v) AS dist, c.cid AS cid))))"
+      ints.withColumn("_one", lit(1))
+        .join(cb, "_one")
+        .withColumn("best", expr(bestExpr))
+        .select(col("vec_id"),
+          expr("concat_ws(',', transform(best, b -> CAST(b.cid AS STRING)))")
+            .as("code_csv"),
+          expr("aggregate(transform(best, b -> b.dist), " +
+            "CAST(0 AS BIGINT), (a, v) -> a + v)").as("qerr"))
+        .orderBy(asc_nulls_last("vec_id"))
+    }),
+
     // Multimodal join: text metadata ⋈ vector stats on doc_id == vec_id.
     "q_multimodal_join" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -917,6 +971,36 @@ object VectorOps {
          |FROM e, (SELECT unnest(range(16)) AS p) p
          |GROUP BY vec_id, p.p
          |ORDER BY vec_id ASC NULLS LAST, rp_dim ASC NULLS LAST""".stripMargin,
+
+    // Mirrors the PQ phases on the same scaled-BIGINT encoding: per-dim
+    // rows regroup to (vec, sub-space, codebook entry) exact L2 sums,
+    // the argmin is the (dist ASC, cid ASC) row_number window, and the
+    // code word re-assembles with an ordered string_agg.
+    "q_ann_pq" ->
+      s"""WITH iv AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) * 10000000
+         |      AS BIGINT)) AS iv
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), e AS (
+         |  SELECT vec_id, iv, unnest(generate_series(1, $EmbDim)) AS i
+         |  FROM iv
+         |), d AS (
+         |  SELECT v.vec_id, (i - 1) // $PqSubDim AS m, c.vec_id AS cid,
+         |    CAST(SUM((v.iv[i] - c.iv[i]) * (v.iv[i] - c.iv[i]))
+         |      AS BIGINT) AS dist
+         |  FROM e v, (SELECT vec_id, iv FROM iv WHERE vec_id < $PqCodebook) c
+         |  GROUP BY v.vec_id, (i - 1) // $PqSubDim, c.vec_id
+         |), best AS (
+         |  SELECT vec_id, m, cid, dist FROM d
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+         |    ORDER BY dist ASC, cid ASC) = 1
+         |)
+         |SELECT vec_id,
+         |  string_agg(CAST(cid AS VARCHAR), ',' ORDER BY m ASC) AS code_csv,
+         |  CAST(SUM(dist) AS BIGINT) AS qerr
+         |FROM best GROUP BY vec_id
+         |ORDER BY vec_id ASC NULLS LAST""".stripMargin,
 
     "q_multimodal_join" ->
       """SELECT doc_id,

@@ -203,6 +203,122 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("q_ann_pq equals a plain-Scala product-quantization recomputation") {
+    import spark.implicits._
+    val out = VectorOps.queries("q_ann_pq")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .filter(_._2 != null)
+    // the proven exact encoding: DOUBLE → DECIMAL(18,7) → scaled BIGINT
+    def scaled(v: Array[Float]): Array[Long] = v.map(x =>
+      (BigDecimal(x.toDouble)
+        .setScale(7, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(10000000)).toLongExact)
+    val sv = vecs.map { case (id, v) => id -> scaled(v) }.toMap
+    val cb = (0L until 4L).map(cid => cid -> sv(cid))
+    vecs.foreach { case (id, _) =>
+      val iv = sv(id)
+      val best = (0 until 8).map { m =>
+        cb.map { case (cid, cv) =>
+          val dist = (0 until 8).map { j =>
+            val dd = iv(m * 8 + j) - cv(m * 8 + j); dd * dd
+          }.sum
+          (dist, cid)
+        }.min
+      }
+      val expect = (best.map(_._2).mkString(","), best.map(_._1).sum)
+      assert(out(id) == expect, s"vec $id")
+    }
+    assert(out.size == vecs.length)
+    // the codebook joins as a 1-row broadcast (Catalyst folds the
+    // constant equi-key to a bounded BNLJ — allowlisted in
+    // PlanRegressionSpec); never an unbounded cartesian product
+    val phys = VectorOps.queries("q_ann_pq")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"))
+  }
+
+  test("q_rolling_distinct equals the direct trailing-7-day count") {
+    import spark.implicits._
+    val out = EventAnalytics.queries("q_rolling_distinct")(spark, sf)
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val du = Tables.table(spark, sf, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().as[(java.sql.Date, Long)].collect()
+      .map { case (d, u) => (d.toLocalDate, u) }
+    val days = du.map(_._1).distinct
+    days.foreach { d =>
+      val expect = du.filter(p =>
+        !p._1.isAfter(d) && !p._1.isBefore(d.minusDays(6)))
+        .map(_._2).distinct.length.toLong
+      assert(out(d) == expect, s"day $d")
+    }
+    assert(out.size == days.length)
+  }
+
+  test("q_graph_triangles credits each a<b<c triangle's corners once") {
+    val out = Corpus.queries("q_graph_triangles")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = TextDedup.nearDuplicates(
+        Tables.table(spark, sf, "documents"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cnt = scala.collection.mutable.Map.empty[Long, Long]
+    for ((a, b) <- edges; (b2, c) <- edges
+         if b2 == b && edges.contains((a, c)))
+      Seq(a, b, c).foreach(n => cnt(n) = cnt.getOrElse(n, 0L) + 1L)
+    assert(out == cnt.toMap)
+    assert(out.nonEmpty) // the fixture's dup cliques do contain triangles
+  }
+
+  test("q_join_bloom equals the plain join and the prefilter is " +
+      "selective (no false negatives by construction)") {
+    def key(r: org.apache.spark.sql.Row) =
+      r.getString(0) -> (r.getLong(1), r.getDouble(2))
+    val out = Sketches.queries("q_join_bloom")(spark, sf).collect().map(key)
+    val plain = Tables.table(spark, sf, "lineitem")
+      .join(Sketches.urgentOrders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        graft.Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(asc_nulls_last("l_returnflag"))
+      .collect().map(key)
+    assert(out.sameElements(plain))
+    // the bloom admits every true match, and actually prunes: survivors
+    // are at most the true-match count plus the false-positive tail
+    val total = Tables.table(spark, sf, "lineitem").count()
+    val survivors = Sketches.bloomPrefiltered(spark, sf).count()
+    val trueMatches = Tables.table(spark, sf, "lineitem")
+      .join(Sketches.urgentOrders(spark, sf),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(survivors >= trueMatches)
+    assert(survivors < total / 2, s"bloom pruned nothing: $survivors/$total")
+  }
+
+  test("q_text_pmi matches a plain-Scala recomputation") {
+    import spark.implicits._
+    val out = TextOps.queries("q_text_pmi")(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val docs = Tables.table(spark, sf, "documents")
+      .select("text").as[String].collect().filter(_ != null)
+    val bgs = docs.flatMap { tx =>
+      val t = tx.split(" ", -1)
+      if (t.length < 2) Nil else t.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val nAb = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nA = bgs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nB = bgs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = bgs.length.toLong
+    val expect = nAb.filter(_._2 >= 5).map { case ((a, b), ab) =>
+      (a, b, ab, nA(a), nB(b), ab * n * 1000000L / (nA(a) * nB(b)))
+    }.toSeq.sortBy { case (a, b, _, _, _, s) => (-s, a, b) }.take(50)
+    assert(out == expect)
+    assert(out.size == 50)
+  }
+
   test("weighted-mean aggregator equals the exact decimal formula") {
     import spark.implicits._
     val wavg = udaf(new WeightedMean(),

@@ -133,7 +133,12 @@ class PlanRegressionSpec extends SparkSpec {
       // 1-row broadcast of corpus totals (mixture) / the minority class
       // size (balance) / the node count (pagerank) on a constant key —
       // the q_text_docfreq shape
-      "q_mixture_weights", "q_label_balance", "q_graph_pagerank")
+      "q_mixture_weights", "q_label_balance", "q_graph_pagerank",
+      // 1-row broadcasts of the PQ codebook (pq) and the bigram grand
+      // total (pmi) on a constant key — the q_text_docfreq shape again:
+      // the nested-loop side is exactly one row, so the "loop" is a
+      // single broadcast probe
+      "q_ann_pq", "q_text_pmi")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
