@@ -113,27 +113,27 @@ object Bench {
     "q_agg_bool" -> "abol", "q_agg_cube" -> "acub",
     "q_agg_distinct" -> "adst", "q_agg_hash" -> "ahsh",
     "q_agg_mode" -> "amod", "q_date_funcs" -> "datf",
-    "q_except" -> "exc", "q_funnel" -> "funl",
-    "q_join_anti" -> "jant", "q_join_asof" -> "jasf",
-    "q_join_full" -> "jful", "q_join_semi" -> "jsem",
-    "q_join_shuffle" -> "jshf", "q_json_funcs" -> "jsnf",
-    "q_math_funcs" -> "mthf", "q_null_funcs" -> "nulf",
-    "q_regex_sub" -> "rxs", "q_set_unset_lookup" -> "slkp",
+    "q_except" -> "exc", "q_funnel" -> "fnl",
+    "q_join_anti" -> "jan", "q_join_asof" -> "jas",
+    "q_join_full" -> "jfu", "q_join_semi" -> "jse",
+    "q_join_shuffle" -> "jsh", "q_json_funcs" -> "jsf",
+    "q_math_funcs" -> "mtf", "q_null_funcs" -> "nuf",
+    "q_regex_sub" -> "rxs", "q_set_unset_lookup" -> "slk",
     "q_skew_salted_agg" -> "skag", "q_string_funcs" -> "strf",
     "q_string_funcs2" -> "sf2", "q_text_bigrams" -> "tbgr",
     "q_text_gini" -> "tgin", "q_text_quality" -> "tqal",
     "q_window_cume" -> "wcum", "q_window_rank" -> "wrnk",
-    "q_map_funcs" -> "mapf", "q_pivot" -> "pvt",
-    "q_sql_cte" -> "scte", "q_stream_outer_join" -> "stoj",
+    "q_map_funcs" -> "maf", "q_pivot" -> "pvt",
+    "q_sql_cte" -> "sct", "q_stream_outer_join" -> "soj",
     "q_text_pii_redact" -> "tpii", "q_text_repetition" -> "trep",
-    "q_text_tokenize" -> "ttok", "q_union" -> "uni",
+    "q_text_tokenize" -> "tok", "q_union" -> "uni",
     "q_window_analytic" -> "wanl",
     "q_ann_ivf_curve" -> "ivc", "q_ann_recall" -> "rcl",
     "q_ann_recall_multi" -> "rcm", "q_text_lm_score" -> "tlm",
     "q_join_interval" -> "jint", "q_graph_pagerank" -> "pgr",
     "q_ann_pq" -> "pq", "q_rolling_distinct" -> "rdu",
     "q_graph_triangles" -> "tri", "q_join_bloom" -> "jbl",
-    "q_text_pmi" -> "pmi")
+    "q_text_pmi" -> "pmi", "q_ann_ivfpq" -> "ipq")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

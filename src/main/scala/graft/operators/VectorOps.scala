@@ -237,6 +237,42 @@ object VectorOps {
         col("_rn").cast("long").as("crank"))
   }
 
+  /** Shared PQ encoding intermediate (q_ann_pq, q_ann_ivfpq): per
+    * vector, `dists` = PqM × PqCodebook exact integer sub-space L2
+    * distances (inner arrays ordered by cid — `cbs` is sort_array'd and
+    * the first PqCodebook vec_ids are dense, so array position == cid)
+    * and `best` = the per-sub-space (dist ASC, cid ASC) argmin struct.
+    * All integer arithmetic on the proven DOUBLE → DECIMAL(18,7) →
+    * scaled-BIGINT encoding; the codebook is ONE broadcast row on a
+    * constant equi-key and the folds are in-row — zero shuffles. */
+  private def pqEncoded(s: SparkSession, d: String): DataFrame = {
+    val ints = t(s, d, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .withColumn("iv", expr(
+        "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
+          "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
+    val cb = broadcast(ints.filter(col("vec_id") < PqCodebook)
+      .groupBy()
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").cast("long").as("cid"), col("iv").as("cv"))))
+        .as("cbs"))
+      .withColumn("_one", lit(1)))
+    val distsExpr =
+      s"transform(sequence(0, ${PqM - 1}), m -> " +
+        "transform(cbs, c -> " +
+        s"aggregate(zip_with(slice(iv, m * $PqSubDim + 1, $PqSubDim), " +
+        s"slice(c.cv, m * $PqSubDim + 1, $PqSubDim), " +
+        "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), " +
+        "(a, v) -> a + v)))"
+    ints.withColumn("_one", lit(1))
+      .join(cb, "_one")
+      .withColumn("dists", expr(distsExpr))
+      .withColumn("best", expr(
+        "transform(dists, ds -> array_min(transform(ds, (dv, i) -> " +
+          "struct(dv AS dist, CAST(i AS BIGINT) AS cid))))"))
+      .drop("_one", "cbs")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k against probe vec_id=0 (the baseline).
     "q_simsearch_topk" -> ((s, d) => {
@@ -617,37 +653,52 @@ object VectorOps {
     // the codebook is ONE broadcast row (constant-key equi-join, hash
     // join — never a nested loop) and everything else is an in-row fold:
     // PQ encoding of 100 TB is embarrassingly parallel, zero shuffles.
-    "q_ann_pq" -> ((s, d) => {
-      val ints = t(s, d, "embeddings")
-        .filter(col("embedding").isNotNull)
-        .withColumn("iv", expr(
-          "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
-            "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
-      val cb = broadcast(ints.filter(col("vec_id") < PqCodebook)
-        .groupBy()
-        .agg(sort_array(collect_list(struct(
-          col("vec_id").cast("long").as("cid"), col("iv").as("cv"))))
-          .as("cbs"))
-        .withColumn("_one", lit(1)))
-      // per sub-space m: argmin over the codebook of the exact integer
-      // L2 distance between the two slices — array_min over (dist, cid)
-      // structs is the (dist ASC, cid ASC) tie-break in one expression
-      val bestExpr =
-        s"transform(sequence(0, ${PqM - 1}), m -> " +
-          "array_min(transform(cbs, c -> struct(" +
-          s"aggregate(zip_with(slice(iv, m * $PqSubDim + 1, $PqSubDim), " +
-          s"slice(c.cv, m * $PqSubDim + 1, $PqSubDim), " +
-          "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), " +
-          "(a, v) -> a + v) AS dist, c.cid AS cid))))"
-      ints.withColumn("_one", lit(1))
-        .join(cb, "_one")
-        .withColumn("best", expr(bestExpr))
+    "q_ann_pq" -> ((s, d) =>
+      pqEncoded(s, d)
         .select(col("vec_id"),
           expr("concat_ws(',', transform(best, b -> CAST(b.cid AS STRING)))")
             .as("code_csv"),
           expr("aggregate(transform(best, b -> b.dist), " +
             "CAST(0 AS BIGINT), (a, v) -> a + v)").as("qerr"))
-        .orderBy(asc_nulls_last("vec_id"))
+        .orderBy(asc_nulls_last("vec_id"))),
+
+    // IVF-PQ search with asymmetric distance computation (ADC) — the
+    // production ANN read path (Jégou et al., PAMI 2011) composed from
+    // the two proven halves: the probe searches its 2 nearest IVF
+    // clusters (q_ann_ivf_nprobe's coarse stage), and candidates inside
+    // them are ranked WITHOUT touching their full vectors — each
+    // candidate's distance is the sum over sub-spaces of the probe's
+    // precomputed distance to the candidate's CODEBOOK ENTRY (32-row
+    // table: PqM × PqCodebook exact integer L2 values). Everything is
+    // exact integers, so the ADC ranking is engine-identical. Scale:
+    // candidates ship only their (vec_id, m, cid) code rows — ×PqM slim
+    // fan-out instead of ×EmbDim floats — against a broadcast table,
+    // then one vec_id-keyed partial-agg shuffle and a bounded top-10.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val clusters = centroidAssign(s, e, e)
+      val probeClusters = broadcast(
+        centroidAssign(s, e, e.filter(col("vec_id") === 0), k = 2)
+          .select(col("cluster").as("probe_cluster")))
+      // the probe's 32-entry distance table: its PQ argmin intermediate
+      // IS the (m, entry, dist) table before the min is taken
+      val tbl = broadcast(pqEncoded(s, d)
+        .filter(col("vec_id") === 0)
+        .select(posexplode(col("dists")).as(Seq("m", "ds")))
+        .select(col("m"), posexplode(col("ds")).as(Seq("cid", "tdist"))))
+      val codes = pqEncoded(s, d)
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), posexplode(expr(
+          "transform(best, b -> b.cid)")).as(Seq("m", "cid")))
+      clusters.filter(col("vec_id") =!= 0)
+        .join(probeClusters, col("cluster") === col("probe_cluster"))
+        .select("vec_id")
+        .join(codes, "vec_id")
+        .join(tbl, Seq("m", "cid"))
+        .groupBy("vec_id")
+        .agg(sum("tdist").as("adc"))
+        .orderBy(asc_nulls_last("adc"), asc_nulls_last("vec_id"))
+        .limit(10)
     }),
 
     // Multimodal join: text metadata ⋈ vector stats on doc_id == vec_id.
@@ -1001,6 +1052,56 @@ object VectorOps {
          |  CAST(SUM(dist) AS BIGINT) AS qerr
          |FROM best GROUP BY vec_id
          |ORDER BY vec_id ASC NULLS LAST""".stripMargin,
+
+    // The PQ per-(vec, sub-space, entry) distance CTE doubles as both
+    // the code assignment (argmin) and the probe's ADC table (its
+    // vec_id = 0 slice); the coarse stage is the q_ann_ivf_nprobe
+    // exact-decimal cluster CTEs verbatim.
+    "q_ann_ivfpq" ->
+      s"""WITH iv AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) * 10000000
+         |      AS BIGINT)) AS iv
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), e AS (
+         |  SELECT vec_id, iv, unnest(generate_series(1, $EmbDim)) AS i
+         |  FROM iv
+         |), dd AS (
+         |  SELECT v.vec_id, (i - 1) // $PqSubDim AS m, c.vec_id AS cid,
+         |    CAST(SUM((v.iv[i] - c.iv[i]) * (v.iv[i] - c.iv[i]))
+         |      AS BIGINT) AS dist
+         |  FROM e v, (SELECT vec_id, iv FROM iv WHERE vec_id < $PqCodebook) c
+         |  GROUP BY v.vec_id, (i - 1) // $PqSubDim, c.vec_id
+         |), best AS (
+         |  SELECT vec_id, m, cid FROM dd
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+         |    ORDER BY dist ASC, cid ASC) = 1
+         |), tbl AS (
+         |  SELECT m, cid, dist FROM dd WHERE vec_id = 0
+         |), cents AS (
+         |  SELECT vec_id AS ccid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < $IvfCentroids
+         |), a AS (
+         |  SELECT e2.vec_id, c.ccid,
+         |    ${sqlDot("e2.embedding", "c.cemb")} AS cdot
+         |  FROM embeddings e2, cents c
+         |), cl AS (
+         |  SELECT vec_id, ccid AS cluster FROM a
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cdot DESC, ccid ASC) = 1
+         |), pc AS (
+         |  SELECT ccid AS probe_cluster FROM a WHERE vec_id = 0
+         |  QUALIFY row_number() OVER (ORDER BY cdot DESC, ccid ASC) <= 2
+         |)
+         |SELECT b.vec_id, CAST(SUM(t.dist) AS BIGINT) AS adc
+         |FROM best b
+         |JOIN tbl t ON t.m = b.m AND t.cid = b.cid
+         |JOIN cl ON cl.vec_id = b.vec_id
+         |JOIN pc ON cl.cluster = pc.probe_cluster
+         |WHERE b.vec_id <> 0
+         |GROUP BY b.vec_id
+         |ORDER BY adc ASC NULLS LAST, b.vec_id ASC NULLS LAST
+         |LIMIT 10""".stripMargin,
 
     "q_multimodal_join" ->
       """SELECT doc_id,

@@ -239,6 +239,52 @@ class OperatorsSpec extends SparkSpec {
     assert(!phys.contains("CartesianProduct"))
   }
 
+  test("q_ann_ivfpq ADC ranking matches a plain-Scala recomputation") {
+    import spark.implicits._
+    val out = VectorOps.queries("q_ann_ivfpq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .filter(_._2 != null).sortBy(_._1)
+    def scaled(v: Array[Float]): Array[Long] = v.map(x =>
+      (BigDecimal(x.toDouble)
+        .setScale(7, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(10000000)).toLongExact)
+    val sv = vecs.map { case (id, v) => id -> scaled(v) }.toMap
+    // exact-decimal cosine, as dotFoldReference: double products rounded
+    // to scale 10, exact accumulation
+    def dot(a: Array[Float], b: Array[Float]): BigDecimal =
+      a.zip(b).map { case (x, y) =>
+        BigDecimal(x.toDouble * y.toDouble)
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+    val emb = vecs.toMap
+    val cents = (0L until 8L).map(c => c -> emb(c))
+    def cluster(v: Array[Float]): Long =
+      cents.map { case (c, ce) => (dot(v, ce), c) }
+        .maxBy { case (dt, c) => (dt, -c) }._2
+    val probeTop2 = cents.map { case (c, ce) => (dot(emb(0L), ce), c) }
+      .sortBy { case (dt, c) => (-dt, c) }.take(2).map(_._2).toSet
+    def subDist(iv: Array[Long], cv: Array[Long], m: Int): Long =
+      (0 until 8).map { j =>
+        val dd = iv(m * 8 + j) - cv(m * 8 + j); dd * dd
+      }.sum
+    def code(iv: Array[Long]): Seq[Long] = (0 until 8).map { m =>
+      (0L until 4L).map(c => (subDist(iv, sv(c), m), c)).min._2
+    }
+    val probeTbl = (0 until 8).map(m =>
+      (0L until 4L).map(c => subDist(sv(0L), sv(c), m)))
+    val expect = vecs.filter(_._1 != 0L)
+      .filter { case (_, v) => probeTop2.contains(cluster(v)) }
+      .map { case (id, _) =>
+        val adc = code(sv(id)).zipWithIndex
+          .map { case (c, m) => probeTbl(m)(c.toInt) }.sum
+        (id, adc)
+      }.sortBy { case (id, adc) => (adc, id) }.take(10).toSeq
+    assert(out == expect)
+    assert(out.size == 10)
+  }
+
   test("q_rolling_distinct equals the direct trailing-7-day count") {
     import spark.implicits._
     val out = EventAnalytics.queries("q_rolling_distinct")(spark, sf)

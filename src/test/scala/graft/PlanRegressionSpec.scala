@@ -137,8 +137,9 @@ class PlanRegressionSpec extends SparkSpec {
       // 1-row broadcasts of the PQ codebook (pq) and the bigram grand
       // total (pmi) on a constant key — the q_text_docfreq shape again:
       // the nested-loop side is exactly one row, so the "loop" is a
-      // single broadcast probe
-      "q_ann_pq", "q_text_pmi")
+      // single broadcast probe; ivfpq composes the pq codebook row with
+      // the nprobe-bounded (2-row) probe-cluster broadcast
+      "q_ann_pq", "q_text_pmi", "q_ann_ivfpq")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
