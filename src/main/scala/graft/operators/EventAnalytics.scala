@@ -336,29 +336,35 @@ object EventAnalytics {
     }),
 
     // Trailing-7-day distinct users per active day (the rolling-DAU/WAU
-    // panel): sliding-window COUNT DISTINCT, which no window frame can
-    // express (distinct aggregates don't window). Scale shape: dedup to
-    // (day, user) grain first — ONE keyed shuffle absorbing all per-day
-    // repeat traffic — then each (day, user) row fans out to the ≤ 7
-    // target days it contributes to (a BOUNDED explode, versus the
-    // unbounded range self-join the naive form needs), and one distinct
-    // aggregate per target day finishes. The inner join against the
-    // observed-day spine keeps the contract "every day that had any
-    // traffic", so day gaps never invent rows.
-    "q_rolling_distinct" -> ((s, d) => {
-      val du = t(s, d, "events")
-        .select(col("user_id"), to_date(col("ts")).as("day"))
-        .distinct()
-      val days = du.select(col("day")).distinct()
-      du.withColumn("target",
-          explode(expr("sequence(day, day + interval 6 day)")))
-        .join(days.withColumnRenamed("day", "target"), "target")
-        .groupBy("target")
-        .agg(countDistinct(col("user_id")).as("n_users"))
-        .select(col("target").as("day"), col("n_users"))
-        .orderBy(asc_nulls_last("day"))
-    })
+    // panel) — see [[rollingDistinct]]; streaming twin:
+    // [[graft.streaming.StatefulTwins.rollingDistinctStream]].
+    "q_rolling_distinct" -> ((s, d) =>
+      rollingDistinct(t(s, d, "events"))
+        .orderBy(asc_nulls_last("day")))
   )
+
+  /** Trailing-7-day distinct users per active day: sliding-window COUNT
+    * DISTINCT, which no window frame can express (distinct aggregates
+    * don't window). Scale shape: dedup to (day, user) grain first — ONE
+    * keyed shuffle absorbing all per-day repeat traffic — then each
+    * (day, user) row fans out to the ≤ 7 target days it contributes to
+    * (a BOUNDED explode, versus the unbounded range self-join the naive
+    * form needs), and one distinct aggregate per target day finishes.
+    * The inner join against the observed-day spine keeps the contract
+    * "every day that had any traffic", so day gaps never invent rows.
+    * Unsorted; the declared query adds its ORDER BY. */
+  def rollingDistinct(events: DataFrame): DataFrame = {
+    val du = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val days = du.select(col("day")).distinct()
+    du.withColumn("target",
+        explode(expr("sequence(day, day + interval 6 day)")))
+      .join(days.withColumnRenamed("day", "target"), "target")
+      .groupBy("target")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("target").as("day"), col("n_users"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_funnel" ->

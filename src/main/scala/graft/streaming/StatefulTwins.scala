@@ -145,6 +145,42 @@ object StatefulTwins {
     JBigDecimal.valueOf(v).setScale(4, RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
 
+  /** A (user, epoch-day) observation for the rolling-distinct twin. */
+  case class DayObs(user_id: Long, day: Long)
+
+  case class DaySeen(users: Seq[Long], observed: Boolean)
+
+  case class DayCount(day: Long, n_users: Long)
+
+  /** Streaming twin of q_rolling_distinct (trailing-7-day distinct users
+    * per observed day): the SAME bounded ×7 contribution explode as the
+    * batch builder ([[graft.operators.EventAnalytics.rollingDistinct]]),
+    * then per-target-day set state — exact sliding distinct needs the
+    * user set (the approx path swaps in HLL state); counts are emitted
+    * in Update mode and only grow, so the LAST (= max) update per
+    * observed day equals the batch count once the stream drains. Days
+    * that only ever receive carried-forward contributions (no direct
+    * traffic) stay silent, mirroring the batch observed-day spine.
+    * State is keyed by day and bounded by 7 days × distinct users. */
+  def rollingDistinctStream(obs: Dataset[DayObs]): Dataset[DayCount] = {
+    import obs.sparkSession.implicits._
+    obs.flatMap(o => (0L to 6L).map(k =>
+        (o.day + k, o.user_id, k == 0L)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DaySeen, DayCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (day: Long, it: Iterator[(Long, Long, Boolean)],
+            state: GroupState[DaySeen]) =>
+          val rows = it.toVector
+          val prev = state.getOption.getOrElse(DaySeen(Nil, false))
+          val users = prev.users.toSet ++ rows.map(_._2)
+          val observed = prev.observed || rows.exists(_._3)
+          state.update(DaySeen(users.toSeq.sorted, observed))
+          if (observed) Iterator.single(DayCount(day, users.size.toLong))
+          else Iterator.empty
+      }
+  }
+
   /** Trailing-hour (count, exact-decimal sum) per event via a bounded
     * per-key buffer: merge the batch's events in (tsu, event_id) order,
     * evict entries older than one hour, and emit every event of a given

@@ -297,6 +297,50 @@ class StreamingParitySpec extends SparkSpec {
     assert(byId(5L).getLong(3) == 2L) // e1-e3 evicted
   }
 
+  test("rolling 7-day distinct users: update-mode set state equals the " +
+      "batch bounded-explode builder") {
+    import graft.operators.EventAnalytics
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    // panel: same user twice in one day (dedup), a user active on two
+    // days inside one window (counted once per target day), and a gap
+    // longer than 7 days (old users must NOT leak into the new window)
+    val evs = Seq(
+      E(1, ts("2024-01-01 01:00:00"), 1, "click", 1.0, "{}"),
+      E(2, ts("2024-01-01 09:00:00"), 1, "view", 1.0, "{}"),
+      E(3, ts("2024-01-02 01:00:00"), 2, "click", 1.0, "{}"),
+      E(4, ts("2024-01-05 01:00:00"), 1, "click", 1.0, "{}"),
+      E(5, ts("2024-01-20 01:00:00"), 3, "click", 1.0, "{}"),
+      E(6, ts("2024-01-20 02:00:00"), 1, "click", 1.0, "{}"))
+    val batch = EventAnalytics.rollingDistinct(evs.toDF())
+      .collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1))
+      .toMap
+    val mem = MemoryStream[StatefulTwins.DayObs]
+    val name = s"rdu_${System.nanoTime()}"
+    val obs = evs.map(e => StatefulTwins.DayObs(e.user_id,
+      e.ts.toLocalDateTime.toLocalDate.toEpochDay))
+    val q = StatefulTwins.rollingDistinctStream(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .start()
+    // two batches: the second adds a NEW user to already-observed days
+    // (counts must grow across the boundary) and the post-gap day
+    mem.addData(obs.take(4))
+    q.processAllAvailable()
+    mem.addData(obs.drop(4))
+    q.processAllAvailable()
+    q.stop()
+    // counts only grow, so the final value per day is the max update
+    val stream = spark.table(name)
+      .groupBy("day").agg(max("n_users").as("n_users"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stream == batch)
+    // the gap check the panel was built for: day 2024-01-20 sees only
+    // users 3 and 1 (user 2's Jan 2 activity is outside the window)
+    assert(stream(java.time.LocalDate.parse("2024-01-20").toEpochDay) == 2L)
+  }
+
   test("concurrency sweep line: timeout-closed streaming intervals " +
       "through the SAME sweepLine builder equal batch q_concurrency_peak") {
     import graft.operators.EventAnalytics
