@@ -46,10 +46,10 @@ object Bench {
     "pipeline" -> "pipe", "features" -> "feat", "headers" -> "hdrs",
     "sessionize" -> "sessz", "bigrams" -> "bigr", "block" -> "blk",
     "weighted" -> "wtd", "sequences" -> "seqs", "outer_join" -> "oj",
-    "histogram" -> "hist", "containment" -> "contain",
+    "histogram" -> "hst", "containment" -> "contain",
     "tumbling" -> "tumbl", "decontaminate" -> "decontam",
     "clusters" -> "clus",
-    "explode" -> "expl", "gopher" -> "goph", "extract" -> "extr",
+    "explode" -> "expl", "gopher" -> "gop", "extract" -> "extr",
     "project" -> "proj", "sliding" -> "slide")
 
   /** Explicit short names for the longest entries — consulted before the
@@ -57,83 +57,84 @@ object Bench {
     * the driver's tail buffer as the query count grows (legend:
     * BASELINE.md §bench name legend). */
   private val overrides = Map(
-    "q_stateful_sessionize" -> "stfz", "q_date_arith" -> "dar",
-    "q_embed_norm" -> "enrm", "q_setops_all" -> "seta",
-    "q_sort_limit" -> "slim", "q_split_hash" -> "splh",
-    "q_sql_exists_subquery" -> "sexs",
-    "q_stream_session_dynamic" -> "ssdy",
-    "q_agg_approx_distinct" -> "aapx", "q_agg_collect" -> "acol",
-    "q_dedup_containment" -> "dcnt", "q_dedup_minhash" -> "d_mh",
-    "q_dedup_simhash" -> "d_sh", "q_intersect" -> "isct",
-    "q_pack_sequences" -> "pack", "q_quality_gopher" -> "goph",
-    "q_sample_stratified" -> "smp", "q_scan_pruned" -> "scpr",
-    "q_sql_scalar_subquery" -> "sscs", "q_udf_scala" -> "udf",
-    "q_udtf_explode" -> "udtf", "q_url_parse" -> "urlp",
-    "q_agg_having" -> "ahav", "q_agg_minmax_by" -> "a_mm",
-    "q_agg_rollup" -> "arol", "q_ann_neighbors" -> "annb",
-    "q_array_funcs" -> "arrf", "q_array_funcs2" -> "arf2",
-    "q_condition_block" -> "cblk", "q_conditional_agg" -> "cagg",
-    "q_decontaminate" -> "dcon", "q_dedup_clusters" -> "d_cl",
+    "q_stateful_sessionize" -> "sfz", "q_date_arith" -> "dar",
+    "q_embed_norm" -> "enm", "q_setops_all" -> "set",
+    "q_sort_limit" -> "sli", "q_split_hash" -> "sph",
+    "q_sql_exists_subquery" -> "sxs",
+    "q_stream_session_dynamic" -> "sdy",
+    "q_agg_approx_distinct" -> "apx", "q_agg_collect" -> "acl",
+    "q_dedup_containment" -> "dct", "q_dedup_minhash" -> "d_mh",
+    "q_dedup_simhash" -> "d_sh", "q_intersect" -> "isc",
+    "q_pack_sequences" -> "pck", "q_quality_gopher" -> "gop",
+    "q_sample_stratified" -> "smp", "q_scan_pruned" -> "spr",
+    "q_sql_scalar_subquery" -> "ssc", "q_udf_scala" -> "udf",
+    "q_udtf_explode" -> "udt", "q_url_parse" -> "url",
+    "q_agg_having" -> "ahv", "q_agg_minmax_by" -> "a_mm",
+    "q_agg_rollup" -> "arl", "q_ann_neighbors" -> "anb",
+    "q_array_funcs" -> "arf", "q_array_funcs2" -> "af2",
+    "q_condition_block" -> "cbk", "q_conditional_agg" -> "cgg",
+    "q_decontaminate" -> "dcn", "q_dedup_clusters" -> "d_cl",
     "q_dedup_spans" -> "d_sp", "q_sql_grouping_sets" -> "s_gs",
-    "q_join_broadcast" -> "j_bc", "q_multimodal_features" -> "mmft",
-    "q_multimodal_headers" -> "mmhd", "q_multimodal_join" -> "mm_j",
+    "q_join_broadcast" -> "j_bc", "q_multimodal_features" -> "mft",
+    "q_multimodal_headers" -> "mhd", "q_multimodal_join" -> "mm_j",
     "q_text_fingerprint" -> "t_fp", "q_text_tokencount" -> "t_tc",
-    "q_stats_histogram" -> "hist", "q_stream_tumbling" -> "stum",
-    "q_stream_sliding" -> "ssld", "q_filter_predicate" -> "filt",
-    "q_percentile_exact" -> "pctx", "q_explode_outer" -> "exo",
-    "q_median_exact" -> "medx", "q_window_first_last" -> "w_fl",
-    "q_embed_quantize" -> "eqnt", "q_kmeans_iter" -> "kmns",
-    "q_stream_static_join" -> "stsj", "q_retention" -> "retn",
-    "q_resample_ffill" -> "ffil", "q_vocab_per_lang" -> "vcb",
-    "q_source_quota" -> "sqta", "q_anomaly_mad" -> "mad",
-    "q_sql_lateral" -> "slat", "q_sql_recursive" -> "srec",
+    "q_stats_histogram" -> "hst", "q_stream_tumbling" -> "stu",
+    "q_stream_sliding" -> "ssl", "q_filter_predicate" -> "flt",
+    "q_percentile_exact" -> "pcx", "q_explode_outer" -> "exo",
+    "q_median_exact" -> "mdx", "q_window_first_last" -> "w_fl",
+    "q_embed_quantize" -> "eqt", "q_kmeans_iter" -> "kmn",
+    "q_stream_static_join" -> "stj", "q_retention" -> "rtn",
+    "q_resample_ffill" -> "ffl", "q_vocab_per_lang" -> "vcb",
+    "q_source_quota" -> "sqt", "q_anomaly_mad" -> "mad",
+    "q_sql_lateral" -> "sla", "q_sql_recursive" -> "sre",
     "q_sketch_countmin" -> "cms", "q_sketch_bloom" -> "blm",
-    "q_simsearch_topk" -> "stk", "q_stats_corr" -> "corr",
-    "q_stream_dedup" -> "stdd", "q_template_pipeline" -> "tpl",
-    "q_text_langid" -> "tlid", "q_udaf_weighted" -> "udaf",
-    "q_ann_ivf" -> "ivf", "q_ann_lsh" -> "lsh", "q_bitwise" -> "bitw",
-    "q_date_funcs2" -> "dtf2", "q_dedup_embed" -> "demb",
+    "q_simsearch_topk" -> "stk", "q_stats_corr" -> "cor",
+    "q_stream_dedup" -> "std", "q_template_pipeline" -> "tpl",
+    "q_text_langid" -> "tld", "q_udaf_weighted" -> "uda",
+    "q_ann_ivf" -> "ivf", "q_ann_lsh" -> "lsh", "q_bitwise" -> "btw",
+    "q_date_funcs2" -> "df2", "q_dedup_embed" -> "dmb",
     "q_dedup_ngram" -> "d_ng", "q_dedup_pairs" -> "d_pr",
-    "q_join_outer" -> "jout", "q_join_range" -> "jrng",
+    "q_join_outer" -> "jou", "q_join_range" -> "jrn",
     "q_regex_extract" -> "rx_e", "q_scan_project" -> "sc_p",
     "q_skew_salted_join" -> "sk_j", "q_sql_in_subquery" -> "s_in",
     "q_stats_moments" -> "mom", "q_stream_join" -> "st_j",
-    "q_stream_session" -> "stse", "q_text_chunk" -> "tchk",
+    "q_stream_session" -> "stse", "q_text_chunk" -> "tck",
     "q_text_dedup" -> "t_dd", "q_text_stats" -> "t_st",
-    "q_text_tfidf" -> "tfid", "q_topk_per_group" -> "topk",
-    "q_unpivot" -> "unpv", "q_window_frame" -> "wfrm",
-    "q_window_ntile" -> "w_nt", "q_window_range" -> "wrng",
-    "q_scd2_intervals" -> "scd2", "q_path_per_session" -> "path",
-    "q_upsert_latest" -> "upst", "q_text_bigram_prob" -> "tbp",
-    "q_stats_regression" -> "regr", "q_dedup_minhash_est" -> "dmhe",
-    "q_markov_transition" -> "mkv", "q_concurrency_peak" -> "conc",
-    "q_window_time_range" -> "w_tr", "q_mixture_weights" -> "mixw",
-    "q_label_balance" -> "lbal", "q_text_clean" -> "tcln",
-    "q_ann_ivf_nprobe" -> "ivf2", "q_embed_rp" -> "erp",
-    "q_agg_bool" -> "abol", "q_agg_cube" -> "acub",
-    "q_agg_distinct" -> "adst", "q_agg_hash" -> "ahsh",
-    "q_agg_mode" -> "amod", "q_date_funcs" -> "datf",
+    "q_text_tfidf" -> "tfi", "q_topk_per_group" -> "tpk",
+    "q_unpivot" -> "unp", "q_window_frame" -> "wfr",
+    "q_window_ntile" -> "w_nt", "q_window_range" -> "wrn",
+    "q_scd2_intervals" -> "sc2", "q_path_per_session" -> "pth",
+    "q_upsert_latest" -> "ups", "q_text_bigram_prob" -> "tbp",
+    "q_stats_regression" -> "rgr", "q_dedup_minhash_est" -> "dmh",
+    "q_markov_transition" -> "mkv", "q_concurrency_peak" -> "cnc",
+    "q_window_time_range" -> "w_tr", "q_mixture_weights" -> "mxw",
+    "q_label_balance" -> "lbl", "q_text_clean" -> "tcl",
+    "q_ann_ivf_nprobe" -> "iv2", "q_embed_rp" -> "erp",
+    "q_agg_bool" -> "abl", "q_agg_cube" -> "acb",
+    "q_agg_distinct" -> "ads", "q_agg_hash" -> "ash",
+    "q_agg_mode" -> "amd", "q_date_funcs" -> "daf",
     "q_except" -> "exc", "q_funnel" -> "fnl",
     "q_join_anti" -> "jan", "q_join_asof" -> "jas",
     "q_join_full" -> "jfu", "q_join_semi" -> "jse",
     "q_join_shuffle" -> "jsh", "q_json_funcs" -> "jsf",
     "q_math_funcs" -> "mtf", "q_null_funcs" -> "nuf",
     "q_regex_sub" -> "rxs", "q_set_unset_lookup" -> "slk",
-    "q_skew_salted_agg" -> "skag", "q_string_funcs" -> "strf",
-    "q_string_funcs2" -> "sf2", "q_text_bigrams" -> "tbgr",
-    "q_text_gini" -> "tgin", "q_text_quality" -> "tqal",
-    "q_window_cume" -> "wcum", "q_window_rank" -> "wrnk",
+    "q_skew_salted_agg" -> "skg", "q_string_funcs" -> "stf",
+    "q_string_funcs2" -> "sf2", "q_text_bigrams" -> "tbg",
+    "q_text_gini" -> "tgn", "q_text_quality" -> "tql",
+    "q_window_cume" -> "wcu", "q_window_rank" -> "wrk",
     "q_map_funcs" -> "maf", "q_pivot" -> "pvt",
     "q_sql_cte" -> "sct", "q_stream_outer_join" -> "soj",
-    "q_text_pii_redact" -> "tpii", "q_text_repetition" -> "trep",
+    "q_text_pii_redact" -> "tpi", "q_text_repetition" -> "trp",
     "q_text_tokenize" -> "tok", "q_union" -> "uni",
-    "q_window_analytic" -> "wanl",
+    "q_window_analytic" -> "wan",
     "q_ann_ivf_curve" -> "ivc", "q_ann_recall" -> "rcl",
     "q_ann_recall_multi" -> "rcm", "q_text_lm_score" -> "tlm",
-    "q_join_interval" -> "jint", "q_graph_pagerank" -> "pgr",
+    "q_join_interval" -> "jin", "q_graph_pagerank" -> "pgr",
     "q_ann_pq" -> "pq", "q_rolling_distinct" -> "rdu",
     "q_graph_triangles" -> "tri", "q_join_bloom" -> "jbl",
-    "q_text_pmi" -> "pmi", "q_ann_ivfpq" -> "ipq")
+    "q_text_pmi" -> "pmi", "q_ann_ivfpq" -> "ipq",
+    "q_sample_weighted" -> "swt", "q_text_winnow" -> "twn")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -65,6 +65,32 @@ object Breadth {
         .orderBy(asc_nulls_last("lang"), asc_nulls_last("source"))
     }),
 
+    // Weighted (importance) sampling — the quality-proportional document
+    // sampler of a data-mixing pipeline: each document's keep
+    // probability is its OWN data-derived weight (per-mille, here a
+    // length-based quality proxy clamped to [100, 900]), decided by the
+    // same seed-free md5 bucket family as q_split_hash at 1/1000 grain.
+    // Partitioning-invariant like all the md5 samplers: the kept SET is
+    // identical on any cluster layout, proven by the id-sum checksum;
+    // w_sum is the exact expected kept count ×1000, so the oracle also
+    // pins the weight assignment itself, not just the outcome. Pure
+    // narrow map + one groupBy shuffle.
+    "q_sample_weighted" -> ((s, d) => {
+      val bucket1000 = s"CAST(conv(substring(md5(CAST(doc_id AS STRING))," +
+        " 1, 8), 16, 10) AS BIGINT) % 1000"
+      t(s, d, "documents")
+        .withColumn("w", expr(
+          "least(CAST(900 AS BIGINT), greatest(CAST(100 AS BIGINT), " +
+            "CAST(n_chars AS BIGINT) DIV 5))"))
+        .withColumn("keep", expr(bucket1000) < col("w"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("keep"), lit(1))).as("n_kept"),
+          sum(col("w")).as("w_sum"),
+          sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"))
+        .orderBy(asc_nulls_last("lang"))
+    }),
+
     // Null-handling scalar surface. Nulls are CREATED with nullif (the
     // fixture tables are dense), then routed through coalesce / greatest
     // / least / CASE — both engines ignore nulls inside greatest/least.
@@ -236,6 +262,22 @@ object Breadth {
         |    AS sample_id_sum
         |FROM b GROUP BY lang, source
         |ORDER BY lang ASC NULLS LAST, source ASC NULLS LAST""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id,
+        |    least(900, greatest(100, n_chars // 5)) AS w,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 1000 AS bkt
+        |  FROM documents
+        |)
+        |SELECT lang, COUNT(*) AS n_total,
+        |  COUNT(CASE WHEN bkt < w THEN 1 END) AS n_kept,
+        |  CAST(SUM(w) AS BIGINT) AS w_sum,
+        |  CAST(SUM(CASE WHEN bkt < w THEN doc_id END) AS BIGINT)
+        |    AS kept_id_sum
+        |FROM b GROUP BY lang
+        |ORDER BY lang ASC NULLS LAST""".stripMargin,
 
     "q_null_funcs" ->
       """SELECT o_orderkey,

@@ -35,6 +35,11 @@ object TextOps {
   private val NumHashes = 8
   private val NumBands = 4 // rows-per-band = 2
 
+  /** Winnowing geometry (q_text_winnow): k-gram width and window size —
+    * the guarantee threshold is matches of ≥ w + k − 1 = 6 tokens. */
+  private val WinnowK = 3
+  private val WinnowW = 4
+
   // argmax with deterministic alphabetical tie-break; valid Spark AND
   // DuckDB SQL — shared verbatim by both sides.
   private val langCase =
@@ -370,6 +375,44 @@ object TextOps {
         .filter(col("df") >= 10)
         .select("tok", "df", "doc_ratio")
         .orderBy(desc_nulls_last("df"), asc_nulls_last("tok"))
+    }),
+
+    // Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+    // — the MOSS algorithm): md5 k-gram hashes, each w-window's MINIMUM
+    // selected, the distinct selections are the document's fingerprint
+    // set. The winnowing guarantee: any shared token run of length
+    // ≥ w + k − 1 between two documents shares at least one fingerprint
+    // — so fingerprints are the sub-document near-dup/plagiarism index
+    // where whole-doc MinHash is too coarse. Output: per doc, its
+    // fingerprint count and how many of its fingerprints appear in ≥ 2
+    // documents (the copied-content signal). Scale: grams and window
+    // minima are in-row folds (O(tokens · w)); the cross-doc half is one
+    // slim (fp, doc) shuffle with partial aggregation — the md5 min is a
+    // lexicographic string min, identical on both engines.
+    "q_text_winnow" -> ((s, d) => {
+      val (k, w) = (WinnowK, WinnowW)
+      val base = t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= k + w - 1)
+        .withColumn("grams", expr(
+          s"transform(sequence(0, size(toks) - $k), " +
+            s"i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))"))
+        .withColumn("fps", expr(
+          s"array_distinct(transform(sequence(0, size(grams) - $w), " +
+            s"j -> array_min(slice(grams, j + 1, $w))))"))
+        .select(col("doc_id"), col("fps"),
+          size(col("fps")).cast("long").as("n_fps"))
+        // consumed by both the explode and the final n_fps join
+        .persist()
+      val fps = base.select(col("doc_id"), explode(col("fps")).as("fp"))
+      val counts = fps.groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      fps.join(counts, "fp")
+        .groupBy("doc_id")
+        .agg(count(when(col("nd") > 1, lit(1))).as("n_shared"))
+        .join(base.select("doc_id", "n_fps"), "doc_id")
+        .select(col("doc_id"), col("n_fps"), col("n_shared"))
+        .orderBy(asc_nulls_last("doc_id"))
     }),
 
     // PMI collocation mining: rank adjacent-token pairs by how much more
@@ -740,6 +783,36 @@ object TextOps {
         |  FROM documents
         |) GROUP BY tok HAVING COUNT(*) >= 10
         |ORDER BY df DESC NULLS LAST, tok ASC NULLS LAST""".stripMargin,
+
+    // list_slice is (start, end)-inclusive — the i+1..i+k / j+1..j+w
+    // bounds mirror Spark's slice(start, LENGTH) exactly; list_aggr
+    // 'min' is the same lexicographic md5 min.
+    "q_text_winnow" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= ${WinnowK + WinnowW - 1}
+         |), g AS (
+         |  SELECT doc_id, list_transform(
+         |    generate_series(0, len(toks) - $WinnowK),
+         |    i -> md5(array_to_string(
+         |      list_slice(toks, i + 1, i + $WinnowK), ' '))) AS grams
+         |  FROM t
+         |), f AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(0, len(grams) - $WinnowW),
+         |    j -> list_aggr(list_slice(grams, j + 1, j + $WinnowW),
+         |      'min'))) AS fps
+         |  FROM g
+         |), e AS (
+         |  SELECT doc_id, unnest(fps) AS fp FROM f
+         |), c AS (
+         |  SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM e GROUP BY fp
+         |)
+         |SELECT e.doc_id, CAST(len(f.fps) AS BIGINT) AS n_fps,
+         |  COUNT(CASE WHEN c.nd > 1 THEN 1 END) AS n_shared
+         |FROM e JOIN c ON e.fp = c.fp JOIN f ON f.doc_id = e.doc_id
+         |GROUP BY e.doc_id, len(f.fps)
+         |ORDER BY e.doc_id ASC NULLS LAST""".stripMargin,
 
     // Same single bigram-count source; // is DuckDB's floor division
     // (exact match for Spark's DIV on these non-negative operands), and

@@ -343,6 +343,63 @@ class OperatorsSpec extends SparkSpec {
     assert(survivors < total / 2, s"bloom pruned nothing: $survivors/$total")
   }
 
+  test("q_sample_weighted matches a plain-Scala recomputation and is " +
+      "partitioning-invariant by construction") {
+    import spark.implicits._
+    val out = Breadth.queries("q_sample_weighted")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars")
+      .as[(Long, String, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1000L
+    }
+    docs.groupBy(_._2).foreach { case (lang, rows) =>
+      val w = rows.map { case (id, _, nc) =>
+        (id, math.min(900L, math.max(100L, nc / 5L)))
+      }
+      val kept = w.filter { case (id, wt) => bucket(id) < wt }
+      val expect = (rows.length.toLong, kept.length.toLong,
+        w.map(_._2).sum, kept.map(_._1).sum)
+      assert(out(lang) == expect, s"lang $lang")
+    }
+  }
+
+  test("q_text_winnow matches a plain-Scala winnowing recomputation") {
+    import spark.implicits._
+    val out = TextOps.queries("q_text_winnow")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._2 != null)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val (k, w) = (3, 4)
+    val fps = docs.flatMap { case (id, tx) =>
+      val t = tx.split(" ", -1)
+      if (t.length < k + w - 1) None
+      else {
+        val grams = t.sliding(k).map(g => md5(g.mkString(" "))).toVector
+        Some(id -> grams.sliding(w).map(_.min).toVector.distinct)
+      }
+    }.toMap
+    val counts = fps.toSeq.flatMap { case (id, f) => f.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    fps.foreach { case (id, f) =>
+      val expect = (f.size.toLong, f.count(counts(_) > 1).toLong)
+      assert(out(id) == expect, s"doc $id")
+    }
+    assert(out.size == fps.size)
+    // the winnowing guarantee on the fixture: at least one doc pair
+    // shares a fingerprint (the corpus contains near-dup templates)
+    assert(counts.values.exists(_ > 1))
+  }
+
   test("q_text_pmi matches a plain-Scala recomputation") {
     import spark.implicits._
     val out = TextOps.queries("q_text_pmi")(spark, sf).collect().map(r =>
