@@ -148,7 +148,10 @@ object Bench {
   })
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default 32: the harness contract is local[32] with 32 shuffle
+    // partitions (the round-1 default of 4 left 8× parallelism unused on
+    // the 32-core host); SPARK_GRAFT_CPUS still overrides for local runs
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
