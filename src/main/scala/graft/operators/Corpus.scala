@@ -230,6 +230,39 @@ object Corpus {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // Neighbor-set Jaccard similarity over the near-dup graph — the
+    // link-prediction / "same cluster soon" score: two documents that
+    // share most of their near-dup NEIGHBORS are alike even if their own
+    // pair never collided in a band. Candidate pairs come from wedges
+    // (only pairs with ≥ 1 common neighbor exist — never all-pairs);
+    // |N(a)∩N(b)| is the wedge count per (a, b), |N(a)∪N(b)| =
+    // deg(a) + deg(b) − common by inclusion-exclusion, and the Jaccard
+    // is ONE IEEE division of exact integers. Scale: the wedge join is
+    // keyed on the shared vertex (fan-out bounded by per-vertex degree²,
+    // the common-neighbor standard), degrees join per endpoint.
+    "q_graph_jaccard" -> ((s, d) => {
+      val pairs = TextDedup.nearDuplicates(t(s, d, "documents"))
+        .select("id_a", "id_b")
+      val sym = pairs.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select("e.src", "e.dst")
+        .persist()
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      val common = sym.select(col("src").as("v"), col("dst").as("a"))
+        .join(sym.select(col("src").as("v"), col("dst").as("b")), "v")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      common
+        .join(deg.select(col("src").as("a"), col("deg").as("deg_a")), "a")
+        .join(deg.select(col("src").as("b"), col("deg").as("deg_b")), "b")
+        .select(col("a").as("id_a"), col("b").as("id_b"),
+          col("n_common"), col("deg_a"), col("deg_b"),
+          (col("n_common").cast("double")
+            / (col("deg_a") + col("deg_b") - col("n_common"))).as("jac"))
+        .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))
+    }),
+
     // Benchmark decontamination: eval split = doc_id % 5 == 0; a train
     // document is contaminated if any of its distinct 8-gram hashes
     // appears anywhere in the eval split. Scale: the eval gram set is
@@ -521,10 +554,37 @@ object Corpus {
        |SELECT doc_id, COUNT(*) AS n_tri FROM n GROUP BY doc_id
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** Wedge-count common neighbors + inclusion-exclusion union over the
+    * symmetric edge CTE; one IEEE division for the ratio. */
+  private def graphJaccardOracle: String =
+    s"""WITH pairs AS (
+       |${TextOps.dedupPairsSubquery}
+       |), e0 AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), dg AS (
+       |  SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src
+       |), w AS (
+       |  SELECT x.dst AS a, y.dst AS b
+       |  FROM e0 x JOIN e0 y ON x.src = y.src AND x.dst < y.dst
+       |), c AS (
+       |  SELECT a, b, COUNT(*) AS n_common FROM w GROUP BY a, b
+       |)
+       |SELECT c.a AS id_a, c.b AS id_b, c.n_common,
+       |  da.deg AS deg_a, db.deg AS deg_b,
+       |  CAST(c.n_common AS DOUBLE) / (da.deg + db.deg - c.n_common)
+       |    AS jac
+       |FROM c
+       |JOIN dg da ON da.src = c.a
+       |JOIN dg db ON db.src = c.b
+       |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_clusters" -> clustersOracle,
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_triangles" -> trianglesOracle,
+    "q_graph_jaccard" -> graphJaccardOracle,
 
     "q_decontaminate" ->
       s"""WITH g AS (

@@ -278,6 +278,44 @@ object Extended {
     // intercept reuses the already-computed slope double: one multiply +
     // one divide of identically-derived doubles, bit-portable (proven by
     // the q_anomaly_mad precedent).
+    // Welch's two-sample t statistic of each event type's `value` against
+    // ALL OTHER traffic — the A/B-experiment readout (unequal variances,
+    // unequal sizes). One pass: per-group exact-decimal (n, Σx, Σx²) plus
+    // the global totals as a 1-row broadcast; the complement ("rest")
+    // moments are SUBTRACTED from the totals instead of re-scanned —
+    // exactly how a metrics store serves t-tests against control at
+    // 100 TB. The double-arithmetic tail (means, variances, t) is the
+    // IDENTICAL expression text on both engines (the q_stats_regression
+    // determinism argument: every IEEE op is correctly rounded, so equal
+    // trees give equal bits); sqrt is correctly rounded too.
+    "q_stats_ttest" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val g = ev.groupBy("event_type")
+        .agg(count(col("value")).as("n"),
+          sum(col("value").cast(DecimalType(18, 4)))
+            .cast("double").as("sx"),
+          sum(col("value").cast(DecimalType(18, 4))
+            * col("value").cast(DecimalType(19, 4)))
+            .cast("double").as("sq"))
+      val tot = broadcast(ev.agg(
+          count(col("value")).as("nt"),
+          sum(col("value").cast(DecimalType(18, 4)))
+            .cast("double").as("st"),
+          sum(col("value").cast(DecimalType(18, 4))
+            * col("value").cast(DecimalType(19, 4)))
+            .cast("double").as("qt"))
+        .withColumn("_one", lit(1)))
+      g.withColumn("_one", lit(1)).join(tot, "_one")
+        .selectExpr("event_type", "n",
+          "sx / n AS mean_g",
+          "(st - sx) / (nt - n) AS mean_rest",
+          "((sx / n) - (st - sx) / (nt - n)) / sqrt(" +
+            "((sq - sx * sx / n) / (n - 1)) / n + " +
+            "((qt - sq - (st - sx) * (st - sx) / (nt - n)) / " +
+            "(nt - n - 1)) / (nt - n)) AS t_welch")
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
     "q_stats_regression" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -471,6 +509,36 @@ object Extended {
         |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
         |    * sqrt(n * syy - sy * sy)) AS corr
         |FROM g ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+
+    // Same one-pass group + 1-row-total shape; the double tail is the
+    // identical expression text (see the Spark-side determinism note).
+    "q_stats_ttest" ->
+      """WITH g AS (
+        |  SELECT event_type, COUNT(value) AS n,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |      AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))
+        |      * CAST(value AS DECIMAL(19,4)))
+        |      AS VARCHAR) AS DOUBLE) AS sq
+        |  FROM events GROUP BY event_type
+        |), tot AS (
+        |  SELECT COUNT(value) AS nt,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |      AS VARCHAR) AS DOUBLE) AS st,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))
+        |      * CAST(value AS DECIMAL(19,4)))
+        |      AS VARCHAR) AS DOUBLE) AS qt
+        |  FROM events
+        |)
+        |SELECT event_type, n,
+        |  sx / n AS mean_g,
+        |  (st - sx) / (nt - n) AS mean_rest,
+        |  ((sx / n) - (st - sx) / (nt - n)) / sqrt(
+        |    ((sq - sx * sx / n) / (n - 1)) / n +
+        |    ((qt - sq - (st - sx) * (st - sx) / (nt - n)) /
+        |    (nt - n - 1)) / (nt - n)) AS t_welch
+        |FROM g, tot
+        |ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     "q_stats_regression" ->
       """WITH g AS (

@@ -400,6 +400,57 @@ class OperatorsSpec extends SparkSpec {
     assert(counts.values.exists(_ > 1))
   }
 
+  test("q_stats_ttest matches a plain-Scala Welch recomputation " +
+      "bit-for-bit") {
+    import spark.implicits._
+    val out = Extended.queries("q_stats_ttest")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val evs = Tables.table(spark, sf, "events")
+      .select("event_type", "value").as[(String, Option[Double])]
+      .collect().collect { case (t, Some(v)) => (t, v) }
+    def d4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    def stats(vs: Seq[Double]): (Long, Double, Double) = (
+      vs.size.toLong,
+      vs.map(d4).sum.toDouble,
+      vs.map(v => d4(v) * d4(v)).sum.toDouble)
+    val (ntL, st, qt) = stats(evs.map(_._2).toSeq)
+    evs.groupBy(_._1).foreach { case (ty, rows) =>
+      val (n, sx, sq) = stats(rows.map(_._2).toSeq)
+      val nt = ntL
+      // the EXACT expression order of the query's selectExpr
+      val meanG = sx / n
+      val meanRest = (st - sx) / (nt - n)
+      val tW = ((sx / n) - (st - sx) / (nt - n)) / math.sqrt(
+        ((sq - sx * sx / n) / (n - 1)) / n +
+          ((qt - sq - (st - sx) * (st - sx) / (nt - n)) /
+            (nt - n - 1)) / (nt - n))
+      assert(out(ty) == ((n, meanG, meanRest, tW)), s"type $ty")
+    }
+  }
+
+  test("q_graph_jaccard equals brute-force neighbor-set similarity") {
+    val out = Corpus.queries("q_graph_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val edges = TextDedup.nearDuplicates(
+        Tables.table(spark, sf, "documents"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val expect = nbrs.keySet.toSeq.sorted.combinations(2).collect {
+      case Seq(a, b) if (nbrs(a) & nbrs(b)).nonEmpty =>
+        val common = (nbrs(a) & nbrs(b)).size.toLong
+        val (da, db) = (nbrs(a).size.toLong, nbrs(b).size.toLong)
+        (a, b) -> (common, da, db,
+          common.toDouble / (da + db - common))
+    }.toMap
+    assert(out == expect)
+    assert(out.nonEmpty)
+  }
+
   test("q_text_pmi matches a plain-Scala recomputation") {
     import spark.implicits._
     val out = TextOps.queries("q_text_pmi")(spark, sf).collect().map(r =>

@@ -139,7 +139,10 @@ class PlanRegressionSpec extends SparkSpec {
       // the nested-loop side is exactly one row, so the "loop" is a
       // single broadcast probe; ivfpq composes the pq codebook row with
       // the nprobe-bounded (2-row) probe-cluster broadcast
-      "q_ann_pq", "q_text_pmi", "q_ann_ivfpq")
+      "q_ann_pq", "q_text_pmi", "q_ann_ivfpq",
+      // 1-row broadcast of the global (n, Σx, Σx²) totals — the
+      // q_text_docfreq shape
+      "q_stats_ttest")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
