@@ -135,7 +135,8 @@ object Bench {
     "q_graph_triangles" -> "tri", "q_join_bloom" -> "jbl",
     "q_text_pmi" -> "pmi", "q_ann_ivfpq" -> "ipq",
     "q_sample_weighted" -> "swt", "q_text_winnow" -> "twn",
-    "q_stats_ttest" -> "ttw", "q_graph_jaccard" -> "gjc")
+    "q_stats_ttest" -> "ttw", "q_graph_jaccard" -> "gjc",
+    "q_agg_bitmap" -> "abm")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -65,6 +65,32 @@ object Breadth {
         .orderBy(asc_nulls_last("lang"), asc_nulls_last("source"))
     }),
 
+    // Exact COUNT DISTINCT via bitmap aggregation (the ClickHouse
+    // groupBitmap / roaring-bitmap technique, on 32-bit words): user ids
+    // bucket into (key DIV 32) words, each word bit_or-accumulates its
+    // members' bits — idempotent, commutative, partial-aggregation-
+    // friendly — and the distinct count is the popcount sum. At 100 TB
+    // this replaces the Expand-based distinct aggregate (which doubles
+    // the shuffle) with two slim shuffles of pre-combined words; the
+    // same words are also the mergeable distinct STATE a rollup layer
+    // stores (bitmaps OR across periods; counts never re-scan). The
+    // plain countDistinct rides along so the identity is visible in the
+    // output and pinned by the oracle.
+    "q_agg_bitmap" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          (col("user_id") / 32).cast("long").as("word"),
+          expr("CAST(shiftleft(1L, CAST(user_id % 32 AS INT)) AS BIGINT)")
+            .as("bit"),
+          col("user_id"))
+        .groupBy("event_type", "word")
+        .agg(expr("bit_or(bit)").as("bits"),
+          countDistinct(col("user_id")).as("nd_word"))
+        .groupBy("event_type")
+        .agg(sum(expr("bit_count(bits)")).as("n_distinct_bitmap"),
+          sum("nd_word").as("n_distinct_exact"))
+        .orderBy(asc_nulls_last("event_type"))),
+
     // Weighted (importance) sampling — the quality-proportional document
     // sampler of a data-mixing pipeline: each document's keep
     // probability is its OWN data-derived weight (per-mille, here a
@@ -262,6 +288,21 @@ object Breadth {
         |    AS sample_id_sum
         |FROM b GROUP BY lang, source
         |ORDER BY lang ASC NULLS LAST, source ASC NULLS LAST""".stripMargin,
+
+    // Same two-level word/popcount path; summing the per-word distinct
+    // counts is exact because words partition the id space.
+    "q_agg_bitmap" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id // 32 AS word,
+        |    bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits,
+        |    COUNT(DISTINCT user_id) AS nd_word
+        |  FROM events GROUP BY event_type, user_id // 32
+        |)
+        |SELECT event_type,
+        |  CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct_bitmap,
+        |  CAST(SUM(nd_word) AS BIGINT) AS n_distinct_exact
+        |FROM w GROUP BY event_type
+        |ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     "q_sample_weighted" ->
       """WITH b AS (

@@ -343,6 +343,20 @@ class OperatorsSpec extends SparkSpec {
     assert(survivors < total / 2, s"bloom pruned nothing: $survivors/$total")
   }
 
+  test("q_agg_bitmap popcount distinct equals plain countDistinct") {
+    val out = Breadth.queries("q_agg_bitmap")(spark, sf).collect()
+    val direct = Tables.table(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val ty = r.getString(0)
+      assert(r.getLong(1) == direct(ty), s"bitmap count for $ty")
+      assert(r.getLong(2) == direct(ty), s"per-word count for $ty")
+    }
+    assert(out.length == direct.size)
+  }
+
   test("q_sample_weighted matches a plain-Scala recomputation and is " +
       "partitioning-invariant by construction") {
     import spark.implicits._
