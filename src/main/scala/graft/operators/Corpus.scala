@@ -92,6 +92,24 @@ object Corpus {
       .persist()
     var labels = nodes.select(col("src").as("id"), col("src").as("lbl"))
       .persist()
+    // Right-size the loop's shuffles to the DUP-GRAPH size, not the
+    // session default: label frames only contain near-dup members — a
+    // sliver of the corpus — and an iterative loop pays the partition
+    // count in tasks EVERY round. One partition per ~10k edges, floored
+    // at 4, capped at the session default; the count() materializes the
+    // persisted edge set the first round needs anyway. (At sf0.1 this is
+    // timing-neutral — per-round cost there is driver job-launch
+    // latency — but on a cluster the default would schedule hundreds of
+    // near-empty tasks per round.) Restored in the finally; the caller's
+    // terminal sort runs at the session setting.
+    val spark = pairs.sparkSession
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    val nEdges = edges.count()
+    val loopParts = math.max(4L, math.min(
+      scala.util.Try(prevParts.toLong).getOrElse(32L),
+      nEdges / 10000L + 1L))
+    spark.conf.set(partKey, loopParts.toString)
     // convergence check = exact-decimal label sum: labels are elementwise
     // non-increasing (self-loop ⇒ prop ≤ labels, doubling ⇒ next ≤ prop),
     // so an unchanged sum ⇔ no label changed — one narrow agg over the
@@ -103,7 +121,7 @@ object Corpus {
     var prevSum = lblSum(labels)
     var changed = true
     var rounds = 0
-    while (changed) {
+    try while (changed) {
       rounds += 1
       require(rounds <= MaxClusterRounds,
         s"label propagation did not converge in $MaxClusterRounds rounds")
@@ -129,7 +147,7 @@ object Corpus {
       prevSum = s
       labels.unpersist()
       labels = next
-    }
+    } finally spark.conf.set(partKey, prevParts)
     edges.unpersist()
     sym.unpersist()
     (labels, rounds)
