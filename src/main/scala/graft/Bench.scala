@@ -136,7 +136,8 @@ object Bench {
     "q_text_pmi" -> "pmi", "q_ann_ivfpq" -> "ipq",
     "q_sample_weighted" -> "swt", "q_text_winnow" -> "twn",
     "q_stats_ttest" -> "ttw", "q_graph_jaccard" -> "gjc",
-    "q_agg_bitmap" -> "abm")
+    "q_agg_bitmap" -> "abm",
+    "q_ann_pq_recall" -> "pqr", "q_window_rolling_median" -> "wrm")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -335,6 +335,32 @@ object EventAnalytics {
         .orderBy(asc_nulls_last("user_id"), asc_nulls_last("day"))
     }),
 
+    // Rolling exact median of each user's trailing 5 values — the robust
+    // smoother time-series pipelines use where a rolling MEAN chases
+    // spikes (and where q_anomaly_mad needs its center). No built-in
+    // windows a median, so the bounded ROWS frame collects its ≤ 5
+    // values in-row and SELECTS the lower median after an in-row sort —
+    // pure element selection, zero arithmetic, so determinism needs no
+    // decimal routing (both engines sort the same IEEE doubles). Scale:
+    // one user-keyed window shuffle; state per row is the constant-size
+    // frame, never the user's history.
+    "q_window_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("tsu"), asc_nulls_last("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsu"), col("value"))
+        .withColumn("vals", collect_list(col("value")).over(w))
+        .select(col("user_id"), col("event_id"), col("tsu"),
+          size(col("vals")).cast("long").as("n_window"),
+          expr("element_at(sort_array(vals), " +
+            "CAST((size(vals) + 1) DIV 2 AS INT))").as("roll_med"))
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("tsu"),
+          asc_nulls_last("event_id"))
+    }),
+
     // Trailing-7-day distinct users per active day (the rolling-DAU/WAU
     // panel) — see [[rollingDistinct]]; streaming twin:
     // [[graft.streaming.StatefulTwins.rollingDistinctStream]].
@@ -599,6 +625,24 @@ object EventAnalytics {
          |    AS filled
          |FROM j
          |ORDER BY user_id ASC NULLS LAST, day ASC NULLS LAST""".stripMargin,
+
+    // list() over the same ROWS frame, lower median by 1-based
+    // subscript; (n+1)//2 is Spark's (n+1) DIV 2.
+    "q_window_rolling_median" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |    list(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) ASC NULLS LAST,
+        |        event_id ASC NULLS LAST
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT user_id, event_id, tsu,
+        |  CAST(len(vals) AS BIGINT) AS n_window,
+        |  list_sort(vals)[(len(vals) + 1) // 2] AS roll_med
+        |FROM ev
+        |ORDER BY user_id ASC NULLS LAST, tsu ASC NULLS LAST,
+        |  event_id ASC NULLS LAST""".stripMargin,
 
     // States the trailing window directly as a bounded range join —
     // exact by construction; the Spark side's ×7 explode is the

@@ -701,6 +701,31 @@ object VectorOps {
         .limit(10)
     }),
 
+    // Recall@10 of the IVF-PQ ADC ranking against the exact-cosine
+    // top-10 — pure quantization + coarse-probe loss (unit-norm vectors
+    // rank identically under L2 and cosine in exact space), the number
+    // that sizes the PQ codebook and nprobe. The exact side is the
+    // q_ann_ivf_curve ground-truth shape (fast prefilter, exact-decimal
+    // rerank); the approximate side IS the declared q_ann_ivfpq plan.
+    "q_ann_pq_recall" -> ((s, d) => {
+      val adc10 = queries("q_ann_ivfpq")(s, d)
+        .select(col("vec_id"), lit(1L).as("_a"))
+      val e = t(s, d, "embeddings")
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb")))
+      val exact10 = e.filter(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .withColumn("fd", fastDot(s, "embedding", "probe_emb"))
+        .orderBy(desc_nulls_last("fd"), asc_nulls_last("vec_id"))
+        .limit(100)
+        .withColumn("cosine", dotExpr(s, "embedding", "probe_emb"))
+        .orderBy(desc_nulls_last("cosine"), asc_nulls_last("vec_id"))
+        .limit(10)
+        .select("vec_id")
+      exact10.join(adc10, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("_a")).as("n_hit"))
+    }),
+
     // Multimodal join: text metadata ⋈ vector stats on doc_id == vec_id.
     "q_multimodal_join" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -739,6 +764,47 @@ object VectorOps {
       |  CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT)
       |    ELSE 0 END) AS BIGINT) AS bucket
       |FROM c GROUP BY vec_id ORDER BY vec_id ASC NULLS LAST""".stripMargin
+
+  /** Shared IVF-PQ oracle CTE block (q_ann_ivfpq, q_ann_pq_recall): the
+    * PQ per-(vec, sub-space, entry) distance CTE `dd` plus its argmin
+    * (`best`), the probe's ADC table (`tbl` = dd's vec_id = 0 slice),
+    * and the q_ann_ivf_nprobe exact-decimal cluster CTEs. */
+  private def ivfpqCtes: String =
+    s"""WITH iv AS (
+       |  SELECT vec_id, list_transform(embedding, x ->
+       |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) * 10000000
+       |      AS BIGINT)) AS iv
+       |  FROM embeddings WHERE embedding IS NOT NULL
+       |), e AS (
+       |  SELECT vec_id, iv, unnest(generate_series(1, $EmbDim)) AS i
+       |  FROM iv
+       |), dd AS (
+       |  SELECT v.vec_id, (i - 1) // $PqSubDim AS m, c.vec_id AS cid,
+       |    CAST(SUM((v.iv[i] - c.iv[i]) * (v.iv[i] - c.iv[i]))
+       |      AS BIGINT) AS dist
+       |  FROM e v, (SELECT vec_id, iv FROM iv WHERE vec_id < $PqCodebook) c
+       |  GROUP BY v.vec_id, (i - 1) // $PqSubDim, c.vec_id
+       |), best AS (
+       |  SELECT vec_id, m, cid FROM dd
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+       |    ORDER BY dist ASC, cid ASC) = 1
+       |), tbl AS (
+       |  SELECT m, cid, dist FROM dd WHERE vec_id = 0
+       |), cents AS (
+       |  SELECT vec_id AS ccid, embedding AS cemb
+       |  FROM embeddings WHERE vec_id < $IvfCentroids
+       |), a AS (
+       |  SELECT e2.vec_id, c.ccid,
+       |    ${sqlDot("e2.embedding", "c.cemb")} AS cdot
+       |  FROM embeddings e2, cents c
+       |), cl AS (
+       |  SELECT vec_id, ccid AS cluster FROM a
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cdot DESC, ccid ASC) = 1
+       |), pc AS (
+       |  SELECT ccid AS probe_cluster FROM a WHERE vec_id = 0
+       |  QUALIFY row_number() OVER (ORDER BY cdot DESC, ccid ASC) <= 2
+       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_embed_norm" ->
@@ -1057,42 +1123,8 @@ object VectorOps {
     // the code assignment (argmin) and the probe's ADC table (its
     // vec_id = 0 slice); the coarse stage is the q_ann_ivf_nprobe
     // exact-decimal cluster CTEs verbatim.
-    "q_ann_ivfpq" ->
-      s"""WITH iv AS (
-         |  SELECT vec_id, list_transform(embedding, x ->
-         |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) * 10000000
-         |      AS BIGINT)) AS iv
-         |  FROM embeddings WHERE embedding IS NOT NULL
-         |), e AS (
-         |  SELECT vec_id, iv, unnest(generate_series(1, $EmbDim)) AS i
-         |  FROM iv
-         |), dd AS (
-         |  SELECT v.vec_id, (i - 1) // $PqSubDim AS m, c.vec_id AS cid,
-         |    CAST(SUM((v.iv[i] - c.iv[i]) * (v.iv[i] - c.iv[i]))
-         |      AS BIGINT) AS dist
-         |  FROM e v, (SELECT vec_id, iv FROM iv WHERE vec_id < $PqCodebook) c
-         |  GROUP BY v.vec_id, (i - 1) // $PqSubDim, c.vec_id
-         |), best AS (
-         |  SELECT vec_id, m, cid FROM dd
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
-         |    ORDER BY dist ASC, cid ASC) = 1
-         |), tbl AS (
-         |  SELECT m, cid, dist FROM dd WHERE vec_id = 0
-         |), cents AS (
-         |  SELECT vec_id AS ccid, embedding AS cemb
-         |  FROM embeddings WHERE vec_id < $IvfCentroids
-         |), a AS (
-         |  SELECT e2.vec_id, c.ccid,
-         |    ${sqlDot("e2.embedding", "c.cemb")} AS cdot
-         |  FROM embeddings e2, cents c
-         |), cl AS (
-         |  SELECT vec_id, ccid AS cluster FROM a
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY cdot DESC, ccid ASC) = 1
-         |), pc AS (
-         |  SELECT ccid AS probe_cluster FROM a WHERE vec_id = 0
-         |  QUALIFY row_number() OVER (ORDER BY cdot DESC, ccid ASC) <= 2
-         |)
+    "q_ann_ivfpq" -> (ivfpqCtes +
+      """
          |SELECT b.vec_id, CAST(SUM(t.dist) AS BIGINT) AS adc
          |FROM best b
          |JOIN tbl t ON t.m = b.m AND t.cid = b.cid
@@ -1101,7 +1133,38 @@ object VectorOps {
          |WHERE b.vec_id <> 0
          |GROUP BY b.vec_id
          |ORDER BY adc ASC NULLS LAST, b.vec_id ASC NULLS LAST
-         |LIMIT 10""".stripMargin,
+         |LIMIT 10""".stripMargin),
+
+    // Recall@10 of the ADC ranking against the exact-cosine top-10 (for
+    // unit-norm vectors exact L2 and cosine rank identically, so the gap
+    // measured here is pure quantization loss — the number that sizes
+    // the PQ codebook). Same CTE block; the exact side is the
+    // q_ann_ivf_curve ground-truth pattern.
+    "q_ann_pq_recall" -> (ivfpqCtes +
+      s"""
+         |, adc AS (
+         |  SELECT b.vec_id, CAST(SUM(t.dist) AS BIGINT) AS adc
+         |  FROM best b
+         |  JOIN tbl t ON t.m = b.m AND t.cid = b.cid
+         |  JOIN cl ON cl.vec_id = b.vec_id
+         |  JOIN pc ON cl.cluster = pc.probe_cluster
+         |  WHERE b.vec_id <> 0
+         |  GROUP BY b.vec_id
+         |  ORDER BY adc ASC NULLS LAST, b.vec_id ASC NULLS LAST
+         |  LIMIT 10
+         |), ex AS (
+         |  SELECT e2.vec_id,
+         |    ${sqlDot("e2.embedding", "p.embedding")} AS cosine
+         |  FROM embeddings e2,
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+         |  WHERE e2.vec_id <> 0
+         |  ORDER BY cosine DESC NULLS LAST, e2.vec_id ASC NULLS LAST
+         |  LIMIT 10
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit
+         |FROM ex LEFT JOIN adc a ON a.vec_id = ex.vec_id""".stripMargin),
+
 
     "q_multimodal_join" ->
       """SELECT doc_id,

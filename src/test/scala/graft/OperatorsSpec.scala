@@ -285,6 +285,43 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 10)
   }
 
+  test("q_ann_pq_recall counts the ADC top-10 overlap with exact top-10") {
+    val row = VectorOps.queries("q_ann_pq_recall")(spark, sf).head
+    assert(row.getLong(0) == 10L)
+    val adc = VectorOps.queries("q_ann_ivfpq")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val e = Tables.table(spark, sf, "embeddings")
+    val probe = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pe")))
+    val exact = e.filter(col("vec_id") =!= 0).crossJoin(probe)
+      .withColumn("c", VectorOps.dotExpr(spark, "embedding", "pe"))
+      .orderBy(desc("c"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(row.getLong(1) == (adc & exact).size.toLong)
+  }
+
+  test("q_window_rolling_median equals a plain-Scala trailing-5 median") {
+    import spark.implicits._
+    val out = EventAnalytics.queries("q_window_rolling_median")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    val evs = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("value"))
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .collect { case (u, e, t, Some(v)) => (u, e, t, v) }
+    evs.groupBy(_._1).foreach { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      ordered.zipWithIndex.foreach { case ((_, eid, _, _), i) =>
+        val win = ordered.slice(math.max(0, i - 4), i + 1).map(_._4)
+        val med = win.sorted.apply((win.length + 1) / 2 - 1)
+        assert(out((u, eid)) == ((win.length.toLong, med)),
+          s"user $u event $eid")
+      }
+    }
+    assert(out.size == evs.length)
+  }
+
   test("q_rolling_distinct equals the direct trailing-7-day count") {
     import spark.implicits._
     val out = EventAnalytics.queries("q_rolling_distinct")(spark, sf)

@@ -142,7 +142,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q_ann_pq", "q_text_pmi", "q_ann_ivfpq",
       // 1-row broadcast of the global (n, Σx, Σx²) totals — the
       // q_text_docfreq shape
-      "q_stats_ttest")
+      "q_stats_ttest",
+      // composes q_ann_ivfpq's bounded broadcasts with the 1-row exact
+      // probe (the q_ann_ivf_curve ground-truth shape)
+      "q_ann_pq_recall")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
