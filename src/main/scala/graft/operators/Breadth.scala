@@ -75,7 +75,9 @@ object Breadth {
     // same words are also the mergeable distinct STATE a rollup layer
     // stores (bitmaps OR across periods; counts never re-scan). The
     // plain countDistinct rides along so the identity is visible in the
-    // output and pinned by the oracle.
+    // output and pinned by the oracle. Streaming twin:
+    // [[graft.streaming.StatefulTwins.bitmapDistinctStream]] (the same
+    // words OR-merged as per-key state, replay-idempotent).
     "q_agg_bitmap" -> ((s, d) =>
       t(s, d, "events")
         .select(col("event_type"),

@@ -181,6 +181,38 @@ object StatefulTwins {
       }
   }
 
+  case class BmEv(event_type: String, user_id: Long)
+
+  case class BmState(words: Map[Long, Long])
+
+  case class BmCount(event_type: String, n_distinct: Long)
+
+  /** Streaming twin of q_agg_bitmap's distinct state: the same DIV-32
+    * word / bit_or encoding, held as per-key state and OR-merged on
+    * every micro-batch — the live demonstration of why the bitmap IS
+    * the mergeable distinct state (OR is idempotent, so replays and
+    * out-of-order arrival cannot overcount). Update-mode counts are
+    * monotone; the final value per key equals the batch popcount sum.
+    * State is O(distinct ids / 32) words per key. */
+  def bitmapDistinctStream(ev: Dataset[BmEv]): Dataset[BmCount] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.event_type)
+      .flatMapGroupsWithState[BmState, BmCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (ty: String, it: Iterator[BmEv], state: GroupState[BmState]) =>
+          var words = state.getOption.map(_.words)
+            .getOrElse(Map.empty[Long, Long])
+          it.foreach { e =>
+            val w = e.user_id / 32
+            val b = 1L << (e.user_id % 32).toInt
+            words = words.updated(w, words.getOrElse(w, 0L) | b)
+          }
+          state.update(BmState(words))
+          Iterator.single(BmCount(ty,
+            words.values.map(v => java.lang.Long.bitCount(v).toLong).sum))
+      }
+  }
+
   /** Trailing-hour (count, exact-decimal sum) per event via a bounded
     * per-key buffer: merge the batch's events in (tsu, event_id) order,
     * evict entries older than one hour, and emit every event of a given

@@ -341,6 +341,38 @@ class StreamingParitySpec extends SparkSpec {
     assert(stream(java.time.LocalDate.parse("2024-01-20").toEpochDay) == 2L)
   }
 
+  test("bitmap distinct state OR-merges across batches and replays " +
+      "without overcounting, final counts equal the batch query") {
+    import graft.operators.Breadth
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    val evs = sampleEvents
+    val batch = Breadth.queries("q_agg_bitmap")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[StatefulTwins.BmEv]
+    val name = s"bm_${System.nanoTime()}"
+    // the REAL events table at sf, split across batches, with batch 1
+    // fully REPLAYED in batch 2 (at-least-once delivery): OR-idempotence
+    // must absorb the duplicates
+    val obs = Tables.table(spark, sf, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => StatefulTwins.BmEv(r.getString(0), r.getLong(1)))
+    val q = StatefulTwins.bitmapDistinctStream(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .start()
+    val (first, rest) = obs.splitAt(obs.length / 2)
+    mem.addData(first.toSeq)
+    q.processAllAvailable()
+    mem.addData(first.toSeq ++ rest.toSeq) // replay + remainder
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name)
+      .groupBy("event_type").agg(max("n_distinct").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stream == batch)
+  }
+
   test("concurrency sweep line: timeout-closed streaming intervals " +
       "through the SAME sweepLine builder equal batch q_concurrency_peak") {
     import graft.operators.EventAnalytics
