@@ -63,8 +63,8 @@ object Bench {
     "q_sql_exists_subquery" -> "sxs",
     "q_stream_session_dynamic" -> "sdy",
     "q_agg_approx_distinct" -> "apx", "q_agg_collect" -> "acl",
-    "q_dedup_containment" -> "dct", "q_dedup_minhash" -> "d_mh",
-    "q_dedup_simhash" -> "d_sh", "q_intersect" -> "isc",
+    "q_dedup_containment" -> "dct", "q_dedup_minhash" -> "dmq",
+    "q_dedup_simhash" -> "dsh", "q_intersect" -> "isc",
     "q_pack_sequences" -> "pck", "q_quality_gopher" -> "gop",
     "q_sample_stratified" -> "smp", "q_scan_pruned" -> "spr",
     "q_sql_scalar_subquery" -> "ssc", "q_udf_scala" -> "udf",
@@ -73,8 +73,8 @@ object Bench {
     "q_agg_rollup" -> "arl", "q_ann_neighbors" -> "anb",
     "q_array_funcs" -> "arf", "q_array_funcs2" -> "af2",
     "q_condition_block" -> "cbk", "q_conditional_agg" -> "cgg",
-    "q_decontaminate" -> "dcn", "q_dedup_clusters" -> "d_cl",
-    "q_dedup_spans" -> "d_sp", "q_sql_grouping_sets" -> "s_gs",
+    "q_decontaminate" -> "dcn", "q_dedup_clusters" -> "dcl",
+    "q_dedup_spans" -> "dsp", "q_sql_grouping_sets" -> "s_gs",
     "q_join_broadcast" -> "j_bc", "q_multimodal_features" -> "mft",
     "q_multimodal_headers" -> "mhd", "q_multimodal_join" -> "mm_j",
     "q_text_fingerprint" -> "t_fp", "q_text_tokencount" -> "t_tc",
@@ -93,7 +93,7 @@ object Bench {
     "q_text_langid" -> "tld", "q_udaf_weighted" -> "uda",
     "q_ann_ivf" -> "ivf", "q_ann_lsh" -> "lsh", "q_bitwise" -> "btw",
     "q_date_funcs2" -> "df2", "q_dedup_embed" -> "dmb",
-    "q_dedup_ngram" -> "d_ng", "q_dedup_pairs" -> "d_pr",
+    "q_dedup_ngram" -> "dng", "q_dedup_pairs" -> "dpr",
     "q_join_outer" -> "jou", "q_join_range" -> "jrn",
     "q_regex_extract" -> "rx_e", "q_scan_project" -> "sc_p",
     "q_skew_salted_join" -> "sk_j", "q_sql_in_subquery" -> "s_in",
@@ -137,7 +137,8 @@ object Bench {
     "q_sample_weighted" -> "swt", "q_text_winnow" -> "twn",
     "q_stats_ttest" -> "ttw", "q_graph_jaccard" -> "gjc",
     "q_agg_bitmap" -> "abm",
-    "q_ann_pq_recall" -> "pqr", "q_window_rolling_median" -> "wrm")
+    "q_ann_pq_recall" -> "pqr", "q_window_rolling_median" -> "wrm",
+    "q_rate_limit" -> "rtl")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

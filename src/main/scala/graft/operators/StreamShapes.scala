@@ -21,6 +21,11 @@ import graft.{Det, Tables}
 object StreamShapes {
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
+  /** q_rate_limit token-bucket constants: capacity and the µs gap that
+    * refills one token — the ONE definition both engines derive from. */
+  private val RateCap = 5L
+  private val RefillUs = 60000000L
+
   /** Transform builders shared verbatim by batch queries and the streaming
     * pipelines (single-sourced so batch/stream parity is by construction).
     */
@@ -178,6 +183,24 @@ object StreamShapes {
     // ms-truncated and would order same-millisecond events differently
     // from any SQL mirror. Streaming twin uses flatMapGroupsWithState
     // (graft.streaming.Sessionize).
+    // Token-bucket rate limiting per user — the admission guard an event
+    // bus applies before fanning work out, and a state machine no window
+    // frame can express (tokens depend recursively on every prior
+    // decision). Semantics, all integers so both engines replay them
+    // bit-identically: capacity 5, one token refilled per FULL minute of
+    // gap since the previous event (floor of the µs gap — sub-minute
+    // credit is deliberately not carried), bucket starts full; an event
+    // with ≥ 1 token is admitted and spends one, a drained bucket
+    // denies. Typed flatMapGroups with an explicit per-key
+    // (tsu, event_id) sort — deterministic on any partitioning; the
+    // oracle replays the SAME recursion as a recursive CTE over per-user
+    // row numbers. Scale: one user-keyed shuffle, per-key state is two
+    // longs — the q_stateful_sessionize shape.
+    "q_rate_limit" -> ((s, d) =>
+      rateLimit(t(s, d, "events"))
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("tsu"),
+          asc_nulls_last("event_id"))),
+
     "q_stateful_sessionize" -> ((s, d) => {
       import s.implicits._
       val rows = t(s, d, "events")
@@ -197,6 +220,33 @@ object StreamShapes {
         .orderBy(asc_nulls_last("user_id"))
     })
   )
+
+  /** The q_rate_limit state machine over any events frame — split out so
+    * the spec can drive a crafted panel through the exact declared
+    * logic. Unsorted; the declared query adds its ORDER BY. */
+  def rateLimit(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long)]) =>
+        val evs = it.toVector.sortBy(e => (e._3, e._2))
+        var tokens = RateCap
+        var prev = Option.empty[Long]
+        evs.iterator.map { case (_, eid, tsu) =>
+          prev.foreach(p =>
+            tokens = math.min(RateCap, tokens + (tsu - p) / RefillUs))
+          prev = Some(tsu)
+          val allowed = tokens >= 1L
+          if (allowed) tokens -= 1L
+          (uid, eid, tsu, allowed, tokens)
+        }
+      }
+      .toDF("user_id", "event_id", "tsu", "allowed", "tokens_after")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_upsert_latest" ->
@@ -323,6 +373,41 @@ object StreamShapes {
         |  ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) = 1
         |ORDER BY user_id ASC NULLS LAST, event_type ASC NULLS LAST"""
         .stripMargin,
+
+    // The same recursion as a recursive CTE over per-user row numbers:
+    // the anchor is each user's first event (full bucket, admit, spend),
+    // each step refills floor(gap/RefillUs) capped at RateCap, then
+    // admits iff ≥ 1. DuckDB's // floor division equals Scala's / on
+    // these non-negative longs.
+    "q_rate_limit" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts) ASC NULLS LAST,
+         |        event_id ASC NULLS LAST) AS rn
+         |  FROM events
+         |), rec AS (
+         |  SELECT user_id, event_id, tsu, rn,
+         |    true AS allowed, CAST(${RateCap - 1} AS BIGINT) AS tokens
+         |  FROM ev WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.user_id, e.event_id, e.tsu, e.rn,
+         |    least($RateCap, r.tokens + (e.tsu - r.tsu) // $RefillUs) >= 1
+         |      AS allowed,
+         |    CAST(CASE WHEN least($RateCap,
+         |        r.tokens + (e.tsu - r.tsu) // $RefillUs) >= 1
+         |      THEN least($RateCap,
+         |        r.tokens + (e.tsu - r.tsu) // $RefillUs) - 1
+         |      ELSE least($RateCap,
+         |        r.tokens + (e.tsu - r.tsu) // $RefillUs)
+         |      END AS BIGINT) AS tokens
+         |  FROM ev e JOIN rec r
+         |    ON e.user_id = r.user_id AND e.rn = r.rn + 1
+         |)
+         |SELECT user_id, event_id, tsu, allowed, tokens AS tokens_after
+         |FROM rec
+         |ORDER BY user_id ASC NULLS LAST, tsu ASC NULLS LAST,
+         |  event_id ASC NULLS LAST""".stripMargin,
 
     // Window-SQL mirror of the procedural state machine: a transition is
     // a row whose type differs from the previous row's in (ts, event_id)

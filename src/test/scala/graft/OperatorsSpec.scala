@@ -451,6 +451,37 @@ class OperatorsSpec extends SparkSpec {
     assert(counts.values.exists(_ > 1))
   }
 
+  test("q_rate_limit token bucket: burst denial, floor refill, cap") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // user 1: 7-event burst (5 admitted, 2 denied), then 2.5 min idle
+    // (floor refill = 2), then a 3-event burst (2 admitted);
+    // user 2: a week idle must CAP at 5, not accumulate 10000+
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:00:01")),
+      (3L, 1L, ts("2024-01-01 00:00:02")),
+      (4L, 1L, ts("2024-01-01 00:00:03")),
+      (5L, 1L, ts("2024-01-01 00:00:04")),
+      (6L, 1L, ts("2024-01-01 00:00:05")),
+      (7L, 1L, ts("2024-01-01 00:00:06")),
+      (8L, 1L, ts("2024-01-01 00:02:36")),
+      (9L, 1L, ts("2024-01-01 00:02:37")),
+      (10L, 1L, ts("2024-01-01 00:02:38")),
+      (11L, 2L, ts("2024-01-01 00:00:00")),
+      (12L, 2L, ts("2024-01-08 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = StreamShapes.rateLimit(df).collect()
+      .map(r => r.getLong(1) -> (r.getBoolean(3), r.getLong(4))).toMap
+    assert((1L to 5L).forall(out(_)._1))
+    assert(!out(6L)._1 && !out(7L)._1) // drained: denied, tokens stay 0
+    assert(out(7L)._2 == 0L)
+    assert(out(8L)._1 && out(9L)._1)   // 2.5 min → floor refill of 2
+    assert(!out(10L)._1)               // third is denied again
+    assert(out(11L)._1 && out(11L)._2 == 4L)
+    assert(out(12L)._1 && out(12L)._2 == 4L) // a week refills to CAP 5
+  }
+
   test("q_stats_ttest matches a plain-Scala Welch recomputation " +
       "bit-for-bit") {
     import spark.implicits._
