@@ -22,9 +22,10 @@ object StreamShapes {
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
   /** q_rate_limit token-bucket constants: capacity and the µs gap that
-    * refills one token — the ONE definition both engines derive from. */
-  private val RateCap = 5L
-  private val RefillUs = 60000000L
+    * refills one token — the ONE definition both engines and the
+    * streaming twin derive from. */
+  private[graft] val RateCap = 5L
+  private[graft] val RefillUs = 60000000L
 
   /** Transform builders shared verbatim by batch queries and the streaming
     * pipelines (single-sourced so batch/stream parity is by construction).

@@ -181,6 +181,48 @@ object StatefulTwins {
       }
   }
 
+  case class RlEv(user_id: Long, event_id: Long, tsu: Long)
+
+  case class RlState(tokens: Long, prev: Long)
+
+  case class RlDecision(user_id: Long, event_id: Long, tsu: Long,
+      allowed: Boolean, tokens_after: Long)
+
+  /** Streaming twin of q_rate_limit: the IDENTICAL token-bucket
+    * recursion ([[graft.operators.StreamShapes.RateCap]] /
+    * [[graft.operators.StreamShapes.RefillUs]]) with the (tokens,
+    * last-event) pair carried as per-key state across micro-batches —
+    * the live admission guard in front of trigger fan-out (R3). Same
+    * ordering contract as [[transitionStream]]: per-key in-order arrival
+    * across batches, in-batch sort here. */
+  def rateLimitStream(ev: Dataset[RlEv]): Dataset[RlDecision] = {
+    import ev.sparkSession.implicits._
+    val (cap, refillUs) = (graft.operators.StreamShapes.RateCap,
+      graft.operators.StreamShapes.RefillUs)
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RlState, RlDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[RlEv], state: GroupState[RlState]) =>
+          val evs = it.toVector.sortBy(e => (e.tsu, e.event_id))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val init = state.getOption
+            var tokens = init.map(_.tokens).getOrElse(cap)
+            var prev: Option[Long] = init.map(_.prev)
+            val out = evs.map { e =>
+              prev.foreach(p =>
+                tokens = math.min(cap, tokens + (e.tsu - p) / refillUs))
+              prev = Some(e.tsu)
+              val allowed = tokens >= 1L
+              if (allowed) tokens -= 1L
+              RlDecision(uid, e.event_id, e.tsu, allowed, tokens)
+            }
+            state.update(RlState(tokens, prev.get))
+            out.iterator
+          }
+      }
+  }
+
   case class BmEv(event_type: String, user_id: Long)
 
   case class BmState(words: Map[Long, Long])

@@ -341,6 +341,40 @@ class StreamingParitySpec extends SparkSpec {
     assert(stream(java.time.LocalDate.parse("2024-01-20").toEpochDay) == 2L)
   }
 
+  test("token-bucket rate limit: streamed state equals the batch " +
+      "replay over the real events table") {
+    import graft.operators.StreamShapes
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    val batch = StreamShapes.rateLimit(Tables.table(spark, sf, "events"))
+      .collect()
+      .map(r => r.getLong(1) -> (r.getBoolean(3), r.getLong(4))).toMap
+    // per-key in-order arrival across batches = global time order split
+    val obs = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .orderBy("tsu", "event_id").collect()
+      .map(r => StatefulTwins.RlEv(r.getLong(0), r.getLong(1),
+        r.getLong(2)))
+    val mem = MemoryStream[StatefulTwins.RlEv]
+    val name = s"rtl_${System.nanoTime()}"
+    val q = StatefulTwins.rateLimitStream(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    val third = obs.length / 3
+    Seq(obs.take(third), obs.slice(third, 2 * third), obs.drop(2 * third))
+      .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val stream = spark.table(name).collect()
+      .map(r => r.getLong(1) -> (r.getBoolean(3), r.getLong(4))).toMap
+    assert(stream == batch)
+    // sf0.001 traffic is sparse enough that nothing is ever denied
+    // (denial/refill/cap semantics are pinned by the crafted panel in
+    // OperatorsSpec); here assert real state churn happened instead
+    assert(stream.nonEmpty && stream.values.exists(_._2 < 5L))
+  }
+
   test("bitmap distinct state OR-merges across batches and replays " +
       "without overcounting, final counts equal the batch query") {
     import graft.operators.Breadth
