@@ -69,19 +69,19 @@ object Bench {
     "q_sample_stratified" -> "smp", "q_scan_pruned" -> "spr",
     "q_sql_scalar_subquery" -> "ssc", "q_udf_scala" -> "udf",
     "q_udtf_explode" -> "udt", "q_url_parse" -> "url",
-    "q_agg_having" -> "ahv", "q_agg_minmax_by" -> "a_mm",
+    "q_agg_having" -> "ahv", "q_agg_minmax_by" -> "amm",
     "q_agg_rollup" -> "arl", "q_ann_neighbors" -> "anb",
     "q_array_funcs" -> "arf", "q_array_funcs2" -> "af2",
     "q_condition_block" -> "cbk", "q_conditional_agg" -> "cgg",
     "q_decontaminate" -> "dcn", "q_dedup_clusters" -> "dcl",
     "q_dedup_spans" -> "dsp", "q_sql_grouping_sets" -> "s_gs",
     "q_join_broadcast" -> "j_bc", "q_multimodal_features" -> "mft",
-    "q_multimodal_headers" -> "mhd", "q_multimodal_join" -> "mm_j",
-    "q_text_fingerprint" -> "t_fp", "q_text_tokencount" -> "t_tc",
+    "q_multimodal_headers" -> "mhd", "q_multimodal_join" -> "mmj",
+    "q_text_fingerprint" -> "tfp", "q_text_tokencount" -> "ttc",
     "q_stats_histogram" -> "hst", "q_stream_tumbling" -> "stu",
     "q_stream_sliding" -> "ssl", "q_filter_predicate" -> "flt",
     "q_percentile_exact" -> "pcx", "q_explode_outer" -> "exo",
-    "q_median_exact" -> "mdx", "q_window_first_last" -> "w_fl",
+    "q_median_exact" -> "mdx", "q_window_first_last" -> "wfl",
     "q_embed_quantize" -> "eqt", "q_kmeans_iter" -> "kmn",
     "q_stream_static_join" -> "stj", "q_retention" -> "rtn",
     "q_resample_ffill" -> "ffl", "q_vocab_per_lang" -> "vcb",
@@ -97,17 +97,17 @@ object Bench {
     "q_join_outer" -> "jou", "q_join_range" -> "jrn",
     "q_regex_extract" -> "rx_e", "q_scan_project" -> "sc_p",
     "q_skew_salted_join" -> "sk_j", "q_sql_in_subquery" -> "s_in",
-    "q_stats_moments" -> "mom", "q_stream_join" -> "st_j",
-    "q_stream_session" -> "stse", "q_text_chunk" -> "tck",
-    "q_text_dedup" -> "t_dd", "q_text_stats" -> "t_st",
+    "q_stats_moments" -> "mom", "q_stream_join" -> "stj2",
+    "q_stream_session" -> "sts", "q_text_chunk" -> "tck",
+    "q_text_dedup" -> "tdd", "q_text_stats" -> "tst",
     "q_text_tfidf" -> "tfi", "q_topk_per_group" -> "tpk",
     "q_unpivot" -> "unp", "q_window_frame" -> "wfr",
-    "q_window_ntile" -> "w_nt", "q_window_range" -> "wrn",
+    "q_window_ntile" -> "wnt", "q_window_range" -> "wrn",
     "q_scd2_intervals" -> "sc2", "q_path_per_session" -> "pth",
     "q_upsert_latest" -> "ups", "q_text_bigram_prob" -> "tbp",
     "q_stats_regression" -> "rgr", "q_dedup_minhash_est" -> "dmh",
     "q_markov_transition" -> "mkv", "q_concurrency_peak" -> "cnc",
-    "q_window_time_range" -> "w_tr", "q_mixture_weights" -> "mxw",
+    "q_window_time_range" -> "wtr", "q_mixture_weights" -> "mxw",
     "q_label_balance" -> "lbl", "q_text_clean" -> "tcl",
     "q_ann_ivf_nprobe" -> "iv2", "q_embed_rp" -> "erp",
     "q_agg_bool" -> "abl", "q_agg_cube" -> "acb",
@@ -138,7 +138,7 @@ object Bench {
     "q_stats_ttest" -> "ttw", "q_graph_jaccard" -> "gjc",
     "q_agg_bitmap" -> "abm",
     "q_ann_pq_recall" -> "pqr", "q_window_rolling_median" -> "wrm",
-    "q_rate_limit" -> "rtl")
+    "q_rate_limit" -> "rtl", "q_join_asof_fwd" -> "jaf")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

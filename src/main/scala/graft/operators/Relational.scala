@@ -161,6 +161,35 @@ object Relational {
         .orderBy(asc_nulls_last("event_id"))
     }),
 
+    // Forward as-of join WITH TOLERANCE: each click linked to the same
+    // user's NEXT purchase at-or-after it, kept only if it lands within
+    // 1 day — pandas merge_asof(direction='forward', tolerance), the
+    // attribution/conversion-linking shape. Same union+window linear
+    // form as q_join_asof, scanned in REVERSE time order so "last
+    // purchase seen" is the nearest future one (purchases sort before
+    // clicks at equal ts, so at-or-after includes the same instant);
+    // the tolerance is one comparison after the window — never a range
+    // join. One user_id shuffle.
+    "q_join_asof_fwd" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+      val w = Window.partitionBy("user_id")
+        .orderBy(desc_nulls_last("ts"), asc_nulls_last("is_click"),
+          desc_nulls_last("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.filter(col("event_type").isin("click", "purchase"))
+        .withColumn("is_click",
+          when(col("event_type") === "click", 1).otherwise(0))
+        .withColumn("nxt",
+          last(when(col("event_type") === "purchase", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("nxt") <= col("ts") + expr("INTERVAL 1 DAY"),
+            col("nxt")).as("next_purchase_ts"))
+        .orderBy(asc_nulls_last("event_id"))
+    }),
+
     // ---- aggregations --------------------------------------------------
     "q_agg_hash" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -378,6 +407,20 @@ object Relational {
         |     AND s.ts <= p.ts) AS asof_signup_ts
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id ASC NULLS LAST""".stripMargin,
+
+    // States the semantics directly (earliest future purchase, kept
+    // inside tolerance) — the correlated form the window rewrite must
+    // equal.
+    "q_join_asof_fwd" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+        |  CASE WHEN (SELECT min(p.ts) FROM events p
+        |      WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |        AND p.ts >= c.ts) <= c.ts + INTERVAL 1 DAY
+        |    THEN (SELECT min(p.ts) FROM events p
+        |      WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |        AND p.ts >= c.ts) END AS next_purchase_ts
+        |FROM events c WHERE c.event_type = 'click'
+        |ORDER BY c.event_id ASC NULLS LAST""".stripMargin,
 
     "q_agg_hash" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -39,6 +39,29 @@ class OperatorsSpec extends SparkSpec {
       !($"asof_signup_ts" <=> $"expect")).count() == 0)
   }
 
+  test("forward as-of join picks the earliest purchase at-or-after each " +
+      "click and nulls it beyond the 1-day tolerance") {
+    import spark.implicits._
+    val out = Relational.queries("q_join_asof_fwd")(spark, sf)
+    val e = Tables.table(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "ts")
+    val c = e.filter($"event_type" === "click")
+      .select($"event_id", $"user_id".as("cu"), $"ts".as("cts"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"))
+    val brute2 = c.join(p, $"cu" === $"pu" && $"pts" >= $"cts", "left")
+      .groupBy("event_id", "cts").agg(min("pts").as("nxt"))
+      .select(col("event_id"),
+        when(col("nxt") <= col("cts") + expr("INTERVAL 1 DAY"),
+          col("nxt")).as("expect"))
+    val joined = out.join(brute2, "event_id")
+    assert(joined.filter(!($"next_purchase_ts" <=> $"expect")).count() == 0)
+    assert(out.count() == c.count())
+    // the fixture exercises both arms: some linked, some out-of-tolerance
+    assert(out.filter($"next_purchase_ts".isNotNull).count() > 0)
+    assert(out.filter($"next_purchase_ts".isNull).count() > 0)
+  }
+
   test("set ops partition correctly (union = intersect + both excepts)") {
     val u = Relational.queries("q_union")(spark, sf).count()
     val i = Relational.queries("q_intersect")(spark, sf).count()
