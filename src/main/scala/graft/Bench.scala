@@ -34,7 +34,7 @@ object Bench {
     "_funcs" -> "_f", "session_dynamic" -> "sessdyn", "session" -> "sess",
     "broadcast" -> "bcast", "_exact" -> "_x", "analytic" -> "anl",
     "first_last" -> "fl", "fingerprint" -> "fprint",
-    "tokencount" -> "tokcnt", "tokenize" -> "tok", "repetition" -> "rep",
+    "tokencount" -> "tokcnt", "tokenize" -> "tk", "repetition" -> "rep",
     "stratified" -> "strat", "grouping_sets" -> "gsets",
     "scalar_subquery" -> "scalsub", "in_subquery" -> "insub",
     "exists_subquery" -> "existsub", "pii_redact" -> "pii",
@@ -42,7 +42,7 @@ object Bench {
     "distinct" -> "dist", "neighbors" -> "nbrs", "shuffle" -> "shuf",
     "quality" -> "qual", "salted_" -> "", "set_unset_lookup" -> "setlkp",
     "topk_per_group" -> "topkgrp", "explode_outer" -> "explout",
-    "docfreq" -> "df", "minmax_by" -> "minmax", "moments" -> "mom",
+    "docfreq" -> "df", "minmax_by" -> "minmax", "moments" -> "mo",
     "pipeline" -> "pipe", "features" -> "feat", "headers" -> "hdrs",
     "sessionize" -> "sessz", "bigrams" -> "bigr", "block" -> "blk",
     "weighted" -> "wtd", "sequences" -> "seqs", "outer_join" -> "oj",
@@ -57,9 +57,9 @@ object Bench {
     * the driver's tail buffer as the query count grows (legend:
     * BASELINE.md §bench name legend). */
   private val overrides = Map(
-    "q_stateful_sessionize" -> "sfz", "q_date_arith" -> "dar",
-    "q_embed_norm" -> "enm", "q_setops_all" -> "set",
-    "q_sort_limit" -> "sli", "q_split_hash" -> "sph",
+    "q_stateful_sessionize" -> "sfz", "q_date_arith" -> "da",
+    "q_embed_norm" -> "en", "q_setops_all" -> "set",
+    "q_sort_limit" -> "sl", "q_split_hash" -> "sp",
     "q_sql_exists_subquery" -> "sxs",
     "q_stream_session_dynamic" -> "sdy",
     "q_agg_approx_distinct" -> "apx", "q_agg_collect" -> "acl",
@@ -67,78 +67,80 @@ object Bench {
     "q_dedup_simhash" -> "dsh", "q_intersect" -> "isc",
     "q_pack_sequences" -> "pck", "q_quality_gopher" -> "gop",
     "q_sample_stratified" -> "smp", "q_scan_pruned" -> "spr",
-    "q_sql_scalar_subquery" -> "ssc", "q_udf_scala" -> "udf",
-    "q_udtf_explode" -> "udt", "q_url_parse" -> "url",
+    "q_sql_scalar_subquery" -> "ssc", "q_udf_scala" -> "uf",
+    "q_udtf_explode" -> "udt", "q_url_parse" -> "ur",
     "q_agg_having" -> "ahv", "q_agg_minmax_by" -> "amm",
     "q_agg_rollup" -> "arl", "q_ann_neighbors" -> "anb",
     "q_array_funcs" -> "arf", "q_array_funcs2" -> "af2",
     "q_condition_block" -> "cbk", "q_conditional_agg" -> "cgg",
     "q_decontaminate" -> "dcn", "q_dedup_clusters" -> "dcl",
-    "q_dedup_spans" -> "dsp", "q_sql_grouping_sets" -> "s_gs",
-    "q_join_broadcast" -> "j_bc", "q_multimodal_features" -> "mft",
+    "q_dedup_spans" -> "dsp", "q_sql_grouping_sets" -> "sgs",
+    "q_join_broadcast" -> "jbc", "q_multimodal_features" -> "mft",
     "q_multimodal_headers" -> "mhd", "q_multimodal_join" -> "mmj",
     "q_text_fingerprint" -> "tfp", "q_text_tokencount" -> "ttc",
     "q_stats_histogram" -> "hst", "q_stream_tumbling" -> "stu",
     "q_stream_sliding" -> "ssl", "q_filter_predicate" -> "flt",
-    "q_percentile_exact" -> "pcx", "q_explode_outer" -> "exo",
+    "q_percentile_exact" -> "pcx", "q_explode_outer" -> "eo",
     "q_median_exact" -> "mdx", "q_window_first_last" -> "wfl",
-    "q_embed_quantize" -> "eqt", "q_kmeans_iter" -> "kmn",
+    "q_embed_quantize" -> "eqt", "q_kmeans_iter" -> "km",
     "q_stream_static_join" -> "stj", "q_retention" -> "rtn",
-    "q_resample_ffill" -> "ffl", "q_vocab_per_lang" -> "vcb",
-    "q_source_quota" -> "sqt", "q_anomaly_mad" -> "mad",
+    "q_resample_ffill" -> "ffl", "q_vocab_per_lang" -> "vb",
+    "q_source_quota" -> "sqt", "q_anomaly_mad" -> "ma",
     "q_sql_lateral" -> "sla", "q_sql_recursive" -> "sre",
-    "q_sketch_countmin" -> "cms", "q_sketch_bloom" -> "blm",
-    "q_simsearch_topk" -> "stk", "q_stats_corr" -> "cor",
+    "q_sketch_countmin" -> "cm", "q_sketch_bloom" -> "bl",
+    "q_simsearch_topk" -> "sk", "q_stats_corr" -> "cor",
     "q_stream_dedup" -> "std", "q_template_pipeline" -> "tpl",
     "q_text_langid" -> "tld", "q_udaf_weighted" -> "uda",
-    "q_ann_ivf" -> "ivf", "q_ann_lsh" -> "lsh", "q_bitwise" -> "btw",
+    "q_ann_ivf" -> "iv", "q_ann_lsh" -> "ls", "q_bitwise" -> "btw",
     "q_date_funcs2" -> "df2", "q_dedup_embed" -> "dmb",
     "q_dedup_ngram" -> "dng", "q_dedup_pairs" -> "dpr",
     "q_join_outer" -> "jou", "q_join_range" -> "jrn",
-    "q_regex_extract" -> "rx_e", "q_scan_project" -> "sc_p",
-    "q_skew_salted_join" -> "sk_j", "q_sql_in_subquery" -> "s_in",
-    "q_stats_moments" -> "mom", "q_stream_join" -> "stj2",
+    "q_regex_extract" -> "rxe", "q_scan_project" -> "scp",
+    "q_skew_salted_join" -> "skj", "q_sql_in_subquery" -> "sin",
+    "q_stats_moments" -> "mo", "q_stream_join" -> "sj2",
     "q_stream_session" -> "sts", "q_text_chunk" -> "tck",
     "q_text_dedup" -> "tdd", "q_text_stats" -> "tst",
     "q_text_tfidf" -> "tfi", "q_topk_per_group" -> "tpk",
     "q_unpivot" -> "unp", "q_window_frame" -> "wfr",
     "q_window_ntile" -> "wnt", "q_window_range" -> "wrn",
     "q_scd2_intervals" -> "sc2", "q_path_per_session" -> "pth",
-    "q_upsert_latest" -> "ups", "q_text_bigram_prob" -> "tbp",
+    "q_upsert_latest" -> "ups", "q_text_bigram_prob" -> "tb",
     "q_stats_regression" -> "rgr", "q_dedup_minhash_est" -> "dmh",
-    "q_markov_transition" -> "mkv", "q_concurrency_peak" -> "cnc",
+    "q_markov_transition" -> "mk", "q_concurrency_peak" -> "cc",
     "q_window_time_range" -> "wtr", "q_mixture_weights" -> "mxw",
     "q_label_balance" -> "lbl", "q_text_clean" -> "tcl",
-    "q_ann_ivf_nprobe" -> "iv2", "q_embed_rp" -> "erp",
+    "q_ann_ivf_nprobe" -> "iv2", "q_embed_rp" -> "er",
     "q_agg_bool" -> "abl", "q_agg_cube" -> "acb",
     "q_agg_distinct" -> "ads", "q_agg_hash" -> "ash",
     "q_agg_mode" -> "amd", "q_date_funcs" -> "daf",
-    "q_except" -> "exc", "q_funnel" -> "fnl",
+    "q_except" -> "ex", "q_funnel" -> "fn",
     "q_join_anti" -> "jan", "q_join_asof" -> "jas",
     "q_join_full" -> "jfu", "q_join_semi" -> "jse",
     "q_join_shuffle" -> "jsh", "q_json_funcs" -> "jsf",
     "q_math_funcs" -> "mtf", "q_null_funcs" -> "nuf",
     "q_regex_sub" -> "rxs", "q_set_unset_lookup" -> "slk",
     "q_skew_salted_agg" -> "skg", "q_string_funcs" -> "stf",
-    "q_string_funcs2" -> "sf2", "q_text_bigrams" -> "tbg",
+    "q_string_funcs2" -> "sf2", "q_text_bigrams" -> "bg",
     "q_text_gini" -> "tgn", "q_text_quality" -> "tql",
     "q_window_cume" -> "wcu", "q_window_rank" -> "wrk",
-    "q_map_funcs" -> "maf", "q_pivot" -> "pvt",
+    "q_map_funcs" -> "maf", "q_pivot" -> "pv",
     "q_sql_cte" -> "sct", "q_stream_outer_join" -> "soj",
     "q_text_pii_redact" -> "tpi", "q_text_repetition" -> "trp",
-    "q_text_tokenize" -> "tok", "q_union" -> "uni",
+    "q_text_tokenize" -> "tk", "q_union" -> "un",
     "q_window_analytic" -> "wan",
-    "q_ann_ivf_curve" -> "ivc", "q_ann_recall" -> "rcl",
-    "q_ann_recall_multi" -> "rcm", "q_text_lm_score" -> "tlm",
-    "q_join_interval" -> "jin", "q_graph_pagerank" -> "pgr",
-    "q_ann_pq" -> "pq", "q_rolling_distinct" -> "rdu",
-    "q_graph_triangles" -> "tri", "q_join_bloom" -> "jbl",
-    "q_text_pmi" -> "pmi", "q_ann_ivfpq" -> "ipq",
-    "q_sample_weighted" -> "swt", "q_text_winnow" -> "twn",
-    "q_stats_ttest" -> "ttw", "q_graph_jaccard" -> "gjc",
-    "q_agg_bitmap" -> "abm",
-    "q_ann_pq_recall" -> "pqr", "q_window_rolling_median" -> "wrm",
-    "q_rate_limit" -> "rtl", "q_join_asof_fwd" -> "jaf")
+    "q_ann_ivf_curve" -> "ivc", "q_ann_recall" -> "rc",
+    "q_ann_recall_multi" -> "rm", "q_text_lm_score" -> "lm",
+    "q_join_interval" -> "jin", "q_graph_pagerank" -> "pg",
+    "q_ann_pq" -> "pq", "q_rolling_distinct" -> "rd",
+    "q_graph_triangles" -> "tr", "q_join_bloom" -> "jb",
+    "q_text_pmi" -> "pm", "q_ann_ivfpq" -> "ip",
+    "q_sample_weighted" -> "sw", "q_text_winnow" -> "tw",
+    "q_stats_ttest" -> "tt", "q_graph_jaccard" -> "gj",
+    "q_agg_bitmap" -> "ab",
+    "q_ann_pq_recall" -> "pr", "q_window_rolling_median" -> "wm",
+    "q_rate_limit" -> "rl", "q_join_asof_fwd" -> "jf",
+    "q_dedup_survivor" -> "dv", "q_gap_stats" -> "ga",
+    "q_text_docfreq" -> "df", "q_sql_q3" -> "q3", "q_sql_q5" -> "q5")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

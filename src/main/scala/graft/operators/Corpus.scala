@@ -177,6 +177,27 @@ object Corpus {
           (col("id") === col("lbl")).as("survivor"))
         .orderBy(asc_nulls_last("doc_id"))),
 
+    // The production dedup POLICY on top of the clusters: each duplicate
+    // cluster keeps its best-QUALITY member (longest document, doc_id
+    // tie-break) — not the arbitrary min-id — the canonical-copy
+    // selection a curation pipeline actually ships. One quality join on
+    // doc_id + a per-cluster top-1 window over cluster-sized groups.
+    "q_dedup_survivor" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val clusters = connectedComponents(
+        TextDedup.nearDuplicates(docs).select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(desc_nulls_last("n_chars"), asc_nulls_last("doc_id"))
+      clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("_rn", row_number().over(w))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("_rn") === 1, col("doc_id"))).as("survivor_id"),
+          max(when(col("_rn") === 1, col("n_chars"))).as("survivor_chars"))
+        .orderBy(asc_nulls_last("cluster"))
+    }),
+
     // PageRank (2 Jacobi iterations, damping 0.85) over the near-dup
     // graph — the centrality signal a dedup pipeline uses to pick the
     // CANONICAL copy of a duplicate cluster (highest-rank member ≈ most
@@ -494,7 +515,9 @@ object Corpus {
     * ids) IS the component minimum — a true fixed point, matching the
     * Spark side's converge-until-stable propagation on ANY graph shape.
     * Closure size is Σ component_size², fine for near-dup clusters. */
-  private def clustersOracle: String =
+  /** Shared recursive-closure CTE prefix (q_dedup_clusters,
+    * q_dedup_survivor): `reach` accumulates every reachable label. */
+  private def clustersCtes: String =
     s"""WITH RECURSIVE pairs AS (
        |${TextOps.dedupPairsSubquery}
        |), e0 AS (
@@ -508,11 +531,33 @@ object Corpus {
        |  UNION
        |  SELECT e.src AS id, r.lbl
        |  FROM e0 e JOIN reach r ON r.id = e.dst
-       |)
-       |SELECT id AS doc_id, min(lbl) AS cluster,
-       |  id = min(lbl) AS survivor
-       |FROM reach GROUP BY id
-       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+       |)""".stripMargin
+
+  private def clustersOracle: String =
+    clustersCtes +
+      """
+        |SELECT id AS doc_id, min(lbl) AS cluster,
+        |  id = min(lbl) AS survivor
+        |FROM reach GROUP BY id
+        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** Same closure, then the quality-ranked canonical pick per cluster. */
+  private def survivorOracle: String =
+    clustersCtes +
+      """
+        |, cl AS (
+        |  SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id
+        |), r AS (
+        |  SELECT cl.cluster, cl.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY cl.cluster
+        |      ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
+        |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+        |)
+        |SELECT cluster, COUNT(*) AS n_members,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+        |  max(CASE WHEN rn = 1 THEN n_chars END) AS survivor_chars
+        |FROM r GROUP BY cluster
+        |ORDER BY cluster ASC NULLS LAST""".stripMargin
 
   /** Two unrolled integer-scaled power iterations (same constants as the
     * Spark side; // is DuckDB floor division, exact on the non-negative
@@ -600,6 +645,7 @@ object Corpus {
 
   val oracle: Map[String, String] = Map(
     "q_dedup_clusters" -> clustersOracle,
+    "q_dedup_survivor" -> survivorOracle,
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_triangles" -> trianglesOracle,
     "q_graph_jaccard" -> graphJaccardOracle,

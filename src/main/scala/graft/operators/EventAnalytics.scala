@@ -335,6 +335,29 @@ object EventAnalytics {
         .orderBy(asc_nulls_last("user_id"), asc_nulls_last("day"))
     }),
 
+    // Per-user inter-arrival gap statistics — the traffic-shape panel
+    // (burstiness, dormancy, bot cadence) behind rate limits and session
+    // gap tuning. Gaps are exact integer µs from one lag window; count,
+    // min, max and sum stay integers and the mean is ONE IEEE division —
+    // nothing to decimal-route. One user_id shuffle.
+    "q_gap_stats" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("tsu"), asc_nulls_last("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsu"))
+        .withColumn("gap", col("tsu") - lag("tsu", 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          min("gap").as("min_gap_us"),
+          max("gap").as("max_gap_us"),
+          sum("gap").as("sum_gap_us"))
+        .withColumn("mean_gap_us",
+          col("sum_gap_us").cast("double") / col("n_gaps"))
+        .orderBy(asc_nulls_last("user_id"))
+    }),
+
     // Rolling exact median of each user's trailing 5 values — the robust
     // smoother time-series pipelines use where a rolling MEAN chases
     // spikes (and where q_anomaly_mad needs its center). No built-in
@@ -625,6 +648,23 @@ object EventAnalytics {
          |    AS filled
          |FROM j
          |ORDER BY user_id ASC NULLS LAST, day ASC NULLS LAST""".stripMargin,
+
+    "q_gap_stats" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts) ASC NULLS LAST,
+        |        event_id ASC NULLS LAST) AS gap
+        |  FROM events
+        |)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |  min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+        |  CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+        |  CAST(CAST(SUM(gap) AS BIGINT) AS DOUBLE) / COUNT(*)
+        |    AS mean_gap_us
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id ASC NULLS LAST""".stripMargin,
 
     // list() over the same ROWS frame, lower median by 1-based
     // subscript; (n+1)//2 is Spark's (n+1) DIV 2.

@@ -556,6 +556,48 @@ class OperatorsSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("q_dedup_survivor keeps each cluster's best-quality member") {
+    import spark.implicits._
+    val out = Corpus.queries("q_dedup_survivor")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    val clusters = Corpus.connectedComponents(
+        TextDedup.nearDuplicates(Tables.table(spark, sf, "documents"))
+          .select("id_a", "id_b"))
+      .select("id", "lbl").as[(Long, Long)].collect()
+    clusters.groupBy(_._2).foreach { case (cl, members) =>
+      val ids = members.map(_._1)
+      val best = ids.map(id => (docs(id), id))
+        .maxBy { case (nc, id) => (nc, -id) }
+      assert(out(cl) == ((ids.length.toLong, best._2, best._1)),
+        s"cluster $cl")
+    }
+    assert(out.size == clusters.map(_._2).distinct.length)
+  }
+
+  test("q_gap_stats equals a plain-Scala inter-arrival recomputation") {
+    import spark.implicits._
+    val out = EventAnalytics.queries("q_gap_stats")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    val evs = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .as[(Long, Long, Long)].collect()
+    evs.groupBy(_._1).foreach { case (u, rows) =>
+      val ts = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val gaps = ts.sliding(2).collect { case Array(a, b) => b - a }.toSeq
+      if (gaps.nonEmpty) {
+        val sum = gaps.sum
+        assert(out(u) == ((gaps.length.toLong, gaps.min, gaps.max, sum,
+          sum.toDouble / gaps.length)), s"user $u")
+      } else assert(!out.contains(u))
+    }
+  }
+
   test("q_text_pmi matches a plain-Scala recomputation") {
     import spark.implicits._
     val out = TextOps.queries("q_text_pmi")(spark, sf).collect().map(r =>
