@@ -170,6 +170,29 @@ object EventAnalytics {
         .orderBy(asc_nulls_last("user_id"))
     }),
 
+    // Time-to-convert statistics over the funnel stage times — the
+    // latency half of funnel analysis (how LONG each conversion step
+    // takes, not just how many make it). Exact integer µs differences
+    // per user, stacked into one (transition, dt) stream; count/min/max/
+    // sum stay integers and the mean is ONE IEEE division. Reuses the
+    // declared q_funnel plan; the stack explode is ×2 and the aggregate
+    // output is 2 rows at any corpus size.
+    "q_funnel_time" -> ((s, d) =>
+      queries("q_funnel")(s, d)
+        .select(expr(
+          "stack(2, " +
+            "'click_to_purchase', unix_micros(p_ts) - unix_micros(c_ts), " +
+            "'signup_to_click', unix_micros(c_ts) - unix_micros(s_ts)) " +
+            "AS (transition, dt)"))
+        .filter(col("dt").isNotNull)
+        .groupBy("transition")
+        .agg(count(lit(1)).as("n_users"),
+          min("dt").as("min_us"), max("dt").as("max_us"),
+          sum("dt").as("sum_us"))
+        .withColumn("mean_us",
+          col("sum_us").cast("double") / col("n_users"))
+        .orderBy(asc_nulls_last("transition"))),
+
     // Cohort retention: users grouped by first-seen day; a cohort cell
     // (cohort_day, day_offset) counts the distinct users active exactly
     // offset days after their first day. Bounded to offsets 0-14 so the
@@ -648,6 +671,38 @@ object EventAnalytics {
          |    AS filled
          |FROM j
          |ORDER BY user_id ASC NULLS LAST, day ASC NULLS LAST""".stripMargin,
+
+    // The funnel oracle's stage CTEs re-joined for the per-user diffs;
+    // inner joins are exact because stage k only exists given stage k−1.
+    "q_funnel_time" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        |  GROUP BY e.user_id
+        |), d AS (
+        |  SELECT 'signup_to_click' AS transition,
+        |    epoch_us(c.c_ts) - epoch_us(s.s_ts) AS dt
+        |  FROM c JOIN s ON c.user_id = s.user_id
+        |  UNION ALL
+        |  SELECT 'click_to_purchase' AS transition,
+        |    epoch_us(p.p_ts) - epoch_us(c.c_ts) AS dt
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |)
+        |SELECT transition, COUNT(*) AS n_users,
+        |  min(dt) AS min_us, max(dt) AS max_us,
+        |  CAST(SUM(dt) AS BIGINT) AS sum_us,
+        |  CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_us
+        |FROM d GROUP BY transition
+        |ORDER BY transition ASC NULLS LAST""".stripMargin,
 
     "q_gap_stats" ->
       """WITH g AS (

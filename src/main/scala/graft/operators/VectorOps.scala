@@ -551,6 +551,18 @@ object VectorOps {
         .orderBy(asc_nulls_last("vec_id"))
     }),
 
+    // LSH index-health diagnostic: the bucket-occupancy histogram at the
+    // q_ann_neighbors geometry (how many buckets hold how many vectors).
+    // Occupancy is THE operational dial of a bucketed ANN index — the
+    // within-bucket pair cost is quadratic in bucket size, so a fat tail
+    // here says "add planes / tables" long before queries slow down.
+    // Two slim keyed aggregates; output is at most |distinct sizes| rows.
+    "q_ann_bucket_stats" -> ((s, d) =>
+      annBuckets(t(s, d, "embeddings"), planes = NeighborPlanes)
+        .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+        .groupBy("n_vecs").agg(count(lit(1)).as("n_buckets"))
+        .orderBy(asc_nulls_last("n_vecs"))),
+
     // Random-projection dimensionality reduction (Achlioptas-style ±1
     // sign matrix): every vector projected onto 16 md5-derived sign
     // hyperplanes — the cheap JL-lemma reduction that precedes clustering
@@ -896,6 +908,32 @@ object VectorOps {
          |SELECT vec_id, nb_id, cosine FROM r WHERE rn <= 3
          |ORDER BY vec_id ASC NULLS LAST, cosine DESC NULLS LAST,
          |  nb_id ASC NULLS LAST""".stripMargin,
+
+    // The q_ann_neighbors bucket CTE with the occupancy double-group.
+    "q_ann_bucket_stats" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    unnest(generate_series(1, $EmbDim)) AS i
+         |  FROM embeddings
+         |), c AS (
+         |  SELECT vec_id, p.p AS p,
+         |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) *
+         |      (strpos('0123456789abcdef', substring(md5(
+         |        CAST(p.p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1))
+         |        - 1 - 7.5) AS DECIMAL(20,8))) AS DOUBLE) AS proj
+         |  FROM e, (SELECT unnest(range($NeighborPlanes)) AS p) p
+         |  GROUP BY vec_id, p.p
+         |), bk AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM c GROUP BY vec_id
+         |), occ AS (
+         |  SELECT bucket, COUNT(*) AS n_vecs FROM bk GROUP BY bucket
+         |)
+         |SELECT n_vecs, COUNT(*) AS n_buckets
+         |FROM occ GROUP BY n_vecs
+         |ORDER BY n_vecs ASC NULLS LAST""".stripMargin,
 
     // q_ann_ivf with a 2-cluster probe set: same exact-decimal assignment
     // argmax, but pc keeps the probe's TWO nearest centroids (rn <= 2).

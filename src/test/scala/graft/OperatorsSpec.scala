@@ -556,6 +556,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("q_funnel_time equals per-user diffs of the funnel stage times") {
+    // µs via unix_micros, not Timestamp.getTime (ms-truncated)
+    val f = EventAnalytics.queries("q_funnel")(spark, sf)
+      .select(unix_micros(col("s_ts")), unix_micros(col("c_ts")),
+        unix_micros(col("p_ts")))
+      .collect()
+    def us(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i - 1)) None else Some(r.getLong(i - 1))
+    val sc = f.flatMap(r => for (s <- us(r, 1); c <- us(r, 2)) yield c - s)
+    val cp = f.flatMap(r => for (c <- us(r, 2); p <- us(r, 3)) yield p - c)
+    val out = EventAnalytics.queries("q_funnel_time")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(out("signup_to_click") == ((sc.length.toLong, sc.min, sc.max,
+      sc.sum, sc.sum.toDouble / sc.length)))
+    assert(out("click_to_purchase") == ((cp.length.toLong, cp.min, cp.max,
+      cp.sum, cp.sum.toDouble / cp.length)))
+    assert(sc.forall(_ >= 0L) && cp.forall(_ >= 0L))
+  }
+
+  test("q_ann_bucket_stats histogram sums back to the corpus") {
+    val out = VectorOps.queries("q_ann_bucket_stats")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nVecs = Tables.table(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull).count()
+    assert(out.map { case (sz, n) => sz * n }.sum == nVecs)
+    assert(out.map(_._2).sum <= 64L) // at most 2^6 buckets at planes=6
+  }
+
   test("q_dedup_survivor keeps each cluster's best-quality member") {
     import spark.implicits._
     val out = Corpus.queries("q_dedup_survivor")(spark, sf).collect()
