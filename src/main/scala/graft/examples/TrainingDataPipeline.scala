@@ -9,8 +9,9 @@ import graft.operators.{TextDedup, VectorOps}
 /** End-to-end showcase: the training-data curation pipeline this engine
   * exists for, composed from the library's building blocks as ONE job.
   *
-  *   raw docs → exact dedup → near-dup removal (MinHash LSH) → quality +
-  *   language gate → PII redaction → token accounting → embedding join →
+  *   raw docs → exact dedup → near-dup collapse (MinHash LSH →
+  *   connected components → quality survivor) → quality + language
+  *   gate → PII redaction → token accounting → embedding join →
   *   ANN bucket assignment → reproducible train/test split → curated
   *   corpus, partitioned for downstream training.
   *
@@ -28,10 +29,23 @@ object TrainingDataPipeline {
     // 1. exact dedup (deterministic lowest-id survivor)
     val exact = TextDedup.exactDedup(docs)
 
-    // 2. near-dup removal: drop the higher id of every LSH-verified pair
-    val nearDupIds = TextDedup.nearDuplicates(exact, threshold = 0.85)
-      .select(col("id_b").as("doc_id")).distinct()
-    val deduped = exact.join(nearDupIds, Seq("doc_id"), "left_anti")
+    // 2. near-dup collapse with the QUALITY survivor policy
+    // (q_dedup_survivor): LSH-verified pairs → connected components →
+    // each duplicate cluster keeps its LONGEST member, so the corpus
+    // loses duplicates, not content (pairwise higher-id dropping can
+    // delete a whole chain including its best copy)
+    val pairs = TextDedup.nearDuplicates(exact, threshold = 0.85)
+      .select("id_a", "id_b")
+    val clusters = graft.operators.Corpus.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+    val losers = clusters
+      .join(exact.select("doc_id", "n_chars"), "doc_id")
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+          .orderBy(desc_nulls_last("n_chars"), asc_nulls_last("doc_id"))))
+      .filter(col("_rn") > 1)
+      .select("doc_id")
+    val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
 
     // 3. quality + language gate (cheap codegen'd predicates)
     val gated = deduped
