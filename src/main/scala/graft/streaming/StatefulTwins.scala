@@ -181,6 +181,58 @@ object StatefulTwins {
       }
   }
 
+  case class FEv(user_id: Long, event_id: Long, event_type: String,
+      tsu: Long)
+
+  case class FunState(s: Option[Long], c: Option[Long], p: Option[Long])
+
+  case class FunStage(user_id: Long, stage: Long, s_ts: Option[Long],
+      c_ts: Option[Long], p_ts: Option[Long])
+
+  /** Streaming twin of q_funnel: the ordered-stage machine kept as
+    * per-user state — first signup arms the funnel, the first click
+    * at-or-after it converts stage 1→2, the first purchase at-or-after
+    * that converts 2→3; the batch multi-join computes the same minima
+    * declaratively. Ties sort signup < click < purchase so an equal-µs
+    * pair converts within one pass exactly like the batch `>=`
+    * predicates. Update mode: the LAST emission per user equals the
+    * batch row. State is three optional timestamps per user. */
+  def funnelStream(ev: Dataset[FEv]): Dataset[FunStage] = {
+    import ev.sparkSession.implicits._
+    val prio = Map("signup" -> 0, "click" -> 1, "purchase" -> 2)
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunState, FunStage](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[FEv], state: GroupState[FunState]) =>
+          val evs = it.toVector.sortBy(e =>
+            (e.tsu, prio.getOrElse(e.event_type, 3), e.event_id))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(FunState(None, None, None))
+            evs.foreach { e =>
+              e.event_type match {
+                case "signup" if st.s.isEmpty =>
+                  st = st.copy(s = Some(e.tsu))
+                case "click" if st.c.isEmpty
+                    && st.s.exists(_ <= e.tsu) =>
+                  st = st.copy(c = Some(e.tsu))
+                case "purchase" if st.p.isEmpty
+                    && st.c.exists(_ <= e.tsu) =>
+                  st = st.copy(p = Some(e.tsu))
+                case _ => ()
+              }
+            }
+            state.update(st)
+            val stage =
+              if (st.s.isEmpty) 0L
+              else if (st.c.isEmpty) 1L
+              else if (st.p.isEmpty) 2L
+              else 3L
+            Iterator.single(FunStage(uid, stage, st.s, st.c, st.p))
+          }
+      }
+  }
+
   case class RlEv(user_id: Long, event_id: Long, tsu: Long)
 
   case class RlState(tokens: Long, prev: Long)

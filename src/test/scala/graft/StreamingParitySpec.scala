@@ -341,6 +341,54 @@ class StreamingParitySpec extends SparkSpec {
     assert(stream(java.time.LocalDate.parse("2024-01-20").toEpochDay) == 2L)
   }
 
+  test("funnel stage machine: streamed state equals the batch " +
+      "multi-join over the real events table") {
+    import graft.operators.EventAnalytics
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventAnalytics.queries("q_funnel")(spark, sf)
+      .select(col("user_id"), col("stage"),
+        unix_micros(col("s_ts")).as("s"), unix_micros(col("c_ts")).as("c"),
+        unix_micros(col("p_ts")).as("p"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    val obs = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+      .orderBy("tsu", "event_id").collect()
+      .map(r => StatefulTwins.FEv(r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3)))
+    val mem = MemoryStream[StatefulTwins.FEv]
+    val name = s"fun_${System.nanoTime()}"
+    val q = StatefulTwins.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .start()
+    val half = obs.length / 2
+    mem.addData(obs.take(half).toSeq)
+    q.processAllAvailable()
+    mem.addData(obs.drop(half).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // Update mode: the LAST emission per user is its final stage — stages
+    // only advance, so max(stage) + the stage times from any max row
+    val stream = spark.table(name).collect()
+      .groupBy(_.getLong(0)).map { case (u, rows) =>
+        val last = rows.maxBy(_.getLong(1))
+        def o(i: Int) = if (last.isNullAt(i)) None else Some(last.getLong(i))
+        u -> (last.getLong(1), o(2), o(3), o(4))
+      }.toMap
+    assert(stream == batch)
+    // sf0.001's dense traffic converts every user — full-funnel rows
+    // with all three stage times are the meaningful (non-vacuous) check
+    assert(stream.nonEmpty && stream.values.forall(v =>
+      v._1 != 3L || (v._2.isDefined && v._3.isDefined && v._4.isDefined)))
+    assert(stream.values.exists(_._1 == 3L))
+  }
+
   test("token-bucket rate limit: streamed state equals the batch " +
       "replay over the real events table") {
     import graft.operators.StreamShapes
