@@ -141,7 +141,8 @@ object Bench {
     "q_rate_limit" -> "rl", "q_join_asof_fwd" -> "jf",
     "q_dedup_survivor" -> "dv", "q_gap_stats" -> "ga",
     "q_text_docfreq" -> "df", "q_sql_q3" -> "q3", "q_sql_q5" -> "q5",
-    "q_funnel_time" -> "ft", "q_ann_bucket_stats" -> "bs")
+    "q_funnel_time" -> "ft", "q_ann_bucket_stats" -> "bs",
+    "q_seasonal_profile" -> "sn", "q_layout_zorder" -> "zo")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

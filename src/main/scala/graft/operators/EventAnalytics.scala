@@ -358,6 +358,20 @@ object EventAnalytics {
         .orderBy(asc_nulls_last("user_id"), asc_nulls_last("day"))
     }),
 
+    // Day-of-week × hour-of-day traffic profile — the seasonality
+    // matrix behind capacity planning and anomaly baselines (a spike is
+    // only a spike relative to its own weekday-hour cell). Day numbering
+    // is pinned to ISO (Monday=1..Sunday=7): Spark's weekday()+1 equals
+    // DuckDB's isodow, sidestepping the engines' different dayofweek
+    // conventions. One hash aggregate into a ≤ 7×24 grid.
+    "q_seasonal_profile" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy((expr("weekday(ts)") + 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n_events"),
+          Det.dsum(col("value")).as("sum_value"))
+        .orderBy(asc_nulls_last("dow"), asc_nulls_last("hod"))),
+
     // Per-user inter-arrival gap statistics — the traffic-shape panel
     // (burstiness, dormancy, bot cadence) behind rate limits and session
     // gap tuning. Gaps are exact integer µs from one lag window; count,
@@ -703,6 +717,14 @@ object EventAnalytics {
         |  CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_us
         |FROM d GROUP BY transition
         |ORDER BY transition ASC NULLS LAST""".stripMargin,
+
+    "q_seasonal_profile" ->
+      s"""SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+         |  CAST(hour(ts) AS BIGINT) AS hod,
+         |  COUNT(*) AS n_events,
+         |  ${Det.sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY isodow(ts), hour(ts)
+         |ORDER BY dow ASC NULLS LAST, hod ASC NULLS LAST""".stripMargin,
 
     "q_gap_stats" ->
       """WITH g AS (

@@ -78,8 +78,43 @@ object Skew {
           graft.Tables.table(s, d, "customer"),
           "o_custkey", "c_custkey")
         .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
-        .orderBy(asc_nulls_last("o_orderkey")))
+        .orderBy(asc_nulls_last("o_orderkey"))),
+
+    // Z-order (Morton) clustering audit — the multi-column layout
+    // technique behind Delta/Iceberg OPTIMIZE ZORDER: interleaving the
+    // bits of two keys gives ONE sort order under which ranges of BOTH
+    // keys stay spatially local, so file skipping works for predicates
+    // on either column. The query computes the 32-bit interleaved
+    // z-value of (orderkey, partkey) low 16 bits per lineitem row, then
+    // audits locality per z-range bucket: each bucket's min/max span of
+    // BOTH keys (narrow spans = the skipping win; a single-column sort
+    // would leave the other key's span full-width). Pure integer bit
+    // arithmetic, generated identically for both engines; one hash
+    // aggregate into z-range buckets (2^18-wide cells).
+    "q_layout_zorder" -> ((s, d) => {
+      graft.Tables.table(s, d, "lineitem")
+        .withColumn("zv", expr(zExpr("l_orderkey", "l_partkey")))
+        .groupBy(expr("zv DIV 262144").cast("long").as("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(expr("l_orderkey % 65536")).as("ok_min"),
+          max(expr("l_orderkey % 65536")).as("ok_max"),
+          min(expr("l_partkey % 65536")).as("pk_min"),
+          max(expr("l_partkey % 65536")).as("pk_max"))
+        .orderBy(asc_nulls_last("z_bucket"))
+    })
   )
+
+  /** 32-bit Morton interleave of the low 16 bits of two BIGINT columns:
+    * bit i of x lands at position 2i, bit i of y at 2i+1 — generated as
+    * a 32-term integer sum so the SAME text runs on Spark and DuckDB
+    * (both: >> & << on BIGINT). */
+  def zExpr(x: String, y: String): String =
+    // every term fully parenthesized: DuckDB binds + TIGHTER than <<,
+    // so an unparenthesized `a << 0 + b << 1` chain becomes giant shifts
+    (0 until 16).flatMap { i =>
+      Seq(s"(((($x % 65536) >> $i) & 1) << ${2 * i})",
+        s"(((($y % 65536) >> $i) & 1) << ${2 * i + 1})")
+    }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
     "q_skew_salted_agg" ->
@@ -91,6 +126,19 @@ object Skew {
     "q_skew_salted_join" ->
       """SELECT o_orderkey, o_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+
+    // The identical generated Morton expression; // is DuckDB's DIV.
+    "q_layout_zorder" ->
+      s"""SELECT CAST(${zExpr("l_orderkey", "l_partkey")} // 262144
+         |    AS BIGINT) AS z_bucket,
+         |  COUNT(*) AS n_rows,
+         |  min(l_orderkey % 65536) AS ok_min,
+         |  max(l_orderkey % 65536) AS ok_max,
+         |  min(l_partkey % 65536) AS pk_min,
+         |  max(l_partkey % 65536) AS pk_max
+         |FROM lineitem
+         |GROUP BY 1
+         |ORDER BY z_bucket ASC NULLS LAST""".stripMargin
   )
 }

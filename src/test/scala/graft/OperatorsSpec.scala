@@ -586,6 +586,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_._2).sum <= 64L) // at most 2^6 buckets at planes=6
   }
 
+  test("q_seasonal_profile covers the ISO grid and accounts every event") {
+    val out = EventAnalytics.queries("q_seasonal_profile")(spark, sf)
+      .collect()
+    assert(out.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 7))
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 23))
+    assert(out.map(_.getLong(2)).sum ==
+      Tables.table(spark, sf, "events").count())
+    assert(out.length <= 7 * 24)
+  }
+
+  test("q_layout_zorder buckets bound BOTH key spans (the locality " +
+      "guarantee a single-column sort cannot give)") {
+    val out = Skew.queries("q_layout_zorder")(spark, sf).collect()
+    // an aligned 2^18-wide z-cell interleaves 9 bits of each key, so
+    // within one bucket each key spans < 2^9
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3)
+        && r.getLong(3) - r.getLong(2) < 512, s"orderkey span: $r")
+      assert(r.getLong(4) <= r.getLong(5)
+        && r.getLong(5) - r.getLong(4) < 512, s"partkey span: $r")
+    }
+    assert(out.map(_.getLong(1)).sum ==
+      Tables.table(spark, sf, "lineitem").count())
+  }
+
   test("q_dedup_survivor keeps each cluster's best-quality member") {
     import spark.implicits._
     val out = Corpus.queries("q_dedup_survivor")(spark, sf).collect()
