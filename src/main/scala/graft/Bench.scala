@@ -49,7 +49,7 @@ object Bench {
     "histogram" -> "hst", "containment" -> "contain",
     "tumbling" -> "tumbl", "decontaminate" -> "decontam",
     "clusters" -> "clus",
-    "explode" -> "expl", "gopher" -> "gop", "extract" -> "extr",
+    "explode" -> "expl", "gopher" -> "go", "extract" -> "extr",
     "project" -> "proj", "sliding" -> "slide")
 
   /** Explicit short names for the longest entries — consulted before the
@@ -60,15 +60,15 @@ object Bench {
     "q_stateful_sessionize" -> "sfz", "q_date_arith" -> "da",
     "q_embed_norm" -> "en", "q_setops_all" -> "set",
     "q_sort_limit" -> "sl", "q_split_hash" -> "sp",
-    "q_sql_exists_subquery" -> "sxs",
-    "q_stream_session_dynamic" -> "sdy",
-    "q_agg_approx_distinct" -> "apx", "q_agg_collect" -> "acl",
-    "q_dedup_containment" -> "dct", "q_dedup_minhash" -> "dmq",
-    "q_dedup_simhash" -> "dsh", "q_intersect" -> "isc",
-    "q_pack_sequences" -> "pck", "q_quality_gopher" -> "gop",
-    "q_sample_stratified" -> "smp", "q_scan_pruned" -> "spr",
-    "q_sql_scalar_subquery" -> "ssc", "q_udf_scala" -> "uf",
-    "q_udtf_explode" -> "udt", "q_url_parse" -> "ur",
+    "q_sql_exists_subquery" -> "sx",
+    "q_stream_session_dynamic" -> "sd",
+    "q_agg_approx_distinct" -> "apx", "q_agg_collect" -> "al",
+    "q_dedup_containment" -> "dc", "q_dedup_minhash" -> "dmq",
+    "q_dedup_simhash" -> "dsh", "q_intersect" -> "is",
+    "q_pack_sequences" -> "pk", "q_quality_gopher" -> "go",
+    "q_sample_stratified" -> "smp", "q_scan_pruned" -> "sr",
+    "q_sql_scalar_subquery" -> "ss", "q_udf_scala" -> "uf",
+    "q_udtf_explode" -> "ud", "q_url_parse" -> "ur",
     "q_agg_having" -> "ahv", "q_agg_minmax_by" -> "amm",
     "q_agg_rollup" -> "arl", "q_ann_neighbors" -> "anb",
     "q_array_funcs" -> "arf", "q_array_funcs2" -> "af2",
@@ -94,7 +94,7 @@ object Bench {
     "q_ann_ivf" -> "iv", "q_ann_lsh" -> "ls", "q_bitwise" -> "btw",
     "q_date_funcs2" -> "df2", "q_dedup_embed" -> "dmb",
     "q_dedup_ngram" -> "dng", "q_dedup_pairs" -> "dpr",
-    "q_join_outer" -> "jou", "q_join_range" -> "jrn",
+    "q_join_outer" -> "jo", "q_join_range" -> "jr",
     "q_regex_extract" -> "rxe", "q_scan_project" -> "scp",
     "q_skew_salted_join" -> "skj", "q_sql_in_subquery" -> "sin",
     "q_stats_moments" -> "mo", "q_stream_join" -> "sj2",
@@ -142,7 +142,8 @@ object Bench {
     "q_dedup_survivor" -> "dv", "q_gap_stats" -> "ga",
     "q_text_docfreq" -> "df", "q_sql_q3" -> "q3", "q_sql_q5" -> "q5",
     "q_funnel_time" -> "ft", "q_ann_bucket_stats" -> "bs",
-    "q_seasonal_profile" -> "sn", "q_layout_zorder" -> "zo")
+    "q_seasonal_profile" -> "sn", "q_layout_zorder" -> "zo",
+    "q_stats_chi2" -> "x2")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -278,6 +278,39 @@ object Extended {
     // intercept reuses the already-computed slope double: one multiply +
     // one divide of identically-derived doubles, bit-portable (proven by
     // the q_anomaly_mad precedent).
+    // Chi-squared independence of event_type × ISO weekday — "does
+    // traffic mix depend on the day?", the categorical sibling of
+    // q_stats_ttest. χ² = Σ (o·N − r·c)² / (r·c·N) over the contingency
+    // cells; floating SUM order is partition-dependent, so each cell's
+    // term is quantized to the exact integer
+    // floor((o·N − r·c)²·10⁶ / (r·c·N)) — the numerator squares through
+    // DECIMAL(38,0) (≈10²⁰ at the fixture scale, far under 38 digits)
+    // and Spark's DIV on decimals floor-divides exactly like DuckDB's //
+    // on HUGEINT — then summed as integers. One tiny cells aggregate,
+    // marginals as windows over the ≤ 7×|types| grid, grand totals as a
+    // 1-row broadcast (the q_stats_ttest shape). Output: one row with
+    // χ²·10⁻⁶, degrees of freedom and N.
+    "q_stats_chi2" -> ((s, d) => {
+      val cells = t(s, d, "events")
+        .groupBy(col("event_type"),
+          (expr("weekday(ts)") + 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val tot = broadcast(cells.agg(sum("o").as("n"))
+        .withColumn("_one", lit(1)))
+      cells
+        .withColumn("r", sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("c", sum("o").over(Window.partitionBy("dow")))
+        .withColumn("_one", lit(1))
+        .join(tot, "_one")
+        .withColumn("q", expr(
+          "CAST((CAST(o * n - r * c AS DECIMAL(38,0)) * (o * n - r * c) " +
+            "* 1000000) DIV (r * c * n) AS BIGINT)"))
+        .agg(sum("q").as("chi2_ppm"),
+          ((countDistinct(col("event_type")) - 1)
+            * (countDistinct(col("dow")) - 1)).as("dof"),
+          max(col("n")).as("n_events"))
+    }),
+
     // Welch's two-sample t statistic of each event type's `value` against
     // ALL OTHER traffic — the A/B-experiment readout (unequal variances,
     // unequal sizes). One pass: per-group exact-decimal (n, Σx, Σx²) plus
@@ -509,6 +542,28 @@ object Extended {
         |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
         |    * sqrt(n * syy - sy * sy)) AS corr
         |FROM g ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+
+    // Same cells/marginals/totals; HUGEINT squares, // floor division,
+    // integer sum — cell-order-independent by construction.
+    "q_stats_chi2" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+        |    COUNT(*) AS o
+        |  FROM events GROUP BY event_type, isodow(ts)
+        |), n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |m AS (
+        |  SELECT event_type, dow, o,
+        |    CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+        |    CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS c
+        |  FROM cells
+        |)
+        |SELECT CAST(SUM(((m.o * n.n - m.r * m.c)
+        |    * (m.o * n.n - m.r * m.c) * 1000000)
+        |    // (m.r * m.c * n.n)) AS BIGINT) AS chi2_ppm,
+        |  CAST((COUNT(DISTINCT m.event_type) - 1)
+        |    * (COUNT(DISTINCT m.dow) - 1) AS BIGINT) AS dof,
+        |  max(n.n) AS n_events
+        |FROM m, n""".stripMargin,
 
     // Same one-pass group + 1-row-total shape; the double tail is the
     // identical expression text (see the Spark-side determinism note).

@@ -505,6 +505,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out(12L)._1 && out(12L)._2 == 4L) // a week refills to CAP 5
   }
 
+  test("q_stats_chi2 matches a BigInt contingency recomputation") {
+    import spark.implicits._
+    val row = Extended.queries("q_stats_chi2")(spark, sf).head
+    val cells = Tables.table(spark, sf, "events")
+      .groupBy(col("event_type"),
+        (expr("weekday(ts)") + 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("o"))
+      .as[(String, Long, Long)].collect()
+    val n = BigInt(cells.map(_._3).sum)
+    val r = cells.groupBy(_._1).view.mapValues(c => BigInt(c.map(_._3).sum))
+    val c = cells.groupBy(_._2).view.mapValues(c => BigInt(c.map(_._3).sum))
+    val chi2 = cells.map { case (t, w, o) =>
+      val d = BigInt(o) * n - r(t) * c(w)
+      (d * d * 1000000) / (r(t) * c(w) * n)
+    }.sum
+    assert(BigInt(row.getLong(0)) == chi2)
+    assert(row.getLong(1) ==
+      (cells.map(_._1).distinct.length - 1).toLong *
+        (cells.map(_._2).distinct.length - 1))
+    assert(row.getLong(2) == cells.map(_._3).sum)
+  }
+
   test("q_stats_ttest matches a plain-Scala Welch recomputation " +
       "bit-for-bit") {
     import spark.implicits._

@@ -145,7 +145,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q_stats_ttest",
       // composes q_ann_ivfpq's bounded broadcasts with the 1-row exact
       // probe (the q_ann_ivf_curve ground-truth shape)
-      "q_ann_pq_recall")
+      "q_ann_pq_recall",
+      // 1-row broadcast of the contingency grand total — the
+      // q_stats_ttest shape
+      "q_stats_chi2")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
