@@ -69,14 +69,14 @@ object Bench {
     "q_sample_stratified" -> "smp", "q_scan_pruned" -> "sr",
     "q_sql_scalar_subquery" -> "ss", "q_udf_scala" -> "uf",
     "q_udtf_explode" -> "ud", "q_url_parse" -> "ur",
-    "q_agg_having" -> "ahv", "q_agg_minmax_by" -> "amm",
-    "q_agg_rollup" -> "arl", "q_ann_neighbors" -> "anb",
-    "q_array_funcs" -> "arf", "q_array_funcs2" -> "af2",
-    "q_condition_block" -> "cbk", "q_conditional_agg" -> "cgg",
-    "q_decontaminate" -> "dcn", "q_dedup_clusters" -> "dcl",
+    "q_agg_having" -> "ah", "q_agg_minmax_by" -> "amm",
+    "q_agg_rollup" -> "ar", "q_ann_neighbors" -> "an",
+    "q_array_funcs" -> "af", "q_array_funcs2" -> "af2",
+    "q_condition_block" -> "cb", "q_conditional_agg" -> "cg",
+    "q_decontaminate" -> "dn", "q_dedup_clusters" -> "dcl",
     "q_dedup_spans" -> "dsp", "q_sql_grouping_sets" -> "sgs",
-    "q_join_broadcast" -> "jbc", "q_multimodal_features" -> "mft",
-    "q_multimodal_headers" -> "mhd", "q_multimodal_join" -> "mmj",
+    "q_join_broadcast" -> "jbc", "q_multimodal_features" -> "mf",
+    "q_multimodal_headers" -> "mh", "q_multimodal_join" -> "mmj",
     "q_text_fingerprint" -> "tfp", "q_text_tokencount" -> "ttc",
     "q_stats_histogram" -> "hst", "q_stream_tumbling" -> "stu",
     "q_stream_sliding" -> "ssl", "q_filter_predicate" -> "flt",
@@ -143,7 +143,7 @@ object Bench {
     "q_text_docfreq" -> "df", "q_sql_q3" -> "q3", "q_sql_q5" -> "q5",
     "q_funnel_time" -> "ft", "q_ann_bucket_stats" -> "bs",
     "q_seasonal_profile" -> "sn", "q_layout_zorder" -> "zo",
-    "q_stats_chi2" -> "x2")
+    "q_stats_chi2" -> "x2", "q_dedup_bands_curve" -> "bc")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -377,6 +377,28 @@ object TextOps {
         .orderBy(desc_nulls_last("df"), asc_nulls_last("tok"))
     }),
 
+    // The LSH bands/rows S-curve measured empirically — the MinHash
+    // tuning dial the IVF family's nprobe curve mirrors on the vector
+    // side: over the SAME 8 signatures, band the corpus three ways
+    // (8×1 loosest … 2×4 strictest) and report candidate volume vs how
+    // many candidates verify at Jaccard ≥ 0.7. Fewer, wider bands trade
+    // recall for precision (the (1−s^r)^b collision curve); this query
+    // is where a corpus picks its operating point. Scale: three passes
+    // of the proven bucketed pipeline — still never all-pairs; each
+    // config's output is ONE row.
+    "q_dedup_bands_curve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Seq(8, 4, 2).map { b =>
+        TextDedup.nearDuplicates(docs, numBands = b, threshold = 0.0)
+          .agg(count(lit(1)).as("n_candidates"),
+            count(when(col("jaccard") >= 0.7, lit(1))).as("n_verified"))
+          .select(lit(b.toLong).as("bands"),
+            lit((NumHashes / b).toLong).as("rows_per_band"),
+            col("n_candidates"), col("n_verified"))
+      }.reduce(_ unionAll _)
+        .orderBy(desc_nulls_last("bands"))
+    }),
+
     // Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
     // — the MOSS algorithm): md5 k-gram hashes, each w-window's MINIMUM
     // selected, the distinct selections are the document's fingerprint
@@ -595,6 +617,55 @@ object TextOps {
     dedupPairsSubquery +
       "\nORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST"
 
+  /** Per-config candidate/verified counts over ONE signature CTE: each
+    * UNION branch re-bands the same `m` at its (bands, rows) geometry. */
+  private def bandsCurveOracle: String = {
+    val sigCols = (0 until NumHashes)
+      .map(i => s"${MinHash.sqlSig(i)} AS sig_$i").mkString(",\n    ")
+    def configSel(b: Int): String = {
+      val rows = NumHashes / b
+      val bandList = (0 until b).map(j => MinHash.sqlBandKey(j, rows))
+        .mkString(", ")
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+         |  CAST($rows AS BIGINT) AS rows_per_band,
+         |  COUNT(*) AS n_candidates,
+         |  CAST(COUNT(CASE WHEN jaccard >= 0.7 THEN 1 END) AS BIGINT)
+         |    AS n_verified
+         |FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_distinct(list_intersect(a.toks, b2.toks)))
+         |      AS DOUBLE) / len(list_distinct(a.toks || b2.toks)) AS jaccard
+         |  FROM (
+         |    SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |    FROM (SELECT id, unnest([$bandList]) AS band FROM m) x
+         |    JOIN (SELECT id, unnest([$bandList]) AS band FROM m) y
+         |      ON x.band = y.band AND x.id < y.id
+         |  ) c JOIN t a ON a.id = c.id_a JOIN t b2 ON b2.id = c.id_b
+         |)""".stripMargin
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id AS id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+       |), s AS (
+       |  SELECT id, unnest(generate_series(0, len(toks) - 3)) AS i, toks
+       |  FROM t
+       |), sh AS (
+       |  SELECT id, ${MinHash.sqlHashVal(
+             "md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])")}
+       |    AS v FROM s
+       |), m AS (
+       |  SELECT id,
+       |    $sigCols
+       |  FROM sh GROUP BY id
+       |)
+       |${configSel(8)}
+       |UNION ALL
+       |${configSel(4)}
+       |UNION ALL
+       |${configSel(2)}
+       |ORDER BY bands DESC NULLS LAST""".stripMargin
+  }
+
   /** Estimator-accuracy oracle: the SAME CTE chain, re-joined to the
     * signature CTE `m` for the per-pair matching-signature count. */
   private def minhashEstOracle: String = {
@@ -783,6 +854,8 @@ object TextOps {
         |  FROM documents
         |) GROUP BY tok HAVING COUNT(*) >= 10
         |ORDER BY df DESC NULLS LAST, tok ASC NULLS LAST""".stripMargin,
+
+    "q_dedup_bands_curve" -> bandsCurveOracle,
 
     // list_slice is (start, end)-inclusive — the i+1..i+k / j+1..j+w
     // bounds mirror Spark's slice(start, LENGTH) exactly; list_aggr

@@ -443,6 +443,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_bands_curve: candidate sets nest (wider bands ⊆ " +
+      "narrower) and the 4-band point equals q_dedup_pairs") {
+    val out = TextOps.queries("q_dedup_bands_curve")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // a collision in a 4-wide band implies collisions in its 2-wide
+    // sub-bands, which imply collisions in their 1-wide sub-bands —
+    // so candidates are non-increasing as bands get wider
+    assert(out(8L)._1 >= out(4L)._1 && out(4L)._1 >= out(2L)._1)
+    out.values.foreach { case (cand, ver) => assert(ver <= cand) }
+    // every config sees the SAME verified-at-0.7 pairs it can reach;
+    // the 4×2 point is exactly the declared q_dedup_pairs
+    val pairs = TextOps.queries("q_dedup_pairs")(spark, sf).count()
+    assert(out(4L)._2 == pairs)
+    assert(out(8L)._1 > 0)
+  }
+
   test("q_text_winnow matches a plain-Scala winnowing recomputation") {
     import spark.implicits._
     val out = TextOps.queries("q_text_winnow")(spark, sf).collect()
