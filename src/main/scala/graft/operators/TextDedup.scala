@@ -33,11 +33,22 @@ object TextDedup {
       threshold: Double = 0.7): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
     val signed = MinHash.withSignatures(base, "text", numHashes)
-    val banded = signed.select(col("id"),
-      explode(array(MinHash.bandKeys(numHashes, numBands): _*)).as("band"))
-    // bucket-mates → in-row ordered pairs (ids sorted, so a < b); distinct
-    // collapses multi-band collisions
-    val cands = banded
+    val toks = MinHash.tokens(base, "text")
+    withJaccard(candidatePairs(signed, numHashes, numBands), toks)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Band-bucket candidate pairs from an ALREADY-SIGNED frame — split
+    * out so multi-config callers (q_dedup_bands_curve) band the same
+    * signatures several ways without recomputing them. Bucket-mates →
+    * in-row ordered pairs (ids sorted, so a < b); distinct collapses
+    * multi-band collisions. */
+  def candidatePairs(signed: DataFrame, numHashes: Int = 8,
+      numBands: Int = 4): DataFrame =
+    signed.select(col("id"),
+        explode(array(MinHash.bandKeys(numHashes, numBands): _*))
+          .as("band"))
       .groupBy("band").agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
@@ -46,9 +57,11 @@ object TextDedup {
           "b -> struct(a AS id_a, b AS id_b))))")).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    // exact verify on the candidates only; token sets re-joined here so
-    // only candidate pairs ever shuffle an array
-    val toks = MinHash.tokens(base, "text")
+
+  /** Exact token-set Jaccard for candidate pairs; token sets re-joined
+    * here so only candidate pairs ever shuffle an array. `toks` needs
+    * (id, toks) columns. */
+  def withJaccard(cands: DataFrame, toks: DataFrame): DataFrame =
     cands
       .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")),
         "id_a")
@@ -59,9 +72,6 @@ object TextDedup {
       .withColumn("uni", size(array_union(
         array_distinct(col("toks_a")), array_distinct(col("toks_b")))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
 
   /** Keep-one-per-group exact dedup by normalized-text fingerprint:
     * deterministic survivor = lowest id. */

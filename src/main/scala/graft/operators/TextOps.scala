@@ -387,9 +387,15 @@ object TextOps {
     // of the proven bucketed pipeline — still never all-pairs; each
     // config's output is ONE row.
     "q_dedup_bands_curve" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val base = t(s, d, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      // signatures computed ONCE (the expensive md5 pass) and persisted;
+      // each config only re-bands them — was 3 full pipeline runs
+      val signed = MinHash.withSignatures(base, "text").persist()
+      val toks = signed.select(col("id"), col("toks"))
       Seq(8, 4, 2).map { b =>
-        TextDedup.nearDuplicates(docs, numBands = b, threshold = 0.0)
+        TextDedup.withJaccard(
+            TextDedup.candidatePairs(signed, NumHashes, b), toks)
           .agg(count(lit(1)).as("n_candidates"),
             count(when(col("jaccard") >= 0.7, lit(1))).as("n_verified"))
           .select(lit(b.toLong).as("bands"),
