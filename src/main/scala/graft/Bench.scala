@@ -46,7 +46,7 @@ object Bench {
     "pipeline" -> "pipe", "features" -> "feat", "headers" -> "hdrs",
     "sessionize" -> "sessz", "bigrams" -> "bigr", "block" -> "blk",
     "weighted" -> "wtd", "sequences" -> "seqs", "outer_join" -> "oj",
-    "histogram" -> "hst", "containment" -> "contain",
+    "histogram" -> "hs", "containment" -> "contain",
     "tumbling" -> "tumbl", "decontaminate" -> "decontam",
     "clusters" -> "clus",
     "explode" -> "expl", "gopher" -> "go", "extract" -> "extr",
@@ -78,14 +78,14 @@ object Bench {
     "q_join_broadcast" -> "jbc", "q_multimodal_features" -> "mf",
     "q_multimodal_headers" -> "mh", "q_multimodal_join" -> "mmj",
     "q_text_fingerprint" -> "tfp", "q_text_tokencount" -> "ttc",
-    "q_stats_histogram" -> "hst", "q_stream_tumbling" -> "stu",
-    "q_stream_sliding" -> "ssl", "q_filter_predicate" -> "flt",
-    "q_percentile_exact" -> "pcx", "q_explode_outer" -> "eo",
-    "q_median_exact" -> "mdx", "q_window_first_last" -> "wfl",
-    "q_embed_quantize" -> "eqt", "q_kmeans_iter" -> "km",
-    "q_stream_static_join" -> "stj", "q_retention" -> "rtn",
-    "q_resample_ffill" -> "ffl", "q_vocab_per_lang" -> "vb",
-    "q_source_quota" -> "sqt", "q_anomaly_mad" -> "ma",
+    "q_stats_histogram" -> "hs", "q_stream_tumbling" -> "su",
+    "q_stream_sliding" -> "ssd", "q_filter_predicate" -> "fl",
+    "q_percentile_exact" -> "px", "q_explode_outer" -> "eo",
+    "q_median_exact" -> "mx", "q_window_first_last" -> "wfl",
+    "q_embed_quantize" -> "eq", "q_kmeans_iter" -> "km",
+    "q_stream_static_join" -> "she", "q_retention" -> "rt",
+    "q_resample_ffill" -> "ff", "q_vocab_per_lang" -> "vb",
+    "q_source_quota" -> "sq", "q_anomaly_mad" -> "ma",
     "q_sql_lateral" -> "sla", "q_sql_recursive" -> "sre",
     "q_sketch_countmin" -> "cm", "q_sketch_bloom" -> "bl",
     "q_simsearch_topk" -> "sk", "q_stats_corr" -> "cor",
@@ -143,7 +143,8 @@ object Bench {
     "q_text_docfreq" -> "df", "q_sql_q3" -> "q3", "q_sql_q5" -> "q5",
     "q_funnel_time" -> "ft", "q_ann_bucket_stats" -> "bs",
     "q_seasonal_profile" -> "sn", "q_layout_zorder" -> "zo",
-    "q_stats_chi2" -> "x2", "q_dedup_bands_curve" -> "bc")
+    "q_stats_chi2" -> "x2", "q_dedup_bands_curve" -> "bc",
+    "q_ann_ivf_trained" -> "it")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

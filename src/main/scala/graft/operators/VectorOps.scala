@@ -551,6 +551,65 @@ object VectorOps {
         .orderBy(asc_nulls_last("vec_id"))
     }),
 
+    // IVF search against TRAINED centroids — one Lloyd update
+    // (q_kmeans_iter's exact-decimal means) replaces the raw seed
+    // vectors as the coarse quantizer, then the probe searches its
+    // nearest trained cluster: the "index improves with training" step
+    // between q_ann_ivf (seed centroids) and a production index. Every
+    // stage is exact: the means are partition-order-invariant decimal
+    // averages (bit-identical on both engines), assignment ranks by the
+    // exact scale-8 decimal dot against those means (no fast-prefilter
+    // tie argument needed — both engines run the SAME fold), and the
+    // final ranking is the proven exact cosine. Scale: means are one
+    // slim (cluster, dim) shuffle; the 8 trained centroids broadcast as
+    // rows; everything else is the q_ann_ivf shape.
+    "q_ann_ivf_trained" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      // Lloyd step: per-(cluster, pos) exact mean → per-cluster DOUBLE
+      // array ordered by pos
+      val trained = broadcast(
+        centroidAssign(s, e, e).join(e, "vec_id")
+          .select(col("cluster"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cluster", "pos")
+          .agg(graft.Det.davg(col("x").cast("double"), 7).as("mean"))
+          .groupBy("cluster")
+          .agg(sort_array(collect_list(struct(col("pos"), col("mean"))))
+            .as("pm"))
+          .select(col("cluster").as("tcid"),
+            expr("transform(pm, x -> x.mean)").as("cent"),
+            lit(1).as("_one")))
+      // exact scale-8 decimal dot of a float vector against the trained
+      // double array (the wdotFoldReference shape with data weights)
+      val tdot = expr(
+        "CAST(aggregate(zip_with(embedding, cent, " +
+          "(x, w) -> CAST(CAST(x AS DOUBLE) * w AS DECIMAL(20,8))), " +
+          "CAST(0 AS DECIMAL(30,8)), " +
+          "(acc, t) -> CAST(acc + t AS DECIMAL(30,8))) AS DOUBLE)")
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(desc_nulls_last("tdot"), asc_nulls_last("tcid"))
+      val assigned = e.withColumn("_one", lit(1))
+        .join(trained, "_one")
+        .withColumn("tdot", tdot)
+        .select(col("vec_id"), col("tcid"), col("tdot"))
+        .withColumn("_rn", row_number().over(wAssign))
+        .filter(col("_rn") === 1)
+        .select(col("vec_id"), col("tcid").as("cluster"))
+      val probeCluster = broadcast(assigned
+        .filter(col("vec_id") === 0)
+        .select(col("cluster").as("probe_cluster")))
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb")))
+      assigned.filter(col("vec_id") =!= 0)
+        .join(probeCluster, col("cluster") === col("probe_cluster"))
+        .join(e, "vec_id")
+        .crossJoin(probe)
+        .withColumn("cosine", dotExpr(s, "embedding", "probe_emb"))
+        .select("vec_id", "cosine")
+        .orderBy(desc_nulls_last("cosine"), asc_nulls_last("vec_id"))
+        .limit(10)
+    }),
+
     // LSH index-health diagnostic: the bucket-occupancy histogram at the
     // q_ann_neighbors geometry (how many buckets hold how many vectors).
     // Occupancy is THE operational dial of a bucketed ANN index — the
@@ -962,6 +1021,54 @@ object VectorOps {
          |  (SELECT embedding FROM embeddings WHERE vec_id = 0) p
          |WHERE e.vec_id <> 0
          |ORDER BY cosine DESC NULLS LAST, e.vec_id ASC NULLS LAST
+         |LIMIT 10""".stripMargin,
+
+    // The q_kmeans_iter mean CTEs feed a trained-assignment dot (the
+    // same scale-8 decimal fold the Spark side runs — bit-identical by
+    // construction, scaled sums ≪ 2⁵³ so the direct DOUBLE cast is
+    // exact), then the q_ann_ivf search tail.
+    "q_ann_ivf_trained" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < $IvfCentroids
+         |), a AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${sqlDot("e.embedding", "c.cemb")} AS cdot
+         |  FROM embeddings e, cents c
+         |), cl AS (
+         |  SELECT vec_id, cid AS cluster FROM a
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cdot DESC, cid ASC) = 1
+         |), x AS (
+         |  SELECT cl.cluster, e.i - 1 AS pos,
+         |    CAST(e.embedding[e.i] AS DOUBLE) AS x
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(1, $EmbDim)) AS i
+         |        FROM embeddings) e
+         |  JOIN cl ON e.vec_id = cl.vec_id
+         |), m AS (
+         |  SELECT cluster, pos, ${graft.Det.sqlDavg("x", 7)} AS mean
+         |  FROM x GROUP BY cluster, pos
+         |), ta AS (
+         |  SELECT e2.vec_id, m.cluster AS tcid,
+         |    CAST(SUM(CAST(CAST(e2.embedding[m.pos + 1] AS DOUBLE)
+         |      * m.mean AS DECIMAL(20,8))) AS DOUBLE) AS tdot
+         |  FROM embeddings e2, m
+         |  GROUP BY e2.vec_id, m.cluster
+         |), tcl AS (
+         |  SELECT vec_id, tcid AS cluster FROM ta
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY tdot DESC, tcid ASC) = 1
+         |), pc AS (
+         |  SELECT cluster AS probe_cluster FROM tcl WHERE vec_id = 0
+         |)
+         |SELECT e3.vec_id, ${sqlDot("e3.embedding", "p.embedding")} AS cosine
+         |FROM embeddings e3
+         |JOIN tcl ON e3.vec_id = tcl.vec_id
+         |JOIN pc ON tcl.cluster = pc.probe_cluster,
+         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+         |WHERE e3.vec_id <> 0
+         |ORDER BY cosine DESC NULLS LAST, e3.vec_id ASC NULLS LAST
          |LIMIT 10""".stripMargin,
 
     // Mirrors the curve phases with exact-decimal dots: assignment

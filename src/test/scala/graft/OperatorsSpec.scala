@@ -345,6 +345,52 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == evs.length)
   }
 
+  test("q_ann_ivf_trained matches a plain-Scala Lloyd-step recomputation") {
+    import spark.implicits._
+    val out = VectorOps.queries("q_ann_ivf_trained")(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    val emb = vecs.toMap
+    def dot10(a: Array[Float], b: Array[Float]): BigDecimal =
+      a.zip(b).map { case (x, y) =>
+        BigDecimal(x.toDouble * y.toDouble)
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+    // seed assignment (first 8 vectors), exact-decimal argmax
+    val cents = (0L until 8L).map(c => c -> emb(c))
+    def seedCluster(v: Array[Float]): Long =
+      cents.map { case (c, ce) => (dot10(v, ce), c) }
+        .maxBy { case (dt, c) => (dt, -c) }._2
+    val byCluster = vecs.groupBy { case (_, v) => seedCluster(v) }
+    // Lloyd means: Det.davg(scale 7) per (cluster, dim)
+    val trained = byCluster.view.mapValues { members =>
+      (0 until 64).map { i =>
+        val xs = members.map(_._2(i).toDouble)
+        (xs.map(x => BigDecimal(x)
+          .setScale(7, BigDecimal.RoundingMode.HALF_UP)).sum
+          .toDouble) / xs.length
+      }.toArray
+    }.toMap
+    // trained assignment: scale-8 fold of float × mean
+    def tdot(v: Array[Float], cent: Array[Double]): BigDecimal =
+      v.zip(cent).map { case (x, w) =>
+        BigDecimal(x.toDouble * w)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+    def trainedCluster(v: Array[Float]): Long =
+      trained.toSeq.map { case (c, ce) => (tdot(v, ce), c) }
+        .maxBy { case (dt, c) => (dt, -c) }._2
+    val probeC = trainedCluster(emb(0L))
+    val expect = vecs.filter(_._1 != 0L)
+      .filter { case (_, v) => trainedCluster(v) == probeC }
+      .map { case (id, v) => (dot10(v, emb(0L)), id) }
+      .sortBy { case (dt, id) => (-dt, id) }.take(10).map(_._2).toSeq
+    assert(out == expect)
+    assert(out.size == 10)
+  }
+
   test("q_rolling_distinct equals the direct trailing-7-day count") {
     import spark.implicits._
     val out = EventAnalytics.queries("q_rolling_distinct")(spark, sf)

@@ -148,7 +148,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q_ann_pq_recall",
       // 1-row broadcast of the contingency grand total — the
       // q_stats_ttest shape
-      "q_stats_chi2")
+      "q_stats_chi2",
+      // the 8-row trained-centroid broadcast + the bounded probe — the
+      // q_kmeans_iter / q_ann_ivf broadcast-k shape
+      "q_ann_ivf_trained")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
