@@ -57,45 +57,45 @@ object Bench {
     * the driver's tail buffer as the query count grows (legend:
     * BASELINE.md §bench name legend). */
   private val overrides = Map(
-    "q_stateful_sessionize" -> "sfz", "q_date_arith" -> "da",
-    "q_embed_norm" -> "en", "q_setops_all" -> "set",
+    "q_stateful_sessionize" -> "sf", "q_date_arith" -> "da",
+    "q_embed_norm" -> "en", "q_setops_all" -> "st",
     "q_sort_limit" -> "sl", "q_split_hash" -> "sp",
     "q_sql_exists_subquery" -> "sx",
     "q_stream_session_dynamic" -> "sd",
-    "q_agg_approx_distinct" -> "apx", "q_agg_collect" -> "al",
-    "q_dedup_containment" -> "dc", "q_dedup_minhash" -> "dmq",
-    "q_dedup_simhash" -> "dsh", "q_intersect" -> "is",
+    "q_agg_approx_distinct" -> "ap", "q_agg_collect" -> "al",
+    "q_dedup_containment" -> "dc", "q_dedup_minhash" -> "dm",
+    "q_dedup_simhash" -> "ds", "q_intersect" -> "is",
     "q_pack_sequences" -> "pk", "q_quality_gopher" -> "go",
-    "q_sample_stratified" -> "smp", "q_scan_pruned" -> "sr",
+    "q_sample_stratified" -> "sm", "q_scan_pruned" -> "sr",
     "q_sql_scalar_subquery" -> "ss", "q_udf_scala" -> "uf",
     "q_udtf_explode" -> "ud", "q_url_parse" -> "ur",
-    "q_agg_having" -> "ah", "q_agg_minmax_by" -> "amm",
+    "q_agg_having" -> "ah", "q_agg_minmax_by" -> "am",
     "q_agg_rollup" -> "ar", "q_ann_neighbors" -> "an",
-    "q_array_funcs" -> "af", "q_array_funcs2" -> "af2",
+    "q_array_funcs" -> "af", "q_array_funcs2" -> "a2",
     "q_condition_block" -> "cb", "q_conditional_agg" -> "cg",
-    "q_decontaminate" -> "dn", "q_dedup_clusters" -> "dcl",
-    "q_dedup_spans" -> "dsp", "q_sql_grouping_sets" -> "sgs",
-    "q_join_broadcast" -> "jbc", "q_multimodal_features" -> "mf",
-    "q_multimodal_headers" -> "mh", "q_multimodal_join" -> "mmj",
-    "q_text_fingerprint" -> "tfp", "q_text_tokencount" -> "ttc",
+    "q_decontaminate" -> "dn", "q_dedup_clusters" -> "dl",
+    "q_dedup_spans" -> "dp", "q_sql_grouping_sets" -> "sg",
+    "q_join_broadcast" -> "jc", "q_multimodal_features" -> "mf",
+    "q_multimodal_headers" -> "mh", "q_multimodal_join" -> "mm",
+    "q_text_fingerprint" -> "tf", "q_text_tokencount" -> "tc",
     "q_stats_histogram" -> "hs", "q_stream_tumbling" -> "su",
-    "q_stream_sliding" -> "ssd", "q_filter_predicate" -> "fl",
+    "q_stream_sliding" -> "s0", "q_filter_predicate" -> "fl",
     "q_percentile_exact" -> "px", "q_explode_outer" -> "eo",
-    "q_median_exact" -> "mx", "q_window_first_last" -> "wfl",
+    "q_median_exact" -> "mx", "q_window_first_last" -> "wf",
     "q_embed_quantize" -> "eq", "q_kmeans_iter" -> "km",
-    "q_stream_static_join" -> "she", "q_retention" -> "rt",
+    "q_stream_static_join" -> "sh", "q_retention" -> "rt",
     "q_resample_ffill" -> "ff", "q_vocab_per_lang" -> "vb",
     "q_source_quota" -> "sq", "q_anomaly_mad" -> "ma",
-    "q_sql_lateral" -> "sla", "q_sql_recursive" -> "sre",
+    "q_sql_lateral" -> "sa", "q_sql_recursive" -> "se",
     "q_sketch_countmin" -> "cm", "q_sketch_bloom" -> "bl",
-    "q_simsearch_topk" -> "sk", "q_stats_corr" -> "cor",
-    "q_stream_dedup" -> "std", "q_template_pipeline" -> "tpl",
-    "q_text_langid" -> "tld", "q_udaf_weighted" -> "uda",
-    "q_ann_ivf" -> "iv", "q_ann_lsh" -> "ls", "q_bitwise" -> "btw",
-    "q_date_funcs2" -> "df2", "q_dedup_embed" -> "dmb",
-    "q_dedup_ngram" -> "dng", "q_dedup_pairs" -> "dpr",
+    "q_simsearch_topk" -> "sk", "q_stats_corr" -> "co",
+    "q_stream_dedup" -> "dd", "q_template_pipeline" -> "tp",
+    "q_text_langid" -> "td", "q_udaf_weighted" -> "ua",
+    "q_ann_ivf" -> "iv", "q_ann_lsh" -> "ls", "q_bitwise" -> "bw",
+    "q_date_funcs2" -> "d2", "q_dedup_embed" -> "db",
+    "q_dedup_ngram" -> "dg", "q_dedup_pairs" -> "dr",
     "q_join_outer" -> "jo", "q_join_range" -> "jr",
-    "q_regex_extract" -> "rxe", "q_scan_project" -> "scp",
+    "q_regex_extract" -> "rx", "q_scan_project" -> "sc",
     "q_skew_salted_join" -> "skj", "q_sql_in_subquery" -> "sin",
     "q_stats_moments" -> "mo", "q_stream_join" -> "sj2",
     "q_stream_session" -> "sts", "q_text_chunk" -> "tck",
@@ -144,7 +144,8 @@ object Bench {
     "q_funnel_time" -> "ft", "q_ann_bucket_stats" -> "bs",
     "q_seasonal_profile" -> "sn", "q_layout_zorder" -> "zo",
     "q_stats_chi2" -> "x2", "q_dedup_bands_curve" -> "bc",
-    "q_ann_ivf_trained" -> "it")
+    "q_ann_ivf_trained" -> "it",
+    "q_graph_cc_sizes" -> "cz", "q_embed_dim_stats" -> "ed")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

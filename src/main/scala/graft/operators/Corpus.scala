@@ -269,6 +269,19 @@ object Corpus {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // Duplicate-cluster size histogram — how much of the corpus sits in
+    // how-big dup families (the before/after report of a dedup run: a
+    // long tail of pairs vs a few mega-clusters need different
+    // policies). Two slim aggregates over the proven component labels.
+    "q_graph_cc_sizes" -> ((s, d) =>
+      connectedComponents(
+        TextDedup.nearDuplicates(t(s, d, "documents"))
+          .select("id_a", "id_b"))
+        .groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(asc_nulls_last("cluster_size"))),
+
     // Neighbor-set Jaccard similarity over the near-dup graph — the
     // link-prediction / "same cluster soon" score: two documents that
     // share most of their near-dup NEIGHBORS are alike even if their own
@@ -643,9 +656,23 @@ object Corpus {
        |JOIN dg db ON db.src = c.b
        |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin
 
+  /** Same closure CTE, then the size double-group. */
+  private def ccSizesOracle: String =
+    clustersCtes +
+      """
+        |, cl AS (
+        |  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id
+        |), sz AS (
+        |  SELECT lbl, COUNT(*) AS cluster_size FROM cl GROUP BY lbl
+        |)
+        |SELECT cluster_size, COUNT(*) AS n_clusters
+        |FROM sz GROUP BY cluster_size
+        |ORDER BY cluster_size ASC NULLS LAST""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_clusters" -> clustersOracle,
     "q_dedup_survivor" -> survivorOracle,
+    "q_graph_cc_sizes" -> ccSizesOracle,
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_triangles" -> trianglesOracle,
     "q_graph_jaccard" -> graphJaccardOracle,

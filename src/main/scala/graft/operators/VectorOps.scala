@@ -654,6 +654,34 @@ object VectorOps {
         .orderBy(asc_nulls_last("vec_id"), asc_nulls_last("rp_dim"))
     }),
 
+    // Per-dimension embedding health check — dead dimensions, scale
+    // drift, and mean offset are the first signs of a broken encoder or
+    // a bad normalization step, and they are per-DIMENSION statistics
+    // (norms and cosines can look fine while one dim is constant).
+    // Exact-decimal mean and sum-of-squares per dimension (the variance
+    // numerator n·Σx² − (Σx)² stays in exact decimals, ONE IEEE division
+    // at the end). One posexplode + one slim (pos) shuffle with partial
+    // aggregation — the q_kmeans_iter update shape without clusters.
+    "q_embed_dim_stats" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("pos").cast("long").as("pos"),
+          col("x").cast("double").as("x"))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"),
+          graft.Det.dsum(col("x"), 7).as("sx"),
+          sum(expr("CAST(CAST(x AS DECIMAL(18,7)) " +
+            "* CAST(x AS DECIMAL(19,7)) AS DECIMAL(38,14))"))
+            .cast("double").as("sxx"),
+          min("x").as("x_min"), max("x").as("x_max"))
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("variance",
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            / (col("n") * col("n")))
+        .select("pos", "n", "mean", "variance", "x_min", "x_max")
+        .orderBy(asc_nulls_last("pos"))),
+
     // Int8 scalar quantization (the embedding-store compression step):
     // per-vector max-abs scale, symmetric round-half-up to [-127, 127],
     // plus the exact integer reconstruction-error sum. Every element is
@@ -1318,6 +1346,31 @@ object VectorOps {
         |  n_chars, CAST(len(embedding) AS BIGINT) AS dim, label
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same exact-decimal moments; sxx routes through VARCHAR on this
+    // side only (the Det.sqlDsum convention — DuckDB's direct
+    // DECIMAL→DOUBLE cast double-rounds past 2⁵³ scaled).
+    "q_embed_dim_stats" ->
+      s"""WITH e AS (
+         |  SELECT unnest(generate_series(1, $EmbDim)) AS i, embedding
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), v AS (
+         |  SELECT CAST(i - 1 AS BIGINT) AS pos,
+         |    CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM e
+         |), g AS (
+         |  SELECT pos, COUNT(*) AS n,
+         |    ${graft.Det.sqlDsum("x", 7)} AS sx,
+         |    CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,7))
+         |      * CAST(x AS DECIMAL(19,7)) AS DECIMAL(38,14)))
+         |      AS VARCHAR) AS DOUBLE) AS sxx,
+         |    min(x) AS x_min, max(x) AS x_max
+         |  FROM v GROUP BY pos
+         |)
+         |SELECT pos, n, sx / n AS mean,
+         |  (n * sxx - sx * sx) / (n * n) AS variance,
+         |  x_min, x_max
+         |FROM g ORDER BY pos ASC NULLS LAST""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH t AS (

@@ -695,6 +695,39 @@ class OperatorsSpec extends SparkSpec {
       Tables.table(spark, sf, "lineitem").count())
   }
 
+  test("q_graph_cc_sizes histogram mass equals the labeled node count") {
+    val out = Corpus.queries("q_graph_cc_sizes")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val labeled = Corpus.connectedComponents(
+        TextDedup.nearDuplicates(Tables.table(spark, sf, "documents"))
+          .select("id_a", "id_b")).count()
+    assert(out.map { case (sz, n) => sz * n }.sum == labeled)
+    // near-dup members always have a partner ⇒ no singleton clusters
+    assert(out.forall(_._1 >= 2L))
+  }
+
+  test("q_embed_dim_stats matches a plain-Scala moments recomputation") {
+    import spark.implicits._
+    val out = VectorOps.queries("q_embed_dim_stats")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .select("embedding").as[Array[Float]].collect().filter(_ != null)
+    def d7(v: Double) =
+      BigDecimal(v).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+    (0 until 64).foreach { i =>
+      val xs = vecs.map(_(i).toDouble)
+      val n = xs.length.toLong
+      val sx = xs.map(d7).sum.toDouble
+      val sxx = xs.map(x => d7(x) * d7(x)).sum.toDouble
+      val expect = (n, sx / n, (n * sxx - sx * sx) / (n.toDouble * n),
+        xs.min, xs.max)
+      assert(out(i.toLong) == expect, s"dim $i")
+    }
+    assert(out.size == 64)
+    assert(out.values.forall(_._3 >= 0.0)) // variances are non-negative
+  }
+
   test("q_dedup_survivor keeps each cluster's best-quality member") {
     import spark.implicits._
     val out = Corpus.queries("q_dedup_survivor")(spark, sf).collect()
