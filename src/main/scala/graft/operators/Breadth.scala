@@ -81,9 +81,13 @@ object Breadth {
     "q_agg_bitmap" -> ((s, d) =>
       t(s, d, "events")
         .select(col("event_type"),
-          (col("user_id") / 32).cast("long").as("word"),
-          expr("CAST(shiftleft(1L, CAST(user_id % 32 AS INT)) AS BIGINT)")
-            .as("bit"),
+          // Floor division in pure 64-bit integer math (the numerator is
+          // an exact multiple of 32, so truncating DIV == floor for any
+          // sign), and pmod keeps the bit index in [0, 32) — the encoding
+          // is engine- and sign-robust, no IEEE double in the key path.
+          expr("(user_id - pmod(user_id, 32)) DIV 32").as("word"),
+          expr("CAST(shiftleft(1L, CAST(pmod(user_id, 32) AS INT)) " +
+            "AS BIGINT)").as("bit"),
           col("user_id"))
         .groupBy("event_type", "word")
         .agg(expr("bit_or(bit)").as("bits"),
@@ -295,10 +299,12 @@ object Breadth {
     // counts is exact because words partition the id space.
     "q_agg_bitmap" ->
       """WITH w AS (
-        |  SELECT event_type, user_id // 32 AS word,
-        |    bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits,
+        |  SELECT event_type,
+        |    (user_id - ((user_id % 32) + 32) % 32) // 32 AS word,
+        |    bit_or(1::BIGINT
+        |      << CAST(((user_id % 32) + 32) % 32 AS INT)) AS bits,
         |    COUNT(DISTINCT user_id) AS nd_word
-        |  FROM events GROUP BY event_type, user_id // 32
+        |  FROM events GROUP BY 1, 2
         |)
         |SELECT event_type,
         |  CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct_bitmap,

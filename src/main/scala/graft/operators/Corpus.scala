@@ -87,29 +87,34 @@ object Corpus {
       .select("e.src", "e.dst")
       .persist()
     val nodes = sym.select(col("src")).distinct()
-    val edges = sym
-      .union(nodes.select(col("src"), col("src").as("dst")))
-      .persist()
-    var labels = nodes.select(col("src").as("id"), col("src").as("lbl"))
-      .persist()
     // Right-size the loop's shuffles to the DUP-GRAPH size, not the
     // session default: label frames only contain near-dup members — a
     // sliver of the corpus — and an iterative loop pays the partition
     // count in tasks EVERY round. One partition per ~10k edges, floored
     // at 4, capped at the session default; the count() materializes the
-    // persisted edge set the first round needs anyway. (At sf0.1 this is
+    // persisted sym set the first round needs anyway. (At sf0.1 this is
     // timing-neutral — per-round cost there is driver job-launch
     // latency — but on a cluster the default would schedule hundreds of
-    // near-empty tasks per round.) Restored in the finally; the caller's
-    // terminal sort runs at the session setting.
+    // near-empty tasks per round.) The count is applied as EXPLICIT
+    // repartition(loopParts, key) on the loop frames — never by mutating
+    // the session-global spark.sql.shuffle.partitions, which would race
+    // with any concurrent query on the same SparkSession; an explicit
+    // hash partitioning also satisfies the downstream join/agg
+    // distribution requirements, so each round still plans exactly one
+    // exchange per shuffle boundary. The caller's terminal sort runs at
+    // the untouched session setting.
     val spark = pairs.sparkSession
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    val nEdges = edges.count()
-    val loopParts = math.max(4L, math.min(
-      scala.util.Try(prevParts.toLong).getOrElse(32L),
-      nEdges / 10000L + 1L))
-    spark.conf.set(partKey, loopParts.toString)
+    val sessionParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(32L)
+    val nSym = sym.count()
+    val loopParts = math.max(4L, math.min(sessionParts,
+      nSym / 10000L + 1L)).toInt
+    val edges = sym
+      .union(nodes.select(col("src"), col("src").as("dst")))
+      .repartition(loopParts, col("dst"))
+      .persist()
+    var labels = nodes.select(col("src").as("id"), col("src").as("lbl"))
+      .persist()
     // convergence check = exact-decimal label sum: labels are elementwise
     // non-increasing (self-loop ⇒ prop ≤ labels, doubling ⇒ next ≤ prop),
     // so an unchanged sum ⇔ no label changed — one narrow agg over the
@@ -121,12 +126,17 @@ object Corpus {
     var prevSum = lblSum(labels)
     var changed = true
     var rounds = 0
-    try while (changed) {
+    while (changed) {
       rounds += 1
       require(rounds <= MaxClusterRounds,
         s"label propagation did not converge in $MaxClusterRounds rounds")
+      // labels repartitioned to match the persisted edge partitioning
+      // (co-located join, no edge re-shuffle); the src repartition then
+      // satisfies the groupBy's distribution so the agg adds no exchange
       val prop = edges
-        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .join(labels.select(col("id").as("dst"), col("lbl"))
+          .repartition(loopParts, col("dst")), "dst")
+        .repartition(loopParts, col("src"))
         .groupBy("src").agg(min("lbl").as("lbl"))
         .select(col("src").as("id"), col("lbl"))
       // localCheckpoint (eager), not persist: the doubling self-join
@@ -137,8 +147,9 @@ object Corpus {
       // reliable checkpoint() to a checkpoint dir — localCheckpoint
       // trades executor-loss recovery for speed; the convergence loop is
       // short enough to simply re-run on failure.)
-      val next = prop
-        .join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+      val next = prop.repartition(loopParts, col("lbl"))
+        .join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2"))
+          .repartition(loopParts, col("lbl")),
           "lbl")
         .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
         .localCheckpoint()
@@ -147,7 +158,7 @@ object Corpus {
       prevSum = s
       labels.unpersist()
       labels = next
-    } finally spark.conf.set(partKey, prevParts)
+    }
     edges.unpersist()
     sym.unpersist()
     (labels, rounds)

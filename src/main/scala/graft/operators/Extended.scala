@@ -338,14 +338,20 @@ object Extended {
             * col("value").cast(DecimalType(19, 4)))
             .cast("double").as("qt"))
         .withColumn("_one", lit(1)))
+      // Degenerate cases are pinned to NULL on BOTH engines (identical
+      // CASE text): a single-member group (n < 2), a rest-side with < 2
+      // members (nt - n < 2, incl. the single-event-type corpus), or a
+      // zero-variance denominator would otherwise hit x/0 whose
+      // NULL/NaN/Inf behavior differs between Spark and DuckDB.
       g.withColumn("_one", lit(1)).join(tot, "_one")
         .selectExpr("event_type", "n",
           "sx / n AS mean_g",
-          "(st - sx) / (nt - n) AS mean_rest",
-          "((sx / n) - (st - sx) / (nt - n)) / sqrt(" +
+          "CASE WHEN nt > n THEN (st - sx) / (nt - n) END AS mean_rest",
+          "CASE WHEN n >= 2 AND nt - n >= 2 THEN " +
+            "((sx / n) - (st - sx) / (nt - n)) / sqrt(" +
             "((sq - sx * sx / n) / (n - 1)) / n + " +
             "((qt - sq - (st - sx) * (st - sx) / (nt - n)) / " +
-            "(nt - n - 1)) / (nt - n)) AS t_welch")
+            "(nt - n - 1)) / (nt - n)) END AS t_welch")
         .orderBy(asc_nulls_last("event_type"))
     }),
 
@@ -587,11 +593,12 @@ object Extended {
         |)
         |SELECT event_type, n,
         |  sx / n AS mean_g,
-        |  (st - sx) / (nt - n) AS mean_rest,
-        |  ((sx / n) - (st - sx) / (nt - n)) / sqrt(
+        |  CASE WHEN nt > n THEN (st - sx) / (nt - n) END AS mean_rest,
+        |  CASE WHEN n >= 2 AND nt - n >= 2 THEN
+        |    ((sx / n) - (st - sx) / (nt - n)) / sqrt(
         |    ((sq - sx * sx / n) / (n - 1)) / n +
         |    ((qt - sq - (st - sx) * (st - sx) / (nt - n)) /
-        |    (nt - n - 1)) / (nt - n)) AS t_welch
+        |    (nt - n - 1)) / (nt - n)) END AS t_welch
         |FROM g, tot
         |ORDER BY event_type ASC NULLS LAST""".stripMargin,
 

@@ -238,10 +238,11 @@ object VectorOps {
   }
 
   /** Shared PQ encoding intermediate (q_ann_pq, q_ann_ivfpq): per
-    * vector, `dists` = PqM × PqCodebook exact integer sub-space L2
-    * distances (inner arrays ordered by cid — `cbs` is sort_array'd and
-    * the first PqCodebook vec_ids are dense, so array position == cid)
-    * and `best` = the per-sub-space (dist ASC, cid ASC) argmin struct.
+    * vector, `dists` = PqM × PqCodebook {dist, cid} structs of exact
+    * integer sub-space L2 distances — each entry carries the REAL
+    * codebook cid (not its array position, which would silently shift
+    * if a codebook vec_id were missing or null-embedded) — and `best` =
+    * the per-sub-space (dist ASC, cid ASC) argmin struct.
     * All integer arithmetic on the proven DOUBLE → DECIMAL(18,7) →
     * scaled-BIGINT encoding; the codebook is ONE broadcast row on a
     * constant equi-key and the folds are in-row — zero shuffles. */
@@ -259,17 +260,17 @@ object VectorOps {
       .withColumn("_one", lit(1)))
     val distsExpr =
       s"transform(sequence(0, ${PqM - 1}), m -> " +
-        "transform(cbs, c -> " +
+        "transform(cbs, c -> struct(" +
         s"aggregate(zip_with(slice(iv, m * $PqSubDim + 1, $PqSubDim), " +
         s"slice(c.cv, m * $PqSubDim + 1, $PqSubDim), " +
         "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), " +
-        "(a, v) -> a + v)))"
+        "(a, v) -> a + v) AS dist, c.cid AS cid)))"
     ints.withColumn("_one", lit(1))
       .join(cb, "_one")
       .withColumn("dists", expr(distsExpr))
-      .withColumn("best", expr(
-        "transform(dists, ds -> array_min(transform(ds, (dv, i) -> " +
-          "struct(dv AS dist, CAST(i AS BIGINT) AS cid))))"))
+      // struct comparison is field-ordered, so array_min IS the
+      // (dist ASC, cid ASC) argmin — ties break to the lowest real cid
+      .withColumn("best", expr("transform(dists, ds -> array_min(ds))"))
       .drop("_one", "cbs")
   }
 
@@ -784,7 +785,8 @@ object VectorOps {
       val tbl = broadcast(pqEncoded(s, d)
         .filter(col("vec_id") === 0)
         .select(posexplode(col("dists")).as(Seq("m", "ds")))
-        .select(col("m"), posexplode(col("ds")).as(Seq("cid", "tdist"))))
+        .select(col("m"), explode(col("ds")).as("e"))
+        .select(col("m"), col("e.cid").as("cid"), col("e.dist").as("tdist")))
       val codes = pqEncoded(s, d)
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), posexplode(expr(
