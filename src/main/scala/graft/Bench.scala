@@ -96,56 +96,54 @@ object Bench {
     "q_dedup_ngram" -> "dg", "q_dedup_pairs" -> "dr",
     "q_join_outer" -> "jo", "q_join_range" -> "jr",
     "q_regex_extract" -> "rx", "q_scan_project" -> "sc",
-    "q_skew_salted_join" -> "skj", "q_sql_in_subquery" -> "sin",
-    "q_stats_moments" -> "mo", "q_stream_join" -> "sj2",
-    "q_stream_session" -> "sts", "q_text_chunk" -> "tck",
-    "q_text_dedup" -> "tdd", "q_text_stats" -> "tst",
-    "q_text_tfidf" -> "tfi", "q_topk_per_group" -> "tpk",
-    "q_unpivot" -> "unp", "q_window_frame" -> "wfr",
-    "q_window_ntile" -> "wnt", "q_window_range" -> "wrn",
-    "q_scd2_intervals" -> "sc2", "q_path_per_session" -> "pth",
-    "q_upsert_latest" -> "ups", "q_text_bigram_prob" -> "tb",
-    "q_stats_regression" -> "rgr", "q_dedup_minhash_est" -> "dmh",
+    "q_skew_salted_join" -> "sj", "q_sql_in_subquery" -> "si",
+    "q_stats_moments" -> "mo", "q_stream_join" -> "s2",
+    "q_stream_session" -> "ts", "q_text_chunk" -> "ck",
+    "q_text_dedup" -> "de", "q_text_stats" -> "te",
+    "q_text_tfidf" -> "ti", "q_topk_per_group" -> "tg",
+    "q_unpivot" -> "up", "q_window_frame" -> "wr",
+    "q_window_ntile" -> "wn", "q_window_range" -> "rn",
+    "q_scd2_intervals" -> "c2", "q_path_per_session" -> "pt",
+    "q_upsert_latest" -> "us", "q_text_bigram_prob" -> "tb",
+    "q_stats_regression" -> "rg", "q_dedup_minhash_est" -> "dh",
     "q_markov_transition" -> "mk", "q_concurrency_peak" -> "cc",
-    "q_window_time_range" -> "wtr", "q_mixture_weights" -> "mxw",
-    "q_label_balance" -> "lbl", "q_text_clean" -> "tcl",
-    "q_ann_ivf_nprobe" -> "iv2", "q_embed_rp" -> "er",
-    "q_agg_bool" -> "abl", "q_agg_cube" -> "acb",
-    "q_agg_distinct" -> "ads", "q_agg_hash" -> "ash",
-    "q_agg_mode" -> "amd", "q_date_funcs" -> "daf",
-    "q_except" -> "ex", "q_funnel" -> "fn",
-    "q_join_anti" -> "jan", "q_join_asof" -> "jas",
-    "q_join_full" -> "jfu", "q_join_semi" -> "jse",
-    "q_join_shuffle" -> "jsh", "q_json_funcs" -> "jsf",
-    "q_math_funcs" -> "mtf", "q_null_funcs" -> "nuf",
-    "q_regex_sub" -> "rxs", "q_set_unset_lookup" -> "slk",
-    "q_skew_salted_agg" -> "skg", "q_string_funcs" -> "stf",
-    "q_string_funcs2" -> "sf2", "q_text_bigrams" -> "bg",
-    "q_text_gini" -> "tgn", "q_text_quality" -> "tql",
-    "q_window_cume" -> "wcu", "q_window_rank" -> "wrk",
-    "q_map_funcs" -> "maf", "q_pivot" -> "pv",
-    "q_sql_cte" -> "sct", "q_stream_outer_join" -> "soj",
-    "q_text_pii_redact" -> "tpi", "q_text_repetition" -> "trp",
-    "q_text_tokenize" -> "tk", "q_union" -> "un",
-    "q_window_analytic" -> "wan",
-    "q_ann_ivf_curve" -> "ivc", "q_ann_recall" -> "rc",
+    "q_window_time_range" -> "wt", "q_mixture_weights" -> "mw",
+    "q_label_balance" -> "lb", "q_text_clean" -> "tl",
+    "q_ann_ivf_nprobe" -> "i2", "q_embed_rp" -> "er",
+    "q_agg_bool" -> "bo", "q_agg_cube" -> "ac",
+    "q_agg_distinct" -> "ad", "q_agg_hash" -> "as",
+    "q_agg_mode" -> "md", "q_date_funcs" -> "fu", "q_except" -> "ex",
+    "q_funnel" -> "fn", "q_join_anti" -> "ja", "q_join_asof" -> "js",
+    "q_join_full" -> "ju", "q_join_semi" -> "je",
+    "q_join_shuffle" -> "jh", "q_json_funcs" -> "j0",
+    "q_math_funcs" -> "mt", "q_null_funcs" -> "nu",
+    "q_regex_sub" -> "rs", "q_set_unset_lookup" -> "lk",
+    "q_skew_salted_agg" -> "kg", "q_string_funcs" -> "s1",
+    "q_string_funcs2" -> "f2", "q_text_bigrams" -> "bg",
+    "q_text_gini" -> "tn", "q_text_quality" -> "tq",
+    "q_window_cume" -> "wc", "q_window_rank" -> "wk",
+    "q_map_funcs" -> "ms", "q_pivot" -> "pv", "q_sql_cte" -> "ct",
+    "q_stream_outer_join" -> "so", "q_text_pii_redact" -> "pi",
+    "q_text_repetition" -> "rp", "q_text_tokenize" -> "tk",
+    "q_union" -> "un", "q_window_analytic" -> "wa",
+    "q_ann_ivf_curve" -> "ic", "q_ann_recall" -> "rc",
     "q_ann_recall_multi" -> "rm", "q_text_lm_score" -> "lm",
-    "q_join_interval" -> "jin", "q_graph_pagerank" -> "pg",
+    "q_join_interval" -> "ji", "q_graph_pagerank" -> "pg",
     "q_ann_pq" -> "pq", "q_rolling_distinct" -> "rd",
     "q_graph_triangles" -> "tr", "q_join_bloom" -> "jb",
     "q_text_pmi" -> "pm", "q_ann_ivfpq" -> "ip",
     "q_sample_weighted" -> "sw", "q_text_winnow" -> "tw",
     "q_stats_ttest" -> "tt", "q_graph_jaccard" -> "gj",
-    "q_agg_bitmap" -> "ab",
-    "q_ann_pq_recall" -> "pr", "q_window_rolling_median" -> "wm",
-    "q_rate_limit" -> "rl", "q_join_asof_fwd" -> "jf",
-    "q_dedup_survivor" -> "dv", "q_gap_stats" -> "ga",
-    "q_text_docfreq" -> "df", "q_sql_q3" -> "q3", "q_sql_q5" -> "q5",
-    "q_funnel_time" -> "ft", "q_ann_bucket_stats" -> "bs",
-    "q_seasonal_profile" -> "sn", "q_layout_zorder" -> "zo",
-    "q_stats_chi2" -> "x2", "q_dedup_bands_curve" -> "bc",
-    "q_ann_ivf_trained" -> "it",
-    "q_graph_cc_sizes" -> "cz", "q_embed_dim_stats" -> "ed")
+    "q_agg_bitmap" -> "ab", "q_ann_pq_recall" -> "pr",
+    "q_window_rolling_median" -> "wm", "q_rate_limit" -> "rl",
+    "q_join_asof_fwd" -> "jf", "q_dedup_survivor" -> "dv",
+    "q_gap_stats" -> "ga", "q_text_docfreq" -> "df",
+    "q_sql_q3" -> "q3", "q_sql_q5" -> "q5", "q_funnel_time" -> "ft",
+    "q_ann_bucket_stats" -> "bs", "q_seasonal_profile" -> "sn",
+    "q_layout_zorder" -> "zo", "q_stats_chi2" -> "x2",
+    "q_dedup_bands_curve" -> "bc", "q_ann_ivf_trained" -> "it",
+    "q_graph_cc_sizes" -> "cz", "q_embed_dim_stats" -> "ed",
+    "q_ts_autocorr" -> "ax", "q_ts_cusum" -> "cu", "q_ts_ewma" -> "ew")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.{Det, Tables}
 
 /** Event-stream analytics over the bus-event table — the product-side
@@ -426,7 +427,122 @@ object EventAnalytics {
     // [[graft.streaming.StatefulTwins.rollingDistinctStream]].
     "q_rolling_distinct" -> ((s, d) =>
       rollingDistinct(t(s, d, "events"))
-        .orderBy(asc_nulls_last("day")))
+        .orderBy(asc_nulls_last("day"))),
+
+    // Autocorrelation function of the daily traffic series at lags 1–7 —
+    // the periodicity detector behind seasonality-aware anomaly baselines
+    // (a 7-day peak says "weekly cycle", near-zero everywhere says white
+    // noise). Estimator: the standard biased ACF with the full-series
+    // mean, computed entirely in scaled INTEGERS — centering multiplies
+    // through by n (cx = x·n − S, exact BIGINT), so numerator and
+    // denominator are exact integer sums and the single final division
+    // is the only IEEE op: bit-identical on both engines, no decimal
+    // routing needed. (BIGINT headroom at sf0.1: cx ≤ 2×10⁶ so
+    // Σcx² ≤ 10¹⁴; a 100 TB corpus moves cx to DECIMAL(38,0)
+    // unchanged.) Scale: one day-grain shuffle builds the series; the
+    // lag pairs are an equi-join of the TINY day-grain frame against
+    // itself on a date key (never a window over the raw events), and the
+    // series mean is a 1-row broadcast on a constant key.
+    "q_ts_autocorr" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = broadcast(daily.agg(count(lit(1)).as("nd"),
+        sum("x").as("sx")).withColumn("_one", lit(1)))
+      val cent = daily.withColumn("_one", lit(1)).join(tot, "_one")
+        .select(col("day"), (col("x") * col("nd") - col("sx")).as("cx"))
+      val den = broadcast(cent.agg(sum(col("cx") * col("cx")).as("den"))
+        .withColumn("_one", lit(1)))
+      cent
+        .select(col("day"), col("cx"),
+          explode(expr("sequence(1, 7)")).as("lag"))
+        .withColumn("day2", expr("date_add(day, lag)"))
+        .join(cent.select(col("day").as("day2"), col("cx").as("cy")),
+          "day2")
+        .groupBy(col("lag").cast("long").as("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("cx") * col("cy")).as("num"))
+        .withColumn("_one", lit(1)).join(den, "_one")
+        .select(col("lag"), col("n_pairs"),
+          (col("num").cast("double") / col("den").cast("double"))
+            .as("acf"))
+        .orderBy(asc_nulls_last("lag"))
+    }),
+
+    // CUSUM changepoint scan over the daily value series — "did the
+    // level shift, and when?" (Page 1954): the day t maximizing
+    // |Σ_{d≤t}(s_d − μ)| is the most likely changepoint and the maximum
+    // is the shift evidence. All arithmetic EXACT: daily sums are
+    // decimals, and centering multiplies through by n (dev = cum·n − t·S,
+    // exact decimal), so the argmax and the tie-break (earliest day) are
+    // engine-identical; the single division by n happens after the max.
+    // Scale: the cumulative runs over the DAY-GRAIN frame — one row per
+    // calendar day, bounded by the span of time, not the event count
+    // (the q_concurrency_peak carry-window argument; the event-grain
+    // work is all in the partial day aggregation below it).
+    "q_ts_cusum" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).as("s"))
+      val w = Window.orderBy(asc_nulls_last("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = broadcast(daily.agg(count(lit(1)).as("nd"),
+        sum("s").as("stot")).withColumn("_one", lit(1)))
+      // one select → ONE Window node (row_number's required frame is
+      // exactly w's rows-frame, so Catalyst keeps them together)
+      val dev = daily
+        .select(col("day"), col("s"),
+          row_number().over(w).as("t"), sum("s").over(w).as("cum"))
+        .withColumn("_one", lit(1)).join(tot, "_one")
+        // explicit narrow decimal casts keep the product width ≤ 38 on
+        // BOTH engines — DuckDB silently converts an over-wide decimal
+        // multiply to DOUBLE, which would break exactness
+        .withColumn("dev", abs(
+          col("cum").cast(DecimalType(18, 4))
+            * col("nd").cast(DecimalType(6, 0))
+          - col("t").cast(DecimalType(6, 0))
+            * col("stot").cast(DecimalType(18, 4))))
+      // argmax with earliest-day tie-break as a day-grain top-1: exact
+      // decimal comparisons, single pass, no re-derived dev subtree
+      dev
+        .orderBy(desc("dev"), asc_nulls_last("day"))
+        .limit(1)
+        .select(col("day").as("day_star"), col("nd").as("n_days"),
+          (col("dev").cast("double") / col("nd").cast("double"))
+            .as("cusum_stat"))
+    }),
+
+    // EWMA smoothing of per-type daily traffic — the trend line behind
+    // "is today's volume drifting away from its recent baseline".
+    // α = 1/2 over a trailing 16-day calendar window, so every weight is
+    // a dyadic rational 2^-(k+1) and every term x·2^-(k+1) is EXACTLY
+    // representable (counts < 2^36); all partial sums are exact dyadics
+    // too, so the result is bit-identical under ANY summation order — no
+    // decimal routing, safe under partial aggregation and AQE. Computed
+    // as a bounded 16-way explode of the day-grain frame joined back on
+    // a date key (the q_rolling_distinct shape) — never a window over
+    // raw events, and gap days contribute nothing (their weight is
+    // simply absent from wsum, the "adjusted" EWMA convention).
+    "q_ts_ewma" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val contrib = daily
+        .select(col("event_type"), col("day"), col("x"),
+          explode(expr("sequence(0, 15)")).as("k"))
+        .withColumn("day2", expr("date_add(day, k)"))
+        .withColumn("wgt",
+          lit(1.0) / expr("CAST(shiftleft(1L, k + 1) AS DOUBLE)"))
+        .groupBy(col("event_type").as("c_type"), col("day2"))
+        .agg(sum(col("x") * col("wgt")).as("num"),
+          sum(col("wgt")).as("wsum"))
+      daily.join(contrib,
+          col("event_type") === col("c_type")
+            && col("day") === col("day2"))
+        .select(col("event_type"), col("day"), col("x"),
+          (col("num") / col("wsum")).as("ewma"))
+        .orderBy(asc_nulls_last("event_type"), asc_nulls_last("day"))
+    })
   )
 
   /** Trailing-7-day distinct users per active day: sliding-window COUNT
@@ -773,6 +889,77 @@ object EventAnalytics {
         |SELECT d.day, COUNT(DISTINCT du.user_id) AS n_users
         |FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
         |GROUP BY d.day
-        |ORDER BY d.day ASC NULLS LAST""".stripMargin
+        |ORDER BY d.day ASC NULLS LAST""".stripMargin,
+
+    // Same scaled-integer centering (cx = x·n − S); the one division is
+    // the only IEEE op on either engine.
+    "q_ts_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1
+        |), tot AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS sx FROM daily
+        |), cent AS (
+        |  SELECT day, CAST(x * nd - sx AS BIGINT) AS cx FROM daily, tot
+        |), den AS (
+        |  SELECT CAST(SUM(cx * cx) AS BIGINT) AS den FROM cent
+        |), ks AS (SELECT UNNEST(range(1, 8)) AS lag)
+        |SELECT CAST(k.lag AS BIGINT) AS lag, COUNT(*) AS n_pairs,
+        |  CAST(CAST(SUM(c1.cx * c2.cx) AS BIGINT) AS DOUBLE)
+        |    / CAST(d.den AS DOUBLE) AS acf
+        |FROM cent c1
+        |CROSS JOIN ks k
+        |JOIN cent c2 ON c2.day = c1.day + CAST(k.lag AS INT)
+        |CROSS JOIN den d
+        |GROUP BY k.lag, d.den
+        |ORDER BY lag ASC NULLS LAST""".stripMargin,
+
+    // Same exact-decimal centering (dev = cum·n − t·S); argmax and the
+    // earliest-day tie-break compare exact decimals, the division by n
+    // runs after the max with the VARCHAR-routed double cast.
+    "q_ts_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS s
+        |  FROM events GROUP BY 1
+        |), tot AS (SELECT COUNT(*) AS nd, SUM(s) AS stot FROM daily),
+        |c AS (
+        |  SELECT day,
+        |    ROW_NUMBER() OVER (ORDER BY day ASC NULLS LAST) AS t,
+        |    SUM(s) OVER (ORDER BY day ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM daily
+        |), dev AS (
+        |  SELECT day,
+        |    abs(CAST(cum AS DECIMAL(18,4)) * CAST(nd AS DECIMAL(6,0))
+        |      - CAST(t AS DECIMAL(6,0)) * CAST(stot AS DECIMAL(18,4)))
+        |      AS dev,
+        |    nd FROM c, tot
+        |), m AS (SELECT MAX(dev) AS mdev FROM dev)
+        |SELECT MIN(day) AS day_star, CAST(MAX(nd) AS BIGINT) AS n_days,
+        |  CAST(CAST(MAX(mdev) AS VARCHAR) AS DOUBLE)
+        |    / CAST(MAX(nd) AS DOUBLE) AS cusum_stat
+        |FROM dev, m WHERE dev = mdev""".stripMargin,
+
+    // Same dyadic weights: every term and partial sum is exact, so the
+    // two engines agree bit-for-bit with no rounding and no routing.
+    "q_ts_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), ks AS (SELECT UNNEST(range(0, 16)) AS k),
+        |contrib AS (
+        |  SELECT d.event_type, d.day + CAST(ks.k AS INT) AS day2,
+        |    SUM(d.x / CAST(1::BIGINT << CAST(ks.k + 1 AS INT)
+        |      AS DOUBLE)) AS num,
+        |    SUM(CAST(1 AS DOUBLE) / CAST(1::BIGINT
+        |      << CAST(ks.k + 1 AS INT) AS DOUBLE)) AS wsum
+        |  FROM daily d CROSS JOIN ks
+        |  GROUP BY 1, 2
+        |)
+        |SELECT t.event_type, t.day, t.x, c.num / c.wsum AS ewma
+        |FROM daily t JOIN contrib c
+        |  ON c.event_type = t.event_type AND c.day2 = t.day
+        |ORDER BY t.event_type ASC NULLS LAST, t.day ASC NULLS LAST""".stripMargin
   )
 }

@@ -231,4 +231,68 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(sum1h == exact, s"sum for user $uid at $tsu")
     }
   }
+
+  private def dayOf(t: Timestamp): java.time.LocalDate =
+    t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+
+  test("q_ts_autocorr matches brute-force scaled-integer ACF") {
+    val out = EventAnalytics.queries("q_ts_autocorr")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val daily = events.groupBy(e => dayOf(e._2))
+      .map { case (d, es) => d -> es.size.toLong }
+    val n = daily.size.toLong
+    val s = daily.values.sum
+    val cx = daily.map { case (d, x) => d -> (x * n - s) }
+    val den = cx.values.map(c => c * c).sum
+    assert(out.keySet == (1L to 7L).toSet)
+    (1L to 7L).foreach { lag =>
+      val pairs = cx.toSeq.flatMap { case (d, c1) =>
+        cx.get(d.plusDays(lag)).map(c2 => c1 * c2)
+      }
+      val (nPairs, acf) = out(lag)
+      assert(nPairs == pairs.size, s"n_pairs at lag $lag")
+      assert(acf == pairs.sum.toDouble / den.toDouble, s"acf at lag $lag")
+    }
+  }
+
+  test("q_ts_cusum matches brute-force exact-decimal changepoint") {
+    val r = EventAnalytics.queries("q_ts_cusum")(spark, sf).collect().head
+    val daily = events.groupBy(e => dayOf(e._2))
+      .map { case (d, es) => d -> es.map(e => BigDecimal(e._4)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum }
+      .toSeq.sortBy(_._1.toEpochDay)
+    val n = daily.size
+    val stot = daily.map(_._2).sum
+    var cum = BigDecimal(0)
+    val devs = daily.zipWithIndex.map { case ((d, sd), i) =>
+      cum += sd
+      d -> (cum * n - BigDecimal(i + 1) * stot).abs
+    }
+    val mdev = devs.map(_._2).max
+    val dayStar = devs.filter(_._2 == mdev).map(_._1)
+      .minBy(_.toEpochDay)
+    assert(r.getDate(0).toLocalDate == dayStar)
+    assert(r.getLong(1) == n.toLong)
+    assert(r.getDouble(2) == mdev.toDouble / n.toDouble)
+  }
+
+  test("q_ts_ewma matches brute-force dyadic-weight smoothing") {
+    val out = EventAnalytics.queries("q_ts_ewma")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val daily = events.groupBy(e => (e._3, dayOf(e._2)))
+      .map { case (k, es) => k -> es.size.toLong }
+    assert(out.keySet == daily.keySet.map { case (t, d) => (t, d) })
+    daily.foreach { case ((typ, day), x) =>
+      val terms = (0 to 15).flatMap { k =>
+        daily.get((typ, day.minusDays(k.toLong)))
+          .map(xk => (xk * (1.0 / (1L << (k + 1)).toDouble),
+            1.0 / (1L << (k + 1)).toDouble))
+      }
+      val (ox, oe) = out((typ, day))
+      assert(ox == x, s"count for $typ $day")
+      assert(oe == terms.map(_._1).sum / terms.map(_._2).sum,
+        s"ewma for $typ $day")
+    }
+  }
 }

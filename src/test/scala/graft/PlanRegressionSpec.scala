@@ -89,18 +89,20 @@ class PlanRegressionSpec extends SparkSpec {
     // DAY-GRAIN totals (one row per calendar day — bounded by the span of
     // time, not the event count); the event-grain running sum below it is
     // partitioned by day
-    val allowed = Set("q_concurrency_peak")
+    // q_ts_cusum's rank+cumsum window likewise runs over the day-grain
+    // frame (one row per calendar day), merged into a single node
+    val allowed = Set("q_concurrency_peak", "q_ts_cusum")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed).foreach { name =>
       val found = globalWindows(SparkEntry.queries(name)(spark, sf))
       assert(found.isEmpty, s"$name plans a global window: $found")
     }
-    // the allowlisted query still has its event-grain window partitioned:
-    // exactly ONE global window node (the day carry) may appear
-    val conc = globalWindows(
-      SparkEntry.queries("q_concurrency_peak")(spark, sf))
-    assert(conc.size <= 1,
-      s"q_concurrency_peak grew extra global windows: $conc")
+    // the allowlisted queries still have their event-grain work keyed:
+    // exactly ONE global window node (over day-grain rows) may appear
+    allowed.foreach { name =>
+      val found = globalWindows(SparkEntry.queries(name)(spark, sf))
+      assert(found.size <= 1, s"$name grew extra global windows: $found")
+    }
   }
 
   // The scale-killer gate: a nested-loop join is quadratic in its inputs,
@@ -151,7 +153,11 @@ class PlanRegressionSpec extends SparkSpec {
       "q_stats_chi2",
       // the 8-row trained-centroid broadcast + the bounded probe — the
       // q_kmeans_iter / q_ann_ivf broadcast-k shape
-      "q_ann_ivf_trained")
+      "q_ann_ivf_trained",
+      // 1-row broadcasts of the series totals (n, Σx) and the centered
+      // sum-of-squares / max-deviation scalars on a constant key, joined
+      // against the tiny day-grain frame — the q_text_docfreq shape
+      "q_ts_autocorr", "q_ts_cusum")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
