@@ -12,11 +12,11 @@ import java.nio.file.{Files, Paths}
   * (BENCH_r02.json: `tail` length exactly 2000, valid JSON line of 2339
   * chars → `parsed:null` again). The stdout line therefore uses
   * DETERMINISTICALLY ABBREVIATED query names (legend: BASELINE.md §bench
-  * name legend; e.g. q_join_broadcast→j_bc, q_window_first_last→w_fl)
-  * and ADAPTIVE value precision (2dp <10 s, 1dp <100 s — ≤4 chars per
-  * value), keeping the full line < 1900 chars at 130+ queries.
-  * `bench_out.json` keeps FULL names at 1 ms precision — that file is
-  * the canonical per-query record. */
+  * name legend; the table is `overrides` below) and COMPACT 1dp values
+  * (3 chars for the typical sub-10 s query), keeping the full line
+  * < 1950 chars at 193+ queries. `bench_out.json` keeps FULL names at
+  * 1 ms precision — that file is the canonical per-query record and is
+  * committed each round. */
 object Bench {
 
   /** Family prefixes, longest-match-first. Applied after stripping `q_`. */
@@ -101,7 +101,7 @@ object Bench {
     "q_stream_session" -> "ts", "q_text_chunk" -> "ck",
     "q_text_dedup" -> "de", "q_text_stats" -> "te",
     "q_text_tfidf" -> "ti", "q_topk_per_group" -> "tg",
-    "q_unpivot" -> "up", "q_window_frame" -> "wr",
+    "q_unpivot" -> "v", "q_window_frame" -> "wr",
     "q_window_ntile" -> "wn", "q_window_range" -> "rn",
     "q_scd2_intervals" -> "c2", "q_path_per_session" -> "pt",
     "q_upsert_latest" -> "us", "q_text_bigram_prob" -> "tb",
@@ -110,28 +110,25 @@ object Bench {
     "q_window_time_range" -> "wt", "q_mixture_weights" -> "mw",
     "q_label_balance" -> "lb", "q_text_clean" -> "tl",
     "q_ann_ivf_nprobe" -> "i2", "q_embed_rp" -> "er",
-    "q_agg_bool" -> "bo", "q_agg_cube" -> "ac",
-    "q_agg_distinct" -> "ad", "q_agg_hash" -> "as",
-    "q_agg_mode" -> "md", "q_date_funcs" -> "fu", "q_except" -> "ex",
-    "q_funnel" -> "fn", "q_join_anti" -> "ja", "q_join_asof" -> "js",
-    "q_join_full" -> "ju", "q_join_semi" -> "je",
-    "q_join_shuffle" -> "jh", "q_json_funcs" -> "j0",
-    "q_math_funcs" -> "mt", "q_null_funcs" -> "nu",
-    "q_regex_sub" -> "rs", "q_set_unset_lookup" -> "lk",
-    "q_skew_salted_agg" -> "kg", "q_string_funcs" -> "s1",
-    "q_string_funcs2" -> "f2", "q_text_bigrams" -> "bg",
-    "q_text_gini" -> "tn", "q_text_quality" -> "tq",
-    "q_window_cume" -> "wc", "q_window_rank" -> "wk",
-    "q_map_funcs" -> "ms", "q_pivot" -> "pv", "q_sql_cte" -> "ct",
-    "q_stream_outer_join" -> "so", "q_text_pii_redact" -> "pi",
-    "q_text_repetition" -> "rp", "q_text_tokenize" -> "tk",
-    "q_union" -> "un", "q_window_analytic" -> "wa",
-    "q_ann_ivf_curve" -> "ic", "q_ann_recall" -> "rc",
-    "q_ann_recall_multi" -> "rm", "q_text_lm_score" -> "lm",
-    "q_join_interval" -> "ji", "q_graph_pagerank" -> "pg",
-    "q_ann_pq" -> "pq", "q_rolling_distinct" -> "rd",
-    "q_graph_triangles" -> "tr", "q_join_bloom" -> "jb",
-    "q_text_pmi" -> "pm", "q_ann_ivfpq" -> "ip",
+    "q_agg_bool" -> "b", "q_agg_cube" -> "c",
+    "q_agg_distinct" -> "d", "q_agg_hash" -> "h",
+    "q_agg_mode" -> "m", "q_date_funcs" -> "u", "q_except" -> "e",
+    "q_funnel" -> "f", "q_join_anti" -> "j", "q_join_asof" -> "a",
+    "q_join_full" -> "J", "q_join_semi" -> "s",
+    "q_join_shuffle" -> "S", "q_json_funcs" -> "n",
+    "q_math_funcs" -> "M", "q_null_funcs" -> "N",
+    "q_regex_sub" -> "r", "q_set_unset_lookup" -> "l",
+    "q_skew_salted_agg" -> "k", "q_string_funcs" -> "g",
+    "q_string_funcs2" -> "G", "q_text_bigrams" -> "B",
+    "q_text_gini" -> "i", "q_text_quality" -> "q",
+    "q_window_cume" -> "w", "q_window_rank" -> "W",
+    "q_map_funcs" -> "p", "q_pivot" -> "P", "q_sql_cte" -> "C",
+    "q_stream_outer_join" -> "o", "q_text_pii_redact" -> "I",
+    "q_text_repetition" -> "R", "q_text_tokenize" -> "T",
+    "q_union" -> "U", "q_window_analytic" -> "y",
+    "q_ann_pq" -> "V", "q_rolling_distinct" -> "O",
+    "q_graph_triangles" -> "t", "q_join_bloom" -> "jb",
+    "q_text_pmi" -> "x", "q_ann_ivfpq" -> "z",
     "q_sample_weighted" -> "sw", "q_text_winnow" -> "tw",
     "q_stats_ttest" -> "tt", "q_graph_jaccard" -> "gj",
     "q_agg_bitmap" -> "ab", "q_ann_pq_recall" -> "pr",
@@ -143,7 +140,16 @@ object Bench {
     "q_layout_zorder" -> "zo", "q_stats_chi2" -> "x2",
     "q_dedup_bands_curve" -> "bc", "q_ann_ivf_trained" -> "it",
     "q_graph_cc_sizes" -> "cz", "q_embed_dim_stats" -> "ed",
-    "q_ts_autocorr" -> "ax", "q_ts_cusum" -> "cu", "q_ts_ewma" -> "ew")
+    "q_ts_autocorr" -> "ax", "q_ts_cusum" -> "cu", "q_ts_ewma" -> "ew",
+    "q_tpch_q6" -> "6", "q_tpch_q7" -> "7", "q_tpch_q8" -> "8",
+    "q_tpch_q10" -> "0", "q_tpch_q19" -> "9", "q_tpch_q1" -> "1",
+    "q_tpch_q14" -> "4", "q_tpch_q15" -> "5", "q_tpch_q18" -> "3",
+    "q_tpch_q22" -> "2", "q_stats_ks" -> "K",
+    "q_stats_mwu" -> "X", "q_agg_weighted_median" -> "Y",
+    "q_ann_ivf_curve" -> "E", "q_ann_recall" -> "F",
+    "q_ann_recall_multi" -> "H", "q_text_lm_score" -> "L",
+    "q_join_interval" -> "Q", "q_graph_pagerank" -> "Z",
+    "q_attribution" -> "A", "q_schema_profile" -> "D")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */
@@ -198,55 +204,63 @@ object Bench {
       name -> (if (failed(name)) -1.0
                else best.getOrElse(name, -1.0))
     }
-    // Locale.ROOT: a de_DE-style default locale would print "0,123" and
-    // break the JSON (ADVICE round 2)
-    def fmt(v: Double, dp: Int): String =
-      if (v < 0) "-1"
-      else String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-    // stdout values: adaptive precision (2dp <10s, 1dp <100s, else 0dp) —
-    // at most 4 chars per value, so the line length is bounded by the
-    // abbr-name budget alone as the query count grows
-    def fmtAdaptive(v: Double): String =
-      if (v < 0) "-1"
-      else {
-        // threshold on the FORMATTED length, not the value: %.2f of
-        // 9.999 rounds to "10.00" (5 chars), which would breach the
-        // 4-char budget BenchLineSpec models
-        val s2 = fmt(v, 2)
-        if (s2.length <= 4) s2
-        else { val s1 = fmt(v, 1); if (s1.length <= 4) s1 else fmt(v, 0) }
-      }
-    def lineOf(dp: Int, nameOf: String => String): String = {
-      val qs = results.map { case (k, v) => "\"" + nameOf(k) + "\":" +
-        (if (dp < 0) fmtAdaptive(v) else fmt(v, dp)) }
-        .mkString("{", ",", "}")
-      val total = results.collect { case (_, v) if v >= 0 => v }.sum
-      val sfTag = sfDir.split('/').last
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":${failed.size},"queries":$qs,"sf":"$sfTag"}"""
-    }
     // canonical record: full names, 1 ms precision
-    Files.writeString(Paths.get("bench_out.json"), lineOf(3, identity) + "\n")
-    // stdout line: abbreviated names, 10 ms precision, must fit the
-    // driver's 2000-char tail buffer. Fallback (never expected to fire —
-    // BenchLineSpec guards the bound): slowest-40 only, with a marker.
-    val stdoutLine = {
-      val full = lineOf(-1, abbr)
-      if (full.length < 1900) full
-      else {
-        // failed queries (-1) are ALWAYS kept — the elision must only
-        // drop fast successes, never hide which queries broke
-        val keep = (results.filter(_._2 < 0) ++
-          results.filter(_._2 >= 0).sortBy(-_._2).take(40))
-          .map(_._1).toSet
-        val qs = results.collect { case (k, v) if keep(k) =>
-          "\"" + abbr(k) + "\":" + fmtAdaptive(v) }.mkString("{", ",", "}")
-        val total = results.collect { case (_, v) if v >= 0 => v }.sum
-        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":${failed.size},"elided_fast_queries":${results.size - keep.size},"queries":$qs,"sf":"${sfDir.split('/').last}"}"""
-      }
-    }
+    Files.writeString(Paths.get("bench_out.json"),
+      fullLineFor(results, failed.size, sfDir.split('/').last) + "\n")
+    val stdoutLine =
+      stdoutLineFor(results, failed.size, sfDir.split('/').last)
     spark.stop()
     // printed AFTER spark.stop() so executor-shutdown log noise cannot land
     // between the JSON and end-of-stream
     println(stdoutLine)
+  }
+
+  // Locale.ROOT: a de_DE-style default locale would print "0,123" and
+  // break the JSON (ADVICE round 2)
+  private def fmt(v: Double, dp: Int): String =
+    if (v < 0) "-1"
+    else String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+
+  /** stdout values: 1dp under 100 s (≤ 4 chars, 3 for the typical < 10 s
+    * query), 0dp above. The 62 single-char codes are exhausted at 193
+    * queries, so the per-VALUE budget is the remaining lever for keeping
+    * every query visible on stdout; full 1 ms precision lives in the
+    * committed bench_out.json. */
+  private def fmtCompact(v: Double): String =
+    if (v < 0) "-1"
+    else { val s1 = fmt(v, 1); if (s1.length <= 4) s1 else fmt(v, 0) }
+
+  /** bench_out.json line: full names, 1 ms precision. */
+  def fullLineFor(results: Seq[(String, Double)], nFailed: Int,
+      sfTag: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfTag"}"""
+  }
+
+  /** The printed stdout line: abbreviated names + compact values, bounded
+    * by the driver's 2000-char tail ring buffer. If the full line would
+    * not fit, elides to the slowest 40 + every failure, with a marker —
+    * failed queries (-1) are ALWAYS kept: the elision must only drop fast
+    * successes, never hide which queries broke. Public (and pure) so
+    * BenchLineSpec asserts the bound on the line actually printed. */
+  def stdoutLineFor(results: Seq[(String, Double)], nFailed: Int,
+      sfTag: String): String = {
+    def line(rs: Seq[(String, Double)], extra: String): String = {
+      val qs = rs.map { case (k, v) => "\"" + abbr(k) + "\":" +
+        fmtCompact(v) }.mkString("{", ",", "}")
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$nFailed,$extra"queries":$qs,"sf":"$sfTag"}"""
+    }
+    val full = line(results, "")
+    if (full.length < 1950) full
+    else {
+      val keep = (results.filter(_._2 < 0) ++
+        results.filter(_._2 >= 0).sortBy(-_._2).take(40))
+        .map(_._1).toSet
+      line(results.filter { case (k, _) => keep(k) },
+        s""""elided_fast_queries":${results.size - keep.size},""")
+    }
   }
 }

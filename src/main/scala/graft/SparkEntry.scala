@@ -27,7 +27,7 @@ object SparkEntry {
       TemplateQueries.queries ++ Extended.queries ++ Multimodal.queries ++
       Skew.queries ++ Breadth.queries ++ Quality.queries ++
       Packing.queries ++ Corpus.queries ++ EventAnalytics.queries ++
-      Sketches.queries
+      Sketches.queries ++ Tpch.queries ++ StatsTests.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -38,5 +38,5 @@ object SparkEntry {
       TemplateQueries.oracle ++ Extended.oracle ++ Multimodal.oracle ++
       Skew.oracle ++ Breadth.oracle ++ Quality.oracle ++
       Packing.oracle ++ Corpus.oracle ++ EventAnalytics.oracle ++
-      Sketches.oracle
+      Sketches.oracle ++ Tpch.oracle ++ StatsTests.oracle
 }

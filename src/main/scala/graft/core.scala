@@ -15,20 +15,32 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects. Read the physical INT64 (legacy nanosAsLong) and floor to
-      // microseconds — exactly what DuckDB does when it reads the same
-      // file (verified: truncation, not rounding). The conf only matters
-      // during the eager schema conversion inside spark.read.parquet, so
-      // it is restored immediately — other nanos-parquet reads in the same
-      // session keep their own behavior (verified: the restored-conf scan
-      // still executes).
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS) across driver testdata generations. Nanos are
+      // rejected by Spark's reader unless read as the physical INT64
+      // (legacy nanosAsLong), then floored to microseconds — exactly what
+      // DuckDB does with the same file (verified: truncation, not
+      // rounding). Micros map straight to a timestamp column. Sniff the
+      // inferred schema and convert only when the legacy conf kicked in;
+      // the conf only matters during the eager schema conversion inside
+      // spark.read.parquet, so it is restored immediately.
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
-      try spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      finally prev match {
+      try {
+        val df = spark.read.parquet(s"$sfDir/$name.parquet")
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            // µs-precision but NTZ: downstream code (unix_micros, windows)
+            // requires TIMESTAMP(ltz). The session timezone is pinned UTC
+            // on both engines (SURVEY §7.4), so the cast preserves the
+            // wall-clock value bit-for-bit and matches DuckDB's naive read.
+            df.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => df // already µs-precision TIMESTAMP
+        }
+      } finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None    => spark.conf.unset(key)
       }

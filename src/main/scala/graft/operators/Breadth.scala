@@ -31,6 +31,30 @@ object Breadth {
   private val docBucket = splitBucket("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Column profiling — the schema-inspection report every ingest step
+    // runs first (null rates, cardinalities): ONE pass computes
+    // count/nulls/distinct for five lineitem columns, then pivots the
+    // single result row into one row per column with an in-row explode
+    // (the output is ≤ |columns| rows at any corpus size). The
+    // multi-column exact countDistinct expands the scan ×5 before the
+    // shuffle — the price of exactness; the HLL variant for wide tables
+    // is q_agg_approx_distinct's pattern.
+    "q_schema_profile" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_discount", "l_returnflag",
+        "l_linestatus", "l_partkey")
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+      t(s, d, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("column_name"), col("n_rows"),
+          col(s"nn_$c").as("n_nulls"),
+          col(s"nd_$c").as("n_distinct"))): _*)).as("r"))
+        .select("r.*")
+        .orderBy(asc_nulls_last("column_name"))
+    }),
+
     // Reproducible train/test split: 80/20 by key hash, verified by the
     // per-split counts, id extrema and an id-sum checksum.
     "q_split_hash" -> ((s, d) =>
@@ -270,6 +294,27 @@ object Breadth {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_schema_profile" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_q,
+        |    COUNT(DISTINCT l_quantity) AS nd_q,
+        |    CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_d,
+        |    COUNT(DISTINCT l_discount) AS nd_d,
+        |    CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_r,
+        |    COUNT(DISTINCT l_returnflag) AS nd_r,
+        |    CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_l,
+        |    COUNT(DISTINCT l_linestatus) AS nd_l,
+        |    CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_p,
+        |    COUNT(DISTINCT l_partkey) AS nd_p
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS column_name, n_rows, nn_q AS n_nulls, nd_q AS n_distinct FROM a
+        |UNION ALL SELECT 'l_discount', n_rows, nn_d, nd_d FROM a
+        |UNION ALL SELECT 'l_returnflag', n_rows, nn_r, nd_r FROM a
+        |UNION ALL SELECT 'l_linestatus', n_rows, nn_l, nd_l FROM a
+        |UNION ALL SELECT 'l_partkey', n_rows, nn_p, nd_p FROM a
+        |ORDER BY column_name ASC NULLS LAST""".stripMargin,
+
     "q_split_hash" ->
       """SELECT CASE WHEN CAST('0x' ||
         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)

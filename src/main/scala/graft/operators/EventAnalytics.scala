@@ -141,6 +141,28 @@ object EventAnalytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Last-touch revenue attribution: every purchase is credited to the
+    // user's most recent PRECEDING marketing touch (click or view; none
+    // yet → "direct"). The carry is `last(..., ignoreNulls)` over a
+    // per-user ROWS frame ending at 1 PRECEDING — the proven bit-exact
+    // twin of DuckDB's last_value(... IGNORE NULLS) under a unique
+    // (ts, event_id) ordering (SURVEY §7.4 round-3-session notes). One
+    // partitioned window + one tiny grouped agg: at 100 TB this is a
+    // single keyed shuffle on user_id, no self-join, no global state.
+    "q_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "events")
+        .withColumn("touch",
+          last(when(col("event_type").isin("click", "view"),
+            col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Det.dsum(col("value")).as("revenue"))
+        .orderBy(asc_nulls_last("touch"))
+    }),
+
     // Ordered conversion funnel. Stages must happen in sequence: the
     // click must be at-or-after the user's FIRST signup, the purchase
     // at-or-after the first qualifying click. min() of a microsecond
@@ -569,6 +591,22 @@ object EventAnalytics {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_attribution" ->
+      s"""WITH tagged AS (
+         |  SELECT event_type, value,
+         |    last_value(CASE WHEN event_type IN ('click', 'view')
+         |        THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+         |  FROM events)
+         |SELECT coalesce(touch, 'direct') AS touch,
+         |  COUNT(*) AS n_purchases,
+         |  ${graft.Det.sqlDsum("value")} AS revenue
+         |FROM tagged
+         |WHERE event_type = 'purchase'
+         |GROUP BY 1
+         |ORDER BY touch ASC NULLS LAST""".stripMargin,
+
     "q_funnel" ->
       """WITH u AS (
         |  SELECT DISTINCT user_id FROM events

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Nonparametric two-sample tests (the distribution-shift monitors of a
+  * data pipeline: "did the `click` value distribution drift away from
+  * `view`?") plus the exact weighted median. All three follow the repo's
+  * determinism rules (SURVEY §7.4): exact integer arithmetic end-to-end,
+  * with at most ONE trailing IEEE division built from identically-derived
+  * operands on both engines.
+  *
+  * The empirical-CDF machinery both tests need — pooled cumulative counts
+  * per distinct sample value — would naively be a GLOBAL window (the
+  * quietest scale-killer, gate-enforced by PlanRegressionSpec). Instead it
+  * is the two-level prefix sum proven by `q_concurrency_peak`: partition
+  * the points by integer value bucket, cumsum WITHIN each bucket
+  * (partitioned window), and carry bucket totals across the (value-range
+  * bounded, ≤ a few hundred rows) bucket-grain frame — the only global
+  * window runs over buckets, whose count is fixed by the value DOMAIN,
+  * not the event count, so a 1000× corpus adds zero rows to it.
+  */
+object StatsTests {
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  /** One row per distinct pooled sample value with per-group tie counts:
+    * group 1 = `click` events, group 2 = `view` events. */
+  private def points(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy("value")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("d1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("d2"))
+
+  /** Pooled cumulative counts c1/c2 = #{group ≤ value} via the two-level
+    * prefix sum described above. The bucket-carry frame is broadcast back
+    * (≤ value-range rows), so the per-point side never re-shuffles. */
+  private def cumulative(pts: DataFrame): DataFrame = {
+    val wb = Window.partitionBy("bucket").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wc = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = pts.withColumn("bucket", floor(col("value")).cast("long"))
+    val carry = b.groupBy("bucket")
+      .agg(sum("d1").as("t1"), sum("d2").as("t2"))
+      .select(col("bucket"),
+        coalesce(sum(col("t1")).over(wc), lit(0L)).as("p1"),
+        coalesce(sum(col("t2")).over(wc), lit(0L)).as("p2"))
+    b.withColumn("cb1", sum("d1").over(wb))
+      .withColumn("cb2", sum("d2").over(wb))
+      .join(broadcast(carry), "bucket")
+      .select(col("value"), col("d1"), col("d2"),
+        (col("p1") + col("cb1")).as("c1"),
+        (col("p2") + col("cb2")).as("c2"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Kolmogorov–Smirnov two-sample statistic: D = max |F1(x) − F2(x)|
+    // over the pooled support. The max is taken over the EXACT integer
+    // numerator |n2·c1 − n1·c2| (F_i = c_i/n_i cross-multiplied — no
+    // per-row division, no FP accumulation); the statistic itself is one
+    // trailing IEEE division of that integer max. The sample sizes join
+    // back as a 1-row broadcast on a constant key (the q_stats_ttest
+    // shape, BNLJ-allowlisted).
+    "q_stats_ks" -> ((s, d) => {
+      val pts = points(s, d)
+      val cum = cumulative(pts)
+      // totals from the POINT frame (max(c1) ≡ Σd1): deriving them from
+      // `cum` would clone the bucket-carry window into the totals subtree
+      // (two global-window nodes — gate-visible); this way the pts
+      // aggregation subtree is shared and its exchange reused
+      val tot = broadcast(pts.agg(sum("d1").as("n1"), sum("d2").as("n2"))
+        .withColumn("_one", lit(1)))
+      cum.withColumn("_one", lit(1)).join(tot, "_one")
+        .groupBy("n1", "n2")
+        .agg(max(abs(col("n2") * col("c1") - col("n1") * col("c2")))
+          .as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("d_num").cast("double") / (col("n1") * col("n2")))
+            .as("ks_stat"))
+    }),
+
+    // Mann–Whitney U (Wilcoxon rank-sum) with midrank tie handling.
+    // A value tied m = d1+d2 ways after r = c1+c2−m smaller pooled points
+    // spans ranks r+1..r+m with midrank r+(m+1)/2 — kept exact by
+    // doubling: each group-1 member contributes 2·rank = 2r+m+1, so
+    // r1_x2 = Σ d1·(2r+m+1) is an exact BIGINT, and
+    // 2·U1 = r1_x2 − n1(n1+1). ONE global aggregate (no join, no
+    // window beyond the shared CDF skeleton); u_stat halves an even
+    // integer — an exact binary operation on both engines.
+    "q_stats_mwu" -> ((s, d) => {
+      val u1x2 = col("r1_x2") - col("n1") * (col("n1") + 1L)
+      cumulative(points(s, d))
+        .agg(sum("d1").as("n1"), sum("d2").as("n2"),
+          sum(col("d1") * (lit(2L)
+            * (col("c1") + col("c2") - col("d1") - col("d2"))
+            + col("d1") + col("d2") + 1L)).as("r1_x2"))
+        .select(col("n1"), col("n2"), col("r1_x2"),
+          u1x2.as("u1_x2"),
+          (lit(2L) * col("n1") * col("n2") - u1x2).as("u2_x2"),
+          (u1x2.cast("double") / 2.0).as("u_stat"))
+    }),
+
+    // Exact weighted median of extendedprice weighted by quantity, per
+    // returnflag — the "half the shipped units cost less than this"
+    // statistic (and the shape of weighted quantile sampling in corpus
+    // construction). Weights are integral quantities (cast exactly to
+    // BIGINT); the running weight is a PARTITIONED window per flag and
+    // the median is the first value whose doubled running weight reaches
+    // the group total — the lower weighted median, a data value, no
+    // interpolation, no FP.
+    "q_agg_weighted_median" -> ((s, d) => {
+      val pts = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      val wr = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("l_returnflag")
+      pts.withColumn("cw", sum("w").over(wr))
+        .withColumn("tw", sum("w").over(wt))
+        .filter(lit(2L) * col("cw") >= col("tw"))
+        .groupBy("l_returnflag")
+        .agg(min("l_extendedprice").as("w_median"),
+          max("tw").as("total_weight"))
+        .orderBy(asc_nulls_last("l_returnflag"))
+    })
+  )
+
+  private val ptsSql =
+    """SELECT value,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS d1,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS d2
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY value""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_stats_ks" ->
+      s"""WITH pts AS (
+         |  $ptsSql
+         |), cum AS (
+         |  SELECT CAST(SUM(d1) OVER (ORDER BY value) AS BIGINT) AS c1,
+         |         CAST(SUM(d2) OVER (ORDER BY value) AS BIGINT) AS c2
+         |  FROM pts
+         |), tot AS (SELECT max(c1) AS n1, max(c2) AS n2 FROM cum)
+         |SELECT n1, n2,
+         |  max(abs(n2 * c1 - n1 * c2)) AS d_num,
+         |  CAST(max(abs(n2 * c1 - n1 * c2)) AS DOUBLE) / (n1 * n2) AS ks_stat
+         |FROM cum, tot
+         |GROUP BY n1, n2""".stripMargin,
+    "q_stats_mwu" ->
+      s"""WITH pts AS (
+         |  $ptsSql
+         |), cum AS (
+         |  SELECT value, d1, d2,
+         |    CAST(SUM(d1) OVER (ORDER BY value) AS BIGINT) AS c1,
+         |    CAST(SUM(d2) OVER (ORDER BY value) AS BIGINT) AS c2
+         |  FROM pts
+         |), agg AS (
+         |  SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+         |    CAST(SUM(d2) AS BIGINT) AS n2,
+         |    CAST(SUM(d1 * (2 * (c1 + c2 - d1 - d2) + d1 + d2 + 1))
+         |      AS BIGINT) AS r1_x2
+         |  FROM cum)
+         |SELECT n1, n2, r1_x2,
+         |  r1_x2 - n1 * (n1 + 1) AS u1_x2,
+         |  2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
+         |  CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat
+         |FROM agg""".stripMargin,
+    "q_agg_weighted_median" ->
+      """WITH pts AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT l_returnflag, l_extendedprice, w,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY
+        |      l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS cw,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |  FROM pts)
+        |SELECT l_returnflag, min(l_extendedprice) AS w_median,
+        |  max(tw) AS total_weight
+        |FROM cum
+        |WHERE 2 * cw >= tw
+        |GROUP BY 1
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+  )
+}

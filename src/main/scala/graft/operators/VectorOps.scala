@@ -565,6 +565,7 @@ object VectorOps {
     // slim (cluster, dim) shuffle; the 8 trained centroids broadcast as
     // rows; everything else is the q_ann_ivf shape.
     "q_ann_ivf_trained" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val e = t(s, d, "embeddings")
       // Lloyd step: per-(cluster, pos) exact mean → per-cluster DOUBLE
       // array ordered by pos
@@ -581,12 +582,12 @@ object VectorOps {
             expr("transform(pm, x -> x.mean)").as("cent"),
             lit(1).as("_one")))
       // exact scale-8 decimal dot of a float vector against the trained
-      // double array (the wdotFoldReference shape with data weights)
-      val tdot = expr(
-        "CAST(aggregate(zip_with(embedding, cent, " +
-          "(x, w) -> CAST(CAST(x AS DOUBLE) * w AS DECIMAL(20,8))), " +
-          "CAST(0 AS DECIMAL(30,8)), " +
-          "(acc, t) -> CAST(acc + t AS DECIMAL(30,8))) AS DOUBLE)")
+      // double array — the codegen'd decimal_wdot, bit-identical to the
+      // interpreted wdot fold (DecimalWDot's proof; data-derived means
+      // |w| ≤ 1 sit far inside the fast path's |w| ≤ 16 band) but one
+      // tight codegen loop instead of 64 Decimal allocations per row
+      // per cluster
+      val tdot = expr("decimal_wdot(embedding, cent)")
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(desc_nulls_last("tdot"), asc_nulls_last("tcid"))
       val assigned = e.withColumn("_one", lit(1))

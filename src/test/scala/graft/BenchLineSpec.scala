@@ -4,8 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards the bench stdout contract: the driver's capture is a 2000-char
   * tail ring buffer (BENCH_r02.json: a valid 2339-char JSON line still
-  * parsed as null), so the printed line must stay under 1900 chars with
-  * every declared query present under an injective abbreviated name. */
+  * parsed as null), so the line Bench PRINTS must stay under 1950 chars
+  * with every abbreviated name injective. The assertions run through
+  * [[Bench.stdoutLineFor]] — the exact code path main prints — so the
+  * elision fallback is tested, not just hoped correct. */
 class BenchLineSpec extends AnyFunSuite {
 
   private val names = SparkEntry.queries.keySet
@@ -23,14 +25,46 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
-  test("worst-case stdout line fits the driver's 2000-char tail buffer") {
-    // worst case under the adaptive value format (2dp <10s, 1dp <100s,
-    // 0dp above): at most 4 chars per value below 1000 s
-    val qs = names.toSeq.sorted
-      .map(n => "\"" + Bench.abbr(n) + "\":99.9").mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":9999.99,"unit":"sec","failed":0,"queries":$qs,"sf":"sf0.1"}"""
-    assert(line.length < 1900,
-      s"bench line ${line.length} chars >= 1900; trim sufMap/famMap in Bench.abbr")
+  test("typical-run stdout line keeps EVERY query visible and fits the " +
+    "driver's 2000-char tail buffer") {
+    // realistic per-query times (sub-10 s → 3-char compact values): the
+    // full-inventory line must fit WITHOUT elision, so each round's
+    // BENCH_r{N}.json records every query. If this trips, shorten codes
+    // or shave value precision — do not let the elision fallback become
+    // the steady state.
+    val results = names.toSeq.sorted.map(n => n -> 1.23)
+    val line = Bench.stdoutLineFor(results, 0, "sf0.1")
+    assert(!line.contains("elided_fast_queries"),
+      s"typical line elides queries at ${names.size} queries")
+    assert(line.length < 1950,
+      s"bench line ${line.length} chars >= 1950; trim Bench.abbr codes")
+  }
+
+  test("slow-run stdout line still fits at compact-value cap") {
+    // every query ≥ 100 s (the 4-char value cap): the full line grows to
+    // its maximum and must STILL fit — the elision fallback only exists
+    // for inventories the buffer mathematically cannot hold
+    val results = names.toSeq.sorted.map(n => n -> 999.9)
+    val line = Bench.stdoutLineFor(results, 0, "sf0.1")
+    assert(line.length < 1950,
+      s"slow-run bench line ${line.length} chars >= 1950")
+  }
+
+  test("oversized inventory elides to slowest-40 but keeps every failure") {
+    // synthetic 400-query inventory that cannot fit: the fallback must
+    // kick in, keep the -1 failures, and stay inside the buffer
+    val results = (1 to 400).map { i =>
+      f"q_synthetic_query_number_$i%03d" ->
+        (if (i % 50 == 3) -1.0 else 0.1 * (i % 30))
+    }
+    val nFailed = results.count(_._2 < 0)
+    val line = Bench.stdoutLineFor(results, nFailed, "sf0.1")
+    assert(line.length < 1950,
+      s"elided bench line ${line.length} chars >= 1950")
+    assert(line.contains("elided_fast_queries"))
+    results.filter(_._2 < 0).foreach { case (n, _) =>
+      assert(line.contains("\"" + Bench.abbr(n) + "\":-1"),
+        s"failure $n elided from the stdout line")
+    }
   }
 }

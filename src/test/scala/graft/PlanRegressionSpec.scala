@@ -91,7 +91,11 @@ class PlanRegressionSpec extends SparkSpec {
     // partitioned by day
     // q_ts_cusum's rank+cumsum window likewise runs over the day-grain
     // frame (one row per calendar day), merged into a single node
-    val allowed = Set("q_concurrency_peak", "q_ts_cusum")
+    val allowed = Set("q_concurrency_peak", "q_ts_cusum",
+      // KS/MWU pooled-CDF carry: the global window runs over integer
+      // value BUCKETS — bounded by the value domain (~330 rows), not the
+      // event count (StatsTests.cumulative)
+      "q_stats_ks", "q_stats_mwu")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed).foreach { name =>
       val found = globalWindows(SparkEntry.queries(name)(spark, sf))
@@ -157,7 +161,13 @@ class PlanRegressionSpec extends SparkSpec {
       // 1-row broadcasts of the series totals (n, Σx) and the centered
       // sum-of-squares / max-deviation scalars on a constant key, joined
       // against the tiny day-grain frame — the q_text_docfreq shape
-      "q_ts_autocorr", "q_ts_cusum")
+      "q_ts_autocorr", "q_ts_cusum",
+      // 1-row broadcast of the positive-balance mean on a constant key —
+      // the q_stats_ttest shape
+      "q_tpch_q22",
+      // 1-row broadcast of the two sample sizes on a constant key — the
+      // q_stats_ttest shape
+      "q_stats_ks")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
