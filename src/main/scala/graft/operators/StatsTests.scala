@@ -112,15 +112,33 @@ object StatsTests {
     // the group total — the lower weighted median, a data value, no
     // interpolation, no FP.
     "q_agg_weighted_median" -> ((s, d) => {
+      // Two-level prefix sum (the q_stats_ks skeleton, per flag): a
+      // plain per-flag running-weight window would sort EVERY distinct
+      // price of a flag in ONE task (parallelism = |flags| = 3); the
+      // (flag, price-bucket) partitioning caps a task at one bucket's
+      // prices and the carry runs over the ~100-row bucket grain,
+      // bounded by the price DOMAIN. The bucket-total subtree feeds
+      // both the carry and the per-flag totals, so its exchange is
+      // reused.
       val pts = t(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(sum(col("l_quantity").cast("long")).as("w"))
-      val wr = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        .withColumn("bucket",
+          floor(col("l_extendedprice") / 1000.0d).cast("long"))
+      val bt = pts.groupBy("l_returnflag", "bucket")
+        .agg(sum("w").as("tb"))
+      val wc = Window.partitionBy("l_returnflag").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = bt.select(col("l_returnflag"), col("bucket"),
+        coalesce(sum(col("tb")).over(wc), lit(0L)).as("pc"))
+      val tot = bt.groupBy("l_returnflag").agg(sum("tb").as("tw"))
+      val wb = Window.partitionBy("l_returnflag", "bucket")
+        .orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wt = Window.partitionBy("l_returnflag")
-      pts.withColumn("cw", sum("w").over(wr))
-        .withColumn("tw", sum("w").over(wt))
-        .filter(lit(2L) * col("cw") >= col("tw"))
+      pts.withColumn("cwb", sum("w").over(wb))
+        .join(broadcast(carry), Seq("l_returnflag", "bucket"))
+        .join(broadcast(tot), "l_returnflag")
+        .filter(lit(2L) * (col("pc") + col("cwb")) >= col("tw"))
         .groupBy("l_returnflag")
         .agg(min("l_extendedprice").as("w_median"),
           max("tw").as("total_weight"))

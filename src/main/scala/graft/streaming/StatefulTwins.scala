@@ -233,6 +233,47 @@ object StatefulTwins {
       }
   }
 
+  case class AEv(user_id: Long, event_id: Long, event_type: String,
+      tsu: Long, value: Double)
+
+  case class AttState(touch: Option[String])
+
+  case class AttCredit(user_id: Long, event_id: Long, touch: String,
+      value: Double)
+
+  /** Streaming twin of q_attribution: per-user LAST-TOUCH carried as one
+    * Option[String] of state — each purchase is credited to the most
+    * recent preceding click/view the user produced (none yet →
+    * "direct"), live instead of via the batch window carry. Append mode:
+    * one credit row per purchase, so any downstream aggregate (the
+    * batch query's (touch, count, revenue) rollup) matches by
+    * construction. Same per-key ordering contract as
+    * [[transitionStream]]; equal-µs ties break by event_id exactly like
+    * the batch ORDER BY (ts, event_id). State is O(keys) — one touch
+    * label per user. */
+  def attributionStream(ev: Dataset[AEv]): Dataset[AttCredit] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttState, AttCredit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[AEv], state: GroupState[AttState]) =>
+          val evs = it.toVector.sortBy(e => (e.tsu, e.event_id))
+          var st = state.getOption.getOrElse(AttState(None))
+          val out = Vector.newBuilder[AttCredit]
+          evs.foreach { e =>
+            // credit BEFORE updating state: the batch frame ends at
+            // 1 PRECEDING, so an event never attributes to itself
+            if (e.event_type == "purchase")
+              out += AttCredit(uid, e.event_id,
+                st.touch.getOrElse("direct"), e.value)
+            if (e.event_type == "click" || e.event_type == "view")
+              st = AttState(Some(e.event_type))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class RlEv(user_id: Long, event_id: Long, tsu: Long)
 
   case class RlState(tokens: Long, prev: Long)

@@ -389,6 +389,57 @@ class StreamingParitySpec extends SparkSpec {
     assert(stream.values.exists(_._1 == 3L))
   }
 
+  test("last-touch attribution: streamed per-user state equals the " +
+      "batch window carry over the real events table") {
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth: (touch, n_purchases, revenue-as-scale-4-decimal)
+    val batch = graft.operators.EventAnalytics
+      .queries("q_attribution")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        java.math.BigDecimal.valueOf(r.getDouble(2))
+          .setScale(4, java.math.RoundingMode.HALF_UP))).toMap
+    val obs = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("value"))
+      .orderBy("tsu", "event_id").collect()
+      .map(r => StatefulTwins.AEv(r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3), r.getDouble(4)))
+    val mem = MemoryStream[StatefulTwins.AEv]
+    val name = s"att_${System.nanoTime()}"
+    val q = StatefulTwins.attributionStream(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    // three micro-batches so the carried touch must survive restarts of
+    // the state machine mid-user
+    val third = obs.length / 3
+    mem.addData(obs.take(third).toSeq)
+    q.processAllAvailable()
+    mem.addData(obs.slice(third, 2 * third).toSeq)
+    q.processAllAvailable()
+    mem.addData(obs.drop(2 * third).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // aggregate the credit stream exactly like Det.dsum: each double →
+    // DECIMAL(18,4) via the shortest-string HALF_UP cast, summed exactly
+    val stream = spark.table(name).collect()
+      .groupBy(_.getString(2)).map { case (touch, rows) =>
+        touch -> (rows.length.toLong,
+          rows.map(r => java.math.BigDecimal.valueOf(r.getDouble(3))
+            .setScale(4, java.math.RoundingMode.HALF_UP))
+            .reduce(_ add _))
+      }.toMap
+    assert(stream.keySet == batch.keySet)
+    stream.foreach { case (touch, (n, rev)) =>
+      assert((n, rev.compareTo(batch(touch)._2)) == (batch(touch)._1, 0),
+        s"$touch: stream ($n, $rev) vs batch ${batch(touch)}")
+    }
+    // non-vacuous: both real touch types must appear
+    assert(stream.contains("click") && stream.contains("view"))
+  }
+
   test("token-bucket rate limit: streamed state equals the batch " +
       "replay over the real events table") {
     import graft.operators.StreamShapes
