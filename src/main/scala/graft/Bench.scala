@@ -149,7 +149,8 @@ object Bench {
     "q_ann_ivf_curve" -> "E", "q_ann_recall" -> "F",
     "q_ann_recall_multi" -> "H", "q_text_lm_score" -> "L",
     "q_join_interval" -> "Q", "q_graph_pagerank" -> "Z",
-    "q_attribution" -> "A", "q_schema_profile" -> "D")
+    "q_attribution" -> "A", "q_schema_profile" -> "D",
+    "q_multimodal_framesample" -> "m2")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -125,6 +125,44 @@ object Multimodal {
           .as("img_h"),
         length(col("payload")).cast("long").as("n_bytes"))
         .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // Video frame sampling — the "pick k frames per clip" stage of a
+    // multimodal training pipeline, with the Spark-side plumbing real
+    // and the codec stubbed exactly like q_multimodal_headers: a
+    // GRFT-magic header carrying (duration_ms, fps) is built as a
+    // binary column, parsed back by byte offset, and the sample
+    // schedule derives ONLY from the parsed fields. Eight uniform
+    // frame indices floor(i·n_frames/8) and their µs-exact integer
+    // timestamps floor(idx·1000/fps) — all BIGINT floor division,
+    // serialized to CSV scalars (arrays crash the driver's checker).
+    // Pure narrow map: no shuffle until the terminal sort.
+    "q_multimodal_framesample" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val durMs = (col("n_chars") * 100).cast("int")
+      val fps = (when(col("doc_id") % 3 === 0, 24)
+        .when(col("doc_id") % 3 === 1, 25)
+        .otherwise(30)).cast("int")
+      val payloadHex = concat(lit("47524654"), // "GRFT" magic
+        lpad(hex(durMs), 8, "0"), lpad(hex(fps), 4, "0"))
+      val withPayload = docs.select(col("doc_id"),
+        unhex(payloadHex).as("payload"))
+      def be(off: Int, n: Int) =
+        expr(s"CAST(conv(substring(hex(payload), ${2 * off - 1}, ${2 * n})," +
+          " 16, 10) AS BIGINT)")
+      withPayload
+        .withColumn("duration_ms", be(5, 4))
+        .withColumn("fps", be(9, 2))
+        .withColumn("n_frames",
+          expr("duration_ms * fps DIV 1000"))
+        .select(col("doc_id"), col("duration_ms"), col("fps"),
+          col("n_frames"),
+          expr("array_join(transform(sequence(0, 7), " +
+            "i -> (i * n_frames) DIV 8), ',')").as("sample_frames"),
+          expr("array_join(transform(sequence(0, 7), " +
+            "i -> (((i * n_frames) DIV 8) * 1000) DIV fps), ',')")
+            .as("sample_ts_ms"))
+        .orderBy(asc_nulls_last("doc_id"))
     })
   )
 
@@ -176,6 +214,33 @@ object Multimodal {
         |         THEN CAST('0x' || substring(ph, 51, 4) AS BIGINT)
         |  END AS img_h,
         |  n_bytes
-        |FROM sniffed ORDER BY doc_id ASC NULLS LAST""".stripMargin
+        |FROM sniffed ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    "q_multimodal_framesample" ->
+      """WITH built AS (
+        |  SELECT doc_id, from_hex('47524654'
+        |    || lpad(hex(CAST(n_chars * 100 AS INTEGER)), 8, '0')
+        |    || lpad(hex(CAST(CASE WHEN doc_id % 3 = 0 THEN 24
+        |         WHEN doc_id % 3 = 1 THEN 25 ELSE 30 END AS INTEGER)),
+        |         4, '0')) AS payload
+        |  FROM documents
+        |), parsed AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(hex(payload), 9, 8) AS BIGINT)
+        |      AS duration_ms,
+        |    CAST('0x' || substring(hex(payload), 17, 4) AS BIGINT) AS fps
+        |  FROM built
+        |), framed AS (
+        |  SELECT doc_id, duration_ms, fps,
+        |    duration_ms * fps // 1000 AS n_frames
+        |  FROM parsed
+        |)
+        |SELECT doc_id, duration_ms, fps, n_frames,
+        |  array_to_string(list_transform(generate_series(0, 7),
+        |    i -> (i * n_frames) // 8), ',') AS sample_frames,
+        |  array_to_string(list_transform(generate_series(0, 7),
+        |    i -> (((i * n_frames) // 8) * 1000) // fps), ',')
+        |    AS sample_ts_ms
+        |FROM framed ORDER BY doc_id ASC NULLS LAST""".stripMargin
   )
 }
