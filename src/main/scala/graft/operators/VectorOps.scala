@@ -684,6 +684,41 @@ object VectorOps {
         .select("pos", "n", "mean", "variance", "x_min", "x_max")
         .orderBy(asc_nulls_last("pos"))),
 
+    // Embedding outlier scan — the corpus-QA "which vectors are broken"
+    // report (a mis-encoded batch, a zeroed row, a different model's
+    // output): exact squared distance to the GLOBAL centroid, top-20.
+    // ||x − c||² = x·x − 2·x·c + c·c with every dot an exact-decimal
+    // fold (x·x via the codegen'd decimal_dot, x·c via decimal_wdot
+    // against the 1-row broadcast centroid, c·c folded once over the
+    // centroid itself); the final combine is three IEEE ops of
+    // identically-derived doubles — bit-portable (the q_anomaly_mad
+    // argument). Scale: the centroid is one slim (pos) shuffle with
+    // partial aggregation; the scan is a narrow map + TakeOrdered(20).
+    "q_embed_outlier" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      val cent = broadcast(e
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(graft.Det.davg(col("x").cast("double"), 7).as("mean"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mean"))))
+          .as("pm"))
+        .select(expr("transform(pm, p -> p.mean)").as("cent"),
+          expr("CAST(aggregate(transform(pm, p -> " +
+            "CAST(p.mean * p.mean AS DECIMAL(20,8))), " +
+            "CAST(0 AS DECIMAL(30,8)), " +
+            "(acc, t) -> CAST(acc + t AS DECIMAL(30,8))) AS DOUBLE)")
+            .as("c2"),
+          lit(1).as("_one")))
+      e.withColumn("_one", lit(1)).join(cent, "_one")
+        .select(col("vec_id"),
+          (expr("decimal_dot(embedding, embedding)")
+            - lit(2.0) * expr("decimal_wdot(embedding, cent)")
+            + col("c2")).as("dist2"))
+        .orderBy(desc_nulls_last("dist2"), asc_nulls_last("vec_id"))
+        .limit(20)
+    }),
+
     // Int8 scalar quantization (the embedding-store compression step):
     // per-vector max-abs scale, symmetric round-half-up to [-127, 127],
     // plus the exact integer reconstruction-error sum. Every element is
@@ -1374,6 +1409,40 @@ object VectorOps {
          |  (n * sxx - sx * sx) / (n * n) AS variance,
          |  x_min, x_max
          |FROM g ORDER BY pos ASC NULLS LAST""".stripMargin,
+
+    // Mirrors the three exact dots: per-dim scale-7 means, c·c at scale
+    // 8, x·c at scale 8 (the ivf_trained "ta" fold), x·x at scale 10
+    // (the sqlDot pair of decimal_dot); the dist2 combine is the same
+    // three IEEE ops.
+    "q_embed_outlier" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(1, $EmbDim)) AS i
+         |        FROM embeddings WHERE embedding IS NOT NULL) t
+         |), m AS (
+         |  SELECT pos, ${graft.Det.sqlDavg("x", 7)} AS mean
+         |  FROM v GROUP BY pos
+         |), cc AS (
+         |  SELECT CAST(SUM(CAST(mean * mean AS DECIMAL(20,8)))
+         |    AS DOUBLE) AS c2
+         |  FROM m
+         |), w AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CAST(CAST(e.embedding[m.pos + 1] AS DOUBLE) * m.mean
+         |      AS DECIMAL(20,8))) AS DOUBLE) AS wdot
+         |  FROM embeddings e, m
+         |  WHERE e.embedding IS NOT NULL
+         |  GROUP BY e.vec_id
+         |), n AS (
+         |  SELECT vec_id, ${sqlDot("embedding", "embedding")} AS xx
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |)
+         |SELECT n.vec_id, n.xx - 2.0 * w.wdot + cc.c2 AS dist2
+         |FROM n JOIN w ON n.vec_id = w.vec_id, cc
+         |ORDER BY dist2 DESC NULLS LAST, n.vec_id ASC NULLS LAST
+         |LIMIT 20""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH t AS (

@@ -167,7 +167,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q_tpch_q22",
       // 1-row broadcast of the two sample sizes on a constant key — the
       // q_stats_ttest shape
-      "q_stats_ks")
+      "q_stats_ks",
+      // 1-row broadcast of the global centroid + its c·c scalar on a
+      // constant key — the q_text_docfreq shape
+      "q_embed_outlier")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
