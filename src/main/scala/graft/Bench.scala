@@ -190,7 +190,14 @@ object Bench {
     // semi join) can poison at most one of a query's three samples — never
     // its reported floor. A query that EVER throws is reported as -1, never
     // as a fast time: a broken build must not look like a faster one.
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b: local-iteration subset (the driver
+    // never sets it — full-inventory runs are the round contract, and
+    // bench_out.json from a subset run must not be mistaken for one, so
+    // the subset line carries a "subset":true marker)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to 3; (name, fn) <- ordered) {
@@ -205,8 +212,11 @@ object Bench {
       name -> (if (failed(name)) -1.0
                else best.getOrElse(name, -1.0))
     }
-    // canonical record: full names, 1 ms precision
-    Files.writeString(Paths.get("bench_out.json"),
+    // canonical record: full names, 1 ms precision. Subset runs go to a
+    // scratch file so the committed round record is always full-inventory.
+    Files.writeString(
+      Paths.get(if (only.isEmpty) "bench_out.json"
+                else "bench_out_subset.json"),
       fullLineFor(results, failed.size, sfDir.split('/').last) + "\n")
     val stdoutLine =
       stdoutLineFor(results, failed.size, sfDir.split('/').last)

@@ -120,11 +120,15 @@ object StatsTests {
       // bounded by the price DOMAIN. The bucket-total subtree feeds
       // both the carry and the per-flag totals, so its exchange is
       // reused.
+      // persisted: three consumers (the in-bucket window, the carry's
+      // bucket totals, the per-flag totals) would otherwise re-aggregate
+      // the scan each — the frame is |distinct (flag, price)| slim rows
       val pts = t(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(sum(col("l_quantity").cast("long")).as("w"))
         .withColumn("bucket",
           floor(col("l_extendedprice") / 1000.0d).cast("long"))
+        .persist()
       val bt = pts.groupBy("l_returnflag", "bucket")
         .agg(sum("w").as("tb"))
       val wc = Window.partitionBy("l_returnflag").orderBy("bucket")
