@@ -150,7 +150,8 @@ object Bench {
     "q_ann_recall_multi" -> "H", "q_text_lm_score" -> "L",
     "q_join_interval" -> "Q", "q_graph_pagerank" -> "Z",
     "q_attribution" -> "A", "q_schema_profile" -> "D",
-    "q_multimodal_framesample" -> "m2", "q_embed_outlier" -> "eb")
+    "q_multimodal_framesample" -> "m2", "q_embed_outlier" -> "eb",
+    "q_tpch_q4" -> "x4", "q_tpch_q13" -> "x3", "q_tpch_q17" -> "x7")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -26,13 +26,21 @@ object StatsTests {
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
   /** One row per distinct pooled sample value with per-group tie counts:
-    * group 1 = `click` events, group 2 = `view` events. */
-  private def points(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events")
+    * group 1 = `click` events, group 2 = `view` events. PUBLIC and
+    * mode-agnostic: fed a streaming frame this IS the live drift-monitor
+    * state (an update-mode keyed aggregate — O(distinct values), each
+    * micro-batch revises only the values it touched), and
+    * StreamingParitySpec proves the streamed counts equal this batch
+    * frame before assembling the same KS statistic from them. */
+  def points(events: DataFrame): DataFrame =
+    events
       .filter(col("event_type").isin("click", "view"))
       .groupBy("value")
       .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("d1"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("d2"))
+
+  private def points(s: SparkSession, d: String): DataFrame =
+    points(t(s, d, "events"))
 
   /** Pooled cumulative counts c1/c2 = #{group ≤ value} via the two-level
     * prefix sum described above. The bucket-carry frame is broadcast back

@@ -150,6 +150,60 @@ object Tpch {
         .orderBy(asc_nulls_last("n_name"))
     }),
 
+    // Q4: order-priority checking — the canonical EXISTS shape. The
+    // subquery decorrelates to a LEFT SEMI join against the DISTINCT
+    // problem-order keys ('R'-flagged lines standing in for the missing
+    // commit/receipt dates): one keyed shuffle of slim keys, never a
+    // per-row probe; the quarter predicate prunes the orders scan.
+    "q_tpch_q4" -> ((s, d) => {
+      val problem = t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey")).distinct()
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(problem, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(asc_nulls_last("o_orderpriority"))
+    }),
+
+    // Q13: customer order-count distribution — the outer-join + double
+    // aggregation shape (customers with ZERO orders must survive into
+    // the c_count = 0 bucket, which an inner join silently drops).
+    // count(o_orderkey) skips the outer join's nulls by SQL semantics.
+    "q_tpch_q13" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc_nulls_last("custdist"), desc_nulls_last("c_count"))
+    }),
+
+    // Q17: small-quantity revenue — the correlated scalar-average
+    // threshold, decorrelated to a per-part aggregate joined back: the
+    // per-part deterministic mean quantity (exact-decimal davg) is
+    // computed ONLY for the parts passing the brand/type filter (the
+    // broadcast part sliver prunes the threshold aggregate's input too),
+    // then each line compares against 0.2× its part's mean. Every
+    // threshold is one IEEE multiply of an exactly-derived double —
+    // bit-portable; the final division by 7.0 likewise.
+    "q_tpch_q17" -> ((s, d) => {
+      val pr = broadcast(t(s, d, "part")
+        .filter(col("p_brand") === "Brand#1" && col("p_type") === "SMALL")
+        .select("p_partkey"))
+      val li = t(s, d, "lineitem")
+        .join(pr, col("l_partkey") === col("p_partkey"))
+      val th = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((lit(0.2) * Det.davg(col("l_quantity"))).as("q_thresh"))
+      li.join(broadcast(th), col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("q_thresh"))
+        .agg((Det.dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
     // Q6: forecasting revenue change — pure scan+filter+agg, no join.
     // The three predicates are all parquet-pushable min/max row-group
     // filters; at 100 TB this is the canonical "scan little, read less"
@@ -319,6 +373,37 @@ object Tpch {
          |GROUP BY 1
          |ORDER BY n_name ASC NULLS LAST""".stripMargin,
 
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1
+        |ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""".stripMargin,
+    "q_tpch_q17" ->
+      s"""WITH pr AS (
+         |  SELECT p_partkey FROM part
+         |  WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
+         |), li AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN pr ON l_partkey = p_partkey
+         |), th AS (
+         |  SELECT l_partkey AS t_partkey,
+         |    0.2 * ${Det.sqlDavg("l_quantity")} AS q_thresh
+         |  FROM li GROUP BY 1)
+         |SELECT ${Det.sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM li JOIN th ON l_partkey = t_partkey
+         |WHERE l_quantity < q_thresh""".stripMargin,
     "q_tpch_q6" ->
       s"""SELECT ${Det.sqlDsum("l_extendedprice * l_discount")} AS revenue
          |FROM lineitem

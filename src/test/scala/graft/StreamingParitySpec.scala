@@ -389,6 +389,47 @@ class StreamingParitySpec extends SparkSpec {
     assert(stream.values.exists(_._1 == 3L))
   }
 
+  test("KS drift monitor: streamed per-value counts equal the batch " +
+      "point frame and assemble the identical statistic") {
+    import graft.operators.StatsTests
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth: the declared q_stats_ks row and its point frame
+    val ksRow = StatsTests.queries("q_stats_ks")(spark, sf).collect()(0)
+    val batchPts = StatsTests.points(Tables.table(spark, sf, "events"))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // stream the SAME transform over the real events in two batches
+    val obs = Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy("ts", "event_id").collect()
+      .map(r => E(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val sink = runStream(df => StatsTests.points(df), obs,
+      OutputMode.Update())
+    // update mode: the LAST emission per value is its final count pair
+    val streamPts = sink.collect()
+      .groupBy(_.getDouble(0)).map { case (v, rows) =>
+        val last = rows.last
+        v -> (last.getLong(1), last.getLong(2))
+      }.toMap
+    assert(streamPts == batchPts)
+    // assemble KS from the streamed counts (plain Scala: sort, cumsum,
+    // cross-multiplied max) and compare with the declared query's row
+    val sorted = streamPts.toSeq.sortBy(_._1)
+    val n1 = sorted.map(_._2._1).sum
+    val n2 = sorted.map(_._2._2).sum
+    var c1 = 0L; var c2 = 0L; var dNum = 0L
+    sorted.foreach { case (_, (d1, d2)) =>
+      c1 += d1; c2 += d2
+      dNum = math.max(dNum, math.abs(n2 * c1 - n1 * c2))
+    }
+    assert((n1, n2, dNum) == (ksRow.getLong(0), ksRow.getLong(1),
+      ksRow.getLong(2)),
+      s"stream KS ($n1, $n2, $dNum) vs batch ${ksRow}")
+    assert(ksRow.getDouble(3) == dNum.toDouble / (n1 * n2))
+  }
+
   test("last-touch attribution: streamed per-user state equals the " +
       "batch window carry over the real events table") {
     import graft.streaming.StatefulTwins
