@@ -94,6 +94,29 @@ object Relational {
         .orderBy(asc_nulls_last("c_custkey"))
     }),
 
+    // NULL-SAFE equi-join (`<=>` ↔ IS NOT DISTINCT FROM): NULL keys
+    // match each other instead of vanishing — the join you need when
+    // the key is an optional attribute and "both unknown" means "same
+    // group". Catalyst plans EqualNullSafe as a plain hash-join key
+    // (null hashes like any value), so the 100 TB story is identical to
+    // q_join_shuffle — no filter-and-union contortion. Keys are
+    // derived (nullif over the nation id) because the fixtures carry no
+    // physical NULLs; both engines derive them with the same text.
+    "q_join_nullsafe" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"),
+          expr("nullif(c_nationkey % 5, 2)").as("k"))
+      val su = t(s, d, "supplier")
+        .select(col("s_suppkey"),
+          expr("nullif(s_nationkey % 5, 2)").as("ks"))
+      c.join(su, col("k") <=> col("ks"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("s_suppkey")).as("n_supp"))
+        .orderBy(asc_nulls_last("k"))
+    }),
+
     // Equi + range predicate: Catalyst plans the equi part as the join key
     // and evaluates the range as a post-join filter — no cartesian product.
     "q_join_range" -> ((s, d) => {
@@ -376,6 +399,19 @@ object Relational {
         |WHERE NOT EXISTS
         |  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey ASC NULLS LAST""".stripMargin,
+
+    "q_join_nullsafe" ->
+      """WITH c AS (
+        |  SELECT c_custkey, nullif(c_nationkey % 5, 2) AS k FROM customer
+        |), su AS (
+        |  SELECT s_suppkey, nullif(s_nationkey % 5, 2) AS ks FROM supplier
+        |)
+        |SELECT k, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT c_custkey) AS n_cust,
+        |  COUNT(DISTINCT s_suppkey) AS n_supp
+        |FROM c JOIN su ON k IS NOT DISTINCT FROM ks
+        |GROUP BY 1
+        |ORDER BY k ASC NULLS LAST""".stripMargin,
 
     "q_join_range" ->
       """SELECT o_orderkey, l_linenumber,

@@ -129,6 +129,47 @@ object TextOps {
       TextDedup.nearDuplicates(t(s, d, "documents"))
         .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))),
 
+    // LSH dedup RECALL against exact ground truth — "what fraction of a
+    // document's true near-duplicates does the banded pipeline actually
+    // find?", the q_ann_recall question asked of text dedup. Ground
+    // truth: exact token-set Jaccard ≥ 0.7 from a FIXED 16-doc panel
+    // (doc_id < 16 — a bounded constant independent of corpus size, the
+    // q_ann_recall broadcast argument) to every document in the
+    // pipeline's universe (≥ 3 tokens). Found: the declared LSH pairs
+    // touching the panel — verified at the SAME similarity, so
+    // found ⊆ truth and recall ≤ 1 by construction. Per-panel-doc
+    // (n_true, n_found, recall); the recall is ONE IEEE division of
+    // exact counts.
+    "q_dedup_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), array_distinct(col("toks")).as("tset"))
+      val panel = broadcast(toks.filter(col("doc_id") < 16)
+        .select(col("doc_id").as("pid"), col("tset").as("ptoks")))
+      val truth = toks.join(panel, col("doc_id") =!= col("pid"))
+        .withColumn("inter",
+          size(array_intersect(col("ptoks"), col("tset"))))
+        .withColumn("uni",
+          size(col("ptoks")) + size(col("tset")) - col("inter"))
+        .filter(col("inter").cast("double") / col("uni") >= 0.7)
+        .groupBy("pid").agg(count(lit(1)).as("n_true"))
+      val found = TextDedup.nearDuplicates(docs)
+        .select(explode(array(
+          struct(col("id_a").as("pid"), col("id_b").as("other")),
+          struct(col("id_b").as("pid"), col("id_a").as("other")))).as("e"))
+        .select("e.pid", "e.other")
+        .filter(col("pid") < 16)
+        .groupBy("pid").agg(count(lit(1)).as("n_found"))
+      truth.join(found, Seq("pid"), "left")
+        .select(col("pid").as("doc_id"), col("n_true"),
+          coalesce(col("n_found"), lit(0L)).as("n_found"),
+          (coalesce(col("n_found"), lit(0L)).cast("double")
+            / col("n_true")).as("recall"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // MinHash estimator accuracy on the verified near-dup pairs:
     // est = matching signatures / NumHashes vs the exact token-set
     // Jaccard — the sketch-quality diagnostic of the LSH pipeline. Each
@@ -731,6 +772,41 @@ object TextOps {
     "q_dedup_minhash" -> minhashOracle,
 
     "q_dedup_pairs" -> dedupPairsOracle,
+
+    // Ground truth + the dedupPairsSubquery pipeline mirror; recall is
+    // one IEEE division of exact counts.
+    "q_dedup_recall" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+         |), u AS (
+         |  SELECT doc_id, list_distinct(toks) AS tset FROM t0
+         |), p AS (
+         |  SELECT doc_id AS pid, tset AS ptoks FROM u WHERE doc_id < 16
+         |), truth AS (
+         |  SELECT pid, COUNT(*) AS n_true
+         |  FROM u, p
+         |  WHERE u.doc_id <> p.pid
+         |    AND CAST(len(list_intersect(ptoks, tset)) AS DOUBLE)
+         |      / (len(ptoks) + len(tset) - len(list_intersect(ptoks, tset)))
+         |      >= 0.7
+         |  GROUP BY pid
+         |), lsh AS (
+         |  SELECT * FROM (
+         |${dedupPairsSubquery.linesIterator.map("    " + _).mkString("\n")}
+         |  )
+         |), fnd AS (
+         |  SELECT pid, COUNT(*) AS n_found FROM (
+         |    SELECT id_a AS pid FROM lsh WHERE id_a < 16
+         |    UNION ALL
+         |    SELECT id_b AS pid FROM lsh WHERE id_b < 16)
+         |  GROUP BY pid
+         |)
+         |SELECT truth.pid AS doc_id, n_true,
+         |  coalesce(n_found, 0) AS n_found,
+         |  CAST(coalesce(n_found, 0) AS DOUBLE) / n_true AS recall
+         |FROM truth LEFT JOIN fnd ON truth.pid = fnd.pid
+         |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     "q_dedup_minhash_est" -> minhashEstOracle,
 

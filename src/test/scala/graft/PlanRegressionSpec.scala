@@ -170,7 +170,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q_stats_ks",
       // 1-row broadcast of the global centroid + its c·c scalar on a
       // constant key — the q_text_docfreq shape
-      "q_embed_outlier")
+      "q_embed_outlier",
+      // FIXED 16-doc exact-truth panel broadcast — the q_ann_recall
+      // bounded-panel argument applied to text dedup
+      "q_dedup_recall")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
