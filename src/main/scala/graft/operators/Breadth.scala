@@ -121,6 +121,23 @@ object Breadth {
           sum("nd_word").as("n_distinct_exact"))
         .orderBy(asc_nulls_last("event_type"))),
 
+    // Deterministic EXACT-k reservoir sample — the fixed-size eval-set
+    // draw (q_split_hash keeps a fixed FRACTION; evaluation wants
+    // exactly k rows regardless of corpus size). Rank = md5 of the key
+    // under a purpose-distinct salt: a uniform, seed-free, total order,
+    // so "first 64 by rank" is a uniform exact-k sample that is
+    // IDENTICAL on any cluster layout and any rerun. Plans as
+    // TakeOrderedAndProject: each partition keeps its local top-64
+    // heap, the driver merges — no global sort, the same 100 TB shape
+    // as q_sort_limit.
+    "q_sample_reservoir" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("rk",
+          md5(concat(lit("rsv_"), col("doc_id").cast("string"))))
+        .orderBy(asc_nulls_last("rk"), asc_nulls_last("doc_id"))
+        .limit(64)
+        .select("doc_id", "lang", "source", "n_chars", "rk")),
+
     // Weighted (importance) sampling — the quality-proportional document
     // sampler of a data-mixing pipeline: each document's keep
     // probability is its OWN data-derived weight (per-mille, here a
@@ -356,6 +373,13 @@ object Breadth {
         |  CAST(SUM(nd_word) AS BIGINT) AS n_distinct_exact
         |FROM w GROUP BY event_type
         |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    "q_sample_reservoir" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |  md5('rsv_' || CAST(doc_id AS VARCHAR)) AS rk
+        |FROM documents
+        |ORDER BY rk ASC NULLS LAST, doc_id ASC NULLS LAST
+        |LIMIT 64""".stripMargin,
 
     "q_sample_weighted" ->
       """WITH b AS (
