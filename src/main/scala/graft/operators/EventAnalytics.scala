@@ -163,6 +163,28 @@ object EventAnalytics {
         .orderBy(asc_nulls_last("touch"))
     }),
 
+    // Longest consecutive-day activity streak per user — the classic
+    // gaps-and-islands: consecutive active days share the same
+    // (day − row_number) anchor, so one partitioned window + two slim
+    // keyed aggregates produce every streak without self-joins or
+    // recursion. Integer day arithmetic end-to-end (UTC date truncation
+    // on both engines, the q_retention precedent); all windows are
+    // user-partitioned.
+    "q_user_streaks" -> ((s, d) => {
+      val days = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days.withColumn("rn", row_number().over(w))
+        .withColumn("anchor", expr("date_sub(day, rn)"))
+        .groupBy("user_id", "anchor")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest_streak"),
+          sum("len").as("n_active_days"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy(asc_nulls_last("user_id"))
+    }),
+
     // Ordered conversion funnel. Stages must happen in sequence: the
     // click must be at-or-after the user's FIRST signup, the purchase
     // at-or-after the first qualifying click. min() of a microsecond
@@ -591,6 +613,24 @@ object EventAnalytics {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_user_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), r AS (
+        |  SELECT user_id, day,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM days
+        |), c AS (
+        |  SELECT user_id, day - CAST(rn AS INTEGER) AS anchor, COUNT(*) AS len
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT user_id,
+        |  CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  COUNT(*) AS n_streaks
+        |FROM c GROUP BY 1
+        |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+
     "q_attribution" ->
       s"""WITH tagged AS (
          |  SELECT event_type, value,
