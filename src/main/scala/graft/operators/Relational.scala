@@ -143,6 +143,15 @@ object Relational {
     // per-cell density, then the exact containment filter. The grid is
     // the standard spatial-join decomposition: at 100 TB the cell width
     // tunes fan-out vs parallelism exactly like 2^planes does for LSH.
+    //
+    // AGGREGATE-BEFORE-JOIN (round 7): interval endpoints are day-grain,
+    // so the 226k interval rows at sf0.1 collapse to ~66k distinct
+    // (s0,e0) groups carrying a count weight; the cell join fans out over
+    // GROUPS (2.2M joined rows, measured) instead of raw intervals
+    // (6.9M), and the per-point count is the weight sum. Measured 2.6 s →
+    // 0.9-1.1 s solo at sf0.1. At 100 TB the dedup ratio grows with
+    // |intervals| / (days × window-widths) — the shuffle carries the
+    // bounded day-grain group table, never the raw fact.
     "q_join_interval" -> ((s, d) => {
       val pts = t(s, d, "lineitem")
         .select(col("l_shipdate").as("p")).distinct()
@@ -152,13 +161,14 @@ object Relational {
           expr("timestampadd(DAY, CAST(o_orderkey % 30 + 1 AS INT), " +
             "o_orderdate)").as("e0"))
         .filter(col("s0").isNotNull)
+        .groupBy("s0", "e0").agg(count(lit(1)).as("w"))
         .withColumn("cell", explode(expr(
           "sequence(date_trunc('month', s0), date_trunc('month', e0), " +
             "interval 1 month)")))
       pts.join(iv, "cell")
         .filter(col("s0") <= col("p") && col("p") <= col("e0"))
         .groupBy("p")
-        .agg(count(lit(1)).as("n_open"))
+        .agg(sum("w").as("n_open"))
         .select(col("p").as("ship_date"), col("n_open"))
         .orderBy(asc_nulls_last("ship_date"))
     }),
