@@ -106,15 +106,22 @@ object Corpus {
     val spark = pairs.sparkSession
     val sessionParts = scala.util.Try(
       spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(32L)
-    val nSym = sym.count()
+    // ONE setup action (round 7; was two): node count sizes the loop's
+    // shuffles and the node-id sum is the round-0 convergence reference —
+    // both from the same distinct-node agg (materializing persisted sym
+    // on the way). Sizing by nodes instead of symmetric-edge rows is the
+    // same decade for any graph with bounded average degree.
+    val setup = nodes.agg(count(lit(1)),
+      sum(col("src").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)))).head
+    val nNodes = setup.getLong(0)
     val loopParts = math.max(4L, math.min(sessionParts,
-      nSym / 10000L + 1L)).toInt
+      nNodes / 5000L + 1L)).toInt
     val edges = sym
       .union(nodes.select(col("src"), col("src").as("dst")))
       .repartition(loopParts, col("dst"))
       .persist()
     var labels = nodes.select(col("src").as("id"), col("src").as("lbl"))
-      .persist()
     // convergence check = exact-decimal label sum: labels are elementwise
     // non-increasing (self-loop ⇒ prop ≤ labels, doubling ⇒ next ≤ prop),
     // so an unchanged sum ⇔ no label changed — one narrow agg over the
@@ -123,7 +130,8 @@ object Corpus {
       df.agg(sum(col("lbl").cast(
         org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0))
       .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = lblSum(labels)
+    var prevSum = Option(setup.getDecimal(1))
+      .getOrElse(java.math.BigDecimal.ZERO)
     var changed = true
     var rounds = 0
     while (changed) {
@@ -132,27 +140,38 @@ object Corpus {
         s"label propagation did not converge in $MaxClusterRounds rounds")
       // labels repartitioned to match the persisted edge partitioning
       // (co-located join, no edge re-shuffle); the src repartition then
-      // satisfies the groupBy's distribution so the agg adds no exchange
-      val prop = edges
-        .join(labels.select(col("id").as("dst"), col("lbl"))
-          .repartition(loopParts, col("dst")), "dst")
-        .repartition(loopParts, col("src"))
-        .groupBy("src").agg(min("lbl").as("lbl"))
+      // satisfies the groupBy's distribution so the agg adds no exchange.
+      // ROUND-1 SHORTCUT (round 7): labels is the identity map before the
+      // first round, so lbl(dst) = dst and the propagate collapses to
+      // min(dst) per src straight off the persisted edges — two fewer
+      // exchanges on the round the loop always runs.
+      val prop = (if (rounds == 1)
+          edges.repartition(loopParts, col("src"))
+            .groupBy("src").agg(min("dst").as("lbl"))
+        else edges
+          .join(labels.select(col("id").as("dst"), col("lbl"))
+            .repartition(loopParts, col("dst")), "dst")
+          .repartition(loopParts, col("src"))
+          .groupBy("src").agg(min("lbl").as("lbl")))
         .select(col("src").as("id"), col("lbl"))
-      // localCheckpoint (eager), not persist: the doubling self-join
-      // references prop TWICE, so the logical plan would otherwise double
-      // per round — 2^rounds analysis cost even with every round cached.
-      // Checkpointing materializes AND truncates lineage, keeping each
-      // round's plan constant-size. (On a multi-node cluster prefer
-      // reliable checkpoint() to a checkpoint dir — localCheckpoint
-      // trades executor-loss recovery for speed; the convergence loop is
-      // short enough to simply re-run on failure.)
+      // localCheckpoint, not persist: the doubling self-join references
+      // prop TWICE, so the logical plan would otherwise double per round —
+      // 2^rounds analysis cost even with every round cached. Checkpointing
+      // materializes AND truncates lineage, keeping each round's plan
+      // constant-size. LAZY (eager=false, round 7): the convergence
+      // label-sum below is the round's ONLY driver action — its full-scan
+      // agg materializes the checkpoint blocks as it reads them, folding
+      // what used to be two jobs per round (checkpoint materialization +
+      // sum) into one. (On a multi-node cluster prefer reliable
+      // checkpoint() to a checkpoint dir — localCheckpoint trades
+      // executor-loss recovery for speed; the convergence loop is short
+      // enough to simply re-run on failure.)
       val next = prop.repartition(loopParts, col("lbl"))
         .join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2"))
           .repartition(loopParts, col("lbl")),
           "lbl")
         .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = lblSum(next)
       changed = s.compareTo(prevSum) != 0
       prevSum = s
