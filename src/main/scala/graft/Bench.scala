@@ -153,7 +153,8 @@ object Bench {
     "q_multimodal_framesample" -> "m2", "q_embed_outlier" -> "eb",
     "q_tpch_q4" -> "x4", "q_tpch_q13" -> "x3", "q_tpch_q17" -> "x7",
     "q_join_nullsafe" -> "jn", "q_dedup_recall" -> "dq",
-    "q_sample_reservoir" -> "rv", "q_user_streaks" -> "uk")
+    "q_sample_reservoir" -> "rv", "q_user_streaks" -> "uk",
+    "q_ann_ivfpq_refined" -> "zr")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

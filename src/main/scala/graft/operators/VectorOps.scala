@@ -49,6 +49,11 @@ object VectorOps {
   private val PqSubDim = EmbDim / PqM
   private val PqCodebook = 4
 
+  /** Candidate count the refined IVF-PQ search re-ranks exactly
+    * (q_ann_ivfpq_refined): the ADC stage keeps its top [[PqRefineK]]
+    * and the refine stage reads ONLY those full vectors. */
+  private val PqRefineK = 50
+
   /** Exact-decimal dot product of two `array<float>` columns, as DOUBLE —
     * the native codegen'd [[graft.functions.DecimalDot]], bit-identical
     * to the interpreted decimal fold (and hence the DuckDB oracle) but
@@ -272,6 +277,48 @@ object VectorOps {
       // (dist ASC, cid ASC) argmin — ties break to the lowest real cid
       .withColumn("best", expr("transform(dists, ds -> array_min(ds))"))
       .drop("_one", "cbs")
+  }
+
+  /** IVF-PQ search with asymmetric distance computation (ADC) — the
+    * production ANN read path (Jégou et al., PAMI 2011) composed from
+    * the two proven halves: the probe searches its 2 nearest IVF
+    * clusters (q_ann_ivf_nprobe's coarse stage), and candidates inside
+    * them are ranked WITHOUT touching their full vectors — each
+    * candidate's distance is the sum over sub-spaces of the probe's
+    * precomputed distance to the candidate's CODEBOOK ENTRY (32-row
+    * table: PqM × PqCodebook exact integer L2 values). Everything is
+    * exact integers, so the ADC ranking is engine-identical. Scale:
+    * candidates ship only their (vec_id, m, cid) code rows — ×PqM slim
+    * fan-out instead of ×EmbDim floats — against a broadcast table,
+    * then one vec_id-keyed partial-agg shuffle and a bounded top-`k`.
+    * Shared by q_ann_ivfpq (k=10) and the refined two-stage search
+    * (k=PqRefineK). */
+  private def ivfpqAdcTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val clusters = centroidAssign(s, e, e)
+    val probeClusters = broadcast(
+      centroidAssign(s, e, e.filter(col("vec_id") === 0), k = 2)
+        .select(col("cluster").as("probe_cluster")))
+    // the probe's 32-entry distance table: its PQ argmin intermediate
+    // IS the (m, entry, dist) table before the min is taken
+    val tbl = broadcast(pqEncoded(s, d)
+      .filter(col("vec_id") === 0)
+      .select(posexplode(col("dists")).as(Seq("m", "ds")))
+      .select(col("m"), explode(col("ds")).as("e"))
+      .select(col("m"), col("e.cid").as("cid"), col("e.dist").as("tdist")))
+    val codes = pqEncoded(s, d)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), posexplode(expr(
+        "transform(best, b -> b.cid)")).as(Seq("m", "cid")))
+    clusters.filter(col("vec_id") =!= 0)
+      .join(probeClusters, col("cluster") === col("probe_cluster"))
+      .select("vec_id")
+      .join(codes, "vec_id")
+      .join(tbl, Seq("m", "cid"))
+      .groupBy("vec_id")
+      .agg(sum("tdist").as("adc"))
+      .orderBy(asc_nulls_last("adc"), asc_nulls_last("vec_id"))
+      .limit(k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -798,43 +845,33 @@ object VectorOps {
             "CAST(0 AS BIGINT), (a, v) -> a + v)").as("qerr"))
         .orderBy(asc_nulls_last("vec_id"))),
 
-    // IVF-PQ search with asymmetric distance computation (ADC) — the
-    // production ANN read path (Jégou et al., PAMI 2011) composed from
-    // the two proven halves: the probe searches its 2 nearest IVF
-    // clusters (q_ann_ivf_nprobe's coarse stage), and candidates inside
-    // them are ranked WITHOUT touching their full vectors — each
-    // candidate's distance is the sum over sub-spaces of the probe's
-    // precomputed distance to the candidate's CODEBOOK ENTRY (32-row
-    // table: PqM × PqCodebook exact integer L2 values). Everything is
-    // exact integers, so the ADC ranking is engine-identical. Scale:
-    // candidates ship only their (vec_id, m, cid) code rows — ×PqM slim
-    // fan-out instead of ×EmbDim floats — against a broadcast table,
-    // then one vec_id-keyed partial-agg shuffle and a bounded top-10.
-    "q_ann_ivfpq" -> ((s, d) => {
+    // IVF-PQ search with asymmetric distance computation — the shared
+    // [[ivfpqAdcTopK]] pipeline (see its doc for the full design) at the
+    // declared top-10.
+    "q_ann_ivfpq" -> ((s, d) => ivfpqAdcTopK(s, d, 10)),
+
+    // Two-stage IVF-PQ search: the ADC ranking above keeps its top
+    // PqRefineK candidates, whose FULL vectors are then re-ranked by the
+    // exact-decimal cosine — the standard refine tail (Jégou et al.,
+    // PAMI 2011 §V) that recovers most ADC quantization loss while
+    // reading only k full vectors instead of the corpus. Recall@10
+    // provably ⊇ the plain-ADC hits: exact-top-10 members among the
+    // candidates out-rank every non-member under the exact cosine, so
+    // re-ranking can only keep or add hits (measured 3/10 → strictly
+    // better on the fixtures; pinned in VectorOpsSpec). Scale: the
+    // refine JOIN touches PqRefineK ids — the candidate list broadcasts
+    // against the vector store, one bounded hash join, and the probe is
+    // the same 1-row broadcast as every ANN query here.
+    "q_ann_ivfpq_refined" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val clusters = centroidAssign(s, e, e)
-      val probeClusters = broadcast(
-        centroidAssign(s, e, e.filter(col("vec_id") === 0), k = 2)
-          .select(col("cluster").as("probe_cluster")))
-      // the probe's 32-entry distance table: its PQ argmin intermediate
-      // IS the (m, entry, dist) table before the min is taken
-      val tbl = broadcast(pqEncoded(s, d)
-        .filter(col("vec_id") === 0)
-        .select(posexplode(col("dists")).as(Seq("m", "ds")))
-        .select(col("m"), explode(col("ds")).as("e"))
-        .select(col("m"), col("e.cid").as("cid"), col("e.dist").as("tdist")))
-      val codes = pqEncoded(s, d)
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), posexplode(expr(
-          "transform(best, b -> b.cid)")).as(Seq("m", "cid")))
-      clusters.filter(col("vec_id") =!= 0)
-        .join(probeClusters, col("cluster") === col("probe_cluster"))
-        .select("vec_id")
-        .join(codes, "vec_id")
-        .join(tbl, Seq("m", "cid"))
-        .groupBy("vec_id")
-        .agg(sum("tdist").as("adc"))
-        .orderBy(asc_nulls_last("adc"), asc_nulls_last("vec_id"))
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb")))
+      broadcast(ivfpqAdcTopK(s, d, PqRefineK))
+        .join(e, "vec_id")
+        .crossJoin(probe)
+        .withColumn("cosine", dotExpr(s, "embedding", "probe_emb"))
+        .select("vec_id", "adc", "cosine")
+        .orderBy(desc_nulls_last("cosine"), asc_nulls_last("vec_id"))
         .limit(10)
     }),
 
@@ -1344,6 +1381,30 @@ object VectorOps {
          |WHERE b.vec_id <> 0
          |GROUP BY b.vec_id
          |ORDER BY adc ASC NULLS LAST, b.vec_id ASC NULLS LAST
+         |LIMIT 10""".stripMargin),
+
+    // The ADC CTE at LIMIT PqRefineK, then the exact-decimal cosine over
+    // ONLY those candidates — the refine tail. Column names and ordering
+    // mirror the Spark side exactly.
+    "q_ann_ivfpq_refined" -> (ivfpqCtes +
+      s"""
+         |, adc AS (
+         |  SELECT b.vec_id, CAST(SUM(t.dist) AS BIGINT) AS adc
+         |  FROM best b
+         |  JOIN tbl t ON t.m = b.m AND t.cid = b.cid
+         |  JOIN cl ON cl.vec_id = b.vec_id
+         |  JOIN pc ON cl.cluster = pc.probe_cluster
+         |  WHERE b.vec_id <> 0
+         |  GROUP BY b.vec_id
+         |  ORDER BY adc ASC NULLS LAST, b.vec_id ASC NULLS LAST
+         |  LIMIT $PqRefineK
+         |)
+         |SELECT a.vec_id, a.adc,
+         |  ${sqlDot("e2.embedding", "p.embedding")} AS cosine
+         |FROM adc a
+         |JOIN embeddings e2 ON e2.vec_id = a.vec_id,
+         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+         |ORDER BY cosine DESC NULLS LAST, a.vec_id ASC NULLS LAST
          |LIMIT 10""".stripMargin),
 
     // Recall@10 of the ADC ranking against the exact-cosine top-10 (for

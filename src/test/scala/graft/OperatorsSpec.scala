@@ -323,6 +323,35 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getLong(1) == (adc & exact).size.toLong)
   }
 
+  test("q_ann_ivfpq_refined keeps every plain-ADC hit and strictly " +
+      "improves recall@10 at equal nprobe") {
+    val refined = VectorOps.queries("q_ann_ivfpq_refined")(spark, sf)
+      .collect()
+    assert(refined.length == 10)
+    // the exact re-rank orders by cosine descending (vec_id tiebreak)
+    val cos = refined.map(_.getDouble(2))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    val refinedIds = refined.map(_.getLong(0)).toSet
+    val adc10 = VectorOps.queries("q_ann_ivfpq")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val e = Tables.table(spark, sf, "embeddings")
+    val probe = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pe")))
+    val exact10 = e.filter(col("vec_id") =!= 0).crossJoin(probe)
+      .withColumn("c", VectorOps.dotExpr(spark, "embedding", "pe"))
+      .orderBy(desc("c"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    // superset law: every exact-top-10 member among the ADC top-10 is
+    // also among the ADC top-50 candidates, and under the exact cosine
+    // those members out-rank all non-members — the refine can only keep
+    // or add hits, never lose one
+    assert((adc10 & exact10).subsetOf(refinedIds & exact10))
+    // and on the fixtures the wider candidate pool strictly adds hits
+    assert((refinedIds & exact10).size > (adc10 & exact10).size,
+      s"refined recall ${(refinedIds & exact10).size} not strictly " +
+        s"above ADC recall ${(adc10 & exact10).size}")
+  }
+
   test("q_window_rolling_median equals a plain-Scala trailing-5 median") {
     import spark.implicits._
     val out = EventAnalytics.queries("q_window_rolling_median")(spark, sf)

@@ -152,6 +152,10 @@ class PlanRegressionSpec extends SparkSpec {
       // composes q_ann_ivfpq's bounded broadcasts with the 1-row exact
       // probe (the q_ann_ivf_curve ground-truth shape)
       "q_ann_pq_recall",
+      // the same composition plus the PqRefineK-row (= 50, bounded by
+      // construction: LIMIT on the ADC ranking) candidate broadcast and
+      // the 1-row probe for the exact refine
+      "q_ann_ivfpq_refined",
       // 1-row broadcast of the contingency grand total — the
       // q_stats_ttest shape
       "q_stats_chi2",
