@@ -154,7 +154,7 @@ object Bench {
     "q_tpch_q4" -> "x4", "q_tpch_q13" -> "x3", "q_tpch_q17" -> "x7",
     "q_join_nullsafe" -> "jn", "q_dedup_recall" -> "dq",
     "q_sample_reservoir" -> "rv", "q_user_streaks" -> "uk",
-    "q_ann_ivfpq_refined" -> "zr")
+    "q_ann_ivfpq_refined" -> "zr", "q_multimodal_wav" -> "wv")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -127,6 +127,67 @@ object Multimodal {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // WAV/RIFF header parse — the AUDIO member of the header family, and
+    // the LITTLE-endian one: RIFF stores every integer field LSB-first,
+    // so this query proves the hex-slice readers are endian-generic
+    // (PNG/JFIF above read big-endian at fixed offsets; here the same
+    // slices concatenate in reverse byte order before the base-16 cast).
+    // Fixture payload is a spec-correct 44-byte PCM WAV header
+    // (RIFF size / fmt chunk / data size all consistent) with fields
+    // derived from doc columns; every 5th doc gets non-WAV bytes to
+    // exercise the sniff-reject path. Parse side reads ONLY
+    // (doc_id, payload) and would return correct fields for any
+    // canonical PCM WAV dropped into the column. Pure narrow map.
+    "q_multimodal_wav" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val sr = (when(col("doc_id") % 3 === 0, 8000)
+        .when(col("doc_id") % 3 === 1, 16000)
+        .otherwise(44100)).cast("int")
+      val dataBytes = (col("n_chars") * 4).cast("int")
+      val byteRate = (sr * ch * lit(2)).cast("int")
+      // little-endian hex of an n-byte integer: pad, then reverse bytes
+      def le(v: Column, n: Int): Column = {
+        val p = lpad(hex(v), 2 * n, "0")
+        concat((0 until n).reverse.map(i => substring(p, 2 * i + 1, 2)): _*)
+      }
+      val wavHex = concat(
+        lit("52494646"), le(dataBytes + 36, 4), // "RIFF", riff size
+        lit("57415645"), // "WAVE"
+        lit("666D7420"), le(lit(16), 4), // "fmt ", PCM chunk size
+        le(lit(1), 2), le(ch, 2), // format=PCM, channels
+        le(sr, 4), le(byteRate, 4), // sample rate, byte rate
+        le(ch * lit(2), 2), le(lit(16), 2), // block align, bits/sample
+        lit("64617461"), le(dataBytes, 4)) // "data", data size
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(wavHex)
+      val withPayload = docs.select(col("doc_id"),
+        unhex(payloadHex).as("payload"))
+      // parse — everything below reads ONLY (doc_id, payload)
+      def leRead(off: Int, n: Int): Column = {
+        val parts = (off + n - 1).to(off, -1)
+          .map(b => s"substring(hex(payload), ${2 * b - 1}, 2)")
+          .mkString("concat(", ", ", ")")
+        expr(s"CAST(conv($parts, 16, 10) AS BIGINT)")
+      }
+      val isWav = length(col("payload")) >= 44 &&
+        expr("substring(hex(payload), 1, 8)") === "52494646" &&
+        expr("substring(hex(payload), 17, 8)") === "57415645"
+      def f(c: Column) = when(isWav, c)
+      withPayload.select(
+        col("doc_id"),
+        isWav.as("is_wav"),
+        f(leRead(23, 2)).as("n_channels"),
+        f(leRead(25, 4)).as("sample_rate"),
+        f(leRead(29, 4)).as("byte_rate"),
+        f(leRead(35, 2)).as("bits_per_sample"),
+        f(leRead(41, 4)).as("data_bytes"))
+        .withColumn("duration_ms",
+          expr("data_bytes * 1000 DIV byte_rate"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // Video frame sampling — the "pick k frames per clip" stage of a
     // multimodal training pipeline, with the Spark-side plumbing real
     // and the codec stubbed exactly like q_multimodal_headers: a
@@ -215,6 +276,74 @@ object Multimodal {
         |  END AS img_h,
         |  n_bytes
         |FROM sniffed ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same payload built from the same doc fields (LE byte order via the
+    // identical pad-then-reverse hex concatenation), parsed back with
+    // reversed-slice '0x' casts at the same spec offsets.
+    "q_multimodal_wav" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 8000
+        |      WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS INTEGER)
+        |      AS sr,
+        |    CAST(n_chars * 4 AS INTEGER) AS db,
+        |    hex(encode(substring(text, 1, 8))) AS th
+        |  FROM documents
+        |), enc AS (
+        |  SELECT doc_id, th, ch, sr, db, sr * ch * 2 AS br,
+        |    lpad(hex(db + 36), 8, '0') AS rsz,
+        |    lpad(hex(ch), 4, '0') AS chh,
+        |    lpad(hex(sr), 8, '0') AS srh,
+        |    lpad(hex(sr * ch * 2), 8, '0') AS brh,
+        |    lpad(hex(ch * 2), 4, '0') AS bah,
+        |    lpad(hex(db), 8, '0') AS dbh
+        |  FROM src
+        |), built AS (
+        |  SELECT doc_id, from_hex(
+        |    CASE WHEN doc_id % 5 = 0 THEN th ELSE
+        |      '52494646' ||
+        |      substring(rsz, 7, 2) || substring(rsz, 5, 2) ||
+        |        substring(rsz, 3, 2) || substring(rsz, 1, 2) ||
+        |      '57415645' || '666D7420' || '10000000' || '0100' ||
+        |      substring(chh, 3, 2) || substring(chh, 1, 2) ||
+        |      substring(srh, 7, 2) || substring(srh, 5, 2) ||
+        |        substring(srh, 3, 2) || substring(srh, 1, 2) ||
+        |      substring(brh, 7, 2) || substring(brh, 5, 2) ||
+        |        substring(brh, 3, 2) || substring(brh, 1, 2) ||
+        |      substring(bah, 3, 2) || substring(bah, 1, 2) ||
+        |      '1000' || '64617461' ||
+        |      substring(dbh, 7, 2) || substring(dbh, 5, 2) ||
+        |        substring(dbh, 3, 2) || substring(dbh, 1, 2)
+        |    END) AS payload
+        |  FROM enc
+        |), parsed AS (
+        |  SELECT doc_id, hex(payload) AS ph,
+        |    octet_length(payload) >= 44
+        |      AND substring(hex(payload), 1, 8) = '52494646'
+        |      AND substring(hex(payload), 17, 8) = '57415645' AS is_wav
+        |  FROM built
+        |), fields AS (
+        |  SELECT doc_id, is_wav,
+        |    CASE WHEN is_wav THEN CAST('0x' || substring(ph, 47, 2)
+        |      || substring(ph, 45, 2) AS BIGINT) END AS n_channels,
+        |    CASE WHEN is_wav THEN CAST('0x' || substring(ph, 55, 2)
+        |      || substring(ph, 53, 2) || substring(ph, 51, 2)
+        |      || substring(ph, 49, 2) AS BIGINT) END AS sample_rate,
+        |    CASE WHEN is_wav THEN CAST('0x' || substring(ph, 63, 2)
+        |      || substring(ph, 61, 2) || substring(ph, 59, 2)
+        |      || substring(ph, 57, 2) AS BIGINT) END AS byte_rate,
+        |    CASE WHEN is_wav THEN CAST('0x' || substring(ph, 71, 2)
+        |      || substring(ph, 69, 2) AS BIGINT) END AS bits_per_sample,
+        |    CASE WHEN is_wav THEN CAST('0x' || substring(ph, 87, 2)
+        |      || substring(ph, 85, 2) || substring(ph, 83, 2)
+        |      || substring(ph, 81, 2) AS BIGINT) END AS data_bytes
+        |  FROM parsed
+        |)
+        |SELECT doc_id, is_wav, n_channels, sample_rate, byte_rate,
+        |  bits_per_sample, data_bytes,
+        |  data_bytes * 1000 // byte_rate AS duration_ms
+        |FROM fields ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     "q_multimodal_framesample" ->
       """WITH built AS (

@@ -352,6 +352,36 @@ class OperatorsSpec extends SparkSpec {
         s"above ADC recall ${(adc10 & exact10).size}")
   }
 
+  test("q_multimodal_wav parses the little-endian RIFF fields back " +
+      "exactly and rejects non-WAV payloads") {
+    import spark.implicits._
+    val out = Multimodal.queries("q_multimodal_wav")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    assert(docs.nonEmpty && out.size == docs.length)
+    docs.foreach { case (id, nChars) =>
+      val r = out(id)
+      if (id % 5 == 0) {
+        assert(!r.getBoolean(1), s"doc $id should not sniff as WAV")
+        assert(r.isNullAt(2) && r.isNullAt(6) && r.isNullAt(7))
+      } else {
+        val ch = id % 2 + 1
+        val sr = if (id % 3 == 0) 8000L else if (id % 3 == 1) 16000L
+          else 44100L
+        val db = nChars * 4
+        val br = sr * ch * 2
+        assert(r.getBoolean(1))
+        assert(r.getLong(2) == ch, s"channels doc $id")
+        assert(r.getLong(3) == sr, s"sample_rate doc $id")
+        assert(r.getLong(4) == br, s"byte_rate doc $id")
+        assert(r.getLong(5) == 16L, s"bits doc $id")
+        assert(r.getLong(6) == db, s"data_bytes doc $id")
+        assert(r.getLong(7) == db * 1000 / br, s"duration doc $id")
+      }
+    }
+  }
+
   test("q_window_rolling_median equals a plain-Scala trailing-5 median") {
     import spark.implicits._
     val out = EventAnalytics.queries("q_window_rolling_median")(spark, sf)
