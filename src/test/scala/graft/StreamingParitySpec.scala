@@ -13,6 +13,9 @@ import graft.streaming.{EventPipelines, Sessionize}
 case class E(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
+/** (doc_id, text) row for the streaming near-dup ingestion replay. */
+case class DocRow(doc_id: Long, text: String)
+
 /** Batch↔stream parity: the SAME transforms (StreamShapes builders) fed
   * through MemoryStream must produce the batch answer once the stream
   * drains; plus watermark late-drop and stateful sessionize semantics. */
@@ -428,6 +431,47 @@ class StreamingParitySpec extends SparkSpec {
       ksRow.getLong(2)),
       s"stream KS ($n1, $n2, $dNum) vs batch ${ksRow}")
     assert(ksRow.getDouble(3) == dNum.toDouble / (n1 * n2))
+  }
+
+  test("streaming near-dup ingestion: banded signature state + exact " +
+      "verify equals q_dedup_pairs on the same multi-batch replay") {
+    import graft.operators.{TextDedup, TextOps}
+    import graft.streaming.NearDupStream
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth: the declared end-to-end LSH pipeline
+    val batch = TextOps.queries("q_dedup_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture corpus must contain near-dup pairs")
+    // replay the real documents in three micro-batches so pairs form
+    // within a batch, across batches, and against first-batch state
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => DocRow(r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[DocRow]
+    val name = s"neardup_${System.nanoTime()}"
+    val store = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text")
+    val q = NearDupStream.nearDupPairsStream(mem.toDF(), store)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    val third = (docs.length + 2) / 3
+    docs.grouped(third).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // replay the first chunk again: seen ids must be idempotent no-ops
+    mem.addData(docs.take(third).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly-once discovery: no pair emitted twice despite multi-band
+    // collisions, multi-batch arrival and the replayed chunk
+    assert(streamed.length == streamed.toSet.size,
+      "a candidate pair was emitted more than once")
+    assert(streamed.toSet == batch,
+      s"streamed ${streamed.length} pairs != batch ${batch.size}")
   }
 
   test("last-touch attribution: streamed per-user state equals the " +
