@@ -19,6 +19,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same rationale as Bench: the 4 allowlisted bounded-frame global
+    // windows (gate-audited, PlanRegressionSpec) trip WindowExec's
+    // blanket warning — noise in the driver tail, silenced here too
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     var ok = 0
     var failed = 0

@@ -83,9 +83,14 @@ object Det {
   def sqlDsum(x: String, scale: Int = 4): String =
     s"CAST(CAST(SUM(CAST($x AS DECIMAL(18,$scale))) AS VARCHAR) AS DOUBLE)"
 
-  /** SQL (DuckDB) mirror of [[davg]]. */
+  /** SQL (DuckDB) mirror of [[davg]]. Self-parenthesized so call sites
+    * that multiply it (`0.2 * ${sqlDavg(..)}` in Q17) associate exactly
+    * like the Column tree `lit(0.2) * davg(..)` — unparenthesized, SQL
+    * left-associativity would compute (0.2 * sum) / count, which can be
+    * 1 ulp off (sum*0.2 rounds before the divide) and Q17's threshold
+    * feeds a row-inclusion comparison. */
   def sqlDavg(x: String, scale: Int = 4): String =
-    s"${sqlDsum(x, scale)} / COUNT($x)"
+    s"(${sqlDsum(x, scale)} / COUNT($x))"
 
   /** Serialize a float-array expression to a deterministic scalar: each
     * element widened to DOUBLE (exact), cast to DECIMAL(18,7) (the parity

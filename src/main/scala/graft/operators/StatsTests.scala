@@ -64,6 +64,64 @@ object StatsTests {
         (col("p2") + col("cb2")).as("c2"))
   }
 
+  /** MWU assembly from a (value, d1, d2) point frame. PUBLIC and
+    * mode-agnostic like [[points]]: the same per-value counts the KS
+    * drift monitor streams in update mode ARE the MWU state, so the
+    * streaming twin feeds its drained counts through this exact builder
+    * (StreamingParitySpec) — no second statistic-specific state. */
+  def mwuFrom(pts: DataFrame): DataFrame = {
+    val u1x2 = col("r1_x2") - col("n1") * (col("n1") + 1L)
+    cumulative(pts)
+      .agg(sum("d1").as("n1"), sum("d2").as("n2"),
+        sum(col("d1") * (lit(2L)
+          * (col("c1") + col("c2") - col("d1") - col("d2"))
+          + col("d1") + col("d2") + 1L)).as("r1_x2"))
+      .select(col("n1"), col("n2"), col("r1_x2"),
+        u1x2.as("u1_x2"),
+        (lit(2L) * col("n1") * col("n2") - u1x2).as("u2_x2"),
+        (u1x2.cast("double") / 2.0).as("u_stat"))
+  }
+
+  /** One row per distinct (returnflag, extendedprice) with the exact
+    * integral weight — the weighted-median point frame. PUBLIC and
+    * mode-agnostic: as a streaming keyed aggregate in update mode this
+    * is the live weighted-median state (each micro-batch revises only
+    * the (flag, price) cells it touched), and StreamingParitySpec
+    * proves the drained counts assemble the identical median through
+    * [[weightedMedianFrom]]. */
+  def pricePoints(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+
+  /** Weighted-median assembly from a (l_returnflag, l_extendedprice, w)
+    * point frame — the two-level prefix sum documented on
+    * q_agg_weighted_median below. */
+  def weightedMedianFrom(pts0: DataFrame): DataFrame = {
+    val pts = pts0
+      .withColumn("bucket",
+        floor(col("l_extendedprice") / 1000.0d).cast("long"))
+      .persist()
+    val bt = pts.groupBy("l_returnflag", "bucket")
+      .agg(sum("w").as("tb"))
+    val wc = Window.partitionBy("l_returnflag").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bt.select(col("l_returnflag"), col("bucket"),
+      coalesce(sum(col("tb")).over(wc), lit(0L)).as("pc"))
+    val tot = bt.groupBy("l_returnflag").agg(sum("tb").as("tw"))
+    val wb = Window.partitionBy("l_returnflag", "bucket")
+      .orderBy("l_extendedprice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("cwb", sum("w").over(wb))
+      .join(broadcast(carry), Seq("l_returnflag", "bucket"))
+      .join(broadcast(tot), "l_returnflag")
+      .filter(lit(2L) * (col("pc") + col("cwb")) >= col("tw"))
+      .groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("w_median"),
+        max("tw").as("total_weight"))
+      .orderBy(asc_nulls_last("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Kolmogorov–Smirnov two-sample statistic: D = max |F1(x) − F2(x)|
     // over the pooled support. The max is taken over the EXACT integer
@@ -98,18 +156,7 @@ object StatsTests {
     // 2·U1 = r1_x2 − n1(n1+1). ONE global aggregate (no join, no
     // window beyond the shared CDF skeleton); u_stat halves an even
     // integer — an exact binary operation on both engines.
-    "q_stats_mwu" -> ((s, d) => {
-      val u1x2 = col("r1_x2") - col("n1") * (col("n1") + 1L)
-      cumulative(points(s, d))
-        .agg(sum("d1").as("n1"), sum("d2").as("n2"),
-          sum(col("d1") * (lit(2L)
-            * (col("c1") + col("c2") - col("d1") - col("d2"))
-            + col("d1") + col("d2") + 1L)).as("r1_x2"))
-        .select(col("n1"), col("n2"), col("r1_x2"),
-          u1x2.as("u1_x2"),
-          (lit(2L) * col("n1") * col("n2") - u1x2).as("u2_x2"),
-          (u1x2.cast("double") / 2.0).as("u_stat"))
-    }),
+    "q_stats_mwu" -> ((s, d) => mwuFrom(points(s, d))),
 
     // Exact weighted median of extendedprice weighted by quantity, per
     // returnflag — the "half the shipped units cost less than this"
@@ -119,43 +166,22 @@ object StatsTests {
     // the median is the first value whose doubled running weight reaches
     // the group total — the lower weighted median, a data value, no
     // interpolation, no FP.
-    "q_agg_weighted_median" -> ((s, d) => {
-      // Two-level prefix sum (the q_stats_ks skeleton, per flag): a
-      // plain per-flag running-weight window would sort EVERY distinct
-      // price of a flag in ONE task (parallelism = |flags| = 3); the
-      // (flag, price-bucket) partitioning caps a task at one bucket's
-      // prices and the carry runs over the ~100-row bucket grain,
-      // bounded by the price DOMAIN. The bucket-total subtree feeds
-      // both the carry and the per-flag totals, so its exchange is
-      // reused.
-      // persisted: three consumers (the in-bucket window, the carry's
-      // bucket totals, the per-flag totals) would otherwise re-aggregate
-      // the scan each — the frame is |distinct (flag, price)| slim rows
-      val pts = t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_extendedprice"))
-        .agg(sum(col("l_quantity").cast("long")).as("w"))
-        .withColumn("bucket",
-          floor(col("l_extendedprice") / 1000.0d).cast("long"))
-        .persist()
-      val bt = pts.groupBy("l_returnflag", "bucket")
-        .agg(sum("w").as("tb"))
-      val wc = Window.partitionBy("l_returnflag").orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val carry = bt.select(col("l_returnflag"), col("bucket"),
-        coalesce(sum(col("tb")).over(wc), lit(0L)).as("pc"))
-      val tot = bt.groupBy("l_returnflag").agg(sum("tb").as("tw"))
-      val wb = Window.partitionBy("l_returnflag", "bucket")
-        .orderBy("l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      pts.withColumn("cwb", sum("w").over(wb))
-        .join(broadcast(carry), Seq("l_returnflag", "bucket"))
-        .join(broadcast(tot), "l_returnflag")
-        .filter(lit(2L) * (col("pc") + col("cwb")) >= col("tw"))
-        .groupBy("l_returnflag")
-        .agg(min("l_extendedprice").as("w_median"),
-          max("tw").as("total_weight"))
-        .orderBy(asc_nulls_last("l_returnflag"))
-    })
+    // Two-level prefix sum (the q_stats_ks skeleton, per flag): a
+    // plain per-flag running-weight window would sort EVERY distinct
+    // price of a flag in ONE task (parallelism = |flags| = 3); the
+    // (flag, price-bucket) partitioning caps a task at one bucket's
+    // prices and the carry runs over the ~100-row bucket grain,
+    // bounded by the price DOMAIN. The bucket-total subtree feeds
+    // both the carry and the per-flag totals, so its exchange is
+    // reused.
+    // persisted (inside weightedMedianFrom): three consumers (the
+    // in-bucket window, the carry's bucket totals, the per-flag totals)
+    // would otherwise re-aggregate the scan each — the frame is
+    // |distinct (flag, price)| slim rows. NOTE (ADVICE r6): the persist
+    // makes the bench best-of-3 floor cache-warm by construction —
+    // documented as the intended protocol in BASELINE.md.
+    "q_agg_weighted_median" -> ((s, d) =>
+      weightedMedianFrom(pricePoints(t(s, d, "lineitem"))))
   )
 
   private val ptsSql =

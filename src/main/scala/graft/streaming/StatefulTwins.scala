@@ -181,6 +181,49 @@ object StatefulTwins {
       }
   }
 
+  case class StreakRow(user_id: Long, longest_streak: Long,
+      n_active_days: Long, n_streaks: Long)
+
+  case class StreakState(days: Seq[Long])
+
+  /** Streaming twin of q_user_streaks (longest consecutive-day activity
+    * streak per user): per-user state is the SET of active epoch-days —
+    * day-grain bounded (the time span, not the event count; the same
+    * boundedness argument as the allowlisted day-grain windows), and
+    * set-union is idempotent so replays and out-of-order arrival cannot
+    * corrupt it, unlike a (lastDay, runLength) cursor. Each micro-batch
+    * that adds a NEW day rescans the key's sorted day list (≤ a few
+    * hundred entries) and emits the revised (longest, active, streaks)
+    * triple in Update mode; a batch that only replays known days emits
+    * nothing. The LAST emission per user equals the batch
+    * gaps-and-islands row. */
+  def streaksStream(obs: Dataset[DayObs]): Dataset[StreakRow] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreakState, StreakRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[DayObs], state: GroupState[StreakState]) =>
+          val prev = state.getOption.map(_.days.toSet)
+            .getOrElse(Set.empty[Long])
+          val days = prev ++ it.map(_.day)
+          if (days == prev && prev.nonEmpty) Iterator.empty
+          else if (days.isEmpty) Iterator.empty
+          else {
+            val sorted = days.toSeq.sorted
+            state.update(StreakState(sorted))
+            var longest = 1L; var run = 1L; var streaks = 1L
+            sorted.sliding(2).foreach {
+              case Seq(a, b) =>
+                if (b == a + 1) { run += 1; longest = math.max(longest, run) }
+                else { streaks += 1; run = 1 }
+              case _ => ()
+            }
+            Iterator.single(StreakRow(uid, longest,
+              sorted.size.toLong, streaks))
+          }
+      }
+  }
+
   case class FEv(user_id: Long, event_id: Long, event_type: String,
       tsu: Long)
 

@@ -50,6 +50,22 @@ class BenchLineSpec extends AnyFunSuite {
       s"slow-run bench line ${line.length} chars >= 1950")
   }
 
+  test("subset runs are stamped subset:true in BOTH emitted lines; " +
+    "full runs carry no marker") {
+    // a BENCH_ONLY subset line must never be mistakable for a full
+    // round record (ADVICE r6: the comment promised this marker but the
+    // code didn't emit it)
+    val results = Seq("q_join_interval" -> 0.9)
+    val fullFile = Bench.fullLineFor(results, 0, "sf0.1")
+    val subFile = Bench.fullLineFor(results, 0, "sf0.1", subset = true)
+    val fullOut = Bench.stdoutLineFor(results, 0, "sf0.1")
+    val subOut = Bench.stdoutLineFor(results, 0, "sf0.1", subset = true)
+    assert(!fullFile.contains("\"subset\"") && !fullOut.contains("\"subset\""))
+    assert(subFile.contains("\"subset\":true,\"queries\"") ||
+      subFile.contains("\"subset\":true,"))
+    assert(subOut.contains("\"subset\":true,"))
+  }
+
   test("oversized inventory elides to slowest-40 but keeps every failure") {
     // synthetic 400-query inventory that cannot fit: the fallback must
     // kick in, keep the -1 failures, and stay inside the buffer

@@ -16,6 +16,10 @@ case class E(event_id: Long, ts: Timestamp, user_id: Long,
 /** (doc_id, text) row for the streaming near-dup ingestion replay. */
 case class DocRow(doc_id: Long, text: String)
 
+/** Slim lineitem row for the weighted-median streaming replay. */
+case class LiRow(l_returnflag: String, l_extendedprice: Double,
+    l_quantity: Double)
+
 /** Batch↔stream parity: the SAME transforms (StreamShapes builders) fed
   * through MemoryStream must produce the batch answer once the stream
   * drains; plus watermark late-drop and stateful sessionize semantics. */
@@ -641,6 +645,118 @@ class StreamingParitySpec extends SparkSpec {
         streamed.select("s", "e"))
       .orderBy("tsu").collect().toSeq
     assert(streamConc == batchConc)
+  }
+
+  test("MWU drift readout: the SAME streamed per-value counts the KS " +
+      "monitor keeps assemble the batch Mann-Whitney U via mwuFrom") {
+    import graft.operators.StatsTests
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth: the declared q_stats_mwu row
+    val batch = StatsTests.queries("q_stats_mwu")(spark, sf)
+      .collect().toSeq
+    // stream the shared KS/MWU state (per-value click/view counts) over
+    // the real events in two batches, update mode
+    val obs = Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy("ts", "event_id").collect()
+      .map(r => E(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val sink = runStream(df => StatsTests.points(df), obs,
+      OutputMode.Update())
+    val streamPts = sink.collect()
+      .groupBy(_.getDouble(0)).map { case (v, rows) =>
+        val last = rows.last
+        (v, last.getLong(1), last.getLong(2))
+      }.toSeq
+    // feed the drained counts through the IDENTICAL batch assembly —
+    // one state, two readouts (KS already proven above)
+    val streamRow = StatsTests.mwuFrom(
+      streamPts.toDF("value", "d1", "d2")).collect().toSeq
+    assert(streamRow == batch,
+      s"stream MWU $streamRow vs batch $batch")
+    // non-vacuous: real two-sample sizes and a mid-range U
+    val r = batch.head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getDouble(5) > 0.0)
+  }
+
+  test("weighted median: streamed (flag, price) weight state drained " +
+      "through weightedMedianFrom equals the batch query") {
+    import graft.operators.StatsTests
+    implicit val sqlCtx = spark.sqlContext
+    val batch = StatsTests.queries("q_agg_weighted_median")(spark, sf)
+      .collect().toSeq
+    val rows = Tables.table(spark, sf, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+      .collect()
+      .map(r => LiRow(r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val mem = MemoryStream[LiRow]
+    val name = s"wmed_${System.nanoTime()}"
+    val q = StatsTests.pricePoints(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .start()
+    // three micro-batches: every (flag, price) cell a later batch
+    // touches must be REVISED, not duplicated, by the keyed aggregate
+    val third = rows.length / 3
+    Seq(rows.take(third), rows.slice(third, 2 * third),
+        rows.drop(2 * third))
+      .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    // update mode: the LAST emission per (flag, price) is the final
+    // weight; feed those through the identical batch assembly
+    val finalPts = spark.table(name).collect()
+      .groupBy(r => (r.getString(0), r.getDouble(1)))
+      .map { case ((f, p), rs) => (f, p, rs.last.getLong(2)) }.toSeq
+    val streamRows = StatsTests.weightedMedianFrom(
+        finalPts.toDF("l_returnflag", "l_extendedprice", "w"))
+      .collect().toSeq
+    assert(streamRows == batch,
+      s"stream weighted median $streamRows vs batch $batch")
+    assert(batch.size == 3 && batch.forall(_.getLong(2) > 0L))
+  }
+
+  test("user streaks: per-user day-set state across batches and a " +
+      "replayed chunk equals the batch gaps-and-islands query") {
+    import graft.operators.EventAnalytics
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventAnalytics.queries("q_user_streaks")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // (user, epoch-day) observations in time order — day derived in
+    // Spark so the UTC truncation matches the batch to_date exactly
+    val obs = Tables.table(spark, sf, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long").as("day"))
+      .orderBy("day", "user_id").collect()
+      .map(r => StatefulTwins.DayObs(r.getLong(0), r.getLong(1)))
+    val mem = MemoryStream[StatefulTwins.DayObs]
+    val name = s"stk_${System.nanoTime()}"
+    val q = StatefulTwins.streaksStream(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .start()
+    val third = obs.length / 3
+    Seq(obs.take(third), obs.slice(third, 2 * third), obs.drop(2 * third))
+      .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    // replay chunk 1 (at-least-once delivery): the day-SET state must
+    // absorb it silently — set union is idempotent
+    mem.addData(obs.take(third).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) =>
+        val last = rs.last
+        u -> (last.getLong(1), last.getLong(2), last.getLong(3))
+      }.toMap
+    assert(stream == batch)
+    // non-vacuous: multi-day streaks and multi-streak users must exist
+    assert(stream.values.exists(_._1 > 1L)
+      && stream.values.exists(_._3 > 1L))
   }
 
   test("transformWithState sessionize matches the FMGWS path and the " +
