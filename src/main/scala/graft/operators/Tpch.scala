@@ -297,6 +297,197 @@ object Tpch {
         .limit(20)
     }),
 
+    // Q2: min-cost supplier per part — the correlated-MIN-subquery
+    // shape, decorrelated to aggregate + join-back (the Q15/Q17
+    // pattern). The fixture has no partsupp, so the part↔supplier
+    // catalog is DERIVED from the fact table: per-(part, supplier) min
+    // unit price (extendedprice/quantity — one IEEE division, identical
+    // on both engines) stands in for ps_supplycost. The part sliver
+    // prunes the fact scan BEFORE the aggregate; region-filtered
+    // suppliers broadcast; the per-part minimum broadcasts back as an
+    // equi-join on (part, cost) — doubles derived identically on both
+    // sides, so equality is exact. At 100 TB: one keyed shuffle to
+    // build the catalog, everything else broadcast.
+    "q_tpch_q2" -> ((s, d) => {
+      val eu = broadcast(t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+      val pr = broadcast(t(s, d, "part")
+        .filter(col("p_type") === "STANDARD" && col("p_size").between(10, 20))
+        .select("p_partkey", "p_size"))
+      val cand = t(s, d, "lineitem")
+        .join(pr, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey", "p_size", "l_suppkey")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        .join(eu, col("l_suppkey") === col("s_suppkey"))
+      val mn = broadcast(cand.groupBy(col("p_partkey").as("m_pk"))
+        .agg(min("unit_cost").as("min_cost")))
+      cand.join(mn, col("p_partkey") === col("m_pk")
+          && col("unit_cost") === col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_size",
+          "s_suppkey", "unit_cost")
+        .orderBy(desc_nulls_last("s_acctbal"), asc_nulls_last("s_name"),
+          asc_nulls_last("p_partkey"), asc_nulls_last("s_suppkey"))
+    }),
+
+    // Q9: product-line profit by nation and year — the canonical 6-way
+    // join grouped by (nation, year). The supply-cost term is rewritten
+    // onto the column that exists: 1% of p_retailprice per unit. The
+    // profit addend's true value has ≤ 4 decimals (2-dec retail × int
+    // qty × 0.01; 4-dec revenue), so the scale-4 exact-decimal sum
+    // recovers it exactly on both engines. part/supplier/nation
+    // broadcast; orders is the only fact-fact shuffle (on orderkey).
+    "q_tpch_q9" -> ((s, d) => {
+      val amount = rev -
+        col("p_retailprice") * col("l_quantity") * lit(0.01)
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_name").contains("widget"))
+          .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(Det.dsum(amount).as("sum_profit"))
+        .orderBy(asc_nulls_last("nation"), desc_nulls_last("o_year"))
+    }),
+
+    // Q11: important stock value — group-by with a global-fraction
+    // HAVING. The partsupp value surrogate is the per-part shipped
+    // revenue from the two target nations' suppliers (broadcast key
+    // sliver prunes the fact scan). The global total is the exact
+    // decimal sum of the SAME per-part frame, joined back as a 1-row
+    // broadcast on a constant key (the q_stats_ttest shape); the 0.001
+    // fraction multiply is one IEEE op on identically-derived doubles.
+    "q_tpch_q11" -> ((s, d) => {
+      val supNat = broadcast(t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_3", "NATION_7"))
+        .select("s_suppkey"))
+      val value = t(s, d, "lineitem")
+        .join(supNat, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(Det.dsum(col("l_extendedprice")).as("value"))
+      val tot = broadcast(value
+        .agg(Det.dsum(col("value")).as("total"))
+        .withColumn("_one", lit(1)))
+      value.withColumn("_one", lit(1)).join(tot, "_one")
+        .filter(col("value") > lit(0.001) * col("total"))
+        .select("l_partkey", "value")
+        .orderBy(desc_nulls_last("value"), asc_nulls_last("l_partkey"))
+    }),
+
+    // Q12: late-shipment priority classes — join + conditional two-sum.
+    // l_returnflag stands in for the missing l_shipmode and
+    // "shipped > 60 days after the order" for the missing
+    // commit/receipt lateness; the year predicate prunes the fact scan
+    // (parquet row-group filter) BEFORE the orderkey shuffle join, and
+    // the cross-table lateness predicate runs on the joined row.
+    "q_tpch_q12" -> ((s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, d, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate")
+          + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag").as("ship_class"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(asc_nulls_last("ship_class"))
+    }),
+
+    // Q16: supplier count per part attribute — distinct-count with a
+    // NOT IN exclusion. The part↔supplier catalog again derives from
+    // the fact table; "complained" suppliers (no comment column) become
+    // the negative-balance ones, excluded via LEFT ANTI against a
+    // broadcast key sliver — never a per-row NOT IN probe. The fact is
+    // pruned to the qualifying parts, deduped to slim (attrs, suppkey)
+    // rows, then COUNT(DISTINCT) runs as Catalyst's two-phase
+    // partial-distinct aggregate.
+    "q_tpch_q16" -> ((s, d) => {
+      val bad = broadcast(t(s, d, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey"))
+      val pr = broadcast(t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select("p_partkey", "p_brand", "p_type", "p_size"))
+      t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+        .join(pr, col("l_partkey") === col("p_partkey"))
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc_nulls_last("supplier_cnt"),
+          asc_nulls_last("p_brand"), asc_nulls_last("p_type"),
+          asc_nulls_last("p_size"))
+    }),
+
+    // Q20: excess-quantity suppliers — the nested IN-subquery chain,
+    // decorrelated bottom-up: name-filtered part keys (broadcast)
+    // prune the year's shipments, the per-(supplier, part) exact
+    // integer quantity rollup applies the threshold, and the surviving
+    // supplier keys semi-join the nation-filtered supplier dim. Every
+    // stage passes only key slivers — the canonical "IN (SELECT …)"
+    // becomes two keyed aggregates and a semi-join.
+    "q_tpch_q20" -> ((s, d) => {
+      val redParts = broadcast(t(s, d, "part")
+        .filter(col("p_name").startsWith("red")).select("p_partkey"))
+      val heavy = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(redParts, col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("ship_qty"))
+        .filter(col("ship_qty") > 50L)
+        .select("l_suppkey").distinct()
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy(asc_nulls_last("s_name"))
+    }),
+
+    // Q21: suppliers who kept the order waiting — the EXISTS +
+    // NOT EXISTS pair over OTHER suppliers of the SAME order,
+    // decorrelated to per-order aggregates: a line of supplier S in a
+    // finished order qualifies iff the order has > 1 distinct supplier
+    // (EXISTS another) and exactly one distinct 'R' supplier
+    // (NOT EXISTS another at fault — S itself is 'R'). One keyed
+    // shuffle builds the per-order profile; no correlated probe, no
+    // self-join explosion. l_returnflag='R' stands in for the missing
+    // receipt>commit lateness.
+    "q_tpch_q21" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val ord = li.groupBy(col("l_orderkey").as("agg_ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("l_returnflag") === "R",
+            col("l_suppkey"))).as("n_supp_r"))
+      li.filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(ord, col("l_orderkey") === col("agg_ok"))
+        .filter(col("n_supp") > 1 && col("n_supp_r") === 1)
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc_nulls_last("numwait"), asc_nulls_last("s_name"))
+        .limit(100)
+    }),
+
     // Q19: disjunctive brand/size/quantity predicate — the classic
     // "OR of ANDs" Catalyst must NOT turn into three scans. The shared
     // conjunct (the join key) stays an equi-join; the disjunction is a
@@ -458,6 +649,108 @@ object Tpch {
          |GROUP BY 1, 2, 3, 4
          |ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS LAST
          |LIMIT 20""".stripMargin,
+    "q_tpch_q2" ->
+      """WITH pr AS (
+        |  SELECT p_partkey, p_size FROM part
+        |  WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+        |), eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), cand AS (
+        |  SELECT p_partkey, p_size, l_suppkey,
+        |    MIN(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem JOIN pr ON l_partkey = p_partkey
+        |  GROUP BY 1, 2, 3
+        |), ce AS (
+        |  SELECT * FROM cand JOIN eu ON l_suppkey = s_suppkey
+        |), mn AS (
+        |  SELECT p_partkey AS m_pk, MIN(unit_cost) AS min_cost
+        |  FROM ce GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_size, s_suppkey,
+        |  unit_cost
+        |FROM ce JOIN mn ON p_partkey = m_pk AND unit_cost = min_cost
+        |ORDER BY s_acctbal DESC NULLS LAST, s_name ASC NULLS LAST,
+        |  p_partkey ASC NULLS LAST, s_suppkey ASC NULLS LAST""".stripMargin,
+    "q_tpch_q9" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${Det.sqlDsum(
+               s"$sqlRev - p_retailprice * l_quantity * 0.01")} AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2
+         |ORDER BY nation ASC NULLS LAST, o_year DESC NULLS LAST""".stripMargin,
+    "q_tpch_q11" ->
+      s"""WITH val AS (
+         |  SELECT l_partkey, ${Det.sqlDsum("l_extendedprice")} AS value
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name IN ('NATION_3', 'NATION_7')
+         |  GROUP BY 1)
+         |SELECT l_partkey, value FROM val
+         |WHERE value > 0.001 * (SELECT ${Det.sqlDsum("value")} FROM val)
+         |ORDER BY value DESC NULLS LAST, l_partkey ASC NULLS LAST""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag AS ship_class,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1
+        |ORDER BY ship_class ASC NULLS LAST""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC NULLS LAST, p_brand ASC NULLS LAST,
+        |  p_type ASC NULLS LAST, p_size ASC NULLS LAST""".stripMargin,
+    "q_tpch_q20" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN
+        |        (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING SUM(CAST(l_quantity AS BIGINT)) > 50)
+        |ORDER BY s_name ASC NULLS LAST""".stripMargin,
+    "q_tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY 1
+        |ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS LAST
+        |LIMIT 100""".stripMargin,
     "q_tpch_q19" ->
       s"""SELECT ${Det.sqlDsum(sqlRev)} AS revenue, COUNT(*) AS n_items
          |FROM lineitem
