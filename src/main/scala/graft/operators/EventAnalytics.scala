@@ -281,6 +281,32 @@ object EventAnalytics {
           asc_nulls_last("start_event_id"))
     }),
 
+    // CDC snapshot diff: the state of each key at cutoff T vs at the
+    // head of the log, classified added/changed/unchanged — the
+    // "what did this batch of changes do" audit every incremental
+    // pipeline needs. Both versions come from ONE keyed aggregate pass:
+    // max over a (ts, event_id, value) struct is a lexicographic
+    // argmax — associative and null-skipping, so partial (map-side)
+    // aggregation and AQE re-splits are safe, unlike the window+filter
+    // formulation which would sort every key group. 'removed' cannot
+    // occur in an append-only log and is therefore not a class here.
+    "q_snapshot_diff" -> ((s, d) => {
+      val cut = lit("2024-01-15").cast("timestamp")
+      t(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          max(when(col("ts") < cut,
+            struct(col("ts"), col("event_id"), col("value")))).as("s1"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("s2"))
+        .select(col("user_id"), col("s1.value").as("v_before"),
+          col("s2.value").as("v_after"))
+        .withColumn("change",
+          when(col("v_before").isNull, "added")
+            .when(col("v_before") === col("v_after"), "unchanged")
+            .otherwise("changed"))
+        .orderBy(asc_nulls_last("user_id"))
+    }),
+
     // Per-session path analysis: sessions by 30-minute inactivity gaps
     // (gaps-and-islands in exact microsecond arithmetic), each session's
     // first-5 event-type path, top-20 paths by frequency. The path
@@ -690,6 +716,25 @@ object EventAnalytics {
         |ORDER BY cohort_day ASC NULLS LAST, day_offset ASC NULLS LAST"""
         .stripMargin,
 
+    "q_snapshot_diff" ->
+      """WITH la AS (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |), lb AS (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |), a AS (SELECT user_id, value AS v_after FROM la WHERE rn = 1
+        |), b AS (SELECT user_id, value AS v_before FROM lb WHERE rn = 1)
+        |SELECT a.user_id, v_before, v_after,
+        |  CASE WHEN v_before IS NULL THEN 'added'
+        |       WHEN v_before = v_after THEN 'unchanged'
+        |       ELSE 'changed' END AS change
+        |FROM a LEFT JOIN b ON a.user_id = b.user_id
+        |ORDER BY a.user_id ASC NULLS LAST""".stripMargin,
     "q_scd2_intervals" ->
       """WITH r AS (
         |  SELECT user_id, event_id, event_type, ts,

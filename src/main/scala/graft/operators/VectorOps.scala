@@ -845,6 +845,79 @@ object VectorOps {
             "CAST(0 AS BIGINT), (a, v) -> a + v)").as("qerr"))
         .orderBy(asc_nulls_last("vec_id"))),
 
+    // Residual product quantization — the encoding the production
+    // IVF-PQ layout actually stores (Jégou et al., PAMI 2011 §III):
+    // each vector quantizes its RESIDUAL v − mean(cluster(v)), whose
+    // spread around zero is far tighter than the raw vectors', so the
+    // same 4-entry codebook spends its capacity on fine structure
+    // instead of coarse position. The reference MUST be the cluster
+    // MEAN (one Lloyd update — the q_kmeans_iter frame): subtracting
+    // the raw unit-norm seed vector was MEASURED to inflate the error
+    // 61e15 → 81e15 on the fixtures (|v − c| > |v| when v·c is small),
+    // while the mean reference cuts it to 53e15 with 490/500 vectors
+    // improving — VectorTrainSpec pins both directions of that fact.
+    // Everything stays on the scaled-BIGINT grid: the mean re-enters
+    // the grid via one deterministic floor(sum/n + 0.5) per element,
+    // residuals are integer differences, so distances, argmins and
+    // both error sums are engine-identical. Scale: assignment is the
+    // broadcast-k pass, the cluster means ONE slim (cluster, dim)
+    // shuffle with map-side combine (the distributed k-means update),
+    // the residual subtraction an in-row zip_with, the codebook ONE
+    // broadcast row, the summary a single partial-agg pass. BIGINT
+    // sums keep ≥ 10× headroom (per-vector error ≈ 1e14; 2k vectors
+    // ≈ 1e17 of 9.2e18).
+    "q_ann_pq_residual" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val ints = e.filter(col("embedding").isNotNull)
+        .withColumn("iv", expr(
+          "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
+            "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
+        .select("vec_id", "iv")
+      val cl = centroidAssign(s, e, e).select("vec_id", "cluster")
+      val meanc = broadcast(ints.join(cl, "vec_id")
+        .select(col("cluster"), posexplode(col("iv")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(expr("CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5D) " +
+          "AS BIGINT)").as("mv"))
+        .groupBy("cluster")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, mv))), " +
+          "s -> s.mv)").as("civ")))
+      val res = ints
+        .join(cl, "vec_id")
+        .join(meanc, "cluster")
+        .withColumn("rv", expr("zip_with(iv, civ, (x, y) -> x - y)"))
+        .select("vec_id", "rv")
+      val rcb = broadcast(res.filter(col("vec_id") < PqCodebook)
+        .groupBy()
+        .agg(sort_array(collect_list(struct(
+          col("vec_id").cast("long").as("cid"), col("rv").as("cv"))))
+          .as("cbs"))
+        .withColumn("_one", lit(1)))
+      val rDists =
+        s"transform(sequence(0, ${PqM - 1}), m -> " +
+          "transform(cbs, c -> struct(" +
+          s"aggregate(zip_with(slice(rv, m * $PqSubDim + 1, $PqSubDim), " +
+          s"slice(c.cv, m * $PqSubDim + 1, $PqSubDim), " +
+          "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), " +
+          "(a, v) -> a + v) AS dist, c.cid AS cid)))"
+      val rerr = res.withColumn("_one", lit(1)).join(rcb, "_one")
+        .withColumn("dists", expr(rDists))
+        .withColumn("rqerr", expr(
+          "aggregate(transform(dists, ds -> array_min(ds).dist), " +
+            "CAST(0 AS BIGINT), (a, v) -> a + v)"))
+        .select("vec_id", "rqerr")
+      val perr = pqEncoded(s, d)
+        .select(col("vec_id"), expr(
+          "aggregate(transform(best, b -> b.dist), CAST(0 AS BIGINT), " +
+            "(a, v) -> a + v)").as("pqerr"))
+      perr.join(rerr, "vec_id")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("pqerr").as("plain_qerr"),
+          sum("rqerr").as("residual_qerr"),
+          sum(when(col("rqerr") < col("pqerr"), 1L).otherwise(0L))
+            .as("n_improved"))
+    }),
+
     // IVF-PQ search with asymmetric distance computation — the shared
     // [[ivfpqAdcTopK]] pipeline (see its doc for the full design) at the
     // declared top-10.
@@ -1366,6 +1439,78 @@ object VectorOps {
          |  CAST(SUM(dist) AS BIGINT) AS qerr
          |FROM best GROUP BY vec_id
          |ORDER BY vec_id ASC NULLS LAST""".stripMargin,
+
+    // Self-contained mirror of both encodings: the plain-PQ distance
+    // CTE keeps its dist through the argmin (the shared ivfpqCtes
+    // `best` drops it), the residual path rebuilds the same cluster
+    // assignment, subtracts centroid encodings index-wise, and re-runs
+    // the identical integer sub-space argmin over the residual
+    // codebook.
+    "q_ann_pq_residual" ->
+      s"""WITH iv AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) * 10000000
+         |      AS BIGINT)) AS iv
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), e AS (
+         |  SELECT vec_id, iv, unnest(generate_series(1, $EmbDim)) AS i
+         |  FROM iv
+         |), dd AS (
+         |  SELECT v.vec_id, (i - 1) // $PqSubDim AS m, c.vec_id AS cid,
+         |    CAST(SUM((v.iv[i] - c.iv[i]) * (v.iv[i] - c.iv[i]))
+         |      AS BIGINT) AS dist
+         |  FROM e v, (SELECT vec_id, iv FROM iv WHERE vec_id < $PqCodebook) c
+         |  GROUP BY v.vec_id, (i - 1) // $PqSubDim, c.vec_id
+         |), pbest AS (
+         |  SELECT vec_id, m, dist FROM dd
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+         |    ORDER BY dist ASC, cid ASC) = 1
+         |), perr AS (
+         |  SELECT vec_id, CAST(SUM(dist) AS BIGINT) AS pqerr
+         |  FROM pbest GROUP BY vec_id
+         |), cents AS (
+         |  SELECT vec_id AS ccid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < $IvfCentroids
+         |), aa AS (
+         |  SELECT e2.vec_id, c.ccid,
+         |    ${sqlDot("e2.embedding", "c.cemb")} AS cdot
+         |  FROM embeddings e2, cents c
+         |), cl AS (
+         |  SELECT vec_id, ccid AS cluster FROM aa
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cdot DESC, ccid ASC) = 1
+         |), mc AS (
+         |  SELECT cl.cluster, t.i,
+         |    CAST(floor(CAST(SUM(t.iv[t.i]) AS DOUBLE) / COUNT(*) + 0.5)
+         |      AS BIGINT) AS mv
+         |  FROM e t JOIN cl ON t.vec_id = cl.vec_id
+         |  GROUP BY cl.cluster, t.i
+         |), rv AS (
+         |  SELECT t.vec_id, t.i, t.iv[t.i] - mc.mv AS r
+         |  FROM e t
+         |  JOIN cl ON t.vec_id = cl.vec_id
+         |  JOIN mc ON cl.cluster = mc.cluster AND t.i = mc.i
+         |), rcb AS (
+         |  SELECT vec_id AS cid, i, r FROM rv WHERE vec_id < $PqCodebook
+         |), rd AS (
+         |  SELECT v.vec_id, (v.i - 1) // $PqSubDim AS m, c.cid,
+         |    CAST(SUM((v.r - c.r) * (v.r - c.r)) AS BIGINT) AS dist
+         |  FROM rv v JOIN rcb c ON v.i = c.i
+         |  GROUP BY v.vec_id, (v.i - 1) // $PqSubDim, c.cid
+         |), rbest AS (
+         |  SELECT vec_id, m, dist FROM rd
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+         |    ORDER BY dist ASC, cid ASC) = 1
+         |), rerr AS (
+         |  SELECT vec_id, CAST(SUM(dist) AS BIGINT) AS rqerr
+         |  FROM rbest GROUP BY vec_id
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(pqerr) AS BIGINT) AS plain_qerr,
+         |  CAST(SUM(rqerr) AS BIGINT) AS residual_qerr,
+         |  CAST(SUM(CASE WHEN rqerr < pqerr THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_improved
+         |FROM perr JOIN rerr ON perr.vec_id = rerr.vec_id""".stripMargin,
 
     // The PQ per-(vec, sub-space, entry) distance CTE doubles as both
     // the code assignment (argmin) and the probe's ADC table (its
