@@ -154,7 +154,11 @@ object Bench {
     "q_tpch_q4" -> "x4", "q_tpch_q13" -> "x3", "q_tpch_q17" -> "x7",
     "q_join_nullsafe" -> "jn", "q_dedup_recall" -> "dq",
     "q_sample_reservoir" -> "rv", "q_user_streaks" -> "uk",
-    "q_ann_ivfpq_refined" -> "zr", "q_multimodal_wav" -> "wv")
+    "q_ann_ivfpq_refined" -> "zr", "q_multimodal_wav" -> "wv",
+    "q_tpch_q2" -> "x5", "q_tpch_q9" -> "x9", "q_tpch_q11" -> "xb",
+    "q_tpch_q12" -> "xc", "q_tpch_q16" -> "xd", "q_tpch_q20" -> "xe",
+    "q_tpch_q21" -> "xf", "q_snapshot_diff" -> "cd",
+    "q_ann_pq_residual" -> "vq")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -181,6 +181,46 @@ object StatefulTwins {
       }
   }
 
+  case class AsofEv(event_id: Long, user_id: Long, event_type: String,
+      tsu: Long)
+
+  case class AsofMatch(event_id: Long, user_id: Long, tsu: Long,
+      asof_signup_tsu: Option[Long])
+
+  /** Streaming twin of q_join_asof — live enrichment against a
+    * slowly-changing per-key reference: each purchase is joined to the
+    * most recent signup at-or-before it, with the "reference side"
+    * carried as ONE Option[Long] of per-user state instead of the batch
+    * union+window carry. Same per-key ordering contract as
+    * [[transitionStream]]; equal-µs ties process signup BEFORE purchase
+    * (the batch's is_purchase sort key), so an exactly-simultaneous
+    * signup is visible to its purchase. State is O(keys) — the live
+    * form of the as-of join that would otherwise need a stream-stream
+    * range join. */
+  def asofStream(ev: Dataset[AsofEv]): Dataset[AsofMatch] = {
+    import ev.sparkSession.implicits._
+    val prio = Map("signup" -> 0, "purchase" -> 1)
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[AsofEv], state: GroupState[Long]) =>
+          val evs = it.toVector.sortBy(e =>
+            (e.tsu, prio.getOrElse(e.event_type, 2), e.event_id))
+          val out = Vector.newBuilder[AsofMatch]
+          var last: Option[Long] = state.getOption
+          evs.foreach { e =>
+            e.event_type match {
+              case "signup" => last = Some(e.tsu)
+              case "purchase" =>
+                out += AsofMatch(e.event_id, uid, e.tsu, last)
+              case _ => ()
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class StreakRow(user_id: Long, longest_streak: Long,
       n_active_days: Long, n_streaks: Long)
 

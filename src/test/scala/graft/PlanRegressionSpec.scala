@@ -162,6 +162,10 @@ class PlanRegressionSpec extends SparkSpec {
       // the 8-row trained-centroid broadcast + the bounded probe — the
       // q_kmeans_iter / q_ann_ivf broadcast-k shape
       "q_ann_ivf_trained",
+      // broadcast-k centroid assignment + the 1-row plain and residual
+      // codebook broadcasts on constant keys — the q_kmeans_iter and
+      // q_ann_pq shapes composed
+      "q_ann_pq_residual",
       // 1-row broadcasts of the series totals (n, Σx) and the centered
       // sum-of-squares / max-deviation scalars on a constant key, joined
       // against the tiny day-grain frame — the q_text_docfreq shape
@@ -169,6 +173,10 @@ class PlanRegressionSpec extends SparkSpec {
       // 1-row broadcast of the positive-balance mean on a constant key —
       // the q_stats_ttest shape
       "q_tpch_q22",
+      // 1-row broadcast of the global stock-value total on a constant
+      // key (the HAVING > 0.001 × total threshold) — the q_stats_ttest
+      // shape
+      "q_tpch_q11",
       // 1-row broadcast of the two sample sizes on a constant key — the
       // q_stats_ttest shape
       "q_stats_ks",

@@ -759,6 +759,45 @@ class StreamingParitySpec extends SparkSpec {
       && stream.values.exists(_._3 > 1L))
   }
 
+  test("as-of enrichment: streamed last-signup state equals the batch " +
+      "union+window as-of join over the real events table") {
+    import graft.operators.Relational
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth: (purchase event_id) -> (user, purchase µs, signup µs)
+    val batch = Relational.queries("q_join_asof")(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        unix_micros(col("asof_signup_ts")))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val obs = Tables.table(spark, sf, "events")
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+      .orderBy("tsu", "event_id").collect()
+      .map(r => StatefulTwins.AsofEv(r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3)))
+    val mem = MemoryStream[StatefulTwins.AsofEv]
+    val name = s"asof_${System.nanoTime()}"
+    val q = StatefulTwins.asofStream(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    // three micro-batches: the carried signup must survive batch
+    // boundaries mid-user
+    val third = obs.length / 3
+    Seq(obs.take(third), obs.slice(third, 2 * third), obs.drop(2 * third))
+      .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val stream = spark.table(name).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(stream == batch)
+    // non-vacuous: matched AND never-signed-up purchases must both occur
+    assert(stream.values.exists(_._3.isDefined))
+  }
+
   test("transformWithState sessionize matches the FMGWS path and the " +
       "batch fold (Spark 4 arbitrary state, RocksDB provider)") {
     implicit val sqlCtx = spark.sqlContext
