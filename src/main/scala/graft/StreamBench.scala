@@ -57,11 +57,30 @@ object StreamBench {
     val tDedup = drain("dedup")(EventPipelines.dedup(src))
     val tSession = drain("session")(EventPipelines.session(src))
 
+    // near-dup ingestion capacity (round 7): the full banded-signature →
+    // bucket-state → exact-verify pipeline over the documents table,
+    // replayed as a 16-file stream — docs/s, not events/s (a doc costs
+    // one shingle+MinHash pass, ~100× an event's window upsert)
+    val docSrcDir = s"$tmp/docsrc"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    docs.repartition(16).write.mode("overwrite").parquet(docSrcDir)
+    val nDocs = docs.count()
+    val docStore = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val tNearDup = drain("neardup")(
+      graft.streaming.NearDupStream.nearDupPairsStream(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "16").parquet(docSrcDir),
+        docStore))
+
     def rate(t: Double): Long = (nEvents / t).toLong
     println(s"""{"metric":"stream_events_per_sec","events":$nEvents,""" +
       s""""tumbling":${rate(tTumble)},"dedup":${rate(tDedup)},""" +
       s""""session":${rate(tSession)},""" +
-      s""""secs":{"tumbling":$tTumble,"dedup":$tDedup,"session":$tSession}}""")
+      s""""neardup_docs_per_sec":${(nDocs / tNearDup).toLong},""" +
+      s""""secs":{"tumbling":$tTumble,"dedup":$tDedup,""" +
+      s""""session":$tSession,"neardup":$tNearDup}}""")
     spark.stop()
   }
 }
