@@ -109,7 +109,7 @@ object Bench {
     "q_markov_transition" -> "mk", "q_concurrency_peak" -> "cc",
     "q_window_time_range" -> "wt", "q_mixture_weights" -> "mw",
     "q_label_balance" -> "lb", "q_text_clean" -> "tl",
-    "q_ann_ivf_nprobe" -> "i2", "q_embed_rp" -> "er",
+    "q_embed_rp" -> "er",
     "q_agg_bool" -> "b", "q_agg_cube" -> "c",
     "q_agg_distinct" -> "d", "q_agg_hash" -> "h",
     "q_agg_mode" -> "m", "q_date_funcs" -> "u", "q_except" -> "e",
@@ -135,9 +135,7 @@ object Bench {
     "q_window_rolling_median" -> "wm", "q_rate_limit" -> "rl",
     "q_join_asof_fwd" -> "jf", "q_dedup_survivor" -> "dv",
     "q_gap_stats" -> "ga", "q_text_docfreq" -> "df",
-    "q_sql_q3" -> "q3", "q_sql_q5" -> "q5", "q_funnel_time" -> "ft",
-    "q_ann_bucket_stats" -> "bs", "q_seasonal_profile" -> "sn",
-    "q_layout_zorder" -> "zo", "q_stats_chi2" -> "x2",
+    "q_stats_chi2" -> "x2",
     "q_dedup_bands_curve" -> "bc", "q_ann_ivf_trained" -> "it",
     "q_graph_cc_sizes" -> "cz", "q_embed_dim_stats" -> "ed",
     "q_ts_autocorr" -> "ax", "q_ts_cusum" -> "cu", "q_ts_ewma" -> "ew",
@@ -150,15 +148,25 @@ object Bench {
     "q_ann_recall_multi" -> "H", "q_text_lm_score" -> "L",
     "q_join_interval" -> "Q", "q_graph_pagerank" -> "Z",
     "q_attribution" -> "A", "q_schema_profile" -> "D",
-    "q_multimodal_framesample" -> "m2", "q_embed_outlier" -> "eb",
-    "q_tpch_q4" -> "x4", "q_tpch_q13" -> "x3", "q_tpch_q17" -> "x7",
-    "q_join_nullsafe" -> "jn", "q_dedup_recall" -> "dq",
-    "q_sample_reservoir" -> "rv", "q_user_streaks" -> "uk",
-    "q_ann_ivfpq_refined" -> "zr", "q_multimodal_wav" -> "wv",
-    "q_tpch_q2" -> "x5", "q_tpch_q9" -> "x9", "q_tpch_q11" -> "xb",
-    "q_tpch_q12" -> "xc", "q_tpch_q16" -> "xd", "q_tpch_q20" -> "xe",
-    "q_tpch_q21" -> "xf", "q_snapshot_diff" -> "cd",
-    "q_ann_pq_residual" -> "vq")
+    // The 62 alphanumeric single-char codes are exhausted; JSON string
+    // keys accept any character that needs no escaping (everything but
+    // '"' and '\'), so newer queries take single PUNCTUATION codes —
+    // each saves one byte per bench line against the driver's 2000-char
+    // stdout tail budget (BenchLineSpec pins the bound at the full
+    // inventory).
+    "q_multimodal_framesample" -> "^", "q_embed_outlier" -> "_",
+    "q_tpch_q4" -> "!", "q_tpch_q13" -> "#", "q_tpch_q17" -> "$",
+    "q_join_nullsafe" -> ">", "q_dedup_recall" -> "?",
+    "q_sample_reservoir" -> "@", "q_user_streaks" -> "[",
+    "q_ann_ivfpq_refined" -> "<", "q_multimodal_wav" -> "=",
+    "q_tpch_q2" -> "%", "q_tpch_q9" -> "&", "q_tpch_q11" -> "'",
+    "q_tpch_q12" -> "(", "q_tpch_q16" -> ")", "q_tpch_q20" -> "*",
+    "q_tpch_q21" -> "+", "q_snapshot_diff" -> "-",
+    "q_ann_pq_residual" -> ".", "q_stats_anova" -> ":",
+    "q_multimodal_mp4" -> ";", "q_ann_ivf_nprobe" -> "]",
+    "q_sql_q3" -> "`", "q_sql_q5" -> "{", "q_funnel_time" -> "|",
+    "q_ann_bucket_stats" -> "}", "q_seasonal_profile" -> "~",
+    "q_layout_zorder" -> "/")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

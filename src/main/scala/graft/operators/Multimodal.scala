@@ -224,6 +224,69 @@ object Multimodal {
             "i -> (((i * n_frames) DIV 8) * 1000) DIV fps), ',')")
             .as("sample_ts_ms"))
         .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // ISO-BMFF (MP4) box walk — the CONTAINER member of the header
+    // family, and the first parse whose field offsets are
+    // DATA-DEPENDENT: boxes are [u32 size][4CC type][payload] laid out
+    // sequentially, so box N+1's offset is the running sum of declared
+    // sizes — the walk reads size-at-offset, jumps, repeats (PNG/JFIF/
+    // WAV above parse at fixed offsets). Fixture payload: ftyp with a
+    // VARIABLE-length compatible-brand list (20/24/28 bytes — every
+    // later offset shifts per doc), a free box with doc-derived
+    // padding, and the 8-byte mdat HEADER (its declared size counts
+    // media data not materialized here, exactly like a real
+    // header-scan that never fetches the mdat body). Every 6th doc
+    // carries non-MP4 bytes for the sniff-reject path. Parse side
+    // reads ONLY (doc_id, payload); dynamic offsets go through
+    // substring(hex, computed_pos) — pure narrow map, no shuffle
+    // until the terminal sort.
+    "q_multimodal_mp4" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val built = docs.selectExpr("doc_id",
+        "CAST(20 + (doc_id % 3) * 4 AS INT) AS fsz",
+        "CAST(8 + (n_chars % 16) AS INT) AS zsz",
+        "CAST(n_chars + 8 AS INT) AS msz",
+        "CAST(n_chars % 16 AS INT) AS zpad",
+        "hex(CAST(substring(text, 1, 8) AS BINARY)) AS th")
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 6 = 0 THEN th ELSE concat(" +
+            "lpad(hex(fsz), 8, '0'), '66747970', '69736F6D', '00000200', " +
+            // brands: "mp41" + 0-2 extras ("iso2", "isom")
+            "substring('6D70343169736F3269736F6D', 1, " +
+            "CAST((doc_id % 3) * 8 + 8 AS INT)), " +
+            "lpad(hex(zsz), 8, '0'), '66726565', repeat('00', zpad), " +
+            "lpad(hex(msz), 8, '0'), '6D646174') END AS ph")
+        .selectExpr("doc_id", "unhex(ph) AS payload")
+      // parse — everything below reads ONLY (doc_id, payload)
+      built.selectExpr("doc_id", "payload", "hex(payload) AS h")
+        .selectExpr("doc_id", "h",
+          "CAST(length(payload) AS BIGINT) AS n_bytes",
+          "length(payload) >= 16 AND substring(h, 9, 8) = '66747970' " +
+            "AS is_mp4")
+        .selectExpr("doc_id", "h", "n_bytes", "is_mp4",
+          "CASE WHEN is_mp4 THEN " +
+            "CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT) END AS s1")
+        .selectExpr("doc_id", "h", "n_bytes", "is_mp4", "s1",
+          "CASE WHEN is_mp4 THEN CAST(conv(substring(h, " +
+            "CAST(2 * s1 + 1 AS INT), 8), 16, 10) AS BIGINT) END AS s2")
+        .selectExpr("doc_id", "h", "n_bytes", "is_mp4", "s1", "s2",
+          "CASE WHEN is_mp4 THEN CAST(conv(substring(h, " +
+            "CAST(2 * (s1 + s2) + 1 AS INT), 8), 16, 10) AS BIGINT) " +
+            "END AS s3")
+        .selectExpr("doc_id", "is_mp4",
+          "CASE WHEN is_mp4 THEN decode(unhex(substring(h, 17, 8)), " +
+            "'UTF-8') END AS major_brand",
+          "CASE WHEN is_mp4 THEN concat_ws(',', " +
+            "decode(unhex(substring(h, 9, 8)), 'UTF-8'), " +
+            "decode(unhex(substring(h, CAST(2 * s1 + 9 AS INT), 8)), " +
+            "'UTF-8'), " +
+            "decode(unhex(substring(h, CAST(2 * (s1 + s2) + 9 AS INT), " +
+            "8)), 'UTF-8')) END AS boxes_csv",
+          "CASE WHEN is_mp4 THEN s3 END AS mdat_declared",
+          "CASE WHEN is_mp4 THEN s1 + s2 + s3 END AS declared_total",
+          "n_bytes")
+        .orderBy(asc_nulls_last("doc_id"))
     })
   )
 
@@ -344,6 +407,60 @@ object Multimodal {
         |  bits_per_sample, data_bytes,
         |  data_bytes * 1000 // byte_rate AS duration_ms
         |FROM fields ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    "q_multimodal_mp4" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CAST(20 + (doc_id % 3) * 4 AS INT) AS fsz,
+        |    CAST(8 + (n_chars % 16) AS INT) AS zsz,
+        |    CAST(n_chars + 8 AS INT) AS msz,
+        |    CAST(n_chars % 16 AS INT) AS zpad,
+        |    hex(encode(substring(text, 1, 8))) AS th
+        |  FROM documents
+        |), built AS (
+        |  SELECT doc_id, from_hex(
+        |    CASE WHEN doc_id % 6 = 0 THEN th ELSE
+        |      lpad(hex(fsz), 8, '0') || '66747970' || '69736F6D'
+        |        || '00000200'
+        |      || substring('6D70343169736F3269736F6D', 1,
+        |           (doc_id % 3) * 8 + 8)
+        |      || lpad(hex(zsz), 8, '0') || '66726565' || repeat('00', zpad)
+        |      || lpad(hex(msz), 8, '0') || '6D646174'
+        |    END) AS payload
+        |  FROM src
+        |), p0 AS (
+        |  SELECT doc_id, hex(payload) AS h,
+        |    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+        |    octet_length(payload) >= 16
+        |      AND substring(hex(payload), 9, 8) = '66747970' AS is_mp4
+        |  FROM built
+        |), p1 AS (
+        |  SELECT *, CASE WHEN is_mp4 THEN
+        |    CAST('0x' || substring(h, 1, 8) AS BIGINT) END AS s1
+        |  FROM p0
+        |), p2 AS (
+        |  SELECT *, CASE WHEN is_mp4 THEN
+        |    CAST('0x' || substring(h, CAST(2 * s1 + 1 AS INT), 8)
+        |      AS BIGINT) END AS s2
+        |  FROM p1
+        |), p3 AS (
+        |  SELECT *, CASE WHEN is_mp4 THEN
+        |    CAST('0x' || substring(h, CAST(2 * (s1 + s2) + 1 AS INT), 8)
+        |      AS BIGINT) END AS s3
+        |  FROM p2
+        |)
+        |SELECT doc_id, is_mp4,
+        |  CASE WHEN is_mp4 THEN
+        |    decode(from_hex(substring(h, 17, 8))) END AS major_brand,
+        |  CASE WHEN is_mp4 THEN concat_ws(',',
+        |    decode(from_hex(substring(h, 9, 8))),
+        |    decode(from_hex(substring(h, CAST(2 * s1 + 9 AS INT), 8))),
+        |    decode(from_hex(substring(h, CAST(2 * (s1 + s2) + 9 AS INT),
+        |      8)))) END AS boxes_csv,
+        |  CASE WHEN is_mp4 THEN s3 END AS mdat_declared,
+        |  CASE WHEN is_mp4 THEN s1 + s2 + s3 END AS declared_total,
+        |  n_bytes
+        |FROM p3 ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     "q_multimodal_framesample" ->
       """WITH built AS (

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Nonparametric two-sample tests (the distribution-shift monitors of a
@@ -158,6 +159,50 @@ object StatsTests {
     // integer — an exact binary operation on both engines.
     "q_stats_mwu" -> ((s, d) => mwuFrom(points(s, d))),
 
+    // One-way ANOVA (click vs view vs purchase `value`): the k-group
+    // generalization of q_stats_ttest, computed in ONE pass of
+    // conditional aggregates — per-group exact-decimal Σx and exact
+    // DECIMAL-product Σx² (the ttest precedent: both engines recover
+    // the identical doubles), then SSB/SSW/F assembled from those nine
+    // scalars with IDENTICAL left-associated expression text on both
+    // engines. No ordered double summation anywhere: summing the
+    // per-group doubles via a second aggregate would be merge-order
+    // dependent; the single wide row keeps every addition an explicit
+    // a+b+c both engines evaluate the same way. Scale: one partial-agg
+    // scan, 9 scalars out — the cheapest possible distributed shape.
+    "q_stats_anova" -> ((s, d) => {
+      def cnt(ty: String): Column =
+        count(when(col("event_type") === ty, lit(1)))
+      def sx(ty: String): Column =
+        sum(when(col("event_type") === ty,
+          col("value").cast(DecimalType(18, 4)))).cast("double")
+      def sq(ty: String): Column =
+        sum(when(col("event_type") === ty,
+          col("value").cast(DecimalType(18, 4))
+            * col("value").cast(DecimalType(19, 4)))).cast("double")
+      val ssb = "s1*s1/n1 + s2*s2/n2 + s3*s3/n3 " +
+        "- (s1+s2+s3)*(s1+s2+s3)/(n1+n2+n3)"
+      val ssw = "q1 + q2 + q3 - (s1*s1/n1 + s2*s2/n2 + s3*s3/n3)"
+      t(s, d, "events")
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .agg(cnt("click").as("n1"), sx("click").as("s1"),
+          sq("click").as("q1"),
+          cnt("view").as("n2"), sx("view").as("s2"), sq("view").as("q2"),
+          cnt("purchase").as("n3"), sx("purchase").as("s3"),
+          sq("purchase").as("q3"))
+        .selectExpr(
+          "CAST(3 AS BIGINT) AS k",
+          "n1 + n2 + n3 AS n",
+          s"$ssb AS ss_between",
+          s"$ssw AS ss_within",
+          // degenerate guards pinned to NULL identically on both
+          // engines (the q_stats_ttest discipline): an empty group or a
+          // zero-variance denominator must not hit x/0
+          "CASE WHEN n1 >= 1 AND n2 >= 1 AND n3 >= 1 " +
+            s"AND n1+n2+n3 > 3 AND ($ssw) > 0 THEN " +
+            s"(($ssb) / 2) / (($ssw) / (n1+n2+n3-3)) END AS f_stat")
+    }),
+
     // Exact weighted median of extendedprice weighted by quantity, per
     // returnflag — the "half the shipped units cost less than this"
     // statistic (and the shape of weighted quantile sampling in corpus
@@ -191,7 +236,40 @@ object StatsTests {
       |  FROM events WHERE event_type IN ('click', 'view')
       |  GROUP BY value""".stripMargin
 
+  private val anovaSsb = "s1*s1/n1 + s2*s2/n2 + s3*s3/n3 " +
+    "- (s1+s2+s3)*(s1+s2+s3)/(n1+n2+n3)"
+  private val anovaSsw = "q1 + q2 + q3 - (s1*s1/n1 + s2*s2/n2 + s3*s3/n3)"
+  private def anovaSx(ty: String) =
+    s"""CAST(CAST(SUM(CASE WHEN event_type = '$ty'
+       |    THEN CAST(value AS DECIMAL(18,4)) END)
+       |    AS VARCHAR) AS DOUBLE)""".stripMargin
+  private def anovaSq(ty: String) =
+    s"""CAST(CAST(SUM(CASE WHEN event_type = '$ty'
+       |    THEN CAST(value AS DECIMAL(18,4))
+       |      * CAST(value AS DECIMAL(19,4)) END)
+       |    AS VARCHAR) AS DOUBLE)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_stats_anova" ->
+      s"""WITH p AS (
+         |  SELECT
+         |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n1,
+         |    ${anovaSx("click")} AS s1, ${anovaSq("click")} AS q1,
+         |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n2,
+         |    ${anovaSx("view")} AS s2, ${anovaSq("view")} AS q2,
+         |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n3,
+         |    ${anovaSx("purchase")} AS s3, ${anovaSq("purchase")} AS q3
+         |  FROM events
+         |  WHERE event_type IN ('click', 'view', 'purchase'))
+         |SELECT CAST(3 AS BIGINT) AS k,
+         |  n1 + n2 + n3 AS n,
+         |  $anovaSsb AS ss_between,
+         |  $anovaSsw AS ss_within,
+         |  CASE WHEN n1 >= 1 AND n2 >= 1 AND n3 >= 1
+         |    AND n1+n2+n3 > 3 AND ($anovaSsw) > 0 THEN
+         |    (($anovaSsb) / 2) / (($anovaSsw) / (n1+n2+n3-3)) END AS f_stat
+         |FROM p""".stripMargin,
+
     "q_stats_ks" ->
       s"""WITH pts AS (
          |  $ptsSql
