@@ -506,6 +506,47 @@ object Corpus {
         .orderBy(asc_nulls_last("label"))
     }),
 
+    // The END-TO-END curation pipeline — the composition a real
+    // training-data run executes nightly, as ONE declared query whose
+    // stages are the individually-proven operators chained:
+    //   1. quality gate   — Quality.gopherMetrics (the q_quality_gopher
+    //      frame, shared by construction), keep `passes`;
+    //   2. exact dedup    — keep MIN doc_id per md5(text) (q_text_dedup
+    //      policy): one slim keyed aggregate + a key semi-join;
+    //   3. near-dup drop  — TextDedup.nearDuplicates over the KEPT
+    //      corpus (not the raw one: stages compose), greedy policy =
+    //      drop every non-minimal pair member (any doc appearing as
+    //      id_b), a LEFT ANTI against the distinct loser sliver. The
+    //      simple-greedy vs cluster-survivor distinction is deliberate:
+    //      q_dedup_survivor demonstrates the cluster-quality policy,
+    //      this pipeline the cheap streaming-friendly one;
+    //   4. source quota   — first 20 docs per source by doc_id (the
+    //      q_source_quota policy) via a per-source partitioned window;
+    //   5. report         — per-lang docs/chars/sources.
+    // Scale: every stage is a keyed shuffle of slivers or a narrow map;
+    // the only window is source-partitioned; the LSH stage is the
+    // bucketed pipeline, never all-pairs.
+    "q_corpus_curate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val q = Quality.gopherMetrics(docs)
+        .filter(col("passes")).select("doc_id")
+      val qd = docs.join(q, "doc_id")
+      val ex = qd.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val kept = qd.join(ex, "doc_id")
+      val losers = TextDedup.nearDuplicates(kept)
+        .select(col("id_b").as("doc_id")).distinct()
+      val surv = kept.join(losers, Seq("doc_id"), "left_anti")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      surv.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct("source").as("n_sources"))
+        .orderBy(asc_nulls_last("lang"))
+    }),
+
     // Boilerplate removal: documents wrapped in deterministic HTML (tags,
     // entities, chrome) and cleaned back — tag strip, entity unescape,
     // whitespace collapse — with the SAME regexes on both engines (the
@@ -843,8 +884,44 @@ object Corpus {
         |GROUP BY label
         |ORDER BY label ASC NULLS LAST""".stripMargin,
 
+    // Stage mirrors composed as one WITH chain; the LSH pair subquery
+    // embeds as a nested WITH reading the KEPT corpus (the
+    // clustersCtes precedent), so batch-vs-oracle parity covers the
+    // COMPOSITION, not just the stages.
+    "q_corpus_curate" ->
+      s"""WITH q AS (
+         |${Quality.gopherPassSubquery.linesIterator
+              .map("  " + _).mkString("\n")}
+         |), qd AS (
+         |  SELECT d.* FROM documents d JOIN q ON d.doc_id = q.doc_id
+         |), ex AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM qd GROUP BY md5(text)
+         |), kept AS (
+         |  SELECT qd.* FROM qd JOIN ex ON qd.doc_id = ex.doc_id
+         |), pairs AS (
+         |${TextOps.dedupPairsSubquery
+              .replace("FROM documents WHERE", "FROM kept WHERE")
+              .linesIterator.map("  " + _).mkString("\n")}
+         |), losers AS (
+         |  SELECT DISTINCT id_b FROM pairs
+         |), surv AS (
+         |  SELECT k.* FROM kept k
+         |  LEFT JOIN losers l ON k.doc_id = l.id_b
+         |  WHERE l.id_b IS NULL
+         |), quota AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY doc_id) AS rn
+         |  FROM surv
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+         |FROM quota WHERE rn <= 20
+         |GROUP BY lang
+         |ORDER BY lang ASC NULLS LAST""".stripMargin,
+
     "q_text_clean" ->
-      """WITH h AS (
+"""WITH h AS (
         |  SELECT doc_id,
         |    '<div class="doc" id="' || CAST(doc_id AS VARCHAR) ||
         |    '"><h1>Doc &amp; friends</h1><p>' || text ||

@@ -29,30 +29,56 @@ object Quality {
   private val stopSql = stopList.map(w => s"'$w'").mkString(", ")
   private val stopIn = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** The Gopher-style gate as a reusable frame (q_quality_gopher and
+    * the q_corpus_curate pipeline's stage 1 share it by construction):
+    * per-doc rule metrics plus the composite `passes` flag. Pure
+    * narrow map. */
+  def gopherMetrics(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("mean_tok_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double")
+          / col("n_tokens"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(toks, t -> t IN ($stopSql)))").cast("double")
+          / col("n_tokens"))
+      .withColumn("max_tok_len",
+        expr("array_max(transform(toks, t -> length(t)))").cast("long"))
+      .withColumn("passes",
+        col("n_tokens").between(10, 100000) &&
+          col("mean_tok_len").between(2.0, 10.0) &&
+          (col("stop_ratio") >= 0.02) && (col("max_tok_len") <= 20))
+      .select("doc_id", "n_tokens", "mean_tok_len", "stop_ratio",
+        "max_tok_len", "passes")
+
+  /** DuckDB mirror of `gopherMetrics(...).filter(passes)` as a
+    * parenthesizable doc_id subquery (the q_corpus_curate oracle's
+    * stage 1). */
+  def gopherPassSubquery: String =
+    s"""SELECT doc_id FROM (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks)
+       |      AS mean_tok_len,
+       |    CAST(len(list_filter(toks, t -> t IN $stopIn)) AS DOUBLE)
+       |      / len(toks) AS stop_ratio,
+       |    CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT)
+       |      AS max_tok_len
+       |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+       |        FROM documents WHERE text IS NOT NULL)
+       |) WHERE (n_tokens BETWEEN 10 AND 100000)
+       |  AND (mean_tok_len BETWEEN 2.0 AND 10.0)
+       |  AND stop_ratio >= 0.02 AND max_tok_len <= 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gopher-style multi-rule gate: token-count bounds, mean token
     // length bounds, minimum stopword ratio, maximum token length. Each
     // rule surfaces as a column so a pipeline can report WHY a document
     // was dropped, plus the composite pass flag.
     "q_quality_gopher" -> ((s, d) =>
-      t(s, d, "documents")
-        .filter(col("text").isNotNull)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("mean_tok_len",
-          (col("n_chars") - (col("n_tokens") - 1)).cast("double")
-            / col("n_tokens"))
-        .withColumn("stop_ratio",
-          expr(s"size(filter(toks, t -> t IN ($stopSql)))").cast("double")
-            / col("n_tokens"))
-        .withColumn("max_tok_len",
-          expr("array_max(transform(toks, t -> length(t)))").cast("long"))
-        .withColumn("passes",
-          col("n_tokens").between(10, 100000) &&
-            col("mean_tok_len").between(2.0, 10.0) &&
-            (col("stop_ratio") >= 0.02) && (col("max_tok_len") <= 20))
-        .select("doc_id", "n_tokens", "mean_tok_len", "stop_ratio",
-          "max_tok_len", "passes")
+      gopherMetrics(t(s, d, "documents"))
         .orderBy(asc_nulls_last("doc_id"))),
 
     // Raw tf-idf (no log — rational arithmetic only): per-document top-3
