@@ -166,7 +166,8 @@ object Bench {
     "q_multimodal_mp4" -> ";", "q_ann_ivf_nprobe" -> "]",
     "q_sql_q3" -> "`", "q_sql_q5" -> "{", "q_funnel_time" -> "|",
     "q_ann_bucket_stats" -> "}", "q_seasonal_profile" -> "~",
-    "q_layout_zorder" -> "/", "q_corpus_curate" -> "c9")
+    "q_layout_zorder" -> "/", "q_corpus_curate" -> "c9",
+    "q_source_overlap" -> "s9")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -380,6 +380,41 @@ object Corpus {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // Inter-source contamination matrix — "which corpus sources share
+    // content?" — the source-grain sibling of q_decontaminate: for
+    // every source pair, the count of distinct 8-gram hashes both
+    // contain, plus the overlap coefficient |A∩B| / min(|A|,|B|) (one
+    // IEEE division of exact counts). Scale: the (source, gram)
+    // frame is deduped BEFORE the self-join, the join is keyed on the
+    // gram hash, and in-gram fan-out is bounded by the SOURCE DOMAIN
+    // (≤ 20 sources → ≤ 190 pairs per gram — the in-bucket LSH
+    // argument, never corpus-quadratic); totals are a 20-row
+    // broadcast.
+    "q_source_overlap" -> ((s, d) => {
+      val g = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= GramTokens)
+        .select(col("source"), explode(expr(
+          s"array_distinct(transform(sequence(0, size(toks) - $GramTokens), " +
+            s"i -> md5(array_join(slice(toks, i + 1, $GramTokens), ' '))))"))
+          .as("gm"))
+        .distinct()
+      val tot = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      val a = g.select(col("gm"), col("source").as("src_a"))
+      val b = g.select(col("gm"), col("source").as("src_b"))
+      a.join(b, "gm").filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(tot.select(col("source").as("src_a"),
+          col("n_grams").as("ta"))), "src_a")
+        .join(broadcast(tot.select(col("source").as("src_b"),
+          col("n_grams").as("tb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          (col("n_shared").cast("double") / least(col("ta"), col("tb")))
+            .as("overlap_coef"))
+        .orderBy(asc_nulls_last("src_a"), asc_nulls_last("src_b"))
+    }),
+
     // C4-style repeated-span removal: cut each document into consecutive
     // 10-token spans; any span text occurring MORE THAN ONCE in the whole
     // corpus (across or within documents) is dropped from every document;
@@ -775,6 +810,35 @@ object Corpus {
          |  coalesce(h.n_hits, 0) > 0 AS contaminated
          |FROM tr LEFT JOIN h ON tr.doc_id = h.doc_id
          |ORDER BY tr.doc_id ASC NULLS LAST""".stripMargin,
+
+    "q_source_overlap" ->
+      s"""WITH t AS (
+         |  SELECT source, string_split(text, ' ') AS toks
+         |  FROM documents WHERE text IS NOT NULL
+         |), sq AS (
+         |  SELECT source, toks,
+         |    unnest(generate_series(0, len(toks) - $GramTokens)) AS i
+         |  FROM t WHERE len(toks) >= $GramTokens
+         |), g AS (
+         |  SELECT DISTINCT source, md5(array_to_string(
+         |    list_slice(toks, i + 1, i + $GramTokens), ' ')) AS gm
+         |  FROM sq
+         |), tot AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+         |  FROM g GROUP BY 1
+         |), c AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM g a JOIN g b ON a.gm = b.gm AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT src_a, src_b, n_shared,
+         |  CAST(n_shared AS DOUBLE) / least(ta.n_grams, tb.n_grams)
+         |    AS overlap_coef
+         |FROM c
+         |JOIN tot ta ON src_a = ta.source
+         |JOIN tot tb ON src_b = tb.source
+         |ORDER BY src_a ASC NULLS LAST, src_b ASC NULLS LAST""".stripMargin,
 
     "q_dedup_spans" ->
       s"""WITH base AS (
