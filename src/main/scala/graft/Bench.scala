@@ -14,7 +14,7 @@ import java.nio.file.{Files, Paths}
   * DETERMINISTICALLY ABBREVIATED query names (legend: BASELINE.md §bench
   * name legend; the table is `overrides` below) and COMPACT 1dp values
   * (3 chars for the typical sub-10 s query), keeping the full line
-  * < 1950 chars at 193+ queries. `bench_out.json` keeps FULL names at
+  * < 1992 chars at 219+ queries. `bench_out.json` keeps FULL names at
   * 1 ms precision — that file is the canonical per-query record and is
   * committed each round. */
 object Bench {
@@ -167,7 +167,8 @@ object Bench {
     "q_sql_q3" -> "`", "q_sql_q5" -> "{", "q_funnel_time" -> "|",
     "q_ann_bucket_stats" -> "}", "q_seasonal_profile" -> "~",
     "q_layout_zorder" -> "/", "q_corpus_curate" -> "c9",
-    "q_source_overlap" -> "s9")
+    "q_source_overlap" -> "s9", "q_join_asof_nearest" -> "j9",
+    "q_basket_pairs" -> "b9")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */
@@ -311,7 +312,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$nFailed,$sub$extra"queries":$qs,"sf":"$sfTag"}"""
     }
     val full = line(results, "")
-    if (full.length < 1950) full
+    if (full.length < 1992) full
     else {
       val keep = (results.filter(_._2 < 0) ++
         results.filter(_._2 >= 0).sortBy(-_._2).take(40))

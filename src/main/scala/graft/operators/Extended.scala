@@ -469,6 +469,41 @@ object Extended {
           expr("right(p_name, 3)").as("name_r3"))
         .orderBy(asc_nulls_last("p_partkey"))),
 
+    // Market-basket co-occurrence with lift — the association-rules
+    // primitive ("parts bought together") on the order fact. The pair
+    // expansion is an in-ORDER self-join: keyed on l_orderkey, fan-out
+    // bounded by parts-per-order (≈ 4–7 on TPC-H-shaped data — the
+    // in-bucket LSH argument, never corpus-quadratic). Support counts
+    // are exact integers; lift = (c_ab · n_orders) / (c_a · c_b) is ONE
+    // IEEE division of exact BIGINT products (c_ab·n ≤ ~2e10,
+    // c_a·c_b ≤ ~1e10 — far inside the 2^53 exact-integer window).
+    // Per-part counts broadcast back; c_ab >= 2 prunes the huge
+    // singleton tail BEFORE the ranking; TakeOrdered caps the output.
+    "q_basket_pairs" -> ((s, d) => {
+      val items = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val n = broadcast(items.select(countDistinct("l_orderkey")
+        .as("n_orders")).withColumn("_one", lit(1)))
+      val ca = items.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 2)
+        .join(broadcast(ca.select(col("l_partkey").as("pa"),
+          col("c").as("c_a"))), "pa")
+        .join(broadcast(ca.select(col("l_partkey").as("pb"),
+          col("c").as("c_b"))), "pb")
+        .withColumn("_one", lit(1)).join(n, "_one")
+        .select(col("pa"), col("pb"), col("c_ab"), col("c_a"),
+          col("c_b"),
+          ((col("c_ab") * col("n_orders")).cast("double")
+            / (col("c_a") * col("c_b"))).as("lift"))
+        .orderBy(desc_nulls_last("lift"), asc_nulls_last("pa"),
+          asc_nulls_last("pb"))
+        .limit(100)
+    }),
+
     "q_conditional_agg" -> ((s, d) =>
       t(s, d, "events")
         .groupBy("event_type")
@@ -765,6 +800,33 @@ object Extended {
         |  left(p_name, 4) AS name_l4,
         |  right(p_name, 3) AS name_r3
         |FROM part ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+
+    "q_basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), n AS (
+        |  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |  FROM items
+        |), ca AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM items GROUP BY 1
+        |), p AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(COUNT(*) AS BIGINT) AS c_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT pa, pb, c_ab, ca.c AS c_a, cb.c AS c_b,
+        |  CAST(c_ab * n_orders AS DOUBLE) / (ca.c * cb.c) AS lift
+        |FROM p
+        |JOIN ca ON pa = ca.l_partkey
+        |JOIN ca cb ON pb = cb.l_partkey
+        |CROSS JOIN n
+        |WHERE c_ab >= 2
+        |ORDER BY lift DESC NULLS LAST, pa ASC NULLS LAST,
+        |  pb ASC NULLS LAST
+        |LIMIT 100""".stripMargin,
 
     "q_conditional_agg" ->
       """SELECT event_type,

