@@ -221,6 +221,57 @@ object StatefulTwins {
       }
   }
 
+  case class SnapEv(user_id: Long, event_id: Long, tsu: Long,
+      value: Double)
+
+  case class SnapVersion(tsu: Long, event_id: Long, value: Double)
+
+  case class SnapState(before: Option[SnapVersion],
+      after: Option[SnapVersion])
+
+  case class SnapDiff(user_id: Long, v_before: Option[Double],
+      v_after: Option[Double], change: String)
+
+  /** Streaming twin of q_snapshot_diff: the per-key (state-at-cutoff,
+    * state-at-head) pair carried live — `before` only advances for
+    * events stamped before the cutoff, `after` for every event, both by
+    * the SAME lexicographic (tsu, event_id) argmax the batch struct-max
+    * computes, so arrival order across micro-batches is irrelevant
+    * (argmax-merge is associative and idempotent — a replayed event
+    * cannot move either version). Update mode: the LAST emission per
+    * key equals the batch row. State is two (tsu, eid, value) triples
+    * per key. */
+  def snapshotDiffStream(ev: Dataset[SnapEv],
+      cutUs: Long): Dataset[SnapDiff] = {
+    import ev.sparkSession.implicits._
+    def better(a: Option[SnapVersion], b: SnapVersion): Option[SnapVersion] =
+      a match {
+        case Some(x) if x.tsu > b.tsu
+            || (x.tsu == b.tsu && x.event_id >= b.event_id) => a
+        case _ => Some(b)
+      }
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SnapState, SnapDiff](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[SnapEv], state: GroupState[SnapState]) =>
+          var st = state.getOption.getOrElse(SnapState(None, None))
+          it.foreach { e =>
+            val v = SnapVersion(e.tsu, e.event_id, e.value)
+            st = SnapState(
+              if (e.tsu < cutUs) better(st.before, v) else st.before,
+              better(st.after, v))
+          }
+          state.update(st)
+          val change =
+            if (st.before.isEmpty) "added"
+            else if (st.before.map(_.value) == st.after.map(_.value))
+              "unchanged"
+            else "changed"
+          Iterator.single(SnapDiff(uid, st.before.map(_.value),
+            st.after.map(_.value), change))
+      }
+  }
+
   case class StreakRow(user_id: Long, longest_streak: Long,
       n_active_days: Long, n_streaks: Long)
 

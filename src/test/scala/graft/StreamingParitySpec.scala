@@ -798,6 +798,54 @@ class StreamingParitySpec extends SparkSpec {
     assert(stream.values.exists(_._3.isDefined))
   }
 
+  test("snapshot diff: streamed (cutoff, head) argmax state equals the " +
+      "batch struct-max classification, replay included") {
+    import graft.operators.EventAnalytics
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventAnalytics.queries("q_snapshot_diff")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getString(3))).toMap
+    // derive the cutoff through the SAME session-UTC cast the batch
+    // query uses (Timestamp.valueOf would read the JVM default zone)
+    val cutUs = spark.sql(
+      "SELECT unix_micros(CAST('2024-01-15' AS TIMESTAMP))")
+      .first().getLong(0)
+    val obs = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("value"))
+      .orderBy("tsu", "event_id").collect()
+      .map(r => StatefulTwins.SnapEv(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    val mem = MemoryStream[StatefulTwins.SnapEv]
+    val name = s"snap_${System.nanoTime()}"
+    val q = StatefulTwins.snapshotDiffStream(mem.toDS(), cutUs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .start()
+    val third = obs.length / 3
+    Seq(obs.take(third), obs.slice(third, 2 * third), obs.drop(2 * third))
+      .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    // replay the middle chunk: argmax-merge idempotence must hold
+    mem.addData(obs.slice(third, 2 * third).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) =>
+        val last = rs.last
+        u -> (
+          if (last.isNullAt(1)) None else Some(last.getDouble(1)),
+          if (last.isNullAt(2)) None else Some(last.getDouble(2)),
+          last.getString(3))
+      }.toMap
+    assert(stream == batch)
+    // non-vacuous: the fixture spans the cutoff, so changed rows exist
+    assert(stream.values.exists(_._3 == "changed"))
+  }
+
   test("transformWithState sessionize matches the FMGWS path and the " +
       "batch fold (Spark 4 arbitrary state, RocksDB provider)") {
     implicit val sqlCtx = spark.sqlContext
