@@ -279,6 +279,77 @@ object VectorOps {
       .drop("_one", "cbs")
   }
 
+  /** Per-sub-space residual distance table expression: the [[pqEncoded]]
+    * `dists` fold applied to a residual vector `rv` against the residual
+    * codebook `cbs`. */
+  private def residualDistsExpr: String =
+    s"transform(sequence(0, ${PqM - 1}), m -> " +
+      "transform(cbs, c -> struct(" +
+      s"aggregate(zip_with(slice(rv, m * $PqSubDim + 1, $PqSubDim), " +
+      s"slice(c.cv, m * $PqSubDim + 1, $PqSubDim), " +
+      "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), " +
+      "(a, v) -> a + v) AS dist, c.cid AS cid)))"
+
+  /** Shared residual-quantization intermediates (q_ann_pq_residual,
+    * q_ann_ivfpq_residual): the scaled-int encodings, the per-cluster
+    * MEAN reference vectors (one deterministic floor(sum/n + 0.5) per
+    * element — see q_ann_pq_residual's doc for why the reference must
+    * be the mean, not the raw seed), and the 1-row residual codebook
+    * broadcast. */
+  private def residualParts(s: SparkSession, d: String):
+      (DataFrame, DataFrame, DataFrame) = {
+    val e = t(s, d, "embeddings")
+    val ints = e.filter(col("embedding").isNotNull)
+      .withColumn("iv", expr(
+        "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
+          "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
+      .select("vec_id", "iv")
+    val cl = centroidAssign(s, e, e).select("vec_id", "cluster")
+    val meanc = broadcast(ints.join(cl, "vec_id")
+      .select(col("cluster"), posexplode(col("iv")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(expr("CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5D) " +
+        "AS BIGINT)").as("mv"))
+      .groupBy("cluster")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, mv))), " +
+        "s -> s.mv)").as("civ")))
+    val res = ints
+      .join(cl, "vec_id")
+      .join(meanc, "cluster")
+      .withColumn("rv", expr("zip_with(iv, civ, (x, y) -> x - y)"))
+      .select("vec_id", "rv")
+    val rcb = broadcast(res.filter(col("vec_id") < PqCodebook)
+      .groupBy()
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").cast("long").as("cid"), col("rv").as("cv"))))
+        .as("cbs"))
+      .withColumn("_one", lit(1)))
+    (ints, meanc, rcb)
+  }
+
+  /** Per-vector residual PQ assignment: `rbest` = the per-sub-space
+    * (dist ASC, cid ASC) argmin struct over the residual codebook. */
+  private def residualEncoded(s: SparkSession, d: String): DataFrame = {
+    val (ints, meanc, rcb) = residualParts(s, d)
+    residualEncodedFrom(s, d, ints, meanc, rcb)
+  }
+
+  /** [[residualEncoded]] from already-built parts — lets
+    * q_ann_ivfpq_residual share ONE parts subtree between its code and
+    * table sides instead of re-deriving the mean aggregation. */
+  private def residualEncodedFrom(s: SparkSession, d: String,
+      ints: DataFrame, meanc: DataFrame, rcb: DataFrame): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val cl = centroidAssign(s, e, e).select("vec_id", "cluster")
+    ints.join(cl, "vec_id")
+      .join(meanc, "cluster")
+      .withColumn("rv", expr("zip_with(iv, civ, (x, y) -> x - y)"))
+      .withColumn("_one", lit(1)).join(rcb, "_one")
+      .withColumn("dists", expr(residualDistsExpr))
+      .withColumn("rbest", expr("transform(dists, ds -> array_min(ds))"))
+      .select("vec_id", "rbest")
+  }
+
   /** IVF-PQ search with asymmetric distance computation (ADC) — the
     * production ANN read path (Jégou et al., PAMI 2011) composed from
     * the two proven halves: the probe searches its 2 nearest IVF
@@ -867,43 +938,9 @@ object VectorOps {
     // sums keep ≥ 10× headroom (per-vector error ≈ 1e14; 2k vectors
     // ≈ 1e17 of 9.2e18).
     "q_ann_pq_residual" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val ints = e.filter(col("embedding").isNotNull)
-        .withColumn("iv", expr(
-          "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
-            "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
-        .select("vec_id", "iv")
-      val cl = centroidAssign(s, e, e).select("vec_id", "cluster")
-      val meanc = broadcast(ints.join(cl, "vec_id")
-        .select(col("cluster"), posexplode(col("iv")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos")
-        .agg(expr("CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5D) " +
-          "AS BIGINT)").as("mv"))
-        .groupBy("cluster")
-        .agg(expr("transform(sort_array(collect_list(struct(pos, mv))), " +
-          "s -> s.mv)").as("civ")))
-      val res = ints
-        .join(cl, "vec_id")
-        .join(meanc, "cluster")
-        .withColumn("rv", expr("zip_with(iv, civ, (x, y) -> x - y)"))
-        .select("vec_id", "rv")
-      val rcb = broadcast(res.filter(col("vec_id") < PqCodebook)
-        .groupBy()
-        .agg(sort_array(collect_list(struct(
-          col("vec_id").cast("long").as("cid"), col("rv").as("cv"))))
-          .as("cbs"))
-        .withColumn("_one", lit(1)))
-      val rDists =
-        s"transform(sequence(0, ${PqM - 1}), m -> " +
-          "transform(cbs, c -> struct(" +
-          s"aggregate(zip_with(slice(rv, m * $PqSubDim + 1, $PqSubDim), " +
-          s"slice(c.cv, m * $PqSubDim + 1, $PqSubDim), " +
-          "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), " +
-          "(a, v) -> a + v) AS dist, c.cid AS cid)))"
-      val rerr = res.withColumn("_one", lit(1)).join(rcb, "_one")
-        .withColumn("dists", expr(rDists))
+      val rerr = residualEncoded(s, d)
         .withColumn("rqerr", expr(
-          "aggregate(transform(dists, ds -> array_min(ds).dist), " +
+          "aggregate(transform(rbest, b -> b.dist), " +
             "CAST(0 AS BIGINT), (a, v) -> a + v)"))
         .select("vec_id", "rqerr")
       val perr = pqEncoded(s, d)
@@ -916,6 +953,53 @@ object VectorOps {
           sum("rqerr").as("residual_qerr"),
           sum(when(col("rqerr") < col("pqerr"), 1L).otherwise(0L))
             .as("n_improved"))
+    }),
+
+    // Residual IVF-PQ search with per-cluster ADC — the full production
+    // read path (FAISS IndexIVFPQ): the coarse stage probes the 2
+    // nearest cells, the probe's RESIDUAL against EACH probed cell's
+    // mean gets its own 32-entry distance table (nprobe × PqM ×
+    // PqCodebook = 64 rows broadcast), and candidates are ranked by the
+    // table sum over their residual code words — no candidate's full
+    // vector is ever read. All integer arithmetic on the shared
+    // residual grid, so the ranking is engine-identical. Scale: codes
+    // fan out slim (vec, cluster, m, cid) rows against the tiny table
+    // broadcast, then one vec_id-keyed partial-agg shuffle and a
+    // bounded top-10 — identical economics to q_ann_ivfpq with the
+    // residual encoding's tighter quantization.
+    "q_ann_ivfpq_residual" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val (ints, meanc, rcb) = residualParts(s, d)
+      val cl = centroidAssign(s, e, e).select("vec_id", "cluster")
+      val probeClusters = broadcast(
+        centroidAssign(s, e, e.filter(col("vec_id") === 0), k = 2)
+          .select(col("cluster").as("probe_cluster")))
+      val codes = residualEncodedFrom(s, d, ints, meanc, rcb)
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), posexplode(expr(
+          "transform(rbest, b -> b.cid)")).as(Seq("m", "cid")))
+      val tbl = broadcast(meanc
+        .join(probeClusters, col("cluster") === col("probe_cluster"))
+        .crossJoin(ints.filter(col("vec_id") === 0)
+          .select(col("iv").as("qiv")))
+        .withColumn("rv", expr("zip_with(qiv, civ, (x, y) -> x - y)"))
+        .withColumn("_one", lit(1)).join(rcb, "_one")
+        .withColumn("dists", expr(residualDistsExpr))
+        .select(col("cluster").as("t_cluster"),
+          posexplode(col("dists")).as(Seq("m", "ds")))
+        .select(col("t_cluster"), col("m"), explode(col("ds")).as("e"))
+        .select(col("t_cluster"), col("m"), col("e.cid").as("cid"),
+          col("e.dist").as("tdist")))
+      cl.filter(col("vec_id") =!= 0)
+        .join(probeClusters, col("cluster") === col("probe_cluster"))
+        .select("vec_id", "cluster")
+        .join(codes, "vec_id")
+        .join(tbl, col("cluster") === col("t_cluster")
+          && codes("m") === tbl("m") && codes("cid") === tbl("cid"))
+        .groupBy("vec_id")
+        .agg(sum("tdist").as("adc"))
+        .orderBy(asc_nulls_last("adc"), asc_nulls_last("vec_id"))
+        .limit(10)
     }),
 
     // IVF-PQ search with asymmetric distance computation — the shared
@@ -1051,6 +1135,73 @@ object VectorOps {
        |), pc AS (
        |  SELECT ccid AS probe_cluster FROM a WHERE vec_id = 0
        |  QUALIFY row_number() OVER (ORDER BY cdot DESC, ccid ASC) <= 2
+       |)""".stripMargin
+
+  /** Shared residual-quantization oracle CTE chain (q_ann_pq_residual,
+    * q_ann_ivfpq_residual): scaled-int encodings (iv/e), plain-PQ
+    * distances with dist kept through the argmin (dd/pbest/perr), the
+    * exact-decimal cluster assignment (cents/aa/cl), per-cluster MEAN
+    * encodings (mc), residual elements (rv), the residual codebook
+    * (rcb) and its per-vector distances/argmin/error (rd/rbest/rerr —
+    * rbest keeps cid for the ADC code join). */
+  private def residualOracleCtes: String =
+    s"""WITH iv AS (
+       |  SELECT vec_id, list_transform(embedding, x ->
+       |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) * 10000000
+       |      AS BIGINT)) AS iv
+       |  FROM embeddings WHERE embedding IS NOT NULL
+       |), e AS (
+       |  SELECT vec_id, iv, unnest(generate_series(1, $EmbDim)) AS i
+       |  FROM iv
+       |), dd AS (
+       |  SELECT v.vec_id, (i - 1) // $PqSubDim AS m, c.vec_id AS cid,
+       |    CAST(SUM((v.iv[i] - c.iv[i]) * (v.iv[i] - c.iv[i]))
+       |      AS BIGINT) AS dist
+       |  FROM e v, (SELECT vec_id, iv FROM iv WHERE vec_id < $PqCodebook) c
+       |  GROUP BY v.vec_id, (i - 1) // $PqSubDim, c.vec_id
+       |), pbest AS (
+       |  SELECT vec_id, m, dist FROM dd
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+       |    ORDER BY dist ASC, cid ASC) = 1
+       |), perr AS (
+       |  SELECT vec_id, CAST(SUM(dist) AS BIGINT) AS pqerr
+       |  FROM pbest GROUP BY vec_id
+       |), cents AS (
+       |  SELECT vec_id AS ccid, embedding AS cemb
+       |  FROM embeddings WHERE vec_id < $IvfCentroids
+       |), aa AS (
+       |  SELECT e2.vec_id, c.ccid,
+       |    ${sqlDot("e2.embedding", "c.cemb")} AS cdot
+       |  FROM embeddings e2, cents c
+       |), cl AS (
+       |  SELECT vec_id, ccid AS cluster FROM aa
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cdot DESC, ccid ASC) = 1
+       |), mc AS (
+       |  SELECT cl.cluster, t.i,
+       |    CAST(floor(CAST(SUM(t.iv[t.i]) AS DOUBLE) / COUNT(*) + 0.5)
+       |      AS BIGINT) AS mv
+       |  FROM e t JOIN cl ON t.vec_id = cl.vec_id
+       |  GROUP BY cl.cluster, t.i
+       |), rv AS (
+       |  SELECT t.vec_id, t.i, t.iv[t.i] - mc.mv AS r
+       |  FROM e t
+       |  JOIN cl ON t.vec_id = cl.vec_id
+       |  JOIN mc ON cl.cluster = mc.cluster AND t.i = mc.i
+       |), rcb AS (
+       |  SELECT vec_id AS cid, i, r FROM rv WHERE vec_id < $PqCodebook
+       |), rd AS (
+       |  SELECT v.vec_id, (v.i - 1) // $PqSubDim AS m, c.cid,
+       |    CAST(SUM((v.r - c.r) * (v.r - c.r)) AS BIGINT) AS dist
+       |  FROM rv v JOIN rcb c ON v.i = c.i
+       |  GROUP BY v.vec_id, (v.i - 1) // $PqSubDim, c.cid
+       |), rbest AS (
+       |  SELECT vec_id, m, cid, dist FROM rd
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+       |    ORDER BY dist ASC, cid ASC) = 1
+       |), rerr AS (
+       |  SELECT vec_id, CAST(SUM(dist) AS BIGINT) AS rqerr
+       |  FROM rbest GROUP BY vec_id
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -1440,77 +1591,51 @@ object VectorOps {
          |FROM best GROUP BY vec_id
          |ORDER BY vec_id ASC NULLS LAST""".stripMargin,
 
-    // Self-contained mirror of both encodings: the plain-PQ distance
-    // CTE keeps its dist through the argmin (the shared ivfpqCtes
-    // `best` drops it), the residual path rebuilds the same cluster
-    // assignment, subtracts centroid encodings index-wise, and re-runs
-    // the identical integer sub-space argmin over the residual
-    // codebook.
-    "q_ann_pq_residual" ->
-      s"""WITH iv AS (
-         |  SELECT vec_id, list_transform(embedding, x ->
-         |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) * 10000000
-         |      AS BIGINT)) AS iv
-         |  FROM embeddings WHERE embedding IS NOT NULL
-         |), e AS (
-         |  SELECT vec_id, iv, unnest(generate_series(1, $EmbDim)) AS i
-         |  FROM iv
-         |), dd AS (
-         |  SELECT v.vec_id, (i - 1) // $PqSubDim AS m, c.vec_id AS cid,
-         |    CAST(SUM((v.iv[i] - c.iv[i]) * (v.iv[i] - c.iv[i]))
-         |      AS BIGINT) AS dist
-         |  FROM e v, (SELECT vec_id, iv FROM iv WHERE vec_id < $PqCodebook) c
-         |  GROUP BY v.vec_id, (i - 1) // $PqSubDim, c.vec_id
-         |), pbest AS (
-         |  SELECT vec_id, m, dist FROM dd
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
-         |    ORDER BY dist ASC, cid ASC) = 1
-         |), perr AS (
-         |  SELECT vec_id, CAST(SUM(dist) AS BIGINT) AS pqerr
-         |  FROM pbest GROUP BY vec_id
-         |), cents AS (
-         |  SELECT vec_id AS ccid, embedding AS cemb
-         |  FROM embeddings WHERE vec_id < $IvfCentroids
-         |), aa AS (
-         |  SELECT e2.vec_id, c.ccid,
-         |    ${sqlDot("e2.embedding", "c.cemb")} AS cdot
-         |  FROM embeddings e2, cents c
-         |), cl AS (
-         |  SELECT vec_id, ccid AS cluster FROM aa
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY cdot DESC, ccid ASC) = 1
-         |), mc AS (
-         |  SELECT cl.cluster, t.i,
-         |    CAST(floor(CAST(SUM(t.iv[t.i]) AS DOUBLE) / COUNT(*) + 0.5)
-         |      AS BIGINT) AS mv
-         |  FROM e t JOIN cl ON t.vec_id = cl.vec_id
-         |  GROUP BY cl.cluster, t.i
-         |), rv AS (
-         |  SELECT t.vec_id, t.i, t.iv[t.i] - mc.mv AS r
-         |  FROM e t
-         |  JOIN cl ON t.vec_id = cl.vec_id
-         |  JOIN mc ON cl.cluster = mc.cluster AND t.i = mc.i
-         |), rcb AS (
-         |  SELECT vec_id AS cid, i, r FROM rv WHERE vec_id < $PqCodebook
-         |), rd AS (
-         |  SELECT v.vec_id, (v.i - 1) // $PqSubDim AS m, c.cid,
-         |    CAST(SUM((v.r - c.r) * (v.r - c.r)) AS BIGINT) AS dist
-         |  FROM rv v JOIN rcb c ON v.i = c.i
-         |  GROUP BY v.vec_id, (v.i - 1) // $PqSubDim, c.cid
-         |), rbest AS (
-         |  SELECT vec_id, m, dist FROM rd
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
-         |    ORDER BY dist ASC, cid ASC) = 1
-         |), rerr AS (
-         |  SELECT vec_id, CAST(SUM(dist) AS BIGINT) AS rqerr
-         |  FROM rbest GROUP BY vec_id
+    // Shared residual CTE chain (see residualOracleCtes) + the
+    // error-comparison summary. The plain-PQ distance CTE keeps its
+    // dist through the argmin (the shared ivfpqCtes `best` drops it);
+    // the residual path rebuilds the same cluster assignment, subtracts
+    // the per-cluster MEAN encodings index-wise, and re-runs the
+    // identical integer sub-space argmin over the residual codebook.
+    "q_ann_pq_residual" -> (residualOracleCtes +
+      """
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(pqerr) AS BIGINT) AS plain_qerr,
+        |  CAST(SUM(rqerr) AS BIGINT) AS residual_qerr,
+        |  CAST(SUM(CASE WHEN rqerr < pqerr THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_improved
+        |FROM perr JOIN rerr ON perr.vec_id = rerr.vec_id""".stripMargin),
+
+    // The residual chain + probe-side CTEs: per probed cluster the
+    // probe's RESIDUAL distance table, candidates ranked by the table
+    // sum over their residual code words — the FAISS IndexIVFPQ search
+    // mirrored exactly.
+    "q_ann_ivfpq_residual" -> (residualOracleCtes +
+      s"""
+         |, pc AS (
+         |  SELECT ccid AS probe_cluster FROM aa WHERE vec_id = 0
+         |  QUALIFY row_number() OVER (ORDER BY cdot DESC, ccid ASC) <= 2
+         |), prv AS (
+         |  SELECT mc.cluster, mc.i, q.iv[mc.i] - mc.mv AS r
+         |  FROM mc
+         |  JOIN pc ON mc.cluster = pc.probe_cluster,
+         |    (SELECT iv FROM iv WHERE vec_id = 0) q
+         |), tbl AS (
+         |  SELECT p.cluster, (p.i - 1) // $PqSubDim AS m, c.cid,
+         |    CAST(SUM((p.r - c.r) * (p.r - c.r)) AS BIGINT) AS tdist
+         |  FROM prv p JOIN rcb c ON p.i = c.i
+         |  GROUP BY p.cluster, (p.i - 1) // $PqSubDim, c.cid
          |)
-         |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         |  CAST(SUM(pqerr) AS BIGINT) AS plain_qerr,
-         |  CAST(SUM(rqerr) AS BIGINT) AS residual_qerr,
-         |  CAST(SUM(CASE WHEN rqerr < pqerr THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_improved
-         |FROM perr JOIN rerr ON perr.vec_id = rerr.vec_id""".stripMargin,
+         |SELECT b.vec_id, CAST(SUM(t.tdist) AS BIGINT) AS adc
+         |FROM rbest b
+         |JOIN cl ON b.vec_id = cl.vec_id
+         |JOIN pc ON cl.cluster = pc.probe_cluster
+         |JOIN tbl t ON t.cluster = cl.cluster AND t.m = b.m
+         |  AND t.cid = b.cid
+         |WHERE b.vec_id <> 0
+         |GROUP BY b.vec_id
+         |ORDER BY adc ASC NULLS LAST, b.vec_id ASC NULLS LAST
+         |LIMIT 10""".stripMargin),
 
     // The PQ per-(vec, sub-space, entry) distance CTE doubles as both
     // the code assignment (argmin) and the probe's ADC table (its

@@ -166,6 +166,10 @@ class PlanRegressionSpec extends SparkSpec {
       // codebook broadcasts on constant keys — the q_kmeans_iter and
       // q_ann_pq shapes composed
       "q_ann_pq_residual",
+      // the same bounded broadcasts plus the nprobe-bounded (2-row)
+      // probe-cluster and 64-row per-cluster ADC table broadcasts —
+      // the q_ann_ivfpq composition on the residual grid
+      "q_ann_ivfpq_residual",
       // 1-row broadcasts of the series totals (n, Σx) and the centered
       // sum-of-squares / max-deviation scalars on a constant key, joined
       // against the tiny day-grain frame — the q_text_docfreq shape
