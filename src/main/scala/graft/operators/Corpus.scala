@@ -400,6 +400,9 @@ object Corpus {
             s"i -> md5(array_join(slice(toks, i + 1, $GramTokens), ' '))))"))
           .as("gm"))
         .distinct()
+        // persisted: three consumers (totals, both self-join sides)
+        // would each re-tokenize and re-hash the corpus
+        .persist()
       val tot = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
       val a = g.select(col("gm"), col("source").as("src_a"))
       val b = g.select(col("gm"), col("source").as("src_b"))

@@ -480,8 +480,11 @@ object Extended {
     // Per-part counts broadcast back; c_ab >= 2 prunes the huge
     // singleton tail BEFORE the ranking; TakeOrdered caps the output.
     "q_basket_pairs" -> ((s, d) => {
+      // persisted: four consumers (order count, per-part counts, both
+      // sides of the pair self-join) would each re-run the distinct's
+      // shuffle — the frame is |distinct (order, part)| slim rows
       val items = t(s, d, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
+        .select("l_orderkey", "l_partkey").distinct().persist()
       val n = broadcast(items.select(countDistinct("l_orderkey")
         .as("n_orders")).withColumn("_one", lit(1)))
       val ca = items.groupBy("l_partkey").agg(count(lit(1)).as("c"))
