@@ -348,6 +348,24 @@ object Relational {
         .orderBy(asc_nulls_last("event_id"))
     }),
 
+    // The rest of the analytic-function catalog: percent_rank,
+    // nth_value, defaulted lag, offset-2 lead — over a UNIQUE
+    // (value, event_id) ordering so every function is deterministic
+    // (percent_rank ties collapse anyway; nth_value's RANGE
+    // unbounded→current default frame agrees on both engines under a
+    // unique ordering). Partitioned window, one event_type shuffle.
+    "q_window_analytic2" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(asc_nulls_last("value"), asc_nulls_last("event_id"))
+      t(s, d, "events")
+        .select("event_id", "event_type", "value")
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("third_lowest", nth_value(col("value"), 3).over(w))
+        .withColumn("prev_or_neg1", lag(col("value"), 1, -1.0).over(w))
+        .withColumn("lead2", lead(col("value"), 2).over(w))
+        .orderBy(asc_nulls_last("event_id"))
+    }),
+
     // Frames over exact decimals: running sums are re-computed by both
     // engines with different algorithms (Spark: sequential; DuckDB:
     // segment tree), so only order-insensitive exact arithmetic hashes
@@ -594,6 +612,17 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST)
         |ORDER BY o_custkey ASC NULLS LAST, rn ASC NULLS LAST""".stripMargin,
+
+    "q_window_analytic2" ->
+      """SELECT event_id, event_type, value,
+        |  percent_rank() OVER w AS pr,
+        |  nth_value(value, 3) OVER w AS third_lowest,
+        |  lag(value, 1, -1.0) OVER w AS prev_or_neg1,
+        |  lead(value, 2) OVER w AS lead2
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type
+        |  ORDER BY value ASC NULLS LAST, event_id ASC NULLS LAST)
+        |ORDER BY event_id ASC NULLS LAST""".stripMargin,
 
     "q_window_analytic" ->
       """SELECT event_id, user_id, ts, value,

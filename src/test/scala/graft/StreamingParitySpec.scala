@@ -846,6 +846,64 @@ class StreamingParitySpec extends SparkSpec {
     assert(stream.values.exists(_._3 == "changed"))
   }
 
+  test("streaming curation: q_corpus_curate's survivor set is exactly " +
+      "reproduced from streamed near-dup pairs over the kept corpus") {
+    import graft.operators.{Corpus, Quality, TextDedup}
+    import graft.streaming.NearDupStream
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth: the declared end-to-end pipeline's report
+    val batchReport = Corpus.queries("q_corpus_curate")(spark, sf)
+      .collect().toSeq
+    // rebuild the pipeline's deterministic prefix (quality gate + exact
+    // dedup) — stateless, identical in batch and stream
+    val docs = Tables.table(spark, sf, "documents")
+    val q = Quality.gopherMetrics(docs)
+      .filter(col("passes")).select("doc_id")
+    val qd = docs.join(q, "doc_id")
+    val ex = qd.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val kept = qd.join(ex, "doc_id")
+    // stream the near-dup stage over the KEPT corpus in three batches
+    val keptRows = kept.select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => DocRow(r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[DocRow]
+    val name = s"cur_${System.nanoTime()}"
+    val qs = NearDupStream.nearDupPairsStream(mem.toDF(),
+        kept.select("doc_id", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    val third = (keptRows.length + 2) / 3
+    keptRows.grouped(third).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      qs.processAllAvailable()
+    }
+    qs.stop()
+    // streamed losers = batch losers (the greedy id_b drop rule)
+    val streamLosers = spark.table(name).collect()
+      .map(_.getLong(1)).toSet
+    val batchLosers = TextDedup.nearDuplicates(kept)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    assert(streamLosers == batchLosers)
+    // survivors through the SAME quota + report stages reproduce the
+    // declared query's rows — the pipeline composes identically when
+    // its dedup stage runs as live ingestion
+    val surv = kept.filter(!col("doc_id").isin(streamLosers.toSeq: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val streamReport = surv
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 20)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        countDistinct("source").as("n_sources"))
+      .orderBy(asc_nulls_last("lang"))
+      .collect().toSeq
+    assert(streamReport == batchReport)
+    assert(batchLosers.nonEmpty, "fixture must contain near-dup losers")
+  }
+
   test("transformWithState sessionize matches the FMGWS path and the " +
       "batch fold (Spark 4 arbitrary state, RocksDB provider)") {
     implicit val sqlCtx = spark.sqlContext
