@@ -470,10 +470,16 @@ object Tpch {
     "q_tpch_q21" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_returnflag")
-      val ord = li.groupBy(col("l_orderkey").as("agg_ok"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("l_returnflag") === "R",
-            col("l_suppkey"))).as("n_supp_r"))
+      // two-level distinct instead of a double COUNT(DISTINCT): the
+      // Expand-based plan would double every fact row; the per-(order,
+      // supplier) rollup is one keyed aggregate whose second level is
+      // order-grain-slim
+      val ord = li
+        .groupBy(col("l_orderkey").as("agg_ok"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("has_r"))
+        .groupBy("agg_ok")
+        .agg(count(lit(1)).as("n_supp"), sum("has_r").as("n_supp_r"))
       li.filter(col("l_returnflag") === "R")
         .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
           .select("o_orderkey"),
