@@ -223,4 +223,50 @@ class FunctionsAndSourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), " +
       "LessThan(o_orderkey,100)]"), plan)
   }
+
+  test("hive-partitioned parquet: a partition-key predicate becomes a " +
+      "PartitionFilter (files pruned BEFORE any read) and values round " +
+      "trip") {
+    // the 100 TB lever beyond row-group pushdown: a predicate on the
+    // PARTITION column prunes whole directories at planning time —
+    // PartitionFilters in the scan, not PushedFilters
+    val dir = Files.createTempDirectory("graft_part").toString
+    val events = Tables.table(spark, sf, "events")
+    events.write.partitionBy("event_type").parquet(s"$dir/out")
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == events.count())
+    val scan = back.filter(col("event_type") === "click")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters:")
+      && scan.contains("isnotnull(event_type") || scan.contains(
+        "PartitionFilters: [isnotnull(event_type"), scan)
+    assert(scan.contains("(event_type") && scan.contains("= click)"),
+      scan)
+    // pruned read returns exactly the partition's rows
+    assert(back.filter(col("event_type") === "click").count()
+      == events.filter(col("event_type") === "click").count())
+  }
+
+  test("binaryFile source ingests raw blobs whose headers parse with " +
+      "the multimodal machinery") {
+    // the multimodal ingestion front door: opaque files arrive through
+    // the binaryFile source as (path, content) rows; the SAME
+    // magic-byte sniff the declared q_multimodal_headers query applies
+    // classifies them with zero custom IO
+    val dir = Files.createTempDirectory("graft_bin")
+    val png = Array[Int](0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 0x0D).map(_.toByte)
+    val junk = "not an image".getBytes("UTF-8")
+    Files.write(dir.resolve("a.png"), png)
+    Files.write(dir.resolve("b.bin"), junk)
+    val files = spark.read.format("binaryFile").load(dir.toString)
+    assert(files.count() == 2)
+    val parsed = files
+      .select(col("path"),
+        graft.operators.Multimodal.sniffFormat(hex(col("content")))
+          .as("fmt"))
+      .collect().map(r => (r.getString(0).split('/').last,
+        r.getString(1))).toMap
+    assert(parsed("a.png") == "png" && parsed("b.bin") == "unknown")
+  }
 }
