@@ -571,7 +571,11 @@ object Corpus {
       val qd = docs.join(q, "doc_id")
       val ex = qd.groupBy(md5(col("text")).as("h"))
         .agg(min("doc_id").as("doc_id")).select("doc_id")
-      val kept = qd.join(ex, "doc_id")
+      // persisted: four consumers (the LSH stage reads it twice —
+      // signatures and token verify — plus the anti-join left side and
+      // the quota window) would each re-run the gate + exact-dedup
+      // prefix
+      val kept = qd.join(ex, "doc_id").persist()
       val losers = TextDedup.nearDuplicates(kept)
         .select(col("id_b").as("doc_id")).distinct()
       val surv = kept.join(losers, Seq("doc_id"), "left_anti")
