@@ -129,6 +129,33 @@ object TextOps {
       TextDedup.nearDuplicates(t(s, d, "documents"))
         .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))),
 
+    // Edit-distance fuzzy matching — the character-grain verifier the
+    // token-set Jaccard can't express (transpositions, small in-word
+    // edits): Levenshtein distance over 60-char prefixes of each
+    // VERIFIED near-dup pair, plus the normalized prefix similarity
+    // 1 − d/max(len). The O(len²) DP runs ONLY on the LSH-verified
+    // sliver (never all pairs — the same verify-touches-candidates
+    // economics as the Jaccard stage); prefixes cap the DP at 60² per
+    // pair. Both engines implement classic unit-cost Levenshtein, so
+    // the distances are engine-identical and the similarity is one
+    // IEEE division.
+    "q_text_editdist" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pre = docs.select(col("doc_id"),
+        substring(col("text"), 1, 60).as("tp"))
+      TextDedup.nearDuplicates(docs)
+        .join(pre.select(col("doc_id").as("id_a"), col("tp").as("ta")),
+          "id_a")
+        .join(pre.select(col("doc_id").as("id_b"), col("tp").as("tb")),
+          "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+          (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double")
+            / greatest(length(col("ta")), length(col("tb"))))
+            .as("prefix_sim"))
+        .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))
+    }),
+
     // LSH dedup RECALL against exact ground truth — "what fraction of a
     // document's true near-duplicates does the banded pipeline actually
     // find?", the q_ann_recall question asked of text dedup. Ground
@@ -772,6 +799,21 @@ object TextOps {
     "q_dedup_minhash" -> minhashOracle,
 
     "q_dedup_pairs" -> dedupPairsOracle,
+
+    "q_text_editdist" ->
+      s"""WITH pairs AS (
+         |${dedupPairsSubquery.linesIterator.map("  " + _).mkString("\n")}
+         |), pre AS (
+         |  SELECT doc_id, substring(text, 1, 60) AS tp FROM documents
+         |)
+         |SELECT p.id_a, p.id_b, p.jaccard,
+         |  CAST(levenshtein(a.tp, b.tp) AS BIGINT) AS edit_dist,
+         |  1.0 - CAST(levenshtein(a.tp, b.tp) AS DOUBLE)
+         |    / greatest(length(a.tp), length(b.tp)) AS prefix_sim
+         |FROM pairs p
+         |JOIN pre a ON a.doc_id = p.id_a
+         |JOIN pre b ON b.doc_id = p.id_b
+         |ORDER BY p.id_a ASC NULLS LAST, p.id_b ASC NULLS LAST""".stripMargin,
 
     // Ground truth + the dedupPairsSubquery pipeline mirror; recall is
     // one IEEE division of exact counts.
