@@ -256,6 +256,40 @@ object EventAnalytics {
         .orderBy(asc_nulls_last("cohort_day"), asc_nulls_last("day_offset"))
     }),
 
+    // Cohort LTV curves — the revenue sibling of q_retention: users
+    // cohorted by first-activity week, purchase revenue bucketed by
+    // weeks-since-cohort, and the running CUMULATIVE revenue per cohort
+    // (the "LTV at week k" curve). The cumulative window sums exact
+    // DECIMAL(18,4) casts (Spark's sequential and DuckDB's
+    // segment-tree window algorithms only agree on order-insensitive
+    // exact arithmetic — the q_window_frame lesson) and runs over the
+    // (cohort, week) grid: week-grain rows bounded by the calendar
+    // span, partitioned by cohort. Two keyed aggregates + one bounded
+    // partitioned window.
+    "q_cohort_ltv" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val first = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("first_day"))
+        .select(col("user_id"),
+          floor(datediff(col("first_day"), lit("2024-01-01")) / 7)
+            .cast("long").as("cohort_w"))
+      val grid = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"),
+          floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+            .cast("long").as("w"))
+        .join(first, "user_id")
+        .withColumn("week_idx", col("w") - col("cohort_w"))
+        .groupBy("cohort_w", "week_idx")
+        .agg(Det.dsum(col("value")).as("week_rev"),
+          countDistinct("user_id").as("n_buyers"))
+      val wc = Window.partitionBy("cohort_w").orderBy("week_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.withColumn("cum_ltv",
+        sum(col("week_rev").cast(org.apache.spark.sql.types
+          .DecimalType(18, 4))).over(wc).cast("double"))
+        .orderBy(asc_nulls_last("cohort_w"), asc_nulls_last("week_idx"))
+    }),
+
     // SCD2-style state history: collapse each user's event stream into
     // validity intervals of consecutive same-type runs — the
     // slowly-changing-dimension build step (and the reference's
@@ -735,6 +769,31 @@ object EventAnalytics {
         |       ELSE 'changed' END AS change
         |FROM a LEFT JOIN b ON a.user_id = b.user_id
         |ORDER BY a.user_id ASC NULLS LAST""".stripMargin,
+    "q_cohort_ltv" ->
+      s"""WITH first AS (
+         |  SELECT user_id,
+         |    CAST(floor(datediff('day', DATE '2024-01-01',
+         |      MIN(CAST(ts AS DATE))) / 7) AS BIGINT) AS cohort_w
+         |  FROM events GROUP BY user_id
+         |), grid AS (
+         |  SELECT f.cohort_w,
+         |    CAST(floor(datediff('day', DATE '2024-01-01',
+         |      CAST(e.ts AS DATE)) / 7) AS BIGINT) - f.cohort_w
+         |      AS week_idx,
+         |    ${Det.sqlDsum("e.value")} AS week_rev,
+         |    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_buyers
+         |  FROM events e JOIN first f ON e.user_id = f.user_id
+         |  WHERE e.event_type = 'purchase'
+         |  GROUP BY 1, 2
+         |)
+         |SELECT cohort_w, week_idx, week_rev, n_buyers,
+         |  CAST(CAST(SUM(CAST(week_rev AS DECIMAL(18,4))) OVER (
+         |    PARTITION BY cohort_w ORDER BY week_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS VARCHAR) AS DOUBLE) AS cum_ltv
+         |FROM grid
+         |ORDER BY cohort_w ASC NULLS LAST, week_idx ASC NULLS LAST""".stripMargin,
+
     "q_scd2_intervals" ->
       """WITH r AS (
         |  SELECT user_id, event_id, event_type, ts,

@@ -469,6 +469,37 @@ object Extended {
           expr("right(p_name, 3)").as("name_r3"))
         .orderBy(asc_nulls_last("p_partkey"))),
 
+    // RFM customer segmentation — recency / frequency / monetary, the
+    // classic lifecycle classifier: one keyed aggregate per customer
+    // (last order date, order count, exact-decimal revenue), the
+    // corpus max-date as a 1-row broadcast on a constant key (the
+    // q_text_docfreq shape), and FIXED documented thresholds for the
+    // segment CASE (a quantile-scored variant would need a global
+    // ntile — the event-count-unbounded window the plan gate forbids;
+    // thresholds keep the whole query one partial-agg pass).
+    "q_customer_rfm" -> ((s, d) => {
+      val maxD = broadcast(t(s, d, "orders")
+        .agg(max(to_date(col("o_orderdate"))).as("max_day"))
+        .withColumn("_one", lit(1)))
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("frequency"),
+          Det.dsum(col("o_totalprice")).as("monetary"))
+        .withColumn("_one", lit(1)).join(maxD, "_one")
+        .select(col("o_custkey").as("custkey"),
+          datediff(col("max_day"), col("last_day")).cast("long")
+            .as("recency_days"),
+          col("frequency"), col("monetary"))
+        .withColumn("segment",
+          when(col("recency_days") <= 180 && col("frequency") >= 12,
+            "champion")
+            .when(col("recency_days") <= 180, "recent")
+            .when(col("frequency") >= 12, "loyal_lapsing")
+            .otherwise("hibernating"))
+        .orderBy(asc_nulls_last("custkey"))
+    }),
+
     // Market-basket co-occurrence with lift — the association-rules
     // primitive ("parts bought together") on the order fact. The pair
     // expansion is an in-ORDER self-join: keyed on l_orderkey, fan-out
@@ -803,6 +834,26 @@ object Extended {
         |  left(p_name, 4) AS name_l4,
         |  right(p_name, 3) AS name_r3
         |FROM part ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+
+    "q_customer_rfm" ->
+      s"""WITH m AS (
+         |  SELECT MAX(CAST(o_orderdate AS DATE)) AS max_day FROM orders
+         |), r AS (
+         |  SELECT o_custkey AS custkey,
+         |    CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)), max_day)
+         |      AS BIGINT) AS recency_days,
+         |    COUNT(*) AS frequency,
+         |    ${Det.sqlDsum("o_totalprice")} AS monetary
+         |  FROM orders, m
+         |  GROUP BY o_custkey, max_day
+         |)
+         |SELECT custkey, recency_days, frequency, monetary,
+         |  CASE WHEN recency_days <= 180 AND frequency >= 12
+         |         THEN 'champion'
+         |       WHEN recency_days <= 180 THEN 'recent'
+         |       WHEN frequency >= 12 THEN 'loyal_lapsing'
+         |       ELSE 'hibernating' END AS segment
+         |FROM r ORDER BY custkey ASC NULLS LAST""".stripMargin,
 
     "q_basket_pairs" ->
       """WITH items AS (

@@ -184,6 +184,9 @@ class PlanRegressionSpec extends SparkSpec {
       // 1-row broadcast of the order count on a constant key (the lift
       // denominator) — the q_text_docfreq shape
       "q_basket_pairs",
+      // 1-row broadcast of the corpus max order date on a constant key
+      // — the q_text_docfreq shape
+      "q_customer_rfm",
       // 1-row broadcast of the two sample sizes on a constant key — the
       // q_stats_ttest shape
       "q_stats_ks",
