@@ -129,6 +129,43 @@ object TextOps {
       TextDedup.nearDuplicates(t(s, d, "documents"))
         .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))),
 
+    // Query-time near-dup LOOKUP — "find THIS document's near-dups",
+    // the point-read the corpus-wide q_dedup_pairs can't serve without
+    // scanning its whole output: the probe's band keys broadcast
+    // (≤ bands rows), candidates are the docs sharing ANY band (a
+    // keyed semi-join on band — the index-probe read path of the LSH
+    // table), and only candidates get the exact-Jaccard verify against
+    // the probe's broadcast token set. At 100 TB this is the online
+    // serving shape: per-probe work is buckets-touched, not corpus.
+    // Probe doc_id = 8 (has VERIFIED LSH pairs at every fixture SF
+    // — exact-Jaccard dups alone are not enough: the probe must also
+    // band-collide, which doc 1 does not at sf0.01).
+    "q_dedup_lookup" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val signed = MinHash.withSignatures(base, "text", 8)
+      val banded = signed.select(col("id"),
+        explode(array(MinHash.bandKeys(8, 4): _*)).as("band"))
+      val probeBands = broadcast(banded.filter(col("id") === 8)
+        .select(col("band")).distinct())
+      val cands = banded.join(probeBands, "band")
+        .filter(col("id") =!= 8)
+        .select("id").distinct()
+      val toks = MinHash.tokens(base, "text")
+      val probeToks = broadcast(toks.filter(col("id") === 8)
+        .select(col("toks").as("toks_b")).withColumn("_one", lit(1)))
+      cands.join(toks, "id")
+        .withColumn("_one", lit(1)).join(probeToks, "_one")
+        .withColumn("inter", size(array_intersect(
+          array_distinct(col("toks")), array_distinct(col("toks_b")))))
+        .withColumn("uni", size(array_union(
+          array_distinct(col("toks")), array_distinct(col("toks_b")))))
+        .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+        .filter(col("jaccard") >= 0.7)
+        .select(col("id").as("doc_id"), col("jaccard"))
+        .orderBy(desc_nulls_last("jaccard"), asc_nulls_last("doc_id"))
+    }),
+
     // Edit-distance fuzzy matching — the character-grain verifier the
     // token-set Jaccard can't express (transpositions, small in-word
     // edits): Levenshtein distance over 60-char prefixes of each
@@ -799,6 +836,19 @@ object TextOps {
     "q_dedup_minhash" -> minhashOracle,
 
     "q_dedup_pairs" -> dedupPairsOracle,
+
+    // The corpus-wide pair pipeline restricted to pairs touching the
+    // probe: its band-bucket candidates for doc 1 are EXACTLY the docs
+    // sharing a band with it, so the mirror needs no separate probe
+    // machinery.
+    "q_dedup_lookup" ->
+      s"""WITH pairs AS (
+         |${dedupPairsSubquery.linesIterator.map("  " + _).mkString("\n")}
+         |)
+         |SELECT CASE WHEN id_a = 8 THEN id_b ELSE id_a END AS doc_id,
+         |  jaccard
+         |FROM pairs WHERE id_a = 8 OR id_b = 8
+         |ORDER BY jaccard DESC NULLS LAST, doc_id ASC NULLS LAST""".stripMargin,
 
     "q_text_editdist" ->
       s"""WITH pairs AS (

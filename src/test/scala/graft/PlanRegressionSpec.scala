@@ -187,6 +187,9 @@ class PlanRegressionSpec extends SparkSpec {
       // 1-row broadcast of the corpus max order date on a constant key
       // — the q_text_docfreq shape
       "q_customer_rfm",
+      // 1-row broadcast of the probe's token set on a constant key —
+      // the q_simsearch_topk bounded-probe shape
+      "q_dedup_lookup",
       // 1-row broadcast of the two sample sizes on a constant key — the
       // q_stats_ttest shape
       "q_stats_ks",
