@@ -287,6 +287,104 @@ object Multimodal {
           "CASE WHEN is_mp4 THEN s1 + s2 + s3 END AS declared_total",
           "n_bytes")
         .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // TIFF/EXIF header walk — the first parse whose BYTE ORDER is
+    // data-dependent: the leading II/MM marker decides whether every
+    // subsequent multi-byte field reads little- or big-endian, so one
+    // query exercises both endian paths AND the dispatch between them
+    // (PNG/JFIF are fixed-BE, WAV fixed-LE). The fixture is a
+    // spec-correct classic-TIFF header: II/MM + magic 42 + a u32 IFD
+    // offset that VARIES per doc (0–6 pad bytes before the IFD — a
+    // correct parse must read the offset in the right byte order and
+    // jump, a wrong-endian read lands mid-pad and breaks loudly), then
+    // an IFD with a VARIABLE entry count (3 or 4 twelve-byte entries,
+    // all type LONG so the 4-byte value field is endian-clean) and the
+    // terminating next-IFD pointer. Field extraction scans entries BY
+    // TAG (256/257/259/282), not by fixed slot. Every 5th doc carries
+    // text bytes for the sniff-reject path. Pure narrow map — zero
+    // shuffles until the terminal sort; at 100 TB this is the
+    // embarrassingly-parallel metadata-scan shape.
+    "q_multimodal_tiff" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      def beS(e: String, n: Int) = s"lpad(hex($e), ${2 * n}, '0')"
+      def leS(e: String, n: Int) = {
+        val b = beS(e, n)
+        ((n - 1) to 0 by -1)
+          .map(i => s"substring($b, ${2 * i + 1}, 2)")
+          .mkString("concat(", ", ", ")")
+      }
+      // one IFD entry, type LONG (4), count 1, in each byte order
+      def entBe(tag: Int, v: String) =
+        s"concat(${beS(tag.toString, 2)}, '0004', '00000001', ${beS(v, 4)})"
+      def entLe(tag: Int, v: String) =
+        s"concat(${leS(tag.toString, 2)}, '0400', '01000000', ${leS(v, 4)})"
+      val w = "CAST(n_chars AS BIGINT)"
+      val hgt = "CAST(n_chars DIV 2 + 1 AS BIGINT)"
+      val cmp = "CAST(1 + doc_id % 2 AS BIGINT)"
+      val xr = "CAST(300 AS BIGINT)"
+      def ifd(le: Boolean) = {
+        val ent = if (le) entLe _ else entBe _
+        val cnt = // 3 entries, 4 when doc_id % 3 = 0
+          s"CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)"
+        val n2 = if (le) leS(cnt, 2) else beS(cnt, 2)
+        s"concat($n2, ${ent(256, w)}, ${ent(257, hgt)}, ${ent(259, cmp)}, " +
+          s"CASE WHEN doc_id % 3 = 0 THEN ${ent(282, xr)} ELSE '' END, " +
+          "'00000000')"
+      }
+      val ifdOff = "CAST(8 + (doc_id % 4) * 2 AS BIGINT)"
+      val pad = "repeat('00', CAST((doc_id % 4) * 2 AS INT))"
+      val leFull = s"concat('4949', '2A00', ${leS(ifdOff, 4)}, $pad, " +
+        s"${ifd(le = true)})"
+      val beFull = s"concat('4D4D', '002A', ${beS(ifdOff, 4)}, $pad, " +
+        s"${ifd(le = false)})"
+      val built = docs.selectExpr("doc_id",
+        "CASE WHEN doc_id % 5 = 0 THEN " +
+          "hex(CAST(substring(text, 1, 8) AS BINARY)) " +
+          s"WHEN doc_id % 2 = 0 THEN $leFull ELSE $beFull END AS ph")
+        .selectExpr("doc_id", "unhex(ph) AS payload")
+      // parse — everything below reads ONLY (doc_id, payload)
+      def beR(posE: String, n: Int) =
+        s"CAST(conv(substring(h, CAST($posE AS INT), ${2 * n}), 16, 10) " +
+          "AS BIGINT)"
+      def leR(posE: String, n: Int) =
+        s"CAST(conv(concat(${((n - 1) to 0 by -1)
+          .map(k => s"substring(h, CAST(($posE) + ${2 * k} AS INT), 2)")
+          .mkString(", ")}), 16, 10) AS BIGINT)"
+      def rd(posE: String, n: Int) =
+        s"CASE WHEN is_le THEN ${leR(posE, n)} ELSE ${beR(posE, n)} END"
+      val slots = 0 until 4
+      val parsed = built
+        .selectExpr("doc_id", "hex(payload) AS h",
+          "length(payload) >= 8 AND substring(hex(payload), 1, 8) IN " +
+            "('49492A00', '4D4D002A') AS is_tiff",
+          "substring(hex(payload), 1, 4) = '4949' AS is_le")
+        .selectExpr("doc_id", "h", "is_tiff", "is_le",
+          s"CASE WHEN is_tiff THEN ${rd("9", 4)} END AS ifd_off")
+        .selectExpr("doc_id", "h", "is_tiff", "is_le", "ifd_off",
+          s"CASE WHEN is_tiff THEN ${rd("2 * ifd_off + 1", 2)} END " +
+            "AS n_entries")
+        .selectExpr(Seq("doc_id", "h", "is_tiff", "is_le", "n_entries") ++
+          slots.flatMap { i =>
+            val base = s"ifd_off + 2 + ${12 * i}"
+            Seq(
+              s"CASE WHEN is_tiff AND $i < n_entries THEN " +
+                s"${rd(s"2 * ($base) + 1", 2)} END AS tag_$i",
+              s"CASE WHEN is_tiff AND $i < n_entries THEN " +
+                s"${rd(s"2 * ($base + 8) + 1", 4)} END AS val_$i")
+          }: _*)
+      def byTag(tag: Int) = slots
+        .map(i => s"CASE WHEN tag_$i = $tag THEN val_$i END")
+        .mkString("coalesce(", ", ", ")")
+      parsed.selectExpr("doc_id", "is_tiff",
+        "CASE WHEN NOT is_tiff THEN NULL WHEN is_le THEN 'LE' " +
+          "ELSE 'BE' END AS byte_order",
+        "n_entries",
+        s"${byTag(256)} AS width",
+        s"${byTag(257)} AS height",
+        s"${byTag(259)} AS compression",
+        s"${byTag(282)} AS x_resolution")
+        .orderBy(asc_nulls_last("doc_id"))
     })
   )
 
@@ -487,6 +585,97 @@ object Multimodal {
         |  array_to_string(list_transform(generate_series(0, 7),
         |    i -> (((i * n_frames) // 8) * 1000) // fps), ',')
         |    AS sample_ts_ms
-        |FROM framed ORDER BY doc_id ASC NULLS LAST""".stripMargin
+        |FROM framed ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Endian-dispatched reads mirror the Spark side exactly: byte k of
+    // an n-byte field sits at hex position pos + 2k; LE concatenates
+    // the bytes in reverse. Entry constants (tag/type/count) are
+    // pre-reversed literals; variable fields reverse via substring.
+    "q_multimodal_tiff" -> {
+      def le(p: String, n: Int) = ((n - 1) to 0 by -1)
+        .map(k => s"substring(h, CAST(($p) + ${2 * k} AS INT), 2)")
+        .mkString(" || ")
+      def be(p: String, n: Int) =
+        s"substring(h, CAST($p AS INT), ${2 * n})"
+      def rd(p: String, n: Int) =
+        s"CASE WHEN is_le THEN CAST('0x' || ${le(p, n)} AS BIGINT) " +
+          s"ELSE CAST('0x' || ${be(p, n)} AS BIGINT) END"
+      val slotCols = (0 until 4).map { i =>
+        val base = s"ifd_off + 2 + ${12 * i}"
+        s"""CASE WHEN is_tiff AND $i < n_entries THEN
+           |      ${rd(s"2 * ($base) + 1", 2)} END AS tag_$i,
+           |    CASE WHEN is_tiff AND $i < n_entries THEN
+           |      ${rd(s"2 * ($base + 8) + 1", 4)} END AS val_$i""".stripMargin
+      }.mkString(",\n    ")
+      def byTag(tag: Int) = (0 until 4)
+        .map(i => s"CASE WHEN tag_$i = $tag THEN val_$i END")
+        .mkString("coalesce(", ", ", ")")
+      def rev(x: String, n: Int) = ((n - 1) to 0 by -1)
+        .map(k => s"substring($x, ${2 * k + 1}, 2)")
+        .mkString(" || ")
+      s"""WITH src AS (
+         |  SELECT doc_id, n_chars, hex(encode(substring(text, 1, 8))) AS th
+         |  FROM documents
+         |), enc AS (
+         |  SELECT doc_id, th,
+         |    lpad(hex(8 + (doc_id % 4) * 2), 8, '0') AS oh,
+         |    repeat('00', CAST((doc_id % 4) * 2 AS INT)) AS pad,
+         |    lpad(hex(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END),
+         |      4, '0') AS nh,
+         |    lpad(hex(n_chars), 8, '0') AS wh,
+         |    lpad(hex(n_chars // 2 + 1), 8, '0') AS hh,
+         |    lpad(hex(1 + doc_id % 2), 8, '0') AS ch,
+         |    doc_id % 3 = 0 AS has4
+         |  FROM src
+         |), built AS (
+         |  SELECT doc_id, from_hex(
+         |    CASE WHEN doc_id % 5 = 0 THEN th
+         |      WHEN doc_id % 2 = 0 THEN
+         |        '49492A00' || ${rev("oh", 4)} || pad ||
+         |        ${rev("nh", 2)} ||
+         |        '00010400' || '01000000' || ${rev("wh", 4)} ||
+         |        '01010400' || '01000000' || ${rev("hh", 4)} ||
+         |        '03010400' || '01000000' || ${rev("ch", 4)} ||
+         |        CASE WHEN has4 THEN
+         |          '1A010400' || '01000000' || '2C010000' ELSE '' END ||
+         |        '00000000'
+         |      ELSE
+         |        '4D4D002A' || oh || pad || nh ||
+         |        '01000004' || '00000001' || wh ||
+         |        '01010004' || '00000001' || hh ||
+         |        '01030004' || '00000001' || ch ||
+         |        CASE WHEN has4 THEN
+         |          '011A0004' || '00000001' || '0000012C' ELSE '' END ||
+         |        '00000000'
+         |    END) AS payload
+         |  FROM enc
+         |), p0 AS (
+         |  SELECT doc_id, hex(payload) AS h,
+         |    octet_length(payload) >= 8 AND substring(hex(payload), 1, 8)
+         |      IN ('49492A00', '4D4D002A') AS is_tiff,
+         |    substring(hex(payload), 1, 4) = '4949' AS is_le
+         |  FROM built
+         |), p1 AS (
+         |  SELECT *, CASE WHEN is_tiff THEN ${rd("9", 4)} END AS ifd_off
+         |  FROM p0
+         |), p2 AS (
+         |  SELECT *, CASE WHEN is_tiff THEN
+         |    ${rd("2 * ifd_off + 1", 2)} END AS n_entries
+         |  FROM p1
+         |), p3 AS (
+         |  SELECT doc_id, is_tiff, is_le, n_entries,
+         |    $slotCols
+         |  FROM p2
+         |)
+         |SELECT doc_id, is_tiff,
+         |  CASE WHEN NOT is_tiff THEN NULL WHEN is_le THEN 'LE'
+         |    ELSE 'BE' END AS byte_order,
+         |  n_entries,
+         |  ${byTag(256)} AS width,
+         |  ${byTag(257)} AS height,
+         |  ${byTag(259)} AS compression,
+         |  ${byTag(282)} AS x_resolution
+         |FROM p3 ORDER BY doc_id ASC NULLS LAST""".stripMargin
+    }
   )
 }

@@ -670,6 +670,46 @@ object VectorOps {
         .orderBy(asc_nulls_last("vec_id"))
     }),
 
+    // Matryoshka-style dimension ablation (Kusupati et al., NeurIPS
+    // 2022): brute-force top-3 using only the first `dims` prefix
+    // dimensions of each embedding, recall measured against the
+    // full-64-dim exact top-3, for dims ∈ {16, 32} — the "how few
+    // dims can the first-stage retriever keep" curve that decides a
+    // truncated-index deployment. Both sides rank by the exact-decimal
+    // dot (the prefix is itself an array<float>, so the proven
+    // decimal_dot applies unchanged — no tie argument needed). Scale:
+    // the 16-probe panel broadcasts, the corpus streams through ONE
+    // narrow pass per dims level (the explode doubles rows in-row, not
+    // via shuffle), and the per-(dims, probe) top-3 is a bounded
+    // partitioned window — the documented brute-force panel shape.
+    "q_ann_dim_truncate" -> ((s, d) => {
+      val probes = broadcast(t(s, d, "embeddings")
+        .filter(col("vec_id") < 16)
+        .select(col("vec_id").as("p_id"), col("embedding").as("pe")))
+      val corpus = t(s, d, "embeddings")
+        .select(col("vec_id").as("nb_id"), col("embedding").as("eb"))
+      val wTr = Window.partitionBy("dims", "p_id")
+        .orderBy(desc_nulls_last("tdot"), asc_nulls_last("nb_id"))
+      val truncTop = corpus.crossJoin(probes)
+        .filter(col("nb_id") =!= col("p_id"))
+        .withColumn("dims", explode(array(lit(16), lit(32))))
+        .withColumn("tdot",
+          dotExpr(s, "slice(eb, 1, dims)", "slice(pe, 1, dims)"))
+        .select("dims", "p_id", "nb_id", "tdot")
+        .withColumn("_rn", row_number().over(wTr))
+        .filter(col("_rn") <= 3)
+        .select(col("dims"), col("p_id").as("vec_id"), col("nb_id"),
+          lit(1L).as("_m"))
+      panelExactTop3(s, d)
+        .withColumn("dims", explode(array(lit(16), lit(32))))
+        .join(truncTop, Seq("dims", "vec_id", "nb_id"), "left")
+        .groupBy("dims", "vec_id")
+        .agg(count(col("_m")).as("n_hit"))
+        .select(col("dims").cast("long").as("dims"), col("vec_id"),
+          col("n_hit"), lit(3L).as("n_exact"))
+        .orderBy(asc_nulls_last("dims"), asc_nulls_last("vec_id"))
+    }),
+
     // IVF search against TRAINED centroids — one Lloyd update
     // (q_kmeans_iter's exact-decimal means) replaces the raw seed
     // vectors as the coarse quantizer, then the probe searches its
@@ -1539,6 +1579,40 @@ object VectorOps {
          |  ON appr.vec_id = ex.vec_id AND appr.nb_id = ex.nb_id
          |GROUP BY ex.vec_id
          |ORDER BY ex.vec_id ASC NULLS LAST""".stripMargin,
+
+    // Both the truncated and the exact rankings are the same exact-
+    // decimal dot (list_slice is the prefix; no approximate pre-rank on
+    // either engine), so parity needs no tie argument at all.
+    "q_ann_dim_truncate" ->
+      s"""WITH dms AS (SELECT unnest([16, 32]) AS dims
+         |), tr AS (
+         |  SELECT d.dims, p.vec_id, x.vec_id AS nb_id
+         |  FROM embeddings p
+         |  JOIN embeddings x ON x.vec_id <> p.vec_id
+         |  CROSS JOIN dms d
+         |  WHERE p.vec_id < 16
+         |  QUALIFY row_number() OVER (PARTITION BY d.dims, p.vec_id
+         |    ORDER BY ${sqlDot("list_slice(x.embedding, 1, d.dims)",
+                                "list_slice(p.embedding, 1, d.dims)")} DESC,
+         |      x.vec_id ASC) <= 3
+         |), ex AS (
+         |  SELECT d.dims, p.vec_id, x.vec_id AS nb_id
+         |  FROM embeddings p
+         |  JOIN embeddings x ON x.vec_id <> p.vec_id
+         |  CROSS JOIN dms d
+         |  WHERE p.vec_id < 16
+         |  QUALIFY row_number() OVER (PARTITION BY d.dims, p.vec_id
+         |    ORDER BY ${sqlDot("x.embedding", "p.embedding")} DESC,
+         |      x.vec_id ASC) <= 3
+         |)
+         |SELECT CAST(ex.dims AS BIGINT) AS dims, ex.vec_id,
+         |  CAST(COUNT(tr.nb_id) AS BIGINT) AS n_hit,
+         |  CAST(3 AS BIGINT) AS n_exact
+         |FROM ex LEFT JOIN tr
+         |  ON tr.dims = ex.dims AND tr.vec_id = ex.vec_id
+         |    AND tr.nb_id = ex.nb_id
+         |GROUP BY ex.dims, ex.vec_id
+         |ORDER BY dims ASC NULLS LAST, ex.vec_id ASC NULLS LAST""".stripMargin,
 
     // Mirrors q_embed_rp's md5-parity sign matrix exactly: strpos is
     // 1-based, so (strpos − 1) is the Scala indexOf and even index → +1

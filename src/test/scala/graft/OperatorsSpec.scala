@@ -382,6 +382,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_multimodal_tiff dispatches on the II/MM byte-order marker, " +
+      "follows the variable IFD offset, and scans entries by tag") {
+    import spark.implicits._
+    val out = Multimodal.queries("q_multimodal_tiff")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    assert(docs.nonEmpty && out.size == docs.length)
+    docs.foreach { case (id, nChars) =>
+      val r = out(id)
+      if (id % 5 == 0) {
+        assert(!r.getBoolean(1), s"doc $id should not sniff as TIFF")
+        assert(r.isNullAt(2) && r.isNullAt(4) && r.isNullAt(5))
+      } else {
+        assert(r.getBoolean(1), s"doc $id should sniff as TIFF")
+        assert(r.getString(2) == (if (id % 2 == 0) "LE" else "BE"),
+          s"byte order doc $id")
+        val n = if (id % 3 == 0) 4L else 3L
+        assert(r.getLong(3) == n, s"entry count doc $id")
+        assert(r.getLong(4) == nChars, s"width doc $id")
+        assert(r.getLong(5) == nChars / 2 + 1, s"height doc $id")
+        assert(r.getLong(6) == 1 + id % 2, s"compression doc $id")
+        if (id % 3 == 0) assert(r.getLong(7) == 300L, s"xres doc $id")
+        else assert(r.isNullAt(7), s"xres must be absent for doc $id")
+      }
+    }
+  }
+
   test("q_window_rolling_median equals a plain-Scala trailing-5 median") {
     import spark.implicits._
     val out = EventAnalytics.queries("q_window_rolling_median")(spark, sf)

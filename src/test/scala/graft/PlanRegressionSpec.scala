@@ -136,6 +136,8 @@ class PlanRegressionSpec extends SparkSpec {
       // (recall) — bounded constants independent of corpus size, the
       // broadcast-k centroid-assignment argument
       "q_ann_ivf_curve", "q_ann_recall", "q_ann_recall_multi",
+      // the same FIXED 16-row probe panel broadcast, once per dims level
+      "q_ann_dim_truncate",
       // 1-row broadcast of corpus totals (mixture) / the minority class
       // size (balance) / the node count (pagerank) on a constant key —
       // the q_text_docfreq shape

@@ -124,6 +124,24 @@ class VectorTrainSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_dim_truncate: one bounded row per (dims, probe), and the " +
+      "32-dim prefix retains at least the 16-dim prefix's aggregate " +
+      "recall (fixture-measured: 13 vs 6 of 48 at sf0.001)") {
+    val rows = VectorOps.queries("q_ann_dim_truncate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(16L, 32L))
+    Seq(16L, 32L).foreach { dm =>
+      assert(rows.filter(_._1 == dm).map(_._2).sorted.toSeq ==
+        (0L until 16L), s"dims=$dm must cover the 16-probe panel")
+    }
+    rows.foreach { case (_, _, hit, total) =>
+      assert(total == 3L && hit >= 0 && hit <= 3)
+    }
+    def tot(dm: Long) = rows.filter(_._1 == dm).map(_._3).sum
+    assert(tot(32) >= tot(16),
+      s"32-dim recall ${tot(32)} below 16-dim ${tot(16)}")
+  }
+
   test("q_kmeans_iter assigns by argmax cosine and averages exactly") {
     val out = VectorOps.queries("q_kmeans_iter")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
