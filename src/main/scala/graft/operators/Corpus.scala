@@ -345,6 +345,43 @@ object Corpus {
         .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))
     }),
 
+    // k-core decomposition (k = 2) of the near-dup graph by iterative
+    // peeling: repeatedly drop vertices whose degree among SURVIVING
+    // vertices is < 2; what remains is the 2-core — the cyclically
+    // interlinked duplication backbone (a doc near-dup to 2+ docs that
+    // are themselves interlinked), as opposed to the chains and stars
+    // q_graph_cc_sizes counts. Three peel rounds are unrolled on BOTH
+    // engines (identical even if the fixed point lands earlier — extra
+    // rounds are no-ops), then the final in-core degree is recomputed
+    // over the peeled vertex set. Scale: each round is one keyed degree
+    // aggregate (map-side combine) plus two endpoint semi-joins on the
+    // persisted symmetric edge list — the standard distributed peel,
+    // bounded rounds, never a per-vertex loop on the driver.
+    "q_graph_kcore" -> ((s, d) => {
+      val pairs = TextDedup.nearDuplicates(t(s, d, "documents"))
+        .select("id_a", "id_b")
+      val sym = pairs.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select("e.src", "e.dst")
+        .persist()
+      var nodes = sym.select(col("src").as("id")).distinct()
+      for (_ <- 1 to 3) {
+        nodes = sym
+          .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2)
+          .select(col("src").as("id"))
+      }
+      sym
+        .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("core_deg"))
+        .select(col("src").as("doc_id"), col("core_deg"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // Benchmark decontamination: eval split = doc_id % 5 == 0; a train
     // document is contaminated if any of its distinct 8-gram hashes
     // appears anywhere in the eval split. Scale: the eval gram set is
@@ -782,6 +819,39 @@ object Corpus {
         |FROM sz GROUP BY cluster_size
         |ORDER BY cluster_size ASC NULLS LAST""".stripMargin
 
+  /** Three unrolled peels mirroring the Spark loop exactly (the round
+    * CTEs are generated by the same 1-to-3 loop); each join target n_i
+    * holds unique ids, so the inner joins are the Spark side's
+    * semi-joins. The final degree recomputes over the last vertex set. */
+  private def kcoreOracle: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""
+         |), d$r AS (
+         |  SELECT e.src, COUNT(*) AS c FROM e0 e
+         |  JOIN n${r - 1} a ON e.src = a.id
+         |  JOIN n${r - 1} b ON e.dst = b.id
+         |  GROUP BY e.src
+         |), n$r AS (
+         |  SELECT src AS id FROM d$r WHERE c >= 2""".stripMargin
+    }.mkString
+    s"""WITH pairs AS (
+       |${TextOps.dedupPairsSubquery}
+       |), e0 AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), n0 AS (
+       |  SELECT DISTINCT src AS id FROM e0$rounds
+       |), df AS (
+       |  SELECT e.src, COUNT(*) AS c FROM e0 e
+       |  JOIN n3 a ON e.src = a.id
+       |  JOIN n3 b ON e.dst = b.id
+       |  GROUP BY e.src
+       |)
+       |SELECT src AS doc_id, c AS core_deg FROM df
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_dedup_clusters" -> clustersOracle,
     "q_dedup_survivor" -> survivorOracle,
@@ -789,6 +859,7 @@ object Corpus {
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_triangles" -> trianglesOracle,
     "q_graph_jaccard" -> graphJaccardOracle,
+    "q_graph_kcore" -> kcoreOracle,
 
     "q_decontaminate" ->
       s"""WITH g AS (

@@ -130,7 +130,38 @@ object Quality {
           (col("n_tokens") * col("n_tokens") - col("sum_sq")).cast("double")
             / (col("n_tokens") * col("n_tokens")))
         .select("doc_id", "n_tokens", "sum_sq", "gini")
-        .orderBy(asc_nulls_last("doc_id")))
+        .orderBy(asc_nulls_last("doc_id"))),
+
+    // Hashed-feature linear quality classifier — the fastText-shaped
+    // "model-based filter" stage of a curation pipeline (a linear score
+    // over hashed bag-of-words features), with the hashing trick
+    // standing in for a trained weight table: weight(token) =
+    // hexdigit(md5(token)[0]) · 2 − 15, an odd integer in [−15, 15]
+    // (never zero — no sign ties), so the per-doc score is an exact
+    // BIGINT sum over token instances and keep = score > 0 is
+    // engine-identical. The report is the per-(source, lang) keep-rate
+    // matrix a filter rollout review reads. Scale: hashing needs no
+    // broadcast weight table at all (the trick's point); one narrow
+    // hash-per-token map, then two keyed aggregates with map-side
+    // combine — linear, two slim shuffles.
+    "q_quality_linear" -> ((s, d) => {
+      val sc = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("w", expr(
+          "CAST((instr('0123456789abcdef', substring(md5(tok), 1, 1)) " +
+            "- 1) * 2 - 15 AS BIGINT)"))
+        .groupBy("doc_id", "source", "lang")
+        .agg(sum("w").as("score"))
+      sc.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_keep"),
+          sum("score").as("sum_score"))
+        .withColumn("keep_rate",
+          col("n_keep").cast("double") / col("n_docs"))
+        .orderBy(asc_nulls_last("source"), asc_nulls_last("lang"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -191,6 +222,31 @@ object Quality {
         |SELECT doc_id, n_tokens, sum_sq,
         |  CAST(n_tokens * n_tokens - sum_sq AS DOUBLE)
         |    / (n_tokens * n_tokens) AS gini
-        |FROM m ORDER BY doc_id ASC NULLS LAST""".stripMargin
+        |FROM m ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // strpos is DuckDB's 1-based instr; md5 hex is lowercase on both
+    // engines, so the hashed weight is integer-identical per token.
+    "q_quality_linear" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, lang,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL
+        |), sc AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(SUM((strpos('0123456789abcdef',
+        |      substring(md5(tok), 1, 1)) - 1) * 2 - 15) AS BIGINT)
+        |      AS score
+        |  FROM tk GROUP BY doc_id, source, lang
+        |), agg AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_keep,
+        |    CAST(SUM(score) AS BIGINT) AS sum_score
+        |  FROM sc GROUP BY source, lang
+        |)
+        |SELECT source, lang, n_docs, n_keep, sum_score,
+        |  CAST(n_keep AS DOUBLE) / n_docs AS keep_rate
+        |FROM agg
+        |ORDER BY source ASC NULLS LAST, lang ASC NULLS LAST""".stripMargin
   )
 }

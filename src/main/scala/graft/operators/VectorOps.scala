@@ -935,6 +935,73 @@ object VectorOps {
         .orderBy(asc_nulls_last("cluster"), asc_nulls_last("pos"))
     }),
 
+    // Two unrolled Lloyd iterations with an exact convergence readout —
+    // the "is clustering converging" diagnostic a training pipeline
+    // reads before trusting an IVF index: per iteration the total
+    // inertia (Σ min squared L2) and, for iteration 2, how many vectors
+    // changed cluster. Runs ENTIRELY on the scaled-BIGINT grid — the
+    // seed centroids are the integer-grid first-8 vectors, assignment
+    // is exact-integer argmin L2 (cid tie-break), the iteration-2
+    // centroids re-enter the grid via the proven floor(sum/n + 0.5),
+    // so both inertia values and the moved count are engine-identical
+    // (inertia sums route through DECIMAL(38,0): ~4e14 per vector
+    // would overrun BIGINT near 20k vectors). Scale: per iteration one
+    // broadcast-8 assignment pass + one slim (cluster, dim) shuffle
+    // with map-side combine — the canonical distributed k-means loop,
+    // with NO growing lineage (two fixed iterations).
+    "q_kmeans_converge" -> ((s, d) => {
+      val ints = t(s, d, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .withColumn("iv", expr(
+          "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
+            "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
+        .select("vec_id", "iv")
+        .persist()
+      def assign(cents: DataFrame): DataFrame = {
+        val wA = Window.partitionBy("vec_id")
+          .orderBy(asc_nulls_last("dist"), asc_nulls_last("cid"))
+        ints.withColumn("_one", lit(1)).join(cents, "_one")
+          .withColumn("dist", expr(
+            "aggregate(zip_with(iv, civ, (x, y) -> (x - y) * (x - y)), " +
+              "CAST(0 AS BIGINT), (a, v) -> a + v)"))
+          .withColumn("_rn", row_number().over(wA))
+          .filter(col("_rn") === 1)
+          .select(col("vec_id"), col("cid").as("cluster"), col("dist"))
+      }
+      val c1 = broadcast(ints.filter(col("vec_id") < IvfCentroids)
+        .select(col("vec_id").cast("long").as("cid"), col("iv").as("civ"),
+          lit(1).as("_one")))
+      val a1 = assign(c1).persist()
+      val c2 = broadcast(a1.join(ints, "vec_id")
+        .select(col("cluster"), posexplode(col("iv")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(expr("CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5D) " +
+          "AS BIGINT)").as("mv"))
+        .groupBy("cluster")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, mv))), " +
+          "s -> s.mv)").as("civ"))
+        .select(col("cluster").as("cid"), col("civ"), lit(1).as("_one")))
+      val a2 = assign(c2)
+      val moved = a1.select(col("vec_id"), col("cluster").as("ca"))
+        .join(a2.select(col("vec_id"), col("cluster").as("cb")), "vec_id")
+        .agg(sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L))
+          .as("n_moved"))
+        .withColumn("_one", lit(1))
+      val r1 = a1
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("SUM(CAST(dist AS DECIMAL(38,0)))").as("inertia"))
+        .select(lit(1L).as("iter"), col("n_vecs"), col("inertia"),
+          lit(null).cast("long").as("n_moved"))
+      val r2 = a2
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("SUM(CAST(dist AS DECIMAL(38,0)))").as("inertia"))
+        .withColumn("_one", lit(1))
+        .join(broadcast(moved), "_one")
+        .select(lit(2L).as("iter"), col("n_vecs"), col("inertia"),
+          col("n_moved"))
+      r1.unionByName(r2).orderBy(asc_nulls_last("iter"))
+    }),
+
     // Product quantization (the IVF-PQ compression half): each vector
     // splits into PqM contiguous sub-vectors; each sub-vector snaps to
     // its nearest codebook slice (min exact L2, codebook = slices of the
@@ -1613,6 +1680,65 @@ object VectorOps {
          |    AND tr.nb_id = ex.nb_id
          |GROUP BY ex.dims, ex.vec_id
          |ORDER BY dims ASC NULLS LAST, ex.vec_id ASC NULLS LAST""".stripMargin,
+
+    // The residualOracleCtes integer-grid idiom: explode over dims,
+    // exact-BIGINT squared distances grouped per (vec, centroid),
+    // argmin by (dist, cid), floor(sum/n + 0.5) grid means; inertia
+    // through DECIMAL(38,0) (DuckDB sums BIGINT into HUGEINT — the
+    // cast pins the output type to Spark's).
+    "q_kmeans_converge" ->
+      s"""WITH iv AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) * 10000000
+         |      AS BIGINT)) AS iv
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), e AS (
+         |  SELECT vec_id, iv, unnest(generate_series(1, $EmbDim)) AS i
+         |  FROM iv
+         |), c1 AS (
+         |  SELECT vec_id AS cid, iv AS civ FROM iv WHERE vec_id < $IvfCentroids
+         |), d1 AS (
+         |  SELECT v.vec_id, c.cid,
+         |    CAST(SUM((v.iv[v.i] - c.civ[v.i]) * (v.iv[v.i] - c.civ[v.i]))
+         |      AS BIGINT) AS dist
+         |  FROM e v, c1 c GROUP BY v.vec_id, c.cid
+         |), a1 AS (
+         |  SELECT vec_id, cid AS cluster, dist FROM d1
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist ASC, cid ASC) = 1
+         |), m2 AS (
+         |  SELECT a1.cluster, t.i,
+         |    CAST(floor(CAST(SUM(t.iv[t.i]) AS DOUBLE) / COUNT(*) + 0.5)
+         |      AS BIGINT) AS mv
+         |  FROM e t JOIN a1 ON t.vec_id = a1.vec_id
+         |  GROUP BY a1.cluster, t.i
+         |), d2 AS (
+         |  SELECT v.vec_id, m.cluster AS cid,
+         |    CAST(SUM((v.iv[v.i] - m.mv) * (v.iv[v.i] - m.mv)) AS BIGINT)
+         |      AS dist
+         |  FROM e v JOIN m2 m ON v.i = m.i
+         |  GROUP BY v.vec_id, m.cluster
+         |), a2 AS (
+         |  SELECT vec_id, cid AS cluster, dist FROM d2
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist ASC, cid ASC) = 1
+         |), r1 AS (
+         |  SELECT CAST(1 AS BIGINT) AS iter,
+         |    CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |    CAST(SUM(dist) AS DECIMAL(38,0)) AS inertia,
+         |    CAST(NULL AS BIGINT) AS n_moved
+         |  FROM a1
+         |), r2 AS (
+         |  SELECT CAST(2 AS BIGINT) AS iter,
+         |    CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |    CAST(SUM(dist) AS DECIMAL(38,0)) AS inertia,
+         |    (SELECT CAST(SUM(CASE WHEN x.cluster <> y.cluster
+         |        THEN 1 ELSE 0 END) AS BIGINT)
+         |     FROM a1 x JOIN a2 y ON x.vec_id = y.vec_id) AS n_moved
+         |  FROM a2
+         |)
+         |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         |ORDER BY iter ASC NULLS LAST""".stripMargin,
 
     // Mirrors q_embed_rp's md5-parity sign matrix exactly: strpos is
     // 1-based, so (strpos − 1) is the Scala indexOf and even index → +1

@@ -34,6 +34,33 @@ class CorpusSpec extends SparkSpec {
     assert(surv == out.values.toSet)
   }
 
+  test("q_graph_kcore equals a plain-Scala peel to the true 2-core " +
+      "(and the fixture converges within the 3 unrolled rounds)") {
+    val pairs = TextDedup.nearDuplicates(Tables.table(spark, sf, "documents"))
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Scala reference: peel to the TRUE fixed point
+    var edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.length }
+      val keep = deg.filter(_._2 >= 2).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next.length != edges.length
+      edges = next
+      if (changed) rounds += 1
+    }
+    assert(rounds <= 3,
+      s"fixture needs $rounds peel rounds; the declared query unrolls 3")
+    val expected = edges.groupBy(_._1)
+      .map { case (v, es) => v -> es.length.toLong }
+    val out = Corpus.queries("q_graph_kcore")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == expected, s"2-core mismatch: got $out want $expected")
+    out.values.foreach(d => assert(d >= 2))
+  }
+
   test("connectedComponents converges in O(log diameter) rounds on a " +
       "256-node path and labels it exactly") {
     // a single path 0–1–2–…–255: worst case for plain min-label

@@ -410,6 +410,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_quality_linear equals a plain-Scala hashed linear scorer") {
+    import spark.implicits._
+    val out = Quality.queries("q_quality_linear")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .select("source", "lang", "text")
+      .as[(String, String, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(tok: String): Long = {
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ("0123456789abcdef".indexOf(hex.charAt(0)).toLong * 2) - 15
+    }
+    val expected = docs.filter(_._3 != null)
+      .map { case (src, lg, text) =>
+        (src, lg, text.split(" ", -1).map(weight).sum)
+      }
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, rows) =>
+        k -> (rows.length.toLong, rows.count(_._3 > 0).toLong,
+          rows.map(_._3).sum)
+      }
+    assert(out == expected)
+  }
+
   test("q_window_rolling_median equals a plain-Scala trailing-5 median") {
     import spark.implicits._
     val out = EventAnalytics.queries("q_window_rolling_median")(spark, sf)

@@ -138,6 +138,9 @@ class PlanRegressionSpec extends SparkSpec {
       "q_ann_ivf_curve", "q_ann_recall", "q_ann_recall_multi",
       // the same FIXED 16-row probe panel broadcast, once per dims level
       "q_ann_dim_truncate",
+      // broadcast-8 integer-grid centroid assignment (twice) + the
+      // 1-row moved-count broadcast on a constant key
+      "q_kmeans_converge",
       // 1-row broadcast of corpus totals (mixture) / the minority class
       // size (balance) / the node count (pagerank) on a constant key —
       // the q_text_docfreq shape

@@ -142,6 +142,23 @@ class VectorTrainSpec extends SparkSpec {
       s"32-dim recall ${tot(32)} below 16-dim ${tot(16)}")
   }
 
+  test("q_kmeans_converge: the Lloyd update strictly reduces inertia on " +
+      "the fixture (81e15 -> 47e15 at sf0.001) and moves a positive " +
+      "minority of vectors") {
+    val rows = VectorOps.queries("q_kmeans_converge")(spark, sf).collect()
+    assert(rows.length == 2)
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    assert(r1.getLong(1) == r2.getLong(1), "vector count must not change")
+    val i1 = BigDecimal(r1.getDecimal(2))
+    val i2 = BigDecimal(r2.getDecimal(2))
+    assert(i2 < i1, s"iteration-2 inertia $i2 not below $i1")
+    assert(r1.isNullAt(3), "iteration 1 has no previous assignment")
+    val moved = r2.getLong(3)
+    assert(moved > 0 && moved < r2.getLong(1),
+      s"moved count $moved out of band")
+  }
+
   test("q_kmeans_iter assigns by argmax cosine and averages exactly") {
     val out = VectorOps.queries("q_kmeans_iter")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
