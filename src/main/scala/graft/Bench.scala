@@ -171,7 +171,8 @@ object Bench {
     "q_basket_pairs" -> "b9", "q_ann_ivfpq_residual" -> "i9",
     "q_window_analytic2" -> "y2", "q_text_editdist" -> "t9",
     "q_cohort_ltv" -> "l9", "q_customer_rfm" -> "r9",
-    "q_dedup_lookup" -> "k9")
+    "q_dedup_lookup" -> "k9", "q_skew_profile" -> "w9",
+    "q_embed_cov" -> "e9", "q_changepoint" -> "g9")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

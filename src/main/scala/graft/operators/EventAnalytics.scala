@@ -584,6 +584,42 @@ object EventAnalytics {
     // calendar day, bounded by the span of time, not the event count
     // (the q_concurrency_peak carry-window argument; the event-grain
     // work is all in the partial day aggregation below it).
+    // Change-point detection (binary segmentation, one split): for every
+    // candidate split day k the between-segment objective
+    // SL²/nL + SR²/nR over the daily-total series — maximizing it
+    // minimizes total within-segment SSE (the one-split special case of
+    // Scott & Knott / PELT-style segmentation), so the output curve IS
+    // the segmentation decision surface with the argmax as the change
+    // point. Same scale shape as q_ts_cusum: the event-grain work is ONE
+    // keyed day aggregation; the prefix sums run over the DAY-GRAIN
+    // frame (bounded by the calendar span, not the event count —
+    // allowlisted in PlanRegressionSpec with the cusum rationale); both
+    // segment sums are exact decimals and the score is the identical
+    // 7-op IEEE tree on both engines.
+    "q_changepoint" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).as("s"))
+      val w = Window.orderBy(asc_nulls_last("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = broadcast(daily.agg(count(lit(1)).as("nd"),
+        sum("s").as("stot")).withColumn("_one", lit(1)))
+      // one select → ONE Window node (the q_ts_cusum frame-merge)
+      daily.select(col("day"), row_number().over(w).as("t"),
+          sum("s").over(w).as("cl"))
+        .withColumn("_one", lit(1)).join(tot, "_one")
+        .filter(col("t") < col("nd")) // right segment must be non-empty
+        .select(col("day").as("split_day"),
+          col("t").cast("long").as("n_left"),
+          (col("nd") - col("t")).as("n_right"),
+          (col("cl").cast("double") * col("cl").cast("double")
+              / col("t")
+            + (col("stot") - col("cl")).cast("double")
+              * (col("stot") - col("cl")).cast("double")
+              / (col("nd") - col("t"))).as("score"))
+        .orderBy(asc_nulls_last("split_day"))
+    }),
+
     "q_ts_cusum" -> ((s, d) => {
       val daily = t(s, d, "events")
         .groupBy(to_date(col("ts")).as("day"))
@@ -1099,6 +1135,32 @@ object EventAnalytics {
     // Same exact-decimal centering (dev = cum·n − t·S); argmax and the
     // earliest-day tie-break compare exact decimals, the division by n
     // runs after the max with the VARCHAR-routed double cast.
+    // The cusum CTE skeleton with the split-score readout; decimal
+    // prefix/segment sums route to DOUBLE via VARCHAR (Det.sqlDsum
+    // rationale) and the score repeats Spark's exact operand tree.
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS s
+        |  FROM events GROUP BY 1
+        |), tot AS (SELECT COUNT(*) AS nd, SUM(s) AS stot FROM daily),
+        |c AS (
+        |  SELECT day,
+        |    ROW_NUMBER() OVER (ORDER BY day ASC NULLS LAST) AS t,
+        |    SUM(s) OVER (ORDER BY day ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+        |  FROM daily
+        |)
+        |SELECT day AS split_day, t AS n_left,
+        |  (SELECT nd FROM tot) - t AS n_right,
+        |  CAST(CAST(cl AS VARCHAR) AS DOUBLE)
+        |    * CAST(CAST(cl AS VARCHAR) AS DOUBLE) / t
+        |  + CAST(CAST((SELECT stot FROM tot) - cl AS VARCHAR) AS DOUBLE)
+        |    * CAST(CAST((SELECT stot FROM tot) - cl AS VARCHAR) AS DOUBLE)
+        |    / ((SELECT nd FROM tot) - t) AS score
+        |FROM c WHERE t < (SELECT nd FROM tot)
+        |ORDER BY split_day ASC NULLS LAST""".stripMargin,
+
     "q_ts_cusum" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day,

@@ -101,6 +101,33 @@ object Skew {
           min(expr("l_partkey % 65536")).as("pk_min"),
           max(expr("l_partkey % 65536")).as("pk_max"))
         .orderBy(asc_nulls_last("z_bucket"))
+    }),
+
+    // Key-skew profile — the diagnostic you run BEFORE choosing between
+    // a plain shuffle join and the salted rewrites above: the exact
+    // distribution of rows-per-key as a count-of-counts histogram, plus
+    // each stratum's share of keys and of rows. Two chained hash
+    // aggregations (key → count, count → n_keys) — both shuffles carry
+    // only slim (key,count)/(count,n) rows, so the profile costs one
+    // pass at any scale; the 1-row grand-total frame broadcasts back.
+    // Shares are ONE IEEE division of exact BIGINTs each. A heavy tail
+    // here (few keys holding a large row_share) is the signal to route
+    // the join through saltedJoin / AQE skew handling.
+    "q_skew_profile" -> ((s, d) => {
+      val perKey = graft.Tables.table(s, d, "lineitem")
+        .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      val tot = broadcast(perKey
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"))
+        .withColumn("_one", lit(1)))
+      perKey.groupBy("c").agg(count(lit(1)).as("n_keys_c"))
+        .withColumn("_one", lit(1)).join(tot, "_one")
+        .select(col("c").as("rows_per_key"), col("n_keys_c"),
+          (col("n_keys_c").cast("double") / col("n_keys"))
+            .as("key_share"),
+          ((col("c") * col("n_keys_c")).cast("double") / col("n_rows"))
+            .as("row_share"))
+        .orderBy(asc_nulls_last("rows_per_key"))
     })
   )
 
@@ -139,6 +166,19 @@ object Skew {
          |  max(l_partkey % 65536) AS pk_max
          |FROM lineitem
          |GROUP BY 1
-         |ORDER BY z_bucket ASC NULLS LAST""".stripMargin
+         |ORDER BY z_bucket ASC NULLS LAST""".stripMargin,
+
+    "q_skew_profile" ->
+      """WITH pk AS (
+        |  SELECT l_partkey, COUNT(*) AS c FROM lineitem
+        |  GROUP BY l_partkey
+        |), tot AS (SELECT COUNT(*) AS n_keys, SUM(c) AS n_rows FROM pk)
+        |SELECT c AS rows_per_key, COUNT(*) AS n_keys_c,
+        |  CAST(COUNT(*) AS DOUBLE) / (SELECT n_keys FROM tot)
+        |    AS key_share,
+        |  CAST(c * COUNT(*) AS DOUBLE) / (SELECT n_rows FROM tot)
+        |    AS row_share
+        |FROM pk GROUP BY c
+        |ORDER BY rows_per_key ASC NULLS LAST""".stripMargin
   )
 }

@@ -842,6 +842,69 @@ object VectorOps {
         .select("pos", "n", "mean", "variance", "x_min", "x_max")
         .orderBy(asc_nulls_last("pos"))),
 
+    // Cross-dimension covariance (upper triangle of the full dim×dim
+    // matrix) — the distributed Gram-matrix building block behind PCA /
+    // whitening / decorrelation audits of an embedding store, and the
+    // pairwise generalization of q_embed_dim_stats (whose per-dim
+    // variance is this query's diagonal). Each row fans out to its
+    // dim·(dim+1)/2 = 2080 upper-triangle products in-task; map-side
+    // partial aggregation collapses the fan-out BEFORE the shuffle, so
+    // the exchange carries ≤ partitions × 2080 slim partial rows no
+    // matter the corpus size — the canonical one-pass second-moment
+    // shape (no per-row self-join, no global anything). The marginal
+    // sums Σx/Σy are NOT carried through the pair fan-out (they would
+    // be 64-fold redundant there — measured 40% of the map-side cost):
+    // one extra posexplode pass computes the 64-row per-dim sum frame,
+    // broadcast-joined back onto the 2080 aggregated cells.
+    //
+    // Determinism: values are quantized to exact scale-8 integers via
+    // floor(x·1e8 + 0.5) — pure IEEE double ops that both engines
+    // evaluate identically — NOT a decimal cast: a float can be a
+    // dyadic whose decimal expansion is exactly scale+1 digits ending
+    // in 5 (the fixture contains −0.27392578125 = −561/2048, an exact
+    // tie at scale 10), and on genuine ties Spark's cast rounds HALF_UP
+    // while DuckDB's rounds half-even — the one case Det's
+    // "ties are not binary-representable" argument does not cover.
+    // Scale 8 (not 10) keeps every sum in PRIMITIVE BIGINT inside
+    // whole-stage codegen — 31M Decimal allocations at sf0.1 cost 3×
+    // the whole query (measured 4.3 s → 1.x s) — with real headroom:
+    // |x·y|·1e8 ≤ ~2e9 per element sums to 2e18 < 2^63 at 1e9 vectors.
+    // cov = Σxy/n/1e8 − (Σx/n/1e8)(Σy/n/1e8) is the same IEEE op tree
+    // on both engines over identical operands (sums < 2^53 convert to
+    // DOUBLE exactly; beyond, both engines round correctly — the
+    // oracle routes via VARCHAR like Det.sqlDsum).
+    "q_embed_cov" -> ((s, d) => {
+      val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      val dims = e
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(sum(expr(
+          "CAST(floor(CAST(x AS DOUBLE) * 1e8 + 0.5) AS BIGINT)"))
+          .cast("double").as("sv"))
+      e.select(explode(expr(
+          s"""flatten(transform(sequence(0, ${EmbDim - 1}), i ->
+             |  transform(sequence(i, ${EmbDim - 1}), j -> struct(
+             |    i AS i, j AS j,
+             |    CAST(floor(CAST(embedding[i] AS DOUBLE)
+             |      * CAST(embedding[j] AS DOUBLE) * 1e8 + 0.5)
+             |      AS BIGINT) AS p))))""".stripMargin)).as("c"))
+        .select(col("c.i"), col("c.j"), col("c.p"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"),
+          sum("p").cast("double").as("sxy"))
+        .join(broadcast(dims.select(col("pos").as("i"),
+          col("sv").as("sx"))), "i")
+        .join(broadcast(dims.select(col("pos").as("j"),
+          col("sv").as("sy"))), "j")
+        .select(col("i"), col("j"), col("n"),
+          (col("sxy") / col("n") / lit(1e8)).as("e_xy"),
+          (col("sxy") / col("n") / lit(1e8)
+            - (col("sx") / col("n") / lit(1e8))
+              * (col("sy") / col("n") / lit(1e8)))
+            .as("cov"))
+        .orderBy(asc_nulls_last("i"), asc_nulls_last("j"))
+    }),
+
     // Embedding outlier scan — the corpus-QA "which vectors are broken"
     // report (a mis-encoded batch, a zeroed row, a different model's
     // output): exact squared distance to the GLOBAL centroid, top-20.
@@ -1940,6 +2003,42 @@ object VectorOps {
          |  (n * sxx - sx * sx) / (n * n) AS variance,
          |  x_min, x_max
          |FROM g ORDER BY pos ASC NULLS LAST""".stripMargin,
+
+    // The 1-based series index i carries its embedding[i] alongside a
+    // second series from i; the floor(x·1e8 + 0.5) quantization is the
+    // identical IEEE double tree as the Spark struct (see the query's
+    // determinism note — a DECIMAL cast would tie-break differently on
+    // dyadic floats like −561/2048); the exact BIGINT sums (HUGEINT in
+    // DuckDB) route to DOUBLE via VARCHAR (Det.sqlDsum rationale) and
+    // the cov combine repeats Spark's op tree.
+    "q_embed_cov" ->
+      s"""WITH p AS (
+         |  SELECT unnest(generate_series(1, $EmbDim)) AS i, embedding
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), pp AS (
+         |  SELECT i, unnest(generate_series(i, $EmbDim)) AS j, embedding
+         |  FROM p
+         |), v AS (
+         |  SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE)
+         |      * CAST(embedding[j] AS DOUBLE) * 1e8 + 0.5)
+         |      AS BIGINT) AS p,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e8 + 0.5)
+         |      AS BIGINT) AS vi,
+         |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1e8 + 0.5)
+         |      AS BIGINT) AS vj
+         |  FROM pp
+         |), g AS (
+         |  SELECT i, j, COUNT(*) AS n,
+         |    CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS sxy,
+         |    CAST(CAST(SUM(vi) AS VARCHAR) AS DOUBLE) AS sx,
+         |    CAST(CAST(SUM(vj) AS VARCHAR) AS DOUBLE) AS sy
+         |  FROM v GROUP BY i, j
+         |)
+         |SELECT i, j, n, sxy / n / 1e8 AS e_xy,
+         |  sxy / n / 1e8 - (sx / n / 1e8) * (sy / n / 1e8) AS cov
+         |FROM g
+         |ORDER BY i ASC NULLS LAST, j ASC NULLS LAST""".stripMargin,
 
     // Mirrors the three exact dots: per-dim scale-7 means, c·c at scale
     // 8, x·c at scale 8 (the ivf_trained "ta" fold), x·x at scale 10

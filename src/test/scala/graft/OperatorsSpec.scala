@@ -905,6 +905,85 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 50)
   }
 
+  test("q_skew_profile strata account every key and every row") {
+    val out = Skew.queries("q_skew_profile")(spark, sf).collect()
+    val perKey = Tables.table(spark, sf, "lineitem")
+      .groupBy("l_partkey").count().collect()
+      .map(_.getLong(1))
+    // strata sum back to the exact key and row totals
+    assert(out.map(_.getLong(1)).sum == perKey.length.toLong)
+    assert(out.map(r => r.getLong(0) * r.getLong(1)).sum == perKey.sum)
+    // shares are the exact single-division values and sum to 1
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    // the histogram is the true count-of-counts
+    val expect = perKey.groupBy(identity).view.mapValues(_.length.toLong)
+    out.foreach(r => assert(expect(r.getLong(0)) == r.getLong(1),
+      s"stratum ${r.getLong(0)}"))
+  }
+
+  test("q_embed_cov matches brute-force quantized covariance and has " +
+      "the dim-stats variance on its diagonal") {
+    import spark.implicits._
+    val out = VectorOps.queries("q_embed_cov")(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.size == 64 * 65 / 2)
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select("embedding").as[Seq[Float]].collect()
+    val n = vecs.length
+    // brute-force the exact quantized sums for a probe set of cells
+    for ((i, j) <- Seq((0, 0), (0, 32), (5, 17), (63, 63), (31, 32))) {
+      var sxy = 0L; var sx = 0L; var sy = 0L
+      vecs.foreach { v =>
+        val x = v(i).toDouble; val y = v(j).toDouble
+        sxy += math.floor(x * y * 1e8 + 0.5).toLong
+        sx += math.floor(x * 1e8 + 0.5).toLong
+        sy += math.floor(y * 1e8 + 0.5).toLong
+      }
+      val (gn, exy, cov) = out((i, j))
+      assert(gn == n.toLong)
+      val eExy = sxy.toDouble / n / 1e8
+      assert(exy == eExy, s"e_xy($i,$j)")
+      val eCov = sxy.toDouble / n / 1e8 -
+        (sx.toDouble / n / 1e8) * (sy.toDouble / n / 1e8)
+      assert(cov == eCov, s"cov($i,$j)")
+      // diagonal is a variance: non-negative up to quantization noise
+      if (i == j) assert(cov > -1e-9, s"diag($i) negative: $cov")
+    }
+  }
+
+  test("q_changepoint scores every proper split and its argmax is the " +
+      "true one-split SSE minimizer") {
+    val out = EventAnalytics.queries("q_changepoint")(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val daily = Tables.table(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("s"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getDecimal(1)))
+      .sortBy(_._1)
+    val nd = daily.length
+    assert(out.length == nd - 1) // every split with a non-empty right
+    val vals = daily.map(_._2.doubleValue())
+    // exact segment-count bookkeeping
+    out.zipWithIndex.foreach { case ((day, nl, nr, _), k) =>
+      assert(day == daily(k)._1 && nl == k + 1L && nr == nd - k - 1L)
+    }
+    // the score-maximizing split also minimizes brute-force total SSE
+    def sse(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum
+    }
+    val bestByScore = out.maxBy(_._4)._1
+    val bestBySse = (1 until nd).minBy { k =>
+      sse(vals.take(k)) + sse(vals.drop(k))
+    }
+    assert(bestByScore == daily(bestBySse - 1)._1)
+  }
+
   test("weighted-mean aggregator equals the exact decimal formula") {
     import spark.implicits._
     val wavg = udaf(new WeightedMean(),

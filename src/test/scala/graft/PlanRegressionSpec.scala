@@ -92,6 +92,10 @@ class PlanRegressionSpec extends SparkSpec {
     // q_ts_cusum's rank+cumsum window likewise runs over the day-grain
     // frame (one row per calendar day), merged into a single node
     val allowed = Set("q_concurrency_peak", "q_ts_cusum",
+      // q_changepoint shares q_ts_cusum's skeleton: its single merged
+      // rank+prefix-sum window runs over the day-grain frame (one row
+      // per calendar day — bounded by the time span, not events)
+      "q_changepoint",
       // KS/MWU pooled-CDF carry: the global window runs over integer
       // value BUCKETS — bounded by the value domain (~330 rows), not the
       // event count (StatsTests.cumulative)
@@ -154,6 +158,14 @@ class PlanRegressionSpec extends SparkSpec {
       // 1-row broadcast of the global (n, Σx, Σx²) totals — the
       // q_text_docfreq shape
       "q_stats_ttest",
+      // 1-row broadcast of the (n_days, grand-total) frame; the
+      // non-empty-right-segment filter folds into the join condition so
+      // the probe plans as a nested loop against exactly one row — the
+      // q_stats_ttest shape
+      "q_changepoint",
+      // 1-row broadcast of the (n_keys, n_rows) grand totals — the
+      // q_text_docfreq shape
+      "q_skew_profile",
       // composes q_ann_ivfpq's bounded broadcasts with the 1-row exact
       // probe (the q_ann_ivf_curve ground-truth shape)
       "q_ann_pq_recall",
