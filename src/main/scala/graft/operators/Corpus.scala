@@ -367,12 +367,16 @@ object Corpus {
         .persist()
       var nodes = sym.select(col("src").as("id")).distinct()
       for (_ <- 1 to 3) {
+        // each round references `nodes` TWICE (src + dst semi-join);
+        // without the persist the surviving-vertex subtree doubles per
+        // round (8x recompute of round 1 by the final action)
         nodes = sym
           .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
           .groupBy("src").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 2)
           .select(col("src").as("id"))
+          .persist()
       }
       sym
         .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")

@@ -881,14 +881,21 @@ object VectorOps {
         .agg(sum(expr(
           "CAST(floor(CAST(x AS DOUBLE) * 1e8 + 0.5) AS BIGINT)"))
           .cast("double").as("sv"))
-      e.select(explode(expr(
-          s"""flatten(transform(sequence(0, ${EmbDim - 1}), i ->
-             |  transform(sequence(i, ${EmbDim - 1}), j -> struct(
-             |    i AS i, j AS j,
-             |    CAST(floor(CAST(embedding[i] AS DOUBLE)
-             |      * CAST(embedding[j] AS DOUBLE) * 1e8 + 0.5)
-             |      AS BIGINT) AS p))))""".stripMargin)).as("c"))
-        .select(col("c.i"), col("c.j"), col("c.p"))
+      // pair fan-out via two chained generators, NOT a nested
+      // transform/flatten HOF: explode(sequence) is plain codegen'd
+      // GenerateExec, so scan -> explode i -> explode j -> product ->
+      // partial agg fuses into ONE whole-stage pipeline with zero
+      // per-row array/struct allocation (the HOF form built 2080
+      // structs per row interpreted — measured 3.4 s vs 1.x s)
+      e.select(col("embedding"),
+          explode(expr(s"sequence(0, ${EmbDim - 1})")).as("i"))
+        .select(col("i"),
+          explode(expr(s"sequence(i, ${EmbDim - 1})")).as("j"),
+          col("embedding"))
+        .select(col("i"), col("j"), expr(
+          """CAST(floor(CAST(embedding[i] AS DOUBLE)
+            |  * CAST(embedding[j] AS DOUBLE) * 1e8 + 0.5)
+            |  AS BIGINT)""".stripMargin).as("p"))
         .groupBy("i", "j")
         .agg(count(lit(1)).as("n"),
           sum("p").cast("double").as("sxy"))
