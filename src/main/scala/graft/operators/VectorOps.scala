@@ -297,14 +297,20 @@ object VectorOps {
     * be the mean, not the raw seed), and the 1-row residual codebook
     * broadcast. */
   private def residualParts(s: SparkSession, d: String):
-      (DataFrame, DataFrame, DataFrame) = {
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = t(s, d, "embeddings")
     val ints = e.filter(col("embedding").isNotNull)
       .withColumn("iv", expr(
         "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
           "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
       .select("vec_id", "iv")
-    val cl = centroidAssign(s, e, e).select("vec_id", "cluster")
+      // four consumers (mean agg, residuals, code side, probe qiv) —
+      // uncached, each re-runs the decimal re-encoding scan
+      .persist()
+    // the full-corpus coarse assignment costs a window shuffle; it is
+    // needed by the mean aggregation, the residual join AND the caller's
+    // candidate filter — persist once, return it, never re-derive
+    val cl = centroidAssign(s, e, e).select("vec_id", "cluster").persist()
     val meanc = broadcast(ints.join(cl, "vec_id")
       .select(col("cluster"), posexplode(col("iv")).as(Seq("pos", "x")))
       .groupBy("cluster", "pos")
@@ -324,23 +330,22 @@ object VectorOps {
         col("vec_id").cast("long").as("cid"), col("rv").as("cv"))))
         .as("cbs"))
       .withColumn("_one", lit(1)))
-    (ints, meanc, rcb)
+    (ints, cl, meanc, rcb)
   }
 
   /** Per-vector residual PQ assignment: `rbest` = the per-sub-space
     * (dist ASC, cid ASC) argmin struct over the residual codebook. */
   private def residualEncoded(s: SparkSession, d: String): DataFrame = {
-    val (ints, meanc, rcb) = residualParts(s, d)
-    residualEncodedFrom(s, d, ints, meanc, rcb)
+    val (ints, cl, meanc, rcb) = residualParts(s, d)
+    residualEncodedFrom(s, d, ints, cl, meanc, rcb)
   }
 
   /** [[residualEncoded]] from already-built parts — lets
     * q_ann_ivfpq_residual share ONE parts subtree between its code and
     * table sides instead of re-deriving the mean aggregation. */
   private def residualEncodedFrom(s: SparkSession, d: String,
-      ints: DataFrame, meanc: DataFrame, rcb: DataFrame): DataFrame = {
-    val e = t(s, d, "embeddings")
-    val cl = centroidAssign(s, e, e).select("vec_id", "cluster")
+      ints: DataFrame, cl: DataFrame, meanc: DataFrame,
+      rcb: DataFrame): DataFrame = {
     ints.join(cl, "vec_id")
       .join(meanc, "cluster")
       .withColumn("rv", expr("zip_with(iv, civ, (x, y) -> x - y)"))
@@ -1146,12 +1151,11 @@ object VectorOps {
     // residual encoding's tighter quantization.
     "q_ann_ivfpq_residual" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val (ints, meanc, rcb) = residualParts(s, d)
-      val cl = centroidAssign(s, e, e).select("vec_id", "cluster")
+      val (ints, cl, meanc, rcb) = residualParts(s, d)
       val probeClusters = broadcast(
         centroidAssign(s, e, e.filter(col("vec_id") === 0), k = 2)
           .select(col("cluster").as("probe_cluster")))
-      val codes = residualEncodedFrom(s, d, ints, meanc, rcb)
+      val codes = residualEncodedFrom(s, d, ints, cl, meanc, rcb)
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), posexplode(expr(
           "transform(rbest, b -> b.cid)")).as(Seq("m", "cid")))
