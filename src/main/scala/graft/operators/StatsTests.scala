@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.Tables
+import graft.{Det, Tables}
 
 /** Nonparametric two-sample tests (the distribution-shift monitors of a
   * data pipeline: "did the `click` value distribution drift away from
@@ -159,6 +159,45 @@ object StatsTests {
     // integer — an exact binary operation on both engines.
     "q_stats_mwu" -> ((s, d) => mwuFrom(points(s, d))),
 
+    // Winsorized mean per event_type — the robust-mean the metric layer
+    // wants when a handful of runaway values (bot traffic, unit bugs)
+    // would drag a plain average: values below the rank-p05 point are
+    // clipped UP to it, above rank-p95 clipped DOWN, then averaged.
+    // Rank cutoffs are exact integer arithmetic ((n·5) DIV 100 + 1 —
+    // no FP percentile interpolation to disagree over), the clip points
+    // are DATA values read off the rank, and the mean is the
+    // exact-decimal Det sum over clipped values finished by one IEEE
+    // division. Scale: two window passes partitioned by event_type
+    // (rank, then clip-point lookup) plus one keyed aggregate — the
+    // q_median_exact economics; nothing global.
+    "q_winsorize" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(asc_nulls_last("value"), asc_nulls_last("event_id"))
+      val wn = Window.partitionBy("event_type")
+      t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select("event_type", "event_id", "value")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("lo_rank", expr("(n * 5) DIV 100 + 1"))
+        .withColumn("hi_rank",
+          expr("greatest((n * 95) DIV 100, (n * 5) DIV 100 + 1)"))
+        .withColumn("lo_val",
+          max(when(col("rn") === col("lo_rank"), col("value"))).over(wn))
+        .withColumn("hi_val",
+          max(when(col("rn") === col("hi_rank"), col("value"))).over(wn))
+        .withColumn("wv",
+          when(col("rn") < col("lo_rank"), col("lo_val"))
+            .when(col("rn") > col("hi_rank"), col("hi_val"))
+            .otherwise(col("value")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          max("lo_val").as("lo_val"),
+          max("hi_val").as("hi_val"),
+          (Det.dsum(col("wv")) / count(lit(1))).as("win_mean"))
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
     // One-way ANOVA (click vs view vs purchase `value`): the k-group
     // generalization of q_stats_ttest, computed in ONE pass of
     // conditional aggregates — per-group exact-decimal Σx and exact
@@ -250,6 +289,36 @@ object StatsTests {
        |    AS VARCHAR) AS DOUBLE)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_winsorize" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC NULLS LAST, event_id ASC NULLS LAST)
+        |      AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL
+        |), b AS (
+        |  SELECT event_type, value, rn,
+        |    (n * 5) // 100 + 1 AS lo_rank,
+        |    greatest((n * 95) // 100, (n * 5) // 100 + 1) AS hi_rank
+        |  FROM r
+        |), v AS (
+        |  SELECT *,
+        |    max(CASE WHEN rn = lo_rank THEN value END)
+        |      OVER (PARTITION BY event_type) AS lo_val,
+        |    max(CASE WHEN rn = hi_rank THEN value END)
+        |      OVER (PARTITION BY event_type) AS hi_val
+        |  FROM b
+        |)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  max(lo_val) AS lo_val, max(hi_val) AS hi_val,
+        |  CAST(CAST(SUM(CAST((CASE WHEN rn < lo_rank THEN lo_val
+        |    WHEN rn > hi_rank THEN hi_val ELSE value END)
+        |    AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+        |    AS win_mean
+        |FROM v GROUP BY event_type
+        |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
     "q_stats_anova" ->
       s"""WITH p AS (
          |  SELECT

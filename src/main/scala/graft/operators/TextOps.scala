@@ -65,6 +65,93 @@ object TextOps {
         .orderBy(desc_nulls_last("cnt"), asc_nulls_last("token"))
         .limit(20)),
 
+    // One step of BPE vocabulary learning (Sennrich et al., ACL 2016 —
+    // the tokenizer-training primitive): count adjacent symbol pairs
+    // weighted by word frequency, adopt the most frequent pair as a
+    // merge, re-segment, and count again. Two iterations are unrolled;
+    // each emits its top-10 pairs. The merge is applied with plain
+    // string replace over a double-space-joined symbol string with
+    // single-space sentinels: both engines scan leftmost
+    // non-overlapping, which IS greedy BPE application, and the double
+    // separator means adjacent matches never share a boundary space
+    // (" a  b  a  b " -> " ab  ab ", not " ab a b"). Scale: the corpus
+    // collapses to the word-frequency sliver first (one shuffle on the
+    // word), so both pair counts and the re-segmentation run over
+    // |vocab| rows, not corpus tokens — exactly how production BPE
+    // trainers batch; the adopted merge is a 1-row broadcast.
+    "q_bpe_merges" -> ((s, d) => {
+      val words = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .persist()
+      val p1 = words
+        .select(col("n"), explode(expr(
+          "CASE WHEN length(w) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+            "ELSE transform(sequence(1, length(w) - 1), i -> " +
+            "concat(substring(w, i, 1), ' ', substring(w, i + 1, 1))) " +
+            "END")).as("pair"))
+        .groupBy("pair").agg(sum("n").as("freq"))
+        .persist() // two consumers: the top-10 readout and the top-1 merge
+      val top1 = broadcast(p1
+        .orderBy(desc_nulls_last("freq"), asc_nulls_last("pair"))
+        .limit(1)
+        .select(col("pair").as("mp")).withColumn("_one", lit(1)))
+      val p2 = words.withColumn("_one", lit(1)).join(top1, "_one")
+        .withColumn("syms", split(trim(expr(
+          "replace(concat(' ', array_join(transform(sequence(1, " +
+            "length(w)), i -> substring(w, i, 1)), '  '), ' '), " +
+            "concat(' ', replace(mp, ' ', '  '), ' '), " +
+            "concat(' ', replace(mp, ' ', ''), ' '))")), "  "))
+        .select(col("n"), explode(expr(
+          "CASE WHEN size(syms) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+            "ELSE transform(sequence(1, size(syms) - 1), i -> " +
+            "concat(element_at(syms, i), ' ', element_at(syms, i + 1))) " +
+            "END")).as("pair"))
+        .groupBy("pair").agg(sum("n").as("freq"))
+      p1.orderBy(desc_nulls_last("freq"), asc_nulls_last("pair")).limit(10)
+        .withColumn("iter", lit(1L))
+        .unionByName(p2
+          .orderBy(desc_nulls_last("freq"), asc_nulls_last("pair"))
+          .limit(10)
+          .withColumn("iter", lit(2L)))
+        .select("iter", "pair", "freq")
+        .orderBy(asc_nulls_last("iter"), desc_nulls_last("freq"),
+          asc_nulls_last("pair"))
+    }),
+
+    // Heaps'-law vocabulary-growth profile — the corpus diagnostic that
+    // sizes tokenizer vocab and predicts dedup headroom: per corpus
+    // decile (doc_id-range bucket), total token occurrences vs tokens
+    // FIRST seen in that decile, plus the novelty rate (one IEEE
+    // division of exact counts). A flattening novelty curve says the
+    // crawl is saturating. Scale: first-occurrence is one (token)
+    // keyed min — vocabulary-sized, not corpus-sized — and the bucket
+    // grain is a constant 10 rows; no window anywhere.
+    "q_vocab_growth" -> ((s, d) => {
+      val toks = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .persist()
+      val nd = broadcast(t(s, d, "documents")
+        .agg(count(lit(1)).as("n_docs")).withColumn("_one", lit(1)))
+      val occ = toks.withColumn("_one", lit(1)).join(nd, "_one")
+        .withColumn("bucket",
+          expr("least(CAST(9 AS BIGINT), (doc_id * 10) DIV n_docs)"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_occurrences"))
+      val fresh = toks.groupBy("token").agg(min("doc_id").as("fd"))
+        .withColumn("_one", lit(1)).join(nd, "_one")
+        .withColumn("bucket",
+          expr("least(CAST(9 AS BIGINT), (fd * 10) DIV n_docs)"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
+      occ.join(fresh, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_occurrences"),
+          coalesce(col("n_new_types"), lit(0L)).as("n_new_types"),
+          (coalesce(col("n_new_types"), lit(0L)).cast("double")
+            / col("n_occurrences")).as("novelty_rate"))
+        .orderBy(asc_nulls_last("bucket"))
+    }),
+
     "q_text_stats" -> ((s, d) =>
       t(s, d, "documents")
         .groupBy("lang")
@@ -818,6 +905,70 @@ object TextOps {
         |GROUP BY token
         |ORDER BY cnt DESC NULLS LAST, token ASC NULLS LAST
         |LIMIT 20""".stripMargin,
+
+    "q_bpe_merges" ->
+      """WITH w AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |    WHERE text IS NOT NULL
+        |  ) WHERE length(w) > 0 GROUP BY w
+        |), p1 AS (
+        |  SELECT pair, CAST(SUM(n) AS BIGINT) AS freq FROM (
+        |    SELECT n, unnest(list_transform(range(1, length(w)),
+        |      i -> substring(w, i, 1) || ' ' || substring(w, i + 1, 1)))
+        |      AS pair
+        |    FROM w) GROUP BY pair
+        |), top1 AS (
+        |  SELECT pair AS mp FROM p1
+        |  ORDER BY freq DESC NULLS LAST, pair ASC NULLS LAST LIMIT 1
+        |), s2 AS (
+        |  SELECT n, string_split(trim(replace(
+        |      ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+        |        i -> substring(w, i, 1)), '  ') || ' ',
+        |      ' ' || replace(mp, ' ', '  ') || ' ',
+        |      ' ' || replace(mp, ' ', '') || ' ')), '  ') AS syms
+        |  FROM w, top1
+        |), p2 AS (
+        |  SELECT pair, CAST(SUM(n) AS BIGINT) AS freq FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(syms)),
+        |      i -> syms[i] || ' ' || syms[i + 1])) AS pair
+        |    FROM s2) GROUP BY pair
+        |)
+        |SELECT iter, pair, freq FROM (
+        |  SELECT CAST(1 AS BIGINT) AS iter, pair, freq FROM
+        |    (SELECT pair, freq FROM p1
+        |     ORDER BY freq DESC NULLS LAST, pair ASC NULLS LAST LIMIT 10)
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT) AS iter, pair, freq FROM
+        |    (SELECT pair, freq FROM p2
+        |     ORDER BY freq DESC NULLS LAST, pair ASC NULLS LAST LIMIT 10)
+        |)
+        |ORDER BY iter ASC NULLS LAST, freq DESC NULLS LAST,
+        |  pair ASC NULLS LAST""".stripMargin,
+
+    "q_vocab_growth" ->
+      """WITH tk AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE text IS NOT NULL
+        |  ) WHERE length(token) > 0
+        |), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |occ AS (
+        |  SELECT least(9, (doc_id * 10) // n_docs) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |  FROM tk, nd GROUP BY 1
+        |), fst AS (
+        |  SELECT least(9, (fd * 10) // n_docs) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_new_types
+        |  FROM (SELECT token, min(doc_id) AS fd FROM tk GROUP BY token), nd
+        |  GROUP BY 1
+        |)
+        |SELECT o.bucket, o.n_occurrences,
+        |  CAST(COALESCE(f.n_new_types, 0) AS BIGINT) AS n_new_types,
+        |  CAST(COALESCE(f.n_new_types, 0) AS DOUBLE) / o.n_occurrences
+        |    AS novelty_rate
+        |FROM occ o LEFT JOIN fst f ON o.bucket = f.bucket
+        |ORDER BY o.bucket ASC NULLS LAST""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,

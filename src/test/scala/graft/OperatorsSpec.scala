@@ -984,6 +984,77 @@ class OperatorsSpec extends SparkSpec {
     assert(bestByScore == daily(bestBySse - 1)._1)
   }
 
+  test("q_bpe_merges: greedy merge application and shrinking pair count") {
+    val out = TextOps.queries("q_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("iter"), r.getAs[String]("pair"),
+        r.getAs[Long]("freq")))
+    val it1 = out.filter(_._1 == 1L)
+    val it2 = out.filter(_._1 == 2L)
+    assert(it1.length == 10 && it2.length == 10)
+    // iteration 1 is sorted desc; the adopted merge is its head
+    assert(it1.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+    val (_, adopted, f1) = it1.head
+    // after merging, the adopted pair can only survive via overlapping
+    // runs (e.g. "aaa") — its iter-2 count must drop strictly
+    val f2 = it2.find(_._2 == adopted).map(_._3).getOrElse(0L)
+    assert(f2 < f1, s"adopted pair $adopted: $f1 -> $f2")
+    // independent recomputation of the adopted pair's iter-1 frequency:
+    // greedy leftmost-nonoverlapping occurrences, weighted by word count
+    val Array(a, b) = adopted.split(' ')
+    val words = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = words.map { case (w, n) =>
+      w.sliding(2).count(_ == a + b) * n
+    }.sum
+    assert(f1 == expect, s"iter-1 freq of $adopted: got $f1 want $expect")
+  }
+
+  test("q_vocab_growth: new-type counts partition the vocabulary") {
+    val out = TextOps.queries("q_vocab_growth")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_occurrences"),
+        r.getAs[Long]("n_new_types")))
+    val buckets = out.map(_._1)
+    assert(buckets.distinct.length == buckets.length)
+    val vocab = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select("token").distinct().count()
+    assert(out.map(_._3).sum == vocab,
+      "per-bucket first-seen counts must sum to the distinct vocabulary")
+    val total = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0).count()
+    assert(out.map(_._2).sum == total)
+  }
+
+  test("q_winsorize: clipped mean sits inside the clip points") {
+    val rows = StatsTests.queries("q_winsorize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, m) = (r.getAs[Double]("lo_val"),
+        r.getAs[Double]("hi_val"), r.getAs[Double]("win_mean"))
+      assert(lo <= hi)
+      assert(m >= lo - 1e-9 && m <= hi + 1e-9,
+        s"${r.getString(0)}: mean $m outside [$lo, $hi]")
+      // the plain mean is dragged by the tails at least as far out
+      val et = r.getString(0)
+      val vals = Tables.table(spark, sf, "events")
+        .filter(col("event_type") === et && col("value").isNotNull)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      val n = vals.length
+      assert(r.getAs[Long]("n_events") == n)
+      val loRank = n * 5 / 100 + 1
+      val hiRank = math.max(n * 95 / 100, loRank)
+      assert(lo == vals(loRank - 1) && hi == vals(hiRank - 1))
+    }
+  }
+
   test("weighted-mean aggregator equals the exact decimal formula") {
     import spark.implicits._
     val wavg = udaf(new WeightedMean(),

@@ -215,7 +215,14 @@ class PlanRegressionSpec extends SparkSpec {
       "q_embed_outlier",
       // FIXED 16-doc exact-truth panel broadcast — the q_ann_recall
       // bounded-panel argument applied to text dedup
-      "q_dedup_recall")
+      "q_dedup_recall",
+      // 1-row broadcast of the adopted merge pair on a constant key —
+      // the q_text_docfreq shape (the LIMIT 1 bounds it by construction)
+      "q_bpe_merges",
+      // 1-row broadcast of the corpus doc count on a constant key
+      // (the decile-bucket denominator), used by both aggregate branches
+      // — the q_text_docfreq shape
+      "q_vocab_growth")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
