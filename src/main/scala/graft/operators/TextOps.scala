@@ -65,6 +65,76 @@ object TextOps {
         .orderBy(desc_nulls_last("cnt"), asc_nulls_last("token"))
         .limit(20)),
 
+    // LSH band-bucket skew audit — the operational guardrail for the
+    // 100 TB dedup run: in-bucket candidate generation is quadratic in
+    // bucket size, so ONE hot bucket (a boilerplate shingle shared by
+    // millions of docs) turns the "slim keyed shuffle" argument into an
+    // O(n²) task. This query is the histogram that catches it before it
+    // ships: bucket-size distribution plus the exact candidate-pair bill
+    // n_buckets · size·(size−1)/2 each size contributes. Scale: one
+    // (band-key) shuffle with map-side combine, then a histogram over
+    // the size domain — strictly cheaper than the dedup it audits.
+    "q_dedup_bucket_skew" -> ((s, d) => {
+      val sizes = MinHash.withSignatures(
+          t(s, d, "documents").select("doc_id", "text"), "text", NumHashes)
+        .select(col("doc_id"),
+          explode(array(MinHash.bandKeys(NumHashes, NumBands): _*))
+            .as("bkey"))
+        .groupBy("bkey").agg(count(lit(1)).as("sz"))
+      sizes.groupBy("sz")
+        .agg(count(lit(1)).as("n_buckets"))
+        .select(col("sz").as("bucket_size"), col("n_buckets"),
+          // integer DIV: the product is even, keep it off the FP path
+          expr("CAST(n_buckets * sz * (sz - 1) DIV 2 AS BIGINT)")
+            .as("n_candidate_pairs"))
+        .orderBy(asc_nulls_last("bucket_size"))
+    }),
+
+    // Per-source near-duplicate membership rate — "which crawl sources
+    // duplicate most" — the curation report that decides source-level
+    // dedup budgets: every doc participating in a verified near-dup
+    // pair counts as a dup member, aggregated per source with one IEEE
+    // rate division. Scale: the pair frame is the proven bucketed LSH
+    // pipeline; membership is a slim distinct on doc ids; the join back
+    // to sources is keyed on doc_id.
+    "q_source_dup_rate" -> ((s, d) => {
+      val members = TextDedup.nearDuplicates(t(s, d, "documents"))
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+        .withColumn("is_dup", lit(1L))
+      t(s, d, "documents").select("doc_id", "source")
+        .join(members, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_members"),
+          (sum(coalesce(col("is_dup"), lit(0L))).cast("double")
+            / count(lit(1))).as("dup_rate"))
+        .orderBy(asc_nulls_last("source"))
+    }),
+
+    // Dedup threshold tuning curve — how many pairs each Jaccard cutoff
+    // would keep, from ONE candidate-verify pass (the number that turns
+    // "pick 0.7" from folklore into a measured choice: too low floods
+    // the cluster pass, too high leaks templates). Conditional
+    // aggregation over the verified candidate frame; the jaccard double
+    // is derived identically on both engines so the >= comparisons
+    // agree exactly. Scale: identical to q_dedup_pairs (the LSH
+    // bucketed pipeline) plus one 1-row aggregate.
+    "q_dedup_threshold_curve" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val signed = MinHash.withSignatures(base, "text", NumHashes)
+      val toks = MinHash.tokens(base, "text")
+      TextDedup.withJaccard(
+          TextDedup.candidatePairs(signed, NumHashes, NumBands), toks)
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_ge_05"),
+          sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)).as("n_ge_06"),
+          sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_ge_07"),
+          sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_ge_08"),
+          sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_ge_09"))
+    }),
+
     // One step of BPE vocabulary learning (Sennrich et al., ACL 2016 —
     // the tokenizer-training primitive): count adjacent symbol pairs
     // weighted by word frequency, adopt the most frequent pair as a
@@ -905,6 +975,72 @@ object TextOps {
         |GROUP BY token
         |ORDER BY cnt DESC NULLS LAST, token ASC NULLS LAST
         |LIMIT 20""".stripMargin,
+
+    "q_dedup_bucket_skew" -> {
+      val sigCols = (0 until NumHashes)
+        .map(i => s"${MinHash.sqlSig(i)} AS sig_$i").mkString(",\n    ")
+      val bandList = (0 until NumBands)
+        .map(j => MinHash.sqlBandKey(j, NumHashes / NumBands))
+        .mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id AS id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+         |), s AS (
+         |  SELECT id, unnest(generate_series(0, len(toks) - 3)) AS i, toks
+         |  FROM t
+         |), sh AS (
+         |  SELECT id, ${MinHash.sqlHashVal(
+               "md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])")}
+         |    AS v FROM s
+         |), m AS (
+         |  SELECT id,
+         |    $sigCols
+         |  FROM sh GROUP BY id
+         |), banded AS (
+         |  SELECT id, unnest([$bandList]) AS bkey FROM m
+         |), sizes AS (
+         |  SELECT bkey, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM banded GROUP BY bkey
+         |)
+         |SELECT sz AS bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(COUNT(*) * sz * (sz - 1) // 2 AS BIGINT)
+         |    AS n_candidate_pairs
+         |FROM sizes GROUP BY sz
+         |ORDER BY bucket_size ASC NULLS LAST""".stripMargin
+    },
+
+    "q_source_dup_rate" ->
+      s"""WITH pairs AS (
+         |${dedupPairsSubquery.linesIterator.map("  " + _).mkString("\n")}
+         |), members AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT id_a AS doc_id FROM pairs
+         |    UNION ALL SELECT id_b FROM pairs)
+         |)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(m.doc_id) AS BIGINT) AS n_dup_members,
+         |  CAST(COUNT(m.doc_id) AS DOUBLE) / COUNT(*) AS dup_rate
+         |FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id
+         |GROUP BY d.source
+         |ORDER BY d.source ASC NULLS LAST""".stripMargin,
+
+    "q_dedup_threshold_curve" ->
+      s"""WITH pairs AS (
+         |${dedupPairsSubquery.replace("WHERE jaccard >= 0.7", "")
+             .linesIterator.map("  " + _).mkString("\n")}
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |  CAST(COUNT(CASE WHEN jaccard >= 0.5 THEN 1 END) AS BIGINT)
+         |    AS n_ge_05,
+         |  CAST(COUNT(CASE WHEN jaccard >= 0.6 THEN 1 END) AS BIGINT)
+         |    AS n_ge_06,
+         |  CAST(COUNT(CASE WHEN jaccard >= 0.7 THEN 1 END) AS BIGINT)
+         |    AS n_ge_07,
+         |  CAST(COUNT(CASE WHEN jaccard >= 0.8 THEN 1 END) AS BIGINT)
+         |    AS n_ge_08,
+         |  CAST(COUNT(CASE WHEN jaccard >= 0.9 THEN 1 END) AS BIGINT)
+         |    AS n_ge_09
+         |FROM pairs""".stripMargin,
 
     "q_bpe_merges" ->
       """WITH w AS (

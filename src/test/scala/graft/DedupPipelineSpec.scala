@@ -68,4 +68,46 @@ class DedupPipelineSpec extends SparkSpec {
       .filter($"event_type" === "purchase").count()
     assert(n1 == expected)
   }
+
+  test("q_dedup_bucket_skew accounts for every banded signature") {
+    val out = graft.operators.TextOps.queries("q_dedup_bucket_skew")(
+      spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket_size"), r.getAs[Long]("n_buckets"),
+        r.getAs[Long]("n_candidate_pairs")))
+    // Σ size·n_buckets = 4 bands × signed docs (docs with ≥ 3 tokens)
+    val signedDocs = Tables.table(spark, sf, "documents")
+      .filter(size(split($"text", " ")) >= 3).count()
+    assert(out.map(t => t._1 * t._2).sum == 4 * signedDocs)
+    // the pair bill follows the formula, and singleton buckets bill zero
+    out.foreach { case (sz, nb, np) =>
+      assert(np == nb * sz * (sz - 1) / 2, s"size $sz pair bill wrong")
+    }
+  }
+
+  test("q_dedup_threshold_curve is monotone and agrees with the " +
+      "declared 0.7 pipeline") {
+    val r = graft.operators.TextOps.queries("q_dedup_threshold_curve")(
+      spark, sf).head()
+    val counts = Seq("n_candidates", "n_ge_05", "n_ge_06", "n_ge_07",
+      "n_ge_08", "n_ge_09").map(c => r.getAs[Long](c))
+    assert(counts.sliding(2).forall(p => p(0) >= p(1)),
+      s"threshold curve not monotone: $counts")
+    val at07 = graft.operators.TextOps.queries("q_dedup_pairs")(
+      spark, sf).count()
+    assert(r.getAs[Long]("n_ge_07") == at07)
+  }
+
+  test("q_source_dup_rate covers every doc and every pair member") {
+    val out = graft.operators.TextOps.queries("q_source_dup_rate")(
+      spark, sf).collect()
+    val total = Tables.table(spark, sf, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+    val members = graft.operators.TextOps.queries("q_dedup_pairs")(
+      spark, sf)
+      .select(explode(array($"id_a", $"id_b")).as("doc_id"))
+      .distinct().count()
+    assert(out.map(_.getAs[Long]("n_dup_members")).sum == members)
+    out.foreach(r => assert(
+      r.getAs[Long]("n_dup_members") <= r.getAs[Long]("n_docs")))
+  }
 }
