@@ -96,8 +96,18 @@ object StatsTests {
       .agg(sum(col("l_quantity").cast("long")).as("w"))
 
   /** Weighted-median assembly from a (l_returnflag, l_extendedprice, w)
-    * point frame — the two-level prefix sum documented on
-    * q_agg_weighted_median below. */
+    * point frame — TWO-PHASE exact selection (the production exact-
+    * quantile shape): phase 1 finds the CROSSING BUCKET at bucket grain
+    * (one slim keyed aggregate + a flag-partitioned window over the
+    * value-domain-bounded bucket frame), phase 2 sorts ONLY inside that
+    * one bucket per flag. Correctness of the restriction: buckets are
+    // price-ordered, nothing in an earlier bucket can satisfy the
+    * doubled-running-weight test (its full-bucket prefix already
+    * fails), and every point in a later bucket prices above the
+    * crossing bucket's qualifiers — so the global min-qualifier lives
+    * in the crossing bucket. The previous formulation ran the in-bucket
+    * running-weight window over EVERY point (a full sort of the point
+    * frame); this one windows ~1/|buckets| of it. */
   def weightedMedianFrom(pts0: DataFrame): DataFrame = {
     val pts = pts0
       .withColumn("bucket",
@@ -107,15 +117,23 @@ object StatsTests {
       .agg(sum("w").as("tb"))
     val wc = Window.partitionBy("l_returnflag").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = bt.select(col("l_returnflag"), col("bucket"),
-      coalesce(sum(col("tb")).over(wc), lit(0L)).as("pc"))
     val tot = bt.groupBy("l_returnflag").agg(sum("tb").as("tw"))
+    // bucket-grain cumulative + totals: tiny (value-domain-bounded)
+    val bc = bt
+      .withColumn("pc", coalesce(sum(col("tb")).over(wc), lit(0L)))
+      .join(tot, "l_returnflag")
+    // the first bucket whose full prefix crosses half the total weight
+    val medBucket = bc
+      .filter(lit(2L) * (col("pc") + col("tb")) >= col("tw"))
+      .groupBy("l_returnflag").agg(min("bucket").as("bucket"))
+    val medInfo = broadcast(bc
+      .join(medBucket, Seq("l_returnflag", "bucket"))
+      .select("l_returnflag", "bucket", "pc", "tw"))
     val wb = Window.partitionBy("l_returnflag", "bucket")
       .orderBy("l_extendedprice")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pts.withColumn("cwb", sum("w").over(wb))
-      .join(broadcast(carry), Seq("l_returnflag", "bucket"))
-      .join(broadcast(tot), "l_returnflag")
+    pts.join(medInfo, Seq("l_returnflag", "bucket"))
+      .withColumn("cwb", sum("w").over(wb))
       .filter(lit(2L) * (col("pc") + col("cwb")) >= col("tw"))
       .groupBy("l_returnflag")
       .agg(min("l_extendedprice").as("w_median"),
