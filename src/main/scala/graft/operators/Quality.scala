@@ -73,6 +73,28 @@ object Quality {
        |  AND stop_ratio >= 0.02 AND max_tok_len <= 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Quality-cutoff prune sweep — "how much data survives each
+    // filter setting", the planning number a curation run needs BEFORE
+    // committing to a cutoff (prune too hard and the token budget
+    // collapses; too soft and junk trains). For minimum-stop-ratio
+    // cutoffs 0%..10% in 2% steps: docs kept and tokens kept. The
+    // cutoff-0 row doubles as the corpus total, so shares need no extra
+    // broadcast. Cutoff constants parse to identical doubles on both
+    // engines and stop_ratio derives identically, so the >= agrees
+    // exactly. Scale: the 6-way in-row fan-out collapses under map-side
+    // partial aggregation — one narrow pass, a 6-row result.
+    "q_quality_prune_sweep" -> ((s, d) =>
+      gopherMetrics(t(s, d, "documents"))
+        .select(col("n_tokens"), col("stop_ratio"),
+          explode(expr("array(0, 2, 4, 6, 8, 10)")).as("cutoff_pct"))
+        .filter(col("stop_ratio") >= col("cutoff_pct").cast("double") / 100.0d)
+        .groupBy("cutoff_pct")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum("n_tokens").as("n_tokens_kept"))
+        .select(col("cutoff_pct").cast("long").as("cutoff_pct"),
+          col("n_docs_kept"), col("n_tokens_kept"))
+        .orderBy(asc_nulls_last("cutoff_pct"))),
+
     // Gopher-style multi-rule gate: token-count bounds, mean token
     // length bounds, minimum stopword ratio, maximum token length. Each
     // rule surfaces as a column so a pipeline can report WHY a document
@@ -165,6 +187,22 @@ object Quality {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_quality_prune_sweep" ->
+      s"""WITH m AS (
+         |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(toks, t -> t IN $stopIn)) AS DOUBLE)
+         |      / len(toks) AS stop_ratio
+         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents
+         |        WHERE text IS NOT NULL)
+         |), c AS (SELECT unnest([0, 2, 4, 6, 8, 10]) AS cutoff_pct)
+         |SELECT CAST(cutoff_pct AS BIGINT) AS cutoff_pct,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
+         |FROM m, c
+         |WHERE stop_ratio >= CAST(cutoff_pct AS DOUBLE) / 100.0
+         |GROUP BY cutoff_pct
+         |ORDER BY cutoff_pct ASC NULLS LAST""".stripMargin,
+
     "q_quality_gopher" ->
       s"""WITH t AS (
          |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks

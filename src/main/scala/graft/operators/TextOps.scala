@@ -190,6 +190,37 @@ object TextOps {
           asc_nulls_last("pair"))
     }),
 
+    // Top-k vocabulary coverage — the tokenizer-sizing number: what
+    // share of all token OCCURRENCES the 100 / 1000 most frequent
+    // types carry (a Zipf corpus saturates fast; the gap to 1.0 is the
+    // long tail a subword tokenizer must absorb). Exact integer sums,
+    // two trailing IEEE divisions. Scale: one (token)-keyed count with
+    // map-side combine; each top-k is a TakeOrdered (per-partition
+    // heaps, no global sort); the three 1-row frames combine by
+    // constant-key broadcast.
+    "q_vocab_coverage" -> ((s, d) => {
+      val freq = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .persist() // three consumers: totals + two top-k sums
+      val tot = freq.agg(count(lit(1)).as("n_types"),
+        sum("cnt").as("n_occurrences")).withColumn("_one", lit(1))
+      def topSum(k: Int, alias: String) =
+        freq.orderBy(desc_nulls_last("cnt"), asc_nulls_last("token"))
+          .limit(k)
+          .agg(sum("cnt").as(alias)).withColumn("_one", lit(1))
+      tot
+        .join(broadcast(topSum(100, "occ_top100")), "_one")
+        .join(broadcast(topSum(1000, "occ_top1000")), "_one")
+        .select(col("n_types"), col("n_occurrences"),
+          col("occ_top100"), col("occ_top1000"),
+          (col("occ_top100").cast("double") / col("n_occurrences"))
+            .as("cov_top100"),
+          (col("occ_top1000").cast("double") / col("n_occurrences"))
+            .as("cov_top1000"))
+    }),
+
     // Heaps'-law vocabulary-growth profile — the corpus diagnostic that
     // sizes tokenizer vocab and predicts dedup headroom: per corpus
     // decile (doc_id-range bucket), total token occurrences vs tokens
@@ -1081,6 +1112,29 @@ object TextOps {
         |)
         |ORDER BY iter ASC NULLS LAST, freq DESC NULLS LAST,
         |  pair ASC NULLS LAST""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH f AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE text IS NOT NULL
+        |  ) WHERE length(token) > 0 GROUP BY token
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_occurrences FROM f
+        |), t100 AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS occ_top100 FROM (
+        |    SELECT cnt FROM f
+        |    ORDER BY cnt DESC NULLS LAST, token ASC NULLS LAST LIMIT 100)
+        |), t1000 AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS occ_top1000 FROM (
+        |    SELECT cnt FROM f
+        |    ORDER BY cnt DESC NULLS LAST, token ASC NULLS LAST LIMIT 1000)
+        |)
+        |SELECT n_types, n_occurrences, occ_top100, occ_top1000,
+        |  CAST(occ_top100 AS DOUBLE) / n_occurrences AS cov_top100,
+        |  CAST(occ_top1000 AS DOUBLE) / n_occurrences AS cov_top1000
+        |FROM tot, t100, t1000""".stripMargin,
 
     "q_vocab_growth" ->
       """WITH tk AS (

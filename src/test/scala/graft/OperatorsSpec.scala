@@ -1033,6 +1033,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_._2).sum == total)
   }
 
+  test("q_vocab_coverage: top-k sums bound each other and the total") {
+    val r = TextOps.queries("q_vocab_coverage")(spark, sf).head()
+    val (nOcc, o100, o1000) = (r.getAs[Long]("n_occurrences"),
+      r.getAs[Long]("occ_top100"), r.getAs[Long]("occ_top1000"))
+    assert(o100 <= o1000 && o1000 <= nOcc)
+    assert(r.getAs[Double]("cov_top100") <= r.getAs[Double]("cov_top1000"))
+    // brute-force the top-100 occupancy
+    val freqs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").count()
+      .collect().map(_.getLong(1)).sorted(Ordering[Long].reverse)
+    assert(o100 == freqs.take(100).sum)
+    assert(nOcc == freqs.sum)
+  }
+
+  test("q_quality_prune_sweep: monotone in the cutoff, cutoff-0 is the " +
+      "corpus total") {
+    val out = Quality.queries("q_quality_prune_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cutoff_pct"), r.getAs[Long]("n_docs_kept"),
+        r.getAs[Long]("n_tokens_kept"))).sortBy(_._1)
+    assert(out.head._1 == 0L)
+    val totalDocs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull).count()
+    assert(out.head._2 == totalDocs, "cutoff 0 must keep every doc")
+    assert(out.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    assert(out.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("q_winsorize: clipped mean sits inside the clip points") {
     val rows = StatsTests.queries("q_winsorize")(spark, sf).collect()
     assert(rows.nonEmpty)

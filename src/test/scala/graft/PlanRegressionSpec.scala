@@ -222,7 +222,11 @@ class PlanRegressionSpec extends SparkSpec {
       // 1-row broadcast of the corpus doc count on a constant key
       // (the decile-bucket denominator), used by both aggregate branches
       // — the q_text_docfreq shape
-      "q_vocab_growth")
+      "q_vocab_growth",
+      // 1-row broadcasts of the two top-k occurrence sums (TakeOrdered
+      // + aggregate, bounded by construction) on a constant key — the
+      // q_text_docfreq shape
+      "q_vocab_coverage")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
