@@ -172,7 +172,12 @@ object Bench {
     "q_window_analytic2" -> "y2", "q_text_editdist" -> "t9",
     "q_cohort_ltv" -> "l9", "q_customer_rfm" -> "r9",
     "q_dedup_lookup" -> "k9", "q_skew_profile" -> "w9",
-    "q_embed_cov" -> "e9", "q_changepoint" -> "g9")
+    "q_embed_cov" -> "e9", "q_changepoint" -> "g9",
+    "q_bpe_merges" -> "m9", "q_vocab_growth" -> "v9",
+    "q_winsorize" -> "z9", "q_dedup_bucket_skew" -> "u9",
+    "q_dedup_threshold_curve" -> "h9", "q_source_dup_rate" -> "d9",
+    "q_quality_prune_sweep" -> "q9", "q_vocab_coverage" -> "o9",
+    "q_label_prototypes" -> "p9", "q_embed_label_margin" -> "n9")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

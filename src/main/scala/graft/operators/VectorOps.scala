@@ -847,6 +847,98 @@ object VectorOps {
         .select("pos", "n", "mean", "variance", "x_min", "x_max")
         .orderBy(asc_nulls_last("pos"))),
 
+    // Label prototypes — per-label centroid on the exact integer grid,
+    // then each label's 3 members most aligned with it (highest integer
+    // dot): the "class exemplars" readout behind dataset distillation /
+    // few-shot prompt mining and the sanity check that a label's
+    // centroid actually represents it. EVERYTHING is integer: vectors
+    // enter the proven DECIMAL(18,7)→scaled-BIGINT grid, centroids
+    // re-enter it via one floor(sum/n + 0.5) per element (the
+    // residual-PQ mean pattern), and the alignment score is the raw
+    // Σ iv·civ BIGINT (≤ 64·1e14·~2 — far inside the 2⁶³ window), so
+    // both engines rank identical numbers. Scale: one slim
+    // (label, pos) shuffle for centroids (10×64 rows), a label-keyed
+    // broadcast join back, an in-row zip_with fold, and a per-label
+    // top-3 window — the broadcast-k assignment economics.
+    "q_label_prototypes" -> ((s, d) => {
+      val ints = t(s, d, "embeddings")
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+        .withColumn("iv", expr(
+          "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
+            "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
+        .select("vec_id", "label", "iv")
+      val cents = broadcast(ints
+        .select(col("label"), posexplode(col("iv")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(expr("CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5D) " +
+          "AS BIGINT)").as("mv"))
+        .groupBy("label")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, mv))), " +
+          "s -> s.mv)").as("civ")))
+      val w = Window.partitionBy("label")
+        .orderBy(desc_nulls_last("dot"), asc_nulls_last("vec_id"))
+      ints.join(cents, "label")
+        .withColumn("dot", expr(
+          "aggregate(zip_with(iv, civ, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("label").cast("long").as("label"), col("rank"),
+          col("vec_id"), col("dot"))
+        .orderBy(asc_nulls_last("label"), asc_nulls_last("rank"))
+    }),
+
+    // Label-margin OOD audit — for every vector, its integer alignment
+    // with its OWN label centroid minus its best alignment with any
+    // OTHER label's centroid; the 20 most negative margins are the
+    // mislabeled / out-of-distribution suspects a labeling pipeline
+    // reviews first. Same exact integer grid as q_label_prototypes, so
+    // the margin itself is an exact BIGINT — no FP anywhere. Scale:
+    // the 10-row centroid table broadcasts; the candidate scan is one
+    // vectors × labels in-task fan-out (bounded by the label DOMAIN,
+    // the broadcast-k argument) collapsed to argmax by one per-vector
+    // window; TakeOrdered caps the output at 20.
+    "q_embed_label_margin" -> ((s, d) => {
+      val ints = t(s, d, "embeddings")
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+        .withColumn("iv", expr(
+          "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
+            "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
+        .select("vec_id", "label", "iv")
+      val cents = broadcast(ints
+        .select(col("label").as("clabel"),
+          posexplode(col("iv")).as(Seq("pos", "x")))
+        .groupBy("clabel", "pos")
+        .agg(expr("CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5D) " +
+          "AS BIGINT)").as("mv"))
+        .groupBy("clabel")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, mv))), " +
+          "s -> s.mv)").as("civ"))
+        .withColumn("_one", lit(1)))
+      // every (vector, label-centroid) pair via the constant-key
+      // broadcast — fan-out bounded by the label DOMAIN (10)
+      val scored = ints.withColumn("_one", lit(1)).join(cents, "_one")
+        .withColumn("dot", expr(
+          "aggregate(zip_with(iv, civ, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      val wOther = Window.partitionBy("vec_id")
+        .orderBy(desc_nulls_last("dot"), asc_nulls_last("clabel"))
+      val own = scored.filter(col("label") === col("clabel"))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("dot").as("own_dot"))
+      val other = scored.filter(col("label") =!= col("clabel"))
+        .withColumn("_rn", row_number().over(wOther))
+        .filter(col("_rn") === 1)
+        .select(col("vec_id"), col("clabel").cast("long")
+          .as("best_other_label"), col("dot").as("best_other_dot"))
+      own.join(other, "vec_id")
+        .withColumn("margin", col("own_dot") - col("best_other_dot"))
+        .orderBy(asc_nulls_last("margin"), asc_nulls_last("vec_id"))
+        .limit(20)
+        .select("vec_id", "label", "own_dot", "best_other_label",
+          "best_other_dot", "margin")
+    }),
+
     // Cross-dimension covariance (upper triangle of the full dim×dim
     // matrix) — the distributed Gram-matrix building block behind PCA /
     // whitening / decorrelation audits of an embedding store, and the
@@ -1989,6 +2081,79 @@ object VectorOps {
         |  n_chars, CAST(len(embedding) AS BIGINT) AS dim, label
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // The residualOracleCtes integer-grid idiom, label-conditioned:
+    // per-label centroid means on the scaled-BIGINT grid, integer dots,
+    // window top-3.
+    "q_label_prototypes" ->
+      s"""WITH iv AS (
+         |  SELECT vec_id, label, list_transform(embedding, x ->
+         |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) * 10000000
+         |      AS BIGINT)) AS iv
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+         |), e AS (
+         |  SELECT vec_id, label, iv, unnest(generate_series(1, $EmbDim))
+         |    AS i FROM iv
+         |), cm AS (
+         |  SELECT label, i,
+         |    CAST(floor(CAST(SUM(iv[i]) AS DOUBLE) / COUNT(*) + 0.5)
+         |      AS BIGINT) AS mv
+         |  FROM e GROUP BY label, i
+         |), dots AS (
+         |  SELECT e.vec_id, e.label,
+         |    CAST(SUM(e.iv[e.i] * cm.mv) AS BIGINT) AS dot
+         |  FROM e JOIN cm ON e.label = cm.label AND e.i = cm.i
+         |  GROUP BY e.vec_id, e.label
+         |)
+         |SELECT label, rank, vec_id, dot FROM (
+         |  SELECT CAST(label AS BIGINT) AS label, vec_id, dot,
+         |    CAST(row_number() OVER (PARTITION BY label
+         |      ORDER BY dot DESC NULLS LAST, vec_id ASC NULLS LAST)
+         |      AS BIGINT) AS rank
+         |  FROM dots)
+         |WHERE rank <= 3
+         |ORDER BY label ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin,
+
+    // Same grid; every (vector, centroid) pair via the dim-keyed join
+    // (fan-out bounded by the label domain), integer margins.
+    "q_embed_label_margin" ->
+      s"""WITH iv AS (
+         |  SELECT vec_id, label, list_transform(embedding, x ->
+         |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) * 10000000
+         |      AS BIGINT)) AS iv
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+         |), e AS (
+         |  SELECT vec_id, label, iv, unnest(generate_series(1, $EmbDim))
+         |    AS i FROM iv
+         |), cm AS (
+         |  SELECT label AS clabel, i,
+         |    CAST(floor(CAST(SUM(iv[i]) AS DOUBLE) / COUNT(*) + 0.5)
+         |      AS BIGINT) AS mv
+         |  FROM e GROUP BY label, i
+         |), alldots AS (
+         |  SELECT e.vec_id, e.label, cm.clabel,
+         |    CAST(SUM(e.iv[e.i] * cm.mv) AS BIGINT) AS dot
+         |  FROM e JOIN cm ON e.i = cm.i
+         |  GROUP BY e.vec_id, e.label, cm.clabel
+         |), own AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label, dot AS own_dot
+         |  FROM alldots WHERE label = clabel
+         |), oth AS (
+         |  SELECT vec_id, CAST(clabel AS BIGINT) AS best_other_label,
+         |    dot AS best_other_dot FROM (
+         |    SELECT vec_id, clabel, dot,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dot DESC NULLS LAST, clabel ASC NULLS LAST)
+         |        AS rn
+         |    FROM alldots WHERE label <> clabel) WHERE rn = 1
+         |)
+         |SELECT o.vec_id, o.label, o.own_dot, t.best_other_label,
+         |  t.best_other_dot, o.own_dot - t.best_other_dot AS margin
+         |FROM own o JOIN oth t ON o.vec_id = t.vec_id
+         |ORDER BY margin ASC NULLS LAST, o.vec_id ASC NULLS LAST
+         |LIMIT 20""".stripMargin,
 
     // Same exact-decimal moments; sxx routes through VARCHAR on this
     // side only (the Det.sqlDsum convention — DuckDB's direct

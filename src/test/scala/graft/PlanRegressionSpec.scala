@@ -226,7 +226,10 @@ class PlanRegressionSpec extends SparkSpec {
       // 1-row broadcasts of the two top-k occurrence sums (TakeOrdered
       // + aggregate, bounded by construction) on a constant key — the
       // q_text_docfreq shape
-      "q_vocab_coverage")
+      "q_vocab_coverage",
+      // 10-row label-centroid broadcast on a constant key — fan-out
+      // bounded by the label DOMAIN, the broadcast-k assignment shape
+      "q_embed_label_margin")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),

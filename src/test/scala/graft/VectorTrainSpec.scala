@@ -206,4 +206,54 @@ class VectorTrainSpec extends SparkSpec {
     assert(res < plain, s"residual $res !< plain $plain")
     assert(improved * 2 > n, s"only $improved of $n vectors improved")
   }
+
+  test("q_label_prototypes: three ranked members per label, and the " +
+      "rank-1 dot is the label's true maximum") {
+    val out = VectorOps.queries("q_label_prototypes")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("dot")))
+    val byLabel = out.groupBy(_._1)
+    byLabel.foreach { case (lbl, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(Array(1L, 2L, 3L)),
+        s"label $lbl ranks ${rows.map(_._2).toList}")
+      // within a label the ranked dots are non-increasing
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted.sliding(2).forall(p => p(0) >= p(1)))
+    }
+    // brute-force the winner for one label: recompute integer dots
+    // against the label centroid on the same grid
+    val lbl = out.head._1
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .filter(col("label") === lbl && col("embedding").isNotNull)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
+          "AS DECIMAL(18,7)) * 10000000 AS BIGINT))").as("iv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val dim = vecs.head._2.length
+    val cent = (0 until dim).map { i =>
+      val s = vecs.map(_._2(i)).map(BigInt(_)).sum
+      // floor(sum/n + 0.5) on the double path, as both engines compute
+      math.floor(s.toDouble / vecs.length + 0.5).toLong
+    }.toArray
+    val best = vecs.map { case (id, iv) =>
+      (id, iv.zip(cent).map { case (a, b) => a * b }.sum)
+    }.maxBy(t => (t._2, -t._1))
+    val rank1 = out.filter(r => r._1 == lbl && r._2 == 1L).head
+    assert((rank1._3, rank1._4) == best,
+      s"label $lbl winner ${(rank1._3, rank1._4)} != brute $best")
+  }
+
+  test("q_embed_label_margin: ascending margins, own label never the " +
+      "best-other, arithmetic consistent") {
+    val out = VectorOps.queries("q_embed_label_margin")(spark, sf)
+      .collect()
+    assert(out.length == 20)
+    val margins = out.map(_.getAs[Long]("margin"))
+    assert(margins.sliding(2).forall(p => p(0) <= p(1)))
+    out.foreach { r =>
+      assert(r.getAs[Long]("label") != r.getAs[Long]("best_other_label"))
+      assert(r.getAs[Long]("margin") ==
+        r.getAs[Long]("own_dot") - r.getAs[Long]("best_other_dot"))
+    }
+  }
 }
