@@ -53,6 +53,27 @@ object Packing {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // Packing-efficiency report over the q_pack_sequences layout — the
+    // number that prices a packing policy: per shard, sequences minted,
+    // fill rate against the SeqBudget capacity, and how many documents
+    // straddle a sequence boundary (each split doc costs attention-mask
+    // plumbing or a truncation). One keyed aggregate over the layout
+    // frame; fill_rate is a single IEEE division of exact integers.
+    "q_pack_efficiency" -> ((s, d) =>
+      queries("q_pack_sequences")(s, d)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tok_len").as("total_tokens"),
+          (max("last_seq") + 1L).as("n_seqs"),
+          sum(when(col("first_seq") =!= col("last_seq"), 1L)
+            .otherwise(0L)).as("n_split_docs"))
+        .withColumn("capacity", col("n_seqs") * lit(SeqBudget.toLong))
+        .withColumn("fill_rate",
+          col("total_tokens").cast("double") / col("capacity"))
+        .select("shard", "n_docs", "total_tokens", "n_seqs",
+          "n_split_docs", "capacity", "fill_rate")
+        .orderBy(asc_nulls_last("shard"))),
+
     // Sliding-window chunking with overlap: chunk c covers tokens
     // [c·stride, c·stride + size). Emits one row per chunk with its
     // reassembled text — the RAG indexing layout.
@@ -99,6 +120,36 @@ object Packing {
          |    AS first_seq,
          |  CAST(floor((cum_end - 1) / $SeqBudget) AS BIGINT) AS last_seq
          |FROM c ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    "q_pack_efficiency" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, doc_id % $PackShards AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_len
+         |  FROM documents WHERE text IS NOT NULL
+         |), c AS (
+         |  SELECT doc_id, shard, tok_len,
+         |    SUM(tok_len) OVER (PARTITION BY shard
+         |      ORDER BY doc_id ASC NULLS LAST
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+         |  FROM b
+         |), p AS (
+         |  SELECT shard, tok_len,
+         |    CAST(floor((cum_end - tok_len) / $SeqBudget) AS BIGINT)
+         |      AS first_seq,
+         |    CAST(floor((cum_end - 1) / $SeqBudget) AS BIGINT) AS last_seq
+         |  FROM c
+         |)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tok_len) AS BIGINT) AS total_tokens,
+         |  CAST(MAX(last_seq) + 1 AS BIGINT) AS n_seqs,
+         |  CAST(COUNT(CASE WHEN first_seq <> last_seq THEN 1 END)
+         |    AS BIGINT) AS n_split_docs,
+         |  CAST((MAX(last_seq) + 1) * $SeqBudget AS BIGINT) AS capacity,
+         |  CAST(SUM(tok_len) AS DOUBLE)
+         |    / ((MAX(last_seq) + 1) * $SeqBudget) AS fill_rate
+         |FROM p GROUP BY shard
+         |ORDER BY shard ASC NULLS LAST""".stripMargin,
 
     "q_text_chunk" ->
       s"""WITH b AS (

@@ -112,6 +112,49 @@ object TextOps {
         .orderBy(asc_nulls_last("source"))
     }),
 
+    // Incremental (shard-vs-corpus) near-dup ingestion — the DAILY
+    // dedup economics: when a new shard (doc_id % 7 == 0 stands in for
+    // "today's crawl") lands against an existing corpus, only new×old
+    // and new×new pairs ever materialize — the old×old combinations
+    // that dominate every bucket are NEVER generated (each bucket
+    // splits into new/old member lists in-row; buckets with no new
+    // member drop before pair expansion). DedupPipelineSpec proves the
+    // result equals the full corpus-wide pipeline filtered to
+    // new-touching pairs. Scale: this is why daily ingest costs
+    // O(shard · bucket-mates), not O(corpus²) — the bucketed-LSH shuffle
+    // with the quadratic term amputated.
+    "q_dedup_incremental" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id").as("id"), col("text"),
+          (col("doc_id") % 7 === 0).as("is_new"))
+      val signed = MinHash.withSignatures(base, "text", NumHashes)
+      val cands = signed.select(col("id"), col("is_new"),
+          explode(array(MinHash.bandKeys(NumHashes, NumBands): _*))
+            .as("band"))
+        .groupBy("band")
+        .agg(
+          sort_array(collect_list(when(col("is_new"), col("id"))))
+            .as("new_ids"),
+          sort_array(collect_list(when(!col("is_new"), col("id"))))
+            .as("old_ids"))
+        .filter(size(col("new_ids")) > 0)
+        .select(explode(expr(
+          // new×new ordered combinations + new×old ordered pairs
+          "concat(" +
+            "flatten(transform(new_ids, (a, i) -> " +
+            "transform(slice(new_ids, i + 2, size(new_ids) - i - 1), " +
+            "b -> struct(a AS id_a, b AS id_b)))), " +
+            "flatten(transform(new_ids, n -> transform(old_ids, o -> " +
+            "struct(least(n, o) AS id_a, greatest(n, o) AS id_b)))))"))
+          .as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+        .distinct()
+      TextDedup.withJaccard(cands, MinHash.tokens(base, "text"))
+        .filter(col("jaccard") >= 0.7)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))
+    }),
+
     // Dedup threshold tuning curve — how many pairs each Jaccard cutoff
     // would keep, from ONE candidate-verify pass (the number that turns
     // "pick 0.7" from folklore into a measured choice: too low floods
@@ -1054,6 +1097,14 @@ object TextOps {
          |FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id
          |GROUP BY d.source
          |ORDER BY d.source ASC NULLS LAST""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""WITH pairs AS (
+         |${dedupPairsSubquery.linesIterator.map("  " + _).mkString("\n")}
+         |)
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE id_a % 7 = 0 OR id_b % 7 = 0
+         |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin,
 
     "q_dedup_threshold_curve" ->
       s"""WITH pairs AS (

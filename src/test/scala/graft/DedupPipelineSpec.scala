@@ -97,6 +97,22 @@ class DedupPipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("n_ge_07") == at07)
   }
 
+  test("q_dedup_incremental equals the corpus-wide pipeline filtered " +
+      "to new-touching pairs") {
+    val inc = graft.operators.TextOps.queries("q_dedup_incremental")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.operators.TextOps.queries("q_dedup_pairs")(spark, sf)
+      .filter($"id_a" % 7 === 0 || $"id_b" % 7 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full,
+      s"incremental ${inc.size} pairs != filtered full ${full.size}")
+    // and no old×old pair leaks through
+    inc.foreach { case (a, b) =>
+      assert(a % 7 == 0 || b % 7 == 0, s"old-only pair ($a,$b)")
+    }
+  }
+
   test("q_source_dup_rate covers every doc and every pair member") {
     val out = graft.operators.TextOps.queries("q_source_dup_rate")(
       spark, sf).collect()

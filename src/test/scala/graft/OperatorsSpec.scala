@@ -1085,6 +1085,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_pack_efficiency: sequence counts and capacity follow from " +
+      "the per-shard token totals") {
+    val out = Packing.queries("q_pack_efficiency")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (tot, nSeqs, cap, split, nDocs) = (
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("n_seqs"),
+        r.getAs[Long]("capacity"), r.getAs[Long]("n_split_docs"),
+        r.getAs[Long]("n_docs"))
+      // greedy packing mints exactly ceil(total/budget) sequences
+      assert(nSeqs == (tot - 1) / Packing.SeqBudget + 1)
+      assert(cap == nSeqs * Packing.SeqBudget && tot <= cap)
+      assert(split <= nDocs)
+      val fill = r.getAs[Double]("fill_rate")
+      assert(fill > 0.0 && fill <= 1.0)
+    }
+  }
+
   test("weighted-mean aggregator equals the exact decimal formula") {
     import spark.implicits._
     val wavg = udaf(new WeightedMean(),
