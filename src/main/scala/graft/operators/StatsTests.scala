@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.{Det, Tables}
+import graft.Tables
 
 /** Nonparametric two-sample tests (the distribution-shift monitors of a
   * data pipeline: "did the `click` value distribution drift away from
@@ -95,6 +95,59 @@ object StatsTests {
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(sum(col("l_quantity").cast("long")).as("w"))
 
+  /** One row per distinct (event_type, value) with the exact count —
+    * the winsorize point frame. PUBLIC and mode-agnostic like
+    * [[pricePoints]]: as a streaming keyed aggregate in update mode this
+    * is the live robust-mean state, and StreamingParitySpec proves the
+    * drained counts assemble the identical winsorized means through
+    * [[winsorizeFrom]]. */
+  def typedValuePoints(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Winsorized-mean assembly from a (event_type, value, cnt) point
+    * frame. Value-grain: a value's occurrences occupy the contiguous
+    * rank range (cum − cnt, cum], so the rows it contributes below the
+    * lo cutoff / above the hi cutoff are exact integer range overlaps —
+    * the row-grain clip-and-average computed without ever materializing
+    * rows. Clip points are data values read off the cumulative count;
+    * the mean multiplies exact DECIMAL(18,4) values by integer
+    * multiplicities, which equals the row-wise decimal sum exactly. */
+  def winsorizeFrom(pts0: DataFrame): DataFrame = {
+    val wv = Window.partitionBy("event_type")
+      .orderBy(asc_nulls_last("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // persisted: three consumers (totals, clip points, the final agg)
+    val cumd = pts0.withColumn("cum", sum("cnt").over(wv)).persist()
+    val info = broadcast(cumd.groupBy("event_type")
+      .agg(max("cum").as("n"))
+      .withColumn("lo_rank", expr("(n * 5) DIV 100 + 1"))
+      .withColumn("hi_rank",
+        expr("greatest((n * 95) DIV 100, (n * 5) DIV 100 + 1)")))
+    val clips = broadcast(cumd.join(info, "event_type")
+      .groupBy("event_type")
+      .agg(min(when(col("cum") >= col("lo_rank"), col("value")))
+          .as("lo_val"),
+        min(when(col("cum") >= col("hi_rank"), col("value")))
+          .as("hi_val")))
+    cumd.join(info, "event_type").join(clips, "event_type")
+      .withColumn("below", greatest(lit(0L),
+        least(col("cum"), col("lo_rank") - 1L) - (col("cum") - col("cnt"))))
+      .withColumn("above", greatest(lit(0L),
+        col("cum") - greatest(col("cum") - col("cnt"), col("hi_rank"))))
+      .withColumn("mid", col("cnt") - col("below") - col("above"))
+      .groupBy("event_type")
+      .agg(sum("cnt").as("n_events"),
+        max("lo_val").as("lo_val"),
+        max("hi_val").as("hi_val"),
+        (sum(col("below") * col("lo_val").cast(DecimalType(18, 4))
+          + col("mid") * col("value").cast(DecimalType(18, 4))
+          + col("above") * col("hi_val").cast(DecimalType(18, 4)))
+          .cast("double") / sum("cnt")).as("win_mean"))
+      .orderBy(asc_nulls_last("event_type"))
+  }
+
   /** Weighted-median assembly from a (l_returnflag, l_extendedprice, w)
     * point frame — TWO-PHASE exact selection (the production exact-
     * quantile shape): phase 1 finds the CROSSING BUCKET at bucket grain
@@ -183,38 +236,16 @@ object StatsTests {
     // clipped UP to it, above rank-p95 clipped DOWN, then averaged.
     // Rank cutoffs are exact integer arithmetic ((n·5) DIV 100 + 1 —
     // no FP percentile interpolation to disagree over), the clip points
-    // are DATA values read off the rank, and the mean is the
-    // exact-decimal Det sum over clipped values finished by one IEEE
-    // division. Scale: two window passes partitioned by event_type
-    // (rank, then clip-point lookup) plus one keyed aggregate — the
-    // q_median_exact economics; nothing global.
-    "q_winsorize" -> ((s, d) => {
-      val w = Window.partitionBy("event_type")
-        .orderBy(asc_nulls_last("value"), asc_nulls_last("event_id"))
-      val wn = Window.partitionBy("event_type")
-      t(s, d, "events")
-        .filter(col("value").isNotNull)
-        .select("event_type", "event_id", "value")
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
-        .withColumn("lo_rank", expr("(n * 5) DIV 100 + 1"))
-        .withColumn("hi_rank",
-          expr("greatest((n * 95) DIV 100, (n * 5) DIV 100 + 1)"))
-        .withColumn("lo_val",
-          max(when(col("rn") === col("lo_rank"), col("value"))).over(wn))
-        .withColumn("hi_val",
-          max(when(col("rn") === col("hi_rank"), col("value"))).over(wn))
-        .withColumn("wv",
-          when(col("rn") < col("lo_rank"), col("lo_val"))
-            .when(col("rn") > col("hi_rank"), col("hi_val"))
-            .otherwise(col("value")))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"),
-          max("lo_val").as("lo_val"),
-          max("hi_val").as("hi_val"),
-          (Det.dsum(col("wv")) / count(lit(1))).as("win_mean"))
-        .orderBy(asc_nulls_last("event_type"))
-    }),
+    // are DATA values read off the cumulative count, and the mean
+    // multiplies exact decimals by integer multiplicities (≡ the
+    // row-wise decimal sum). Built VALUE-GRAIN from [[typedValuePoints]]
+    // via [[winsorizeFrom]] — the window runs over distinct values, not
+    // events (the KS/MWU pooled-count argument), and the same point
+    // frame streamed in update mode IS the live robust-mean state
+    // (StreamingParitySpec). The oracle states row-grain semantics; the
+    // value-grain assembly is provably identical.
+    "q_winsorize" -> ((s, d) =>
+      winsorizeFrom(typedValuePoints(t(s, d, "events")))),
 
     // One-way ANOVA (click vs view vs purchase `value`): the k-group
     // generalization of q_stats_ttest, computed in ONE pass of

@@ -20,6 +20,9 @@ case class DocRow(doc_id: Long, text: String)
 case class LiRow(l_returnflag: String, l_extendedprice: Double,
     l_quantity: Double)
 
+/** Slim event row for the winsorized-mean streaming replay. */
+case class EvRow(event_type: String, value: Double)
+
 /** Batch↔stream parity: the SAME transforms (StreamShapes builders) fed
   * through MemoryStream must produce the batch answer once the stream
   * drains; plus watermark late-drop and stateful sessionize semantics. */
@@ -715,6 +718,42 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamRows == batch,
       s"stream weighted median $streamRows vs batch $batch")
     assert(batch.size == 3 && batch.forall(_.getLong(2) > 0L))
+  }
+
+  test("winsorized mean: streamed (event_type, value) count state " +
+      "drained through winsorizeFrom equals the batch query") {
+    import graft.operators.StatsTests
+    implicit val sqlCtx = spark.sqlContext
+    val batch = StatsTests.queries("q_winsorize")(spark, sf)
+      .collect().toSeq
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select("event_type", "value")
+      .orderBy("event_id")
+      .collect()
+      .map(r => EvRow(r.getString(0), r.getDouble(1)))
+    val mem = MemoryStream[EvRow]
+    val name = s"wins_${System.nanoTime()}"
+    val q = StatsTests.typedValuePoints(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .start()
+    // three micro-batches: every (type, value) cell a later batch
+    // touches must be REVISED, not duplicated, by the keyed aggregate
+    val third = rows.length / 3
+    Seq(rows.take(third), rows.slice(third, 2 * third),
+        rows.drop(2 * third))
+      .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val finalPts = spark.table(name).collect()
+      .groupBy(r => (r.getString(0), r.getDouble(1)))
+      .map { case ((t, v), rs) => (t, v, rs.last.getLong(2)) }.toSeq
+    val streamRows = StatsTests.winsorizeFrom(
+        finalPts.toDF("event_type", "value", "cnt"))
+      .collect().toSeq
+    assert(streamRows == batch,
+      s"stream winsorize $streamRows vs batch $batch")
+    assert(batch.nonEmpty && batch.forall(_.getLong(1) > 0L))
   }
 
   test("user streaks: per-user day-set state across batches and a " +
