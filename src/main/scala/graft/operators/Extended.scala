@@ -519,9 +519,19 @@ object Extended {
       val n = broadcast(items.select(countDistinct("l_orderkey")
         .as("n_orders")).withColumn("_one", lit(1)))
       val ca = items.groupBy("l_partkey").agg(count(lit(1)).as("c"))
-      val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
-      a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
+      // in-row pair expansion (the candidatePairs shape): ONE shuffle on
+      // l_orderkey builds each order's sorted part list, combinations
+      // expand inside the task, and only the slim (pa, pb) pairs reach
+      // the count shuffle — the self-join form exchanged the items frame
+      // for both sides and joined before any reduction
+      items.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ps, (a, i) -> " +
+            "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+            "b -> struct(a AS pa, b AS pb))))")).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= 2)
         .join(broadcast(ca.select(col("l_partkey").as("pa"),
