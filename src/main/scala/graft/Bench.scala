@@ -178,7 +178,8 @@ object Bench {
     "q_dedup_threshold_curve" -> "h9", "q_source_dup_rate" -> "d9",
     "q_quality_prune_sweep" -> "q9", "q_vocab_coverage" -> "o9",
     "q_label_prototypes" -> "p9", "q_embed_label_margin" -> "n9",
-    "q_dedup_incremental" -> "f9", "q_pack_efficiency" -> "a9")
+    "q_dedup_incremental" -> "f9", "q_pack_efficiency" -> "a9",
+    "q_graph_degree_dist" -> "x9")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -345,6 +345,20 @@ object Corpus {
         .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))
     }),
 
+    // Degree distribution of the near-dup graph — the 30-second triage
+    // before any graph pass: a heavy tail here (one doc near-dup to
+    // thousands) predicts hot keys in every downstream join and flags
+    // boilerplate/template contamination. Two keyed aggregates on slim
+    // rows; output bounded by the max degree.
+    "q_graph_degree_dist" -> ((s, d) => {
+      val pairs = TextDedup.nearDuplicates(t(s, d, "documents"))
+        .select("id_a", "id_b")
+      pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy(asc_nulls_last("deg"))
+    }),
+
     // k-core decomposition (k = 2) of the near-dup graph by iterative
     // peeling: repeatedly drop vertices whose degree among SURVIVING
     // vertices is < 2; what remains is the 2-core — the cyclically
@@ -770,6 +784,18 @@ object Corpus {
 
   /** Same oriented wedge + closing-edge enumeration over the proven
     * near-dup pair subquery, corners credited via unnest. */
+  private def degreeDistOracle: String =
+    s"""WITH pairs AS (
+       |${TextOps.dedupPairsSubquery}
+       |), m AS (
+       |  SELECT unnest([id_a, id_b]) AS id FROM pairs
+       |), dg AS (
+       |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM m GROUP BY id
+       |)
+       |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM dg GROUP BY deg
+       |ORDER BY deg ASC NULLS LAST""".stripMargin
+
   private def trianglesOracle: String =
     s"""WITH pairs AS (
        |${TextOps.dedupPairsSubquery}
@@ -862,6 +888,7 @@ object Corpus {
     "q_graph_cc_sizes" -> ccSizesOracle,
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_triangles" -> trianglesOracle,
+    "q_graph_degree_dist" -> degreeDistOracle,
     "q_graph_jaccard" -> graphJaccardOracle,
     "q_graph_kcore" -> kcoreOracle,
 

@@ -274,6 +274,16 @@ class CorpusSpec extends SparkSpec {
       assert(host.startsWith("www.") && host.contains(".example."))
     }
   }
+
+  test("q_graph_degree_dist: handshake lemma against the pair count") {
+    val out = Corpus.queries("q_graph_degree_dist")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("deg"), r.getAs[Long]("n_nodes")))
+    val pairs = graft.operators.TextOps.queries("q_dedup_pairs")(spark, sf)
+      .count()
+    // Σ deg · n_nodes counts every edge endpoint = 2 |E|
+    assert(out.map(t => t._1 * t._2).sum == 2 * pairs)
+    assert(out.forall(_._1 >= 1))
+  }
 }
 
 /** Keeps Corpus' oracle map aligned with its query map. */
