@@ -437,6 +437,44 @@ object VectorOps {
         .limit(20)
     }),
 
+    // Cluster-scoped semantic dedup screening (the SemDeDup shape,
+    // Abbas et al. 2023): pairs are compared only INSIDE coarse
+    // clusters — the quadratic is bounded by cluster size, never the
+    // corpus — and each cluster reports its top-3 most-similar pairs,
+    // the list a curation run reviews to pick the dedup threshold.
+    // Two-phase ranking like q_dedup_embed: the codegen'd float dot
+    // screens each cluster to 20 candidates, the exact-decimal dot
+    // settles the declared top-3. Scale: one cluster-keyed equi-join
+    // (hash-joinable; in-cluster fan-out is the k-means sizing knob,
+    // exactly the paper's design), per-cluster windows, no global
+    // anything.
+    "q_dedup_semantic" -> ((s, d) => {
+      val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      val cl = centroidAssign(s, e, e).select("vec_id", "cluster")
+      val m = e.join(cl, "vec_id")
+        .select(col("cluster"), col("vec_id"), col("embedding"))
+      val a = m.select(col("cluster"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))
+      val b = m.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+      val wf = Window.partitionBy("cluster")
+        .orderBy(desc_nulls_last("fd"), asc_nulls_last("vec_a"),
+          asc_nulls_last("vec_b"))
+      val wx = Window.partitionBy("cluster")
+        .orderBy(desc_nulls_last("cosine"), asc_nulls_last("vec_a"),
+          asc_nulls_last("vec_b"))
+      a.join(b, Seq("cluster")).filter(col("vec_a") < col("vec_b"))
+        .withColumn("fd", fastDot(s, "ea", "eb"))
+        .withColumn("_rn", row_number().over(wf))
+        .filter(col("_rn") <= 20)
+        .withColumn("cosine", dotExpr(s, "ea", "eb"))
+        .withColumn("rank", row_number().over(wx).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("cluster").cast("long").as("cluster"), col("rank"),
+          col("vec_a"), col("vec_b"), col("cosine"))
+        .orderBy(asc_nulls_last("cluster"), asc_nulls_last("rank"))
+    }),
+
     // LSH bucket assignment for every vector — the scale path for ANN.
     "q_ann_lsh" -> ((s, d) =>
       annBuckets(t(s, d, "embeddings"))
@@ -2081,6 +2119,42 @@ object VectorOps {
         |  n_chars, CAST(len(embedding) AS BIGINT) AS dim, label
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // The residualOracleCtes assignment idiom (exact-decimal cdot
+    // argmax) + in-cluster all-pairs exact cosine, window top-3 —
+    // states the screening semantics directly; the Spark side's float
+    // prefilter must land the same exact-decimal top-3.
+    "q_dedup_semantic" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS ccid, embedding AS cemb FROM embeddings
+         |  WHERE vec_id < $IvfCentroids
+         |), aa AS (
+         |  SELECT e2.vec_id, c.ccid,
+         |    ${sqlDot("e2.embedding", "c.cemb")} AS cdot
+         |  FROM embeddings e2, cents c
+         |  WHERE e2.embedding IS NOT NULL
+         |), cl AS (
+         |  SELECT vec_id, ccid AS cluster FROM aa
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cdot DESC, ccid ASC) = 1
+         |), m AS (
+         |  SELECT cl.cluster, e.vec_id, e.embedding
+         |  FROM embeddings e JOIN cl ON e.vec_id = cl.vec_id
+         |), pr AS (
+         |  SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${sqlDot("a.embedding", "b.embedding")} AS cosine
+         |  FROM m a JOIN m b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |)
+         |SELECT CAST(cluster AS BIGINT) AS cluster,
+         |  CAST(rn AS BIGINT) AS rank, vec_a, vec_b, cosine FROM (
+         |  SELECT cluster, vec_a, vec_b, cosine,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY cosine DESC NULLS LAST, vec_a ASC NULLS LAST,
+         |        vec_b ASC NULLS LAST) AS rn
+         |  FROM pr)
+         |WHERE rn <= 3
+         |ORDER BY cluster ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin,
 
     // The residualOracleCtes integer-grid idiom, label-conditioned:
     // per-label centroid means on the scaled-BIGINT grid, integer dots,

@@ -229,7 +229,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q_vocab_coverage",
       // 10-row label-centroid broadcast on a constant key — fan-out
       // bounded by the label DOMAIN, the broadcast-k assignment shape
-      "q_embed_label_margin")
+      "q_embed_label_margin",
+      // broadcast-k coarse assignment (the q_kmeans_iter shape); the
+      // pair stage itself is a cluster-keyed equi-join
+      "q_dedup_semantic")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),

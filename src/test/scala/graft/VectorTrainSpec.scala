@@ -243,6 +243,23 @@ class VectorTrainSpec extends SparkSpec {
       s"label $lbl winner ${(rank1._3, rank1._4)} != brute $best")
   }
 
+  test("q_dedup_semantic: pairs stay inside their cluster and ranks " +
+      "order the exact cosine") {
+    val out = VectorOps.queries("q_dedup_semantic")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cosine")))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (c, rows) =>
+      val ranked = rows.sortBy(_._2)
+      assert(ranked.map(_._2).toSeq == (1L to ranked.length.toLong).toSeq,
+        s"cluster $c ranks")
+      assert(ranked.map(_._5).sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1)), s"cluster $c order")
+      rows.foreach(r => assert(r._3 < r._4))
+    }
+  }
+
   test("q_embed_label_margin: ascending margins, own label never the " +
       "best-other, arithmetic consistent") {
     val out = VectorOps.queries("q_embed_label_margin")(spark, sf)
