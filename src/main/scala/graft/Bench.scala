@@ -179,7 +179,8 @@ object Bench {
     "q_quality_prune_sweep" -> "q9", "q_vocab_coverage" -> "o9",
     "q_label_prototypes" -> "p9", "q_embed_label_margin" -> "n9",
     "q_dedup_incremental" -> "f9", "q_pack_efficiency" -> "a9",
-    "q_graph_degree_dist" -> "x9", "q_dedup_semantic" -> "s8")
+    "q_graph_degree_dist" -> "x9", "q_dedup_semantic" -> "s8",
+    "q_dsir_weight" -> "d8")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -670,6 +670,49 @@ object TextOps {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // DSIR-style data-selection weights (Xie et al., NeurIPS 2023 —
+    // importance resampling toward a target domain): each TRAIN doc is
+    // scored by how much more its bigrams look like the TARGET split
+    // (doc_id % 5 == 0, the q_decontaminate eval convention) than like
+    // the raw corpus. Log-likelihood ratios are transcendental, so this
+    // uses the q_text_lm_score precedent: per-bigram probabilities as
+    // exact scaled integers (cnt·1e6 DIV prefix-total), the score the
+    // ADDITIVE affinity gap (Σp_target − Σp_raw)/n — same ranking
+    // intent, engine-identical arithmetic, one trailing IEEE division.
+    // Scale: two vocabulary-sized probability frames keyed on the
+    // bigram join back onto one bigram-keyed corpus shuffle; target
+    // bigrams missing from a train doc's vocabulary coalesce to 0.
+    "q_dsir_weight" -> ((s, d) => {
+      val docBg = t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))
+        .select(col("doc_id"), col("p.a"), col("p.b"))
+        .persist()
+      val wTot = Window.partitionBy("a")
+      def probs(src: DataFrame, alias: String): DataFrame =
+        src.groupBy("a", "b").agg(count(lit(1)).as("cnt_ab"))
+          .withColumn("cnt_a", sum("cnt_ab").over(wTot))
+          .withColumn(alias, expr(
+            "(cnt_ab * CAST(1000000 AS BIGINT)) DIV cnt_a"))
+          .select("a", "b", alias)
+      docBg.filter(col("doc_id") % 5 =!= 0)
+        .join(probs(docBg, "p_raw"), Seq("a", "b"))
+        .join(probs(docBg.filter(col("doc_id") % 5 === 0), "p_tgt"),
+          Seq("a", "b"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("p_tgt"), lit(0L))).as("tgt_sum"),
+          sum("p_raw").as("raw_sum"))
+        .withColumn("dsir_score",
+          (col("tgt_sum") - col("raw_sum")).cast("double")
+            / (col("n_bigrams").cast("double") * lit(1000000.0d)))
+        .select("doc_id", "n_bigrams", "tgt_sum", "raw_sum", "dsir_score")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // Bigram conditional probability p(b|a) = cnt(a,b) / cnt(a,·) — the
     // n-gram language-model statistic. Exact integer counts, ONE IEEE
     // division; the per-prefix total joins back as a vocabulary-sized
@@ -1097,6 +1140,39 @@ object TextOps {
          |FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id
          |GROUP BY d.source
          |ORDER BY d.source ASC NULLS LAST""".stripMargin,
+
+    "q_dsir_weight" ->
+      """WITH bg AS (
+        |  SELECT doc_id, toks[i+1] AS a, toks[i+2] AS b FROM (
+        |    SELECT doc_id, toks,
+        |      unnest(generate_series(0, len(toks) - 2)) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |          FROM documents)
+        |    WHERE len(toks) >= 2)
+        |), praw AS (
+        |  SELECT a, b,
+        |    (COUNT(*) * CAST(1000000 AS BIGINT))
+        |      // CAST(SUM(COUNT(*)) OVER (PARTITION BY a) AS BIGINT)
+        |      AS p_raw
+        |  FROM bg GROUP BY a, b
+        |), ptgt AS (
+        |  SELECT a, b,
+        |    (COUNT(*) * CAST(1000000 AS BIGINT))
+        |      // CAST(SUM(COUNT(*)) OVER (PARTITION BY a) AS BIGINT)
+        |      AS p_tgt
+        |  FROM bg WHERE doc_id % 5 = 0 GROUP BY a, b
+        |)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(COALESCE(g.p_tgt, 0)) AS BIGINT) AS tgt_sum,
+        |  CAST(SUM(r.p_raw) AS BIGINT) AS raw_sum,
+        |  CAST(SUM(COALESCE(g.p_tgt, 0)) - SUM(r.p_raw) AS DOUBLE)
+        |    / (COUNT(*) * 1000000.0) AS dsir_score
+        |FROM bg t
+        |JOIN praw r ON t.a = r.a AND t.b = r.b
+        |LEFT JOIN ptgt g ON t.a = g.a AND t.b = g.b
+        |WHERE t.doc_id % 5 <> 0
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id ASC NULLS LAST""".stripMargin,
 
     "q_dedup_incremental" ->
       s"""WITH pairs AS (

@@ -1085,6 +1085,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_dsir_weight: eval docs excluded, affinity bounded by the " +
+      "scaled-probability ceiling") {
+    val out = TextOps.queries("q_dsir_weight")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 5 != 0)
+      val (n, tgt, raw) = (r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("tgt_sum"), r.getAs[Long]("raw_sum"))
+      // each scaled probability is <= 1e6, so sums are <= n * 1e6
+      assert(tgt >= 0 && tgt <= n * 1000000L)
+      assert(raw > 0 && raw <= n * 1000000L)
+      val score = r.getAs[Double]("dsir_score")
+      assert(score >= -1.0 && score <= 1.0)
+    }
+    // non-vacuous: scores differ across docs
+    assert(out.map(_.getAs[Double]("dsir_score")).distinct.length > 1)
+  }
+
   test("q_pack_efficiency: sequence counts and capacity follow from " +
       "the per-shard token totals") {
     val out = Packing.queries("q_pack_efficiency")(spark, sf).collect()
