@@ -233,6 +233,43 @@ object TextOps {
           asc_nulls_last("pair"))
     }),
 
+    // Per-source token-distribution shift — exact total-variation
+    // distance ½·Σ|p_source − p_corpus| between each source's unigram
+    // distribution and the corpus': the drift metric that flags a crawl
+    // source gone off-domain BEFORE it skews training. KL wants logs
+    // (transcendental, engine-divergent); TV is pure rational
+    // arithmetic: |cnt_s·N_c − cnt_c·N_s| is an exact BIGINT per
+    // (source, token) — including corpus tokens the source never emits
+    // — summed exactly, ONE trailing IEEE division by 2·N_s·N_c.
+    // Scale: the honest cost of exact TV is the vocab × source grid —
+    // slim integer rows, source domain ≤ 20 broadcast, partial agg
+    // collapses per source.
+    "q_source_token_shift" -> ((s, d) => {
+      val toks = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .persist()
+      val corp = toks.groupBy("token").agg(count(lit(1)).as("cnt_c"))
+      val nC = broadcast(toks.agg(count(lit(1)).as("n_c"))
+        .withColumn("_one", lit(1)))
+      val nS = broadcast(toks.groupBy("source")
+        .agg(count(lit(1)).as("n_s")))
+      val cs = toks.groupBy("source", "token")
+        .agg(count(lit(1)).as("cnt_s"))
+      corp.crossJoin(broadcast(toks.select("source").distinct()))
+        .join(cs, Seq("source", "token"), "left")
+        .join(nS, "source")
+        .withColumn("_one", lit(1)).join(nC, "_one")
+        .withColumn("num", abs(coalesce(col("cnt_s"), lit(0L))
+          * col("n_c") - col("cnt_c") * col("n_s")))
+        .groupBy("source")
+        .agg(max("n_s").as("n_tokens"),
+          sum("num").as("tv_num"),
+          (sum("num").cast("double")
+            / (lit(2.0d) * max("n_s") * max("n_c"))).as("tv_dist"))
+        .orderBy(asc_nulls_last("source"))
+    }),
+
     // Top-k vocabulary coverage — the tokenizer-sizing number: what
     // share of all token OCCURRENCES the 100 / 1000 most frequent
     // types carry (a Zipf corpus saturates fast; the gap to 1.0 is the
@@ -1239,6 +1276,39 @@ object TextOps {
         |)
         |ORDER BY iter ASC NULLS LAST, freq DESC NULLS LAST,
         |  pair ASC NULLS LAST""".stripMargin,
+
+    "q_source_token_shift" ->
+      """WITH tk AS (
+        |  SELECT source, token FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE text IS NOT NULL
+        |  ) WHERE length(token) > 0
+        |), corp AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_c
+        |  FROM tk GROUP BY token
+        |), nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_c FROM tk),
+        |ns AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        |  FROM tk GROUP BY source
+        |), cs AS (
+        |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt_s
+        |  FROM tk GROUP BY source, token
+        |), grid AS (
+        |  SELECT s.source, c.token, c.cnt_c FROM corp c
+        |  CROSS JOIN (SELECT DISTINCT source FROM tk) s
+        |)
+        |SELECT g.source, MAX(ns.n_s) AS n_tokens,
+        |  CAST(SUM(abs(COALESCE(cs.cnt_s, 0) * nc.n_c
+        |    - g.cnt_c * ns.n_s)) AS BIGINT) AS tv_num,
+        |  CAST(SUM(abs(COALESCE(cs.cnt_s, 0) * nc.n_c
+        |    - g.cnt_c * ns.n_s)) AS DOUBLE)
+        |    / (2.0 * MAX(ns.n_s) * MAX(nc.n_c)) AS tv_dist
+        |FROM grid g
+        |LEFT JOIN cs ON g.source = cs.source AND g.token = cs.token
+        |JOIN ns ON g.source = ns.source
+        |CROSS JOIN nc
+        |GROUP BY g.source
+        |ORDER BY g.source ASC NULLS LAST""".stripMargin,
 
     "q_vocab_coverage" ->
       """WITH f AS (

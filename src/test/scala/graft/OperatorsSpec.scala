@@ -1085,6 +1085,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_source_token_shift: TV distance bounded in [0,1] and exact " +
+      "against a brute-force recomputation for one source") {
+    val out = TextOps.queries("q_source_token_shift")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val tv = r.getAs[Double]("tv_dist")
+      assert(tv >= 0.0 && tv <= 1.0, s"${r.getString(0)}: tv $tv")
+    }
+    // brute-force one source
+    val src = out.head.getString(0)
+    val toks = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nC = toks.length.toLong
+    val corpCnt = toks.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    val sToks = toks.filter(_._1 == src)
+    val nS = sToks.length.toLong
+    val sCnt = sToks.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    val num = corpCnt.map { case (t, cc) =>
+      math.abs(sCnt.getOrElse(t, 0L) * nC - cc * nS) }.sum
+    val row = out.find(_.getString(0) == src).get
+    assert(row.getAs[Long]("tv_num") == num)
+    assert(row.getAs[Long]("n_tokens") == nS)
+  }
+
   test("q_dsir_weight: eval docs excluded, affinity bounded by the " +
       "scaled-probability ceiling") {
     val out = TextOps.queries("q_dsir_weight")(spark, sf).collect()

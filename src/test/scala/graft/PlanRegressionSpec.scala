@@ -232,7 +232,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q_embed_label_margin",
       // broadcast-k coarse assignment (the q_kmeans_iter shape); the
       // pair stage itself is a cluster-keyed equi-join
-      "q_dedup_semantic")
+      "q_dedup_semantic",
+      // ≤20-row source-domain broadcast (the vocab × source TV grid)
+      // plus the 1-row corpus-total broadcast — the q_text_docfreq shape
+      "q_source_token_shift")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
