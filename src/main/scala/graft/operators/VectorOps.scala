@@ -437,6 +437,55 @@ object VectorOps {
         .limit(20)
     }),
 
+    // Hybrid-retrieval rank fusion (reciprocal rank fusion, Cormack et
+    // al. SIGIR'09 — the standard way a RAG stack combines dense and
+    // lexical retrieval): the probe doc's top-50 by exact embedding
+    // cosine and top-50 by exact token Jaccard fuse via
+    // RRF(d) = Σ_lists 1/(60 + rank_list(d)), top-10 out. Each
+    // reciprocal is cast to DECIMAL(18,10) before summing (the Det
+    // convention — dyadic reciprocals terminate, so no rounding ties),
+    // making the fused score order-insensitive. Scale: two TakeOrdered
+    // top-50s (per-partition heaps, no global sort), ranks assigned by
+    // a window PARTITIONED BY the list tag over the bounded 100-row
+    // union, probe payloads are 1-row broadcasts.
+    "q_rank_fusion" -> ((s, d) => {
+      val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      val probeEmb = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pe")).withColumn("_one", lit(1)))
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        .withColumn("toks", expr("array_distinct(split(text, ' '))"))
+      val probeToks = broadcast(docs.filter(col("doc_id") === 0)
+        .select(col("toks").as("pt")).withColumn("_one", lit(1)))
+      val cosCand = e.filter(col("vec_id") =!= 0)
+        .withColumn("_one", lit(1)).join(probeEmb, "_one")
+        .withColumn("score", dotExpr(s, "embedding", "pe"))
+        .select(col("vec_id").as("doc_id"), col("score"))
+        .orderBy(desc_nulls_last("score"), asc_nulls_last("doc_id"))
+        .limit(50)
+        .withColumn("list", lit("cos"))
+      val tokCand = docs.filter(col("doc_id") =!= 0)
+        .withColumn("_one", lit(1)).join(probeToks, "_one")
+        .withColumn("score",
+          expr("CAST(size(array_intersect(toks, pt)) AS DOUBLE)")
+            / expr("size(array_distinct(concat(toks, pt)))"))
+        .select(col("doc_id"), col("score"))
+        .orderBy(desc_nulls_last("score"), asc_nulls_last("doc_id"))
+        .limit(50)
+        .withColumn("list", lit("tok"))
+      val wr = Window.partitionBy("list")
+        .orderBy(desc_nulls_last("score"), asc_nulls_last("doc_id"))
+      cosCand.unionByName(tokCand)
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+          max(when(col("list") === "cos", col("rank"))).as("cos_rank"),
+          max(when(col("list") === "tok", col("rank"))).as("tok_rank"),
+          sum(expr("CAST(1.0D / (60 + rank) AS DECIMAL(18,10))"))
+            .cast("double").as("rrf"))
+        .orderBy(desc_nulls_last("rrf"), asc_nulls_last("doc_id"))
+        .limit(10)
+    }),
+
     // Cluster-scoped semantic dedup screening (the SemDeDup shape,
     // Abbas et al. 2023): pairs are compared only INSIDE coarse
     // clusters — the quadratic is bounded by cluster size, never the
@@ -2119,6 +2168,49 @@ object VectorOps {
         |  n_chars, CAST(len(embedding) AS BIGINT) AS dim, label
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Full-ranking window + QUALIFY-free rank<=50 mirrors the
+    // TakeOrdered top-50s; the decimal reciprocal sum routes through
+    // VARCHAR (Det.sqlDsum convention).
+    "q_rank_fusion" ->
+      s"""WITH pe AS (
+         |  SELECT embedding AS pe FROM embeddings WHERE vec_id = 0
+         |), cosr AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT e.vec_id AS doc_id,
+         |      row_number() OVER (ORDER BY
+         |        ${sqlDot("e.embedding", "pe.pe")} DESC NULLS LAST,
+         |        e.vec_id ASC NULLS LAST) AS rank
+         |    FROM embeddings e, pe
+         |    WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL
+         |  ) WHERE rank <= 50
+         |), pt AS (
+         |  SELECT list_distinct(string_split(text, ' ')) AS pt
+         |  FROM documents WHERE doc_id = 0
+         |), tokr AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT d.doc_id,
+         |      row_number() OVER (ORDER BY
+         |        CAST(len(list_intersect(toks, pt.pt)) AS DOUBLE)
+         |          / len(list_distinct(toks || pt.pt)) DESC NULLS LAST,
+         |        d.doc_id ASC NULLS LAST) AS rank
+         |    FROM (SELECT doc_id,
+         |            list_distinct(string_split(text, ' ')) AS toks
+         |          FROM documents WHERE text IS NOT NULL) d, pt
+         |    WHERE d.doc_id <> 0
+         |  ) WHERE rank <= 50
+         |), u AS (
+         |  SELECT doc_id, rank, 'cos' AS list FROM cosr
+         |  UNION ALL SELECT doc_id, rank, 'tok' FROM tokr
+         |)
+         |SELECT doc_id,
+         |  max(CASE WHEN list = 'cos' THEN rank END) AS cos_rank,
+         |  max(CASE WHEN list = 'tok' THEN rank END) AS tok_rank,
+         |  CAST(CAST(SUM(CAST(1.0 / (60 + rank) AS DECIMAL(18,10)))
+         |    AS VARCHAR) AS DOUBLE) AS rrf
+         |FROM u GROUP BY doc_id
+         |ORDER BY rrf DESC NULLS LAST, doc_id ASC NULLS LAST
+         |LIMIT 10""".stripMargin,
 
     // The residualOracleCtes assignment idiom (exact-decimal cdot
     // argmax) + in-cluster all-pairs exact cosine, window top-3 —

@@ -235,7 +235,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q_dedup_semantic",
       // ≤20-row source-domain broadcast (the vocab × source TV grid)
       // plus the 1-row corpus-total broadcast — the q_text_docfreq shape
-      "q_source_token_shift")
+      "q_source_token_shift",
+      // 1-row probe-embedding and probe-token-set broadcasts on a
+      // constant key — the q_simsearch_topk bounded-probe shape
+      "q_rank_fusion")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),

@@ -243,6 +243,26 @@ class VectorTrainSpec extends SparkSpec {
       s"label $lbl winner ${(rank1._3, rank1._4)} != brute $best")
   }
 
+  test("q_rank_fusion: RRF dominance — a doc on both lists outscores " +
+      "any doc whose best rank is worse on both") {
+    val out = VectorOps.queries("q_rank_fusion")(spark, sf).collect()
+    assert(out.length == 10)
+    val rrfs = out.map(_.getAs[Double]("rrf"))
+    assert(rrfs.sliding(2).forall(p => p(0) >= p(1)), "not rrf-sorted")
+    out.foreach { r =>
+      val (cr, tr) = (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))
+      assert(cr.isDefined || tr.isDefined)
+      // recompute the fused score from the reported ranks
+      val expect = (cr.toSeq ++ tr.toSeq)
+        .map(k => BigDecimal(1.0 / (60 + k))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-12,
+        s"doc ${r.getLong(0)} rrf mismatch")
+    }
+  }
+
   test("q_dedup_semantic: pairs stay inside their cluster and ranks " +
       "order the exact cosine") {
     val out = VectorOps.queries("q_dedup_semantic")(spark, sf).collect()
