@@ -56,6 +56,46 @@ object TextOps {
     "fr" -> Seq("le", "les", "et", "du"),
     "zh" -> Seq("de5", "le5", "shi4", "bu4"))
 
+  /** One row per (source, token) with the exact occurrence count — the
+    * token-shift point frame. PUBLIC and mode-agnostic like
+    * StatsTests.pricePoints: as a streaming keyed aggregate in update
+    * mode this is the live drift-monitor state, and StreamingParitySpec
+    * proves the drained counts assemble the identical TV distances
+    * through [[tokenShiftFrom]]. */
+  def sourceTokenPoints(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+
+  /** Exact total-variation token-shift assembly from a
+    * (source, token, cnt) point frame — see q_source_token_shift's doc
+    * for the arithmetic. Corpus counts and totals all derive from the
+    * same point frame, so a streamed replica of it yields the identical
+    * result. */
+  def tokenShiftFrom(pts0: DataFrame): DataFrame = {
+    // persisted: four consumers (corpus counts, corpus total, per-source
+    // totals, the per-cell left join) re-run the upstream otherwise
+    val pts = pts0.persist()
+    val corp = pts.groupBy("token").agg(sum("cnt").as("cnt_c"))
+    val nC = broadcast(pts.agg(sum("cnt").as("n_c"))
+      .withColumn("_one", lit(1)))
+    val nS = broadcast(pts.groupBy("source").agg(sum("cnt").as("n_s")))
+    corp.crossJoin(broadcast(pts.select("source").distinct()))
+      .join(pts.select(col("source"), col("token"),
+        col("cnt").as("cnt_s")), Seq("source", "token"), "left")
+      .join(nS, "source")
+      .withColumn("_one", lit(1)).join(nC, "_one")
+      .withColumn("num", abs(coalesce(col("cnt_s"), lit(0L))
+        * col("n_c") - col("cnt_c") * col("n_s")))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"),
+        sum("num").as("tv_num"),
+        (sum("num").cast("double")
+          / (lit(2.0d) * max("n_s") * max("n_c"))).as("tv_dist"))
+      .orderBy(asc_nulls_last("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokenize" -> ((s, d) =>
       t(s, d, "documents")
@@ -244,31 +284,8 @@ object TextOps {
     // Scale: the honest cost of exact TV is the vocab × source grid —
     // slim integer rows, source domain ≤ 20 broadcast, partial agg
     // collapses per source.
-    "q_source_token_shift" -> ((s, d) => {
-      val toks = t(s, d, "documents").filter(col("text").isNotNull)
-        .select(col("source"), explode(split(col("text"), " ")).as("token"))
-        .filter(length(col("token")) > 0)
-        .persist()
-      val corp = toks.groupBy("token").agg(count(lit(1)).as("cnt_c"))
-      val nC = broadcast(toks.agg(count(lit(1)).as("n_c"))
-        .withColumn("_one", lit(1)))
-      val nS = broadcast(toks.groupBy("source")
-        .agg(count(lit(1)).as("n_s")))
-      val cs = toks.groupBy("source", "token")
-        .agg(count(lit(1)).as("cnt_s"))
-      corp.crossJoin(broadcast(toks.select("source").distinct()))
-        .join(cs, Seq("source", "token"), "left")
-        .join(nS, "source")
-        .withColumn("_one", lit(1)).join(nC, "_one")
-        .withColumn("num", abs(coalesce(col("cnt_s"), lit(0L))
-          * col("n_c") - col("cnt_c") * col("n_s")))
-        .groupBy("source")
-        .agg(max("n_s").as("n_tokens"),
-          sum("num").as("tv_num"),
-          (sum("num").cast("double")
-            / (lit(2.0d) * max("n_s") * max("n_c"))).as("tv_dist"))
-        .orderBy(asc_nulls_last("source"))
-    }),
+    "q_source_token_shift" -> ((s, d) =>
+      tokenShiftFrom(sourceTokenPoints(t(s, d, "documents")))),
 
     // Top-k vocabulary coverage — the tokenizer-sizing number: what
     // share of all token OCCURRENCES the 100 / 1000 most frequent

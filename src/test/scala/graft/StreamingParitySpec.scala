@@ -23,6 +23,9 @@ case class LiRow(l_returnflag: String, l_extendedprice: Double,
 /** Slim event row for the winsorized-mean streaming replay. */
 case class EvRow(event_type: String, value: Double)
 
+/** (source, token) observation for the TV-drift streaming replay. */
+case class SrcTok(source: String, token: String)
+
 /** Batch↔stream parity: the SAME transforms (StreamShapes builders) fed
   * through MemoryStream must produce the batch answer once the stream
   * drains; plus watermark late-drop and stateful sessionize semantics. */
@@ -754,6 +757,41 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamRows == batch,
       s"stream winsorize $streamRows vs batch $batch")
     assert(batch.nonEmpty && batch.forall(_.getLong(1) > 0L))
+  }
+
+  test("token-shift drift monitor: streamed (source, token) count " +
+      "state drained through tokenShiftFrom equals the batch query") {
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val batch = TextOps.queries("q_source_token_shift")(spark, sf)
+      .collect().toSeq
+    val obs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .collect().map(r => SrcTok(r.getString(0), r.getString(1)))
+    val mem = MemoryStream[SrcTok]
+    val name = s"tvshift_${System.nanoTime()}"
+    val q = mem.toDF()
+      .groupBy("source", "token")
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .start()
+    val third = obs.length / 3
+    Seq(obs.take(third), obs.slice(third, 2 * third), obs.drop(2 * third))
+      .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val finalPts = spark.table(name).collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case ((s0, t0), rs) => (s0, t0, rs.last.getLong(2)) }.toSeq
+    val streamRows = TextOps.tokenShiftFrom(
+        finalPts.toDF("source", "token", "cnt"))
+      .collect().toSeq
+    assert(streamRows == batch,
+      s"stream token shift differs: ${streamRows.take(3)} vs " +
+        s"${batch.take(3)}")
+    assert(batch.size == 20 && batch.forall(_.getDouble(3) > 0.0))
   }
 
   test("user streaks: per-user day-set state across batches and a " +
