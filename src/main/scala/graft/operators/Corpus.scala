@@ -644,6 +644,51 @@ object Corpus {
         .orderBy(asc_nulls_last("lang"))
     }),
 
+    // The curation pipeline v2 — q_corpus_curate with the
+    // DECONTAMINATION stage a benchmark-honest run inserts between
+    // near-dup drop and quota: train docs sharing any distinct 8-gram
+    // with the eval split (doc_id % 5 == 0, q_decontaminate's
+    // convention, grams built from the RAW corpus so eval membership
+    // does not depend on earlier gates) are dropped, and the eval docs
+    // themselves leave the train stream. Scale adds one broadcast of
+    // the eval gram set probed by a narrow map — the q_decontaminate
+    // economics grafted into the composition.
+    "q_corpus_curate_v2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val q = Quality.gopherMetrics(docs)
+        .filter(col("passes")).select("doc_id")
+      val qd = docs.join(q, "doc_id")
+      val ex = qd.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val kept = qd.join(ex, "doc_id").persist()
+      val losers = TextDedup.nearDuplicates(kept)
+        .select(col("id_b").as("doc_id")).distinct()
+      val surv = kept.join(losers, Seq("doc_id"), "left_anti")
+      def grams(df: DataFrame) = df
+        .filter(col("text").isNotNull)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= GramTokens)
+        .select(col("doc_id"), explode(expr(
+          s"array_distinct(transform(sequence(0, size(toks) - $GramTokens), " +
+            s"i -> md5(array_join(slice(toks, i + 1, $GramTokens), ' '))))"))
+          .as("gm"))
+      val evalGrams = broadcast(
+        grams(docs.filter(col("doc_id") % 5 === 0))
+          .select("gm").distinct())
+      val contaminated = grams(surv).join(evalGrams, "gm")
+        .select("doc_id").distinct()
+      val clean = surv.filter(col("doc_id") % 5 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      clean.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct("source").as("n_sources"))
+        .orderBy(asc_nulls_last("lang"))
+    }),
+
     // Boilerplate removal: documents wrapped in deterministic HTML (tags,
     // entities, chrome) and cleaned back — tag strip, entity unescape,
     // whitespace collapse — with the SAME regexes on both engines (the
@@ -1085,6 +1130,62 @@ object Corpus {
          |  SELECT *, row_number() OVER (PARTITION BY source
          |    ORDER BY doc_id) AS rn
          |  FROM surv
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+         |FROM quota WHERE rn <= 20
+         |GROUP BY lang
+         |ORDER BY lang ASC NULLS LAST""".stripMargin,
+
+    "q_corpus_curate_v2" ->
+      s"""WITH q AS (
+         |${Quality.gopherPassSubquery.linesIterator
+              .map("  " + _).mkString("\n")}
+         |), qd AS (
+         |  SELECT d.* FROM documents d JOIN q ON d.doc_id = q.doc_id
+         |), ex AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM qd GROUP BY md5(text)
+         |), kept AS (
+         |  SELECT qd.* FROM qd JOIN ex ON qd.doc_id = ex.doc_id
+         |), pairs AS (
+         |${TextOps.dedupPairsSubquery
+              .replace("FROM documents WHERE", "FROM kept WHERE")
+              .linesIterator.map("  " + _).mkString("\n")}
+         |), losers AS (
+         |  SELECT DISTINCT id_b FROM pairs
+         |), surv AS (
+         |  SELECT k.* FROM kept k
+         |  LEFT JOIN losers l ON k.doc_id = l.id_b
+         |  WHERE l.id_b IS NULL
+         |), ev AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |      generate_series(0, len(string_split(text, ' ')) - $GramTokens),
+         |      i -> md5(array_to_string(list_slice(
+         |        string_split(text, ' '), i + 1, i + $GramTokens), ' ')))))
+         |    AS gm
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 5 = 0
+         |    AND len(string_split(text, ' ')) >= $GramTokens
+         |), sg AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |      generate_series(0, len(string_split(text, ' ')) - $GramTokens),
+         |      i -> md5(array_to_string(list_slice(
+         |        string_split(text, ' '), i + 1, i + $GramTokens), ' ')))))
+         |    AS gm
+         |  FROM surv
+         |  WHERE text IS NOT NULL
+         |    AND len(string_split(text, ' ')) >= $GramTokens
+         |), contaminated AS (
+         |  SELECT DISTINCT sg.doc_id FROM sg JOIN ev ON sg.gm = ev.gm
+         |), clean AS (
+         |  SELECT s.* FROM surv s
+         |  LEFT JOIN contaminated c ON s.doc_id = c.doc_id
+         |  WHERE c.doc_id IS NULL AND s.doc_id % 5 <> 0
+         |), quota AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY doc_id) AS rn
+         |  FROM clean
          |)
          |SELECT lang, COUNT(*) AS n_docs,
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -275,6 +275,17 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q_corpus_curate_v2: decontamination only shrinks the curated " +
+      "corpus, and eval docs never train") {
+    val v1 = Corpus.queries("q_corpus_curate")(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_docs")).sum
+    val v2rows = Corpus.queries("q_corpus_curate_v2")(spark, sf).collect()
+    val v2 = v2rows.map(r => r.getAs[Long]("n_docs")).sum
+    assert(v2 > 0 && v2 <= v1, s"v2 total $v2 vs v1 $v1")
+    // the v2 report is non-vacuous per row
+    v2rows.foreach(r => assert(r.getAs[Long]("sum_chars") > 0))
+  }
+
   test("q_graph_degree_dist: handshake lemma against the pair count") {
     val out = Corpus.queries("q_graph_degree_dist")(spark, sf).collect()
       .map(r => (r.getAs[Long]("deg"), r.getAs[Long]("n_nodes")))
