@@ -437,6 +437,22 @@ object VectorOps {
         .limit(20)
     }),
 
+    // Exact-duplicate embedding detection — the storage-level dedup an
+    // embedding store runs before any ANN build (identical vectors from
+    // re-encoded shards waste index space and skew centroids): group by
+    // the md5 of the exact scaled-BIGINT encoding (bit-identical
+    // vectors ⇒ identical grids ⇒ identical fingerprints — no FP
+    // comparison anywhere), keep MIN vec_id per group, q_text_dedup's
+    // policy on the vector column. One shuffle on the 128-bit key.
+    "q_embed_dedup_exact" -> ((s, d) =>
+      t(s, d, "embeddings").filter(col("embedding").isNotNull)
+        .withColumn("fp", md5(expr(
+          "array_join(transform(embedding, x -> CAST(CAST(CAST(x " +
+            "AS DOUBLE) AS DECIMAL(18,7)) * 10000000 AS BIGINT)), ',')")))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
+        .orderBy(asc_nulls_last("fp"))),
+
     // Hybrid-retrieval rank fusion (reciprocal rank fusion, Cormack et
     // al. SIGIR'09 — the standard way a RAG stack combines dense and
     // lexical retrieval): the probe doc's top-50 by exact embedding
@@ -2168,6 +2184,18 @@ object VectorOps {
         |  n_chars, CAST(len(embedding) AS BIGINT) AS dim, label
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same integer-grid serialization (the Det.arrCsv cast chain) under
+    // md5 — both engines fingerprint identical strings.
+    "q_embed_dedup_exact" ->
+      """SELECT md5(array_to_string(list_transform(embedding, x ->
+        |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) * 10000000
+        |      AS BIGINT)), ',')) AS fp,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  min(vec_id) AS min_vec_id
+        |FROM embeddings WHERE embedding IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY fp ASC NULLS LAST""".stripMargin,
 
     // Full-ranking window + QUALIFY-free rank<=50 mirrors the
     // TakeOrdered top-50s; the decimal reciprocal sum routes through

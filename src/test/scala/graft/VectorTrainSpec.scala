@@ -243,6 +243,16 @@ class VectorTrainSpec extends SparkSpec {
       s"label $lbl winner ${(rank1._3, rank1._4)} != brute $best")
   }
 
+  test("q_embed_dedup_exact: fingerprint groups partition the corpus " +
+      "and keep their minimum id") {
+    val out = VectorOps.queries("q_embed_dedup_exact")(spark, sf)
+      .collect()
+    val n = Tables.table(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull).count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == n)
+    assert(out.map(_.getString(0)).distinct.length == out.length)
+  }
+
   test("q_rank_fusion: RRF dominance — a doc on both lists outscores " +
       "any doc whose best rank is worse on both") {
     val out = VectorOps.queries("q_rank_fusion")(spark, sf).collect()
