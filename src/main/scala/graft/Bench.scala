@@ -182,7 +182,7 @@ object Bench {
     "q_graph_degree_dist" -> "x9", "q_dedup_semantic" -> "s8",
     "q_dsir_weight" -> "d8", "q_source_token_shift" -> "t8",
     "q_rank_fusion" -> "r8", "q_corpus_curate_v2" -> "c7",
-    "q_embed_dedup_exact" -> "e7",
+    "q_embed_dedup_exact" -> "e7", "q_multimodal_gif" -> "g7",
     "q_ann_dim_truncate" -> "u8", "q_kmeans_converge" -> "v8",
     "q_graph_kcore" -> "k8", "q_quality_linear" -> "q8",
     "q_multimodal_tiff" -> "m8")

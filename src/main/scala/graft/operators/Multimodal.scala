@@ -138,6 +138,54 @@ object Multimodal {
     // exercise the sniff-reject path. Parse side reads ONLY
     // (doc_id, payload) and would return correct fields for any
     // canonical PCM WAV dropped into the column. Pure narrow map.
+    // GIF logical-screen-descriptor parse — the image sibling of the
+    // WAV walk and the second LITTLE-endian member of the header
+    // family: a spec-correct 13-byte GIF89a header (magic, u16 LE
+    // width/height, packed flags, background index, aspect) is built
+    // from doc fields and parsed back by reversed-byte hex slices;
+    // every 5th doc carries non-GIF bytes for the sniff-reject path.
+    // The packed byte decodes the global-color-table size as
+    // 2^(bits+1) via an integer shift — no pow, engine-identical.
+    // Pure narrow map over a binary column.
+    "q_multimodal_gif" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val wpx = (col("doc_id") % 900 + 100).cast("int")
+      val hpx = ((col("doc_id") * 7) % 500 + 100).cast("int")
+      val packed = (col("doc_id") % 8 + 128).cast("int")
+      val bg = (col("doc_id") % 256).cast("int")
+      def le(v: Column, n: Int): Column = {
+        val p = lpad(hex(v), 2 * n, "0")
+        concat((0 until n).reverse.map(i => substring(p, 2 * i + 1, 2)): _*)
+      }
+      val gifHex = concat(lit("474946383961"),
+        le(wpx, 2), le(hpx, 2),
+        lpad(hex(packed), 2, "0"), lpad(hex(bg), 2, "0"), lit("00"))
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(gifHex)
+      val withPayload = docs.select(col("doc_id"),
+        unhex(payloadHex).as("payload"))
+      def leRead(off: Int, n: Int): Column = {
+        val parts = (off + n - 1).to(off, -1)
+          .map(b => s"substring(hex(payload), ${2 * b - 1}, 2)")
+          .mkString("concat(", ", ", ")")
+        expr(s"CAST(conv($parts, 16, 10) AS BIGINT)")
+      }
+      val isGif = length(col("payload")) >= 13 &&
+        expr("substring(hex(payload), 1, 12)") === "474946383961"
+      def f(c: Column) = when(isGif, c)
+      withPayload.select(
+        col("doc_id"),
+        isGif.as("is_gif"),
+        f(leRead(7, 2)).as("width"),
+        f(leRead(9, 2)).as("height"),
+        f(leRead(11, 1)).as("packed"),
+        f(leRead(12, 1)).as("bg_index"))
+        .withColumn("n_colors", expr(
+          "shiftleft(CAST(2 AS BIGINT), CAST(packed % 8 AS INT))"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     "q_multimodal_wav" -> ((s, d) => {
       val docs = graft.Tables.table(s, d, "documents")
       val ch = (col("doc_id") % 2 + 1).cast("int")
@@ -441,6 +489,50 @@ object Multimodal {
     // Same payload built from the same doc fields (LE byte order via the
     // identical pad-then-reverse hex concatenation), parsed back with
     // reversed-slice '0x' casts at the same spec offsets.
+    "q_multimodal_gif" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 900 + 100 AS INTEGER) AS w,
+        |    CAST((doc_id * 7) % 500 + 100 AS INTEGER) AS h,
+        |    CAST(doc_id % 8 + 128 AS INTEGER) AS pk,
+        |    CAST(doc_id % 256 AS INTEGER) AS bg,
+        |    hex(encode(substring(text, 1, 8))) AS th
+        |  FROM documents
+        |), enc AS (
+        |  SELECT doc_id, th,
+        |    lpad(hex(w), 4, '0') AS wh, lpad(hex(h), 4, '0') AS hh,
+        |    lpad(hex(pk), 2, '0') AS pkh, lpad(hex(bg), 2, '0') AS bgh
+        |  FROM src
+        |), built AS (
+        |  SELECT doc_id, from_hex(
+        |    CASE WHEN doc_id % 5 = 0 THEN th ELSE
+        |      '474946383961' ||
+        |      substring(wh, 3, 2) || substring(wh, 1, 2) ||
+        |      substring(hh, 3, 2) || substring(hh, 1, 2) ||
+        |      pkh || bgh || '00'
+        |    END) AS payload
+        |  FROM enc
+        |), parsed AS (
+        |  SELECT doc_id, hex(payload) AS ph,
+        |    octet_length(payload) >= 13
+        |      AND substring(hex(payload), 1, 12) = '474946383961'
+        |      AS is_gif
+        |  FROM built
+        |)
+        |SELECT doc_id, is_gif,
+        |  CASE WHEN is_gif THEN CAST('0x' || substring(ph, 15, 2)
+        |    || substring(ph, 13, 2) AS BIGINT) END AS width,
+        |  CASE WHEN is_gif THEN CAST('0x' || substring(ph, 19, 2)
+        |    || substring(ph, 17, 2) AS BIGINT) END AS height,
+        |  CASE WHEN is_gif THEN CAST('0x' || substring(ph, 21, 2)
+        |    AS BIGINT) END AS packed,
+        |  CASE WHEN is_gif THEN CAST('0x' || substring(ph, 23, 2)
+        |    AS BIGINT) END AS bg_index,
+        |  CASE WHEN is_gif THEN CAST(2 AS BIGINT)
+        |    << CAST(CAST('0x' || substring(ph, 21, 2) AS BIGINT) % 8
+        |      AS INTEGER) END AS n_colors
+        |FROM parsed ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
     "q_multimodal_wav" ->
       """WITH src AS (
         |  SELECT doc_id,
