@@ -381,17 +381,23 @@ object Corpus {
         .persist()
       var nodes = sym.select(col("src").as("id")).distinct()
       for (_ <- 1 to 3) {
-        // each round references `nodes` TWICE (src + dst semi-join);
-        // without the persist the surviving-vertex subtree doubles per
-        // round (8x recompute of round 1 by the final action)
+        // each round references `nodes` TWICE (src + dst semi-join), so
+        // the peel subtrees appear duplicated in the final plan — but
+        // IDENTICALLY, so ReuseExchange computes each round's shuffle
+        // once. Only the FINAL round persists (its two final-degree
+        // consumers sit above different exchanges): r8 measured 1.3 s
+        // solo sf0.1 vs 1.7 s persisting every round lazily (three
+        // caches piling up across the bench, ADVICE r7) and 2.7 s
+        // materializing each round eagerly to unpersist its
+        // predecessor — the reuse-over-cache shape wins on all axes.
         nodes = sym
           .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
           .groupBy("src").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 2)
           .select(col("src").as("id"))
-          .persist()
       }
+      nodes = nodes.persist()
       sym
         .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
@@ -402,10 +408,14 @@ object Corpus {
 
     // Benchmark decontamination: eval split = doc_id % 5 == 0; a train
     // document is contaminated if any of its distinct 8-gram hashes
-    // appears anywhere in the eval split. Scale: the eval gram set is
-    // small by nature (benchmarks are), so the membership probe is a
-    // broadcast hash join against the exploded train grams — one narrow
-    // pass over the corpus, no shuffle of the train side.
+    // appears anywhere in the eval split. Scale: the membership probe is
+    // a gram-keyed SHUFFLE equi-join of two slim (doc_id, gm) / (gm)
+    // slivers — the eval gram set is a corpus fraction by the declared
+    // convention (20% of docs), so an unconditional broadcast of it
+    // would OOM executors at 100 TB; leaving the join unhinted lets AQE
+    // demote it to a broadcast at runtime ONLY when the measured build
+    // side is actually small (the honest version of the "eval sets are
+    // small" bet — decided per run from bytes, not assumed).
     "q_decontaminate" -> ((s, d) => {
       val g = t(s, d, "documents")
         .filter(col("text").isNotNull)
@@ -421,9 +431,8 @@ object Corpus {
         // doc_id filters push BELOW the gram transform — without the
         // cache every branch re-tokenizes and re-hashes its slice
         .persist()
-      val evalGrams = broadcast(
-        g.filter(col("doc_id") % 5 === 0)
-          .select(explode(col("grams")).as("gm")).distinct())
+      val evalGrams = g.filter(col("doc_id") % 5 === 0)
+        .select(explode(col("grams")).as("gm")).distinct()
       val train = g.filter(col("doc_id") % 5 =!= 0)
       val hits = train.select(col("doc_id"), explode(col("grams")).as("gm"))
         .join(evalGrams, "gm")
@@ -650,9 +659,12 @@ object Corpus {
     // with the eval split (doc_id % 5 == 0, q_decontaminate's
     // convention, grams built from the RAW corpus so eval membership
     // does not depend on earlier gates) are dropped, and the eval docs
-    // themselves leave the train stream. Scale adds one broadcast of
-    // the eval gram set probed by a narrow map — the q_decontaminate
-    // economics grafted into the composition.
+    // themselves leave the train stream. Scale adds one gram-keyed
+    // shuffle equi-join of slim (doc_id, gm) / (gm) slivers — the
+    // q_decontaminate economics grafted into the composition (the eval
+    // gram set is 20% of the corpus by convention, so it is never
+    // broadcast unconditionally; AQE may demote at runtime from
+    // measured bytes).
     "q_corpus_curate_v2" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val q = Quality.gopherMetrics(docs)
@@ -672,10 +684,12 @@ object Corpus {
           s"array_distinct(transform(sequence(0, size(toks) - $GramTokens), " +
             s"i -> md5(array_join(slice(toks, i + 1, $GramTokens), ' '))))"))
           .as("gm"))
-      val evalGrams = broadcast(
-        grams(docs.filter(col("doc_id") % 5 === 0))
-          .select("gm").distinct())
-      val contaminated = grams(surv).join(evalGrams, "gm")
+      val evalGrams = grams(docs.filter(col("doc_id") % 5 === 0))
+        .select("gm").distinct()
+      // gram the POST-GATE train sliver only (eval docs leave the train
+      // stream regardless, so their grams never need probing)
+      val contaminated = grams(surv.filter(col("doc_id") % 5 =!= 0))
+        .join(evalGrams, "gm")
         .select("doc_id").distinct()
       val clean = surv.filter(col("doc_id") % 5 =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti")
@@ -1117,8 +1131,7 @@ object Corpus {
          |), kept AS (
          |  SELECT qd.* FROM qd JOIN ex ON qd.doc_id = ex.doc_id
          |), pairs AS (
-         |${TextOps.dedupPairsSubquery
-              .replace("FROM documents WHERE", "FROM kept WHERE")
+         |${TextOps.dedupPairsSubquery("kept", threshold = true)
               .linesIterator.map("  " + _).mkString("\n")}
          |), losers AS (
          |  SELECT DISTINCT id_b FROM pairs
@@ -1149,8 +1162,7 @@ object Corpus {
          |), kept AS (
          |  SELECT qd.* FROM qd JOIN ex ON qd.doc_id = ex.doc_id
          |), pairs AS (
-         |${TextOps.dedupPairsSubquery
-              .replace("FROM documents WHERE", "FROM kept WHERE")
+         |${TextOps.dedupPairsSubquery("kept", threshold = true)
               .linesIterator.map("  " + _).mkString("\n")}
          |), losers AS (
          |  SELECT DISTINCT id_b FROM pairs

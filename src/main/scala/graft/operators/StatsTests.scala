@@ -149,44 +149,39 @@ object StatsTests {
   }
 
   /** Weighted-median assembly from a (l_returnflag, l_extendedprice, w)
-    * point frame — TWO-PHASE exact selection (the production exact-
-    * quantile shape): phase 1 finds the CROSSING BUCKET at bucket grain
-    * (one slim keyed aggregate + a flag-partitioned window over the
-    * value-domain-bounded bucket frame), phase 2 sorts ONLY inside that
-    * one bucket per flag. Correctness of the restriction: buckets are
-    // price-ordered, nothing in an earlier bucket can satisfy the
-    * doubled-running-weight test (its full-bucket prefix already
-    * fails), and every point in a later bucket prices above the
-    * crossing bucket's qualifiers — so the global min-qualifier lives
-    * in the crossing bucket. The previous formulation ran the in-bucket
-    * running-weight window over EVERY point (a full sort of the point
-    * frame); this one windows ~1/|buckets| of it. */
+    * point frame — the two-level prefix sum (the q_stats_ks skeleton,
+    * per flag): the running weight is a (flag, price-bucket) partitioned
+    * window (task size bounded by one bucket's distinct prices, never a
+    * per-flag global sort), the bucket-grain carry runs over the
+    * value-DOMAIN-bounded bucket frame, and the median is the first
+    * point whose doubled carried running weight reaches the flag total —
+    * the lower weighted median, a data value, no interpolation, no FP.
+    * NO persist: both consumers of the point frame (the bucket-total
+    * aggregate and the windowed side) share the pricePoints exchange,
+    * which ReuseExchange dedups — measured r8: the persist-free single-
+    * window form runs 1.8 s solo at sf0.1 vs 2.4 s persist-free
+    * two-phase crossing-bucket selection and 2.0 s for the r7
+    * two-phase + persist (which also leaked its cache into the rest of
+    * the bench — ADVICE r6/r7). The crossing-bucket restriction only
+    * pays when |points| ≫ |buckets|·|flags|; at any realistic price
+    * domain the extra min-bucket aggregate + two joins dominate. */
   def weightedMedianFrom(pts0: DataFrame): DataFrame = {
     val pts = pts0
       .withColumn("bucket",
         floor(col("l_extendedprice") / 1000.0d).cast("long"))
-      .persist()
     val bt = pts.groupBy("l_returnflag", "bucket")
       .agg(sum("w").as("tb"))
     val wc = Window.partitionBy("l_returnflag").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bt.select(col("l_returnflag"), col("bucket"),
+      coalesce(sum(col("tb")).over(wc), lit(0L)).as("pc"))
     val tot = bt.groupBy("l_returnflag").agg(sum("tb").as("tw"))
-    // bucket-grain cumulative + totals: tiny (value-domain-bounded)
-    val bc = bt
-      .withColumn("pc", coalesce(sum(col("tb")).over(wc), lit(0L)))
-      .join(tot, "l_returnflag")
-    // the first bucket whose full prefix crosses half the total weight
-    val medBucket = bc
-      .filter(lit(2L) * (col("pc") + col("tb")) >= col("tw"))
-      .groupBy("l_returnflag").agg(min("bucket").as("bucket"))
-    val medInfo = broadcast(bc
-      .join(medBucket, Seq("l_returnflag", "bucket"))
-      .select("l_returnflag", "bucket", "pc", "tw"))
     val wb = Window.partitionBy("l_returnflag", "bucket")
       .orderBy("l_extendedprice")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pts.join(medInfo, Seq("l_returnflag", "bucket"))
-      .withColumn("cwb", sum("w").over(wb))
+    pts.withColumn("cwb", sum("w").over(wb))
+      .join(broadcast(carry), Seq("l_returnflag", "bucket"))
+      .join(broadcast(tot), "l_returnflag")
       .filter(lit(2L) * (col("pc") + col("cwb")) >= col("tw"))
       .groupBy("l_returnflag")
       .agg(min("l_extendedprice").as("w_median"),
@@ -304,15 +299,10 @@ object StatsTests {
     // price of a flag in ONE task (parallelism = |flags| = 3); the
     // (flag, price-bucket) partitioning caps a task at one bucket's
     // prices and the carry runs over the ~100-row bucket grain,
-    // bounded by the price DOMAIN. The bucket-total subtree feeds
-    // both the carry and the per-flag totals, so its exchange is
-    // reused.
-    // persisted (inside weightedMedianFrom): three consumers (the
-    // in-bucket window, the carry's bucket totals, the per-flag totals)
-    // would otherwise re-aggregate the scan each — the frame is
-    // |distinct (flag, price)| slim rows. NOTE (ADVICE r6): the persist
-    // makes the bench best-of-3 floor cache-warm by construction —
-    // documented as the intended protocol in BASELINE.md.
+    // bounded by the price DOMAIN. The point frame is NOT persisted:
+    // ReuseExchange shares the pricePoints shuffle between its
+    // consumers (see weightedMedianFrom for the r8 measurements that
+    // retired both the r7 two-phase rewrite and the r6 persist).
     "q_agg_weighted_median" -> ((s, d) =>
       weightedMedianFrom(pricePoints(t(s, d, "lineitem"))))
   )

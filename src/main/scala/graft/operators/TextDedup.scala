@@ -26,8 +26,8 @@ object TextDedup {
     * self-join would recompute the whole signature subtree on both sides
     * and shuffle token arrays 2·bands times. Bucket pair fan-out is
     * quadratic in BUCKET size only; band buckets are near-dup clusters,
-    * so real corpora keep them tiny (cap bucket size upstream if a
-    * degenerate corpus says otherwise). */
+    * so real corpora keep them tiny — and [[candidatePairs]]'s
+    * `maxBucket` cap ENFORCES the bound on a degenerate corpus. */
   def nearDuplicates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", numHashes: Int = 8, numBands: Int = 4,
       threshold: Double = 0.7): DataFrame = {
@@ -43,12 +43,32 @@ object TextDedup {
     * out so multi-config callers (q_dedup_bands_curve) band the same
     * signatures several ways without recomputing them. Bucket-mates →
     * in-row ordered pairs (ids sorted, so a < b); distinct collapses
-    * multi-band collisions. */
+    * multi-band collisions.
+    *
+    * DEGENERATE-BUCKET CAP: a hot band bucket (boilerplate corpus — the
+    * same page template a million times) would otherwise cost a
+    * quadratic pair bill AND an unbounded collect_list row. The
+    * `maxBucket` cap bounds BOTH: a band-partitioned row_number keeps
+    * only the `maxBucket` lowest ids of each bucket BEFORE the list
+    * assembles, so a bucket's pair fan-out never exceeds
+    * maxBucket·(maxBucket−1)/2 and no task materializes more than
+    * maxBucket ids in one row. Truncation is deterministic (lowest ids
+    * survive — the exact-dedup survivor convention) and lossy-tolerant
+    * by construction: members of a truncated bucket are near-identical,
+    * so the surviving members still link the cluster (transitively via
+    * the kept lowest ids), which is what dedup consumes. The cap is far
+    * above any real bucket at declared scale (DedupPipelineSpec pins
+    * the fixture maximum and exercises the cap on a degenerate
+    * corpus). */
   def candidatePairs(signed: DataFrame, numHashes: Int = 8,
-      numBands: Int = 4): DataFrame =
+      numBands: Int = 4, maxBucket: Int = 1024): DataFrame = {
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("band").orderBy("id")
     signed.select(col("id"),
         explode(array(MinHash.bandKeys(numHashes, numBands): _*))
           .as("band"))
+      .withColumn("_rn", row_number().over(wb))
+      .filter(col("_rn") <= maxBucket)
       .groupBy("band").agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
@@ -57,6 +77,7 @@ object TextDedup {
           "b -> struct(a AS id_a, b AS id_b))))")).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+  }
 
   /** Exact token-set Jaccard for candidate pairs; token sets re-joined
     * here so only candidate pairs ever shuffle an array. `toks` needs

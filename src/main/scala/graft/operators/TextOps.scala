@@ -1017,7 +1017,29 @@ object TextOps {
   /** The q_dedup_pairs oracle WITHOUT its final ORDER BY, reusable as a
     * parenthesized subquery (e.g. the edge source of the
     * [[Corpus]] q_dedup_clusters oracle). */
-  def dedupPairsSubquery: String = {
+  def dedupPairsSubquery: String =
+    dedupPairsSubquery("documents", threshold = true)
+
+  /** Checked oracle-text substitution: a silent no-op replace would
+    * produce a subtly WRONG oracle instead of a build error if the
+    * helper text ever drifts (ADVICE r7), so the caller's intent to
+    * change something is asserted. */
+  private[operators] def subst(base: String, from: String,
+      to: String): String = {
+    val out = base.replace(from, to)
+    require(out != base,
+      s"oracle substitution no-op: '$from' not present in base text")
+    out
+  }
+
+  /** Parameterized form — `source` is the relation the pipeline grams
+    * (the curation oracles probe their post-gate `kept` CTE);
+    * `threshold = false` omits the final jaccard cut
+    * (q_dedup_threshold_curve scores ALL verified candidates). The
+    * parameters replace the string-replace surgery the composed oracles
+    * previously performed on this text (ADVICE r7: a drifted helper
+    * would have made the replace a silent no-op). */
+  def dedupPairsSubquery(source: String, threshold: Boolean): String = {
     val sigCols = (0 until NumHashes)
       .map(i => s"${MinHash.sqlSig(i)} AS sig_$i").mkString(",\n    ")
     val bandList = (0 until NumBands)
@@ -1025,7 +1047,7 @@ object TextOps {
       .mkString(", ")
     s"""WITH t AS (
        |  SELECT doc_id AS id, string_split(text, ' ') AS toks
-       |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+       |  FROM $source WHERE len(string_split(text, ' ')) >= 3
        |), s AS (
        |  SELECT id, unnest(generate_series(0, len(toks) - 3)) AS i, toks
        |  FROM t
@@ -1049,7 +1071,8 @@ object TextOps {
        |      AS DOUBLE) / len(list_distinct(a.toks || b.toks)) AS jaccard
        |  FROM cand c JOIN t a ON a.id = c.id_a JOIN t b ON b.id = c.id_b
        |)
-       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7""".stripMargin
+       |SELECT id_a, id_b, jaccard FROM j${
+         if (threshold) " WHERE jaccard >= 0.7" else ""}""".stripMargin
   }
 
   private def dedupPairsOracle: String =
@@ -1111,7 +1134,7 @@ object TextOps {
     val matchSum = (0 until NumHashes)
       .map(i => s"CASE WHEN ma.sig_$i = mb.sig_$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    dedupPairsSubquery.replace(
+    subst(dedupPairsSubquery,
       "SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7",
       s"""SELECT j.id_a, j.id_b, j.jaccard,
          |  CAST($matchSum AS BIGINT) AS matches,
@@ -1238,7 +1261,7 @@ object TextOps {
 
     "q_dedup_threshold_curve" ->
       s"""WITH pairs AS (
-         |${dedupPairsSubquery.replace("WHERE jaccard >= 0.7", "")
+         |${dedupPairsSubquery("documents", threshold = false)
              .linesIterator.map("  " + _).mkString("\n")}
          |)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,

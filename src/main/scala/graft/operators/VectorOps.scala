@@ -1257,14 +1257,19 @@ object VectorOps {
         .agg(sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L))
           .as("n_moved"))
         .withColumn("_one", lit(1))
+      // inertia exceeds 2^53 — the one magnitude where a DECIMAL that
+      // transits any float64 step double-rounds per-engine, so it ships
+      // as the §7.4 VARCHAR routing (digit string, exact on both sides).
       val r1 = a1
         .agg(count(lit(1)).as("n_vecs"),
-          expr("SUM(CAST(dist AS DECIMAL(38,0)))").as("inertia"))
+          expr("CAST(SUM(CAST(dist AS DECIMAL(38,0))) AS STRING)")
+            .as("inertia"))
         .select(lit(1L).as("iter"), col("n_vecs"), col("inertia"),
           lit(null).cast("long").as("n_moved"))
       val r2 = a2
         .agg(count(lit(1)).as("n_vecs"),
-          expr("SUM(CAST(dist AS DECIMAL(38,0)))").as("inertia"))
+          expr("CAST(SUM(CAST(dist AS DECIMAL(38,0))) AS STRING)")
+            .as("inertia"))
         .withColumn("_one", lit(1))
         .join(broadcast(moved), "_one")
         .select(lit(2L).as("iter"), col("n_vecs"), col("inertia"),
@@ -1953,8 +1958,9 @@ object VectorOps {
     // The residualOracleCtes integer-grid idiom: explode over dims,
     // exact-BIGINT squared distances grouped per (vec, centroid),
     // argmin by (dist, cid), floor(sum/n + 0.5) grid means; inertia
-    // through DECIMAL(38,0) (DuckDB sums BIGINT into HUGEINT — the
-    // cast pins the output type to Spark's).
+    // through DECIMAL(38,0) then VARCHAR (it is the one >2^53 value in
+    // the inventory — the digit string survives any float64 step in a
+    // comparison pipeline that the raw decimal would not).
     "q_kmeans_converge" ->
       s"""WITH iv AS (
          |  SELECT vec_id, list_transform(embedding, x ->
@@ -1994,13 +2000,13 @@ object VectorOps {
          |), r1 AS (
          |  SELECT CAST(1 AS BIGINT) AS iter,
          |    CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         |    CAST(SUM(dist) AS DECIMAL(38,0)) AS inertia,
+         |    CAST(CAST(SUM(dist) AS DECIMAL(38,0)) AS VARCHAR) AS inertia,
          |    CAST(NULL AS BIGINT) AS n_moved
          |  FROM a1
          |), r2 AS (
          |  SELECT CAST(2 AS BIGINT) AS iter,
          |    CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         |    CAST(SUM(dist) AS DECIMAL(38,0)) AS inertia,
+         |    CAST(CAST(SUM(dist) AS DECIMAL(38,0)) AS VARCHAR) AS inertia,
          |    (SELECT CAST(SUM(CASE WHEN x.cluster <> y.cluster
          |        THEN 1 ELSE 0 END) AS BIGINT)
          |     FROM a1 x JOIN a2 y ON x.vec_id = y.vec_id) AS n_moved

@@ -2,7 +2,7 @@ package graft.plans
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Template store + trigger routing — the reference's control plane
   * (REST CRUD of versioned workflow templates in MongoDB, draft→publish
@@ -76,6 +76,27 @@ final class TemplateRegistry {
       throw new NoSuchElementException(s"template $id v$v")).template
   }
 
+  /** Durable snapshot — templates + triggers to parquet under `dir`
+    * (the reference's MongoDB template store mapped to the engine's own
+    * storage layer; the no-HTTP descope leaves durability as the store's
+    * remaining obligation). Overwrite-in-place: the snapshot IS the
+    * store state, so replaying saveTo is idempotent. Deliberately tiny
+    * frames (a registry holds workflow definitions, not data) — one
+    * file each, no partitioning. */
+  def saveTo(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    store.readOnlySnapshot().toSeq
+      .map { case ((id, v), e) => (id, v, e.json, e.draft) }
+      .toDF("id", "version", "json", "draft")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/templates")
+    triggers.readOnlySnapshot().toSeq
+      .map { case (et, (id, v)) => (et, id, v) }
+      .toDF("event_type", "id", "version")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/triggers")
+  }
+
   private def validate(tpl: TemplateCompiler.Template): Unit = {
     val names = tpl.tasks.map(_.name).toSet
     val known = Set("trigger_filter", "factory", "select", "aggregate",
@@ -102,5 +123,27 @@ final class TemplateRegistry {
     // acyclicity checked by the compiler's Kahn pass; run it eagerly here
     // so bad templates fail on upsert (ref behavior)
     TemplateCompiler.topoOrder(tpl)
+  }
+}
+
+object TemplateRegistry {
+
+  /** Rebuild a registry from a [[TemplateRegistry!.saveTo]] snapshot —
+    * restart-survival for the control plane. Every stored template
+    * re-enters through `put`, so a corrupted or hand-edited snapshot
+    * fails the SAME upsert validation as a live put (never loads bad
+    * state silently); triggers re-enter through `setTrigger` after all
+    * templates exist, so dangling trigger rows fail loudly too. */
+  def loadFrom(spark: SparkSession, dir: String): TemplateRegistry = {
+    val r = new TemplateRegistry
+    spark.read.parquet(s"$dir/templates")
+      .select("json", "version", "draft").collect()
+      .foreach(row => r.put(row.getAs[String]("json"),
+        row.getAs[Int]("version"), row.getAs[Boolean]("draft")))
+    spark.read.parquet(s"$dir/triggers")
+      .select("event_type", "id", "version").collect()
+      .foreach(row => r.setTrigger(row.getAs[String]("event_type"),
+        row.getAs[String]("id"), row.getAs[Int]("version")))
+    r
   }
 }

@@ -86,4 +86,60 @@ object Sources {
     df.writeStream.format(format)
       .option("path", path)
       .option("checkpointLocation", checkpoint)
+
+  // ---- bus connector seam (R1) ----------------------------------------
+
+  /** ANY bus technology behind ONE interface producing the canonical
+    * event stream ([[graft.streaming.EventPipelines.eventSchema]]).
+    * Pipelines compose against the DataFrame this returns, so swapping
+    * the file replay for a live connector (the rate source below; a
+    * Kafka/MQTT source when broker jars ship) touches ZERO pipeline
+    * code — StreamingParitySpec proves it by running the tumbling
+    * pipeline off [[RateBus]] and off the file replay through the same
+    * interface. */
+  trait BusSource {
+    def subscribe(spark: SparkSession): DataFrame
+  }
+
+  /** File-replay bus: a directory fed by a collector, replayed as a
+    * topic (`maxFilesPerTrigger` = micro-batch splits). */
+  final case class FileReplayBus(dir: String, maxFilesPerTrigger: Int = 1)
+      extends BusSource {
+    def subscribe(spark: SparkSession): DataFrame =
+      parquetStream(spark, dir,
+        graft.streaming.EventPipelines.eventSchema, maxFilesPerTrigger)
+  }
+
+  /** Live-connector stand-in on Spark's built-in unbounded `rate`
+    * source: feed row k maps DETERMINISTICALLY into the event schema —
+    * ids, types, values, and µs timestamps are pure functions of k (the
+    * rate source's wall-clock timestamp is discarded) — so a parity
+    * test can reconstruct the exact batch input from the row count
+    * alone. This is the real seam a Kafka connector drops into: a
+    * `format("kafka")` load + the same `shape`-style projection of the
+    * payload. */
+  final case class RateBus(rowsPerSecond: Int = 1000) extends BusSource {
+    def subscribe(spark: SparkSession): DataFrame =
+      RateBus.shape(spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toString).load())
+  }
+
+  object RateBus {
+    import org.apache.spark.sql.functions._
+
+    /** row number → event mapping, shared by the stream and the batch
+      * reconstruction (the parity contract): timestamps sweep 72 hourly
+      * points across 3 days (several tumbling windows), types cycle
+      * through the fixture trio, values cycle 0..999. */
+    def shape(rows: DataFrame): DataFrame =
+      rows.select(
+        col("value").as("event_id"),
+        timestamp_micros(lit(1700000000000000L)
+          + (col("value") % 72L) * 3600L * 1000000L).as("ts"),
+        (col("value") % 97L).as("user_id"),
+        expr("element_at(array('click','view','purchase'), " +
+          "CAST(value % 3 AS INT) + 1)").as("event_type"),
+        (col("value") % 1000L).cast("double").as("value"),
+        to_json(struct(col("value").as("k"))).as("props"))
+  }
 }

@@ -28,6 +28,19 @@ final class Monitoring extends StreamingQueryListener {
   private val started = TrieMap.empty[String, String] // queryId -> name
   private val history = TrieMap.empty[String, Vector[Report]]
   @volatile private var terminated = Vector.empty[(String, Option[String])]
+  private val subscribers =
+    new java.util.concurrent.CopyOnWriteArrayList[Report => Unit]
+
+  /** Live PUSH half (R18): `f` fires on every micro-batch report, on the
+    * listener-bus thread — the reference's websocket task-state push
+    * mapped to an in-process callback; [[graft.plans.HttpControlPlane]]
+    * bridges it onto an HTTP Server-Sent-Events stream. Returns an
+    * unsubscribe handle. A subscriber that throws is dropped (a dead
+    * websocket must not poison the listener bus). */
+  def subscribe(f: Report => Unit): () => Unit = {
+    subscribers.add(f)
+    () => { subscribers.remove(f); () }
+  }
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
     started(event.id.toString) = Option(event.name).getOrElse("")
@@ -46,6 +59,10 @@ final class Monitoring extends StreamingQueryListener {
     history.updateWith(report.queryId) {
       case Some(v) => Some(v :+ report)
       case None    => Some(Vector(report))
+    }
+    subscribers.forEach { f =>
+      try f(report)
+      catch { case _: Throwable => subscribers.remove(f); () }
     }
   }
 

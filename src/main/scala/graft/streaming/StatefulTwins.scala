@@ -272,6 +272,47 @@ object StatefulTwins {
       }
   }
 
+  case class UpEv(user_id: Long, event_type: String, event_id: Long,
+      tsu: Long, value: Double)
+
+  case class UpVersion(tsu: Long, event_id: Long, value: Double)
+
+  case class UpRow(user_id: Long, event_type: String,
+      latest_event_id: Long, latest_tsu: Long, latest_value: Double)
+
+  /** Streaming twin of q_upsert_latest — the last-writer-wins MERGE
+    * view carried live (the CDC/upsert family's base member; the
+    * snapshot-diff twin above is the same argmax kept at TWO horizons).
+    * State per (user, type) key is the single argmax-by-(tsu, event_id)
+    * version; argmax-merge is associative and idempotent, so arrival
+    * order across micro-batches and at-least-once replays cannot move
+    * the winner. Update mode: the LAST emission per key equals the
+    * batch window row; a batch that does not improve a key's version
+    * emits nothing for it. */
+  def upsertLatestStream(ev: Dataset[UpEv]): Dataset[UpRow] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[UpVersion, UpRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), it: Iterator[UpEv],
+            state: GroupState[UpVersion]) =>
+          val prev = state.getOption
+          var cur = prev
+          it.foreach { e =>
+            val keep = cur.exists(x => x.tsu > e.tsu
+              || (x.tsu == e.tsu && x.event_id >= e.event_id))
+            if (!keep) cur = Some(UpVersion(e.tsu, e.event_id, e.value))
+          }
+          cur match {
+            case Some(v) if prev != cur =>
+              state.update(v)
+              Iterator.single(UpRow(key._1, key._2, v.event_id, v.tsu,
+                v.value))
+            case _ => Iterator.empty
+          }
+      }
+  }
+
   case class StreakRow(user_id: Long, longest_streak: Long,
       n_active_days: Long, n_streaks: Long)
 

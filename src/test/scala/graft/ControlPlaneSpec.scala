@@ -46,6 +46,92 @@ class ControlPlaneSpec extends SparkSpec {
     assert(reg.latestPublished("band-only").contains(1))
   }
 
+  test("registry restart survival: saveTo/loadFrom round-trips " +
+      "templates, drafts, and triggers") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_registry").toString
+    val reg = new TemplateRegistry
+    reg.put(child, version = 1)
+    reg.publish("band-only", 1)
+    reg.put(child, version = 2) // v2 stays draft
+    reg.put(parent, version = 1)
+    reg.publish("routed", 1)
+    reg.setTrigger("purchase", "routed", 1)
+    reg.saveTo(spark, dir)
+    // "restart": a brand-new registry instance hydrated from the snapshot
+    val reg2 = TemplateRegistry.loadFrom(spark, dir)
+    assert(reg2.get("band-only", 1) == reg.get("band-only", 1))
+    assert(reg2.get("band-only", 2) == reg.get("band-only", 2))
+    assert(reg2.latestPublished("band-only").contains(1)) // v2 still draft
+    assert(reg2.latestPublished("routed").contains(1))
+    // the reloaded trigger fires the reloaded template end-to-end (the
+    // sub-workflow resolve exercises cross-template state too)
+    val events = Tables.table(spark, sf, "events")
+    val out = reg2.fire("purchase",
+      events.filter($"event_type" === "purchase"))
+    assert(out.isDefined)
+    val expect = reg.fire("purchase",
+      events.filter($"event_type" === "purchase")).get.collect().toSeq
+    assert(out.get.collect().toSeq == expect)
+    // saveTo is idempotent: second snapshot reloads identically
+    reg2.saveTo(spark, dir)
+    val reg3 = TemplateRegistry.loadFrom(spark, dir)
+    assert(reg3.get("routed", 1) == reg.get("routed", 1))
+  }
+
+  test("HTTP control plane: REST CRUD round-trip, validation as 400, " +
+      "trigger wiring") {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import java.net.URI
+    val reg = new TemplateRegistry
+    val srv = new graft.plans.HttpControlPlane(reg).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val http = HttpClient.newHttpClient()
+      def send(r: HttpRequest): HttpResponse[String] =
+        http.send(r, HttpResponse.BodyHandlers.ofString())
+      def put(url: String, body: String) = send(HttpRequest.newBuilder()
+        .uri(URI.create(url))
+        .PUT(HttpRequest.BodyPublishers.ofString(body)).build())
+      def post(url: String) = send(HttpRequest.newBuilder()
+        .uri(URI.create(url))
+        .POST(HttpRequest.BodyPublishers.noBody()).build())
+      def get(url: String) = send(HttpRequest.newBuilder()
+        .uri(URI.create(url)).GET().build())
+
+      // upsert (draft) + publish + read-back over the wire
+      assert(put(s"$base/templates/band-only/1", child).statusCode() == 200)
+      assert(get(s"$base/templates/band-only/latest").statusCode() == 404)
+      assert(post(s"$base/templates/band-only/1/publish").statusCode() == 200)
+      assert(get(s"$base/templates/band-only/latest").body()
+        .contains("\"version\":1"))
+      assert(get(s"$base/templates/band-only/1").body() == child)
+      // the registry behind the server is the SAME in-process object
+      assert(reg.latestPublished("band-only").contains(1))
+      // validation failures surface as 400, not 500
+      val bad = put(s"$base/templates/bad/1",
+        """{"id": "bad", "tasks": [
+          |  {"id": "a", "name": "nonsense_task", "config": {}}],
+          | "graph": {}}""".stripMargin)
+      assert(bad.statusCode() == 400)
+      // body-id/path-id mismatch is rejected and rolled back
+      val mis = put(s"$base/templates/other-name/1", child)
+      assert(mis.statusCode() == 400)
+      assert(reg.get("band-only", 1).isDefined) // v1 untouched
+      // trigger wiring over the wire routes a real frame
+      assert(put(s"$base/templates/routed/1", parent).statusCode() == 200)
+      assert(post(s"$base/templates/routed/1/publish").statusCode() == 200)
+      assert(put(s"$base/triggers/purchase",
+        """{"template_id": "routed", "version": 1}""").statusCode() == 200)
+      val events = Tables.table(spark, sf, "events")
+      val fired = reg.fire("purchase",
+        events.filter($"event_type" === "purchase"))
+      assert(fired.isDefined && fired.get.count() > 0)
+      // unknown route → 404
+      assert(get(s"$base/nonsense").statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("upsert validation rejects bad templates") {
     val reg = new TemplateRegistry
     intercept[IllegalArgumentException](reg.put(
@@ -152,6 +238,70 @@ class ControlPlaneSpec extends SparkSpec {
       assert(mon.activeQueryIds.contains(q.id.toString))
       assert(mon.failures.isEmpty)
     } finally mon.detach(spark)
+  }
+
+  test("monitoring push (R18): subscribers get live per-batch reports " +
+      "and the SSE endpoint streams them over HTTP") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import java.net.URI
+    implicit val sqlCtx = spark.sqlContext
+    val mon = new Monitoring().attach(spark)
+    val srv = new graft.plans.HttpControlPlane(
+      new TemplateRegistry, Some(mon)).start()
+    try {
+      // in-process push half
+      val pushed = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+      val unsub = mon.subscribe(r => { pushed.add(r.numInputRows); () })
+      // wire push half: connect the SSE stream BEFORE the batches run
+      val http = HttpClient.newHttpClient()
+      val lines = new java.util.concurrent.LinkedBlockingQueue[String]
+      val sseDone = http.sendAsync(
+        HttpRequest.newBuilder()
+          .uri(URI.create(s"http://127.0.0.1:${srv.boundPort}/events"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.fromLineSubscriber(
+          new java.util.concurrent.Flow.Subscriber[String] {
+            def onSubscribe(s: java.util.concurrent.Flow.Subscription)
+                : Unit = s.request(Long.MaxValue)
+            def onNext(item: String): Unit = { lines.add(item); () }
+            def onError(t: Throwable): Unit = ()
+            def onComplete(): Unit = ()
+          }))
+      // wait for the stream-open comment frame so no report races past
+      val hello = lines.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(hello != null && hello.startsWith(":"), s"no SSE hello: $hello")
+      val mem = MemoryStream[Long]
+      mem.addData(1L to 42L: _*)
+      val q = mem.toDS().toDF("v").groupBy().count()
+        .writeStream.format("memory")
+        .queryName(s"sse_${System.nanoTime()}")
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (pushed.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      q.stop()
+      unsub()
+      assert(!pushed.isEmpty, "in-process subscriber got no push")
+      assert(pushed.contains(42L))
+      // the same report must arrive on the HTTP event stream
+      var dataLine: String = null
+      val dl2 = System.nanoTime() + 10_000_000_000L
+      while (dataLine == null && System.nanoTime() < dl2) {
+        val l = lines.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (l != null && l.startsWith("data:")) dataLine = l
+      }
+      assert(dataLine != null, "no data frame on the SSE stream")
+      assert(dataLine.contains("\"numInputRows\":42"))
+      // pull half over the wire agrees with the in-process accessor
+      val rep = http.send(HttpRequest.newBuilder()
+        .uri(URI.create(
+          s"http://127.0.0.1:${srv.boundPort}/reports/${q.id}"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(rep.body().contains("\"numInputRows\":42"))
+      sseDone.cancel(true)
+    } finally { srv.stop(); mon.detach(spark) }
   }
 
   test("deterministic-sum rule makes sum(double) partition-invariant " +

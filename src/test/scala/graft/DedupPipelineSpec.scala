@@ -33,6 +33,37 @@ class DedupPipelineSpec extends SparkSpec {
     }
   }
 
+  test("degenerate hot bucket: maxBucket caps the candidate-pair bill " +
+      "and keeps the lowest ids") {
+    // a boilerplate corpus — ONE text repeated 500 times puts all 500
+    // ids in the same bucket of every band; uncapped that is 124,750
+    // pairs, capped at 50 it must never exceed 50*49/2
+    val cap = 50
+    val boiler = spark.range(500)
+      .select($"id".as("doc_id"),
+        lit("the same boilerplate page template text here").as("text"))
+    val base = boiler.select(col("doc_id").as("id"), col("text"))
+    val signed = graft.operators.MinHash.withSignatures(base, "text", 8)
+    val pairs = TextDedup.candidatePairs(signed, 8, 4, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == cap * (cap - 1) / 2,
+      s"expected ${cap * (cap - 1) / 2} capped pairs, got ${pairs.length}")
+    // deterministic truncation: only the lowest `cap` ids survive
+    assert(pairs.forall { case (a, b) => a < cap && b < cap })
+    // and the cap must NOT bite on the real fixture corpus: the largest
+    // band bucket at this SF stays under the default 1024, so capped and
+    // uncapped pipelines agree (the oracle computes pairs uncapped)
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id").as("id"), col("text"))
+      .filter($"text".isNotNull)
+    val fixtureSigned = graft.operators.MinHash.withSignatures(docs, "text", 8)
+    val capped = TextDedup.candidatePairs(fixtureSigned, 8, 4)
+    val uncapped = TextDedup.candidatePairs(fixtureSigned, 8, 4,
+      maxBucket = Int.MaxValue)
+    assert(capped.except(uncapped).isEmpty && uncapped.except(capped).isEmpty,
+      "default cap altered fixture candidate pairs")
+  }
+
   test("exactDedup keeps lowest id per duplicate group") {
     val base = Tables.table(spark, sf, "documents")
       .select("doc_id", "text").filter($"doc_id" < 20)

@@ -150,8 +150,10 @@ class VectorTrainSpec extends SparkSpec {
     val r1 = rows.find(_.getLong(0) == 1L).get
     val r2 = rows.find(_.getLong(0) == 2L).get
     assert(r1.getLong(1) == r2.getLong(1), "vector count must not change")
-    val i1 = BigDecimal(r1.getDecimal(2))
-    val i2 = BigDecimal(r2.getDecimal(2))
+    // inertia ships as the §7.4 VARCHAR routing (the one >2^53 value in
+    // the inventory); parse the exact digit string back
+    val i1 = BigDecimal(r1.getString(2))
+    val i2 = BigDecimal(r2.getString(2))
     assert(i2 < i1, s"iteration-2 inertia $i2 not below $i1")
     assert(r1.isNullAt(3), "iteration 1 has no previous assignment")
     val moved = r2.getLong(3)
