@@ -185,7 +185,9 @@ object Bench {
     "q_embed_dedup_exact" -> "e7", "q_multimodal_gif" -> "g7",
     "q_ann_dim_truncate" -> "u8", "q_kmeans_converge" -> "v8",
     "q_graph_kcore" -> "k8", "q_quality_linear" -> "q8",
-    "q_multimodal_tiff" -> "m8")
+    "q_multimodal_tiff" -> "m8", "q_text_entropy" -> "n8",
+    "q_text_zipf" -> "z8", "q_embed_pca_power" -> "p8",
+    "q_corpus_snapshot_delta" -> "c8")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

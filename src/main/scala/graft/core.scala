@@ -116,4 +116,59 @@ object Det {
       s"coalesce(list_aggr(list_transform($arrExpr, " +
       "x -> CAST(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) " +
       "* 10000000 AS BIGINT) AS VARCHAR)), 'string_agg', ','), '') END"
+
+  // ---- bit-portable log2 (r8) -----------------------------------------
+  // ln()/log2() are NOT bit-identical across libm implementations, which
+  // is why transcendental scores (idf, entropy, Zipf) were descoped to
+  // exact-integer forms through r7. These helpers lift that: log2 of an
+  // integer n ≥ 1 (< 2^53) decomposes into the EXACT exponent
+  // e = floor(log2 n) (binary-digit count — pure integer, identical on
+  // both engines) plus log2 of the mantissa m = n / 2^e ∈ [1, 2) (an
+  // exact division of exact doubles), evaluated by a fixed 6-term atanh
+  // series in z = (m−1)/(m+1) ∈ [0, 1/3) — ONLY +,*,/ over
+  // identically-derived doubles with IDENTICAL literal text, so both
+  // engines produce the bit-identical IEEE double. Truncation error
+  // < 2·10⁻⁷ — ample for quality scores; determinism, not precision, is
+  // the contract.
+
+  /** Exact exponent floor(log2(n)) for integer n ≥ 1 — `bin` renders the
+    * minimal binary string on BOTH engines, so its length is the
+    * bit-count. Identical text. */
+  def log2Exp(n: String): String = s"(length(bin($n)) - 1)"
+
+  /** Mantissa n / 2^e ∈ [1,2): the power of two comes from an integer
+    * shift (Spark `shiftleft`) — `pow(2, e)` would route through libm.
+    * Both divisions are of exactly-representable values → exact. */
+  def mantissa(n: String, e: String): String =
+    "(CAST(" + n + " AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), " +
+      s"CAST($e AS INT)) AS DOUBLE))"
+
+  /** DuckDB mirror of [[mantissa]] — `<<` instead of shiftleft; the
+    * shifted VALUE is the same exact integer. */
+  def sqlMantissa(n: String, e: String): String =
+    "(CAST(" + n + " AS DOUBLE) / CAST((CAST(1 AS BIGINT) << " +
+      s"CAST($e AS INT)) AS DOUBLE))"
+
+  /** z = (m−1)/(m+1) for the atanh series — identical text. */
+  def zOfM(m: String): String =
+    s"(($m - CAST(1 AS DOUBLE)) / ($m + CAST(1 AS DOUBLE)))"
+
+  /** log2(m) = 2·atanh(z)/ln2 via the 6-term odd series, Horner form.
+    * IDENTICAL text on both engines; every literal is either an exact
+    * binary double (2, 0.5) or a correctly-rounded decimal both engines
+    * parse to the same double (the 1/3-style ratios are explicit
+    * divisions of exact small ints, and ln 2's 16-digit literal's scaled
+    * integer sits below 2^53, where DuckDB's decimal→double path is
+    * exact). `z` should be a simple column reference — it is spliced
+    * nine times. */
+  def plog2Series(z: String): String = {
+    val z2 = s"($z * $z)"
+    s"((CAST(2 AS DOUBLE) * ($z * (CAST(1 AS DOUBLE) + $z2 * " +
+      s"(CAST(1 AS DOUBLE)/CAST(3 AS DOUBLE) + $z2 * " +
+      s"(CAST(1 AS DOUBLE)/CAST(5 AS DOUBLE) + $z2 * " +
+      s"(CAST(1 AS DOUBLE)/CAST(7 AS DOUBLE) + $z2 * " +
+      s"(CAST(1 AS DOUBLE)/CAST(9 AS DOUBLE) + $z2 * " +
+      s"(CAST(1 AS DOUBLE)/CAST(11 AS DOUBLE))))))))) / " +
+      s"CAST(0.6931471805599453 AS DOUBLE))"
+  }
 }

@@ -703,6 +703,38 @@ object Corpus {
         .orderBy(asc_nulls_last("lang"))
     }),
 
+    // Corpus snapshot delta — the CDC reconciliation a pipeline runs
+    // between two crawl snapshots before re-training: per source, how
+    // many documents were added, removed, changed (same id, different
+    // content hash), unchanged. Snapshots derive deterministically from
+    // the fixture (the OLD snapshot holds doc_id % 7 != 3, the NEW one
+    // doc_id % 11 != 5 with doc_id % 13 == 2 texts revised by a suffix
+    // token). Scale: ONE doc_id-keyed full-outer join of slim
+    // (id, source, md5) slivers — the canonical two-snapshot diff;
+    // document CONTENT never shuffles, only its 16-byte hash, so the
+    // join cost is id-cardinality, not corpus bytes.
+    "q_corpus_snapshot_delta" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val old = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h_old"))
+      val neu = docs.filter(col("doc_id") % 11 =!= 5)
+        .select(col("doc_id"), col("source"),
+          md5(when(col("doc_id") % 13 === 2,
+              concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("h_new"))
+      old.join(neu, Seq("doc_id", "source"), "full_outer")
+        .groupBy("source")
+        .agg(
+          sum(when(col("h_old").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("h_new").isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("h_old").isNotNull && col("h_new").isNotNull
+              && col("h_old") =!= col("h_new"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(when(col("h_old") === col("h_new"), 1L).otherwise(0L))
+            .as("n_unchanged"))
+        .orderBy(asc_nulls_last("source"))
+    }),
+
     // Boilerplate removal: documents wrapped in deterministic HTML (tags,
     // entities, chrome) and cleaned back — tag strip, entity unescape,
     // whitespace collapse — with the SAME regexes on both engines (the
@@ -1205,6 +1237,37 @@ object Corpus {
          |FROM quota WHERE rn <= 20
          |GROUP BY lang
          |ORDER BY lang ASC NULLS LAST""".stripMargin,
+
+    // Same deterministic snapshot derivation; the diff classification
+    // runs on md5 hashes both engines compute identically.
+    "q_corpus_snapshot_delta" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE text IS NOT NULL
+        |), old AS (
+        |  SELECT doc_id, source, md5(text) AS h_old
+        |  FROM d WHERE doc_id % 7 <> 3
+        |), neu AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 13 = 2 THEN text || ' rev2'
+        |        ELSE text END) AS h_new
+        |  FROM d WHERE doc_id % 11 <> 5
+        |), j AS (
+        |  SELECT COALESCE(o.source, n.source) AS source, o.h_old, n.h_new
+        |  FROM old o FULL OUTER JOIN neu n
+        |    ON o.doc_id = n.doc_id AND o.source = n.source
+        |)
+        |SELECT source,
+        |  CAST(SUM(CASE WHEN h_old IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(SUM(CASE WHEN h_new IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(SUM(CASE WHEN h_old IS NOT NULL AND h_new IS NOT NULL
+        |    AND h_old <> h_new THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(CASE WHEN h_old = h_new THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unchanged
+        |FROM j GROUP BY source
+        |ORDER BY source ASC NULLS LAST""".stripMargin,
 
     "q_text_clean" ->
 """WITH h AS (

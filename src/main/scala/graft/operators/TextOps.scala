@@ -32,6 +32,25 @@ import graft.Tables
 object TextOps {
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
+  /** Zipf least-squares assembly from the exact 1e-10-grid moments
+    * (n_ranks, sx, sy, sxy, sxx) — ONE string shared verbatim by the
+    * Spark selectExpr and the DuckDB oracle so the IEEE trees match.
+    * Scale algebra: qx ≈ x·1e10 and qxy ≈ x·y·1e10, so the covariance
+    * numerator needs n·1e10·sxy to sit on the same 1e20 grid as sx·sy
+    * (likewise the variance denominator); the intercept divides the
+    * 1e10-grid residual back out. */
+  private val zipfSlopeExpr: String =
+    "((CAST(n_ranks AS DOUBLE) * CAST(10000000000 AS DOUBLE) " +
+      "* CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) " +
+      "/ (CAST(n_ranks AS DOUBLE) * CAST(10000000000 AS DOUBLE) " +
+      "* CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+
+  private[operators] val zipfFitExprs: Seq[String] = Seq(
+    s"$zipfSlopeExpr AS slope",
+    s"((CAST(sy AS DOUBLE) - $zipfSlopeExpr * CAST(sx AS DOUBLE)) " +
+      "/ (CAST(n_ranks AS DOUBLE) * CAST(10000000000 AS DOUBLE))) " +
+      "AS intercept")
+
   private val NumHashes = 8
   private val NumBands = 4 // rows-per-band = 2
 
@@ -359,6 +378,96 @@ object TextOps {
           max(col("n_chars")).as("max_chars"),
           sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
         .orderBy(asc_nulls_last("lang"))),
+
+    // Per-document Shannon token entropy — the lexical-diversity quality
+    // signal gini approximates from below, now exact(-to-2e-7) via the
+    // r8 BIT-PORTABLE log2 (graft.Det.plog2Series: exact binary exponent
+    // + atanh-series mantissa, only +,*,/ on identically-derived doubles
+    // — libm ln() was the reason entropy stayed descoped through r7).
+    // H = log2(n) − (Σ c·log2 c)/n over per-doc token counts c; each
+    // c·log2 c term is quantized to the exact 1e-10 grid (floor(x·1e10
+    // + 0.5), the pure-IEEE embed_cov rounding) so the per-doc sum is
+    // exact integer arithmetic — partition-order-invariant. Scale: one
+    // (doc, token) shuffle with map-side combine, then a doc-keyed
+    // reduce — token-cardinality cost, no corpus-wide state.
+    "q_text_entropy" -> ((s, d) => {
+      val tc = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val terms = tc
+        .withColumn("e2", expr(graft.Det.log2Exp("c")))
+        .withColumn("mm", expr(graft.Det.mantissa("c", "e2")))
+        .withColumn("zz", expr(graft.Det.zOfM("mm")))
+        .withColumn("l2",
+          expr(s"CAST(e2 AS DOUBLE) + ${graft.Det.plog2Series("zz")}"))
+        .withColumn("q", expr(
+          "CAST(floor(CAST(c AS DOUBLE) * l2 " +
+            "* CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum("q").as("sq"))
+      terms
+        .withColumn("e2", expr(graft.Det.log2Exp("n_tokens")))
+        .withColumn("mm", expr(graft.Det.mantissa("n_tokens", "e2")))
+        .withColumn("zz", expr(graft.Det.zOfM("mm")))
+        .withColumn("entropy", expr(
+          s"CAST(e2 AS DOUBLE) + ${graft.Det.plog2Series("zz")} " +
+            "- CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE) " +
+            "/ CAST(n_tokens AS DOUBLE)"))
+        .select("doc_id", "n_tokens", "n_types", "entropy")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // Zipf rank–frequency fit over the top-100 corpus tokens — the
+    // "does this corpus look like natural language" diagnostic (natural
+    // text slopes ≈ −1; template/boilerplate corpora flatten or
+    // cliff). Least-squares of log2(freq) on log2(rank), both through
+    // the bit-portable log2; the regression moments quantize each term
+    // to the exact 1e-10 grid and sum as integers, so the fit is
+    // order-invariant and engine-identical. Scale: one token shuffle
+    // with map-side combine → TakeOrdered(100) → the 100-row tail runs
+    // IN-ROW (sorted collect_list + posexplode — no global window, the
+    // q_path_per_session trick); a 100 TB corpus adds zero rows to the
+    // fitted frame.
+    "q_text_zipf" -> ((s, d) => {
+      val top = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(desc_nulls_last("c"), asc_nulls_last("tok"))
+        .limit(100)
+      top
+        .agg(expr("sort_array(collect_list(struct(-c AS nc, tok, c)))")
+          .as("a"))
+        .select(posexplode(col("a")).as(Seq("i", "s")))
+        .select((col("i") + 1).cast("long").as("rank"),
+          col("s.c").as("c"))
+        .withColumn("er", expr(graft.Det.log2Exp("rank")))
+        .withColumn("mr", expr(graft.Det.mantissa("rank", "er")))
+        .withColumn("zr", expr(graft.Det.zOfM("mr")))
+        .withColumn("x",
+          expr(s"CAST(er AS DOUBLE) + ${graft.Det.plog2Series("zr")}"))
+        .withColumn("ec", expr(graft.Det.log2Exp("c")))
+        .withColumn("mc", expr(graft.Det.mantissa("c", "ec")))
+        .withColumn("zc", expr(graft.Det.zOfM("mc")))
+        .withColumn("y",
+          expr(s"CAST(ec AS DOUBLE) + ${graft.Det.plog2Series("zc")}"))
+        .select(col("x"), col("y"),
+          expr("CAST(floor(x * CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("qx"),
+          expr("CAST(floor(y * CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("qy"),
+          expr("CAST(floor(x * y * CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("qxy"),
+          expr("CAST(floor(x * x * CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("qxx"))
+        .agg(count(lit(1)).as("n_ranks"), sum("qx").as("sx"),
+          sum("qy").as("sy"), sum("qxy").as("sxy"), sum("qxx").as("sxx"))
+        // all four moments are exact ints on the 1e-10 grid; the fit
+        // assembles them with IDENTICAL expression text on both engines
+        // (the q_stats_anova discipline, via zipfFitExprs)
+        .selectExpr("n_ranks" +: zipfFitExprs: _*)
+    }),
 
     // Exact dedup: hash-groupBy on a normalization fingerprint. At scale
     // this is one shuffle on the 128-bit key; groups with n_docs > 1 are
@@ -1396,6 +1505,107 @@ object TextOps {
         |    AS novelty_rate
         |FROM occ o LEFT JOIN fst f ON o.bucket = f.bucket
         |ORDER BY o.bucket ASC NULLS LAST""".stripMargin,
+
+    // Mirrors the bit-portable log2 chain step for step: same exact
+    // binary exponent, same shifted power of two (<< here, shiftleft on
+    // the Spark side — the VALUE is the same exact integer), and the
+    // IDENTICAL series/assembly text from graft.Det, so every double is
+    // bit-equal by construction.
+    "q_text_entropy" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE text IS NOT NULL
+         |), c AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tc GROUP BY doc_id, tok
+         |), l AS (
+         |  SELECT doc_id, c, ${graft.Det.log2Exp("c")} AS e2 FROM c
+         |), m AS (
+         |  SELECT doc_id, c, e2, ${graft.Det.sqlMantissa("c", "e2")} AS mm
+         |  FROM l
+         |), z AS (
+         |  SELECT doc_id, c, e2, mm, ${graft.Det.zOfM("mm")} AS zz FROM m
+         |), lq AS (
+         |  SELECT doc_id, c,
+         |    CAST(e2 AS DOUBLE) + ${graft.Det.plog2Series("zz")} AS l2
+         |  FROM z
+         |), q AS (
+         |  SELECT doc_id, c,
+         |    CAST(floor(CAST(c AS DOUBLE) * l2
+         |      * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+         |  FROM lq
+         |), agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_types,
+         |    CAST(SUM(q) AS BIGINT) AS sq
+         |  FROM q GROUP BY doc_id
+         |), l2n AS (
+         |  SELECT *, ${graft.Det.log2Exp("n_tokens")} AS e2 FROM agg
+         |), m2n AS (
+         |  SELECT *, ${graft.Det.sqlMantissa("n_tokens", "e2")} AS mm
+         |  FROM l2n
+         |), z2n AS (
+         |  SELECT *, ${graft.Det.zOfM("mm")} AS zz FROM m2n
+         |)
+         |SELECT doc_id, n_tokens, n_types,
+         |  CAST(e2 AS DOUBLE) + ${graft.Det.plog2Series("zz")}
+         |    - CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE)
+         |    / CAST(n_tokens AS DOUBLE) AS entropy
+         |FROM z2n ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same portable-log2 chain over the top-100 frame; ranks come from
+    // the identical (freq DESC, token ASC) order, and the fit assembles
+    // the shared zipfFitExprs text over the exact grid moments.
+    "q_text_zipf" ->
+      s"""WITH tf AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE text IS NOT NULL
+         |), c AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tf GROUP BY tok
+         |), top AS (
+         |  SELECT tok, c FROM c ORDER BY c DESC, tok ASC LIMIT 100
+         |), r AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY c DESC, tok ASC)
+         |    AS BIGINT) AS rank, c
+         |  FROM top
+         |), lg AS (
+         |  SELECT rank, c, ${graft.Det.log2Exp("rank")} AS er,
+         |    ${graft.Det.log2Exp("c")} AS ec
+         |  FROM r
+         |), mm AS (
+         |  SELECT rank, c, er, ec,
+         |    ${graft.Det.sqlMantissa("rank", "er")} AS mr,
+         |    ${graft.Det.sqlMantissa("c", "ec")} AS mc
+         |  FROM lg
+         |), zz AS (
+         |  SELECT er, ec, ${graft.Det.zOfM("mr")} AS zr,
+         |    ${graft.Det.zOfM("mc")} AS zc
+         |  FROM mm
+         |), xy AS (
+         |  SELECT CAST(er AS DOUBLE) + ${graft.Det.plog2Series("zr")} AS x,
+         |    CAST(ec AS DOUBLE) + ${graft.Det.plog2Series("zc")} AS y
+         |  FROM zz
+         |), qq AS (
+         |  SELECT
+         |    CAST(floor(x * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qx,
+         |    CAST(floor(y * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qy,
+         |    CAST(floor(x * y * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qxy,
+         |    CAST(floor(x * x * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qxx
+         |  FROM xy
+         |), agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+         |    CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+         |    CAST(SUM(qxy) AS BIGINT) AS sxy,
+         |    CAST(SUM(qxx) AS BIGINT) AS sxx
+         |  FROM qq
+         |)
+         |SELECT n_ranks, ${zipfFitExprs.mkString(",\n  ")}
+         |FROM agg""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,

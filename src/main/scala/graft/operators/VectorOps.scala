@@ -1073,6 +1073,67 @@ object VectorOps {
     // on both engines over identical operands (sums < 2^53 convert to
     // DOUBLE exactly; beyond, both engines round correctly — the
     // oracle routes via VARCHAR like Det.sqlDsum).
+    // Top principal direction by TWO power-iteration steps on the
+    // uncentered Gram matrix A = Σ x·xᵀ — the PCA building block whose
+    // full matrix q_embed_cov materializes; power iteration never forms
+    // A: w1 = A·e0 is the per-dim sum of iv_j·iv_0 (one slim (pos)
+    // shuffle with map-side combine), w2 = A·u1 folds the per-vector
+    // dot d = ⟨iv, u1⟩ in-row then reduces iv_j·d the same way. All
+    // arithmetic rides the exact scaled-BIGINT grid: products route
+    // through DECIMAL before they can overflow (iv_j·d ≤ 2.6e23 →
+    // DECIMAL(18)·DECIMAL(19), the q_stats_anova p1+p2+1=38 trick), and
+    // each iterate renormalizes by its max-abs component — NOT the L2
+    // norm, because sqrt is libm — via one IEEE division of two
+    // VARCHAR-routed doubles (the sums exceed 2^53, where a direct
+    // decimal→double cast double-rounds per engine — §7.4), then
+    // re-enters the grid by floor(r·1e7 + 0.5). Scale: two passes, each
+    // reducing to EmbDim rows; the u1 vector re-enters as a 1-row
+    // broadcast — the canonical distributed matrix-free eigensolver
+    // step at any corpus size.
+    "q_embed_pca_power" -> ((s, d) => {
+      val iv = t(s, d, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .withColumn("iv", expr(
+          "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
+            "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
+        .select("vec_id", "iv")
+      val ev = iv.select(col("iv"),
+        posexplode(col("iv")).as(Seq("pos", "x")))
+      val w1 = ev
+        .select(col("pos"), expr("CAST(x * iv[0] AS DECIMAL(38,0))")
+          .as("p"))
+        .groupBy("pos").agg(sum("p").as("w"))
+      def unitize(w: DataFrame): DataFrame = {
+        val m = broadcast(w
+          .agg(max(abs(col("w"))).as("m")).withColumn("_one", lit(1)))
+        w.withColumn("_one", lit(1)).join(m, "_one")
+          .select(col("pos"), expr(
+            "CAST(floor(CAST(CAST(w AS STRING) AS DOUBLE) " +
+              "/ CAST(CAST(m AS STRING) AS DOUBLE) " +
+              "* CAST(10000000 AS DOUBLE) " +
+              "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("u"))
+      }
+      val u1 = unitize(w1)
+      val u1vec = broadcast(u1
+        .agg(expr("transform(sort_array(collect_list(struct(pos, u))), " +
+          "s -> s.u)").as("uv"))
+        .withColumn("_one", lit(1)))
+      val dv = iv.withColumn("_one", lit(1)).join(u1vec, "_one")
+        .select(col("vec_id"), col("iv"), expr(
+          "aggregate(zip_with(iv, uv, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("d"))
+      val w2 = dv
+        .select(posexplode(col("iv")).as(Seq("pos", "x")), col("d"))
+        .select(col("pos"), expr(
+          "CAST(x AS DECIMAL(18,0)) * CAST(d AS DECIMAL(19,0))").as("p"))
+        .groupBy("pos").agg(sum("p").as("w"))
+      u1.select(col("pos").cast("long").as("pos"), col("u").as("u1"))
+        .join(unitize(w2)
+          .select(col("pos").cast("long").as("pos"), col("u").as("u2")),
+          "pos")
+        .orderBy(asc_nulls_last("pos"))
+    }),
+
     "q_embed_cov" -> ((s, d) => {
       val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
       val dims = e
@@ -2384,6 +2445,49 @@ object VectorOps {
     // second series from i; the floor(x·1e8 + 0.5) quantization is the
     // identical IEEE double tree as the Spark struct (see the query's
     // determinism note — a DECIMAL cast would tie-break differently on
+    // Mirrors the matrix-free power iteration on the same scaled-BIGINT
+    // grid: per-dim exact decimal sums, max-abs renormalization through
+    // the VARCHAR-routed division (both sums exceed 2^53), and the same
+    // floor(r·1e7 + 0.5) grid re-entry. DuckDB lists are 1-indexed —
+    // iv[1] is Spark's iv[0]; pos re-bases on output.
+    "q_embed_pca_power" ->
+      s"""WITH iv AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) * 10000000
+         |      AS BIGINT)) AS iv
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), e AS (
+         |  SELECT vec_id, iv, unnest(generate_series(1, $EmbDim)) AS i
+         |  FROM iv
+         |), w1 AS (
+         |  SELECT i, SUM(CAST(iv[i] * iv[1] AS DECIMAL(38,0))) AS w
+         |  FROM e GROUP BY i
+         |), m1 AS (SELECT MAX(ABS(w)) AS m FROM w1),
+         |u1 AS (
+         |  SELECT i, CAST(floor(CAST(CAST(w AS VARCHAR) AS DOUBLE)
+         |    / CAST(CAST(m AS VARCHAR) AS DOUBLE)
+         |    * CAST(10000000 AS DOUBLE)
+         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS u
+         |  FROM w1, m1
+         |), dv AS (
+         |  SELECT e.vec_id, CAST(SUM(e.iv[e.i] * u1.u) AS BIGINT) AS d
+         |  FROM e JOIN u1 ON e.i = u1.i GROUP BY e.vec_id
+         |), w2 AS (
+         |  SELECT e.i, SUM(CAST(e.iv[e.i] AS DECIMAL(18,0))
+         |    * CAST(d.d AS DECIMAL(19,0))) AS w
+         |  FROM e JOIN dv d ON e.vec_id = d.vec_id GROUP BY e.i
+         |), m2 AS (SELECT MAX(ABS(w)) AS m FROM w2),
+         |u2 AS (
+         |  SELECT i, CAST(floor(CAST(CAST(w AS VARCHAR) AS DOUBLE)
+         |    / CAST(CAST(m AS VARCHAR) AS DOUBLE)
+         |    * CAST(10000000 AS DOUBLE)
+         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS u
+         |  FROM w2, m2
+         |)
+         |SELECT CAST(u1.i - 1 AS BIGINT) AS pos, u1.u AS u1, u2.u AS u2
+         |FROM u1 JOIN u2 ON u1.i = u2.i
+         |ORDER BY pos ASC NULLS LAST""".stripMargin,
+
     // dyadic floats like −561/2048); the exact BIGINT sums (HUGEINT in
     // DuckDB) route to DOUBLE via VARCHAR (Det.sqlDsum rationale) and
     // the cov combine repeats Spark's op tree.

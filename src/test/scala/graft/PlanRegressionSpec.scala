@@ -158,6 +158,10 @@ class PlanRegressionSpec extends SparkSpec {
       // 1-row broadcast of the global (n, Σx, Σx²) totals — the
       // q_text_docfreq shape
       "q_stats_ttest",
+      // three 1-row broadcasts on a constant key: the max-abs scale of
+      // each iterate (m1, m2) and the assembled u1 vector — the
+      // q_stats_ttest shape; every nested-loop side is exactly one row
+      "q_embed_pca_power",
       // 1-row broadcast of the (n_days, grand-total) frame; the
       // non-empty-right-segment filter folds into the join condition so
       // the probe plans as a nested loop against exactly one row — the

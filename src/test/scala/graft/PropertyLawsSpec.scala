@@ -96,4 +96,113 @@ class PropertyLawsSpec extends SparkSpec {
       }
     }
   }
+
+  test("portable log2: the bin-exponent + atanh-series chain matches " +
+      "math log2 within 1e-6 for n in 1..200000") {
+    import graft.Det
+    val out = spark.range(1, 200001).toDF("c")
+      .withColumn("e2", expr(Det.log2Exp("c")))
+      .withColumn("mm", expr(Det.mantissa("c", "e2")))
+      .withColumn("zz", expr(Det.zOfM("mm")))
+      .withColumn("l2", expr(s"CAST(e2 AS DOUBLE) + ${Det.plog2Series("zz")}"))
+      .select("c", "l2").collect()
+    out.foreach { r =>
+      val (c, l2) = (r.getLong(0), r.getDouble(1))
+      val want = math.log(c.toDouble) / math.log(2.0)
+      assert(math.abs(l2 - want) < 1e-6, s"log2($c): $l2 vs $want")
+    }
+    // powers of two are EXACT (z = 0 kills the series entirely)
+    Seq(1L, 2L, 4L, 1024L, 65536L).foreach { c =>
+      val l2 = out(c.toInt - 1).getDouble(1)
+      assert(l2 == (63 - java.lang.Long.numberOfLeadingZeros(c)).toDouble)
+    }
+  }
+
+  test("q_text_entropy bounds: 0 <= H <= log2(n_types), exact zero for " +
+      "single-type docs, and the fixture is non-degenerate") {
+    val rows = graft.operators.TextOps.queries("q_text_entropy")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (types, h) = (r.getLong(2), r.getDouble(3))
+      val cap = math.log(types.toDouble) / math.log(2.0)
+      assert(h >= -1e-6 && h <= cap + 1e-6,
+        s"doc ${r.getLong(0)}: H=$h outside [0, log2($types)]")
+      if (types == 1) assert(math.abs(h) < 1e-6)
+    }
+    assert(rows.exists(_.getDouble(3) > 1.0), "all-low-entropy fixture?")
+  }
+
+  test("q_text_zipf: slope is negative and reproduces a brute-force " +
+      "least-squares fit of the top-100 log-log points") {
+    val r = graft.operators.TextOps.queries("q_text_zipf")(spark, sf).head()
+    val (n, slope, intercept) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(n > 10)
+    assert(slope < 0.0, s"zipf slope $slope not negative")
+    // brute force from the raw counts
+    val counts = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count()
+      .collect().map(r2 => (r2.getString(0), r2.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.take(100)
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0) / math.log(2.0), math.log(c.toDouble) / math.log(2.0))
+    }
+    val m = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val wantSlope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val wantIcept = (sy - wantSlope * sx) / m
+    assert(math.abs(slope - wantSlope) < 1e-4,
+      s"slope $slope vs brute $wantSlope")
+    assert(math.abs(intercept - wantIcept) < 1e-4)
+  }
+
+  test("q_embed_pca_power: u2 aligns with the brute-force dominant " +
+      "eigendirection of the Gram matrix") {
+    val rows = graft.operators.VectorOps.queries("q_embed_pca_power")(
+      spark, sf).collect().sortBy(_.getLong(0))
+    assert(rows.length == 64)
+    val u2 = rows.map(_.getLong(2).toDouble)
+    // brute-force: many plain-double power steps from the same seed
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray)
+    // same TWO steps in plain doubles (the law is the distributed
+    // exact-grid formulation equals the single-node algorithm, not a
+    // convergence claim — two steps from e0 need not reach the
+    // eigenvector)
+    var v = Array.tabulate(64)(j => vecs.map(x => x(j) * x(0)).sum)
+    var m = v.map(math.abs).max
+    v = v.map(_ / m)
+    val next = Array.tabulate(64) { j =>
+      vecs.map(x => x(j) * x.zip(v).map { case (a, b) => a * b }.sum).sum
+    }
+    m = next.map(math.abs).max
+    val v2 = next.map(_ / m)
+    val dot = u2.zip(v2).map { case (a, b) => a * b }.sum
+    val cos = dot / math.sqrt(u2.map(x => x * x).sum) /
+      math.sqrt(v2.map(x => x * x).sum)
+    assert(cos > 0.9999, s"pca two-step cosine $cos")
+  }
+
+  test("q_corpus_snapshot_delta partitions both snapshots exactly") {
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+    val nOld = docs.filter(col("doc_id") % 7 =!= 3).count()
+    val nNew = docs.filter(col("doc_id") % 11 =!= 5).count()
+    val out = graft.operators.Corpus.queries("q_corpus_snapshot_delta")(
+      spark, sf).collect()
+    val (add, rem, chg, same) = (
+      out.map(_.getLong(1)).sum, out.map(_.getLong(2)).sum,
+      out.map(_.getLong(3)).sum, out.map(_.getLong(4)).sum)
+    assert(rem + chg + same == nOld, "old snapshot not partitioned")
+    assert(add + chg + same == nNew, "new snapshot not partitioned")
+    // revised docs exist and are classified as changed
+    assert(chg > 0)
+  }
 }
