@@ -171,4 +171,28 @@ object Det {
       s"(CAST(1 AS DOUBLE)/CAST(11 AS DOUBLE))))))))) / " +
       s"CAST(0.6931471805599453 AS DOUBLE))"
   }
+
+  /** Append the full portable-log2 chain of integer column `n` to a
+    * frame as column `out` (the intermediates are dropped). Spark side
+    * of [[sqlPlog2Cols]]. */
+  def withPlog2(df: org.apache.spark.sql.DataFrame, n: String,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val (e, m, z) = (s"_e_$out", s"_m_$out", s"_z_$out")
+    df.withColumn(e, expr(log2Exp(n)))
+      .withColumn(m, expr(mantissa(n, e)))
+      .withColumn(z, expr(zOfM(m)))
+      .withColumn(out, expr(s"CAST($e AS DOUBLE) + ${plog2Series(z)}"))
+      .drop(e, m, z)
+  }
+
+  /** DuckDB SELECT-list fragment computing the same chain via LATERAL
+    * COLUMN ALIASES (DuckDB resolves an alias defined earlier in the
+    * same list), emitting intermediates `{p}e2/{p}mm/{p}zz` plus the
+    * result `{p}l2`. The arithmetic text per step is identical to
+    * [[withPlog2]]'s — only the power-of-two shift spelling differs
+    * (and its VALUE is the same exact integer). */
+  def sqlPlog2Cols(n: String, p: String): String =
+    s"${log2Exp(n)} AS ${p}e2, ${sqlMantissa(n, p + "e2")} AS ${p}mm, " +
+      s"${zOfM(p + "mm")} AS ${p}zz, " +
+      s"CAST(${p}e2 AS DOUBLE) + ${plog2Series(p + "zz")} AS ${p}l2"
 }

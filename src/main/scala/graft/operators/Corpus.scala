@@ -735,6 +735,45 @@ object Corpus {
         .orderBy(asc_nulls_last("source"))
     }),
 
+    // Per-source KL divergence from the corpus token distribution —
+    // "which sources are distributionally unusual" (the
+    // domain-reweighting diagnostic next to q_mixture_weights'
+    // count-based view and q_source_token_shift's total-variation
+    // distance; KL is the information-theoretic one, unlocked by the r8
+    // portable log2). KL(p_s ‖ p) = Σ_t (c_st/N_s)·log2(c_st·N /
+    // (N_s·c_t)) — both log arguments are INTEGER products (< 2^53), so
+    // the bits are bit-portable; each term quantizes to the exact 1e-10
+    // grid and sums as integers. Scale: one (source, token) shuffle with
+    // map-side combine; the corpus-count probe is a token-keyed shuffle
+    // join (never a vocabulary broadcast); totals are a 1-row
+    // constant-key broadcast + a source-domain-bounded join.
+    "q_source_kl" -> ((s, d) => {
+      val st = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cst"))
+      val ct = st.groupBy("tok").agg(sum("cst").as("ct"))
+      val ns = st.groupBy("source").agg(sum("cst").as("ns"))
+      val tot = broadcast(ct.agg(sum("ct").as("n"))
+        .withColumn("_one", lit(1)))
+      val j = st.join(ct, "tok").join(ns, "source")
+        .withColumn("_one", lit(1)).join(tot, "_one")
+        .withColumn("num", col("cst") * col("n"))
+        .withColumn("den", col("ns") * col("ct"))
+      graft.Det.withPlog2(graft.Det.withPlog2(j, "num", "l2n"),
+          "den", "l2d")
+        .withColumn("q", expr(
+          "CAST(floor(CAST(cst AS DOUBLE) * (l2n - l2d) " +
+            "/ CAST(ns AS DOUBLE) * CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .groupBy("source")
+        .agg(max("ns").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum("q").as("sq"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE)")
+            .as("kl_bits"))
+        .orderBy(asc_nulls_last("source"))
+    }),
+
     // Boilerplate removal: documents wrapped in deterministic HTML (tags,
     // entities, chrome) and cleaned back — tag strip, entity unescape,
     // whitespace collapse — with the SAME regexes on both engines (the
@@ -1237,6 +1276,47 @@ object Corpus {
          |FROM quota WHERE rn <= 20
          |GROUP BY lang
          |ORDER BY lang ASC NULLS LAST""".stripMargin,
+
+    // Mirrors the integer-product KL chain on DuckDB's lateral column
+    // aliases; the weighted-term and final divisions repeat Spark's
+    // expression text exactly.
+    "q_source_kl" ->
+      s"""WITH st AS (
+         |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cst FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents WHERE text IS NOT NULL
+         |  ) GROUP BY source, tok
+         |), ct AS (
+         |  SELECT tok, CAST(SUM(cst) AS BIGINT) AS ct FROM st GROUP BY tok
+         |), ns AS (
+         |  SELECT source, CAST(SUM(cst) AS BIGINT) AS ns
+         |  FROM st GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(SUM(ct) AS BIGINT) AS n FROM ct
+         |), j AS (
+         |  SELECT st.source, st.cst, ns.ns,
+         |    st.cst * tot.n AS num, ns.ns * ct.ct AS den
+         |  FROM st JOIN ct ON st.tok = ct.tok
+         |  JOIN ns ON st.source = ns.source, tot
+         |), lg AS (
+         |  SELECT source, cst, ns, ${graft.Det.sqlPlog2Cols("num", "n_")},
+         |    ${graft.Det.sqlPlog2Cols("den", "d_")}
+         |  FROM j
+         |), q AS (
+         |  SELECT source, ns,
+         |    CAST(floor(CAST(cst AS DOUBLE) * (n_l2 - d_l2)
+         |      / CAST(ns AS DOUBLE) * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+         |  FROM lg
+         |), agg AS (
+         |  SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_types,
+         |    CAST(SUM(q) AS BIGINT) AS sq
+         |  FROM q GROUP BY source
+         |)
+         |SELECT source, n_tokens, n_types,
+         |  CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE) AS kl_bits
+         |FROM agg ORDER BY source ASC NULLS LAST""".stripMargin,
 
     // Same deterministic snapshot derivation; the diff classification
     // runs on md5 hashes both engines compute identically.

@@ -369,6 +369,55 @@ object TextOps {
         .orderBy(asc_nulls_last("bucket"))
     }),
 
+    // Bigram language-model cross-entropy of the eval split under a
+    // model trained on the train split (doc_id % 5, the decontaminate
+    // convention) — THE corpus quality filter (perplexity-based pruning
+    // à la CCNet/DSIR), previously impossible under the libm-ln
+    // descope: with add-one smoothing p̂(b|a) = (c_ab+1)/(c_a+V), the
+    // per-bigram bits are plog2(c_a+V) − plog2(c_ab+1) — portable log2
+    // of two INTEGERS — quantized to the exact 1e-10 grid and summed as
+    // integers, so the per-doc mean is order-invariant. (Perplexity
+    // itself is 2^H — pow is libm, so the query emits bits/bigram; the
+    // monotone transform preserves every ranking/threshold use.) Scale:
+    // counts are one (a,b)-keyed shuffle with map-side combine; the
+    // eval side probes them by a gram-keyed shuffle join (the
+    // q_decontaminate economics — never a corpus-fraction broadcast);
+    // V is a 1-row constant-key broadcast.
+    "q_text_perplexity" -> ((s, d) => {
+      val toks = t(s, d, "documents").filter(col("text").isNotNull)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+      def bigrams(df: DataFrame) = df
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))
+        .select(col("doc_id"), col("p.a"), col("p.b"))
+      val train = toks.filter(col("doc_id") % 5 =!= 0)
+      val cntAb = bigrams(train).groupBy("a", "b")
+        .agg(count(lit(1)).as("cab"))
+      val cntA = cntAb.groupBy("a").agg(sum("cab").as("ca"))
+      val vocab = broadcast(train
+        .select(explode(col("toks")).as("tok"))
+        .agg(countDistinct("tok").as("v")).withColumn("_one", lit(1)))
+      val ev = bigrams(toks.filter(col("doc_id") % 5 === 0))
+        .join(cntAb, Seq("a", "b"), "left")
+        .join(cntA, Seq("a"), "left")
+        .withColumn("_one", lit(1)).join(vocab, "_one")
+        .withColumn("num", coalesce(col("cab"), lit(0L)) + 1L)
+        .withColumn("den", coalesce(col("ca"), lit(0L)) + col("v"))
+      graft.Det.withPlog2(graft.Det.withPlog2(ev, "num", "l2n"),
+          "den", "l2d")
+        .withColumn("q", expr(
+          "CAST(floor((l2d - l2n) * CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("q").as("sq"))
+        .select(col("doc_id"), col("n_bigrams"), expr(
+          "CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE) " +
+            "/ CAST(n_bigrams AS DOUBLE)").as("cross_entropy"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     "q_text_stats" -> ((s, d) =>
       t(s, d, "documents")
         .groupBy("lang")
@@ -1505,6 +1554,54 @@ object TextOps {
         |    AS novelty_rate
         |FROM occ o LEFT JOIN fst f ON o.bucket = f.bucket
         |ORDER BY o.bucket ASC NULLS LAST""".stripMargin,
+
+    // Same bigram extraction as the q_text_bigram_prob oracle; the two
+    // portable-log2 chains ride DuckDB's lateral column aliases
+    // (Det.sqlPlog2Cols), and the final mean repeats Spark's division
+    // text exactly.
+    "q_text_perplexity" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE text IS NOT NULL
+         |    AND len(string_split(text, ' ')) >= 2
+         |), x AS (
+         |  SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i FROM tk
+         |), bgf AS (
+         |  SELECT doc_id, toks[i+1] AS a, toks[i+2] AS b FROM x
+         |), cab AS (
+         |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+         |  FROM bgf WHERE doc_id % 5 <> 0 GROUP BY a, b
+         |), ca AS (
+         |  SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM cab GROUP BY a
+         |), vb AS (
+         |  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM (
+         |    SELECT unnest(toks) AS tok FROM tk WHERE doc_id % 5 <> 0)
+         |), ev AS (
+         |  SELECT e.doc_id,
+         |    COALESCE(c.cab, 0) + 1 AS num,
+         |    COALESCE(a2.ca, 0) + vb.v AS den
+         |  FROM bgf e
+         |  LEFT JOIN cab c ON e.a = c.a AND e.b = c.b
+         |  LEFT JOIN ca a2 ON e.a = a2.a, vb
+         |  WHERE e.doc_id % 5 = 0
+         |), lg AS (
+         |  SELECT doc_id, ${graft.Det.sqlPlog2Cols("num", "n_")},
+         |    ${graft.Det.sqlPlog2Cols("den", "d_")}
+         |  FROM ev
+         |), q AS (
+         |  SELECT doc_id,
+         |    CAST(floor((d_l2 - n_l2) * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+         |  FROM lg
+         |), agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(q) AS BIGINT) AS sq
+         |  FROM q GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_bigrams,
+         |  CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE)
+         |    / CAST(n_bigrams AS DOUBLE) AS cross_entropy
+         |FROM agg ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     // Mirrors the bit-portable log2 chain step for step: same exact
     // binary exponent, same shifted power of two (<< here, shiftleft on

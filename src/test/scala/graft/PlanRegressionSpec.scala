@@ -162,6 +162,10 @@ class PlanRegressionSpec extends SparkSpec {
       // each iterate (m1, m2) and the assembled u1 vector — the
       // q_stats_ttest shape; every nested-loop side is exactly one row
       "q_embed_pca_power",
+      // 1-row broadcasts on a constant key: the train vocabulary size
+      // (perplexity's smoothing denominator) and the corpus token total
+      // (KL's reference distribution) — the q_text_docfreq shape
+      "q_text_perplexity", "q_source_kl",
       // 1-row broadcast of the (n_days, grand-total) frame; the
       // non-empty-right-segment filter folds into the join condition so
       // the probe plans as a nested loop against exactly one row — the

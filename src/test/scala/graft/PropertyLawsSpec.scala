@@ -205,4 +205,65 @@ class PropertyLawsSpec extends SparkSpec {
     // revised docs exist and are classified as changed
     assert(chg > 0)
   }
+
+  test("q_text_perplexity: positive bits, and a brute-force replay of " +
+      "the smoothed bigram model agrees per doc") {
+    val rows = graft.operators.TextOps.queries("q_text_perplexity")(
+      spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) > 0.0,
+      s"doc ${r.getLong(0)}: non-positive cross-entropy"))
+    // brute force in plain Scala from the raw fixture
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split(" ")) }
+      .filter(_._2.length >= 2)
+    val train = docs.filter(_._1 % 5 != 0)
+    val cab = scala.collection.mutable.Map[(String, String), Long]()
+    train.foreach { case (_, ts) => ts.sliding(2).foreach { w =>
+      if (w.length == 2) cab((w(0), w(1))) = cab.getOrElse((w(0), w(1)), 0L) + 1 } }
+    val ca = cab.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val v = train.flatMap(_._2).distinct.length.toLong
+    val got = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    docs.filter(_._1 % 5 == 0).take(20).foreach { case (id, ts) =>
+      val bs = ts.sliding(2).filter(_.length == 2).toSeq
+      val h = bs.map { w =>
+        val num = cab.getOrElse((w(0), w(1)), 0L) + 1.0
+        val den = ca.getOrElse(w(0), 0L) + v.toDouble
+        (math.log(den) - math.log(num)) / math.log(2.0)
+      }.sum / bs.length
+      val (n, gh) = got(id)
+      assert(n == bs.length, s"doc $id bigram count")
+      assert(math.abs(gh - h) < 1e-4, s"doc $id: $gh vs brute $h")
+    }
+  }
+
+  test("q_source_kl: Gibbs non-negativity, full vocabulary accounting, " +
+      "and a brute-force replay per source") {
+    val rows = graft.operators.Corpus.queries("q_source_kl")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) >= -1e-9,
+      s"source ${r.getString(0)}: negative KL"))
+    val toks = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("source", "text").as[(String, String)].collect()
+      .flatMap { case (src, t) => t.split(" ").map(src -> _) }
+    val n = toks.length.toDouble
+    val ct = toks.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = toks.filter(_._1 == src).map(_._2)
+      val ns = mine.length.toLong
+      assert(r.getLong(1) == ns, s"$src n_tokens")
+      val cst = mine.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      assert(r.getLong(2) == cst.size, s"$src n_types")
+      val kl = cst.map { case (t, c) =>
+        c.toDouble / ns * (math.log(c * n / (ns * ct(t))) / math.log(2.0))
+      }.sum
+      assert(math.abs(r.getDouble(3) - kl) < 1e-4,
+        s"$src: ${r.getDouble(3)} vs brute $kl")
+    }
+  }
 }
