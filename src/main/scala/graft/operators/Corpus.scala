@@ -817,7 +817,94 @@ object Corpus {
           regexp_extract(col("url"), "^https?://[^/]+(/[^?]*)", 1)
             .as("path"),
           regexp_extract(col("url"), "[?&]ref=([^&]+)", 1).as("ref"))
-        .orderBy(asc_nulls_last("doc_id")))
+        .orderBy(asc_nulls_last("doc_id"))),
+
+    // URL canonicalization dedup — the crawl-frontier dedup a web-corpus
+    // pipeline runs BEFORE fetching anything twice: raw URLs differ by
+    // host case, tracking params (utm_*), fragments and trailing slashes
+    // while naming the same page. URLs synthesize deterministically from
+    // the fixture (page identity doc_id % 200 plus doc_id-driven
+    // decorations so every noise class is present), canonicalize by
+    // lowercase → fragment strip → utm strip → trailing-slash strip
+    // (each decoration appears at most once, so literal `replace` and
+    // single-match regexes behave identically on both engines), and
+    // duplicates are raw URLs sharing a canonical form. Scale:
+    // canonicalization is a narrow map; the dedup is ONE groupBy on the
+    // canonical string — slim keys, no pairwise product anywhere.
+    "q_dedup_url" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("page", col("doc_id") % 200)
+        .withColumn("host",
+          concat(lit("www."), col("source"), lit(".example.com")))
+        .withColumn("url", concat(
+          lit("https://"),
+          when(col("doc_id") % 5 === 0, upper(col("host")))
+            .otherwise(col("host")),
+          lit("/"), col("lang"), lit("/doc-"), col("page"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+              lit("?utm_source=feed&utm_campaign=c"))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("?v="), col("page") % 4))
+            .otherwise(concat(lit("?utm_source=feed&utm_campaign=c&v="),
+              col("page") % 4)),
+          when(col("doc_id") % 4 === 0, lit("#section2"))
+            .otherwise(lit(""))))
+        .withColumn("canon", expr(
+          "regexp_replace(replace(replace(replace(" +
+            "regexp_replace(lower(url), '#.*$', ''), " +
+            "'utm_source=feed&utm_campaign=c&', ''), " +
+            "'?utm_source=feed&utm_campaign=c', ''), " +
+            "'/?', '?'), '/$', '')"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canon")).as("n_canon"),
+          (count(lit(1)) - countDistinct(col("canon"))).as("n_dup"))
+        .orderBy(asc_nulls_last("source"))),
+
+    // Cross-document boilerplate line removal — the C4/CCNet stage that
+    // drops nav bars, cookie banners and copyright footers BY FREQUENCY,
+    // not by markup: a "line" seen in ≥ 30% of a source's documents
+    // (and ≥ 5 of them) is chrome, not content. Every document frames
+    // deterministically with a per-source header/footer and its text
+    // splits into 12-token lines, so the detector has real boilerplate
+    // to find while body lines stay (mostly) unique — the detection
+    // itself is honest counting. Scale: lines shuffle once as
+    // (source, md5) slivers for the doc-frequency count, then join back
+    // to instances by the same slim key (gram-keyed shuffle, never a
+    // vocabulary broadcast); only the 20-row per-source doc-count table
+    // broadcasts. The 30% gate cross-multiplies (ldf·10 ≥ n_docs·3) —
+    // no division, no FP.
+    "q_text_boilerplate" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val inst = docs
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("line", explode(concat(
+          array(concat(lit("home | about | contact | "), col("source"))),
+          expr("transform(sequence(0, CAST(floor((n_toks - 1) / 12) " +
+            "AS INT)), c -> array_join(slice(toks, c * 12 + 1, 12), ' '))"),
+          array(concat(lit("copyright "), col("source"),
+            lit(" all rights reserved"))))))
+        .select(col("doc_id"), col("source"), md5(col("line")).as("lh"),
+          length(col("line")).cast("long").as("llen"))
+      val ldf = inst.groupBy("source", "lh")
+        .agg(countDistinct(col("doc_id")).as("ldf"))
+      val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      inst.join(ldf, Seq("source", "lh"))
+        .join(broadcast(nd), "source")
+        .withColumn("boiler",
+          col("ldf") * 10 >= col("n_docs") * 3 && col("ldf") >= 5)
+        .groupBy("source")
+        .agg(max("n_docs").as("n_docs"),
+          count(lit(1)).as("n_lines"),
+          countDistinct(when(col("boiler"), col("lh")))
+            .as("n_boiler_lines"),
+          sum(when(col("boiler"), 1L).otherwise(0L)).as("n_removed"),
+          sum(when(!col("boiler"), col("llen")).otherwise(0L))
+            .as("chars_kept"))
+        .orderBy(asc_nulls_last("source"))
+    })
   )
 
   /** Exact connected components as a recursive transitive closure:
@@ -1385,6 +1472,101 @@ object Corpus {
         |  regexp_extract(url, '^https?://([^/]+)', 1) AS host,
         |  regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
         |  regexp_extract(url, '[?&]ref=([^&]+)', 1) AS ref
-        |FROM u ORDER BY doc_id ASC NULLS LAST""".stripMargin
+        |FROM u ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same deterministic URL synthesis + the identical 5-step
+    // canonicalization chain (lower → fragment regex → two literal utm
+    // replaces → slash fixes); DuckDB regexp_replace is first-match-only
+    // but each pattern occurs at most once by construction.
+    "q_dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, lang, doc_id % 200 AS page,
+        |    'www.' || source || '.example.com' AS host
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    'https://' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN upper(host) ELSE host END) ||
+        |    '/' || lang || '/doc-' || CAST(page AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |        THEN '?utm_source=feed&utm_campaign=c'
+        |      WHEN doc_id % 3 = 1
+        |        THEN '?v=' || CAST(page % 4 AS VARCHAR)
+        |      ELSE '?utm_source=feed&utm_campaign=c&v=' ||
+        |        CAST(page % 4 AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '#section2' ELSE '' END)
+        |      AS url
+        |  FROM u
+        |), c AS (
+        |  SELECT source,
+        |    regexp_replace(replace(replace(replace(
+        |      regexp_replace(lower(url), '#.*$', ''),
+        |      'utm_source=feed&utm_campaign=c&', ''),
+        |      '?utm_source=feed&utm_campaign=c', ''),
+        |      '/?', '?'), '/$', '') AS canon
+        |  FROM r
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canon,
+        |  CAST(COUNT(*) - COUNT(DISTINCT canon) AS BIGINT) AS n_dup
+        |FROM c GROUP BY source
+        |ORDER BY source ASC NULLS LAST""".stripMargin,
+
+    // Same framing, 12-token lines, md5 line keys and cross-multiplied
+    // 30%/5-doc gate; COUNT(DISTINCT CASE ...) ignores the NULL arm on
+    // both engines.
+    "q_text_boilerplate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE text IS NOT NULL
+        |), b AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM docs
+        |), lines AS (
+        |  SELECT doc_id, source,
+        |    'home | about | contact | ' || source AS line FROM b
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |    'copyright ' || source || ' all rights reserved' FROM b
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |    list_aggr(list_slice(toks, c * 12 + 1,
+        |      least(c * 12 + 12, n_toks)), 'string_agg', ' ') AS line
+        |  FROM (
+        |    SELECT doc_id, source, toks, n_toks,
+        |      unnest(generate_series(0,
+        |        CAST(floor((n_toks - 1) / 12) AS BIGINT))) AS c
+        |    FROM b
+        |  )
+        |), inst AS (
+        |  SELECT doc_id, source, md5(line) AS lh,
+        |    CAST(length(line) AS BIGINT) AS llen
+        |  FROM lines
+        |), ldf AS (
+        |  SELECT source, lh, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+        |    AS ldf
+        |  FROM inst GROUP BY source, lh
+        |), nd AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM docs GROUP BY source
+        |), j AS (
+        |  SELECT i.source, i.lh, i.llen, l.ldf, n.n_docs,
+        |    (l.ldf * 10 >= n.n_docs * 3 AND l.ldf >= 5) AS boiler
+        |  FROM inst i
+        |  JOIN ldf l ON i.source = l.source AND i.lh = l.lh
+        |  JOIN nd n ON i.source = n.source
+        |)
+        |SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(COUNT(DISTINCT CASE WHEN boiler THEN lh END) AS BIGINT)
+        |    AS n_boiler_lines,
+        |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(SUM(CASE WHEN NOT boiler THEN llen ELSE 0 END) AS BIGINT)
+        |    AS chars_kept
+        |FROM j GROUP BY source
+        |ORDER BY source ASC NULLS LAST""".stripMargin
   )
 }

@@ -469,6 +469,51 @@ object Extended {
           expr("right(p_name, 3)").as("name_r3"))
         .orderBy(asc_nulls_last("p_partkey"))),
 
+    // Blocked fuzzy join (record linkage): re-link dirty catalog listings
+    // to their clean records — the entity-resolution step a catalog
+    // pipeline runs before merging feeds. Listings get a unique name
+    // (p_name + container + a short serial); every third part also ships
+    // a DIRTY copy with one deterministically-deleted character (typo
+    // position p_partkey % length — a data-dependent corruption, so the
+    // typo lands in every region of the string across the table). The
+    // linkage BLOCKS on the structured fields a typo'd feed still gets
+    // right (brand#size#type, ~190k blocks): all-pairs levenshtein
+    // is quadratic, blocking makes the bill Σ block² — and growing the
+    // catalog grows the BLOCK COUNT, not the block size, so the bill
+    // stays near-linear at scale. Edit distance gates at ≤ 2; the report
+    // is per-brand link quality (linked / ambiguous / self-linked).
+    // Levenshtein parity was proven by q_text_editdist.
+    "q_join_fuzzy" -> ((s, d) => {
+      val parts = t(s, d, "part")
+        .withColumn("lname", concat(col("p_name"), lit(" "),
+          col("p_type"), lit(" "), col("p_partkey") % 50))
+        .withColumn("blk", concat(col("p_brand"), lit("#"),
+          col("p_size"), lit("#"), col("p_type")))
+      val clean = parts.select(col("p_partkey").as("ck"),
+        col("lname").as("cname"), col("blk"))
+      val dirty = parts.filter(col("p_partkey") % 3 === 0)
+        .withColumn("pos", col("p_partkey") % length(col("lname")))
+        .withColumn("dname",
+          expr("concat(left(lname, pos), substring(lname, pos + 2))"))
+        .select(col("p_partkey").as("dk"), col("dname"), col("blk"),
+          col("p_brand"))
+      dirty.join(clean, Seq("blk"))
+        .withColumn("dist",
+          levenshtein(col("dname"), col("cname")).cast("long"))
+        .groupBy("p_brand", "dk")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("dist") <= 2, 1L).otherwise(0L)).as("n_close"),
+          max(when(col("dist") <= 2 && col("ck") === col("dk"), 1L)
+            .otherwise(0L)).as("self_linked"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_dirty"),
+          sum("n_cand").as("n_pairs"),
+          sum(when(col("n_close") >= 1, 1L).otherwise(0L)).as("n_linked"),
+          sum(when(col("n_close") >= 2, 1L).otherwise(0L)).as("n_ambig"),
+          sum("self_linked").as("n_self"))
+        .orderBy(asc_nulls_last("p_brand"))
+    }),
+
     // RFM customer segmentation — recency / frequency / monetary, the
     // classic lifecycle classifier: one keyed aggregate per customer
     // (last order date, order count, exact-decimal revenue), the
@@ -844,6 +889,46 @@ object Extended {
         |  left(p_name, 4) AS name_l4,
         |  right(p_name, 3) AS name_r3
         |FROM part ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+
+    // Same synthesis (unique listing name, one-char deletion at
+    // p_partkey % length), same brand#size#type block, same ≤2
+    // levenshtein gate.
+    "q_join_fuzzy" ->
+      """WITH base AS (
+        |  SELECT p_partkey, p_brand,
+        |    p_name || ' ' || p_type || ' ' ||
+        |      CAST(p_partkey % 50 AS VARCHAR) AS lname,
+        |    p_brand || '#' || CAST(p_size AS VARCHAR) || '#' ||
+        |      p_type AS blk
+        |  FROM part
+        |), clean AS (
+        |  SELECT p_partkey AS ck, lname AS cname, blk FROM base
+        |), dirty AS (
+        |  SELECT p_partkey AS dk, p_brand, blk,
+        |    left(lname, CAST(p_partkey % length(lname) AS INT)) ||
+        |      substring(lname,
+        |        CAST(p_partkey % length(lname) AS INT) + 2) AS dname
+        |  FROM base WHERE p_partkey % 3 = 0
+        |), j AS (
+        |  SELECT d.p_brand, d.dk,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cand,
+        |    CAST(SUM(CASE WHEN levenshtein(d.dname, c.cname) <= 2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+        |    CAST(MAX(CASE WHEN levenshtein(d.dname, c.cname) <= 2
+        |        AND c.ck = d.dk THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS self_linked
+        |  FROM dirty d JOIN clean c ON d.blk = c.blk
+        |  GROUP BY d.p_brand, d.dk
+        |)
+        |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_dirty,
+        |  CAST(SUM(n_cand) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN n_close >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_linked,
+        |  CAST(SUM(CASE WHEN n_close >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ambig,
+        |  CAST(SUM(self_linked) AS BIGINT) AS n_self
+        |FROM j GROUP BY p_brand
+        |ORDER BY p_brand ASC NULLS LAST""".stripMargin,
 
     "q_customer_rfm" ->
       s"""WITH m AS (

@@ -286,6 +286,79 @@ class CorpusSpec extends SparkSpec {
     v2rows.foreach(r => assert(r.getAs[Long]("sum_chars") > 0))
   }
 
+  test("q_dedup_url equals a plain-Scala canonicalization replay") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "source", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def canon(id: Long, src: String, lang: String): String = {
+      val page = id % 200
+      val host0 = s"www.$src.example.com"
+      val host = if (id % 5 == 0) host0.toUpperCase else host0
+      val q = (id % 3) match {
+        case 0 => "?utm_source=feed&utm_campaign=c"
+        case 1 => s"?v=${page % 4}"
+        case _ => s"?utm_source=feed&utm_campaign=c&v=${page % 4}"
+      }
+      val url = s"https://$host/$lang/doc-$page" +
+        (if (id % 2 == 0) "/" else "") + q +
+        (if (id % 4 == 0) "#section2" else "")
+      url.toLowerCase
+        .replaceAll("#.*$", "")
+        .replace("utm_source=feed&utm_campaign=c&", "")
+        .replace("?utm_source=feed&utm_campaign=c", "")
+        .replace("/?", "?")
+        .replaceAll("/$", "")
+    }
+    val expect = docs.groupBy(_._2).map { case (src, rows) =>
+      val canons = rows.map(r => canon(r._1, src, r._3))
+      (src, (canons.length.toLong, canons.distinct.length.toLong))
+    }
+    val out = Corpus.queries("q_dedup_url")(spark, sf).collect()
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val (n, dn) = expect(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == dn &&
+        r.getLong(3) == n - dn, s"source ${r.getString(0)}")
+    }
+    // the synthesis must actually produce duplicates somewhere
+    assert(out.map(_.getLong(3)).sum > 0, "no URL duplicates synthesized")
+  }
+
+  test("q_text_boilerplate equals a plain-Scala line-frequency replay") {
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def lines(src: String, text: String): Seq[String] = {
+      val toks = text.split(" ", -1)
+      val chunks = (0 to (toks.length - 1) / 12)
+        .map(c => toks.slice(c * 12, c * 12 + 12).mkString(" "))
+      (s"home | about | contact | $src" +: chunks) :+
+        s"copyright $src all rights reserved"
+    }
+    val bySrc = docs.groupBy(_._2)
+    val out = Corpus.queries("q_text_boilerplate")(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSet == bySrc.keySet)
+    out.foreach { r =>
+      val src = r.getString(0)
+      val rows = bySrc(src)
+      val inst = rows.flatMap(d => lines(src, d._3).map(l => (d._1, l)))
+      val ldf = inst.groupBy(_._2).map { case (l, xs) =>
+        (l, xs.map(_._1).distinct.length.toLong)
+      }
+      val nDocs = rows.length.toLong
+      def boiler(l: String) = ldf(l) * 10 >= nDocs * 3 && ldf(l) >= 5
+      assert(r.getLong(1) == nDocs)
+      assert(r.getLong(2) == inst.length.toLong, s"$src n_lines")
+      assert(r.getLong(3) ==
+        inst.map(_._2).distinct.count(boiler).toLong, s"$src boiler")
+      assert(r.getLong(4) == inst.count(i => boiler(i._2)).toLong)
+      assert(r.getLong(5) ==
+        inst.filterNot(i => boiler(i._2)).map(_._2.length.toLong).sum,
+        s"$src chars_kept")
+    }
+  }
+
   test("q_graph_degree_dist: handshake lemma against the pair count") {
     val out = Corpus.queries("q_graph_degree_dist")(spark, sf).collect()
       .map(r => (r.getAs[Long]("deg"), r.getAs[Long]("n_nodes")))

@@ -1150,6 +1150,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_join_fuzzy re-links every dirty listing to its own clean " +
+      "record through the block + edit-distance gate") {
+    val out = graft.operators.Extended.queries("q_join_fuzzy")(spark, sf)
+      .collect()
+    val nDirty = Tables.table(spark, sf, "part")
+      .filter(org.apache.spark.sql.functions.expr("p_partkey % 3 = 0"))
+      .count()
+    assert(out.map(_.getAs[Long]("n_dirty")).sum == nDirty)
+    out.foreach { r =>
+      // the one-deletion corruption sits at distance 1 of its source and
+      // shares its block, so recall through the gate must be total —
+      // this exercises synthesis + blocking + levenshtein end to end
+      assert(r.getAs[Long]("n_linked") == r.getAs[Long]("n_dirty"))
+      assert(r.getAs[Long]("n_self") == r.getAs[Long]("n_dirty"))
+      assert(r.getAs[Long]("n_ambig") <= r.getAs[Long]("n_linked"))
+      assert(r.getAs[Long]("n_pairs") >= r.getAs[Long]("n_dirty"))
+    }
+  }
+
   test("weighted-mean aggregator equals the exact decimal formula") {
     import spark.implicits._
     val wavg = udaf(new WeightedMean(),
