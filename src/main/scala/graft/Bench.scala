@@ -189,7 +189,9 @@ object Bench {
     "q_text_zipf" -> "z8", "q_embed_pca_power" -> "p8",
     "q_corpus_snapshot_delta" -> "c8", "q_text_perplexity" -> "x8",
     "q_source_kl" -> "l8", "q_dedup_url" -> "u7",
-    "q_text_boilerplate" -> "b8", "q_join_fuzzy" -> "f8")
+    "q_text_boilerplate" -> "b8", "q_join_fuzzy" -> "f8",
+    "q_multimodal_png" -> "p7", "q_graph_bfs_layers" -> "b7",
+    "q_graph_modularity" -> "m7", "q_embed_knn_classify" -> "k7")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -359,6 +359,87 @@ object Corpus {
         .orderBy(asc_nulls_last("deg"))
     }),
 
+    // BFS layers (hop distance ≤ 4) from the lowest-id node of the
+    // near-dup graph — the "blast radius" probe: how much of the corpus
+    // a single contaminated document reaches through chains of near
+    // duplicates, by hop count. Four frontier rounds are unrolled on
+    // both engines (the oracle's recursive CTE carries the same dist<4
+    // cap); each round is one equi-join of the persisted symmetric edge
+    // list against the LAST frontier only plus an anti-join against the
+    // visited set — the standard distributed BFS, work proportional to
+    // edges incident to the frontier, never a driver-side walk.
+    "q_graph_bfs_layers" -> ((s, d) => {
+      import s.implicits._
+      val pairs = TextDedup.nearDuplicates(t(s, d, "documents"))
+        .select("id_a", "id_b")
+      val sym = pairs.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select("e.src", "e.dst")
+        .persist()
+      val seedRow = sym.agg(min(col("src"))).head
+      if (seedRow.isNullAt(0)) {
+        sym.unpersist()
+        Seq.empty[(Long, Long)].toDF("doc_id", "dist")
+      } else {
+        val seed = seedRow.getLong(0)
+        var visited = Seq((seed, 0L)).toDF("doc_id", "dist")
+        var frontier = visited.select(col("doc_id"))
+        var r = 1
+        var done = false
+        while (r <= 4 && !done) {
+          val nf = sym.join(frontier.withColumnRenamed("doc_id", "src"),
+              "src")
+            .select(col("dst").as("doc_id")).distinct()
+            .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
+            .persist()
+          if (nf.isEmpty) { nf.unpersist(); done = true }
+          else {
+            visited = visited.union(
+              nf.withColumn("dist", lit(r.toLong)))
+            frontier = nf
+            r += 1
+          }
+        }
+        visited.orderBy(asc_nulls_last("doc_id"))
+      }
+    }),
+
+    // Modularity of the SOURCE partition over the near-dup graph — do
+    // near-duplicates concentrate within a source (mirrors/SEO farms)
+    // or bridge sources (syndication)? Per-community modularity terms
+    // stay exact integers on the common 4m² denominator:
+    // Q·4m² = Σ_c (4·m·e_c − d_c²) with m total edges, e_c intra-edges,
+    // d_c the community degree sum — no division anywhere. Scale: one
+    // slim count (m, a driver literal like q_join_bloom's), two keyed
+    // aggregates over the source-labeled edge list; the doc_id→source
+    // attachment is two hash equi-joins on the edge endpoints.
+    "q_graph_modularity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val srcMap = docs.select(col("doc_id"), col("source"))
+      val lab = TextDedup.nearDuplicates(docs)
+        .select("id_a", "id_b")
+        .join(srcMap.select(col("doc_id").as("id_a"),
+          col("source").as("sa")), "id_a")
+        .join(srcMap.select(col("doc_id").as("id_b"),
+          col("source").as("sb")), "id_b")
+        .persist()
+      val m = lab.count()
+      val deg = lab.select(explode(array(col("sa"), col("sb")))
+          .as("source"))
+        .groupBy("source").agg(count(lit(1)).as("deg_sum"))
+      val intra = lab.filter(col("sa") === col("sb"))
+        .groupBy(col("sa").as("source"))
+        .agg(count(lit(1)).as("intra_edges"))
+      deg.join(intra, Seq("source"), "left")
+        .na.fill(0L, Seq("intra_edges"))
+        .select(col("source"), col("intra_edges"), col("deg_sum"),
+          (lit(4L) * lit(m) * col("intra_edges")
+            - col("deg_sum") * col("deg_sum")).as("q_num_scaled"),
+          lit(4L * m * m).as("q_den_scaled"))
+        .orderBy(asc_nulls_last("source"))
+    }),
+
     // k-core decomposition (k = 2) of the near-dup graph by iterative
     // peeling: repeatedly drop vertices whose degree among SURVIVING
     // vertices is < 2; what remains is the 2-core — the cyclically
@@ -1099,6 +1180,60 @@ object Corpus {
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
   }
 
+  /** Recursive CTE mirroring the Spark frontier loop: UNION dedups
+    * (id, dist) pairs and the dist < 4 guard bounds the recursion to the
+    * same four unrolled rounds; min(dist) collapses longer rediscoveries
+    * to the hop distance the anti-join enforces on the Spark side. */
+  private def bfsLayersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${TextOps.dedupPairsSubquery}
+       |), e0 AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), seed AS (
+       |  SELECT min(src) AS sid FROM e0
+       |), bfs AS (
+       |  SELECT sid AS id, 0 AS dist FROM seed WHERE sid IS NOT NULL
+       |  UNION
+       |  SELECT e.dst AS id, b.dist + 1
+       |  FROM bfs b JOIN e0 e ON e.src = b.id
+       |  WHERE b.dist < 4
+       |)
+       |SELECT id AS doc_id, CAST(min(dist) AS BIGINT) AS dist
+       |FROM bfs GROUP BY id
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** Same source-labeled edge list; COUNT(*) scalars stay BIGINT and the
+    * modularity numerator/denominator are pure integer products. */
+  private def modularityOracle: String =
+    s"""WITH pairs AS (
+       |${TextOps.dedupPairsSubquery}
+       |), lab AS (
+       |  SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb
+       |  FROM pairs p
+       |  JOIN documents da ON p.id_a = da.doc_id
+       |  JOIN documents db ON p.id_b = db.doc_id
+       |), m AS (
+       |  SELECT COUNT(*) AS m FROM lab
+       |), deg AS (
+       |  SELECT source, COUNT(*) AS deg_sum FROM (
+       |    SELECT sa AS source FROM lab
+       |    UNION ALL
+       |    SELECT sb AS source FROM lab) u
+       |  GROUP BY source
+       |), intra AS (
+       |  SELECT sa AS source, COUNT(*) AS intra_edges
+       |  FROM lab WHERE sa = sb GROUP BY sa
+       |)
+       |SELECT d.source, coalesce(i.intra_edges, 0) AS intra_edges,
+       |  d.deg_sum,
+       |  4 * m.m * coalesce(i.intra_edges, 0) - d.deg_sum * d.deg_sum
+       |    AS q_num_scaled,
+       |  4 * m.m * m.m AS q_den_scaled
+       |FROM deg d LEFT JOIN intra i ON d.source = i.source, m
+       |ORDER BY d.source ASC NULLS LAST""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_clusters" -> clustersOracle,
     "q_dedup_survivor" -> survivorOracle,
@@ -1108,6 +1243,8 @@ object Corpus {
     "q_graph_degree_dist" -> degreeDistOracle,
     "q_graph_jaccard" -> graphJaccardOracle,
     "q_graph_kcore" -> kcoreOracle,
+    "q_graph_bfs_layers" -> bfsLayersOracle,
+    "q_graph_modularity" -> modularityOracle,
 
     "q_decontaminate" ->
       s"""WITH g AS (

@@ -186,6 +186,58 @@ object Multimodal {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // PNG signature + IHDR parse — the BIG-endian member of the header
+    // family (PNG is network byte order throughout, so reads are plain
+    // hex slices with no byte reversal): an 8-byte signature, the
+    // 13-byte IHDR chunk (u32 BE width/height, bit depth, color type,
+    // compression, filter, interlace) built from doc fields and parsed
+    // back at spec offsets; every 5th doc carries non-PNG bytes for the
+    // sniff-reject path. Channel count derives from the color type by
+    // the spec table (0→1, 2→3, 3→1, 4→2, 6→4) and bits-per-pixel is
+    // depth × channels — all integer CASE arithmetic, engine-identical.
+    // Pure narrow map over a binary column.
+    "q_multimodal_png" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val wpx = (col("doc_id") % 1920 + 1).cast("int")
+      val hpx = ((col("doc_id") * 3) % 1080 + 1).cast("int")
+      // valid color types, all legal at bit depth 8
+      val ct = element_at(array(lit(0), lit(2), lit(3), lit(4), lit(6)),
+        (col("doc_id") % 5 + 1).cast("int")).cast("int")
+      val il = (col("doc_id") % 2).cast("int")
+      def be(v: Column, n: Int): Column = lpad(hex(v), 2 * n, "0")
+      val pngHex = concat(
+        lit("89504E470D0A1A0A"), // signature
+        lit("0000000D"), lit("49484452"), // IHDR length + type
+        be(wpx, 4), be(hpx, 4),
+        lit("08"), be(ct, 1), // bit depth 8, color type
+        lit("0000"), be(il, 1)) // compression, filter, interlace
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(pngHex)
+      val withPayload = docs.select(col("doc_id"),
+        unhex(payloadHex).as("payload"))
+      def beRead(off: Int, n: Int): Column = expr(
+        s"CAST(conv(substring(hex(payload), ${2 * off - 1}, ${2 * n}), " +
+          "16, 10) AS BIGINT)")
+      val isPng = length(col("payload")) >= 29 &&
+        expr("substring(hex(payload), 1, 16)") === "89504E470D0A1A0A"
+      def f(c: Column) = when(isPng, c)
+      withPayload.select(
+        col("doc_id"),
+        isPng.as("is_png"),
+        f(beRead(17, 4)).as("width"),
+        f(beRead(21, 4)).as("height"),
+        f(beRead(25, 1)).as("bit_depth"),
+        f(beRead(26, 1)).as("color_type"),
+        f(beRead(29, 1)).as("interlace"))
+        .withColumn("n_channels", expr(
+          "CASE color_type WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1 " +
+            "WHEN 4 THEN 2 WHEN 6 THEN 4 END"))
+        .withColumn("bits_per_pixel",
+          (col("bit_depth") * col("n_channels")).cast("long"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     "q_multimodal_wav" -> ((s, d) => {
       val docs = graft.Tables.table(s, d, "documents")
       val ch = (col("doc_id") % 2 + 1).cast("int")
@@ -532,6 +584,59 @@ object Multimodal {
         |    << CAST(CAST('0x' || substring(ph, 21, 2) AS BIGINT) % 8
         |      AS INTEGER) END AS n_colors
         |FROM parsed ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same payload construction; big-endian reads are direct hex slices
+    // (no byte reversal) at the PNG spec offsets.
+    "q_multimodal_png" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 1920 + 1 AS INTEGER) AS w,
+        |    CAST((doc_id * 3) % 1080 + 1 AS INTEGER) AS h,
+        |    CAST([0, 2, 3, 4, 6][CAST(doc_id % 5 + 1 AS INTEGER)]
+        |      AS INTEGER) AS ct,
+        |    CAST(doc_id % 2 AS INTEGER) AS il,
+        |    hex(encode(substring(text, 1, 8))) AS th
+        |  FROM documents
+        |), built AS (
+        |  SELECT doc_id, from_hex(
+        |    CASE WHEN doc_id % 5 = 0 THEN th ELSE
+        |      '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+        |      lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0') ||
+        |      '08' || lpad(hex(ct), 2, '0') || '0000' ||
+        |      lpad(hex(il), 2, '0')
+        |    END) AS payload
+        |  FROM src
+        |), parsed AS (
+        |  SELECT doc_id, hex(payload) AS ph,
+        |    octet_length(payload) >= 29
+        |      AND substring(hex(payload), 1, 16) = '89504E470D0A1A0A'
+        |      AS is_png
+        |  FROM built
+        |), cols AS (
+        |  SELECT doc_id, is_png,
+        |    CASE WHEN is_png THEN
+        |      CAST('0x' || substring(ph, 33, 8) AS BIGINT) END AS width,
+        |    CASE WHEN is_png THEN
+        |      CAST('0x' || substring(ph, 41, 8) AS BIGINT) END AS height,
+        |    CASE WHEN is_png THEN
+        |      CAST('0x' || substring(ph, 49, 2) AS BIGINT) END
+        |      AS bit_depth,
+        |    CASE WHEN is_png THEN
+        |      CAST('0x' || substring(ph, 51, 2) AS BIGINT) END
+        |      AS color_type,
+        |    CASE WHEN is_png THEN
+        |      CAST('0x' || substring(ph, 57, 2) AS BIGINT) END
+        |      AS interlace
+        |  FROM parsed
+        |)
+        |SELECT doc_id, is_png, width, height, bit_depth, color_type,
+        |  interlace,
+        |  CASE color_type WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+        |    WHEN 4 THEN 2 WHEN 6 THEN 4 END AS n_channels,
+        |  CAST(bit_depth * (CASE color_type WHEN 0 THEN 1 WHEN 2 THEN 3
+        |    WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 4 END) AS BIGINT)
+        |    AS bits_per_pixel
+        |FROM cols ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     "q_multimodal_wav" ->
       """WITH src AS (

@@ -610,6 +610,59 @@ object VectorOps {
           asc_nulls_last("nb_id"))
     }),
 
+    // kNN label classification (k = 5, leave-one-out) over the embedding
+    // column — the label-propagation / auto-labeling primitive of a
+    // training-data pipeline, reported as per-class accuracy. Probe set
+    // is every 10th vector (broadcast: slim id+vec+label rows); the
+    // neighbor scan is the proven two-phase shape — codegen'd double
+    // dots pre-rank SLIM (p_id, nb_id, fastdot) rows, the top 16 survive
+    // to the exact-decimal rerank that keeps 5 (the q_ann_neighbors
+    // margin argument: double vs decimal ranks can only differ on a
+    // <1e-12 near-tie, absorbed by the 16→5 margin). The vote is one
+    // keyed count + a top-1 window; the accuracy rollup is one keyed
+    // aggregate. Scale: probes broadcast, corpus never shuffles until
+    // the slim pre-rank rows; everything downstream is bounded by
+    // 16 × probes.
+    "q_embed_knn_classify" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = broadcast(emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("p_id"), col("embedding").as("pe"),
+          col("label").as("true_label")))
+      val corpus = emb.select(col("vec_id").as("nb_id"),
+        col("embedding").as("eb"), col("label").as("nb_label"))
+      val wFast = Window.partitionBy("p_id")
+        .orderBy(desc_nulls_last("fastdot"), asc_nulls_last("nb_id"))
+      val wExact = Window.partitionBy("p_id")
+        .orderBy(desc_nulls_last("cosine"), asc_nulls_last("nb_id"))
+      val top5 = corpus
+        .crossJoin(probes)
+        .filter(col("nb_id") =!= col("p_id"))
+        .withColumn("fastdot", fastDot(s, "eb", "pe"))
+        .select("p_id", "nb_id", "fastdot")
+        .withColumn("_rn", row_number().over(wFast))
+        .filter(col("_rn") <= 16)
+        .join(corpus, "nb_id")
+        .join(probes.select("p_id", "pe"), "p_id")
+        .withColumn("cosine", dotExpr(s, "eb", "pe"))
+        .withColumn("_rx", row_number().over(wExact))
+        .filter(col("_rx") <= 5)
+        .select("p_id", "nb_label")
+      val wVote = Window.partitionBy("p_id")
+        .orderBy(desc_nulls_last("n_votes"), asc_nulls_last("nb_label"))
+      val pred = top5.groupBy("p_id", "nb_label")
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("_rv", row_number().over(wVote))
+        .filter(col("_rv") === 1)
+        .select(col("p_id"), col("nb_label").as("pred_label"))
+      pred
+        .join(probes.select("p_id", "true_label"), "p_id")
+        .groupBy("true_label")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("pred_label") === col("true_label"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .orderBy(asc_nulls_last("true_label"))
+    }),
+
     // IVF-style ANN (inverted-file coarse quantization): k deterministic
     // centroids (the first k vectors — a fixed, engine-agnostic choice
     // standing in for trained k-means centroids), every vector assigned
@@ -1736,6 +1789,34 @@ object VectorOps {
          |SELECT vec_id, nb_id, cosine FROM r WHERE rn <= 3
          |ORDER BY vec_id ASC NULLS LAST, cosine DESC NULLS LAST,
          |  nb_id ASC NULLS LAST""".stripMargin,
+
+    // Exact-decimal dots on ALL probe×corpus pairs (no prescreen — the
+    // oracle is the ground truth the two-phase Spark shape must equal),
+    // then the same vote count, top-1 window, and per-class rollup.
+    "q_embed_knn_classify" ->
+      s"""WITH p AS (
+         |  SELECT vec_id AS p_id, embedding AS pe, label AS true_label
+         |  FROM embeddings WHERE vec_id % 10 = 0
+         |), top5 AS (
+         |  SELECT p.p_id, e.label AS nb_label
+         |  FROM embeddings e JOIN p ON e.vec_id <> p.p_id
+         |  QUALIFY row_number() OVER (PARTITION BY p.p_id
+         |    ORDER BY ${sqlDot("e.embedding", "p.pe")} DESC,
+         |      e.vec_id ASC) <= 5
+         |), votes AS (
+         |  SELECT p_id, nb_label, COUNT(*) AS n_votes
+         |  FROM top5 GROUP BY p_id, nb_label
+         |), pred AS (
+         |  SELECT p_id, nb_label AS pred_label FROM votes
+         |  QUALIFY row_number() OVER (PARTITION BY p_id
+         |    ORDER BY n_votes DESC, nb_label ASC) = 1
+         |)
+         |SELECT p.true_label, COUNT(*) AS n_probes,
+         |  CAST(SUM(CASE WHEN pr.pred_label = p.true_label
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |FROM pred pr JOIN p ON pr.p_id = p.p_id
+         |GROUP BY p.true_label
+         |ORDER BY true_label ASC NULLS LAST""".stripMargin,
 
     // The q_ann_neighbors bucket CTE with the occupancy double-group.
     "q_ann_bucket_stats" ->

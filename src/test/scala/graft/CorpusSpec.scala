@@ -286,6 +286,56 @@ class CorpusSpec extends SparkSpec {
     v2rows.foreach(r => assert(r.getAs[Long]("sum_chars") > 0))
   }
 
+  test("q_graph_bfs_layers equals a plain-Scala BFS replay (dist <= 4 " +
+      "from the min-id node)") {
+    val pairs = TextDedup.nearDuplicates(Tables.table(spark, sf, "documents"))
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seed = adj.keys.min
+    val dist = scala.collection.mutable.Map(seed -> 0L)
+    var frontier = Set(seed)
+    for (r <- 1 to 4) {
+      frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = r.toLong)
+    }
+    val out = Corpus.queries("q_graph_bfs_layers")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == dist.toMap, s"spark $out vs replay $dist")
+    assert(out(seed) == 0L)
+  }
+
+  test("q_graph_modularity equals a plain-Scala replay and satisfies " +
+      "the degree-sum identity") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = TextDedup.nearDuplicates(Tables.table(spark, sf, "documents"))
+      .select("id_a", "id_b")
+      .collect().map(r => (docs(r.getLong(0)), docs(r.getLong(1))))
+    assume(pairs.nonEmpty)
+    val m = pairs.length.toLong
+    val degSum = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val intra = pairs.filter(p => p._1 == p._2)
+      .groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val out = Corpus.queries("q_graph_modularity")(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSet == degSum.keySet)
+    out.foreach { r =>
+      val src = r.getString(0)
+      val e = intra.getOrElse(src, 0L)
+      assert(r.getLong(1) == e, s"intra_edges $src")
+      assert(r.getLong(2) == degSum(src), s"deg_sum $src")
+      assert(r.getLong(3) == 4L * m * e - degSum(src) * degSum(src),
+        s"q_num_scaled $src")
+      assert(r.getLong(4) == 4L * m * m, s"q_den_scaled $src")
+    }
+    // handshake identity: community degree sums partition 2m
+    assert(out.map(_.getLong(2)).sum == 2L * m)
+  }
+
   test("q_dedup_url equals a plain-Scala canonicalization replay") {
     val docs = Tables.table(spark, sf, "documents")
       .select("doc_id", "source", "lang")

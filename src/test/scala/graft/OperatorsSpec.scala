@@ -382,6 +382,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_multimodal_png parses the big-endian IHDR fields back exactly, " +
+      "derives channels from the color type, and rejects non-PNG bytes") {
+    import spark.implicits._
+    val out = Multimodal.queries("q_multimodal_png")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ids = Tables.table(spark, sf, "documents")
+      .select("doc_id").as[Long].collect()
+    assert(ids.nonEmpty && out.size == ids.length)
+    val ctFor = Array(0L, 2L, 3L, 4L, 6L)
+    val chFor = Map(0L -> 1, 2L -> 3, 3L -> 1, 4L -> 2, 6L -> 4)
+    ids.foreach { id =>
+      val r = out(id)
+      if (id % 5 == 0) {
+        assert(!r.getBoolean(1), s"doc $id should not sniff as PNG")
+        assert(r.isNullAt(2) && r.isNullAt(5) && r.isNullAt(8))
+      } else {
+        val ct = ctFor((id % 5).toInt)
+        assert(r.getBoolean(1), s"doc $id should sniff as PNG")
+        assert(r.getLong(2) == id % 1920 + 1, s"width doc $id")
+        assert(r.getLong(3) == (id * 3) % 1080 + 1, s"height doc $id")
+        assert(r.getLong(4) == 8L, s"bit_depth doc $id")
+        assert(r.getLong(5) == ct, s"color_type doc $id")
+        assert(r.getLong(6) == id % 2, s"interlace doc $id")
+        assert(r.getInt(7) == chFor(ct), s"n_channels doc $id")
+        assert(r.getLong(8) == 8L * chFor(ct), s"bits_per_pixel doc $id")
+      }
+    }
+  }
+
   test("q_multimodal_tiff dispatches on the II/MM byte-order marker, " +
       "follows the variable IFD offset, and scans entries by tag") {
     import spark.implicits._

@@ -292,6 +292,41 @@ class VectorTrainSpec extends SparkSpec {
     }
   }
 
+  test("q_embed_knn_classify equals a plain-Scala exact-decimal kNN " +
+      "replay (top-5 vote, leave-one-out)") {
+    val embs = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect()
+    assume(embs.nonEmpty)
+    def dotExact(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        BigDecimal(x.toDouble * y.toDouble)
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+    val probes = embs.filter(_._1 % 10 == 0)
+    val preds = probes.map { case (pid, pe, plabel) =>
+      val top5 = embs.filter(_._1 != pid)
+        .map { case (nid, ne, nl) => (nid, nl, dotExact(ne, pe)) }
+        .sortBy { case (nid, _, d) => (-d, nid.toDouble) }
+        .take(5)
+      val vote = top5.groupBy(_._2).map { case (l, v) => (l, v.length) }
+        .toSeq.sortBy { case (l, n) => (-n, l) }.head._1
+      (plabel, vote)
+    }
+    val expect = preds.groupBy(_._1).map { case (l, v) =>
+      l -> (v.length.toLong, v.count(p => p._2 == p._1).toLong)
+    }
+    val out = VectorOps.queries("q_embed_knn_classify")(spark, sf)
+      .collect()
+    assert(out.map(_.getInt(0)).toSet == expect.keySet)
+    out.foreach { r =>
+      val (n, c) = expect(r.getInt(0))
+      assert(r.getLong(1) == n && r.getLong(2) == c,
+        s"label ${r.getInt(0)}")
+    }
+    assert(out.map(_.getLong(1)).sum == probes.length.toLong)
+  }
+
   test("q_embed_label_margin: ascending margins, own label never the " +
       "best-other, arithmetic consistent") {
     val out = VectorOps.queries("q_embed_label_margin")(spark, sf)
