@@ -754,8 +754,13 @@ object Corpus {
       val ex = qd.groupBy(md5(col("text")).as("h"))
         .agg(min("doc_id").as("doc_id")).select("doc_id")
       val kept = qd.join(ex, "doc_id").persist()
+      // persisted: surv has TWO consumers below (the gram probe and the
+      // clean anti-join) — without this the whole LSH near-dup subtree
+      // re-runs for each (kept only caches the stages BEFORE it);
+      // losers is the slim (doc_id) sliver, so the cache is tiny and
+      // surv itself rebuilds from two cached frames
       val losers = TextDedup.nearDuplicates(kept)
-        .select(col("id_b").as("doc_id")).distinct()
+        .select(col("id_b").as("doc_id")).distinct().persist()
       val surv = kept.join(losers, Seq("doc_id"), "left_anti")
       def grams(df: DataFrame) = df
         .filter(col("text").isNotNull)

@@ -611,21 +611,23 @@ object VectorOps {
     }),
 
     // kNN label classification (k = 5, leave-one-out) over the embedding
-    // column — the label-propagation / auto-labeling primitive of a
+    // column — the label-propagation / auto-labeling audit of a
     // training-data pipeline, reported as per-class accuracy. Probe set
-    // is every 10th vector (broadcast: slim id+vec+label rows); the
-    // neighbor scan is the proven two-phase shape — codegen'd double
+    // is the FIXED 32-row panel (vec_id < 32 — bounded at ANY corpus
+    // size, the q_ann_recall panel argument; a corpus-fraction probe set
+    // would broadcast 10% of the corpus — the decontamination mistake);
+    // the neighbor scan is the proven two-phase shape — codegen'd double
     // dots pre-rank SLIM (p_id, nb_id, fastdot) rows, the top 16 survive
     // to the exact-decimal rerank that keeps 5 (the q_ann_neighbors
     // margin argument: double vs decimal ranks can only differ on a
     // <1e-12 near-tie, absorbed by the 16→5 margin). The vote is one
     // keyed count + a top-1 window; the accuracy rollup is one keyed
-    // aggregate. Scale: probes broadcast, corpus never shuffles until
-    // the slim pre-rank rows; everything downstream is bounded by
-    // 16 × probes.
+    // aggregate. Scale: the panel broadcasts, the corpus never shuffles
+    // until the slim pre-rank rows; everything downstream is bounded by
+    // 16 × panel.
     "q_embed_knn_classify" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val probes = broadcast(emb.filter(col("vec_id") % 10 === 0)
+      val probes = broadcast(emb.filter(col("vec_id") < 32)
         .select(col("vec_id").as("p_id"), col("embedding").as("pe"),
           col("label").as("true_label")))
       val corpus = emb.select(col("vec_id").as("nb_id"),
@@ -1796,7 +1798,7 @@ object VectorOps {
     "q_embed_knn_classify" ->
       s"""WITH p AS (
          |  SELECT vec_id AS p_id, embedding AS pe, label AS true_label
-         |  FROM embeddings WHERE vec_id % 10 = 0
+         |  FROM embeddings WHERE vec_id < 32
          |), top5 AS (
          |  SELECT p.p_id, e.label AS nb_label
          |  FROM embeddings e JOIN p ON e.vec_id <> p.p_id

@@ -206,9 +206,6 @@ class PlanRegressionSpec extends SparkSpec {
       // key (the HAVING > 0.001 × total threshold) — the q_stats_ttest
       // shape
       "q_tpch_q11",
-      // 1-row broadcast of the order count on a constant key (the lift
-      // denominator) — the q_text_docfreq shape
-      "q_basket_pairs",
       // 1-row broadcast of the corpus max order date on a constant key
       // — the q_text_docfreq shape
       "q_customer_rfm",
@@ -246,7 +243,12 @@ class PlanRegressionSpec extends SparkSpec {
       "q_source_token_shift",
       // 1-row probe-embedding and probe-token-set broadcasts on a
       // constant key — the q_simsearch_topk bounded-probe shape
-      "q_rank_fusion")
+      "q_rank_fusion",
+      // FIXED 32-row probe-panel broadcast (vec_id < 32 — bounded at any
+      // corpus size) for the leave-one-out kNN scan — the q_ann_recall
+      // bounded-panel argument; a corpus-fraction probe set here would
+      // be the decontamination broadcast mistake
+      "q_embed_knn_classify")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),

@@ -303,7 +303,7 @@ class VectorTrainSpec extends SparkSpec {
         BigDecimal(x.toDouble * y.toDouble)
           .setScale(10, BigDecimal.RoundingMode.HALF_UP)
       }.sum.toDouble
-    val probes = embs.filter(_._1 % 10 == 0)
+    val probes = embs.filter(_._1 < 32)
     val preds = probes.map { case (pid, pe, plabel) =>
       val top5 = embs.filter(_._1 != pid)
         .map { case (nid, ne, nl) => (nid, nl, dotExact(ne, pe)) }
