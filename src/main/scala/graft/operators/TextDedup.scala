@@ -71,11 +71,15 @@ object TextDedup {
       .filter(col("_rn") <= maxBucket)
       .groupBy("band").agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "b -> struct(a AS id_a, b AS id_b))))")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      // pair expansion as two CHAINED GENERATORS (posexplode anchor +
+      // explode of the sorted tail slice) — the q_embed_cov lesson:
+      // nested transform/flatten HOFs are interpreted and allocate a
+      // struct per pair, generators stay inside whole-stage codegen;
+      // ids stay sorted so id_a < id_b holds as before
+      .select(col("ids"), posexplode(col("ids")))
+      .toDF("ids", "i", "id_a")
+      .select(col("id_a"),
+        explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("id_b"))
       .distinct()
   }
 
