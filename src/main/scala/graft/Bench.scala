@@ -191,7 +191,9 @@ object Bench {
     "q_source_kl" -> "l8", "q_dedup_url" -> "u7",
     "q_text_boilerplate" -> "b8", "q_join_fuzzy" -> "f8",
     "q_multimodal_png" -> "p7", "q_graph_bfs_layers" -> "b7",
-    "q_graph_modularity" -> "m7", "q_embed_knn_classify" -> "k7")
+    "q_graph_modularity" -> "m7", "q_embed_knn_classify" -> "k7",
+    "q_stats_spearman" -> "s7", "q_multimodal_mp3" -> "y8",
+    "q_curriculum" -> "cr")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -990,6 +990,29 @@ object Corpus {
           sum(when(!col("boiler"), col("llen")).otherwise(0L))
             .as("chars_kept"))
         .orderBy(asc_nulls_last("source"))
+    }),
+
+    // Curriculum staging report — order each language's documents by a
+    // difficulty proxy (token count, doc_id tie-break) and cut them
+    // into 10 training stages (easy → hard); per (lang, stage): doc
+    // and char budgets plus the difficulty span — the schedule a
+    // curriculum-learning run feeds its sampler. ntile parity between
+    // engines is the proven q_window_ntile remainder rule. Scale: one
+    // lang-partitioned window (per-language sort, no global ordering)
+    // + one keyed aggregate.
+    "q_curriculum" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(asc_nulls_last("n_toks"), asc_nulls_last("doc_id"))
+      t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("stage", ntile(10).over(w).cast("long"))
+        .groupBy("lang", "stage")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("n_toks").as("min_toks"),
+          max("n_toks").as("max_toks"))
+        .orderBy(asc_nulls_last("lang"), asc_nulls_last("stage"))
     })
   )
 
@@ -1250,6 +1273,24 @@ object Corpus {
     "q_graph_kcore" -> kcoreOracle,
     "q_graph_bfs_layers" -> bfsLayersOracle,
     "q_graph_modularity" -> modularityOracle,
+
+    "q_curriculum" ->
+      """WITH dtoks AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), st AS (
+        |  SELECT lang, n_chars, n_toks,
+        |    ntile(10) OVER (PARTITION BY lang
+        |      ORDER BY n_toks ASC NULLS LAST, doc_id ASC NULLS LAST)
+        |      AS stage
+        |  FROM dtoks
+        |)
+        |SELECT lang, stage, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_toks) AS min_toks, max(n_toks) AS max_toks
+        |FROM st GROUP BY lang, stage
+        |ORDER BY lang ASC NULLS LAST, stage ASC NULLS LAST""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH g AS (

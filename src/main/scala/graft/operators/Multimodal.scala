@@ -238,6 +238,45 @@ object Multimodal {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // MP3 ID3v2 tag-header parse — the SYNCSAFE-integer member of the
+    // header family: the 4-byte tag size stores 7 bits per byte (high
+    // bit always 0 so the size can never alias an MPEG frame sync), so
+    // the decode is b0·2²¹ + b1·2¹⁴ + b2·2⁷ + b3 — integer products,
+    // engine-identical, unlike the plain BE/LE reads of PNG/GIF/WAV.
+    // Header: "ID3", version major (3|4) + revision, flags, syncsafe
+    // size; audio_offset = 10 + tag_size is where the codec would seek.
+    // Every 5th doc carries non-MP3 bytes for the sniff-reject path.
+    // Pure narrow map over a binary column.
+    "q_multimodal_mp3" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val ver = (col("doc_id") % 2 + 3).cast("int")
+      val tagSize = ((col("doc_id") * 97) % 100000).cast("long")
+      def ss(shift: Int): Column =
+        lpad(hex(shiftright(tagSize, shift) % 128), 2, "0")
+      val mp3Hex = concat(lit("494433"),
+        lpad(hex(ver), 2, "0"), lit("00"), lit("00"),
+        ss(21), ss(14), ss(7), ss(0))
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(mp3Hex)
+      val withPayload = docs.select(col("doc_id"),
+        unhex(payloadHex).as("payload"))
+      def byteAt(off: Int): Column = expr(
+        s"CAST(conv(substring(hex(payload), ${2 * off - 1}, 2), " +
+          "16, 10) AS BIGINT)")
+      val isMp3 = length(col("payload")) >= 10 &&
+        expr("substring(hex(payload), 1, 6)") === "494433"
+      def f(c: Column) = when(isMp3, c)
+      withPayload.select(
+        col("doc_id"),
+        isMp3.as("is_mp3"),
+        f(byteAt(4)).as("ver_major"),
+        f(byteAt(7) * lit(2097152L) + byteAt(8) * lit(16384L)
+          + byteAt(9) * lit(128L) + byteAt(10)).as("tag_size"))
+        .withColumn("audio_offset", lit(10L) + col("tag_size"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     "q_multimodal_wav" -> ((s, d) => {
       val docs = graft.Tables.table(s, d, "documents")
       val ch = (col("doc_id") % 2 + 1).cast("int")
@@ -636,6 +675,47 @@ object Multimodal {
         |  CAST(bit_depth * (CASE color_type WHEN 0 THEN 1 WHEN 2 THEN 3
         |    WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 4 END) AS BIGINT)
         |    AS bits_per_pixel
+        |FROM cols ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same payload; the syncsafe size re-assembles from the four 7-bit
+    // bytes by the identical integer products.
+    "q_multimodal_mp3" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 2 + 3 AS INTEGER) AS ver,
+        |    CAST((doc_id * 97) % 100000 AS BIGINT) AS tsz,
+        |    hex(encode(substring(text, 1, 8))) AS th
+        |  FROM documents
+        |), built AS (
+        |  SELECT doc_id, from_hex(
+        |    CASE WHEN doc_id % 5 = 0 THEN th ELSE
+        |      '494433' || lpad(hex(ver), 2, '0') || '00' || '00' ||
+        |      lpad(hex((tsz >> 21) % 128), 2, '0') ||
+        |      lpad(hex((tsz >> 14) % 128), 2, '0') ||
+        |      lpad(hex((tsz >> 7) % 128), 2, '0') ||
+        |      lpad(hex(tsz % 128), 2, '0')
+        |    END) AS payload
+        |  FROM src
+        |), parsed AS (
+        |  SELECT doc_id, hex(payload) AS ph,
+        |    octet_length(payload) >= 10
+        |      AND substring(hex(payload), 1, 6) = '494433' AS is_mp3
+        |  FROM built
+        |), cols AS (
+        |  SELECT doc_id, is_mp3,
+        |    CASE WHEN is_mp3 THEN
+        |      CAST('0x' || substring(ph, 7, 2) AS BIGINT) END
+        |      AS ver_major,
+        |    CASE WHEN is_mp3 THEN
+        |      CAST('0x' || substring(ph, 13, 2) AS BIGINT) * 2097152
+        |      + CAST('0x' || substring(ph, 15, 2) AS BIGINT) * 16384
+        |      + CAST('0x' || substring(ph, 17, 2) AS BIGINT) * 128
+        |      + CAST('0x' || substring(ph, 19, 2) AS BIGINT) END
+        |      AS tag_size
+        |  FROM parsed
+        |)
+        |SELECT doc_id, is_mp3, ver_major, tag_size,
+        |  10 + tag_size AS audio_offset
         |FROM cols ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     "q_multimodal_wav" ->

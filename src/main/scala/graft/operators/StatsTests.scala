@@ -304,7 +304,38 @@ object StatsTests {
     // consumers (see weightedMedianFrom for the r8 measurements that
     // retired both the r7 two-phase rewrite and the r6 persist).
     "q_agg_weighted_median" -> ((s, d) =>
-      weightedMedianFrom(pricePoints(t(s, d, "lineitem"))))
+      weightedMedianFrom(pricePoints(t(s, d, "lineitem")))),
+
+    // Spearman rank correlation per event_type between value and time
+    // order — the monotone-trend test (is the metric drifting with
+    // time?) that Pearson-on-values can't see. Ranks are row_number
+    // with the (value|ts, event_id) DETERMINISTIC tie-break (strict
+    // orderings — both engines produce identical integer ranks, no
+    // average-rank FP), Σd² is an exact BIGINT, and
+    // ρ = 1 − 6Σd²/(n(n²−1)) is ONE IEEE division of exact integers
+    // (n³ ≈ 8e12 at sf0.1 — inside the 2^53 window). Scale: ONE
+    // event_type shuffle; both rank windows share the partitioning
+    // (two in-partition sorts, no second exchange), then a keyed agg.
+    "q_stats_spearman" -> ((s, d) => {
+      val wv = Window.partitionBy("event_type")
+        .orderBy(asc_nulls_last("value"), asc_nulls_last("event_id"))
+      val wt = Window.partitionBy("event_type")
+        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
+      t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("ts"))
+        .withColumn("rv", row_number().over(wv))
+        .withColumn("rt", row_number().over(wt))
+        .withColumn("d", (col("rv") - col("rt")).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("d") * col("d")).as("sum_d2"))
+        .select(col("event_type"), col("n"), col("sum_d2"),
+          (lit(1.0) - (lit(6.0) * col("sum_d2"))
+            / (col("n") * (col("n") * col("n") - lit(1L)))).as("rho"))
+        .orderBy(asc_nulls_last("event_type"))
+    })
   )
 
   private val ptsSql =
@@ -328,6 +359,28 @@ object StatsTests {
        |    AS VARCHAR) AS DOUBLE)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same deterministic-tie-break integer ranks; the ρ expression text
+    // is the identical 1.0 − (6.0·Σd²)/(n(n²−1)) double tree.
+    "q_stats_spearman" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC NULLS LAST, event_id ASC NULLS LAST)
+        |      AS rv,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+        |      AS rt
+        |  FROM events WHERE value IS NOT NULL
+        |), a AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST((rv - rt) AS BIGINT)
+        |      * CAST((rv - rt) AS BIGINT)) AS BIGINT) AS sum_d2
+        |  FROM r GROUP BY event_type
+        |)
+        |SELECT event_type, n, sum_d2,
+        |  1.0 - (6.0 * sum_d2) / (n * (n * n - 1)) AS rho
+        |FROM a ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
     "q_winsorize" ->
       """WITH r AS (
         |  SELECT event_type, value,

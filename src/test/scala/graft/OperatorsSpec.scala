@@ -411,6 +411,82 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_multimodal_mp3 decodes the syncsafe tag size exactly and " +
+      "rejects non-MP3 payloads") {
+    import spark.implicits._
+    val out = Multimodal.queries("q_multimodal_mp3")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ids = Tables.table(spark, sf, "documents")
+      .select("doc_id").as[Long].collect()
+    assert(ids.nonEmpty && out.size == ids.length)
+    ids.foreach { id =>
+      val r = out(id)
+      if (id % 5 == 0) {
+        assert(!r.getBoolean(1), s"doc $id should not sniff as MP3")
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+      } else {
+        val tagSize = (id * 97) % 100000
+        assert(r.getBoolean(1), s"doc $id should sniff as MP3")
+        assert(r.getLong(2) == id % 2 + 3, s"ver_major doc $id")
+        assert(r.getLong(3) == tagSize, s"tag_size doc $id")
+        assert(r.getLong(4) == 10 + tagSize, s"audio_offset doc $id")
+      }
+    }
+  }
+
+  test("q_stats_spearman equals a plain-Scala rank replay") {
+    import spark.implicits._
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select("event_type", "event_id", "value", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getTimestamp(3).getTime))
+    val expect = rows.groupBy(_._1).map { case (ty, v) =>
+      val rv = v.sortBy(x => (x._3, x._2)).zipWithIndex
+        .map { case (x, i) => x._2 -> (i + 1L) }.toMap
+      val rt = v.sortBy(x => (x._4, x._2)).zipWithIndex
+        .map { case (x, i) => x._2 -> (i + 1L) }.toMap
+      val sumD2 = v.map(x => { val d = rv(x._2) - rt(x._2); d * d }).sum
+      val n = v.length.toLong
+      ty -> (n, sumD2, 1.0 - (6.0 * sumD2) / (n * (n * n - 1)))
+    }
+    val out = StatsTests.queries("q_stats_spearman")(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSet == expect.keySet)
+    out.foreach { r =>
+      val (n, s2, rho) = expect(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == s2,
+        s"type ${r.getString(0)}")
+      assert(r.getDouble(3) == rho, s"rho ${r.getString(0)}")
+    }
+  }
+
+  test("q_curriculum stages are balanced, difficulty-monotone, and " +
+      "partition each language") {
+    import spark.implicits._
+    val out = Corpus.queries("q_curriculum")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val perLang = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (lang, stages) =>
+      // stages partition the language's docs
+      assert(stages.map(_._3).sum == perLang(lang), s"lang $lang total")
+      // ntile balance: sizes differ by at most 1
+      assert(stages.map(_._3).max - stages.map(_._3).min <= 1,
+        s"lang $lang balance")
+      // difficulty is monotone across consecutive stages
+      stages.sortBy(_._2).sliding(2).foreach { p =>
+        if (p.length == 2)
+          assert(p(1)._5 >= p(0)._6,
+            s"lang $lang stage ${p(1)._2} min_toks below prior max")
+      }
+    }
+  }
+
   test("q_multimodal_tiff dispatches on the II/MM byte-order marker, " +
       "follows the variable IFD offset, and scans entries by tag") {
     import spark.implicits._
