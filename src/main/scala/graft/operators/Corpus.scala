@@ -821,6 +821,53 @@ object Corpus {
         .orderBy(asc_nulls_last("source"))
     }),
 
+    // Incremental view maintenance over the same two-snapshot convention
+    // — the "never recompute the 100 TB rollup per crawl" algebra: the
+    // per-source char total of the NEW snapshot is maintained from the
+    // OLD total plus delta terms (added docs' chars, minus removed docs'
+    // chars, plus the length shift of revised docs), and the query emits
+    // BOTH the maintained value and the direct recomputation so the
+    // oracle proves the algebra cell-exactly (ivm_matches pins it
+    // per-source). Scale: the delta terms touch ONLY delta rows (one
+    // full-outer id-join of slim (id, source, len) slivers — the
+    // snapshot_delta economics); the direct recomputation exists for the
+    // proof, a production pipeline ships just the maintained column.
+    "q_snapshot_ivm" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val oldF = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("len_old"))
+      val newText = when(col("doc_id") % 13 === 2,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+      val newF = docs.filter(col("doc_id") % 11 =!= 5)
+        .select(col("doc_id"), col("source"),
+          length(newText).cast("long").as("len_new"))
+      val oldAgg = oldF.groupBy("source")
+        .agg(count(lit(1)).as("n_old"), sum("len_old").as("sum_old"))
+      val delta = oldF.join(newF, Seq("doc_id", "source"), "full_outer")
+        .groupBy("source")
+        .agg(
+          sum(when(col("len_old").isNull, col("len_new"))
+            .otherwise(0L)).as("add_chars"),
+          sum(when(col("len_new").isNull, col("len_old"))
+            .otherwise(0L)).as("del_chars"),
+          sum(when(col("len_old").isNotNull && col("len_new").isNotNull,
+            col("len_new") - col("len_old")).otherwise(0L))
+            .as("rev_shift"))
+      val direct = newF.groupBy("source")
+        .agg(count(lit(1)).as("n_new"), sum("len_new").as("sum_new"))
+      oldAgg.join(delta, "source").join(direct, "source")
+        .select(col("source"), col("n_old"), col("n_new"),
+          col("sum_old"), col("add_chars"), col("del_chars"),
+          col("rev_shift"),
+          (col("sum_old") + col("add_chars") - col("del_chars")
+            + col("rev_shift")).as("sum_new_ivm"),
+          col("sum_new").as("sum_new_direct"),
+          (col("sum_old") + col("add_chars") - col("del_chars")
+            + col("rev_shift") === col("sum_new")).as("ivm_matches"))
+        .orderBy(asc_nulls_last("source"))
+    }),
+
     // Per-source KL divergence from the corpus token distribution —
     // "which sources are distributionally unusual" (the
     // domain-reweighting diagnostic next to q_mixture_weights'
@@ -1273,6 +1320,54 @@ object Corpus {
     "q_graph_kcore" -> kcoreOracle,
     "q_graph_bfs_layers" -> bfsLayersOracle,
     "q_graph_modularity" -> modularityOracle,
+
+    // Same snapshot CTEs; the using-join's coalesced source key is the
+    // explicit COALESCE here, and the maintained/direct columns assemble
+    // from the identical integer terms.
+    "q_snapshot_ivm" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE text IS NOT NULL
+        |), o AS (
+        |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len_old
+        |  FROM d WHERE doc_id % 7 <> 3
+        |), n AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(CASE WHEN doc_id % 13 = 2 THEN text || ' rev2'
+        |      ELSE text END) AS BIGINT) AS len_new
+        |  FROM d WHERE doc_id % 11 <> 5
+        |), oa AS (
+        |  SELECT source, COUNT(*) AS n_old,
+        |    CAST(SUM(len_old) AS BIGINT) AS sum_old
+        |  FROM o GROUP BY source
+        |), de AS (
+        |  SELECT COALESCE(o.source, n.source) AS source,
+        |    CAST(SUM(CASE WHEN o.len_old IS NULL THEN n.len_new
+        |      ELSE 0 END) AS BIGINT) AS add_chars,
+        |    CAST(SUM(CASE WHEN n.len_new IS NULL THEN o.len_old
+        |      ELSE 0 END) AS BIGINT) AS del_chars,
+        |    CAST(SUM(CASE WHEN o.len_old IS NOT NULL
+        |        AND n.len_new IS NOT NULL
+        |      THEN n.len_new - o.len_old ELSE 0 END) AS BIGINT)
+        |      AS rev_shift
+        |  FROM o FULL OUTER JOIN n
+        |    ON o.doc_id = n.doc_id AND o.source = n.source
+        |  GROUP BY COALESCE(o.source, n.source)
+        |), di AS (
+        |  SELECT source, COUNT(*) AS n_new,
+        |    CAST(SUM(len_new) AS BIGINT) AS sum_new
+        |  FROM n GROUP BY source
+        |)
+        |SELECT oa.source, n_old, n_new, sum_old, add_chars, del_chars,
+        |  rev_shift,
+        |  sum_old + add_chars - del_chars + rev_shift AS sum_new_ivm,
+        |  sum_new AS sum_new_direct,
+        |  sum_old + add_chars - del_chars + rev_shift = sum_new
+        |    AS ivm_matches
+        |FROM oa
+        |JOIN de ON oa.source = de.source
+        |JOIN di ON oa.source = di.source
+        |ORDER BY oa.source ASC NULLS LAST""".stripMargin,
 
     "q_curriculum" ->
       """WITH dtoks AS (

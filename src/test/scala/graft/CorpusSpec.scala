@@ -336,6 +336,22 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sum == 2L * m)
   }
 
+  test("q_snapshot_ivm maintained totals equal the direct recomputation " +
+      "on every source") {
+    val out = Corpus.queries("q_snapshot_ivm")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("ivm_matches"),
+        s"source ${r.getString(0)} ivm mismatch")
+      assert(r.getAs[Long]("sum_new_ivm") ==
+        r.getAs[Long]("sum_new_direct"))
+    }
+    // the fixture must actually exercise all three delta classes
+    assert(out.map(_.getAs[Long]("add_chars")).sum > 0, "no adds")
+    assert(out.map(_.getAs[Long]("del_chars")).sum > 0, "no deletes")
+    assert(out.map(_.getAs[Long]("rev_shift")).sum > 0, "no revisions")
+  }
+
   test("q_dedup_url equals a plain-Scala canonicalization replay") {
     val docs = Tables.table(spark, sf, "documents")
       .select("doc_id", "source", "lang")
