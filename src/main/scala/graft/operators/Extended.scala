@@ -559,16 +559,21 @@ object Extended {
       // persisted: four consumers (order count, per-part counts, both
       // sides of the pair self-join) would each re-run the distinct's
       // shuffle — the frame is |distinct (order, part)| slim rows
-      val items = t(s, d, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct().persist()
-      val ca = items.groupBy("l_partkey").agg(count(lit(1)).as("c"))
-      val lists = items.groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      // ONE orderkey shuffle replaces the former distinct + re-group:
+      // collect_set dedups (order, part) inside the aggregate (partial
+      // merge on the map side), so the basket lists materialize without
+      // a separate distinct pass; per-part order counts then derive from
+      // the exploded lists (order-grain rows, narrower than the fact)
+      val lists = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .persist()
       // order count read off the already-grouped lists frame (one row per
-      // order) — the former countDistinct was a third full shuffle of the
-      // items frame for one scalar; a driver literal like q_join_bloom's
+      // order) — a driver literal like q_join_bloom's
       val nOrders = lists.count()
+      val ca = lists.select(explode(col("ps")).as("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("c"))
       // in-row pair expansion (the candidatePairs shape): ONE shuffle on
       // l_orderkey builds each order's sorted part list, combinations
       // expand inside the task, and only the slim (pa, pb) pairs reach
