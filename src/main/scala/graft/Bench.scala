@@ -193,7 +193,9 @@ object Bench {
     "q_multimodal_png" -> "p7", "q_graph_bfs_layers" -> "b7",
     "q_graph_modularity" -> "m7", "q_embed_knn_classify" -> "k7",
     "q_stats_spearman" -> "s7", "q_multimodal_mp3" -> "y8",
-    "q_curriculum" -> "cr", "q_snapshot_ivm" -> "im")
+    "q_curriculum" -> "cr", "q_snapshot_ivm" -> "im",
+    "q_lang_confusion" -> "lc", "q_text_hapax" -> "hx",
+    "q_stats_benford" -> "bf")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

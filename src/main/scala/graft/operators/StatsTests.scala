@@ -335,6 +335,26 @@ object StatsTests {
           (lit(1.0) - (lit(6.0) * col("sum_d2"))
             / (col("n") * (col("n") * col("n") - lit(1L)))).as("rho"))
         .orderBy(asc_nulls_last("event_type"))
+    }),
+
+    // Benford first-digit audit over order totals — the fraud/synthetic-
+    // data screen: natural multi-scale amounts follow log₁₀(1+1/d),
+    // fabricated ones usually don't. The digit extracts from the
+    // INTEGER-STRING rendering of floor(price) (floor is exact IEEE on
+    // both engines; a double→int CAST would round on DuckDB and truncate
+    // on Spark), counts are exact, share is ONE IEEE division by the
+    // driver-literal row count (the q_join_bloom precedent; the expected
+    // Benford mass needs a log so the observed share is the portable
+    // readout). Scale: one narrow digit map + a 9-row keyed agg.
+    "q_stats_benford" -> ((s, d) => {
+      val ord = t(s, d, "orders").filter(col("o_totalprice") > 0)
+      val total = ord.count()
+      ord.select(substring(
+          floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("share", col("n").cast("double") / lit(total))
+        .orderBy(asc_nulls_last("digit"))
     })
   )
 
@@ -380,6 +400,19 @@ object StatsTests {
         |SELECT event_type, n, sum_d2,
         |  1.0 - (6.0 * sum_d2) / (n * (n * n - 1)) AS rho
         |FROM a ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    "q_stats_benford" ->
+      """SELECT digit, COUNT(*) AS n,
+        |  CAST(COUNT(*) AS DOUBLE) /
+        |    (SELECT COUNT(*) FROM orders WHERE o_totalprice > 0)
+        |    AS share
+        |FROM (
+        |  SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS digit
+        |  FROM orders WHERE o_totalprice > 0
+        |)
+        |GROUP BY digit
+        |ORDER BY digit ASC NULLS LAST""".stripMargin,
 
     "q_winsorize" ->
       """WITH r AS (

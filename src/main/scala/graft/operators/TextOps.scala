@@ -780,6 +780,47 @@ object TextOps {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // Language-ID confusion matrix — the EVALUATION of q_text_langid
+    // against the declared lang labels: per (true, predicted) cell, doc
+    // count + row-share (one IEEE division of exact counts via a
+    // lang-partitioned window total — bounded by the language domain) +
+    // the diagonal flag. Composes the declared classifier query, so the
+    // two stay in lockstep by construction. Scale: the per-doc scoring
+    // is the langid narrow map; the rollup is one keyed agg over a
+    // |langs|² -bounded frame.
+    "q_lang_confusion" -> ((s, d) => {
+      val wl = Window.partitionBy("lang")
+      queries("q_text_langid")(s, d)
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share", col("n_docs").cast("double")
+          / sum("n_docs").over(wl))
+        .withColumn("correct", col("lang") === col("pred_lang"))
+        .orderBy(asc_nulls_last("lang"), asc_nulls_last("pred_lang"))
+    }),
+
+    // Hapax legomena per source — the share of a source's vocabulary
+    // seen exactly once (the tokenizer-health / crawl-diversity
+    // diagnostic next to q_vocab_growth's corpus-decile view): high
+    // hapax rate predicts vocabulary blow-up, near-zero predicts
+    // boilerplate. Exact integer counts, ONE IEEE division. Scale: one
+    // (source, token) shuffle with map-side combine, then a
+    // vocabulary-grain keyed agg.
+    "q_text_hapax" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+          sum("c").as("n_tokens"))
+        .withColumn("hapax_rate",
+          col("hapax").cast("double") / col("vocab"))
+        .orderBy(asc_nulls_last("source"))),
+
     // Quality scoring: length / type-token ratio features.
     "q_text_quality" -> ((s, d) =>
       t(s, d, "documents")
@@ -1320,6 +1361,40 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // The langid oracle wrapped as a CTE, then the same rollup.
+    "q_lang_confusion" ->
+      s"""WITH li AS (
+         |${langidOracle.linesIterator.map("  " + _).mkString("\n")}
+         |), c AS (
+         |  SELECT lang, pred_lang, COUNT(*) AS n_docs
+         |  FROM li GROUP BY lang, pred_lang
+         |)
+         |SELECT lang, pred_lang, n_docs,
+         |  CAST(n_docs AS DOUBLE)
+         |    / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+         |    AS share,
+         |  lang = pred_lang AS correct
+         |FROM c
+         |ORDER BY lang ASC NULLS LAST, pred_lang ASC NULLS LAST"""
+        .stripMargin,
+
+    "q_text_hapax" ->
+      """WITH tc AS (
+        |  SELECT source, tok, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE text IS NOT NULL
+        |  ) WHERE length(tok) > 0
+        |  GROUP BY source, tok
+        |)
+        |SELECT source, COUNT(*) AS vocab,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hapax,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS DOUBLE) / COUNT(*) AS hapax_rate
+        |FROM tc GROUP BY source
+        |ORDER BY source ASC NULLS LAST""".stripMargin,
+
     "q_text_tokenize" ->
       """SELECT token, COUNT(*) AS cnt FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents

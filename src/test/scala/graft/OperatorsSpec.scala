@@ -487,6 +487,51 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_lang_confusion cells partition the corpus and rows sum to 1") {
+    val out = TextOps.queries("q_lang_confusion")(spark, sf).collect()
+    val nDocs = Tables.table(spark, sf, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val s = rows.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"lang $lang shares sum $s")
+    }
+    out.foreach(r =>
+      assert(r.getAs[Boolean]("correct") ==
+        (r.getString(0) == r.getString(1))))
+  }
+
+  test("q_text_hapax equals a plain-Scala per-source vocabulary replay") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("source", "text").as[(String, String)].collect()
+    val expect = docs.groupBy(_._1).map { case (src, rows) =>
+      val counts = rows.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).map { case (_, v) => v.length.toLong }
+      src -> (counts.size.toLong, counts.count(_ == 1L).toLong,
+        counts.sum)
+    }
+    val out = TextOps.queries("q_text_hapax")(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSet == expect.keySet)
+    out.foreach { r =>
+      val (vocab, hapax, toks) = expect(r.getString(0))
+      assert(r.getLong(1) == vocab && r.getLong(2) == hapax
+        && r.getLong(3) == toks, s"source ${r.getString(0)}")
+      assert(r.getDouble(4) == hapax.toDouble / vocab)
+    }
+  }
+
+  test("q_stats_benford digits partition the positive orders") {
+    val out = StatsTests.queries("q_stats_benford")(spark, sf).collect()
+    val total = Tables.table(spark, sf, "orders")
+      .filter(col("o_totalprice") > 0).count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    assert(out.forall(r => ('1' to '9').map(_.toString)
+      .contains(r.getString(0))))
+    val s = out.map(_.getAs[Double]("share")).sum
+    assert(math.abs(s - 1.0) < 1e-9)
+  }
+
   test("q_multimodal_tiff dispatches on the II/MM byte-order marker, " +
       "follows the variable IFD offset, and scans entries by tag") {
     import spark.implicits._
