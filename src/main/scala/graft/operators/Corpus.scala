@@ -368,42 +368,9 @@ object Corpus {
     // list against the LAST frontier only plus an anti-join against the
     // visited set — the standard distributed BFS, work proportional to
     // edges incident to the frontier, never a driver-side walk.
-    "q_graph_bfs_layers" -> ((s, d) => {
-      import s.implicits._
-      val pairs = TextDedup.nearDuplicates(t(s, d, "documents"))
-        .select("id_a", "id_b")
-      val sym = pairs.select(explode(array(
-          struct(col("id_a").as("src"), col("id_b").as("dst")),
-          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-        .select("e.src", "e.dst")
-        .persist()
-      val seedRow = sym.agg(min(col("src"))).head
-      if (seedRow.isNullAt(0)) {
-        sym.unpersist()
-        Seq.empty[(Long, Long)].toDF("doc_id", "dist")
-      } else {
-        val seed = seedRow.getLong(0)
-        var visited = Seq((seed, 0L)).toDF("doc_id", "dist")
-        var frontier = visited.select(col("doc_id"))
-        var r = 1
-        var done = false
-        while (r <= 4 && !done) {
-          val nf = sym.join(frontier.withColumnRenamed("doc_id", "src"),
-              "src")
-            .select(col("dst").as("doc_id")).distinct()
-            .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
-            .persist()
-          if (nf.isEmpty) { nf.unpersist(); done = true }
-          else {
-            visited = visited.union(
-              nf.withColumn("dist", lit(r.toLong)))
-            frontier = nf
-            r += 1
-          }
-        }
-        visited.orderBy(asc_nulls_last("doc_id"))
-      }
-    }),
+    "q_graph_bfs_layers" -> ((s, d) =>
+      bfsLayers(TextDedup.nearDuplicates(t(s, d, "documents"))
+        .select("id_a", "id_b"), maxHops = 4)),
 
     // Modularity of the SOURCE partition over the near-dup graph — do
     // near-duplicates concentrate within a source (mirrors/SEO farms)
@@ -1075,6 +1042,49 @@ object Corpus {
         .orderBy(asc_nulls_last("lang"), asc_nulls_last("stage"))
     })
   )
+
+  /** BFS hop layers from the lowest-id node of the (id_a, id_b) pair
+    * graph, up to `maxHops` frontier rounds — split out of
+    * q_graph_bfs_layers so PropertyLawsSpec can drive it over random
+    * graphs the LSH fixture never generates. Each round is one equi-join
+    * of the persisted symmetric edge list against the LAST frontier plus
+    * an anti-join against the visited set; work is proportional to
+    * frontier-incident edges, never a driver-side walk. */
+  def bfsLayers(pairs: DataFrame, maxHops: Int): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select("e.src", "e.dst")
+      .persist()
+    val seedRow = sym.agg(min(col("src"))).head
+    if (seedRow.isNullAt(0)) {
+      sym.unpersist()
+      Seq.empty[(Long, Long)].toDF("doc_id", "dist")
+    } else {
+      val seed = seedRow.getLong(0)
+      var visited = Seq((seed, 0L)).toDF("doc_id", "dist")
+      var frontier = visited.select(col("doc_id"))
+      var r = 1
+      var done = false
+      while (r <= maxHops && !done) {
+        val nf = sym.join(frontier.withColumnRenamed("doc_id", "src"),
+            "src")
+          .select(col("dst").as("doc_id")).distinct()
+          .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
+          .persist()
+        if (nf.isEmpty) { nf.unpersist(); done = true }
+        else {
+          visited = visited.union(
+            nf.withColumn("dist", lit(r.toLong)))
+          frontier = nf
+          r += 1
+        }
+      }
+      visited.orderBy(asc_nulls_last("doc_id"))
+    }
+  }
 
   /** Exact connected components as a recursive transitive closure:
     * `reach` accumulates every label reachable from each node (UNION

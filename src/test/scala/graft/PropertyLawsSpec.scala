@@ -97,6 +97,43 @@ class PropertyLawsSpec extends SparkSpec {
     }
   }
 
+  test("bfsLayers equals a plain-Scala BFS on random graphs (15 cases)") {
+    for (_ <- 1 to 15) {
+      val n = 2 + rnd.nextInt(20)
+      val nEdges = 1 + rnd.nextInt(30)
+      val edges = (1 to nEdges).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      if (edges.nonEmpty) {
+        val maxHops = 1 + rnd.nextInt(5)
+        val got = Corpus.bfsLayers(edges.toDF("id_a", "id_b"), maxHops)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val adj = (edges ++ edges.map(_.swap))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val seed = adj.keys.min
+        val dist = scala.collection.mutable.Map(seed -> 0L)
+        var frontier = Set(seed)
+        for (r <- 1 to maxHops) {
+          frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+          frontier.foreach(x => dist(x) = r.toLong)
+        }
+        assert(got == dist.toMap,
+          s"edges $edges maxHops $maxHops: $got vs $dist")
+        // hop-consistency law: reached neighbors differ by at most 1 hop
+        edges.foreach { case (a, b) =>
+          (got.get(a), got.get(b)) match {
+            case (Some(da), Some(db)) => assert(math.abs(da - db) <= 1)
+            case (Some(da), None) => assert(da == maxHops.toLong)
+            case (None, Some(db)) => assert(db == maxHops.toLong)
+            case _ => ()
+          }
+        }
+      }
+    }
+  }
+
   test("portable log2: the bin-exponent + atanh-series chain matches " +
       "math log2 within 1e-6 for n in 1..200000") {
     import graft.Det
