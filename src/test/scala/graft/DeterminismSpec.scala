@@ -22,7 +22,10 @@ class DeterminismSpec extends SparkSpec {
     "q_anomaly_mad",     // median/MAD chain with one IEEE subtraction
     "q_resample_ffill",  // daily decimal sums + running forward fill
     "q_kmeans_iter",     // per-(cluster,dim) decimal means
-    "q_dedup_clusters")  // iterative min-label propagation
+    "q_dedup_clusters",  // iterative min-label propagation
+    "q_embed_knn_classify", // two-phase prescreen + vote tie-breaks
+    "q_stats_spearman",  // rank windows + one IEEE rho division
+    "q_graph_bfs_layers") // iterative frontier loop + driver seed
 
   sensitive.foreach { name =>
     test(s"$name is identical at shuffle.partitions 3 vs 13") {
