@@ -372,6 +372,68 @@ object Corpus {
       bfsLayers(TextDedup.nearDuplicates(t(s, d, "documents"))
         .select("id_a", "id_b"), maxHops = 4)),
 
+    // Incremental connected-components maintenance — the cluster-label
+    // twin of q_dedup_incremental's pair economics (daily ingest must
+    // UPDATE dedup clusters, not rebuild them): old×old pairs come from
+    // the OLD corpus alone (bucket membership is per-doc, so this IS the
+    // full run's old×old slice), new-touching pairs from the declared
+    // incremental query, and label propagation re-runs ONLY on the
+    // components those new edges touch — untouched components keep their
+    // labels verbatim. The min-label convention makes labels canonical,
+    // so the merged result must equal the FULL-graph closure cell-exactly
+    // — which is precisely what the oracle computes (with recomputed =
+    // "cluster contains a shard doc", provably the same set). Scale: the
+    // re-run is bounded by affected-component size, not corpus size.
+    "q_graph_cc_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldPairs = TextDedup.nearDuplicates(
+          docs.filter(col("doc_id") % 7 =!= 0))
+        .select("id_a", "id_b").persist()
+      val newEdges = TextOps.queries("q_dedup_incremental")(s, d)
+        .select("id_a", "id_b").persist()
+      val labelsOld = connectedComponents(oldPairs).persist()
+      // CONTRACT each old component to its label node (the label IS the
+      // component's min id), map new-edge endpoints through the labels
+      // (new/unseen nodes keep their own id), and propagate over the
+      // contracted delta graph ONLY — bounded by |new edges|, never by
+      // affected-component size (the second full CC the naive version
+      // runs). The min of a merged component over {old component mins,
+      // new ids} is the global min of its node set, so contracted labels
+      // ARE the full-graph labels.
+      def mapEnd(end: String) = {
+        val m = labelsOld.select(col("id").as(end),
+          col("lbl").as(s"${end}_m"))
+        (df: DataFrame) => df.join(m, Seq(end), "left")
+          .withColumn(end, coalesce(col(s"${end}_m"), col(end)))
+          .drop(s"${end}_m")
+      }
+      val contracted = mapEnd("id_b")(mapEnd("id_a")(newEdges))
+        .filter(col("id_a") =!= col("id_b"))
+      val deltaLabels = connectedComponents(contracted).persist()
+      // old labels that merged (appear in the delta graph) re-map; the
+      // rest keep their labels verbatim — the untouched-component
+      // guarantee the oracle's full closure must agree with
+      val oldFixed = labelsOld
+        .join(deltaLabels.select(col("id").as("lbl")), Seq("lbl"),
+          "left_anti")
+        .select(col("id"), col("lbl"), lit(false).as("recomputed"))
+      val oldMerged = labelsOld
+        .join(deltaLabels.select(col("id").as("lbl"),
+          col("lbl").as("new_lbl")), "lbl")
+        .select(col("id"), col("new_lbl").as("lbl"),
+          lit(true).as("recomputed"))
+      // delta-graph nodes that are NEW docs (not old labels) — their
+      // label comes straight from the contracted propagation
+      val newNodes = deltaLabels
+        .join(labelsOld.select(col("lbl").as("id")).distinct(),
+          Seq("id"), "left_anti")
+        .select(col("id"), col("lbl"), lit(true).as("recomputed"))
+      oldFixed.union(oldMerged).union(newNodes)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster"),
+          col("recomputed"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // Modularity of the SOURCE partition over the near-dup graph — do
     // near-duplicates concentrate within a source (mirrors/SEO farms)
     // or bridge sources (syndication)? Per-community modularity terms
@@ -1343,6 +1405,22 @@ object Corpus {
     "q_graph_kcore" -> kcoreOracle,
     "q_graph_bfs_layers" -> bfsLayersOracle,
     "q_graph_modularity" -> modularityOracle,
+
+    // The FULL-graph min-label closure — the incremental maintenance on
+    // the Spark side must reproduce it exactly; recomputed = the cluster
+    // contains a shard (doc_id % 7 = 0) doc, which is provably the set
+    // of components any new-touching edge reaches.
+    "q_graph_cc_incremental" -> (clustersCtes +
+      """
+        |, cl AS (
+        |  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id
+        |), fl AS (
+        |  SELECT lbl, bool_or(id % 7 = 0) AS recomputed
+        |  FROM cl GROUP BY lbl
+        |)
+        |SELECT cl.id AS doc_id, cl.lbl AS cluster, fl.recomputed
+        |FROM cl JOIN fl ON cl.lbl = fl.lbl
+        |ORDER BY doc_id ASC NULLS LAST""".stripMargin),
 
     // Same snapshot CTEs; the using-join's coalesced source key is the
     // explicit COALESCE here, and the maintained/direct columns assemble

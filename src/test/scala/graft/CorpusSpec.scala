@@ -336,6 +336,21 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sum == 2L * m)
   }
 
+  test("q_graph_cc_incremental equals the full-graph labels and flags " +
+      "exactly the shard-containing clusters") {
+    val inc = Corpus.queries("q_graph_cc_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val full = Corpus.queries("q_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc.map(r => r._1 -> r._2).toMap == full,
+      "incremental labels diverge from the full-graph closure")
+    val byCluster = inc.groupBy(_._2)
+    inc.foreach { case (_, c, recomputed) =>
+      val hasShard = byCluster(c).exists(_._1 % 7 == 0)
+      assert(recomputed == hasShard, s"cluster $c recomputed flag")
+    }
+  }
+
   test("q_snapshot_ivm maintained totals equal the direct recomputation " +
       "on every source") {
     val out = Corpus.queries("q_snapshot_ivm")(spark, sf).collect()
