@@ -195,7 +195,8 @@ object Bench {
     "q_stats_spearman" -> "s7", "q_multimodal_mp3" -> "y8",
     "q_curriculum" -> "cr", "q_snapshot_ivm" -> "im",
     "q_lang_confusion" -> "lc", "q_text_hapax" -> "hx",
-    "q_stats_benford" -> "bf", "q_graph_cc_incremental" -> "ci")
+    "q_stats_benford" -> "bf", "q_graph_cc_incremental" -> "ci",
+    "q_embed_centroid_drift" -> "cd")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

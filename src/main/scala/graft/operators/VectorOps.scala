@@ -1046,6 +1046,45 @@ object VectorOps {
         .orderBy(asc_nulls_last("label"), asc_nulls_last("rank"))
     }),
 
+    // Per-label centroid drift between the two snapshot conventions —
+    // the embedding-space monitor a pipeline runs between crawls before
+    // trusting an old ANN index or classifier against new data: each
+    // label's centroid computed on the OLD (vec_id % 7 ≠ 3) and NEW
+    // (vec_id % 11 ≠ 5) snapshots on the exact scaled-BIGINT grid (the
+    // q_label_prototypes floor(sum/n + 0.5) re-entry), then L1 and
+    // max-dimension shifts as exact integers — no FP anywhere. Scale:
+    // two slim (label, pos) aggregates off one persisted exploded frame
+    // (label-domain × EmbDim rows out at any corpus size) + one keyed
+    // join on that bounded grid.
+    "q_embed_centroid_drift" -> ((s, d) => {
+      val ints = t(s, d, "embeddings")
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+        .withColumn("iv", expr(
+          "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
+            "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
+        .select(col("vec_id"), col("label"),
+          posexplode(col("iv")).as(Seq("pos", "x")))
+        .persist()
+      def cent(f: Column) = ints.filter(f)
+        .groupBy("label", "pos")
+        .agg(expr("CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*) " +
+          "+ 0.5D) AS BIGINT)").as("mv"), count(lit(1)).as("n"))
+      val o = cent(col("vec_id") % 7 =!= 3)
+        .select(col("label"), col("pos"), col("mv").as("m_old"),
+          col("n").as("n_old"))
+      val nw = cent(col("vec_id") % 11 =!= 5)
+        .select(col("label"), col("pos"), col("mv").as("m_new"),
+          col("n").as("n_new"))
+      o.join(nw, Seq("label", "pos"))
+        .groupBy("label")
+        .agg(max("n_old").as("n_old"), max("n_new").as("n_new"),
+          sum(abs(col("m_new") - col("m_old"))).as("l1_drift_scaled"),
+          max(abs(col("m_new") - col("m_old"))).as("max_dim_drift"))
+        .select(col("label").cast("long").as("label"), col("n_old"),
+          col("n_new"), col("l1_drift_scaled"), col("max_dim_drift"))
+        .orderBy(asc_nulls_last("label"))
+    }),
+
     // Label-margin OOD audit — for every vector, its integer alignment
     // with its OWN label centroid minus its best alignment with any
     // OTHER label's centroid; the 20 most negative margins are the
@@ -2458,6 +2497,40 @@ object VectorOps {
          |  FROM dots)
          |WHERE rank <= 3
          |ORDER BY label ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin,
+
+    // Same grid, two snapshot-filtered centroid CTEs, integer drifts.
+    "q_embed_centroid_drift" ->
+      s"""WITH iv AS (
+         |  SELECT vec_id, label, list_transform(embedding, x ->
+         |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,7)) * 10000000
+         |      AS BIGINT)) AS iv
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+         |), e AS (
+         |  SELECT vec_id, label, iv, unnest(generate_series(1, $EmbDim))
+         |    AS i FROM iv
+         |), co AS (
+         |  SELECT label, i,
+         |    CAST(floor(CAST(SUM(iv[i]) AS DOUBLE) / COUNT(*) + 0.5)
+         |      AS BIGINT) AS m_old,
+         |    COUNT(*) AS n_old
+         |  FROM e WHERE vec_id % 7 <> 3 GROUP BY label, i
+         |), cn AS (
+         |  SELECT label, i,
+         |    CAST(floor(CAST(SUM(iv[i]) AS DOUBLE) / COUNT(*) + 0.5)
+         |      AS BIGINT) AS m_new,
+         |    COUNT(*) AS n_new
+         |  FROM e WHERE vec_id % 11 <> 5 GROUP BY label, i
+         |), j AS (
+         |  SELECT co.label, co.m_old, cn.m_new, co.n_old, cn.n_new
+         |  FROM co JOIN cn ON co.label = cn.label AND co.i = cn.i
+         |)
+         |SELECT CAST(label AS BIGINT) AS label,
+         |  max(n_old) AS n_old, max(n_new) AS n_new,
+         |  CAST(SUM(abs(m_new - m_old)) AS BIGINT) AS l1_drift_scaled,
+         |  CAST(max(abs(m_new - m_old)) AS BIGINT) AS max_dim_drift
+         |FROM j GROUP BY label
+         |ORDER BY label ASC NULLS LAST""".stripMargin,
 
     // Same grid; every (vector, centroid) pair via the dim-keyed join
     // (fan-out bounded by the label domain), integer margins.

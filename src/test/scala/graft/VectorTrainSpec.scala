@@ -327,6 +327,39 @@ class VectorTrainSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum == probes.length.toLong)
   }
 
+  test("q_embed_centroid_drift equals a plain-Scala grid-centroid " +
+      "replay on both snapshots") {
+    val embs = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect()
+    assume(embs.nonEmpty)
+    def centroids(rows: Seq[(Long, Seq[Float], Int)]) =
+      rows.groupBy(_._3).map { case (l, v) =>
+        val grids = v.map(r => intsOf(r._2))
+        val n = grids.length
+        l -> (n.toLong, grids.transpose.map(xs =>
+          math.floor(xs.sum.toDouble / n + 0.5).toLong))
+      }
+    val co = centroids(embs.filter(_._1 % 7 != 3))
+    val cn = centroids(embs.filter(_._1 % 11 != 5))
+    val out = VectorOps.queries("q_embed_centroid_drift")(spark, sf)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet ==
+      (co.keySet & cn.keySet).map(_.toLong))
+    out.foreach { r =>
+      val l = r.getLong(0).toInt
+      val (nOld, mo) = co(l)
+      val (nNew, mn) = cn(l)
+      val diffs = mo.zip(mn).map { case (a, b) => math.abs(b - a) }
+      assert(r.getLong(1) == nOld && r.getLong(2) == nNew,
+        s"label $l counts")
+      assert(r.getLong(3) == diffs.sum, s"label $l l1")
+      assert(r.getLong(4) == diffs.max, s"label $l max")
+    }
+    // the snapshot conventions must actually move at least one centroid
+    assert(out.map(_.getLong(3)).sum > 0, "no drift synthesized")
+  }
+
   test("q_embed_label_margin: ascending margins, own label never the " +
       "best-other, arithmetic consistent") {
     val out = VectorOps.queries("q_embed_label_margin")(spark, sf)
