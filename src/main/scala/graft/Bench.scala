@@ -196,7 +196,10 @@ object Bench {
     "q_curriculum" -> "cr", "q_snapshot_ivm" -> "im",
     "q_lang_confusion" -> "lc", "q_text_hapax" -> "hx",
     "q_stats_benford" -> "bf", "q_graph_cc_incremental" -> "ci",
-    "q_embed_centroid_drift" -> "cd")
+    "q_embed_centroid_drift" -> "cd", "q_text_novelty" -> "nv",
+    "q_source_mix_sqrt" -> "mq", "q_graph_labelprop" -> "lp",
+    "q_ts_decompose" -> "dz", "q_anomaly_stl" -> "as",
+    "q_quality_cascade" -> "qc", "q_source_budget" -> "sb")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

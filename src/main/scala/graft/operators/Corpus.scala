@@ -516,6 +516,49 @@ object Corpus {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // Community detection by synchronous label propagation over the
+    // near-dup graph — the cheap-at-scale clustering that groups
+    // boilerplate families WITHOUT the transitive-closure iteration of
+    // connected components: 3 rounds, each node adopts the most common
+    // label among its neighbors plus ONE self-vote (the damping that
+    // stops 2-cycles oscillating under synchronous update), ties broken
+    // by smallest label — fully deterministic, unlike classic
+    // random-order LPA. Scale: each round is one edge-keyed hash join +
+    // one (node, label)-keyed partial agg + a node-partitioned
+    // row_number (never a global window); like q_graph_kcore, rounds
+    // reference the previous frame twice but IDENTICALLY, so
+    // ReuseExchange computes each round once and only the final labels
+    // persist (two consumers: sizes + the output join).
+    "q_graph_labelprop" -> ((s, d) => {
+      val pairs = TextDedup.nearDuplicates(t(s, d, "documents"))
+        .select("id_a", "id_b")
+      val sym = pairs.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select("e.src", "e.dst")
+        .persist()
+      var lbl = sym.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+      for (_ <- 1 to 3) {
+        val w = Window.partitionBy("id")
+          .orderBy(desc_nulls_last("c"), asc_nulls_last("lbl"))
+        lbl = sym
+          .join(lbl.select(col("id").as("dst"), col("lbl")), "dst")
+          .select(col("src").as("id"), col("lbl"))
+          .unionByName(lbl) // the self-vote
+          .groupBy("id", "lbl").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("id", "lbl")
+      }
+      lbl = lbl.persist()
+      val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+      lbl.join(sz, "lbl")
+        .select(col("id").as("doc_id"), col("lbl").as("community"),
+          col("n_members"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // Benchmark decontamination: eval split = doc_id % 5 == 0; a train
     // document is contaminated if any of its distinct 8-gram hashes
     // appears anywhere in the eval split. Scale: the membership probe is
@@ -1340,6 +1383,43 @@ object Corpus {
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
   }
 
+  /** Three unrolled vote rounds mirroring the Spark loop exactly (the
+    * round CTEs come from the same 1-to-3 loop); the self-vote is the
+    * UNION ALL of the previous labels and the deterministic tie-break
+    * is the identical (count DESC, label ASC) row_number. */
+  private def labelpropOracle: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""
+         |), v$r AS (
+         |  SELECT e.src AS id, l.lbl FROM e0 e
+         |  JOIN l${r - 1} l ON l.id = e.dst
+         |  UNION ALL
+         |  SELECT id, lbl FROM l${r - 1}
+         |), c$r AS (
+         |  SELECT id, lbl, COUNT(*) AS c FROM v$r GROUP BY id, lbl
+         |), l$r AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (
+         |      PARTITION BY id
+         |      ORDER BY c DESC NULLS LAST, lbl ASC NULLS LAST) AS rn
+         |    FROM c$r) WHERE rn = 1""".stripMargin
+    }.mkString
+    s"""WITH pairs AS (
+       |${TextOps.dedupPairsSubquery}
+       |), e0 AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), l0 AS (
+       |  SELECT DISTINCT src AS id, src AS lbl FROM e0$rounds
+       |), sz AS (
+       |  SELECT lbl, COUNT(*) AS n_members FROM l3 GROUP BY lbl
+       |)
+       |SELECT l3.id AS doc_id, l3.lbl AS community, sz.n_members
+       |FROM l3 JOIN sz ON l3.lbl = sz.lbl
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  }
+
   /** Recursive CTE mirroring the Spark frontier loop: UNION dedups
     * (id, dist) pairs and the dist < 4 guard bounds the recursion to the
     * same four unrolled rounds; min(dist) collapses longer rediscoveries
@@ -1403,6 +1483,7 @@ object Corpus {
     "q_graph_degree_dist" -> degreeDistOracle,
     "q_graph_jaccard" -> graphJaccardOracle,
     "q_graph_kcore" -> kcoreOracle,
+    "q_graph_labelprop" -> labelpropOracle,
     "q_graph_bfs_layers" -> bfsLayersOracle,
     "q_graph_modularity" -> modularityOracle,
 

@@ -116,6 +116,76 @@ object EventAnalytics {
     * day totals + day-partitioned running sum) that holds at 100 TB
     * where a global running sum would be one sequential task. Returns
     * (tsu, d, conc) unsorted; the declared query adds its ORDER BY. */
+  /** Day-grain (day, yd, n_events) point frame — the exact-decimal
+    * daily series q_ts_decompose and q_anomaly_stl read, and the state
+    * a streaming twin maintains incrementally (update-mode groupBy day;
+    * decimal sums are order-insensitive, so the drained state is
+    * identical to the batch frame). */
+  def dailyPoints(events: DataFrame): DataFrame =
+    events.groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("yd"),
+        count(lit(1)).as("n_events"))
+
+  /** STL-lite assembly from a (day, yd, n_events) point frame — see
+    * q_ts_decompose's doc for the arithmetic and scale argument. A
+    * streamed replica of the point frame yields the identical
+    * decomposition (StreamingParitySpec). */
+  def decomposeFrom(daily0: DataFrame): DataFrame = {
+    val daily = daily0
+      .withColumn("dayn", datediff(col("day"), lit("2024-01-01")))
+    val w = Window.orderBy("dayn").rangeBetween(-3, 3)
+    val tr = daily
+      .withColumn("t7", sum(col("yd")).over(w))
+      .withColumn("c7", count(lit(1)).over(w))
+      .withColumn("dow", (expr("weekday(day)") + 1).cast("long"))
+    val se = tr.filter(col("c7") === 7)
+      .groupBy("dow")
+      .agg(sum(lit(7) * col("yd") - col("t7")).as("s_num"),
+        count(lit(1)).as("s_cnt"))
+    tr.join(broadcast(se), Seq("dow"), "left")
+      .withColumn("y", col("yd").cast("double"))
+      .withColumn("trend", col("t7").cast("double") / col("c7"))
+      .withColumn("seasonal",
+        col("s_num").cast("double") / (lit(7L) * col("s_cnt")))
+      .withColumn("resid", col("y") - col("trend") - col("seasonal"))
+      .select("day", "n_events", "y", "trend", "seasonal", "resid")
+  }
+
+  /** Shared WITH-body of the STL-lite day grid (daily → windowed trend
+    * → dow seasonal → dec with the final per-cell IEEE ops) — the
+    * DuckDB mirror of [[decomposeFrom]], reused by q_ts_decompose and
+    * q_anomaly_stl. */
+  private def decomposeCtes: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS yd,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1
+      |), tr AS (
+      |  SELECT day, n_events, yd,
+      |    isodow(day) AS dow,
+      |    SUM(yd) OVER w AS t7,
+      |    COUNT(*) OVER w AS c7
+      |  FROM daily
+      |  WINDOW w AS (
+      |    ORDER BY datediff('day', DATE '2024-01-01', day)
+      |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |), se AS (
+      |  SELECT dow, SUM(7 * yd - t7) AS s_num, COUNT(*) AS s_cnt
+      |  FROM tr WHERE c7 = 7 GROUP BY dow
+      |), dec AS (
+      |  SELECT tr.day, tr.n_events,
+      |    CAST(CAST(yd AS VARCHAR) AS DOUBLE) AS y,
+      |    CAST(CAST(t7 AS VARCHAR) AS DOUBLE) / c7 AS trend,
+      |    CAST(CAST(s_num AS VARCHAR) AS DOUBLE) / (7 * s_cnt)
+      |      AS seasonal,
+      |    CAST(CAST(yd AS VARCHAR) AS DOUBLE)
+      |      - CAST(CAST(t7 AS VARCHAR) AS DOUBLE) / c7
+      |      - CAST(CAST(s_num AS VARCHAR) AS DOUBLE) / (7 * s_cnt)
+      |      AS resid
+      |  FROM tr LEFT JOIN se ON tr.dow = se.dow
+      |)""".stripMargin
+
   def sweepLine(intervals: DataFrame): DataFrame = {
     val deltas = intervals
       .select(explode(array(
@@ -476,6 +546,60 @@ object EventAnalytics {
         .agg(count(lit(1)).as("n_events"),
           Det.dsum(col("value")).as("sum_value"))
         .orderBy(asc_nulls_last("dow"), asc_nulls_last("hod"))),
+
+    // STL-lite daily decomposition — trend / weekly-seasonal / residual
+    // split of the daily value series, the readout behind "is today's
+    // dip real or just a Sunday": trend is the centered 7-day moving
+    // average, the seasonal component the per-ISO-dow mean of the
+    // detrended interior days, the residual what anomaly gates should
+    // alarm on. All sums are exact decimals on the day grid (7·y − t7
+    // stays exact — no division before the final per-cell IEEE ops),
+    // dow pinned to ISO like q_seasonal_profile. Scale: events collapse
+    // to day grain in ONE keyed partial agg; everything after runs on
+    // day-domain-bounded frames (the centered window is global but over
+    // one-row-per-calendar-day input — the q_ts_cusum allowlist
+    // argument — and the 7-row dow frame joins back by broadcast).
+    "q_ts_decompose" -> ((s, d) =>
+      decomposeFrom(dailyPoints(t(s, d, "events")))
+        .orderBy(asc_nulls_last("day"))),
+
+    // Robust anomaly gate over the STL residuals — the alarm a daily
+    // monitor should actually fire on: a day is anomalous when its
+    // residual (what's left after trend AND weekly seasonality) sits
+    // more than 3 MADs from the residual median, so a busy-but-normal
+    // Monday never pages anyone. Reuses the q_anomaly_mad median idiom
+    // (two-middle-row row_number selection, exact-decimal mean of the
+    // pair) on the GLOBAL day series. Scale: everything below the one
+    // event→day collapse runs on day-domain-bounded frames — the two
+    // persisted frames and both global rank windows hold ≤ one row per
+    // calendar day regardless of corpus size; the scalar med/mad/count
+    // frames broadcast on a constant key (the q_text_docfreq shape).
+    "q_anomaly_stl" -> ((s, d) => {
+      val dec = decomposeFrom(dailyPoints(t(s, d, "events")))
+        .filter(col("resid").isNotNull)
+        .select("day", "resid")
+        .persist() // day-grain; three consumers (rank, count, dev)
+      def gmedian(df: DataFrame, c: String, as: String) = {
+        val wv = Window.orderBy(asc_nulls_last(c), asc_nulls_last("day"))
+        val n = broadcast(df.agg(count(lit(1)).as("n"))
+          .withColumn("_one", lit(1)))
+        df.withColumn("rn", row_number().over(wv))
+          .withColumn("_one", lit(1)).join(n, "_one")
+          .filter(col("rn") === floor((col("n") + 1) / 2)
+            || col("rn") === floor((col("n") + 2) / 2))
+          .agg((sum(col(c).cast(DecimalType(18, 7))).cast("double")
+            / count(lit(1))).as(as))
+          .withColumn("_one", lit(1))
+      }
+      val dev = dec.withColumn("_one", lit(1))
+        .join(broadcast(gmedian(dec, "resid", "med")), "_one")
+        .withColumn("adev", abs(col("resid") - col("med")))
+        .persist() // day-grain; two consumers (mad rank + final flag)
+      dev.join(broadcast(gmedian(dev, "adev", "mad")), "_one")
+        .withColumn("is_anomaly", col("adev") > col("mad") * 3)
+        .select("day", "resid", "med", "mad", "adev", "is_anomaly")
+        .orderBy(asc_nulls_last("day"))
+    }),
 
     // Per-user inter-arrival gap statistics — the traffic-shape panel
     // (burstiness, dormancy, bot cadence) behind rate limits and session
@@ -1059,6 +1183,52 @@ object EventAnalytics {
          |  ${Det.sqlDsum("value")} AS sum_value
          |FROM events GROUP BY isodow(ts), hour(ts)
          |ORDER BY dow ASC NULLS LAST, hod ASC NULLS LAST""".stripMargin,
+
+    // Same exact-decimal day grid; every decimal→DOUBLE conversion
+    // routes through VARCHAR (the sqlDsum rule — DuckDB's direct cast
+    // double-rounds past 2^53) and the arithmetic mirrors the Column
+    // tree's association exactly.
+    "q_ts_decompose" ->
+      s"""$decomposeCtes
+        |SELECT day, n_events, y, trend, seasonal, resid FROM dec
+        |ORDER BY day ASC NULLS LAST""".stripMargin,
+
+    // The decompose CTEs, then the q_anomaly_mad median idiom over the
+    // day-grain residual frame (no PARTITION BY: one global series).
+    "q_anomaly_stl" ->
+      s"""$decomposeCtes
+        |, r AS (
+        |  SELECT day, resid FROM dec WHERE resid IS NOT NULL
+        |), r1 AS (
+        |  SELECT day, resid,
+        |    row_number() OVER (
+        |      ORDER BY resid ASC NULLS LAST, day ASC NULLS LAST) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM r
+        |), med AS (
+        |  SELECT
+        |    CAST(SUM(CAST(resid AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*)
+        |      AS med
+        |  FROM r1 WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+        |), dv AS (
+        |  SELECT day, resid, med, abs(resid - med) AS adev
+        |  FROM r, med
+        |), r2 AS (
+        |  SELECT day, adev,
+        |    row_number() OVER (
+        |      ORDER BY adev ASC NULLS LAST, day ASC NULLS LAST) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM dv
+        |), mad AS (
+        |  SELECT
+        |    CAST(SUM(CAST(adev AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*)
+        |      AS mad
+        |  FROM r2 WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+        |)
+        |SELECT dv.day, dv.resid, dv.med, m.mad, dv.adev,
+        |  dv.adev > m.mad * 3 AS is_anomaly
+        |FROM dv, mad m
+        |ORDER BY dv.day ASC NULLS LAST""".stripMargin,
 
     "q_gap_stats" ->
       """WITH g AS (

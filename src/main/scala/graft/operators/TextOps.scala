@@ -306,6 +306,117 @@ object TextOps {
     "q_source_token_shift" -> ((s, d) =>
       tokenShiftFrom(sourceTokenPoints(t(s, d, "documents")))),
 
+    // Cross-split n-gram novelty — the train/test memorization audit
+    // that complements q_decontaminate: for every TEST-split document
+    // (doc_id % 10 == 7), the share of its distinct 3-gram shingles
+    // never seen anywhere in the TRAIN split. Near-zero novelty means
+    // the held-out doc is effectively memorized boilerplate; high
+    // novelty validates the split. Exact integer counts, ONE trailing
+    // IEEE division per doc. Scale: the membership probe is a
+    // gram-keyed shuffle equi-join of two slim slivers (the
+    // q_decontaminate economics — no corpus-fraction broadcast; AQE
+    // may demote from measured bytes), grams built in generator form
+    // (explode(sequence) fuses into codegen; HOFs don't).
+    "q_text_novelty" -> ((s, d) => {
+      val g = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("source"), col("toks"),
+          explode(expr("sequence(0, size(toks) - 3)")).as("i"))
+        .select(col("doc_id"), col("source"), expr(
+          "concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])").as("gram"))
+        .distinct() // per-doc distinct grams: novelty is a SET measure
+        .persist()  // two consumers: the train gram set + the test probe
+      val train = g.filter(col("doc_id") % 10 =!= 7)
+        .select("gram").distinct().withColumn("hit", lit(1))
+      g.filter(col("doc_id") % 10 === 7)
+        .join(train, Seq("gram"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_grams"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // Temperature-0.5 source-mixture weights — the DoReMi-flavored
+    // rebalancing step between raw token shares and uniform sampling:
+    // w_i ∝ √(tokens_i) dampens mega-sources without zeroing small
+    // ones. The square root is the EXACT integer isqrt (floor(√n)):
+    // the float sqrt seeds it and a ±1 correction step repairs any
+    // boundary rounding, so both engines agree bit-for-bit at any
+    // magnitude and the only IEEE ops are the two trailing share
+    // divisions. Scale: one source-keyed count with map-side combine
+    // into a source-domain-bounded frame, then a 1-row totals
+    // broadcast on a constant key (the q_text_docfreq shape).
+    "q_source_mix_sqrt" -> ((s, d) => {
+      val cnt = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long"))
+          .as("n_tokens"))
+        .withColumn("s0", expr(
+          "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+        .withColumn("isqrt_tokens", expr(
+          "CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1 " +
+            "WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END"))
+        .drop("s0")
+      val tot = broadcast(cnt
+        .agg(sum("n_tokens").as("tot_tokens"),
+          sum("isqrt_tokens").as("tot_isqrt"))
+        .withColumn("_one", lit(1)))
+      cnt.withColumn("_one", lit(1)).join(tot, "_one")
+        .select(col("source"), col("n_tokens"), col("isqrt_tokens"),
+          (col("n_tokens").cast("double") / col("tot_tokens"))
+            .as("w_raw"),
+          (col("isqrt_tokens").cast("double") / col("tot_isqrt"))
+            .as("w_sqrt"))
+        .orderBy(asc_nulls_last("source"))
+    }),
+
+    // Token-budget apportionment — sampling a FIXED 1M-token budget
+    // across sources proportionally to their size, with the largest-
+    // remainder (Hamilton) method so the per-source quotas are exact
+    // integers that sum to the budget EXACTLY (floor-only leaves
+    // tokens on the table; naive rounding over/under-shoots). The
+    // B·n_i products run in DECIMAL(38,0) (128-bit — a BIGINT product
+    // overflows once a source holds > 2^63/B ≈ 9e12 tokens, which a
+    // 100 TB corpus reaches), quotient/remainder by integral DIV, and
+    // the +1 seats go to the largest remainders with a source-name
+    // tie-break. Scale: one source-keyed count with map-side combine;
+    // everything after runs on the source-domain-bounded frame (the
+    // ranking window is global but over ≤ |sources| rows; totals
+    // broadcast on a constant key — the q_text_docfreq shape).
+    "q_source_budget" -> ((s, d) => {
+      val B = 1000000L
+      val cnt = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long"))
+          .as("n_tokens"))
+      val tot = broadcast(cnt.agg(sum("n_tokens").as("tot"))
+        .withColumn("_one", lit(1)))
+      val base = cnt.withColumn("_one", lit(1)).join(tot, "_one")
+        .withColumn("b128", expr(
+          s"CAST($B AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0))"))
+        .withColumn("base", expr(
+          "CAST(b128 DIV CAST(tot AS DECIMAL(38,0)) AS BIGINT)"))
+        .withColumn("rem", expr(
+          "CAST(b128 - CAST(base AS DECIMAL(38,0)) " +
+            "* CAST(tot AS DECIMAL(38,0)) AS BIGINT)"))
+      val ext = broadcast(base.agg((lit(B) - sum("base")).as("n_extra"))
+        .withColumn("_one", lit(1)))
+      val wr = Window.orderBy(desc_nulls_last("rem"),
+        asc_nulls_last("source"))
+      base.withColumn("rk", row_number().over(wr))
+        .join(ext, "_one")
+        .withColumn("alloc", col("base")
+          + when(col("rk") <= col("n_extra"), 1L).otherwise(0L))
+        .select("source", "n_tokens", "base", "rem", "alloc")
+        .orderBy(asc_nulls_last("source"))
+    }),
+
     // Top-k vocabulary coverage — the tokenizer-sizing number: what
     // share of all token OCCURRENCES the 100 / 1000 most frequent
     // types carry (a Zipf corpus saturates fast; the gap to 1.0 is the
@@ -797,6 +908,50 @@ object TextOps {
           / sum("n_docs").over(wl))
         .withColumn("correct", col("lang") === col("pred_lang"))
         .orderBy(asc_nulls_last("lang"), asc_nulls_last("pred_lang"))
+    }),
+
+    // Filter-cascade attribution — the "why did we drop it" report a
+    // curation pipeline owes its operators: each document runs the four
+    // declared gates IN ORDER (language-ID mismatch → gopher structural
+    // → non-canonical exact duplicate → quality score) and is charged
+    // to the FIRST gate it fails, so gate counts downstream of a noisy
+    // langid never silently absorb its rejects. Composes the declared
+    // q_text_langid / gopherMetrics / q_text_quality logic, so the
+    // cascade stays in lockstep with the individual gates by
+    // construction. Scale: four doc-grain narrow maps equi-joined on
+    // doc_id (AQE co-partitions the shuffles); the dup gate is a
+    // hash-partitioned window over md5 groups, never global.
+    "q_quality_cascade" -> ((s, d) => {
+      val li = queries("q_text_langid")(s, d)
+        .select(col("doc_id"),
+          (col("pred_lang") =!= col("lang")).as("g_lang"))
+      val gm = Quality.gopherMetrics(t(s, d, "documents"))
+        .select(col("doc_id"), (!col("passes")).as("g_gopher"))
+      val wdup = Window.partitionBy("h")
+      val dup = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("g_dup",
+          col("doc_id") =!= min("doc_id").over(wdup))
+        .select("doc_id", "g_dup")
+      val q = t(s, d, "documents").filter(col("text").isNotNull)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("score",
+          (size(array_distinct(col("toks"))).cast("double")
+            / col("n_tokens"))
+            * (least(col("n_tokens"), lit(100L)).cast("double") / 100))
+        .select(col("doc_id"), (!(col("score") > 0.3)).as("g_quality"))
+      li.join(gm, "doc_id").join(dup, "doc_id").join(q, "doc_id")
+        .withColumn("first_failed",
+          when(col("g_lang"), "lang")
+            .when(col("g_gopher"), "gopher")
+            .when(col("g_dup"), "exact_dup")
+            .when(col("g_quality"), "quality")
+            .otherwise("kept"))
+        .withColumn("kept", col("first_failed") === "kept")
+        .select("doc_id", "g_lang", "g_gopher", "g_dup", "g_quality",
+          "first_failed", "kept")
+        .orderBy(asc_nulls_last("doc_id"))
     }),
 
     // Hapax legomena per source — the share of a source's vocabulary
@@ -1582,6 +1737,143 @@ object TextOps {
         |CROSS JOIN nc
         |GROUP BY g.source
         |ORDER BY g.source ASC NULLS LAST""".stripMargin,
+
+    // Same split convention; the train set is the DISTINCT train-gram
+    // sliver, the probe a LEFT JOIN, counts exact integers.
+    "q_text_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3
+        |), e AS (
+        |  SELECT doc_id, source, toks,
+        |    unnest(generate_series(0, len(toks) - 3)) AS i
+        |  FROM t
+        |), g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS gram
+        |  FROM e
+        |), tr AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 10 <> 7
+        |), te AS (
+        |  SELECT doc_id, source, gram FROM g WHERE doc_id % 10 = 7
+        |)
+        |SELECT te.doc_id, te.source, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN tr.gram IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(CAST(SUM(CASE WHEN tr.gram IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS DOUBLE) / COUNT(*) AS novelty
+        |FROM te LEFT JOIN tr ON te.gram = tr.gram
+        |GROUP BY te.doc_id, te.source
+        |ORDER BY te.doc_id ASC NULLS LAST""".stripMargin,
+
+    // The four gate CTEs mirror the composed builders (langid CTE,
+    // gopher pass-list via LEFT JOIN null-probe, md5-window dup,
+    // quality score with identical association), then the same
+    // first-failed CASE.
+    "q_quality_cascade" ->
+      s"""WITH li AS (
+         |${langidOracle.linesIterator.map("  " + _).mkString("\n")}
+         |), gp AS (
+         |${Quality.gopherPassSubquery.linesIterator
+             .map("  " + _).mkString("\n")}
+         |), dp AS (
+         |  SELECT doc_id,
+         |    doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+         |      AS g_dup
+         |  FROM documents WHERE text IS NOT NULL
+         |), ql AS (
+         |  SELECT doc_id,
+         |    NOT ((CAST(len(list_distinct(string_split(text, ' ')))
+         |        AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS BIGINT))
+         |      * (CAST(least(CAST(len(string_split(text, ' '))
+         |          AS BIGINT), 100) AS DOUBLE) / 100) > 0.3)
+         |      AS g_quality
+         |  FROM documents WHERE text IS NOT NULL
+         |), m AS (
+         |  SELECT li.doc_id,
+         |    li.pred_lang <> li.lang AS g_lang,
+         |    gp.doc_id IS NULL AS g_gopher,
+         |    dp.g_dup, ql.g_quality
+         |  FROM li
+         |  LEFT JOIN gp ON li.doc_id = gp.doc_id
+         |  JOIN dp ON li.doc_id = dp.doc_id
+         |  JOIN ql ON li.doc_id = ql.doc_id
+         |), f AS (
+         |  SELECT doc_id, g_lang, g_gopher, g_dup, g_quality,
+         |    CASE WHEN g_lang THEN 'lang'
+         |      WHEN g_gopher THEN 'gopher'
+         |      WHEN g_dup THEN 'exact_dup'
+         |      WHEN g_quality THEN 'quality'
+         |      ELSE 'kept' END AS first_failed
+         |  FROM m
+         |)
+         |SELECT doc_id, g_lang, g_gopher, g_dup, g_quality,
+         |  first_failed, first_failed = 'kept' AS kept
+         |FROM f ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // The isqrt correction mirrors the Spark CASE exactly; window
+    // totals replace the constant-key broadcast (oracle SQL is not
+    // plan-gated).
+    "q_source_mix_sqrt" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL
+        |  GROUP BY source
+        |), s AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+        |  FROM c
+        |), q AS (
+        |  SELECT source, n_tokens,
+        |    CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+        |      WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END
+        |      AS isqrt_tokens
+        |  FROM s
+        |)
+        |SELECT source, n_tokens, isqrt_tokens,
+        |  CAST(n_tokens AS DOUBLE)
+        |    / CAST(SUM(n_tokens) OVER () AS BIGINT) AS w_raw,
+        |  CAST(isqrt_tokens AS DOUBLE)
+        |    / CAST(SUM(isqrt_tokens) OVER () AS BIGINT) AS w_sqrt
+        |FROM q
+        |ORDER BY source ASC NULLS LAST""".stripMargin,
+
+    // HUGEINT is DuckDB's 128-bit lane (the DECIMAL(38,0) twin);
+    // floor-div and mod on non-negative operands equal Spark's
+    // integral DIV / subtract-multiply remainder.
+    "q_source_budget" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL
+        |  GROUP BY source
+        |), t AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM c
+        |), b AS (
+        |  SELECT source, n_tokens,
+        |    CAST((CAST(1000000 AS HUGEINT) * n_tokens) // tot
+        |      AS BIGINT) AS base,
+        |    CAST((CAST(1000000 AS HUGEINT) * n_tokens) % tot
+        |      AS BIGINT) AS rem
+        |  FROM c, t
+        |), e AS (
+        |  SELECT 1000000 - CAST(SUM(base) AS BIGINT) AS n_extra FROM b
+        |), r AS (
+        |  SELECT source, n_tokens, base, rem,
+        |    row_number() OVER (
+        |      ORDER BY rem DESC NULLS LAST, source ASC NULLS LAST)
+        |      AS rk
+        |  FROM b
+        |)
+        |SELECT source, n_tokens, base, rem,
+        |  base + CASE WHEN rk <= e.n_extra THEN 1 ELSE 0 END AS alloc
+        |FROM r, e
+        |ORDER BY source ASC NULLS LAST""".stripMargin,
 
     "q_vocab_coverage" ->
       """WITH f AS (

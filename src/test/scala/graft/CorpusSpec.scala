@@ -61,6 +61,37 @@ class CorpusSpec extends SparkSpec {
     out.values.foreach(d => assert(d >= 2))
   }
 
+  test("q_graph_labelprop equals a plain-Scala 3-round synchronous " +
+      "replay and labels partition the vertex set") {
+    val pairs = TextDedup.nearDuplicates(Tables.table(spark, sf, "documents"))
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val nbrs = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var lbl: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lbl = nbrs.map { case (v, ns) =>
+        // neighbor votes + one self-vote; ties to the smallest label
+        val votes = (ns.map(lbl) :+ lbl(v)).groupBy(identity)
+          .map { case (l, vs) => (l, vs.length) }
+        v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val out = Corpus.queries("q_graph_labelprop")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == lbl.keySet)
+    out.foreach { r =>
+      assert(r.getLong(1) == lbl(r.getLong(0)),
+        s"label mismatch for node ${r.getLong(0)}")
+    }
+    // n_members is consistent and communities cover every vertex once
+    val bySize = lbl.values.groupBy(identity).map { case (l, vs) =>
+      l -> vs.size.toLong }
+    out.foreach(r => assert(r.getLong(2) == bySize(r.getLong(1))))
+    // propagation actually merged something (fixture has real dup pairs)
+    assert(lbl.values.toSet.size < lbl.size)
+  }
+
   test("connectedComponents converges in O(log diameter) rounds on a " +
       "256-node path and labels it exactly") {
     // a single path 0–1–2–…–255: worst case for plain min-label

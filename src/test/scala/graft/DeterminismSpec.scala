@@ -25,7 +25,10 @@ class DeterminismSpec extends SparkSpec {
     "q_dedup_clusters",  // iterative min-label propagation
     "q_embed_knn_classify", // two-phase prescreen + vote tie-breaks
     "q_stats_spearman",  // rank windows + one IEEE rho division
-    "q_graph_bfs_layers") // iterative frontier loop + driver seed
+    "q_graph_bfs_layers", // iterative frontier loop + driver seed
+    "q_graph_labelprop", // synchronous vote rounds + row_number ties
+    "q_ts_decompose",    // day-grid window decimals + 3 IEEE divisions
+    "q_text_novelty")    // cross-split distinct-gram membership probe
 
   sensitive.foreach { name =>
     test(s"$name is identical at shuffle.partitions 3 vs 13") {

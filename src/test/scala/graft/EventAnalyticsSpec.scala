@@ -276,6 +276,83 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getDouble(2) == mdev.toDouble / n.toDouble)
   }
 
+  test("q_ts_decompose matches a brute-force exact-decimal STL-lite " +
+      "replay and the components re-sum to the series") {
+    val daily = events.groupBy(e => dayOf(e._2))
+      .map { case (d, es) => d -> (es.map(e => BigDecimal(e._4)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum,
+        es.size.toLong) }
+      .toSeq.sortBy(_._1.toEpochDay)
+    val byDay = daily.toMap
+    def winOf(d: java.time.LocalDate) = daily.filter { case (d2, _) =>
+      math.abs(d2.toEpochDay - d.toEpochDay) <= 3 }
+    val interior = daily.filter { case (d, _) => winOf(d).size == 7 }
+    val seas = interior.groupBy(_._1.getDayOfWeek.getValue)
+      .map { case (dow, rows) =>
+        val num = rows.map { case (d, (y, _)) =>
+          7 * y - winOf(d).map(_._2._1).sum }.sum
+        dow -> (num, rows.size.toLong)
+      }
+    val out = EventAnalytics.queries("q_ts_decompose")(spark, sf).collect()
+    assert(out.map(_.getDate(0).toLocalDate).toSet == byDay.keySet)
+    out.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val (y, n) = byDay(d)
+      val w = winOf(d)
+      val trend = w.map(_._2._1).sum.toDouble / w.size
+      assert(r.getLong(1) == n, s"$d n_events")
+      assert(r.getDouble(2) == y.toDouble, s"$d y")
+      assert(r.getDouble(3) == trend, s"$d trend")
+      seas.get(d.getDayOfWeek.getValue) match {
+        case Some((num, cnt)) =>
+          val sv = num.toDouble / (7 * cnt)
+          assert(r.getDouble(4) == sv, s"$d seasonal")
+          assert(r.getDouble(5) == y.toDouble - trend - sv, s"$d resid")
+        case None =>
+          assert(r.isNullAt(4) && r.isNullAt(5), s"$d null seasonal")
+      }
+    }
+    // components re-sum to the series (resid is defined as the exact
+    // double remainder, so only re-association noise can appear)
+    out.filterNot(_.isNullAt(5)).foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3) - r.getDouble(4)
+        - r.getDouble(5)) < 1e-9)
+    }
+  }
+
+  test("q_anomaly_stl medians/flags replay from the verified decompose " +
+      "residuals") {
+    val dec = EventAnalytics.queries("q_ts_decompose")(spark, sf)
+      .collect()
+      .filterNot(_.isNullAt(5))
+      .map(r => r.getDate(0).toLocalDate -> r.getDouble(5))
+    assume(dec.length >= 3)
+    def med2(xs: Seq[(java.time.LocalDate, Double)]): Double = {
+      val sorted = xs.sortBy { case (d, v) => (v, d.toEpochDay) }
+      val n = sorted.size
+      val picks = Seq((n + 1) / 2, (n + 2) / 2).distinct
+        .map(i => sorted(i - 1)._2)
+      picks.map(v => BigDecimal(v)
+          .setScale(7, BigDecimal.RoundingMode.HALF_UP)).sum
+        .doubleValue / picks.size
+    }
+    val med = med2(dec.toSeq)
+    val devs = dec.map { case (d, r) => d -> math.abs(r - med) }
+    val mad = med2(devs.toSeq)
+    val out = EventAnalytics.queries("q_anomaly_stl")(spark, sf).collect()
+    assert(out.map(_.getDate(0).toLocalDate).toSet == dec.map(_._1).toSet)
+    val devMap = devs.toMap
+    out.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      assert(r.getDouble(2) == med, s"$d med")
+      assert(r.getDouble(3) == mad, s"$d mad")
+      assert(r.getDouble(4) == devMap(d), s"$d adev")
+      assert(r.getBoolean(5) == (devMap(d) > mad * 3), s"$d flag")
+    }
+    // the 3-MAD gate must separate: not everything flagged
+    assert(out.count(_.getBoolean(5)) < out.length)
+  }
+
   test("q_ts_ewma matches brute-force dyadic-weight smoothing") {
     val out = EventAnalytics.queries("q_ts_ewma")(spark, sf).collect()
       .map(r => (r.getString(0), r.getDate(1).toLocalDate) ->

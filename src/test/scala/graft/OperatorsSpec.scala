@@ -521,6 +521,123 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_text_novelty equals a plain-Scala cross-split 3-gram replay") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    def grams(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val train = docs.filter(_._1 % 10 != 7).flatMap(d => grams(d._3)).toSet
+    val expect = docs.filter(_._1 % 10 == 7)
+      .map { case (id, src, text) => id -> (src, grams(text)) }
+      .filter(_._2._2.nonEmpty).toMap
+    val out = TextOps.queries("q_text_novelty")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == expect.keySet)
+    out.foreach { r =>
+      val (src, gs) = expect(r.getLong(0))
+      val novel = gs.count(g => !train.contains(g)).toLong
+      assert(r.getString(1) == src)
+      assert(r.getLong(2) == gs.size.toLong, s"doc ${r.getLong(0)} grams")
+      assert(r.getLong(3) == novel, s"doc ${r.getLong(0)} novel")
+      assert(r.getDouble(4) == novel.toDouble / gs.size)
+    }
+    // the split must exercise both regimes on the fixture
+    assert(out.exists(_.getLong(3) > 0))
+    assert(out.exists(r => r.getLong(3) < r.getLong(2)))
+  }
+
+  test("q_source_mix_sqrt: exact isqrt law, share normalization, and " +
+      "sqrt damping strictly between raw and uniform") {
+    val out = TextOps.queries("q_source_mix_sqrt")(spark, sf).collect()
+    assume(out.nonEmpty)
+    out.foreach { r =>
+      val (n, s) = (r.getLong(1), r.getLong(2))
+      assert(s * s <= n && (s + 1) * (s + 1) > n,
+        s"isqrt law broken for ${r.getString(0)}: n=$n s=$s")
+    }
+    Seq(3, 4).foreach { i =>
+      val tot = out.map(_.getDouble(i)).sum
+      assert(math.abs(tot - 1.0) < 1e-9, s"col $i shares sum $tot")
+    }
+    // √-damping: the largest source loses share, the smallest gains
+    val big = out.maxBy(_.getLong(1))
+    val small = out.minBy(_.getLong(1))
+    if (big.getLong(1) > small.getLong(1)) {
+      assert(big.getDouble(4) < big.getDouble(3))
+      assert(small.getDouble(4) > small.getDouble(3))
+    }
+  }
+
+  test("q_quality_cascade charges each doc to its first failing gate " +
+      "and stays in lockstep with the component gates") {
+    import spark.implicits._
+    val gLang = TextOps.queries("q_text_langid")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(2) != r.getString(1))).toMap
+    val gGopher = graft.operators.Quality
+      .gopherMetrics(Tables.table(spark, sf, "documents")).collect()
+      .map(r => r.getLong(0) -> !r.getBoolean(5)).toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val gDup = docs.groupBy(_._2).iterator.flatMap { case (_, rs) =>
+      val m = rs.map(_._1).min
+      rs.map(r => r._1 -> (r._1 != m))
+    }.toMap
+    val gQual = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val score = (toks.distinct.length.toDouble / toks.length) *
+        (math.min(toks.length, 100).toDouble / 100)
+      id -> !(score > 0.3)
+    }.toMap
+    val out = TextOps.queries("q_quality_cascade")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == docs.map(_._1).toSet)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(1) == gLang(id), s"$id g_lang")
+      assert(r.getBoolean(2) == gGopher(id), s"$id g_gopher")
+      assert(r.getBoolean(3) == gDup(id), s"$id g_dup")
+      assert(r.getBoolean(4) == gQual(id), s"$id g_quality")
+      val expect =
+        if (gLang(id)) "lang"
+        else if (gGopher(id)) "gopher"
+        else if (gDup(id)) "exact_dup"
+        else if (gQual(id)) "quality"
+        else "kept"
+      assert(r.getString(5) == expect, s"$id first_failed")
+      assert(r.getBoolean(6) == (expect == "kept"), s"$id kept")
+    }
+    // the cascade must actually discriminate on the fixture
+    assert(out.map(_.getString(5)).distinct.length >= 2)
+  }
+
+  test("q_source_budget is an exact Hamilton apportionment: quotas sum " +
+      "to the budget and extras go to the largest remainders") {
+    val B = BigInt(1000000)
+    val out = TextOps.queries("q_source_budget")(spark, sf).collect()
+    assume(out.nonEmpty)
+    val tot = BigInt(out.map(_.getLong(1)).sum)
+    out.foreach { r =>
+      val n = BigInt(r.getLong(1))
+      assert(BigInt(r.getLong(2)) == B * n / tot, s"${r.getString(0)} base")
+      assert(BigInt(r.getLong(3)) == B * n % tot, s"${r.getString(0)} rem")
+      assert(r.getLong(4) - r.getLong(2) == 0L
+        || r.getLong(4) - r.getLong(2) == 1L)
+    }
+    assert(out.map(_.getLong(4)).sum == 1000000L, "allocs must sum to B")
+    // every +1 remainder is >= every +0 remainder (ties broken by name)
+    val plus = out.filter(r => r.getLong(4) > r.getLong(2))
+      .map(_.getLong(3))
+    val zero = out.filter(r => r.getLong(4) == r.getLong(2))
+      .map(_.getLong(3))
+    if (plus.nonEmpty && zero.nonEmpty)
+      assert(plus.min >= zero.max)
+  }
+
   test("q_stats_benford digits partition the positive orders") {
     val out = StatsTests.queries("q_stats_benford")(spark, sf).collect()
     val total = Tables.table(spark, sf, "orders")

@@ -91,25 +91,44 @@ class PlanRegressionSpec extends SparkSpec {
     // partitioned by day
     // q_ts_cusum's rank+cumsum window likewise runs over the day-grain
     // frame (one row per calendar day), merged into a single node
-    val allowed = Set("q_concurrency_peak", "q_ts_cusum",
+    // allowed maps each query to the max day/value-domain-bounded
+    // global-window NODES its plan may carry (node count, not distinct
+    // windows: an unpersisted multi-consumer frame duplicates its
+    // window subtree IDENTICALLY, and ReuseExchange computes it once)
+    val allowed = Map("q_concurrency_peak" -> 1, "q_ts_cusum" -> 1,
       // q_changepoint shares q_ts_cusum's skeleton: its single merged
       // rank+prefix-sum window runs over the day-grain frame (one row
       // per calendar day — bounded by the time span, not events)
-      "q_changepoint",
+      "q_changepoint" -> 1,
+      // q_ts_decompose's centered 7-day moving average runs over the
+      // day-grain frame (one row per calendar day — bounded by the
+      // time span, not events); the event-grain collapse below it is
+      // a keyed hash aggregate. TWO nodes: the trend/seasonal branches
+      // both consume the same day-grain window subtree (kept unpersisted
+      // on the q_graph_kcore reuse-over-cache argument)
+      "q_ts_decompose" -> 2,
+      // q_anomaly_stl's two median rank windows run over the persisted
+      // day-grain residual/deviation frames (≤ one row per calendar
+      // day); the decompose windows below them sit behind the persisted
+      // frame. Cap 2 = the two global medians
+      "q_anomaly_stl" -> 2,
+      // q_source_budget's remainder-rank window runs over the
+      // source-domain-bounded quota frame (≤ |sources| rows)
+      "q_source_budget" -> 1,
       // KS/MWU pooled-CDF carry: the global window runs over integer
       // value BUCKETS — bounded by the value domain (~330 rows), not the
       // event count (StatsTests.cumulative)
-      "q_stats_ks", "q_stats_mwu")
+      "q_stats_ks" -> 1, "q_stats_mwu" -> 1)
     SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(allowed).foreach { name =>
+      .filterNot(allowed.contains).foreach { name =>
       val found = globalWindows(SparkEntry.queries(name)(spark, sf))
       assert(found.isEmpty, s"$name plans a global window: $found")
     }
     // the allowlisted queries still have their event-grain work keyed:
-    // exactly ONE global window node (over day-grain rows) may appear
-    allowed.foreach { name =>
+    // only the declared day-grain window nodes may appear
+    allowed.foreach { case (name, cap) =>
       val found = globalWindows(SparkEntry.queries(name)(spark, sf))
-      assert(found.size <= 1, s"$name grew extra global windows: $found")
+      assert(found.size <= cap, s"$name grew extra global windows: $found")
     }
   }
 
@@ -174,6 +193,18 @@ class PlanRegressionSpec extends SparkSpec {
       // 1-row broadcast of the (n_keys, n_rows) grand totals — the
       // q_text_docfreq shape
       "q_skew_profile",
+      // 1-row broadcast of the (token, isqrt) grand totals on a
+      // constant key against the source-domain-bounded (≤ tens of
+      // rows) mixture frame — the q_text_docfreq shape
+      "q_source_mix_sqrt",
+      // 1-row broadcasts of the day count and the median/MAD scalars
+      // on a constant key against the day-grain residual frame — the
+      // q_text_docfreq shape
+      "q_anomaly_stl",
+      // 1-row broadcasts of the token grand total and the leftover-seat
+      // count on a constant key against the source-domain-bounded
+      // quota frame — the q_text_docfreq shape
+      "q_source_budget",
       // composes q_ann_ivfpq's bounded broadcasts with the 1-row exact
       // probe (the q_ann_ivf_curve ground-truth shape)
       "q_ann_pq_recall",

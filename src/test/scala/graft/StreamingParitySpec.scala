@@ -26,6 +26,8 @@ case class EvRow(event_type: String, value: Double)
 /** (source, token) observation for the TV-drift streaming replay. */
 case class SrcTok(source: String, token: String)
 
+case class TsVal(ts: Timestamp, value: Double)
+
 /** Batch↔stream parity: the SAME transforms (StreamShapes builders) fed
   * through MemoryStream must produce the batch answer once the stream
   * drains; plus watermark late-drop and stateful sessionize semantics. */
@@ -792,6 +794,46 @@ class StreamingParitySpec extends SparkSpec {
       s"stream token shift differs: ${streamRows.take(3)} vs " +
         s"${batch.take(3)}")
     assert(batch.size == 20 && batch.forall(_.getDouble(3) > 0.0))
+  }
+
+  test("daily STL monitor: streamed day-grain decimal state drained " +
+      "through decomposeFrom equals the batch decomposition") {
+    import graft.operators.EventAnalytics
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventAnalytics.queries("q_ts_decompose")(spark, sf)
+      .collect().toSeq
+    val obs = Tables.table(spark, sf, "events")
+      .select(col("ts"), col("value"))
+      .collect().map(r => TsVal(r.getTimestamp(0), r.getDouble(1)))
+    val mem = MemoryStream[TsVal]
+    val name = s"stldaily_${System.nanoTime()}"
+    // the twin maintains EXACTLY dailyPoints' aggregate in update mode:
+    // decimal sums are order-insensitive, so any batch split drains to
+    // the batch frame
+    val q = EventAnalytics.dailyPoints(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .start()
+    val third = obs.length / 3
+    Seq(obs.take(third), obs.slice(third, 2 * third), obs.drop(2 * third))
+      .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val finalPts = spark.table(name).collect()
+      .groupBy(_.getDate(0))
+      .map { case (d, rs) =>
+        (d, rs.last.getDecimal(1), rs.last.getLong(2)) }.toSeq
+    val streamRows = EventAnalytics.decomposeFrom(
+        finalPts.toDF("day", "yd", "n_events")
+          .select(col("day"),
+            col("yd").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+              .as("yd"),
+            col("n_events")))
+      .orderBy(asc_nulls_last("day"))
+      .collect().toSeq
+    assert(streamRows == batch,
+      s"stream decompose differs: ${streamRows.take(2)} vs " +
+        s"${batch.take(2)}")
+    assert(batch.nonEmpty && batch.exists(!_.isNullAt(5)))
   }
 
   test("user streaks: per-user day-set state across batches and a " +
