@@ -37,6 +37,10 @@ import graft.streaming.Monitoring
   *     state-push contract the reference's websocket does, over plain
   *     HTTP; the stream closes when the client disconnects and the dead
   *     subscriber is dropped from the listener bus)
+  *   - `GET    /instances` → JSON array of running instance ids;
+  *     `DELETE /instances/{id}` → cancel one instance (the R4
+  *     cancellation half, via [[InstanceManager]]: batch job-group
+  *     cancel or streaming-query stop) → 200 | 404
   *
   * Scale/deployment note: the control plane manages TEMPLATES, not
   * data — traffic is human/CI-scale, so the default single-threaded
@@ -45,7 +49,8 @@ import graft.streaming.Monitoring
   * [[TemplateRegistry!.saveTo]].
   */
 final class HttpControlPlane(registry: TemplateRegistry,
-    monitoring: Option[Monitoring] = None, port: Int = 0) {
+    monitoring: Option[Monitoring] = None, port: Int = 0,
+    instances: Option[InstanceManager] = None) {
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -115,6 +120,16 @@ final class HttpControlPlane(registry: TemplateRegistry,
             rs.map(reportJson).mkString("[", ",", "]"))
         case ("GET", "events" :: Nil) =>
           sse(ex)
+        case ("GET", "instances" :: Nil) =>
+          val ids = instances.map(_.active.toSeq.sorted).getOrElse(Nil)
+          respond(ex, 200, ids.map(quote).mkString("[", ",", "]"))
+        case ("DELETE", "instances" :: id :: Nil) =>
+          // the R4 cancellation half: kill one named instance — batch
+          // job group or streaming query — without touching the rest
+          instances.exists(_.cancel(id)) match {
+            case true  => respond(ex, 200, """{"cancelled":true}""")
+            case false => respond(ex, 404, """{"error":"not found"}""")
+          }
         case _ =>
           respond(ex, 404, """{"error":"no such route"}""")
       }

@@ -214,6 +214,64 @@ class ControlPlaneSpec extends SparkSpec {
     assert(spark.range(10).count() == 10)
   }
 
+  test("instance manager: external cancel kills a named batch action " +
+      "and HTTP DELETE stops a registered stream (R4 cancellation)") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.plans.InstanceManager
+    val mgr = new InstanceManager(spark)
+    val slowUdf = udf((x: Long) => { Thread.sleep(200); x })
+    val id = s"ext_${System.nanoTime()}"
+    @volatile var result: scala.util.Try[Any] = null
+    val runner = new Thread(() => {
+      result = mgr.runBatch(id) {
+        spark.range(0, 1000, 1, 4).select(slowUdf(col("id")).as("x"))
+          .agg(sum("x")).collect()
+      }
+    }, "instance-runner")
+    runner.start()
+    val deadline = System.nanoTime() + 10000000000L
+    while (!mgr.active.contains(id) && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(mgr.active.contains(id), "instance never registered")
+    Thread.sleep(300) // let executor tasks actually start sleeping
+    assert(mgr.cancel(id))
+    runner.join(30000)
+    assert(!runner.isAlive, "cancel must be prompt")
+    assert(result.isFailure, "cancelled action must surface as Failure")
+    assert(!mgr.active.contains(id))
+    assert(mgr.runBatch(s"ok_$id")(spark.range(7).count())
+      == scala.util.Success(7L), "manager stays usable after a cancel")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val qname = s"inst_${System.nanoTime()}"
+    val q = mem.toDF().writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    mgr.register("stream-1", q)
+    mem.addData(1L, 2L); q.processAllAvailable()
+    val srv = new graft.plans.HttpControlPlane(new TemplateRegistry,
+      instances = Some(mgr)).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val http = HttpClient.newHttpClient()
+      def send(r: HttpRequest): HttpResponse[String] =
+        http.send(r, HttpResponse.BodyHandlers.ofString())
+      val listed = send(HttpRequest.newBuilder()
+        .uri(URI.create(s"$base/instances")).GET().build())
+      assert(listed.statusCode() == 200
+        && listed.body().contains("stream-1"))
+      val del = send(HttpRequest.newBuilder()
+        .uri(URI.create(s"$base/instances/stream-1")).DELETE().build())
+      assert(del.statusCode() == 200)
+      assert(!q.isActive, "DELETE must stop the streaming query")
+      val missing = send(HttpRequest.newBuilder()
+        .uri(URI.create(s"$base/instances/no-such")).DELETE().build())
+      assert(missing.statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("monitoring listener captures per-batch reports (R18)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
