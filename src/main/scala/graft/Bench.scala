@@ -199,7 +199,9 @@ object Bench {
     "q_embed_centroid_drift" -> "cd", "q_text_novelty" -> "nv",
     "q_source_mix_sqrt" -> "mq", "q_graph_labelprop" -> "lp",
     "q_ts_decompose" -> "dz", "q_anomaly_stl" -> "as",
-    "q_quality_cascade" -> "qc", "q_source_budget" -> "sb")
+    "q_quality_cascade" -> "qc", "q_source_budget" -> "sb",
+    "q_audience_overlap" -> "ao", "q_graph_assortativity" -> "ov",
+    "q_bpe_encode" -> "be")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

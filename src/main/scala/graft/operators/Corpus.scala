@@ -559,6 +559,48 @@ object Corpus {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // Degree assortativity of the near-dup graph — Newman's r as pure
+    // integer arithmetic: over the symmetric directed edge list,
+    // r = (M·Σdadb − S1²) / (M·Σda² − S1²) with S1 = Σda (= Σ_v d_v²
+    // by symmetry), every sum an exact 128-bit DECIMAL(38,0) (M·Σda³
+    // overflows BIGINT on a big corpus) and ONE trailing IEEE division
+    // of the two correctly-rounded doubles. The >2^53 numerator and
+    // denominator ALSO ship as the §7.4 VARCHAR-routed strings —
+    // positive r means duplicate hubs cluster with hubs (one boiler-
+    // plate family), negative means hubs attach to leaves (a template
+    // radiating near-identical one-off pages). Scale: two degree joins
+    // keyed on the edge endpoints + one global agg with map-side
+    // partials; nothing beyond the edge list is ever materialized.
+    "q_graph_assortativity" -> ((s, d) => {
+      val pairs = TextDedup.nearDuplicates(t(s, d, "documents"))
+        .select("id_a", "id_b")
+      val sym = pairs.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select("e.src", "e.dst")
+        .persist() // two consumers: degrees + the labeled edge join
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      sym
+        .join(deg.select(col("src"), col("deg").as("da")), "src")
+        .join(deg.select(col("src").as("dst"), col("deg").as("db")),
+          "dst")
+        .agg(count(lit(1)).as("m_directed"),
+          sum(expr("CAST(da AS DECIMAL(38,0)) * CAST(db AS DECIMAL(38,0))"))
+            .as("sdadb"),
+          sum(expr("CAST(da AS DECIMAL(38,0))")).as("s1"),
+          sum(expr("CAST(da AS DECIMAL(38,0)) * CAST(da AS DECIMAL(38,0))"))
+            .as("s2"))
+        .select(col("m_directed"),
+          expr("CAST(CAST(m_directed AS DECIMAL(38,0)) * sdadb - s1 * s1 " +
+            "AS STRING)").as("num_str"),
+          expr("CAST(CAST(m_directed AS DECIMAL(38,0)) * s2 - s1 * s1 " +
+            "AS STRING)").as("den_str"),
+          (expr("CAST(CAST(m_directed AS DECIMAL(38,0)) * sdadb - s1 * s1 " +
+            "AS DOUBLE)")
+            / expr("CAST(CAST(m_directed AS DECIMAL(38,0)) * s2 - s1 * s1 " +
+              "AS DOUBLE)")).as("r"))
+    }),
+
     // Benchmark decontamination: eval split = doc_id % 5 == 0; a train
     // document is contaminated if any of its distinct 8-gram hashes
     // appears anywhere in the eval split. Scale: the membership probe is
@@ -1420,6 +1462,36 @@ object Corpus {
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
   }
 
+  /** HUGEINT is DuckDB's 128-bit DECIMAL(38,0) twin; num/den
+    * VARCHAR-route per §7.4 and the double division mirrors the two
+    * correctly-rounded casts. */
+  private def assortativityOracle: String =
+    s"""WITH pairs AS (
+       |${TextOps.dedupPairsSubquery}
+       |), e0 AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), dg AS (
+       |  SELECT src, CAST(COUNT(*) AS HUGEINT) AS deg
+       |  FROM e0 GROUP BY src
+       |), l AS (
+       |  SELECT da.deg AS da, db.deg AS db
+       |  FROM e0
+       |  JOIN dg da ON e0.src = da.src
+       |  JOIN dg db ON e0.dst = db.src
+       |), a AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+       |    SUM(da * db) AS sdadb, SUM(da) AS s1, SUM(da * da) AS s2
+       |  FROM l
+       |)
+       |SELECT CAST(m AS BIGINT) AS m_directed,
+       |  CAST(m * sdadb - s1 * s1 AS VARCHAR) AS num_str,
+       |  CAST(m * s2 - s1 * s1 AS VARCHAR) AS den_str,
+       |  CAST(CAST(m * sdadb - s1 * s1 AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(m * s2 - s1 * s1 AS VARCHAR) AS DOUBLE) AS r
+       |FROM a""".stripMargin
+
   /** Recursive CTE mirroring the Spark frontier loop: UNION dedups
     * (id, dist) pairs and the dist < 4 guard bounds the recursion to the
     * same four unrolled rounds; min(dist) collapses longer rediscoveries
@@ -1484,6 +1556,7 @@ object Corpus {
     "q_graph_jaccard" -> graphJaccardOracle,
     "q_graph_kcore" -> kcoreOracle,
     "q_graph_labelprop" -> labelpropOracle,
+    "q_graph_assortativity" -> assortativityOracle,
     "q_graph_bfs_layers" -> bfsLayersOracle,
     "q_graph_modularity" -> modularityOracle,
 

@@ -547,6 +547,39 @@ object EventAnalytics {
           Det.dsum(col("value")).as("sum_value"))
         .orderBy(asc_nulls_last("dow"), asc_nulls_last("hod"))),
 
+    // Audience-overlap matrix — user-set Jaccard between every pair of
+    // event types: the segmentation readout behind "do buyers also
+    // browse" and the de-dup factor for reach estimates. NEVER a
+    // user×user or set×set scan: distinct (user, type) pairs wedge-join
+    // on the shared user (the q_graph_jaccard shape — only type pairs
+    // with ≥ 1 common user exist), |A∩B| is the wedge count, |A∪B|
+    // comes from per-type distinct counts by inclusion-exclusion, and
+    // the Jaccard is ONE IEEE division of exact integers. Scale: one
+    // (user, type) distinct shuffle; wedge fan-out is bounded by the
+    // per-user TYPE degree (≤ |event types|, a constant), and the
+    // |types|²-bounded matrix joins its two count columns by broadcast.
+    "q_audience_overlap" -> ((s, d) => {
+      val ut = t(s, d, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+        .persist() // three consumers: wedge (×2) + per-type sizes
+      val sizes = broadcast(ut.groupBy("event_type")
+        .agg(count(lit(1)).as("n_users")))
+      val wedges = ut.select(col("user_id"), col("event_type").as("ta"))
+        .join(ut.select(col("user_id"), col("event_type").as("tb")),
+          "user_id")
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_common"))
+      wedges
+        .join(sizes.select(col("event_type").as("ta"),
+          col("n_users").as("users_a")), "ta")
+        .join(sizes.select(col("event_type").as("tb"),
+          col("n_users").as("users_b")), "tb")
+        .withColumn("jac", col("n_common").cast("double")
+          / (col("users_a") + col("users_b") - col("n_common")))
+        .select("ta", "tb", "users_a", "users_b", "n_common", "jac")
+        .orderBy(asc_nulls_last("ta"), asc_nulls_last("tb"))
+    }),
+
     // STL-lite daily decomposition — trend / weekly-seasonal / residual
     // split of the daily value series, the readout behind "is today's
     // dip real or just a Sunday": trend is the centered 7-day moving
@@ -1183,6 +1216,29 @@ object EventAnalytics {
          |  ${Det.sqlDsum("value")} AS sum_value
          |FROM events GROUP BY isodow(ts), hour(ts)
          |ORDER BY dow ASC NULLS LAST, hod ASC NULLS LAST""".stripMargin,
+
+    // Same wedge CTE on the shared user; sizes join per endpoint.
+    "q_audience_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |), sz AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM ut GROUP BY event_type
+        |), w AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type
+        |)
+        |SELECT w.ta, w.tb, sa.n_users AS users_a, sb.n_users AS users_b,
+        |  w.n_common,
+        |  CAST(w.n_common AS DOUBLE)
+        |    / (sa.n_users + sb.n_users - w.n_common) AS jac
+        |FROM w
+        |JOIN sz sa ON sa.event_type = w.ta
+        |JOIN sz sb ON sb.event_type = w.tb
+        |ORDER BY w.ta ASC NULLS LAST, w.tb ASC NULLS LAST""".stripMargin,
 
     // Same exact-decimal day grid; every decimal→DOUBLE conversion
     // routes through VARCHAR (the sqlDsum rule — DuckDB's direct cast

@@ -292,6 +292,72 @@ object TextOps {
           asc_nulls_last("pair"))
     }),
 
+    // BPE ENCODE — the apply side of q_bpe_merges: learn the same two
+    // greedy merges corpus-wide, apply them to every word, and report
+    // per-source compression (symbols-after / chars-before) — the
+    // tokenizer-efficiency readout that says which crawl source the
+    // learned vocabulary actually serves. The merge application is the
+    // proven double-space-joined symbol replace (q_bpe_merges'
+    // machinery, applied twice); counts stay exact integers with ONE
+    // trailing IEEE division per source. Scale: learning runs on the
+    // VOCABULARY (word-type grain, not occurrences); encoding runs on
+    // the (source, word) distinct frame with the two 1-row merge
+    // frames joined by constant-key broadcast (the q_text_docfreq
+    // shape).
+    "q_bpe_encode" -> ((s, d) => {
+      val wcSrc = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("n"))
+        .persist() // two consumers: corpus-level learning + encoding
+      val wc = wcSrc.groupBy("w").agg(sum("n").as("n"))
+      val p1 = wc.select(col("n"), explode(expr(
+          "CASE WHEN length(w) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+            "ELSE transform(sequence(1, length(w) - 1), i -> " +
+            "concat(substring(w, i, 1), ' ', substring(w, i + 1, 1))) " +
+            "END")).as("pair"))
+        .groupBy("pair").agg(sum("n").as("freq"))
+      val top1 = broadcast(p1
+        .orderBy(desc_nulls_last("freq"), asc_nulls_last("pair"))
+        .limit(1)
+        .select(col("pair").as("mp1")).withColumn("_one", lit(1)))
+      val s2 = wc.withColumn("_one", lit(1)).join(top1, "_one")
+        .withColumn("syms", split(trim(expr(
+          "replace(concat(' ', array_join(transform(sequence(1, " +
+            "length(w)), i -> substring(w, i, 1)), '  '), ' '), " +
+            "concat(' ', replace(mp1, ' ', '  '), ' '), " +
+            "concat(' ', replace(mp1, ' ', ''), ' '))")), "  "))
+      val p2 = s2.select(col("n"), explode(expr(
+          "CASE WHEN size(syms) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+            "ELSE transform(sequence(1, size(syms) - 1), i -> " +
+            "concat(element_at(syms, i), ' ', element_at(syms, i + 1))) " +
+            "END")).as("pair"))
+        .groupBy("pair").agg(sum("n").as("freq"))
+      val top2 = broadcast(p2
+        .orderBy(desc_nulls_last("freq"), asc_nulls_last("pair"))
+        .limit(1)
+        .select(col("pair").as("mp2")).withColumn("_one", lit(1)))
+      wcSrc.withColumn("_one", lit(1)).join(top1, "_one").join(top2, "_one")
+        .withColumn("sp1", expr(
+          "replace(concat(' ', array_join(transform(sequence(1, " +
+            "length(w)), i -> substring(w, i, 1)), '  '), ' '), " +
+            "concat(' ', replace(mp1, ' ', '  '), ' '), " +
+            "concat(' ', replace(mp1, ' ', ''), ' '))"))
+        .withColumn("sp2", expr(
+          "replace(sp1, concat(' ', replace(mp2, ' ', '  '), ' '), " +
+            "concat(' ', replace(mp2, ' ', ''), ' '))"))
+        .withColumn("n_syms",
+          size(split(trim(col("sp2")), "  ")).cast("long"))
+        .groupBy("source")
+        .agg(sum("n").as("n_tokens"),
+          sum(col("n") * length(col("w"))).as("n_chars_sym"),
+          sum(col("n") * col("n_syms")).as("n_syms_after"),
+          max("mp1").as("merge_1"), max("mp2").as("merge_2"))
+        .withColumn("compression",
+          col("n_syms_after").cast("double") / col("n_chars_sym"))
+        .orderBy(asc_nulls_last("source"))
+    }),
+
     // Per-source token-distribution shift — exact total-variation
     // distance ½·Σ|p_source − p_corpus| between each source's unigram
     // distribution and the corpus': the drift metric that flags a crawl
@@ -1704,6 +1770,66 @@ object TextOps {
         |)
         |ORDER BY iter ASC NULLS LAST, freq DESC NULLS LAST,
         |  pair ASC NULLS LAST""".stripMargin,
+
+    // The q_bpe_merges learning CTEs verbatim, a second top-1, then
+    // the same two nested replaces over the (source, word) frame.
+    "q_bpe_encode" ->
+      """WITH w AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |    WHERE text IS NOT NULL
+        |  ) WHERE length(w) > 0 GROUP BY w
+        |), p1 AS (
+        |  SELECT pair, CAST(SUM(n) AS BIGINT) AS freq FROM (
+        |    SELECT n, unnest(list_transform(range(1, length(w)),
+        |      i -> substring(w, i, 1) || ' ' || substring(w, i + 1, 1)))
+        |      AS pair
+        |    FROM w) GROUP BY pair
+        |), top1 AS (
+        |  SELECT pair AS mp1 FROM p1
+        |  ORDER BY freq DESC NULLS LAST, pair ASC NULLS LAST LIMIT 1
+        |), s2 AS (
+        |  SELECT n, string_split(trim(replace(
+        |      ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+        |        i -> substring(w, i, 1)), '  ') || ' ',
+        |      ' ' || replace(mp1, ' ', '  ') || ' ',
+        |      ' ' || replace(mp1, ' ', '') || ' ')), '  ') AS syms
+        |  FROM w, top1
+        |), p2 AS (
+        |  SELECT pair, CAST(SUM(n) AS BIGINT) AS freq FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(syms)),
+        |      i -> syms[i] || ' ' || syms[i + 1])) AS pair
+        |    FROM s2) GROUP BY pair
+        |), top2 AS (
+        |  SELECT pair AS mp2 FROM p2
+        |  ORDER BY freq DESC NULLS LAST, pair ASC NULLS LAST LIMIT 1
+        |), ws AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL
+        |  ) WHERE length(w) > 0 GROUP BY source, w
+        |), e1 AS (
+        |  SELECT source, n, w, mp1, mp2,
+        |    replace(replace(
+        |      ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+        |        i -> substring(w, i, 1)), '  ') || ' ',
+        |      ' ' || replace(mp1, ' ', '  ') || ' ',
+        |      ' ' || replace(mp1, ' ', '') || ' '),
+        |      ' ' || replace(mp2, ' ', '  ') || ' ',
+        |      ' ' || replace(mp2, ' ', '') || ' ') AS sp2
+        |  FROM ws, top1, top2
+        |)
+        |SELECT source,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n * length(w)) AS BIGINT) AS n_chars_sym,
+        |  CAST(SUM(n * len(string_split(trim(sp2), '  '))) AS BIGINT)
+        |    AS n_syms_after,
+        |  MAX(mp1) AS merge_1, MAX(mp2) AS merge_2,
+        |  CAST(CAST(SUM(n * len(string_split(trim(sp2), '  ')))
+        |    AS BIGINT) AS DOUBLE)
+        |    / CAST(SUM(n * length(w)) AS BIGINT) AS compression
+        |FROM e1 GROUP BY source
+        |ORDER BY source ASC NULLS LAST""".stripMargin,
 
     "q_source_token_shift" ->
       """WITH tk AS (

@@ -92,6 +92,34 @@ class CorpusSpec extends SparkSpec {
     assert(lbl.values.toSet.size < lbl.size)
   }
 
+  test("q_graph_assortativity equals an exact BigInt replay and r is " +
+      "a valid correlation") {
+    val pairs = TextDedup.nearDuplicates(Tables.table(spark, sf, "documents"))
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).map { case (v, es) =>
+      v -> BigInt(es.length) }
+    val labeled = sym.map { case (a, b) => (deg(a), deg(b)) }
+    val m = BigInt(labeled.length)
+    val sdadb = labeled.map { case (da, db) => da * db }.sum
+    val s1 = labeled.map(_._1).sum
+    val s2 = labeled.map { case (da, _) => da * da }.sum
+    val num = m * sdadb - s1 * s1
+    val den = m * s2 - s1 * s1
+    val rows = Corpus.queries("q_graph_assortativity")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == labeled.length.toLong)
+    assert(BigInt(r.getString(1)) == num, "num_str")
+    assert(BigInt(r.getString(2)) == den, "den_str")
+    assert(den > 0, "degenerate (regular) fixture graph")
+    assert(r.getDouble(3) == num.toDouble / den.toDouble)
+    assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("connectedComponents converges in O(log diameter) rounds on a " +
       "256-node path and labels it exactly") {
     // a single path 0–1–2–…–255: worst case for plain min-label

@@ -276,6 +276,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getDouble(2) == mdev.toDouble / n.toDouble)
   }
 
+  test("q_audience_overlap matches brute-force user-set Jaccard and " +
+      "only emits pairs with common users") {
+    val ut = eventsKeyed.map(e => (e._1, e._4)).distinct
+    val byType = ut.groupBy(_._2).map { case (t0, rs) =>
+      t0 -> rs.map(_._1).toSet }
+    val out = EventAnalytics.queries("q_audience_overlap")(spark, sf)
+      .collect()
+    val expectPairs = byType.keys.toSeq.sorted.combinations(2)
+      .map { case Seq(a, b) => (a, b) }
+      .filter { case (a, b) => (byType(a) & byType(b)).nonEmpty }
+      .toSet
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet
+      == expectPairs)
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val inter = (byType(a) & byType(b)).size.toLong
+      assert(r.getLong(2) == byType(a).size.toLong)
+      assert(r.getLong(3) == byType(b).size.toLong)
+      assert(r.getLong(4) == inter)
+      assert(r.getDouble(5) == inter.toDouble
+        / (byType(a).size + byType(b).size - inter))
+    }
+  }
+
   test("q_ts_decompose matches a brute-force exact-decimal STL-lite " +
       "replay and the components re-sum to the series") {
     val daily = events.groupBy(e => dayOf(e._2))

@@ -573,6 +573,57 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_bpe_encode merges match the greedy replay and the per-source " +
+      "symbol bill is exact") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("source", "text").as[(String, String)].collect()
+    val wordsSrc = docs.flatMap { case (src, text) =>
+      text.split(" ", -1).filter(_.nonEmpty).map(w => (src, w)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val wc = wordsSrc.groupBy(_._1._2)
+      .map { case (w, m) => w -> m.values.sum }
+    def pairFreqs(symsOf: String => List[String]): Map[String, Long] =
+      wc.toSeq.flatMap { case (w, n) =>
+        symsOf(w).sliding(2).filter(_.size == 2)
+          .map(p => (p.head + " " + p(1)) -> n)
+      }.groupBy(_._1).map { case (p, v) => p -> v.map(_._2).sum }
+    def applyMerge(syms: List[String], a: String, b: String)
+        : List[String] = syms match {
+      case x :: y :: rest if x == a && y == b =>
+        (a + b) :: applyMerge(rest, a, b)
+      case x :: rest => x :: applyMerge(rest, a, b)
+      case Nil => Nil
+    }
+    def top(f: Map[String, Long]): String =
+      f.toSeq.minBy { case (p, n) => (-n, p) }._1
+    val chars = (w: String) => w.map(_.toString).toList
+    val m1 = top(pairFreqs(chars))
+    val Array(a1, b1) = m1.split(" ")
+    val m2 = top(pairFreqs(w => applyMerge(chars(w), a1, b1)))
+    val Array(a2, b2) = m2.split(" ")
+    def encode(w: String): Int =
+      applyMerge(applyMerge(chars(w), a1, b1), a2, b2).length
+    val out = TextOps.queries("q_bpe_encode")(spark, sf).collect()
+    assert(out.map(_.getString(4)).distinct.toSeq == Seq(m1))
+    assert(out.map(_.getString(5)).distinct.toSeq == Seq(m2))
+    val bySrc = wordsSrc.groupBy(_._1._1)
+    assert(out.map(_.getString(0)).toSet == bySrc.keySet)
+    out.foreach { r =>
+      val rows = bySrc(r.getString(0))
+      val nTok = rows.values.sum
+      val nChars = rows.map { case ((_, w), n) => n * w.length }.sum
+      val nSyms = rows.map { case ((_, w), n) => n * encode(w) }.sum
+      assert(r.getLong(1) == nTok, s"${r.getString(0)} tokens")
+      assert(r.getLong(2) == nChars, s"${r.getString(0)} chars")
+      assert(r.getLong(3) == nSyms, s"${r.getString(0)} syms")
+      assert(r.getDouble(6) == nSyms.toDouble / nChars)
+      // both merges must actually compress
+      assert(nSyms < nChars)
+    }
+  }
+
   test("q_quality_cascade charges each doc to its first failing gate " +
       "and stays in lockstep with the component gates") {
     import spark.implicits._

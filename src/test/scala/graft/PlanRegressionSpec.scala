@@ -205,6 +205,9 @@ class PlanRegressionSpec extends SparkSpec {
       // count on a constant key against the source-domain-bounded
       // quota frame — the q_text_docfreq shape
       "q_source_budget",
+      // the two 1-row learned-merge broadcasts on a constant key (the
+      // q_bpe_merges top-1 shape, applied to the encode frame)
+      "q_bpe_encode",
       // composes q_ann_ivfpq's bounded broadcasts with the 1-row exact
       // probe (the q_ann_ivf_curve ground-truth shape)
       "q_ann_pq_recall",
