@@ -201,7 +201,9 @@ object Bench {
     "q_ts_decompose" -> "dz", "q_anomaly_stl" -> "as",
     "q_quality_cascade" -> "qc", "q_source_budget" -> "sb",
     "q_audience_overlap" -> "ao", "q_graph_assortativity" -> "ov",
-    "q_bpe_encode" -> "be")
+    "q_bpe_encode" -> "be", "q_event_entropy" -> "ee",
+    "q_ts_mann_kendall" -> "mn", "q_event_gini" -> "eg",
+    "q_embed_pairwise_hist" -> "ph", "q_multimodal_zip" -> "zp")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

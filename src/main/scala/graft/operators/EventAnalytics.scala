@@ -580,6 +580,125 @@ object EventAnalytics {
         .orderBy(asc_nulls_last("ta"), asc_nulls_last("tb"))
     }),
 
+    // Hour-of-day entropy per event type — the "bot vs human" diurnal
+    // concentration readout: human-driven traffic spreads across waking
+    // hours (entropy near log2(active hours)), cron/bot traffic
+    // concentrates in a few slots (entropy → 0), and the gap per type
+    // flags which event streams are synthetic. H = log2(N) −
+    // (Σ c_h·log2(c_h))/N over the hour buckets, every log2 through the
+    // bit-portable exponent+series path and every per-bucket term
+    // quantized to the exact 1e-10 grid before the integer sum (the
+    // q_text_entropy convention — a raw double Σ would be
+    // partition-order-dependent). Scale: ONE keyed partial agg collapses
+    // events to the ≤ |types|×24 grid; everything after runs on that
+    // bounded frame.
+    "q_event_entropy" -> ((s, d) => {
+      val hc = t(s, d, "events")
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("c"))
+      val terms = hc
+        .withColumn("e2", expr(Det.log2Exp("c")))
+        .withColumn("mm", expr(Det.mantissa("c", "e2")))
+        .withColumn("zz", expr(Det.zOfM("mm")))
+        .withColumn("l2",
+          expr(s"CAST(e2 AS DOUBLE) + ${Det.plog2Series("zz")}"))
+        .withColumn("q", expr(
+          "CAST(floor(CAST(c AS DOUBLE) * l2 " +
+            "* CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(sum("c").as("n_events"), count(lit(1)).as("n_hours"),
+          sum("q").as("sq"))
+      terms
+        .withColumn("e2", expr(Det.log2Exp("n_events")))
+        .withColumn("mm", expr(Det.mantissa("n_events", "e2")))
+        .withColumn("zz", expr(Det.zOfM("mm")))
+        .withColumn("entropy_bits", expr(
+          s"CAST(e2 AS DOUBLE) + ${Det.plog2Series("zz")} " +
+            "- CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE) " +
+            "/ CAST(n_events AS DOUBLE)"))
+        .select("event_type", "n_events", "n_hours", "entropy_bits")
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
+    // Gini coefficient of per-user event counts — the activity-
+    // concentration readout ("do 1% of users generate 90% of events?")
+    // that decides whether per-user keys need salting and whether
+    // engagement metrics are mean-representable. NEVER sorts users:
+    // users collapse to a count-VALUE histogram (c, multiplicity m) and
+    // the sorted-rank identity Σ_i i·x_i = Σ_values c·(m·r0 + m(m+1)/2)
+    // (r0 = users with smaller counts) turns the Gini numerator
+    // 2·Σi·x_i − (n+1)·Σx into exact DECIMAL(38,0) arithmetic on that
+    // bounded frame. The >2^53-capable num/den ship VARCHAR-routed per
+    // §7.4 plus ONE IEEE division. Scale: one user-keyed partial agg,
+    // one histogram agg; the cumulative window is global but runs over
+    // the count-VALUE domain (≤ max events/user rows — the q_stats_ks
+    // bucket argument), never over users.
+    "q_event_gini" -> ((s, d) => {
+      val hist = t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("m"))
+      val w = Window.orderBy(asc_nulls_last("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("r0", sum(col("m")).over(w) - col("m"))
+        .withColumn("g", expr(
+          "CAST(c AS DECIMAL(38,0)) * (CAST(m AS DECIMAL(38,0)) " +
+            "* CAST(r0 AS DECIMAL(38,0)) " +
+            "+ CAST((m * (m + 1)) DIV 2 AS DECIMAL(38,0)))"))
+        .agg(sum(col("m")).as("n_users"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))"))
+            .as("tot"),
+          sum(col("g")).as("six"))
+        .select(col("n_users"),
+          col("tot").cast("long").as("n_events"),
+          expr("CAST(2 * six - (CAST(n_users AS DECIMAL(38,0)) + 1) " +
+            "* tot AS STRING)").as("gini_num_str"),
+          expr("CAST(CAST(n_users AS DECIMAL(38,0)) * tot AS STRING)")
+            .as("gini_den_str"),
+          (expr("CAST(2 * six - (CAST(n_users AS DECIMAL(38,0)) + 1) " +
+            "* tot AS DOUBLE)")
+            / expr("CAST(CAST(n_users AS DECIMAL(38,0)) * tot " +
+              "AS DOUBLE)")).as("gini"))
+    }),
+
+    // Mann–Kendall trend test per event type over the daily value-sum
+    // series — the nonparametric "is this metric actually drifting"
+    // gate (Mann 1945, Kendall 1975): S = Σ_{i<j} sign(y_j − y_i)
+    // counts concordant minus discordant day pairs, so it sees
+    // monotone drift through noise and outliers that wreck a linear
+    // fit. Exact arithmetic end-to-end: daily sums are decimals, the
+    // sign comparisons are decimal-exact, S and the no-ties variance
+    // scale n(n−1)(2n+5) are integers, and the reported trend_score =
+    // sign(S)·18·S²/(n(n−1)(2n+5)) (the signed square of the normal
+    // approximation's z, ties correction omitted — a documented upper
+    // bound on |z|) is ONE IEEE division. Scale: events collapse to
+    // the per-type day grid in one keyed partial agg; the pair join is
+    // an equi-join of that day-domain-bounded frame against itself on
+    // event_type (the q_ts_autocorr argument) — never over raw events.
+    "q_ts_mann_kendall" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).as("yd"))
+      val sgn = daily
+        .join(daily.select(col("event_type"), col("day").as("day2"),
+          col("yd").as("yd2")), Seq("event_type"))
+        .filter(col("day") < col("day2"))
+        .groupBy("event_type")
+        .agg(sum(when(col("yd2") > col("yd"), 1L)
+          .when(col("yd2") < col("yd"), -1L).otherwise(0L)).as("s_stat"))
+      daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+        .join(sgn, "event_type")
+        .withColumn("var_s_x18",
+          col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5))
+        .withColumn("trend_score",
+          (lit(18L) * col("s_stat") * abs(col("s_stat"))).cast("double")
+            / col("var_s_x18").cast("double"))
+        .select("event_type", "n_days", "s_stat", "var_s_x18",
+          "trend_score")
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
     // STL-lite daily decomposition — trend / weekly-seasonal / residual
     // split of the daily value series, the readout behind "is today's
     // dip real or just a Sunday": trend is the centered 7-day moving
@@ -1239,6 +1358,107 @@ object EventAnalytics {
         |JOIN sz sa ON sa.event_type = w.ta
         |JOIN sz sb ON sb.event_type = w.tb
         |ORDER BY w.ta ASC NULLS LAST, w.tb ASC NULLS LAST""".stripMargin,
+
+    // The q_text_entropy CTE chain on the (event_type, hour) grid;
+    // every log2 through the identical portable exponent+series text
+    // and per-bucket terms quantized to the 1e-10 integer grid.
+    "q_event_entropy" ->
+      s"""WITH hc AS (
+         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY event_type, hour(ts)
+         |), l AS (
+         |  SELECT event_type, c, ${Det.log2Exp("c")} AS e2 FROM hc
+         |), m AS (
+         |  SELECT event_type, c, e2, ${Det.sqlMantissa("c", "e2")} AS mm
+         |  FROM l
+         |), z AS (
+         |  SELECT event_type, c, e2, mm, ${Det.zOfM("mm")} AS zz FROM m
+         |), lq AS (
+         |  SELECT event_type, c,
+         |    CAST(e2 AS DOUBLE) + ${Det.plog2Series("zz")} AS l2
+         |  FROM z
+         |), q AS (
+         |  SELECT event_type, c,
+         |    CAST(floor(CAST(c AS DOUBLE) * l2
+         |      * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+         |  FROM lq
+         |), agg AS (
+         |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+         |    CAST(COUNT(*) AS BIGINT) AS n_hours,
+         |    CAST(SUM(q) AS BIGINT) AS sq
+         |  FROM q GROUP BY event_type
+         |), l2n AS (
+         |  SELECT *, ${Det.log2Exp("n_events")} AS e2 FROM agg
+         |), m2n AS (
+         |  SELECT *, ${Det.sqlMantissa("n_events", "e2")} AS mm FROM l2n
+         |), z2n AS (
+         |  SELECT *, ${Det.zOfM("mm")} AS zz FROM m2n
+         |)
+         |SELECT event_type, n_events, n_hours,
+         |  CAST(e2 AS DOUBLE) + ${Det.plog2Series("zz")}
+         |    - CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE)
+         |    / CAST(n_events AS DOUBLE) AS entropy_bits
+         |FROM z2n ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    // HUGEINT mirrors DECIMAL(38,0); num/den VARCHAR-route per §7.4 and
+    // `//` is DuckDB's integer division (Spark DIV).
+    "q_event_gini" ->
+      """WITH uc AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id
+        |), h AS (
+        |  SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM uc GROUP BY c
+        |), cm AS (
+        |  SELECT c, m,
+        |    SUM(m) OVER (ORDER BY c ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m AS r0
+        |  FROM h
+        |), g AS (
+        |  SELECT c, m,
+        |    CAST(c AS HUGEINT) * (CAST(m AS HUGEINT) * CAST(r0 AS HUGEINT)
+        |      + CAST((m * (m + 1)) // 2 AS HUGEINT)) AS gg
+        |  FROM cm
+        |), a AS (
+        |  SELECT CAST(SUM(m) AS HUGEINT) AS n,
+        |    SUM(CAST(c AS HUGEINT) * CAST(m AS HUGEINT)) AS tot,
+        |    SUM(gg) AS six
+        |  FROM g
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_users, CAST(tot AS BIGINT) AS n_events,
+        |  CAST(2 * six - (n + 1) * tot AS VARCHAR) AS gini_num_str,
+        |  CAST(n * tot AS VARCHAR) AS gini_den_str,
+        |  CAST(CAST(2 * six - (n + 1) * tot AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(n * tot AS VARCHAR) AS DOUBLE) AS gini
+        |FROM a""".stripMargin,
+
+    // Same exact-decimal per-type day grid; the pair CTE joins the day
+    // frame to itself on event_type with day < day2 and the sign
+    // comparisons run on the exact decimals.
+    "q_ts_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS yd
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+        |), sg AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.yd > a.yd THEN 1
+        |      WHEN b.yd < a.yd THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY a.event_type
+        |), nd AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY event_type
+        |)
+        |SELECT nd.event_type, nd.n_days, sg.s_stat,
+        |  nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) AS var_s_x18,
+        |  CAST(18 * sg.s_stat * abs(sg.s_stat) AS DOUBLE)
+        |    / CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+        |      AS DOUBLE) AS trend_score
+        |FROM nd JOIN sg ON nd.event_type = sg.event_type
+        |ORDER BY nd.event_type ASC NULLS LAST""".stripMargin,
 
     // Same exact-decimal day grid; every decimal→DOUBLE conversion
     // routes through VARCHAR (the sqlDsum rule — DuckDB's direct cast

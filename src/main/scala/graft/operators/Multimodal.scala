@@ -277,6 +277,73 @@ object Multimodal {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // ZIP local-file-header parse — the first member of the header
+    // family whose STRING field sits at a fixed offset but whose DATA
+    // offset is data-dependent twice over (30 + filename length +
+    // extra length, both read from the header): a correct parse must
+    // chain two little-endian u16 reads into the substring arithmetic
+    // before it can touch the member bytes — the PKWARE APPNOTE local
+    // header layout (magic PK\x03\x04, version, flags, method,
+    // modtime/moddate, crc32, compressed/uncompressed sizes u32 LE,
+    // name/extra lengths u16 LE, then name, extra, data). The fixture
+    // derives every field from doc columns (the variable-length
+    // filename comes from `source`, the 0–3 byte extra field from
+    // doc_id) and every 5th doc carries non-ZIP bytes for the
+    // sniff-reject path. Pure narrow map over a binary column.
+    "q_multimodal_zip" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      def le(v: Column, n: Int): Column = {
+        val p = lpad(hex(v), 2 * n, "0")
+        concat((0 until n).reverse.map(i => substring(p, 2 * i + 1, 2)): _*)
+      }
+      val method = (col("doc_id") % 2 * 8).cast("int")
+      val mtime = (col("doc_id") % 65536).cast("int")
+      val mdate = (col("doc_id") * 3 % 65536).cast("int")
+      val crc = (col("doc_id") * 2654435761L % 4294967296L).cast("long")
+      val usize = col("n_chars").cast("int")
+      val csize = when(method === 0, usize)
+        .otherwise(expr("CAST(n_chars DIV 2 + 1 AS INT)"))
+      val fname = concat(col("source"), lit(".txt"))
+      val fnlen = length(fname).cast("int")
+      val xlen = (col("doc_id") % 4).cast("int")
+      val zipHex = concat(lit("504B0304"), lit("1400"), lit("0000"),
+        le(method, 2), le(mtime, 2), le(mdate, 2), le(crc, 4),
+        le(csize, 4), le(usize, 4), le(fnlen, 2), le(xlen, 2),
+        hex(fname.cast("binary")),
+        expr("repeat('00', CAST(doc_id % 4 AS INT))"),
+        hex(substring(col("text"), 1, 6).cast("binary")))
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(zipHex)
+      val withPayload = docs.select(col("doc_id"),
+        unhex(payloadHex).as("payload"))
+        .withColumn("h", hex(col("payload")))
+      def leR(off: Int, n: Int): Column = {
+        val parts = (off + n - 1).to(off, -1)
+          .map(b => s"substring(h, ${2 * b + 1}, 2)")
+          .mkString("concat(", ", ", ")")
+        expr(s"CAST(conv($parts, 16, 10) AS BIGINT)")
+      }
+      val isZip = length(col("payload")) >= 30 &&
+        expr("substring(h, 1, 8)") === "504B0304"
+      withPayload
+        .withColumn("is_zip", isZip)
+        .withColumn("method", when(col("is_zip"), leR(8, 2)))
+        .withColumn("csize", when(col("is_zip"), leR(18, 4)))
+        .withColumn("usize", when(col("is_zip"), leR(22, 4)))
+        .withColumn("fnlen", when(col("is_zip"), leR(26, 2)))
+        .withColumn("xlen", when(col("is_zip"), leR(28, 2)))
+        .withColumn("fname", when(col("is_zip"), expr(
+          "decode(unhex(substring(h, 61, CAST(2 * fnlen AS INT))), " +
+            "'UTF-8')")))
+        .withColumn("data_head_hex", when(col("is_zip"), expr(
+          "substring(h, CAST(61 + 2 * fnlen + 2 * xlen AS INT), 12)")))
+        .withColumn("stored", when(col("is_zip"), col("method") === 0))
+        .select("doc_id", "is_zip", "method", "csize", "usize",
+          "fname", "data_head_hex", "stored")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     "q_multimodal_wav" -> ((s, d) => {
       val docs = graft.Tables.table(s, d, "documents")
       val ch = (col("doc_id") % 2 + 1).cast("int")
@@ -717,6 +784,82 @@ object Multimodal {
         |SELECT doc_id, is_mp3, ver_major, tag_size,
         |  10 + tag_size AS audio_offset
         |FROM cols ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same payload construction; every multi-byte field byte-reverses
+    // at the APPNOTE offsets and the member-data slice chains the two
+    // length reads into its substring position.
+    "q_multimodal_zip" ->
+      """WITH src AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(doc_id % 2 * 8 AS INTEGER) AS method,
+        |    CAST(doc_id % 65536 AS INTEGER) AS mtime,
+        |    CAST((doc_id * 3) % 65536 AS INTEGER) AS mdate,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS crc,
+        |    CAST(n_chars AS INTEGER) AS usize,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars
+        |      ELSE n_chars // 2 + 1 END AS INTEGER) AS csize,
+        |    source || '.txt' AS fname,
+        |    CAST(doc_id % 4 AS INTEGER) AS xlen,
+        |    hex(encode(substring(text, 1, 8))) AS th,
+        |    hex(encode(substring(text, 1, 6))) AS dh
+        |  FROM documents
+        |), enc AS (
+        |  SELECT doc_id, th, dh, fname, xlen,
+        |    lpad(hex(method), 4, '0') AS meh,
+        |    lpad(hex(mtime), 4, '0') AS mth,
+        |    lpad(hex(mdate), 4, '0') AS mdh,
+        |    lpad(hex(crc), 8, '0') AS crh,
+        |    lpad(hex(csize), 8, '0') AS csh,
+        |    lpad(hex(usize), 8, '0') AS ush,
+        |    lpad(hex(length(fname)), 4, '0') AS flh,
+        |    lpad(hex(xlen), 4, '0') AS xlh
+        |  FROM src
+        |), built AS (
+        |  SELECT doc_id, from_hex(CASE WHEN doc_id % 5 = 0 THEN th ELSE
+        |    '504B0304' || '1400' || '0000' ||
+        |    substring(meh, 3, 2) || substring(meh, 1, 2) ||
+        |    substring(mth, 3, 2) || substring(mth, 1, 2) ||
+        |    substring(mdh, 3, 2) || substring(mdh, 1, 2) ||
+        |    substring(crh, 7, 2) || substring(crh, 5, 2) ||
+        |    substring(crh, 3, 2) || substring(crh, 1, 2) ||
+        |    substring(csh, 7, 2) || substring(csh, 5, 2) ||
+        |    substring(csh, 3, 2) || substring(csh, 1, 2) ||
+        |    substring(ush, 7, 2) || substring(ush, 5, 2) ||
+        |    substring(ush, 3, 2) || substring(ush, 1, 2) ||
+        |    substring(flh, 3, 2) || substring(flh, 1, 2) ||
+        |    substring(xlh, 3, 2) || substring(xlh, 1, 2) ||
+        |    hex(encode(fname)) || repeat('00', xlen) || dh
+        |    END) AS payload
+        |  FROM enc
+        |), parsed AS (
+        |  SELECT doc_id, hex(payload) AS h,
+        |    octet_length(payload) >= 30
+        |      AND substring(hex(payload), 1, 8) = '504B0304' AS is_zip
+        |  FROM built
+        |), fields AS (
+        |  SELECT doc_id, h, is_zip,
+        |    CASE WHEN is_zip THEN CAST('0x' || substring(h, 19, 2)
+        |      || substring(h, 17, 2) AS BIGINT) END AS method,
+        |    CASE WHEN is_zip THEN CAST('0x' || substring(h, 43, 2)
+        |      || substring(h, 41, 2) || substring(h, 39, 2)
+        |      || substring(h, 37, 2) AS BIGINT) END AS csize,
+        |    CASE WHEN is_zip THEN CAST('0x' || substring(h, 51, 2)
+        |      || substring(h, 49, 2) || substring(h, 47, 2)
+        |      || substring(h, 45, 2) AS BIGINT) END AS usize,
+        |    CASE WHEN is_zip THEN CAST('0x' || substring(h, 55, 2)
+        |      || substring(h, 53, 2) AS BIGINT) END AS fnlen,
+        |    CASE WHEN is_zip THEN CAST('0x' || substring(h, 59, 2)
+        |      || substring(h, 57, 2) AS BIGINT) END AS xlen
+        |  FROM parsed
+        |)
+        |SELECT doc_id, is_zip, method, csize, usize,
+        |  CASE WHEN is_zip THEN decode(from_hex(substring(h, 61,
+        |    CAST(2 * fnlen AS INTEGER)))) END AS fname,
+        |  CASE WHEN is_zip THEN substring(h,
+        |    CAST(61 + 2 * fnlen + 2 * xlen AS INTEGER), 12)
+        |    END AS data_head_hex,
+        |  CASE WHEN is_zip THEN method = 0 END AS stored
+        |FROM fields ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     "q_multimodal_wav" ->
       """WITH src AS (

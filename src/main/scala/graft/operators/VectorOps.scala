@@ -665,6 +665,29 @@ object VectorOps {
         .orderBy(asc_nulls_last("true_label"))
     }),
 
+    // Pairwise-cosine histogram over the FIXED 32-vector panel — the
+    // anisotropy / space-collapse diagnostic (Ethayarajh, EMNLP 2019):
+    // contextual-embedding spaces drift toward a narrow cone, and a
+    // mass of pairwise cosines near 1 means distance-based retrieval
+    // and dedup thresholds stop discriminating. The panel keeps the
+    // O(panel²) bill a CONSTANT (496 pairs) independent of corpus
+    // size — the q_ann_recall bounded-panel economics; cosines are the
+    // exact-decimal dot (bit-identical on both engines), the bin is
+    // floor(10·cos) of that identical double, and the per-bin sum is
+    // an exact scale-7 decimal.
+    "q_embed_pairwise_hist" -> ((s, d) => {
+      val p = t(s, d, "embeddings").filter(col("vec_id") < 32)
+        .select(col("vec_id"), col("embedding"))
+      p.select(col("vec_id").as("va"), col("embedding").as("ea"))
+        .join(p.select(col("vec_id").as("vb"), col("embedding").as("eb")),
+          col("va") < col("vb"))
+        .withColumn("cosine", dotExpr(s, "ea", "eb"))
+        .groupBy(floor(col("cosine") * 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+          graft.Det.dsum(col("cosine"), 7).as("sum_cos"))
+        .orderBy(asc_nulls_last("bin"))
+    }),
+
     // IVF-style ANN (inverted-file coarse quantization): k deterministic
     // centroids (the first k vectors — a fixed, engine-agnostic choice
     // standing in for trained k-means centroids), every vector assigned
@@ -1858,6 +1881,22 @@ object VectorOps {
          |FROM pred pr JOIN p ON pr.p_id = p.p_id
          |GROUP BY p.true_label
          |ORDER BY true_label ASC NULLS LAST""".stripMargin,
+
+    // Same fixed panel self-join; identical exact-decimal dot text and
+    // the floor(10·cos) bin of the identical double.
+    "q_embed_pairwise_hist" ->
+      s"""WITH p AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32
+         |), pr AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    ${sqlDot("a.embedding", "b.embedding")} AS cosine
+         |  FROM p a JOIN p b ON a.vec_id < b.vec_id
+         |)
+         |SELECT CAST(floor(cosine * 10) AS BIGINT) AS bin,
+         |  COUNT(*) AS n_pairs,
+         |  ${graft.Det.sqlDsum("cosine", 7)} AS sum_cos
+         |FROM pr GROUP BY CAST(floor(cosine * 10) AS BIGINT)
+         |ORDER BY bin ASC NULLS LAST""".stripMargin,
 
     // The q_ann_neighbors bucket CTE with the occupancy double-group.
     "q_ann_bucket_stats" ->

@@ -397,4 +397,69 @@ class EventAnalyticsSpec extends SparkSpec {
         s"ewma for $typ $day")
     }
   }
+
+  test("q_event_entropy matches brute-force Shannon entropy of the " +
+    "hour-of-day histogram") {
+    val out = EventAnalytics.queries("q_event_entropy")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val byType = events.groupBy(_._3)
+    assert(out.keySet == byType.keySet)
+    val log2 = math.log(2.0)
+    byType.foreach { case (typ, evs) =>
+      val hours = evs.groupBy(e =>
+        e._2.toInstant.atZone(java.time.ZoneOffset.UTC).getHour)
+        .map(_._2.size)
+      val n = evs.size
+      val h = math.log(n.toDouble) / log2 -
+        hours.map(c => c * math.log(c.toDouble) / log2).sum / n
+      val (on, oh, oe) = out(typ)
+      assert(on == n && oh == hours.size, s"$typ counts")
+      // the portable series truncates below 2e-7 per log2 call
+      assert(math.abs(oe - h) < 1e-5, s"$typ entropy $oe vs $h")
+      assert(oe >= -1e-9 &&
+        oe <= math.log(24.0) / log2 + 1e-9, s"$typ range")
+    }
+  }
+
+  test("q_ts_mann_kendall S equals the brute-force concordance count " +
+    "on exact daily decimals") {
+    val out = EventAnalytics.queries("q_ts_mann_kendall")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val daily = events.groupBy(e => (e._3, dayOf(e._2)))
+      .map { case (k, es) => k -> es.map(e => BigDecimal(e._4)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum }
+    val byType = daily.groupBy(_._1._1)
+    assert(out.keySet == byType.keySet)
+    byType.foreach { case (typ, m) =>
+      val ys = m.toSeq.sortBy(_._1._2.toEpochDay).map(_._2)
+      val n = ys.size
+      val sStat = (for { i <- 0 until n; j <- i + 1 until n }
+        yield (ys(j) - ys(i)).signum.toLong).sum
+      val (on, os, ov, ot) = out(typ)
+      assert(on == n && os == sStat, s"$typ S")
+      assert(ov == n.toLong * (n - 1) * (2L * n + 5), s"$typ var")
+      assert(ot == (18L * sStat * math.abs(sStat)).toDouble / ov.toDouble,
+        s"$typ score")
+    }
+  }
+
+  test("q_event_gini matches the sorted brute-force Gini and stays " +
+    "in [0, 1)") {
+    val r = EventAnalytics.queries("q_event_gini")(spark, sf)
+      .collect().head
+    val counts = events.groupBy(_._1).map(_._2.size.toLong).toSeq.sorted
+    val n = counts.size.toLong
+    val tot = counts.sum
+    val six = counts.zipWithIndex
+      .map { case (x, i) => (i + 1).toLong * x }.sum
+    val num = 2 * six - (n + 1) * tot
+    val den = n * tot
+    assert(r.getLong(0) == n && r.getLong(1) == tot)
+    assert(r.getString(2) == num.toString)
+    assert(r.getString(3) == den.toString)
+    assert(r.getDouble(4) == num.toDouble / den.toDouble)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+  }
 }

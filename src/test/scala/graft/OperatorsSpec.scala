@@ -1497,4 +1497,60 @@ class OperatorsSpec extends SparkSpec {
     val got = df.agg(wavg($"p", $"w")).head.getDouble(0)
     assert(math.abs(got - 17.5) < 1e-12)
   }
+
+  test("q_embed_pairwise_hist matches a plain-Scala exact-decimal " +
+    "recomputation over the fixed panel") {
+    import spark.implicits._
+    val out = VectorOps.queries("q_embed_pairwise_hist")(spark, sf)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val panel = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .filter(v => v._1 < 32 && v._2 != null)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => BigDecimal(x.toDouble * y.toDouble)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble
+    val cos = for { (ia, ea) <- panel; (ib, eb) <- panel if ia < ib }
+      yield dot(ea, eb)
+    assert(cos.length == panel.length * (panel.length - 1) / 2)
+    val hist = cos.groupBy(c => math.floor(c * 10).toLong)
+      .map { case (b, cs) => b -> (cs.length.toLong,
+        cs.map(c => BigDecimal(c)
+          .setScale(7, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble) }
+    assert(out == hist)
+    assert(out.values.map(_._1).sum == cos.length.toLong)
+  }
+
+  test("q_multimodal_zip parses the data-dependent filename and member " +
+    "offsets back to the fixture fields") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text", "source", "n_chars")
+      .as[(Long, String, String, Long)].collect()
+    val out = Multimodal.queries("q_multimodal_zip")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == docs.length)
+    var zips = 0
+    docs.foreach { case (id, text, source, nChars) =>
+      val r = out(id)
+      if (id % 5 == 0) {
+        // sniff-reject path: text bytes, never the ZIP magic
+        if (text != null) assert(!r.getBoolean(1), s"doc $id sniffed zip")
+        assert(r.isNullAt(2) && r.isNullAt(5), s"doc $id fields not null")
+      } else if (text != null) {
+        zips += 1
+        assert(r.getBoolean(1), s"doc $id not recognized")
+        assert(r.getLong(2) == id % 2 * 8, s"doc $id method")
+        val expCsize = if (id % 2 == 0) nChars else nChars / 2 + 1
+        assert(r.getLong(3) == expCsize, s"doc $id csize")
+        assert(r.getLong(4) == nChars, s"doc $id usize")
+        assert(r.getString(5) == source + ".txt", s"doc $id fname")
+        val expHead = text.take(6).getBytes("UTF-8")
+          .map("%02X".format(_)).mkString.take(12)
+        assert(r.getString(6) == expHead, s"doc $id data head")
+        assert(r.getBoolean(7) == (id % 2 == 0), s"doc $id stored")
+      }
+    }
+    assert(zips > 0, "no ZIP fixtures exercised")
+  }
 }

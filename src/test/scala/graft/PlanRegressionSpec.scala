@@ -118,7 +118,11 @@ class PlanRegressionSpec extends SparkSpec {
       // KS/MWU pooled-CDF carry: the global window runs over integer
       // value BUCKETS — bounded by the value domain (~330 rows), not the
       // event count (StatsTests.cumulative)
-      "q_stats_ks" -> 1, "q_stats_mwu" -> 1)
+      "q_stats_ks" -> 1, "q_stats_mwu" -> 1,
+      // q_event_gini's cumulative-rank window runs over the count-VALUE
+      // histogram (≤ max events/user rows — the q_stats_ks bucket
+      // argument); users collapse to the histogram in keyed aggregates
+      "q_event_gini" -> 1)
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed.contains).foreach { name =>
       val found = globalWindows(SparkEntry.queries(name)(spark, sf))
@@ -255,6 +259,10 @@ class PlanRegressionSpec extends SparkSpec {
       // FIXED 16-doc exact-truth panel broadcast — the q_ann_recall
       // bounded-panel argument applied to text dedup
       "q_dedup_recall",
+      // FIXED 32-vector panel self-joined on va < vb (496 pairs, a
+      // constant independent of corpus size) — the q_ann_recall
+      // bounded-panel argument
+      "q_embed_pairwise_hist",
       // 1-row broadcast of the adopted merge pair on a constant key —
       // the q_text_docfreq shape (the LIMIT 1 bounds it by construction)
       "q_bpe_merges",
