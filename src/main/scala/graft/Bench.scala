@@ -203,7 +203,9 @@ object Bench {
     "q_audience_overlap" -> "ao", "q_graph_assortativity" -> "ov",
     "q_bpe_encode" -> "be", "q_event_entropy" -> "ee",
     "q_ts_mann_kendall" -> "mn", "q_event_gini" -> "eg",
-    "q_embed_pairwise_hist" -> "ph", "q_multimodal_zip" -> "zp")
+    "q_embed_pairwise_hist" -> "ph", "q_multimodal_zip" -> "zp",
+    "q_multimodal_flac" -> "fc", "q_dup_quality_bias" -> "qb",
+    "q_source_lang_entropy" -> "yl")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

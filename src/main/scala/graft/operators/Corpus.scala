@@ -745,6 +745,44 @@ object Corpus {
         .orderBy(asc_nulls_last("lang"), asc_nulls_last("vocab_id"))
     }),
 
+    // Per-source language entropy — the crawl-homogeneity readout: a
+    // source whose language distribution has near-zero entropy is a
+    // single-language site (its langid gate can be fixed); high entropy
+    // flags an aggregator/mirror whose per-language quality must be
+    // audited separately. Same bit-portable log2 + 1e-10-grid term
+    // quantization as q_event_entropy (every log2 identical text, the
+    // per-language terms sum as exact integers). Scale: ONE keyed
+    // partial agg to the ≤ |sources|×|langs| grid; everything after
+    // runs on that bounded frame.
+    "q_source_lang_entropy" -> ((s, d) => {
+      val lc = t(s, d, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val terms = lc
+        .withColumn("e2", expr(graft.Det.log2Exp("c")))
+        .withColumn("mm", expr(graft.Det.mantissa("c", "e2")))
+        .withColumn("zz", expr(graft.Det.zOfM("mm")))
+        .withColumn("l2",
+          expr(s"CAST(e2 AS DOUBLE) + ${graft.Det.plog2Series("zz")}"))
+        .withColumn("q", expr(
+          "CAST(floor(CAST(c AS DOUBLE) * l2 " +
+            "* CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .groupBy("source")
+        .agg(sum("c").as("n_docs"), count(lit(1)).as("n_langs"),
+          sum("q").as("sq"))
+      terms
+        .withColumn("e2", expr(graft.Det.log2Exp("n_docs")))
+        .withColumn("mm", expr(graft.Det.mantissa("n_docs", "e2")))
+        .withColumn("zz", expr(graft.Det.zOfM("mm")))
+        .withColumn("entropy_bits", expr(
+          s"CAST(e2 AS DOUBLE) + ${graft.Det.plog2Series("zz")} " +
+            "- CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE) " +
+            "/ CAST(n_docs AS DOUBLE)"))
+        .select("source", "n_docs", "n_langs", "entropy_bits")
+        .orderBy(asc_nulls_last("source"))
+    }),
+
     // Source-quota sampling (corpus balancing): keep at most 20 docs per
     // source, chosen by seed-free md5 order so the selection is
     // partitioning- and cluster-layout-invariant; membership proven to
@@ -1758,6 +1796,48 @@ object Corpus {
         |)
         |SELECT lang, vocab_id, tok, n FROM r WHERE vocab_id <= 100
         |ORDER BY lang ASC NULLS LAST, vocab_id ASC NULLS LAST""".stripMargin,
+
+    // The q_event_entropy portable-log2 CTE chain on the
+    // (source, lang) grid.
+    "q_source_lang_entropy" ->
+      s"""WITH lc AS (
+         |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY source, lang
+         |), l AS (
+         |  SELECT source, c, ${graft.Det.log2Exp("c")} AS e2 FROM lc
+         |), m AS (
+         |  SELECT source, c, e2, ${graft.Det.sqlMantissa("c", "e2")} AS mm
+         |  FROM l
+         |), z AS (
+         |  SELECT source, c, e2, mm, ${graft.Det.zOfM("mm")} AS zz FROM m
+         |), lq AS (
+         |  SELECT source, c,
+         |    CAST(e2 AS DOUBLE) + ${graft.Det.plog2Series("zz")} AS l2
+         |  FROM z
+         |), q AS (
+         |  SELECT source, c,
+         |    CAST(floor(CAST(c AS DOUBLE) * l2
+         |      * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+         |  FROM lq
+         |), agg AS (
+         |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(*) AS BIGINT) AS n_langs,
+         |    CAST(SUM(q) AS BIGINT) AS sq
+         |  FROM q GROUP BY source
+         |), l2n AS (
+         |  SELECT *, ${graft.Det.log2Exp("n_docs")} AS e2 FROM agg
+         |), m2n AS (
+         |  SELECT *, ${graft.Det.sqlMantissa("n_docs", "e2")} AS mm
+         |  FROM l2n
+         |), z2n AS (
+         |  SELECT *, ${graft.Det.zOfM("mm")} AS zz FROM m2n
+         |)
+         |SELECT source, n_docs, n_langs,
+         |  CAST(e2 AS DOUBLE) + ${graft.Det.plog2Series("zz")}
+         |    - CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE)
+         |    / CAST(n_docs AS DOUBLE) AS entropy_bits
+         |FROM z2n ORDER BY source ASC NULLS LAST""".stripMargin,
 
     "q_source_quota" ->
       """WITH r AS (

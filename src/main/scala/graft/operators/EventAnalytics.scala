@@ -32,6 +32,38 @@ import graft.{Det, Tables}
 object EventAnalytics {
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
+  /** Entropy assembly from an (event_type, hod, c) hour-histogram count
+    * frame — shared by q_event_entropy and its streaming twin: the
+    * histogram is an update-mode-maintainable count state, and because
+    * every log2 is the bit-portable chain and each per-bucket term
+    * quantizes to the exact 1e-10 integer grid before the sum, any
+    * batch split of the stream drains through this to the identical
+    * result (StreamingParitySpec). */
+  def entropyFrom(hc: DataFrame): DataFrame = {
+    val terms = hc
+      .withColumn("e2", expr(Det.log2Exp("c")))
+      .withColumn("mm", expr(Det.mantissa("c", "e2")))
+      .withColumn("zz", expr(Det.zOfM("mm")))
+      .withColumn("l2",
+        expr(s"CAST(e2 AS DOUBLE) + ${Det.plog2Series("zz")}"))
+      .withColumn("q", expr(
+        "CAST(floor(CAST(c AS DOUBLE) * l2 " +
+          "* CAST(10000000000 AS DOUBLE) " +
+          "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(sum("c").as("n_events"), count(lit(1)).as("n_hours"),
+        sum("q").as("sq"))
+    terms
+      .withColumn("e2", expr(Det.log2Exp("n_events")))
+      .withColumn("mm", expr(Det.mantissa("n_events", "e2")))
+      .withColumn("zz", expr(Det.zOfM("mm")))
+      .withColumn("entropy_bits", expr(
+        s"CAST(e2 AS DOUBLE) + ${Det.plog2Series("zz")} " +
+          "- CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE) " +
+          "/ CAST(n_events AS DOUBLE)"))
+      .select("event_type", "n_events", "n_hours", "entropy_bits")
+  }
+
   /** Per-user ordered (prev_type, next_type) transition pairs — the lag
     * half of q_markov_transition, shared with the streaming twin
     * ([[graft.streaming.StatefulTwins.transitionStream]]): batch derives
@@ -592,34 +624,11 @@ object EventAnalytics {
     // partition-order-dependent). Scale: ONE keyed partial agg collapses
     // events to the ≤ |types|×24 grid; everything after runs on that
     // bounded frame.
-    "q_event_entropy" -> ((s, d) => {
-      val hc = t(s, d, "events")
+    "q_event_entropy" -> ((s, d) =>
+      entropyFrom(t(s, d, "events")
         .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
-        .agg(count(lit(1)).as("c"))
-      val terms = hc
-        .withColumn("e2", expr(Det.log2Exp("c")))
-        .withColumn("mm", expr(Det.mantissa("c", "e2")))
-        .withColumn("zz", expr(Det.zOfM("mm")))
-        .withColumn("l2",
-          expr(s"CAST(e2 AS DOUBLE) + ${Det.plog2Series("zz")}"))
-        .withColumn("q", expr(
-          "CAST(floor(CAST(c AS DOUBLE) * l2 " +
-            "* CAST(10000000000 AS DOUBLE) " +
-            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
-        .groupBy("event_type")
-        .agg(sum("c").as("n_events"), count(lit(1)).as("n_hours"),
-          sum("q").as("sq"))
-      terms
-        .withColumn("e2", expr(Det.log2Exp("n_events")))
-        .withColumn("mm", expr(Det.mantissa("n_events", "e2")))
-        .withColumn("zz", expr(Det.zOfM("mm")))
-        .withColumn("entropy_bits", expr(
-          s"CAST(e2 AS DOUBLE) + ${Det.plog2Series("zz")} " +
-            "- CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE) " +
-            "/ CAST(n_events AS DOUBLE)"))
-        .select("event_type", "n_events", "n_hours", "entropy_bits")
-        .orderBy(asc_nulls_last("event_type"))
-    }),
+        .agg(count(lit(1)).as("c")))
+        .orderBy(asc_nulls_last("event_type"))),
 
     // Gini coefficient of per-user event counts — the activity-
     // concentration readout ("do 1% of users generate 90% of events?")

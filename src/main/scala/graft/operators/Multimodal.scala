@@ -277,6 +277,69 @@ object Multimodal {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // FLAC STREAMINFO parse — the first header whose fields are NOT
+    // byte-aligned: the trailing 8-byte pack holds sample rate (20
+    // bits), channels−1 (3 bits), bits-per-sample−1 (5 bits) and total
+    // samples (36 bits), so a correct parse must extract SUB-BYTE bit
+    // fields with shift/mask arithmetic — byte-sliced reads (every
+    // other member of the family) cannot decode it. The pack is read
+    // as two u32 BE halves (a single u64 read could overflow signed
+    // BIGINT), then sr = hi>>12, ch = ((hi>>9)&7)+1, bps = ((hi>>4)&31)+1,
+    // total = (hi&15)·2³² + lo — integer ops, engine-identical. Layout:
+    // "fLaC", block header (last-flag|type=0, u24 BE length 34), u16
+    // min/max blocksize, u24 min/max framesize, the 8-byte pack. Every
+    // 5th doc carries non-FLAC bytes for the sniff-reject path. Pure
+    // narrow map over a binary column.
+    "q_multimodal_flac" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val sr = (when(col("doc_id") % 4 === 0, 8000)
+        .when(col("doc_id") % 4 === 1, 16000)
+        .when(col("doc_id") % 4 === 2, 44100)
+        .otherwise(48000)).cast("long")
+      val ch = (col("doc_id") % 2 + 1).cast("long")
+      val bps = (when(col("doc_id") % 3 === 0, 16).otherwise(24))
+        .cast("long")
+      val tot = (col("n_chars") * 1000).cast("long") // < 2^36
+      val hi = shiftleft(sr, 12) + shiftleft(ch - 1, 9) +
+        shiftleft(bps - 1, 4) + shiftright(tot, 32)
+      val lo = tot % 4294967296L
+      def be(v: Column, n: Int): Column = lpad(hex(v), 2 * n, "0")
+      val flacHex = concat(lit("664C6143"), // "fLaC"
+        lit("80"), lit("000022"), // last-block flag + type 0, len 34
+        be(lit(1024L), 2), be(lit(4096L), 2), // min/max blocksize
+        be(lit(1000L), 3), be(lit(60000L), 3), // min/max framesize
+        be(hi, 4), be(lo, 4))
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(flacHex)
+      val withPayload = docs.select(col("doc_id"),
+        unhex(payloadHex).as("payload"))
+        .withColumn("h", hex(col("payload")))
+      def beRead(off: Int, n: Int): Column = expr(
+        s"CAST(conv(substring(h, ${2 * off + 1}, ${2 * n}), 16, 10) " +
+          "AS BIGINT)")
+      val isFlac = length(col("payload")) >= 26 &&
+        expr("substring(h, 1, 8)") === "664C6143"
+      withPayload
+        .withColumn("is_flac", isFlac)
+        .withColumn("min_blocksize", when(col("is_flac"), beRead(8, 2)))
+        .withColumn("max_blocksize", when(col("is_flac"), beRead(10, 2)))
+        .withColumn("hi", when(col("is_flac"), beRead(18, 4)))
+        .withColumn("lo", when(col("is_flac"), beRead(22, 4)))
+        .withColumn("sample_rate", expr("shiftright(hi, 12)"))
+        .withColumn("channels", expr("shiftright(hi, 9) % 8 + 1"))
+        .withColumn("bits_per_sample", expr("shiftright(hi, 4) % 32 + 1"))
+        .withColumn("total_samples",
+          expr("(hi % 16) * 4294967296 + lo"))
+        .withColumn("duration_ms", expr(
+          "CASE WHEN is_flac THEN total_samples * 1000 DIV sample_rate " +
+            "END"))
+        .select("doc_id", "is_flac", "min_blocksize", "max_blocksize",
+          "sample_rate", "channels", "bits_per_sample", "total_samples",
+          "duration_ms")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // ZIP local-file-header parse — the first member of the header
     // family whose STRING field sits at a fixed offset but whose DATA
     // offset is data-dependent twice over (30 + filename length +
@@ -784,6 +847,61 @@ object Multimodal {
         |SELECT doc_id, is_mp3, ver_major, tag_size,
         |  10 + tag_size AS audio_offset
         |FROM cols ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same pack construction; the bit fields come out with >>/% on the
+    // two u32 halves and `//` is the integer duration division.
+    "q_multimodal_flac" ->
+      """WITH src AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CASE WHEN doc_id % 4 = 0 THEN 8000
+        |      WHEN doc_id % 4 = 1 THEN 16000
+        |      WHEN doc_id % 4 = 2 THEN 44100
+        |      ELSE 48000 END AS BIGINT) AS sr,
+        |    CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 24 END
+        |      AS BIGINT) AS bps,
+        |    CAST(n_chars * 1000 AS BIGINT) AS tot,
+        |    hex(encode(substring(text, 1, 8))) AS th
+        |  FROM documents
+        |), enc AS (
+        |  SELECT doc_id, th,
+        |    (sr << 12) + ((ch - 1) << 9) + ((bps - 1) << 4)
+        |      + (tot >> 32) AS hi,
+        |    tot % 4294967296 AS lo
+        |  FROM src
+        |), built AS (
+        |  SELECT doc_id, from_hex(CASE WHEN doc_id % 5 = 0 THEN th ELSE
+        |    '664C6143' || '80' || '000022' ||
+        |    lpad(hex(1024), 4, '0') || lpad(hex(4096), 4, '0') ||
+        |    lpad(hex(1000), 6, '0') || lpad(hex(60000), 6, '0') ||
+        |    lpad(hex(hi), 8, '0') || lpad(hex(lo), 8, '0') END) AS payload
+        |  FROM enc
+        |), parsed AS (
+        |  SELECT doc_id, hex(payload) AS h,
+        |    octet_length(payload) >= 26
+        |      AND substring(hex(payload), 1, 8) = '664C6143' AS is_flac
+        |  FROM built
+        |), fields AS (
+        |  SELECT doc_id, is_flac,
+        |    CASE WHEN is_flac THEN CAST('0x' || substring(h, 17, 4)
+        |      AS BIGINT) END AS min_blocksize,
+        |    CASE WHEN is_flac THEN CAST('0x' || substring(h, 21, 4)
+        |      AS BIGINT) END AS max_blocksize,
+        |    CASE WHEN is_flac THEN CAST('0x' || substring(h, 37, 8)
+        |      AS BIGINT) END AS hi,
+        |    CASE WHEN is_flac THEN CAST('0x' || substring(h, 45, 8)
+        |      AS BIGINT) END AS lo
+        |  FROM parsed
+        |)
+        |SELECT doc_id, is_flac, min_blocksize, max_blocksize,
+        |  hi >> 12 AS sample_rate,
+        |  (hi >> 9) % 8 + 1 AS channels,
+        |  (hi >> 4) % 32 + 1 AS bits_per_sample,
+        |  (hi % 16) * 4294967296 + lo AS total_samples,
+        |  CASE WHEN is_flac THEN
+        |    (((hi % 16) * 4294967296 + lo) * 1000) // (hi >> 12)
+        |    END AS duration_ms
+        |FROM fields ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     // Same payload construction; every multi-byte field byte-reverses
     // at the APPNOTE offsets and the member-data slice chains the two

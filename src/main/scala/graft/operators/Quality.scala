@@ -95,6 +95,49 @@ object Quality {
           col("n_docs_kept"), col("n_tokens_kept"))
         .orderBy(asc_nulls_last("cutoff_pct"))),
 
+    // Duplicate-vs-quality bias per source — "are the near-duplicates
+    // also the junk?": compares the mean q_text_quality score of LSH
+    // near-dup members against non-members within each source. A
+    // negative bias says dedup doubles as a quality filter there; a
+    // near-zero bias says boilerplate is spread across quality levels
+    // and the two gates prune independently — which decides whether a
+    // pipeline can cheapen by running only one of them. Scores are the
+    // declared deterministic rationals; the per-group means quantize
+    // each score to an exact DECIMAL(18,7) before the integer-exact sum
+    // (the Det convention) so partition order never shows. Scale: ONE
+    // LSH run (the proven bucketed pipeline) + a doc-keyed membership
+    // left-join + one source-keyed conditional aggregate.
+    "q_dup_quality_bias" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val members = TextDedup.nearDuplicates(docs)
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+        .withColumn("is_dup", lit(true))
+      val scored = docs
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_distinct",
+          size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("score",
+          (col("n_distinct").cast("double") / col("n_tokens"))
+            * (least(col("n_tokens"), lit(100L)).cast("double") / 100))
+        .join(members, Seq("doc_id"), "left")
+        .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+      def davgIf(cond: org.apache.spark.sql.Column) =
+        sum(when(cond, col("score")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 7))))
+          .cast("double") /
+          sum(when(cond && col("score").isNotNull, 1L).otherwise(0L))
+      scored.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+          davgIf(col("is_dup")).as("avg_score_dup"),
+          davgIf(!col("is_dup")).as("avg_score_nondup"))
+        .withColumn("quality_bias",
+          col("avg_score_dup") - col("avg_score_nondup"))
+        .orderBy(asc_nulls_last("source"))
+    }),
+
     // Gopher-style multi-rule gate: token-count bounds, mean token
     // length bounds, minimum stopword ratio, maximum token length. Each
     // rule surfaces as a column so a pipeline can report WHY a document
@@ -187,6 +230,42 @@ object Quality {
   )
 
   val oracle: Map[String, String] = Map(
+    // The shared LSH pair subquery feeds membership; score text is the
+    // q_text_quality oracle's verbatim; means VARCHAR-route the decimal
+    // sums per §7.4.
+    "q_dup_quality_bias" ->
+      s"""WITH pairs AS (
+         |${TextOps.dedupPairsSubquery}
+         |), mem AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT id_a AS doc_id FROM pairs
+         |    UNION ALL SELECT id_b AS doc_id FROM pairs)
+         |), sc AS (
+         |  SELECT d.source,
+         |    (CAST(len(list_distinct(string_split(d.text, ' ')))
+         |      AS DOUBLE) / len(string_split(d.text, ' ')))
+         |    * (CAST(least(len(string_split(d.text, ' ')), 100)
+         |      AS DOUBLE) / 100) AS score,
+         |    m.doc_id IS NOT NULL AS is_dup
+         |  FROM documents d LEFT JOIN mem m ON d.doc_id = m.doc_id
+         |)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup,
+         |  CAST(CAST(SUM(CASE WHEN is_dup
+         |    THEN CAST(score AS DECIMAL(18,7)) END) AS VARCHAR)
+         |    AS DOUBLE)
+         |    / SUM(CASE WHEN is_dup AND score IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS avg_score_dup,
+         |  CAST(CAST(SUM(CASE WHEN NOT is_dup
+         |    THEN CAST(score AS DECIMAL(18,7)) END) AS VARCHAR)
+         |    AS DOUBLE)
+         |    / SUM(CASE WHEN NOT is_dup AND score IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS avg_score_nondup,
+         |  avg_score_dup - avg_score_nondup AS quality_bias
+         |FROM sc GROUP BY source
+         |ORDER BY source ASC NULLS LAST""".stripMargin,
+
     "q_quality_prune_sweep" ->
       s"""WITH m AS (
          |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens,

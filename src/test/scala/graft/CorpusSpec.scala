@@ -508,6 +508,29 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(t => t._1 * t._2).sum == 2 * pairs)
     assert(out.forall(_._1 >= 1))
   }
+
+  test("q_source_lang_entropy matches brute-force Shannon entropy of " +
+    "each source's language histogram") {
+    val out = Corpus.queries("q_source_lang_entropy")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1)
+    assert(out.keySet == bySource.keySet)
+    val log2 = math.log(2.0)
+    bySource.foreach { case (src, ds) =>
+      val langs = ds.groupBy(_._2).map(_._2.length)
+      val n = ds.length
+      val h = math.log(n.toDouble) / log2 -
+        langs.map(c => c * math.log(c.toDouble) / log2).sum / n
+      val (on, ol, oe) = out(src)
+      assert(on == n && ol == langs.size, s"$src counts")
+      assert(math.abs(oe - h) < 1e-5, s"$src entropy $oe vs $h")
+      assert(oe >= -1e-9, s"$src nonneg")
+    }
+  }
 }
 
 /** Keeps Corpus' oracle map aligned with its query map. */

@@ -1521,6 +1521,62 @@ class OperatorsSpec extends SparkSpec {
     assert(out.values.map(_._1).sum == cos.length.toLong)
   }
 
+  test("q_multimodal_flac extracts the sub-byte STREAMINFO bit fields " +
+    "back to the fixture values") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)].collect()
+    val out = Multimodal.queries("q_multimodal_flac")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == docs.length)
+    var flacs = 0
+    docs.foreach { case (id, text, nChars) =>
+      val r = out(id)
+      if (id % 5 == 0) {
+        if (text != null) assert(!r.getBoolean(1), s"doc $id sniffed flac")
+        assert(r.isNullAt(4), s"doc $id fields not null")
+      } else if (text != null) {
+        flacs += 1
+        assert(r.getBoolean(1), s"doc $id not recognized")
+        val expSr = (id % 4) match {
+          case 0 => 8000L; case 1 => 16000L; case 2 => 44100L
+          case _ => 48000L
+        }
+        assert(r.getLong(2) == 1024L && r.getLong(3) == 4096L,
+          s"doc $id blocksizes")
+        assert(r.getLong(4) == expSr, s"doc $id sample rate")
+        assert(r.getLong(5) == id % 2 + 1, s"doc $id channels")
+        assert(r.getLong(6) == (if (id % 3 == 0) 16L else 24L),
+          s"doc $id bps")
+        assert(r.getLong(7) == nChars * 1000, s"doc $id total samples")
+        assert(r.getLong(8) == nChars * 1000 * 1000 / expSr,
+          s"doc $id duration")
+      }
+    }
+    assert(flacs > 0, "no FLAC fixtures exercised")
+  }
+
+  test("q_dup_quality_bias accounts for every doc and matches the " +
+    "independent member set") {
+    val out = Quality.queries("q_dup_quality_bias")(spark, sf).collect()
+    val docs = Tables.table(spark, sf, "documents")
+    assert(out.map(_.getLong(1)).sum == docs.count())
+    val members = graft.operators.TextDedup.nearDuplicates(docs)
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().count()
+    assert(out.map(_.getLong(2)).sum == members)
+    out.foreach { r =>
+      if (!r.isNullAt(3)) assert(r.getDouble(3) > 0.0 &&
+        r.getDouble(3) <= 1.0, s"${r.getString(0)} dup mean range")
+      if (!r.isNullAt(4)) assert(r.getDouble(4) > 0.0 &&
+        r.getDouble(4) <= 1.0, s"${r.getString(0)} nondup mean range")
+      if (!r.isNullAt(5))
+        assert(r.getDouble(5) == r.getDouble(3) - r.getDouble(4),
+          s"${r.getString(0)} bias identity")
+    }
+  }
+
   test("q_multimodal_zip parses the data-dependent filename and member " +
     "offsets back to the fixture fields") {
     import spark.implicits._

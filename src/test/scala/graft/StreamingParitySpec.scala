@@ -28,6 +28,10 @@ case class SrcTok(source: String, token: String)
 
 case class TsVal(ts: Timestamp, value: Double)
 
+/** (event_type, hour-of-day) observation for the entropy-monitor
+  * streaming replay. */
+case class TypeHour(event_type: String, hod: Long)
+
 /** Batch↔stream parity: the SAME transforms (StreamShapes builders) fed
   * through MemoryStream must produce the batch answer once the stream
   * drains; plus watermark late-drop and stateful sessionize semantics. */
@@ -794,6 +798,41 @@ class StreamingParitySpec extends SparkSpec {
       s"stream token shift differs: ${streamRows.take(3)} vs " +
         s"${batch.take(3)}")
     assert(batch.size == 20 && batch.forall(_.getDouble(3) > 0.0))
+  }
+
+  test("entropy monitor: streamed (event_type, hour) count state " +
+      "drained through entropyFrom equals the batch query") {
+    import graft.operators.EventAnalytics
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventAnalytics.queries("q_event_entropy")(spark, sf)
+      .collect().toSeq
+    val obs = Tables.table(spark, sf, "events")
+      .select(col("event_type"),
+        hour(col("ts")).cast("long").as("hod"))
+      .collect().map(r => TypeHour(r.getString(0), r.getLong(1)))
+    val mem = MemoryStream[TypeHour]
+    val name = s"entropy_${System.nanoTime()}"
+    val q = mem.toDF()
+      .groupBy("event_type", "hod")
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("c"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .start()
+    val third = obs.length / 3
+    Seq(obs.take(third), obs.slice(third, 2 * third), obs.drop(2 * third))
+      .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val finalPts = spark.table(name).collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case ((t0, h0), rs) => (t0, h0, rs.last.getLong(2)) }.toSeq
+    val streamRows = EventAnalytics.entropyFrom(
+        finalPts.toDF("event_type", "hod", "c"))
+      .orderBy(asc_nulls_last("event_type"))
+      .collect().toSeq
+    assert(streamRows == batch,
+      s"stream entropy differs: ${streamRows.take(3)} vs " +
+        s"${batch.take(3)}")
+    assert(batch.nonEmpty && batch.forall(_.getDouble(3) >= 0.0))
   }
 
   test("daily STL monitor: streamed day-grain decimal state drained " +
