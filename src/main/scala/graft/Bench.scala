@@ -205,7 +205,8 @@ object Bench {
     "q_ts_mann_kendall" -> "mn", "q_event_gini" -> "eg",
     "q_embed_pairwise_hist" -> "ph", "q_multimodal_zip" -> "zp",
     "q_multimodal_flac" -> "fc", "q_dup_quality_bias" -> "qb",
-    "q_source_lang_entropy" -> "yl")
+    "q_source_lang_entropy" -> "yl", "q_stats_levene" -> "lv",
+    "q_ts_ccf" -> "cf")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -858,6 +858,59 @@ object EventAnalytics {
         .orderBy(asc_nulls_last("lag"))
     }),
 
+    // Cross-correlation (click → purchase) at lags −7..+7 over the
+    // daily count series — the lead–lag readout behind "do clicks lead
+    // purchases, and by how many days": the argmax lag is the
+    // conversion delay and sign asymmetry separates leading from
+    // trailing relationships. Same multiply-through-by-n centering as
+    // q_ts_autocorr (cx = x·nd − sx exact), products in DECIMAL(38,0)
+    // (a 100 TB corpus pushes Σcx·cy past BIGINT), the numerator ships
+    // VARCHAR-routed per §7.4, and the reported r2_signed =
+    // sign(num)·num²/(Σcx²·Σcy²) is a 4-op IEEE tree over identically-
+    // derived doubles. Scale: one day-grain shuffle builds the two
+    // series; the lag pairs are an equi-join of the TINY day-grain
+    // frame against itself on a date key; totals/denominators are 1-row
+    // broadcasts on a constant key (the q_ts_autocorr shape).
+    "q_ts_ccf" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val tot = broadcast(daily.agg(count(lit(1)).as("nd"),
+        sum("x").as("sx"), sum("y").as("sy"))
+        .withColumn("_one", lit(1)))
+      val cent = daily.withColumn("_one", lit(1)).join(tot, "_one")
+        .select(col("day"),
+          (col("x") * col("nd") - col("sx")).as("cx"),
+          (col("y") * col("nd") - col("sy")).as("cy"))
+        .persist() // three consumers: denominators + both lag-join sides
+      val den = broadcast(cent.agg(
+          sum(expr("CAST(cx AS DECIMAL(38,0)) * CAST(cx AS DECIMAL(38,0))"))
+            .as("dx"),
+          sum(expr("CAST(cy AS DECIMAL(38,0)) * CAST(cy AS DECIMAL(38,0))"))
+            .as("dy"))
+        .withColumn("_one", lit(1)))
+      cent
+        .select(col("day"), col("cx"),
+          explode(expr("sequence(-7, 7)")).as("lag"))
+        .withColumn("day2", expr("date_add(day, lag)"))
+        .join(cent.select(col("day").as("day2"), col("cy")), "day2")
+        .groupBy(col("lag").cast("long").as("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CAST(cx AS DECIMAL(38,0)) * CAST(cy AS DECIMAL(38,0))"))
+            .as("num"))
+        .withColumn("_one", lit(1)).join(den, "_one")
+        .selectExpr("lag", "n_pairs",
+          "CAST(num AS STRING) AS num_str",
+          "CAST(num AS DOUBLE) * CAST(num AS DOUBLE) " +
+            "* CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END AS DOUBLE) " +
+            "/ (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) AS r2_signed")
+        .orderBy(asc_nulls_last("lag"))
+    }),
+
     // CUSUM changepoint scan over the daily value series — "did the
     // level shift, and when?" (Page 1954): the day t maximizing
     // |Σ_{d≤t}(s_d − μ)| is the most likely changepoint and the maximum
@@ -1563,6 +1616,48 @@ object EventAnalytics {
         |FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
         |GROUP BY d.day
         |ORDER BY d.day ASC NULLS LAST""".stripMargin,
+
+    // Same centered-integer series per type; HUGEINT mirrors
+    // DECIMAL(38,0) and num/dx/dy VARCHAR-route per §7.4 before the
+    // identical 4-op IEEE tree.
+    "q_ts_ccf" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY CAST(ts AS DATE)
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM daily
+        |), cent AS (
+        |  SELECT day, x * nd - sx AS cx, y * nd - sy AS cy
+        |  FROM daily, tot
+        |), den AS (
+        |  SELECT SUM(CAST(cx AS HUGEINT) * CAST(cx AS HUGEINT)) AS dx,
+        |    SUM(CAST(cy AS HUGEINT) * CAST(cy AS HUGEINT)) AS dy
+        |  FROM cent
+        |), lp AS (
+        |  SELECT a.cx, b.cy, l.lag
+        |  FROM cent a
+        |  CROSS JOIN (SELECT unnest(range(-7, 8)) AS lag) l
+        |  JOIN cent b ON b.day = a.day + CAST(l.lag AS INTEGER)
+        |), ag AS (
+        |  SELECT CAST(lag AS BIGINT) AS lag,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    SUM(CAST(cx AS HUGEINT) * CAST(cy AS HUGEINT)) AS num
+        |  FROM lp GROUP BY lag
+        |)
+        |SELECT lag, n_pairs, CAST(num AS VARCHAR) AS num_str,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |    * CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |    * CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END AS DOUBLE)
+        |    / (CAST(CAST(dx AS VARCHAR) AS DOUBLE)
+        |      * CAST(CAST(dy AS VARCHAR) AS DOUBLE)) AS r2_signed
+        |FROM ag, den ORDER BY lag ASC NULLS LAST""".stripMargin,
 
     // Same scaled-integer centering (cx = x·n − S); the one division is
     // the only IEEE op on either engine.

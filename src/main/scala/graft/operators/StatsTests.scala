@@ -253,6 +253,65 @@ object StatsTests {
     // dependent; the single wide row keeps every addition an explicit
     // a+b+c both engines evaluate the same way. Scale: one partial-agg
     // scan, 9 scalars out — the cheapest possible distributed shape.
+    // Brown–Forsythe test (Levene with median centers) — equality of
+    // VARIANCES across the three event-type groups, the heteroskedas-
+    // ticity gate that decides whether q_stats_anova's equal-variance
+    // assumption holds (classic F is variance-fragile; B–F is the
+    // robust standard, Brown & Forsythe JASA 1974). The statistic is a
+    // one-way anova F over per-row absolute deviations from the GROUP
+    // MEDIAN — and every deviation stays an exact decimal by working
+    // with DOUBLED deviations w = |2·v − (lo+hi)| (lo/hi the two-middle
+    // median rows, so no division; F is scale-invariant, so F(w) =
+    // F(|v−med|) exactly). Sums and squares of w are exact decimals and
+    // the final F tree is the identical q_stats_anova text. Scale: the
+    // median ranks are event_type-PARTITIONED windows (q_median_exact
+    // economics), the ≤3-row median frame broadcasts back, and the F is
+    // one conditional aggregate.
+    "q_stats_levene" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("event_type"), col("event_id"),
+          col("value").cast(DecimalType(18, 4)).as("v"))
+      val wr = Window.partitionBy("event_type")
+        .orderBy(asc_nulls_last("v"), asc_nulls_last("event_id"))
+      // m2 = lo + hi of the two-middle rows; ×(3 − cnt) doubles the
+      // single middle row of an odd group (cnt ∈ {1, 2})
+      val med2 = ev
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rn") === floor((col("n") + 1) / 2)
+          || col("rn") === floor((col("n") + 2) / 2))
+        .groupBy("event_type")
+        .agg((sum(col("v")) * (lit(3) - count(lit(1)))).as("m2"))
+      val dev = ev.join(med2, "event_type")
+        .withColumn("w", abs(lit(2) * col("v") - col("m2")))
+      def cnt(ty: String): Column =
+        count(when(col("event_type") === ty, lit(1)))
+      def sx(ty: String): Column =
+        sum(when(col("event_type") === ty, col("w"))).cast("double")
+      def sq(ty: String): Column =
+        sum(when(col("event_type") === ty, col("w") * col("w")))
+          .cast("double")
+      val ssb = "s1*s1/n1 + s2*s2/n2 + s3*s3/n3 " +
+        "- (s1+s2+s3)*(s1+s2+s3)/(n1+n2+n3)"
+      val ssw = "q1 + q2 + q3 - (s1*s1/n1 + s2*s2/n2 + s3*s3/n3)"
+      dev
+        .agg(cnt("click").as("n1"), sx("click").as("s1"),
+          sq("click").as("q1"),
+          cnt("view").as("n2"), sx("view").as("s2"), sq("view").as("q2"),
+          cnt("purchase").as("n3"), sx("purchase").as("s3"),
+          sq("purchase").as("q3"))
+        .selectExpr(
+          "CAST(3 AS BIGINT) AS k",
+          "n1 + n2 + n3 AS n",
+          s"$ssb AS ss_between",
+          s"$ssw AS ss_within",
+          "CASE WHEN n1 >= 1 AND n2 >= 1 AND n3 >= 1 " +
+            s"AND n1+n2+n3 > 3 AND ($ssw) > 0 THEN " +
+            s"(($ssb) / 2) / (($ssw) / (n1+n2+n3-3)) END AS f_stat")
+    }),
+
     "q_stats_anova" -> ((s, d) => {
       def cnt(ty: String): Column =
         count(when(col("event_type") === ty, lit(1)))
@@ -378,6 +437,14 @@ object StatsTests {
        |      * CAST(value AS DECIMAL(19,4)) END)
        |    AS VARCHAR) AS DOUBLE)""".stripMargin
 
+  /** VARCHAR-routed sums of the Brown–Forsythe doubled deviations. */
+  private def levSx(ty: String) =
+    s"""CAST(CAST(SUM(CASE WHEN event_type = '$ty'
+       |    THEN w END) AS VARCHAR) AS DOUBLE)""".stripMargin
+  private def levSq(ty: String) =
+    s"""CAST(CAST(SUM(CASE WHEN event_type = '$ty'
+       |    THEN w * w END) AS VARCHAR) AS DOUBLE)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Same deterministic-tie-break integer ranks; the ρ expression text
     // is the identical 1.0 − (6.0·Σd²)/(n(n²−1)) double tree.
@@ -443,6 +510,45 @@ object StatsTests {
         |    AS win_mean
         |FROM v GROUP BY event_type
         |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    // Same two-middle median window, doubled-deviation decimals, and
+    // the verbatim anova F text over (w, w·w) sums.
+    "q_stats_levene" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id, CAST(value AS DECIMAL(18,4)) AS v
+         |  FROM events
+         |  WHERE event_type IN ('click', 'view', 'purchase')
+         |), rk AS (
+         |  SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY v ASC NULLS LAST, event_id ASC NULLS LAST) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM ev
+         |), med AS (
+         |  SELECT event_type, SUM(v) * (3 - COUNT(*)) AS m2
+         |  FROM rk
+         |  WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+         |  GROUP BY event_type
+         |), dv AS (
+         |  SELECT e.event_type, abs(2 * e.v - m.m2) AS w
+         |  FROM ev e JOIN med m ON e.event_type = m.event_type
+         |), p AS (
+         |  SELECT
+         |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n1,
+         |    ${levSx("click")} AS s1, ${levSq("click")} AS q1,
+         |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n2,
+         |    ${levSx("view")} AS s2, ${levSq("view")} AS q2,
+         |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n3,
+         |    ${levSx("purchase")} AS s3, ${levSq("purchase")} AS q3
+         |  FROM dv)
+         |SELECT CAST(3 AS BIGINT) AS k,
+         |  n1 + n2 + n3 AS n,
+         |  $anovaSsb AS ss_between,
+         |  $anovaSsw AS ss_within,
+         |  CASE WHEN n1 >= 1 AND n2 >= 1 AND n3 >= 1
+         |    AND n1+n2+n3 > 3 AND ($anovaSsw) > 0 THEN
+         |    (($anovaSsb) / 2) / (($anovaSsw) / (n1+n2+n3-3)) END AS f_stat
+         |FROM p""".stripMargin,
 
     "q_stats_anova" ->
       s"""WITH p AS (

@@ -445,6 +445,38 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_ts_ccf matches brute-force centered cross-products at every " +
+    "lag") {
+    val out = EventAnalytics.queries("q_ts_ccf")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getDouble(3))).toMap
+    val daily = events.filter(e => e._3 == "click" || e._3 == "purchase")
+      .groupBy(e => dayOf(e._2))
+      .map { case (d0, es) => d0 ->
+        (es.count(_._3 == "click").toLong,
+          es.count(_._3 == "purchase").toLong) }
+    val nd = daily.size.toLong
+    val sx = daily.values.map(_._1).sum
+    val sy = daily.values.map(_._2).sum
+    val cent = daily.map { case (d0, (x, y)) =>
+      d0 -> (x * nd - sx, y * nd - sy) }
+    val dx = cent.values.map(c => BigInt(c._1) * c._1).sum
+    val dy = cent.values.map(c => BigInt(c._2) * c._2).sum
+    assert(out.keySet == (-7L to 7L).toSet)
+    (-7L to 7L).foreach { lag =>
+      val pairs = cent.toSeq.flatMap { case (d0, (cx, _)) =>
+        cent.get(d0.plusDays(lag)).map(c2 => (cx, c2._2)) }
+      val num = pairs.map { case (cx, cy) => BigInt(cx) * cy }.sum
+      val (np, ns, r2) = out(lag)
+      assert(np == pairs.size.toLong, s"lag $lag pairs")
+      assert(ns == num.toString, s"lag $lag num")
+      val numd = num.toDouble
+      val exp = numd * numd * (if (num < 0) -1.0 else 1.0) /
+        (dx.toDouble * dy.toDouble)
+      assert(r2 == exp, s"lag $lag r2")
+    }
+  }
+
   test("q_event_gini matches the sorted brute-force Gini and stays " +
     "in [0, 1)") {
     val r = EventAnalytics.queries("q_event_gini")(spark, sf)

@@ -1050,6 +1050,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_stats_levene matches a plain-Scala Brown-Forsythe " +
+      "recomputation bit-for-bit") {
+    import spark.implicits._
+    val r = StatsTests.queries("q_stats_levene")(spark, sf)
+      .collect().head
+    val evs = Tables.table(spark, sf, "events")
+      .select("event_type", "event_id", "value")
+      .as[(String, Long, Option[Double])].collect()
+      .collect { case (t, id, Some(v))
+        if Set("click", "view", "purchase")(t) => (t, id, v) }
+    def d4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val m2 = evs.groupBy(_._1).map { case (t, rows) =>
+      val sorted = rows.sortBy(x => (d4(x._3), x._2)).toIndexedSeq
+      val n = sorted.size
+      t -> (d4(sorted((n + 1) / 2 - 1)._3) + d4(sorted((n + 2) / 2 - 1)._3))
+    }
+    val w = evs.map { case (t, _, v) => (t, (d4(v) * 2 - m2(t)).abs) }
+    def stats(ws: Seq[BigDecimal]): (Long, Double, Double) =
+      (ws.size.toLong, ws.sum.toDouble, ws.map(x => x * x).sum.toDouble)
+    val (n1, s1, q1) = stats(w.collect { case ("click", x) => x }.toSeq)
+    val (n2, s2, q2) = stats(w.collect { case ("view", x) => x }.toSeq)
+    val (n3, s3, q3) = stats(w.collect { case ("purchase", x) => x }.toSeq)
+    val ssb = s1 * s1 / n1 + s2 * s2 / n2 + s3 * s3 / n3 -
+      (s1 + s2 + s3) * (s1 + s2 + s3) / (n1 + n2 + n3)
+    val ssw = q1 + q2 + q3 - (s1 * s1 / n1 + s2 * s2 / n2 + s3 * s3 / n3)
+    val f = (ssb / 2) / (ssw / (n1 + n2 + n3 - 3))
+    assert(r.getLong(0) == 3L && r.getLong(1) == n1 + n2 + n3)
+    assert(r.getDouble(2) == ssb && r.getDouble(3) == ssw)
+    assert(r.getDouble(4) == f)
+    assert(f > 0.0)
+  }
+
   test("q_graph_jaccard equals brute-force neighbor-set similarity") {
     val out = Corpus.queries("q_graph_jaccard")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->

@@ -237,6 +237,9 @@ class PlanRegressionSpec extends SparkSpec {
       // sum-of-squares / max-deviation scalars on a constant key, joined
       // against the tiny day-grain frame — the q_text_docfreq shape
       "q_ts_autocorr", "q_ts_cusum",
+      // the same 1-row totals/denominator broadcasts on a constant key
+      // against the tiny day-grain frame — the q_ts_autocorr shape
+      "q_ts_ccf",
       // 1-row broadcast of the positive-balance mean on a constant key —
       // the q_stats_ttest shape
       "q_tpch_q22",
