@@ -299,6 +299,40 @@ object Corpus {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // Global clustering coefficient (transitivity) of the near-dup
+    // graph — C = 3·triangles / wedges: high transitivity says
+    // near-dups form tight cliques (template families — safe to
+    // collapse whole clusters), low says chains (A~B~C but A≁C —
+    // greedy cluster-collapse would over-merge). Triangle count is the
+    // proven a<b<c ordered-edge double-join (each triangle exactly
+    // once); wedges Σ d(d−1)/2 come from one degree aggregate. All
+    // exact integers + ONE IEEE division. (BIGINT headroom: per-node
+    // d(d−1) DIV 2 overflows only past d ≈ 4·10⁹ — more neighbors than
+    // documents; the maxBucket cap bounds d in practice.) Scale: the
+    // triangle join is edge-keyed (never all-pairs) and everything
+    // else is two slim keyed aggregates.
+    "q_graph_clustering_coeff" -> ((s, d) => {
+      val edges = TextDedup.nearDuplicates(t(s, d, "documents"))
+        .select("id_a", "id_b").persist()
+      val tri = broadcast(edges
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+        .join(edges.select(col("id_a").as("b"), col("id_b").as("c")), "b")
+        .join(edges.select(col("id_a").as("a"), col("id_b").as("c")),
+          Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .withColumn("_one", lit(1)))
+      edges.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("deg")).as("sum_deg"),
+          sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+        .withColumn("_one", lit(1)).join(tri, "_one")
+        .selectExpr("n_nodes", "sum_deg DIV 2 AS n_edges",
+          "n_triangles", "n_wedges",
+          "CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE) " +
+            "AS transitivity")
+    }),
+
     // Duplicate-cluster size histogram — how much of the corpus sits in
     // how-big dup families (the before/after report of a dedup run: a
     // long tail of pairs vs a few mega-clusters need different
@@ -1402,6 +1436,32 @@ object Corpus {
        |SELECT doc_id, COUNT(*) AS n_tri FROM n GROUP BY doc_id
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** The triangles CTE (a<b<c, each triangle once) + one symmetric
+    * degree aggregate; `//` is the integer wedge division. */
+  private def clusteringCoeffOracle: String =
+    s"""WITH pairs AS (
+       |${TextOps.dedupPairsSubquery}
+       |), tri AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.id_a = e1.id_b
+       |  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+       |), dg AS (
+       |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT id_a AS id FROM pairs
+       |    UNION ALL SELECT id_b AS id FROM pairs
+       |  ) GROUP BY id
+       |), ag AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(deg) AS BIGINT) AS sum_deg,
+       |    CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+       |  FROM dg
+       |)
+       |SELECT n_nodes, sum_deg // 2 AS n_edges, n_triangles, n_wedges,
+       |  CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+       |    AS transitivity
+       |FROM ag, tri""".stripMargin
+
   /** Wedge-count common neighbors + inclusion-exclusion union over the
     * symmetric edge CTE; one IEEE division for the ratio. */
   private def graphJaccardOracle: String =
@@ -1601,6 +1661,7 @@ object Corpus {
     "q_graph_cc_sizes" -> ccSizesOracle,
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_triangles" -> trianglesOracle,
+    "q_graph_clustering_coeff" -> clusteringCoeffOracle,
     "q_graph_degree_dist" -> degreeDistOracle,
     "q_graph_jaccard" -> graphJaccardOracle,
     "q_graph_kcore" -> kcoreOracle,

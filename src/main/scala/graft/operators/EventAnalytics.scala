@@ -858,6 +858,47 @@ object EventAnalytics {
         .orderBy(asc_nulls_last("lag"))
     }),
 
+    // STL strength-of-components (Hyndman & Athanasopoulos, FPP3
+    // §4.4): F_trend = max(0, 1 − Var(R)/Var(T+R)) and F_seasonal =
+    // max(0, 1 − Var(R)/Var(S+R)) over the STL-lite decomposition —
+    // the two numbers that say whether the series is trend-dominated,
+    // seasonality-dominated, or noise (and whether q_anomaly_stl's
+    // residual gate has any signal to work with). Each component
+    // quantizes to an exact DECIMAL(18,7) per day (the per-row IEEE
+    // doubles are identical on both engines, so the rounding is too);
+    // variances then stay exact via n·Σx² − (Σx)² (the n² denominators
+    // CANCEL in the ratio, so no variance division ever happens) and
+    // each strength is ONE IEEE division of VARCHAR-routable decimals.
+    // Scale: everything after the one event→day collapse runs on the
+    // day-domain-bounded interior frame.
+    "q_ts_seasonality_strength" -> ((s, d) => {
+      val q = decomposeFrom(dailyPoints(t(s, d, "events")))
+        .filter(col("resid").isNotNull)
+        .selectExpr(
+          "CAST(CAST(resid AS DECIMAL(28,7)) * 10000000 AS BIGINT) AS ri",
+          "CAST(CAST(trend + resid AS DECIMAL(28,7)) * 10000000 " +
+            "AS BIGINT) AS ti",
+          "CAST(CAST(seasonal + resid AS DECIMAL(28,7)) * 10000000 " +
+            "AS BIGINT) AS si")
+      q.agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ri AS DECIMAL(38,0)) * CAST(ri AS DECIMAL(38,0))"))
+            .as("rr"),
+          sum(expr("CAST(ri AS DECIMAL(38,0))")).as("sr"),
+          sum(expr("CAST(ti AS DECIMAL(38,0)) * CAST(ti AS DECIMAL(38,0))"))
+            .as("tt"),
+          sum(expr("CAST(ti AS DECIMAL(38,0))")).as("st"),
+          sum(expr("CAST(si AS DECIMAL(38,0)) * CAST(si AS DECIMAL(38,0))"))
+            .as("ss2"),
+          sum(expr("CAST(si AS DECIMAL(38,0))")).as("ss"))
+        .selectExpr("n",
+          "greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) " +
+            "- CAST(n * rr - sr * sr AS DOUBLE) " +
+            "/ CAST(n * tt - st * st AS DOUBLE)) AS strength_trend",
+          "greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) " +
+            "- CAST(n * rr - sr * sr AS DOUBLE) " +
+            "/ CAST(n * ss2 - ss * ss AS DOUBLE)) AS strength_seasonal")
+    }),
+
     // Cross-correlation (click → purchase) at lags −7..+7 over the
     // daily count series — the lead–lag readout behind "do clicks lead
     // purchases, and by how many days": the argmax lag is the
@@ -1530,6 +1571,39 @@ object EventAnalytics {
       s"""$decomposeCtes
         |SELECT day, n_events, y, trend, seasonal, resid FROM dec
         |ORDER BY day ASC NULLS LAST""".stripMargin,
+
+    // The decompose CTEs, then the same quantized-decimal variance
+    // ratios with VARCHAR-routed casts.
+    "q_ts_seasonality_strength" ->
+      s"""$decomposeCtes
+        |, qx AS (
+        |  SELECT
+        |    CAST(CAST(resid AS DECIMAL(28,7)) * 10000000 AS BIGINT) AS ri,
+        |    CAST(CAST(trend + resid AS DECIMAL(28,7)) * 10000000
+        |      AS BIGINT) AS ti,
+        |    CAST(CAST(seasonal + resid AS DECIMAL(28,7)) * 10000000
+        |      AS BIGINT) AS si
+        |  FROM dec WHERE resid IS NOT NULL
+        |), ag AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(ri AS HUGEINT) * CAST(ri AS HUGEINT)) AS rr,
+        |    SUM(CAST(ri AS HUGEINT)) AS sr,
+        |    SUM(CAST(ti AS HUGEINT) * CAST(ti AS HUGEINT)) AS tt,
+        |    SUM(CAST(ti AS HUGEINT)) AS st,
+        |    SUM(CAST(si AS HUGEINT) * CAST(si AS HUGEINT)) AS ss2,
+        |    SUM(CAST(si AS HUGEINT)) AS ss
+        |  FROM qx
+        |)
+        |SELECT n,
+        |  greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
+        |    - CAST(CAST(n * rr - sr * sr AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(n * tt - st * st AS VARCHAR) AS DOUBLE))
+        |    AS strength_trend,
+        |  greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
+        |    - CAST(CAST(n * rr - sr * sr AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(n * ss2 - ss * ss AS VARCHAR) AS DOUBLE))
+        |    AS strength_seasonal
+        |FROM ag""".stripMargin,
 
     // The decompose CTEs, then the q_anomaly_mad median idiom over the
     // day-grain residual frame (no PARTITION BY: one global series).

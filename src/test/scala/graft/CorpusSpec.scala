@@ -509,6 +509,32 @@ class CorpusSpec extends SparkSpec {
     assert(out.forall(_._1 >= 1))
   }
 
+  test("q_graph_clustering_coeff matches brute-force triangle and " +
+    "wedge counts") {
+    val r = Corpus.queries("q_graph_clustering_coeff")(spark, sf)
+      .collect().head
+    val pairs = TextDedup.nearDuplicates(
+        Tables.table(spark, sf, "documents"))
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val nbrs = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val edgeSet = pairs.toSet
+    val tris = pairs.toSeq.flatMap { case (a, b) =>
+      (nbrs(a) & nbrs(b)).filter(c => c > b && edgeSet((b, c)) &&
+        edgeSet((a, c)))
+    }.size.toLong
+    val wedges = nbrs.values.map(s0 =>
+      s0.size.toLong * (s0.size - 1) / 2).sum
+    assert(r.getLong(0) == nbrs.size)
+    assert(r.getLong(1) == pairs.length.toLong)
+    assert(r.getLong(2) == tris, "triangles")
+    assert(r.getLong(3) == wedges, "wedges")
+    assert(r.getDouble(4) == 3.0 * tris / wedges.toDouble ||
+      r.getDouble(4) == (3L * tris).toDouble / wedges.toDouble)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
   test("q_source_lang_entropy matches brute-force Shannon entropy of " +
     "each source's language histogram") {
     val out = Corpus.queries("q_source_lang_entropy")(spark, sf)

@@ -445,6 +445,32 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_ts_seasonality_strength matches the quantized variance " +
+    "ratios recomputed from the decomposition") {
+    val r = EventAnalytics.queries("q_ts_seasonality_strength")(spark, sf)
+      .collect().head
+    val dec = EventAnalytics.queries("q_ts_decompose")(spark, sf)
+      .collect().filter(!_.isNullAt(5))
+      .map(x => (x.getDouble(3), x.getDouble(4), x.getDouble(5)))
+    def q7(v: Double): BigInt = BigInt(BigDecimal(v)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP)
+      .*(BigDecimal(10000000)).toBigInt.toString)
+    val ri = dec.map { case (_, _, rr) => q7(rr) }
+    val ti = dec.map { case (tr, _, rr) => q7(tr + rr) }
+    val si = dec.map { case (_, se, rr) => q7(se + rr) }
+    val n = BigInt(dec.length)
+    def varNum(xs: Seq[BigInt]): BigInt =
+      n * xs.map(x => x * x).sum - xs.sum * xs.sum
+    val expT = math.max(0.0,
+      1.0 - varNum(ri).toDouble / varNum(ti).toDouble)
+    val expS = math.max(0.0,
+      1.0 - varNum(ri).toDouble / varNum(si).toDouble)
+    assert(r.getLong(0) == dec.length.toLong)
+    assert(r.getDouble(1) == expT, "strength_trend")
+    assert(r.getDouble(2) == expS, "strength_seasonal")
+    assert(r.getDouble(1) <= 1.0 && r.getDouble(2) <= 1.0)
+  }
+
   test("q_ts_ccf matches brute-force centered cross-products at every " +
     "lag") {
     val out = EventAnalytics.queries("q_ts_ccf")(spark, sf).collect()

@@ -112,6 +112,11 @@ class PlanRegressionSpec extends SparkSpec {
       // day); the decompose windows below them sit behind the persisted
       // frame. Cap 2 = the two global medians
       "q_anomaly_stl" -> 2,
+      // q_ts_seasonality_strength consumes the q_ts_decompose day-grain
+      // window subtree; the trend/seasonal branches duplicate it
+      // identically (ReuseExchange computes it once) — same cap-2
+      // argument as q_ts_decompose
+      "q_ts_seasonality_strength" -> 2,
       // q_source_budget's remainder-rank window runs over the
       // source-domain-bounded quota frame (≤ |sources| rows)
       "q_source_budget" -> 1,
@@ -240,6 +245,9 @@ class PlanRegressionSpec extends SparkSpec {
       // the same 1-row totals/denominator broadcasts on a constant key
       // against the tiny day-grain frame — the q_ts_autocorr shape
       "q_ts_ccf",
+      // 1-row triangle-count broadcast on a constant key against the
+      // 1-row degree aggregate — the q_text_docfreq shape
+      "q_graph_clustering_coeff",
       // 1-row broadcast of the positive-balance mean on a constant key —
       // the q_stats_ttest shape
       "q_tpch_q22",
