@@ -207,7 +207,8 @@ object Bench {
     "q_multimodal_flac" -> "fc", "q_dup_quality_bias" -> "qb",
     "q_source_lang_entropy" -> "yl", "q_stats_levene" -> "lv",
     "q_ts_ccf" -> "cf", "q_ts_seasonality_strength" -> "fs",
-    "q_graph_clustering_coeff" -> "gt")
+    "q_graph_clustering_coeff" -> "gt", "q_ts_fano" -> "fa",
+    "q_text_burstiness" -> "bu")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -858,6 +858,31 @@ object EventAnalytics {
         .orderBy(asc_nulls_last("lag"))
     }),
 
+    // Fano factor (index of dispersion) per event type over the daily
+    // count series — the burstiness triage: F ≈ 1 is Poisson (a
+    // memoryless arrival process, safe to model with rates), F ≫ 1 is
+    // bursty/clumped traffic (campaign spikes, bot storms — rate
+    // alarms will flap), F < 1 is more-regular-than-random (scheduled
+    // jobs). F = Var/Mean = (n·Σx² − S²)/(n·S) — exact integers with
+    // ONE trailing IEEE division (the n² in Var and the 1/n in Mean
+    // partially cancel, so no intermediate division exists). Scale:
+    // one keyed day-grain partial agg; the per-type moments are a
+    // second slim aggregate. (BIGINT headroom: n·Σx² overflows only
+    // past ~10⁶ events/day·type over 10 years — DECIMAL(38,0) is the
+    // drop-in if a deployment exceeds it.)
+    "q_ts_fano" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("x").as("n_events"),
+          sum(col("x") * col("x")).as("sxx"))
+        .selectExpr("event_type", "n_days", "n_events",
+          "n_days * sxx - n_events * n_events AS var_num",
+          "CAST(n_days * sxx - n_events * n_events AS DOUBLE) " +
+            "/ CAST(n_days * n_events AS DOUBLE) AS fano")
+        .orderBy(asc_nulls_last("event_type"))),
+
     // STL strength-of-components (Hyndman & Athanasopoulos, FPP3
     // §4.4): F_trend = max(0, 1 − Var(R)/Var(T+R)) and F_seasonal =
     // max(0, 1 − Var(R)/Var(S+R)) over the STL-lite decomposition —
@@ -1571,6 +1596,24 @@ object EventAnalytics {
       s"""$decomposeCtes
         |SELECT day, n_events, y, trend, seasonal, resid FROM dec
         |ORDER BY day ASC NULLS LAST""".stripMargin,
+
+    // Same day-grain moments; the single division text is identical.
+    "q_ts_fano" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+        |), m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS n_events,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY event_type
+        |)
+        |SELECT event_type, n_days, n_events,
+        |  n_days * sxx - n_events * n_events AS var_num,
+        |  CAST(n_days * sxx - n_events * n_events AS DOUBLE)
+        |    / CAST(n_days * n_events AS DOUBLE) AS fano
+        |FROM m ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     // The decompose CTEs, then the same quantized-decimal variance
     // ratios with VARCHAR-routed casts.

@@ -1230,6 +1230,34 @@ object TextOps {
         .orderBy(desc_nulls_last("df"), asc_nulls_last("tok"))
     }),
 
+    // Katz's word burstiness for the top-50 corpus tokens — once a
+    // word appears in a document, how many MORE times does it appear
+    // there (burstiness = tf/df − 1, Katz 1996)? Function words repeat
+    // independently (≈ their rate), content/boilerplate words clump —
+    // high burstiness on a high-df token is the template-phrase
+    // signature that n-gram dedup thresholds should key on. tf and df
+    // come from ONE token-keyed aggregate (df = distinct docs via a
+    // (doc, tok) pre-distinct), burstiness = (tf − df)/df is exact
+    // integers + ONE IEEE division. Scale: two keyed shuffles with
+    // map-side combine → TakeOrdered(50); token skew is absorbed by
+    // partial aggregation.
+    "q_text_burstiness" -> ((s, d) => {
+      val toks = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val stats = toks.groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("tok")
+        .agg(sum("c").as("tf"), count(lit(1)).as("df"))
+      stats
+        .orderBy(desc_nulls_last("tf"), asc_nulls_last("tok"))
+        .limit(50)
+        .withColumn("burstiness",
+          (col("tf") - col("df")).cast("double") / col("df"))
+        .select("tok", "tf", "df", "burstiness")
+        .orderBy(desc_nulls_last("tf"), asc_nulls_last("tok"))
+    }),
+
     // The LSH bands/rows S-curve measured empirically — the MinHash
     // tuning dial the IVF family's nprobe curve mirrors on the vector
     // side: over the SAME 8 signatures, band the corpus three ways
@@ -2406,6 +2434,26 @@ object TextOps {
         |  FROM documents
         |) GROUP BY tok HAVING COUNT(*) >= 10
         |ORDER BY df DESC NULLS LAST, tok ASC NULLS LAST""".stripMargin,
+
+    // Same (doc, tok) pre-distinct tf/df aggregate, the same top-50
+    // tie-break, and the single (tf − df)/df division.
+    "q_text_burstiness" ->
+      """WITH dt AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE text IS NOT NULL
+        |  ) WHERE length(tok) > 0 GROUP BY doc_id, tok
+        |), st AS (
+        |  SELECT tok, CAST(SUM(c) AS BIGINT) AS tf,
+        |    CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM dt GROUP BY tok
+        |), top AS (
+        |  SELECT tok, tf, df FROM st
+        |  ORDER BY tf DESC NULLS LAST, tok ASC NULLS LAST LIMIT 50
+        |)
+        |SELECT tok, tf, df, CAST(tf - df AS DOUBLE) / df AS burstiness
+        |FROM top
+        |ORDER BY tf DESC NULLS LAST, tok ASC NULLS LAST""".stripMargin,
 
     "q_dedup_bands_curve" -> bandsCurveOracle,
 

@@ -28,7 +28,12 @@ class DeterminismSpec extends SparkSpec {
     "q_graph_bfs_layers", // iterative frontier loop + driver seed
     "q_graph_labelprop", // synchronous vote rounds + row_number ties
     "q_ts_decompose",    // day-grid window decimals + 3 IEEE divisions
-    "q_text_novelty")    // cross-split distinct-gram membership probe
+    "q_text_novelty",    // cross-split distinct-gram membership probe
+    "q_stats_levene",    // two-middle median windows + doubled-dev F
+    "q_event_gini",      // count-histogram cumulative window + ratio
+    "q_event_entropy",   // portable-log2 terms on the 1e-10 grid
+    "q_ts_ccf",          // centered decimal cross-products + 4-op tree
+    "q_ts_seasonality_strength") // quantized variance ratios
 
   sensitive.foreach { name =>
     test(s"$name is identical at shuffle.partitions 3 vs 13") {

@@ -1050,6 +1050,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_text_burstiness matches brute-force tf/df and every bursty " +
+      "token repeats within documents") {
+    import spark.implicits._
+    val out = TextOps.queries("q_text_burstiness")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, Option[String])].collect()
+    val byTok = docs.collect { case (id, Some(tx)) => (id, tx) }
+      .flatMap { case (id, tx) =>
+        tx.split(" ", -1).filter(_.nonEmpty).map(tok => (tok, id)) }
+      .groupBy(_._1)
+    out.foreach { case (tok, (tf, df, b)) =>
+      val occ = byTok(tok)
+      assert(tf == occ.length.toLong, s"$tok tf")
+      assert(df == occ.map(_._2).distinct.length.toLong, s"$tok df")
+      assert(b == (tf - df).toDouble / df.toDouble, s"$tok burstiness")
+      assert(b >= 0.0)
+    }
+    // the emitted set is exactly the tf-ranked top slice
+    val minTf = out.values.map(_._1).min
+    val above = byTok.count(_._2.length > minTf)
+    assert(above <= out.size, "a higher-tf token was omitted")
+  }
+
   test("q_stats_levene matches a plain-Scala Brown-Forsythe " +
       "recomputation bit-for-bit") {
     import spark.implicits._
