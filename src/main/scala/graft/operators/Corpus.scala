@@ -186,6 +186,53 @@ object Corpus {
   /** Gram width for q_decontaminate. */
   val GramTokens = 8
 
+  /** Stages 1–4 of the curation pipeline — gate → exact dedup → LSH
+    * near-dup drop → eval-gram decontamination of the train split —
+    * shared by q_corpus_curate_v2 (per-source quota + per-lang report)
+    * and q_corpus_curate_v3 (token-budget apportionment). Returns the
+    * lazy `clean` frame of surviving train documents. */
+  def curatedClean(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val q = Quality.gopherMetrics(docs)
+      .filter(col("passes")).select("doc_id")
+    val qd = docs.join(q, "doc_id")
+    val ex = qd.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val kept = qd.join(ex, "doc_id").persist()
+    // persisted: surv has TWO consumers below (the gram probe and the
+    // clean anti-join) — without this the whole LSH near-dup subtree
+    // re-runs for each (kept only caches the stages BEFORE it);
+    // losers is the slim (doc_id) sliver, so the cache is tiny and
+    // surv itself rebuilds from two cached frames
+    val losers = TextDedup.nearDuplicates(kept)
+      .select(col("id_b").as("doc_id")).distinct().persist()
+    val surv = kept.join(losers, Seq("doc_id"), "left_anti")
+    // gram positions via a GENERATOR + codegen'd md5 (the q_embed_cov
+    // lesson; q_source_overlap measured 1.6 → 1.3 s from the same
+    // change). The HOF form's in-row array_distinct is superseded by
+    // the consumers' own distincts (membership semantics — within-doc
+    // duplicate grams can't change either)
+    def grams(df: DataFrame) = df
+      .filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= GramTokens)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - GramTokens))
+          .as("i"))
+      .select(col("doc_id"), expr(
+        s"md5(array_join(slice(toks, i + 1, $GramTokens), ' '))")
+        .as("gm"))
+    val evalGrams = grams(docs.filter(col("doc_id") % 5 === 0))
+      .select("gm").distinct()
+    // gram the POST-GATE train sliver only (eval docs leave the train
+    // stream regardless, so their grams never need probing)
+    val contaminated = grams(surv.filter(col("doc_id") % 5 =!= 0))
+      .join(evalGrams, "gm")
+      .select("doc_id").distinct()
+    surv.filter(col("doc_id") % 5 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Connected components over near-dup pairs by min-label propagation:
     // lbl(v) ← min(lbl(v), min over neighbors lbl(u)), iterated until a
@@ -950,53 +997,75 @@ object Corpus {
     // broadcast unconditionally; AQE may demote at runtime from
     // measured bytes).
     "q_corpus_curate_v2" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val q = Quality.gopherMetrics(docs)
-        .filter(col("passes")).select("doc_id")
-      val qd = docs.join(q, "doc_id")
-      val ex = qd.groupBy(md5(col("text")).as("h"))
-        .agg(min("doc_id").as("doc_id")).select("doc_id")
-      val kept = qd.join(ex, "doc_id").persist()
-      // persisted: surv has TWO consumers below (the gram probe and the
-      // clean anti-join) — without this the whole LSH near-dup subtree
-      // re-runs for each (kept only caches the stages BEFORE it);
-      // losers is the slim (doc_id) sliver, so the cache is tiny and
-      // surv itself rebuilds from two cached frames
-      val losers = TextDedup.nearDuplicates(kept)
-        .select(col("id_b").as("doc_id")).distinct().persist()
-      val surv = kept.join(losers, Seq("doc_id"), "left_anti")
-      // gram positions via a GENERATOR + codegen'd md5 (the q_embed_cov
-      // lesson; q_source_overlap measured 1.6 → 1.3 s from the same
-      // change). The HOF form's in-row array_distinct is superseded by
-      // the consumers' own distincts (membership semantics — within-doc
-      // duplicate grams can't change either)
-      def grams(df: DataFrame) = df
-        .filter(col("text").isNotNull)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= GramTokens)
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0), size(col("toks")) - GramTokens))
-            .as("i"))
-        .select(col("doc_id"), expr(
-          s"md5(array_join(slice(toks, i + 1, $GramTokens), ' '))")
-          .as("gm"))
-      val evalGrams = grams(docs.filter(col("doc_id") % 5 === 0))
-        .select("gm").distinct()
-      // gram the POST-GATE train sliver only (eval docs leave the train
-      // stream regardless, so their grams never need probing)
-      val contaminated = grams(surv.filter(col("doc_id") % 5 =!= 0))
-        .join(evalGrams, "gm")
-        .select("doc_id").distinct()
-      val clean = surv.filter(col("doc_id") % 5 =!= 0)
-        .join(contaminated, Seq("doc_id"), "left_anti")
       val w = Window.partitionBy("source").orderBy("doc_id")
-      clean.withColumn("rn", row_number().over(w))
+      curatedClean(s, d).withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 20)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").as("sum_chars"),
           countDistinct("source").as("n_sources"))
         .orderBy(asc_nulls_last("lang"))
+    }),
+
+    // v3: the curated-clean corpus feeds TOKEN-BUDGET construction —
+    // the step after cleaning, where a training run of fixed size must
+    // be drawn from the cleaned pool: a 100k-token budget apportions
+    // across sources by the largest-remainder (Hamilton) method over
+    // clean token counts (q_source_budget's exact-integer machinery),
+    // then each source's quota is CONSUMED greedily in the seed-free
+    // md5(doc_id) order (q_source_quota's partitioning-invariant
+    // selection) — whole documents only, stop before the first doc
+    // that would overflow the quota. Everything is exact integers; the
+    // oracle proves the COMPOSITION (gate → exact dedup → LSH drop →
+    // decontaminate → apportion → consume) end to end. Scale: the
+    // clean stages are the proven v2 shapes; apportionment runs on the
+    // source-domain-bounded frame (global rank window ≤ |sources|
+    // rows, allowlisted); consumption is one source-partitioned
+    // prefix-sum window.
+    "q_corpus_curate_v3" -> ((s, d) => {
+      val B = 100000L
+      val clean = curatedClean(s, d)
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .persist() // two consumers: per-source counts + quota consumption
+      val cnt = clean.groupBy("source")
+        .agg(count(lit(1)).as("n_clean_docs"),
+          sum("n_toks").as("n_clean_tokens"))
+      val tot = broadcast(cnt.agg(sum("n_clean_tokens").as("tot"))
+        .withColumn("_one", lit(1)))
+      val base = cnt.withColumn("_one", lit(1)).join(tot, "_one")
+        .withColumn("b128", expr(
+          s"CAST($B AS DECIMAL(38,0)) * CAST(n_clean_tokens " +
+            "AS DECIMAL(38,0))"))
+        .withColumn("base", expr(
+          "CAST(b128 DIV CAST(tot AS DECIMAL(38,0)) AS BIGINT)"))
+        .withColumn("rem", expr(
+          "CAST(b128 - CAST(base AS DECIMAL(38,0)) " +
+            "* CAST(tot AS DECIMAL(38,0)) AS BIGINT)"))
+      val ext = broadcast(base.agg((lit(B) - sum("base")).as("n_extra"))
+        .withColumn("_one", lit(1)))
+      val wr = Window.orderBy(desc_nulls_last("rem"),
+        asc_nulls_last("source"))
+      val alloc = base.withColumn("rk", row_number().over(wr))
+        .join(ext, "_one")
+        .withColumn("alloc", col("base")
+          + when(col("rk") <= col("n_extra"), 1L).otherwise(0L))
+        .select("source", "n_clean_docs", "n_clean_tokens", "alloc")
+      val wq = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")).asc_nulls_last,
+          asc_nulls_last("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kept = clean
+        .withColumn("cum", sum(col("n_toks")).over(wq))
+        .join(alloc.select("source", "alloc"), "source")
+        .filter(col("cum") <= col("alloc"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept_docs"),
+          sum("n_toks").as("kept_tokens"))
+      alloc.join(kept, Seq("source"), "left")
+        .na.fill(0L, Seq("n_kept_docs", "kept_tokens"))
+        .select("source", "n_clean_docs", "n_clean_tokens", "alloc",
+          "n_kept_docs", "kept_tokens")
+        .orderBy(asc_nulls_last("source"))
     }),
 
     // Corpus snapshot delta — the CDC reconciliation a pipeline runs
@@ -1435,6 +1504,54 @@ object Corpus {
        |)
        |SELECT doc_id, COUNT(*) AS n_tri FROM n GROUP BY doc_id
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** Shared WITH-chain of curation stages 1–4, ending at the `clean`
+    * CTE — the DuckDB mirror of [[curatedClean]], spliced by the v2
+    * and v3 curation oracles. */
+  private def curatedCleanCtes: String =
+    s"""WITH q AS (
+       |${Quality.gopherPassSubquery.linesIterator
+            .map("  " + _).mkString("\n")}
+       |), qd AS (
+       |  SELECT d.* FROM documents d JOIN q ON d.doc_id = q.doc_id
+       |), ex AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM qd GROUP BY md5(text)
+       |), kept AS (
+       |  SELECT qd.* FROM qd JOIN ex ON qd.doc_id = ex.doc_id
+       |), pairs AS (
+       |${TextOps.dedupPairsSubquery("kept", threshold = true)
+            .linesIterator.map("  " + _).mkString("\n")}
+       |), losers AS (
+       |  SELECT DISTINCT id_b FROM pairs
+       |), surv AS (
+       |  SELECT k.* FROM kept k
+       |  LEFT JOIN losers l ON k.doc_id = l.id_b
+       |  WHERE l.id_b IS NULL
+       |), ev AS (
+       |  SELECT DISTINCT unnest(list_distinct(list_transform(
+       |      generate_series(0, len(string_split(text, ' ')) - $GramTokens),
+       |      i -> md5(array_to_string(list_slice(
+       |        string_split(text, ' '), i + 1, i + $GramTokens), ' ')))))
+       |    AS gm
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % 5 = 0
+       |    AND len(string_split(text, ' ')) >= $GramTokens
+       |), sg AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |      generate_series(0, len(string_split(text, ' ')) - $GramTokens),
+       |      i -> md5(array_to_string(list_slice(
+       |        string_split(text, ' '), i + 1, i + $GramTokens), ' ')))))
+       |    AS gm
+       |  FROM surv
+       |  WHERE text IS NOT NULL
+       |    AND len(string_split(text, ' ')) >= $GramTokens
+       |), contaminated AS (
+       |  SELECT DISTINCT sg.doc_id FROM sg JOIN ev ON sg.gm = ev.gm
+       |), clean AS (
+       |  SELECT s.* FROM surv s
+       |  LEFT JOIN contaminated c ON s.doc_id = c.doc_id
+       |  WHERE c.doc_id IS NULL AND s.doc_id % 5 <> 0
+       |)""".stripMargin
 
   /** The triangles CTE (a<b<c, each triangle once) + one symmetric
     * degree aggregate; `//` is the integer wedge division. */
@@ -1995,49 +2112,7 @@ object Corpus {
          |ORDER BY lang ASC NULLS LAST""".stripMargin,
 
     "q_corpus_curate_v2" ->
-      s"""WITH q AS (
-         |${Quality.gopherPassSubquery.linesIterator
-              .map("  " + _).mkString("\n")}
-         |), qd AS (
-         |  SELECT d.* FROM documents d JOIN q ON d.doc_id = q.doc_id
-         |), ex AS (
-         |  SELECT MIN(doc_id) AS doc_id FROM qd GROUP BY md5(text)
-         |), kept AS (
-         |  SELECT qd.* FROM qd JOIN ex ON qd.doc_id = ex.doc_id
-         |), pairs AS (
-         |${TextOps.dedupPairsSubquery("kept", threshold = true)
-              .linesIterator.map("  " + _).mkString("\n")}
-         |), losers AS (
-         |  SELECT DISTINCT id_b FROM pairs
-         |), surv AS (
-         |  SELECT k.* FROM kept k
-         |  LEFT JOIN losers l ON k.doc_id = l.id_b
-         |  WHERE l.id_b IS NULL
-         |), ev AS (
-         |  SELECT DISTINCT unnest(list_distinct(list_transform(
-         |      generate_series(0, len(string_split(text, ' ')) - $GramTokens),
-         |      i -> md5(array_to_string(list_slice(
-         |        string_split(text, ' '), i + 1, i + $GramTokens), ' ')))))
-         |    AS gm
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND doc_id % 5 = 0
-         |    AND len(string_split(text, ' ')) >= $GramTokens
-         |), sg AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |      generate_series(0, len(string_split(text, ' ')) - $GramTokens),
-         |      i -> md5(array_to_string(list_slice(
-         |        string_split(text, ' '), i + 1, i + $GramTokens), ' ')))))
-         |    AS gm
-         |  FROM surv
-         |  WHERE text IS NOT NULL
-         |    AND len(string_split(text, ' ')) >= $GramTokens
-         |), contaminated AS (
-         |  SELECT DISTINCT sg.doc_id FROM sg JOIN ev ON sg.gm = ev.gm
-         |), clean AS (
-         |  SELECT s.* FROM surv s
-         |  LEFT JOIN contaminated c ON s.doc_id = c.doc_id
-         |  WHERE c.doc_id IS NULL AND s.doc_id % 5 <> 0
-         |), quota AS (
+      s"""$curatedCleanCtes, quota AS (
          |  SELECT *, row_number() OVER (PARTITION BY source
          |    ORDER BY doc_id) AS rn
          |  FROM clean
@@ -2048,6 +2123,54 @@ object Corpus {
          |FROM quota WHERE rn <= 20
          |GROUP BY lang
          |ORDER BY lang ASC NULLS LAST""".stripMargin,
+
+    // The shared clean CTEs, the q_source_budget Hamilton arithmetic
+    // over clean token counts, and the q_source_quota md5-order
+    // prefix-sum consumption.
+    "q_corpus_curate_v3" ->
+      s"""$curatedCleanCtes, cl2 AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM clean
+         |), cnt AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clean_docs,
+         |    CAST(SUM(n_toks) AS BIGINT) AS n_clean_tokens
+         |  FROM cl2 GROUP BY source
+         |), tt AS (
+         |  SELECT CAST(SUM(n_clean_tokens) AS BIGINT) AS tot FROM cnt
+         |), bs AS (
+         |  SELECT source, n_clean_docs, n_clean_tokens,
+         |    CAST((CAST(100000 AS HUGEINT) * n_clean_tokens) // tot
+         |      AS BIGINT) AS base,
+         |    CAST((CAST(100000 AS HUGEINT) * n_clean_tokens) % tot
+         |      AS BIGINT) AS rem
+         |  FROM cnt, tt
+         |), e2 AS (
+         |  SELECT 100000 - CAST(SUM(base) AS BIGINT) AS n_extra FROM bs
+         |), al AS (
+         |  SELECT source, n_clean_docs, n_clean_tokens,
+         |    base + CASE WHEN row_number() OVER (
+         |      ORDER BY rem DESC NULLS LAST, source ASC NULLS LAST)
+         |      <= e2.n_extra THEN 1 ELSE 0 END AS alloc
+         |  FROM bs, e2
+         |), cum AS (
+         |  SELECT source, n_toks,
+         |    SUM(n_toks) OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC NULLS LAST,
+         |        doc_id ASC NULLS LAST
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM cl2
+         |), kp AS (
+         |  SELECT c.source, CAST(COUNT(*) AS BIGINT) AS n_kept_docs,
+         |    CAST(SUM(c.n_toks) AS BIGINT) AS kept_tokens
+         |  FROM cum c JOIN al ON c.source = al.source
+         |  WHERE c.cum <= al.alloc GROUP BY c.source
+         |)
+         |SELECT al.source, al.n_clean_docs, al.n_clean_tokens, al.alloc,
+         |  coalesce(kp.n_kept_docs, 0) AS n_kept_docs,
+         |  coalesce(kp.kept_tokens, 0) AS kept_tokens
+         |FROM al LEFT JOIN kp ON al.source = kp.source
+         |ORDER BY al.source ASC NULLS LAST""".stripMargin,
 
     // Mirrors the integer-product KL chain on DuckDB's lateral column
     // aliases; the weighted-term and final divisions repeat Spark's

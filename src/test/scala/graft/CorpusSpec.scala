@@ -509,6 +509,37 @@ class CorpusSpec extends SparkSpec {
     assert(out.forall(_._1 >= 1))
   }
 
+  test("q_corpus_curate_v3 apportions the exact budget and consumes " +
+    "each source quota greedily in md5 order") {
+    val out = Corpus.queries("q_corpus_curate_v3")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // Hamilton invariant: allocations sum to the budget EXACTLY
+    assert(out.values.map(_._3).sum == 100000L)
+    // brute-force the consumption from the shared clean frame
+    val clean = Corpus.curatedClean(spark, sf)
+      .selectExpr("source", "doc_id",
+        "CAST(size(split(text, ' ')) AS LONG) AS n_toks",
+        "md5(CAST(doc_id AS STRING)) AS h")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val bySource = clean.groupBy(_._1)
+    assert(out.keySet == bySource.keySet)
+    bySource.foreach { case (src, docs) =>
+      val (nd, nt, alloc, kd, kt) = out(src)
+      assert(nd == docs.length.toLong, s"$src clean docs")
+      assert(nt == docs.map(_._3).sum, s"$src clean tokens")
+      var cum = 0L; var ekd = 0L; var ekt = 0L
+      docs.sortBy(x => (x._4, x._2)).foreach { x =>
+        cum += x._3
+        if (cum <= alloc) { ekd += 1; ekt += x._3 }
+      }
+      assert(kd == ekd && kt == ekt, s"$src consumption")
+      assert(kt <= alloc, s"$src quota respected")
+    }
+  }
+
   test("q_graph_clustering_coeff matches brute-force triangle and " +
     "wedge counts") {
     val r = Corpus.queries("q_graph_clustering_coeff")(spark, sf)

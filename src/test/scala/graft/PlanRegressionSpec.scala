@@ -120,6 +120,13 @@ class PlanRegressionSpec extends SparkSpec {
       // q_source_budget's remainder-rank window runs over the
       // source-domain-bounded quota frame (≤ |sources| rows)
       "q_source_budget" -> 1,
+      // q_corpus_curate_v3 reuses the same source-domain-bounded
+      // remainder-rank window over the clean per-source counts; TWO
+      // nodes because the alloc frame has two consumers (quota
+      // consumption + the final report join) and the unpersisted
+      // subtree duplicates identically — ReuseExchange computes it
+      // once (the q_ts_decompose argument)
+      "q_corpus_curate_v3" -> 2,
       // KS/MWU pooled-CDF carry: the global window runs over integer
       // value BUCKETS — bounded by the value domain (~330 rows), not the
       // event count (StatsTests.cumulative)
@@ -214,6 +221,8 @@ class PlanRegressionSpec extends SparkSpec {
       // count on a constant key against the source-domain-bounded
       // quota frame — the q_text_docfreq shape
       "q_source_budget",
+      // the same two 1-row Hamilton broadcasts over the clean counts
+      "q_corpus_curate_v3",
       // the two 1-row learned-merge broadcasts on a constant key (the
       // q_bpe_merges top-1 shape, applied to the encode frame)
       "q_bpe_encode",
