@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope.ScopedPersist
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -85,7 +86,7 @@ object Corpus {
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select("e.src", "e.dst")
-      .persist()
+      .persistScoped()
     val nodes = sym.select(col("src")).distinct()
     // Right-size the loop's shuffles to the DUP-GRAPH size, not the
     // session default: label frames only contain near-dup members — a
@@ -120,7 +121,7 @@ object Corpus {
     val edges = sym
       .union(nodes.select(col("src"), col("src").as("dst")))
       .repartition(loopParts, col("dst"))
-      .persist()
+      .persistScoped()
     var labels = nodes.select(col("src").as("id"), col("src").as("lbl"))
     // convergence check = exact-decimal label sum: labels are elementwise
     // non-increasing (self-loop ⇒ prop ≤ labels, doubling ⇒ next ≤ prop),
@@ -198,14 +199,14 @@ object Corpus {
     val qd = docs.join(q, "doc_id")
     val ex = qd.groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    val kept = qd.join(ex, "doc_id").persist()
+    val kept = qd.join(ex, "doc_id").persistScoped()
     // persisted: surv has TWO consumers below (the gram probe and the
     // clean anti-join) — without this the whole LSH near-dup subtree
     // re-runs for each (kept only caches the stages BEFORE it);
     // losers is the slim (doc_id) sliver, so the cache is tiny and
     // surv itself rebuilds from two cached frames
     val losers = TextDedup.nearDuplicates(kept)
-      .select(col("id_b").as("doc_id")).distinct().persist()
+      .select(col("id_b").as("doc_id")).distinct().persistScoped()
     val surv = kept.join(losers, Seq("doc_id"), "left_anti")
     // gram positions via a GENERATOR + codegen'd md5 (the q_embed_cov
     // lesson; q_source_overlap measured 1.6 → 1.3 s from the same
@@ -295,7 +296,7 @@ object Corpus {
           struct(col("id_a").as("src"), col("id_b").as("dst")),
           struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
         .select("e.src", "e.dst")
-        .persist()
+        .persistScoped()
       val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       val n = broadcast(deg.agg(count(lit(1)).as("n_nodes"))
         .withColumn("_one", lit(1)))
@@ -304,7 +305,7 @@ object Corpus {
           expr("CAST(15000000000000 AS BIGINT) DIV " +
             "(CAST(100 AS BIGINT) * n_nodes)").as("base"),
           expr("CAST(1000000000000 AS BIGINT) DIV n_nodes").as("r0"))
-        .persist()
+        .persistScoped()
       var r = info.select(col("id"), col("deg"), col("r0").as("r"))
       for (_ <- 1 to 2) {
         val inSum = sym
@@ -336,7 +337,7 @@ object Corpus {
     "q_graph_triangles" -> ((s, d) => {
       val edges = TextDedup.nearDuplicates(t(s, d, "documents"))
         .select("id_a", "id_b")
-        .persist()
+        .persistScoped()
       val tri = edges.select(col("id_a").as("a"), col("id_b").as("b"))
         .join(edges.select(col("id_a").as("b"), col("id_b").as("c")), "b")
         .join(edges.select(col("id_a").as("a"), col("id_b").as("c")),
@@ -360,7 +361,7 @@ object Corpus {
     // else is two slim keyed aggregates.
     "q_graph_clustering_coeff" -> ((s, d) => {
       val edges = TextDedup.nearDuplicates(t(s, d, "documents"))
-        .select("id_a", "id_b").persist()
+        .select("id_a", "id_b").persistScoped()
       val tri = broadcast(edges
         .select(col("id_a").as("a"), col("id_b").as("b"))
         .join(edges.select(col("id_a").as("b"), col("id_b").as("c")), "b")
@@ -410,7 +411,7 @@ object Corpus {
           struct(col("id_a").as("src"), col("id_b").as("dst")),
           struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
         .select("e.src", "e.dst")
-        .persist()
+        .persistScoped()
       val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       val common = sym.select(col("src").as("v"), col("dst").as("a"))
         .join(sym.select(col("src").as("v"), col("dst").as("b")), "v")
@@ -478,12 +479,12 @@ object Corpus {
     "q_graph_cc_incremental" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val pairs = TextDedup.nearDuplicates(docs)
-        .select("id_a", "id_b").persist()
+        .select("id_a", "id_b").persistScoped()
       val oldPairs = pairs.filter(
         col("id_a") % 7 =!= 0 && col("id_b") % 7 =!= 0)
       val newEdges = pairs.filter(
         col("id_a") % 7 === 0 || col("id_b") % 7 === 0)
-      val labelsOld = connectedComponents(oldPairs).persist()
+      val labelsOld = connectedComponents(oldPairs).persistScoped()
       // CONTRACT each old component to its label node (the label IS the
       // component's min id), map new-edge endpoints through the labels
       // (new/unseen nodes keep their own id), and propagate over the
@@ -501,7 +502,7 @@ object Corpus {
       }
       val contracted = mapEnd("id_b")(mapEnd("id_a")(newEdges))
         .filter(col("id_a") =!= col("id_b"))
-      val deltaLabels = connectedComponents(contracted).persist()
+      val deltaLabels = connectedComponents(contracted).persistScoped()
       // old labels that merged (appear in the delta graph) re-map; the
       // rest keep their labels verbatim — the untouched-component
       // guarantee the oracle's full closure must agree with
@@ -544,7 +545,7 @@ object Corpus {
           col("source").as("sa")), "id_a")
         .join(srcMap.select(col("doc_id").as("id_b"),
           col("source").as("sb")), "id_b")
-        .persist()
+        .persistScoped()
       val m = lab.count()
       val deg = lab.select(explode(array(col("sa"), col("sb")))
           .as("source"))
@@ -552,12 +553,22 @@ object Corpus {
       val intra = lab.filter(col("sa") === col("sb"))
         .groupBy(col("sa").as("source"))
         .agg(count(lit(1)).as("intra_edges"))
+      // 4m·e_c − d_c² and 4m² in exact 128-bit DECIMAL(38,0), shipped
+      // VARCHAR-routed: 4m² wraps a driver Long once the near-dup edge
+      // count passes ~1.5e9 — silently on Spark, where the old BIGINT
+      // column arithmetic would diverge from DuckDB's HUGEINT (the
+      // q_graph_assortativity §7.4 precedent; the scaled integers are
+      // the portable readout, the caller does the one division).
+      val m4 = lit(4L).cast("decimal(38,0)") * lit(m).cast("decimal(38,0)")
       deg.join(intra, Seq("source"), "left")
         .na.fill(0L, Seq("intra_edges"))
         .select(col("source"), col("intra_edges"), col("deg_sum"),
-          (lit(4L) * lit(m) * col("intra_edges")
-            - col("deg_sum") * col("deg_sum")).as("q_num_scaled"),
-          lit(4L * m * m).as("q_den_scaled"))
+          (m4 * col("intra_edges").cast("decimal(38,0)")
+            - col("deg_sum").cast("decimal(38,0)")
+              * col("deg_sum").cast("decimal(38,0)"))
+            .cast("string").as("q_num_scaled"),
+          (m4 * lit(m).cast("decimal(38,0)"))
+            .cast("string").as("q_den_scaled"))
         .orderBy(asc_nulls_last("source"))
     }),
 
@@ -580,7 +591,7 @@ object Corpus {
           struct(col("id_a").as("src"), col("id_b").as("dst")),
           struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
         .select("e.src", "e.dst")
-        .persist()
+        .persistScoped()
       var nodes = sym.select(col("src").as("id")).distinct()
       for (_ <- 1 to 3) {
         // each round references `nodes` TWICE (src + dst semi-join), so
@@ -599,7 +610,7 @@ object Corpus {
           .filter(col("deg") >= 2)
           .select(col("src").as("id"))
       }
-      nodes = nodes.persist()
+      nodes = nodes.persistScoped()
       sym
         .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
@@ -628,7 +639,7 @@ object Corpus {
           struct(col("id_a").as("src"), col("id_b").as("dst")),
           struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
         .select("e.src", "e.dst")
-        .persist()
+        .persistScoped()
       var lbl = sym.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id"))
       for (_ <- 1 to 3) {
@@ -643,7 +654,7 @@ object Corpus {
           .filter(col("rn") === 1)
           .select("id", "lbl")
       }
-      lbl = lbl.persist()
+      lbl = lbl.persistScoped()
       val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("n_members"))
       lbl.join(sz, "lbl")
         .select(col("id").as("doc_id"), col("lbl").as("community"),
@@ -670,7 +681,7 @@ object Corpus {
           struct(col("id_a").as("src"), col("id_b").as("dst")),
           struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
         .select("e.src", "e.dst")
-        .persist() // two consumers: degrees + the labeled edge join
+        .persistScoped() // two consumers: degrees + the labeled edge join
       val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       sym
         .join(deg.select(col("src"), col("deg").as("da")), "src")
@@ -717,7 +728,7 @@ object Corpus {
         // three consumers (eval set, hit join, final left join) and the
         // doc_id filters push BELOW the gram transform — without the
         // cache every branch re-tokenizes and re-hashes its slice
-        .persist()
+        .persistScoped()
       val evalGrams = g.filter(col("doc_id") % 5 === 0)
         .select(explode(col("grams")).as("gm")).distinct()
       val train = g.filter(col("doc_id") % 5 =!= 0)
@@ -759,7 +770,7 @@ object Corpus {
         .distinct()
         // persisted: three consumers (totals, both self-join sides)
         // would each re-tokenize and re-hash the corpus
-        .persist()
+        .persistScoped()
       val tot = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
       val a = g.select(col("gm"), col("source").as("src_a"))
       val b = g.select(col("gm"), col("source").as("src_b"))
@@ -970,7 +981,7 @@ object Corpus {
       // signatures and token verify — plus the anti-join left side and
       // the quota window) would each re-run the gate + exact-dedup
       // prefix
-      val kept = qd.join(ex, "doc_id").persist()
+      val kept = qd.join(ex, "doc_id").persistScoped()
       val losers = TextDedup.nearDuplicates(kept)
         .select(col("id_b").as("doc_id")).distinct()
       val surv = kept.join(losers, Seq("doc_id"), "left_anti")
@@ -1026,7 +1037,7 @@ object Corpus {
       val B = 100000L
       val clean = curatedClean(s, d)
         .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
-        .persist() // two consumers: per-source counts + quota consumption
+        .persistScoped() // two consumers: per-source counts + quota consumption
       val cnt = clean.groupBy("source")
         .agg(count(lit(1)).as("n_clean_docs"),
           sum("n_toks").as("n_clean_tokens"))
@@ -1356,7 +1367,7 @@ object Corpus {
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select("e.src", "e.dst")
-      .persist()
+      .persistScoped()
     val seedRow = sym.agg(min(col("src"))).head
     if (seedRow.isNullAt(0)) {
       sym.unpersist()
@@ -1372,7 +1383,7 @@ object Corpus {
             "src")
           .select(col("dst").as("doc_id")).distinct()
           .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
-          .persist()
+          .persistScoped()
         if (nf.isEmpty) { nf.unpersist(); done = true }
         else {
           visited = visited.union(
@@ -1766,9 +1777,10 @@ object Corpus {
        |)
        |SELECT d.source, coalesce(i.intra_edges, 0) AS intra_edges,
        |  d.deg_sum,
-       |  4 * m.m * coalesce(i.intra_edges, 0) - d.deg_sum * d.deg_sum
+       |  CAST(CAST(4 AS HUGEINT) * m.m * coalesce(i.intra_edges, 0)
+       |    - CAST(d.deg_sum AS HUGEINT) * d.deg_sum AS VARCHAR)
        |    AS q_num_scaled,
-       |  4 * m.m * m.m AS q_den_scaled
+       |  CAST(CAST(4 AS HUGEINT) * m.m * m.m AS VARCHAR) AS q_den_scaled
        |FROM deg d LEFT JOIN intra i ON d.source = i.source, m
        |ORDER BY d.source ASC NULLS LAST""".stripMargin
 

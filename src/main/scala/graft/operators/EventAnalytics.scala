@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope.ScopedPersist
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -229,7 +230,7 @@ object EventAnalytics {
       // consumed twice (day-carry aggregate + final join): persist so
       // the sessionization window subtree runs once per pass, not twice
       // (Verify/Bench clearCache() handles cleanup)
-      .persist()
+      .persistScoped()
     val wDays = Window.orderBy(asc_nulls_last("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = deltas.groupBy("day").agg(sum("d").as("day_d"))
@@ -593,7 +594,7 @@ object EventAnalytics {
     "q_audience_overlap" -> ((s, d) => {
       val ut = t(s, d, "events")
         .select(col("user_id"), col("event_type")).distinct()
-        .persist() // three consumers: wedge (×2) + per-type sizes
+        .persistScoped() // three consumers: wedge (×2) + per-type sizes
       val sizes = broadcast(ut.groupBy("event_type")
         .agg(count(lit(1)).as("n_users")))
       val wedges = ut.select(col("user_id"), col("event_type").as("ta"))
@@ -739,7 +740,7 @@ object EventAnalytics {
       val dec = decomposeFrom(dailyPoints(t(s, d, "events")))
         .filter(col("resid").isNotNull)
         .select("day", "resid")
-        .persist() // day-grain; three consumers (rank, count, dev)
+        .persistScoped() // day-grain; three consumers (rank, count, dev)
       def gmedian(df: DataFrame, c: String, as: String) = {
         val wv = Window.orderBy(asc_nulls_last(c), asc_nulls_last("day"))
         val n = broadcast(df.agg(count(lit(1)).as("n"))
@@ -755,7 +756,7 @@ object EventAnalytics {
       val dev = dec.withColumn("_one", lit(1))
         .join(broadcast(gmedian(dec, "resid", "med")), "_one")
         .withColumn("adev", abs(col("resid") - col("med")))
-        .persist() // day-grain; two consumers (mad rank + final flag)
+        .persistScoped() // day-grain; two consumers (mad rank + final flag)
       dev.join(broadcast(gmedian(dev, "adev", "mad")), "_one")
         .withColumn("is_anomaly", col("adev") > col("mad") * 3)
         .select("day", "resid", "med", "mad", "adev", "is_anomaly")
@@ -952,7 +953,7 @@ object EventAnalytics {
         .select(col("day"),
           (col("x") * col("nd") - col("sx")).as("cx"),
           (col("y") * col("nd") - col("sy")).as("cy"))
-        .persist() // three consumers: denominators + both lag-join sides
+        .persistScoped() // three consumers: denominators + both lag-join sides
       val den = broadcast(cent.agg(
           sum(expr("CAST(cx AS DECIMAL(38,0)) * CAST(cx AS DECIMAL(38,0))"))
             .as("dx"),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope.ScopedPersist
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -568,7 +569,7 @@ object Extended {
         .select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .persist()
+        .persistScoped()
       // order count read off the already-grouped lists frame (one row per
       // order) — a driver literal like q_join_bloom's
       val nOrders = lists.count()

@@ -367,7 +367,13 @@ object Multimodal {
       val csize = when(method === 0, usize)
         .otherwise(expr("CAST(n_chars DIV 2 + 1 AS INT)"))
       val fname = concat(col("source"), lit(".txt"))
-      val fnlen = length(fname).cast("int")
+      // APPNOTE's name-length field counts BYTES of the stored name;
+      // the header stores UTF-8 bytes (hex(fname AS BINARY)), so fnlen
+      // must be the octet length — a character count would understate
+      // it for any non-ASCII source name, declaring a spec-invalid
+      // header and mis-offsetting the data slice on BOTH engines
+      // identically (a hash-match-invisible defect).
+      val fnlen = length(fname.cast("binary")).cast("int")
       val xlen = (col("doc_id") % 4).cast("int")
       val zipHex = concat(lit("504B0304"), lit("1400"), lit("0000"),
         le(method, 2), le(mtime, 2), le(mdate, 2), le(crc, 4),
@@ -929,7 +935,7 @@ object Multimodal {
         |    lpad(hex(crc), 8, '0') AS crh,
         |    lpad(hex(csize), 8, '0') AS csh,
         |    lpad(hex(usize), 8, '0') AS ush,
-        |    lpad(hex(length(fname)), 4, '0') AS flh,
+        |    lpad(hex(octet_length(encode(fname))), 4, '0') AS flh,
         |    lpad(hex(xlen), 4, '0') AS xlh
         |  FROM src
         |), built AS (

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope.ScopedPersist
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -119,7 +120,7 @@ object StatsTests {
       .orderBy(asc_nulls_last("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // persisted: three consumers (totals, clip points, the final agg)
-    val cumd = pts0.withColumn("cum", sum("cnt").over(wv)).persist()
+    val cumd = pts0.withColumn("cum", sum("cnt").over(wv)).persistScoped()
     val info = broadcast(cumd.groupBy("event_type")
       .agg(max("cum").as("n"))
       .withColumn("lo_rank", expr("(n * 5) DIV 100 + 1"))
@@ -370,11 +371,17 @@ object StatsTests {
     // time?) that Pearson-on-values can't see. Ranks are row_number
     // with the (value|ts, event_id) DETERMINISTIC tie-break (strict
     // orderings — both engines produce identical integer ranks, no
-    // average-rank FP), Σd² is an exact BIGINT, and
-    // ρ = 1 − 6Σd²/(n(n²−1)) is ONE IEEE division of exact integers
-    // (n³ ≈ 8e12 at sf0.1 — inside the 2^53 window). Scale: ONE
-    // event_type shuffle; both rank windows share the partitioning
-    // (two in-partition sorts, no second exchange), then a keyed agg.
+    // average-rank FP). Σd² and the n(n²−1) denominator run in exact
+    // 128-bit DECIMAL(38,0) (HUGEINT in the oracle): Σd² can reach
+    // n³/3 and the denominator n³, so BIGINT silently wraps — on
+    // Spark only, DuckDB raises — once a single event_type passes
+    // ~2.1M rows, exactly the silent cross-engine divergence the
+    // §7.4 convention exists to prevent. Σd² therefore ships
+    // VARCHAR-routed, and ρ = 1 − 6Σd²/(n(n²−1)) is ONE IEEE
+    // division of two correctly-rounded doubles (the
+    // q_graph_assortativity precedent). Scale: ONE event_type
+    // shuffle; both rank windows share the partitioning (two
+    // in-partition sorts, no second exchange), then a keyed agg.
     "q_stats_spearman" -> ((s, d) => {
       val wv = Window.partitionBy("event_type")
         .orderBy(asc_nulls_last("value"), asc_nulls_last("event_id"))
@@ -386,13 +393,17 @@ object StatsTests {
           col("ts"))
         .withColumn("rv", row_number().over(wv))
         .withColumn("rt", row_number().over(wt))
-        .withColumn("d", (col("rv") - col("rt")).cast("long"))
+        .withColumn("d", (col("rv") - col("rt")).cast("decimal(38,0)"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum(col("d") * col("d")).as("sum_d2"))
-        .select(col("event_type"), col("n"), col("sum_d2"),
-          (lit(1.0) - (lit(6.0) * col("sum_d2"))
-            / (col("n") * (col("n") * col("n") - lit(1L)))).as("rho"))
+          sum(col("d") * col("d")).as("sum_d2_dec"))
+        .select(col("event_type"), col("n"),
+          col("sum_d2_dec").cast("string").as("sum_d2"),
+          (lit(1.0) - (lit(6.0) * col("sum_d2_dec").cast("double"))
+            / (col("n").cast("decimal(38,0)")
+              * (col("n").cast("decimal(38,0)")
+                * col("n").cast("decimal(38,0)") - lit(1)))
+              .cast("double")).as("rho"))
         .orderBy(asc_nulls_last("event_type"))
     }),
 
@@ -446,8 +457,10 @@ object StatsTests {
        |    THEN w * w END) AS VARCHAR) AS DOUBLE)""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    // Same deterministic-tie-break integer ranks; the ρ expression text
-    // is the identical 1.0 − (6.0·Σd²)/(n(n²−1)) double tree.
+    // Same deterministic-tie-break integer ranks; Σd² and n(n²−1) in
+    // HUGEINT (= Spark's DECIMAL(38,0)), Σd² VARCHAR-routed, and the ρ
+    // expression the identical 1.0 − (6.0·Σd²)/(n(n²−1)) double tree
+    // over the two correctly-rounded casts.
     "q_stats_spearman" ->
       """WITH r AS (
         |  SELECT event_type,
@@ -460,12 +473,15 @@ object StatsTests {
         |  FROM events WHERE value IS NOT NULL
         |), a AS (
         |  SELECT event_type, COUNT(*) AS n,
-        |    CAST(SUM(CAST((rv - rt) AS BIGINT)
-        |      * CAST((rv - rt) AS BIGINT)) AS BIGINT) AS sum_d2
+        |    SUM(CAST((rv - rt) AS HUGEINT)
+        |      * CAST((rv - rt) AS HUGEINT)) AS sum_d2h
         |  FROM r GROUP BY event_type
         |)
-        |SELECT event_type, n, sum_d2,
-        |  1.0 - (6.0 * sum_d2) / (n * (n * n - 1)) AS rho
+        |SELECT event_type, n, CAST(sum_d2h AS VARCHAR) AS sum_d2,
+        |  1.0 - (6.0 * CAST(sum_d2h AS DOUBLE))
+        |    / CAST(CAST(n AS HUGEINT)
+        |      * (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - 1) AS DOUBLE)
+        |    AS rho
         |FROM a ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     "q_stats_benford" ->

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope.ScopedPersist
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -95,7 +96,7 @@ object TextOps {
   def tokenShiftFrom(pts0: DataFrame): DataFrame = {
     // persisted: four consumers (corpus counts, corpus total, per-source
     // totals, the per-cell left join) re-run the upstream otherwise
-    val pts = pts0.persist()
+    val pts = pts0.persistScoped()
     val corp = pts.groupBy("token").agg(sum("cnt").as("cnt_c"))
     val nC = broadcast(pts.agg(sum("cnt").as("n_c"))
       .withColumn("_one", lit(1)))
@@ -256,7 +257,7 @@ object TextOps {
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("n"))
-        .persist()
+        .persistScoped()
       val p1 = words
         .select(col("n"), explode(expr(
           "CASE WHEN length(w) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
@@ -264,7 +265,7 @@ object TextOps {
             "concat(substring(w, i, 1), ' ', substring(w, i + 1, 1))) " +
             "END")).as("pair"))
         .groupBy("pair").agg(sum("n").as("freq"))
-        .persist() // two consumers: the top-10 readout and the top-1 merge
+        .persistScoped() // two consumers: the top-10 readout and the top-1 merge
       val top1 = broadcast(p1
         .orderBy(desc_nulls_last("freq"), asc_nulls_last("pair"))
         .limit(1)
@@ -309,7 +310,7 @@ object TextOps {
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("source", "w").agg(count(lit(1)).as("n"))
-        .persist() // two consumers: corpus-level learning + encoding
+        .persistScoped() // two consumers: corpus-level learning + encoding
       val wc = wcSrc.groupBy("w").agg(sum("n").as("n"))
       val p1 = wc.select(col("n"), explode(expr(
           "CASE WHEN length(w) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
@@ -393,7 +394,7 @@ object TextOps {
         .select(col("doc_id"), col("source"), expr(
           "concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])").as("gram"))
         .distinct() // per-doc distinct grams: novelty is a SET measure
-        .persist()  // two consumers: the train gram set + the test probe
+        .persistScoped()  // two consumers: the train gram set + the test probe
       val train = g.filter(col("doc_id") % 10 =!= 7)
         .select("gram").distinct().withColumn("hit", lit(1))
       g.filter(col("doc_id") % 10 === 7)
@@ -496,7 +497,7 @@ object TextOps {
         .select(explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
         .groupBy("token").agg(count(lit(1)).as("cnt"))
-        .persist() // three consumers: totals + two top-k sums
+        .persistScoped() // three consumers: totals + two top-k sums
       val tot = freq.agg(count(lit(1)).as("n_types"),
         sum("cnt").as("n_occurrences")).withColumn("_one", lit(1))
       def topSum(k: Int, alias: String) =
@@ -526,7 +527,7 @@ object TextOps {
       val toks = t(s, d, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
-        .persist()
+        .persistScoped()
       val nd = broadcast(t(s, d, "documents")
         .agg(count(lit(1)).as("n_docs")).withColumn("_one", lit(1)))
       val occ = toks.withColumn("_one", lit(1)).join(nd, "_one")
@@ -872,7 +873,7 @@ object TextOps {
           "text", NumHashes)
         .select(col("id") +:
           (0 until NumHashes).map(i => col(s"sig_$i")): _*)
-        .persist()
+        .persistScoped()
       val a = signed.toDF(
         "id_a" +: (0 until NumHashes).map(i => s"a_$i"): _*)
       val b = signed.toDF(
@@ -1127,7 +1128,7 @@ object TextOps {
           "transform(sequence(0, size(toks) - 2), " +
             "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))
         .select(col("doc_id"), col("p.a"), col("p.b"))
-        .persist()
+        .persistScoped()
       val wTot = Window.partitionBy("a")
       val probs = docBg.groupBy("a", "b").agg(count(lit(1)).as("cnt_ab"))
         .withColumn("cnt_a", sum("cnt_ab").over(wTot))
@@ -1164,7 +1165,7 @@ object TextOps {
           "transform(sequence(0, size(toks) - 2), " +
             "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))
         .select(col("doc_id"), col("p.a"), col("p.b"))
-        .persist()
+        .persistScoped()
       val wTot = Window.partitionBy("a")
       def probs(src: DataFrame, alias: String): DataFrame =
         src.groupBy("a", "b").agg(count(lit(1)).as("cnt_ab"))
@@ -1272,7 +1273,7 @@ object TextOps {
         .select(col("doc_id").as("id"), col("text"))
       // signatures computed ONCE (the expensive md5 pass) and persisted;
       // each config only re-bands them — was 3 full pipeline runs
-      val signed = MinHash.withSignatures(base, "text").persist()
+      val signed = MinHash.withSignatures(base, "text").persistScoped()
       val toks = signed.select(col("id"), col("toks"))
       Seq(8, 4, 2).map { b =>
         TextDedup.withJaccard(
@@ -1312,7 +1313,7 @@ object TextOps {
         .select(col("doc_id"), col("fps"),
           size(col("fps")).cast("long").as("n_fps"))
         // consumed by both the explode and the final n_fps join
-        .persist()
+        .persistScoped()
       val fps = base.select(col("doc_id"), explode(col("fps")).as("fp"))
       val counts = fps.groupBy("fp")
         .agg(countDistinct(col("doc_id")).as("nd"))

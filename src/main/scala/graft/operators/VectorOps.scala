@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope.ScopedPersist
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -306,11 +307,11 @@ object VectorOps {
       .select("vec_id", "iv")
       // four consumers (mean agg, residuals, code side, probe qiv) —
       // uncached, each re-runs the decimal re-encoding scan
-      .persist()
+      .persistScoped()
     // the full-corpus coarse assignment costs a window shuffle; it is
     // needed by the mean aggregation, the residual join AND the caller's
     // candidate filter — persist once, return it, never re-derive
-    val cl = centroidAssign(s, e, e).select("vec_id", "cluster").persist()
+    val cl = centroidAssign(s, e, e).select("vec_id", "cluster").persistScoped()
     val meanc = broadcast(ints.join(cl, "vec_id")
       .select(col("cluster"), posexplode(col("iv")).as(Seq("pos", "x")))
       .groupBy("cluster", "pos")
@@ -1087,7 +1088,7 @@ object VectorOps {
             "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
         .select(col("vec_id"), col("label"),
           posexplode(col("iv")).as(Seq("pos", "x")))
-        .persist()
+        .persistScoped()
       def cent(f: Column) = ints.filter(f)
         .groupBy("label", "pos")
         .agg(expr("CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*) " +
@@ -1404,7 +1405,7 @@ object VectorOps {
           "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) " +
             "AS DECIMAL(18,7)) * 10000000 AS BIGINT))"))
         .select("vec_id", "iv")
-        .persist()
+        .persistScoped()
       def assign(cents: DataFrame): DataFrame = {
         val wA = Window.partitionBy("vec_id")
           .orderBy(asc_nulls_last("dist"), asc_nulls_last("cid"))
@@ -1419,7 +1420,7 @@ object VectorOps {
       val c1 = broadcast(ints.filter(col("vec_id") < IvfCentroids)
         .select(col("vec_id").cast("long").as("cid"), col("iv").as("civ"),
           lit(1).as("_one")))
-      val a1 = assign(c1).persist()
+      val a1 = assign(c1).persistScoped()
       val c2 = broadcast(a1.join(ints, "vec_id")
         .select(col("cluster"), posexplode(col("iv")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")

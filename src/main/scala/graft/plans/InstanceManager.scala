@@ -1,5 +1,7 @@
 package graft.plans
 
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
 import scala.collection.concurrent.TrieMap
 import scala.util.{Failure, Success, Try}
 
@@ -28,33 +30,66 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 final class InstanceManager(spark: SparkSession) {
 
+  final class InstanceCancelledException(id: String)
+    extends RuntimeException(
+      s"instance '$id' was cancelled while executing")
+
   private sealed trait Handle
-  private final case class Batch(group: String) extends Handle
+  private final case class Batch(group: String, cancelled: AtomicBoolean)
+    extends Handle
   private final case class Stream(query: StreamingQuery) extends Handle
 
   private val running = TrieMap.empty[String, Handle]
 
-  private def groupOf(id: String) = s"graft-instance-$id"
+  // Group names carry a per-run sequence number because cancellation is
+  // cancelJobGroupAndFutureJobs: Spark remembers a cancelled group and
+  // kills later jobs submitted under the same name, so a REUSED instance
+  // id must not inherit a previous run's death sentence.
+  private val runSeq = new AtomicLong(0L)
 
   /** Run one batch instance synchronously under its own job group,
     * optionally deadline-guarded by [[TaskTimeout]]. Returns Failure
-    * (with Spark's cancellation exception, or TaskTimedOutException)
-    * if [[cancel]] was called from another thread or the deadline
-    * fired; the job group is always cleared and the instance
-    * deregistered. */
+    * (with Spark's cancellation exception, InstanceCancelledException,
+    * or TaskTimedOutException) if [[cancel]] was called from another
+    * thread or the deadline fired; the job group is always cleared and
+    * the instance deregistered.
+    *
+    * Ordering closes the cancel race: the job group is set BEFORE the
+    * id is registered, so any cancel() that observes the registration
+    * targets the live group; cancel() uses
+    * cancelJobGroupAndFutureJobs, so a cancel landing BETWEEN two
+    * actions of a multi-action body kills the next action rather than
+    * letting the instance run to completion; and the cancelled flag is
+    * checked after the body, so even a body with no further Spark
+    * actions reports Failure instead of a false success. */
   def runBatch[T](id: String, timeoutMs: Option[Long] = None)
       (body: => T): Try[T] = {
-    require(!running.contains(id), s"instance '$id' already running")
-    val group = groupOf(id)
-    running.put(id, Batch(group))
-    try Success(timeoutMs match {
-      case Some(ms) => TaskTimeout.runWithTimeout(spark, group, ms)(body)
-      case None =>
-        spark.sparkContext.setJobGroup(group, s"graft instance $id",
-          interruptOnCancel = true)
-        try body finally spark.sparkContext.clearJobGroup()
-    })
-    catch { case e: Exception => Failure(e) }
+    val group = s"graft-instance-$id-run${runSeq.incrementAndGet()}"
+    val flag = new AtomicBoolean(false)
+    spark.sparkContext.setJobGroup(group, s"graft instance $id",
+      interruptOnCancel = true)
+    if (running.putIfAbsent(id, Batch(group, flag)).isDefined) {
+      spark.sparkContext.clearJobGroup()
+      throw new IllegalArgumentException(s"instance '$id' already running")
+    }
+    try {
+      val out = timeoutMs match {
+        // runWithTimeout re-sets the same group (idempotent) and adds
+        // the watchdog; both paths run under `group`
+        case Some(ms) => TaskTimeout.runWithTimeout(spark, group, ms)(body)
+        case None => try body finally spark.sparkContext.clearJobGroup()
+      }
+      if (flag.get) Failure(new InstanceCancelledException(id))
+      else Success(out)
+    }
+    catch {
+      case e: Exception =>
+        if (flag.get) {
+          val ce = new InstanceCancelledException(id)
+          ce.initCause(e)
+          Failure(ce)
+        } else Failure(e)
+    }
     finally running.remove(id)
   }
 
@@ -65,14 +100,18 @@ final class InstanceManager(spark: SparkSession) {
     running.put(id, Stream(query))
   }
 
-  /** Cancel a named instance. Batch: cancels its job group (running
-    * tasks are interrupted everywhere; the runner's finally block
-    * deregisters, so a double cancel is harmless). Stream: stops the
-    * query at the next batch boundary. Returns false for unknown
-    * ids. */
+  /** Cancel a named instance. Batch: marks the instance cancelled and
+    * cancels its job group INCLUDING future jobs — running tasks are
+    * interrupted everywhere, and an action the body has not submitted
+    * yet dies on submission, so `cancelled: true` is definitive, not
+    * best-effort (the runner's finally block deregisters, so a double
+    * cancel is harmless). Stream: stops the query at the next batch
+    * boundary. Returns false for unknown ids. */
   def cancel(id: String): Boolean = running.get(id) match {
-    case Some(Batch(group)) =>
-      spark.sparkContext.cancelJobGroup(group)
+    case Some(Batch(group, flag)) =>
+      flag.set(true)
+      spark.sparkContext.cancelJobGroupAndFutureJobs(group,
+        s"instance '$id' cancelled via control plane")
       true
     case Some(Stream(q)) =>
       q.stop()

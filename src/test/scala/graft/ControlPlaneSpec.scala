@@ -272,6 +272,64 @@ class ControlPlaneSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("instance manager: cancel in the inter-action window is " +
+      "definitive, and the id is reusable afterwards") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import graft.plans.InstanceManager
+    val mgr = new InstanceManager(spark)
+    val id = s"gap_${System.nanoTime()}"
+    val firstDone = new CountDownLatch(1)
+    val cancelSent = new CountDownLatch(1)
+    @volatile var result: scala.util.Try[Any] = null
+    @volatile var secondRan = false
+    val runner = new Thread(() => {
+      result = mgr.runBatch(id) {
+        val a = spark.range(100).count() // action 1 completes normally
+        firstDone.countDown()
+        cancelSent.await(10, TimeUnit.SECONDS) // cancel lands HERE
+        val b = spark.range(100).count() // must die on submission
+        secondRan = true
+        a + b
+      }
+    }, "gap-runner")
+    runner.start()
+    assert(firstDone.await(10, TimeUnit.SECONDS), "first action never ran")
+    assert(mgr.cancel(id))
+    cancelSent.countDown()
+    runner.join(30000)
+    assert(!runner.isAlive, "cancelled instance must terminate promptly")
+    // the old best-effort cancelJobGroup would have let action 2 run to
+    // completion and reported Success — the definitive contract is:
+    assert(!secondRan, "post-cancel action must not execute")
+    assert(result.isFailure,
+      "cancel in the inter-action window must surface as Failure")
+    // a REUSED id must not inherit the cancelled group's death sentence
+    // (groups carry a per-run sequence number)
+    assert(mgr.runBatch(id)(spark.range(9).count())
+      == scala.util.Success(9L), "id reuse after cancel must work")
+    // driver-only tail: cancel observed but no further Spark action —
+    // the cancelled flag still converts the completed body to Failure
+    val id2 = s"tail_${System.nanoTime()}"
+    val started = new CountDownLatch(1)
+    val canDone = new CountDownLatch(1)
+    @volatile var result2: scala.util.Try[Any] = null
+    val runner2 = new Thread(() => {
+      result2 = mgr.runBatch(id2) {
+        started.countDown()
+        canDone.await(10, TimeUnit.SECONDS)
+        42 // pure driver work after the cancel — no action to kill
+      }
+    }, "tail-runner")
+    runner2.start()
+    assert(started.await(10, TimeUnit.SECONDS))
+    assert(mgr.cancel(id2))
+    canDone.countDown()
+    runner2.join(30000)
+    assert(result2.isFailure,
+      "a cancelled instance must never report Success, even when the " +
+        "body finishes driver-side")
+  }
+
   test("monitoring listener captures per-batch reports (R18)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
