@@ -75,9 +75,43 @@ object Corpus {
   def connectedComponents(pairs: DataFrame): DataFrame =
     connectedComponentsWithRounds(pairs)._1
 
+  /** Loop-shuffle right-sizing shared by every iterative graph loop
+    * (CC, pagerank, k-core peel, label propagation, BFS): one
+    * partition per `per` rows, floored at 4, capped at the session
+    * default. An iterative loop pays the partition count in SCHEDULED
+    * TASKS every round, so the session default — sized for
+    * corpus-wide shuffles — would schedule hundreds of near-empty
+    * tasks per round on a cluster whenever the loop graph is a sliver
+    * of the corpus (the usual near-dup case). Applied as EXPLICIT
+    * repartition(n, key) on loop frames, never by mutating the
+    * session-global spark.sql.shuffle.partitions (which would race
+    * with concurrent queries). Division of labor: loop JOIN and
+    * WINDOW inputs are sized explicitly here; keyed AGGREGATE
+    * exchanges are left unsized on purpose — pre-repartitioning an
+    * agg input would defeat the map-side partial combine, and AQE's
+    * runtime coalescing already right-sizes the post-agg side. */
+  private[graft] def loopShufflePartitions(
+      spark: org.apache.spark.sql.SparkSession, rows: Long,
+      per: Long): Int = {
+    val sessionParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(32L)
+    math.max(4L, math.min(sessionParts, rows / per + 1L)).toInt
+  }
+
   /** [[connectedComponents]] plus the number of rounds the loop ran —
-    * exposed so the log-diameter convergence property is testable. */
-  def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    * exposed so the log-diameter convergence property is testable.
+    *
+    * `checkpointDir`: when set, each round's labels take a RELIABLE
+    * checkpoint into that directory instead of a localCheckpoint.
+    * localCheckpoint stores blocks on executors — fast, but an
+    * executor loss mid-loop kills the lineage-truncated frame with no
+    * recovery path; on a real multi-node cluster a long CC run over a
+    * big dup graph should pay the checkpoint-dir write (HDFS/object
+    * store) for restartability. Default stays local: at single-node /
+    * test scale the loop is short enough to simply re-run, and the
+    * reliable path costs one filesystem round-trip per round. */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     // symmetric expansion IN-ROW (explode of both directions), not a
     // union of two branches — a union would evaluate the whole upstream
     // subtree (LSH in the declared query) twice before the persist helps
@@ -105,8 +139,6 @@ object Corpus {
     // exchange per shuffle boundary. The caller's terminal sort runs at
     // the untouched session setting.
     val spark = pairs.sparkSession
-    val sessionParts = scala.util.Try(
-      spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(32L)
     // ONE setup action (round 7; was two): node count sizes the loop's
     // shuffles and the node-id sum is the round-0 convergence reference —
     // both from the same distinct-node agg (materializing persisted sym
@@ -116,8 +148,8 @@ object Corpus {
       sum(col("src").cast(
         org.apache.spark.sql.types.DecimalType(38, 0)))).head
     val nNodes = setup.getLong(0)
-    val loopParts = math.max(4L, math.min(sessionParts,
-      nNodes / 5000L + 1L)).toInt
+    val loopParts = loopShufflePartitions(spark, nNodes, 5000L)
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     val edges = sym
       .union(nodes.select(col("src"), col("src").as("dst")))
       .repartition(loopParts, col("dst"))
@@ -163,16 +195,19 @@ object Corpus {
       // label-sum below is the round's ONLY driver action — its full-scan
       // agg materializes the checkpoint blocks as it reads them, folding
       // what used to be two jobs per round (checkpoint materialization +
-      // sum) into one. (On a multi-node cluster prefer reliable
-      // checkpoint() to a checkpoint dir — localCheckpoint trades
-      // executor-loss recovery for speed; the convergence loop is short
-      // enough to simply re-run on failure.)
-      val next = prop.repartition(loopParts, col("lbl"))
+      // sum) into one. With `checkpointDir` set, a RELIABLE checkpoint
+      // replaces the local one — same lineage truncation, same lazy
+      // materialization-by-first-action, but the blocks live in the
+      // checkpoint dir and survive executor loss (the multi-node
+      // trade; see the Scaladoc).
+      val doubled = prop.repartition(loopParts, col("lbl"))
         .join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2"))
           .repartition(loopParts, col("lbl")),
           "lbl")
         .select(col("id"), least(col("lbl"), col("lbl2")).as("lbl"))
-        .localCheckpoint(eager = false)
+      val next =
+        if (checkpointDir.isDefined) doubled.checkpoint(eager = false)
+        else doubled.localCheckpoint(eager = false)
       val s = lblSum(next)
       changed = s.compareTo(prevSum) != 0
       prevSum = s
@@ -306,11 +341,18 @@ object Corpus {
             "(CAST(100 AS BIGINT) * n_nodes)").as("base"),
           expr("CAST(1000000000000 AS BIGINT) DIV n_nodes").as("r0"))
         .persistScoped()
+      // loop shuffles sized to the dup graph (loopShufflePartitions):
+      // the sym.count() materializes the persisted edge cache the loop
+      // needs anyway; the dst-keyed edge repartition appears once per
+      // round but IDENTICALLY, so ReuseExchange computes it once. The
+      // groupBy("src") agg stays unsized (map-side combine + AQE).
+      val lp = loopShufflePartitions(s, sym.count(), 10000L)
+      val edgesByDst = sym.repartition(lp, col("dst"))
       var r = info.select(col("id"), col("deg"), col("r0").as("r"))
       for (_ <- 1 to 2) {
-        val inSum = sym
+        val inSum = edgesByDst
           .join(r.select(col("id").as("dst"), col("deg").as("ddeg"),
-            col("r").as("dr")), "dst")
+            col("r").as("dr")).repartition(lp, col("dst")), "dst")
           .withColumn("c", expr(
             "(CAST(85 AS BIGINT) * dr) DIV (CAST(100 AS BIGINT) * ddeg)"))
           .groupBy("src").agg(sum("c").as("in_sum"))
@@ -592,6 +634,9 @@ object Corpus {
           struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
         .select("e.src", "e.dst")
         .persistScoped()
+      // loop shuffles sized to the dup graph; the count materializes
+      // the persisted sym cache every peel round reads anyway
+      val lp = loopShufflePartitions(s, sym.count(), 10000L)
       var nodes = sym.select(col("src").as("id")).distinct()
       for (_ <- 1 to 3) {
         // each round references `nodes` TWICE (src + dst semi-join), so
@@ -603,9 +648,13 @@ object Corpus {
         // caches piling up across the bench, ADVICE r7) and 2.7 s
         // materializing each round eagerly to unpersist its
         // predecessor — the reuse-over-cache shape wins on all axes.
+        // Semi-join probe sides sized explicitly (loopShufflePartitions);
+        // the peel's degree agg stays unsized for map-side combine.
         nodes = sym
-          .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
-          .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .join(nodes.select(col("id").as("src"))
+            .repartition(lp, col("src")), Seq("src"), "left_semi")
+          .join(nodes.select(col("id").as("dst"))
+            .repartition(lp, col("dst")), Seq("dst"), "left_semi")
           .groupBy("src").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 2)
           .select(col("src").as("id"))
@@ -640,16 +689,23 @@ object Corpus {
           struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
         .select("e.src", "e.dst")
         .persistScoped()
+      // loop shuffles sized to the dup graph (the count materializes
+      // the persisted sym cache): join probe + the per-node window get
+      // explicit lp partitioning; the vote agg stays unsized so the
+      // (id, lbl) duplicates combine map-side before shuffling.
+      val lp = loopShufflePartitions(s, sym.count(), 10000L)
       var lbl = sym.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id"))
       for (_ <- 1 to 3) {
         val w = Window.partitionBy("id")
           .orderBy(desc_nulls_last("c"), asc_nulls_last("lbl"))
         lbl = sym
-          .join(lbl.select(col("id").as("dst"), col("lbl")), "dst")
+          .join(lbl.select(col("id").as("dst"), col("lbl"))
+            .repartition(lp, col("dst")), "dst")
           .select(col("src").as("id"), col("lbl"))
           .unionByName(lbl) // the self-vote
           .groupBy("id", "lbl").agg(count(lit(1)).as("c"))
+          .repartition(lp, col("id")) // satisfies the window's hash(id)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select("id", "lbl")
@@ -1374,6 +1430,12 @@ object Corpus {
       Seq.empty[(Long, Long)].toDF("doc_id", "dist")
     } else {
       val seed = seedRow.getLong(0)
+      // loop shuffles sized to the dup graph (the seed agg above
+      // already materialized the persisted sym cache); the frontier
+      // dedup repartition satisfies distinct's distribution, so the
+      // round adds ONE lp-sized exchange — the frontier join itself is
+      // left to AQE, which broadcasts the (typically tiny) frontier.
+      val lp = loopShufflePartitions(s, sym.count(), 10000L)
       var visited = Seq((seed, 0L)).toDF("doc_id", "dist")
       var frontier = visited.select(col("doc_id"))
       var r = 1
@@ -1381,7 +1443,9 @@ object Corpus {
       while (r <= maxHops && !done) {
         val nf = sym.join(frontier.withColumnRenamed("doc_id", "src"),
             "src")
-          .select(col("dst").as("doc_id")).distinct()
+          .select(col("dst").as("doc_id"))
+          .repartition(lp, col("doc_id"))
+          .distinct()
           .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
           .persistScoped()
         if (nf.isEmpty) { nf.unpersist(); done = true }

@@ -10,6 +10,21 @@ import org.apache.spark.sql.functions._
   * heat is known up front (the classic 100 TB failure mode: one user /
   * one null key holding 10% of the table pins a single reducer).
   *
+  * Division of labor, demonstrated in SkewSpec: Spark 4 AQE splits the
+  * skewed partition of a sort-merge/shuffled-hash JOIN at runtime with
+  * no salt (the spec pins the `skew=true` node on the hot-key
+  * fixture), so for plain equi-joins prefer doing NOTHING and letting
+  * AQE decide from measured sizes. Manual salting still wins when:
+  * (a) the hot side feeds an AGGREGATION — AQE's skew handling covers
+  * joins only, a hot group in groupBy still lands on one reducer
+  * ([[saltedCountSum]] is the fix); (b) the join is
+  * broadcast-INELIGIBLE fact×fact but one side is replicable per salt
+  * bucket ([[saltedJoin]] replicates it explicitly — AQE would split
+  * the skewed partition but every split still probes the same
+  * single-reducer build side when the other side is also keyed hot);
+  * (c) the skew must be neutralized BEFORE a downstream stage
+  * (window/distinct) that AQE cannot re-balance mid-stage.
+  *
   * Both transforms are algebraic rewrites — results equal the unsalted
   * form exactly (aggregation uses order-insensitive combiners; the join
   * replicates the small side), verified by tests.

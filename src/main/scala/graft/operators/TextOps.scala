@@ -349,11 +349,20 @@ object TextOps {
             "concat(' ', replace(mp2, ' ', ''), ' '))"))
         .withColumn("n_syms",
           size(split(trim(col("sp2")), "  ")).cast("long"))
+        // all-BIGINT aggregation buffers keep this on the codegen'd
+        // HashAggregate path; aggregating the merge STRINGS here
+        // (max("mp1")) would force SortAggregate — the only one in the
+        // whole inventory before r9 — because a string max has a
+        // non-mutable buffer. The merges are 1-row broadcast constants
+        // anyway, so they re-join after the agg for free.
         .groupBy("source")
         .agg(sum("n").as("n_tokens"),
           sum(col("n") * length(col("w"))).as("n_chars_sym"),
-          sum(col("n") * col("n_syms")).as("n_syms_after"),
-          max("mp1").as("merge_1"), max("mp2").as("merge_2"))
+          sum(col("n") * col("n_syms")).as("n_syms_after"))
+        .withColumn("_one", lit(1)).join(top1, "_one").join(top2, "_one")
+        .select(col("source"), col("n_tokens"), col("n_chars_sym"),
+          col("n_syms_after"), col("mp1").as("merge_1"),
+          col("mp2").as("merge_2"))
         .withColumn("compression",
           col("n_syms_after").cast("double") / col("n_chars_sym"))
         .orderBy(asc_nulls_last("source"))

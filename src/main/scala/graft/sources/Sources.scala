@@ -124,6 +124,57 @@ object Sources {
         .option("rowsPerSecond", rowsPerSecond.toString).load())
   }
 
+  /** TCP JSON-lines bus: one JSON event object per line over a raw
+    * TCP connection — the in-sandbox proof that a REAL network
+    * connector slots into the R1 seam with zero new dependencies
+    * (Spark's built-in `socket` source + a from_json projection; the
+    * reference's bus payloads are JSON objects on the wire too, public
+    * reference `nyuki/bus/` — mount empty, SURVEY.md §0). The wire
+    * contract is [[SocketJsonBus.wireSchema]]: the canonical event
+    * fields with `ts_us` as epoch MICROSECONDS (an integer on the wire
+    * — a bus format must never depend on the consumer's timezone or
+    * timestamp-string parsing).
+    *
+    * Durability note: the socket source keeps no replayable offsets,
+    * so recovery is at-most-once — this is the live-tap/dev connector.
+    * A durable broker adapter (Kafka, when broker jars ship) is the
+    * SAME parse over `format("kafka")`'s value column; pipelines
+    * compose against [[BusSource]] and cannot tell the difference. */
+  final case class SocketJsonBus(host: String, port: Int)
+      extends BusSource {
+    def subscribe(spark: SparkSession): DataFrame =
+      SocketJsonBus.parse(spark.readStream.format("socket")
+        .option("host", host).option("port", port.toString).load())
+  }
+
+  object SocketJsonBus {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+
+    /** On-wire payload schema (`ts_us` = epoch µs integer). */
+    val wireSchema: StructType = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts_us", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+
+    /** text line → canonical event row. Malformed payloads parse to a
+      * null struct and are DROPPED — one bad producer message must
+      * never kill a long-running subscription (the bus contract is
+      * at-least-once delivery of VALID events, not crash-on-garbage). */
+    def parse(lines: DataFrame): DataFrame =
+      lines.select(from_json(col("value"), wireSchema).as("m"))
+        .filter(col("m").isNotNull && col("m.event_id").isNotNull)
+        .select(col("m.event_id").as("event_id"),
+          timestamp_micros(col("m.ts_us")).as("ts"),
+          col("m.user_id").as("user_id"),
+          col("m.event_type").as("event_type"),
+          col("m.value").as("value"),
+          col("m.props").as("props"))
+  }
+
   object RateBus {
     import org.apache.spark.sql.functions._
 

@@ -144,6 +144,53 @@ class CorpusSpec extends SparkSpec {
     l2.unpersist()
   }
 
+  test("connectedComponents with a reliable checkpoint dir writes " +
+      "checkpoint blocks and yields identical labels") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val path = (0L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (l1, _) = Corpus.connectedComponentsWithRounds(path)
+    val (l2, _) = Corpus.connectedComponentsWithRounds(path,
+      Some(dir.toString))
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(labels(l1) == labels(l2),
+      "reliable-checkpoint path must produce the exact same labeling")
+    // the reliable path really did write into the checkpoint dir (the
+    // executor-loss-survivable blocks localCheckpoint never produces)
+    val wrote = java.nio.file.Files.walk(dir).iterator().asScala
+      .exists(p => java.nio.file.Files.isRegularFile(p))
+    assert(wrote, "no checkpoint files written — reliable path inactive")
+    l1.unpersist(); l2.unpersist()
+  }
+
+  test("iterative graph loops size their shuffles to the dup graph, " +
+      "not the session default") {
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(partsKey)
+    // pin a session default well above the floor so "sized to 4"
+    // cannot be the default leaking through
+    spark.conf.set(partsKey, "32")
+    try {
+      // helper math: floor 4, linear middle, session cap
+      assert(Corpus.loopShufflePartitions(spark, 0L, 10000L) == 4)
+      assert(Corpus.loopShufflePartitions(spark, 50000L, 10000L) == 6)
+      assert(Corpus.loopShufflePartitions(spark, Long.MaxValue / 2,
+        10000L) == 32)
+      // each unrolled loop's plan must carry lp-sized hash exchanges:
+      // the fixture dup graph is tiny, so lp = 4 — visibly distinct
+      // from the 32-partition session default in the plan text
+      val sized = raw"hashpartitioning\([^)]*, 4\)".r
+      Seq("q_graph_pagerank", "q_graph_kcore", "q_graph_labelprop")
+        .foreach { q =>
+          val plan = Corpus.queries(q)(spark, sf)
+            .queryExecution.executedPlan.toString
+          assert(sized.findFirstIn(plan).isDefined,
+            s"$q plan has no dup-graph-sized exchange:\n$plan")
+        }
+    } finally spark.conf.set(partsKey, prev)
+  }
+
   test("q_graph_pagerank matches an exact-integer Scala power iteration " +
       "and conserves rank mass") {
     val out = Corpus.queries("q_graph_pagerank")(spark, sf).collect()
@@ -387,9 +434,14 @@ class CorpusSpec extends SparkSpec {
       val e = intra.getOrElse(src, 0L)
       assert(r.getLong(1) == e, s"intra_edges $src")
       assert(r.getLong(2) == degSum(src), s"deg_sum $src")
-      assert(r.getLong(3) == 4L * m * e - degSum(src) * degSum(src),
+      // the scaled terms are VARCHAR-routed DECIMAL(38,0) — BigInt
+      // replay (4m² wraps a Long past ~1.5e9 edges, hence the route)
+      assert(BigInt(r.getString(3)) ==
+        BigInt(4) * BigInt(m) * BigInt(e)
+          - BigInt(degSum(src)) * BigInt(degSum(src)),
         s"q_num_scaled $src")
-      assert(r.getLong(4) == 4L * m * m, s"q_den_scaled $src")
+      assert(BigInt(r.getString(4)) == BigInt(4) * BigInt(m) * BigInt(m),
+        s"q_den_scaled $src")
     }
     // handshake identity: community degree sums partition 2m
     assert(out.map(_.getLong(2)).sum == 2L * m)

@@ -42,6 +42,37 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  // SortAggregate means a non-mutable aggregation buffer (string/struct
+  // min-max and friends) pushed the agg off the codegen'd hash path onto
+  // a per-partition sort by the grouping key — still linear with
+  // map-side partials, but n·log n per partition and outside
+  // whole-stage codegen, so every instance must be a conscious choice.
+  // q_bpe_encode's max(merge_string) (r8) was rewritten to re-join its
+  // 1-row merge constants after an all-BIGINT agg; the allowlist below
+  // is every instance that survives ON ARGUMENT:
+  //  - q_snapshot_diff: max over a (ts, event_id, value) struct is the
+  //    lexicographic ARGMAX — associative, partial-agg-safe, one pass.
+  //    The hashable alternatives are strictly worse: window+filter
+  //    sorts every key group AND blocks partial aggregation; a
+  //    two-pass max(packed-decimal)+self-join doubles the shuffles.
+  //    The in-partition sort is by user_id only, and the map-side
+  //    partial collapses each partition to one row per key before the
+  //    exchange — the 100 TB cost shape is the same one shuffle as the
+  //    hash path, with a per-partition sort instead of a hash table.
+  private val sortAggAllowed = Set("q_snapshot_diff")
+
+  test("no declared query plans a SortAggregate (argued allowlist)") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filter(name => plan(name).contains("SortAggregate"))
+    assert(offenders.toSet.subsetOf(sortAggAllowed),
+      s"unargued SortAggregate in: ${offenders.filterNot(sortAggAllowed)}")
+    // the allowlist must not go stale: every entry still plans one
+    sortAggAllowed.foreach { name =>
+      assert(plan(name).contains("SortAggregate"),
+        s"$name no longer plans a SortAggregate — drop it from the list")
+    }
+  }
+
   // A window with an EMPTY partition spec funnels the whole input through
   // one task (Exchange SinglePartition → sequential sort) — the quietest
   // scale-killer, because results stay correct. Every declared window

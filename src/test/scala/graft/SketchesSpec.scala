@@ -44,6 +44,32 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("q_agg_approx_distinct: HLL estimate stays inside the published " +
+      "error envelope of exact countDistinct") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    // approx_count_distinct is HLL++ at Spark's default relative
+    // standard deviation rsd = 0.05; the estimate is deterministic for
+    // fixed data, and the published envelope puts essentially all mass
+    // within a few σ — we pin 3·rsd = 15% relative error per group,
+    // which a correct sketch clears with wide margin and a broken one
+    // (wrong register merge, wrong bias correction) blows immediately.
+    val est = graft.operators.Relational
+      .queries("q_agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.table(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet, "group sets must agree")
+    assert(est.nonEmpty)
+    exact.foreach { case (k, n) =>
+      val e = est(k)
+      val relErr = math.abs(e.toDouble - n.toDouble) / n.toDouble
+      assert(relErr <= 3 * 0.05,
+        s"$k: estimate $e vs exact $n (relative error $relErr > 3*rsd)")
+    }
+  }
+
   test("q_sketch_bloom has no false negatives and flags presence " +
       "correctly") {
     val out = Sketches.queries("q_sketch_bloom")(spark, sf).collect()

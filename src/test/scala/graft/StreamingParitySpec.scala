@@ -1084,6 +1084,71 @@ class StreamingParitySpec extends SparkSpec {
     assert(fileBus.isInstanceOf[Sources.BusSource])
   }
 
+  test("bus-source seam: the tumbling pipeline runs off a REAL network " +
+      "connector (TCP JSON-lines over a loopback socket) and matches " +
+      "the batch reconstruction") {
+    import java.io.PrintWriter
+    import java.net.ServerSocket
+    import graft.sources.Sources
+    val n = 5000L
+    // JSON producer on a loopback ephemeral port: the RateBus feed
+    // mapping rendered as wire JSON (plus one garbage line the parse
+    // must drop without killing the subscription)
+    val server = new ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val producer = new Thread(() => {
+      val sock = server.accept()
+      val out = new PrintWriter(sock.getOutputStream, true)
+      out.println("this is not json {")
+      (0L until n).foreach { k =>
+        val tsUs = 1700000000000000L + (k % 72L) * 3600L * 1000000L
+        val et = Seq("click", "view", "purchase")((k % 3L).toInt)
+        out.println(s"""{"event_id":$k,"ts_us":$tsUs,"user_id":${k % 97L},""" +
+          s""""event_type":"$et","value":${(k % 1000L).toDouble},""" +
+          s""""props":"{\\"k\\":$k}"}""")
+      }
+      out.flush()
+      // keep the connection open until the test closes the server —
+      // EOF mid-read would end the subscription before the last batch
+      while (!server.isClosed) Thread.sleep(50)
+    }, "json-bus-producer")
+    producer.setDaemon(true)
+    producer.start()
+    val bus: Sources.BusSource = Sources.SocketJsonBus(
+      server.getInetAddress.getHostAddress, server.getLocalPort)
+    val name = s"sockbus_${System.nanoTime()}"
+    val q = EventPipelines.tumbling(bus.subscribe(spark))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      // wait until every produced event landed (counts sum to n)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def landed(): Long = spark.table(name)
+        .agg(org.apache.spark.sql.functions.sum("n")).collect()
+        .headOption.flatMap(r => Option(r.get(0))).map(_.toString.toLong)
+        .getOrElse(0L)
+      while (landed() < n && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      q.processAllAvailable()
+      assert(landed() == n, s"expected all $n events, got ${landed()}")
+      val got = spark.table(name).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1.getTime, t._2))
+      // same deterministic feed reconstructed in batch
+      val batch = StreamShapes.tumbling(Sources.RateBus.shape(
+          spark.range(n).select(col("id").as("value"))))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1.getTime, t._2))
+      assert(got.toSeq == batch.toSeq)
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
   test("streaming curation: q_corpus_curate's survivor set is exactly " +
       "reproduced from streamed near-dup pairs over the kept corpus") {
     import graft.operators.{Corpus, Quality, TextDedup}
@@ -1140,6 +1205,85 @@ class StreamingParitySpec extends SparkSpec {
       .collect().toSeq
     assert(streamReport == batchReport)
     assert(batchLosers.nonEmpty, "fixture must contain near-dup losers")
+  }
+
+  test("transformWithState IVM: streamed CDC deltas maintain exactly " +
+      "the per-source totals q_snapshot_ivm proves in batch") {
+    import graft.streaming.StatefulTwins
+    import graft.streaming.StatefulTwins.IvmDelta
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      // batch truth: q_snapshot_ivm's per-source panel (its ivm_matches
+      // column already proves maintained == direct inside the query)
+      val batchRows = graft.operators.Corpus
+        .queries("q_snapshot_ivm")(spark, sf).collect()
+      val batch = batchRows.map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_old"), r.getAs[Long]("sum_old"),
+          r.getAs[Long]("n_new"), r.getAs[Long]("sum_new_direct")))).toMap
+      assert(batchRows.forall(_.getAs[Boolean]("ivm_matches")))
+      // reconstruct the same two snapshots' CDC feed: batch 1 loads the
+      // OLD snapshot as appear records, batch 2 streams the old→new diff
+      val docs = Tables.table(spark, sf, "documents")
+        .filter(col("text").isNotNull)
+      val oldF = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("len_old"))
+      val newText = when(col("doc_id") % 13 === 2,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+      val newF = docs.filter(col("doc_id") % 11 =!= 5)
+        .select(col("doc_id"), col("source"),
+          length(newText).cast("long").as("len_new"))
+      val snapshotLoad = oldF.collect().map(r =>
+        IvmDelta(r.getLong(0), r.getString(1), None, Some(r.getLong(2))))
+      val cdc = oldF.join(newF, Seq("doc_id", "source"), "full_outer")
+        .collect().flatMap { r =>
+          val ol = Option(r.getAs[java.lang.Long]("len_old")).map(_.toLong)
+          val nl = Option(r.getAs[java.lang.Long]("len_new")).map(_.toLong)
+          (ol, nl) match {
+            case (Some(o), Some(n2)) if o == n2 => None // no CDC record
+            case _ => Some(IvmDelta(r.getLong(0), r.getString(1), ol, nl))
+          }
+        }
+      assert(cdc.nonEmpty, "fixture must produce a non-empty delta")
+      val mem = MemoryStream[IvmDelta]
+      val name = s"ivm_${System.nanoTime()}"
+      val q = StatefulTwins.ivmStream(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .start()
+      def latest(): Map[String, (Long, Long)] = spark.table(name)
+        .collect().groupBy(_.getAs[String]("source"))
+        .map { case (s2, rs) =>
+          val last = rs.last // memory sink appends in batch order
+          s2 -> ((last.getAs[Long]("n_docs"),
+            last.getAs[Long]("sum_chars")))
+        }
+      mem.addData(snapshotLoad.toSeq)
+      q.processAllAvailable()
+      // after the snapshot load the maintained view IS the old rollup
+      val afterLoad = latest()
+      batch.foreach { case (s2, (nOld, sumOld, _, _)) =>
+        assert(afterLoad(s2) == ((nOld, sumOld)),
+          s"$s2 after snapshot load")
+      }
+      mem.addData(cdc.toSeq)
+      q.processAllAvailable()
+      q.stop()
+      // after the CDC batch it is the NEW rollup — exactly the batch
+      // query's direct recomputation, never itself recomputed here
+      val afterCdc = latest()
+      batch.foreach { case (s2, (_, _, nNew, sumNew)) =>
+        assert(afterCdc(s2) == ((nNew, sumNew)), s"$s2 after CDC delta")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
   }
 
   test("transformWithState sessionize matches the FMGWS path and the " +
