@@ -208,7 +208,9 @@ object Bench {
     "q_source_lang_entropy" -> "yl", "q_stats_levene" -> "lv",
     "q_ts_ccf" -> "cf", "q_ts_seasonality_strength" -> "fs",
     "q_graph_clustering_coeff" -> "gt", "q_ts_fano" -> "fa",
-    "q_text_burstiness" -> "bu", "q_corpus_curate_v3" -> "c3")
+    "q_text_burstiness" -> "bu", "q_corpus_curate_v3" -> "c3",
+    "q_stream_late_audit" -> "la", "q_stats_kruskal" -> "kw",
+    "q_multimodal_bmp" -> "bm")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

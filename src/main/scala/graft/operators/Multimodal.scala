@@ -186,6 +186,86 @@ object Multimodal {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // BMP BITMAPINFOHEADER parse — the SIGNED-integer member of the
+    // header family: biHeight is an i32 whose sign encodes scan
+    // direction (negative = top-down), so a correct parse must decode
+    // two's complement from the u32 LE read (v ≥ 2³¹ → v − 2³²) —
+    // unlike every other header here, where all fields are unsigned.
+    // The fixture exercises both signs (every 3rd doc top-down) and
+    // all six legal BI_RGB bit depths; every 5th doc carries non-BMP
+    // bytes for the sniff-reject path. The parse is SELF-CHECKING:
+    // row_stride re-derives from parsed width/bpp with the spec's
+    // 4-byte alignment (((bpp·w + 31) DIV 32) · 4) and
+    // size_consistent pins stride·|height| = biSizeImage and
+    // fileSize = 54 + biSizeImage — the oracle then proves the whole
+    // write→parse round trip. Pure narrow map over a binary column.
+    "q_multimodal_bmp" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      def le(v: Column, n: Int): Column = {
+        val p = lpad(hex(v), 2 * n, "0")
+        concat((0 until n).reverse.map(i => substring(p, 2 * i + 1, 2)): _*)
+      }
+      val base = docs.select(col("doc_id"), col("text"))
+        .withColumn("w", (col("doc_id") % 1920 + 1).cast("long"))
+        .withColumn("hr", ((col("doc_id") * 3) % 1080 + 1).cast("long"))
+        .withColumn("td", col("doc_id") % 3 === 0)
+        .withColumn("bpp", element_at(
+          array(lit(1L), lit(4L), lit(8L), lit(16L), lit(24L), lit(32L)),
+          (col("doc_id") % 6 + 1).cast("int")))
+        .withColumn("stride", expr("((bpp * w + 31) DIV 32) * 4"))
+        .withColumn("isz", col("stride") * col("hr"))
+        .withColumn("hf", when(col("td"), lit(4294967296L) - col("hr"))
+          .otherwise(col("hr")))
+      val bmpHex = concat(lit("424D"),
+        le(col("isz") + 54L, 4), // bfSize
+        lit("00000000"), // reserved
+        le(lit(54L), 4), // bfOffBits
+        le(lit(40L), 4), // biSize
+        le(col("w"), 4), le(col("hf"), 4),
+        le(lit(1L), 2), // biPlanes
+        le(col("bpp"), 2),
+        lit("00000000"), // BI_RGB
+        le(col("isz"), 4),
+        le(lit(2835L), 4), le(lit(2835L), 4), // 72 DPI in ppm
+        lit("0000000000000000")) // clrUsed, clrImportant
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(bmpHex)
+      val withPayload = base.select(col("doc_id"),
+        unhex(payloadHex).as("payload"))
+        .withColumn("h", hex(col("payload")))
+      def leR(off: Int, n: Int): Column = {
+        val parts = (off + n - 1).to(off, -1)
+          .map(b => s"substring(h, ${2 * b + 1}, 2)")
+          .mkString("concat(", ", ", ")")
+        expr(s"CAST(conv($parts, 16, 10) AS BIGINT)")
+      }
+      val isBmp = length(col("payload")) >= 54 &&
+        expr("substring(h, 1, 4)") === "424D"
+      withPayload
+        .withColumn("is_bmp", isBmp)
+        .withColumn("file_size", when(col("is_bmp"), leR(2, 4)))
+        .withColumn("data_offset", when(col("is_bmp"), leR(10, 4)))
+        .withColumn("width", when(col("is_bmp"), leR(18, 4)))
+        .withColumn("h_raw", when(col("is_bmp"), leR(22, 4)))
+        .withColumn("top_down",
+          when(col("is_bmp"), col("h_raw") >= 2147483648L))
+        .withColumn("height", when(col("is_bmp"),
+          when(col("top_down"), lit(4294967296L) - col("h_raw"))
+            .otherwise(col("h_raw"))))
+        .withColumn("bits_per_pixel", when(col("is_bmp"), leR(28, 2)))
+        .withColumn("img_size", when(col("is_bmp"), leR(34, 4)))
+        .withColumn("row_stride", when(col("is_bmp"),
+          expr("((bits_per_pixel * width + 31) DIV 32) * 4")))
+        .withColumn("size_consistent", when(col("is_bmp"),
+          col("row_stride") * col("height") === col("img_size")
+            && col("file_size") === col("img_size") + 54L
+            && col("data_offset") === 54L))
+        .select("doc_id", "is_bmp", "width", "height", "top_down",
+          "bits_per_pixel", "row_stride", "img_size", "size_consistent")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // PNG signature + IHDR parse — the BIG-endian member of the header
     // family (PNG is network byte order throughout, so reads are plain
     // hex slices with no byte reversal): an 8-byte signature, the
@@ -759,6 +839,97 @@ object Multimodal {
         |    << CAST(CAST('0x' || substring(ph, 21, 2) AS BIGINT) % 8
         |      AS INTEGER) END AS n_colors
         |FROM parsed ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same payload construction; the height read decodes two's
+    // complement from the u32 LE bytes and the stride/size identities
+    // re-derive from parsed fields on both engines.
+    "q_multimodal_bmp" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 1920 + 1 AS BIGINT) AS w,
+        |    CAST((doc_id * 3) % 1080 + 1 AS BIGINT) AS hr,
+        |    doc_id % 3 = 0 AS td,
+        |    CAST(CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 4
+        |      WHEN 2 THEN 8 WHEN 3 THEN 16 WHEN 4 THEN 24 ELSE 32 END
+        |      AS BIGINT) AS bpp,
+        |    hex(encode(substring(text, 1, 8))) AS th
+        |  FROM documents
+        |), d2 AS (
+        |  SELECT *, ((bpp * w + 31) // 32) * 4 AS stride FROM src
+        |), d3 AS (
+        |  SELECT *, stride * hr AS isz,
+        |    CASE WHEN td THEN 4294967296 - hr ELSE hr END AS hf
+        |  FROM d2
+        |), enc AS (
+        |  SELECT doc_id, th,
+        |    lpad(hex(isz + 54), 8, '0') AS fs,
+        |    lpad(hex(w), 8, '0') AS wh,
+        |    lpad(hex(hf), 8, '0') AS hh,
+        |    lpad(hex(bpp), 4, '0') AS bh,
+        |    lpad(hex(isz), 8, '0') AS ih
+        |  FROM d3
+        |), built AS (
+        |  SELECT doc_id, from_hex(CASE WHEN doc_id % 5 = 0 THEN th ELSE
+        |    '424D' ||
+        |    substring(fs, 7, 2) || substring(fs, 5, 2) ||
+        |    substring(fs, 3, 2) || substring(fs, 1, 2) ||
+        |    '00000000' || '36000000' || '28000000' ||
+        |    substring(wh, 7, 2) || substring(wh, 5, 2) ||
+        |    substring(wh, 3, 2) || substring(wh, 1, 2) ||
+        |    substring(hh, 7, 2) || substring(hh, 5, 2) ||
+        |    substring(hh, 3, 2) || substring(hh, 1, 2) ||
+        |    '0100' ||
+        |    substring(bh, 3, 2) || substring(bh, 1, 2) ||
+        |    '00000000' ||
+        |    substring(ih, 7, 2) || substring(ih, 5, 2) ||
+        |    substring(ih, 3, 2) || substring(ih, 1, 2) ||
+        |    '130B0000' || '130B0000' || '0000000000000000'
+        |    END) AS payload
+        |  FROM enc
+        |), parsed AS (
+        |  SELECT doc_id, hex(payload) AS h,
+        |    octet_length(payload) >= 54
+        |      AND substring(hex(payload), 1, 4) = '424D' AS is_bmp
+        |  FROM built
+        |), fields AS (
+        |  SELECT doc_id, is_bmp,
+        |    CASE WHEN is_bmp THEN CAST('0x' || substring(h, 11, 2)
+        |      || substring(h, 9, 2) || substring(h, 7, 2)
+        |      || substring(h, 5, 2) AS BIGINT) END AS file_size,
+        |    CASE WHEN is_bmp THEN CAST('0x' || substring(h, 27, 2)
+        |      || substring(h, 25, 2) || substring(h, 23, 2)
+        |      || substring(h, 21, 2) AS BIGINT) END AS data_offset,
+        |    CASE WHEN is_bmp THEN CAST('0x' || substring(h, 43, 2)
+        |      || substring(h, 41, 2) || substring(h, 39, 2)
+        |      || substring(h, 37, 2) AS BIGINT) END AS width,
+        |    CASE WHEN is_bmp THEN CAST('0x' || substring(h, 51, 2)
+        |      || substring(h, 49, 2) || substring(h, 47, 2)
+        |      || substring(h, 45, 2) AS BIGINT) END AS h_raw,
+        |    CASE WHEN is_bmp THEN CAST('0x' || substring(h, 59, 2)
+        |      || substring(h, 57, 2) AS BIGINT) END AS bits_per_pixel,
+        |    CASE WHEN is_bmp THEN CAST('0x' || substring(h, 75, 2)
+        |      || substring(h, 73, 2) || substring(h, 71, 2)
+        |      || substring(h, 69, 2) AS BIGINT) END AS img_size
+        |  FROM parsed
+        |), sgn AS (
+        |  SELECT *, CASE WHEN is_bmp THEN h_raw >= 2147483648 END
+        |      AS top_down
+        |  FROM fields
+        |), hgt AS (
+        |  SELECT *, CASE WHEN is_bmp THEN CASE WHEN top_down
+        |      THEN 4294967296 - h_raw ELSE h_raw END END AS height
+        |  FROM sgn
+        |), str2 AS (
+        |  SELECT *, CASE WHEN is_bmp THEN
+        |      ((bits_per_pixel * width + 31) // 32) * 4 END AS row_stride
+        |  FROM hgt
+        |)
+        |SELECT doc_id, is_bmp, width, height, top_down, bits_per_pixel,
+        |  row_stride, img_size,
+        |  CASE WHEN is_bmp THEN row_stride * height = img_size
+        |    AND file_size = img_size + 54 AND data_offset = 54 END
+        |    AS size_consistent
+        |FROM str2 ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     // Same payload construction; big-endian reads are direct hex slices
     // (no byte reversal) at the PNG spec offsets.

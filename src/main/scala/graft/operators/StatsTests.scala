@@ -84,6 +84,55 @@ object StatsTests {
         (u1x2.cast("double") / 2.0).as("u_stat"))
   }
 
+  /** Pooled 3-group value-grain frame for Kruskal–Wallis: per distinct
+    * value, the per-type counts, the tie multiplicity m, and the pooled
+    * count r of STRICTLY smaller values — the same two-level bucketed
+    * prefix sum as [[cumulative]] (the carry window runs over integer
+    * value buckets, bounded by the value domain, never event count). */
+  private def kruskalPoints(events: DataFrame): DataFrame = {
+    val pts = events.filter(col("value").isNotNull)
+      .groupBy("value")
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("dc"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("dv"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("dp"))
+    val wb = Window.partitionBy("bucket").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wc = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = pts.withColumn("m", col("dc") + col("dv") + col("dp"))
+      .withColumn("bucket", floor(col("value")).cast("long"))
+    val carry = b.groupBy("bucket").agg(sum("m").as("tm"))
+      .select(col("bucket"),
+        coalesce(sum(col("tm")).over(wc), lit(0L)).as("pm"))
+    b.withColumn("cbm", coalesce(sum(col("m")).over(wb), lit(0L)))
+      .join(broadcast(carry), "bucket")
+      .select(col("value"), col("dc"), col("dv"), col("dp"), col("m"),
+        (col("pm") + col("cbm")).as("r"))
+  }
+
+  /** The tie-corrected H statistic assembled from exact integers — ONE
+    * wide row, so the whole double tree is a fixed left-associated
+    * expression evaluated identically by both engines (the
+    * q_stats_anova convention). Written once here and spliced verbatim
+    * into the oracle SQL. */
+  private val kruskalH: String =
+    """(12.0 * ((CAST(r2c AS DOUBLE) * CAST(r2c AS DOUBLE)
+      |      / (4.0 * CAST(n_click AS DOUBLE)))
+      |    + (CAST(r2v AS DOUBLE) * CAST(r2v AS DOUBLE)
+      |      / (4.0 * CAST(n_view AS DOUBLE)))
+      |    + (CAST(r2p AS DOUBLE) * CAST(r2p AS DOUBLE)
+      |      / (4.0 * CAST(n_purchase AS DOUBLE))))
+      |  / (CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE) + 1.0))
+      |  - 3.0 * (CAST(n_all AS DOUBLE) + 1.0))
+      |/ (1.0 - CAST(tt AS DOUBLE)
+      |  / (CAST(n_all AS DOUBLE) * CAST(n_all AS DOUBLE)
+      |    * CAST(n_all AS DOUBLE) - CAST(n_all AS DOUBLE)))"""
+      .stripMargin.replace("\n", " ")
+
   /** One row per distinct (returnflag, extendedprice) with the exact
     * integral weight — the weighted-median point frame. PUBLIC and
     * mode-agnostic: as a streaming keyed aggregate in update mode this
@@ -407,6 +456,39 @@ object StatsTests {
         .orderBy(asc_nulls_last("event_type"))
     }),
 
+    // Kruskal–Wallis H across the three event-type groups — the
+    // rank-based (distribution-free) sibling of q_stats_anova, with
+    // PROPER MIDRANK tie handling and the standard tie correction
+    // (Kruskal & Wallis, JASA 1952). Kept exact the q_stats_mwu way: a
+    // value tied m ways after r smaller pooled points spans midrank
+    // r+(m+1)/2, so the DOUBLED per-group rank sum r2_g = Σ d_g·(2r+m+1)
+    // is an exact 128-bit DECIMAL (HUGEINT in the oracle; VARCHAR-routed
+    // in the output — r2 ~ N² passes 2^53 long before 100 TB), as is
+    // the tie term T = Σ(m³−m). H is then a FIXED expression over the
+    // one wide row ([[kruskalH]], spliced verbatim into both engines):
+    // H = [12·Σ r2_g²/(4n_g) / (N(N+1)) − 3(N+1)] / (1 − T/(N³−N)).
+    // Scale: one value-grain keyed agg, the value-domain-bounded bucket
+    // carry (the KS/MWU skeleton), one global agg — no event-grain sort.
+    "q_stats_kruskal" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      def r2(c: String) = sum(col(c).cast(dec)
+        * (lit(2L) * col("r") + col("m") + lit(1L)).cast(dec))
+      kruskalPoints(t(s, d, "events"))
+        .agg(sum("dc").as("n_click"), sum("dv").as("n_view"),
+          sum("dp").as("n_purchase"),
+          r2("dc").as("r2c"), r2("dv").as("r2v"), r2("dp").as("r2p"),
+          sum(col("m").cast(dec) * col("m").cast(dec)
+            * col("m").cast(dec) - col("m").cast(dec)).as("tt"))
+        .withColumn("n_all",
+          col("n_click") + col("n_view") + col("n_purchase"))
+        .select(col("n_click"), col("n_view"), col("n_purchase"),
+          col("r2c").cast("string").as("r2_click"),
+          col("r2v").cast("string").as("r2_view"),
+          col("r2p").cast("string").as("r2_purchase"),
+          col("tt").cast("string").as("t_ties"),
+          expr(kruskalH).as("h"))
+    }),
+
     // Benford first-digit audit over order totals — the fraud/synthetic-
     // data screen: natural multi-scale amounts follow log₁₀(1+1/d),
     // fabricated ones usually don't. The digit extracts from the
@@ -483,6 +565,45 @@ object StatsTests {
         |      * (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - 1) AS DOUBLE)
         |    AS rho
         |FROM a ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    // Same midrank machinery at value grain (DuckDB runs ONE global
+    // window — it is the oracle); the H tree is the verbatim
+    // [[kruskalH]] text over the same wide row.
+    "q_stats_kruskal" ->
+      s"""WITH pts AS (
+         |  SELECT value,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS dc,
+         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS dv,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS dp
+         |  FROM events WHERE value IS NOT NULL GROUP BY value
+         |), c AS (
+         |  SELECT dc, dv, dp, dc + dv + dp AS m,
+         |    coalesce(SUM(dc + dv + dp) OVER (ORDER BY value ASC NULLS
+         |      LAST ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS r
+         |  FROM pts
+         |), a AS (
+         |  SELECT CAST(SUM(dc) AS BIGINT) AS n_click,
+         |    CAST(SUM(dv) AS BIGINT) AS n_view,
+         |    CAST(SUM(dp) AS BIGINT) AS n_purchase,
+         |    SUM(CAST(dc AS HUGEINT) * (2 * r + m + 1)) AS r2c,
+         |    SUM(CAST(dv AS HUGEINT) * (2 * r + m + 1)) AS r2v,
+         |    SUM(CAST(dp AS HUGEINT) * (2 * r + m + 1)) AS r2p,
+         |    SUM(CAST(m AS HUGEINT) * m * m - m) AS tt
+         |  FROM c
+         |), w AS (
+         |  SELECT *, n_click + n_view + n_purchase AS n_all FROM a
+         |)
+         |SELECT n_click, n_view, n_purchase,
+         |  CAST(r2c AS VARCHAR) AS r2_click,
+         |  CAST(r2v AS VARCHAR) AS r2_view,
+         |  CAST(r2p AS VARCHAR) AS r2_purchase,
+         |  CAST(tt AS VARCHAR) AS t_ties,
+         |  $kruskalH AS h
+         |FROM w""".stripMargin,
 
     "q_stats_benford" ->
       """SELECT digit, COUNT(*) AS n,

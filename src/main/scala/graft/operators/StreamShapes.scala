@@ -72,7 +72,58 @@ object StreamShapes {
     events.join(broadcast(nation),
       events("user_id") % 25 === nation("n_nationkey"))
 
+  /** Per-type out-of-orderness / watermark-drop panel (see the
+    * q_stream_late_audit entry). The fixture's event_id is
+    * ts-monotone (a single well-ordered producer — zero lateness, a
+    * vacuous audit), so arrival order is the standard multi-producer
+    * interleave stand-in: a deterministic Knuth-hash permutation of
+    * event_id (the q_multimodal_zip crc constant). Real buses
+    * interleave partitions exactly like this — arrival order is NOT
+    * event-time order, which is the entire reason watermarks exist. */
+  def lateAudit(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(asc_nulls_last("aseq"), asc_nulls_last("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_type"), col("event_id"),
+        // hash the LOW 20 BITS so the product stays ≤ 2.8e15 — raw
+        // event_id · 2654435761 would overflow BIGINT (silently on
+        // Spark, an error on DuckDB) past event_id ≈ 3.5e9; the period
+        // is immaterial for an arrival interleave (ties break on
+        // event_id)
+        (col("event_id") % 1048576L * 2654435761L % 4294967296L)
+          .as("aseq"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("late_us", greatest(lit(0L),
+        coalesce(max(col("tsu")).over(w) - col("tsu"), lit(0L))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 900000000L, 1L).otherwise(0L))
+          .as("n_drop_15m"),
+        sum(when(col("late_us") > 3600000000L, 1L).otherwise(0L))
+          .as("n_drop_1h"),
+        max("late_us").as("max_late_us"))
+      .orderBy(asc_nulls_last("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Watermark-sizing audit — the batch-expressible half of streaming
+    // late-data semantics (the gap VERDICT r8 flagged: watermark drops
+    // were unit-tested but carried no oracle row). Arrival order is a
+    // deterministic multi-producer interleave (Knuth-hash permutation
+    // of event_id — see [[lateAudit]]); per event the out-of-orderness
+    // is lateness = running max(ts over earlier arrivals) − ts, and an
+    // event is DROPPED by a watermark of horizon h exactly when
+    // lateness > h. The per-type panel (drop counts at the 15-minute
+    // and 1-hour horizons + the max lateness seen) is precisely what a
+    // pipeline reads to SIZE its watermark before turning on append
+    // mode. Scale: one event_type-partitioned running-max window (the
+    // q_scd2 shape — never a global window; a production watermark is
+    // global, but the per-key panel bounds it: global lateness ≤ max
+    // over keys) and one keyed agg with map-side combine.
+    "q_stream_late_audit" -> ((s, d) =>
+      lateAudit(t(s, d, "events"))),
+
     "q_stream_tumbling" -> ((s, d) =>
       tumbling(t(s, d, "events"))
         .orderBy(asc_nulls_last("wstart"), asc_nulls_last("event_type"))),
@@ -250,6 +301,31 @@ object StreamShapes {
   }
 
   val oracle: Map[String, String] = Map(
+    // Same per-type running max over the hashed arrival order; lateness
+    // and horizons are exact µs integers on both engines.
+    "q_stream_late_audit" ->
+      """WITH a AS (
+        |  SELECT event_type, event_id,
+        |    event_id % 1048576 * 2654435761 % 4294967296 AS aseq,
+        |    epoch_us(ts) AS tsu
+        |  FROM events
+        |), l AS (
+        |  SELECT event_type,
+        |    greatest(0, coalesce(max(tsu) OVER (PARTITION BY event_type
+        |      ORDER BY aseq ASC NULLS LAST, event_id ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - tsu, 0)) AS late_us
+        |  FROM a
+        |)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_drop_15m,
+        |  CAST(SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_drop_1h,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us
+        |FROM l GROUP BY event_type
+        |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
     "q_upsert_latest" ->
       """SELECT user_id, event_type,
         |  event_id AS latest_event_id, ts AS latest_ts,

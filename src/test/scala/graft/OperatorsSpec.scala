@@ -449,16 +449,133 @@ class OperatorsSpec extends SparkSpec {
         .map { case (x, i) => x._2 -> (i + 1L) }.toMap
       val sumD2 = v.map(x => { val d = rv(x._2) - rt(x._2); d * d }).sum
       val n = v.length.toLong
-      ty -> (n, sumD2, 1.0 - (6.0 * sumD2) / (n * (n * n - 1)))
+      // r9: Σd² and n(n²−1) run in DECIMAL(38,0) (BIGINT wraps past
+      // ~2.1M rows/group); Σd² ships VARCHAR-routed and ρ is one IEEE
+      // division of the two correctly-rounded decimal→double casts
+      val den = (BigInt(n) * (BigInt(n) * BigInt(n) - 1)).toDouble
+      ty -> (n, sumD2, 1.0 - (6.0 * sumD2.toDouble) / den)
     }
     val out = StatsTests.queries("q_stats_spearman")(spark, sf).collect()
     assert(out.map(_.getString(0)).toSet == expect.keySet)
     out.foreach { r =>
       val (n, s2, rho) = expect(r.getString(0))
-      assert(r.getLong(1) == n && r.getLong(2) == s2,
+      assert(r.getLong(1) == n && BigInt(r.getString(2)) == BigInt(s2),
         s"type ${r.getString(0)}")
       assert(r.getDouble(3) == rho, s"rho ${r.getString(0)}")
     }
+  }
+
+  test("q_stats_kruskal equals a plain-Scala midrank replay with the " +
+      "tie-corrected H") {
+    // KW pools ONLY the three tested groups — other event types (the
+    // fixture also has signup etc.) are outside the hypothesis and
+    // contribute nothing to the pooled ranks (the query's conditional
+    // counts give them m = 0)
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull
+        && col("event_type").isin("click", "view", "purchase"))
+      .select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // pooled midranks at value grain, doubled to stay integral
+    val byValue = rows.groupBy(_._2).view
+      .mapValues(_.map(_._1)).toMap.toSeq.sortBy(_._1)
+    var seen = 0L
+    var r2 = Map("click" -> BigInt(0), "view" -> BigInt(0),
+      "purchase" -> BigInt(0))
+    var tt = BigInt(0)
+    byValue.foreach { case (_, types) =>
+      val m = types.length.toLong
+      val dbl = 2L * seen + m + 1L // doubled midrank of every tie member
+      types.groupBy(identity).foreach { case (ty, ts2) =>
+        r2 = r2.updated(ty, r2(ty) + BigInt(ts2.length) * BigInt(dbl))
+      }
+      tt += BigInt(m) * BigInt(m) * BigInt(m) - BigInt(m)
+      seen += m
+    }
+    val nBy = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = rows.length.toLong
+    def term(g: String) =
+      r2(g).toDouble * r2(g).toDouble / (4.0 * nBy(g).toDouble)
+    val hUncorr = 12.0 * (term("click") + term("view") + term("purchase")) /
+      (n.toDouble * (n.toDouble + 1.0)) - 3.0 * (n.toDouble + 1.0)
+    val h = hUncorr /
+      (1.0 - tt.toDouble /
+        (n.toDouble * n.toDouble * n.toDouble - n.toDouble))
+    val out = StatsTests.queries("q_stats_kruskal")(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == nBy("click") && r.getLong(1) == nBy("view")
+      && r.getLong(2) == nBy("purchase"))
+    assert(BigInt(r.getString(3)) == r2("click"), "r2_click")
+    assert(BigInt(r.getString(4)) == r2("view"), "r2_view")
+    assert(BigInt(r.getString(5)) == r2("purchase"), "r2_purchase")
+    assert(BigInt(r.getString(6)) == tt, "t_ties")
+    assert(r.getDouble(7) == h, "h")
+    assert(h >= 0.0, "H is non-negative for real data")
+  }
+
+  test("q_stream_late_audit equals a plain-Scala running-max lateness " +
+      "replay") {
+    val rows = Tables.table(spark, sf, "events")
+      .select("event_type", "event_id", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000L
+          + r.getTimestamp(2).getNanos / 1000 % 1000))
+    val expect = rows.groupBy(_._1).map { case (ty, v) =>
+      // the query's hashed multi-producer arrival order
+      val ordered = v.sortBy(e =>
+        (e._2 % 1048576L * 2654435761L % 4294967296L, e._2))
+      var wm = Long.MinValue
+      var late = Vector.empty[Long]
+      ordered.foreach { case (_, _, tsu) =>
+        late :+= math.max(0L, if (wm == Long.MinValue) 0L else wm - tsu)
+        wm = math.max(wm, tsu)
+      }
+      ty -> (v.length.toLong,
+        late.count(_ > 900000000L).toLong,
+        late.count(_ > 3600000000L).toLong,
+        late.max)
+    }
+    val out = StreamShapes.queries("q_stream_late_audit")(spark, sf)
+      .collect()
+    assert(out.map(_.getString(0)).toSet == expect.keySet)
+    out.foreach { r =>
+      val (n, d15, d1h, mx) = expect(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == d15
+        && r.getLong(3) == d1h && r.getLong(4) == mx,
+        s"type ${r.getString(0)}")
+    }
+    // the audit is non-trivial on the fixture: some out-of-orderness
+    assert(out.map(_.getLong(4)).max > 0L, "fixture has no late events")
+  }
+
+  test("q_multimodal_bmp round-trips the signed height and the stride " +
+      "identity holds on every accepted header") {
+    val out = Multimodal.queries("q_multimodal_bmp")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getBoolean(8)))))
+    assert(out.nonEmpty)
+    out.foreach { case (id, isBmp, fields) =>
+      assert(isBmp == (id % 5 != 0), s"doc $id sniff")
+      if (isBmp) {
+        val (w, hgt, td, bpp, stride, isz, ok) = fields.get
+        assert(w == id % 1920 + 1, s"doc $id width")
+        assert(hgt == (id * 3) % 1080 + 1, s"doc $id |height|")
+        assert(td == (id % 3 == 0), s"doc $id top-down sign")
+        assert(bpp == Seq(1L, 4L, 8L, 16L, 24L, 32L)((id % 6).toInt),
+          s"doc $id bpp")
+        assert(stride == ((bpp * w + 31) / 32) * 4 && stride % 4 == 0,
+          s"doc $id stride")
+        assert(isz == stride * hgt, s"doc $id image size")
+        assert(ok, s"doc $id size_consistent must hold")
+      } else assert(fields.isEmpty, s"doc $id rejected fields null")
+    }
+    // both scan directions exercised
+    assert(out.exists(o => o._2 && o._3.exists(_._3)))
+    assert(out.exists(o => o._2 && o._3.exists(!_._3)))
   }
 
   test("q_curriculum stages are balanced, difficulty-monotone, and " +

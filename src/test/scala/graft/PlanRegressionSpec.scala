@@ -162,6 +162,9 @@ class PlanRegressionSpec extends SparkSpec {
       // value BUCKETS — bounded by the value domain (~330 rows), not the
       // event count (StatsTests.cumulative)
       "q_stats_ks" -> 1, "q_stats_mwu" -> 1,
+      // q_stats_kruskal reuses the same value-domain-bounded bucket
+      // carry (StatsTests.kruskalPoints) for the 3-group pooled ranks
+      "q_stats_kruskal" -> 1,
       // q_event_gini's cumulative-rank window runs over the count-VALUE
       // histogram (≤ max events/user rows — the q_stats_ks bucket
       // argument); users collapse to the histogram in keyed aggregates
