@@ -709,6 +709,66 @@ object EventAnalytics {
         .orderBy(asc_nulls_last("event_type"))
     }),
 
+    // Theil–Sen robust trend slope per event_type — the ESTIMATOR that
+    // pairs with q_ts_mann_kendall's TEST (Sen 1968: the median of all
+    // pairwise day slopes; up to ~29% outlier days cannot move it,
+    // unlike the OLS slope in q_stats_regression). Exactness: day sums
+    // are exact decimals (the MK grid), each pair's slope is the exact
+    // rational (yd₂−yd₁)/Δdays, and the MEDIAN selection is the house
+    // two-middle-row row_number idiom ordered by (slope-double, num,
+    // den) — the doubles are identical on both engines because the
+    // operands are identical exact integers (DuckDB's decimal→double
+    // routes through VARCHAR per the sqlDsum rule), so the order and
+    // the selected rows match exactly; the reported slope is ONE fixed
+    // IEEE expression over the two middle rationals. Scale: the
+    // pairwise self-join is day-grain per type (the MK argument —
+    // O(days²) slim rows, never events²), the rank window is
+    // event_type-PARTITIONED, and the medians join back by type.
+    "q_ts_theil_sen" -> ((s, d) => {
+      // value IS NOT NULL keeps every day sum non-null (an all-null day
+      // would put a NULL rational into the median selection)
+      val daily = t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).as("yd"))
+      val slopes = daily
+        .join(daily.select(col("event_type"), col("day").as("day2"),
+          col("yd").as("yd2")), Seq("event_type"))
+        .filter(col("day") < col("day2"))
+        .select(col("event_type"),
+          (col("yd2") - col("yd")).as("num"),
+          datediff(col("day2"), col("day")).cast("long").as("den"))
+        .withColumn("slope", col("num").cast("double") / col("den"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(asc_nulls_last("slope"), asc_nulls_last("num"),
+          asc_nulls_last("den"))
+      val np = slopes.groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"))
+      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      slopes.withColumn("rn", row_number().over(w))
+        .join(np, "event_type")
+        .filter(col("rn") === expr("(n_pairs + 1) DIV 2")
+          || col("rn") === expr("n_pairs DIV 2 + 1"))
+        .groupBy("event_type", "n_pairs")
+        .agg(
+          max(when(col("rn") === expr("(n_pairs + 1) DIV 2"),
+            col("num"))).as("nlo"),
+          max(when(col("rn") === expr("(n_pairs + 1) DIV 2"),
+            col("den"))).as("den_lo"),
+          max(when(col("rn") === expr("n_pairs DIV 2 + 1"),
+            col("num"))).as("nhi"),
+          max(when(col("rn") === expr("n_pairs DIV 2 + 1"),
+            col("den"))).as("den_hi"))
+        .join(nd, "event_type")
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("nlo").cast("string").as("num_lo"), col("den_lo"),
+          col("nhi").cast("string").as("num_hi"), col("den_hi"),
+          ((col("nlo").cast("double") / col("den_lo")
+            + col("nhi").cast("double") / col("den_hi")) / 2.0)
+            .as("slope_per_day"))
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
     // STL-lite daily decomposition — trend / weekly-seasonal / residual
     // split of the daily value series, the readout behind "is today's
     // dip real or just a Sunday": trend is the centered 7-day moving
@@ -1587,6 +1647,51 @@ object EventAnalytics {
         |    / CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
         |      AS DOUBLE) AS trend_score
         |FROM nd JOIN sg ON nd.event_type = sg.event_type
+        |ORDER BY nd.event_type ASC NULLS LAST""".stripMargin,
+
+    // Same exact-decimal day grid as MK; slope doubles route
+    // decimal→VARCHAR→DOUBLE (the sqlDsum rule) so the rank order and
+    // the final IEEE mean match the Column tree bit-for-bit.
+    "q_ts_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS yd
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY event_type, CAST(ts AS DATE)
+        |), sl AS (
+        |  SELECT a.event_type, b.yd - a.yd AS num,
+        |    CAST(date_diff('day', a.day, b.day) AS BIGINT) AS den,
+        |    CAST(CAST(b.yd - a.yd AS VARCHAR) AS DOUBLE)
+        |      / CAST(date_diff('day', a.day, b.day) AS BIGINT) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope ASC NULLS LAST, num ASC NULLS LAST,
+        |      den ASC NULLS LAST) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+        |  FROM sl
+        |), m AS (
+        |  SELECT event_type, n_pairs,
+        |    MAX(CASE WHEN rn = (n_pairs + 1) // 2 THEN num END) AS nlo,
+        |    MAX(CASE WHEN rn = (n_pairs + 1) // 2 THEN den END)
+        |      AS den_lo,
+        |    MAX(CASE WHEN rn = n_pairs // 2 + 1 THEN num END) AS nhi,
+        |    MAX(CASE WHEN rn = n_pairs // 2 + 1 THEN den END) AS den_hi
+        |  FROM r
+        |  WHERE rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1
+        |  GROUP BY event_type, n_pairs
+        |), nd AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY event_type
+        |)
+        |SELECT nd.event_type, nd.n_days, m.n_pairs,
+        |  CAST(m.nlo AS VARCHAR) AS num_lo, m.den_lo,
+        |  CAST(m.nhi AS VARCHAR) AS num_hi, m.den_hi,
+        |  (CAST(CAST(m.nlo AS VARCHAR) AS DOUBLE) / m.den_lo
+        |    + CAST(CAST(m.nhi AS VARCHAR) AS DOUBLE) / m.den_hi) / 2.0
+        |    AS slope_per_day
+        |FROM nd JOIN m ON nd.event_type = m.event_type
         |ORDER BY nd.event_type ASC NULLS LAST""".stripMargin,
 
     // Same exact-decimal day grid; every decimal→DOUBLE conversion

@@ -186,6 +186,86 @@ object Multimodal {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // WebP RIFF parse — the VARIANT-DISPATCH member of the header
+    // family: one container (RIFF + 'WEBP'), three payload formats
+    // selected by the chunk FourCC, each with a different geometry
+    // encoding — 'VP8 ' (lossy: 3-byte sync 9D 01 2A then u16 LE
+    // width/height, 14 bits each), 'VP8L' (lossless: signature byte
+    // 0x2F then width−1 and height−1 BIT-PACKED into one u32 LE, 14
+    // bits each — the LE sibling of FLAC's sub-byte fields), 'VP8X'
+    // (extended: u24 LE canvas−1 pair). A correct parse must read the
+    // FourCC FIRST and route the byte arithmetic per variant — the
+    // dispatch-on-content shape q_multimodal_tiff exercises for byte
+    // order, here for payload layout. Fixture cycles all three
+    // variants (doc_id % 3); every 5th doc sniff-rejects. Pure narrow
+    // map over a binary column.
+    "q_multimodal_webp" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      def le(v: Column, n: Int): Column = {
+        val p = lpad(hex(v), 2 * n, "0")
+        concat((0 until n).reverse.map(i => substring(p, 2 * i + 1, 2)): _*)
+      }
+      val base = docs.select(col("doc_id"), col("text"))
+        .withColumn("w", (col("doc_id") % 1920 + 1).cast("long"))
+        .withColumn("hp", ((col("doc_id") * 3) % 1080 + 1).cast("long"))
+        .withColumn("v", (col("doc_id") % 3).cast("int"))
+      val vp8 = concat(lit("56503820"), le(lit(10L), 4), // 'VP8 ', size
+        lit("000000"), lit("9D012A"), // frame tag + sync code
+        le(col("w"), 2), le(col("hp"), 2))
+      val vp8l = concat(lit("5650384C"), le(lit(5L), 4), // 'VP8L'
+        lit("2F"), // signature
+        le(col("w") - 1L + (col("hp") - 1L) * 16384L, 4)) // 14+14 bits
+      val vp8x = concat(lit("56503858"), le(lit(10L), 4), // 'VP8X'
+        lit("02000000"), // flags + reserved
+        le(col("w") - 1L, 3), le(col("hp") - 1L, 3))
+      val chunk = when(col("v") === 0, vp8)
+        .when(col("v") === 1, vp8l).otherwise(vp8x)
+      val riffSize = when(col("v") === 1, lit(17L)).otherwise(lit(22L))
+      val webpHex = concat(lit("52494646"), le(riffSize, 4),
+        lit("57454250"), chunk)
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(webpHex)
+      val withPayload = base.select(col("doc_id"),
+        unhex(payloadHex).as("payload"))
+        .withColumn("h", hex(col("payload")))
+      def leR(off: Int, n: Int): Column = {
+        val parts = (off + n - 1).to(off, -1)
+          .map(b => s"substring(h, ${2 * b + 1}, 2)")
+          .mkString("concat(", ", ", ")")
+        expr(s"CAST(conv($parts, 16, 10) AS BIGINT)")
+      }
+      val isWebp = length(col("payload")) >= 20 &&
+        expr("substring(h, 1, 8)") === "52494646" &&
+        expr("substring(h, 17, 8)") === "57454250"
+      withPayload
+        .withColumn("is_webp", isWebp)
+        .withColumn("fourcc", when(col("is_webp"),
+          expr("decode(unhex(substring(h, 25, 8)), 'UTF-8')")))
+        .withColumn("chunk_size", when(col("is_webp"), leR(16, 4)))
+        .withColumn("sig_ok", when(col("is_webp"),
+          when(col("fourcc") === "VP8 ",
+            expr("substring(h, 47, 6)") === "9D012A")
+            .when(col("fourcc") === "VP8L",
+              expr("substring(h, 41, 2)") === "2F")
+            .when(col("fourcc") === "VP8X", lit(true))
+            .otherwise(lit(false))))
+        .withColumn("b32", when(col("fourcc") === "VP8L", leR(21, 4)))
+        .withColumn("width", when(col("is_webp") && col("sig_ok"),
+          when(col("fourcc") === "VP8 ", pmod(leR(26, 2), lit(16384L)))
+            .when(col("fourcc") === "VP8L",
+              pmod(col("b32"), lit(16384L)) + 1L)
+            .when(col("fourcc") === "VP8X", leR(24, 3) + 1L)))
+        .withColumn("height", when(col("is_webp") && col("sig_ok"),
+          when(col("fourcc") === "VP8 ", pmod(leR(28, 2), lit(16384L)))
+            .when(col("fourcc") === "VP8L",
+              pmod(expr("b32 DIV 16384"), lit(16384L)) + 1L)
+            .when(col("fourcc") === "VP8X", leR(27, 3) + 1L)))
+        .select("doc_id", "is_webp", "fourcc", "chunk_size", "sig_ok",
+          "width", "height")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // BMP BITMAPINFOHEADER parse — the SIGNED-integer member of the
     // header family: biHeight is an i32 whose sign encodes scan
     // direction (negative = top-down), so a correct parse must decode
@@ -839,6 +919,92 @@ object Multimodal {
         |    << CAST(CAST('0x' || substring(ph, 21, 2) AS BIGINT) % 8
         |      AS INTEGER) END AS n_colors
         |FROM parsed ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same three-variant construction; the parse dispatches on the
+    // decoded FourCC and the VP8L geometry un-packs the 14+14-bit LE
+    // word with the same // and % arithmetic.
+    "q_multimodal_webp" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 1920 + 1 AS BIGINT) AS w,
+        |    CAST((doc_id * 3) % 1080 + 1 AS BIGINT) AS hp,
+        |    CAST(doc_id % 3 AS INTEGER) AS v,
+        |    hex(encode(substring(text, 1, 8))) AS th
+        |  FROM documents
+        |), enc AS (
+        |  SELECT doc_id, v, th,
+        |    lpad(hex(w), 4, '0') AS w2,
+        |    lpad(hex(hp), 4, '0') AS h2,
+        |    lpad(hex((w - 1) + (hp - 1) * 16384), 8, '0') AS b8,
+        |    lpad(hex(w - 1), 6, '0') AS w3,
+        |    lpad(hex(hp - 1), 6, '0') AS h3
+        |  FROM src
+        |), built AS (
+        |  SELECT doc_id, from_hex(CASE WHEN doc_id % 5 = 0 THEN th ELSE
+        |    '52494646' ||
+        |    CASE WHEN v = 1 THEN '11000000' ELSE '16000000' END ||
+        |    '57454250' ||
+        |    CASE v
+        |      WHEN 0 THEN '56503820' || '0A000000' || '000000' ||
+        |        '9D012A' ||
+        |        substring(w2, 3, 2) || substring(w2, 1, 2) ||
+        |        substring(h2, 3, 2) || substring(h2, 1, 2)
+        |      WHEN 1 THEN '5650384C' || '05000000' || '2F' ||
+        |        substring(b8, 7, 2) || substring(b8, 5, 2) ||
+        |        substring(b8, 3, 2) || substring(b8, 1, 2)
+        |      ELSE '56503858' || '0A000000' || '02000000' ||
+        |        substring(w3, 5, 2) || substring(w3, 3, 2) ||
+        |        substring(w3, 1, 2) ||
+        |        substring(h3, 5, 2) || substring(h3, 3, 2) ||
+        |        substring(h3, 1, 2)
+        |    END END) AS payload
+        |  FROM enc
+        |), parsed AS (
+        |  SELECT doc_id, hex(payload) AS h,
+        |    octet_length(payload) >= 20
+        |      AND substring(hex(payload), 1, 8) = '52494646'
+        |      AND substring(hex(payload), 17, 8) = '57454250' AS is_webp
+        |  FROM built
+        |), f1 AS (
+        |  SELECT doc_id, is_webp, h,
+        |    CASE WHEN is_webp
+        |      THEN decode(from_hex(substring(h, 25, 8))) END AS fourcc,
+        |    CASE WHEN is_webp THEN CAST('0x' || substring(h, 39, 2)
+        |      || substring(h, 37, 2) || substring(h, 35, 2)
+        |      || substring(h, 33, 2) AS BIGINT) END AS chunk_size
+        |  FROM parsed
+        |), f2 AS (
+        |  SELECT *,
+        |    CASE WHEN is_webp THEN
+        |      CASE WHEN fourcc = 'VP8 '
+        |          THEN substring(h, 47, 6) = '9D012A'
+        |        WHEN fourcc = 'VP8L' THEN substring(h, 41, 2) = '2F'
+        |        WHEN fourcc = 'VP8X' THEN TRUE
+        |        ELSE FALSE END END AS sig_ok,
+        |    CASE WHEN fourcc = 'VP8L'
+        |      THEN CAST('0x' || substring(h, 49, 2)
+        |        || substring(h, 47, 2) || substring(h, 45, 2)
+        |        || substring(h, 43, 2) AS BIGINT) END AS b32
+        |  FROM f1
+        |)
+        |SELECT doc_id, is_webp, fourcc, chunk_size, sig_ok,
+        |  CASE WHEN is_webp AND sig_ok THEN
+        |    CASE WHEN fourcc = 'VP8 ' THEN CAST('0x'
+        |        || substring(h, 55, 2) || substring(h, 53, 2)
+        |        AS BIGINT) % 16384
+        |      WHEN fourcc = 'VP8L' THEN b32 % 16384 + 1
+        |      WHEN fourcc = 'VP8X' THEN CAST('0x' || substring(h, 53, 2)
+        |        || substring(h, 51, 2) || substring(h, 49, 2)
+        |        AS BIGINT) + 1 END END AS width,
+        |  CASE WHEN is_webp AND sig_ok THEN
+        |    CASE WHEN fourcc = 'VP8 ' THEN CAST('0x'
+        |        || substring(h, 59, 2) || substring(h, 57, 2)
+        |        AS BIGINT) % 16384
+        |      WHEN fourcc = 'VP8L' THEN b32 // 16384 % 16384 + 1
+        |      WHEN fourcc = 'VP8X' THEN CAST('0x' || substring(h, 59, 2)
+        |        || substring(h, 57, 2) || substring(h, 55, 2)
+        |        AS BIGINT) + 1 END END AS height
+        |FROM f2 ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     // Same payload construction; the height read decodes two's
     // complement from the u32 LE bytes and the stride/size identities

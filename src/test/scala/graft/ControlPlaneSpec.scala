@@ -330,6 +330,61 @@ class ControlPlaneSpec extends SparkSpec {
         "body finishes driver-side")
   }
 
+  test("WebSocket push (R18): the JDK's own RFC 6455 client completes " +
+      "the upgrade handshake, receives live reports as text frames, " +
+      "survives ping, and closes cleanly") {
+    import java.net.URI
+    import java.net.http.{HttpClient, WebSocket}
+    import java.nio.ByteBuffer
+    import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.plans.WebSocketPush
+    implicit val sqlCtx = spark.sqlContext
+    val mon = new Monitoring().attach(spark)
+    val srv = new WebSocketPush(mon).start()
+    try {
+      val frames = new LinkedBlockingQueue[String]
+      @volatile var pongSeen = false
+      val listener = new WebSocket.Listener {
+        override def onText(ws: WebSocket, data: CharSequence,
+            last: Boolean): java.util.concurrent.CompletionStage[_] = {
+          frames.add(data.toString); ws.request(1); null
+        }
+        override def onPong(ws: WebSocket, msg: ByteBuffer)
+            : java.util.concurrent.CompletionStage[_] = {
+          pongSeen = true; ws.request(1); null
+        }
+      }
+      val ws = HttpClient.newHttpClient().newWebSocketBuilder()
+        .buildAsync(URI.create(s"ws://127.0.0.1:${srv.boundPort}/events"),
+          listener)
+        .join() // a failed 101 handshake rejects this future
+      // a live streaming query produces reports → frames must arrive
+      val mem = MemoryStream[Long]
+      val q = mem.toDF().groupBy().count()
+        .writeStream.format("memory")
+        .queryName(s"ws_${System.nanoTime()}")
+        .outputMode("complete").start()
+      try {
+        mem.addData(1L to 50L: _*)
+        q.processAllAvailable()
+        val frame = frames.poll(30, TimeUnit.SECONDS)
+        assert(frame != null, "no report frame within 30s")
+        assert(frame.contains("\"batchId\"")
+          && frame.contains("\"numInputRows\""), s"bad frame: $frame")
+        // control-frame path: ping must come back as pong
+        ws.sendPing(ByteBuffer.wrap("hi".getBytes)).join()
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (!pongSeen && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(pongSeen, "ping was not answered with pong")
+        ws.sendClose(WebSocket.NORMAL_CLOSURE, "done").join()
+      } finally q.stop()
+    } finally {
+      srv.stop()
+      mon.detach(spark)
+    }
+  }
+
   test("monitoring listener captures per-batch reports (R18)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -550,6 +550,81 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getLong(4)).max > 0L, "fixture has no late events")
   }
 
+  test("q_ts_theil_sen equals a plain-Scala exact-rational median replay") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val daily = Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select("event_type", "ts", "value")
+      .collect()
+      .map(r => ((r.getString(0),
+        // session tz is UTC — to_date(ts) must replay in UTC too
+        r.getTimestamp(1).toInstant
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate),
+        new JBD(r.getDouble(2)).setScale(4, RoundingMode.HALF_UP)))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).reduce(_.add(_))).toMap
+    val expect = daily.keys.map(_._1).toSet.toSeq.sorted.flatMap { ty =>
+      val days = daily.collect { case ((t, d), v) if t == ty => (d, v) }
+        .toSeq.sortBy(_._1.toEpochDay)
+      val slopes = for {
+        i <- days.indices; j <- (i + 1) until days.length
+      } yield {
+        val num = days(j)._2.subtract(days(i)._2)
+        val den = days(j)._1.toEpochDay - days(i)._1.toEpochDay
+        (num.doubleValue / den, num, den)
+      }
+      if (slopes.isEmpty) None
+      else {
+        val srt = slopes.sortBy(s => (s._1, s._2, s._3))(
+          Ordering.Tuple3(Ordering.Double.TotalOrdering,
+            Ordering.by((b: JBD) => b), Ordering.Long))
+        val np = srt.length
+        val lo = srt((np + 1) / 2 - 1)
+        val hi = srt(np / 2)
+        Some(ty -> (days.length.toLong, np.toLong, lo, hi,
+          (lo._2.doubleValue / lo._3 + hi._2.doubleValue / hi._3) / 2.0))
+      }
+    }.toMap
+    val out = EventAnalytics.queries("q_ts_theil_sen")(spark, sf)
+      .collect()
+    assert(out.map(_.getString(0)).toSet == expect.keySet)
+    out.foreach { r =>
+      val (nd, np, lo, hi, slope) = expect(r.getString(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == np,
+        s"counts ${r.getString(0)}")
+      assert(new JBD(r.getString(3)).compareTo(lo._2) == 0
+        && r.getLong(4) == lo._3, s"lo ${r.getString(0)}")
+      assert(new JBD(r.getString(5)).compareTo(hi._2) == 0
+        && r.getLong(6) == hi._3, s"hi ${r.getString(0)}")
+      assert(r.getDouble(7) == slope, s"slope ${r.getString(0)}")
+    }
+  }
+
+  test("q_multimodal_webp dispatches on the FourCC and round-trips all " +
+      "three variant geometries") {
+    val out = Multimodal.queries("q_multimodal_webp")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None
+        else Some((r.getString(2), r.getLong(3), r.getBoolean(4),
+          r.getLong(5), r.getLong(6)))))
+    assert(out.nonEmpty)
+    out.foreach { case (id, isWebp, fields) =>
+      assert(isWebp == (id % 5 != 0), s"doc $id sniff")
+      if (isWebp) {
+        val (fourcc, csz, sigOk, w, hgt) = fields.get
+        val wantCc = Seq("VP8 ", "VP8L", "VP8X")((id % 3).toInt)
+        assert(fourcc == wantCc, s"doc $id fourcc")
+        assert(csz == (if (id % 3 == 1) 5L else 10L), s"doc $id size")
+        assert(sigOk, s"doc $id variant signature")
+        assert(w == id % 1920 + 1, s"doc $id width")
+        assert(hgt == (id * 3) % 1080 + 1, s"doc $id height")
+      } else assert(fields.isEmpty, s"doc $id rejected fields null")
+    }
+    // all three variants actually exercised
+    assert(out.flatMap(_._3.map(_._1)).toSet
+      == Set("VP8 ", "VP8L", "VP8X"))
+  }
+
   test("q_multimodal_bmp round-trips the signed height and the stride " +
       "identity holds on every accepted header") {
     val out = Multimodal.queries("q_multimodal_bmp")(spark, sf).collect()
