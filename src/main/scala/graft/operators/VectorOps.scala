@@ -820,6 +820,96 @@ object VectorOps {
         .orderBy(asc_nulls_last("vec_id"))
     }),
 
+    // nDCG@10 of the bucketed ANN pipeline — the GRADED companion to
+    // q_ann_recall's set overlap (Järvelin & Kekäläinen, TOIS 2002): a
+    // candidate in the approx list earns gain 11−exact_rank discounted
+    // by log2(position+1), so finding the #1 neighbor at position 1 is
+    // worth more than finding #10 at position 10 — the metric that
+    // separates "returns the right set" from "returns it in the right
+    // order". Determinism: gains and positions are exact integers, each
+    // discount log2 is the bit-portable chain (Det.plog2Series), every
+    // term quantizes to the exact 1e-10 grid before summation (the
+    // q_event_entropy pattern), and nDCG is ONE IEEE division of two
+    // grid integers; the ideal DCG is computed over the SAME complete
+    // (probe × position) grid, so probes with thin buckets (< 10
+    // candidates) score honestly. Scale: the panel is FIXED (16
+    // probes × 10 positions); the approx side is the proven bucketed
+    // q_ann_neighbors shape with a 16→10 fast/exact margin; the exact
+    // side the panelExactTop3 shape widened to 20→10.
+    "q_ann_ndcg" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = broadcast(emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("p_id"), col("embedding").as("pe")))
+      val corpus = emb.select(col("vec_id").as("nb_id"),
+        col("embedding").as("eb"))
+      val wFastEx = Window.partitionBy("p_id")
+        .orderBy(desc_nulls_last("fastdot"), asc_nulls_last("nb_id"))
+      val wExactEx = Window.partitionBy("p_id")
+        .orderBy(desc_nulls_last("cosine"), asc_nulls_last("nb_id"))
+      // exact ground truth: top-10 with graded gain 11 − rank
+      val exact = corpus.crossJoin(probes)
+        .filter(col("nb_id") =!= col("p_id"))
+        .withColumn("fastdot", fastDot(s, "eb", "pe"))
+        .select("p_id", "nb_id", "fastdot")
+        .withColumn("_rn", row_number().over(wFastEx))
+        .filter(col("_rn") <= 20)
+        .join(corpus, "nb_id").join(probes, "p_id")
+        .withColumn("cosine", dotExpr(s, "eb", "pe"))
+        .withColumn("_rx", row_number().over(wExactEx))
+        .filter(col("_rx") <= 10)
+        .select(col("p_id").as("vec_id"), col("nb_id"),
+          (lit(11L) - col("_rx")).as("gain"))
+      // approx ranking: the bucketed pipeline, panel side filtered,
+      // positions 1..10 (fast top-16 → exact rerank, the margin rule)
+      val bk = annBuckets(emb, planes = NeighborPlanes)
+        .select(col("vec_id"), col("bucket"), col("embedding"))
+      val a = bk.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("bucket"), col("embedding").as("ea"))
+      val b = bk.select(col("vec_id").as("nb_id"),
+        col("bucket").as("bucket_b"), col("embedding").as("eb"))
+      val wFast = Window.partitionBy("vec_id")
+        .orderBy(desc_nulls_last("fastdot"), asc_nulls_last("nb_id"))
+      val wExact = Window.partitionBy("vec_id")
+        .orderBy(desc_nulls_last("cosine"), asc_nulls_last("nb_id"))
+      val approx = a
+        .join(b, col("bucket") === col("bucket_b")
+          && col("vec_id") =!= col("nb_id"))
+        .withColumn("fastdot", fastDot(s, "ea", "eb"))
+        .select("vec_id", "nb_id", "fastdot")
+        .withColumn("_rn", row_number().over(wFast))
+        .filter(col("_rn") <= 16)
+        .join(corpus, "nb_id")
+        .join(probes.select(col("p_id").as("vec_id"), col("pe")),
+          "vec_id")
+        .withColumn("cosine", dotExpr(s, "eb", "pe"))
+        .withColumn("posn", row_number().over(wExact))
+        .filter(col("posn") <= 10)
+        .select("vec_id", "posn", "nb_id")
+      // complete (probe × position) grid → honest thin-bucket scoring
+      val grid = probes.select(col("p_id").as("vec_id"))
+        .withColumn("posn", explode(expr("sequence(1, 10)")))
+      val terms = graft.Det.withPlog2(
+        grid.join(approx, Seq("vec_id", "posn"), "left")
+          .join(exact, Seq("vec_id", "nb_id"), "left")
+          .withColumn("g", coalesce(col("gain"), lit(0L)))
+          .withColumn("posn1", (col("posn") + 1L).cast("long")),
+        "posn1", "l2")
+        .withColumn("q", expr(
+          "CAST(floor(CAST(g AS DOUBLE) / l2 " +
+            "* CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .withColumn("iq", expr(
+          "CAST(floor(CAST(11 - posn AS DOUBLE) / l2 " +
+            "* CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+      terms.groupBy("vec_id")
+        .agg(sum(when(col("g") > 0L, 1L).otherwise(0L)).as("n_overlap"),
+          sum("q").as("dcg_q"), sum("iq").as("idcg_q"))
+        .withColumn("ndcg",
+          col("dcg_q").cast("double") / col("idcg_q").cast("double"))
+        .orderBy(asc_nulls_last("vec_id"))
+    }),
+
     // Multi-table LSH recall — the OR-amplification remedy q_ann_recall
     // motivates: 4 independent md5-seeded hyperplane families, a vector
     // pair is a candidate if ANY table co-buckets it (union of 4 bucket
@@ -2043,6 +2133,83 @@ object VectorOps {
          |    ELSE 0 END) AS BIGINT) AS n_hit
          |FROM cand, k GROUP BY k.nprobe
          |ORDER BY nprobe ASC NULLS LAST""".stripMargin,
+
+    // Same bucket math, top-10 positions each side, the bit-portable
+    // log2 chain per position, grid-quantized terms, ONE division.
+    "q_ann_ndcg" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    unnest(generate_series(1, $EmbDim)) AS i
+         |  FROM embeddings
+         |), c AS (
+         |  SELECT vec_id, p.p AS p,
+         |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) *
+         |      (strpos('0123456789abcdef', substring(md5(
+         |        CAST(p.p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1))
+         |        - 1 - 7.5) AS DECIMAL(20,8))) AS DOUBLE) AS proj
+         |  FROM e, (SELECT unnest(range($NeighborPlanes)) AS p) p
+         |  GROUP BY vec_id, p.p
+         |), bk AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM c GROUP BY vec_id
+         |), appr AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${sqlDot("ea.embedding", "eb.embedding")} DESC,
+         |        b.vec_id ASC) AS posn
+         |  FROM bk a JOIN bk b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE a.vec_id < 16
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY ${sqlDot("ea.embedding", "eb.embedding")} DESC,
+         |      b.vec_id ASC) <= 10
+         |), ex AS (
+         |  SELECT p.vec_id, x.vec_id AS nb_id,
+         |    11 - row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${sqlDot("x.embedding", "p.embedding")} DESC,
+         |        x.vec_id ASC) AS gain
+         |  FROM embeddings p JOIN embeddings x ON x.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 16
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+         |    ORDER BY ${sqlDot("x.embedding", "p.embedding")} DESC,
+         |      x.vec_id ASC) <= 10
+         |), grid AS (
+         |  SELECT p.vec_id, g.posn
+         |  FROM (SELECT DISTINCT vec_id FROM embeddings
+         |    WHERE vec_id < 16) p,
+         |    (SELECT unnest(generate_series(1, 10)) AS posn) g
+         |), tm AS (
+         |  SELECT gr.vec_id, gr.posn,
+         |    CAST(coalesce(ex.gain, 0) AS BIGINT) AS g,
+         |    CAST(gr.posn + 1 AS BIGINT) AS posn1,
+         |    ${graft.Det.sqlPlog2Cols("posn1", "d")}
+         |  FROM grid gr
+         |  LEFT JOIN appr ON appr.vec_id = gr.vec_id
+         |    AND appr.posn = gr.posn
+         |  LEFT JOIN ex ON ex.vec_id = gr.vec_id
+         |    AND ex.nb_id = appr.nb_id
+         |), qq AS (
+         |  SELECT vec_id,
+         |    CASE WHEN g > 0 THEN 1 ELSE 0 END AS hit,
+         |    CAST(floor(CAST(g AS DOUBLE) / dl2
+         |      * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q,
+         |    CAST(floor(CAST(11 - posn AS DOUBLE) / dl2
+         |      * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS iq
+         |  FROM tm
+         |)
+         |SELECT vec_id, CAST(SUM(hit) AS BIGINT) AS n_overlap,
+         |  CAST(SUM(q) AS BIGINT) AS dcg_q,
+         |  CAST(SUM(iq) AS BIGINT) AS idcg_q,
+         |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(SUM(iq) AS BIGINT) AS DOUBLE) AS ndcg
+         |FROM qq GROUP BY vec_id
+         |ORDER BY vec_id ASC NULLS LAST""".stripMargin,
 
     // Same bucket math as the q_ann_neighbors oracle (probe-restricted),
     // exact-decimal ground-truth top-3, LEFT JOIN count = hits.

@@ -33,7 +33,10 @@ class DeterminismSpec extends SparkSpec {
     "q_event_gini",      // count-histogram cumulative window + ratio
     "q_event_entropy",   // portable-log2 terms on the 1e-10 grid
     "q_ts_ccf",          // centered decimal cross-products + 4-op tree
-    "q_ts_seasonality_strength") // quantized variance ratios
+    "q_ts_seasonality_strength", // quantized variance ratios
+    "q_stats_kruskal",   // pooled midranks + wide-row H double tree
+    "q_ts_theil_sen",    // rational-median selection by slope doubles
+    "q_stream_late_audit") // per-type running-max lateness window
 
   sensitive.foreach { name =>
     test(s"$name is identical at shuffle.partitions 3 vs 13") {

@@ -211,6 +211,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q_ann_ivf_curve", "q_ann_recall", "q_ann_recall_multi",
       // the same FIXED 16-row probe panel broadcast, once per dims level
       "q_ann_dim_truncate",
+      // the same FIXED 16-row panel broadcast on the exact ground-truth
+      // side (the q_ann_recall argument); the approx side is the
+      // bucketed equi-join, never nested-loop
+      "q_ann_ndcg",
       // broadcast-8 integer-grid centroid assignment (twice) + the
       // 1-row moved-count broadcast on a constant key
       "q_kmeans_converge",

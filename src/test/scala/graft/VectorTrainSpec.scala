@@ -110,6 +110,39 @@ class VectorTrainSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_ndcg: one row per panel probe, the ideal DCG is the " +
+      "portable-log2 constant shared by every probe, and ndcg is the " +
+      "declared ratio inside [0, 1]") {
+    // replay the bit-portable chain in plain Scala (same expression,
+    // same evaluation order — IEEE doubles agree bit-for-bit)
+    def plog2(n: Long): Double = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      val m = n.toDouble / (1L << e).toDouble
+      val z = (m - 1.0) / (m + 1.0)
+      val z2 = z * z
+      e.toDouble + (2.0 * (z * (1.0 + z2 * (1.0 / 3.0 + z2 *
+        (1.0 / 5.0 + z2 * (1.0 / 7.0 + z2 * (1.0 / 9.0 + z2 *
+          (1.0 / 11.0))))))) / 0.6931471805599453)
+    }
+    val idealQ = (1 to 10).map { i =>
+      math.floor((11.0 - i) / plog2(i + 1L) * 1e10 + 0.5).toLong
+    }.sum
+    val rows = VectorOps.queries("q_ann_ndcg")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (0L until 16L))
+    rows.foreach { case (p, overlap, dcgQ, idcgQ, ndcg) =>
+      assert(idcgQ == idealQ, s"probe $p ideal DCG")
+      assert(overlap >= 0 && overlap <= 10, s"probe $p overlap")
+      assert(dcgQ >= 0 && dcgQ <= idcgQ, s"probe $p dcg bounds")
+      assert(ndcg == dcgQ.toDouble / idcgQ.toDouble, s"probe $p ratio")
+      // a perfect approx list scores exactly 1
+      if (overlap == 10 && dcgQ == idcgQ) assert(ndcg == 1.0)
+    }
+    // the fixture's bucketed pipeline finds SOMETHING on the panel
+    assert(rows.map(_._2).sum > 0, "zero overlap across all probes")
+  }
+
   test("q_ann_recall_multi dominates single-table recall per probe " +
       "(its candidate set is a superset, and a true top-3 neighbor can " +
       "only be outranked by other true top-3 members)") {
