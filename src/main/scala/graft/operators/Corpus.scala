@@ -219,6 +219,85 @@ object Corpus {
     (labels, rounds)
   }
 
+  /** 3-round 2-core peel over an (id_a, id_b) pair frame — the
+    * q_graph_kcore body, exposed so PropertyLawsSpec can drive it over
+    * random graphs the LSH fixture never generates. Each round drops
+    * vertices whose degree among survivors is < 2; the final in-core
+    * degree is recomputed over the peeled set. Rounds are UNROLLED
+    * (identical on both engines even when the fixed point lands
+    * earlier — extra rounds are no-ops). Each round references `nodes`
+    * TWICE (src + dst semi-join), so the peel subtrees appear
+    * duplicated in the final plan — but IDENTICALLY, so ReuseExchange
+    * computes each round's shuffle once. Only the FINAL round persists
+    * (its two final-degree consumers sit above different exchanges):
+    * r8 measured 1.3 s solo sf0.1 vs 1.7 s persisting every round
+    * lazily and 2.7 s materializing each round eagerly — the
+    * reuse-over-cache shape wins on all axes. Semi-join probe sides
+    * sized explicitly (loopShufflePartitions; the count materializes
+    * the persisted sym cache every round reads anyway); the peel's
+    * degree agg stays unsized for map-side combine. */
+  def kcore2(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select("e.src", "e.dst")
+      .persistScoped()
+    val lp = loopShufflePartitions(s, sym.count(), 10000L)
+    var nodes = sym.select(col("src").as("id")).distinct()
+    for (_ <- 1 to 3) {
+      nodes = sym
+        .join(nodes.select(col("id").as("src"))
+          .repartition(lp, col("src")), Seq("src"), "left_semi")
+        .join(nodes.select(col("id").as("dst"))
+          .repartition(lp, col("dst")), Seq("dst"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+        .select(col("src").as("id"))
+    }
+    nodes = nodes.persistScoped()
+    sym
+      .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("doc_id"), col("core_deg"))
+  }
+
+  /** 3-round deterministic synchronous label propagation over an
+    * (id_a, id_b) pair frame — the q_graph_labelprop body, exposed for
+    * random-graph property tests. Each node adopts the most common
+    * label among its neighbors plus ONE self-vote (the damping that
+    * stops 2-cycles oscillating under synchronous update), ties to the
+    * smallest label — fully deterministic, unlike classic random-order
+    * LPA. Loop shuffles sized to the graph; the vote agg stays unsized
+    * so (id, lbl) duplicates combine map-side. */
+  def labelProp3(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select("e.src", "e.dst")
+      .persistScoped()
+    val lp = loopShufflePartitions(s, sym.count(), 10000L)
+    var lbl = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to 3) {
+      val w = Window.partitionBy("id")
+        .orderBy(desc_nulls_last("c"), asc_nulls_last("lbl"))
+      lbl = sym
+        .join(lbl.select(col("id").as("dst"), col("lbl"))
+          .repartition(lp, col("dst")), "dst")
+        .select(col("src").as("id"), col("lbl"))
+        .unionByName(lbl) // the self-vote
+        .groupBy("id", "lbl").agg(count(lit(1)).as("c"))
+        .repartition(lp, col("id")) // satisfies the window's hash(id)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("id", "lbl")
+    }
+    lbl
+  }
+
   /** Gram width for q_decontaminate. */
   val GramTokens = 8
 
@@ -626,47 +705,10 @@ object Corpus {
     // aggregate (map-side combine) plus two endpoint semi-joins on the
     // persisted symmetric edge list — the standard distributed peel,
     // bounded rounds, never a per-vertex loop on the driver.
-    "q_graph_kcore" -> ((s, d) => {
-      val pairs = TextDedup.nearDuplicates(t(s, d, "documents"))
-        .select("id_a", "id_b")
-      val sym = pairs.select(explode(array(
-          struct(col("id_a").as("src"), col("id_b").as("dst")),
-          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-        .select("e.src", "e.dst")
-        .persistScoped()
-      // loop shuffles sized to the dup graph; the count materializes
-      // the persisted sym cache every peel round reads anyway
-      val lp = loopShufflePartitions(s, sym.count(), 10000L)
-      var nodes = sym.select(col("src").as("id")).distinct()
-      for (_ <- 1 to 3) {
-        // each round references `nodes` TWICE (src + dst semi-join), so
-        // the peel subtrees appear duplicated in the final plan — but
-        // IDENTICALLY, so ReuseExchange computes each round's shuffle
-        // once. Only the FINAL round persists (its two final-degree
-        // consumers sit above different exchanges): r8 measured 1.3 s
-        // solo sf0.1 vs 1.7 s persisting every round lazily (three
-        // caches piling up across the bench, ADVICE r7) and 2.7 s
-        // materializing each round eagerly to unpersist its
-        // predecessor — the reuse-over-cache shape wins on all axes.
-        // Semi-join probe sides sized explicitly (loopShufflePartitions);
-        // the peel's degree agg stays unsized for map-side combine.
-        nodes = sym
-          .join(nodes.select(col("id").as("src"))
-            .repartition(lp, col("src")), Seq("src"), "left_semi")
-          .join(nodes.select(col("id").as("dst"))
-            .repartition(lp, col("dst")), Seq("dst"), "left_semi")
-          .groupBy("src").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= 2)
-          .select(col("src").as("id"))
-      }
-      nodes = nodes.persistScoped()
-      sym
-        .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        .groupBy("src").agg(count(lit(1)).as("core_deg"))
-        .select(col("src").as("doc_id"), col("core_deg"))
-        .orderBy(asc_nulls_last("doc_id"))
-    }),
+    "q_graph_kcore" -> ((s, d) =>
+      kcore2(TextDedup.nearDuplicates(t(s, d, "documents"))
+        .select("id_a", "id_b"))
+        .orderBy(asc_nulls_last("doc_id"))),
 
     // Community detection by synchronous label propagation over the
     // near-dup graph — the cheap-at-scale clustering that groups
@@ -682,34 +724,9 @@ object Corpus {
     // ReuseExchange computes each round once and only the final labels
     // persist (two consumers: sizes + the output join).
     "q_graph_labelprop" -> ((s, d) => {
-      val pairs = TextDedup.nearDuplicates(t(s, d, "documents"))
-        .select("id_a", "id_b")
-      val sym = pairs.select(explode(array(
-          struct(col("id_a").as("src"), col("id_b").as("dst")),
-          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-        .select("e.src", "e.dst")
-        .persistScoped()
-      // loop shuffles sized to the dup graph (the count materializes
-      // the persisted sym cache): join probe + the per-node window get
-      // explicit lp partitioning; the vote agg stays unsized so the
-      // (id, lbl) duplicates combine map-side before shuffling.
-      val lp = loopShufflePartitions(s, sym.count(), 10000L)
-      var lbl = sym.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-      for (_ <- 1 to 3) {
-        val w = Window.partitionBy("id")
-          .orderBy(desc_nulls_last("c"), asc_nulls_last("lbl"))
-        lbl = sym
-          .join(lbl.select(col("id").as("dst"), col("lbl"))
-            .repartition(lp, col("dst")), "dst")
-          .select(col("src").as("id"), col("lbl"))
-          .unionByName(lbl) // the self-vote
-          .groupBy("id", "lbl").agg(count(lit(1)).as("c"))
-          .repartition(lp, col("id")) // satisfies the window's hash(id)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("id", "lbl")
-      }
+      var lbl = labelProp3(
+        TextDedup.nearDuplicates(t(s, d, "documents"))
+          .select("id_a", "id_b"))
       lbl = lbl.persistScoped()
       val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("n_members"))
       lbl.join(sz, "lbl")

@@ -638,4 +638,52 @@ object StatefulTwins {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
+
+  // --- watermark-sizing audit (q_stream_late_audit's streaming twin) ---
+
+  /** One event in hashed-arrival order: the audit's lateness is defined
+    * against the running max of `tsu` over earlier arrivals per type. */
+  case class LateEv(event_type: String, aseq: Long, event_id: Long,
+      tsu: Long)
+
+  case class LateState(wm: Long, n: Long, d15: Long, d1h: Long,
+      maxLate: Long)
+
+  case class LatePanel(event_type: String, n_events: Long,
+      n_drop_15m: Long, n_drop_1h: Long, max_late_us: Long)
+
+  /** Streaming half of [[graft.operators.StreamShapes.lateAudit]]: the
+    * per-type running max IS one ValueState row, the drop counters fold
+    * incrementally, and each micro-batch emits the updated panel row —
+    * the live watermark-sizing monitor a pipeline watches before
+    * flipping append mode on. Ordering contract: events arrive in
+    * (aseq, event_id) order per key across batches (the same bus-replay
+    * guarantee [[transitionStream]] documents); within a batch they are
+    * sorted here. State is O(types), not O(events). */
+  def lateAuditStream(events: Dataset[LateEv]): Dataset[LatePanel] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[LateState, LatePanel](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (ty: String, it: Iterator[LateEv], state: GroupState[LateState]) =>
+          val evs = it.toVector.sortBy(e => (e.aseq, e.event_id))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption
+              .getOrElse(LateState(Long.MinValue, 0L, 0L, 0L, 0L))
+            evs.foreach { e =>
+              val late =
+                if (st.wm == Long.MinValue) 0L
+                else math.max(0L, st.wm - e.tsu)
+              st = LateState(math.max(st.wm, e.tsu), st.n + 1L,
+                st.d15 + (if (late > 900000000L) 1L else 0L),
+                st.d1h + (if (late > 3600000000L) 1L else 0L),
+                math.max(st.maxLate, late))
+            }
+            state.update(st)
+            Iterator.single(
+              LatePanel(ty, st.n, st.d15, st.d1h, st.maxLate))
+          }
+      }
+  }
 }

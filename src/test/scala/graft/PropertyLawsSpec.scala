@@ -134,6 +134,68 @@ class PropertyLawsSpec extends SparkSpec {
     }
   }
 
+  test("kcore2 equals a plain-Scala 3-round peel on random graphs " +
+      "(12 cases)") {
+    for (k <- 1 to 12) {
+      val n = 3 + rnd.nextInt(18)
+      val nEdges = 2 + rnd.nextInt(30)
+      val edges = (1 to nEdges).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      if (edges.nonEmpty) {
+        val got = Corpus.kcore2(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // replay exactly 3 unrolled rounds (the declared semantics —
+        // NOT peel-to-fixed-point), then the in-core degree
+        var sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        var nodes = sym.map(_._1).toSet
+        for (_ <- 1 to 3) {
+          val deg = sym.filter(e => nodes(e._1) && nodes(e._2))
+            .groupBy(_._1).map { case (v, es) => v -> es.length }
+          nodes = deg.filter(_._2 >= 2).keySet
+        }
+        val want = sym.filter(e => nodes(e._1) && nodes(e._2))
+          .groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+        // NOTE: no "degree ≥ 2" law here — the contract is 3 UNROLLED
+        // rounds, and a graph that has not converged in 3 (a long
+        // chain) legitimately leaves degree-1 survivors; only the
+        // replay equality is the specification
+        assert(got == want, s"case $k edges $edges: $got vs $want")
+      }
+    }
+  }
+
+  test("labelProp3 equals a plain-Scala 3-round synchronous replay on " +
+      "random graphs (12 cases)") {
+    for (k <- 1 to 12) {
+      val n = 3 + rnd.nextInt(18)
+      val nEdges = 2 + rnd.nextInt(30)
+      val edges = (1 to nEdges).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      if (edges.nonEmpty) {
+        val got = Corpus.labelProp3(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        val nbrs = sym.groupBy(_._1).map { case (v, es) =>
+          v -> es.map(_._2) }
+        var lbl: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+        for (_ <- 1 to 3) {
+          lbl = nbrs.map { case (v, ns) =>
+            val votes = (ns.map(lbl) :+ lbl(v)).groupBy(identity)
+              .map { case (l, vs) => (l, vs.length) }
+            v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }
+        }
+        assert(got == lbl, s"case $k edges $edges: $got vs $lbl")
+      }
+    }
+  }
+
   test("portable log2: the bin-exponent + atanh-series chain matches " +
       "math log2 within 1e-6 for n in 1..200000") {
     import graft.Det

@@ -1207,6 +1207,49 @@ class StreamingParitySpec extends SparkSpec {
     assert(batchLosers.nonEmpty, "fixture must contain near-dup losers")
   }
 
+  test("streaming late-audit twin: per-type running-max state drained " +
+      "over the hashed arrival order equals the declared batch panel") {
+    import graft.streaming.StatefulTwins
+    import graft.streaming.StatefulTwins.LateEv
+    implicit val sqlCtx = spark.sqlContext
+    val batch = StreamShapes.queries("q_stream_late_audit")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // the SAME events in the audit's hashed arrival order, split across
+    // two micro-batches (state must survive the boundary)
+    val evs = Tables.table(spark, sf, "events")
+      .select("event_type", "event_id", "ts")
+      .collect()
+      .map { r =>
+        val tsu = r.getTimestamp(2).getTime * 1000L +
+          r.getTimestamp(2).getNanos / 1000 % 1000
+        LateEv(r.getString(0),
+          r.getLong(1) % 1048576L * 2654435761L % 4294967296L,
+          r.getLong(1), tsu)
+      }.sortBy(e => (e.aseq, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[LateEv]
+    val name = s"lateaud_${System.nanoTime()}"
+    val q = StatefulTwins.lateAuditStream(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    mem.addData(b1.toSeq)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).collect()
+      .groupBy(_.getString(0))
+      .map { case (ty, rs) =>
+        val last = rs.last // memory sink appends in batch order
+        ty -> ((last.getLong(1), last.getLong(2), last.getLong(3),
+          last.getLong(4)))
+      }
+    assert(stream == batch)
+  }
+
   test("transformWithState IVM: streamed CDC deltas maintain exactly " +
       "the per-source totals q_snapshot_ivm proves in batch") {
     import graft.streaming.StatefulTwins
