@@ -385,6 +385,52 @@ class ControlPlaneSpec extends SparkSpec {
     }
   }
 
+  test("WebSocket push rejects a plain HTTP request (no upgrade key) " +
+      "with 400 and keeps serving") {
+    import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+    import java.net.Socket
+    import graft.plans.WebSocketPush
+    val mon = new Monitoring()
+    val srv = new WebSocketPush(mon).start()
+    try {
+      val sock = new Socket("127.0.0.1", srv.boundPort)
+      val out = new PrintWriter(sock.getOutputStream, true)
+      out.print("GET /events HTTP/1.1\r\nHost: x\r\n\r\n")
+      out.flush()
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream))
+      val status = in.readLine()
+      assert(status != null && status.contains("400"),
+        s"non-upgrade request must get 400, got: $status")
+      sock.close()
+      // the acceptor survived the bad request: a second (valid-shaped)
+      // connection still completes the handshake
+      val sock2 = new Socket("127.0.0.1", srv.boundPort)
+      val out2 = new PrintWriter(sock2.getOutputStream, true)
+      out2.print("GET /events HTTP/1.1\r\nHost: x\r\n" +
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+        "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+        "Sec-WebSocket-Version: 13\r\n\r\n")
+      out2.flush()
+      val in2 = new BufferedReader(
+        new InputStreamReader(sock2.getInputStream))
+      val status2 = in2.readLine()
+      assert(status2 != null && status2.contains("101"),
+        s"valid upgrade must get 101, got: $status2")
+      // RFC 6455 §1.3 worked example: this key must produce this accept
+      var acceptLine: String = null
+      var line = in2.readLine()
+      while (line != null && line.nonEmpty) {
+        if (line.toLowerCase.startsWith("sec-websocket-accept:"))
+          acceptLine = line.split(":", 2)(1).trim
+        line = in2.readLine()
+      }
+      assert(acceptLine == "s3pPLMBiTxaQ9kYGzzhZRbK+xOo=",
+        s"handshake accept mismatch: $acceptLine")
+      sock2.close()
+    } finally srv.stop()
+  }
+
   test("monitoring listener captures per-batch reports (R18)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
