@@ -966,6 +966,38 @@ object Corpus {
         .orderBy(asc_nulls_last("source"))
     }),
 
+    // Herfindahl–Hirschman concentration of the source mixture — the
+    // single-number "is one crawl dominating the corpus" monitor next
+    // to q_source_lang_entropy's information view and q_event_gini's
+    // inequality view (HHI is the standard concentration index;
+    // Herfindahl 1950, Hirschman 1945). Kept exact the q_event_gini
+    // way: HHI = Σ n_s² / N² as two exact DECIMAL(38,0) integers
+    // (HUGEINT in the oracle; n_s² wraps BIGINT once a source passes
+    // ~3e9 docs, hence the §7.4 route), VARCHAR-routed, ONE trailing
+    // IEEE division; the normalized variant (HHI − 1/k)/(1 − 1/k) is
+    // the same division after exact cross-multiplied rescaling:
+    // (k·Σn_s² − N²) / (N²·(k − 1)). Scale: one keyed count with
+    // map-side combine; the source domain (≤ dozens) collapses to one
+    // wide aggregate row.
+    "q_source_hhi" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      t(s, d, "documents")
+        .groupBy("source").agg(count(lit(1)).as("ns"))
+        .agg(count(lit(1)).as("k"), sum("ns").as("n_docs"),
+          sum(col("ns").cast(dec) * col("ns").cast(dec)).as("s2"))
+        .select(col("k"), col("n_docs"),
+          col("s2").cast("string").as("sum_sq"),
+          (col("s2").cast("double")
+            / (col("n_docs").cast(dec) * col("n_docs").cast(dec))
+              .cast("double")).as("hhi"),
+          ((col("k").cast(dec) * col("s2")
+            - col("n_docs").cast(dec) * col("n_docs").cast(dec))
+            .cast("double")
+            / ((col("n_docs").cast(dec) * col("n_docs").cast(dec))
+              * (col("k").cast(dec) - lit(1)))
+              .cast("double")).as("hhi_normalized"))
+    }),
+
     // Dataset-mixture balancing: given integer target weights per source
     // (the mixing ratios of a pretraining recipe), compute each source's
     // keep rate min(1, w_s·N / (W·n_s)) and sample it with the seed-free
@@ -1866,6 +1898,28 @@ object Corpus {
        |ORDER BY d.source ASC NULLS LAST""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same exact HUGEINT squares, VARCHAR-routed, identical division
+    // trees over the one wide row.
+    "q_source_hhi" ->
+      """WITH ns AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+        |  FROM documents GROUP BY source
+        |), a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ns) AS BIGINT) AS n_docs,
+        |    SUM(CAST(ns AS HUGEINT) * ns) AS s2
+        |  FROM ns
+        |)
+        |SELECT k, n_docs, CAST(s2 AS VARCHAR) AS sum_sq,
+        |  CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(n_docs AS HUGEINT) * n_docs AS VARCHAR)
+        |      AS DOUBLE) AS hhi,
+        |  CAST(CAST(CAST(k AS HUGEINT) * s2
+        |      - CAST(n_docs AS HUGEINT) * n_docs AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(n_docs AS HUGEINT) * n_docs * (k - 1)
+        |      AS VARCHAR) AS DOUBLE) AS hhi_normalized
+        |FROM a""".stripMargin,
+
     "q_dedup_clusters" -> clustersOracle,
     "q_dedup_survivor" -> survivorOracle,
     "q_graph_cc_sizes" -> ccSizesOracle,

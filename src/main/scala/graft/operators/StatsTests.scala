@@ -84,13 +84,13 @@ object StatsTests {
         (u1x2.cast("double") / 2.0).as("u_stat"))
   }
 
-  /** Pooled 3-group value-grain frame for Kruskal–Wallis: per distinct
-    * value, the per-type counts, the tie multiplicity m, and the pooled
-    * count r of STRICTLY smaller values — the same two-level bucketed
-    * prefix sum as [[cumulative]] (the carry window runs over integer
-    * value buckets, bounded by the value domain, never event count). */
-  private def kruskalPoints(events: DataFrame): DataFrame = {
-    val pts = events.filter(col("value").isNotNull)
+  /** Per-value 3-group counts — the Kruskal–Wallis state frame. PUBLIC
+    * and mode-agnostic like [[typedValuePoints]]: as a streaming keyed
+    * aggregate in update mode this is the live per-value count state,
+    * and StreamingParitySpec proves the drained counts assemble the
+    * identical H through [[kruskalFrom]]. */
+  def kruskalCounts(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
       .groupBy("value")
       .agg(
         sum(when(col("event_type") === "click", 1L).otherwise(0L))
@@ -99,19 +99,44 @@ object StatsTests {
           .as("dv"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("dp"))
+
+  /** Kruskal–Wallis assembly from a (value, dc, dv, dp) count frame:
+    * pooled midranks via the same two-level bucketed prefix sum as
+    * [[cumulative]] (the carry window runs over integer value buckets,
+    * bounded by the value domain, never event count), doubled rank
+    * sums and the tie term in DECIMAL(38,0), then the wide-row H. */
+  def kruskalFrom(cnts: DataFrame): DataFrame = {
     val wb = Window.partitionBy("bucket").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wc = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val b = pts.withColumn("m", col("dc") + col("dv") + col("dp"))
+    val b = cnts.withColumn("m", col("dc") + col("dv") + col("dp"))
       .withColumn("bucket", floor(col("value")).cast("long"))
     val carry = b.groupBy("bucket").agg(sum("m").as("tm"))
       .select(col("bucket"),
         coalesce(sum(col("tm")).over(wc), lit(0L)).as("pm"))
-    b.withColumn("cbm", coalesce(sum(col("m")).over(wb), lit(0L)))
+    val pts = b
+      .withColumn("cbm", coalesce(sum(col("m")).over(wb), lit(0L)))
       .join(broadcast(carry), "bucket")
       .select(col("value"), col("dc"), col("dv"), col("dp"), col("m"),
         (col("pm") + col("cbm")).as("r"))
+    val dec = "decimal(38,0)"
+    def r2(c: String) = sum(col(c).cast(dec)
+      * (lit(2L) * col("r") + col("m") + lit(1L)).cast(dec))
+    pts
+      .agg(sum("dc").as("n_click"), sum("dv").as("n_view"),
+        sum("dp").as("n_purchase"),
+        r2("dc").as("r2c"), r2("dv").as("r2v"), r2("dp").as("r2p"),
+        sum(col("m").cast(dec) * col("m").cast(dec)
+          * col("m").cast(dec) - col("m").cast(dec)).as("tt"))
+      .withColumn("n_all",
+        col("n_click") + col("n_view") + col("n_purchase"))
+      .select(col("n_click"), col("n_view"), col("n_purchase"),
+        col("r2c").cast("string").as("r2_click"),
+        col("r2v").cast("string").as("r2_view"),
+        col("r2p").cast("string").as("r2_purchase"),
+        col("tt").cast("string").as("t_ties"),
+        expr(kruskalH).as("h"))
   }
 
   /** The tie-corrected H statistic assembled from exact integers — ONE
@@ -469,25 +494,8 @@ object StatsTests {
     // H = [12·Σ r2_g²/(4n_g) / (N(N+1)) − 3(N+1)] / (1 − T/(N³−N)).
     // Scale: one value-grain keyed agg, the value-domain-bounded bucket
     // carry (the KS/MWU skeleton), one global agg — no event-grain sort.
-    "q_stats_kruskal" -> ((s, d) => {
-      val dec = "decimal(38,0)"
-      def r2(c: String) = sum(col(c).cast(dec)
-        * (lit(2L) * col("r") + col("m") + lit(1L)).cast(dec))
-      kruskalPoints(t(s, d, "events"))
-        .agg(sum("dc").as("n_click"), sum("dv").as("n_view"),
-          sum("dp").as("n_purchase"),
-          r2("dc").as("r2c"), r2("dv").as("r2v"), r2("dp").as("r2p"),
-          sum(col("m").cast(dec) * col("m").cast(dec)
-            * col("m").cast(dec) - col("m").cast(dec)).as("tt"))
-        .withColumn("n_all",
-          col("n_click") + col("n_view") + col("n_purchase"))
-        .select(col("n_click"), col("n_view"), col("n_purchase"),
-          col("r2c").cast("string").as("r2_click"),
-          col("r2v").cast("string").as("r2_view"),
-          col("r2p").cast("string").as("r2_purchase"),
-          col("tt").cast("string").as("t_ties"),
-          expr(kruskalH).as("h"))
-    }),
+    "q_stats_kruskal" -> ((s, d) =>
+      kruskalFrom(kruskalCounts(t(s, d, "events")))),
 
     // Benford first-digit audit over order totals — the fraud/synthetic-
     // data screen: natural multi-scale amounts follow log₁₀(1+1/d),

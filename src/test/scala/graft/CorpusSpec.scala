@@ -120,6 +120,27 @@ class CorpusSpec extends SparkSpec {
     assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("q_source_hhi equals an exact BigInt replay and sits inside " +
+      "[1/k, 1]") {
+    val ns = Tables.table(spark, sf, "documents")
+      .groupBy("source").count()
+      .collect().map(_.getLong(1)).map(BigInt(_))
+    val k = ns.length
+    val n = ns.sum
+    val s2 = ns.map(x => x * x).sum
+    val out = Corpus.queries("q_source_hhi")(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == k.toLong && BigInt(r.getLong(1)) == n)
+    assert(BigInt(r.getString(2)) == s2, "sum_sq")
+    assert(r.getDouble(3) == s2.toDouble / (n * n).toDouble, "hhi")
+    assert(r.getDouble(4) ==
+      (k * s2 - n * n).toDouble / ((n * n) * (k - 1)).toDouble,
+      "hhi_normalized")
+    assert(r.getDouble(3) >= 1.0 / k && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
   test("connectedComponents converges in O(log diameter) rounds on a " +
       "256-node path and labels it exactly") {
     // a single path 0–1–2–…–255: worst case for plain min-label

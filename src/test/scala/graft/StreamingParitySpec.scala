@@ -765,6 +765,43 @@ class StreamingParitySpec extends SparkSpec {
     assert(batch.nonEmpty && batch.forall(_.getLong(1) > 0L))
   }
 
+  test("Kruskal-Wallis monitor: streamed per-value 3-group count state " +
+      "drained through kruskalFrom equals the batch query") {
+    import graft.operators.StatsTests
+    implicit val sqlCtx = spark.sqlContext
+    val batch = StatsTests.queries("q_stats_kruskal")(spark, sf)
+      .collect().toSeq
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select("event_type", "value")
+      .orderBy("event_id")
+      .collect()
+      .map(r => EvRow(r.getString(0), r.getDouble(1)))
+    val mem = MemoryStream[EvRow]
+    val name = s"kw_${System.nanoTime()}"
+    val q = StatsTests.kruskalCounts(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .start()
+    val third = rows.length / 3
+    Seq(rows.take(third), rows.slice(third, 2 * third),
+        rows.drop(2 * third))
+      .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val finalCnts = spark.table(name).collect()
+      .groupBy(_.getDouble(0))
+      .map { case (v, rs) =>
+        val last = rs.last
+        (v, last.getLong(1), last.getLong(2), last.getLong(3))
+      }.toSeq
+    val streamRows = StatsTests.kruskalFrom(
+        finalCnts.toDF("value", "dc", "dv", "dp"))
+      .collect().toSeq
+    assert(streamRows == batch,
+      s"stream kruskal $streamRows vs batch $batch")
+    assert(batch.size == 1)
+  }
+
   test("token-shift drift monitor: streamed (source, token) count " +
       "state drained through tokenShiftFrom equals the batch query") {
     import graft.operators.TextOps
