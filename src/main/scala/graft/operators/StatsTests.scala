@@ -497,6 +497,72 @@ object StatsTests {
     "q_stats_kruskal" -> ((s, d) =>
       kruskalFrom(kruskalCounts(t(s, d, "events")))),
 
+    // Wald–Wolfowitz runs test per event_type — the SEQUENCE-randomness
+    // screen next to q_stats_benford's digit-distribution one (Wald &
+    // Wolfowitz 1940): too few runs of above/below-median values in
+    // arrival order means autocorrelated or batch-generated data, too
+    // many means oscillation. Exactness: values compare against the
+    // DOUBLED exact-decimal median (2v vs v_lo+v_hi — no division, the
+    // q_stats_levene trick on the q_median_exact two-middle idiom),
+    // equal-to-median rows drop (the standard convention), run starts
+    // count with one lag window, and σ² = 2n₁n₂(2n₁n₂−n₁−n₂) /
+    // ((n₁+n₂)²(n₁+n₂−1)) carries in DECIMAL(38,0)/HUGEINT (the
+    // numerator passes 2^63 once a type holds ~2M classified rows),
+    // VARCHAR-routed; z is a fixed expression over the exact pieces.
+    // Scale: two event_type-partitioned windows (value rank + arrival
+    // lag — the q_stats_spearman shape) and one keyed agg; the ≤|types|
+    // median frame joins back by broadcast.
+    "q_stats_runs" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          col("value").cast(DecimalType(18, 4)).as("v4"))
+      val wv = Window.partitionBy("event_type")
+        .orderBy(asc_nulls_last("v4"), asc_nulls_last("event_id"))
+      val wn = Window.partitionBy("event_type")
+      val med = ev.withColumn("rn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === floor((col("n") + 1) / 2)
+          || col("rn") === floor((col("n") + 2) / 2))
+        .groupBy("event_type")
+        .agg(sum(col("v4")).as("sv"), count(lit(1)).as("cnt"))
+        // odd n selects ONE middle row: double it; even n sums the two
+        .select(col("event_type"),
+          when(col("cnt") === 1L, col("sv") * 2)
+            .otherwise(col("sv")).as("m2"))
+      val wa = Window.partitionBy("event_type")
+        .orderBy(asc_nulls_last("event_id"))
+      val sgn = ev.join(broadcast(med), "event_type")
+        .withColumn("s", when(col("v4") * 2 > col("m2"), 1)
+          .when(col("v4") * 2 < col("m2"), -1).otherwise(0))
+        .filter(col("s") =!= 0)
+      val dec = DecimalType(38, 0)
+      sgn
+        .withColumn("prev", lag("s", 1).over(wa))
+        .withColumn("chg", when(col("prev").isNull
+          || col("prev") =!= col("s"), 1L).otherwise(0L))
+        .groupBy("event_type")
+        .agg(sum(when(col("s") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("s") === -1, 1L).otherwise(0L)).as("n2"),
+          sum("chg").as("n_runs"))
+        .withColumn("tn",
+          col("n1").cast(dec) * col("n2").cast(dec) * lit(2))
+        .withColumn("s2num",
+          col("tn") * (col("tn") - col("n1") - col("n2")))
+        .withColumn("s2den",
+          (col("n1").cast(dec) + col("n2").cast(dec))
+            * (col("n1").cast(dec) + col("n2").cast(dec))
+            * (col("n1").cast(dec) + col("n2").cast(dec) - 1))
+        .select(col("event_type"), col("n1"), col("n2"), col("n_runs"),
+          col("s2num").cast("string").as("s2_num"),
+          col("s2den").cast("string").as("s2_den"),
+          expr("(CAST(n_runs AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE) " +
+            "* CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) " +
+            "+ CAST(n2 AS DOUBLE)) + 1.0)) " +
+            "/ sqrt(CAST(s2num AS DOUBLE) / CAST(s2den AS DOUBLE))")
+            .as("z"))
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
     // Benford first-digit audit over order totals — the fraud/synthetic-
     // data screen: natural multi-scale amounts follow log₁₀(1+1/d),
     // fabricated ones usually don't. The digit extracts from the
@@ -612,6 +678,65 @@ object StatsTests {
          |  CAST(tt AS VARCHAR) AS t_ties,
          |  $kruskalH AS h
          |FROM w""".stripMargin,
+
+    // Same doubled-median classification, lag run starts, HUGEINT σ²
+    // pieces VARCHAR-routed, identical z tree (decimal→double via the
+    // VARCHAR route on this engine).
+    "q_stats_runs" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(value AS DECIMAL(18,4)) AS v4
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, event_id, v4,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v4 ASC NULLS LAST, event_id ASC NULLS LAST)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev
+        |), med AS (
+        |  SELECT event_type,
+        |    CASE WHEN COUNT(*) = 1 THEN SUM(v4) * 2 ELSE SUM(v4) END
+        |      AS m2
+        |  FROM r
+        |  WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+        |  GROUP BY event_type
+        |), sg AS (
+        |  SELECT ev.event_type, ev.event_id,
+        |    CASE WHEN ev.v4 * 2 > med.m2 THEN 1
+        |      WHEN ev.v4 * 2 < med.m2 THEN -1 ELSE 0 END AS s
+        |  FROM ev JOIN med ON ev.event_type = med.event_type
+        |), ch AS (
+        |  SELECT event_type, s,
+        |    CASE WHEN lag(s) OVER (PARTITION BY event_type
+        |      ORDER BY event_id ASC NULLS LAST) IS DISTINCT FROM s
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM sg WHERE s <> 0
+        |), rr AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(SUM(chg) AS BIGINT) AS n_runs
+        |  FROM ch GROUP BY event_type
+        |), w2 AS (
+        |  SELECT *, CAST(2 AS HUGEINT) * n1 * n2 AS tn FROM rr
+        |), w3 AS (
+        |  SELECT *, tn * (tn - n1 - n2) AS s2num,
+        |    (CAST(n1 AS HUGEINT) + n2) * (CAST(n1 AS HUGEINT) + n2)
+        |      * (CAST(n1 AS HUGEINT) + n2 - 1) AS s2den
+        |  FROM w2
+        |)
+        |SELECT event_type, n1, n2, n_runs,
+        |  CAST(s2num AS VARCHAR) AS s2_num,
+        |  CAST(s2den AS VARCHAR) AS s2_den,
+        |  (CAST(n_runs AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE)
+        |    * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE)
+        |    + CAST(n2 AS DOUBLE)) + 1.0))
+        |    / sqrt(CAST(CAST(s2num AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(s2den AS VARCHAR) AS DOUBLE)) AS z
+        |FROM w3 ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     "q_stats_benford" ->
       """SELECT digit, COUNT(*) AS n,

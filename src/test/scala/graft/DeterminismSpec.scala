@@ -36,7 +36,8 @@ class DeterminismSpec extends SparkSpec {
     "q_ts_seasonality_strength", // quantized variance ratios
     "q_stats_kruskal",   // pooled midranks + wide-row H double tree
     "q_ts_theil_sen",    // rational-median selection by slope doubles
-    "q_stream_late_audit") // per-type running-max lateness window
+    "q_stream_late_audit", // per-type running-max lateness window
+    "q_stats_runs")      // doubled-median runs + fixed z tree
 
   sensitive.foreach { name =>
     test(s"$name is identical at shuffle.partitions 3 vs 13") {

@@ -550,6 +550,54 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getLong(4)).max > 0L, "fixture has no late events")
   }
 
+  test("q_stats_runs equals a plain-Scala doubled-median runs replay") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select("event_type", "event_id", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        new JBD(r.getDouble(2)).setScale(4, RoundingMode.HALF_UP)))
+    val expect = rows.groupBy(_._1).flatMap { case (ty, v) =>
+      val byVal = v.sortBy(x => (x._3, x._2))(
+        Ordering.Tuple2(Ordering.by((b: JBD) => b), Ordering.Long))
+      val n = byVal.length
+      val m2 = byVal((n + 1) / 2 - 1)._3.add(byVal(n / 2)._3)
+      val classified = v.sortBy(_._2).map { x =>
+        x._3.add(x._3).compareTo(m2) match {
+          case c if c > 0 => 1
+          case c if c < 0 => -1
+          case _ => 0
+        }
+      }.filter(_ != 0)
+      if (classified.isEmpty) None
+      else {
+        val n1 = classified.count(_ == 1).toLong
+        val n2 = classified.count(_ == -1).toLong
+        val runs = 1L + classified.sliding(2)
+          .count(w => w.length == 2 && w(0) != w(1))
+        val tn = BigInt(2) * n1 * n2
+        val s2num = tn * (tn - n1 - n2)
+        val s2den = BigInt(n1 + n2) * (n1 + n2) * (n1 + n2 - 1)
+        val z = (runs.toDouble -
+          (2.0 * n1.toDouble * n2.toDouble /
+            (n1.toDouble + n2.toDouble) + 1.0)) /
+          math.sqrt(s2num.toDouble / s2den.toDouble)
+        Some(ty -> (n1, n2, runs, s2num, s2den, z))
+      }
+    }
+    val out = StatsTests.queries("q_stats_runs")(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSet == expect.keySet)
+    out.foreach { r =>
+      val (n1, n2, runs, s2num, s2den, z) = expect(r.getString(0))
+      assert(r.getLong(1) == n1 && r.getLong(2) == n2
+        && r.getLong(3) == runs, s"counts ${r.getString(0)}")
+      assert(BigInt(r.getString(4)) == s2num
+        && BigInt(r.getString(5)) == s2den, s"sigma ${r.getString(0)}")
+      assert(r.getDouble(6) == z, s"z ${r.getString(0)}")
+    }
+  }
+
   test("q_ts_theil_sen equals a plain-Scala exact-rational median replay") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val daily = Tables.table(spark, sf, "events")
