@@ -605,6 +605,97 @@ object TextOps {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // Interpolated Kneser–Ney bigram scoring (Kneser & Ney, ICASSP
+    // 1995; Chen & Goodman 1998) — THE n-gram smoothing, upgraded from
+    // q_text_perplexity's add-one: with discount d = 3/4 (an exact
+    // binary fraction, so 4·KN stays integral),
+    //   p(w|v) = (c_vw − ¾)₊/c_v + (¾·N₁₊(v·)/c_v) · p_cont(w),
+    //   p_cont(w) = (N₁₊(·w) + 1)/(B + V + 1)
+    // (continuation counts, add-one on the continuation distribution so
+    // unseen words keep positive mass; B = bigram types, V = train
+    // vocabulary). Every probability is the exact rational
+    //   num = (4c_vw − 3)₊·(B+V+1) + 3·N₁₊(v·)·(N₁₊(·w)+1)
+    //   den = 4·c_v·(B+V+1)        (unseen context: num = N₁₊(·w)+1,
+    //                               den = B+V+1 — pure continuation)
+    // and the per-bigram bits are portable-log2 chains over INTEGER
+    // pieces: den factors exactly (log2(4c_v) + log2(B+V+1)); num does
+    // not, so it DOWNSHIFTS deterministically to its first 18 decimal
+    // digits (a pure string slice — floor(num/10^sh) on both engines)
+    // with the shifted magnitude restored as sh·log2(10) (16-digit
+    // literal, identical text): the truncation perturbs log2(num) by
+    // < 1e-17 — noise against the 1e-10 grid — while keeping every
+    // intermediate inside BIGINT at ANY corpus size (num itself can
+    // pass 2^63 once c_vw·(B+V) ≈ 2.3e18). Per-source readout: bits
+    // per bigram + the backoff rate (share of eval bigrams whose
+    // context never occurred in train). Scale: the q_text_perplexity
+    // economics — (a,b)-keyed count shuffles with map-side combine,
+    // gram-keyed eval probes (never a corpus-fraction broadcast), and
+    // the (B, V) totals as a 1-row constant-key broadcast.
+    "q_text_lm_kn" -> ((s, d) => {
+      val toks = t(s, d, "documents").filter(col("text").isNotNull)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+      def bigrams(df: DataFrame) = df
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))
+        .select(col("doc_id"), col("source"), col("p.a"), col("p.b"))
+      val train = toks.filter(col("doc_id") % 5 =!= 0)
+      val cntAb = bigrams(train).groupBy("a", "b")
+        .agg(count(lit(1)).as("cab"))
+      val ctx = cntAb.groupBy("a")
+        .agg(sum("cab").as("ca"), count(lit(1)).as("n1a"))
+      val cont = cntAb.groupBy("b").agg(count(lit(1)).as("n1b"))
+      val bt = cntAb.agg(count(lit(1)).as("bt"))
+        .withColumn("_one", lit(1))
+      val vc = train.select(explode(col("toks")).as("tok"))
+        .agg(countDistinct("tok").as("v")).withColumn("_one", lit(1))
+      val tot = broadcast(bt.join(vc, "_one")
+        .select(col("_one"), (col("bt") + col("v") + 1L).as("bv")))
+      val dec = "decimal(38,0)"
+      val ev = bigrams(toks.filter(col("doc_id") % 5 === 0))
+        .join(cntAb, Seq("a", "b"), "left")
+        .join(ctx, Seq("a"), "left")
+        .join(cont, Seq("b"), "left")
+        .withColumn("_one", lit(1)).join(tot, "_one")
+        .withColumn("seen", col("ca").isNotNull)
+        .withColumn("numd", when(col("seen"),
+          greatest(lit(0L), coalesce(col("cab"), lit(0L)) * 4L - 3L)
+            .cast(dec) * col("bv").cast(dec)
+            + lit(3L).cast(dec) * col("n1a").cast(dec)
+              * (coalesce(col("n1b"), lit(0L)) + 1L).cast(dec))
+          .otherwise((coalesce(col("n1b"), lit(0L)) + 1L).cast(dec)))
+        // den factors exactly: log2(den) = log2(denf1) + log2(bv)
+        .withColumn("denf1",
+          when(col("seen"), col("ca") * 4L).otherwise(lit(1L)))
+        // num downshifts to 18 decimal digits: floor(num / 10^sh) as a
+        // string slice, sh restored as sh·log2(10)
+        .withColumn("numstr", col("numd").cast("string"))
+        .withColumn("sh",
+          greatest(lit(0), length(col("numstr")) - 18).cast("long"))
+        .withColumn("num18",
+          expr("CAST(substring(numstr, 1, 18) AS BIGINT)"))
+      val chained = graft.Det.withPlog2(graft.Det.withPlog2(
+          graft.Det.withPlog2(ev, "denf1", "l2d1"), "bv", "l2d2"),
+        "num18", "l2n")
+      chained
+        .withColumn("q", expr(
+          "CAST(floor((l2d1 + l2d2 - l2n " +
+            "- CAST(sh AS DOUBLE) * CAST(3.321928094887362 AS DOUBLE)) " +
+            "* CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("seen"), 0L).otherwise(1L)).as("n_backoff"),
+          sum("q").as("sq"))
+        .select(col("source"), col("n_bigrams"), col("n_backoff"),
+          expr("CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE) " +
+            "/ CAST(n_bigrams AS DOUBLE)").as("kn_bits"),
+          (col("n_backoff").cast("double") / col("n_bigrams"))
+            .as("backoff_rate"))
+        .orderBy(asc_nulls_last("source"))
+    }),
+
     "q_text_stats" -> ((s, d) =>
       t(s, d, "documents")
         .groupBy("lang")
@@ -2133,6 +2224,82 @@ object TextOps {
          |  CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE)
          |    / CAST(n_bigrams AS DOUBLE) AS cross_entropy
          |FROM agg ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same KN rationals in HUGEINT, same string-slice downshift (first
+    // 18 digits = floor(num/10^sh) on both engines), same three log2
+    // chains and the identical sh·log2(10) restore literal.
+    "q_text_lm_kn" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks
+         |  FROM documents
+         |  WHERE text IS NOT NULL
+         |    AND len(string_split(text, ' ')) >= 2
+         |), x AS (
+         |  SELECT doc_id, source, toks,
+         |    unnest(range(len(toks) - 1)) AS i FROM tk
+         |), bgf AS (
+         |  SELECT doc_id, source, toks[i+1] AS a, toks[i+2] AS b FROM x
+         |), cab AS (
+         |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+         |  FROM bgf WHERE doc_id % 5 <> 0 GROUP BY a, b
+         |), cx AS (
+         |  SELECT a, CAST(SUM(cab) AS BIGINT) AS ca,
+         |    CAST(COUNT(*) AS BIGINT) AS n1a FROM cab GROUP BY a
+         |), cw AS (
+         |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n1b FROM cab GROUP BY b
+         |), tot AS (
+         |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cab)
+         |    + (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM (
+         |        SELECT unnest(toks) AS tok FROM tk
+         |        WHERE doc_id % 5 <> 0))
+         |    + 1 AS bv
+         |), ev AS (
+         |  SELECT e.source, cx.ca IS NOT NULL AS seen,
+         |    CASE WHEN cx.ca IS NOT NULL THEN
+         |      CAST(greatest(0, COALESCE(c.cab, 0) * 4 - 3) AS HUGEINT)
+         |        * tot.bv
+         |      + CAST(3 AS HUGEINT) * cx.n1a * (COALESCE(cw.n1b, 0) + 1)
+         |    ELSE CAST(COALESCE(cw.n1b, 0) + 1 AS HUGEINT) END AS numd,
+         |    CASE WHEN cx.ca IS NOT NULL THEN cx.ca * 4 ELSE 1 END
+         |      AS denf1,
+         |    tot.bv AS bv
+         |  FROM bgf e
+         |  LEFT JOIN cab c ON e.a = c.a AND e.b = c.b
+         |  LEFT JOIN cx ON e.a = cx.a
+         |  LEFT JOIN cw ON e.b = cw.b, tot
+         |  WHERE e.doc_id % 5 = 0
+         |), shv AS (
+         |  SELECT source, seen, denf1, bv,
+         |    CAST(greatest(0, length(CAST(numd AS VARCHAR)) - 18)
+         |      AS BIGINT) AS sh,
+         |    CAST(substring(CAST(numd AS VARCHAR), 1, 18) AS BIGINT)
+         |      AS num18
+         |  FROM ev
+         |), lg AS (
+         |  SELECT source, seen, sh,
+         |    ${graft.Det.sqlPlog2Cols("denf1", "e_")},
+         |    ${graft.Det.sqlPlog2Cols("bv", "f_")},
+         |    ${graft.Det.sqlPlog2Cols("num18", "g_")}
+         |  FROM shv
+         |), q AS (
+         |  SELECT source, seen,
+         |    CAST(floor((e_l2 + f_l2 - g_l2
+         |      - CAST(sh AS DOUBLE) * CAST(3.321928094887362 AS DOUBLE))
+         |      * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+         |  FROM lg
+         |), agg AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_backoff,
+         |    CAST(SUM(q) AS BIGINT) AS sq
+         |  FROM q GROUP BY source
+         |)
+         |SELECT source, n_bigrams, n_backoff,
+         |  CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE)
+         |    / CAST(n_bigrams AS DOUBLE) AS kn_bits,
+         |  CAST(n_backoff AS DOUBLE) / n_bigrams AS backoff_rate
+         |FROM agg ORDER BY source ASC NULLS LAST""".stripMargin,
 
     // Mirrors the bit-portable log2 chain step for step: same exact
     // binary exponent, same shifted power of two (<< here, shiftleft on

@@ -37,7 +37,8 @@ class DeterminismSpec extends SparkSpec {
     "q_stats_kruskal",   // pooled midranks + wide-row H double tree
     "q_ts_theil_sen",    // rational-median selection by slope doubles
     "q_stream_late_audit", // per-type running-max lateness window
-    "q_stats_runs")      // doubled-median runs + fixed z tree
+    "q_stats_runs",      // doubled-median runs + fixed z tree
+    "q_text_lm_kn")      // KN rationals + 3 log2 chains + downshift
 
   sensitive.foreach { name =>
     test(s"$name is identical at shuffle.partitions 3 vs 13") {

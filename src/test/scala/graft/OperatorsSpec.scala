@@ -550,6 +550,71 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getLong(4)).max > 0L, "fixture has no late events")
   }
 
+  test("q_text_lm_kn: KN normalizes EXACTLY (BigInt rational sum = 1 " +
+      "over vocab+OOV per context), outputs are sane, and the 18-digit " +
+      "downshift restores log2 of >BIGINT numerators") {
+    // exact normalization: for the discount d = 3/4 and add-one
+    // continuation, sum_w p(w|v) over the train vocab PLUS the OOV
+    // slot must be exactly 1 as rationals — the property that makes
+    // KN a probability model and pins every piece of the formula
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.split(" ").length >= 2)
+    val train = docs.filter(_._1 % 5 != 0)
+    val bigrams = train.flatMap { case (_, t2) =>
+      val w = t2.split(" "); w.sliding(2).map(p => (p(0), p(1)))
+    }
+    val cab = bigrams.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val ca = cab.groupBy(_._1._1).view
+      .mapValues(m => (m.values.sum, m.size.toLong)).toMap
+    val n1b = cab.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val vocab = train.flatMap(_._2.split(" ")).toSet
+    val bv = BigInt(cab.size) + vocab.size + 1
+    val contexts = ca.keys.toSeq.sorted.take(5)
+    contexts.foreach { v =>
+      val (cv, n1a) = ca(v)
+      // sum over vocab words + the OOV slot, on the common denominator
+      // 4*cv*bv
+      val den = BigInt(4) * cv * bv
+      val numSum = vocab.toSeq.map { w =>
+        val cvw = cab.getOrElse((v, w), 0L)
+        BigInt((4L * cvw - 3L).max(0L)) * bv +
+          BigInt(3) * n1a * (n1b.getOrElse(w, 0L) + 1)
+      }.sum + BigInt(3) * n1a * 1 // the OOV slot: n1b = 0
+      assert(numSum == den, s"context '$v': KN mass $numSum != $den")
+    }
+    // output sanity on the fixture
+    val out = TextOps.queries("q_text_lm_kn")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(3) > 0.0, s"${r.getString(0)} kn_bits")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0,
+        s"${r.getString(0)} backoff_rate")
+      assert(r.getDouble(4) ==
+        r.getLong(2).toDouble / r.getLong(1).toDouble)
+    }
+    // the downshift law on a numerator BIGINT cannot hold: first 18
+    // digits + sh*log2(10) restores log2 within the chain's tolerance
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val big = BigInt("123456789012345678901234567") // 27 digits
+    val df = Seq(big.toString).toDF("numstr")
+      .withColumn("sh", expr(
+        "CAST(greatest(0, length(numstr) - 18) AS BIGINT)"))
+      .withColumn("num18", expr(
+        "CAST(substring(numstr, 1, 18) AS BIGINT)"))
+    val chained = graft.Det.withPlog2(df, "num18", "l2n")
+      .withColumn("l2full", expr(
+        "l2n + CAST(sh AS DOUBLE) * CAST(3.321928094887362 AS DOUBLE)"))
+      .collect().head
+    val want = math.log(big.doubleValue) / math.log(2.0)
+    assert(math.abs(chained.getAs[Double]("l2full") - want) < 1e-5,
+      s"downshifted log2 ${chained.getAs[Double]("l2full")} vs $want")
+  }
+
   test("q_stats_runs equals a plain-Scala doubled-median runs replay") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val rows = Tables.table(spark, sf, "events")

@@ -239,6 +239,9 @@ class PlanRegressionSpec extends SparkSpec {
       // (perplexity's smoothing denominator) and the corpus token total
       // (KL's reference distribution) — the q_text_docfreq shape
       "q_text_perplexity", "q_source_kl",
+      // the same 1-row constant-key broadcast: the KN (B + V + 1)
+      // continuation denominator
+      "q_text_lm_kn",
       // 1-row broadcast of the (n_days, grand-total) frame; the
       // non-empty-right-segment filter folds into the join condition so
       // the probe plans as a nested loop against exactly one row — the
