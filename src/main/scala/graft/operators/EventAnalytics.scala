@@ -159,6 +159,59 @@ object EventAnalytics {
       .agg(sum(col("value").cast(DecimalType(18, 4))).as("yd"),
         count(lit(1)).as("n_events"))
 
+  /** Per-(event_type, day) exact-decimal value sums — the Theil–Sen
+    * state frame. PUBLIC and mode-agnostic like [[dailyPoints]]: as a
+    * streaming keyed aggregate in update mode this is the live daily
+    * state, and StreamingParitySpec proves the drained sums assemble
+    * the identical median slope through [[theilSenFrom]]. `value IS
+    * NOT NULL` keeps every day sum non-null (an all-null day would put
+    * a NULL rational into the median selection). */
+  def theilSenDaily(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("yd"))
+
+  /** Theil–Sen assembly from a (event_type, day, yd) daily frame — see
+    * the q_ts_theil_sen entry for the exactness and scale argument. */
+  def theilSenFrom(daily: DataFrame): DataFrame = {
+    val slopes = daily
+      .join(daily.select(col("event_type"), col("day").as("day2"),
+        col("yd").as("yd2")), Seq("event_type"))
+      .filter(col("day") < col("day2"))
+      .select(col("event_type"),
+        (col("yd2") - col("yd")).as("num"),
+        datediff(col("day2"), col("day")).cast("long").as("den"))
+      .withColumn("slope", col("num").cast("double") / col("den"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(asc_nulls_last("slope"), asc_nulls_last("num"),
+        asc_nulls_last("den"))
+    val np = slopes.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    slopes.withColumn("rn", row_number().over(w))
+      .join(np, "event_type")
+      .filter(col("rn") === expr("(n_pairs + 1) DIV 2")
+        || col("rn") === expr("n_pairs DIV 2 + 1"))
+      .groupBy("event_type", "n_pairs")
+      .agg(
+        max(when(col("rn") === expr("(n_pairs + 1) DIV 2"),
+          col("num"))).as("nlo"),
+        max(when(col("rn") === expr("(n_pairs + 1) DIV 2"),
+          col("den"))).as("den_lo"),
+        max(when(col("rn") === expr("n_pairs DIV 2 + 1"),
+          col("num"))).as("nhi"),
+        max(when(col("rn") === expr("n_pairs DIV 2 + 1"),
+          col("den"))).as("den_hi"))
+      .join(nd, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("nlo").cast("string").as("num_lo"), col("den_lo"),
+        col("nhi").cast("string").as("num_hi"), col("den_hi"),
+        ((col("nlo").cast("double") / col("den_lo")
+          + col("nhi").cast("double") / col("den_hi")) / 2.0)
+          .as("slope_per_day"))
+      .orderBy(asc_nulls_last("event_type"))
+  }
+
   /** STL-lite assembly from a (day, yd, n_events) point frame — see
     * q_ts_decompose's doc for the arithmetic and scale argument. A
     * streamed replica of the point frame yields the identical
@@ -724,50 +777,8 @@ object EventAnalytics {
     // pairwise self-join is day-grain per type (the MK argument —
     // O(days²) slim rows, never events²), the rank window is
     // event_type-PARTITIONED, and the medians join back by type.
-    "q_ts_theil_sen" -> ((s, d) => {
-      // value IS NOT NULL keeps every day sum non-null (an all-null day
-      // would put a NULL rational into the median selection)
-      val daily = t(s, d, "events")
-        .filter(col("value").isNotNull)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(sum(col("value").cast(DecimalType(18, 4))).as("yd"))
-      val slopes = daily
-        .join(daily.select(col("event_type"), col("day").as("day2"),
-          col("yd").as("yd2")), Seq("event_type"))
-        .filter(col("day") < col("day2"))
-        .select(col("event_type"),
-          (col("yd2") - col("yd")).as("num"),
-          datediff(col("day2"), col("day")).cast("long").as("den"))
-        .withColumn("slope", col("num").cast("double") / col("den"))
-      val w = Window.partitionBy("event_type")
-        .orderBy(asc_nulls_last("slope"), asc_nulls_last("num"),
-          asc_nulls_last("den"))
-      val np = slopes.groupBy("event_type")
-        .agg(count(lit(1)).as("n_pairs"))
-      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
-      slopes.withColumn("rn", row_number().over(w))
-        .join(np, "event_type")
-        .filter(col("rn") === expr("(n_pairs + 1) DIV 2")
-          || col("rn") === expr("n_pairs DIV 2 + 1"))
-        .groupBy("event_type", "n_pairs")
-        .agg(
-          max(when(col("rn") === expr("(n_pairs + 1) DIV 2"),
-            col("num"))).as("nlo"),
-          max(when(col("rn") === expr("(n_pairs + 1) DIV 2"),
-            col("den"))).as("den_lo"),
-          max(when(col("rn") === expr("n_pairs DIV 2 + 1"),
-            col("num"))).as("nhi"),
-          max(when(col("rn") === expr("n_pairs DIV 2 + 1"),
-            col("den"))).as("den_hi"))
-        .join(nd, "event_type")
-        .select(col("event_type"), col("n_days"), col("n_pairs"),
-          col("nlo").cast("string").as("num_lo"), col("den_lo"),
-          col("nhi").cast("string").as("num_hi"), col("den_hi"),
-          ((col("nlo").cast("double") / col("den_lo")
-            + col("nhi").cast("double") / col("den_hi")) / 2.0)
-            .as("slope_per_day"))
-        .orderBy(asc_nulls_last("event_type"))
-    }),
+    "q_ts_theil_sen" -> ((s, d) =>
+      theilSenFrom(theilSenDaily(t(s, d, "events")))),
 
     // STL-lite daily decomposition — trend / weekly-seasonal / residual
     // split of the daily value series, the readout behind "is today's

@@ -28,6 +28,9 @@ case class SrcTok(source: String, token: String)
 
 case class TsVal(ts: Timestamp, value: Double)
 
+/** (event_type, ts, value) row for the Theil–Sen streaming replay. */
+case class TypedTsVal(event_type: String, ts: Timestamp, value: Double)
+
 /** (event_type, hour-of-day) observation for the entropy-monitor
   * streaming replay. */
 case class TypeHour(event_type: String, hod: Long)
@@ -763,6 +766,48 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamRows == batch,
       s"stream winsorize $streamRows vs batch $batch")
     assert(batch.nonEmpty && batch.forall(_.getLong(1) > 0L))
+  }
+
+  test("Theil-Sen monitor: streamed per-(type, day) decimal-sum state " +
+      "drained through theilSenFrom equals the batch query") {
+    import graft.operators.EventAnalytics
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventAnalytics.queries("q_ts_theil_sen")(spark, sf)
+      .collect().toSeq
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select("event_type", "ts", "value")
+      .orderBy("event_id")
+      .collect()
+      .map(r => TypedTsVal(r.getString(0), r.getTimestamp(1),
+        r.getDouble(2)))
+    val mem = MemoryStream[TypedTsVal]
+    val name = s"tsen_${System.nanoTime()}"
+    val q = EventAnalytics.theilSenDaily(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .start()
+    val third = rows.length / 3
+    Seq(rows.take(third), rows.slice(third, 2 * third),
+        rows.drop(2 * third))
+      .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val finalDaily = spark.table(name).collect()
+      .groupBy(r => (r.getString(0), r.getDate(1)))
+      .map { case ((ty, dy), rs) =>
+        (ty, dy, rs.last.getDecimal(2)) // update mode: last revision wins
+      }.toSeq
+    val streamRows = EventAnalytics.theilSenFrom(
+        finalDaily.toDF("event_type", "day", "yd")
+          // Scala BigDecimal encodes as (38,18); restore the (18,4)
+          // grid so the VARCHAR-routed num strings match the batch
+          .select(col("event_type"), col("day"), col("yd")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4))
+            .as("yd")))
+      .collect().toSeq
+    assert(streamRows == batch,
+      s"stream theil-sen $streamRows vs batch $batch")
+    assert(batch.nonEmpty)
   }
 
   test("Kruskal-Wallis monitor: streamed per-value 3-group count state " +
