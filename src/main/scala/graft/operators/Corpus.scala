@@ -149,7 +149,16 @@ object Corpus {
         org.apache.spark.sql.types.DecimalType(38, 0)))).head
     val nNodes = setup.getLong(0)
     val loopParts = loopShufflePartitions(spark, nNodes, 5000L)
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // NOTE: Spark's checkpoint dir is SparkContext-GLOBAL — there is no
+    // per-job override, so passing a dir here affects every reliable
+    // checkpoint on the session from now on (concurrent pipelines
+    // wanting different dirs cannot be isolated; that is a Spark
+    // limitation, not a choice). Set only when it actually changes,
+    // and prefer configuring it once at session setup on a cluster.
+    checkpointDir.foreach { dir =>
+      if (!spark.sparkContext.getCheckpointDir.contains(dir))
+        spark.sparkContext.setCheckpointDir(dir)
+    }
     val edges = sym
       .union(nodes.select(col("src"), col("src").as("dst")))
       .repartition(loopParts, col("dst"))
@@ -990,12 +999,16 @@ object Corpus {
           (col("s2").cast("double")
             / (col("n_docs").cast(dec) * col("n_docs").cast(dec))
               .cast("double")).as("hhi"),
-          ((col("k").cast(dec) * col("s2")
-            - col("n_docs").cast(dec) * col("n_docs").cast(dec))
-            .cast("double")
-            / ((col("n_docs").cast(dec) * col("n_docs").cast(dec))
-              * (col("k").cast(dec) - lit(1)))
-              .cast("double")).as("hhi_normalized"))
+          // guarded: k = 1 would divide by zero, where Spark yields
+          // NULL but DuckDB yields ±Infinity — NULL on BOTH engines
+          // is the deterministic degenerate answer
+          when(col("k") > 1,
+            (col("k").cast(dec) * col("s2")
+              - col("n_docs").cast(dec) * col("n_docs").cast(dec))
+              .cast("double")
+              / ((col("n_docs").cast(dec) * col("n_docs").cast(dec))
+                * (col("k").cast(dec) - lit(1)))
+                .cast("double")).as("hhi_normalized"))
     }),
 
     // Dataset-mixture balancing: given integer target weights per source
@@ -1914,10 +1927,11 @@ object Corpus {
         |  CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
         |    / CAST(CAST(CAST(n_docs AS HUGEINT) * n_docs AS VARCHAR)
         |      AS DOUBLE) AS hhi,
-        |  CAST(CAST(CAST(k AS HUGEINT) * s2
+        |  CASE WHEN k > 1 THEN
+        |    CAST(CAST(CAST(k AS HUGEINT) * s2
         |      - CAST(n_docs AS HUGEINT) * n_docs AS VARCHAR) AS DOUBLE)
         |    / CAST(CAST(CAST(n_docs AS HUGEINT) * n_docs * (k - 1)
-        |      AS VARCHAR) AS DOUBLE) AS hhi_normalized
+        |      AS VARCHAR) AS DOUBLE) END AS hhi_normalized
         |FROM a""".stripMargin,
 
     "q_dedup_clusters" -> clustersOracle,

@@ -21,6 +21,34 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Little-endian hex WRITER shared by the fixture builders (gif, zip,
+    * wav, bmp, webp): integer column `v` rendered as n bytes, LSB
+    * first — pad the hex to 2n digits, then reverse byte pairs. */
+  private def le(v: Column, n: Int): Column = {
+    val p = lpad(hex(v), 2 * n, "0")
+    concat((0 until n).reverse.map(i => substring(p, 2 * i + 1, 2)): _*)
+  }
+
+  /** Little-endian READER over a pre-materialized hex column named `h`
+    * (zip, bmp, webp): the n bytes at 0-BASED byte offset `off`,
+    * byte-reversed into a BIGINT. */
+  private def leR(off: Int, n: Int): Column = {
+    val parts = (off + n - 1).to(off, -1)
+      .map(b => s"substring(h, ${2 * b + 1}, 2)")
+      .mkString("concat(", ", ", ")")
+    expr(s"CAST(conv($parts, 16, 10) AS BIGINT)")
+  }
+
+  /** Little-endian READER inlining hex(payload) with 1-BASED byte
+    * offsets (gif, wav — the older convention their spec offsets were
+    * written against). */
+  private def leRead(off: Int, n: Int): Column = {
+    val parts = (off + n - 1).to(off, -1)
+      .map(b => s"substring(hex(payload), ${2 * b - 1}, 2)")
+      .mkString("concat(", ", ", ")")
+    expr(s"CAST(conv($parts, 16, 10) AS BIGINT)")
+  }
+
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
       checksum: Long, width: Int, height: Int, mean_intensity: Double)
@@ -153,10 +181,6 @@ object Multimodal {
       val hpx = ((col("doc_id") * 7) % 500 + 100).cast("int")
       val packed = (col("doc_id") % 8 + 128).cast("int")
       val bg = (col("doc_id") % 256).cast("int")
-      def le(v: Column, n: Int): Column = {
-        val p = lpad(hex(v), 2 * n, "0")
-        concat((0 until n).reverse.map(i => substring(p, 2 * i + 1, 2)): _*)
-      }
       val gifHex = concat(lit("474946383961"),
         le(wpx, 2), le(hpx, 2),
         lpad(hex(packed), 2, "0"), lpad(hex(bg), 2, "0"), lit("00"))
@@ -165,12 +189,6 @@ object Multimodal {
         .otherwise(gifHex)
       val withPayload = docs.select(col("doc_id"),
         unhex(payloadHex).as("payload"))
-      def leRead(off: Int, n: Int): Column = {
-        val parts = (off + n - 1).to(off, -1)
-          .map(b => s"substring(hex(payload), ${2 * b - 1}, 2)")
-          .mkString("concat(", ", ", ")")
-        expr(s"CAST(conv($parts, 16, 10) AS BIGINT)")
-      }
       val isGif = length(col("payload")) >= 13 &&
         expr("substring(hex(payload), 1, 12)") === "474946383961"
       def f(c: Column) = when(isGif, c)
@@ -201,10 +219,6 @@ object Multimodal {
     // map over a binary column.
     "q_multimodal_webp" -> ((s, d) => {
       val docs = graft.Tables.table(s, d, "documents")
-      def le(v: Column, n: Int): Column = {
-        val p = lpad(hex(v), 2 * n, "0")
-        concat((0 until n).reverse.map(i => substring(p, 2 * i + 1, 2)): _*)
-      }
       val base = docs.select(col("doc_id"), col("text"))
         .withColumn("w", (col("doc_id") % 1920 + 1).cast("long"))
         .withColumn("hp", ((col("doc_id") * 3) % 1080 + 1).cast("long"))
@@ -229,12 +243,6 @@ object Multimodal {
       val withPayload = base.select(col("doc_id"),
         unhex(payloadHex).as("payload"))
         .withColumn("h", hex(col("payload")))
-      def leR(off: Int, n: Int): Column = {
-        val parts = (off + n - 1).to(off, -1)
-          .map(b => s"substring(h, ${2 * b + 1}, 2)")
-          .mkString("concat(", ", ", ")")
-        expr(s"CAST(conv($parts, 16, 10) AS BIGINT)")
-      }
       val isWebp = length(col("payload")) >= 20 &&
         expr("substring(h, 1, 8)") === "52494646" &&
         expr("substring(h, 17, 8)") === "57454250"
@@ -281,10 +289,6 @@ object Multimodal {
     // write→parse round trip. Pure narrow map over a binary column.
     "q_multimodal_bmp" -> ((s, d) => {
       val docs = graft.Tables.table(s, d, "documents")
-      def le(v: Column, n: Int): Column = {
-        val p = lpad(hex(v), 2 * n, "0")
-        concat((0 until n).reverse.map(i => substring(p, 2 * i + 1, 2)): _*)
-      }
       val base = docs.select(col("doc_id"), col("text"))
         .withColumn("w", (col("doc_id") % 1920 + 1).cast("long"))
         .withColumn("hr", ((col("doc_id") * 3) % 1080 + 1).cast("long"))
@@ -314,12 +318,6 @@ object Multimodal {
       val withPayload = base.select(col("doc_id"),
         unhex(payloadHex).as("payload"))
         .withColumn("h", hex(col("payload")))
-      def leR(off: Int, n: Int): Column = {
-        val parts = (off + n - 1).to(off, -1)
-          .map(b => s"substring(h, ${2 * b + 1}, 2)")
-          .mkString("concat(", ", ", ")")
-        expr(s"CAST(conv($parts, 16, 10) AS BIGINT)")
-      }
       val isBmp = length(col("payload")) >= 54 &&
         expr("substring(h, 1, 4)") === "424D"
       withPayload
@@ -515,10 +513,6 @@ object Multimodal {
     // sniff-reject path. Pure narrow map over a binary column.
     "q_multimodal_zip" -> ((s, d) => {
       val docs = graft.Tables.table(s, d, "documents")
-      def le(v: Column, n: Int): Column = {
-        val p = lpad(hex(v), 2 * n, "0")
-        concat((0 until n).reverse.map(i => substring(p, 2 * i + 1, 2)): _*)
-      }
       val method = (col("doc_id") % 2 * 8).cast("int")
       val mtime = (col("doc_id") % 65536).cast("int")
       val mdate = (col("doc_id") * 3 % 65536).cast("int")
@@ -547,12 +541,6 @@ object Multimodal {
       val withPayload = docs.select(col("doc_id"),
         unhex(payloadHex).as("payload"))
         .withColumn("h", hex(col("payload")))
-      def leR(off: Int, n: Int): Column = {
-        val parts = (off + n - 1).to(off, -1)
-          .map(b => s"substring(h, ${2 * b + 1}, 2)")
-          .mkString("concat(", ", ", ")")
-        expr(s"CAST(conv($parts, 16, 10) AS BIGINT)")
-      }
       val isZip = length(col("payload")) >= 30 &&
         expr("substring(h, 1, 8)") === "504B0304"
       withPayload
@@ -582,10 +570,6 @@ object Multimodal {
       val dataBytes = (col("n_chars") * 4).cast("int")
       val byteRate = (sr * ch * lit(2)).cast("int")
       // little-endian hex of an n-byte integer: pad, then reverse bytes
-      def le(v: Column, n: Int): Column = {
-        val p = lpad(hex(v), 2 * n, "0")
-        concat((0 until n).reverse.map(i => substring(p, 2 * i + 1, 2)): _*)
-      }
       val wavHex = concat(
         lit("52494646"), le(dataBytes + 36, 4), // "RIFF", riff size
         lit("57415645"), // "WAVE"
@@ -600,12 +584,6 @@ object Multimodal {
       val withPayload = docs.select(col("doc_id"),
         unhex(payloadHex).as("payload"))
       // parse — everything below reads ONLY (doc_id, payload)
-      def leRead(off: Int, n: Int): Column = {
-        val parts = (off + n - 1).to(off, -1)
-          .map(b => s"substring(hex(payload), ${2 * b - 1}, 2)")
-          .mkString("concat(", ", ", ")")
-        expr(s"CAST(conv($parts, 16, 10) AS BIGINT)")
-      }
       val isWav = length(col("payload")) >= 44 &&
         expr("substring(hex(payload), 1, 8)") === "52494646" &&
         expr("substring(hex(payload), 17, 8)") === "57415645"

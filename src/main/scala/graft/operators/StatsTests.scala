@@ -143,9 +143,16 @@ object StatsTests {
     * wide row, so the whole double tree is a fixed left-associated
     * expression evaluated identically by both engines (the
     * q_stats_anova convention). Written once here and spliced verbatim
-    * into the oracle SQL. */
+    * into the oracle SQL. GUARDED: an empty group or an all-tied pool
+    * (T = N³−N) divides by zero, where Spark yields NULL but DuckDB
+    * yields ±Infinity/NaN — the CASE makes the degenerate answer NULL
+    * on both engines. */
   private val kruskalH: String =
-    """(12.0 * ((CAST(r2c AS DOUBLE) * CAST(r2c AS DOUBLE)
+    """CASE WHEN least(n_click, n_view, n_purchase) > 0
+      |  AND CAST(tt AS DOUBLE)
+      |    < CAST(n_all AS DOUBLE) * CAST(n_all AS DOUBLE)
+      |      * CAST(n_all AS DOUBLE) - CAST(n_all AS DOUBLE)
+      |THEN (12.0 * ((CAST(r2c AS DOUBLE) * CAST(r2c AS DOUBLE)
       |      / (4.0 * CAST(n_click AS DOUBLE)))
       |    + (CAST(r2v AS DOUBLE) * CAST(r2v AS DOUBLE)
       |      / (4.0 * CAST(n_view AS DOUBLE)))
@@ -155,7 +162,8 @@ object StatsTests {
       |  - 3.0 * (CAST(n_all AS DOUBLE) + 1.0))
       |/ (1.0 - CAST(tt AS DOUBLE)
       |  / (CAST(n_all AS DOUBLE) * CAST(n_all AS DOUBLE)
-      |    * CAST(n_all AS DOUBLE) - CAST(n_all AS DOUBLE)))"""
+      |    * CAST(n_all AS DOUBLE) - CAST(n_all AS DOUBLE)))
+      |END"""
       .stripMargin.replace("\n", " ")
 
   /** One row per distinct (returnflag, extendedprice) with the exact
@@ -555,10 +563,13 @@ object StatsTests {
         .select(col("event_type"), col("n1"), col("n2"), col("n_runs"),
           col("s2num").cast("string").as("s2_num"),
           col("s2den").cast("string").as("s2_den"),
-          expr("(CAST(n_runs AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE) " +
+          // guarded: n1 = 0 or n2 = 0 makes sigma^2 = 0 (z would be
+          // NULL on Spark, Infinity on DuckDB) — NULL on both engines
+          expr("CASE WHEN n1 > 0 AND n2 > 0 THEN " +
+            "(CAST(n_runs AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE) " +
             "* CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) " +
             "+ CAST(n2 AS DOUBLE)) + 1.0)) " +
-            "/ sqrt(CAST(s2num AS DOUBLE) / CAST(s2den AS DOUBLE))")
+            "/ sqrt(CAST(s2num AS DOUBLE) / CAST(s2den AS DOUBLE)) END")
             .as("z"))
         .orderBy(asc_nulls_last("event_type"))
     }),
@@ -731,11 +742,12 @@ object StatsTests {
         |SELECT event_type, n1, n2, n_runs,
         |  CAST(s2num AS VARCHAR) AS s2_num,
         |  CAST(s2den AS VARCHAR) AS s2_den,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
         |  (CAST(n_runs AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE)
         |    * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE)
         |    + CAST(n2 AS DOUBLE)) + 1.0))
         |    / sqrt(CAST(CAST(s2num AS VARCHAR) AS DOUBLE)
-        |      / CAST(CAST(s2den AS VARCHAR) AS DOUBLE)) AS z
+        |      / CAST(CAST(s2den AS VARCHAR) AS DOUBLE)) END AS z
         |FROM w3 ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     "q_stats_benford" ->

@@ -64,12 +64,26 @@ final class InstanceManager(spark: SparkSession) {
     * actions reports Failure instead of a false success. */
   def runBatch[T](id: String, timeoutMs: Option[Long] = None)
       (body: => T): Try[T] = {
+    // fail fast BEFORE any thread-local mutation: a nested/duplicate
+    // call must not disturb the caller's own job group (the group is
+    // what cancel() and TaskTimeout target)
+    require(!running.contains(id), s"instance '$id' already running")
     val group = s"graft-instance-$id-run${runSeq.incrementAndGet()}"
     val flag = new AtomicBoolean(false)
-    spark.sparkContext.setJobGroup(group, s"graft instance $id",
-      interruptOnCancel = true)
+    val sc = spark.sparkContext
+    // save the caller's group properties so a runBatch nested inside
+    // another instance's body RESTORES the outer group on exit instead
+    // of clearing it (clearing would orphan the outer instance's
+    // remaining actions from its cancel/timeout switches)
+    val prev = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel").map(k => k -> sc.getLocalProperty(k))
+    def restore(): Unit =
+      prev.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+    sc.setJobGroup(group, s"graft instance $id", interruptOnCancel = true)
     if (running.putIfAbsent(id, Batch(group, flag)).isDefined) {
-      spark.sparkContext.clearJobGroup()
+      // lost a same-instant race on the id (the require above already
+      // rejected the common same-thread nesting case)
+      restore()
       throw new IllegalArgumentException(s"instance '$id' already running")
     }
     try {
@@ -77,7 +91,7 @@ final class InstanceManager(spark: SparkSession) {
         // runWithTimeout re-sets the same group (idempotent) and adds
         // the watchdog; both paths run under `group`
         case Some(ms) => TaskTimeout.runWithTimeout(spark, group, ms)(body)
-        case None => try body finally spark.sparkContext.clearJobGroup()
+        case None => body
       }
       if (flag.get) Failure(new InstanceCancelledException(id))
       else Success(out)
@@ -90,7 +104,10 @@ final class InstanceManager(spark: SparkSession) {
           Failure(ce)
         } else Failure(e)
     }
-    finally running.remove(id)
+    finally {
+      running.remove(id)
+      restore()
+    }
   }
 
   /** Adopt a running streaming instance so the control plane can stop

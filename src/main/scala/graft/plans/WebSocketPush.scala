@@ -43,10 +43,29 @@ final class WebSocketPush(monitoring: Monitoring, port: Int = 0) {
   private val server =
     new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
   @volatile private var running = true
+  private val conns = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[Socket]()
 
   private val acceptor = new Thread(() => {
     while (running) {
-      try handle(server.accept())
+      // the HANDSHAKE runs on a per-connection daemon thread with a
+      // read timeout: a client that connects and sends nothing must
+      // never wedge the acceptor (nor block other monitoring clients)
+      try {
+        val sock = server.accept()
+        conns.add(sock)
+        val t = new Thread(() => {
+          try {
+            sock.setSoTimeout(10000) // handshake deadline
+            handle(sock)
+          } catch { case _: Throwable =>
+            conns.remove(sock)
+            try sock.close() catch { case _: Throwable => () }
+          }
+        }, "graft-ws-handshake")
+        t.setDaemon(true)
+        t.start()
+      }
       catch { case _: Throwable => () } // accept raced stop(), or a
       // half-open client died mid-handshake — the loop serves the next
     }
@@ -60,6 +79,11 @@ final class WebSocketPush(monitoring: Monitoring, port: Int = 0) {
   def stop(): Unit = {
     running = false
     try server.close() catch { case _: Throwable => () }
+    // tear down live connections too: their reader threads exit on the
+    // closed socket and drop their Monitoring subscriptions — a stopped
+    // server must not keep serializing reports to old clients
+    conns.forEach(s => try s.close() catch { case _: Throwable => () })
+    conns.clear()
   }
 
   private def handle(sock: Socket): Unit = {
@@ -70,7 +94,9 @@ final class WebSocketPush(monitoring: Monitoring, port: Int = 0) {
       case None =>
         out.write(("HTTP/1.1 400 Bad Request\r\nContent-Length: 0\r\n" +
           "Connection: close\r\n\r\n").getBytes(UTF_8))
-        out.flush(); sock.close()
+        out.flush()
+        conns.remove(sock)
+        sock.close()
       case Some(key) =>
         val accept = Base64.getEncoder.encodeToString(
           MessageDigest.getInstance("SHA-1")
@@ -79,6 +105,7 @@ final class WebSocketPush(monitoring: Monitoring, port: Int = 0) {
           "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
           s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes(UTF_8))
         out.flush()
+        sock.setSoTimeout(0) // upgraded: the control loop blocks freely
         // push half: one TEXT frame per report; a broken pipe throws on
         // the listener bus and Monitoring drops the subscriber
         val unsub = monitoring.subscribe(r => sendText(out, reportJson(r)))
@@ -90,13 +117,17 @@ final class WebSocketPush(monitoring: Monitoring, port: Int = 0) {
   }
 
   /** Read the upgrade request's header block (CRLF-delimited, no body
-    * on a GET) into a lowercase-keyed map. */
+    * on a GET) into a lowercase-keyed map. Bounded at 16 KiB — a
+    * client streaming garbage without CRLFCRLF must not buffer
+    * unboundedly in the driver JVM. */
   private def readHeaders(in: InputStream): Map[String, String] = {
     val buf = new java.io.ByteArrayOutputStream
     var prev4 = 0
     var b = in.read()
     while (b != -1) {
       buf.write(b)
+      if (buf.size > 16384)
+        throw new java.io.IOException("handshake header block too large")
       prev4 = ((prev4 << 8) | b) & 0xffffffff
       if (prev4 == 0x0d0a0d0a) b = -1 else b = in.read()
     }
@@ -123,14 +154,28 @@ final class WebSocketPush(monitoring: Monitoring, port: Int = 0) {
         else {
           val opcode = b0 & 0x0f
           val b1 = in.read()
+          if (b1 == -1) throw new java.io.EOFException
           val masked = (b1 & 0x80) != 0
+          def rb(): Long = {
+            val x = in.read()
+            if (x == -1) throw new java.io.EOFException
+            x.toLong
+          }
           var len: Long = b1 & 0x7f
-          if (len == 126) len = (in.read().toLong << 8) | in.read()
+          if (len == 126) len = (rb() << 8) | rb()
           else if (len == 127) {
             len = 0L
-            (0 until 8).foreach(_ => len = (len << 8) | in.read())
+            (0 until 8).foreach(_ => len = (len << 8) | rb())
           }
-          val mask = if (masked) Array.fill(4)(in.read().toByte)
+          // this is a one-way feed: the only meaningful client frames
+          // are control frames, which RFC 6455 §5.5 caps at 125 bytes.
+          // A larger declared length is either a protocol violation or
+          // an attempted driver-memory allocation — close instead of
+          // trusting a client-declared size (1 MiB grace for clients
+          // that chat on the data channel; their payloads are ignored)
+          if (len < 0 || len > 1048576L)
+            throw new java.io.IOException(s"oversized ws frame: $len")
+          val mask = if (masked) Array.fill(4)(rb().toByte)
             else Array.emptyByteArray
           val payload = new Array[Byte](len.toInt)
           var off = 0
@@ -154,7 +199,11 @@ final class WebSocketPush(monitoring: Monitoring, port: Int = 0) {
         }
       }
     } catch { case _: Throwable => () }
-    finally { unsub(); try sock.close() catch { case _: Throwable => () } }
+    finally {
+      unsub()
+      conns.remove(sock)
+      try sock.close() catch { case _: Throwable => () }
+    }
   }
 
   private def sendText(out: OutputStream, s: String): Unit =
