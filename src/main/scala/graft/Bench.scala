@@ -213,7 +213,7 @@ object Bench {
     "q_multimodal_bmp" -> "bm", "q_ts_theil_sen" -> "th",
     "q_multimodal_webp" -> "wb", "q_ann_ndcg" -> "nc",
     "q_source_hhi" -> "hh", "q_stats_runs" -> "rw",
-    "q_text_lm_kn" -> "kn")
+    "q_text_lm_kn" -> "kn", "q_multimodal_ogg" -> "og")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -204,6 +204,70 @@ object Multimodal {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // Ogg page-header parse — the VARIABLE-LENGTH-TABLE member of the
+    // header family (RFC 3533): after the fixed fields (capture
+    // pattern 'OggS', version, header-type FLAG BITS, u64 LE granule —
+    // the widest LE field here — u32 LE serial/sequence/crc) comes a
+    // segment COUNT and then that many one-byte lacing values whose
+    // SUM is the page payload size: a correct parse must read n_segs
+    // first and then FOLD over a parse-time-unknown number of bytes —
+    // zip had data-dependent offsets, this has a data-dependent
+    // REDUCTION (a higher-order aggregate over the hex slice on both
+    // engines). The header-type byte unpacks into the continued/bos/
+    // eos flag bits by integer arithmetic. Every 5th doc
+    // sniff-rejects. Pure narrow map over a binary column.
+    "q_multimodal_ogg" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("text"))
+        .withColumn("ht", ((col("doc_id") % 13 === 0).cast("int")
+          + (col("doc_id") % 7 === 0).cast("int") * 2
+          + (col("doc_id") % 11 === 0).cast("int") * 4).cast("long"))
+        .withColumn("gran", col("doc_id") * 977L)
+        .withColumn("ser", (col("doc_id") % 65536L + 1L))
+        .withColumn("seq2", col("doc_id") % 1000L)
+        .withColumn("nseg", (col("doc_id") % 4L + 1L).cast("int"))
+      // lacing values: 1..nseg bytes, each (doc_id*31 + i*17) % 256
+      val lacingHex = expr(
+        "array_join(transform(sequence(1, nseg), i -> " +
+          "lpad(hex((doc_id * 31 + i * 17) % 256), 2, '0')), '')")
+      val oggHex = concat(lit("4F676753"), lit("00"), // 'OggS', v0
+        lpad(hex(col("ht")), 2, "0"),
+        le(col("gran"), 8), le(col("ser"), 4), le(col("seq2"), 4),
+        lit("00000000"), // crc placeholder (not validated here)
+        lpad(hex(col("nseg")), 2, "0"), lacingHex)
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(oggHex)
+      val withPayload = base.select(col("doc_id"),
+        unhex(payloadHex).as("payload"))
+        .withColumn("h", hex(col("payload")))
+      val isOgg = length(col("payload")) >= 28 &&
+        expr("substring(h, 1, 8)") === "4F676753"
+      withPayload
+        .withColumn("is_ogg", isOgg)
+        .withColumn("version", when(col("is_ogg"), leR(4, 1)))
+        .withColumn("htp", when(col("is_ogg"), leR(5, 1)))
+        .withColumn("continued", when(col("is_ogg"), col("htp") % 2 === 1))
+        .withColumn("bos",
+          when(col("is_ogg"), expr("htp DIV 2 % 2") === 1))
+        .withColumn("eos",
+          when(col("is_ogg"), expr("htp DIV 4 % 2") === 1))
+        .withColumn("granule", when(col("is_ogg"), leR(6, 8)))
+        .withColumn("serial", when(col("is_ogg"), leR(14, 4)))
+        .withColumn("page_seq", when(col("is_ogg"), leR(18, 4)))
+        .withColumn("n_segs", when(col("is_ogg"), leR(26, 1)))
+        // the fold: payload size = sum of the n_segs lacing bytes that
+        // FOLLOW the count — length unknown until n_segs is read
+        .withColumn("payload_size", when(col("is_ogg"), expr(
+          "aggregate(sequence(1, CAST(n_segs AS INT)), 0L, " +
+            "(acc, i) -> acc + CAST(conv(" +
+            "substring(h, 55 + 2 * (i - 1), 2), 16, 10) AS BIGINT))")))
+        .select("doc_id", "is_ogg", "version", "continued", "bos",
+          "eos", "granule", "serial", "page_seq", "n_segs",
+          "payload_size")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // WebP RIFF parse — the VARIANT-DISPATCH member of the header
     // family: one container (RIFF + 'WEBP'), three payload formats
     // selected by the chunk FourCC, each with a different geometry
@@ -897,6 +961,81 @@ object Multimodal {
         |    << CAST(CAST('0x' || substring(ph, 21, 2) AS BIGINT) % 8
         |      AS INTEGER) END AS n_colors
         |FROM parsed ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same page construction; the lacing fold is list_transform +
+    // list_sum here vs Spark's aggregate() lambda — same count-first
+    // data-dependent reduction over the hex slice.
+    "q_multimodal_ogg" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(doc_id % 13 = 0 AS INTEGER)
+        |      + 2 * CAST(doc_id % 7 = 0 AS INTEGER)
+        |      + 4 * CAST(doc_id % 11 = 0 AS INTEGER) AS BIGINT) AS ht,
+        |    CAST(doc_id * 977 AS BIGINT) AS gran,
+        |    CAST(doc_id % 65536 + 1 AS BIGINT) AS ser,
+        |    CAST(doc_id % 1000 AS BIGINT) AS seq2,
+        |    CAST(doc_id % 4 + 1 AS INTEGER) AS nseg,
+        |    hex(encode(substring(text, 1, 8))) AS th
+        |  FROM documents
+        |), enc AS (
+        |  SELECT doc_id, ht, nseg, th,
+        |    lpad(hex(gran), 16, '0') AS gh,
+        |    lpad(hex(ser), 8, '0') AS sh,
+        |    lpad(hex(seq2), 8, '0') AS qh,
+        |    array_to_string(list_transform(generate_series(1, nseg),
+        |      i -> lpad(hex((doc_id * 31 + i * 17) % 256), 2, '0')),
+        |      '') AS lch
+        |  FROM src
+        |), built AS (
+        |  SELECT doc_id, from_hex(CASE WHEN doc_id % 5 = 0 THEN th ELSE
+        |    '4F676753' || '00' || lpad(hex(ht), 2, '0') ||
+        |    substring(gh, 15, 2) || substring(gh, 13, 2) ||
+        |    substring(gh, 11, 2) || substring(gh, 9, 2) ||
+        |    substring(gh, 7, 2) || substring(gh, 5, 2) ||
+        |    substring(gh, 3, 2) || substring(gh, 1, 2) ||
+        |    substring(sh, 7, 2) || substring(sh, 5, 2) ||
+        |    substring(sh, 3, 2) || substring(sh, 1, 2) ||
+        |    substring(qh, 7, 2) || substring(qh, 5, 2) ||
+        |    substring(qh, 3, 2) || substring(qh, 1, 2) ||
+        |    '00000000' || lpad(hex(nseg), 2, '0') || lch
+        |    END) AS payload
+        |  FROM enc
+        |), parsed AS (
+        |  SELECT doc_id, hex(payload) AS h,
+        |    octet_length(payload) >= 28
+        |      AND substring(hex(payload), 1, 8) = '4F676753' AS is_ogg
+        |  FROM built
+        |), f1 AS (
+        |  SELECT doc_id, is_ogg, h,
+        |    CASE WHEN is_ogg THEN CAST('0x' || substring(h, 9, 2)
+        |      AS BIGINT) END AS version,
+        |    CASE WHEN is_ogg THEN CAST('0x' || substring(h, 11, 2)
+        |      AS BIGINT) END AS htp,
+        |    CASE WHEN is_ogg THEN CAST('0x' || substring(h, 27, 2)
+        |      || substring(h, 25, 2) || substring(h, 23, 2)
+        |      || substring(h, 21, 2) || substring(h, 19, 2)
+        |      || substring(h, 17, 2) || substring(h, 15, 2)
+        |      || substring(h, 13, 2) AS BIGINT) END AS granule,
+        |    CASE WHEN is_ogg THEN CAST('0x' || substring(h, 35, 2)
+        |      || substring(h, 33, 2) || substring(h, 31, 2)
+        |      || substring(h, 29, 2) AS BIGINT) END AS serial,
+        |    CASE WHEN is_ogg THEN CAST('0x' || substring(h, 43, 2)
+        |      || substring(h, 41, 2) || substring(h, 39, 2)
+        |      || substring(h, 37, 2) AS BIGINT) END AS page_seq,
+        |    CASE WHEN is_ogg THEN CAST('0x' || substring(h, 53, 2)
+        |      AS BIGINT) END AS n_segs
+        |  FROM parsed
+        |)
+        |SELECT doc_id, is_ogg, version,
+        |  CASE WHEN is_ogg THEN htp % 2 = 1 END AS continued,
+        |  CASE WHEN is_ogg THEN htp // 2 % 2 = 1 END AS bos,
+        |  CASE WHEN is_ogg THEN htp // 4 % 2 = 1 END AS eos,
+        |  granule, serial, page_seq, n_segs,
+        |  CASE WHEN is_ogg THEN CAST(list_sum(list_transform(
+        |    generate_series(1, CAST(n_segs AS INTEGER)),
+        |    i -> CAST('0x' || substring(h, 55 + 2 * (i - 1), 2)
+        |      AS BIGINT))) AS BIGINT) END AS payload_size
+        |FROM f1 ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     // Same three-variant construction; the parse dispatches on the
     // decoded FourCC and the VP8L geometry un-packs the 14+14-bit LE

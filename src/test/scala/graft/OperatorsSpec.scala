@@ -738,6 +738,37 @@ class OperatorsSpec extends SparkSpec {
       == Set("VP8 ", "VP8L", "VP8X"))
   }
 
+  test("q_multimodal_ogg folds the variable lacing table back to the " +
+      "planted payload size and unpacks the flag bits") {
+    val out = Multimodal.queries("q_multimodal_ogg")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None
+        else Some((r.getLong(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getLong(6), r.getLong(7), r.getLong(8),
+          r.getLong(9), r.getLong(10)))))
+    assert(out.nonEmpty)
+    out.foreach { case (id, isOgg, fields) =>
+      assert(isOgg == (id % 5 != 0), s"doc $id sniff")
+      if (isOgg) {
+        val (ver, cont, bos, eos, gran, ser, seq2, nseg, psz) =
+          fields.get
+        assert(ver == 0L, s"doc $id version")
+        assert(cont == (id % 13 == 0) && bos == (id % 7 == 0)
+          && eos == (id % 11 == 0), s"doc $id flag bits")
+        assert(gran == id * 977L && ser == id % 65536 + 1
+          && seq2 == id % 1000, s"doc $id LE fields")
+        assert(nseg == id % 4 + 1, s"doc $id segment count")
+        // the fold result equals the planted lacing sum
+        val want = (1L to nseg).map(i => (id * 31 + i * 17) % 256).sum
+        assert(psz == want, s"doc $id payload size")
+      } else assert(fields.isEmpty, s"doc $id rejected fields null")
+    }
+    // every segment-count value and every flag bit exercised
+    assert(out.flatMap(_._3.map(_._8)).toSet == Set(1L, 2L, 3L, 4L))
+    assert(out.exists(_._3.exists(_._2)) && out.exists(_._3.exists(_._3))
+      && out.exists(_._3.exists(_._4)))
+  }
+
   test("q_multimodal_bmp round-trips the signed height and the stride " +
       "identity holds on every accepted header") {
     val out = Multimodal.queries("q_multimodal_bmp")(spark, sf).collect()
