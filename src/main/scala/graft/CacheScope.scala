@@ -53,8 +53,15 @@ object CacheScope {
     finally {
       if (outer == null) current.remove() else current.set(outer)
       buf.reverseIterator.foreach { ds =>
+        // best-effort per dataset (one failed unpersist must not strand
+        // the rest), but NOT Throwable: fatal VM errors propagate, and a
+        // thread interrupt re-sets the flag instead of being swallowed
         try ds.unpersist(blocking = false)
-        catch { case _: Throwable => () }
+        catch {
+          case _: InterruptedException =>
+            Thread.currentThread().interrupt()
+          case scala.util.control.NonFatal(_) => ()
+        }
       }
     }
   }

@@ -168,11 +168,18 @@ final class WebSocketPush(monitoring: Monitoring, port: Int = 0) {
             (0 until 8).foreach(_ => len = (len << 8) | rb())
           }
           // this is a one-way feed: the only meaningful client frames
-          // are control frames, which RFC 6455 §5.5 caps at 125 bytes.
-          // A larger declared length is either a protocol violation or
-          // an attempted driver-memory allocation — close instead of
-          // trusting a client-declared size (1 MiB grace for clients
-          // that chat on the data channel; their payloads are ignored)
+          // are control frames, which RFC 6455 §5.5 caps at 125 bytes —
+          // a control frame declaring more is a protocol violation the
+          // server must fail the connection on (not echo back as an
+          // equally non-conformant oversized PONG). Data frames get a
+          // 1 MiB grace (clients that chat on the data channel; their
+          // payloads are ignored); larger is an attempted driver-memory
+          // allocation — close instead of trusting a client-declared
+          // size.
+          val isControl = (opcode & 0x8) != 0
+          if (isControl && len > 125L)
+            throw new java.io.IOException(
+              s"control frame over RFC 6455 §5.5 cap: $len")
           if (len < 0 || len > 1048576L)
             throw new java.io.IOException(s"oversized ws frame: $len")
           val mask = if (masked) Array.fill(4)(rb().toByte)
@@ -227,9 +234,16 @@ final class WebSocketPush(monitoring: Monitoring, port: Int = 0) {
   }
 
   /** Same JSON shape the SSE bridge emits (HttpControlPlane) — one
-    * monitoring feed, two transports. */
+    * monitoring feed, two transports. String fields are escaped through
+    * the same json4s writer the HTTP plane uses: today they are Spark
+    * UUIDs, but the frame must stay well-formed if a report ever
+    * carries a user-supplied query name through this path. */
   private def reportJson(r: Monitoring#Report): String =
-    s"""{"queryId":"${r.queryId}","runId":"${r.runId}",""" +
+    s"""{"queryId":${quote(r.queryId)},"runId":${quote(r.runId)},""" +
       s""""batchId":${r.batchId},"numInputRows":${r.numInputRows},""" +
       s""""durationMs":${r.durationMs},"stateRows":${r.stateRows}}"""
+
+  private def quote(s: String): String =
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JString(s)))
 }

@@ -431,6 +431,51 @@ class ControlPlaneSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("WebSocket push fails the connection on a PING over the RFC " +
+      "6455 §5.5 125-byte control-frame cap (no oversized PONG echo)") {
+    import java.io.{BufferedReader, InputStreamReader}
+    import java.net.Socket
+    import graft.plans.WebSocketPush
+    val mon = new Monitoring()
+    val srv = new WebSocketPush(mon).start()
+    try {
+      val sock = new Socket("127.0.0.1", srv.boundPort)
+      val raw = sock.getOutputStream
+      raw.write(("GET /events HTTP/1.1\r\nHost: x\r\n" +
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+        "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+        "Sec-WebSocket-Version: 13\r\n\r\n").getBytes("UTF-8"))
+      raw.flush()
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream))
+      assert(in.readLine().contains("101"))
+      var line = in.readLine()
+      while (line != null && line.nonEmpty) line = in.readLine()
+      // masked client PING declaring a 200-byte payload (extended
+      // 16-bit length): a protocol violation the server must answer by
+      // closing, not by echoing a 200-byte PONG
+      val n = 200
+      val hdr = Array[Byte](0x89.toByte, (0x80 | 126).toByte,
+        ((n >> 8) & 0xff).toByte, (n & 0xff).toByte,
+        1, 2, 3, 4) // mask key
+      raw.write(hdr); raw.write(new Array[Byte](n)); raw.flush()
+      // server tears the connection down: the stream reaches EOF (a
+      // close frame may or may not precede it) within the deadline
+      sock.setSoTimeout(10000)
+      val buf = new Array[Byte](256)
+      var eof = false
+      try {
+        var r = sock.getInputStream.read(buf)
+        var total = 0
+        while (r != -1 && total < 4096) { total += r
+          r = sock.getInputStream.read(buf) }
+        eof = r == -1
+      } catch { case _: java.io.IOException => eof = true }
+      assert(eof, "server must close on an oversized control frame")
+      sock.close()
+    } finally srv.stop()
+  }
+
   test("monitoring listener captures per-batch reports (R18)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

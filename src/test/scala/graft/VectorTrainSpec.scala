@@ -406,4 +406,42 @@ class VectorTrainSpec extends SparkSpec {
         r.getAs[Long]("own_dot") - r.getAs[Long]("best_other_dot"))
     }
   }
+
+  test("q_ann_ndcg ground-truth margin: the fastdot top-20 prefilter " +
+      "contains the single-stage exact top-10 for every panel probe " +
+      "(the assumption the DuckDB oracle's one-stage ranking rests on)") {
+    // q_ann_ndcg's exact side ranks fast top-20 → exact top-10 while the
+    // oracle ranks single-stage by the exact dot; they agree only while
+    // the fast/exact margin holds on the fixture. Assert it explicitly
+    // at BOTH local scale factors so a fixture or plane-count change
+    // fails HERE, loudly, instead of silently diverging the engines.
+    import org.apache.spark.sql.expressions.Window
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val emb = Tables.table(spark, dir, "embeddings")
+      val probes = broadcast(emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("p_id"), col("embedding").as("pe")))
+      val corpus = emb.select(col("vec_id").as("nb_id"),
+        col("embedding").as("eb"))
+      val scored = corpus.crossJoin(probes)
+        .filter(col("nb_id") =!= col("p_id"))
+        .withColumn("fastdot", VectorOps.fastDot(spark, "eb", "pe"))
+        .withColumn("cosine", VectorOps.dotExpr(spark, "eb", "pe"))
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number()
+          .over(Window.partitionBy("p_id")
+            .orderBy(desc_nulls_last("fastdot"), asc_nulls_last("nb_id"))))
+        .withColumn("_rx", org.apache.spark.sql.functions.row_number()
+          .over(Window.partitionBy("p_id")
+            .orderBy(desc_nulls_last("cosine"), asc_nulls_last("nb_id"))))
+        .select("p_id", "nb_id", "_rn", "_rx")
+        .collect()
+      val fast20 = scored.filter(_.getInt(2) <= 20)
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact10 = scored.filter(_.getInt(3) <= 10)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val escaped = exact10.filterNot(fast20.contains)
+      assert(escaped.isEmpty,
+        s"$dir: exact top-10 pairs outside the fast top-20 margin: " +
+          escaped.take(5).mkString(", "))
+    }
+  }
 }
