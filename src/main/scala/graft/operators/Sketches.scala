@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -37,6 +38,13 @@ object Sketches {
   val BloomWords = 128
   val BloomBits: Int = BloomWords * 32
   val BloomK = 3
+
+  /** KMV sketch size: keep the K smallest distinct hash values. */
+  val KmvK = 64
+
+  /** 60-bit hash space of [[hvExpr]] (16^15 = 2^60) — the KMV
+    * estimator's normalization constant. */
+  val HashSpace = 1152921504606846976L
 
   /** q_join_bloom geometry: 4096 words × 32 bits = 131072 bits. Sized so
     * the sf0.1 build side (~30k keys × 3 bits) fills ~2/3 of the filter
@@ -134,6 +142,52 @@ object Sketches {
           coalesce(col("present"), lit(false)).as("present"),
           col("bloom_member"))
         .orderBy(asc_nulls_last("tok"))
+    }),
+
+    // KMV (K minimum values) distinct sketch — the DETERMINISTIC
+    // companion to q_agg_approx_distinct's HLL (Bar-Yossef et al.,
+    // RANDOM 2002: with values hashed uniformly into [0, M), the Kth
+    // smallest distinct hash h_(K) estimates the cardinality as
+    // (K−1)·M/h_(K)). Unlike HLL — whose register layout is
+    // estimator-specific, hence that query's contract-allowed no-oracle
+    // status — every number here is reproducible from the md5 hash
+    // family both engines share, so the sketch FAMILY has a fully
+    // hash-matched member: k_used and kth_hv are exact integers, and
+    // the estimate is two IEEE double ops (one divide, one multiply)
+    // in the same textual shape on both sides, rounded once to integer.
+    // Output per l_returnflag group: sketch size used, the Kth hash,
+    // the KMV estimate, and the exact distinct count beside it.
+    //
+    // Scale note: as declared this distinct+window shape shuffles the
+    // distinct (flag, hv) pairs — the same cost class as the exact
+    // count it sits beside, which is what makes the oracle possible.
+    // The 100 TB deployment shape is the same estimator as a bounded-
+    // state partial aggregate (per-partition top-K merge, the
+    // TypedImperativeAggregate upgrade path): KMV merges by unioning
+    // K-lists and re-taking the K smallest, so partial aggregation is
+    // exact — the algebra this query proves is unchanged there.
+    "q_sketch_kmv" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val hv = li.select(col("l_returnflag").as("flag"),
+          expr(hvExpr("CAST(l_partkey AS STRING)")).as("hv"))
+        .distinct()
+      val w = Window.partitionBy("flag").orderBy(asc_nulls_last("hv"))
+      val exact = li
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(countDistinct("l_partkey").as("exact_distinct"))
+      hv.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= KmvK)
+        .groupBy("flag")
+        .agg(count(lit(1)).as("k_used"), max("hv").as("kth_hv"))
+        .withColumn("est_distinct", expr(
+          s"CASE WHEN k_used < $KmvK THEN k_used ELSE " +
+            "CAST(round((CAST(k_used AS DOUBLE) - CAST(1 AS DOUBLE)) " +
+            s"* (CAST($HashSpace AS DOUBLE) / CAST(kth_hv AS DOUBLE)), " +
+            "0) AS BIGINT) END"))
+        .join(exact, Seq("flag"))
+        .select("flag", "k_used", "kth_hv", "est_distinct",
+          "exact_distinct")
+        .orderBy(asc_nulls_last("flag"))
     }),
 
     // Bloom-prefiltered join — the sketch APPLIED as a join optimization
@@ -280,6 +334,32 @@ object Sketches {
          |FROM mem m LEFT JOIN tf ON m.tok = tf.tok
          |ORDER BY m.tok ASC NULLS LAST""".stripMargin
     },
+
+    "q_sketch_kmv" ->
+      s"""WITH hv AS (
+         |  SELECT DISTINCT l_returnflag AS flag,
+         |    ${sqlHv("CAST(l_partkey AS VARCHAR)")} AS hv
+         |  FROM lineitem
+         |), rk AS (
+         |  SELECT flag, hv,
+         |    row_number() OVER (PARTITION BY flag ORDER BY hv ASC) AS rk
+         |  FROM hv
+         |), sk AS (
+         |  SELECT flag, COUNT(*) AS k_used, MAX(hv) AS kth_hv
+         |  FROM rk WHERE rk <= $KmvK GROUP BY flag
+         |), ex AS (
+         |  SELECT l_returnflag AS flag,
+         |    COUNT(DISTINCT l_partkey) AS exact_distinct
+         |  FROM lineitem GROUP BY 1
+         |)
+         |SELECT sk.flag, sk.k_used, sk.kth_hv,
+         |  CASE WHEN sk.k_used < $KmvK THEN sk.k_used ELSE
+         |    CAST(round((CAST(sk.k_used AS DOUBLE) - CAST(1 AS DOUBLE))
+         |      * (CAST($HashSpace AS DOUBLE) / CAST(sk.kth_hv AS DOUBLE)),
+         |      0) AS BIGINT) END AS est_distinct,
+         |  ex.exact_distinct
+         |FROM sk JOIN ex ON sk.flag = ex.flag
+         |ORDER BY sk.flag ASC NULLS LAST""".stripMargin,
 
     // The plain join — no bloom anywhere: the filter admits every true
     // match (no false negatives) and the exact join removes its false

@@ -29,7 +29,13 @@ import graft.streaming.Monitoring
   *   - `POST   /templates/{id}/{version}/publish` → 200 | 404
   *   - `GET    /templates/{id}/latest` → {"version": n} | 404
   *   - `PUT    /triggers/{event_type}` body
-  *     {"template_id": "...", "version": n} → 200 | 400
+  *     {"template_id": "...", "version": n} → 200 | 400;
+  *     `GET /triggers` lists exact + wildcard subscriptions;
+  *     `GET|DELETE /triggers/{event_type}` read/remove one
+  *   - `PUT|DELETE /trigger-patterns` body {"pattern": "app/+/x", ...}
+  *     — MQTT-wildcard subscriptions ([[TopicMatch]]); the pattern
+  *     rides in the body because `/` and `#` don't survive as a path
+  *     segment
   *   - `GET    /reports/{queryId}` → JSON array of micro-batch reports
   *     (the R18 PULL half)
   *   - `GET    /events` → `text/event-stream` of live reports (the R18
@@ -114,6 +120,47 @@ final class HttpControlPlane(registry: TemplateRegistry,
           val JInt(ver) = (jv \ "version"): @unchecked
           registry.setTrigger(eventType, tid, ver.toInt)
           respond(ex, 200, """{"trigger":true}""")
+        case ("GET", "triggers" :: Nil) =>
+          // full trigger surface in one read: exact subscriptions plus
+          // wildcard filters — the reference's subscription listing
+          val ex_ = registry.listTriggers.map { case (et, id, v) =>
+            s"""{"event_type":${quote(et)},"template_id":${quote(id)},""" +
+              s""""version":$v}"""
+          }
+          val pat = registry.listTriggerPatterns.map { case (p, id, v) =>
+            s"""{"pattern":${quote(p)},"template_id":${quote(id)},""" +
+              s""""version":$v}"""
+          }
+          respond(ex, 200, s"""{"exact":${ex_.mkString("[", ",", "]")},""" +
+            s""""patterns":${pat.mkString("[", ",", "]")}}""")
+        case ("GET", "triggers" :: eventType :: Nil) =>
+          registry.getTrigger(eventType) match {
+            case Some((id, v)) => respond(ex, 200,
+              s"""{"event_type":${quote(eventType)},""" +
+                s""""template_id":${quote(id)},"version":$v}""")
+            case None => respond(ex, 404, """{"error":"not found"}""")
+          }
+        case ("DELETE", "triggers" :: eventType :: Nil) =>
+          if (registry.deleteTrigger(eventType))
+            respond(ex, 200, """{"deleted":true}""")
+          else respond(ex, 404, """{"error":"not found"}""")
+        // wildcard filters carry '/' and '#', so the pattern rides in
+        // the JSON body on PUT/DELETE rather than in a path segment
+        case ("PUT", "trigger-patterns" :: Nil) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val jv = JsonMethods.parse(body)
+          val JString(pat) = (jv \ "pattern"): @unchecked
+          val JString(tid) = (jv \ "template_id"): @unchecked
+          val JInt(ver) = (jv \ "version"): @unchecked
+          registry.setTriggerPattern(pat, tid, ver.toInt)
+          respond(ex, 200, """{"trigger":true}""")
+        case ("DELETE", "trigger-patterns" :: Nil) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val JString(pat) =
+            (JsonMethods.parse(body) \ "pattern"): @unchecked
+          if (registry.deleteTriggerPattern(pat))
+            respond(ex, 200, """{"deleted":true}""")
+          else respond(ex, 404, """{"error":"not found"}""")
         case ("GET", "reports" :: queryId :: Nil) =>
           val rs = monitoring.map(_.reports(queryId)).getOrElse(Nil)
           respond(ex, 200,

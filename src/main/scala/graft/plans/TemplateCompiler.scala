@@ -305,11 +305,46 @@ object TemplateQueries {
       |  "graph": {"t1": ["t2"], "t2": ["t3"]}
       |}""".stripMargin
 
+  /** The wildcard-routing panel: overlapping MQTT filters over the
+    * synthetic event topic `app/<event_type>/u<user_id%10>`, including
+    * one filter that matches nothing (the left join keeps its zero
+    * row) and the catch-alls. ONE definition — the Spark side and the
+    * oracle both consume [[TopicMatch.toRegex]] of these. */
+  val wildcardPanel: Seq[String] = Seq(
+    "app/#", "app/+/+", "app/+/u3", "app/purchase/#",
+    "app/view/u7", "web/#")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_template_pipeline" -> ((s, d) =>
       TemplateCompiler.compileJson(purchaseRollupTemplate,
           graft.Tables.table(s, d, "events"))
-        .orderBy(asc_nulls_last("band")))
+        .orderBy(asc_nulls_last("band"))),
+
+    // Trigger routing with MQTT wildcards (R3): every event maps to a
+    // topic, every panel filter counts the events it would route plus
+    // the distinct users and value mass behind them. The panel side is
+    // a 6-row broadcast literal, so the regexp join is a bounded
+    // nested-loop over a fixed panel (the PlanRegressionSpec BNLJ
+    // allowlist shape) — per event the work is 6 codegen'd anchored
+    // regex probes, embarrassingly parallel and shuffle-free until the
+    // 6-group aggregate. At 100 TB the same plan holds: the panel is
+    // subscription metadata (KBs), never data-sized.
+    "q_trigger_wildcard" -> ((s, d) => {
+      import s.implicits._
+      val pats = TemplateQueries.wildcardPanel
+        .map(p => (p, TopicMatch.toRegex(p))).toDF("pattern", "rx")
+      val ev = graft.Tables.table(s, d, "events")
+        .select(concat(lit("app/"), col("event_type"), lit("/u"),
+            (col("user_id") % 10).cast("string")).as("topic"),
+          col("user_id"), col("value"))
+      broadcast(pats)
+        .join(ev, expr("topic rlike rx"), "left")
+        .groupBy("pattern")
+        .agg(count(col("topic")).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Det.dsum(col("value")).as("sum_value"))
+        .orderBy(asc_nulls_last("pattern"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -318,6 +353,26 @@ object TemplateQueries {
          |       WHEN value < 200 THEN 'mid' ELSE 'high' END AS band,
          |  COUNT(*) AS n, ${Det.sqlDsum("value")} AS sum_value
          |FROM events WHERE event_type = 'purchase'
-         |GROUP BY 1 ORDER BY band ASC NULLS LAST""".stripMargin
+         |GROUP BY 1 ORDER BY band ASC NULLS LAST""".stripMargin,
+
+    "q_trigger_wildcard" -> {
+      val rows = wildcardPanel
+        .map(p => s"('${p}', '${TopicMatch.toRegex(p)}')")
+        .mkString(", ")
+      s"""WITH pats AS (
+         |  SELECT * FROM (VALUES $rows) p(pattern, rx)
+         |), ev AS (
+         |  SELECT 'app/' || event_type || '/u'
+         |      || CAST(user_id % 10 AS VARCHAR) AS topic,
+         |    user_id, value
+         |  FROM events
+         |)
+         |SELECT p.pattern, COUNT(e.topic) AS n_events,
+         |  COUNT(DISTINCT e.user_id) AS n_users,
+         |  ${Det.sqlDsum("e.value")} AS sum_value
+         |FROM pats p LEFT JOIN ev e ON regexp_matches(e.topic, p.rx)
+         |GROUP BY p.pattern
+         |ORDER BY p.pattern ASC NULLS LAST""".stripMargin
+    }
   )
 }

@@ -24,6 +24,7 @@ final class TemplateRegistry {
 
   private val store = TrieMap.empty[(String, Int), Entry]
   private val triggers = TrieMap.empty[String, (String, Int)]
+  private val patternTriggers = TrieMap.empty[String, (String, Int)]
 
   /** Upsert a template version (draft by default). Validates structure by
     * parsing + topological check; throws on cycles/multiple sinks exactly
@@ -58,6 +59,35 @@ final class TemplateRegistry {
     triggers(eventType) = (id, version)
   }
 
+  def getTrigger(eventType: String): Option[(String, Int)] =
+    triggers.get(eventType)
+
+  def deleteTrigger(eventType: String): Boolean =
+    triggers.remove(eventType).isDefined
+
+  def listTriggers: Seq[(String, String, Int)] =
+    triggers.readOnlySnapshot().toSeq
+      .map { case (et, (id, v)) => (et, id, v) }.sortBy(_._1)
+
+  /** Wildcard trigger subscription (R3, the MQTT-filter half): an
+    * MQTT 3.1.1 topic filter (`+`/`#`, [[TopicMatch]]) → template.
+    * Unlike the exact map, SEVERAL filters may match one topic — a
+    * published event fans out to every subscribed template, exactly
+    * like overlapping bus subscriptions in the reference. The filter
+    * is validated on subscribe (reject on write, not on fire). */
+  def setTriggerPattern(pattern: String, id: String, version: Int): Unit = {
+    TopicMatch.validate(pattern)
+    require(store.contains((id, version)), s"unknown template $id v$version")
+    patternTriggers(pattern) = (id, version)
+  }
+
+  def deleteTriggerPattern(pattern: String): Boolean =
+    patternTriggers.remove(pattern).isDefined
+
+  def listTriggerPatterns: Seq[(String, String, Int)] =
+    patternTriggers.readOnlySnapshot().toSeq
+      .map { case (p, (id, v)) => (p, id, v) }.sortBy(_._1)
+
   /** Compile the template a trigger routes to, rooted at `source` already
     * filtered to the triggering event type. */
   def fire(eventType: String, source: DataFrame): Option[DataFrame] =
@@ -65,6 +95,20 @@ final class TemplateRegistry {
       store.get((id, v)).map(e =>
         TemplateCompiler.compile(e.template, source, this))
     }
+
+  /** Route one concrete topic through the wildcard subscriptions: every
+    * matching filter's template compiles against `source`, keyed by
+    * (pattern, template id) so the caller sees WHY each plan fired.
+    * Deterministic order (pattern asc) — fan-out must not depend on
+    * map iteration. */
+  def fireTopic(topic: String, source: DataFrame)
+      : Seq[((String, String), DataFrame)] =
+    patternTriggers.readOnlySnapshot().toSeq.sortBy(_._1)
+      .filter { case (p, _) => TopicMatch.matches(topic, p) }
+      .flatMap { case (p, (id, v)) =>
+        store.get((id, v)).map(e =>
+          (p, id) -> TemplateCompiler.compile(e.template, source, this))
+      }
 
   /** Resolve for sub-workflow inlining (R16): published-latest unless an
     * exact version is requested. */
@@ -95,6 +139,11 @@ final class TemplateRegistry {
       .toDF("event_type", "id", "version")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/triggers")
+    patternTriggers.readOnlySnapshot().toSeq
+      .map { case (p, (id, v)) => (p, id, v) }
+      .toDF("pattern", "id", "version")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/trigger_patterns")
   }
 
   private def validate(tpl: TemplateCompiler.Template): Unit = {
@@ -144,6 +193,16 @@ object TemplateRegistry {
       .select("event_type", "id", "version").collect()
       .foreach(row => r.setTrigger(row.getAs[String]("event_type"),
         row.getAs[String]("id"), row.getAs[Int]("version")))
+    // pattern triggers: absent in pre-wildcard snapshots — a snapshot
+    // written by an older registry must still load (forward-compatible
+    // read of its own history, not silent tolerance of corruption: the
+    // rows that DO exist still go through setTriggerPattern validation)
+    val pdir = new java.io.File(s"$dir/trigger_patterns")
+    if (pdir.exists)
+      spark.read.parquet(s"$dir/trigger_patterns")
+        .select("pattern", "id", "version").collect()
+        .foreach(row => r.setTriggerPattern(row.getAs[String]("pattern"),
+          row.getAs[String]("id"), row.getAs[Int]("version")))
     r
   }
 }

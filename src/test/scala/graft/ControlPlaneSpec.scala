@@ -132,6 +132,118 @@ class ControlPlaneSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("TopicMatch: MQTT 3.1.1 wildcard semantics, the Scala matcher " +
+      "and the regex projection agree, bad filters rejected on write") {
+    import graft.plans.TopicMatch
+    val cases = Seq(
+      ("app/view/u3", "app/#", true),
+      ("app", "app/#", true), // '#' includes the parent level
+      ("app/view/u3", "app/+/u3", true),
+      ("app/view/u4", "app/+/u3", false),
+      ("app/a/b/u3", "app/+/u3", false), // '+' is exactly one level
+      ("app/view/u3", "app/+/+", true),
+      ("app/view", "app/+/+", false),
+      ("web/view/u3", "app/#", false),
+      ("app/view/u3", "#", true),
+      ("a.b/x", "a.b/+", true), // literal '.' stays literal in the regex
+      ("axb/x", "a.b/+", false),
+      ("app/view/u3", "app/view/u3", true), // exact filter, no wildcards
+      ("app//u3", "app/+/u3", true)) // empty level is still a level
+    cases.foreach { case (topic, pat, want) =>
+      assert(TopicMatch.matches(topic, pat) == want, s"$topic ~ $pat")
+      // the regex projection (what the declared query and the oracle
+      // evaluate) must agree with the routing decision exactly
+      assert(topic.matches(TopicMatch.toRegex(pat)) == want,
+        s"regex disagrees: $topic ~ $pat (${TopicMatch.toRegex(pat)})")
+    }
+    intercept[IllegalArgumentException](TopicMatch.validate("app/#/x"))
+    intercept[IllegalArgumentException](TopicMatch.validate("app/x#"))
+    intercept[IllegalArgumentException](TopicMatch.validate("app/x+/y"))
+    intercept[IllegalArgumentException](TopicMatch.validate(""))
+  }
+
+  test("wildcard trigger routing (R3): one topic fans out to every " +
+      "matching subscription, in deterministic order") {
+    val reg = new TemplateRegistry
+    reg.put(child, version = 1); reg.publish("band-only", 1)
+    reg.put(parent, version = 1); reg.publish("routed", 1)
+    reg.setTriggerPattern("app/#", "band-only", 1)
+    reg.setTriggerPattern("app/+/u3", "routed", 1)
+    reg.setTriggerPattern("web/#", "routed", 1)
+    // a filter referencing an unknown template or malformed per MQTT
+    // is rejected on subscribe
+    intercept[IllegalArgumentException](
+      reg.setTriggerPattern("app/#", "nope", 9))
+    intercept[IllegalArgumentException](
+      reg.setTriggerPattern("a/#/b", "routed", 1))
+    val events = Tables.table(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+    val fired = reg.fireTopic("app/purchase/u3", events)
+    assert(fired.map(_._1) ==
+      Seq("app/#" -> "band-only", "app/+/u3" -> "routed"))
+    fired.foreach { case (_, df) => assert(df.count() > 0) }
+    assert(reg.fireTopic("mqtt/none", events).isEmpty)
+    // snapshot round-trip carries the wildcard subscriptions too
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_registry_pat").toString
+    reg.saveTo(spark, dir)
+    val reg2 = TemplateRegistry.loadFrom(spark, dir)
+    assert(reg2.listTriggerPatterns == reg.listTriggerPatterns)
+    assert(reg2.fireTopic("app/purchase/u3", events).map(_._1) ==
+      fired.map(_._1))
+  }
+
+  test("HTTP trigger CRUD: exact + wildcard subscriptions round-trip " +
+      "over the wire (R17's nyuki/api trigger surface)") {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import java.net.URI
+    val reg = new TemplateRegistry
+    reg.put(child, version = 1); reg.publish("band-only", 1)
+    val srv = new graft.plans.HttpControlPlane(reg).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val http = HttpClient.newHttpClient()
+      def send(r: HttpRequest): HttpResponse[String] =
+        http.send(r, HttpResponse.BodyHandlers.ofString())
+      def put(url: String, body: String) = send(HttpRequest.newBuilder()
+        .uri(URI.create(url))
+        .PUT(HttpRequest.BodyPublishers.ofString(body)).build())
+      def get(url: String) = send(HttpRequest.newBuilder()
+        .uri(URI.create(url)).GET().build())
+      def delete(url: String) = send(HttpRequest.newBuilder()
+        .uri(URI.create(url)).DELETE().build())
+      def deleteBody(url: String, body: String) =
+        send(HttpRequest.newBuilder().uri(URI.create(url))
+          .method("DELETE", HttpRequest.BodyPublishers.ofString(body))
+          .build())
+      assert(put(s"$base/triggers/purchase",
+        """{"template_id": "band-only", "version": 1}""")
+        .statusCode() == 200)
+      assert(put(s"$base/trigger-patterns",
+        """{"pattern": "app/+/u3", "template_id": "band-only",
+          | "version": 1}""".stripMargin).statusCode() == 200)
+      // malformed filter → 400, not 500
+      assert(put(s"$base/trigger-patterns",
+        """{"pattern": "a/#/b", "template_id": "band-only",
+          | "version": 1}""".stripMargin).statusCode() == 400)
+      val listed = get(s"$base/triggers")
+      assert(listed.statusCode() == 200)
+      assert(listed.body().contains("\"event_type\":\"purchase\"")
+        && listed.body().contains("\"pattern\":\"app/+/u3\""),
+        s"bad listing: ${listed.body()}")
+      assert(get(s"$base/triggers/purchase").body()
+        .contains("\"template_id\":\"band-only\""))
+      assert(get(s"$base/triggers/nope").statusCode() == 404)
+      assert(delete(s"$base/triggers/purchase").statusCode() == 200)
+      assert(delete(s"$base/triggers/purchase").statusCode() == 404)
+      assert(deleteBody(s"$base/trigger-patterns",
+        """{"pattern": "app/+/u3"}""").statusCode() == 200)
+      assert(deleteBody(s"$base/trigger-patterns",
+        """{"pattern": "app/+/u3"}""").statusCode() == 404)
+      assert(reg.listTriggers.isEmpty && reg.listTriggerPatterns.isEmpty)
+    } finally srv.stop()
+  }
+
   test("upsert validation rejects bad templates") {
     val reg = new TemplateRegistry
     intercept[IllegalArgumentException](reg.put(

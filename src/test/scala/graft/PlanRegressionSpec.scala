@@ -351,7 +351,11 @@ class PlanRegressionSpec extends SparkSpec {
       // corpus size) for the leave-one-out kNN scan — the q_ann_recall
       // bounded-panel argument; a corpus-fraction probe set here would
       // be the decontamination broadcast mistake
-      "q_embed_knn_classify")
+      "q_embed_knn_classify",
+      // FIXED 6-row subscription-panel broadcast (wildcardPanel, a
+      // literal) probed by anchored rlike — subscription metadata is
+      // KBs at any corpus size, the q_ann_recall bounded-panel argument
+      "q_trigger_wildcard")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
