@@ -1,0 +1,507 @@
+package graft.sources
+
+import java.io.{EOFException, IOException, InputStream, OutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch,
+  LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.plans.TopicMatch
+
+/** Hand-rolled MQTT 3.1.1 over loopback JDK sockets — the bus protocol
+  * the reference actually subscribes on (public reference `nyuki/bus/`
+  * is an MQTT client; mount empty, SURVEY.md §0), implemented from the
+  * public OASIS MQTT 3.1.1 spec with zero dependencies, the same move
+  * as the RFC 6455 server in [[graft.plans.WebSocketPush]]. This closes
+  * the R1 `partial`: [[MqttBus]] is a REAL broker-protocol connector
+  * behind the [[Sources.BusSource]] seam, verified end-to-end by
+  * StreamingParitySpec (events published over a live MQTT socket reach
+  * the same tumbling results as the batch reconstruction).
+  *
+  * Protocol surface (deliberately scoped to the bus contract):
+  *   - CONNECT/CONNACK (protocol level 4, clean-session only — the
+  *     broker is a live bus, durable replay is the checkpointed file
+  *     sink's job, Sources.fileSink);
+  *   - SUBSCRIBE/SUBACK + UNSUBSCRIBE/UNSUBACK with full MQTT wildcard
+  *     filters — matching is [[graft.plans.TopicMatch]], the SAME
+  *     definition trigger routing uses, so a broker subscription and a
+  *     trigger pattern can never disagree;
+  *   - PUBLISH at QoS 0 and QoS 1, both directions: inbound QoS 1 is
+  *     PUBACK'd immediately; outbound QoS 1 tracks in-flight packet
+  *     ids per connection and RETRANSMITS with the DUP flag until
+  *     acknowledged (at-least-once, spec §4.3.2) — MqttSpec drives the
+  *     dup path by withholding a PUBACK;
+  *   - PINGREQ/PINGRESP, DISCONNECT.
+  *
+  * Descopes, stated: QoS 2 (exactly-once is the CHECKPOINT's contract
+  * in this engine, not the wire's), retained messages, wills,
+  * auth, and keep-alive enforcement. A violation (QoS 2 publish,
+  * oversized packet) fails the connection rather than guessing.
+  *
+  * Scale note: this broker is test/dev infrastructure — the production
+  * deployment points [[MqttBus]] (or a Kafka source, same seam) at a
+  * real broker. What must scale is the SPARK side: the connector
+  * surfaces one line-delimited JSON stream whose parse/projection is
+  * the proven [[Sources.SocketJsonBus]] plan, partitioned and
+  * watermarked downstream exactly like every other bus adapter.
+  */
+object Mqtt {
+
+  // packet types (spec §2.2.1)
+  val CONNECT = 1; val CONNACK = 2; val PUBLISH = 3; val PUBACK = 4
+  val SUBSCRIBE = 8; val SUBACK = 9; val UNSUBSCRIBE = 10
+  val UNSUBACK = 11; val PINGREQ = 12; val PINGRESP = 13
+  val DISCONNECT = 14
+
+  /** Driver-memory guard: a bus payload is an event JSON, never MBs. */
+  val MaxPacketBytes: Int = 1 << 20
+
+  /** QoS 1 retransmit cadence. */
+  val RetransmitMs = 500L
+
+  // ---- framing ---------------------------------------------------------
+
+  /** Encode the remaining-length varint (spec §2.2.3: 7 bits per byte,
+    * MSB = continuation, ≤ 4 bytes). */
+  def remainingLength(n: Int): Array[Byte] = {
+    require(n >= 0 && n <= 268435455, s"remaining length out of range: $n")
+    val out = Array.newBuilder[Byte]
+    var x = n
+    var continue = true
+    while (continue) {
+      val digit = x % 128
+      x /= 128
+      out += (if (x > 0) (digit | 0x80).toByte else digit.toByte)
+      continue = x > 0
+    }
+    out.result()
+  }
+
+  /** len-prefixed UTF-8 string (spec §1.5.3). */
+  def utf8(s: String): Array[Byte] = {
+    val b = s.getBytes(UTF_8)
+    require(b.length <= 0xffff, "string too long for MQTT")
+    Array[Byte]((b.length >> 8).toByte, (b.length & 0xff).toByte) ++ b
+  }
+
+  def packet(byte1: Int, body: Array[Byte]): Array[Byte] =
+    Array(byte1.toByte) ++ remainingLength(body.length) ++ body
+
+  /** Read one full packet → (first header byte, body). Throws EOF on a
+    * closed peer, IOException on framing violations. */
+  def readPacket(in: InputStream): (Int, Array[Byte]) = {
+    val b1 = in.read()
+    if (b1 == -1) throw new EOFException("peer closed")
+    var mult = 1
+    var len = 0
+    var digits = 0
+    var continue = true
+    while (continue) {
+      val d = in.read()
+      if (d == -1) throw new EOFException("peer closed mid-length")
+      len += (d & 0x7f) * mult
+      mult *= 128
+      digits += 1
+      if (digits > 4) throw new IOException("malformed remaining length")
+      continue = (d & 0x80) != 0
+    }
+    if (len > MaxPacketBytes)
+      throw new IOException(s"packet over ${MaxPacketBytes}B cap: $len")
+    val body = new Array[Byte](len)
+    var off = 0
+    while (off < len) {
+      val n = in.read(body, off, len - off)
+      if (n < 0) throw new EOFException("peer closed mid-body")
+      off += n
+    }
+    (b1, body)
+  }
+
+  def readU16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  def readStr(b: Array[Byte], off: Int): (String, Int) = {
+    val n = readU16(b, off)
+    (new String(b, off + 2, n, UTF_8), off + 2 + n)
+  }
+
+  /** Assemble a PUBLISH packet. */
+  def publishPacket(topic: String, payload: Array[Byte], qos: Int,
+      packetId: Int, dup: Boolean): Array[Byte] = {
+    val flags = (if (dup) 0x08 else 0) | (qos << 1)
+    val vh =
+      if (qos > 0) utf8(topic) ++
+        Array[Byte]((packetId >> 8).toByte, (packetId & 0xff).toByte)
+      else utf8(topic)
+    packet((PUBLISH << 4) | flags, vh ++ payload)
+  }
+}
+
+/** Minimal-but-conformant MQTT 3.1.1 broker on a loopback ephemeral
+  * port. One daemon acceptor; one daemon reader per connection; one
+  * shared retransmit timer for un-acked QoS 1 deliveries. */
+final class MqttBroker(port: Int = 0) {
+  import Mqtt._
+
+  private final case class Pending(topic: String, payload: Array[Byte],
+      var deadlineNanos: Long)
+
+  private final class Conn(val sock: Socket) {
+    val out: OutputStream = sock.getOutputStream
+    val subs = TrieMap.empty[String, Int] // filter -> granted qos
+    val pending = new ConcurrentHashMap[Integer, Pending]()
+    val nextId = new AtomicInteger(1)
+    def allocId(): Int = {
+      var id = 0
+      do {
+        id = nextId.getAndUpdate(i => if (i >= 0xffff) 1 else i + 1)
+      } while (pending.containsKey(Integer.valueOf(id)))
+      id
+    }
+    def send(bytes: Array[Byte]): Unit =
+      out.synchronized { out.write(bytes); out.flush() }
+  }
+
+  private val server =
+    new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
+  @volatile private var running = true
+  private val conns = ConcurrentHashMap.newKeySet[Conn]()
+
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val conn = new Conn(sock)
+        conns.add(conn)
+        val t = new Thread(() => serve(conn), "graft-mqtt-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Throwable => () } // accept raced stop()
+    }
+  }, "graft-mqtt-acceptor")
+  acceptor.setDaemon(true)
+
+  // retransmit loop: any pending QoS 1 delivery past its deadline goes
+  // out again with DUP=1 (spec §4.3.2) — at-least-once until the
+  // subscriber PUBACKs or the connection dies
+  private val retransmitter = new Thread(() => {
+    while (running) {
+      try {
+        Thread.sleep(100)
+        val now = System.nanoTime()
+        conns.forEach { c =>
+          c.pending.forEach { (id, p) =>
+            if (now > p.deadlineNanos) {
+              p.deadlineNanos = now + RetransmitMs * 1000000L
+              try c.send(publishPacket(p.topic, p.payload, qos = 1,
+                packetId = id.intValue(), dup = true))
+              catch { case _: IOException => dropConn(c) }
+            }
+          }
+        }
+      } catch { case _: InterruptedException => () }
+    }
+  }, "graft-mqtt-retransmit")
+  retransmitter.setDaemon(true)
+
+  def start(): this.type = { acceptor.start(); retransmitter.start(); this }
+
+  def stop(): Unit = {
+    running = false
+    try server.close() catch { case _: Throwable => () }
+    conns.forEach(c =>
+      try c.sock.close() catch { case _: Throwable => () })
+    conns.clear()
+  }
+
+  private def dropConn(c: Conn): Unit = {
+    conns.remove(c)
+    try c.sock.close() catch { case _: Throwable => () }
+  }
+
+  private def serve(c: Conn): Unit = {
+    try {
+      val in = c.sock.getInputStream
+      c.sock.setSoTimeout(10000) // CONNECT deadline
+      val (b1, body) = readPacket(in)
+      if ((b1 >> 4) != CONNECT)
+        throw new IOException("first packet must be CONNECT")
+      val (proto, o1) = readStr(body, 0)
+      val level = body(o1) & 0xff
+      if (proto != "MQTT" || level != 4)
+        // 0x01 = unacceptable protocol level (spec §3.2.2.3)
+        c.send(Array[Byte]((CONNACK << 4).toByte, 2, 0, 1))
+      else {
+        c.send(Array[Byte]((CONNACK << 4).toByte, 2, 0, 0))
+        c.sock.setSoTimeout(0)
+        var open = true
+        while (open) {
+          val (h, b) = readPacket(in)
+          (h >> 4) match {
+            case SUBSCRIBE =>
+              if ((h & 0x0f) != 2)
+                throw new IOException("SUBSCRIBE flags must be 0b0010")
+              val pid = readU16(b, 0)
+              var off = 2
+              val granted = Array.newBuilder[Byte]
+              while (off < b.length) {
+                val (filter, o) = readStr(b, off)
+                val reqQos = b(o) & 0x03
+                off = o + 1
+                TopicMatch.validate(filter)
+                val q = math.min(reqQos, 1) // QoS 2 not offered
+                c.subs(filter) = q
+                granted += q.toByte
+              }
+              c.send(packet(SUBACK << 4,
+                Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte)
+                  ++ granted.result()))
+            case UNSUBSCRIBE =>
+              val pid = readU16(b, 0)
+              var off = 2
+              while (off < b.length) {
+                val (filter, o) = readStr(b, off)
+                c.subs.remove(filter)
+                off = o
+              }
+              c.send(packet(UNSUBACK << 4,
+                Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte)))
+            case PUBLISH =>
+              val qos = (h >> 1) & 0x03
+              if (qos > 1) throw new IOException("QoS 2 not supported")
+              val (topic, o) = readStr(b, 0)
+              val (pid, payloadOff) =
+                if (qos == 1) (readU16(b, o), o + 2) else (0, o)
+              val payload = java.util.Arrays
+                .copyOfRange(b, payloadOff, b.length)
+              if (qos == 1)
+                c.send(packet(PUBACK << 4,
+                  Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte)))
+              route(topic, payload, qos)
+            case PUBACK =>
+              c.pending.remove(Integer.valueOf(readU16(b, 0)))
+            case PINGREQ =>
+              c.send(Array[Byte]((PINGRESP << 4).toByte, 0))
+            case DISCONNECT =>
+              open = false
+            case _ => () // PUBREC/PUBREL/etc — outside the QoS ≤1 surface
+          }
+        }
+      }
+    } catch { case _: Throwable => () }
+    finally dropConn(c)
+  }
+
+  /** Fan a published message out to every subscribed connection ONCE,
+    * at max(granted qos of matching filters) capped by the publish qos
+    * (spec §3.3.5 allows one delivery per connection for overlapping
+    * subscriptions). */
+  private def route(topic: String, payload: Array[Byte],
+      pubQos: Int): Unit =
+    conns.forEach { c =>
+      val qs = c.subs.readOnlySnapshot().collect {
+        case (filter, q) if TopicMatch.matches(topic, filter) => q
+      }
+      if (qs.nonEmpty) {
+        val qos = math.min(pubQos, qs.max)
+        try {
+          if (qos == 0)
+            c.send(publishPacket(topic, payload, 0, 0, dup = false))
+          else {
+            val id = c.allocId()
+            c.pending.put(Integer.valueOf(id), Pending(topic, payload,
+              System.nanoTime() + RetransmitMs * 1000000L))
+            c.send(publishPacket(topic, payload, 1, id, dup = false))
+          }
+        } catch { case _: IOException => dropConn(c) }
+      }
+    }
+}
+
+/** Minimal MQTT 3.1.1 client: synchronous CONNECT/SUBSCRIBE/QoS-1
+  * publish, callback dispatch for inbound PUBLISH (ack-after-process:
+  * the PUBACK goes out only once the handler returns, so a crash
+  * before processing redelivers — at-least-once on the consumer side
+  * too). */
+final class MqttClient(host: String, port: Int,
+    clientId: String = "graft-client") {
+  import Mqtt._
+
+  private val sock = new Socket(host, port)
+  private val out = sock.getOutputStream
+  private val in = sock.getInputStream
+  private val subs = new java.util.concurrent.CopyOnWriteArrayList[
+    (String, (String, Array[Byte]) => Unit)]
+  private val acks = new ConcurrentHashMap[Integer, CountDownLatch]()
+  private val nextId = new AtomicInteger(1)
+  @volatile private var open = true
+
+  private def send(bytes: Array[Byte]): Unit =
+    out.synchronized { out.write(bytes); out.flush() }
+
+  def connect(): this.type = {
+    // CONNECT: MQTT level 4, clean session, keepalive 60
+    val vh = utf8("MQTT") ++ Array[Byte](4, 0x02, 0, 60)
+    send(packet(CONNECT << 4, vh ++ utf8(clientId)))
+    val (h, body) = readPacket(in) // synchronous CONNACK
+    require((h >> 4) == CONNACK && body(1) == 0,
+      s"broker refused connection: rc=${body(1)}")
+    reader.start()
+    this
+  }
+
+  private val reader = new Thread(() => {
+    try {
+      while (open) {
+        val (h, b) = readPacket(in)
+        (h >> 4) match {
+          case PUBLISH =>
+            val qos = (h >> 1) & 0x03
+            val (topic, o) = readStr(b, 0)
+            val (pid, payloadOff) =
+              if (qos >= 1) (readU16(b, o), o + 2) else (0, o)
+            val payload = java.util.Arrays
+              .copyOfRange(b, payloadOff, b.length)
+            subs.forEach { case (filter, cb) =>
+              if (TopicMatch.matches(topic, filter)) cb(topic, payload)
+            }
+            if (qos == 1)
+              send(packet(PUBACK << 4,
+                Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte)))
+          case SUBACK | UNSUBACK | PUBACK =>
+            Option(acks.remove(Integer.valueOf(readU16(b, 0))))
+              .foreach(_.countDown())
+          case PINGRESP => ()
+          case _ => ()
+        }
+      }
+    } catch { case _: Throwable => () } // EOF / close: reader exits
+  }, "graft-mqtt-client-reader")
+  reader.setDaemon(true)
+
+  private def awaitAck(id: Int, what: String): Unit = {
+    val latch = acks.get(Integer.valueOf(id))
+    if (latch != null && !latch.await(10, TimeUnit.SECONDS))
+      throw new IOException(s"$what $id not acknowledged in 10s")
+  }
+
+  /** Subscribe and block until the SUBACK. The callback fires on the
+    * reader thread for every matching PUBLISH. */
+  def subscribe(filter: String, qos: Int = 1)
+      (cb: (String, Array[Byte]) => Unit): Unit = {
+    TopicMatch.validate(filter)
+    subs.add((filter, cb))
+    val id = nextId.getAndIncrement() & 0xffff
+    acks.put(Integer.valueOf(id), new CountDownLatch(1))
+    send(packet((SUBSCRIBE << 4) | 0x02,
+      Array[Byte]((id >> 8).toByte, (id & 0xff).toByte)
+        ++ utf8(filter) :+ qos.toByte))
+    awaitAck(id, "SUBSCRIBE")
+  }
+
+  /** Publish; QoS 1 blocks until the broker's PUBACK, retransmitting
+    * with DUP=1 on timeout. */
+  def publish(topic: String, payload: Array[Byte], qos: Int = 1): Unit = {
+    if (qos == 0) send(publishPacket(topic, payload, 0, 0, dup = false))
+    else {
+      val id = nextId.getAndIncrement() & 0xffff
+      val latch = new CountDownLatch(1)
+      acks.put(Integer.valueOf(id), latch)
+      send(publishPacket(topic, payload, 1, id, dup = false))
+      var attempts = 0
+      while (!latch.await(RetransmitMs, TimeUnit.MILLISECONDS)) {
+        attempts += 1
+        if (attempts > 20)
+          throw new IOException(s"PUBLISH $id unacked after $attempts tries")
+        send(publishPacket(topic, payload, 1, id, dup = true))
+      }
+    }
+  }
+
+  def publish(topic: String, payload: String): Unit =
+    publish(topic, payload.getBytes(UTF_8), qos = 1)
+
+  def disconnect(): Unit = {
+    open = false
+    try send(Array[Byte]((DISCONNECT << 4).toByte, 0))
+    catch { case _: IOException => () }
+    try sock.close() catch { case _: Throwable => () }
+  }
+}
+
+/** The R1 connector: subscribe to an MQTT topic filter, surface the
+  * payloads as the canonical event stream. The client pumps each
+  * payload (one JSON event object, [[Sources.SocketJsonBus.wireSchema]]
+  * on the wire) through a loopback line bridge into Spark's built-in
+  * `socket` source, so the Spark-side plan is EXACTLY the proven
+  * [[Sources.SocketJsonBus]] parse — public source API only, no
+  * internal Spark classes in the data path.
+  *
+  * Durability matches the socket connector's tier: at-most-once into
+  * Spark (the bridge buffer is bounded; a crashed driver re-subscribes
+  * fresh). The broker-side QoS 1 still guarantees the bridge RECEIVES
+  * each event at least once. A durable variant is the same client
+  * writing files for [[Sources.FileReplayBus]] — same seam. */
+final class MqttBus(host: String, port: Int, filter: String,
+    clientId: String = "graft-bus") extends Sources.BusSource
+    with AutoCloseable {
+
+  /** Bounded hand-off: bus payloads queue here until the Spark socket
+    * source connects and drains. 128k lines ≈ tens of MB worst case —
+    * a dev/live-tap buffer, not a durability log; overflow drops the
+    * NEWEST line and counts it (visible, never silent). */
+  private val queue = new LinkedBlockingQueue[String](131072)
+  @volatile private var droppedCount = 0L
+  def dropped: Long = droppedCount
+
+  private val bridge =
+    new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+  @volatile private var running = true
+  @volatile private var client: MqttClient = null
+
+  private val pump = new Thread(() => {
+    while (running) {
+      try {
+        val consumer = bridge.accept()
+        val out = consumer.getOutputStream
+        try {
+          while (running) {
+            val line = queue.poll(100, TimeUnit.MILLISECONDS)
+            if (line != null) {
+              out.write(line.getBytes(UTF_8)); out.write('\n'); out.flush()
+            }
+          }
+        } catch { case _: IOException => () } // consumer went away
+        finally {
+          try consumer.close() catch { case _: Throwable => () }
+        }
+      } catch { case _: Throwable => () } // accept raced close()
+    }
+  }, "graft-mqtt-bridge-pump")
+  pump.setDaemon(true)
+
+  def subscribe(spark: SparkSession): DataFrame = synchronized {
+    if (client == null) {
+      pump.start()
+      client = new MqttClient(host, port, clientId).connect()
+      client.subscribe(filter, qos = 1) { (_, payload) =>
+        if (!queue.offer(new String(payload, UTF_8))) droppedCount += 1
+      }
+    }
+    Sources.SocketJsonBus("127.0.0.1", bridge.getLocalPort)
+      .subscribe(spark)
+  }
+
+  def close(): Unit = {
+    running = false
+    if (client != null) client.disconnect()
+    try bridge.close() catch { case _: Throwable => () }
+  }
+}

@@ -1231,6 +1231,64 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("bus-source seam: the tumbling pipeline runs off a REAL MQTT " +
+      "3.1.1 broker (hand-rolled loopback sockets, QoS 1) and matches " +
+      "the batch reconstruction — R1 closed at the protocol level") {
+    import graft.sources.{MqttBroker, MqttClient, Sources}
+    val n = 5000L
+    val broker = new MqttBroker().start()
+    val bus = new graft.sources.MqttBus("127.0.0.1", broker.boundPort,
+      "graft/events/#")
+    val name = s"mqttbus_${System.nanoTime()}"
+    val q = EventPipelines.tumbling(bus.subscribe(spark))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      // REAL publisher on the broker: the RateBus feed mapping as wire
+      // JSON at QoS 1 (each publish blocks on the broker's PUBACK),
+      // topic-per-type so the wildcard subscription does real routing;
+      // plus one garbage payload the parse must drop without killing
+      // the subscription
+      val pub = new MqttClient("127.0.0.1", broker.boundPort,
+        "parity-pub").connect()
+      pub.publish("graft/events/garbage", "this is not json {")
+      (0L until n).foreach { k =>
+        val tsUs = 1700000000000000L + (k % 72L) * 3600L * 1000000L
+        val et = Seq("click", "view", "purchase")((k % 3L).toInt)
+        pub.publish(s"graft/events/$et",
+          s"""{"event_id":$k,"ts_us":$tsUs,"user_id":${k % 97L},""" +
+            s""""event_type":"$et","value":${(k % 1000L).toDouble},""" +
+            s""""props":"{\\"k\\":$k}"}""")
+      }
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def landed(): Long = spark.table(name)
+        .agg(org.apache.spark.sql.functions.sum("n")).collect()
+        .headOption.flatMap(r => Option(r.get(0))).map(_.toString.toLong)
+        .getOrElse(0L)
+      while (landed() < n && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      q.processAllAvailable()
+      assert(landed() == n, s"expected all $n events, got ${landed()}")
+      assert(bus.dropped == 0, "bridge buffer must not overflow here")
+      val got = spark.table(name).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1.getTime, t._2))
+      val batch = StreamShapes.tumbling(Sources.RateBus.shape(
+          spark.range(n).select(col("id").as("value"))))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1.getTime, t._2))
+      assert(got.toSeq == batch.toSeq)
+      pub.disconnect()
+    } finally {
+      q.stop()
+      bus.close()
+      broker.stop()
+    }
+  }
+
   test("streaming curation: q_corpus_curate's survivor set is exactly " +
       "reproduced from streamed near-dup pairs over the kept corpus") {
     import graft.operators.{Corpus, Quality, TextDedup}
