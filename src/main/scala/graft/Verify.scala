@@ -37,11 +37,16 @@ object Verify {
         ok += 1
       } catch { case e: Throwable =>
         failed += 1
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name failed: ${e.getMessage}"); e.printStackTrace()
       } finally {
         // builders that persist intermediates (clusters, decontaminate,
         // minhash_est) would otherwise accumulate caches across the full
-        // 135-query run (ADVICE round 3)
+        // 135-query run (ADVICE round 3). Named stages reset WITH the
+        // cache (clearCache alone would leave the registry pointing at
+        // unpersisted frames, silently losing within-query reuse): each
+        // verified query rebuilds its stages fresh — the correctness
+        // dump stays per-query isolated, like r9's bench protocol.
+        NamedStages.clearAll(spark)
         spark.catalog.clearCache()
       }
     }

@@ -109,7 +109,7 @@ object Quality {
     // left-join + one source-keyed conditional aggregate.
     "q_dup_quality_bias" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val members = TextDedup.nearDuplicates(docs)
+      val members = Corpus.nearDupPairs(s, d)
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .distinct()
         .withColumn("is_dup", lit(true))

@@ -158,7 +158,7 @@ object TextOps {
     // pipeline; membership is a slim distinct on doc ids; the join back
     // to sources is keyed on doc_id.
     "q_source_dup_rate" -> ((s, d) => {
-      val members = TextDedup.nearDuplicates(t(s, d, "documents"))
+      val members = Corpus.nearDupPairs(s, d)
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .distinct()
         .withColumn("is_dup", lit(1L))
@@ -847,7 +847,7 @@ object TextOps {
     // The composed scale path — candidate generation shuffles on band key
     // (O(n·bands)), never the O(n²) pair space.
     "q_dedup_pairs" -> ((s, d) =>
-      TextDedup.nearDuplicates(t(s, d, "documents"))
+      Corpus.nearDupPairs(s, d)
         .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))),
 
     // Query-time near-dup LOOKUP — "find THIS document's near-dups",
@@ -901,7 +901,7 @@ object TextOps {
       val docs = t(s, d, "documents")
       val pre = docs.select(col("doc_id"),
         substring(col("text"), 1, 60).as("tp"))
-      TextDedup.nearDuplicates(docs)
+      Corpus.nearDupPairs(s, d)
         .join(pre.select(col("doc_id").as("id_a"), col("tp").as("ta")),
           "id_a")
         .join(pre.select(col("doc_id").as("id_b"), col("tp").as("tb")),
@@ -940,7 +940,7 @@ object TextOps {
           size(col("ptoks")) + size(col("tset")) - col("inter"))
         .filter(col("inter").cast("double") / col("uni") >= 0.7)
         .groupBy("pid").agg(count(lit(1)).as("n_true"))
-      val found = TextDedup.nearDuplicates(docs)
+      val found = Corpus.nearDupPairs(s, d)
         .select(explode(array(
           struct(col("id_a").as("pid"), col("id_b").as("other")),
           struct(col("id_b").as("pid"), col("id_a").as("other")))).as("e"))
@@ -966,7 +966,7 @@ object TextOps {
     // persisted once and joined to both pair sides.
     "q_dedup_minhash_est" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = TextDedup.nearDuplicates(docs)
+      val pairs = Corpus.nearDupPairs(s, d)
         .select("id_a", "id_b", "jaccard")
       val signed = MinHash.withSignatures(
           docs.select(col("doc_id").as("id"), col("text")),
