@@ -273,6 +273,52 @@ class StreamingParitySpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("markov transitions under the RocksDB state store: the SAME " +
+      "flatMapGroupsWithState twin is provider-agnostic (the 100 TB " +
+      "spill path for per-key state)") {
+    import graft.operators.EventAnalytics
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    // at cluster scale FMGWS state must live in RocksDB, not on-heap —
+    // one parity case pins that the twin's results don't depend on the
+    // provider (the conf is per-QUERY at start time, reset after)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val batch = EventAnalytics.transitionMatrix(
+          EventAnalytics.transitionPairs(sampleEvents.toDF()))
+        .collect().toSeq
+      val mem = MemoryStream[StatefulTwins.TEv]
+      val name = s"mkvr_${System.nanoTime()}"
+      val tevs = sampleEvents.map(e => StatefulTwins.TEv(
+        e.event_id, e.user_id, e.event_type, e.ts.getTime * 1000L,
+        Some(e.value)))
+      val q = StatefulTwins.transitionStream(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .start()
+      mem.addData(tevs.take(3))
+      q.processAllAvailable()
+      mem.addData(tevs.drop(3))
+      q.processAllAvailable()
+      // the state actually lives in RocksDB for this run
+      assert(q.lastProgress.stateOperators.nonEmpty)
+      q.stop()
+      val stream = EventAnalytics.transitionMatrix(
+        spark.table(name).select("prev_type", "next_type"))
+        .collect().toSeq
+      assert(stream == batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("trailing-hour velocity features: bounded-buffer stream equals " +
       "the batch RANGE-frame window, ties and eviction included") {
     import graft.operators.EventAnalytics
