@@ -92,11 +92,12 @@ object Sources {
   /** ANY bus technology behind ONE interface producing the canonical
     * event stream ([[graft.streaming.EventPipelines.eventSchema]]).
     * Pipelines compose against the DataFrame this returns, so swapping
-    * the file replay for a live connector (the rate source below; a
-    * Kafka/MQTT source when broker jars ship) touches ZERO pipeline
-    * code — StreamingParitySpec proves it by running the tumbling
-    * pipeline off [[RateBus]] and off the file replay through the same
-    * interface. */
+    * the file replay for a live connector touches ZERO pipeline code —
+    * StreamingParitySpec proves it by running the SAME tumbling
+    * pipeline off [[RateBus]], off [[SocketJsonBus]] (raw TCP), and
+    * since r10 off [[graft.sources.MqttBus]] — a REAL hand-rolled
+    * MQTT 3.1.1 broker-protocol subscription (sources/Mqtt.scala), the
+    * reference's actual bus protocol. */
   trait BusSource {
     def subscribe(spark: SparkSession): DataFrame
   }
