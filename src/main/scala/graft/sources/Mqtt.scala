@@ -436,6 +436,47 @@ final class MqttClient(host: String, port: Int,
   }
 }
 
+/** R2's publish half over the REAL protocol: every row of each
+  * micro-batch goes out as one JSON message at QoS 1. The publish runs
+  * per PARTITION on the executors (one short-lived client each), so a
+  * report fan-out scales with the cluster instead of funneling through
+  * the driver; within a partition messages keep their order, across
+  * partitions the bus contract is unordered anyway. Delivery is
+  * at-least-once: QoS 1 on the wire × micro-batch replay on recovery —
+  * the reference's persist-and-replay contract (`nyuki/bus/
+  * persistence/`; mount empty, SURVEY.md §0) lands here as "consumers
+  * dedup by business key", which is what its at-least-once redelivery
+  * required of consumers too. Exactly-once stays the checkpointed
+  * FILE sink's contract ([[Sources.fileSink]]). */
+object MqttSink {
+
+  /** Publish one (batch) DataFrame — each row as one JSON message. */
+  def publishBatch(batch: DataFrame, host: String, port: Int,
+      topic: String): Unit =
+    batch.toJSON.toDF("line").foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val c = new MqttClient(host, port,
+            s"graft-sink-${java.util.UUID.randomUUID().toString.take(8)}")
+            .connect()
+          try it.foreach(r => c.publish(topic, r.getString(0)))
+          finally c.disconnect()
+        }
+    }
+
+  /** Streaming writer: each micro-batch publishes to
+    * `topicFor(batchId)` — batch-scoped topics let consumers
+    * distinguish replays (complete-mode re-publishes) from appends. */
+  def writer(df: DataFrame, host: String, port: Int, checkpoint: String,
+      topicFor: Long => String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    df.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishBatch(batch, host, port, topicFor(batchId))
+      }
+}
+
 /** The R1 connector: subscribe to an MQTT topic filter, surface the
   * payloads as the canonical event stream. The client pumps each
   * payload (one JSON event object, [[Sources.SocketJsonBus.wireSchema]]

@@ -1335,6 +1335,72 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("end-to-end MQTT hot path: events IN over the broker (QoS 1) -> " +
+      "tumbling aggregation -> reports OUT over the broker, validated " +
+      "by an independent subscriber (the reference's full bus loop)") {
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import graft.sources.{MqttBroker, MqttClient, MqttSink, Sources}
+    val n = 3000L
+    val broker = new MqttBroker().start()
+    val bus = new graft.sources.MqttBus("127.0.0.1", broker.boundPort,
+      "graft/events/#", clientId = "e2e-bus")
+    // independent report consumer on the OTHER side of the loop
+    val reports = new ConcurrentLinkedQueue[(String, String)]()
+    val consumer = new MqttClient("127.0.0.1", broker.boundPort,
+      "e2e-consumer").connect()
+    consumer.subscribe("graft/reports/#") { (t, p) =>
+      reports.add((t, new String(p, java.nio.charset.StandardCharsets
+        .UTF_8)))
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_e2e_ckpt").toString
+    val q = MqttSink.writer(
+        EventPipelines.tumbling(bus.subscribe(spark)),
+        "127.0.0.1", broker.boundPort, ckpt,
+        bid => s"graft/reports/b$bid")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.ProcessingTime("300 milliseconds"))
+      .start()
+    try {
+      val pub = new MqttClient("127.0.0.1", broker.boundPort,
+        "e2e-pub").connect()
+      (0L until n).foreach { k =>
+        val tsUs = 1700000000000000L + (k % 72L) * 3600L * 1000000L
+        val et = Seq("click", "view", "purchase")((k % 3L).toInt)
+        pub.publish(s"graft/events/$et",
+          s"""{"event_id":$k,"ts_us":$tsUs,"user_id":${k % 97L},""" +
+            s""""event_type":"$et","value":${(k % 1000L).toDouble},""" +
+            s""""props":"{\\"k\\":$k}"}""")
+      }
+      // drain: complete-mode batches re-publish the whole state; wait
+      // until some published batch carries ALL n events
+      val expected = StreamShapes.tumbling(Sources.RateBus.shape(
+          spark.range(n).select(col("id").as("value"))))
+        .toJSON.collect().toSet
+      def latestFull(): Option[Set[String]] = {
+        val byBatch = reports.toArray(Array.empty[(String, String)])
+          .groupBy(_._1)
+        byBatch.values.map(_.map(_._2).toSet)
+          .find(s => s == expected)
+      }
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while (latestFull().isEmpty && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(200)
+      }
+      assert(latestFull().isDefined,
+        s"no published batch matched the ${expected.size}-row truth; " +
+          s"topics seen: ${reports.toArray(Array.empty[(String, String)])
+            .groupBy(_._1).view.mapValues(_.length).toMap}")
+      pub.disconnect()
+    } finally {
+      q.stop()
+      consumer.disconnect()
+      bus.close()
+      broker.stop()
+    }
+  }
+
   test("streaming curation: q_corpus_curate's survivor set is exactly " +
       "reproduced from streamed near-dup pairs over the kept corpus") {
     import graft.operators.{Corpus, Quality, TextDedup}
