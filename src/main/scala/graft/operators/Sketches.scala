@@ -190,6 +190,69 @@ object Sketches {
         .orderBy(asc_nulls_last("flag"))
     }),
 
+    // Theta-sketch set algebra (Dasgupta et al., "Theta-Sketch
+    // Framework", 2016) on the KMV machinery: DISTINCT-CUSTOMER overlap
+    // of two order-year cohorts (1995 vs 1996 buyers — retention!)
+    // WITHOUT materializing either set — the audience-overlap primitive
+    // at 100 TB, where the exact answer costs a full shuffle of ids per
+    // cohort. Each cohort keeps its K smallest distinct hashes; θ =
+    // min of the two Kth values, falling back to the FULL hash space M
+    // when a cohort holds fewer than K distinct values (theta's exact
+    // mode — a small cohort is its own sample, so the estimator stays
+    // correct at ANY fixture size); every retained hash < θ is a
+    // uniform 1-in-(M/θ) sample of ITS set, so |union sample| · M/θ
+    // and |in-both sample| · M/θ estimate union and intersection with
+    // the same two IEEE ops the KMV row uses. Exact counts sit beside
+    // the estimates. Deterministic end to end (shared md5 fold) →
+    // fully hash-matched oracle; merges are K-list unions → partial
+    // aggregation exact, the q_sketch_kmv scale argument.
+    "q_sketch_theta" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      def cohort(yr: Int) = ord
+        .filter(year(col("o_orderdate")) === yr)
+        .select(expr(hvExpr("CAST(o_custkey AS STRING)")).as("hv"))
+        .distinct()
+      // θ_X = Kth smallest, or M in exact mode (|X| < K). orderBy +
+      // limit plans as TakeOrderedAndProject — the DISTRIBUTED top-K
+      // (per-partition K smallest, merged on one reducer), never a
+      // global window; the aggregate is then over ≤ K rows.
+      def kth(c: DataFrame) = c
+        .orderBy(asc_nulls_last("hv")).limit(KmvK)
+        .agg(coalesce(when(count(lit(1)) === KmvK, max(col("hv"))),
+          lit(HashSpace)).as("theta"))
+      val a = cohort(1995)
+      val b = cohort(1996)
+      val theta = kth(a).crossJoin(kth(b).withColumnRenamed(
+          "theta", "theta_b"))
+        .select(least(col("theta"), col("theta_b")).as("theta"))
+      val below = a.select(col("hv"), lit(1).as("in_a"))
+        .unionByName(b.select(col("hv"), lit(2).as("in_a")))
+        .groupBy("hv").agg(sum("in_a").as("m"))
+        .crossJoin(broadcast(theta))
+        .filter(col("hv") < col("theta"))
+      val est = "CAST(round(CAST(%s AS DOUBLE) * " +
+        s"(CAST($HashSpace AS DOUBLE) / CAST(theta AS DOUBLE)), " +
+        "0) AS BIGINT)"
+      val exact = ord
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(max(year(col("o_orderdate")) === 1995).as("a"),
+          max(year(col("o_orderdate")) === 1996).as("b"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("a") && col("b"), 1L).otherwise(0L))
+            .as("exact_inter"))
+      below
+        .groupBy("theta")
+        .agg(count(lit(1)).as("n_union_sample"),
+          sum(when(col("m") === 3, 1L).otherwise(0L))
+            .as("n_inter_sample"))
+        .withColumn("est_union", expr(est.format("n_union_sample")))
+        .withColumn("est_inter", expr(est.format("n_inter_sample")))
+        .crossJoin(exact)
+        .select("theta", "n_union_sample", "est_union", "exact_union",
+          "n_inter_sample", "est_inter", "exact_inter")
+    }),
+
     // Bloom-prefiltered join — the sketch APPLIED as a join optimization
     // (what Spark's runtime bloom pruning does, built explicitly so the
     // mechanics are visible and oracle-provable): the selective dim side
@@ -360,6 +423,63 @@ object Sketches {
          |  ex.exact_distinct
          |FROM sk JOIN ex ON sk.flag = ex.flag
          |ORDER BY sk.flag ASC NULLS LAST""".stripMargin,
+
+    "q_sketch_theta" -> {
+      val est = "CAST(round(CAST(%s AS DOUBLE) * " +
+        s"(CAST($HashSpace AS DOUBLE) / CAST(theta AS DOUBLE)), " +
+        "0) AS BIGINT)"
+      s"""WITH ca AS (
+         |  SELECT DISTINCT ${sqlHv("CAST(o_custkey AS VARCHAR)")} AS hv
+         |  FROM orders WHERE year(o_orderdate) = 1995
+         |), cb AS (
+         |  SELECT DISTINCT ${sqlHv("CAST(o_custkey AS VARCHAR)")} AS hv
+         |  FROM orders WHERE year(o_orderdate) = 1996
+         |), ka AS (
+         |  SELECT coalesce(max(CASE WHEN rk = $KmvK THEN hv END),
+         |    $HashSpace) AS theta FROM
+         |    (SELECT hv, row_number() OVER (ORDER BY hv ASC) AS rk
+         |     FROM ca)
+         |), kb AS (
+         |  SELECT coalesce(max(CASE WHEN rk = $KmvK THEN hv END),
+         |    $HashSpace) AS theta FROM
+         |    (SELECT hv, row_number() OVER (ORDER BY hv ASC) AS rk
+         |     FROM cb)
+         |), th AS (
+         |  SELECT least(ka.theta, kb.theta) AS theta FROM ka, kb
+         |), below AS (
+         |  SELECT u.hv, SUM(u.in_a) AS m, MAX(th.theta) AS theta
+         |  FROM (
+         |    SELECT hv, 1 AS in_a FROM ca
+         |    UNION ALL
+         |    SELECT hv, 2 AS in_a FROM cb
+         |  ) u, th
+         |  WHERE u.hv < th.theta
+         |  GROUP BY u.hv
+         |), ex AS (
+         |  SELECT COUNT(*) AS exact_union,
+         |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS exact_inter
+         |  FROM (
+         |    SELECT o_custkey,
+         |      bool_or(year(o_orderdate) = 1995) AS a,
+         |      bool_or(year(o_orderdate) = 1996) AS b
+         |    FROM orders
+         |    WHERE year(o_orderdate) IN (1995, 1996)
+         |    GROUP BY o_custkey
+         |  )
+         |)
+         |SELECT s.theta, s.n_union_sample,
+         |  ${est.format("s.n_union_sample")} AS est_union,
+         |  ex.exact_union, s.n_inter_sample,
+         |  ${est.format("s.n_inter_sample")} AS est_inter,
+         |  ex.exact_inter
+         |FROM (
+         |  SELECT theta, COUNT(*) AS n_union_sample,
+         |    CAST(SUM(CASE WHEN m = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_inter_sample
+         |  FROM below GROUP BY theta
+         |) s, ex""".stripMargin
+    },
 
     // The plain join — no bloom anywhere: the filter admits every true
     // match (no false negatives) and the exact join removes its false

@@ -1395,6 +1395,58 @@ object TextOps {
     // — so fingerprints are the sub-document near-dup/plagiarism index
     // where whole-doc MinHash is too coarse. Output: per doc, its
     // fingerprint count and how many of its fingerprints appear in ≥ 2
+    // RAKE keyword extraction (Rose, Engel, Cramer & Cowley, "Automatic
+    // keyword extraction from individual documents", 2010) — the
+    // unsupervised keyphrase miner a curation pipeline runs to label
+    // what a corpus is ABOUT: candidate phrases are maximal runs of
+    // non-stopword tokens (stopwords = the corpus' own top-5 tokens,
+    // derived deterministically — synthetic corpora have no external
+    // stopword list), each word scores degree/frequency (degree = Σ of
+    // containing-phrase lengths — co-occurrence favoring words that
+    // live in long phrases), and a phrase scores the sum of its
+    // members' scores. Exactness: word scores carry a 10⁶ scale with
+    // truncating integer division (Spark DIV = DuckDB // on
+    // non-negatives), so phrase scores are exact BIGINTs — no float
+    // summation order anywhere. Top-20 phrases by (score, phrase).
+    // Scale: tokenize+islands are narrow per-doc windows (doc-id
+    // partitioned); word stats one slim hash-agg; the phrase-score
+    // join is token-keyed with map-side combine.
+    "q_text_rake" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(length(col("tok")) > 0)
+      val stop = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc_nulls_last("n"), asc_nulls_last("tok")).limit(5)
+        .select(col("tok").as("stok"))
+      val content = toks
+        .join(broadcast(stop), col("tok") === col("stok"), "left_anti")
+      val wpos = Window.partitionBy("doc_id").orderBy("pos")
+      val ph = content
+        .withColumn("grp", col("pos") - row_number().over(wpos))
+        .withColumn("plen", count(lit(1))
+          .over(Window.partitionBy("doc_id", "grp")))
+      val wstats = ph.groupBy("tok")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .withColumn("wscore", expr("(deg * 1000000) DIV freq"))
+      val phrases = ph.groupBy("doc_id", "grp")
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+          .as("phrase"),
+          count(lit(1)).as("n_words"))
+      val pscore = ph.join(wstats.select("tok", "wscore"), "tok")
+        .groupBy("doc_id", "grp").agg(sum("wscore").as("score"))
+      phrases.join(pscore, Seq("doc_id", "grp"))
+        .groupBy("phrase")
+        .agg(max("n_words").as("n_words"),
+          count(lit(1)).as("n_occurrences"),
+          max("score").as("score"))
+        .orderBy(desc_nulls_last("score"), asc_nulls_last("phrase"))
+        .limit(20)
+        .orderBy(desc_nulls_last("score"), asc_nulls_last("phrase"))
+    }),
+
     // documents (the copied-content signal). Scale: grams and window
     // minima are in-row folds (O(tokens · w)); the cross-doc half is one
     // slim (fp, doc) shuffle with partial aggregation — the md5 min is a
@@ -2635,6 +2687,52 @@ object TextOps {
     "q_dedup_bands_curve" -> bandsCurveOracle,
 
     // list_slice is (start, end)-inclusive — the i+1..i+k / j+1..j+w
+    "q_text_rake" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS tok,
+         |    generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents WHERE text IS NOT NULL
+         |), tk AS (
+         |  SELECT * FROM toks WHERE length(tok) > 0
+         |), stop AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok
+         |  ) ORDER BY n DESC NULLS LAST, tok ASC NULLS LAST LIMIT 5
+         |), content AS (
+         |  SELECT * FROM tk WHERE tok NOT IN (SELECT tok FROM stop)
+         |), isl AS (
+         |  SELECT doc_id, tok, pos,
+         |    pos - row_number() OVER
+         |      (PARTITION BY doc_id ORDER BY pos ASC) AS grp
+         |  FROM content
+         |), ph AS (
+         |  SELECT doc_id, tok, pos, grp,
+         |    COUNT(*) OVER (PARTITION BY doc_id, grp) AS plen
+         |  FROM isl
+         |), wstats AS (
+         |  SELECT tok, (CAST(SUM(plen) AS BIGINT) * 1000000)
+         |      // COUNT(*) AS wscore
+         |  FROM ph GROUP BY tok
+         |), phrases AS (
+         |  SELECT doc_id, grp,
+         |    string_agg(tok, ' ' ORDER BY pos ASC) AS phrase,
+         |    COUNT(*) AS n_words
+         |  FROM ph GROUP BY doc_id, grp
+         |), pscore AS (
+         |  SELECT ph.doc_id, ph.grp,
+         |    CAST(SUM(w.wscore) AS BIGINT) AS score
+         |  FROM ph JOIN wstats w ON ph.tok = w.tok
+         |  GROUP BY ph.doc_id, ph.grp
+         |)
+         |SELECT p.phrase, MAX(p.n_words) AS n_words,
+         |  COUNT(*) AS n_occurrences, MAX(s.score) AS score
+         |FROM phrases p
+         |JOIN pscore s ON p.doc_id = s.doc_id AND p.grp = s.grp
+         |GROUP BY p.phrase
+         |ORDER BY score DESC NULLS LAST, phrase ASC NULLS LAST
+         |LIMIT 20""".stripMargin,
+
     // bounds mirror Spark's slice(start, LENGTH) exactly; list_aggr
     // 'min' is the same lexicographic md5 min.
     "q_text_winnow" ->

@@ -355,7 +355,11 @@ class PlanRegressionSpec extends SparkSpec {
       // FIXED 6-row subscription-panel broadcast (wildcardPanel, a
       // literal) probed by anchored rlike — subscription metadata is
       // KBs at any corpus size, the q_ann_recall bounded-panel argument
-      "q_trigger_wildcard")
+      "q_trigger_wildcard",
+      // 1-row broadcasts on constant keys: the θ scalar (a TakeOrdered
+      // top-K aggregate, bounded by K) and the exact-count pair — the
+      // q_text_docfreq shape twice
+      "q_sketch_theta")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),

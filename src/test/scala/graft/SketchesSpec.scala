@@ -82,4 +82,42 @@ class SketchesSpec extends SparkSpec {
     // the synthetic keys really are absent from the fixtures
     assert(out.count(!_._2) == 5)
   }
+
+  test("q_sketch_kmv: estimate within the KMV error envelope of the " +
+      "exact count it reports beside itself") {
+    // rsd for a K-minimum-values sketch ≈ 1/sqrt(K−2) (Beyer et al.
+    // 2007 unbiased form); 3·rsd is the standard acceptance bound
+    val rows = Sketches.queries("q_sketch_kmv")(spark,
+      "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    val rsd = 1.0 / math.sqrt(Sketches.KmvK - 2.0)
+    rows.foreach { r =>
+      val (kUsed, est, exact) = (r.getAs[Long]("k_used"),
+        r.getAs[Long]("est_distinct"), r.getAs[Long]("exact_distinct"))
+      assert(kUsed == Sketches.KmvK, "fixture groups must fill the sketch")
+      val rel = math.abs(est.toDouble - exact.toDouble) / exact.toDouble
+      assert(rel <= 3 * rsd, s"estimate $est vs exact $exact: $rel")
+    }
+  }
+
+  test("q_sketch_theta: union/intersection estimates inside 3 rsd, " +
+      "and the sketch algebra is internally consistent") {
+    val r = Sketches.queries("q_sketch_theta")(spark,
+      "/root/testdata/sf0.01").collect().head
+    val rsd = 1.0 / math.sqrt(Sketches.KmvK - 2.0)
+    def rel(est: Long, exact: Long) =
+      math.abs(est.toDouble - exact.toDouble) / exact.toDouble
+    assert(rel(r.getAs[Long]("est_union"),
+      r.getAs[Long]("exact_union")) <= 3 * rsd)
+    assert(rel(r.getAs[Long]("est_inter"),
+      r.getAs[Long]("exact_inter")) <= 3 * rsd)
+    // algebra: the in-both sample is a subset of the union sample, and
+    // estimates preserve that ordering; the fixture cohorts genuinely
+    // differ (union > intersection)
+    assert(r.getAs[Long]("n_inter_sample")
+      <= r.getAs[Long]("n_union_sample"))
+    assert(r.getAs[Long]("est_inter") <= r.getAs[Long]("est_union"))
+    assert(r.getAs[Long]("exact_union") > r.getAs[Long]("exact_inter"),
+      "fixture must exercise a non-degenerate overlap")
+  }
 }
