@@ -215,7 +215,8 @@ object Bench {
     "q_source_hhi" -> "hh", "q_stats_runs" -> "rw",
     "q_text_lm_kn" -> "kn", "q_multimodal_ogg" -> "og",
     "q_sketch_kmv" -> "kv", "q_trigger_wildcard" -> "wi",
-    "q_sketch_theta" -> "ht", "q_text_rake" -> "ra")
+    "q_sketch_theta" -> "ht", "q_text_rake" -> "ra",
+    "q_stats_friedman" -> "fr")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -505,6 +505,63 @@ object StatsTests {
     "q_stats_kruskal" -> ((s, d) =>
       kruskalFrom(kruskalCounts(t(s, d, "events")))),
 
+    // Friedman test (Friedman 1937) — the REPEATED-MEASURES companion
+    // to q_stats_kruskal: blocks = days, treatments = the three
+    // conversion event types, observation = the day's count of each.
+    // "Do the types keep the same within-day ordering, or does the mix
+    // genuinely shift day to day?" Within each 3-row block the
+    // treatments take DOUBLED midranks (2·minrank + ties − 1 — exact
+    // integers, the q_stats_kruskal doubling), and the tie-corrected
+    // statistic collapses to ALL-INTEGER pieces under doubling:
+    //   χ²_F = (k−1)·(Σ_j R'_j² − n²k(k+1)²) / (A' − nk(k+1)²)
+    // with R'_j the doubled rank sums and A' = Σ(2r_ij)² — both exact
+    // BIGINTs in the output next to the ONE IEEE division, so the
+    // oracle hash-matches everything including the statistic (same
+    // textual expression both sides). Degenerate guard: an all-tied
+    // panel zeroes the denominator → χ² reported 0 (no evidence).
+    // Scale: one day-keyed agg with map-side combine, two windows over
+    // 3-row blocks, one global agg — never an event-grain sort.
+    "q_stats_friedman" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view", "purchase"))
+      val daily = ev
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("v"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("p"))
+      val long = daily.selectExpr("day",
+        "stack(3, 'click', c, 'view', v, 'purchase', p) AS (et, cnt)")
+      val ranked = long
+        .withColumn("rk", rank().over(
+          Window.partitionBy("day").orderBy(asc_nulls_last("cnt"))))
+        .withColumn("tc", count(lit(1)).over(
+          Window.partitionBy("day", "cnt")))
+        .withColumn("dr", lit(2L) * col("rk") + col("tc") - 1L)
+      val chi2 =
+        "CASE WHEN den = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+          "round(CAST(2 * num AS DOUBLE) / CAST(den AS DOUBLE), 6) END"
+      ranked
+        .agg(countDistinct(col("day")).as("n_days"),
+          sum(when(col("et") === "click", col("dr"))).as("r2_click"),
+          sum(when(col("et") === "view", col("dr"))).as("r2_view"),
+          sum(when(col("et") === "purchase", col("dr")))
+            .as("r2_purchase"),
+          sum(col("dr") * col("dr")).as("a2"))
+        .withColumn("num",
+          col("r2_click") * col("r2_click")
+            + col("r2_view") * col("r2_view")
+            + col("r2_purchase") * col("r2_purchase")
+            - lit(48L) * col("n_days") * col("n_days"))
+        .withColumn("den", col("a2") - lit(48L) * col("n_days"))
+        .withColumn("chi2", expr(chi2))
+        .select("n_days", "r2_click", "r2_view", "r2_purchase", "a2",
+          "num", "den", "chi2")
+    }),
+
     // Wald–Wolfowitz runs test per event_type — the SEQUENCE-randomness
     // screen next to q_stats_benford's digit-distribution one (Wald &
     // Wolfowitz 1940): too few runs of above/below-median values in
@@ -654,6 +711,53 @@ object StatsTests {
     // Same midrank machinery at value grain (DuckDB runs ONE global
     // window — it is the oracle); the H tree is the verbatim
     // [[kruskalH]] text over the same wide row.
+    "q_stats_friedman" ->
+      s"""WITH daily AS (
+         |  SELECT date_trunc('day', ts) AS day,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c,
+         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS v,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS p
+         |  FROM events
+         |  WHERE event_type IN ('click', 'view', 'purchase')
+         |  GROUP BY 1
+         |), long AS (
+         |  SELECT day, 'click' AS et, c AS cnt FROM daily
+         |  UNION ALL
+         |  SELECT day, 'view' AS et, v AS cnt FROM daily
+         |  UNION ALL
+         |  SELECT day, 'purchase' AS et, p AS cnt FROM daily
+         |), ranked AS (
+         |  SELECT day, et,
+         |    2 * rank() OVER (PARTITION BY day ORDER BY cnt ASC)
+         |      + COUNT(*) OVER (PARTITION BY day, cnt) - 1 AS dr
+         |  FROM long
+         |), agg AS (
+         |  SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+         |    CAST(SUM(CASE WHEN et = 'click' THEN dr END) AS BIGINT)
+         |      AS r2_click,
+         |    CAST(SUM(CASE WHEN et = 'view' THEN dr END) AS BIGINT)
+         |      AS r2_view,
+         |    CAST(SUM(CASE WHEN et = 'purchase' THEN dr END) AS BIGINT)
+         |      AS r2_purchase,
+         |    CAST(SUM(dr * dr) AS BIGINT) AS a2
+         |  FROM ranked
+         |), pieces AS (
+         |  SELECT *,
+         |    r2_click * r2_click + r2_view * r2_view
+         |      + r2_purchase * r2_purchase
+         |      - 48 * n_days * n_days AS num,
+         |    a2 - 48 * n_days AS den
+         |  FROM agg
+         |)
+         |SELECT n_days, r2_click, r2_view, r2_purchase, a2, num, den,
+         |  CASE WHEN den = 0 THEN CAST(0 AS DOUBLE) ELSE
+         |    round(CAST(2 * num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+         |  END AS chi2
+         |FROM pieces""".stripMargin,
+
     "q_stats_kruskal" ->
       s"""WITH pts AS (
          |  SELECT value,

@@ -38,7 +38,10 @@ class DeterminismSpec extends SparkSpec {
     "q_ts_theil_sen",    // rational-median selection by slope doubles
     "q_stream_late_audit", // per-type running-max lateness window
     "q_stats_runs",      // doubled-median runs + fixed z tree
-    "q_text_lm_kn")      // KN rationals + 3 log2 chains + downshift
+    "q_text_lm_kn",      // KN rationals + 3 log2 chains + downshift
+    "q_stats_friedman",  // doubled block midranks + one chi2 division
+    "q_sketch_kmv",      // hash-order window top-K + one estimate op
+    "q_sketch_theta")    // TakeOrdered theta + two estimate ops
 
   sensitive.foreach { name =>
     test(s"$name is identical at shuffle.partitions 3 vs 13") {

@@ -514,6 +514,43 @@ class OperatorsSpec extends SparkSpec {
     assert(h >= 0.0, "H is non-negative for real data")
   }
 
+  test("q_stats_friedman equals a plain-Scala doubled-midrank replay " +
+      "and the chi2 identity holds") {
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+    val types = Seq("click", "view", "purchase")
+    val daily = rows.groupBy(_._1).view.mapValues { evs =>
+      types.map(t => evs.count(_._2 == t).toLong)
+    }.toMap
+    // doubled midrank of x within its 3-value block: 2·minrank+ties−1
+    def dranks(cnts: Seq[Long]): Seq[Long] = cnts.map { x =>
+      2L * (cnts.count(_ < x) + 1) + cnts.count(_ == x) - 1
+    }
+    val blocks = daily.values.map(dranks).toSeq
+    val n = blocks.length.toLong
+    val rsum = types.indices.map(j => blocks.map(_(j)).sum)
+    val a2 = blocks.flatten.map(x => x * x).sum
+    val num = rsum.map(x => x * x).sum - 48L * n * n
+    val den = a2 - 48L * n
+    val chi2 = if (den == 0) 0.0
+      else BigDecimal(2.0 * num / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = StatsTests.queries("q_stats_friedman")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_days") == n)
+    assert(r.getAs[Long]("r2_click") == rsum(0)
+      && r.getAs[Long]("r2_view") == rsum(1)
+      && r.getAs[Long]("r2_purchase") == rsum(2))
+    assert(r.getAs[Long]("a2") == a2)
+    assert(r.getAs[Long]("num") == num && r.getAs[Long]("den") == den)
+    assert(r.getAs[Double]("chi2") == chi2)
+    // doubled rank sums over n complete 3-blocks always total 12n
+    assert(rsum.sum == 12L * n)
+    assert(num >= 0, "Cauchy–Schwarz lower bound")
+  }
+
   test("q_stream_late_audit equals a plain-Scala running-max lateness " +
       "replay") {
     val rows = Tables.table(spark, sf, "events")
