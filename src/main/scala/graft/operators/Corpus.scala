@@ -428,6 +428,73 @@ object Corpus {
         .orderBy(asc_nulls_last("cluster"))
     }),
 
+    // HITS hubs & authorities (Kleinberg 1999, 2 unrolled iterations)
+    // over the near-dup graph DIRECTED newer→older (each id_a < id_b
+    // pair cites the lower-id "original"): authorities = canonical
+    // much-copied documents, hubs = aggregator/scraper pages stitching
+    // many originals — the directed complement to q_graph_pagerank's
+    // undirected centrality, and the signal that separates "keep this
+    // canonical doc" from "drop this scraper page" in a curation pass.
+    // Unnormalized, so every score is an EXACT BIGINT (h₁ = outdeg,
+    // a₁ = Σ_{u→v} h₁(u), h₂ = Σ_{u→v} a₁(v), a₂ = Σ_{u→v} h₂(u) —
+    // normalization only rescales the ranking); magnitudes are bounded
+    // by deg⁴ of the dup clusters. Scale: each half-step is ONE hash
+    // equi-join of the slim edge list against the previous per-node
+    // sliver + one keyed agg with map-side combine — the pagerank
+    // economics without the rank-scale division; the assembled panel
+    // left-joins per-node slivers back onto the node set.
+    "q_graph_hits" -> ((s, d) => {
+      val e = nearDupPairs(s, d)
+        .select(col("id_b").as("src"), col("id_a").as("dst"))
+        .persistScoped()
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      val h1 = e.groupBy("src").agg(count(lit(1)).as("h1"))
+      val indeg = e.groupBy("dst").agg(count(lit(1)).as("indeg"))
+      val a1 = e.join(h1, "src")
+        .groupBy("dst").agg(sum("h1").as("a1"))
+      val h2 = e.join(a1, "dst")
+        .groupBy("src").agg(sum("a1").as("h2"))
+      val a2 = e.join(h2, "src")
+        .groupBy("dst").agg(sum("h2").as("a2"))
+      nodes
+        .join(h1.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .join(indeg.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .join(a1.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .join(h2.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .join(a2.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("h1"), lit(0L)).as("outdeg"),
+          coalesce(col("indeg"), lit(0L)).as("indeg"),
+          coalesce(col("a1"), lit(0L)).as("auth1"),
+          coalesce(col("h2"), lit(0L)).as("hub2"),
+          coalesce(col("a2"), lit(0L)).as("auth2"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // Cross-source duplication matrix — near-dup pair counts per
+    // UNORDERED source pair: the "who copies whom" audit that decides
+    // whether two crawls should be deduplicated jointly or are
+    // independent (the diagonal is each source's internal dup load, the
+    // off-diagonal the cross-crawl plagiarism a per-source dedup would
+    // MISS). Scale: the pair list is the shared named LSH stage; the
+    // doc→source sliver joins in by doc_id twice (slim keyed hash
+    // joins), and the output is bounded by |sources|², never doc count.
+    "q_dedup_source_matrix" -> ((s, d) => {
+      val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+      nearDupPairs(s, d)
+        .select("id_a", "id_b")
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("source_a")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("source_b")), "id_b")
+        .select(least(col("source_a"), col("source_b")).as("s_lo"),
+          greatest(col("source_a"), col("source_b")).as("s_hi"))
+        .groupBy("s_lo", "s_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(asc_nulls_last("s_lo"), asc_nulls_last("s_hi"))
+    }),
+
     // PageRank (2 Jacobi iterations, damping 0.85) over the near-dup
     // graph — the centrality signal a dedup pipeline uses to pick the
     // CANONICAL copy of a duplicate cluster (highest-rank member ≈ most
@@ -1634,6 +1701,60 @@ object Corpus {
        |SELECT id AS doc_id, deg, r AS rank_scaled FROM r2
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** Two unrolled HITS iterations over the newer→older directed pair
+    * list — every score an exact integer (SUMs widen to HUGEINT and
+    * cast back; no scaling or division anywhere). */
+  private def hitsOracle: String =
+    s"""WITH pairs AS (
+       |${TextOps.dedupPairsSubquery}
+       |), e AS (
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), nodes AS (
+       |  SELECT src AS id FROM e UNION SELECT dst FROM e
+       |), h1 AS (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS h1 FROM e GROUP BY src
+       |), ind AS (
+       |  SELECT dst, CAST(COUNT(*) AS BIGINT) AS indeg
+       |  FROM e GROUP BY dst
+       |), a1 AS (
+       |  SELECT e.dst, CAST(SUM(h1.h1) AS BIGINT) AS a1
+       |  FROM e JOIN h1 ON h1.src = e.src GROUP BY e.dst
+       |), h2 AS (
+       |  SELECT e.src, CAST(SUM(a1.a1) AS BIGINT) AS h2
+       |  FROM e JOIN a1 ON a1.dst = e.dst GROUP BY e.src
+       |), a2 AS (
+       |  SELECT e.dst, CAST(SUM(h2.h2) AS BIGINT) AS a2
+       |  FROM e JOIN h2 ON h2.src = e.src GROUP BY e.dst
+       |)
+       |SELECT n.id AS doc_id,
+       |  COALESCE(h1.h1, 0) AS outdeg,
+       |  COALESCE(ind.indeg, 0) AS indeg,
+       |  COALESCE(a1.a1, 0) AS auth1,
+       |  COALESCE(h2.h2, 0) AS hub2,
+       |  COALESCE(a2.a2, 0) AS auth2
+       |FROM nodes n
+       |LEFT JOIN h1 ON h1.src = n.id
+       |LEFT JOIN ind ON ind.dst = n.id
+       |LEFT JOIN a1 ON a1.dst = n.id
+       |LEFT JOIN h2 ON h2.src = n.id
+       |LEFT JOIN a2 ON a2.dst = n.id
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** Pair subquery + two doc→source joins + unordered-pair fold. */
+  private def sourceMatrixOracle: String =
+    s"""WITH pairs AS (
+       |${TextOps.dedupPairsSubquery}
+       |), lab AS (
+       |  SELECT least(da.source, db.source) AS s_lo,
+       |    greatest(da.source, db.source) AS s_hi
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.id_a
+       |  JOIN documents db ON db.doc_id = p.id_b
+       |)
+       |SELECT s_lo, s_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM lab GROUP BY s_lo, s_hi
+       |ORDER BY s_lo ASC NULLS LAST, s_hi ASC NULLS LAST""".stripMargin
+
   /** Same oriented wedge + closing-edge enumeration over the proven
     * near-dup pair subquery, corners credited via unnest. */
   private def degreeDistOracle: String =
@@ -1958,6 +2079,8 @@ object Corpus {
     "q_dedup_survivor" -> survivorOracle,
     "q_graph_cc_sizes" -> ccSizesOracle,
     "q_graph_pagerank" -> pagerankOracle,
+    "q_graph_hits" -> hitsOracle,
+    "q_dedup_source_matrix" -> sourceMatrixOracle,
     "q_graph_triangles" -> trianglesOracle,
     "q_graph_clustering_coeff" -> clusteringCoeffOracle,
     "q_graph_degree_dist" -> degreeDistOracle,

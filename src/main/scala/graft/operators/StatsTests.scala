@@ -562,6 +562,134 @@ object StatsTests {
           "num", "den", "chi2")
     }),
 
+    // Cochran's Q (Cochran 1950) — the BINARY repeated-measures member
+    // of the Friedman family: same blocks (days) and treatments (the 3
+    // conversion types), but the observation dichotomizes to "did this
+    // type over-index today?" (strictly above the day's mean share:
+    // 3·c_j > c+v+p — a pure integer comparison, no division). Q asks
+    // whether the over-index pattern is stable across days or the
+    // leading type genuinely rotates. With k=3 the statistic is
+    //   Q = (k−1)(k·ΣC_j² − N²)/(k·N − ΣR_i²) = 2·num/den,
+    // num = 3ΣC² − N², den = 3N − ΣR² — ALL exact BIGINTs (C_j = per-
+    // type success totals, R_i ∈ {0..3} = per-day successes, N = ΣR),
+    // emitted next to the ONE IEEE division (identical text both
+    // engines; all-tied panels zero the denominator → Q reported 0).
+    // Scale: one day-keyed agg with map-side combine + one global agg
+    // over the day-domain-bounded frame — never an event-grain window.
+    "q_stats_cochran_q" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view", "purchase"))
+      val daily = ev
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("v"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("p"))
+        .withColumn("tot", col("c") + col("v") + col("p"))
+        .withColumn("xc",
+          when(col("c") * 3 > col("tot"), 1L).otherwise(0L))
+        .withColumn("xv",
+          when(col("v") * 3 > col("tot"), 1L).otherwise(0L))
+        .withColumn("xp",
+          when(col("p") * 3 > col("tot"), 1L).otherwise(0L))
+        .withColumn("r", col("xc") + col("xv") + col("xp"))
+      val q =
+        "CASE WHEN den = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+          "round(CAST(2 * num AS DOUBLE) / CAST(den AS DOUBLE), 6) END"
+      daily
+        .agg(count(lit(1)).as("n_days"),
+          sum("xc").as("c_click"), sum("xv").as("c_view"),
+          sum("xp").as("c_purchase"),
+          sum("r").as("n_succ"),
+          sum(col("r") * col("r")).as("sum_r2"))
+        .withColumn("num",
+          lit(3L) * (col("c_click") * col("c_click")
+            + col("c_view") * col("c_view")
+            + col("c_purchase") * col("c_purchase"))
+            - col("n_succ") * col("n_succ"))
+        .withColumn("den", lit(3L) * col("n_succ") - col("sum_r2"))
+        .withColumn("q", expr(q))
+        .select("n_days", "c_click", "c_view", "c_purchase", "n_succ",
+          "sum_r2", "num", "den", "q")
+    }),
+
+    // Bhattacharyya coefficient between the click and view value
+    // distributions — the OVERLAP monitor beside q_stats_ks's worst-gap
+    // one: BC = Σ_v √(p_v·q_v) ∈ [0,1] (1 = identical mixes), and
+    // Hellinger² = 1 − BC is the drift distance dashboards alarm on.
+    // Runs on the SAME per-value count state as the KS/MWU family
+    // ([[points]] — the streaming update-mode keyed aggregate), so the
+    // drift monitor serves all three statistics from one state. Exact:
+    // √ is IEEE-correctly-rounded on BOTH engines and every input
+    // derives identically, so each per-value term quantizes to the
+    // exact integer floor(10⁸·√(d1·d2)/√(n1·n2)) BEFORE the order-
+    // insensitive integer SUM (the q_stats_chi2 quantization move —
+    // float sum order never matters); n1/n2 ride a 1-row broadcast.
+    // Scale: one value-grain keyed agg + a 1-row broadcast join — the
+    // term grain is the value DOMAIN, never event count.
+    "q_stats_bhattacharyya" -> ((s, d) => {
+      val pts = points(s, d)
+      val tot = broadcast(
+        pts.agg(sum("d1").as("n1"), sum("d2").as("n2"))
+          .withColumn("_one", lit(1)))
+      pts.withColumn("_one", lit(1))
+        .join(tot, "_one")
+        .withColumn("term", expr(
+          "CAST(FLOOR(CAST(100000000 AS DOUBLE) " +
+            "* sqrt(CAST(d1 * d2 AS DOUBLE)) " +
+            "/ sqrt(CAST(n1 * n2 AS DOUBLE))) AS BIGINT)"))
+        .agg(max("n1").as("n_click"), max("n2").as("n_view"),
+          count(lit(1)).as("n_values"),
+          sum("term").as("bc_e8"))
+        .withColumn("hellinger2_e8", lit(100000000L) - col("bc_e8"))
+    }),
+
+    // Cramér's V (Cramér 1946) — the EFFECT-SIZE companion to
+    // q_stats_chi2's significance test on the same event_type × ISO
+    // weekday contingency table: χ² grows with N, so at 100 TB
+    // everything is "significant" — V = √(χ²/(N·(min(r,c)−1))) ∈ [0,1]
+    // is the scale-free association strength a pipeline actually gates
+    // on. The table machinery is the proven chi2 shape (cells keyed
+    // agg, marginals as windows over the ≤7×|types| grid, grand total
+    // as a 1-row broadcast) with the identical ppm quantization; V is
+    // a fixed IEEE tree (√ correctly rounded) over the one wide row,
+    // spliced verbatim into both engines, guarded for a degenerate
+    // single-level table. Scale: identical to q_stats_chi2 — one tiny
+    // cells aggregate, never an event-grain shuffle.
+    "q_stats_cramers_v" -> ((s, d) => {
+      val cells = t(s, d, "events")
+        .groupBy(col("event_type"),
+          (expr("weekday(ts)") + 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val tot = broadcast(cells.agg(sum("o").as("n"))
+        .withColumn("_one", lit(1)))
+      val v =
+        "CASE WHEN mindim <= 1 THEN CAST(0 AS DOUBLE) ELSE " +
+          "round(sqrt((CAST(chi2_ppm AS DOUBLE) " +
+          "/ CAST(1000000 AS DOUBLE)) / (CAST(n_events AS DOUBLE) " +
+          "* CAST(mindim - 1 AS DOUBLE))), 6) END"
+      cells
+        .withColumn("r",
+          sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("c", sum("o").over(Window.partitionBy("dow")))
+        .withColumn("_one", lit(1))
+        .join(tot, "_one")
+        .withColumn("q", expr(
+          "CAST((CAST(o * n - r * c AS DECIMAL(38,0)) * (o * n - r * c)"
+            + " * 1000000) DIV (r * c * n) AS BIGINT)"))
+        .agg(sum("q").as("chi2_ppm"),
+          countDistinct(col("event_type")).as("r_levels"),
+          countDistinct(col("dow")).as("c_levels"),
+          max(col("n")).as("n_events"))
+        .withColumn("mindim", least(col("r_levels"), col("c_levels")))
+        .withColumn("v", expr(v))
+        .select("chi2_ppm", "r_levels", "c_levels", "n_events",
+          "mindim", "v")
+    }),
+
     // Wald–Wolfowitz runs test per event_type — the SEQUENCE-randomness
     // screen next to q_stats_benford's digit-distribution one (Wald &
     // Wolfowitz 1940): too few runs of above/below-median values in
@@ -757,6 +885,107 @@ object StatsTests {
          |    round(CAST(2 * num AS DOUBLE) / CAST(den AS DOUBLE), 6)
          |  END AS chi2
          |FROM pieces""".stripMargin,
+
+    // Same daily CTE; the dichotomize/assemble arithmetic is the
+    // verbatim integer text, Q the verbatim one-division tree.
+    "q_stats_cochran_q" ->
+      s"""WITH daily AS (
+         |  SELECT date_trunc('day', ts) AS day,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c,
+         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS v,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS p
+         |  FROM events
+         |  WHERE event_type IN ('click', 'view', 'purchase')
+         |  GROUP BY 1
+         |), ind AS (
+         |  SELECT
+         |    CASE WHEN c * 3 > c + v + p THEN 1 ELSE 0 END AS xc,
+         |    CASE WHEN v * 3 > c + v + p THEN 1 ELSE 0 END AS xv,
+         |    CASE WHEN p * 3 > c + v + p THEN 1 ELSE 0 END AS xp
+         |  FROM daily
+         |), agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(xc) AS BIGINT) AS c_click,
+         |    CAST(SUM(xv) AS BIGINT) AS c_view,
+         |    CAST(SUM(xp) AS BIGINT) AS c_purchase,
+         |    CAST(SUM(xc + xv + xp) AS BIGINT) AS n_succ,
+         |    CAST(SUM((xc + xv + xp) * (xc + xv + xp)) AS BIGINT)
+         |      AS sum_r2
+         |  FROM ind
+         |), pieces AS (
+         |  SELECT *,
+         |    3 * (c_click * c_click + c_view * c_view
+         |      + c_purchase * c_purchase) - n_succ * n_succ AS num,
+         |    3 * n_succ - sum_r2 AS den
+         |  FROM agg
+         |)
+         |SELECT n_days, c_click, c_view, c_purchase, n_succ, sum_r2,
+         |  num, den,
+         |  CASE WHEN den = 0 THEN CAST(0 AS DOUBLE) ELSE
+         |    round(CAST(2 * num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+         |  END AS q
+         |FROM pieces""".stripMargin,
+
+    // Same per-value count CTE as the KS/MWU oracles; the per-term
+    // quantization text is verbatim (√ correctly rounded both engines).
+    "q_stats_bhattacharyya" ->
+      s"""WITH pts AS (
+         |  SELECT value,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d1,
+         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d2
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |  GROUP BY value
+         |), tot AS (
+         |  SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+         |    CAST(SUM(d2) AS BIGINT) AS n2
+         |  FROM pts
+         |), terms AS (
+         |  SELECT d1, d2, n1, n2,
+         |    CAST(FLOOR(CAST(100000000 AS DOUBLE)
+         |      * sqrt(CAST(d1 * d2 AS DOUBLE))
+         |      / sqrt(CAST(n1 * n2 AS DOUBLE))) AS BIGINT) AS term
+         |  FROM pts CROSS JOIN tot
+         |)
+         |SELECT MAX(n1) AS n_click, MAX(n2) AS n_view,
+         |  CAST(COUNT(*) AS BIGINT) AS n_values,
+         |  CAST(SUM(term) AS BIGINT) AS bc_e8,
+         |  100000000 - CAST(SUM(term) AS BIGINT) AS hellinger2_e8
+         |FROM terms""".stripMargin,
+
+    // The q_stats_chi2 oracle shape with the verbatim V tree on top.
+    "q_stats_cramers_v" ->
+      s"""WITH cells AS (
+         |  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+         |    COUNT(*) AS o
+         |  FROM events GROUP BY event_type, isodow(ts)
+         |), n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+         |m AS (
+         |  SELECT event_type, dow, o,
+         |    CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+         |    CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS c
+         |  FROM cells
+         |), agg AS (
+         |  SELECT CAST(SUM(((m.o * n.n - m.r * m.c)
+         |      * (m.o * n.n - m.r * m.c) * 1000000)
+         |      // (m.r * m.c * n.n)) AS BIGINT) AS chi2_ppm,
+         |    CAST(COUNT(DISTINCT m.event_type) AS BIGINT) AS r_levels,
+         |    CAST(COUNT(DISTINCT m.dow) AS BIGINT) AS c_levels,
+         |    max(n.n) AS n_events
+         |  FROM m, n
+         |), wide AS (
+         |  SELECT *, least(r_levels, c_levels) AS mindim FROM agg
+         |)
+         |SELECT chi2_ppm, r_levels, c_levels, n_events, mindim,
+         |  CASE WHEN mindim <= 1 THEN CAST(0 AS DOUBLE) ELSE
+         |    round(sqrt((CAST(chi2_ppm AS DOUBLE)
+         |    / CAST(1000000 AS DOUBLE)) / (CAST(n_events AS DOUBLE)
+         |    * CAST(mindim - 1 AS DOUBLE))), 6) END AS v
+         |FROM wide""".stripMargin,
 
     "q_stats_kruskal" ->
       s"""WITH pts AS (

@@ -1331,6 +1331,67 @@ object TextOps {
         .orderBy(desc_nulls_last("df"), asc_nulls_last("tok"))
     }),
 
+    // BM25 retrieval (Robertson & Walker 1994, k₁=1.2 b=0.75) — the
+    // top-20 documents for a self-derived 4-term query (the df-band
+    // tokens ranked 6–9: past the stopword head, still corpus-wide).
+    // THE ranked-retrieval scorer a curation stack uses for targeted
+    // corpus probes ("find the docs about X"), upgrading q_text_tfidf's
+    // raw tf·idf with saturation and length normalization. Exactness:
+    // idf = ln((N−df+½)/(df+½)) = ln2·(log2(2N−2df+1) − log2(2df+1)) —
+    // a ratio of ODD INTEGERS through two portable-log2 chains (the
+    // q_text_perplexity move); the tf part is a fixed IEEE tree over
+    // integer tf/dl (k₁+1 = 2.2, 1−b = 0.25, b = 0.75 — identical
+    // literal text, avgdl one division of exact casts); each per-term
+    // score quantizes to the 1e-10 grid BEFORE the per-doc integer sum,
+    // so engine sum order never matters. Negative idf (df > N/2) is
+    // kept — Robertson's raw form; floor(x+½) is exact either sign.
+    // Scale: tf is one (doc,term)-keyed agg with map-side combine
+    // against a 4-row broadcast term table; dl one doc-keyed agg;
+    // terminal TakeOrdered(20) — no global windows, no vocab shuffle
+    // beyond the df aggregate every text query already pays.
+    "q_text_bm25" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tot = broadcast(dl
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+        .withColumn("_one", lit(1)))
+      val df = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      def band(n: Int) = df
+        .orderBy(desc_nulls_last("df"), asc_nulls_last("tok")).limit(n)
+      val qterms = broadcast(band(9)
+        .join(band(5).select("tok"), Seq("tok"), "left_anti"))
+      val base = toks.join(qterms, "tok")
+        .groupBy("doc_id", "tok", "df").agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+        .withColumn("_one", lit(1)).join(tot, "_one")
+        .withColumn("hi",
+          lit(2L) * col("n_docs") - lit(2L) * col("df") + 1L)
+        .withColumn("lo", lit(2L) * col("df") + 1L)
+      graft.Det.withPlog2(graft.Det.withPlog2(base, "hi", "l2h"),
+          "lo", "l2l")
+        .withColumn("q", expr(
+          "CAST(floor((l2h - l2l) " +
+            "* CAST(0.6931471805599453 AS DOUBLE) " +
+            "* ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) " +
+            "/ (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) " +
+            "* (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) " +
+            "* (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) " +
+            "/ CAST(n_docs AS DOUBLE)))))) " +
+            "* CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(max("dl").as("dl"), count(lit(1)).as("n_hits"),
+          sum("q").as("sq"))
+        .withColumn("score", expr(
+          "CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE)"))
+        .orderBy(desc_nulls_last("sq"), asc_nulls_last("doc_id"))
+        .limit(20)
+        .select("doc_id", "dl", "n_hits", "sq", "score")
+    }),
+
     // Katz's word burstiness for the top-50 corpus tokens — once a
     // word appears in a document, how many MORE times does it appear
     // there (burstiness = tf/df − 1, Katz 1996)? Function words repeat
@@ -2663,6 +2724,72 @@ object TextOps {
         |  FROM documents
         |) GROUP BY tok HAVING COUNT(*) >= 10
         |ORDER BY df DESC NULLS LAST, tok ASC NULLS LAST""".stripMargin,
+
+    // Same df-band term table and the verbatim idf/tf expression text;
+    // the per-term grid quantization makes the per-doc sum an exact
+    // integer on both engines.
+    "q_text_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE text IS NOT NULL
+         |), dl AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+         |  FROM toks GROUP BY doc_id
+         |), tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(dl) AS BIGINT) AS sum_dl
+         |  FROM dl
+         |), df AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM (
+         |    SELECT DISTINCT doc_id, tok FROM toks
+         |  ) GROUP BY tok
+         |), q9 AS (
+         |  SELECT tok, df FROM df
+         |  ORDER BY df DESC NULLS LAST, tok ASC NULLS LAST LIMIT 9
+         |), q5 AS (
+         |  SELECT tok FROM df
+         |  ORDER BY df DESC NULLS LAST, tok ASC NULLS LAST LIMIT 5
+         |), qt AS (
+         |  SELECT tok, df FROM q9
+         |  WHERE tok NOT IN (SELECT tok FROM q5)
+         |), base AS (
+         |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+         |    max(qt.df) AS df
+         |  FROM toks t JOIN qt ON qt.tok = t.tok
+         |  GROUP BY t.doc_id, t.tok
+         |), wide AS (
+         |  SELECT b.doc_id, b.tf, dl.dl, tot.n_docs, tot.sum_dl,
+         |    2 * tot.n_docs - 2 * b.df + 1 AS hi,
+         |    2 * b.df + 1 AS lo
+         |  FROM base b JOIN dl ON dl.doc_id = b.doc_id CROSS JOIN tot
+         |), lg AS (
+         |  SELECT doc_id, tf, dl, n_docs, sum_dl,
+         |    ${graft.Det.sqlPlog2Cols("hi", "h_")},
+         |    ${graft.Det.sqlPlog2Cols("lo", "l_")}
+         |  FROM wide
+         |), qq AS (
+         |  SELECT doc_id, dl,
+         |    CAST(floor((h_l2 - l_l2)
+         |      * CAST(0.6931471805599453 AS DOUBLE)
+         |      * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |      * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+         |      * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE)
+         |      / CAST(n_docs AS DOUBLE))))))
+         |      * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+         |  FROM lg
+         |), agg AS (
+         |  SELECT doc_id, max(dl) AS dl,
+         |    CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |    CAST(SUM(q) AS BIGINT) AS sq
+         |  FROM qq GROUP BY doc_id
+         |)
+         |SELECT doc_id, dl, n_hits, sq,
+         |  CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE) AS score
+         |FROM agg
+         |ORDER BY sq DESC NULLS LAST, doc_id ASC NULLS LAST
+         |LIMIT 20""".stripMargin,
 
     // Same (doc, tok) pre-distinct tf/df aggregate, the same top-50
     // tie-break, and the single (tf − df)/df division.

@@ -241,6 +241,56 @@ class CorpusSpec extends SparkSpec {
       && mass >= 1000000000000L - (n + sym.length + 100L))
   }
 
+  test("q_graph_hits matches an exact-integer Scala replay of two " +
+      "unrolled iterations and pins the walk-count identity") {
+    val pairs = TextDedup.nearDuplicates(
+        Tables.table(spark, sf, "documents"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(1), r.getLong(0))) // src = id_b, dst = id_a
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val h1 = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val indeg = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val a1 = pairs.groupBy(_._2).map { case (v, es) =>
+      v -> es.map(e => h1(e._1)).sum }
+    val h2 = pairs.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(e => a1.getOrElse(e._2, 0L)).sum }
+    val a2 = pairs.groupBy(_._2).map { case (v, es) =>
+      v -> es.map(e => h2.getOrElse(e._1, 0L)).sum }
+    val out = Corpus.queries("q_graph_hits")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == nodes.toSet)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == h1.getOrElse(id, 0L), s"outdeg $id")
+      assert(r.getLong(2) == indeg.getOrElse(id, 0L), s"indeg $id")
+      assert(r.getLong(3) == a1.getOrElse(id, 0L), s"auth1 $id")
+      assert(r.getLong(4) == h2.getOrElse(id, 0L), s"hub2 $id")
+      assert(r.getLong(5) == a2.getOrElse(id, 0L), s"auth2 $id")
+    }
+    // a1 counts length-2 directed walks ending at v: Σ_v a1(v) = Σ_u outdeg(u)²
+    assert(out.map(_.getLong(3)).sum
+      == h1.values.map(x => x * x).sum, "walk-count identity")
+  }
+
+  test("q_dedup_source_matrix equals a plain-Scala unordered-pair fold " +
+      "and conserves the pair total") {
+    import spark.implicits._
+    val srcOf = Tables.table(spark, sf, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val pairs = TextDedup.nearDuplicates(
+        Tables.table(spark, sf, "documents"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val out = Corpus.queries("q_dedup_source_matrix")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == expect)
+    assert(out.values.sum == pairs.length.toLong)
+  }
+
   test("q_decontaminate flags planted eval overlap and only that") {
     val out = Corpus.queries("q_decontaminate")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

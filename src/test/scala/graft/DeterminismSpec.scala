@@ -41,7 +41,12 @@ class DeterminismSpec extends SparkSpec {
     "q_text_lm_kn",      // KN rationals + 3 log2 chains + downshift
     "q_stats_friedman",  // doubled block midranks + one chi2 division
     "q_sketch_kmv",      // hash-order window top-K + one estimate op
-    "q_sketch_theta")    // TakeOrdered theta + two estimate ops
+    "q_sketch_theta",    // TakeOrdered theta + two estimate ops
+    "q_stats_cochran_q", // dichotomized day blocks + one Q division
+    "q_stats_bhattacharyya", // per-value quantized sqrt terms
+    "q_stats_cramers_v", // chi2 ppm cells + fixed sqrt V tree
+    "q_graph_hits",      // directed join-sum iterations, all integer
+    "q_text_bm25")       // df-band terms + grid-quantized log2 scores
 
   sensitive.foreach { name =>
     test(s"$name is identical at shuffle.partitions 3 vs 13") {

@@ -551,6 +551,145 @@ class OperatorsSpec extends SparkSpec {
     assert(num >= 0, "Cauchy–Schwarz lower bound")
   }
 
+  test("q_stats_cochran_q equals a plain-Scala dichotomized replay") {
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+    val types = Seq("click", "view", "purchase")
+    val blocks = rows.groupBy(_._1).values.map { evs =>
+      val cnts = types.map(t => evs.count(_._2 == t).toLong)
+      val tot = cnts.sum
+      cnts.map(c => if (c * 3 > tot) 1L else 0L)
+    }.toSeq
+    val n = blocks.length.toLong
+    val cj = types.indices.map(j => blocks.map(_(j)).sum)
+    val nSucc = cj.sum
+    val sumR2 = blocks.map(b => { val r = b.sum; r * r }).sum
+    val num = 3L * cj.map(x => x * x).sum - nSucc * nSucc
+    val den = 3L * nSucc - sumR2
+    val q = if (den == 0) 0.0
+      else BigDecimal(2.0 * num / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = StatsTests.queries("q_stats_cochran_q")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_days") == n)
+    assert(r.getAs[Long]("c_click") == cj(0)
+      && r.getAs[Long]("c_view") == cj(1)
+      && r.getAs[Long]("c_purchase") == cj(2))
+    assert(r.getAs[Long]("n_succ") == nSucc
+      && r.getAs[Long]("sum_r2") == sumR2)
+    assert(r.getAs[Long]("num") == num && r.getAs[Long]("den") == den)
+    assert(r.getAs[Double]("q") == q)
+    // Q's numerator is a variance of column totals — never negative
+    assert(3L * cj.map(x => x * x).sum >= nSucc * nSucc)
+  }
+
+  test("q_stats_bhattacharyya equals a plain-Scala quantized-term " +
+      "replay and sits in [0, 1]") {
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select("value", "event_type")
+      .collect().map(r => (Option(r.get(0)), r.getString(1)))
+    val byValue = rows.groupBy(_._1).view.mapValues { evs =>
+      (evs.count(_._2 == "click").toLong,
+        evs.count(_._2 == "view").toLong)
+    }.toMap
+    val n1 = byValue.values.map(_._1).sum
+    val n2 = byValue.values.map(_._2).sum
+    val bc = byValue.values.map { case (d1, d2) =>
+      math.floor(1.0e8 * math.sqrt((d1 * d2).toDouble)
+        / math.sqrt((n1 * n2).toDouble)).toLong
+    }.sum
+    val r = StatsTests.queries("q_stats_bhattacharyya")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_click") == n1
+      && r.getAs[Long]("n_view") == n2)
+    assert(r.getAs[Long]("n_values") == byValue.size.toLong)
+    assert(r.getAs[Long]("bc_e8") == bc)
+    assert(r.getAs[Long]("hellinger2_e8") == 100000000L - bc)
+    assert(bc >= 0L && bc <= 100000000L)
+  }
+
+  test("q_stats_cramers_v squares the chi2 into [0, 1] and matches a " +
+      "plain-Scala contingency replay") {
+    val rows = Tables.table(spark, sf, "events")
+      .select(col("event_type"),
+        (expr("weekday(ts)") + 1).cast("long").as("dow"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val cells = rows.groupBy(identity).view.mapValues(_.size.toLong)
+    val n = rows.length.toLong
+    val rTot = rows.groupBy(_._1).view.mapValues(_.size.toLong)
+    val cTot = rows.groupBy(_._2).view.mapValues(_.size.toLong)
+    val chi2ppm = cells.map { case ((et, dow), o) =>
+      val (rr, cc) = (rTot(et), cTot(dow))
+      val dev = BigInt(o) * n - BigInt(rr) * cc
+      (dev * dev * 1000000 / (BigInt(rr) * cc * n)).toLong
+    }.sum
+    val mindim = math.min(rTot.size, cTot.size).toLong
+    val v = BigDecimal(math.sqrt((chi2ppm / 1.0e6)
+        / (n.toDouble * (mindim - 1).toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = StatsTests.queries("q_stats_cramers_v")(spark, sf)
+      .collect().head
+    assert(out.getAs[Long]("chi2_ppm") == chi2ppm)
+    assert(out.getAs[Long]("n_events") == n)
+    assert(out.getAs[Long]("mindim") == mindim)
+    assert(out.getAs[Double]("v") == v)
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  test("q_text_bm25 equals a plain-Scala replay through the portable " +
+      "log2 chain") {
+    // bit-identical replay of Det.withPlog2 (same operation order)
+    def plog2(n: Long): Double = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      val m = n.toDouble / (1L << e).toDouble
+      val z = (m - 1.0) / (m + 1.0)
+      val z2 = z * z
+      e.toDouble + (2.0 * (z * (1.0 + z2 * (1.0 / 3.0 + z2 *
+        (1.0 / 5.0 + z2 * (1.0 / 7.0 + z2 * (1.0 / 9.0 + z2 *
+          (1.0 / 11.0))))))) / 0.6931471805599453)
+    }
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val dl = docs.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val nDocs = docs.length.toLong
+    val sumDl = dl.values.sum
+    val df = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val band = df.toSeq.sortBy { case (tok, d) => (-d, tok) }
+    val qterms = band.slice(5, 9).toMap
+    val scored = docs.flatMap { case (id, ts) =>
+      ts.filter(qterms.contains).groupBy(identity).toSeq
+        .map { case (tok, occ) =>
+        val d = qterms(tok)
+        val idf = (plog2(2L * nDocs - 2L * d + 1L)
+          - plog2(2L * d + 1L)) * 0.6931471805599453
+        val tf = occ.length.toDouble
+        val part = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *
+          (dl(id).toDouble / (sumDl.toDouble / nDocs.toDouble))))
+        id -> math.floor(idf * part * 1.0e10 + 0.5).toLong
+      }
+    }
+    val perDoc = scored.groupBy(_._1).view.mapValues { qs =>
+      (qs.length.toLong, qs.map(_._2).sum)
+    }.toMap
+    val expect = perDoc.toSeq
+      .sortBy { case (id, (_, sq)) => (-sq, id) }.take(20)
+    val out = TextOps.queries("q_text_bm25")(spark, sf).collect()
+    assert(out.length == expect.length)
+    out.zip(expect).foreach { case (r, (id, (hits, sq))) =>
+      assert(r.getAs[Long]("doc_id") == id)
+      assert(r.getAs[Long]("dl") == dl(id))
+      assert(r.getAs[Long]("n_hits") == hits)
+      assert(r.getAs[Long]("sq") == sq, s"doc $id")
+      assert(r.getAs[Double]("score") == sq.toDouble / 1.0e10)
+    }
+  }
+
   test("q_stream_late_audit equals a plain-Scala running-max lateness " +
       "replay") {
     val rows = Tables.table(spark, sf, "events")

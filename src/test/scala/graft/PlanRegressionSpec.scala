@@ -359,7 +359,16 @@ class PlanRegressionSpec extends SparkSpec {
       // 1-row broadcasts on constant keys: the θ scalar (a TakeOrdered
       // top-K aggregate, bounded by K) and the exact-count pair — the
       // q_text_docfreq shape twice
-      "q_sketch_theta")
+      "q_sketch_theta",
+      // 1-row broadcast of the (n1, n2) sample totals on a constant
+      // key against the value-domain point frame — the q_stats_ks shape
+      "q_stats_bhattacharyya",
+      // 1-row broadcast of the contingency grand total — the
+      // q_stats_chi2 shape verbatim
+      "q_stats_cramers_v",
+      // 1-row broadcast of the (n_docs, sum_dl) corpus totals on a
+      // constant key — the q_text_docfreq shape
+      "q_text_bm25")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
