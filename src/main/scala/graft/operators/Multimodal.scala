@@ -39,6 +39,20 @@ object Multimodal {
     expr(s"CAST(conv($parts, 16, 10) AS BIGINT)")
   }
 
+  /** DuckDB-side little-endian WRITER fragment: byte-reverse a
+    * pre-padded 2n-digit hex column (ico, avi oracles — the SQL mirror
+    * of [[le]]). */
+  private def sqlLeW(padded: String, n: Int): String =
+    (n - 1).to(0, -1).map(i => s"substring($padded, ${2 * i + 1}, 2)")
+      .mkString(" || ")
+
+  /** DuckDB-side little-endian READER fragment over hex column `h` at
+    * 0-based byte offset (the SQL mirror of [[leR]]). */
+  private def sqlLeR(off: Int, n: Int): String =
+    "CAST('0x' || " + (off + n - 1).to(off, -1)
+      .map(b => s"substring(h, ${2 * b + 1}, 2)")
+      .mkString(" || ") + " AS BIGINT)"
+
   /** Little-endian READER inlining hex(payload) with 1-BASED byte
     * offsets (gif, wav — the older convention their spec offsets were
     * written against). */
@@ -201,6 +215,148 @@ object Multimodal {
         f(leRead(12, 1)).as("bg_index"))
         .withColumn("n_colors", expr(
           "shiftleft(CAST(2 AS BIGINT), CAST(packed % 8 AS INT))"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // ICO directory parse — the MULTI-ENTRY member of the header family:
+    // an ICONDIR (reserved 0, type 1, count — all u16 LE) followed by
+    // count 16-byte ICONDIRENTRYs whose u8 width/height encode 256 AS
+    // ZERO (the one header in the family with a sentinel dimension —
+    // the decode is a CASE, engine-identical) plus u16 planes/bitcount
+    // and u32 bytes/offset. The fixture writes a spec-correct 2-entry
+    // directory (offsets chained: entry 2 starts where entry 1's bytes
+    // end) from doc fields; the parse reads BOTH entries at their
+    // 6 + 16·i offsets and verifies the offset chain — a real reader's
+    // directory-walk, flattened (count is fixture-known = 2, so no
+    // data-dependent loop; q_multimodal_ogg covers that case). Every
+    // 5th doc sniff-rejects (printable text can never hex-start
+    // "00000100"). Pure narrow map over a binary column.
+    "q_multimodal_ico" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("text"))
+        .withColumn("w1r", (col("doc_id") % 256).cast("long"))
+        .withColumn("h1r", ((col("doc_id") * 7) % 256).cast("long"))
+        .withColumn("bpp1", element_at(
+          array(lit(4L), lit(8L), lit(24L), lit(32L)),
+          (col("doc_id") % 4 + 1).cast("int")))
+        .withColumn("w2r", ((col("doc_id") * 3) % 256).cast("long"))
+        .withColumn("h2r", ((col("doc_id") * 5) % 256).cast("long"))
+        .withColumn("bpp2", element_at(
+          array(lit(4L), lit(8L), lit(24L), lit(32L)),
+          ((col("doc_id") * 2) % 4 + 1).cast("int")))
+        .withColumn("bytes1", (col("doc_id") % 999 + 1) * 8L)
+        .withColumn("bytes2", ((col("doc_id") * 7) % 999 + 1) * 4L)
+        .withColumn("col1",
+          when(col("bpp1") === 4L, lit(16L)).otherwise(lit(0L)))
+        .withColumn("col2",
+          when(col("bpp2") === 4L, lit(16L)).otherwise(lit(0L)))
+      def entry(w: String, h: String, c: String, bpp: String,
+          bytes: Column, off: Column) = concat(
+        lpad(hex(col(w)), 2, "0"), lpad(hex(col(h)), 2, "0"),
+        lpad(hex(col(c)), 2, "0"), lit("00"),
+        le(lit(1L), 2), le(col(bpp), 2), le(bytes, 4), le(off, 4))
+      val icoHex = concat(lit("000001000200"),
+        entry("w1r", "h1r", "col1", "bpp1", col("bytes1"), lit(38L)),
+        entry("w2r", "h2r", "col2", "bpp2", col("bytes2"),
+          lit(38L) + col("bytes1")))
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(icoHex)
+      val withPayload = base.select(col("doc_id"),
+        unhex(payloadHex).as("payload"))
+        .withColumn("h", hex(col("payload")))
+      val isIco = length(col("payload")) >= 38 &&
+        expr("substring(h, 1, 8)") === "00000100"
+      def f(c: Column) = when(isIco, c)
+      def dim(raw: Column) =
+        when(raw === 0L, lit(256L)).otherwise(raw)
+      withPayload
+        .withColumn("is_ico", isIco)
+        .withColumn("n_images", f(leR(4, 2)))
+        .withColumn("w1", f(dim(leR(6, 1))))
+        .withColumn("h1", f(dim(leR(7, 1))))
+        .withColumn("bits1", f(leR(12, 2)))
+        .withColumn("bytes1", f(leR(14, 4)))
+        .withColumn("off1", f(leR(18, 4)))
+        .withColumn("w2", f(dim(leR(22, 1))))
+        .withColumn("h2", f(dim(leR(23, 1))))
+        .withColumn("bits2", f(leR(28, 2)))
+        .withColumn("bytes2", f(leR(30, 4)))
+        .withColumn("off2", f(leR(34, 4)))
+        .withColumn("chain_ok", f(col("off1") === 38L
+          && col("off2") === col("off1") + col("bytes1")))
+        .select("doc_id", "is_ico", "n_images", "w1", "h1", "bits1",
+          "bytes1", "off1", "w2", "h2", "bits2", "bytes2", "off2",
+          "chain_ok")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // AVI main-header parse — the NESTED-CONTAINER member of the header
+    // family: RIFF('AVI ') wraps LIST('hdrl') wraps the 'avih' chunk
+    // (every size field u32 LE), and the MainAVIHeader's
+    // dwMicroSecPerFrame/dwTotalFrames/dwStreams/dwWidth/dwHeight sit
+    // at fixed offsets inside it — three levels of container framing
+    // where WAV had one. The fixture writes a spec-consistent 88-byte
+    // header (RIFF size = 80, LIST size = 68, avih cb = 56, frame
+    // period = 10⁶ DIV fps over a 5-rate table); the parse verifies
+    // the size chain and derives fps×1000 and clip duration by integer
+    // floor division — engine-identical, no float frame rates. Every
+    // 5th doc sniff-rejects. Pure narrow map over a binary column.
+    "q_multimodal_avi" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("text"))
+        .withColumn("fps", element_at(
+          array(lit(10L), lit(24L), lit(25L), lit(30L), lit(60L)),
+          (col("doc_id") % 5 + 1).cast("int")))
+        .withColumn("uspf", expr("CAST(1000000 AS BIGINT) DIV fps"))
+        .withColumn("frames", (col("doc_id") % 3600 + 1).cast("long"))
+        .withColumn("streams", (col("doc_id") % 2 + 1).cast("long"))
+        .withColumn("w", (col("doc_id") % 1920 + 1).cast("long"))
+        .withColumn("hpx", ((col("doc_id") * 3) % 1080 + 1).cast("long"))
+      val aviHex = concat(lit("52494646"), // 'RIFF'
+        le(lit(80L), 4), // riff size = 88 - 8
+        lit("41564920"), // 'AVI '
+        lit("4C495354"), // 'LIST'
+        le(lit(68L), 4), // list size: 'hdrl' + avih chunk
+        lit("6864726C"), // 'hdrl'
+        lit("61766968"), // 'avih'
+        le(lit(56L), 4), // avih cb
+        le(col("uspf"), 4), le(lit(500000L), 4), // usPerFrame, maxBps
+        le(lit(0L), 4), le(lit(16L), 4), // padding, AVIF_HASINDEX
+        le(col("frames"), 4), le(lit(0L), 4), // totalFrames, initial
+        le(col("streams"), 4), le(lit(65536L), 4), // streams, sugBuf
+        le(col("w"), 4), le(col("hpx"), 4),
+        lit("00000000000000000000000000000000")) // dwReserved[4]
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(aviHex)
+      val withPayload = base.select(col("doc_id"),
+        unhex(payloadHex).as("payload"))
+        .withColumn("h", hex(col("payload")))
+      val isAvi = length(col("payload")) >= 88 &&
+        expr("substring(h, 1, 8)") === "52494646" &&
+        expr("substring(h, 17, 8)") === "41564920"
+      def f(c: Column) = when(isAvi, c)
+      withPayload
+        .withColumn("is_avi", isAvi)
+        .withColumn("riff_size", f(leR(4, 4)))
+        .withColumn("list_size", f(leR(16, 4)))
+        .withColumn("avih_cb", f(leR(28, 4)))
+        .withColumn("us_per_frame", f(leR(32, 4)))
+        .withColumn("total_frames", f(leR(48, 4)))
+        .withColumn("n_streams", f(leR(56, 4)))
+        .withColumn("width", f(leR(64, 4)))
+        .withColumn("height", f(leR(68, 4)))
+        .withColumn("fps_x1000", f(expr(
+          "CAST(1000000000 AS BIGINT) DIV us_per_frame")))
+        .withColumn("duration_ms", f(expr(
+          "(us_per_frame * total_frames) DIV 1000")))
+        .withColumn("size_chain_ok", f(
+          col("riff_size") === col("list_size") + 12L
+            && col("avih_cb") === col("list_size") - 12L))
+        .select("doc_id", "is_avi", "riff_size", "list_size", "avih_cb",
+          "us_per_frame", "total_frames", "n_streams", "width", "height",
+          "fps_x1000", "duration_ms", "size_chain_ok")
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
@@ -961,6 +1117,142 @@ object Multimodal {
         |    << CAST(CAST('0x' || substring(ph, 21, 2) AS BIGINT) % 8
         |      AS INTEGER) END AS n_colors
         |FROM parsed ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same 2-entry directory construction; the 256-as-zero dimension
+    // decode is the identical CASE text on both engines.
+    "q_multimodal_ico" ->
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    CAST(doc_id % 256 AS BIGINT) AS w1r,
+         |    CAST((doc_id * 7) % 256 AS BIGINT) AS h1r,
+         |    CAST(CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 8
+         |      WHEN 2 THEN 24 ELSE 32 END AS BIGINT) AS bpp1,
+         |    CAST((doc_id * 3) % 256 AS BIGINT) AS w2r,
+         |    CAST((doc_id * 5) % 256 AS BIGINT) AS h2r,
+         |    CAST(CASE (doc_id * 2) % 4 WHEN 0 THEN 4 WHEN 1 THEN 8
+         |      WHEN 2 THEN 24 ELSE 32 END AS BIGINT) AS bpp2,
+         |    CAST((doc_id % 999 + 1) * 8 AS BIGINT) AS b1,
+         |    CAST(((doc_id * 7) % 999 + 1) * 4 AS BIGINT) AS b2,
+         |    hex(encode(substring(text, 1, 8))) AS th
+         |  FROM documents
+         |), d2 AS (
+         |  SELECT *,
+         |    CASE WHEN bpp1 = 4 THEN 16 ELSE 0 END AS c1,
+         |    CASE WHEN bpp2 = 4 THEN 16 ELSE 0 END AS c2,
+         |    38 + b1 AS o2 FROM src
+         |), enc AS (
+         |  SELECT doc_id, th,
+         |    lpad(hex(w1r), 2, '0') AS w1h, lpad(hex(h1r), 2, '0') AS h1h,
+         |    lpad(hex(c1), 2, '0') AS c1h, lpad(hex(bpp1), 4, '0') AS p1h,
+         |    lpad(hex(b1), 8, '0') AS b1h,
+         |    lpad(hex(w2r), 2, '0') AS w2h, lpad(hex(h2r), 2, '0') AS h2h,
+         |    lpad(hex(c2), 2, '0') AS c2h, lpad(hex(bpp2), 4, '0') AS p2h,
+         |    lpad(hex(b2), 8, '0') AS b2h, lpad(hex(o2), 8, '0') AS o2h
+         |  FROM d2
+         |), built AS (
+         |  SELECT doc_id, from_hex(CASE WHEN doc_id % 5 = 0 THEN th ELSE
+         |    '000001000200' ||
+         |    w1h || h1h || c1h || '00' || '0100' ||
+         |    ${sqlLeW("p1h", 2)} || ${sqlLeW("b1h", 4)} || '26000000' ||
+         |    w2h || h2h || c2h || '00' || '0100' ||
+         |    ${sqlLeW("p2h", 2)} || ${sqlLeW("b2h", 4)} ||
+         |    ${sqlLeW("o2h", 4)}
+         |    END) AS payload
+         |  FROM enc
+         |), parsed AS (
+         |  SELECT doc_id, hex(payload) AS h,
+         |    octet_length(payload) >= 38
+         |      AND substring(hex(payload), 1, 8) = '00000100' AS is_ico
+         |  FROM built
+         |), fields AS (
+         |  SELECT doc_id, is_ico,
+         |    CASE WHEN is_ico THEN ${sqlLeR(4, 2)} END AS n_images,
+         |    CASE WHEN is_ico THEN CASE WHEN ${sqlLeR(6, 1)} = 0
+         |      THEN 256 ELSE ${sqlLeR(6, 1)} END END AS w1,
+         |    CASE WHEN is_ico THEN CASE WHEN ${sqlLeR(7, 1)} = 0
+         |      THEN 256 ELSE ${sqlLeR(7, 1)} END END AS h1,
+         |    CASE WHEN is_ico THEN ${sqlLeR(12, 2)} END AS bits1,
+         |    CASE WHEN is_ico THEN ${sqlLeR(14, 4)} END AS bytes1,
+         |    CASE WHEN is_ico THEN ${sqlLeR(18, 4)} END AS off1,
+         |    CASE WHEN is_ico THEN CASE WHEN ${sqlLeR(22, 1)} = 0
+         |      THEN 256 ELSE ${sqlLeR(22, 1)} END END AS w2,
+         |    CASE WHEN is_ico THEN CASE WHEN ${sqlLeR(23, 1)} = 0
+         |      THEN 256 ELSE ${sqlLeR(23, 1)} END END AS h2,
+         |    CASE WHEN is_ico THEN ${sqlLeR(28, 2)} END AS bits2,
+         |    CASE WHEN is_ico THEN ${sqlLeR(30, 4)} END AS bytes2,
+         |    CASE WHEN is_ico THEN ${sqlLeR(34, 4)} END AS off2
+         |  FROM parsed
+         |)
+         |SELECT doc_id, is_ico, n_images, w1, h1, bits1, bytes1, off1,
+         |  w2, h2, bits2, bytes2, off2,
+         |  CASE WHEN is_ico THEN off1 = 38 AND off2 = off1 + bytes1
+         |    END AS chain_ok
+         |FROM fields ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same nested-container construction; size-chain verification and
+    // the integer fps/duration derivations are identical text.
+    "q_multimodal_avi" ->
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    CAST(CASE doc_id % 5 WHEN 0 THEN 10 WHEN 1 THEN 24
+         |      WHEN 2 THEN 25 WHEN 3 THEN 30 ELSE 60 END AS BIGINT)
+         |      AS fps,
+         |    CAST(doc_id % 3600 + 1 AS BIGINT) AS frames,
+         |    CAST(doc_id % 2 + 1 AS BIGINT) AS streams,
+         |    CAST(doc_id % 1920 + 1 AS BIGINT) AS w,
+         |    CAST((doc_id * 3) % 1080 + 1 AS BIGINT) AS hpx,
+         |    hex(encode(substring(text, 1, 8))) AS th
+         |  FROM documents
+         |), d2 AS (
+         |  SELECT *, CAST(1000000 AS BIGINT) // fps AS uspf FROM src
+         |), enc AS (
+         |  SELECT doc_id, th,
+         |    lpad(hex(uspf), 8, '0') AS uh,
+         |    lpad(hex(frames), 8, '0') AS fh,
+         |    lpad(hex(streams), 8, '0') AS sh,
+         |    lpad(hex(w), 8, '0') AS wh,
+         |    lpad(hex(hpx), 8, '0') AS hh
+         |  FROM d2
+         |), built AS (
+         |  SELECT doc_id, from_hex(CASE WHEN doc_id % 5 = 0 THEN th ELSE
+         |    '52494646' || '50000000' || '41564920' ||
+         |    '4C495354' || '44000000' || '6864726C' ||
+         |    '61766968' || '38000000' ||
+         |    ${sqlLeW("uh", 4)} || '20A10700' ||
+         |    '00000000' || '10000000' ||
+         |    ${sqlLeW("fh", 4)} || '00000000' ||
+         |    ${sqlLeW("sh", 4)} || '00000100' ||
+         |    ${sqlLeW("wh", 4)} || ${sqlLeW("hh", 4)} ||
+         |    '00000000000000000000000000000000'
+         |    END) AS payload
+         |  FROM enc
+         |), parsed AS (
+         |  SELECT doc_id, hex(payload) AS h,
+         |    octet_length(payload) >= 88
+         |      AND substring(hex(payload), 1, 8) = '52494646'
+         |      AND substring(hex(payload), 17, 8) = '41564920' AS is_avi
+         |  FROM built
+         |), fields AS (
+         |  SELECT doc_id, is_avi,
+         |    CASE WHEN is_avi THEN ${sqlLeR(4, 4)} END AS riff_size,
+         |    CASE WHEN is_avi THEN ${sqlLeR(16, 4)} END AS list_size,
+         |    CASE WHEN is_avi THEN ${sqlLeR(28, 4)} END AS avih_cb,
+         |    CASE WHEN is_avi THEN ${sqlLeR(32, 4)} END AS us_per_frame,
+         |    CASE WHEN is_avi THEN ${sqlLeR(48, 4)} END AS total_frames,
+         |    CASE WHEN is_avi THEN ${sqlLeR(56, 4)} END AS n_streams,
+         |    CASE WHEN is_avi THEN ${sqlLeR(64, 4)} END AS width,
+         |    CASE WHEN is_avi THEN ${sqlLeR(68, 4)} END AS height
+         |  FROM parsed
+         |)
+         |SELECT doc_id, is_avi, riff_size, list_size, avih_cb,
+         |  us_per_frame, total_frames, n_streams, width, height,
+         |  CASE WHEN is_avi THEN
+         |    CAST(1000000000 AS BIGINT) // us_per_frame END AS fps_x1000,
+         |  CASE WHEN is_avi THEN
+         |    (us_per_frame * total_frames) // 1000 END AS duration_ms,
+         |  CASE WHEN is_avi THEN riff_size = list_size + 12
+         |    AND avih_cb = list_size - 12 END AS size_chain_ok
+         |FROM fields ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     // Same page construction; the lacing fold is list_transform +
     // list_sum here vs Spark's aggregate() lambda — same count-first

@@ -973,6 +973,59 @@ class OperatorsSpec extends SparkSpec {
     assert(out.exists(o => o._2 && o._3.exists(!_._3)))
   }
 
+  test("q_multimodal_ico round-trips both directory entries including " +
+      "the 256-as-zero dimension sentinel and the offset chain") {
+    val out = Multimodal.queries("q_multimodal_ico")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val bppTab = Seq(4L, 8L, 24L, 32L)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(1) == (id % 5 != 0), s"doc $id sniff")
+      if (id % 5 != 0) {
+        def dim(raw: Long) = if (raw == 0) 256L else raw
+        assert(r.getLong(2) == 2L, s"doc $id count")
+        assert(r.getLong(3) == dim(id % 256), s"doc $id w1")
+        assert(r.getLong(4) == dim((id * 7) % 256), s"doc $id h1")
+        assert(r.getLong(5) == bppTab((id % 4).toInt), s"doc $id bits1")
+        val bytes1 = (id % 999 + 1) * 8
+        assert(r.getLong(6) == bytes1 && r.getLong(7) == 38L)
+        assert(r.getLong(8) == dim((id * 3) % 256), s"doc $id w2")
+        assert(r.getLong(9) == dim((id * 5) % 256), s"doc $id h2")
+        assert(r.getLong(10) == bppTab(((id * 2) % 4).toInt))
+        assert(r.getLong(11) == ((id * 7) % 999 + 1) * 4)
+        assert(r.getLong(12) == 38L + bytes1)
+        assert(r.getBoolean(13), s"doc $id chain_ok")
+      } else assert(r.isNullAt(2), s"doc $id rejected fields null")
+    }
+    // the 0-encodes-256 sentinel path is exercised (doc 256 at sf0.001)
+    assert(out.exists(r => !r.isNullAt(3) && r.getLong(3) == 256L),
+      "no entry hit the 256-as-zero decode")
+  }
+
+  test("q_multimodal_avi round-trips the nested size chain and the " +
+      "integer fps/duration derivations") {
+    val out = Multimodal.queries("q_multimodal_avi")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val fpsTab = Seq(10L, 24L, 25L, 30L, 60L)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(1) == (id % 5 != 0), s"doc $id sniff")
+      if (id % 5 != 0) {
+        val uspf = 1000000L / fpsTab((id % 5).toInt)
+        val frames = id % 3600 + 1
+        assert(r.getLong(2) == 80L && r.getLong(3) == 68L
+          && r.getLong(4) == 56L, s"doc $id size chain")
+        assert(r.getLong(5) == uspf, s"doc $id usPerFrame")
+        assert(r.getLong(6) == frames && r.getLong(7) == id % 2 + 1)
+        assert(r.getLong(8) == id % 1920 + 1
+          && r.getLong(9) == (id * 3) % 1080 + 1)
+        assert(r.getLong(10) == 1000000000L / uspf, s"doc $id fps")
+        assert(r.getLong(11) == uspf * frames / 1000L, s"doc $id dur")
+        assert(r.getBoolean(12), s"doc $id size_chain_ok")
+      } else assert(r.isNullAt(2), s"doc $id rejected fields null")
+    }
+  }
+
   test("q_curriculum stages are balanced, difficulty-monotone, and " +
       "partition each language") {
     import spark.implicits._
