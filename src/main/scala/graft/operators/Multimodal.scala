@@ -53,6 +53,24 @@ object Multimodal {
       .map(b => s"substring(h, ${2 * b + 1}, 2)")
       .mkString(" || ") + " AS BIGINT)"
 
+  /** ASCII-OCTAL reader over hex column `h` (tar): n octal digit bytes
+    * at 0-based offset fold to Σ(byte−48)·8^k — pure integer text. */
+  private def octR(off: Int, n: Int): Column = expr(
+    (0 until n).map { k =>
+      val p = Seq.fill(n - 1 - k)(8L).product
+      s"(CAST(conv(substring(h, ${2 * (off + k) + 1}, 2), 16, 10) " +
+        s"AS BIGINT) - 48) * CAST($p AS BIGINT)"
+    }.mkString("(", " + ", ")"))
+
+  /** DuckDB mirror of [[octR]] — only the hex-pair→int spelling
+    * differs; the folded VALUE is identical. */
+  private def sqlOctR(off: Int, n: Int): String =
+    (0 until n).map { k =>
+      val p = Seq.fill(n - 1 - k)(8L).product
+      s"(CAST('0x' || substring(h, ${2 * (off + k) + 1}, 2) " +
+        s"AS BIGINT) - 48) * CAST($p AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
   /** Little-endian READER inlining hex(payload) with 1-BASED byte
     * offsets (gif, wav — the older convention their spec offsets were
     * written against). */
@@ -357,6 +375,86 @@ object Multimodal {
         .select("doc_id", "is_avi", "riff_size", "list_size", "avih_cb",
           "us_per_frame", "total_frames", "n_streams", "width", "height",
           "fps_x1000", "duration_ms", "size_chain_ok")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // POSIX ustar tar-header parse — the ASCII-NUMERIC member of the
+    // header family: where every other format stores integers as
+    // binary bytes, tar stores them as OCTAL DIGIT STRINGS (size,
+    // mtime, checksum), and its integrity check is a WHOLE-HEADER byte
+    // sum with the checksum field counted as spaces — so a correct
+    // parse needs (a) an ascii-octal fold (Σ(byte−48)·8^k, pure
+    // integer text both engines) and (b) a 512-byte reduction with a
+    // positional CASE (the q_multimodal_ogg higher-order-fold move at
+    // 8× the length). The fixture writes a spec-correct 512-byte
+    // header (name/mode/uid/gid/size/mtime/checksum/typeflag/magic,
+    // zero-filled link/uname/prefix) whose checksum is assembled from
+    // per-field ascii folds; the parse re-derives it from the raw
+    // bytes and verifies the stored value. Every 5th doc
+    // sniff-rejects on the 'ustar' magic at offset 257. Pure narrow
+    // map over a binary column.
+    "q_multimodal_tar" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("text"))
+        .withColumn("nm", concat(lit("doc"),
+          col("doc_id").cast("string"), lit(".txt")))
+        .withColumn("sz", (col("doc_id") % 100000 + 1).cast("long"))
+        .withColumn("mt",
+          (lit(1500000000L) + col("doc_id") * 97L).cast("long"))
+        .withColumn("szo", lpad(expr("conv(sz, 10, 8)"), 11, "0"))
+        .withColumn("mto", lpad(expr("conv(mt, 10, 8)"), 11, "0"))
+      // checksum = Σ header bytes with the checksum field as 8 spaces:
+      // variable parts fold per field (ascii sums), constants are the
+      // mode/uid/gid/typeflag/magic literals + 8·32 for the field
+      // itself (= 2007; every other byte is NUL)
+      def asciiSum(c: String) = s"aggregate(sequence(1, length($c)), " +
+        s"CAST(0 AS BIGINT), (acc, i) -> acc + ascii(substring($c, i, 1)))"
+      val withChk = base
+        .withColumn("chk", expr(s"${asciiSum("nm")} + ${asciiSum("szo")}"
+          + s" + ${asciiSum("mto")} + CAST(2007 AS BIGINT)"))
+        .withColumn("chko", lpad(expr("conv(chk, 10, 8)"), 6, "0"))
+      val tarHex = concat(
+        rpad(hex(col("nm")), 200, "0"), // name[100], NUL-padded
+        lit("3030303036343400"), // mode "0000644" + NUL
+        lit("3030303137353000"), // uid  "0001750" + NUL
+        lit("3030303137353000"), // gid
+        hex(col("szo")), lit("00"), // size: 11 octal digits + NUL
+        hex(col("mto")), lit("00"), // mtime
+        hex(col("chko")), lit("0020"), // chksum: 6 digits + NUL + space
+        lit("30"), // typeflag '0' (regular file)
+        expr("repeat('00', 100)"), // linkname
+        lit("757374617200"), // magic "ustar" + NUL
+        lit("3030"), // version "00"
+        expr("repeat('00', 64)"), // uname + gname
+        expr("repeat('00', 16)"), // devmajor + devminor
+        expr("repeat('00', 167)")) // prefix[155] + pad[12]
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(tarHex)
+      val withPayload = withChk.select(col("doc_id"),
+        unhex(payloadHex).as("payload"))
+        .withColumn("h", hex(col("payload")))
+      val isTar = length(col("payload")) >= 512 &&
+        expr("substring(h, 515, 12)") === "757374617200"
+      def f(c: Column) = when(isTar, c)
+      withPayload
+        .withColumn("is_tar", isTar)
+        .withColumn("name", f(expr("CAST(unhex(regexp_replace(" +
+          "substring(h, 1, 200), '(00)+$', '')) AS STRING)")))
+        .withColumn("size_bytes", f(octR(124, 11)))
+        .withColumn("mtime", f(octR(136, 11)))
+        .withColumn("chksum_stored", f(octR(148, 6)))
+        .withColumn("chksum_computed", f(expr(
+          "aggregate(transform(sequence(0, 511), i -> CASE WHEN " +
+            "i >= 148 AND i < 156 THEN CAST(32 AS BIGINT) ELSE " +
+            "CAST(conv(substring(h, 2 * i + 1, 2), 16, 10) AS BIGINT) " +
+            "END), CAST(0 AS BIGINT), (acc, x) -> acc + x)")))
+        .withColumn("checksum_ok",
+          f(col("chksum_stored") === col("chksum_computed")))
+        .withColumn("typeflag", f(expr(
+          "CAST(unhex(substring(h, 313, 2)) AS STRING)")))
+        .select("doc_id", "is_tar", "name", "size_bytes", "mtime",
+          "chksum_stored", "chksum_computed", "checksum_ok", "typeflag")
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
@@ -1188,6 +1286,68 @@ object Multimodal {
          |  CASE WHEN is_ico THEN off1 = 38 AND off2 = off1 + bytes1
          |    END AS chain_ok
          |FROM fields ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same 512-byte construction (to_base is DuckDB's conv); the octal
+    // folds and the positional-CASE byte sum are value-identical text.
+    "q_multimodal_tar" ->
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS nm,
+         |    CAST(doc_id % 100000 + 1 AS BIGINT) AS sz,
+         |    CAST(1500000000 + doc_id * 97 AS BIGINT) AS mt,
+         |    hex(encode(substring(text, 1, 8))) AS th
+         |  FROM documents
+         |), d2 AS (
+         |  SELECT *, lpad(to_base(sz, 8), 11, '0') AS szo,
+         |    lpad(to_base(mt, 8), 11, '0') AS mto
+         |  FROM src
+         |), d3 AS (
+         |  SELECT *, CAST(
+         |    list_sum(list_transform(generate_series(1, length(nm)),
+         |      i -> CAST(ascii(substring(nm, i, 1)) AS BIGINT)))
+         |    + list_sum(list_transform(generate_series(1, 11),
+         |      i -> CAST(ascii(substring(szo, i, 1)) AS BIGINT)))
+         |    + list_sum(list_transform(generate_series(1, 11),
+         |      i -> CAST(ascii(substring(mto, i, 1)) AS BIGINT)))
+         |    + 2007 AS BIGINT) AS chk
+         |  FROM d2
+         |), d4 AS (
+         |  SELECT *, lpad(to_base(chk, 8), 6, '0') AS chko FROM d3
+         |), built AS (
+         |  SELECT doc_id, from_hex(CASE WHEN doc_id % 5 = 0 THEN th ELSE
+         |    rpad(hex(nm), 200, '0') ||
+         |    '3030303036343400' ||
+         |    '3030303137353000' || '3030303137353000' ||
+         |    hex(szo) || '00' || hex(mto) || '00' ||
+         |    hex(chko) || '0020' || '30' ||
+         |    repeat('00', 100) || '757374617200' || '3030' ||
+         |    repeat('00', 64) || repeat('00', 16) || repeat('00', 167)
+         |    END) AS payload
+         |  FROM d4
+         |), parsed AS (
+         |  SELECT doc_id, hex(payload) AS h,
+         |    octet_length(payload) >= 512
+         |      AND substring(hex(payload), 515, 12) = '757374617200'
+         |      AS is_tar
+         |  FROM built
+         |)
+         |SELECT doc_id, is_tar,
+         |  CASE WHEN is_tar THEN decode(from_hex(regexp_replace(
+         |    substring(h, 1, 200), '(00)+$$', ''))) END AS name,
+         |  CASE WHEN is_tar THEN ${sqlOctR(124, 11)} END AS size_bytes,
+         |  CASE WHEN is_tar THEN ${sqlOctR(136, 11)} END AS mtime,
+         |  CASE WHEN is_tar THEN ${sqlOctR(148, 6)} END
+         |    AS chksum_stored,
+         |  CASE WHEN is_tar THEN CAST(list_sum(list_transform(
+         |    generate_series(0, 511), i -> CASE WHEN i >= 148
+         |      AND i < 156 THEN CAST(32 AS BIGINT) ELSE
+         |      CAST('0x' || substring(h, 2 * i + 1, 2) AS BIGINT)
+         |    END)) AS BIGINT) END AS chksum_computed,
+         |  CASE WHEN is_tar THEN chksum_stored = chksum_computed END
+         |    AS checksum_ok,
+         |  CASE WHEN is_tar THEN decode(from_hex(substring(h, 313, 2)))
+         |    END AS typeflag
+         |FROM parsed ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     // Same nested-container construction; size-chain verification and
     // the integer fps/duration derivations are identical text.

@@ -1119,6 +1119,52 @@ object VectorOps {
         .select("pos", "n", "mean", "variance", "x_min", "x_max")
         .orderBy(asc_nulls_last("pos"))),
 
+    // Embedding-space isotropy — the "has my space collapsed?" hygiene
+    // number (Ethayarajh 2019): the MEAN PAIRWISE COSINE over all i≠j
+    // unit-normalized pairs. Near 0 = directions spread (healthy
+    // retrieval geometry); near 1 = everything points one way (ANN
+    // buckets and cosine thresholds silently stop discriminating). The
+    // O(n²) pair sum is NEVER materialized — with unit vectors u_i,
+    // Σ_{i≠j} u_i·u_j = ‖Σu‖² − n, so the whole statistic needs one
+    // per-dim component sum. Exactness: norm = √(exact-decimal dot)
+    // and the division are correctly rounded (identical doubles), each
+    // unit component quantizes to the exact integer
+    // floor(u_d·10⁷ + ½), per-dim sums/squares carry in DECIMAL(38,0)
+    // (HUGEINT), VARCHAR-routed, and the mean is ONE fixed IEEE tree.
+    // Scale: one slim (pos, q) shuffle with map-side combine to the
+    // dim-domain-bounded frame (64 rows here; 4096-dim × 10⁹ vectors
+    // still sums to a 4096-row frame), then a single fold — the
+    // q_embed_dim_stats economics for a pairwise-defined statistic.
+    "q_embed_isotropy" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      t(s, d, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .withColumn("norm", sqrt(dotExpr(s, "embedding", "embedding")))
+        .select(col("norm"),
+          posexplode(col("embedding")).as(Seq("pos", "comp")))
+        .withColumn("q", expr(
+          "CAST(floor(CAST(comp AS DOUBLE) / norm " +
+            "* CAST(10000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) " +
+            "AS BIGINT)"))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("nr"), sum("q").as("sd"),
+          sum(expr(s"CAST(q AS $dec) * CAST(q AS $dec)")).as("ssq"))
+        .agg(count(lit(1)).as("dim"), max("nr").as("n_vecs"),
+          sum(expr(s"CAST(sd AS $dec) * CAST(sd AS $dec)"))
+            .as("s_cross"),
+          sum(col("ssq")).as("s_self"))
+        .withColumn("num", col("s_cross") - col("s_self"))
+        .withColumn("avg_pair_cos", expr(
+          "CAST(CAST(num AS DOUBLE) " +
+            "/ (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE)) " +
+            "/ CAST(100000000000000 AS DOUBLE) AS DOUBLE)"))
+        .select(col("dim"), col("n_vecs"),
+          col("s_cross").cast("string").as("s_cross"),
+          col("s_self").cast("string").as("s_self"),
+          col("num").cast("string").as("num"),
+          col("avg_pair_cos"))
+    }),
+
     // Label prototypes — per-label centroid on the exact integer grid,
     // then each label's 3 members most aligned with it (highest integer
     // dot): the "class exemplars" readout behind dataset distillation /
@@ -2803,6 +2849,42 @@ object VectorOps {
          |  (n * sxx - sx * sx) / (n * n) AS variance,
          |  x_min, x_max
          |FROM g ORDER BY pos ASC NULLS LAST""".stripMargin,
+
+    // Same per-dim component machinery; the quantization and the final
+    // mean are verbatim expression text (HUGEINT carries the squares,
+    // VARCHAR-routed into the one division).
+    "q_embed_isotropy" ->
+      s"""WITH e AS (
+         |  SELECT unnest(generate_series(1, $EmbDim)) AS i, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS norm
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), qs AS (
+         |  SELECT CAST(i - 1 AS BIGINT) AS pos,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) / norm
+         |      * CAST(10000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |      AS BIGINT) AS q
+         |  FROM e
+         |), dims AS (
+         |  SELECT pos, CAST(COUNT(*) AS BIGINT) AS nr,
+         |    CAST(SUM(q) AS BIGINT) AS sd,
+         |    SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS ssq
+         |  FROM qs GROUP BY pos
+         |), agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS dim,
+         |    CAST(MAX(nr) AS BIGINT) AS n_vecs,
+         |    SUM(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) AS s_cross,
+         |    SUM(ssq) AS s_self
+         |  FROM dims
+         |)
+         |SELECT dim, n_vecs,
+         |  CAST(s_cross AS VARCHAR) AS s_cross,
+         |  CAST(s_self AS VARCHAR) AS s_self,
+         |  CAST(s_cross - s_self AS VARCHAR) AS num,
+         |  CAST(CAST(CAST(s_cross - s_self AS VARCHAR) AS DOUBLE)
+         |    / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE))
+         |    / CAST(100000000000000 AS DOUBLE) AS DOUBLE)
+         |    AS avg_pair_cos
+         |FROM agg""".stripMargin,
 
     // The 1-based series index i carries its embedding[i] alongside a
     // second series from i; the floor(x·1e8 + 0.5) quantization is the

@@ -46,7 +46,8 @@ class DeterminismSpec extends SparkSpec {
     "q_stats_bhattacharyya", // per-value quantized sqrt terms
     "q_stats_cramers_v", // chi2 ppm cells + fixed sqrt V tree
     "q_graph_hits",      // directed join-sum iterations, all integer
-    "q_text_bm25")       // df-band terms + grid-quantized log2 scores
+    "q_text_bm25",       // df-band terms + grid-quantized log2 scores
+    "q_embed_isotropy")  // quantized unit sums through the dim fold
 
   sensitive.foreach { name =>
     test(s"$name is identical at shuffle.partitions 3 vs 13") {

@@ -1026,6 +1026,67 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_multimodal_tar round-trips the ascii-octal fields and the " +
+      "whole-header checksum fold") {
+    val out = Multimodal.queries("q_multimodal_tar")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(1) == (id % 5 != 0), s"doc $id sniff")
+      if (id % 5 != 0) {
+        val sz = id % 100000 + 1
+        val mt = 1500000000L + id * 97
+        assert(r.getString(2) == s"doc$id.txt", s"doc $id name")
+        assert(r.getLong(3) == sz && r.getLong(4) == mt, s"doc $id oct")
+        // independent checksum from the spec definition
+        def octs(v: Long) =
+          ("0" * 11 + java.lang.Long.toOctalString(v)).takeRight(11)
+        val chk = s"doc$id.txt".getBytes("UTF-8").map(_.toLong).sum +
+          octs(sz).getBytes.map(_.toLong).sum +
+          octs(mt).getBytes.map(_.toLong).sum + 2007L
+        assert(r.getLong(5) == chk, s"doc $id stored chksum")
+        assert(r.getLong(6) == chk, s"doc $id computed chksum")
+        assert(r.getBoolean(7), s"doc $id checksum_ok")
+        assert(r.getString(8) == "0", s"doc $id typeflag")
+      } else assert(r.isNullAt(2), s"doc $id rejected fields null")
+    }
+  }
+
+  test("q_embed_isotropy equals a plain-Scala replay of the quantized " +
+      "sum identity") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    def dot(v: Array[Float]): Double = v
+      .map(x => BigDecimal(x.toDouble * x.toDouble).setScale(10, HALF_UP))
+      .foldLeft(BigDecimal(0))(_ + _).toDouble
+    val qs = vecs.map { v =>
+      val norm = math.sqrt(dot(v))
+      v.map(x => math.floor(x.toDouble / norm * 1.0e7 + 0.5).toLong)
+    }
+    val dim = vecs.head.length
+    val n = vecs.length.toLong
+    val sd = (0 until dim).map(d => qs.map(_(d)).sum)
+    val sCross = sd.map(s => BigInt(s) * BigInt(s)).sum
+    val sSelf = qs.flatten.map(q => BigInt(q) * BigInt(q)).sum
+    val num = sCross - sSelf
+    val expectAvg = java.lang.Double.parseDouble(num.toString) /
+      (n.toDouble * (n - 1).toDouble) / 1.0e14
+    val r = VectorOps.queries("q_embed_isotropy")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("dim") == dim.toLong)
+    assert(r.getAs[Long]("n_vecs") == n)
+    assert(r.getAs[String]("s_cross") == sCross.toString)
+    assert(r.getAs[String]("s_self") == sSelf.toString)
+    assert(r.getAs[String]("num") == num.toString)
+    assert(r.getAs[Double]("avg_pair_cos") == expectAvg)
+    // unit vectors: per-vector quantized self-dot ≈ 1e14 (≤ 1e8 slack)
+    assert((BigInt(sSelf.toString) - BigInt(n) * BigInt("100000000000000"))
+      .abs < BigInt(n) * BigInt(200000000L), "self-dot drifted off unit")
+  }
+
   test("q_curriculum stages are balanced, difficulty-monotone, and " +
       "partition each language") {
     import spark.implicits._
