@@ -216,7 +216,20 @@ object Bench {
     "q_text_lm_kn" -> "kn", "q_multimodal_ogg" -> "og",
     "q_sketch_kmv" -> "kv", "q_trigger_wildcard" -> "wi",
     "q_sketch_theta" -> "ht", "q_text_rake" -> "ra",
-    "q_stats_friedman" -> "fr")
+    "q_stats_friedman" -> "fr", "q_stats_bhattacharyya" -> "bh",
+    "q_stats_kendall_tau" -> "kt", "q_stats_jarque_bera" -> "jq",
+    "q_dedup_source_matrix" -> "dx", "q_embed_isotropy" -> "ey",
+    "q_stats_cramers_v" -> "cw", "q_stats_cochran_q" -> "cx",
+    "q_stats_mcnemar" -> "mz", "q_graph_hits" -> "gg",
+    "q_multimodal_avi" -> "mi", "q_multimodal_ico" -> "aa",
+    "q_multimodal_tar" -> "mr", "q_text_bm25" -> "t5",
+    "q_stats_durbin_watson" -> "dw",
+    "q_ts_ljung_box" -> "lj", "q_ts_pacf" -> "pf",
+    "q_embed_mmd" -> "md", "q_stats_grubbs" -> "gb",
+    "q_agg_grouping_sets" -> "gs", "q_stats_sign_test" -> "sn",
+    "q_stats_wilcoxon_signed" -> "wx", "q_ts_periodogram" -> "pg",
+    "q_ts_turning_points" -> "tu", "q_window_rolling_beta" -> "rb",
+    "q_text_readability" -> "ry", "q_stats_mood_median" -> "mv")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -930,6 +930,257 @@ object EventAnalytics {
         .orderBy(asc_nulls_last("lag"))
     }),
 
+    // Durbin–Watson first-order autocorrelation statistic (Durbin &
+    // Watson 1950) per event_type over the mean-centered daily value
+    // series — the residual-independence check that belongs next to
+    // q_stats_regression: d ≈ 2 means yesterday tells you nothing about
+    // today's residual, d → 0 positive drift (the series is trending
+    // and the iid error model is wrong), d → 4 alternation. DW is
+    // scale-invariant, so the centered residual is kept on the exact
+    // integer grid: r_t = (s_t·n − S)·10⁴ (daily sums are exact
+    // DECIMAL(18,4); the ·n cross-multiplication replaces the mean
+    // subtraction — no division anywhere), successive differences come
+    // from ONE event_type-partitioned lag window over the day-grain
+    // frame (bounded by the date DOMAIN, never the event count), and
+    // both quadratic forms accumulate in DECIMAL(38,0)/HUGEINT
+    // (VARCHAR-routed past 2^53). The statistic is the single trailing
+    // IEEE division. Scale: one keyed day-grain shuffle with map-side
+    // combine; the per-type totals broadcast back.
+    "q_stats_durbin_watson" -> ((s, d) => {
+      val dec = "DECIMAL(38,0)"
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).as("sv"))
+      val tot = broadcast(daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum("sv").as("stot")))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      // scale each operand to its exact 10⁴ integer BEFORE the ·nd
+      // cross-multiplication: DuckDB decimal multiplication caps the
+      // combined width at 38, so (sum·nd − S)·10⁴ would not typecheck
+      // there — (sv·10⁴)·nd − (S·10⁴) is value-identical and stays
+      // inside both engines' integer domains
+      daily.join(tot, "event_type")
+        .withColumn("svi", expr(
+          s"CAST(CAST(sv AS DECIMAL(18,4)) * 10000 AS $dec)"))
+        .withColumn("sti", expr(
+          s"CAST(CAST(stot AS DECIMAL(18,4)) * 10000 AS $dec)"))
+        .withColumn("rr", expr("svi * nd - sti"))
+        .withColumn("rlag", lag(col("rr"), 1).over(w))
+        .groupBy("event_type")
+        .agg(max("nd").as("n_days"),
+          sum(expr(s"CAST(rr AS $dec) * CAST(rr AS $dec)")).as("den"),
+          sum(expr(s"CAST(CASE WHEN rlag IS NULL THEN 0 ELSE " +
+            s"(rr - rlag) * (rr - rlag) END AS $dec)")).as("num"))
+        .withColumn("dw_stat",
+          expr("CAST(CAST(num AS STRING) AS DOUBLE) " +
+            "/ CAST(CAST(den AS STRING) AS DOUBLE)"))
+        .select("event_type", "n_days", "dw_stat")
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
+    // Ljung–Box portmanteau test (Ljung & Box 1978) over the daily
+    // event-count series, lags 1..7 — "is there ANY autocorrelation
+    // left?" asked as one number instead of q_ts_autocorr's per-lag
+    // readout: Q = n(n+2)·Σ_k r_k²/(n−k). Exactness: r_k² = num_k²/den²
+    // on the autocorr integer grid (cx = x·n − S), and the k-varying
+    // denominators fold into ONE common denominator den²·P with
+    // P = Π_{j=1..7}(n−j): each lag contributes num_k²·(P DIV (n−k)) —
+    // an exact integer since (n−k) | P — accumulated in
+    // DECIMAL(38,0)/HUGEINT, so Q is a single trailing IEEE division
+    // of two exact integers (≈4e31 / 1e29 at sf0.1 — comfortable;
+    // P wraps BIGINT past a ~10-year daily span, where DECIMAL(38,0)
+    // is the drop-in). Scale: the autocorr economics verbatim — one
+    // day-grain shuffle, lag pairs as an equi-join of the tiny
+    // day-grain frame against itself, totals as 1-row broadcasts.
+    "q_ts_ljung_box" -> ((s, d) => {
+      val dec = "DECIMAL(38,0)"
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = broadcast(daily.agg(count(lit(1)).as("nd"),
+        sum("x").as("sx")).withColumn("_one", lit(1)))
+      val cent = daily.withColumn("_one", lit(1)).join(tot, "_one")
+        .select(col("day"), col("nd"),
+          (col("x") * col("nd") - col("sx")).as("cx"))
+      val den = broadcast(cent.agg(max("nd").as("nd"),
+        sum(col("cx") * col("cx")).as("den"))
+        .withColumn("_one", lit(1)).select("_one", "den"))
+      cent
+        .select(col("day"), col("nd"), col("cx"),
+          explode(expr("sequence(1, 7)")).as("lag"))
+        .withColumn("day2", expr("date_add(day, lag)"))
+        .join(cent.select(col("day").as("day2"), col("cx").as("cy")),
+          "day2")
+        .groupBy(col("lag").cast("long").as("lag"), col("nd"))
+        .agg(sum(col("cx") * col("cy")).as("num"))
+        .withColumn("p_all", expr(
+          "(nd-1)*(nd-2)*(nd-3)*(nd-4)*(nd-5)*(nd-6)*(nd-7)"))
+        .withColumn("contrib", expr(
+          s"CAST(num AS $dec) * CAST(num AS $dec) " +
+            s"* CAST(p_all div (nd - lag) AS $dec)"))
+        .groupBy("nd", "p_all")
+        .agg(count(lit(1)).as("n_lags"), sum("contrib").as("s_sum"))
+        .withColumn("_one", lit(1)).join(den, "_one")
+        .withColumn("q_stat", expr(
+          s"CAST(CAST(CAST(nd AS $dec) * CAST(nd + 2 AS $dec) " +
+            s"* CAST(s_sum AS $dec) AS STRING) AS DOUBLE) " +
+            s"/ CAST(CAST(CAST(den AS $dec) * CAST(den AS $dec) " +
+            s"* CAST(p_all AS $dec) AS STRING) AS DOUBLE)"))
+        .select(col("nd").as("n_days"), col("n_lags"), col("q_stat"))
+    }),
+
+    // Partial autocorrelation, lags 1–3, via the Durbin–Levinson
+    // recursion (Durbin 1960) over the SAME exact integer ACF grid as
+    // q_ts_autocorr — the AR-order fingerprint: an AR(p) series cuts
+    // off after lag p in PACF while raw ACF tails forever, so this is
+    // what picks the model order q_ts_autocorr alone cannot. The three
+    // lag numerators land in ONE row via conditional aggregation
+    // (no pivot shuffle), r_k = num_k/den are the first IEEE ops, and
+    // φ22/φ33 are fixed double trees of the recursion written with
+    // identical text on both engines. Scale: autocorr economics —
+    // day-grain series, self-equi-join on a date key, 1-row broadcasts.
+    "q_ts_pacf" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = broadcast(daily.agg(count(lit(1)).as("nd"),
+        sum("x").as("sx")).withColumn("_one", lit(1)))
+      val cent = daily.withColumn("_one", lit(1)).join(tot, "_one")
+        .select(col("day"), col("nd"),
+          (col("x") * col("nd") - col("sx")).as("cx"))
+      val den = broadcast(cent.agg(max("nd").as("n_days"),
+        sum(col("cx") * col("cx")).as("den"))
+        .withColumn("_one", lit(1)))
+      cent
+        .select(col("day"), col("cx"),
+          explode(expr("sequence(1, 3)")).as("lag"))
+        .withColumn("day2", expr("date_add(day, lag)"))
+        .join(cent.select(col("day").as("day2"), col("cx").as("cy")),
+          "day2")
+        .agg(sum(when(col("lag") === 1, col("cx") * col("cy"))
+            .otherwise(0L)).as("num1"),
+          sum(when(col("lag") === 2, col("cx") * col("cy"))
+            .otherwise(0L)).as("num2"),
+          sum(when(col("lag") === 3, col("cx") * col("cy"))
+            .otherwise(0L)).as("num3"))
+        .withColumn("_one", lit(1)).join(den, "_one")
+        .withColumn("r1", expr(
+          "CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)"))
+        .withColumn("r2", expr(
+          "CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)"))
+        .withColumn("r3", expr(
+          "CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)"))
+        .withColumn("pacf1", col("r1"))
+        .withColumn("pacf2", expr(
+          "(r2 - r1 * r1) / (1.0 - r1 * r1)"))
+        .withColumn("phi21", expr("r1 - pacf2 * r1"))
+        .withColumn("pacf3", expr(
+          "(r3 - phi21 * r2 - pacf2 * r1) " +
+            "/ (1.0 - phi21 * r1 - pacf2 * r2)"))
+        .select("n_days", "r1", "r2", "r3", "pacf1", "pacf2", "pacf3")
+    }),
+
+    // Turning-point randomness test per event_type over the daily count
+    // series (Kendall's classic: in an iid sequence a strict local
+    // max/min occurs at 2/3 of interior points; E[T] = 2(n−2)/3,
+    // Var[T] = (16n−29)/90) — the cheap "is this series just noise?"
+    // screen next to q_stats_runs' level-based one. Triples come from
+    // TWO calendar-day equi-joins of the day-grain frame against itself
+    // (day−1, day+1 — the autocorr join economics, no window); only
+    // days with both calendar neighbors present form a triple, ties are
+    // not turning points (strict inequalities). The z numerator 3T −
+    // 2(n_triples) stays integer; one sqrt+divide of exact pieces
+    // ((16n−29)/10 = (3σ)² folds the /90 into the doubled numerator).
+    "q_ts_turning_points" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val trip = daily
+        .join(daily.select(col("event_type"),
+          expr("date_add(day, 1)").as("day"), col("x").as("xp")),
+          Seq("event_type", "day"))
+        .join(daily.select(col("event_type"),
+          expr("date_add(day, -1)").as("day"), col("x").as("xn")),
+          Seq("event_type", "day"))
+      trip.groupBy("event_type")
+        .agg(count(lit(1)).as("n_triples"),
+          sum(when((col("xp") < col("x") && col("xn") < col("x"))
+            || (col("xp") > col("x") && col("xn") > col("x")), 1L)
+            .otherwise(0L)).as("turning"))
+        .withColumn("z_stat", expr(
+          "CAST(3 * turning - 2 * n_triples AS DOUBLE) " +
+            "/ sqrt(CAST(16 * (n_triples + 2) - 29 AS DOUBLE) / 10.0)"))
+        .select("event_type", "n_triples", "turning", "z_stat")
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
+    // Exact periodogram at periods {2,3,4,6} days over the centered
+    // daily count series — the cadence detector ("does traffic pulse on
+    // a 2/3/4/6-day cycle?") built so EVERY spectral coefficient stays
+    // on the integer grid: at these periods 2·cos(2πt/p) is an exact
+    // integer and 2·sin(2πt/p) is an integer times √3 (p ∈ {3,6}) or an
+    // integer (p ∈ {2,4}), so 4·|DFT|² = (Σcx·c₂)² + k·(Σcx·s₂)² with
+    // k ∈ {1,3} is exact DECIMAL(38,0)/HUGEINT arithmetic end-to-end —
+    // no trig function evaluation to disagree across libms (the reason
+    // arbitrary periods are NOT offered; period 7 needs cos(2π/7)).
+    // t is the CALENDAR day index (datediff from the min day — gaps
+    // contribute zero, no row_number window), and the single IEEE op is
+    // the final normalization against the series energy. Scale: the
+    // autocorr economics — day-grain keyed agg, 1-row broadcasts, a
+    // 4-way explode of the bounded day frame.
+    "q_ts_periodogram" -> ((s, d) => {
+      val dec = "DECIMAL(38,0)"
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = broadcast(daily.agg(count(lit(1)).as("nd"),
+        sum("x").as("sx"), min("day").as("d0"))
+        .withColumn("_one", lit(1)))
+      val cent = daily.withColumn("_one", lit(1)).join(tot, "_one")
+        .select(col("nd"),
+          (col("x") * col("nd") - col("sx")).as("cx"),
+          datediff(col("day"), col("d0")).cast("long").as("tt"))
+      val den = broadcast(cent.agg(sum(col("cx") * col("cx")).as("den"))
+        .withColumn("_one", lit(1)))
+      cent
+        .select(col("nd"), col("cx"), col("tt"),
+          explode(expr("array(2L, 3L, 4L, 6L)")).as("period"))
+        .withColumn("m", expr("tt % period"))
+        .withColumn("c2", expr(
+          "CASE WHEN period = 2 THEN " +
+            "(CASE WHEN m = 0 THEN 2 ELSE -2 END) " +
+            "WHEN period = 3 THEN " +
+            "(CASE WHEN m = 0 THEN 2 ELSE -1 END) " +
+            "WHEN period = 4 THEN " +
+            "(CASE WHEN m = 0 THEN 2 WHEN m = 2 THEN -2 ELSE 0 END) " +
+            "ELSE (CASE WHEN m = 0 THEN 2 WHEN m = 3 THEN -2 " +
+            "WHEN m = 1 OR m = 5 THEN 1 ELSE -1 END) END"))
+        .withColumn("s2", expr(
+          "CASE WHEN period = 2 THEN 0 " +
+            "WHEN period = 3 THEN " +
+            "(CASE WHEN m = 0 THEN 0 WHEN m = 1 THEN 1 ELSE -1 END) " +
+            "WHEN period = 4 THEN " +
+            "(CASE WHEN m = 1 THEN 2 WHEN m = 3 THEN -2 ELSE 0 END) " +
+            "ELSE (CASE WHEN m = 0 OR m = 3 THEN 0 " +
+            "WHEN m = 1 OR m = 2 THEN 1 ELSE -1 END) END"))
+        .groupBy("period")
+        .agg(max("nd").as("n_days"),
+          sum(col("cx") * col("c2")).as("ca"),
+          sum(col("cx") * col("s2")).as("sa"))
+        .withColumn("power4", expr(
+          s"CAST(ca AS $dec) * CAST(ca AS $dec) " +
+            "+ CAST(CASE WHEN period = 3 OR period = 6 " +
+            s"THEN 3 ELSE 1 END AS $dec) " +
+            s"* CAST(sa AS $dec) * CAST(sa AS $dec)"))
+        .withColumn("_one", lit(1)).join(den, "_one")
+        .withColumn("score", expr(
+          "CAST(CAST(power4 AS STRING) AS DOUBLE) " +
+            "/ CAST(CAST(den AS STRING) AS DOUBLE)"))
+        .select(col("period"), col("n_days"),
+          col("power4").cast("string").as("power4"), col("score"))
+        .orderBy(asc_nulls_last("period"))
+    }),
+
     // Fano factor (index of dispersion) per event type over the daily
     // count series — the burstiness triage: F ≈ 1 is Poisson (a
     // memoryless arrival process, safe to model with rates), F ≫ 1 is
@@ -1988,6 +2239,208 @@ object EventAnalytics {
         |SELECT t.event_type, t.day, t.x, c.num / c.wsum AS ewma
         |FROM daily t JOIN contrib c
         |  ON c.event_type = t.event_type AND c.day2 = t.day
-        |ORDER BY t.event_type ASC NULLS LAST, t.day ASC NULLS LAST""".stripMargin
+        |ORDER BY t.event_type ASC NULLS LAST, t.day ASC NULLS LAST""".stripMargin,
+
+    // Same pre-scaled integer residual grid ((sv·10⁴)·nd − S·10⁴ in
+    // HUGEINT = Spark's DECIMAL(38,0)), one partitioned lag window over
+    // the day-grain frame, VARCHAR-routed quadratic forms, one division.
+    "q_stats_durbin_watson" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, COUNT(*) AS nd, SUM(sv) AS stot
+        |  FROM daily GROUP BY 1
+        |), r AS (
+        |  SELECT d.event_type, d.day, t.nd,
+        |    CAST(CAST(d.sv AS DECIMAL(18,4)) * 10000 AS HUGEINT) * t.nd
+        |      - CAST(CAST(t.stot AS DECIMAL(18,4)) * 10000 AS HUGEINT)
+        |      AS rr
+        |  FROM daily d JOIN tot t ON t.event_type = d.event_type
+        |), lagged AS (
+        |  SELECT event_type, nd, rr,
+        |    lag(rr) OVER (PARTITION BY event_type
+        |      ORDER BY day ASC NULLS LAST) AS rlag
+        |  FROM r
+        |), a AS (
+        |  SELECT event_type, MAX(nd) AS n_days,
+        |    SUM(rr * rr) AS den,
+        |    SUM(CASE WHEN rlag IS NULL THEN 0
+        |      ELSE (rr - rlag) * (rr - rlag) END) AS num
+        |  FROM lagged GROUP BY event_type
+        |)
+        |SELECT event_type, n_days,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS dw_stat
+        |FROM a ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    // The autocorr integer grid folded onto the common denominator
+    // den²·P (P = Π(n−j), each (n−k) | P so the integer division is
+    // exact); HUGEINT throughout, one trailing VARCHAR-routed division.
+    "q_ts_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1
+        |), tot AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS sx FROM daily
+        |), cent AS (
+        |  SELECT day, nd, CAST(x * nd - sx AS BIGINT) AS cx
+        |  FROM daily, tot
+        |), den AS (
+        |  SELECT CAST(SUM(cx * cx) AS BIGINT) AS den FROM cent
+        |), ks AS (SELECT UNNEST(range(1, 8)) AS lag),
+        |lp AS (
+        |  SELECT CAST(k.lag AS BIGINT) AS lag, c1.nd,
+        |    CAST(SUM(c1.cx * c2.cx) AS BIGINT) AS num
+        |  FROM cent c1 CROSS JOIN ks k
+        |  JOIN cent c2 ON c2.day = c1.day + CAST(k.lag AS INT)
+        |  GROUP BY k.lag, c1.nd
+        |), pc AS (
+        |  SELECT lag, nd, num,
+        |    (nd-1)*(nd-2)*(nd-3)*(nd-4)*(nd-5)*(nd-6)*(nd-7) AS p_all
+        |  FROM lp
+        |), s AS (
+        |  SELECT MAX(nd) AS nd, MAX(p_all) AS p_all,
+        |    COUNT(*) AS n_lags,
+        |    SUM(CAST(num AS HUGEINT) * CAST(num AS HUGEINT)
+        |      * CAST(p_all // (nd - lag) AS HUGEINT)) AS s_sum
+        |  FROM pc
+        |)
+        |SELECT s.nd AS n_days, s.n_lags,
+        |  CAST(CAST(CAST(s.nd AS HUGEINT) * CAST(s.nd + 2 AS HUGEINT)
+        |    * s.s_sum AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(CAST(d.den AS HUGEINT) * CAST(d.den AS HUGEINT)
+        |    * CAST(s.p_all AS HUGEINT) AS VARCHAR) AS DOUBLE) AS q_stat
+        |FROM s, den d""".stripMargin,
+
+    // Same calendar-neighbor triple joins and strict-inequality count;
+    // the z tree divides exact integers once.
+    "q_ts_turning_points" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), trip AS (
+        |  SELECT c.event_type, c.x, p.x AS xp, n.x AS xn
+        |  FROM daily c
+        |  JOIN daily p ON p.event_type = c.event_type
+        |    AND p.day = c.day - 1
+        |  JOIN daily n ON n.event_type = c.event_type
+        |    AND n.day = c.day + 1
+        |), a AS (
+        |  SELECT event_type, COUNT(*) AS n_triples,
+        |    CAST(SUM(CASE WHEN (xp < x AND xn < x)
+        |      OR (xp > x AND xn > x) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS turning
+        |  FROM trip GROUP BY event_type
+        |)
+        |SELECT event_type, n_triples, turning,
+        |  CAST(3 * turning - 2 * n_triples AS DOUBLE)
+        |    / sqrt(CAST(16 * (n_triples + 2) - 29 AS DOUBLE) / 10.0)
+        |    AS z_stat
+        |FROM a ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    // Same centered integer grid, calendar day index, and verbatim CASE
+    // coefficient tables; HUGEINT squares, one normalization division.
+    "q_ts_periodogram" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1
+        |), tot AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS sx,
+        |    MIN(day) AS d0
+        |  FROM daily
+        |), cent AS (
+        |  SELECT nd, CAST(x * nd - sx AS BIGINT) AS cx,
+        |    CAST(datediff('day', d0, day) AS BIGINT) AS tt
+        |  FROM daily, tot
+        |), den AS (
+        |  SELECT CAST(SUM(cx * cx) AS BIGINT) AS den FROM cent
+        |), ks AS (SELECT UNNEST([2, 3, 4, 6]) AS period),
+        |co AS (
+        |  SELECT CAST(k.period AS BIGINT) AS period, c.nd, c.cx,
+        |    c.tt % k.period AS m
+        |  FROM cent c CROSS JOIN ks k
+        |), cf AS (
+        |  SELECT period, nd, cx,
+        |    CASE WHEN period = 2 THEN
+        |      (CASE WHEN m = 0 THEN 2 ELSE -2 END)
+        |    WHEN period = 3 THEN
+        |      (CASE WHEN m = 0 THEN 2 ELSE -1 END)
+        |    WHEN period = 4 THEN
+        |      (CASE WHEN m = 0 THEN 2 WHEN m = 2 THEN -2 ELSE 0 END)
+        |    ELSE (CASE WHEN m = 0 THEN 2 WHEN m = 3 THEN -2
+        |      WHEN m = 1 OR m = 5 THEN 1 ELSE -1 END) END AS c2,
+        |    CASE WHEN period = 2 THEN 0
+        |    WHEN period = 3 THEN
+        |      (CASE WHEN m = 0 THEN 0 WHEN m = 1 THEN 1 ELSE -1 END)
+        |    WHEN period = 4 THEN
+        |      (CASE WHEN m = 1 THEN 2 WHEN m = 3 THEN -2 ELSE 0 END)
+        |    ELSE (CASE WHEN m = 0 OR m = 3 THEN 0
+        |      WHEN m = 1 OR m = 2 THEN 1 ELSE -1 END) END AS s2
+        |  FROM co
+        |), ag AS (
+        |  SELECT period, MAX(nd) AS n_days,
+        |    CAST(SUM(cx * c2) AS BIGINT) AS ca,
+        |    CAST(SUM(cx * s2) AS BIGINT) AS sa
+        |  FROM cf GROUP BY period
+        |), pw AS (
+        |  SELECT period, n_days,
+        |    CAST(ca AS HUGEINT) * CAST(ca AS HUGEINT)
+        |      + CAST(CASE WHEN period = 3 OR period = 6
+        |        THEN 3 ELSE 1 END AS HUGEINT)
+        |      * CAST(sa AS HUGEINT) * CAST(sa AS HUGEINT) AS power4
+        |  FROM ag
+        |)
+        |SELECT p.period, p.n_days,
+        |  CAST(p.power4 AS VARCHAR) AS power4,
+        |  CAST(CAST(p.power4 AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(d.den AS VARCHAR) AS DOUBLE) AS score
+        |FROM pw p, den d
+        |ORDER BY period ASC NULLS LAST""".stripMargin,
+
+    // Same integer ACF pieces gathered into one row by conditional
+    // aggregation; the Durbin–Levinson φ22/φ33 trees repeat the Spark
+    // withColumn chain verbatim (r1..r3 are the first IEEE ops).
+    "q_ts_pacf" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1
+        |), tot AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS sx FROM daily
+        |), cent AS (
+        |  SELECT day, nd, CAST(x * nd - sx AS BIGINT) AS cx
+        |  FROM daily, tot
+        |), den AS (
+        |  SELECT MAX(nd) AS n_days, CAST(SUM(cx * cx) AS BIGINT) AS den
+        |  FROM cent
+        |), ks AS (SELECT UNNEST(range(1, 4)) AS lag),
+        |lp AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN k.lag = 1 THEN c1.cx * c2.cx ELSE 0 END)
+        |      AS BIGINT) AS num1,
+        |    CAST(SUM(CASE WHEN k.lag = 2 THEN c1.cx * c2.cx ELSE 0 END)
+        |      AS BIGINT) AS num2,
+        |    CAST(SUM(CASE WHEN k.lag = 3 THEN c1.cx * c2.cx ELSE 0 END)
+        |      AS BIGINT) AS num3
+        |  FROM cent c1 CROSS JOIN ks k
+        |  JOIN cent c2 ON c2.day = c1.day + CAST(k.lag AS INT)
+        |), rr AS (
+        |  SELECT n_days,
+        |    CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+        |    CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+        |    CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3
+        |  FROM lp, den
+        |), p2 AS (
+        |  SELECT *, r1 AS pacf1,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS pacf2
+        |  FROM rr
+        |), p3 AS (
+        |  SELECT *, r1 - pacf2 * r1 AS phi21 FROM p2
+        |)
+        |SELECT n_days, r1, r2, r3, pacf1, pacf2,
+        |  (r3 - phi21 * r2 - pacf2 * r1)
+        |    / (1.0 - phi21 * r1 - pacf2 * r2) AS pacf3
+        |FROM p3""".stripMargin
   )
 }

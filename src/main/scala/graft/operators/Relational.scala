@@ -326,6 +326,62 @@ object Relational {
         .orderBy(asc_nulls_last("gid"),
           asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // GROUPING SETS with an ASYMMETRIC set list — ((rf,ls),(rf),(ls)) is
+    // neither a rollup (no (ls) level) nor a cube (no () level), so it
+    // exercises the one grouping construct q_agg_rollup/q_agg_cube
+    // cannot: the planner expands it to a single Expand + one hash
+    // aggregate (NOT three scans — one pass at 100 TB), and grouping_id
+    // disambiguates rows like the cube twin. Determinism: grouping_id
+    // bit order is the SQL-standard left-to-right MSB convention on
+    // both engines (proven by q_agg_cube's hash match).
+    "q_agg_grouping_sets" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_items"),
+          Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_last("gid"),
+          asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))),
+
+    // Rolling 7-event regression slope (per-user "is this metric
+    // accelerating?" — the moving-window OLS a monitoring layer wants
+    // next to q_window_rolling_median's level): over the last 7 events
+    // of the user, beta = (kΣty − ΣtΣy)/(kΣt² − (Σt)²) with t =
+    // whole seconds since 2024-01-01 (bounded integers: products stay
+    // far inside BIGINT where raw epoch-micros would overflow) and y
+    // the exact 10⁴-scaled value. Every frame sum is exact integer
+    // arithmetic — the single IEEE division happens per row AFTER the
+    // exact numerator/denominator (null when the frame's timestamps
+    // coincide). Scale: ONE user-partitioned window, frames bounded at
+    // 7 rows by construction; a 1000× corpus grows user count (more
+    // partitions), never frame size.
+    "q_window_rolling_beta" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
+        .rowsBetween(-6, 0)
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("(unix_micros(ts) - 1704067200000000) div 1000000")
+            .as("tt"),
+          expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+            .as("yy"))
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("st", sum("tt").over(w))
+        .withColumn("sy", sum("yy").over(w))
+        .withColumn("stt", sum(expr("tt * tt")).over(w))
+        .withColumn("sty", sum(expr("tt * yy")).over(w))
+        .withColumn("den", expr("k * stt - st * st"))
+        .withColumn("beta", when(col("den") === 0L, lit(null))
+          .otherwise(expr(
+            "CAST(k * sty - st * sy AS DOUBLE) / CAST(den AS DOUBLE)")))
+        .select("user_id", "event_id", "k", "den", "beta")
+        .orderBy(asc_nulls_last("event_id"))
+    }),
+
     // ---- window functions ----------------------------------------------
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
@@ -599,6 +655,49 @@ object Relational {
          |  ${Det.sqlDsum("l_quantity")} AS sum_qty
          |FROM lineitem
          |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY gid ASC NULLS LAST,
+         |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin,
+
+    // Same bounded 7-row frame with the (ts, event_id) deterministic
+    // order; exact integer frame sums (windowed sums pinned to BIGINT),
+    // the guarded division repeats the Spark text.
+    "q_window_rolling_beta" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_id,
+        |    (epoch_us(ts) - 1704067200000000) // 1000000 AS tt,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS yy
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS k,
+        |    CAST(SUM(tt) OVER w AS BIGINT) AS st,
+        |    CAST(SUM(yy) OVER w AS BIGINT) AS sy,
+        |    CAST(SUM(tt * tt) OVER w AS BIGINT) AS stt,
+        |    CAST(SUM(tt * yy) OVER w AS BIGINT) AS sty
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |), x AS (
+        |  SELECT user_id, event_id, k, st, sy, stt, sty,
+        |    k * stt - st * st AS den
+        |  FROM s
+        |)
+        |SELECT user_id, event_id, k, den,
+        |  CASE WHEN den = 0 THEN NULL ELSE
+        |    CAST(k * sty - st * sy AS DOUBLE) / CAST(den AS DOUBLE)
+        |  END AS beta
+        |FROM x ORDER BY event_id ASC NULLS LAST""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  COUNT(*) AS n_items,
+         |  ${Det.sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |  (l_returnflag), (l_linestatus))
          |ORDER BY gid ASC NULLS LAST,
          |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
         .stripMargin,

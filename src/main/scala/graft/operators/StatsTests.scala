@@ -777,6 +777,290 @@ object StatsTests {
         .groupBy("digit").agg(count(lit(1)).as("n"))
         .withColumn("share", col("n").cast("double") / lit(total))
         .orderBy(asc_nulls_last("digit"))
+    }),
+
+    // Jarque–Bera normality test per event_type (Jarque & Bera 1980):
+    // JB = n/6·(g1² + g2²/4) from sample skewness g1 and excess kurtosis
+    // g2. The metric layer's "is this KPI still bell-shaped?" monitor —
+    // a one-pass, one-shuffle moment sketch (the same four power sums a
+    // streaming update-mode aggregate maintains per key). Determinism:
+    // value quantizes to an exact scaled integer (the house DECIMAL(18,4)
+    // cast), the four power sums Σv..Σv⁴ accumulate in DECIMAL(38,0)
+    // (order-insensitive — safe under AQE/partial agg), and the g1/g2/JB
+    // assembly is a fixed double expression tree over VARCHAR-routed
+    // casts, written with identical text on both engines. Skew/kurtosis
+    // are scale-invariant, so the 10⁴ quantization cancels exactly.
+    "q_stats_jarque_bera" -> ((s, d) => {
+      val dec = "DECIMAL(38,0)"
+      t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("value").cast(DecimalType(18, 4)) * lit(10000))
+            .cast(DecimalType(12, 0)).as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(dec)).as("s1"),
+          sum(expr(s"CAST(v AS $dec) * CAST(v AS $dec)")).as("s2"),
+          sum(expr(s"CAST(v AS $dec) * CAST(v AS $dec) " +
+            s"* CAST(v AS $dec)")).as("s3"),
+          sum(expr(s"CAST(v AS $dec) * CAST(v AS $dec) " +
+            s"* CAST(v AS $dec) * CAST(v AS $dec)")).as("s4"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("s1d", expr("CAST(CAST(s1 AS STRING) AS DOUBLE)"))
+        .withColumn("s2d", expr("CAST(CAST(s2 AS STRING) AS DOUBLE)"))
+        .withColumn("s3d", expr("CAST(CAST(s3 AS STRING) AS DOUBLE)"))
+        .withColumn("s4d", expr("CAST(CAST(s4 AS STRING) AS DOUBLE)"))
+        .withColumn("mu", expr("s1d / nd"))
+        .withColumn("m2", expr("s2d / nd - mu * mu"))
+        .withColumn("m3", expr(
+          "s3d / nd - 3.0 * mu * (s2d / nd) + 2.0 * mu * mu * mu"))
+        .withColumn("m4", expr(
+          "s4d / nd - 4.0 * mu * (s3d / nd) " +
+            "+ 6.0 * mu * mu * (s2d / nd) - 3.0 * mu * mu * mu * mu"))
+        .withColumn("skewness", expr("m3 / (m2 * sqrt(m2))"))
+        .withColumn("ex_kurtosis", expr("m4 / (m2 * m2) - 3.0"))
+        .withColumn("jb_stat", expr("nd / 6.0 " +
+          "* (skewness * skewness + ex_kurtosis * ex_kurtosis / 4.0)"))
+        .select("event_type", "n", "skewness", "ex_kurtosis", "jb_stat")
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
+    // Kendall rank correlation (tau-b, Kendall 1945 tie correction)
+    // between a day's event COUNT and its value SUM, per event_type —
+    // "do busy days also move more value?" asked rank-wise, immune to
+    // the heavy value tail that bends Pearson (q_stats_corr) and
+    // complementary to Spearman (q_stats_spearman ranks events; this
+    // ranks the daily series against itself pairwise). Concordant /
+    // discordant / tie counts are exact integers over the day-pair
+    // self-join — day grain is bounded by the date DOMAIN (≈30/type),
+    // so the O(days²) pair frame is ~435 rows/type no matter the event
+    // count; a 1000× corpus changes only the per-day aggregate, which
+    // map-side combines before its one shuffle. The only IEEE ops are
+    // the final sqrt and divide of exact integers.
+    "q_stats_kendall_tau" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 4))).as("sv"))
+      val pairs = daily
+        .join(daily.select(col("event_type"), col("day").as("day2"),
+          col("cnt").as("cnt2"), col("sv").as("sv2")), Seq("event_type"))
+        .filter(col("day") < col("day2"))
+        .select(col("event_type"),
+          signum(col("cnt2") - col("cnt")).cast("long").as("sx"),
+          when(col("sv2") > col("sv"), 1L)
+            .when(col("sv2") < col("sv"), -1L).otherwise(0L).as("sy"))
+      pairs.groupBy("event_type")
+        .agg(sum(when(col("sx") * col("sy") === 1L, 1L).otherwise(0L))
+            .as("concordant"),
+          sum(when(col("sx") * col("sy") === -1L, 1L).otherwise(0L))
+            .as("discordant"),
+          sum(when(col("sx") === 0L, 1L).otherwise(0L)).as("ties_x"),
+          sum(when(col("sy") === 0L, 1L).otherwise(0L)).as("ties_y"),
+          count(lit(1)).as("n0"))
+        .withColumn("tau_b",
+          (col("concordant") - col("discordant")).cast("double")
+            / sqrt(((col("n0") - col("ties_x"))
+              * (col("n0") - col("ties_y"))).cast("double")))
+        .select("event_type", "n0", "concordant", "discordant", "tau_b")
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
+    // Mood's median test (the k=2 median-split chi², Mood 1950) on the
+    // click vs view value mixes — the coarsest two-sample location
+    // screen (KS sees any shape difference, MWU sees stochastic
+    // dominance; this sees ONLY "which side of the pooled median"), and
+    // exactly what survives when values arrive pre-bucketed. The pooled
+    // median is the house DOUBLED bracket (2v vs v_lo+v_hi — the
+    // q_stats_runs idiom: v_lo/v_hi read off the shared cumulative
+    // point frame, values AT the bracket midpoint drop per the
+    // conditional-table convention), the 2×2 cell counts are exact
+    // integer sums over the value-grain frame, the ad−bc numerator
+    // cross-multiplies in DECIMAL(38,0)/HUGEINT (VARCHAR-routed), and
+    // chi² is one fixed division tree with a zero-marginal guard.
+    "q_stats_mood_median" -> ((s, d) => {
+      val dec = "DECIMAL(38,0)"
+      val pts = points(s, d)
+      val cum = cumulative(pts)
+      val tot = broadcast(pts.agg(sum("d1").as("n1"), sum("d2").as("n2"))
+        .withColumn("_one", lit(1)))
+      val med = broadcast(cum.withColumn("_one", lit(1)).join(tot, "_one")
+        .agg(min(when(expr("c1 + c2 >= (n1 + n2 + 1) div 2"),
+          col("value"))).as("v_lo"),
+          min(when(expr("c1 + c2 >= (n1 + n2) div 2 + 1"),
+            col("value"))).as("v_hi"))
+        .withColumn("_one", lit(1)))
+      pts.withColumn("_one", lit(1)).join(med, "_one")
+        .agg(sum(when(expr("value + value > v_lo + v_hi"), col("d1"))
+            .otherwise(0L)).as("a"),
+          sum(when(expr("value + value > v_lo + v_hi"), col("d2"))
+            .otherwise(0L)).as("b"),
+          sum(when(expr("value + value < v_lo + v_hi"), col("d1"))
+            .otherwise(0L)).as("c"),
+          sum(when(expr("value + value < v_lo + v_hi"), col("d2"))
+            .otherwise(0L)).as("dd"))
+        .withColumn("n_used", expr("a + b + c + dd"))
+        .withColumn("numx", expr(
+          s"CAST(a AS $dec) * CAST(dd AS $dec) " +
+            s"- CAST(b AS $dec) * CAST(c AS $dec)"))
+        .withColumn("chi2", when(expr(
+          "a + b = 0 OR c + dd = 0 OR a + c = 0 OR b + dd = 0"),
+          lit(null)).otherwise(expr(
+          "CAST(n_used AS DOUBLE) " +
+            "* CAST(CAST(numx AS STRING) AS DOUBLE) " +
+            "* CAST(CAST(numx AS STRING) AS DOUBLE) " +
+            "/ (CAST(a + b AS DOUBLE) * CAST(c + dd AS DOUBLE) " +
+            "* CAST(a + c AS DOUBLE) * CAST(b + dd AS DOUBLE))")))
+        .select("a", "b", "c", "dd", "n_used", "chi2")
+    }),
+
+    // Paired sign test (the distribution-free "is A systematically
+    // above B?" screen) on daily click vs view counts: s_plus = days
+    // clicks exceeded views, s_minus the reverse, ties dropped (the
+    // textbook treatment). Everything is exact integer counting over
+    // the day-domain-bounded frame; z = (s⁺ − s⁻)/√(s⁺ + s⁻) is the
+    // only IEEE arithmetic. The weakest-assumption member of the
+    // paired family — q_stats_wilcoxon_signed adds magnitude ranks,
+    // q_stats_ttest adds normality.
+    "q_stats_sign_test" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("v"))
+      daily.agg(count(lit(1)).as("n_days"),
+          sum(when(col("c") > col("v"), 1L).otherwise(0L)).as("s_plus"),
+          sum(when(col("c") < col("v"), 1L).otherwise(0L)).as("s_minus"))
+        .withColumn("z_stat",
+          when(col("s_plus") + col("s_minus") === 0L, lit(null))
+            .otherwise((col("s_plus") - col("s_minus")).cast("double")
+              / sqrt((col("s_plus") + col("s_minus")).cast("double"))))
+        .select("n_days", "s_plus", "s_minus", "z_stat")
+    }),
+
+    // Wilcoxon signed-rank test (Wilcoxon 1945) on the same daily
+    // click−view pairs — the magnitude-aware upgrade of the sign test:
+    // zero diffs drop, |d| ranks use the house DOUBLED-midrank trick
+    // (2·rank keeps ties integer: dr = 2·#{|d'|<|d|} + #{|d'|=|d|} + 1),
+    // W'₊ = Σ_{d>0} dr = 2W₊ exactly, E[W'] = n(n+1)/2 an exact
+    // integer (the doubling also clears the /4), and the tie-corrected
+    // variance folds onto one denominator: z² = 12(W'−E')²/(2n(n+1)
+    // (2n+1) − Σ(t³−t)). Ranks come from a self-join of the ≤|days|
+    // frame (never a global window — the kendall_tau economics); z is
+    // one fixed double tree over exact integers.
+    "q_stats_wilcoxon_signed" -> ((s, d) => {
+      val diffs = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg((sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          - sum(when(col("event_type") === "view", 1L).otherwise(0L)))
+          .as("diff"))
+        .filter(col("diff") =!= 0L)
+        .select(col("day"), col("diff"), abs(col("diff")).as("ad"))
+        .withColumn("_one", lit(1))
+      val ranked = diffs
+        .join(broadcast(diffs.select(col("ad").as("ad2"), col("_one"))),
+          "_one")
+        .groupBy("day", "diff", "ad")
+        .agg((lit(2L) * sum(when(col("ad2") < col("ad"), 1L)
+          .otherwise(0L))
+          + sum(when(col("ad2") === col("ad"), 1L).otherwise(0L))
+          + lit(1L)).as("dr"))
+      val ties = diffs.groupBy("ad").agg(count(lit(1)).as("tc"))
+        .agg(coalesce(sum(col("tc") * col("tc") * col("tc")
+          - col("tc")), lit(0L)).as("tsum"))
+        .withColumn("_one", lit(1))
+      ranked
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("diff") > 0L, col("dr")).otherwise(0L))
+            .as("w2_plus"))
+        .withColumn("_one", lit(1)).join(broadcast(ties), "_one")
+        .withColumn("e2", col("n_days") * (col("n_days") + 1L))
+        .withColumn("var12",
+          lit(2L) * col("n_days") * (col("n_days") + 1L)
+            * (lit(2L) * col("n_days") + 1L) - col("tsum"))
+        .withColumn("z_stat",
+          when(col("var12") === 0L, lit(null)).otherwise(expr(
+            "(CAST(w2_plus AS DOUBLE) - CAST(e2 AS DOUBLE) / 2.0) " +
+              "/ sqrt(CAST(var12 AS DOUBLE) / 12.0)")))
+        .select("n_days", "w2_plus", "e2", "var12", "z_stat")
+    }),
+
+    // Grubbs outlier statistic (Grubbs 1950) per event_type:
+    // G = max|x − x̄| / s — "is the single most extreme value an
+    // outlier?", the per-batch screen that runs before winsorization
+    // (q_winsorize) decides how hard to clip. The max deviation stays
+    // on the exact integer grid by cross-multiplication (|v·n − S|,
+    // never a subtraction of a divided mean), the variance pieces are
+    // the same DECIMAL(38,0)/HUGEINT power sums as Jarque–Bera, and
+    // G is a fixed double tree over VARCHAR-routed casts. Scale: one
+    // keyed moment agg (map-side combine), totals broadcast back, and
+    // a second keyed max — no window, no sort.
+    "q_stats_grubbs" -> ((s, d) => {
+      val dec = "DECIMAL(38,0)"
+      val ev = t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("value").cast(DecimalType(18, 4)) * lit(10000))
+            .cast(DecimalType(12, 0)).as("v"))
+      val tot = broadcast(ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(dec)).as("sv"),
+          sum(expr(s"CAST(v AS $dec) * CAST(v AS $dec)")).as("qv")))
+      ev.join(tot, "event_type")
+        .groupBy(col("event_type"), col("n"), col("sv"), col("qv"))
+        .agg(max(abs(expr(s"CAST(v AS $dec) * n - sv"))).as("maxdev"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("svd", expr("CAST(CAST(sv AS STRING) AS DOUBLE)"))
+        .withColumn("qvd", expr("CAST(CAST(qv AS STRING) AS DOUBLE)"))
+        .withColumn("maxdevd",
+          expr("CAST(CAST(maxdev AS STRING) AS DOUBLE)"))
+        .withColumn("g_stat", expr("maxdevd / nd " +
+          "/ sqrt((nd * qvd - svd * svd) / (nd * (nd - 1.0)))"))
+        .select("event_type", "n", "g_stat")
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
+    // McNemar paired-proportions test (McNemar 1947) on the
+    // user-DAY click/purchase contingency: each (user, day) is one
+    // paired subject — did that user click that day, did they purchase
+    // that day — and the test asks whether the two discordant cells
+    // (clicked-not-purchased vs purchased-not-clicked) are imbalanced
+    // beyond coin-flip noise. The A/B staple for "did the treatment
+    // flip sessions from browsing to buying". User grain alone is
+    // degenerate here (every user eventually does both — b = c = 0),
+    // which is itself the textbook McNemar pitfall; the day split
+    // restores per-subject variation. One keyed boolean rollup
+    // (map-side combine; two bits of state per subject), then a single
+    // 4-cell aggregate. b, c are exact integers; the statistics (with
+    // and without Edwards' continuity correction) divide exact integer
+    // numerators once, zero-guarded.
+    "q_stats_mcnemar" -> ((s, d) => {
+      val flags = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("hc"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("hp"))
+      flags.agg(
+          count(lit(1)).as("n_subjects"),
+          sum(when(col("hc") === 1L && col("hp") === 0L, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("hc") === 0L && col("hp") === 1L, 1L)
+            .otherwise(0L)).as("c"))
+        .withColumn("chi2", when(col("b") + col("c") === 0L, lit(null))
+          .otherwise(
+            ((col("b") - col("c")) * (col("b") - col("c"))).cast("double")
+              / (col("b") + col("c")).cast("double")))
+        .withColumn("chi2_cc", when(col("b") + col("c") === 0L, lit(null))
+          .otherwise(
+            ((abs(col("b") - col("c")) - 1L)
+              * (abs(col("b") - col("c")) - 1L)).cast("double")
+              / (col("b") + col("c")).cast("double")))
+        .select("n_subjects", "b", "c", "chi2", "chi2_cc")
     })
   )
 
@@ -1234,6 +1518,259 @@ object StatsTests {
         |FROM cum
         |WHERE 2 * cw >= tw
         |GROUP BY 1
-        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+
+    // Same scaled-integer quantization (DECIMAL(18,4) → v·10⁴), power
+    // sums in HUGEINT (= Spark's DECIMAL(38,0) accumulator), and the
+    // identical double expression tree over VARCHAR-routed casts; the
+    // CTE layering mirrors the Spark withColumn chain exactly.
+    "q_stats_jarque_bera" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |      AS DECIMAL(12,0)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), a AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(v AS HUGEINT)) AS s1,
+        |    SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s2,
+        |    SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)
+        |      * CAST(v AS HUGEINT)) AS s3,
+        |    SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)
+        |      * CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s4
+        |  FROM q GROUP BY event_type
+        |), dd AS (
+        |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+        |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d,
+        |    CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS s3d,
+        |    CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS s4d
+        |  FROM a
+        |), m1 AS (
+        |  SELECT *, s1d / nd AS mu FROM dd
+        |), m2 AS (
+        |  SELECT *,
+        |    s2d / nd - mu * mu AS m2,
+        |    s3d / nd - 3.0 * mu * (s2d / nd) + 2.0 * mu * mu * mu AS m3,
+        |    s4d / nd - 4.0 * mu * (s3d / nd)
+        |      + 6.0 * mu * mu * (s2d / nd)
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m1
+        |), g AS (
+        |  SELECT event_type, n, nd, m2, m4,
+        |    m3 / (m2 * sqrt(m2)) AS skewness,
+        |    m4 / (m2 * m2) - 3.0 AS ex_kurtosis
+        |  FROM m2
+        |)
+        |SELECT event_type, n, skewness, ex_kurtosis,
+        |  nd / 6.0 * (skewness * skewness
+        |    + ex_kurtosis * ex_kurtosis / 4.0) AS jb_stat
+        |FROM g ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    // Exact integer concordance counts over the bounded day-pair frame;
+    // the sv comparison runs on the exact DECIMAL day sums (never
+    // doubles), and tau-b's sqrt+divide are the only IEEE ops.
+    "q_stats_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a.event_type,
+        |    CASE WHEN b.cnt > a.cnt THEN 1
+        |         WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sx,
+        |    CASE WHEN b.sv > a.sv THEN 1
+        |         WHEN b.sv < a.sv THEN -1 ELSE 0 END AS sy
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND a.day < b.day
+        |), ag AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS concordant,
+        |    CAST(SUM(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS discordant,
+        |    CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ties_x,
+        |    CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ties_y,
+        |    COUNT(*) AS n0
+        |  FROM p GROUP BY event_type
+        |)
+        |SELECT event_type, n0, concordant, discordant,
+        |  CAST(concordant - discordant AS DOUBLE)
+        |    / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE))
+        |    AS tau_b
+        |FROM ag ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    // Same shared point frame; DuckDB runs ONE global window for the
+    // pooled cumulative (it is the oracle), the doubled bracket and the
+    // guarded chi² tree repeat the Spark text verbatim.
+    "q_stats_mood_median" ->
+      s"""WITH pts AS (
+         |  $ptsSql
+         |), cum AS (
+         |  SELECT value,
+         |    CAST(SUM(d1 + d2) OVER (ORDER BY value) AS BIGINT) AS cc
+         |  FROM pts
+         |), tot AS (
+         |  SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+         |    CAST(SUM(d2) AS BIGINT) AS n2
+         |  FROM pts
+         |), med AS (
+         |  SELECT
+         |    MIN(CASE WHEN cc >= (n1 + n2 + 1) // 2 THEN value END)
+         |      AS v_lo,
+         |    MIN(CASE WHEN cc >= (n1 + n2) // 2 + 1 THEN value END)
+         |      AS v_hi
+         |  FROM cum, tot
+         |), cells AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN value + value > v_lo + v_hi
+         |      THEN d1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN value + value > v_lo + v_hi
+         |      THEN d2 ELSE 0 END) AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN value + value < v_lo + v_hi
+         |      THEN d1 ELSE 0 END) AS BIGINT) AS c,
+         |    CAST(SUM(CASE WHEN value + value < v_lo + v_hi
+         |      THEN d2 ELSE 0 END) AS BIGINT) AS dd
+         |  FROM pts, med
+         |), x AS (
+         |  SELECT a, b, c, dd, a + b + c + dd AS n_used,
+         |    CAST(a AS HUGEINT) * CAST(dd AS HUGEINT)
+         |      - CAST(b AS HUGEINT) * CAST(c AS HUGEINT) AS numx
+         |  FROM cells
+         |)
+         |SELECT a, b, c, dd, n_used,
+         |  CASE WHEN a + b = 0 OR c + dd = 0 OR a + c = 0
+         |    OR b + dd = 0 THEN NULL ELSE
+         |    CAST(n_used AS DOUBLE)
+         |      * CAST(CAST(numx AS VARCHAR) AS DOUBLE)
+         |      * CAST(CAST(numx AS VARCHAR) AS DOUBLE)
+         |      / (CAST(a + b AS DOUBLE) * CAST(c + dd AS DOUBLE)
+         |        * CAST(a + c AS DOUBLE) * CAST(b + dd AS DOUBLE))
+         |  END AS chi2
+         |FROM x""".stripMargin,
+
+    // Exact daily win counts; the z tree divides exact integers once.
+    "q_stats_sign_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |), a AS (
+        |  SELECT COUNT(*) AS n_days,
+        |    CAST(SUM(CASE WHEN c > v THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s_plus,
+        |    CAST(SUM(CASE WHEN c < v THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s_minus
+        |  FROM daily
+        |)
+        |SELECT n_days, s_plus, s_minus,
+        |  CASE WHEN s_plus + s_minus = 0 THEN NULL ELSE
+        |    CAST(s_plus - s_minus AS DOUBLE)
+        |      / sqrt(CAST(s_plus + s_minus AS DOUBLE)) END AS z_stat
+        |FROM a""".stripMargin,
+
+    // Same doubled-midrank machinery (ranks from the bounded day-frame
+    // self-join), exact tie fold, verbatim z tree over exact integers.
+    "q_stats_wilcoxon_signed" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      - SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS diff
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |), d AS (
+        |  SELECT day, diff, ABS(diff) AS ad FROM daily WHERE diff <> 0
+        |), r AS (
+        |  SELECT a.day, a.diff,
+        |    CAST(2 * SUM(CASE WHEN b.ad < a.ad THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN b.ad = a.ad THEN 1 ELSE 0 END) + 1
+        |      AS BIGINT) AS dr
+        |  FROM d a CROSS JOIN d b
+        |  GROUP BY a.day, a.diff
+        |), tt AS (
+        |  SELECT COALESCE(CAST(SUM(tc * tc * tc - tc) AS BIGINT), 0)
+        |    AS tsum
+        |  FROM (SELECT COUNT(*) AS tc FROM d GROUP BY ad)
+        |), w AS (
+        |  SELECT COUNT(*) AS n_days,
+        |    CAST(SUM(CASE WHEN diff > 0 THEN dr ELSE 0 END) AS BIGINT)
+        |      AS w2_plus
+        |  FROM r
+        |), x AS (
+        |  SELECT n_days, w2_plus,
+        |    n_days * (n_days + 1) AS e2,
+        |    2 * n_days * (n_days + 1) * (2 * n_days + 1) - tsum AS var12
+        |  FROM w, tt
+        |)
+        |SELECT n_days, w2_plus, e2, var12,
+        |  CASE WHEN var12 = 0 THEN NULL ELSE
+        |    (CAST(w2_plus AS DOUBLE) - CAST(e2 AS DOUBLE) / 2.0)
+        |      / sqrt(CAST(var12 AS DOUBLE) / 12.0) END AS z_stat
+        |FROM x""".stripMargin,
+
+    // Same scaled-integer grid; the max deviation cross-multiplies in
+    // HUGEINT and the G tree repeats the Spark text verbatim.
+    "q_stats_grubbs" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |      AS DECIMAL(12,0)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), tot AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(v AS HUGEINT)) AS sv,
+        |    SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS qv
+        |  FROM q GROUP BY 1
+        |), m AS (
+        |  SELECT q.event_type, t.n, t.sv, t.qv,
+        |    MAX(ABS(CAST(q.v AS HUGEINT) * t.n - t.sv)) AS maxdev
+        |  FROM q JOIN tot t ON t.event_type = q.event_type
+        |  GROUP BY 1, 2, 3, 4
+        |), dd AS (
+        |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS svd,
+        |    CAST(CAST(qv AS VARCHAR) AS DOUBLE) AS qvd,
+        |    CAST(CAST(maxdev AS VARCHAR) AS DOUBLE) AS maxdevd
+        |  FROM m
+        |)
+        |SELECT event_type, n,
+        |  maxdevd / nd
+        |    / sqrt((nd * qvd - svd * svd) / (nd * (nd - 1.0))) AS g_stat
+        |FROM dd ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    // Exact 2×2 discordant-cell counts at user-day grain; both
+    // statistics divide exact integer numerators once, zero-guarded.
+    "q_stats_mcnemar" ->
+      """WITH flags AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS hc,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS hp
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2
+        |), cells AS (
+        |  SELECT COUNT(*) AS n_subjects,
+        |    CAST(SUM(CASE WHEN hc = 1 AND hp = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN hc = 0 AND hp = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM flags
+        |)
+        |SELECT n_subjects, b, c,
+        |  CASE WHEN b + c = 0 THEN NULL ELSE
+        |    CAST((b - c) * (b - c) AS DOUBLE)
+        |      / CAST(b + c AS DOUBLE) END AS chi2,
+        |  CASE WHEN b + c = 0 THEN NULL ELSE
+        |    CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) AS DOUBLE)
+        |      / CAST(b + c AS DOUBLE) END AS chi2_cc
+        |FROM cells""".stripMargin
   )
 }

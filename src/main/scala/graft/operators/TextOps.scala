@@ -706,6 +706,45 @@ object TextOps {
           sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
         .orderBy(asc_nulls_last("lang"))),
 
+    // Syllable-density readability profile per language — the
+    // Flesch-family signal that survives this fixture's
+    // no-sentence-punctuation token streams: syllables ≈ vowel CLUSTERS
+    // ([aeiouy]+ runs, the standard heuristic's core), so the profile
+    // reads out syllables/word, word length and vowel ratio — the
+    // inputs a quality gate combines into grade-level scores. Counting
+    // is pure LENGTH arithmetic around two regex rewrites (cluster →
+    // '#', cluster → ''): C = len(after-#) − len(after-del), V = len −
+    // len(after-del), W = spaces + 1 — all exact integers summed per
+    // lang with map-side combine; the three ratios are independent
+    // single divisions of exact totals. Scale: one narrow map over the
+    // text column + a |langs|-bounded keyed agg, zero joins.
+    "q_text_readability" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("lang"),
+          length(col("text")).cast("long").as("l0"),
+          length(regexp_replace(col("text"), "[aeiouy]+", ""))
+            .cast("long").as("l1"),
+          length(regexp_replace(col("text"), "[aeiouy]+", "#"))
+            .cast("long").as("l2"),
+          length(regexp_replace(col("text"), " ", ""))
+            .cast("long").as("l3"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("l2 - l1")).as("clusters"),
+          sum(expr("l0 - l1")).as("vowels"),
+          sum(expr("l0 - l3 + 1")).as("words"),
+          sum(col("l3")).as("word_chars"))
+        .withColumn("syll_per_word", expr(
+          "CAST(clusters AS DOUBLE) / CAST(words AS DOUBLE)"))
+        .withColumn("chars_per_word", expr(
+          "CAST(word_chars AS DOUBLE) / CAST(words AS DOUBLE)"))
+        .withColumn("vowel_ratio", expr(
+          "CAST(vowels AS DOUBLE) / CAST(word_chars AS DOUBLE)"))
+        .select("lang", "n_docs", "words", "clusters", "syll_per_word",
+          "chars_per_word", "vowel_ratio")
+        .orderBy(asc_nulls_last("lang"))),
+
     // Per-document Shannon token entropy — the lexical-diversity quality
     // signal gini approximates from below, now exact(-to-2e-7) via the
     // r8 BIT-PORTABLE log2 (graft.Det.plog2Series: exact binary exponent
@@ -2522,6 +2561,36 @@ object TextOps {
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang
         |ORDER BY lang ASC NULLS LAST""".stripMargin,
+
+    // Same two regex rewrites (global flag) + length arithmetic; the
+    // three ratio trees repeat the Spark text verbatim.
+    "q_text_readability" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    CAST(len(text) AS BIGINT) AS l0,
+        |    CAST(len(regexp_replace(text, '[aeiouy]+', '', 'g'))
+        |      AS BIGINT) AS l1,
+        |    CAST(len(regexp_replace(text, '[aeiouy]+', '#', 'g'))
+        |      AS BIGINT) AS l2,
+        |    CAST(len(regexp_replace(text, ' ', '', 'g')) AS BIGINT)
+        |      AS l3
+        |  FROM documents WHERE text IS NOT NULL
+        |), a AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(l2 - l1) AS BIGINT) AS clusters,
+        |    CAST(SUM(l0 - l1) AS BIGINT) AS vowels,
+        |    CAST(SUM(l0 - l3 + 1) AS BIGINT) AS words,
+        |    CAST(SUM(l3) AS BIGINT) AS word_chars
+        |  FROM m GROUP BY lang
+        |)
+        |SELECT lang, n_docs, words, clusters,
+        |  CAST(clusters AS DOUBLE) / CAST(words AS DOUBLE)
+        |    AS syll_per_word,
+        |  CAST(word_chars AS DOUBLE) / CAST(words AS DOUBLE)
+        |    AS chars_per_word,
+        |  CAST(vowels AS DOUBLE) / CAST(word_chars AS DOUBLE)
+        |    AS vowel_ratio
+        |FROM a ORDER BY lang ASC NULLS LAST""".stripMargin,
 
     "q_text_dedup" ->
       """SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs,

@@ -1165,6 +1165,49 @@ object VectorOps {
           col("avg_pair_cos"))
     }),
 
+    // Linear-kernel Maximum Mean Discrepancy between every label pair
+    // (Gretton et al. 2012, JMLR "A Kernel Two-Sample Test"): with the
+    // linear kernel, MMD²(a,b) collapses to ‖μ_a − μ_b‖² — the
+    // distribution-shift number a training pipeline watches per
+    // source/epoch/shard ("did class b's embedding mass drift away from
+    // class a's?") without any O(n²) pair join. Exactness: components
+    // quantize to the proven floor(x·10⁷+½) integer grid, per-(label,
+    // pos) sums stay BIGINT, the mean difference cross-multiplies —
+    // s_a·n_b − s_b·n_a, never a per-dim division — and squares
+    // accumulate in DECIMAL(38,0)/HUGEINT; ONE trailing division
+    // un-scales. Scale: the corpus shuffles ONCE as slim (label, pos,
+    // q) rows with map-side combine into a |labels|·dim frame (640
+    // rows); the pair fan-out happens on THAT, bounded by the label
+    // DOMAIN, so a 1000× corpus changes only the partial-agg stage.
+    "q_embed_mmd" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val comp = t(s, d, "embeddings")
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("q", expr(
+          "CAST(floor(CAST(x AS DOUBLE) * CAST(10000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+      val a = comp.select(col("label").as("label_a"), col("pos"),
+        col("n").as("n_a"), col("sq").as("s_a"))
+      val b = comp.select(col("label").as("label_b"), col("pos"),
+        col("n").as("n_b"), col("sq").as("s_b"))
+      a.join(b, Seq("pos"))
+        .filter(col("label_a") < col("label_b"))
+        .withColumn("dterm", expr(s"CAST(s_a * n_b - s_b * n_a AS $dec)"))
+        .groupBy("label_a", "label_b", "n_a", "n_b")
+        .agg(sum(expr(s"CAST(dterm * dterm AS $dec)")).as("num"))
+        .withColumn("mmd2", expr(
+          "CAST(CAST(num AS STRING) AS DOUBLE) " +
+            "/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) " +
+            "* CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) " +
+            "/ CAST(100000000000000 AS DOUBLE)"))
+        .select("label_a", "label_b", "n_a", "n_b", "mmd2")
+        .orderBy(asc_nulls_last("label_a"), asc_nulls_last("label_b"))
+    }),
+
     // Label prototypes — per-label centroid on the exact integer grid,
     // then each label's 3 members most aligned with it (highest integer
     // dot): the "class exemplars" readout behind dataset distillation /
@@ -2849,6 +2892,41 @@ object VectorOps {
          |  (n * sxx - sx * sx) / (n * n) AS variance,
          |  x_min, x_max
          |FROM g ORDER BY pos ASC NULLS LAST""".stripMargin,
+
+    // Same floor(x·10⁷+½) grid and cross-multiplied mean difference;
+    // HUGEINT squares, the identical un-scaling division text.
+    "q_embed_mmd" ->
+      s"""WITH e AS (
+         |  SELECT label, unnest(generate_series(1, $EmbDim)) AS i,
+         |    embedding
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+         |), v AS (
+         |  SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE)
+         |      * CAST(10000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+         |  FROM e
+         |), g AS (
+         |  SELECT label, pos, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sq
+         |  FROM v GROUP BY 1, 2
+         |), p AS (
+         |  SELECT a.label AS label_a, b.label AS label_b,
+         |    a.n AS n_a, b.n AS n_b,
+         |    CAST(a.sq * b.n - b.sq * a.n AS HUGEINT) AS dterm
+         |  FROM g a JOIN g b ON b.pos = a.pos AND a.label < b.label
+         |), ag AS (
+         |  SELECT label_a, label_b, n_a, n_b, SUM(dterm * dterm) AS num
+         |  FROM p GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT label_a, label_b, n_a, n_b,
+         |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+         |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+         |      * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+         |    / CAST(100000000000000 AS DOUBLE) AS mmd2
+         |FROM ag
+         |ORDER BY label_a ASC NULLS LAST, label_b ASC NULLS LAST"""
+        .stripMargin,
 
     // Same per-dim component machinery; the quantization and the final
     // mean are verbatim expression text (HUGEINT carries the squares,

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.EventAnalytics
 
 /** Funnel / retention / resample-ffill against plain-Scala ground truth
@@ -538,5 +540,104 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getString(3) == den.toString)
     assert(r.getDouble(4) == num.toDouble / den.toDouble)
     assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+  }
+
+  /** Daily (day → (count, exact 10⁴-scaled value sum)) per event_type. */
+  private def dailyByType: Map[String, Seq[(String, Long, BigInt)]] = {
+    val rows = Tables.table(spark, sf, "events")
+      .select(col("event_type"), to_date(col("ts")).cast("string")
+        .as("day"), col("value").cast("decimal(18,4)").as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        BigInt(r.getDecimal(2).movePointRight(4).toBigIntegerExact)))
+    rows.groupBy(_._1).view.mapValues { evs =>
+      evs.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (day, g) =>
+          (day, g.length.toLong, g.map(_._3).sum)
+        }
+    }.toMap
+  }
+
+  test("q_stats_durbin_watson equals a plain-Scala exact-integer " +
+      "replay and sits in [0, 4]") {
+    val out = EventAnalytics.queries("q_stats_durbin_watson")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val byType = dailyByType
+    assert(out.keySet == byType.keySet)
+    byType.foreach { case (ty, daily) =>
+      val nd = daily.length.toLong
+      val stot = daily.map(_._3).sum
+      val rr = daily.map { case (_, _, svi) => svi * nd - stot }
+      val den = rr.map(x => x * x).sum
+      val num = rr.sliding(2).collect { case Seq(a, b) =>
+        (b - a) * (b - a) }.sum
+      val r = out(ty)
+      assert(r.getAs[Long]("n_days") == nd, s"$ty n_days")
+      val dw = BigDecimal(num).toDouble / BigDecimal(den).toDouble
+      assert(r.getAs[Double]("dw_stat") == dw, s"$ty dw")
+      assert(dw >= 0.0 && dw <= 4.0, s"$ty dw in range")
+    }
+  }
+
+  /** Centered daily-count grid shared by the ACF-family replays. */
+  private def centeredDaily: (Long, Seq[(String, BigInt)], BigInt) = {
+    val days = events.groupBy(e => e._2.toInstant
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+      .view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val nd = days.length.toLong
+    val sx = days.map(_._2).sum
+    val cent = days.map { case (d, x) => d -> BigInt(x * nd - sx) }
+    val den = cent.map { case (_, c) => c * c }.sum
+    (nd, cent, den)
+  }
+
+  private def lagNum(cent: Seq[(String, BigInt)], k: Int): BigInt = {
+    val m = cent.toMap
+    cent.map { case (d, c) =>
+      val d2 = java.time.LocalDate.parse(d).plusDays(k).toString
+      m.get(d2).map(_ * c).getOrElse(BigInt(0))
+    }.sum
+  }
+
+  test("q_ts_ljung_box equals a plain-Scala common-denominator replay " +
+      "and Q is non-negative") {
+    val (nd, cent, den) = centeredDaily
+    val pAll = (1 to 7).map(k => BigInt(nd - k)).product
+    val sSum = (1 to 7).map { k =>
+      val num = lagNum(cent, k)
+      num * num * (pAll / BigInt(nd - k))
+    }.sum
+    val qNum = BigInt(nd) * BigInt(nd + 2) * sSum
+    val qDen = den * den * pAll
+    val q = BigDecimal(qNum).toDouble / BigDecimal(qDen).toDouble
+    val r = EventAnalytics.queries("q_ts_ljung_box")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_days") == nd)
+    assert(r.getAs[Long]("n_lags") == 7L)
+    assert(r.getAs[Double]("q_stat") == q)
+    assert(q >= 0.0)
+  }
+
+  test("q_ts_pacf equals the Durbin–Levinson replay over exact ACF " +
+      "pieces; pacf1 == r1") {
+    val (nd, cent, den) = centeredDaily
+    val Seq(n1, n2, n3) = (1 to 3).map(k => lagNum(cent, k))
+    val dend = BigDecimal(den).toDouble
+    val r1 = BigDecimal(n1).toDouble / dend
+    val r2 = BigDecimal(n2).toDouble / dend
+    val r3 = BigDecimal(n3).toDouble / dend
+    val pacf2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val phi21 = r1 - pacf2 * r1
+    val pacf3 = (r3 - phi21 * r2 - pacf2 * r1) /
+      (1.0 - phi21 * r1 - pacf2 * r2)
+    val r = EventAnalytics.queries("q_ts_pacf")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_days") == nd)
+    assert(r.getAs[Double]("r1") == r1 && r.getAs[Double]("r2") == r2
+      && r.getAs[Double]("r3") == r3)
+    assert(r.getAs[Double]("pacf1") == r1)
+    assert(r.getAs[Double]("pacf2") == pacf2)
+    assert(r.getAs[Double]("pacf3") == pacf3)
+    assert(math.abs(pacf2) <= 1.0 && math.abs(pacf3) <= 1.0)
   }
 }

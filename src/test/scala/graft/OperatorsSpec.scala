@@ -2293,4 +2293,389 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(zips > 0, "no ZIP fixtures exercised")
   }
+
+  test("q_stats_jarque_bera equals a plain-Scala scaled-moment replay " +
+      "and JB is non-negative") {
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val out = StatsTests.queries("q_stats_jarque_bera")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val byType = rows.groupBy(_._1)
+    assert(out.keySet == byType.keySet)
+    byType.foreach { case (ty, evs) =>
+      // same quantization: round-to-nearest of value·10⁴ (DECIMAL(18,4))
+      val vs = evs.map(e => BigDecimal(e._2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_EVEN) * 10000)
+        .map(_.toBigInt)
+      val n = vs.length.toDouble
+      def p(k: Int): Double = vs.map(v => v.pow(k)).sum.toDouble
+      val mu = p(1) / n
+      val m2 = p(2) / n - mu * mu
+      val m3 = p(3) / n - 3.0 * mu * (p(2) / n) + 2.0 * mu * mu * mu
+      val m4 = p(4) / n - 4.0 * mu * (p(3) / n) +
+        6.0 * mu * mu * (p(2) / n) - 3.0 * mu * mu * mu * mu
+      val skw = m3 / (m2 * math.sqrt(m2))
+      val exk = m4 / (m2 * m2) - 3.0
+      val r = out(ty)
+      assert(r.getAs[Long]("n") == evs.length.toLong, s"$ty n")
+      // replay sums in double (exact engine sums are integers ≤ 2^63
+      // only for p1/p2) — compare within a tight relative band
+      assert(math.abs(r.getAs[Double]("skewness") - skw)
+        <= 1e-9 * math.max(1.0, math.abs(skw)), s"$ty skew")
+      assert(math.abs(r.getAs[Double]("ex_kurtosis") - exk)
+        <= 1e-9 * math.max(1.0, math.abs(exk)), s"$ty kurt")
+      assert(r.getAs[Double]("jb_stat") >= 0.0, s"$ty JB >= 0")
+    }
+  }
+
+  test("q_stats_kendall_tau equals a brute-force pair count and " +
+      "tau_b is within [-1, 1]") {
+    val rows = Tables.table(spark, sf, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        BigDecimal(r.getDecimal(2))))
+    val out = StatsTests.queries("q_stats_kendall_tau")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (ty, evs) =>
+      val daily = evs.groupBy(_._2).view
+        .mapValues(g => (g.length.toLong, g.map(_._3).sum))
+        .toSeq.sortBy(_._1)
+      val pairs = for {
+        i <- daily.indices; j <- (i + 1) until daily.length
+      } yield {
+        val (_, (c1, s1)) = daily(i); val (_, (c2, s2)) = daily(j)
+        (c2.compare(c1).sign, s2.compare(s1).sign)
+      }
+      val conc = pairs.count { case (a, b) => a * b == 1 }.toLong
+      val disc = pairs.count { case (a, b) => a * b == -1 }.toLong
+      val tx = pairs.count(_._1 == 0).toLong
+      val ty2 = pairs.count(_._2 == 0).toLong
+      val n0 = pairs.length.toLong
+      val r = out(ty)
+      assert(r.getAs[Long]("n0") == n0, s"$ty n0")
+      assert(r.getAs[Long]("concordant") == conc, s"$ty C")
+      assert(r.getAs[Long]("discordant") == disc, s"$ty D")
+      val tau = (conc - disc).toDouble /
+        math.sqrt(((n0 - tx) * (n0 - ty2)).toDouble)
+      assert(r.getAs[Double]("tau_b") == tau, s"$ty tau")
+      assert(math.abs(tau) <= 1.0, s"$ty tau in range")
+    }
+  }
+
+  test("q_stats_grubbs equals a plain-Scala scaled-deviation replay " +
+      "and G is positive") {
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val out = StatsTests.queries("q_stats_grubbs")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (ty, evs) =>
+      val vs = evs.map(e => (BigDecimal(e._2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_EVEN) * 10000)
+        .toBigInt)
+      val n = vs.length.toLong
+      val sv = vs.sum
+      val qv = vs.map(v => v * v).sum
+      val maxdev = vs.map(v => (v * n - sv).abs).max
+      val nd = n.toDouble
+      val svd = BigDecimal(sv).toDouble
+      val qvd = BigDecimal(qv).toDouble
+      val maxdevd = BigDecimal(maxdev).toDouble
+      val g = maxdevd / nd /
+        math.sqrt((nd * qvd - svd * svd) / (nd * (nd - 1.0)))
+      val r = out(ty)
+      assert(r.getAs[Long]("n") == n, s"$ty n")
+      assert(r.getAs[Double]("g_stat") == g, s"$ty G")
+      assert(g > 0.0, s"$ty G positive")
+    }
+  }
+
+  test("q_agg_grouping_sets emits exactly the three declared sets " +
+      "with conserved totals") {
+    val out = Relational.queries("q_agg_grouping_sets")(spark, sf)
+      .collect()
+    val li = Tables.table(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val byGid = out.groupBy(_.getLong(2))
+    assert(byGid.keySet == Set(0L, 1L, 2L))
+    // gid 0 = (rf, ls): full cross-classification
+    val both = li.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val g0 = byGid(0L)
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(g0 == both, "gid 0 cells")
+    // gid 1 = (rf) only: linestatus is null
+    val byRf = li.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val g1 = byGid(1L).map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byGid(1L).forall(_.isNullAt(1)), "gid 1 nulls")
+    assert(g1 == byRf, "gid 1 cells")
+    // gid 2 = (ls) only: returnflag is null
+    val byLs = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val g2 = byGid(2L).map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(byGid(2L).forall(_.isNullAt(0)), "gid 2 nulls")
+    assert(g2 == byLs, "gid 2 cells")
+    // every set partitions the same fact rows
+    assert(byGid.values.forall(_.map(_.getLong(3)).sum == li.length))
+  }
+
+  /** Daily (click, view) count pairs shared by the paired-test replays. */
+  private def dailyClickView: Seq[(Long, Long)] = {
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(to_date(col("ts")).cast("string").as("day"),
+        col("event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, evs) =>
+      (evs.count(_._2 == "click").toLong,
+        evs.count(_._2 == "view").toLong)
+    }
+  }
+
+  test("q_stats_sign_test equals a brute-force daily win count") {
+    val daily = dailyClickView
+    val sp = daily.count { case (c, v) => c > v }.toLong
+    val sm = daily.count { case (c, v) => c < v }.toLong
+    val r = StatsTests.queries("q_stats_sign_test")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_days") == daily.length.toLong)
+    assert(r.getAs[Long]("s_plus") == sp)
+    assert(r.getAs[Long]("s_minus") == sm)
+    assert(sp + sm > 0, "fixture has unequal days")
+    val z = (sp - sm).toDouble / math.sqrt((sp + sm).toDouble)
+    assert(r.getAs[Double]("z_stat") == z)
+  }
+
+  test("q_stats_wilcoxon_signed equals a doubled-midrank replay with " +
+      "the tie-corrected variance") {
+    val diffs = dailyClickView.map { case (c, v) => c - v }
+      .filter(_ != 0L)
+    val ads = diffs.map(math.abs)
+    def dr(ad: Long): Long =
+      2L * ads.count(_ < ad) + ads.count(_ == ad) + 1L
+    val n = diffs.length.toLong
+    val w2 = diffs.filter(_ > 0L).map(d => dr(math.abs(d))).sum
+    val tsum = ads.groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * t * t - t }).sum
+    val e2 = n * (n + 1)
+    val var12 = 2 * n * (n + 1) * (2 * n + 1) - tsum
+    val r = StatsTests.queries("q_stats_wilcoxon_signed")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_days") == n)
+    assert(r.getAs[Long]("w2_plus") == w2)
+    assert(r.getAs[Long]("e2") == e2)
+    assert(r.getAs[Long]("var12") == var12)
+    val z = (w2.toDouble - e2.toDouble / 2.0) /
+      math.sqrt(var12.toDouble / 12.0)
+    assert(r.getAs[Double]("z_stat") == z)
+    // doubled ranks of n untied rows sum to n(n+1) exactly; ties keep
+    // the total invariant (midranks redistribute, never create mass)
+    assert(diffs.map(d => dr(math.abs(d))).sum == e2)
+  }
+
+  test("q_ts_periodogram equals an exact coefficient-table replay " +
+      "and Parseval bounds each power") {
+    val days = Tables.table(spark, sf, "events")
+      .select(to_date(col("ts")).cast("string").as("day"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val nd = days.length.toLong
+    val sx = days.map(_._2).sum
+    val d0 = java.time.LocalDate.parse(days.head._1)
+    val cent = days.map { case (d, x) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(
+        d0, java.time.LocalDate.parse(d)), BigInt(x * nd - sx))
+    }
+    val den = cent.map { case (_, c) => c * c }.sum
+    val out = EventAnalytics.queries("q_ts_periodogram")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L, 3L, 4L, 6L))
+    val cosT = Map(
+      2L -> Seq(2, -2), 3L -> Seq(2, -1, -1),
+      4L -> Seq(2, 0, -2, 0), 6L -> Seq(2, 1, -1, -2, -1, 1))
+    val sinT = Map(
+      2L -> Seq(0, 0), 3L -> Seq(0, 1, -1),
+      4L -> Seq(0, 2, 0, -2), 6L -> Seq(0, 1, 1, 0, -1, -1))
+    Seq(2L, 3L, 4L, 6L).foreach { p =>
+      val ca = cent.map { case (t, c) =>
+        c * cosT(p)((t % p).toInt) }.sum
+      val sa = cent.map { case (t, c) =>
+        c * sinT(p)((t % p).toInt) }.sum
+      val k = if (p == 3L || p == 6L) 3 else 1
+      val power4 = ca * ca + k * sa * sa
+      val r = out(p)
+      assert(r.getLong(1) == nd, s"p=$p n_days")
+      assert(r.getString(2) == power4.toString, s"p=$p power4")
+      val score = BigDecimal(power4).toDouble / BigDecimal(den).toDouble
+      assert(r.getDouble(3) == score, s"p=$p score")
+      // Parseval: one frequency's power cannot exceed the full energy
+      // (4|A|² ≤ 4·(n/2)·den/n = 2·den for a real series — use the
+      // loose integer bound 4·den·n which always holds)
+      assert(power4 <= BigInt(4) * den * BigInt(nd), s"p=$p bound")
+    }
+  }
+
+  test("q_ts_turning_points equals a brute-force calendar-triple " +
+      "count with strict extrema") {
+    val rows = Tables.table(spark, sf, "events")
+      .select(col("event_type"), to_date(col("ts")).cast("string")
+        .as("day"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val out = EventAnalytics.queries("q_ts_turning_points")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (ty, evs) =>
+      val daily = evs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val triples = daily.keys.toSeq.filter { d =>
+        val ld = java.time.LocalDate.parse(d)
+        daily.contains(ld.minusDays(1).toString) &&
+          daily.contains(ld.plusDays(1).toString)
+      }
+      val turning = triples.count { d =>
+        val ld = java.time.LocalDate.parse(d)
+        val x = daily(d)
+        val xp = daily(ld.minusDays(1).toString)
+        val xn = daily(ld.plusDays(1).toString)
+        (xp < x && xn < x) || (xp > x && xn > x)
+      }.toLong
+      val m = triples.length.toLong
+      val r = out(ty)
+      assert(r.getAs[Long]("n_triples") == m, s"$ty triples")
+      assert(r.getAs[Long]("turning") == turning, s"$ty turning")
+      val z = (3 * turning - 2 * m).toDouble /
+        math.sqrt((16 * (m + 2) - 29).toDouble / 10.0)
+      assert(r.getAs[Double]("z_stat") == z, s"$ty z")
+    }
+  }
+
+  test("q_window_rolling_beta equals a per-user sliding-window OLS " +
+      "replay") {
+    val rows = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getDecimal(3)))
+    val out = Relational.queries("q_window_rolling_beta")(spark, sf)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    val epoch = 1704067200000000L
+    rows.groupBy(_._1).foreach { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._2.toInstant.getEpochSecond
+        * 1000000L + e._2.toInstant.getNano / 1000L, e._3))
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 6), i + 1)
+        val ts = frame.map { e =>
+          val us = e._2.toInstant.getEpochSecond * 1000000L +
+            e._2.toInstant.getNano / 1000L
+          (us - epoch) / 1000000L
+        }
+        val ys = frame.map(e =>
+          BigDecimal(e._4).*(BigDecimal(10000)).toLongExact)
+        val k = frame.length.toLong
+        val st = ts.sum; val sy = ys.sum
+        val stt = ts.map(t => t * t).sum
+        val sty = ts.zip(ys).map { case (t, y) => t * y }.sum
+        val den = k * stt - st * st
+        val r = out(ordered(i)._3)
+        assert(r.getAs[Long]("k") == k, s"ev ${ordered(i)._3} k")
+        assert(r.getAs[Long]("den") == den, s"ev ${ordered(i)._3} den")
+        if (den == 0L) assert(r.isNullAt(4), s"ev ${ordered(i)._3} null")
+        else assert(r.getAs[Double]("beta") ==
+          (k * sty - st * sy).toDouble / den.toDouble,
+          s"ev ${ordered(i)._3} beta")
+      }
+    }
+  }
+
+  test("q_text_readability equals a plain-Scala length-arithmetic " +
+      "replay and ratios are sane") {
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val out = TextOps.queries("q_text_readability")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    docs.groupBy(_._1).foreach { case (lang, g) =>
+      var clusters = 0L; var vowels = 0L; var words = 0L; var wc = 0L
+      g.foreach { case (_, text) =>
+        val l0 = text.length.toLong
+        val l1 = text.replaceAll("[aeiouy]+", "").length.toLong
+        val l2 = text.replaceAll("[aeiouy]+", "#").length.toLong
+        val l3 = text.replaceAll(" ", "").length.toLong
+        clusters += l2 - l1; vowels += l0 - l1
+        words += l0 - l3 + 1; wc += l3
+      }
+      val r = out(lang)
+      assert(r.getAs[Long]("n_docs") == g.length.toLong, s"$lang docs")
+      assert(r.getAs[Long]("words") == words, s"$lang words")
+      assert(r.getAs[Long]("clusters") == clusters, s"$lang clusters")
+      assert(r.getAs[Double]("syll_per_word") ==
+        clusters.toDouble / words.toDouble, s"$lang spw")
+      assert(r.getAs[Double]("chars_per_word") ==
+        wc.toDouble / words.toDouble, s"$lang cpw")
+      assert(r.getAs[Double]("vowel_ratio") ==
+        vowels.toDouble / wc.toDouble, s"$lang vr")
+      assert(r.getAs[Double]("vowel_ratio") >= 0.0
+        && r.getAs[Double]("vowel_ratio") <= 1.0, s"$lang vr range")
+    }
+  }
+
+  test("q_stats_mood_median equals a brute-force median-split table") {
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val pooled = rows.map(_._2).sorted
+    val n = pooled.length
+    val vLo = pooled((n + 1) / 2 - 1)
+    val vHi = pooled(n / 2)
+    val med2 = vLo + vHi
+    def cells(ty: String) = {
+      val vs = rows.filter(_._1 == ty).map(_._2)
+      (vs.count(v => v + v > med2).toLong,
+        vs.count(v => v + v < med2).toLong)
+    }
+    val (a, c) = cells("click")
+    val (b, dd) = cells("view")
+    val r = StatsTests.queries("q_stats_mood_median")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("a") == a && r.getAs[Long]("b") == b
+      && r.getAs[Long]("c") == c && r.getAs[Long]("dd") == dd)
+    val nUsed = a + b + c + dd
+    assert(r.getAs[Long]("n_used") == nUsed)
+    val num = BigInt(a) * BigInt(dd) - BigInt(b) * BigInt(c)
+    val chi2 = nUsed.toDouble * BigDecimal(num).toDouble *
+      BigDecimal(num).toDouble /
+      ((a + b).toDouble * (c + dd).toDouble *
+        (a + c).toDouble * (b + dd).toDouble)
+    assert(r.getAs[Double]("chi2") == chi2)
+    assert(chi2 >= 0.0)
+  }
+
+  test("q_stats_mcnemar equals a brute-force user-day cell count") {
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getDate(1).toString), r.getString(2)))
+    val cells = rows.groupBy(_._1).values.map { evs =>
+      (evs.exists(_._2 == "click"), evs.exists(_._2 == "purchase"))
+    }.toSeq
+    val b = cells.count { case (hc, hp) => hc && !hp }.toLong
+    val c = cells.count { case (hc, hp) => !hc && hp }.toLong
+    val r = StatsTests.queries("q_stats_mcnemar")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_subjects") == cells.length.toLong)
+    assert(r.getAs[Long]("b") == b && r.getAs[Long]("c") == c)
+    assert(b + c > 0, "fixture has discordant user-days")
+    val chi2 = (b - c).toDouble * (b - c).toDouble / (b + c).toDouble
+    assert(r.getAs[Double]("chi2") == chi2)
+    val cc = (math.abs(b - c) - 1.0) * (math.abs(b - c) - 1.0) /
+      (b + c).toDouble
+    assert(r.getAs[Double]("chi2_cc") == cc)
+  }
 }

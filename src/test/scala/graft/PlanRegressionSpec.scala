@@ -165,6 +165,10 @@ class PlanRegressionSpec extends SparkSpec {
       // q_stats_kruskal reuses the same value-domain-bounded bucket
       // carry (StatsTests.kruskalPoints) for the 3-group pooled ranks
       "q_stats_kruskal" -> 1,
+      // q_stats_mood_median reads its pooled-median bracket off the
+      // SAME value-domain-bounded bucket carry (StatsTests.cumulative)
+      // — the q_stats_ks argument verbatim
+      "q_stats_mood_median" -> 1,
       // q_event_gini's cumulative-rank window runs over the count-VALUE
       // histogram (≤ max events/user rows — the q_stats_ks bucket
       // argument); users collapse to the histogram in keyed aggregates
@@ -368,7 +372,20 @@ class PlanRegressionSpec extends SparkSpec {
       "q_stats_cramers_v",
       // 1-row broadcast of the (n_docs, sum_dl) corpus totals on a
       // constant key — the q_text_docfreq shape
-      "q_text_bm25")
+      "q_text_bm25",
+      // day-domain-bounded |d| rank-reference broadcast (≤ |days| rows
+      // — the calendar bounds it at any corpus size, the kendall_tau
+      // day-pair argument) plus the 1-row tie-fold broadcast on a
+      // constant key — the q_stats_ttest shape
+      "q_stats_wilcoxon_signed",
+      // 1-row broadcasts of the series totals and energy denominator
+      // on a constant key against the tiny day-grain frame — the
+      // q_ts_autocorr shape
+      "q_ts_periodogram", "q_ts_ljung_box", "q_ts_pacf",
+      // 1-row broadcasts of the sample totals and the doubled median
+      // bracket on constant keys against the value-domain point frame —
+      // the q_stats_ks shape
+      "q_stats_mood_median")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),

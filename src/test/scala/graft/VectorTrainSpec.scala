@@ -393,6 +393,34 @@ class VectorTrainSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).sum > 0, "no drift synthesized")
   }
 
+  test("q_embed_mmd equals a plain-Scala mean-difference replay over " +
+      "every label pair") {
+    val embs = Tables.table(spark, sf, "embeddings")
+      .select("embedding", "label").as[(Seq[Float], Int)].collect()
+    assume(embs.nonEmpty)
+    val byLabel = embs.groupBy(_._2).view.mapValues { g =>
+      val qs = g.toSeq.map(_._1.toSeq.map(x =>
+        BigInt(math.floor(x.toDouble * 1e7 + 0.5).toLong)))
+      (g.length.toLong, qs.transpose.map(_.sum))
+    }.toMap
+    val labels = byLabel.keySet.toSeq.sorted
+    val pairs = for { a <- labels; b <- labels if a < b } yield (a, b)
+    val out = VectorOps.queries("q_embed_mmd")(spark, sf).collect()
+    assert(out.length == pairs.length, "one row per unordered pair")
+    out.foreach { r =>
+      val (a, b) = (r.getInt(0), r.getInt(1))
+      val (na, sa) = byLabel(a)
+      val (nb, sb) = byLabel(b)
+      assert(r.getLong(2) == na && r.getLong(3) == nb, s"counts $a,$b")
+      val num = sa.zip(sb).map { case (x, y) =>
+        val t = x * nb - y * na; t * t }.sum
+      val mmd = BigDecimal(num).toDouble /
+        (na.toDouble * nb.toDouble * na.toDouble * nb.toDouble) / 1e14
+      assert(r.getDouble(4) == mmd, s"mmd $a,$b")
+      assert(mmd >= 0.0, s"mmd non-negative $a,$b")
+    }
+  }
+
   test("q_embed_label_margin: ascending margins, own label never the " +
       "best-other, arithmetic consistent") {
     val out = VectorOps.queries("q_embed_label_margin")(spark, sf)
