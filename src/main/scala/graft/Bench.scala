@@ -229,7 +229,9 @@ object Bench {
     "q_agg_grouping_sets" -> "gs", "q_stats_sign_test" -> "sn",
     "q_stats_wilcoxon_signed" -> "wx", "q_ts_periodogram" -> "pg",
     "q_ts_turning_points" -> "tu", "q_window_rolling_beta" -> "rb",
-    "q_text_readability" -> "ry", "q_stats_mood_median" -> "mv")
+    "q_text_readability" -> "ry", "q_stats_mood_median" -> "mv",
+    "q_stats_ad_2sample" -> "ad", "q_embed_silhouette" -> "ac",
+    "q_markov_2step" -> "m2", "q_sketch_linear" -> "ln")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -574,6 +574,42 @@ object EventAnalytics {
     "q_markov_transition" -> ((s, d) =>
       transitionMatrix(transitionPairs(t(s, d, "events")))),
 
+    // Two-step transition matrix P² via Chapman–Kolmogorov — "where do
+    // users land TWO actions from now?", the horizon the one-step
+    // matrix (q_markov_transition) cannot answer when paths matter
+    // (click→view→purchase vs click→purchase). Each path term is the
+    // exact rational n_ij·n_jk/(r_i·r_j); terms quantize to the 1e-12
+    // grid BEFORE the order-insensitive integer sum over mid-states
+    // (the bhattacharyya ppm move — ≤|types| terms per cell, so the
+    // quantization error is bounded by 5e-12 per entry), and p₂ is one
+    // trailing division. Scale: the |types|² matrix is tiny at any
+    // corpus size — the only data-sized work is the shared pair
+    // extraction, one user-partitioned lag window.
+    "q_markov_2step" -> ((s, d) => {
+      val tm = transitionMatrix(transitionPairs(t(s, d, "events")))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          col("n_prev"))
+      val a = tm.select(col("prev_type").as("i"),
+        col("next_type").as("j"), col("n").as("n_ij"),
+        col("n_prev").as("r_i"))
+      val b = tm.select(col("prev_type").as("j"),
+        col("next_type").as("k"), col("n").as("n_jk"),
+        col("n_prev").as("r_j"))
+      a.join(b, "j")
+        .withColumn("term", expr(
+          "CAST(floor(CAST(n_ij AS DOUBLE) * CAST(n_jk AS DOUBLE) " +
+            "/ (CAST(r_i AS DOUBLE) * CAST(r_j AS DOUBLE)) " +
+            "* CAST(1000000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .groupBy(col("i").as("prev_type"), col("k").as("next_type"))
+        .agg(count(lit(1)).as("n_paths"), sum("term").as("q2"))
+        .withColumn("p2", expr(
+          "CAST(q2 AS DOUBLE) / CAST(1000000000000 AS DOUBLE)"))
+        .select("prev_type", "next_type", "n_paths", "q2", "p2")
+        .orderBy(asc_nulls_last("prev_type"),
+          asc_nulls_last("next_type"))
+    }),
+
     // Peak-concurrency timeline (sweep line over session intervals): 30-
     // minute-gap sessions per user (the q_path_per_session islands), each
     // emitting a +1 boundary at its start and a −1 at end+1µs; the
@@ -1669,6 +1705,41 @@ object EventAnalytics {
         |FROM c JOIN tot ON c.prev_type = tot.prev_type
         |ORDER BY c.prev_type ASC NULLS LAST,
         |  c.next_type ASC NULLS LAST""".stripMargin,
+
+    // The one-step CTEs verbatim, then the mid-state join with the
+    // identical per-term quantization text.
+    "q_markov_2step" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+        |      AS prev_type
+        |  FROM events
+        |), c AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |  FROM r WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type
+        |), tot AS (
+        |  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_prev
+        |  FROM c GROUP BY prev_type
+        |), tm AS (
+        |  SELECT c.prev_type, c.next_type, c.n, tot.n_prev
+        |  FROM c JOIN tot ON c.prev_type = tot.prev_type
+        |), p AS (
+        |  SELECT a.prev_type AS i, b.next_type AS k,
+        |    CAST(floor(CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)
+        |      / (CAST(a.n_prev AS DOUBLE) * CAST(b.n_prev AS DOUBLE))
+        |      * CAST(1000000000000 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS term
+        |  FROM tm a JOIN tm b ON b.prev_type = a.next_type
+        |)
+        |SELECT i AS prev_type, k AS next_type, COUNT(*) AS n_paths,
+        |  CAST(SUM(term) AS BIGINT) AS q2,
+        |  CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
+        |    / CAST(1000000000000 AS DOUBLE) AS p2
+        |FROM p GROUP BY 1, 2
+        |ORDER BY prev_type ASC NULLS LAST,
+        |  next_type ASC NULLS LAST""".stripMargin,
 
     // The oracle runs the sweep line as ONE global running sum (fine at
     // oracle scale); the Spark side's two-level day-partitioned prefix

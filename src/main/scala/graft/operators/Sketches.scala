@@ -166,6 +166,44 @@ object Sketches {
     // TypedImperativeAggregate upgrade path): KMV merges by unioning
     // K-lists and re-taking the K smallest, so partial aggregation is
     // exact — the algebra this query proves is unchanged there.
+    // Linear counting (Whang, Vander-Zanden & Taylor 1990) for distinct
+    // users — the LOW-cardinality-regime member of the distinct-sketch
+    // family (HLL shines at billions, KMV in the middle; linear counting
+    // is unbiased when the bucket table is sparse and degrades
+    // gracefully as it fills): hash each key into m = 4096 buckets
+    // (2²⁰-free md5 bucket both engines share), count the z EMPTY
+    // buckets, est = m·ln(m/z). m is a power of two so ln(m/z) =
+    // ln2·(12 − log2 z) needs ONE portable log2 of the INTEGER z (the
+    // r8 atanh-series chain — no libm), making the estimate fully
+    // hash-matched against DuckDB, unlike HLL's estimator-specific
+    // q_agg_approx_distinct. Saturated table (z = 0) → NULL per the
+    // paper. Scale: the bucket set is a 4096-key distinct (map-side
+    // partial dedup), merged bitmap-style by partial aggregation;
+    // exact count sits beside it as the audit column.
+    "q_sketch_linear" -> ((s, d) => {
+      val m = 4096
+      val ev = t(s, d, "events")
+      val exact = broadcast(ev
+        .agg(countDistinct("user_id").as("exact_distinct"))
+        .withColumn("_one", lit(1)))
+      val used = ev.select(expr(
+          "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), " +
+            s"16, 10) AS BIGINT) % $m").as("bucket"))
+        .distinct()
+        .agg(count(lit(1)).as("used"))
+        .withColumn("m", lit(m.toLong))
+        .withColumn("z", expr("m - used"))
+        .withColumn("zsafe", greatest(col("z"), lit(1L)))
+      graft.Det.withPlog2(used, "zsafe", "l2z")
+        .withColumn("est_distinct", when(col("z") === 0L, lit(null))
+          .otherwise(expr(
+            "CAST(round(CAST(4096 AS DOUBLE) " +
+              "* CAST(0.6931471805599453 AS DOUBLE) " +
+              "* (CAST(12 AS DOUBLE) - l2z), 0) AS BIGINT)")))
+        .withColumn("_one", lit(1)).join(exact, "_one")
+        .select("m", "used", "z", "est_distinct", "exact_distinct")
+    }),
+
     "q_sketch_kmv" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val hv = li.select(col("l_returnflag").as("flag"),
@@ -329,6 +367,35 @@ object Sketches {
   }
 
   val oracle: Map[String, String] = Map(
+    // Same md5 bucket fold, the identical portable-log2 chain (lateral
+    // column aliases), and the verbatim estimate tree.
+    "q_sketch_linear" ->
+      s"""WITH b AS (
+         |  SELECT DISTINCT CAST('0x' ||
+         |    substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |    % 4096 AS bucket
+         |  FROM events
+         |), u AS (
+         |  SELECT CAST(4096 AS BIGINT) AS m, COUNT(*) AS used,
+         |    CAST(4096 AS BIGINT) - COUNT(*) AS z,
+         |    greatest(CAST(4096 AS BIGINT) - COUNT(*),
+         |      CAST(1 AS BIGINT)) AS zsafe
+         |  FROM b
+         |), l AS (
+         |  SELECT m, used, z, ${graft.Det.sqlPlog2Cols("zsafe", "q")}
+         |  FROM u
+         |), e AS (
+         |  SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events
+         |)
+         |SELECT m, used, z,
+         |  CASE WHEN z = 0 THEN NULL ELSE
+         |    CAST(round(CAST(4096 AS DOUBLE)
+         |      * CAST(0.6931471805599453 AS DOUBLE)
+         |      * (CAST(12 AS DOUBLE) - ql2), 0) AS BIGINT) END
+         |    AS est_distinct,
+         |  exact_distinct
+         |FROM l, e""".stripMargin,
+
     "q_sketch_countmin" ->
       s"""WITH tf AS (
          |  SELECT tok, COUNT(*) AS n FROM (

@@ -44,6 +44,31 @@ object StatsTests {
   private def points(s: SparkSession, d: String): DataFrame =
     points(t(s, d, "events"))
 
+  /** Per-event_type exact power sums (n, Σv..Σv⁴) over the
+    * DECIMAL(18,4)-quantized value — the moment sketch behind
+    * q_stats_jarque_bera. PUBLIC and mode-agnostic like [[points]]:
+    * fed a streaming frame this IS the live normality-monitor state (an
+    * update-mode keyed aggregate — four exact integers per key, merged
+    * associatively by partial aggregation), and StreamingParitySpec
+    * proves the streamed sums equal this batch frame before assembling
+    * the same JB statistic from them. */
+  def momentSketch(events: DataFrame): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 4)) * lit(10000))
+          .cast(DecimalType(12, 0)).as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(dec)).as("s1"),
+        sum(expr(s"CAST(v AS $dec) * CAST(v AS $dec)")).as("s2"),
+        sum(expr(s"CAST(v AS $dec) * CAST(v AS $dec) " +
+          s"* CAST(v AS $dec)")).as("s3"),
+        sum(expr(s"CAST(v AS $dec) * CAST(v AS $dec) " +
+          s"* CAST(v AS $dec) * CAST(v AS $dec)")).as("s4"))
+  }
+
   /** Pooled cumulative counts c1/c2 = #{group ≤ value} via the two-level
     * prefix sum described above. The bucket-carry frame is broadcast back
     * (≤ value-range rows), so the per-point side never re-shuffles. */
@@ -790,21 +815,8 @@ object StatsTests {
     // assembly is a fixed double expression tree over VARCHAR-routed
     // casts, written with identical text on both engines. Skew/kurtosis
     // are scale-invariant, so the 10⁴ quantization cancels exactly.
-    "q_stats_jarque_bera" -> ((s, d) => {
-      val dec = "DECIMAL(38,0)"
-      t(s, d, "events")
-        .filter(col("value").isNotNull)
-        .select(col("event_type"),
-          (col("value").cast(DecimalType(18, 4)) * lit(10000))
-            .cast(DecimalType(12, 0)).as("v"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(col("v").cast(dec)).as("s1"),
-          sum(expr(s"CAST(v AS $dec) * CAST(v AS $dec)")).as("s2"),
-          sum(expr(s"CAST(v AS $dec) * CAST(v AS $dec) " +
-            s"* CAST(v AS $dec)")).as("s3"),
-          sum(expr(s"CAST(v AS $dec) * CAST(v AS $dec) " +
-            s"* CAST(v AS $dec) * CAST(v AS $dec)")).as("s4"))
+    "q_stats_jarque_bera" -> ((s, d) =>
+      momentSketch(t(s, d, "events"))
         .withColumn("nd", col("n").cast("double"))
         .withColumn("s1d", expr("CAST(CAST(s1 AS STRING) AS DOUBLE)"))
         .withColumn("s2d", expr("CAST(CAST(s2 AS STRING) AS DOUBLE)"))
@@ -822,8 +834,7 @@ object StatsTests {
         .withColumn("jb_stat", expr("nd / 6.0 " +
           "* (skewness * skewness + ex_kurtosis * ex_kurtosis / 4.0)"))
         .select("event_type", "n", "skewness", "ex_kurtosis", "jb_stat")
-        .orderBy(asc_nulls_last("event_type"))
-    }),
+        .orderBy(asc_nulls_last("event_type"))),
 
     // Kendall rank correlation (tau-b, Kendall 1945 tie correction)
     // between a day's event COUNT and its value SUM, per event_type —
@@ -864,6 +875,64 @@ object StatsTests {
               * (col("n0") - col("ties_y"))).cast("double")))
         .select("event_type", "n0", "concordant", "discordant", "tau_b")
         .orderBy(asc_nulls_last("event_type"))
+    }),
+
+    // Anderson–Darling 2-sample test (Scholz & Stephens 1987, the
+    // midrank/tie-adjusted A²akN) on the click vs view value mixes —
+    // the tail-sensitive upgrade of q_stats_ks: KS sees only the single
+    // worst CDF gap, AD integrates the squared gap with 1/(F(1−F))
+    // weighting, so divergence in the distribution TAILS (exactly where
+    // value distributions drift first) is weighted hardest. The house
+    // DOUBLING clears the midrank halves: with M2 = 2c_a − d_a and
+    // B2 = 2(c1+c2) − l every per-value term is a ratio of exact
+    // integers l·(N·M2 − n_a·B2)² / (N·(B2(2N−B2) − N·l)); each term
+    // quantizes to the 1e-10 grid BEFORE the order-insensitive integer
+    // sum (the bhattacharyya ppm move — term division is the only
+    // per-row IEEE op and its operands are identical on both engines),
+    // and A² = (N−1)/N·(S1/n1 + S2/n2) is a fixed trailing tree.
+    // Scale: the shared KS/MWU value-grain frame — one keyed agg +
+    // bucket carry, 1-row totals broadcast.
+    "q_stats_ad_2sample" -> ((s, d) => {
+      val dec = "DECIMAL(38,0)"
+      val pts = points(s, d)
+      val cum = cumulative(pts)
+      val tot = broadcast(pts.agg(sum("d1").as("n1"), sum("d2").as("n2"))
+        .withColumn("_one", lit(1)))
+      cum.withColumn("_one", lit(1)).join(tot, "_one")
+        .withColumn("nn", expr("n1 + n2"))
+        .withColumn("l", expr("d1 + d2"))
+        .withColumn("b2", expr("2 * (c1 + c2) - l"))
+        .withColumn("m2a", expr("2 * c1 - d1"))
+        .withColumn("m2b", expr("2 * c2 - d2"))
+        .withColumn("dend", expr(
+          s"CAST(nn AS $dec) * (CAST(b2 AS $dec) " +
+            s"* CAST(2 * nn - b2 AS $dec) - CAST(nn AS $dec) " +
+            s"* CAST(l AS $dec))"))
+        .withColumn("t1", expr(
+          s"CASE WHEN dend = 0 THEN 0 ELSE CAST(floor(" +
+            s"CAST(CAST(CAST(l AS $dec) " +
+            s"* CAST(nn * m2a - n1 * b2 AS $dec) " +
+            s"* CAST(nn * m2a - n1 * b2 AS $dec) AS STRING) AS DOUBLE) " +
+            s"/ CAST(CAST(dend AS STRING) AS DOUBLE) " +
+            s"* CAST(10000000000 AS DOUBLE) " +
+            s"+ CAST(0.5 AS DOUBLE)) AS $dec) END"))
+        .withColumn("t2", expr(
+          s"CASE WHEN dend = 0 THEN 0 ELSE CAST(floor(" +
+            s"CAST(CAST(CAST(l AS $dec) " +
+            s"* CAST(nn * m2b - n2 * b2 AS $dec) " +
+            s"* CAST(nn * m2b - n2 * b2 AS $dec) AS STRING) AS DOUBLE) " +
+            s"/ CAST(CAST(dend AS STRING) AS DOUBLE) " +
+            s"* CAST(10000000000 AS DOUBLE) " +
+            s"+ CAST(0.5 AS DOUBLE)) AS $dec) END"))
+        .groupBy("n1", "n2")
+        .agg(count(lit(1)).as("k_values"),
+          sum(col("t1")).as("s1"), sum(col("t2")).as("s2"))
+        .withColumn("ad_stat", expr(
+          "CAST(n1 + n2 - 1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) " +
+            "* (CAST(CAST(s1 AS STRING) AS DOUBLE) / CAST(n1 AS DOUBLE) " +
+            "+ CAST(CAST(s2 AS STRING) AS DOUBLE) / CAST(n2 AS DOUBLE)) " +
+            "/ CAST(10000000000 AS DOUBLE)"))
+        .select("n1", "n2", "k_values", "ad_stat")
     }),
 
     // Mood's median test (the k=2 median-split chi², Mood 1950) on the
@@ -1601,6 +1670,65 @@ object StatsTests {
         |    / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE))
         |    AS tau_b
         |FROM ag ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    // Same doubled midrank pieces off the pooled-CDF frame; per-term
+    // quantization and the trailing assembly repeat the Spark text
+    // verbatim (HUGEINT carries the cubic products).
+    "q_stats_ad_2sample" ->
+      s"""WITH pts AS (
+         |  $ptsSql
+         |), cum AS (
+         |  SELECT value, d1, d2,
+         |    CAST(SUM(d1) OVER (ORDER BY value) AS BIGINT) AS c1,
+         |    CAST(SUM(d2) OVER (ORDER BY value) AS BIGINT) AS c2
+         |  FROM pts
+         |), tot AS (
+         |  SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+         |    CAST(SUM(d2) AS BIGINT) AS n2
+         |  FROM pts
+         |), m AS (
+         |  SELECT c1, c2, d1, d2, n1, n2, n1 + n2 AS nn,
+         |    d1 + d2 AS l,
+         |    2 * (c1 + c2) - (d1 + d2) AS b2,
+         |    2 * c1 - d1 AS m2a, 2 * c2 - d2 AS m2b
+         |  FROM cum, tot
+         |), dt AS (
+         |  SELECT *, CAST(nn AS HUGEINT) * (CAST(b2 AS HUGEINT)
+         |    * CAST(2 * nn - b2 AS HUGEINT)
+         |    - CAST(nn AS HUGEINT) * CAST(l AS HUGEINT)) AS dend
+         |  FROM m
+         |), q AS (
+         |  SELECT n1, n2,
+         |    CASE WHEN dend = 0 THEN 0 ELSE CAST(floor(
+         |      CAST(CAST(CAST(l AS HUGEINT)
+         |        * CAST(nn * m2a - n1 * b2 AS HUGEINT)
+         |        * CAST(nn * m2a - n1 * b2 AS HUGEINT)
+         |        AS VARCHAR) AS DOUBLE)
+         |      / CAST(CAST(dend AS VARCHAR) AS DOUBLE)
+         |      * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS HUGEINT) END AS t1,
+         |    CASE WHEN dend = 0 THEN 0 ELSE CAST(floor(
+         |      CAST(CAST(CAST(l AS HUGEINT)
+         |        * CAST(nn * m2b - n2 * b2 AS HUGEINT)
+         |        * CAST(nn * m2b - n2 * b2 AS HUGEINT)
+         |        AS VARCHAR) AS DOUBLE)
+         |      / CAST(CAST(dend AS VARCHAR) AS DOUBLE)
+         |      * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS HUGEINT) END AS t2
+         |  FROM dt
+         |), ag AS (
+         |  SELECT n1, n2, COUNT(*) AS k_values,
+         |    SUM(t1) AS s1, SUM(t2) AS s2
+         |  FROM q GROUP BY 1, 2
+         |)
+         |SELECT n1, n2, k_values,
+         |  CAST(n1 + n2 - 1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+         |    * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+         |      / CAST(n1 AS DOUBLE)
+         |    + CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+         |      / CAST(n2 AS DOUBLE))
+         |    / CAST(10000000000 AS DOUBLE) AS ad_stat
+         |FROM ag""".stripMargin,
 
     // Same shared point frame; DuckDB runs ONE global window for the
     // pooled cumulative (it is the oracle), the doubled bracket and the

@@ -1208,6 +1208,63 @@ object VectorOps {
         .orderBy(asc_nulls_last("label_a"), asc_nulls_last("label_b"))
     }),
 
+    // Simplified silhouette per label (the "medoid-free" silhouette of
+    // Hruschka et al. — a(i)/b(i) measured to CENTROIDS instead of
+    // all-pairs, the form that scales): a = distance to the own-label
+    // centroid, b = distance to the nearest other-label centroid,
+    // s = (b−a)/max(a,b) — the cluster-quality / label-noise audit a
+    // training pipeline runs over auto-labeled embeddings. Exactness:
+    // the O(n²) pair silhouette is never materialized; squared centroid
+    // distances stay on the integer grid by cross-multiplication
+    // (Σ(q·n_l − s_l)² — the mmd dterm move, no per-dim division),
+    // each distance is ONE sqrt+divide of exact pieces, per-vector s
+    // quantizes to the 1e-10 grid before the order-insensitive integer
+    // sum (the bhattacharyya ppm move), and the label mean is one
+    // trailing division. Scale: the corpus shuffles once as slim
+    // component rows; the |labels|·dim centroid frame (640 rows)
+    // BROADCASTS back, so per-vector work is labels·dim — linear in
+    // the corpus with domain-bounded factors.
+    "q_embed_silhouette" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val quant = t(s, d, "embeddings")
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("q", expr(
+          "CAST(floor(CAST(x AS DOUBLE) * CAST(10000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .select(col("vec_id"), col("label"),
+          col("pos").cast("long").as("pos"), col("q"))
+      val cent = quant
+        .groupBy(col("label").as("label2"), col("pos"))
+        .agg(count(lit(1)).as("n2"), sum("q").as("s2"))
+      val dists = quant.join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "label", "label2", "n2")
+        .agg(sum(expr(s"CAST(q * n2 - s2 AS $dec) " +
+          s"* CAST(q * n2 - s2 AS $dec)")).as("dd"))
+        .withColumn("dist", expr(
+          "sqrt(CAST(CAST(dd AS STRING) AS DOUBLE)) " +
+            "/ CAST(n2 AS DOUBLE)"))
+      dists.groupBy("vec_id", "label")
+        .agg(min(when(col("label2") === col("label"), col("dist")))
+            .as("a"),
+          min(when(col("label2") =!= col("label"), col("dist")))
+            .as("b"))
+        .withColumn("sil", expr(
+          "CASE WHEN greatest(a, b) = CAST(0 AS DOUBLE) THEN " +
+            "CAST(0 AS DOUBLE) ELSE (b - a) / greatest(a, b) END"))
+        .withColumn("silq", expr(
+          "CAST(floor(sil * CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), sum("silq").as("sq"))
+        .withColumn("mean_silhouette", expr(
+          "CAST(sq AS DOUBLE) / CAST(n_vecs AS DOUBLE) " +
+            "/ CAST(10000000000 AS DOUBLE)"))
+        .select("label", "n_vecs", "mean_silhouette")
+        .orderBy(asc_nulls_last("label"))
+    }),
+
     // Label prototypes — per-label centroid on the exact integer grid,
     // then each label's 3 members most aligned with it (highest integer
     // dot): the "class exemplars" readout behind dataset distillation /
@@ -2892,6 +2949,56 @@ object VectorOps {
          |  (n * sxx - sx * sx) / (n * n) AS variance,
          |  x_min, x_max
          |FROM g ORDER BY pos ASC NULLS LAST""".stripMargin,
+
+    // Same grid, cross-multiplied centroid distances, per-vector
+    // quantization and trailing mean — verbatim expression text.
+    "q_embed_silhouette" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |    unnest(generate_series(1, $EmbDim)) AS i, embedding
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+         |), v AS (
+         |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS pos,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE)
+         |      * CAST(10000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+         |  FROM e
+         |), cent AS (
+         |  SELECT label AS label2, pos, COUNT(*) AS n2,
+         |    CAST(SUM(q) AS BIGINT) AS s2
+         |  FROM v GROUP BY 1, 2
+         |), dd AS (
+         |  SELECT v.vec_id, v.label, c.label2, c.n2,
+         |    SUM(CAST(v.q * c.n2 - c.s2 AS HUGEINT)
+         |      * CAST(v.q * c.n2 - c.s2 AS HUGEINT)) AS dd
+         |  FROM v JOIN cent c ON c.pos = v.pos
+         |  GROUP BY 1, 2, 3, 4
+         |), dist AS (
+         |  SELECT vec_id, label, label2,
+         |    sqrt(CAST(CAST(dd AS VARCHAR) AS DOUBLE))
+         |      / CAST(n2 AS DOUBLE) AS dist
+         |  FROM dd
+         |), ab AS (
+         |  SELECT vec_id, label,
+         |    MIN(CASE WHEN label2 = label THEN dist END) AS a,
+         |    MIN(CASE WHEN label2 <> label THEN dist END) AS b
+         |  FROM dist GROUP BY 1, 2
+         |), sq AS (
+         |  SELECT label,
+         |    CAST(floor(
+         |      (CASE WHEN greatest(a, b) = CAST(0 AS DOUBLE)
+         |        THEN CAST(0 AS DOUBLE)
+         |        ELSE (b - a) / greatest(a, b) END)
+         |      * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS silq
+         |  FROM ab
+         |)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  CAST(CAST(SUM(silq) AS BIGINT) AS DOUBLE) / CAST(COUNT(*)
+         |    AS DOUBLE) / CAST(10000000000 AS DOUBLE) AS mean_silhouette
+         |FROM sq GROUP BY label
+         |ORDER BY label ASC NULLS LAST""".stripMargin,
 
     // Same floor(x·10⁷+½) grid and cross-multiplied mean difference;
     // HUGEINT squares, the identical un-scaling division text.

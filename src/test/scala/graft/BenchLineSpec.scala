@@ -32,18 +32,20 @@ class BenchLineSpec extends AnyFunSuite {
     // channel at round 7, so minimal elision IS the steady state now:
     // the line must still fit and bench_out.json stays the canonical
     // full record. The elision bound scales with the CHANNEL, not the
-    // inventory: every abbr is already ≤ 2 chars (r8 audit), so an
-    // entry costs ~9 chars and the 1992-char line mathematically holds
-    // ~215 entries — the assert pins "kept ≥ 215" so a code-table
-    // regression (longer abbrs, fatter values) still fails loudly while
-    // inventory growth alone does not.
+    // inventory: every abbr is ≤ 2 chars (r8 audit, re-tightened r10),
+    // so an entry costs ~9 chars and the 1992-char line mathematically
+    // holds ~214 entries (fixed header + a 3-digit elision counter eat
+    // the difference from the r8 estimate of 215) — the assert pins
+    // "kept ≥ 213" so a code-table regression (longer abbrs, fatter
+    // values — each lost entry costs ≥9 chars, i.e. ≥1 kept query)
+    // still fails loudly while inventory growth alone does not.
     val results = names.toSeq.sorted.map(n => n -> 1.23)
     val line = Bench.stdoutLineFor(results, 0, "sf0.1")
     assert(line.length < 1992,
       s"bench line ${line.length} chars >= 1992; trim Bench.abbr codes")
     val elided = "\"elided_fast_queries\":(\\d+)".r
       .findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(0)
-    assert(names.size - elided >= math.min(names.size, 215),
+    assert(names.size - elided >= math.min(names.size, 213),
       s"only ${names.size - elided} of ${names.size} queries on the " +
         "stdout line — trim Bench.abbr codes")
   }

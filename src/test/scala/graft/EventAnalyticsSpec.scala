@@ -618,6 +618,36 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(q >= 0.0)
   }
 
+  test("q_markov_2step equals P squared from the one-step matrix and " +
+      "rows sum to ~1") {
+    val one = EventAnalytics.queries("q_markov_transition")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val out = EventAnalytics.queries("q_markov_2step")(spark, sf)
+      .collect()
+    val states = one.keys.flatMap(k => Seq(k._1, k._2)).toSet
+    out.foreach { r =>
+      val (i, k) = (r.getString(0), r.getString(1))
+      val terms = states.toSeq.flatMap { j =>
+        for {
+          (nij, ri) <- one.get((i, j))
+          (njk, rj) <- one.get((j, k))
+        } yield math.floor(nij.toDouble * njk.toDouble /
+          (ri.toDouble * rj.toDouble) * 1e12 + 0.5).toLong
+      }
+      assert(r.getAs[Long]("n_paths") == terms.length.toLong,
+        s"$i->$k paths")
+      assert(r.getAs[Long]("q2") == terms.sum, s"$i->$k q2")
+      assert(r.getAs[Double]("p2") == terms.sum.toDouble / 1e12)
+    }
+    // each originating state's two-step row sums to 1 up to the
+    // quantization grid (all mid- and end-states present in the fixture)
+    out.groupBy(_.getString(0)).foreach { case (i, rows) =>
+      val rowSum = rows.map(_.getAs[Double]("p2")).sum
+      assert(math.abs(rowSum - 1.0) < 1e-9, s"$i row sum $rowSum")
+    }
+  }
+
   test("q_ts_pacf equals the Durbin–Levinson replay over exact ACF " +
       "pieces; pacf1 == r1") {
     val (nd, cent, den) = centeredDaily

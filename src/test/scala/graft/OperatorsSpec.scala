@@ -2623,6 +2623,48 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_stats_ad_2sample equals a plain-Scala midrank replay and " +
+      "exceeds zero") {
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val byVal = rows.groupBy(_._2).view.mapValues { g =>
+      (g.count(_._1 == "click").toLong, g.count(_._1 == "view").toLong)
+    }.toSeq.sortBy(_._1)
+    val n1 = byVal.map(_._2._1).sum
+    val n2 = byVal.map(_._2._2).sum
+    val nn = n1 + n2
+    var c1 = 0L; var c2 = 0L
+    var s1 = BigInt(0); var s2 = BigInt(0)
+    byVal.foreach { case (_, (d1, d2)) =>
+      c1 += d1; c2 += d2
+      val l = d1 + d2
+      val b2 = 2 * (c1 + c2) - l
+      val m2a = 2 * c1 - d1; val m2b = 2 * c2 - d2
+      val dend = BigInt(nn) * (BigInt(b2) * BigInt(2 * nn - b2)
+        - BigInt(nn) * BigInt(l))
+      if (dend != 0) {
+        def term(m2: Long, na: Long): BigInt = {
+          val num = BigInt(l) * BigInt(nn * m2 - na * b2) *
+            BigInt(nn * m2 - na * b2)
+          BigInt(math.floor(BigDecimal(num).toDouble /
+            BigDecimal(dend).toDouble * 1e10 + 0.5).toLong)
+        }
+        s1 += term(m2a, n1); s2 += term(m2b, n2)
+      }
+    }
+    val ad = (nn - 1).toDouble / nn.toDouble *
+      (BigDecimal(s1).toDouble / n1.toDouble +
+        BigDecimal(s2).toDouble / n2.toDouble) / 1e10
+    val r = StatsTests.queries("q_stats_ad_2sample")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(r.getAs[Long]("k_values") == byVal.length.toLong)
+    assert(r.getAs[Double]("ad_stat") == ad)
+    assert(ad > 0.0)
+  }
+
   test("q_stats_mood_median equals a brute-force median-split table") {
     val rows = Tables.table(spark, sf, "events")
       .filter(col("event_type").isin("click", "view"))

@@ -169,6 +169,9 @@ class PlanRegressionSpec extends SparkSpec {
       // SAME value-domain-bounded bucket carry (StatsTests.cumulative)
       // — the q_stats_ks argument verbatim
       "q_stats_mood_median" -> 1,
+      // q_stats_ad_2sample integrates over the same value-domain-bounded
+      // bucket carry — the q_stats_ks argument verbatim
+      "q_stats_ad_2sample" -> 1,
       // q_event_gini's cumulative-rank window runs over the count-VALUE
       // histogram (≤ max events/user rows — the q_stats_ks bucket
       // argument); users collapse to the histogram in keyed aggregates
@@ -385,7 +388,13 @@ class PlanRegressionSpec extends SparkSpec {
       // 1-row broadcasts of the sample totals and the doubled median
       // bracket on constant keys against the value-domain point frame —
       // the q_stats_ks shape
-      "q_stats_mood_median")
+      "q_stats_mood_median",
+      // the same 1-row (n1, n2) totals broadcast on a constant key —
+      // the q_stats_ks shape
+      "q_stats_ad_2sample",
+      // 1-row exact-distinct audit broadcast on a constant key — the
+      // q_text_docfreq shape
+      "q_sketch_linear")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),

@@ -120,4 +120,33 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("exact_union") > r.getAs[Long]("exact_inter"),
       "fixture must exercise a non-degenerate overlap")
   }
+
+  test("q_sketch_linear: bucket count matches the brute-force table " +
+      "and the estimate sits inside the paper's error envelope") {
+    val users = Tables.table(spark, sf, "events")
+      .select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    val m = 4096
+    val buckets = users.map { u =>
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(u.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16) % m
+    }.toSet
+    val r = Sketches.queries("q_sketch_linear")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("m") == m.toLong)
+    assert(r.getAs[Long]("used") == buckets.size.toLong)
+    assert(r.getAs[Long]("z") == (m - buckets.size).toLong)
+    assert(r.getAs[Long]("exact_distinct") == users.length.toLong)
+    val est = r.getAs[Long]("est_distinct")
+    // sparse-regime linear counting: expected standard error
+    // ≈ sqrt(m·(exp(t)−t−1))/n with t = n/m — allow 5 sigma plus the
+    // integer-rounding slack (generous, deterministic fixture)
+    val t = users.length.toDouble / m
+    val se = math.sqrt(m * (math.exp(t) - t - 1)) / users.length
+    val tol = math.max(5 * se * users.length, 3.0)
+    assert(math.abs(est - users.length) <= tol,
+      s"estimate $est vs exact ${users.length} (tol $tol)")
+  }
 }

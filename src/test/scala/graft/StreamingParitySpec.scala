@@ -741,6 +741,59 @@ class StreamingParitySpec extends SparkSpec {
     assert(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getDouble(5) > 0.0)
   }
 
+  test("Jarque-Bera normality monitor: streamed per-type power sums " +
+      "equal the batch moment sketch and assemble the identical " +
+      "statistic") {
+    import graft.operators.StatsTests
+    implicit val sqlCtx = spark.sqlContext
+    val jbBatch = StatsTests.queries("q_stats_jarque_bera")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sketchBatch = StatsTests
+      .momentSketch(Tables.table(spark, sf, "events"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), BigInt(r.getDecimal(2).toBigIntegerExact),
+          BigInt(r.getDecimal(3).toBigIntegerExact),
+          BigInt(r.getDecimal(4).toBigIntegerExact),
+          BigInt(r.getDecimal(5).toBigIntegerExact))).toMap
+    // stream the sketch over the real events in two batches, update mode
+    val obs = Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy("ts", "event_id").collect()
+      .map(r => E(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val sink = runStream(df => StatsTests.momentSketch(df), obs,
+      OutputMode.Update())
+    val streamed = sink.collect()
+      .groupBy(_.getString(0)).map { case (ty, rows) =>
+        val last = rows.last
+        ty -> (last.getLong(1),
+          BigInt(last.getDecimal(2).toBigIntegerExact),
+          BigInt(last.getDecimal(3).toBigIntegerExact),
+          BigInt(last.getDecimal(4).toBigIntegerExact),
+          BigInt(last.getDecimal(5).toBigIntegerExact))
+      }.toMap
+    assert(streamed == sketchBatch,
+      "streamed moment state diverged from the batch sketch")
+    // assemble JB from the streamed sums with the declared query's
+    // expression tree — one state, the same normality readout
+    streamed.foreach { case (ty, (n, s1, s2, s3, s4)) =>
+      val nd = n.toDouble
+      val (s1d, s2d, s3d, s4d) = (BigDecimal(s1).toDouble,
+        BigDecimal(s2).toDouble, BigDecimal(s3).toDouble,
+        BigDecimal(s4).toDouble)
+      val mu = s1d / nd
+      val m2 = s2d / nd - mu * mu
+      val m3 = s3d / nd - 3.0 * mu * (s2d / nd) + 2.0 * mu * mu * mu
+      val m4 = s4d / nd - 4.0 * mu * (s3d / nd) +
+        6.0 * mu * mu * (s2d / nd) - 3.0 * mu * mu * mu * mu
+      val skw = m3 / (m2 * math.sqrt(m2))
+      val exk = m4 / (m2 * m2) - 3.0
+      val jb = nd / 6.0 * (skw * skw + exk * exk / 4.0)
+      assert(jbBatch(ty).getAs[Double]("jb_stat") == jb, s"$ty JB")
+    }
+  }
+
   test("weighted median: streamed (flag, price) weight state drained " +
       "through weightedMedianFrom equals the batch query") {
     import graft.operators.StatsTests

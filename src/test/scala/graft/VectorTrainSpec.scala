@@ -421,6 +421,47 @@ class VectorTrainSpec extends SparkSpec {
     }
   }
 
+  test("q_embed_silhouette equals a plain-Scala centroid replay and " +
+      "stays within [-1, 1]") {
+    val embs = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect()
+    assume(embs.nonEmpty)
+    def grid(e: Seq[Float]): Seq[Long] =
+      e.map(x => math.floor(x.toDouble * 1e7 + 0.5).toLong)
+    val cent = embs.groupBy(_._3).view.mapValues { g =>
+      val qs = g.toSeq.map(r => grid(r._2))
+      (g.length.toLong, qs.transpose.map(xs => xs.map(BigInt(_)).sum))
+    }.toMap
+    val sils = embs.map { case (_, emb, lab) =>
+      val q = grid(emb)
+      def dist(l: Int): Double = {
+        val (n, s) = cent(l)
+        val dd = q.zip(s).map { case (qi, si) =>
+          val t = BigInt(qi) * n - si; t * t }.sum
+        math.sqrt(BigDecimal(dd).toDouble) / n.toDouble
+      }
+      val a = dist(lab)
+      val b = cent.keys.filter(_ != lab).map(dist).min
+      val sil = if (math.max(a, b) == 0.0) 0.0
+        else (b - a) / math.max(a, b)
+      lab -> math.floor(sil * 1e10 + 0.5).toLong
+    }
+    val expect = sils.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong,
+        g.map(_._2).sum.toDouble / g.length.toDouble / 1e10)
+    }.toMap
+    val out = VectorOps.queries("q_embed_silhouette")(spark, sf)
+      .collect()
+    assert(out.map(_.getInt(0)).toSet == expect.keySet)
+    out.foreach { r =>
+      val (n, m) = expect(r.getInt(0))
+      assert(r.getLong(1) == n, s"label ${r.getInt(0)} count")
+      assert(r.getDouble(2) == m, s"label ${r.getInt(0)} mean")
+      assert(m >= -1.0 && m <= 1.0)
+    }
+  }
+
   test("q_embed_label_margin: ascending margins, own label never the " +
       "best-other, arithmetic consistent") {
     val out = VectorOps.queries("q_embed_label_margin")(spark, sf)
