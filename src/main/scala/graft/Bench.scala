@@ -231,7 +231,10 @@ object Bench {
     "q_ts_turning_points" -> "tu", "q_window_rolling_beta" -> "rb",
     "q_text_readability" -> "ry", "q_stats_mood_median" -> "mv",
     "q_stats_ad_2sample" -> "ad", "q_embed_silhouette" -> "ac",
-    "q_markov_2step" -> "m2", "q_sketch_linear" -> "ln")
+    "q_markov_2step" -> "m2", "q_sketch_linear" -> "ln",
+    "q_sketch_hll" -> "hl", "q_sketch_hll_union" -> "hu",
+    "q_ts_ewm_var" -> "ev", "q_stats_binom_ci" -> "wc",
+    "q_event_interarrival" -> "ia", "q_embed_cka" -> "ka")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -1116,6 +1116,40 @@ object EventAnalytics {
         .select("n_days", "r1", "r2", "r3", "pacf1", "pacf2", "pacf3")
     }),
 
+    // Inter-arrival-time profile per event_type — the EVENT-grain
+    // burstiness measure next to q_ts_fano's day-grain one: a Poisson
+    // stream has gap cv² = 1, clumped traffic (campaign spikes, bot
+    // storms, retry bursts) cv² ≫ 1, a scheduler cv² ≈ 0 — and unlike
+    // Fano it sees sub-day structure. Gaps come from ONE
+    // type-partitioned lag window over (tsu, event_id)-ordered micros
+    // (the spearman partitioning); Σg is BIGINT, Σg² accumulates in
+    // DECIMAL(38,0)/HUGEINT (a month-long gap squares past 2^63), and
+    // both readouts are single divisions of exact integers:
+    // mean = Σg/n, cv² = (nΣg² − (Σg)²)/(Σg)².
+    "q_event_interarrival" -> ((s, d) => {
+      val dec = "DECIMAL(38,0)"
+      val w = Window.partitionBy("event_type")
+        .orderBy(asc_nulls_last("tsu"), asc_nulls_last("event_id"))
+      t(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("tsu"))
+        .withColumn("gap", col("tsu") - lag("tsu", 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum("gap").as("sg"),
+          sum(expr(s"CAST(gap AS $dec) * CAST(gap AS $dec)")).as("sgg"))
+        .withColumn("mean_gap_us", expr(
+          "CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)"))
+        .withColumn("cv2", expr(
+          s"CAST(CAST(CAST(n_gaps AS $dec) * sgg " +
+            s"- CAST(sg AS $dec) * CAST(sg AS $dec) AS STRING) " +
+            "AS DOUBLE) / CAST(CAST(CAST(sg AS " + dec + ") " +
+            "* CAST(sg AS " + dec + ") AS STRING) AS DOUBLE)"))
+        .select("event_type", "n_gaps", "sg", "mean_gap_us", "cv2")
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
     // Turning-point randomness test per event_type over the daily count
     // series (Kendall's classic: in an iid sequence a strict local
     // max/min occurs at 2/3 of interior points; E[T] = 2(n−2)/3,
@@ -1444,6 +1478,44 @@ object EventAnalytics {
             && col("day") === col("day2"))
         .select(col("event_type"), col("day"), col("x"),
           (col("num") / col("wsum")).as("ewma"))
+        .orderBy(asc_nulls_last("event_type"), asc_nulls_last("day"))
+    }),
+
+    // Exponentially-weighted variance/volatility beside q_ts_ewma's
+    // level — the adaptive-band anomaly detector ("is today's count
+    // outside the recent-weighted ±kσ envelope?") that a fixed-window
+    // variance cannot give without a cliff at the window edge. Same
+    // α = 1/2 EXACT-DYADIC trick: every weight 2^-(k+1) and every
+    // product x·w, x²·w is an exactly-representable double (integer ×
+    // power of two, far inside the 52-bit mantissa), so the weighted
+    // sums are EXACT and order-insensitive despite being doubles — no
+    // decimal routing needed; the variance E_w[x²] − E_w[x]² and its
+    // sqrt are the only rounding IEEE ops, identical trees both
+    // engines. Scale: the ewma economics verbatim (bounded 16-day
+    // explode of the day-grain frame, one keyed agg).
+    "q_ts_ewm_var" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val contrib = daily
+        .select(col("event_type"), col("day"), col("x"),
+          explode(expr("sequence(0, 15)")).as("k"))
+        .withColumn("day2", expr("date_add(day, k)"))
+        .withColumn("wgt",
+          lit(1.0) / expr("CAST(shiftleft(1L, k + 1) AS DOUBLE)"))
+        .groupBy(col("event_type").as("c_type"), col("day2"))
+        .agg(sum(col("x") * col("wgt")).as("num"),
+          sum(col("x") * col("x") * col("wgt")).as("num2"),
+          sum(col("wgt")).as("wsum"))
+      daily.join(contrib,
+          col("event_type") === col("c_type")
+            && col("day") === col("day2"))
+        .withColumn("ewma", expr("num / wsum"))
+        .withColumn("ewm_var", expr(
+          "num2 / wsum - (num / wsum) * (num / wsum)"))
+        .withColumn("ewm_std", expr("sqrt(greatest(ewm_var, " +
+          "CAST(0 AS DOUBLE)))"))
+        .select("event_type", "day", "x", "ewma", "ewm_var", "ewm_std")
         .orderBy(asc_nulls_last("event_type"), asc_nulls_last("day"))
     })
   )
@@ -2312,6 +2384,36 @@ object EventAnalytics {
         |  ON c.event_type = t.event_type AND c.day2 = t.day
         |ORDER BY t.event_type ASC NULLS LAST, t.day ASC NULLS LAST""".stripMargin,
 
+    // Same exact-dyadic weights with the x² sum added; the variance and
+    // sqrt trees repeat the Spark text verbatim.
+    "q_ts_ewm_var" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), ks AS (SELECT UNNEST(range(0, 16)) AS k),
+        |contrib AS (
+        |  SELECT d.event_type, d.day + CAST(ks.k AS INT) AS day2,
+        |    SUM(d.x * (CAST(1 AS DOUBLE) / CAST(1::BIGINT
+        |      << CAST(ks.k + 1 AS INT) AS DOUBLE))) AS num,
+        |    SUM(d.x * d.x * (CAST(1 AS DOUBLE) / CAST(1::BIGINT
+        |      << CAST(ks.k + 1 AS INT) AS DOUBLE))) AS num2,
+        |    SUM(CAST(1 AS DOUBLE) / CAST(1::BIGINT
+        |      << CAST(ks.k + 1 AS INT) AS DOUBLE)) AS wsum
+        |  FROM daily d CROSS JOIN ks
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT t.event_type, t.day, t.x,
+        |    c.num / c.wsum AS ewma,
+        |    c.num2 / c.wsum - (c.num / c.wsum) * (c.num / c.wsum)
+        |      AS ewm_var
+        |  FROM daily t JOIN contrib c
+        |    ON c.event_type = t.event_type AND c.day2 = t.day
+        |)
+        |SELECT event_type, day, x, ewma, ewm_var,
+        |  sqrt(greatest(ewm_var, CAST(0 AS DOUBLE))) AS ewm_std
+        |FROM j
+        |ORDER BY event_type ASC NULLS LAST, day ASC NULLS LAST""".stripMargin,
+
     // Same pre-scaled integer residual grid ((sv·10⁴)·nd − S·10⁴ in
     // HUGEINT = Spark's DECIMAL(38,0)), one partitioned lag window over
     // the day-grain frame, VARCHAR-routed quadratic forms, one division.
@@ -2384,6 +2486,32 @@ object EventAnalytics {
         |  / CAST(CAST(CAST(d.den AS HUGEINT) * CAST(d.den AS HUGEINT)
         |    * CAST(s.p_all AS HUGEINT) AS VARCHAR) AS DOUBLE) AS q_stat
         |FROM s, den d""".stripMargin,
+
+    // Same type-partitioned lag grid; Σg² in HUGEINT, both readouts
+    // verbatim single divisions.
+    "q_event_interarrival" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS tsu FROM events
+        |), g AS (
+        |  SELECT event_type, tsu - lag(tsu, 1) OVER (
+        |    PARTITION BY event_type
+        |    ORDER BY tsu ASC NULLS LAST, event_id ASC NULLS LAST)
+        |    AS gap
+        |  FROM ev
+        |), a AS (
+        |  SELECT event_type, COUNT(*) AS n_gaps,
+        |    CAST(SUM(gap) AS BIGINT) AS sg,
+        |    SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sgg
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+        |)
+        |SELECT event_type, n_gaps, sg,
+        |  CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+        |  CAST(CAST(CAST(n_gaps AS HUGEINT) * sgg
+        |    - CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT) AS VARCHAR)
+        |    AS DOUBLE)
+        |  / CAST(CAST(CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)
+        |    AS VARCHAR) AS DOUBLE) AS cv2
+        |FROM a ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     // Same calendar-neighbor triple joins and strict-inequality count;
     // the z tree divides exact integers once.

@@ -58,6 +58,26 @@ object Sketches {
   private[operators] def hvExpr(tok: String): String =
     s"CAST(conv(substring(md5($tok), 1, 15), 16, 10) AS BIGINT)"
 
+  /** Per-(event_type, bucket) HLL register table (register = max ρ over
+    * the bucket's hashes) — the state behind q_sketch_hll. PUBLIC and
+    * mode-agnostic: fed a streaming frame this IS the live
+    * distinct-counter state (an update-mode keyed MAX — one long per
+    * touched register per micro-batch, merged associatively), and
+    * StreamingParitySpec proves the streamed registers equal this batch
+    * frame before assembling the same estimate from them. */
+  def hllRegisters(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events
+      .select(col("event_type"),
+        expr(hvExpr("CAST(user_id AS STRING)")).as("hv"))
+      .withColumn("bucket", expr("hv div 4503599627370496"))
+      .withColumn("w", expr("hv % 4503599627370496"))
+      .withColumn("rho", expr(
+        "CAST(CASE WHEN w = 0 THEN 53 ELSE " +
+          "52 - (length(bin(w)) - 1) END AS BIGINT)"))
+      .groupBy("event_type", "bucket")
+      .agg(max("rho").as("mj"))
+
   /** DuckDB mirror of [[hvExpr]]. */
   private[operators] def sqlHv(tok: String): String =
     s"CAST('0x' || substring(md5($tok), 1, 15) AS BIGINT)"
@@ -166,6 +186,120 @@ object Sketches {
     // TypedImperativeAggregate upgrade path): KMV merges by unioning
     // K-lists and re-taking the K smallest, so partial aggregation is
     // exact — the algebra this query proves is unchanged there.
+    // Manual HyperLogLog (Flajolet et al. 2007) per event_type, built
+    // entirely from the shared 60-bit md5 fold so the WHOLE estimator —
+    // registers, harmonic mean, small-range correction — is
+    // hash-matched against DuckDB, unlike Spark's built-in
+    // approx_count_distinct (q_agg_approx_distinct, the contract's one
+    // no-oracle row, whose HLL++ internals are engine-private). m = 256
+    // registers: bucket = top 8 hash bits, ρ = leading-zero run of the
+    // remaining 52 (integer arithmetic via the portable bit-length
+    // `length(bin(w))`, no floats), register = max ρ. The harmonic
+    // mean Σ2^(−M_j) stays EXACT: on the common denominator 2^Mmax
+    // every term is the integer 2^(Mmax−M_j) (shiftleft — never
+    // pow()), so raw = α·m²·2^Mmax/T is one fixed double tree over
+    // exact integers; the small-range branch (raw ≤ 2.5m, V > 0) is
+    // the q_sketch_linear portable-log estimate. Scale: registers
+    // merge by MAX — associative, partial-agg exact — and the
+    // register table is |types|·256 rows at any corpus size.
+    "q_sketch_hll" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val exact = broadcast(ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_distinct")))
+      val regs = hllRegisters(ev)
+      val wm = Window.partitionBy("event_type")
+      val per = regs.withColumn("mmax", max("mj").over(wm))
+        .groupBy("event_type", "mmax")
+        .agg(count(lit(1)).as("n_present"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(mmax - mj AS INT))")).as("t_present"))
+        .withColumn("v_zeros", expr("256 - n_present"))
+        .withColumn("t_sum", expr(
+          "t_present + v_zeros * shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(mmax AS INT))"))
+        .withColumn("raw_est", expr(
+          "(CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) " +
+            "+ CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))) " +
+            "* CAST(65536 AS DOUBLE) " +
+            "* CAST(shiftleft(CAST(1 AS BIGINT), CAST(mmax AS INT)) " +
+            "AS DOUBLE) / CAST(t_sum AS DOUBLE)"))
+        .withColumn("vsafe", greatest(col("v_zeros"), lit(1L)))
+      graft.Det.withPlog2(per, "vsafe", "l2v")
+        .withColumn("est_distinct", expr(
+          "CASE WHEN raw_est <= CAST(640 AS DOUBLE) AND v_zeros > 0 " +
+            "THEN CAST(round(CAST(256 AS DOUBLE) " +
+            "* CAST(0.6931471805599453 AS DOUBLE) " +
+            "* (CAST(8 AS DOUBLE) - l2v), 0) AS BIGINT) " +
+            "ELSE CAST(round(raw_est, 0) AS BIGINT) END"))
+        .join(exact, Seq("event_type"))
+        .select("event_type", "n_present", "v_zeros", "mmax", "t_sum",
+          "raw_est", "est_distinct", "exact_distinct")
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
+    // HLL set union via register MAX-merge (the property that makes HLL
+    // the 100 TB distinct counter: sketches built per shard/day/cohort
+    // merge EXACTLY — max per register — with no access to the raw
+    // keys) on the theta cohorts (1995 vs 1996 buyers): three rows out,
+    // cohort a, cohort b, and their register-merged union, each with
+    // the full q_sketch_hll estimator beside its exact audit count.
+    // The merged registers are BY CONSTRUCTION the registers of the
+    // concatenated key stream, so the union estimate needs no new
+    // theory — and inclusion–exclusion (est_a + est_b − est_u) gives
+    // the overlap estimate the theta sketch computes by θ-sampling.
+    // Exactness/scale: the q_sketch_hll pipeline verbatim, keyed by
+    // cohort tag instead of event_type.
+    "q_sketch_hll_union" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      def keys(yr: Int) = ord
+        .filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey").as("k"))
+      val tagged = keys(1995).select(lit("a").as("cohort"), col("k"))
+        .unionAll(keys(1996).select(lit("b").as("cohort"), col("k")))
+      val all = tagged.unionAll(
+        tagged.select(lit("u").as("cohort"), col("k")))
+      val exact = broadcast(all.groupBy("cohort")
+        .agg(countDistinct("k").as("exact_distinct")))
+      val regs = all
+        .select(col("cohort"),
+          expr(hvExpr("CAST(k AS STRING)")).as("hv"))
+        .withColumn("bucket", expr("hv div 4503599627370496"))
+        .withColumn("w", expr("hv % 4503599627370496"))
+        .withColumn("rho", expr(
+          "CAST(CASE WHEN w = 0 THEN 53 ELSE " +
+            "52 - (length(bin(w)) - 1) END AS BIGINT)"))
+        .groupBy("cohort", "bucket")
+        .agg(max("rho").as("mj"))
+      val wm = Window.partitionBy("cohort")
+      val per = regs.withColumn("mmax", max("mj").over(wm))
+        .groupBy("cohort", "mmax")
+        .agg(count(lit(1)).as("n_present"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(mmax - mj AS INT))")).as("t_present"))
+        .withColumn("v_zeros", expr("256 - n_present"))
+        .withColumn("t_sum", expr(
+          "t_present + v_zeros * shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(mmax AS INT))"))
+        .withColumn("raw_est", expr(
+          "(CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) " +
+            "+ CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))) " +
+            "* CAST(65536 AS DOUBLE) " +
+            "* CAST(shiftleft(CAST(1 AS BIGINT), CAST(mmax AS INT)) " +
+            "AS DOUBLE) / CAST(t_sum AS DOUBLE)"))
+        .withColumn("vsafe", greatest(col("v_zeros"), lit(1L)))
+      graft.Det.withPlog2(per, "vsafe", "l2v")
+        .withColumn("est_distinct", expr(
+          "CASE WHEN raw_est <= CAST(640 AS DOUBLE) AND v_zeros > 0 " +
+            "THEN CAST(round(CAST(256 AS DOUBLE) " +
+            "* CAST(0.6931471805599453 AS DOUBLE) " +
+            "* (CAST(8 AS DOUBLE) - l2v), 0) AS BIGINT) " +
+            "ELSE CAST(round(raw_est, 0) AS BIGINT) END"))
+        .join(exact, Seq("cohort"))
+        .select("cohort", "n_present", "v_zeros", "mmax", "t_sum",
+          "est_distinct", "exact_distinct")
+        .orderBy(asc_nulls_last("cohort"))
+    }),
+
     // Linear counting (Whang, Vander-Zanden & Taylor 1990) for distinct
     // users — the LOW-cardinality-regime member of the distinct-sketch
     // family (HLL shines at billions, KMV in the middle; linear counting
@@ -367,6 +501,135 @@ object Sketches {
   }
 
   val oracle: Map[String, String] = Map(
+    // Same 60-bit fold, bit-length ρ, shift-built powers of two, and
+    // verbatim raw/small-range trees (`//` and `<<` spellings produce
+    // the same exact integers).
+    "q_sketch_hll" ->
+      s"""WITH hv AS (
+         |  SELECT event_type, CAST('0x' ||
+         |    substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |    AS hv
+         |  FROM events
+         |), rr AS (
+         |  SELECT event_type, hv // 4503599627370496 AS bucket,
+         |    hv % 4503599627370496 AS w
+         |  FROM hv
+         |), rho AS (
+         |  SELECT event_type, bucket,
+         |    CASE WHEN w = 0 THEN 53 ELSE
+         |      52 - (length(bin(w)) - 1) END AS rho
+         |  FROM rr
+         |), regs AS (
+         |  SELECT event_type, bucket, MAX(rho) AS mj
+         |  FROM rho GROUP BY 1, 2
+         |), wm AS (
+         |  SELECT *, MAX(mj) OVER (PARTITION BY event_type) AS mmax
+         |  FROM regs
+         |), per AS (
+         |  SELECT event_type, mmax, COUNT(*) AS n_present,
+         |    CAST(SUM(CAST(1 AS BIGINT) << CAST(mmax - mj AS INT))
+         |      AS BIGINT) AS t_present
+         |  FROM wm GROUP BY 1, 2
+         |), x AS (
+         |  SELECT event_type, mmax, n_present,
+         |    256 - n_present AS v_zeros,
+         |    t_present + (256 - n_present)
+         |      * (CAST(1 AS BIGINT) << CAST(mmax AS INT)) AS t_sum
+         |  FROM per
+         |), r2 AS (
+         |  SELECT *,
+         |    (CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+         |      + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+         |      * CAST(65536 AS DOUBLE)
+         |      * CAST((CAST(1 AS BIGINT) << CAST(mmax AS INT))
+         |        AS DOUBLE) / CAST(t_sum AS DOUBLE) AS raw_est,
+         |    greatest(256 - n_present, CAST(1 AS BIGINT)) AS vsafe
+         |  FROM x
+         |), lg AS (
+         |  SELECT *, ${graft.Det.sqlPlog2Cols("vsafe", "q")} FROM r2
+         |), e AS (
+         |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT l.event_type, n_present, v_zeros, mmax, t_sum, raw_est,
+         |  CASE WHEN raw_est <= CAST(640 AS DOUBLE) AND v_zeros > 0
+         |    THEN CAST(round(CAST(256 AS DOUBLE)
+         |      * CAST(0.6931471805599453 AS DOUBLE)
+         |      * (CAST(8 AS DOUBLE) - ql2), 0) AS BIGINT)
+         |    ELSE CAST(round(raw_est, 0) AS BIGINT) END AS est_distinct,
+         |  exact_distinct
+         |FROM lg l JOIN e ON e.event_type = l.event_type
+         |ORDER BY l.event_type ASC NULLS LAST""".stripMargin,
+
+    // The q_sketch_hll estimator CTEs keyed by cohort tag; the union
+    // rows re-fold the concatenated key stream (register-merge
+    // equivalence by construction).
+    "q_sketch_hll_union" ->
+      s"""WITH tagged AS (
+         |  SELECT 'a' AS cohort, o_custkey AS k FROM orders
+         |  WHERE year(o_orderdate) = 1995
+         |  UNION ALL
+         |  SELECT 'b' AS cohort, o_custkey AS k FROM orders
+         |  WHERE year(o_orderdate) = 1996
+         |), allk AS (
+         |  SELECT cohort, k FROM tagged
+         |  UNION ALL
+         |  SELECT 'u' AS cohort, k FROM tagged
+         |), hv AS (
+         |  SELECT cohort, CAST('0x' ||
+         |    substring(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+         |  FROM allk
+         |), rr AS (
+         |  SELECT cohort, hv // 4503599627370496 AS bucket,
+         |    hv % 4503599627370496 AS w
+         |  FROM hv
+         |), rho AS (
+         |  SELECT cohort, bucket,
+         |    CASE WHEN w = 0 THEN 53 ELSE
+         |      52 - (length(bin(w)) - 1) END AS rho
+         |  FROM rr
+         |), regs AS (
+         |  SELECT cohort, bucket, MAX(rho) AS mj
+         |  FROM rho GROUP BY 1, 2
+         |), wm AS (
+         |  SELECT *, MAX(mj) OVER (PARTITION BY cohort) AS mmax
+         |  FROM regs
+         |), per AS (
+         |  SELECT cohort, mmax, COUNT(*) AS n_present,
+         |    CAST(SUM(CAST(1 AS BIGINT) << CAST(mmax - mj AS INT))
+         |      AS BIGINT) AS t_present
+         |  FROM wm GROUP BY 1, 2
+         |), x AS (
+         |  SELECT cohort, mmax, n_present,
+         |    256 - n_present AS v_zeros,
+         |    t_present + (256 - n_present)
+         |      * (CAST(1 AS BIGINT) << CAST(mmax AS INT)) AS t_sum
+         |  FROM per
+         |), r2 AS (
+         |  SELECT *,
+         |    (CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+         |      + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+         |      * CAST(65536 AS DOUBLE)
+         |      * CAST((CAST(1 AS BIGINT) << CAST(mmax AS INT))
+         |        AS DOUBLE) / CAST(t_sum AS DOUBLE) AS raw_est,
+         |    greatest(256 - n_present, CAST(1 AS BIGINT)) AS vsafe
+         |  FROM x
+         |), lg AS (
+         |  SELECT *, ${graft.Det.sqlPlog2Cols("vsafe", "q")} FROM r2
+         |), e AS (
+         |  SELECT cohort, COUNT(DISTINCT k) AS exact_distinct
+         |  FROM allk GROUP BY 1
+         |)
+         |SELECT l.cohort, n_present, v_zeros, mmax, t_sum,
+         |  CASE WHEN raw_est <= CAST(640 AS DOUBLE) AND v_zeros > 0
+         |    THEN CAST(round(CAST(256 AS DOUBLE)
+         |      * CAST(0.6931471805599453 AS DOUBLE)
+         |      * (CAST(8 AS DOUBLE) - ql2), 0) AS BIGINT)
+         |    ELSE CAST(round(raw_est, 0) AS BIGINT) END AS est_distinct,
+         |  exact_distinct
+         |FROM lg l JOIN e ON e.cohort = l.cohort
+         |ORDER BY l.cohort ASC NULLS LAST""".stripMargin,
+
     // Same md5 bucket fold, the identical portable-log2 chain (lateral
     // column aliases), and the verbatim estimate tree.
     "q_sketch_linear" ->

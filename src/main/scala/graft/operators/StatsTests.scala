@@ -877,6 +877,39 @@ object StatsTests {
         .orderBy(asc_nulls_last("event_type"))
     }),
 
+    // Wilson score interval (Wilson 1927) for a per-type event rate —
+    // the 95% CI a rate monitor should show instead of the textbook
+    // Wald interval (which collapses to width 0 at p̂ ∈ {0,1} and
+    // undercovers small n; Wilson stays calibrated at both edges). The
+    // monitored proportion: share of the type's events with value >
+    // 100 (the "big event" rate). k and n are exact integers from one
+    // keyed conditional aggregate; the interval is a fixed IEEE tree
+    // over kd/nd with z = 1.96 (z² computed IN the tree as z·z — both
+    // engines parse the same literal once, no 3.8416 rounding
+    // disagreement to introduce). Scale: one event_type agg with
+    // map-side combine, nothing else.
+    "q_stats_binom_ci" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 100.0, 1L).otherwise(0L)).as("k"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("kd", col("k").cast("double"))
+        .withColumn("p_hat", expr("kd / nd"))
+        .withColumn("ci_lo", expr(
+          "(p_hat + (1.96 * 1.96) / (2.0 * nd) " +
+            "- 1.96 * sqrt(p_hat * (1.0 - p_hat) / nd " +
+            "+ (1.96 * 1.96) / (4.0 * nd * nd))) " +
+            "/ (1.0 + (1.96 * 1.96) / nd)"))
+        .withColumn("ci_hi", expr(
+          "(p_hat + (1.96 * 1.96) / (2.0 * nd) " +
+            "+ 1.96 * sqrt(p_hat * (1.0 - p_hat) / nd " +
+            "+ (1.96 * 1.96) / (4.0 * nd * nd))) " +
+            "/ (1.0 + (1.96 * 1.96) / nd)"))
+        .select("event_type", "n", "k", "p_hat", "ci_lo", "ci_hi")
+        .orderBy(asc_nulls_last("event_type"))),
+
     // Anderson–Darling 2-sample test (Scholz & Stephens 1987, the
     // midrank/tie-adjusted A²akN) on the click vs view value mixes —
     // the tail-sensitive upgrade of q_stats_ks: KS sees only the single
@@ -1670,6 +1703,32 @@ object StatsTests {
         |    / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE))
         |    AS tau_b
         |FROM ag ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    // Exact (n, k) cells; the Wilson trees repeat the Spark text
+    // verbatim (z² computed in-tree from the shared 1.96 literal).
+    "q_stats_binom_ci" ->
+      """WITH a AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), dd AS (
+        |  SELECT event_type, n, k, CAST(n AS DOUBLE) AS nd,
+        |    CAST(k AS DOUBLE) AS kd
+        |  FROM a
+        |), p AS (
+        |  SELECT *, kd / nd AS p_hat FROM dd
+        |)
+        |SELECT event_type, n, k, p_hat,
+        |  (p_hat + (1.96 * 1.96) / (2.0 * nd)
+        |    - 1.96 * sqrt(p_hat * (1.0 - p_hat) / nd
+        |      + (1.96 * 1.96) / (4.0 * nd * nd)))
+        |    / (1.0 + (1.96 * 1.96) / nd) AS ci_lo,
+        |  (p_hat + (1.96 * 1.96) / (2.0 * nd)
+        |    + 1.96 * sqrt(p_hat * (1.0 - p_hat) / nd
+        |      + (1.96 * 1.96) / (4.0 * nd * nd)))
+        |    / (1.0 + (1.96 * 1.96) / nd) AS ci_hi
+        |FROM p ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     // Same doubled midrank pieces off the pooled-CDF frame; per-term
     // quantization and the trailing assembly repeat the Spark text

@@ -1208,6 +1208,67 @@ object VectorOps {
         .orderBy(asc_nulls_last("label_a"), asc_nulls_last("label_b"))
     }),
 
+    // Linear Centered Kernel Alignment (Kornblith et al. 2019,
+    // "Similarity of Neural Network Representations Revisited") between
+    // the two 32-dim HALVES of the embedding — the representation-
+    // similarity number used to compare checkpoints/layers/models
+    // ("did the fine-tune actually change the geometry?"), here
+    // demonstrated on the within-corpus split a pipeline would apply to
+    // two embedding columns. CKA = ‖X'Y‖²_F / (‖X'X‖_F·‖Y'Y‖_F) over
+    // column-centered features; EVERYTHING up to the final tree is
+    // exact: components quantize to the 10⁵ grid (coarser than the mmd
+    // grid so the 1024 squared cross-covariances fit DECIMAL(38,0) at
+    // 100× this corpus), centering cross-multiplies per dim pair
+    // (n·Σxy − Σx·Σy — no mean subtraction), and the three Frobenius
+    // sums are order-insensitive integer folds. One trailing
+    // sqrt+divide tree. Scale: the corpus shuffles once as slim
+    // (pos, q) component rows; the dim-pair fan-out (64×64) happens on
+    // per-PARTITION partial products via the q_embed_cov one-pass
+    // second-moment shape — map-side combine collapses it before the
+    // exchange, so the shuffle carries ≤ partitions·4096 slim rows.
+    "q_embed_cka" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val comp = t(s, d, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")),
+          col("vec_id"))
+        .withColumn("q", expr(
+          "CAST(floor(CAST(x AS DOUBLE) * CAST(100000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("q"))
+      // per-vector cross products of the two halves, partially
+      // aggregated: (i ∈ X-half, j ∈ Y-half) keyed sums of q_i·q_j,
+      // plus per-dim linear sums for the centering term
+      val pairs = comp.as("a").join(comp.as("b"), "vec_id")
+        .select(col("a.pos").as("i"), col("b.pos").as("j"),
+          (col("a.q") * col("b.q")).as("xy"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum("xy").as("sxy"))
+      val lin = broadcast(comp.groupBy("pos")
+        .agg(sum("q").as("s")))
+      val cent = pairs
+        .join(lin.select(col("pos").as("i"), col("s").as("si")), "i")
+        .join(lin.select(col("pos").as("j"), col("s").as("sj")), "j")
+        .withColumn("c", expr(
+          s"CAST(n AS $dec) * CAST(sxy AS $dec) " +
+            s"- CAST(si AS $dec) * CAST(sj AS $dec)"))
+        .withColumn("c2", expr(s"CAST(c * c AS $dec)"))
+      cent.agg(
+          max("n").as("n_vecs"),
+          sum(when(col("i") < 32 && col("j") >= 32, col("c2"))
+            .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("sxy2"),
+          sum(when(col("i") < 32 && col("j") < 32, col("c2"))
+            .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("sxx2"),
+          sum(when(col("i") >= 32 && col("j") >= 32, col("c2"))
+            .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("syy2"))
+        .withColumn("cka", expr(
+          "CAST(CAST(sxy2 AS STRING) AS DOUBLE) " +
+            "/ (sqrt(CAST(CAST(sxx2 AS STRING) AS DOUBLE)) " +
+            "* sqrt(CAST(CAST(syy2 AS STRING) AS DOUBLE)))"))
+        .select("n_vecs", "cka")
+    }),
+
     // Simplified silhouette per label (the "medoid-free" silhouette of
     // Hruschka et al. — a(i)/b(i) measured to CENTROIDS instead of
     // all-pairs, the form that scales): a = distance to the own-label
@@ -2949,6 +3010,48 @@ object VectorOps {
          |  (n * sxx - sx * sx) / (n * n) AS variance,
          |  x_min, x_max
          |FROM g ORDER BY pos ASC NULLS LAST""".stripMargin,
+
+    // Same 10⁵ grid, cross-multiplied centering, HUGEINT Frobenius
+    // folds, verbatim final tree.
+    "q_embed_cka" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, unnest(generate_series(1, $EmbDim)) AS i,
+         |    embedding
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), v AS (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE)
+         |      * CAST(100000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+         |  FROM e
+         |), p AS (
+         |  SELECT a.pos AS i, b.pos AS j, COUNT(*) AS n,
+         |    CAST(SUM(a.q * b.q) AS BIGINT) AS sxy
+         |  FROM v a JOIN v b ON b.vec_id = a.vec_id
+         |  GROUP BY 1, 2
+         |), lin AS (
+         |  SELECT pos, CAST(SUM(q) AS BIGINT) AS s FROM v GROUP BY 1
+         |), c AS (
+         |  SELECT p.i, p.j, p.n,
+         |    CAST(p.n AS HUGEINT) * CAST(p.sxy AS HUGEINT)
+         |      - CAST(li.s AS HUGEINT) * CAST(lj.s AS HUGEINT) AS c
+         |  FROM p JOIN lin li ON li.pos = p.i
+         |  JOIN lin lj ON lj.pos = p.j
+         |), ag AS (
+         |  SELECT MAX(n) AS n_vecs,
+         |    SUM(CASE WHEN i < 32 AND j >= 32 THEN c * c ELSE 0 END)
+         |      AS sxy2,
+         |    SUM(CASE WHEN i < 32 AND j < 32 THEN c * c ELSE 0 END)
+         |      AS sxx2,
+         |    SUM(CASE WHEN i >= 32 AND j >= 32 THEN c * c ELSE 0 END)
+         |      AS syy2
+         |  FROM c
+         |)
+         |SELECT n_vecs,
+         |  CAST(CAST(sxy2 AS VARCHAR) AS DOUBLE)
+         |    / (sqrt(CAST(CAST(sxx2 AS VARCHAR) AS DOUBLE))
+         |      * sqrt(CAST(CAST(syy2 AS VARCHAR) AS DOUBLE))) AS cka
+         |FROM ag""".stripMargin,
 
     // Same grid, cross-multiplied centroid distances, per-vector
     // quantization and trailing mean — verbatim expression text.

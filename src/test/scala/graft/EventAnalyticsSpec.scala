@@ -618,6 +618,35 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(q >= 0.0)
   }
 
+  test("q_ts_ewm_var equals an exact-dyadic replay and the variance " +
+      "identity holds") {
+    val daily = events.groupBy(e => (e._3, e._2.toInstant
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate))
+      .view.mapValues(_.size.toLong).toMap
+    val out = EventAnalytics.queries("q_ts_ewm_var")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ty = r.getString(0)
+      val day = r.getDate(1).toLocalDate
+      // replay: weights 2^-(k+1) over the 16 days ending at `day`
+      var num = 0.0; var num2 = 0.0; var wsum = 0.0
+      (0 to 15).foreach { k =>
+        daily.get((ty, day.minusDays(k))).foreach { x =>
+          val w = 1.0 / (1L << (k + 1)).toDouble
+          num += x * w; num2 += x * x * w; wsum += w
+        }
+      }
+      val ewma = num / wsum
+      val v = num2 / wsum - (num / wsum) * (num / wsum)
+      assert(r.getAs[Long]("x") == daily((ty, day)), s"$ty $day x")
+      assert(r.getAs[Double]("ewma") == ewma, s"$ty $day ewma")
+      assert(r.getAs[Double]("ewm_var") == v, s"$ty $day var")
+      assert(r.getAs[Double]("ewm_std") ==
+        math.sqrt(math.max(v, 0.0)), s"$ty $day std")
+    }
+  }
+
   test("q_markov_2step equals P squared from the one-step matrix and " +
       "rows sum to ~1") {
     val one = EventAnalytics.queries("q_markov_transition")(spark, sf)

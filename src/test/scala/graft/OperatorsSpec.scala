@@ -2623,6 +2623,63 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_stats_binom_ci equals a Wilson replay; the interval brackets " +
+      "p_hat and stays inside [0, 1]") {
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val out = StatsTests.queries("q_stats_binom_ci")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (ty, evs) =>
+      val n = evs.length.toLong
+      val k = evs.count(_._2 > 100.0).toLong
+      val (nd, kd) = (n.toDouble, k.toDouble)
+      val p = kd / nd
+      def bound(sign: Double) =
+        (p + (1.96 * 1.96) / (2.0 * nd)
+          + sign * 1.96 * math.sqrt(p * (1.0 - p) / nd
+            + (1.96 * 1.96) / (4.0 * nd * nd))) /
+          (1.0 + (1.96 * 1.96) / nd)
+      val r = out(ty)
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("k") == k)
+      assert(r.getAs[Double]("p_hat") == p, s"$ty p")
+      assert(r.getAs[Double]("ci_lo") == bound(-1.0), s"$ty lo")
+      assert(r.getAs[Double]("ci_hi") == bound(1.0), s"$ty hi")
+      assert(r.getAs[Double]("ci_lo") >= 0.0
+        && r.getAs[Double]("ci_hi") <= 1.0
+        && r.getAs[Double]("ci_lo") <= p
+        && p <= r.getAs[Double]("ci_hi"), s"$ty bracket")
+    }
+  }
+
+  test("q_event_interarrival equals a brute-force gap replay and " +
+      "cv2 is positive") {
+    val rows = Tables.table(spark, sf, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("tsu"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = EventAnalytics.queries("q_event_interarrival")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (ty, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._2)).toSeq
+      val gaps = ordered.sliding(2).collect { case Seq(a, b) =>
+        b._3 - a._3 }.toSeq
+      val n = gaps.length.toLong
+      val sg = gaps.sum
+      val sgg = gaps.map(g => BigInt(g) * BigInt(g)).sum
+      val r = out(ty)
+      assert(r.getAs[Long]("n_gaps") == n, s"$ty n")
+      assert(r.getAs[Long]("sg") == sg, s"$ty sg")
+      assert(r.getAs[Double]("mean_gap_us") ==
+        sg.toDouble / n.toDouble, s"$ty mean")
+      val cv2 = BigDecimal(BigInt(n) * sgg - BigInt(sg) * BigInt(sg))
+        .toDouble / BigDecimal(BigInt(sg) * BigInt(sg)).toDouble
+      assert(r.getAs[Double]("cv2") == cv2, s"$ty cv2")
+      assert(cv2 > 0.0, s"$ty cv2 positive")
+    }
+  }
+
   test("q_stats_ad_2sample equals a plain-Scala midrank replay and " +
       "exceeds zero") {
     val rows = Tables.table(spark, sf, "events")

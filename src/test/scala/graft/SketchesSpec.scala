@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, year}
+
 import graft.operators.{MinHash, Sketches}
 
 /** Sketch invariants: count-min never underestimates (and matches the
@@ -119,6 +121,82 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("est_inter") <= r.getAs[Long]("est_union"))
     assert(r.getAs[Long]("exact_union") > r.getAs[Long]("exact_inter"),
       "fixture must exercise a non-degenerate overlap")
+  }
+
+  test("q_sketch_hll: registers match a brute-force replay and the " +
+      "estimate sits inside the published error envelope") {
+    val rows = Tables.table(spark, sf, "events")
+      .select("event_type", "user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val out = Sketches.queries("q_sketch_hll")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (ty, evs) =>
+      val users = evs.map(_._2).distinct
+      val regs = scala.collection.mutable.Map[Long, Long]()
+      users.foreach { u =>
+        val hv = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(u.toString.getBytes("UTF-8"))
+            .take(8).map("%02x".format(_)).mkString.take(15), 16)
+        val bucket = hv / 4503599627370496L
+        val w = hv % 4503599627370496L
+        val rho = if (w == 0) 53L
+          else 52L - (java.lang.Long.toBinaryString(w).length - 1)
+        regs(bucket) = math.max(regs.getOrElse(bucket, 0L), rho)
+      }
+      val r = out(ty)
+      assert(r.getAs[Long]("n_present") == regs.size.toLong,
+        s"$ty present")
+      assert(r.getAs[Long]("v_zeros") == (256 - regs.size).toLong,
+        s"$ty zeros")
+      assert(r.getAs[Long]("mmax") == regs.values.max, s"$ty mmax")
+      val mmax = regs.values.max
+      val t = regs.values.map(mj => 1L << (mmax - mj)).sum +
+        (256 - regs.size) * (1L << mmax)
+      assert(r.getAs[Long]("t_sum") == t, s"$ty t_sum")
+      // HLL relative error ≈ 1.04/√m = 6.5% at m = 256; allow 5σ
+      val est = r.getAs[Long]("est_distinct").toDouble
+      val n = users.length.toDouble
+      assert(math.abs(est - n) <= math.max(5 * 1.04 / 16 * n, 3.0),
+        s"$ty estimate $est vs exact $n")
+    }
+  }
+
+  test("q_sketch_hll_union: merged registers equal max-merge of the " +
+      "cohort registers and estimates bracket the exact counts") {
+    val out = Sketches.queries("q_sketch_hll_union")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b", "u"))
+    // exact audit: the union exact is the true union cardinality
+    val ords = Tables.table(spark, sf, "orders")
+      .select(year(col("o_orderdate")).as("y"), col("o_custkey"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val a = ords.filter(_._1 == 1995).map(_._2).toSet
+    val b = ords.filter(_._1 == 1996).map(_._2).toSet
+    assert(out("a").getAs[Long]("exact_distinct") == a.size.toLong)
+    assert(out("b").getAs[Long]("exact_distinct") == b.size.toLong)
+    assert(out("u").getAs[Long]("exact_distinct") ==
+      (a ++ b).size.toLong)
+    // register-merge property: union t_sum/mmax cannot be looser than
+    // either cohort's (max-merge only raises registers)
+    assert(out("u").getAs[Long]("mmax") >=
+      math.max(out("a").getAs[Long]("mmax"),
+        out("b").getAs[Long]("mmax")))
+    // estimates within the 5-sigma HLL envelope of their exacts
+    Seq("a", "b", "u").foreach { tag =>
+      val est = out(tag).getAs[Long]("est_distinct").toDouble
+      val n = out(tag).getAs[Long]("exact_distinct").toDouble
+      assert(math.abs(est - n) <= math.max(5 * 1.04 / 16 * n, 3.0),
+        s"$tag estimate $est vs exact $n")
+    }
+    // inclusion-exclusion overlap estimate stays plausible
+    val estI = out("a").getAs[Long]("est_distinct") +
+      out("b").getAs[Long]("est_distinct") -
+      out("u").getAs[Long]("est_distinct")
+    val exactI = (a & b).size.toLong
+    assert(math.abs(estI - exactI)
+      <= math.max(15 * 1.04 / 16 * (a ++ b).size, 5.0),
+      s"overlap estimate $estI vs exact $exactI")
   }
 
   test("q_sketch_linear: bucket count matches the brute-force table " +

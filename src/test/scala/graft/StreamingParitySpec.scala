@@ -741,6 +741,43 @@ class StreamingParitySpec extends SparkSpec {
     assert(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getDouble(5) > 0.0)
   }
 
+  test("HLL register state: streamed per-bucket MAX equals the batch " +
+      "register table and assembles the identical estimate") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val hllBatch = Sketches.queries("q_sketch_hll")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val regsBatch = Sketches
+      .hllRegisters(Tables.table(spark, sf, "events"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val obs = Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy("ts", "event_id").collect()
+      .map(r => E(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val sink = runStream(df => Sketches.hllRegisters(df), obs,
+      OutputMode.Update())
+    val streamed = sink.collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case (k, rows) => k -> rows.last.getLong(2) }.toMap
+    assert(streamed == regsBatch,
+      "streamed register table diverged from the batch sketch")
+    // assemble the estimate pieces from the streamed registers — the
+    // declared query's exact-integer pipeline in plain Scala
+    streamed.keys.map(_._1).toSeq.distinct.foreach { ty =>
+      val regs = streamed.collect { case ((t, b), mj) if t == ty =>
+        b -> mj }
+      val mmax = regs.map(_._2).max
+      val tSum = regs.map { case (_, mj) => 1L << (mmax - mj) }.sum +
+        (256 - regs.size) * (1L << mmax)
+      val r = hllBatch(ty)
+      assert(r.getAs[Long]("mmax") == mmax && r.getAs[Long]("t_sum")
+        == tSum, s"$ty register assembly")
+    }
+  }
+
   test("Jarque-Bera normality monitor: streamed per-type power sums " +
       "equal the batch moment sketch and assemble the identical " +
       "statistic") {

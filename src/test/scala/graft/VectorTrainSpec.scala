@@ -393,6 +393,36 @@ class VectorTrainSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).sum > 0, "no drift synthesized")
   }
 
+  test("q_embed_cka equals a plain-Scala centered-Frobenius replay " +
+      "and sits in (0, 1]") {
+    val embs = Tables.table(spark, sf, "embeddings")
+      .select("embedding").as[Seq[Float]].collect()
+    assume(embs.nonEmpty)
+    val q = embs.map(_.map(x =>
+      math.floor(x.toDouble * 1e5 + 0.5).toLong))
+    val n = q.length
+    val dims = q.head.length
+    val lin = (0 until dims).map(p => q.map(_(p)).map(BigInt(_)).sum)
+    def cIJ(i: Int, j: Int): BigInt = {
+      val sxy = q.map(v => BigInt(v(i)) * BigInt(v(j))).sum
+      BigInt(n) * sxy - lin(i) * lin(j)
+    }
+    var sxy2 = BigInt(0); var sxx2 = BigInt(0); var syy2 = BigInt(0)
+    for (i <- 0 until dims; j <- 0 until dims) {
+      val c2 = { val c = cIJ(i, j); c * c }
+      if (i < 32 && j >= 32) sxy2 += c2
+      else if (i < 32 && j < 32) sxx2 += c2
+      else if (i >= 32 && j >= 32) syy2 += c2
+    }
+    val cka = BigDecimal(sxy2).toDouble /
+      (math.sqrt(BigDecimal(sxx2).toDouble) *
+        math.sqrt(BigDecimal(syy2).toDouble))
+    val r = VectorOps.queries("q_embed_cka")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_vecs") == n.toLong)
+    assert(r.getAs[Double]("cka") == cka)
+    assert(cka > 0.0 && cka <= 1.0)
+  }
+
   test("q_embed_mmd equals a plain-Scala mean-difference replay over " +
       "every label pair") {
     val embs = Tables.table(spark, sf, "embeddings")
