@@ -234,7 +234,10 @@ object Bench {
     "q_markov_2step" -> "m2", "q_sketch_linear" -> "ln",
     "q_sketch_hll" -> "hl", "q_sketch_hll_union" -> "hu",
     "q_ts_ewm_var" -> "ev", "q_stats_binom_ci" -> "wc",
-    "q_event_interarrival" -> "ia", "q_embed_cka" -> "ka")
+    "q_event_interarrival" -> "ia", "q_embed_cka" -> "ka",
+    "q_window_hampel" -> "hp", "q_stats_bootstrap_se" -> "bo",
+    "q_tpch_q3" -> "t3", "q_tpch_q5" -> "v5",
+    "q_multimodal_pdf" -> "pd")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

@@ -919,6 +919,38 @@ object EventAnalytics {
           asc_nulls_last("event_id"))
     }),
 
+    // Hampel filter over the same 5-event frame — the ROBUST outlier
+    // flag a cleaning pipeline runs where a z-score would let one spike
+    // poison its own mean/σ (masking): flag |x − med| > 3·1.4826·MAD,
+    // with both the median and the MAD read from the frame's own
+    // sorted lists (the rolling-median idiom twice — the deviations
+    // list is a higher-order transform, no second window). Every
+    // compared quantity is either a data value, an exact difference of
+    // two data values, or that times the shared 3·1.4826 literal tree —
+    // no accumulation anywhere, so doubles are safe. Scale: ONE
+    // user-partitioned window, frames bounded at 5 rows.
+    "q_window_hampel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("tsu"), asc_nulls_last("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsu"), col("value"))
+        .withColumn("vals", collect_list(col("value")).over(w))
+        .withColumn("med", expr("element_at(sort_array(vals), " +
+          "CAST((size(vals) + 1) DIV 2 AS INT))"))
+        .withColumn("mad", expr(
+          "element_at(sort_array(transform(vals, v -> abs(v - med))), " +
+            "CAST((size(vals) + 1) DIV 2 AS INT))"))
+        .withColumn("is_outlier",
+          expr("abs(value - med) > 3.0 * 1.4826 * mad"))
+        .select("user_id", "event_id", "tsu", "med", "mad",
+          "is_outlier")
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("tsu"),
+          asc_nulls_last("event_id"))
+    }),
+
     // Trailing-7-day distinct users per active day (the rolling-DAU/WAU
     // panel) — see [[rollingDistinct]]; streaming twin:
     // [[graft.streaming.StatefulTwins.rollingDistinctStream]].
@@ -2228,6 +2260,30 @@ object EventAnalytics {
         |  CAST(len(vals) AS BIGINT) AS n_window,
         |  list_sort(vals)[(len(vals) + 1) // 2] AS roll_med
         |FROM ev
+        |ORDER BY user_id ASC NULLS LAST, tsu ASC NULLS LAST,
+        |  event_id ASC NULLS LAST""".stripMargin,
+
+    // Same frame lists; the MAD is the identical lambda-transform sort
+    // and the flag repeats the 3·1.4826 literal tree.
+    "q_window_hampel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
+        |    list(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) ASC NULLS LAST,
+        |        event_id ASC NULLS LAST
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM events WHERE value IS NOT NULL
+        |), m AS (
+        |  SELECT *, list_sort(vals)[(len(vals) + 1) // 2] AS med
+        |  FROM ev
+        |), d AS (
+        |  SELECT *, list_sort(list_transform(vals,
+        |    v -> abs(v - med)))[(len(vals) + 1) // 2] AS mad
+        |  FROM m
+        |)
+        |SELECT user_id, event_id, tsu, med, mad,
+        |  abs(value - med) > 3.0 * 1.4826 * mad AS is_outlier
+        |FROM d
         |ORDER BY user_id ASC NULLS LAST, tsu ASC NULLS LAST,
         |  event_id ASC NULLS LAST""".stripMargin,
 

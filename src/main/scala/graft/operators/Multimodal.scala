@@ -879,6 +879,59 @@ object Multimodal {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // PDF shell parse — the ASCII-STRUCTURED header-family member
+    // (every other member reads fixed binary offsets; PDF's skeleton is
+    // text keywords + a byte-offset pointer): "%PDF-1.x" version sniff,
+    // the trailer's /Size object count, and the startxref pointer —
+    // which the parse then FOLLOWS, verifying the bytes at the declared
+    // offset really spell "xref" (offset_consistent), the structural
+    // integrity check a real ingest uses to reject truncated PDFs.
+    // Fixture: a spec-shaped shell (header, body carrying the doc's
+    // own text, xref section, trailer) assembled from doc fields with
+    // the startxref offset DERIVED from the assembled lengths; every
+    // 5th doc sniff-rejects on the raw text. Extraction is anchored
+    // regex + substring arithmetic — identical semantics both engines.
+    "q_multimodal_pdf" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val vchar = when(col("doc_id") % 3 === 0, "4")
+        .when(col("doc_id") % 3 === 1, "5").otherwise("7")
+      val nObj = (col("doc_id") % 9 + 1).cast("int")
+      val header = concat(lit("%PDF-1."), vchar, lit("\n"))
+      val body = concat(lit("BODY:"),
+        substring(col("text"), 1, 20), lit("\n"))
+      val xref = concat(lit("xref\n0 "),
+        (nObj + 1).cast("string"), lit("\n"))
+      val off = (length(header) + length(body)).cast("long")
+      val trailer = concat(lit("trailer<</Size "),
+        (nObj + 1).cast("string"), lit(">>\nstartxref\n"),
+        off.cast("string"), lit("\n%%EOF"))
+      val pdfDoc = concat(header, body, xref, trailer)
+      val payload = when(col("doc_id") % 5 === 0, col("text"))
+        .otherwise(pdfDoc)
+      val withPayload = docs.select(col("doc_id"), payload.as("blob"))
+      // parse — everything below reads ONLY (doc_id, blob)
+      val isPdf = expr("substring(blob, 1, 5)") === "%PDF-" &&
+        expr("substring(blob, length(blob) - 4, 5)") === "%%EOF"
+      def f(c: Column) = when(isPdf, c)
+      withPayload.select(
+          col("doc_id"),
+          isPdf.as("is_pdf"),
+          f(expr("substring(blob, 6, 3)")).as("version"),
+          f(expr("CAST(regexp_extract(blob, " +
+            "'/Size ([0-9]+)>>', 1) AS BIGINT)")).as("size_objs"),
+          f(expr("CAST(regexp_extract(blob, " +
+            "'startxref\\n([0-9]+)\\n%%EOF$', 1) AS BIGINT)"))
+            .as("startxref"),
+          col("blob"))
+        .withColumn("offset_consistent",
+          when(col("is_pdf"),
+            expr("substring(blob, CAST(startxref + 1 AS INT), 4)")
+              === "xref"))
+        .select("doc_id", "is_pdf", "version", "size_objs",
+          "startxref", "offset_consistent")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     "q_multimodal_wav" -> ((s, d) => {
       val docs = graft.Tables.table(s, d, "documents")
       val ch = (col("doc_id") % 2 + 1).cast("int")
@@ -1890,6 +1943,58 @@ object Multimodal {
         |    END AS data_head_hex,
         |  CASE WHEN is_zip THEN method = 0 END AS stored
         |FROM fields ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same ASCII shell construction (chr(10) newlines, || concat), the
+    // identical anchored extraction regexes, and the followed-pointer
+    // consistency probe.
+    "q_multimodal_pdf" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN '4'
+        |      WHEN doc_id % 3 = 1 THEN '5' ELSE '7' END AS v,
+        |    CAST(doc_id % 9 + 1 AS INT) AS nobj, text
+        |  FROM documents
+        |), built AS (
+        |  SELECT doc_id,
+        |    '%PDF-1.' || v || chr(10) AS header,
+        |    'BODY:' || substring(text, 1, 20) || chr(10) AS body,
+        |    'xref' || chr(10) || '0 ' || CAST(nobj + 1 AS VARCHAR)
+        |      || chr(10) AS xr,
+        |    nobj, text
+        |  FROM base
+        |), doc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text ELSE
+        |      header || body || xr || 'trailer<</Size '
+        |        || CAST(nobj + 1 AS VARCHAR) || '>>' || chr(10)
+        |        || 'startxref' || chr(10)
+        |        || CAST(length(header) + length(body) AS VARCHAR)
+        |        || chr(10) || '%%EOF'
+        |    END AS blob
+        |  FROM built
+        |), p AS (
+        |  SELECT doc_id, blob,
+        |    substring(blob, 1, 5) = '%PDF-'
+        |      AND substring(blob, length(blob) - 4, 5) = '%%EOF'
+        |      AS is_pdf
+        |  FROM doc
+        |), x AS (
+        |  SELECT doc_id, blob, is_pdf,
+        |    CASE WHEN is_pdf THEN substring(blob, 6, 3) END AS version,
+        |    CASE WHEN is_pdf THEN
+        |      CAST(regexp_extract(blob, '/Size ([0-9]+)>>', 1)
+        |        AS BIGINT) END AS size_objs,
+        |    CASE WHEN is_pdf THEN
+        |      CAST(regexp_extract(blob,
+        |        'startxref\n([0-9]+)\n%%EOF$', 1) AS BIGINT) END
+        |      AS startxref
+        |  FROM p
+        |)
+        |SELECT doc_id, is_pdf, version, size_objs, startxref,
+        |  CASE WHEN is_pdf THEN
+        |    substring(blob, CAST(startxref + 1 AS INT), 4) = 'xref'
+        |  END AS offset_consistent
+        |FROM x ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     "q_multimodal_wav" ->
       """WITH src AS (

@@ -877,6 +877,57 @@ object StatsTests {
         .orderBy(asc_nulls_last("event_type"))
     }),
 
+    // Deterministic weighted-bootstrap standard error of the per-type
+    // mean value — resampling inference (Efron's bootstrap, in the
+    // Poisson/weighted form that streams: each observation enters
+    // resample b with hash-derived weight w ∈ {0,1,2}, E[w]=1 — the
+    // m-out-of-n weighted variant that needs no global sample size and
+    // parallelizes as ONE keyed aggregate) made fully reproducible:
+    // the weights come from the shared md5 fold of (b, event_id), so
+    // both engines draw the IDENTICAL 32 pseudo-resamples and the SE
+    // is hash-matched — the "error bar without distributional
+    // assumptions" a metrics layer shows next to q_stats_binom_ci's
+    // parametric one. Each resample mean is one division of exact
+    // pieces, quantized to the 1e-10 grid before the across-resample
+    // variance (the ppm move), which is itself exact integers until
+    // the final sqrt tree. Scale: a 32× explode with map-side combine
+    // into a |types|·32 frame.
+    "q_stats_bootstrap_se" -> ((s, d) => {
+      val dec = "DECIMAL(38,0)"
+      val means = t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          col("value").cast(DecimalType(18, 4)).as("v"),
+          explode(expr("sequence(1, 32)")).as("b"))
+        .withColumn("w", expr(
+          "CAST(conv(substring(md5(concat(CAST(b AS STRING), '_', " +
+            "CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) " +
+            "% 3"))
+        .groupBy("event_type", "b")
+        .agg(sum("w").as("sw"), sum(expr("w * v")).as("sv"))
+        .filter(col("sw") > 0L)
+        .withColumn("mean_b", expr(
+          "CAST(CAST(sv AS STRING) AS DOUBLE) / CAST(sw AS DOUBLE)"))
+        .withColumn("qb", expr(
+          "CAST(floor(mean_b * CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+      means.groupBy("event_type")
+        .agg(count(lit(1)).as("n_resamples"),
+          sum("qb").as("sq"),
+          sum(expr(s"CAST(qb AS $dec) * CAST(qb AS $dec)")).as("sqq"))
+        .withColumn("mean_boot", expr(
+          "CAST(sq AS DOUBLE) / CAST(n_resamples AS DOUBLE) " +
+            "/ CAST(10000000000 AS DOUBLE)"))
+        .withColumn("se_boot", expr(
+          s"sqrt(CAST(CAST(CAST(n_resamples AS $dec) * sqq " +
+            s"- CAST(sq AS $dec) * CAST(sq AS $dec) AS STRING) " +
+            "AS DOUBLE) / (CAST(n_resamples AS DOUBLE) " +
+            "* CAST(n_resamples - 1 AS DOUBLE))) " +
+            "/ CAST(10000000000 AS DOUBLE)"))
+        .select("event_type", "n_resamples", "mean_boot", "se_boot")
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
     // Wilson score interval (Wilson 1927) for a per-type event rate —
     // the 95% CI a rate monitor should show instead of the textbook
     // Wald interval (which collapses to width 0 at p̂ ∈ {0,1} and
@@ -1702,6 +1753,49 @@ object StatsTests {
         |  CAST(concordant - discordant AS DOUBLE)
         |    / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE))
         |    AS tau_b
+        |FROM ag ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    // Same md5 weights (identical pseudo-resamples by construction),
+    // per-resample quantization, HUGEINT across-resample variance,
+    // verbatim trees.
+    "q_stats_bootstrap_se" ->
+      """WITH x AS (
+        |  SELECT e.event_type, e.event_id,
+        |    CAST(e.value AS DECIMAL(18,4)) AS v, ks.b
+        |  FROM events e
+        |  CROSS JOIN (SELECT UNNEST(range(1, 33)) AS b) ks
+        |  WHERE e.value IS NOT NULL
+        |), wts AS (
+        |  SELECT event_type, b,
+        |    CAST('0x' || substring(md5(CAST(b AS VARCHAR) || '_' ||
+        |      CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 3 AS w,
+        |    v
+        |  FROM x
+        |), res AS (
+        |  SELECT event_type, b, CAST(SUM(w) AS BIGINT) AS sw,
+        |    SUM(w * v) AS sv
+        |  FROM wts GROUP BY 1, 2
+        |), mb AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(CAST(sv AS VARCHAR) AS DOUBLE)
+        |      / CAST(sw AS DOUBLE)
+        |      * CAST(10000000000 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qb
+        |  FROM res WHERE sw > 0
+        |), ag AS (
+        |  SELECT event_type, COUNT(*) AS n_resamples,
+        |    CAST(SUM(qb) AS BIGINT) AS sq,
+        |    SUM(CAST(qb AS HUGEINT) * CAST(qb AS HUGEINT)) AS sqq
+        |  FROM mb GROUP BY 1
+        |)
+        |SELECT event_type, n_resamples,
+        |  CAST(sq AS DOUBLE) / CAST(n_resamples AS DOUBLE)
+        |    / CAST(10000000000 AS DOUBLE) AS mean_boot,
+        |  sqrt(CAST(CAST(CAST(n_resamples AS HUGEINT) * sqq
+        |    - CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT) AS VARCHAR)
+        |    AS DOUBLE) / (CAST(n_resamples AS DOUBLE)
+        |    * CAST(n_resamples - 1 AS DOUBLE)))
+        |    / CAST(10000000000 AS DOUBLE) AS se_boot
         |FROM ag ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     // Exact (n, k) cells; the Wilson trees repeat the Spark text

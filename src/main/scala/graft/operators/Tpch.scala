@@ -66,6 +66,60 @@ object Tpch {
           asc_nulls_last("l_linestatus"))
     }),
 
+    // Q3: shipping-priority revenue ranking — the DataFrame twin of
+    // q_sql_q3 (identical adapted predicates), completing the Tpch
+    // combinator family to all 22 shapes in BOTH styles. The segment-
+    // filtered customer list broadcasts (only the key survives column
+    // pruning); both fact filters sit on the scans for row-group
+    // pruning; TakeOrderedAndProject caps the output at 20 — no global
+    // sort materializes.
+    "q_tpch_q3" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate")
+            < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(Det.dsum(rev, 6).as("revenue"))
+        .select(col("o_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(desc_nulls_last("revenue"),
+          asc_nulls_last("o_orderkey"))
+        .limit(20)),
+
+    // Q5: local-supplier volume — the DataFrame twin of q_sql_q5. All
+    // four dimensions broadcast; the c_nationkey = s_nationkey
+    // "local supplier" condition rides the supplier equi-join; the
+    // region filter prunes BEFORE its broadcast so the build side is
+    // one row's lineage, not the region table.
+    "q_tpch_q5" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate")
+            >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate")
+            < lit("1999-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(Det.dsum(rev, 6).as("revenue"))
+        .orderBy(desc_nulls_last("revenue"), asc_nulls_last("n_name"))),
+
     // Q14: promo revenue share — conditional aggregate over one
     // month of shipments. The part dimension broadcasts (only partkey +
     // type are read: column pruning keeps the build side slim) and the
@@ -513,6 +567,11 @@ object Tpch {
   )
 
   val oracle: Map[String, String] = Map(
+    // the DataFrame twins share the q_sql_q3/q_sql_q5 oracle text
+    // verbatim — one semantics, two declared construction styles
+    "q_tpch_q3" -> Extended.sqlQ3,
+    "q_tpch_q5" -> Extended.sqlQ5,
+
     "q_tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${Det.sqlDsum("l_quantity")} AS sum_qty,

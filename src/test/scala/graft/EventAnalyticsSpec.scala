@@ -618,6 +618,37 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(q >= 0.0)
   }
 
+  test("q_window_hampel equals a frame replay; flagged points are " +
+      "exactly the 3-MAD violators") {
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tsu"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val out = EventAnalytics.queries("q_window_hampel")(spark, sf)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    var outliers = 0
+    rows.groupBy(_._1).foreach { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._2)).toSeq
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 4), i + 1).map(_._4)
+        val med = frame.sorted.apply((frame.length + 1) / 2 - 1)
+        val devs = frame.map(v => math.abs(v - med))
+        val mad = devs.sorted.apply((devs.length + 1) / 2 - 1)
+        val r = out(ordered(i)._2)
+        assert(r.getAs[Double]("med") == med, s"ev ${ordered(i)._2}")
+        assert(r.getAs[Double]("mad") == mad, s"ev ${ordered(i)._2}")
+        val flag = math.abs(ordered(i)._4 - med) > 3.0 * 1.4826 * mad
+        assert(r.getAs[Boolean]("is_outlier") == flag)
+        if (flag) outliers += 1
+      }
+    }
+    assert(outliers > 0, "fixture exercises the outlier branch")
+    assert(outliers < rows.length / 2, "flag is selective")
+  }
+
   test("q_ts_ewm_var equals an exact-dyadic replay and the variance " +
       "identity holds") {
     val daily = events.groupBy(e => (e._3, e._2.toInstant

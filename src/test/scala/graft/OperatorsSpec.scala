@@ -2294,6 +2294,36 @@ class OperatorsSpec extends SparkSpec {
     assert(zips > 0, "no ZIP fixtures exercised")
   }
 
+  test("q_multimodal_pdf round-trips the shell and the startxref " +
+      "pointer lands on the xref keyword") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val out = Multimodal.queries("q_multimodal_pdf")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == docs.length)
+    var pdfs = 0
+    docs.foreach { case (id, text) =>
+      val r = out(id)
+      if (id % 5 == 0) {
+        assert(!r.getBoolean(1), s"doc $id sniffed pdf")
+        assert(r.isNullAt(2) && r.isNullAt(4), s"doc $id fields null")
+      } else {
+        pdfs += 1
+        assert(r.getBoolean(1), s"doc $id not recognized")
+        val v = (id % 3) match {
+          case 0 => "1.4"; case 1 => "1.5"; case _ => "1.7"
+        }
+        assert(r.getString(2) == v, s"doc $id version")
+        assert(r.getLong(3) == id % 9 + 2, s"doc $id size")
+        val expOff = 9L + ("BODY:" + text.take(20) + "\n").length
+        assert(r.getLong(4) == expOff, s"doc $id startxref")
+        assert(r.getBoolean(5), s"doc $id offset consistency")
+      }
+    }
+    assert(pdfs > 0, "no PDF fixtures exercised")
+  }
+
   test("q_stats_jarque_bera equals a plain-Scala scaled-moment replay " +
       "and JB is non-negative") {
     val rows = Tables.table(spark, sf, "events")
@@ -2620,6 +2650,34 @@ class OperatorsSpec extends SparkSpec {
         vowels.toDouble / wc.toDouble, s"$lang vr")
       assert(r.getAs[Double]("vowel_ratio") >= 0.0
         && r.getAs[Double]("vowel_ratio") <= 1.0, s"$lang vr range")
+    }
+  }
+
+  test("q_stats_bootstrap_se: SE is positive and within an order of " +
+      "magnitude of the analytic s/sqrt(n)") {
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val out = StatsTests.queries("q_stats_bootstrap_se")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (ty, evs) =>
+      val n = evs.length
+      val mean = evs.map(_._2).sum / n
+      val s = math.sqrt(
+        evs.map(e => (e._2 - mean) * (e._2 - mean)).sum / (n - 1))
+      val analytic = s / math.sqrt(n.toDouble)
+      val r = out(ty)
+      assert(r.getAs[Long]("n_resamples") == 32L, s"$ty B")
+      val se = r.getAs[Double]("se_boot")
+      assert(se > 0.0, s"$ty positive")
+      // weighted {0,1,2} resampling inflates variance ~1.5x over the
+      // multinomial bootstrap; allow [analytic/3, 4*analytic]
+      assert(se > analytic / 3 && se < 4 * analytic,
+        s"$ty se $se vs analytic $analytic")
+      // the bootstrap mean-of-means tracks the sample mean
+      assert(math.abs(r.getAs[Double]("mean_boot") - mean)
+        <= 6 * analytic, s"$ty mean_boot")
     }
   }
 
