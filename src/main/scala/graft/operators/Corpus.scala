@@ -1084,6 +1084,35 @@ object Corpus {
     // (k·Σn_s² − N²) / (N²·(k − 1)). Scale: one keyed count with
     // map-side combine; the source domain (≤ dozens) collapses to one
     // wide aggregate row.
+    // Kish effective sample size (Kish 1965, the survey-weighting
+    // design effect applied to corpus curation): with per-source char
+    // mass as the implicit training weight, N_eff = (Σw)²/Σw² says how
+    // many EQUALLY-weighted sources the mixture is worth — the honest
+    // "how diverse is this corpus really?" scalar behind every
+    // source-mix decision (N_eff ≪ k means a few giants dominate and
+    // dedup/temperature reweighting is overdue; the design effect
+    // k/N_eff is the variance inflation a model pays for the skew).
+    // Exact DECIMAL(38,0) char sums and squares, ONE trailing division
+    // each for n_eff and deff. Scale: one source-keyed agg with
+    // map-side combine + a |sources|-bounded fold.
+    "q_source_effective_n" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      t(s, d, "documents")
+        .groupBy("source").agg(sum("n_chars").as("w"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("w").cast(dec)).as("sw"),
+          sum(col("w").cast(dec) * col("w").cast(dec)).as("sww"))
+        .select(col("k"), col("sw").cast("string").as("sum_w"),
+          (expr(s"CAST(CAST(sw AS $dec) * CAST(sw AS $dec) " +
+            "AS STRING)").cast("double")
+            / expr("CAST(CAST(sww AS STRING) AS DOUBLE)"))
+            .as("n_eff"),
+          (col("k").cast("double")
+            * expr("CAST(CAST(sww AS STRING) AS DOUBLE)")
+            / expr(s"CAST(CAST(CAST(sw AS $dec) * CAST(sw AS $dec) " +
+            "AS STRING) AS DOUBLE)")).as("design_effect"))
+    }),
+
     "q_source_hhi" -> ((s, d) => {
       val dec = "decimal(38,0)"
       t(s, d, "documents")
@@ -2054,6 +2083,26 @@ object Corpus {
   val oracle: Map[String, String] = Map(
     // Same exact HUGEINT squares, VARCHAR-routed, identical division
     // trees over the one wide row.
+    // Same exact char-mass folds; HUGEINT squares, VARCHAR-routed into
+    // the two verbatim division trees.
+    "q_source_effective_n" ->
+      """WITH ws AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY source
+        |), a AS (
+        |  SELECT COUNT(*) AS k,
+        |    SUM(CAST(w AS HUGEINT)) AS sw,
+        |    SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS sww
+        |  FROM ws
+        |)
+        |SELECT k, CAST(sw AS VARCHAR) AS sum_w,
+        |  CAST(CAST(sw * sw AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(sww AS VARCHAR) AS DOUBLE) AS n_eff,
+        |  CAST(k AS DOUBLE) * CAST(CAST(sww AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(sw * sw AS VARCHAR) AS DOUBLE)
+        |    AS design_effect
+        |FROM a""".stripMargin,
+
     "q_source_hhi" ->
       """WITH ns AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns

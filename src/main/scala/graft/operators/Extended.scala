@@ -356,6 +356,49 @@ object Extended {
         .orderBy(asc_nulls_last("event_type"))
     }),
 
+    // TOST equivalence test (Schuirmann 1987, two one-sided tests) on
+    // click vs view mean value with margin δ = 5.0 — the A/B question
+    // significance tests CANNOT answer: "are these two the SAME to
+    // within δ?" (a non-significant t is absence of evidence; TOST is
+    // evidence of absence). Two Welch one-sided statistics against ±δ
+    // share one exact-sum SE; equivalence = both reject at 5%
+    // (t_lower > 1.645 AND t_upper < −1.645, the shared literal).
+    // Same exactness posture as q_stats_ttest: decimal sums
+    // VARCHAR-free (< 2^53 here), fixed CASE-guarded trees.
+    "q_stats_tost" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+      ev.agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("n1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("n2"),
+          sum(when(col("event_type") === "click",
+            col("value").cast(DecimalType(18, 4)))).cast("double")
+            .as("s1"),
+          sum(when(col("event_type") === "view",
+            col("value").cast(DecimalType(18, 4)))).cast("double")
+            .as("s2"),
+          sum(when(col("event_type") === "click",
+            col("value").cast(DecimalType(18, 4))
+              * col("value").cast(DecimalType(19, 4)))).cast("double")
+            .as("q1"),
+          sum(when(col("event_type") === "view",
+            col("value").cast(DecimalType(18, 4))
+              * col("value").cast(DecimalType(19, 4)))).cast("double")
+            .as("q2"))
+        .selectExpr("n1", "n2",
+          "s1 / n1 - s2 / n2 AS mean_diff",
+          "CASE WHEN n1 >= 2 AND n2 >= 2 THEN sqrt(" +
+            "((q1 - s1 * s1 / n1) / (n1 - 1)) / n1 + " +
+            "((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) END AS se")
+        .selectExpr("n1", "n2", "mean_diff", "se",
+          "(mean_diff + 5.0) / se AS t_lower",
+          "(mean_diff - 5.0) / se AS t_upper")
+        .selectExpr("n1", "n2", "mean_diff", "se", "t_lower", "t_upper",
+          "t_lower > 1.645 AND t_upper < -1.645 AS equivalent")
+    }),
+
     "q_stats_regression" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -738,6 +781,45 @@ object Extended {
         |    (nt - n - 1)) / (nt - n)) END AS t_welch
         |FROM g, tot
         |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    // Same one-pass conditional sums (VARCHAR-routed like the anova
+    // pieces), shared SE, verbatim TOST trees and the 1.645 literal.
+    "q_stats_tost" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(CAST(SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(18,4)) END)
+        |      AS VARCHAR) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CASE WHEN event_type = 'view'
+        |      THEN CAST(value AS DECIMAL(18,4)) END)
+        |      AS VARCHAR) AS DOUBLE) AS s2,
+        |    CAST(CAST(SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(18,4))
+        |        * CAST(value AS DECIMAL(19,4)) END)
+        |      AS VARCHAR) AS DOUBLE) AS q1,
+        |    CAST(CAST(SUM(CASE WHEN event_type = 'view'
+        |      THEN CAST(value AS DECIMAL(18,4))
+        |        * CAST(value AS DECIMAL(19,4)) END)
+        |      AS VARCHAR) AS DOUBLE) AS q2
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |), m AS (
+        |  SELECT n1, n2, s1 / n1 - s2 / n2 AS mean_diff,
+        |    CASE WHEN n1 >= 2 AND n2 >= 2 THEN sqrt(
+        |      ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1 +
+        |      ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) END AS se
+        |  FROM a
+        |), tt AS (
+        |  SELECT *, (mean_diff + 5.0) / se AS t_lower,
+        |    (mean_diff - 5.0) / se AS t_upper
+        |  FROM m
+        |)
+        |SELECT n1, n2, mean_diff, se, t_lower, t_upper,
+        |  t_lower > 1.645 AND t_upper < -1.645 AS equivalent
+        |FROM tt""".stripMargin,
 
     "q_stats_regression" ->
       """WITH g AS (

@@ -711,6 +711,28 @@ class CorpusSpec extends SparkSpec {
       assert(oe >= -1e-9, s"$src nonneg")
     }
   }
+
+  test("q_source_effective_n equals the brute-force Kish fold and " +
+      "N_eff is sandwiched by 1 and k") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ws = docs.groupBy(_._1).values.map(_.map(_._2).sum).toSeq
+    val k = ws.length.toLong
+    val sw = ws.map(BigInt(_)).sum
+    val sww = ws.map(w => BigInt(w) * BigInt(w)).sum
+    val nEff = BigDecimal(sw * sw).toDouble / BigDecimal(sww).toDouble
+    val r = Corpus.queries("q_source_effective_n")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("k") == k)
+    assert(r.getAs[String]("sum_w") == sw.toString)
+    assert(r.getAs[Double]("n_eff") == nEff)
+    assert(r.getAs[Double]("design_effect") ==
+      k.toDouble * BigDecimal(sww).toDouble /
+        BigDecimal(sw * sw).toDouble)
+    // Cauchy–Schwarz sandwich: 1 ≤ N_eff ≤ k (equality iff uniform)
+    assert(nEff >= 1.0 - 1e-12 && nEff <= k.toDouble + 1e-12)
+  }
 }
 
 /** Keeps Corpus' oracle map aligned with its query map. */

@@ -2653,6 +2653,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_stats_tost equals a plain-Scala Welch replay and both " +
+      "one-sided statistics bracket the plain t") {
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def sums(ty: String) = {
+      val vs = rows.filter(_._1 == ty).map(v => BigDecimal(v._2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_EVEN))
+      (vs.length.toLong, vs.sum.toDouble,
+        vs.map(v => v * v).sum.toDouble)
+    }
+    val (n1, s1, q1) = sums("click")
+    val (n2, s2, q2) = sums("view")
+    val diff = s1 / n1 - s2 / n2
+    val se = math.sqrt(
+      ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1 +
+        ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+    val r = Extended.queries("q_stats_tost")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(r.getAs[Double]("mean_diff") == diff)
+    assert(r.getAs[Double]("se") == se)
+    assert(r.getAs[Double]("t_lower") == (diff + 5.0) / se)
+    assert(r.getAs[Double]("t_upper") == (diff - 5.0) / se)
+    assert(r.getAs[Boolean]("equivalent") ==
+      ((diff + 5.0) / se > 1.645 && (diff - 5.0) / se < -1.645))
+    // structural: t_lower > t_upper always (they differ by 10/se > 0)
+    assert(r.getAs[Double]("t_lower") > r.getAs[Double]("t_upper"))
+  }
+
   test("q_stats_bootstrap_se: SE is positive and within an order of " +
       "magnitude of the analytic s/sqrt(n)") {
     val rows = Tables.table(spark, sf, "events")
