@@ -1148,6 +1148,48 @@ object EventAnalytics {
         .select("n_days", "r1", "r2", "r3", "pacf1", "pacf2", "pacf3")
     }),
 
+    // Maximum drawdown of the cumulative daily value per event_type —
+    // the worst peak-to-trough fall of the running total, the
+    // risk/health readout ops dashboards borrow from finance ("how bad
+    // did the worst losing streak get?"); value here can only add, so
+    // the series is made signed by centering each day against the
+    // type's mean day (sv·n − S — the DW residual grid), making
+    // drawdown a real streak measure. Everything is exact DECIMAL:
+    // cumulative and running-max come from TWO type-partitioned
+    // day-grain windows (bounded by the calendar, the cusum argument —
+    // but PARTITIONED here, so not even the day-grain frame is
+    // global), the per-day drawdown is an exact subtraction, and the
+    // final max is a keyed agg. ONE trailing VARCHAR-routed cast
+    // renders the exact result as the double readout.
+    "q_ts_max_drawdown" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).as("sv"))
+      val tot = broadcast(daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum("sv").as("stot")))
+      val wCum = Window.partitionBy("event_type")
+        .orderBy(asc_nulls_last("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(tot, "event_type")
+        .withColumn("svi", expr(
+          "CAST(CAST(sv AS DECIMAL(18,4)) * 10000 AS DECIMAL(38,0))"))
+        .withColumn("sti", expr(
+          "CAST(CAST(stot AS DECIMAL(18,4)) * 10000 AS DECIMAL(38,0))"))
+        .withColumn("rr", expr("svi * nd - sti"))
+        .withColumn("cum", sum("rr").over(wCum))
+        .withColumn("peak", max("cum").over(wCum))
+        .withColumn("dd", expr("peak - cum"))
+        .groupBy("event_type")
+        .agg(max("nd").as("n_days"), max("dd").as("max_dd_x"))
+        // un-scale the 10⁴ quantum AND the ·nd centering factor so the
+        // readout is in ORIGINAL value units per type
+        .withColumn("max_drawdown", expr(
+          "CAST(CAST(max_dd_x AS STRING) AS DOUBLE) " +
+            "/ (CAST(10000 AS DOUBLE) * CAST(n_days AS DOUBLE))"))
+        .select("event_type", "n_days", "max_drawdown")
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
     // Inter-arrival-time profile per event_type — the EVENT-grain
     // burstiness measure next to q_ts_fano's day-grain one: a Poisson
     // stream has gap cv² = 1, clumped traffic (campaign spikes, bot
@@ -2542,6 +2584,47 @@ object EventAnalytics {
         |  / CAST(CAST(CAST(d.den AS HUGEINT) * CAST(d.den AS HUGEINT)
         |    * CAST(s.p_all AS HUGEINT) AS VARCHAR) AS DOUBLE) AS q_stat
         |FROM s, den d""".stripMargin,
+
+    // Same pre-scaled centered grid (the DW residuals), two partitioned
+    // prefix windows, exact subtraction, verbatim un-scaling division.
+    "q_ts_max_drawdown" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, COUNT(*) AS nd, SUM(sv) AS stot
+        |  FROM daily GROUP BY 1
+        |), r AS (
+        |  SELECT d.event_type, d.day, t.nd,
+        |    CAST(CAST(d.sv AS DECIMAL(18,4)) * 10000 AS HUGEINT)
+        |      * t.nd
+        |      - CAST(CAST(t.stot AS DECIMAL(18,4)) * 10000 AS HUGEINT)
+        |      AS rr
+        |  FROM daily d JOIN tot t ON t.event_type = d.event_type
+        |), c1 AS (
+        |  SELECT event_type, nd, day,
+        |    SUM(rr) OVER (PARTITION BY event_type
+        |      ORDER BY day ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM r
+        |), c AS (
+        |  SELECT event_type, nd, cum,
+        |    MAX(cum) OVER (PARTITION BY event_type
+        |      ORDER BY day ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS peak
+        |  FROM c1
+        |), a AS (
+        |  SELECT event_type, MAX(nd) AS n_days,
+        |    MAX(peak - cum) AS max_dd_x
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT event_type, n_days,
+        |  CAST(CAST(max_dd_x AS VARCHAR) AS DOUBLE)
+        |    / (CAST(10000 AS DOUBLE) * CAST(n_days AS DOUBLE))
+        |    AS max_drawdown
+        |FROM a ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     // Same type-partitioned lag grid; Σg² in HUGEINT, both readouts
     // verbatim single divisions.

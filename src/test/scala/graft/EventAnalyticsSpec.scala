@@ -618,6 +618,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(q >= 0.0)
   }
 
+  test("q_ts_max_drawdown equals a plain-Scala peak-trough replay " +
+      "and is non-negative") {
+    val byType = dailyByType
+    val out = EventAnalytics.queries("q_ts_max_drawdown")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == byType.keySet)
+    byType.foreach { case (ty, daily) =>
+      val nd = daily.length.toLong
+      val stot = daily.map(_._3).sum
+      val rr = daily.map { case (_, _, svi) => svi * nd - stot }
+      var cum = BigInt(0); var peak = BigInt(0); var dd = BigInt(0)
+      var first = true
+      rr.foreach { r =>
+        cum += r
+        if (first) { peak = cum; first = false }
+        else if (cum > peak) peak = cum
+        if (peak - cum > dd) dd = peak - cum
+      }
+      val r = out(ty)
+      assert(r.getAs[Long]("n_days") == nd, s"$ty n_days")
+      val expect = BigDecimal(dd).toDouble / (10000.0 * nd.toDouble)
+      assert(r.getAs[Double]("max_drawdown") == expect, s"$ty dd")
+      assert(expect >= 0.0, s"$ty non-negative")
+    }
+  }
+
   test("q_window_hampel equals a frame replay; flagged points are " +
       "exactly the 3-MAD violators") {
     val rows = Tables.table(spark, sf, "events")
