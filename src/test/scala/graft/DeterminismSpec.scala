@@ -47,7 +47,17 @@ class DeterminismSpec extends SparkSpec {
     "q_stats_cramers_v", // chi2 ppm cells + fixed sqrt V tree
     "q_graph_hits",      // directed join-sum iterations, all integer
     "q_text_bm25",       // df-band terms + grid-quantized log2 scores
-    "q_embed_isotropy")  // quantized unit sums through the dim fold
+    "q_embed_isotropy",  // quantized unit sums through the dim fold
+    "q_stats_jarque_bera",    // DECIMAL(38,0) power sums + fixed trees
+    "q_stats_ad_2sample",     // per-value quantized AD terms
+    "q_embed_mmd",            // cross-multiplied mean differences
+    "q_embed_cka",            // centered Frobenius folds + sqrt tree
+    "q_sketch_hll",           // register MAX merge + harmonic fold
+    "q_stats_bootstrap_se",   // md5-weighted resamples + grid variance
+    "q_ts_periodogram",       // integer trig tables + energy ratio
+    "q_stats_wilcoxon_signed", // doubled midranks + tie-folded z
+    "q_window_rolling_beta",  // exact frame sums + per-row division
+    "q_ts_max_drawdown")      // partitioned prefix windows, exact grid
 
   sensitive.foreach { name =>
     test(s"$name is identical at shuffle.partitions 3 vs 13") {
