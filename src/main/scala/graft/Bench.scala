@@ -238,7 +238,8 @@ object Bench {
     "q_window_hampel" -> "hp", "q_stats_bootstrap_se" -> "bo",
     "q_tpch_q3" -> "t3", "q_tpch_q5" -> "v5",
     "q_multimodal_pdf" -> "pd", "q_stats_tost" -> "to",
-    "q_source_effective_n" -> "ne", "q_ts_max_drawdown" -> "xd")
+    "q_source_effective_n" -> "ne", "q_ts_max_drawdown" -> "xd",
+    "q_ts_acf_bands" -> "ae", "q_source_gini" -> "ag")
 
   /** q_join_broadcast → j_bc. Total function; BenchLineSpec asserts
     * injectivity over the declared query set and the line-length bound. */

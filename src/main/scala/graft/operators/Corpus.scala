@@ -1084,6 +1084,35 @@ object Corpus {
     // (k·Σn_s² − N²) / (N²·(k − 1)). Scale: one keyed count with
     // map-side combine; the source domain (≤ dozens) collapses to one
     // wide aggregate row.
+    // Gini coefficient of source char mass — the INEQUALITY member of
+    // the concentration trio (HHI = Simpson family, N_eff = Kish; Gini
+    // is the Lorenz-curve number policy people quote): computed by the
+    // pairwise mean-absolute-difference identity G = Σ_ij|w_i − w_j| /
+    // (2k·Σw), which needs NO sorted ranks — the |sources|² self-join
+    // (≤ 400 pairs, bounded by the source DOMAIN) replaces the global
+    // rank window the classic formula wants, so not even a bounded
+    // unpartitioned window exists here. Exact DECIMAL(38,0) sums; one
+    // trailing division. Scale: one source-keyed agg; everything after
+    // is domain-bounded.
+    "q_source_gini" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val ws = t(s, d, "documents")
+        .groupBy("source").agg(sum("n_chars").as("w"))
+      val pairs = ws.select(col("w").as("wa"))
+        .withColumn("_one", lit(1))
+        .join(broadcast(ws.select(col("w").as("wb"))
+          .withColumn("_one", lit(1))), "_one")
+        .agg(sum(expr(s"CAST(abs(wa - wb) AS $dec)")).as("sad"))
+        .withColumn("_one", lit(1))
+      ws.agg(count(lit(1)).as("k"), sum(col("w").cast(dec)).as("sw"))
+        .withColumn("_one", lit(1)).join(broadcast(pairs), "_one")
+        .withColumn("gini", expr(
+          "CAST(CAST(sad AS STRING) AS DOUBLE) " +
+            "/ (CAST(2 AS DOUBLE) * CAST(k AS DOUBLE) " +
+            "* CAST(CAST(sw AS STRING) AS DOUBLE))"))
+        .select("k", "gini")
+    }),
+
     // Kish effective sample size (Kish 1965, the survey-weighting
     // design effect applied to corpus curation): with per-source char
     // mass as the implicit training weight, N_eff = (Σw)²/Σw² says how
@@ -2083,6 +2112,25 @@ object Corpus {
   val oracle: Map[String, String] = Map(
     // Same exact HUGEINT squares, VARCHAR-routed, identical division
     // trees over the one wide row.
+    // Same pairwise mean-absolute-difference identity over the bounded
+    // source frame; HUGEINT folds, one verbatim division tree.
+    "q_source_gini" ->
+      """WITH ws AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY source
+        |), p AS (
+        |  SELECT CAST(SUM(CAST(abs(a.w - b.w) AS HUGEINT)) AS HUGEINT)
+        |    AS sad
+        |  FROM ws a CROSS JOIN ws b
+        |), a AS (
+        |  SELECT COUNT(*) AS k, SUM(CAST(w AS HUGEINT)) AS sw FROM ws
+        |)
+        |SELECT k,
+        |  CAST(CAST(sad AS VARCHAR) AS DOUBLE)
+        |    / (CAST(2 AS DOUBLE) * CAST(k AS DOUBLE)
+        |    * CAST(CAST(sw AS VARCHAR) AS DOUBLE)) AS gini
+        |FROM a, p""".stripMargin,
+
     // Same exact char-mass folds; HUGEINT squares, VARCHAR-routed into
     // the two verbatim division trees.
     "q_source_effective_n" ->

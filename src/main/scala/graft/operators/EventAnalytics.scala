@@ -1148,6 +1148,44 @@ object EventAnalytics {
         .select("n_days", "r1", "r2", "r3", "pacf1", "pacf2", "pacf3")
     }),
 
+    // Correlogram with significance bands — q_ts_autocorr's per-lag
+    // ACF promoted to the decision readout an analyst actually uses:
+    // each lag carries the ±1.96/√n white-noise band and a significant
+    // flag, so "is there structure at lag k?" is answered per row
+    // instead of eyeballed. The ACF pieces are the exact integer grid
+    // verbatim; the band is one fixed tree (1.96/sqrt(nd)) and the
+    // flag compares the same two doubles both engines computed.
+    // Scale: the autocorr economics unchanged.
+    "q_ts_acf_bands" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = broadcast(daily.agg(count(lit(1)).as("nd"),
+        sum("x").as("sx")).withColumn("_one", lit(1)))
+      val cent = daily.withColumn("_one", lit(1)).join(tot, "_one")
+        .select(col("day"), col("nd"),
+          (col("x") * col("nd") - col("sx")).as("cx"))
+      val den = broadcast(cent.agg(sum(col("cx") * col("cx")).as("den"))
+        .withColumn("_one", lit(1)))
+      cent
+        .select(col("day"), col("nd"), col("cx"),
+          explode(expr("sequence(1, 7)")).as("lag"))
+        .withColumn("day2", expr("date_add(day, lag)"))
+        .join(cent.select(col("day").as("day2"), col("cx").as("cy")),
+          "day2")
+        .groupBy(col("lag").cast("long").as("lag"), col("nd"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("cx") * col("cy")).as("num"))
+        .withColumn("_one", lit(1)).join(den, "_one")
+        .withColumn("acf", expr(
+          "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"))
+        .withColumn("band", expr("1.96 / sqrt(CAST(nd AS DOUBLE))"))
+        .withColumn("significant", expr("abs(acf) > band"))
+        .select(col("lag"), col("n_pairs"), col("acf"), col("band"),
+          col("significant"))
+        .orderBy(asc_nulls_last("lag"))
+    }),
+
     // Maximum drawdown of the cumulative daily value per event_type —
     // the worst peak-to-trough fall of the running total, the
     // risk/health readout ops dashboards borrow from finance ("how bad
@@ -2584,6 +2622,35 @@ object EventAnalytics {
         |  / CAST(CAST(CAST(d.den AS HUGEINT) * CAST(d.den AS HUGEINT)
         |    * CAST(s.p_all AS HUGEINT) AS VARCHAR) AS DOUBLE) AS q_stat
         |FROM s, den d""".stripMargin,
+
+    // The autocorr CTEs verbatim plus the band/flag columns.
+    "q_ts_acf_bands" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1
+        |), tot AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS sx FROM daily
+        |), cent AS (
+        |  SELECT day, nd, CAST(x * nd - sx AS BIGINT) AS cx
+        |  FROM daily, tot
+        |), den AS (
+        |  SELECT CAST(SUM(cx * cx) AS BIGINT) AS den FROM cent
+        |), ks AS (SELECT UNNEST(range(1, 8)) AS lag),
+        |lp AS (
+        |  SELECT CAST(k.lag AS BIGINT) AS lag, c1.nd,
+        |    COUNT(*) AS n_pairs,
+        |    CAST(SUM(c1.cx * c2.cx) AS BIGINT) AS num
+        |  FROM cent c1 CROSS JOIN ks k
+        |  JOIN cent c2 ON c2.day = c1.day + CAST(k.lag AS INT)
+        |  GROUP BY k.lag, c1.nd
+        |), r AS (
+        |  SELECT lag, n_pairs,
+        |    CAST(num AS DOUBLE) / CAST(d.den AS DOUBLE) AS acf,
+        |    1.96 / sqrt(CAST(nd AS DOUBLE)) AS band
+        |  FROM lp, den d
+        |)
+        |SELECT lag, n_pairs, acf, band, abs(acf) > band AS significant
+        |FROM r ORDER BY lag ASC NULLS LAST""".stripMargin,
 
     // Same pre-scaled centered grid (the DW residuals), two partitioned
     // prefix windows, exact subtraction, verbatim un-scaling division.

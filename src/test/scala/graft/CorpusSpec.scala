@@ -733,6 +733,24 @@ class CorpusSpec extends SparkSpec {
     // Cauchy–Schwarz sandwich: 1 ≤ N_eff ≤ k (equality iff uniform)
     assert(nEff >= 1.0 - 1e-12 && nEff <= k.toDouble + 1e-12)
   }
+
+  test("q_source_gini equals the pairwise mean-absolute-difference " +
+      "replay and stays in [0, 1)") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ws = docs.groupBy(_._1).values.map(_.map(_._2).sum).toSeq
+    val k = ws.length
+    val sw = ws.map(BigInt(_)).sum
+    val sad = (for { a <- ws; b <- ws } yield BigInt(math.abs(a - b)))
+      .sum
+    val gini = BigDecimal(sad).toDouble /
+      (2.0 * k.toDouble * BigDecimal(sw).toDouble)
+    val r = Corpus.queries("q_source_gini")(spark, sf).collect().head
+    assert(r.getAs[Long]("k") == k.toLong)
+    assert(r.getAs[Double]("gini") == gini)
+    assert(gini >= 0.0 && gini < 1.0)
+  }
 }
 
 /** Keeps Corpus' oracle map aligned with its query map. */

@@ -618,6 +618,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(q >= 0.0)
   }
 
+  test("q_ts_acf_bands carries the autocorr ACF verbatim with the " +
+      "white-noise band and correct flags") {
+    val acf = EventAnalytics.queries("q_ts_autocorr")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val nd = events.map(_._2.toInstant
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate).distinct.size
+    val band = 1.96 / math.sqrt(nd.toDouble)
+    val out = EventAnalytics.queries("q_ts_acf_bands")(spark, sf)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 7L))
+    out.foreach { r =>
+      assert(r.getDouble(2) == acf(r.getLong(0)), s"lag ${r.getLong(0)}")
+      assert(r.getDouble(3) == band)
+      assert(r.getBoolean(4) == (math.abs(r.getDouble(2)) > band))
+    }
+  }
+
   test("q_ts_max_drawdown equals a plain-Scala peak-trough replay " +
       "and is non-negative") {
     val byType = dailyByType

@@ -385,6 +385,7 @@ class PlanRegressionSpec extends SparkSpec {
       // on a constant key against the tiny day-grain frame — the
       // q_ts_autocorr shape
       "q_ts_periodogram", "q_ts_ljung_box", "q_ts_pacf",
+      "q_ts_acf_bands",
       // 1-row broadcasts of the sample totals and the doubled median
       // bracket on constant keys against the value-domain point frame —
       // the q_stats_ks shape
@@ -394,7 +395,11 @@ class PlanRegressionSpec extends SparkSpec {
       "q_stats_ad_2sample",
       // 1-row exact-distinct audit broadcast on a constant key — the
       // q_text_docfreq shape
-      "q_sketch_linear")
+      "q_sketch_linear",
+      // the |sources|-bounded (≤ tens of rows at any corpus size)
+      // pair-side broadcast on a constant key plus the 1-row pair-fold
+      // broadcast — the q_stats_wilcoxon_signed bounded-frame argument
+      "q_source_gini")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!allowed(name))
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
