@@ -323,8 +323,29 @@ object Corpus {
     * Non-default LSH configs (q_dedup_bands_curve) keep their own
     * plans — the stage covers only the declared default. */
   def nearDupPairs(s: SparkSession, d: String): DataFrame =
-    graft.NamedStages.stage(s, s"neardup_pairs:$d")(
-      TextDedup.nearDuplicates(t(s, d, "documents")))
+    nearDupCands(s, d).filter(col("jaccard") >= 0.7)
+
+  /** NAMED STAGE (r11): the verified candidate frame BEFORE the 0.7
+    * threshold — (id_a, id_b, jaccard) for every LSH band collision
+    * under the declared default config. One tier below [[nearDupPairs]]
+    * (which is now just a filter over this cache): the UNFILTERED frame
+    * is what threshold-tuning consumers (q_dedup_threshold_curve) need,
+    * and materializing here instead of post-filter shares the
+    * signature → bucket → verify chain with the pair consumers too —
+    * the r10 verdict's threshold_curve regression was exactly this
+    * query rebuilding the whole chain solo while its siblings read the
+    * warm stage. The frame is slim (two ids + one double per surviving
+    * candidate), so caching pre-threshold costs only the low-jaccard
+    * sliver extra. */
+  def nearDupCands(s: SparkSession, d: String): DataFrame =
+    graft.NamedStages.stage(s, s"neardup_cands:$d") {
+      val base = t(s, d, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val signed = MinHash.withSignatures(base, "text", 8)
+      val toks = MinHash.tokens(base, "text")
+      TextDedup.withJaccard(TextDedup.candidatePairs(signed, 8, 4), toks)
+        .select("id_a", "id_b", "jaccard")
+    }
 
   /** NAMED STAGE: the gate → exact-dedup survivor corpus (curation
     * stages 1–2), shared verbatim by q_corpus_curate and the

@@ -33,6 +33,20 @@ import graft.{Det, Tables}
 object EventAnalytics {
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
+  /** Ljung–Box common denominator P = Π_{j=1..7}(nd−j), every factor
+    * cast wide BEFORE the multiply (`ty` = DECIMAL(38,0) on Spark /
+    * HUGEINT on DuckDB) so the product never transits BIGINT. */
+  private def lbFull(ty: String): String =
+    (1 to 7).map(j => s"CAST(nd - $j AS $ty)").mkString(" * ")
+
+  /** Per-lag exclusion product P_k = Π_{j=1..7, j≠k}(nd−j) — the exact
+    * value of P/(nd−k) written as a 6-factor product so no integer
+    * division (and no narrow intermediate) ever happens. */
+  private def lbExcl(ty: String): String = (1 to 7).map(k =>
+    s"WHEN $k THEN " + (1 to 7).filter(_ != k)
+      .map(j => s"CAST(nd - $j AS $ty)").mkString(" * "))
+    .mkString("CASE lag ", " ", " END")
+
   /** Entropy assembly from an (event_type, hod, c) hour-histogram count
     * frame — shared by q_event_entropy and its streaming twin: the
     * histogram is an update-mode-maintainable count state, and because
@@ -1052,14 +1066,20 @@ object EventAnalytics {
     // readout: Q = n(n+2)·Σ_k r_k²/(n−k). Exactness: r_k² = num_k²/den²
     // on the autocorr integer grid (cx = x·n − S), and the k-varying
     // denominators fold into ONE common denominator den²·P with
-    // P = Π_{j=1..7}(n−j): each lag contributes num_k²·(P DIV (n−k)) —
-    // an exact integer since (n−k) | P — accumulated in
-    // DECIMAL(38,0)/HUGEINT, so Q is a single trailing IEEE division
-    // of two exact integers (≈4e31 / 1e29 at sf0.1 — comfortable;
-    // P wraps BIGINT past a ~10-year daily span, where DECIMAL(38,0)
-    // is the drop-in). Scale: the autocorr economics verbatim — one
-    // day-grain shuffle, lag pairs as an equi-join of the tiny
-    // day-grain frame against itself, totals as 1-row broadcasts.
+    // P = Π_{j=1..7}(n−j): each lag contributes num_k²·P_k where
+    // P_k = Π_{j≠k}(n−j) — exactly P/(n−k), but computed as the
+    // 6-factor exclusion PRODUCT (lbExcl below), never a division —
+    // accumulated in DECIMAL(38,0)/HUGEINT, so Q is a single trailing
+    // IEEE division of two exact integers (≈4e31/1e29 at sf0.1).
+    // Every factor is cast wide BEFORE multiplying (r10 ADVICE: the
+    // old BIGINT P ≈ n⁷ wrapped past n ≈ 510 daily points, ~1.4
+    // years — NOT the ~10-year headroom once claimed here); the exact
+    // window is now bounded by num_k²·P_k < 1e38, ~decades of daily
+    // data, past which BOTH engines fail loudly (Spark ANSI decimal
+    // overflow, DuckDB HUGEINT error) instead of diverging. Scale:
+    // the autocorr economics verbatim — one day-grain shuffle, lag
+    // pairs as an equi-join of the tiny day-grain frame against
+    // itself, totals as 1-row broadcasts.
     "q_ts_ljung_box" -> ((s, d) => {
       val dec = "DECIMAL(38,0)"
       val daily = t(s, d, "events")
@@ -1081,11 +1101,10 @@ object EventAnalytics {
           "day2")
         .groupBy(col("lag").cast("long").as("lag"), col("nd"))
         .agg(sum(col("cx") * col("cy")).as("num"))
-        .withColumn("p_all", expr(
-          "(nd-1)*(nd-2)*(nd-3)*(nd-4)*(nd-5)*(nd-6)*(nd-7)"))
+        .withColumn("p_all", expr(lbFull(dec)))
         .withColumn("contrib", expr(
           s"CAST(num AS $dec) * CAST(num AS $dec) " +
-            s"* CAST(p_all div (nd - lag) AS $dec)"))
+            s"* CAST(${lbExcl(dec)} AS $dec)"))
         .groupBy("nd", "p_all")
         .agg(count(lit(1)).as("n_lags"), sum("contrib").as("s_sum"))
         .withColumn("_one", lit(1)).join(den, "_one")
@@ -2585,10 +2604,12 @@ object EventAnalytics {
         |FROM a ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     // The autocorr integer grid folded onto the common denominator
-    // den²·P (P = Π(n−j), each (n−k) | P so the integer division is
-    // exact); HUGEINT throughout, one trailing VARCHAR-routed division.
+    // den²·P: P and the per-lag P_k = Π_{j≠k}(n−j) are exclusion
+    // PRODUCTS of HUGEINT-cast factors (lbFull/lbExcl — the identical
+    // generated text the Spark side uses with DECIMAL(38,0)), so
+    // nothing transits BIGINT; one trailing VARCHAR-routed division.
     "q_ts_ljung_box" ->
-      """WITH daily AS (
+      s"""WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
         |  FROM events GROUP BY 1
         |), tot AS (
@@ -2607,13 +2628,13 @@ object EventAnalytics {
         |  GROUP BY k.lag, c1.nd
         |), pc AS (
         |  SELECT lag, nd, num,
-        |    (nd-1)*(nd-2)*(nd-3)*(nd-4)*(nd-5)*(nd-6)*(nd-7) AS p_all
+        |    ${lbFull("HUGEINT")} AS p_all
         |  FROM lp
         |), s AS (
         |  SELECT MAX(nd) AS nd, MAX(p_all) AS p_all,
         |    COUNT(*) AS n_lags,
         |    SUM(CAST(num AS HUGEINT) * CAST(num AS HUGEINT)
-        |      * CAST(p_all // (nd - lag) AS HUGEINT)) AS s_sum
+        |      * CAST(${lbExcl("HUGEINT")} AS HUGEINT)) AS s_sum
         |  FROM pc
         |)
         |SELECT s.nd AS n_days, s.n_lags,

@@ -222,21 +222,20 @@ object TextOps {
     // aggregation over the verified candidate frame; the jaccard double
     // is derived identically on both engines so the >= comparisons
     // agree exactly. Scale: identical to q_dedup_pairs (the LSH
-    // bucketed pipeline) plus one 1-row aggregate.
-    "q_dedup_threshold_curve" -> ((s, d) => {
-      val base = t(s, d, "documents")
-        .select(col("doc_id").as("id"), col("text"))
-      val signed = MinHash.withSignatures(base, "text", NumHashes)
-      val toks = MinHash.tokens(base, "text")
-      TextDedup.withJaccard(
-          TextDedup.candidatePairs(signed, NumHashes, NumBands), toks)
+    // bucketed pipeline) plus one 1-row aggregate — and since r11 it
+    // reads the SAME [[graft.operators.Corpus.nearDupCands]] named
+    // stage as the pair/graph family (the r10 solo A/B showed this
+    // query alone rebuilding the LSH chain: 1.24 s solo vs 0.07 s for
+    // stage-warm q_dedup_pairs).
+    "q_dedup_threshold_curve" -> ((s, d) =>
+      Corpus.nearDupCands(s, d)
         .agg(count(lit(1)).as("n_candidates"),
           sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_ge_05"),
           sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)).as("n_ge_06"),
           sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_ge_07"),
           sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_ge_08"),
-          sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_ge_09"))
-    }),
+          sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L))
+            .as("n_ge_09"))),
 
     // One step of BPE vocabulary learning (Sennrich et al., ACL 2016 —
     // the tokenizer-training primitive): count adjacent symbol pairs
@@ -310,7 +309,13 @@ object TextOps {
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("source", "w").agg(count(lit(1)).as("n"))
-        .persistScoped() // two consumers: corpus-level learning + encoding
+      // NO persistScoped here despite two consumers (corpus-level
+      // learning + encoding): the r11 solo A/B measured the cache
+      // round-trip COSTLIER than the rebuild (1.76 s with persist vs
+      // 1.50 s without at sf0.1 — the r10 persist was the +63%
+      // regression the r10 verdict flagged; the (source, word) frame
+      // is wide enough that memory-format write+read loses to
+      // recomputing one cheap shuffle whose exchange Spark reuses).
       val wc = wcSrc.groupBy("w").agg(sum("n").as("n"))
       val p1 = wc.select(col("n"), explode(expr(
           "CASE WHEN length(w) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
@@ -1487,6 +1492,55 @@ object TextOps {
         .orderBy(desc_nulls_last("bands"))
     }),
 
+    // LSH AUTO-TUNER (r10 verdict item #8) — the knob a 100 TB operator
+    // actually turns: for every (bands, rows) factoring of the 8-hash
+    // signature, marry the ANALYTIC collision model (p(J) =
+    // 1−(1−J^r)^b, the q_dedup_bands_curve S-curve) to the MEASURED
+    // bucket telemetry of THIS corpus (buckets ≥ 2, max bucket, exact
+    // candidate-pair bill Σ s(s−1)/2), and flag the recommended
+    // operating point: the cheapest config whose recall at the target
+    // Jaccard 0.7 clears 0.9 (falling back to max-recall if none
+    // does; ties break to more bands = more recall headroom). The
+    // p-columns are fixed literal double trees — identical text both
+    // engines — and the recommendation is a rank over them, so the
+    // flag is hash-stable. Scale: signatures computed ONCE (persist
+    // scoped); each config re-bands them into a slim (band) count —
+    // the histogram pass costs O(n·bands) WITHOUT ever expanding
+    // pairs, so tuning is cheaper than one mistuned dedup run.
+    "q_dedup_lsh_tune" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val signed = MinHash.withSignatures(base, "text").persistScoped()
+      def pTree(j: String, b: Int, r: Int): String =
+        s"CAST(1.0 AS DOUBLE) - pow(CAST(1.0 AS DOUBLE) - " +
+          s"pow(CAST($j AS DOUBLE), CAST($r AS DOUBLE)), " +
+          s"CAST($b AS DOUBLE))"
+      val perConfig = Seq(8, 4, 2).map { b =>
+        val r = NumHashes / b
+        signed
+          .select(col("id"),
+            explode(array(MinHash.bandKeys(NumHashes, b): _*)).as("band"))
+          .groupBy("band").agg(count(lit(1)).as("sz"))
+          .filter(col("sz") >= 2L)
+          .agg(count(lit(1)).as("n_buckets"),
+            max("sz").as("max_bucket"),
+            sum(expr("sz * (sz - 1) div 2")).as("pair_cost"))
+          .select(lit(b.toLong).as("bands"),
+            lit(r.toLong).as("rows_per_band"),
+            expr(pTree("0.7", b, r)).as("p_at_07"),
+            expr(pTree("0.3", b, r)).as("p_at_03"),
+            col("n_buckets"),
+            coalesce(col("max_bucket"), lit(0L)).as("max_bucket"),
+            coalesce(col("pair_cost"), lit(0L)).as("pair_cost"))
+      }.reduce(_ unionAll _)
+      val w = Window.orderBy(
+        expr("CASE WHEN p_at_07 >= 0.9 THEN 0 ELSE 1 END"),
+        col("pair_cost"), desc("bands"))
+      perConfig
+        .withColumn("recommended", row_number().over(w) === 1)
+        .orderBy(desc_nulls_last("bands"))
+    }),
+
     // Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
     // — the MOSS algorithm): md5 k-gram hashes, each w-window's MINIMUM
     // selected, the distinct selections are the document's fingerprint
@@ -1826,6 +1880,65 @@ object TextOps {
        |${configSel(4)}
        |UNION ALL
        |${configSel(2)}
+       |ORDER BY bands DESC NULLS LAST""".stripMargin
+  }
+
+  /** Tuner oracle: the bands-curve signature CTEs, but each config
+    * contributes its BUCKET histogram (no pair expansion) plus the
+    * literal collision-model trees; the recommendation is the same
+    * rank over identical doubles. */
+  private def lshTuneOracle: String = {
+    val sigCols = (0 until NumHashes)
+      .map(i => s"${MinHash.sqlSig(i)} AS sig_$i").mkString(",\n    ")
+    def pTree(j: String, b: Int, r: Int): String =
+      s"CAST(1.0 AS DOUBLE) - pow(CAST(1.0 AS DOUBLE) - " +
+        s"pow(CAST($j AS DOUBLE), CAST($r AS DOUBLE)), " +
+        s"CAST($b AS DOUBLE))"
+    def configSel(b: Int): String = {
+      val rows = NumHashes / b
+      val bandList = (0 until b).map(j => MinHash.sqlBandKey(j, rows))
+        .mkString(", ")
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+         |  CAST($rows AS BIGINT) AS rows_per_band,
+         |  ${pTree("0.7", b, rows)} AS p_at_07,
+         |  ${pTree("0.3", b, rows)} AS p_at_03,
+         |  COUNT(*) AS n_buckets,
+         |  COALESCE(CAST(MAX(sz) AS BIGINT), 0) AS max_bucket,
+         |  COALESCE(CAST(SUM(sz * (sz - 1) // 2) AS BIGINT), 0)
+         |    AS pair_cost
+         |FROM (
+         |  SELECT band, COUNT(*) AS sz
+         |  FROM (SELECT id, unnest([$bandList]) AS band FROM m)
+         |  GROUP BY band
+         |) WHERE sz >= 2""".stripMargin
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id AS id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+       |), s AS (
+       |  SELECT id, unnest(generate_series(0, len(toks) - 3)) AS i, toks
+       |  FROM t
+       |), sh AS (
+       |  SELECT id, ${MinHash.sqlHashVal(
+             "md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])")}
+       |    AS v FROM s
+       |), m AS (
+       |  SELECT id,
+       |    $sigCols
+       |  FROM sh GROUP BY id
+       |), cfg AS (
+       |${configSel(8)}
+       |UNION ALL
+       |${configSel(4)}
+       |UNION ALL
+       |${configSel(2)}
+       |)
+       |SELECT bands, rows_per_band, p_at_07, p_at_03, n_buckets,
+       |  max_bucket, pair_cost,
+       |  (row_number() OVER (ORDER BY
+       |    CASE WHEN p_at_07 >= 0.9 THEN 0 ELSE 1 END ASC,
+       |    pair_cost ASC, bands DESC)) = 1 AS recommended
+       |FROM cfg
        |ORDER BY bands DESC NULLS LAST""".stripMargin
   }
 
@@ -2881,6 +2994,7 @@ object TextOps {
         |ORDER BY tf DESC NULLS LAST, tok ASC NULLS LAST""".stripMargin,
 
     "q_dedup_bands_curve" -> bandsCurveOracle,
+    "q_dedup_lsh_tune" -> lshTuneOracle,
 
     // list_slice is (start, end)-inclusive — the i+1..i+k / j+1..j+w
     "q_text_rake" ->

@@ -1173,7 +1173,10 @@ object VectorOps {
     // class a's?") without any O(n²) pair join. Exactness: components
     // quantize to the proven floor(x·10⁷+½) integer grid, per-(label,
     // pos) sums stay BIGINT, the mean difference cross-multiplies —
-    // s_a·n_b − s_b·n_a, never a per-dim division — and squares
+    // s_a·n_b − s_b·n_a, never a per-dim division, with EVERY operand
+    // cast to DECIMAL(38,0)/HUGEINT BEFORE the multiply (r10 ADVICE:
+    // the old BIGINT multiply would wrap at n_a·n_b ≈ 9e11, ~1e6
+    // vectors per label) — and squares
     // accumulate in DECIMAL(38,0)/HUGEINT; ONE trailing division
     // un-scales. Scale: the corpus shuffles ONCE as slim (label, pos,
     // q) rows with map-side combine into a |labels|·dim frame (640
@@ -1196,7 +1199,9 @@ object VectorOps {
         col("n").as("n_b"), col("sq").as("s_b"))
       a.join(b, Seq("pos"))
         .filter(col("label_a") < col("label_b"))
-        .withColumn("dterm", expr(s"CAST(s_a * n_b - s_b * n_a AS $dec)"))
+        .withColumn("dterm", expr(
+          s"CAST(s_a AS $dec) * CAST(n_b AS $dec) " +
+            s"- CAST(s_b AS $dec) * CAST(n_a AS $dec)"))
         .groupBy("label_a", "label_b", "n_a", "n_b")
         .agg(sum(expr(s"CAST(dterm * dterm AS $dec)")).as("num"))
         .withColumn("mmd2", expr(
@@ -1277,7 +1282,9 @@ object VectorOps {
     // training pipeline runs over auto-labeled embeddings. Exactness:
     // the O(n²) pair silhouette is never materialized; squared centroid
     // distances stay on the integer grid by cross-multiplication
-    // (Σ(q·n_l − s_l)² — the mmd dterm move, no per-dim division),
+    // (Σ(q·n_l − s_l)² — the mmd dterm move, no per-dim division,
+    // operands cast to DECIMAL(38,0)/HUGEINT BEFORE the q·n_l multiply
+    // per the r10 ADVICE so nothing transits BIGINT),
     // each distance is ONE sqrt+divide of exact pieces, per-vector s
     // quantizes to the 1e-10 grid before the order-insensitive integer
     // sum (the bhattacharyya ppm move), and the label mean is one
@@ -1301,8 +1308,10 @@ object VectorOps {
         .agg(count(lit(1)).as("n2"), sum("q").as("s2"))
       val dists = quant.join(broadcast(cent), Seq("pos"))
         .groupBy("vec_id", "label", "label2", "n2")
-        .agg(sum(expr(s"CAST(q * n2 - s2 AS $dec) " +
-          s"* CAST(q * n2 - s2 AS $dec)")).as("dd"))
+        .agg(sum(expr(
+          s"(CAST(q AS $dec) * CAST(n2 AS $dec) - CAST(s2 AS $dec)) " +
+            s"* (CAST(q AS $dec) * CAST(n2 AS $dec) - CAST(s2 AS $dec))"))
+          .as("dd"))
         .withColumn("dist", expr(
           "sqrt(CAST(CAST(dd AS STRING) AS DOUBLE)) " +
             "/ CAST(n2 AS DOUBLE)"))
@@ -3073,8 +3082,10 @@ object VectorOps {
          |  FROM v GROUP BY 1, 2
          |), dd AS (
          |  SELECT v.vec_id, v.label, c.label2, c.n2,
-         |    SUM(CAST(v.q * c.n2 - c.s2 AS HUGEINT)
-         |      * CAST(v.q * c.n2 - c.s2 AS HUGEINT)) AS dd
+         |    SUM((CAST(v.q AS HUGEINT) * CAST(c.n2 AS HUGEINT)
+         |        - CAST(c.s2 AS HUGEINT))
+         |      * (CAST(v.q AS HUGEINT) * CAST(c.n2 AS HUGEINT)
+         |        - CAST(c.s2 AS HUGEINT))) AS dd
          |  FROM v JOIN cent c ON c.pos = v.pos
          |  GROUP BY 1, 2, 3, 4
          |), dist AS (
@@ -3123,7 +3134,8 @@ object VectorOps {
          |), p AS (
          |  SELECT a.label AS label_a, b.label AS label_b,
          |    a.n AS n_a, b.n AS n_b,
-         |    CAST(a.sq * b.n - b.sq * a.n AS HUGEINT) AS dterm
+         |    CAST(a.sq AS HUGEINT) * CAST(b.n AS HUGEINT)
+         |      - CAST(b.sq AS HUGEINT) * CAST(a.n AS HUGEINT) AS dterm
          |  FROM g a JOIN g b ON b.pos = a.pos AND a.label < b.label
          |), ag AS (
          |  SELECT label_a, label_b, n_a, n_b, SUM(dterm * dterm) AS num

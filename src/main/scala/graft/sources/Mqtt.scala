@@ -546,3 +546,49 @@ final class MqttBus(host: String, port: Int, filter: String,
     try bridge.close() catch { case _: Throwable => () }
   }
 }
+
+/** Partitioned MQTT ingest (r10 verdict item #2): N INDEPENDENT broker
+  * connections — one per topic-partition lane `prefix/p<i>/#` — each a
+  * full [[MqttBus]] (own TCP connection, own bridge socket, own Spark
+  * socket reader), unioned into ONE canonical event stream. This is the
+  * Kafka-partition shape expressed in MQTT terms: producers shard a
+  * topic by key (`topicFor`), consumers subscribe one lane per
+  * connection, and ingest parallelism scales with lane count because
+  * every serialization point of the single-connection path — the
+  * broker-side per-connection socket write, the client reader thread,
+  * the PUBACK round-trip, the bridge pump — is replicated per lane.
+  * MqttIngestBench measures the scaling curve; StreamingParitySpec
+  * proves the unioned stream reaches the same tumbling results as the
+  * batch reconstruction (no event lost or duplicated across lanes).
+  *
+  * At 100 TB the union is N narrow sources feeding the same downstream
+  * shuffle — Spark plans each socket reader as its own partition, so
+  * the parse/watermark stages parallelize exactly like a multi-
+  * partition Kafka topic.
+  */
+final class PartitionedMqttBus(host: String, port: Int,
+    topicPrefix: String, partitions: Int,
+    clientIdPrefix: String = "graft-pbus")
+    extends Sources.BusSource with AutoCloseable {
+  require(partitions >= 1, "partitions must be >= 1")
+
+  val lanes: Seq[MqttBus] = (0 until partitions).map(i =>
+    new MqttBus(host, port, s"$topicPrefix/p$i/#", s"$clientIdPrefix-$i"))
+
+  /** Total bridge-overflow drops across lanes (0 in a healthy run). */
+  def dropped: Long = lanes.map(_.dropped).sum
+
+  def subscribe(spark: SparkSession): DataFrame =
+    lanes.map(_.subscribe(spark)).reduce(_ union _)
+
+  def close(): Unit = lanes.foreach(_.close())
+}
+
+object PartitionedMqttBus {
+  /** Producer-side sharding: key → lane topic. Same contract as a
+    * Kafka key-partitioner — one key always lands on one lane, so
+    * per-key ordering survives the fan-out. */
+  def topicFor(prefix: String, partitions: Int, key: Long,
+      suffix: String = "ev"): String =
+    s"$prefix/p${java.lang.Math.floorMod(key, partitions.toLong)}/$suffix"
+}

@@ -61,14 +61,54 @@ class DeterminismSpec extends SparkSpec {
 
   sensitive.foreach { name =>
     test(s"$name is identical at shuffle.partitions 3 vs 13") {
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", "3")
-        val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
-        spark.conf.set("spark.sql.shuffle.partitions", "13")
-        val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
-        assert(a == b, s"$name changed under repartitioning")
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      assertPartitionInvariant(name)
     }
+  }
+
+  private def assertPartitionInvariant(name: String): Unit = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
+      assert(a == b, s"$name changed under repartitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** FULL-INVENTORY sweep (r10 verdict item #5): every declared query
+    * whose RESULT schema carries a float/double anywhere (top-level,
+    * array element, struct field, map side) must be partition-count
+    * invariant — not just the curated exemplars above. The set is
+    * DISCOVERED from the live schema, so a new FP-bearing query enrolls
+    * itself the day it is declared; the curated list stays for
+    * one-test-per-query granularity on the known-delicate designs. */
+  private def hasFloating(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType | FloatType => true
+      case s: StructType => s.fields.exists(f => hasFloating(f.dataType))
+      case a: ArrayType => hasFloating(a.elementType)
+      case m: MapType => hasFloating(m.keyType) || hasFloating(m.valueType)
+      case _ => false
+    }
+  }
+
+  test("every other FP-bearing declared query is identical at " +
+      "shuffle.partitions 3 vs 13 (auto-discovered from result schemas)") {
+    val rest = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => sensitive.contains(n) }
+      .filter { case (_, fn) => hasFloating(fn(spark, sf).schema) }
+    assert(rest.nonEmpty, "schema sweep found nothing — wiring bug")
+    val failures = rest.flatMap { case (name, _) =>
+      try { assertPartitionInvariant(name); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size}/${rest.size} FP-bearing queries changed under " +
+        s"repartitioning:\n${failures.mkString("\n")}")
+    info(s"${rest.size} auto-discovered FP-bearing queries invariant " +
+      s"(+ ${sensitive.size} curated)")
   }
 }

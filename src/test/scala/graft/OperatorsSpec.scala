@@ -1562,6 +1562,41 @@ class OperatorsSpec extends SparkSpec {
     assert(out(8L)._1 > 0)
   }
 
+  test("q_dedup_lsh_tune: p-columns equal the bands-curve collision " +
+      "model 1-(1-J^r)^b, bucket telemetry is monotone in bands, and " +
+      "the recommended flag follows the declared rule") {
+    val rows = TextOps.queries("q_dedup_lsh_tune")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bands")
+      val rr = r.getAs[Long]("rows_per_band")
+      assert(b * rr == 8L, "configs factor the 8-hash signature")
+      val model07 =
+        1.0 - math.pow(1.0 - math.pow(0.7, rr.toDouble), b.toDouble)
+      val model03 =
+        1.0 - math.pow(1.0 - math.pow(0.3, rr.toDouble), b.toDouble)
+      assert(math.abs(r.getAs[Double]("p_at_07") - model07) < 1e-12)
+      assert(math.abs(r.getAs[Double]("p_at_03") - model03) < 1e-12)
+      assert(r.getAs[Double]("p_at_07") > r.getAs[Double]("p_at_03"))
+      assert(r.getAs[Long]("pair_cost") >= 0L)
+    }
+    // more bands = more collisions: the measured pair bill is
+    // non-increasing as bands narrow (the nesting argument of the
+    // bands-curve test, read off the bucket histogram)
+    val byBands = rows.map(r =>
+      r.getAs[Long]("bands") -> r.getAs[Long]("pair_cost")).toMap
+    assert(byBands(8L) >= byBands(4L) && byBands(4L) >= byBands(2L))
+    // recommendation rule: cheapest config clearing p(0.7) >= 0.9,
+    // ties to more bands; fall back to best recall if none clears
+    val ordered = rows.sortBy(r => (
+      if (r.getAs[Double]("p_at_07") >= 0.9) 0 else 1,
+      r.getAs[Long]("pair_cost"), -r.getAs[Long]("bands")))
+    val rec = rows.filter(_.getAs[Boolean]("recommended"))
+    assert(rec.length == 1, "exactly one recommended config")
+    assert(rec.head.getAs[Long]("bands") ==
+      ordered.head.getAs[Long]("bands"))
+  }
+
   test("q_text_winnow matches a plain-Scala winnowing recomputation") {
     import spark.implicits._
     val out = TextOps.queries("q_text_winnow")(spark, sf).collect()

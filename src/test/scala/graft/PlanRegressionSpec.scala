@@ -175,7 +175,11 @@ class PlanRegressionSpec extends SparkSpec {
       // q_event_gini's cumulative-rank window runs over the count-VALUE
       // histogram (≤ max events/user rows — the q_stats_ks bucket
       // argument); users collapse to the histogram in keyed aggregates
-      "q_event_gini" -> 1)
+      "q_event_gini" -> 1,
+      // q_dedup_lsh_tune's recommendation rank runs over the CONFIG
+      // domain — exactly 3 rows (the (bands, rows) factorings of the
+      // 8-hash signature), bounded by the tuner's own config list
+      "q_dedup_lsh_tune" -> 1)
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed.contains).foreach { name =>
       val found = globalWindows(SparkEntry.queries(name)(spark, sf))

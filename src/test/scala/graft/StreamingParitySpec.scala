@@ -1425,6 +1425,65 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("partitioned bus ingest: the tumbling pipeline over a 4-lane " +
+      "PartitionedMqttBus (4 broker connections, key-sharded topics, " +
+      "unioned readers) matches the batch reconstruction — no event " +
+      "lost or duplicated across lanes") {
+    import graft.sources.{MqttBroker, MqttClient, PartitionedMqttBus,
+      Sources}
+    val n = 5000L
+    val lanes = 4
+    val broker = new MqttBroker().start()
+    val bus = new PartitionedMqttBus("127.0.0.1", broker.boundPort,
+      "graft/plane", lanes, clientIdPrefix = "parity-pbus")
+    val name = s"pmqttbus_${System.nanoTime()}"
+    val q = EventPipelines.tumbling(bus.subscribe(spark))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      // 2 producer connections sharding the RateBus feed by event key
+      // (topicFor) — the per-key → per-lane contract a Kafka-style
+      // partitioned ingest relies on
+      val pubs = (0 until 2).map(i => new MqttClient("127.0.0.1",
+        broker.boundPort, s"parity-ppub-$i").connect())
+      (0L until n).foreach { k =>
+        val tsUs = 1700000000000000L + (k % 72L) * 3600L * 1000000L
+        val et = Seq("click", "view", "purchase")((k % 3L).toInt)
+        pubs((k % 2L).toInt).publish(
+          PartitionedMqttBus.topicFor("graft/plane", lanes, k),
+          s"""{"event_id":$k,"ts_us":$tsUs,"user_id":${k % 97L},""" +
+            s""""event_type":"$et","value":${(k % 1000L).toDouble},""" +
+            s""""props":"{\\"k\\":$k}"}""")
+      }
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def landed(): Long = spark.table(name)
+        .agg(org.apache.spark.sql.functions.sum("n")).collect()
+        .headOption.flatMap(r => Option(r.get(0))).map(_.toString.toLong)
+        .getOrElse(0L)
+      while (landed() < n && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      q.processAllAvailable()
+      assert(landed() == n, s"expected all $n events, got ${landed()}")
+      assert(bus.dropped == 0, "no lane bridge may overflow here")
+      val got = spark.table(name).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1.getTime, t._2))
+      val batch = StreamShapes.tumbling(Sources.RateBus.shape(
+          spark.range(n).select(col("id").as("value"))))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1.getTime, t._2))
+      assert(got.toSeq == batch.toSeq)
+      pubs.foreach(_.disconnect())
+    } finally {
+      q.stop()
+      bus.close()
+      broker.stop()
+    }
+  }
+
   test("end-to-end MQTT hot path: events IN over the broker (QoS 1) -> " +
       "tumbling aggregation -> reports OUT over the broker, validated " +
       "by an independent subscriber (the reference's full bus loop)") {
