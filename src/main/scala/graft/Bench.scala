@@ -57,6 +57,12 @@ object Bench {
     * the driver's tail buffer as the query count grows (legend:
     * BASELINE.md §bench name legend). */
   private val overrides = Map(
+    // round-11 additions (2-char codes keep the stdout line in budget)
+    "q_stats_randomization" -> "rz", "q_stats_f_test" -> "fv",
+    "q_ts_adf" -> "uq", "q_ts_spectral_entropy" -> "sy",
+    "q_sketch_ams" -> "az", "q_graph_closeness" -> "hc",
+    "q_tokenizer_fertility" -> "fy", "q_multimodal_gzip" -> "gz",
+    "q_multimodal_parquet" -> "pz", "q_dedup_lsh_tune" -> "lu",
     "q_stateful_sessionize" -> "sf", "q_date_arith" -> "da",
     "q_embed_norm" -> "en", "q_setops_all" -> "st",
     "q_sort_limit" -> "sl", "q_split_hash" -> "sp",

@@ -701,6 +701,24 @@ object Corpus {
       bfsLayers(nearDupPairs(s, d)
         .select("id_a", "id_b"), maxHops = 4)),
 
+    // Harmonic closeness centrality of the 5 lowest-id nodes of the
+    // near-dup graph (Marchiori & Latora 2000 — the disconnected-safe
+    // closeness: H(s) = Σ 1/d(s,v), unreachable nodes contribute 0, so
+    // no normalization fight over component size): "how central is
+    // this document in its duplication neighborhood" — the seed-audit
+    // a dedup operator runs on its worst survivors. Exactness: BFS
+    // distances are exact integers from the multi-source frontier loop
+    // (one (seed, node) visited set, per-round equi-joins — the
+    // bfsLayers machinery with a seed column), and H is a FIXED 4-term
+    // tree c1/1 + c2/2 + c3/3 + c4/4 over exact hop counts — written
+    // identically on both engines. Scale: frontier joins are keyed
+    // shuffles sized to seed-incident edges; seeds are a bounded
+    // panel (5), hops bounded (4), so the loop is O(seeds · frontier),
+    // never a corpus walk.
+    "q_graph_closeness" -> ((s, d) =>
+      harmonicCentrality(nearDupPairs(s, d)
+        .select("id_a", "id_b"), nSeeds = 5, maxHops = 4)),
+
     // Incremental connected-components maintenance — the cluster-label
     // twin of q_dedup_incremental's pair economics (daily ingest must
     // UPDATE dedup clusters, not rebuild them): old×old edges feed the
@@ -1688,6 +1706,62 @@ object Corpus {
     }
   }
 
+  /** Multi-source BFS → harmonic centrality for the `nSeeds` lowest-id
+    * nodes: one (seed, node) visited frame, per-round symmetric-edge
+    * equi-joins + anti-join against visited — [[bfsLayers]] with a seed
+    * column. The final H assembles hop counts through a fixed 4-term
+    * rational tree (identical text on both engines). */
+  def harmonicCentrality(pairs: DataFrame, nSeeds: Int,
+      maxHops: Int): DataFrame = {
+    val s = pairs.sparkSession
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select("e.src", "e.dst")
+      .persistScoped()
+    val seeds = sym.select(col("src").as("seed")).distinct()
+      .orderBy(asc_nulls_last("seed")).limit(nSeeds)
+    val lp = loopShufflePartitions(s, sym.count(), 10000L)
+    var visited = seeds
+      .select(col("seed"), col("seed").as("doc_id"), lit(0L).as("dist"))
+      .persistScoped()
+    var frontier = visited.select("seed", "doc_id")
+    var r = 1
+    var done = false
+    while (r <= maxHops && !done) {
+      val nf = sym
+        .join(frontier.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("seed"), col("dst").as("doc_id"))
+        .repartition(lp, col("seed"), col("doc_id"))
+        .distinct()
+        .join(visited.select("seed", "doc_id"), Seq("seed", "doc_id"),
+          "left_anti")
+        .persistScoped()
+      if (nf.isEmpty) { nf.unpersist(); done = true }
+      else {
+        visited = visited
+          .union(nf.withColumn("dist", lit(r.toLong))
+            .select("seed", "doc_id", "dist"))
+          .persistScoped()
+        frontier = nf.select("seed", "doc_id")
+        r += 1
+      }
+    }
+    visited.groupBy("seed")
+      .agg(sum(when(col("dist") === 1L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("dist") === 2L, 1L).otherwise(0L)).as("c2"),
+        sum(when(col("dist") === 3L, 1L).otherwise(0L)).as("c3"),
+        sum(when(col("dist") === 4L, 1L).otherwise(0L)).as("c4"))
+      .withColumn("n_reached", expr("c1 + c2 + c3 + c4"))
+      .withColumn("harmonic", expr(
+        "CAST(c1 AS DOUBLE) / CAST(1 AS DOUBLE) " +
+          "+ CAST(c2 AS DOUBLE) / CAST(2 AS DOUBLE) " +
+          "+ CAST(c3 AS DOUBLE) / CAST(3 AS DOUBLE) " +
+          "+ CAST(c4 AS DOUBLE) / CAST(4 AS DOUBLE)"))
+      .select("seed", "n_reached", "c1", "c2", "c3", "c4", "harmonic")
+      .orderBy(asc_nulls_last("seed"))
+  }
+
   /** Exact connected components as a recursive transitive closure:
     * `reach` accumulates every label reachable from each node (UNION
     * dedup terminates the recursion at the closure), and min(reachable
@@ -2099,6 +2173,45 @@ object Corpus {
        |FROM bfs GROUP BY id
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** Multi-seed recursive BFS over the same symmetric edges; min-dist
+    * per (seed, node), the identical fixed 4-term harmonic tree. */
+  private def closenessOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${TextOps.dedupPairsSubquery}
+       |), e0 AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), seeds AS (
+       |  SELECT DISTINCT src AS seed FROM e0 ORDER BY src LIMIT 5
+       |), bfs AS (
+       |  SELECT seed, seed AS id, 0 AS dist FROM seeds
+       |  UNION
+       |  SELECT b.seed, e.dst AS id, b.dist + 1
+       |  FROM bfs b JOIN e0 e ON e.src = b.id
+       |  WHERE b.dist < 4
+       |), md AS (
+       |  SELECT seed, id, MIN(dist) AS dist FROM bfs GROUP BY 1, 2
+       |), cs AS (
+       |  SELECT seed,
+       |    CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c1,
+       |    CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c2,
+       |    CAST(SUM(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c3,
+       |    CAST(SUM(CASE WHEN dist = 4 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c4
+       |  FROM md GROUP BY seed
+       |)
+       |SELECT seed, c1 + c2 + c3 + c4 AS n_reached, c1, c2, c3, c4,
+       |  CAST(c1 AS DOUBLE) / CAST(1 AS DOUBLE)
+       |    + CAST(c2 AS DOUBLE) / CAST(2 AS DOUBLE)
+       |    + CAST(c3 AS DOUBLE) / CAST(3 AS DOUBLE)
+       |    + CAST(c4 AS DOUBLE) / CAST(4 AS DOUBLE) AS harmonic
+       |FROM cs
+       |ORDER BY seed ASC NULLS LAST""".stripMargin
+
   /** Same source-labeled edge list; COUNT(*) scalars stay BIGINT and the
     * modularity numerator/denominator are pure integer products. */
   private def modularityOracle: String =
@@ -2207,6 +2320,7 @@ object Corpus {
     "q_graph_labelprop" -> labelpropOracle,
     "q_graph_assortativity" -> assortativityOracle,
     "q_graph_bfs_layers" -> bfsLayersOracle,
+    "q_graph_closeness" -> closenessOracle,
     "q_graph_modularity" -> modularityOracle,
 
     // The FULL-graph min-label closure — the incremental maintenance on

@@ -1407,6 +1407,143 @@ object EventAnalytics {
             "/ CAST(n_days * n_events AS DOUBLE) AS fano")
         .orderBy(asc_nulls_last("event_type"))),
 
+    // Dickey–Fuller unit-root regression (Dickey & Fuller 1979, the
+    // plain DF form Δx_t = α + β·x_{t−1} + ε over the daily total-count
+    // series) — the stationarity gate a forecasting pipeline runs
+    // before trusting ACF/ARIMA readouts (a random-walk series fakes
+    // long memory in q_ts_autocorr; β significantly < 0 rejects the
+    // unit root). Exactness: consecutive-day pairs come from the
+    // autocorr date equi-join, the six OLS moments (n, Σz, Σy, Σzy,
+    // Σzz, Σyy; z = lag level, y = difference) are exact integers with
+    // operand-first DECIMAL(38,0) products, and β/α/SSE/t is ONE fixed
+    // IEEE tree over VARCHAR-routed exact pieces shared verbatim —
+    // via the textbook identity SSE = Σyy − α·Σy − β·Σzy, no residual
+    // pass. Scale: the autocorr economics — one day-grain shuffle, a
+    // self-equi-join of the tiny day frame, a 1-row result.
+    "q_ts_adf" -> ((s, d) => {
+      val dec = "DECIMAL(38,0)"
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val pairs = daily
+        .withColumn("day2", expr("date_add(day, 1)"))
+        .join(daily.select(col("day").as("day2"), col("x").as("x2")),
+          "day2")
+        .select(col("x").as("z"), (col("x2") - col("x")).as("y"))
+      val mom = pairs.agg(count(lit(1)).as("n"),
+        sum("z").as("sz"), sum("y").as("sy"),
+        sum(expr(s"CAST(z AS $dec) * CAST(y AS $dec)")).as("szy"),
+        sum(expr(s"CAST(z AS $dec) * CAST(z AS $dec)")).as("szz"),
+        sum(expr(s"CAST(y AS $dec) * CAST(y AS $dec)")).as("syy"))
+      def rt(c: String): String = s"CAST(CAST($c AS STRING) AS DOUBLE)"
+      val betaNum = s"(CAST(n AS DOUBLE) * ${rt("szy")} " +
+        s"- CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE))"
+      val betaDen = s"(CAST(n AS DOUBLE) * ${rt("szz")} " +
+        s"- CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))"
+      mom
+        .withColumn("beta", expr(s"$betaNum / $betaDen"))
+        .withColumn("alpha", expr(
+          "(CAST(sy AS DOUBLE) - beta * CAST(sz AS DOUBLE)) " +
+            "/ CAST(n AS DOUBLE)"))
+        .withColumn("sse", expr(
+          s"${rt("syy")} - alpha * CAST(sy AS DOUBLE) " +
+            s"- beta * ${rt("szy")}"))
+        .withColumn("t_stat", expr(
+          "beta / sqrt((sse / CAST(n - 2 AS DOUBLE)) " +
+            s"* CAST(n AS DOUBLE) / $betaDen)"))
+        .select(col("n").as("n_pairs"), col("beta"), col("alpha"),
+          col("t_stat"))
+    }),
+
+    // Spectral entropy over the q_ts_periodogram period bank — ONE
+    // number for "how concentrated is the cadence?": H = log2(Q) −
+    // Σ qₖ·log2(qₖ)/Q over the (downscaled) per-period energies, 0 =
+    // all energy in one period (pure cycle), 2 bits = energy spread
+    // flat across the 4 candidate periods (noise-like). Exactness: the
+    // exact DECIMAL(38,0) energies from the periodogram grid downshift
+    // by ONE shared integer divisor g = max(1, total div 10⁷) so the
+    // portable-log2 path AND the 1e-10-grid terms stay inside BIGINT
+    // (qₖ ≤ 10⁷ ⇒ Σ qₖ·log2(qₖ)·10¹⁰ ≤ 2.4e18; a ≤1e-7 relative
+    // truncation applied identically on both engines — same numbers
+    // in, same numbers out), zero-energy periods contribute zero by
+    // the 0·log 0
+    // convention, each term quantizes to the 1e-10 grid before the
+    // order-insensitive integer sum (the q_event_entropy machinery),
+    // and the final assembly is one fixed IEEE tree. Scale: the
+    // periodogram economics — everything after the day-grain agg runs
+    // on a 4-row frame.
+    "q_ts_spectral_entropy" -> ((s, d) => {
+      val dec = "DECIMAL(38,0)"
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = broadcast(daily.agg(count(lit(1)).as("nd"),
+        sum("x").as("sx"), min("day").as("d0"))
+        .withColumn("_one", lit(1)))
+      val cent = daily.withColumn("_one", lit(1)).join(tot, "_one")
+        .select(col("nd"),
+          (col("x") * col("nd") - col("sx")).as("cx"),
+          datediff(col("day"), col("d0")).cast("long").as("tt"))
+      val powers = cent
+        .select(col("cx"), col("tt"),
+          explode(expr("array(2L, 3L, 4L, 6L)")).as("period"))
+        .withColumn("m", expr("tt % period"))
+        .withColumn("c2", expr(
+          "CASE WHEN period = 2 THEN " +
+            "(CASE WHEN m = 0 THEN 2 ELSE -2 END) " +
+            "WHEN period = 3 THEN " +
+            "(CASE WHEN m = 0 THEN 2 ELSE -1 END) " +
+            "WHEN period = 4 THEN " +
+            "(CASE WHEN m = 0 THEN 2 WHEN m = 2 THEN -2 ELSE 0 END) " +
+            "ELSE (CASE WHEN m = 0 THEN 2 WHEN m = 3 THEN -2 " +
+            "WHEN m = 1 OR m = 5 THEN 1 ELSE -1 END) END"))
+        .withColumn("s2", expr(
+          "CASE WHEN period = 2 THEN 0 " +
+            "WHEN period = 3 THEN " +
+            "(CASE WHEN m = 0 THEN 0 WHEN m = 1 THEN 1 ELSE -1 END) " +
+            "WHEN period = 4 THEN " +
+            "(CASE WHEN m = 1 THEN 2 WHEN m = 3 THEN -2 ELSE 0 END) " +
+            "ELSE (CASE WHEN m = 0 OR m = 3 THEN 0 " +
+            "WHEN m = 1 OR m = 2 THEN 1 ELSE -1 END) END"))
+        .groupBy("period")
+        .agg(sum(col("cx") * col("c2")).as("ca"),
+          sum(col("cx") * col("s2")).as("sa"))
+        .withColumn("p4", expr(
+          s"CAST(ca AS $dec) * CAST(ca AS $dec) " +
+            "+ CAST(CASE WHEN period = 3 OR period = 6 " +
+            s"THEN 3 ELSE 1 END AS $dec) " +
+            s"* CAST(sa AS $dec) * CAST(sa AS $dec)"))
+      val g = broadcast(powers
+        .agg(sum("p4").as("ptot")).withColumn("g", expr(
+          s"greatest(CAST(1 AS BIGINT), " +
+            s"ptot div CAST(10000000 AS $dec))"))
+        .select("g").withColumn("_one", lit(1)))
+      val q = powers.withColumn("_one", lit(1)).join(g, "_one")
+        .withColumn("qk", expr(s"p4 div CAST(g AS $dec)"))
+        .filter(col("qk") > 0L)
+        .withColumn("e2", expr(Det.log2Exp("qk")))
+        .withColumn("mm", expr(Det.mantissa("qk", "e2")))
+        .withColumn("zz", expr(Det.zOfM("mm")))
+        .withColumn("l2",
+          expr(s"CAST(e2 AS DOUBLE) + ${Det.plog2Series("zz")}"))
+        .withColumn("term", expr(
+          "CAST(floor(CAST(qk AS DOUBLE) * l2 " +
+            "* CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .agg(count(lit(1)).as("n_periods"), sum("qk").as("qt"),
+          sum("term").as("st"))
+      q.withColumn("e2", expr(Det.log2Exp("qt")))
+        .withColumn("mm", expr(Det.mantissa("qt", "e2")))
+        .withColumn("zz", expr(Det.zOfM("mm")))
+        .withColumn("spectral_entropy_bits", expr(
+          s"CAST(e2 AS DOUBLE) + ${Det.plog2Series("zz")} " +
+            "- CAST(st AS DOUBLE) / CAST(10000000000 AS DOUBLE) " +
+            "/ CAST(qt AS DOUBLE)"))
+        .withColumn("flatness", expr(
+          "spectral_entropy_bits / CAST(2 AS DOUBLE)"))
+        .select("n_periods", "spectral_entropy_bits", "flatness")
+    }),
+
     // STL strength-of-components (Hyndman & Athanasopoulos, FPP3
     // §4.4): F_trend = max(0, 1 − Var(R)/Var(T+R)) and F_seasonal =
     // max(0, 1 − Var(R)/Var(S+R)) over the STL-lite decomposition —
@@ -2824,6 +2961,126 @@ object EventAnalytics {
         |    / CAST(CAST(d.den AS VARCHAR) AS DOUBLE) AS score
         |FROM pw p, den d
         |ORDER BY period ASC NULLS LAST""".stripMargin,
+
+    // The autocorr day-pair join as the OLS sample; exact HUGEINT
+    // moments with operand-first casts, the identical VARCHAR-routed
+    // β/α/SSE/t tree.
+    "q_ts_adf" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1
+        |), p AS (
+        |  SELECT d1.x AS z, d2.x - d1.x AS y
+        |  FROM daily d1
+        |  JOIN daily d2 ON d2.day = d1.day + 1
+        |), mom AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(z) AS BIGINT) AS sz, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(z AS HUGEINT) * CAST(y AS HUGEINT)) AS szy,
+        |    SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz,
+        |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |  FROM p
+        |), b AS (
+        |  SELECT n, sz, sy, szy, szz, syy,
+        |    (CAST(n AS DOUBLE) * CAST(CAST(szy AS VARCHAR) AS DOUBLE)
+        |      - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(CAST(szz AS VARCHAR) AS DOUBLE)
+        |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)) AS beta
+        |  FROM mom
+        |), a AS (
+        |  SELECT *, (CAST(sy AS DOUBLE) - beta * CAST(sz AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS alpha
+        |  FROM b
+        |), e AS (
+        |  SELECT *, CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+        |    - alpha * CAST(sy AS DOUBLE)
+        |    - beta * CAST(CAST(szy AS VARCHAR) AS DOUBLE) AS sse
+        |  FROM a
+        |)
+        |SELECT n AS n_pairs, beta, alpha,
+        |  beta / sqrt((sse / CAST(n - 2 AS DOUBLE))
+        |    * CAST(n AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(CAST(szz AS VARCHAR) AS DOUBLE)
+        |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS t_stat
+        |FROM e""".stripMargin,
+
+    // The periodogram CTEs, downshifted by the shared integer divisor,
+    // then the q_event_entropy portable-log2 chain on a 4-row frame.
+    "q_ts_spectral_entropy" ->
+      s"""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1
+        |), tot AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS sx,
+        |    MIN(day) AS d0
+        |  FROM daily
+        |), cent AS (
+        |  SELECT nd, CAST(x * nd - sx AS BIGINT) AS cx,
+        |    CAST(datediff('day', d0, day) AS BIGINT) AS tt
+        |  FROM daily, tot
+        |), ks AS (SELECT UNNEST([2, 3, 4, 6]) AS period),
+        |co AS (
+        |  SELECT CAST(k.period AS BIGINT) AS period, c.cx,
+        |    c.tt % k.period AS m
+        |  FROM cent c CROSS JOIN ks k
+        |), cf AS (
+        |  SELECT period, cx,
+        |    CASE WHEN period = 2 THEN
+        |      (CASE WHEN m = 0 THEN 2 ELSE -2 END)
+        |    WHEN period = 3 THEN
+        |      (CASE WHEN m = 0 THEN 2 ELSE -1 END)
+        |    WHEN period = 4 THEN
+        |      (CASE WHEN m = 0 THEN 2 WHEN m = 2 THEN -2 ELSE 0 END)
+        |    ELSE (CASE WHEN m = 0 THEN 2 WHEN m = 3 THEN -2
+        |      WHEN m = 1 OR m = 5 THEN 1 ELSE -1 END) END AS c2,
+        |    CASE WHEN period = 2 THEN 0
+        |    WHEN period = 3 THEN
+        |      (CASE WHEN m = 0 THEN 0 WHEN m = 1 THEN 1 ELSE -1 END)
+        |    WHEN period = 4 THEN
+        |      (CASE WHEN m = 1 THEN 2 WHEN m = 3 THEN -2 ELSE 0 END)
+        |    ELSE (CASE WHEN m = 0 OR m = 3 THEN 0
+        |      WHEN m = 1 OR m = 2 THEN 1 ELSE -1 END) END AS s2
+        |  FROM co
+        |), ag AS (
+        |  SELECT period,
+        |    CAST(SUM(cx * c2) AS BIGINT) AS ca,
+        |    CAST(SUM(cx * s2) AS BIGINT) AS sa
+        |  FROM cf GROUP BY period
+        |), pw AS (
+        |  SELECT period,
+        |    CAST(ca AS HUGEINT) * CAST(ca AS HUGEINT)
+        |      + CAST(CASE WHEN period = 3 OR period = 6
+        |        THEN 3 ELSE 1 END AS HUGEINT)
+        |      * CAST(sa AS HUGEINT) * CAST(sa AS HUGEINT) AS p4
+        |  FROM ag
+        |), g AS (
+        |  SELECT greatest(CAST(1 AS BIGINT),
+        |    CAST(SUM(p4) // CAST(10000000 AS HUGEINT) AS BIGINT))
+        |    AS g
+        |  FROM pw
+        |), q AS (
+        |  SELECT CAST(p4 // CAST(g AS HUGEINT) AS BIGINT) AS qk
+        |  FROM pw, g
+        |  WHERE CAST(p4 // CAST(g AS HUGEINT) AS BIGINT) > 0
+        |), terms AS (
+        |  SELECT qk, ${Det.sqlPlog2Cols("qk", "k")}
+        |  FROM q
+        |), st AS (
+        |  SELECT COUNT(*) AS n_periods, CAST(SUM(qk) AS BIGINT) AS qt,
+        |    CAST(SUM(CAST(floor(CAST(qk AS DOUBLE) * kl2
+        |      * CAST(10000000000 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS st
+        |  FROM terms
+        |), fin AS (
+        |  SELECT n_periods, qt, st, ${Det.sqlPlog2Cols("qt", "t")}
+        |  FROM st
+        |)
+        |SELECT n_periods,
+        |  tl2 - CAST(st AS DOUBLE) / CAST(10000000000 AS DOUBLE)
+        |    / CAST(qt AS DOUBLE) AS spectral_entropy_bits,
+        |  (tl2 - CAST(st AS DOUBLE) / CAST(10000000000 AS DOUBLE)
+        |    / CAST(qt AS DOUBLE)) / CAST(2 AS DOUBLE) AS flatness
+        |FROM fin""".stripMargin,
 
     // Same integer ACF pieces gathered into one row by conditional
     // aggregation; the Durbin–Levinson φ22/φ33 trees repeat the Spark

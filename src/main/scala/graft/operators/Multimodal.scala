@@ -605,6 +605,110 @@ object Multimodal {
     // size_consistent pins stride·|height| = biSizeImage and
     // fileSize = 54 + biSizeImage — the oracle then proves the whole
     // write→parse round trip. Pure narrow map over a binary column.
+    // Parquet file envelope (the format's public spec: leading "PAR1"
+    // magic, data pages, thrift footer, LE-u32 footer length, trailing
+    // "PAR1") — the container this very engine reads all day, parsed
+    // from ITS OWN trailer structure: the length word sits at a
+    // DYNAMIC offset (len−8), so the reader derives positions from
+    // octet_length instead of fixed offsets — the one envelope shape
+    // the fixed-offset header family doesn't cover. Fixture: synthetic
+    // envelopes with doc_id-derived body/footer sizes (every 5th doc a
+    // decoy); parse validates both magics, reads the footer length
+    // little-endian from the tail, and cross-checks that the footer
+    // fits inside the envelope. Narrow maps, zero shuffles.
+    "q_multimodal_parquet" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("text"))
+        .withColumn("blen", (col("doc_id") % 64 + 8).cast("long"))
+        .withColumn("flen", (col("doc_id") % 128 + 16).cast("long"))
+      val pqHex = concat(lit("50415231"),
+        expr("rpad('', CAST(2 * blen AS INT), 'AB')"),
+        expr("rpad('', CAST(2 * flen AS INT), 'CD')"),
+        le(col("flen"), 4),
+        lit("50415231"))
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(pqHex)
+      base.select(col("doc_id"), unhex(payloadHex).as("payload"))
+        .withColumn("h", hex(col("payload")))
+        .withColumn("total_len",
+          expr("CAST(octet_length(payload) AS BIGINT)"))
+        .withColumn("is_parquet", col("total_len") >= 12L &&
+          expr("substring(h, 1, 8)") === "50415231" &&
+          expr("substring(h, length(h) - 7, 8)") === "50415231")
+        .withColumn("footer_len", when(col("is_parquet"), expr(
+          "CAST(conv(concat(" +
+            "substring(h, length(h) - 9, 2), " +
+            "substring(h, length(h) - 11, 2), " +
+            "substring(h, length(h) - 13, 2), " +
+            "substring(h, length(h) - 15, 2)), 16, 10) AS BIGINT)")))
+        .withColumn("data_len", when(col("is_parquet"),
+          col("total_len") - col("footer_len") - 12L))
+        .withColumn("footer_fits", when(col("is_parquet"),
+          col("footer_len") >= 0L && col("data_len") >= 0L))
+        .select("doc_id", "is_parquet", "total_len", "footer_len",
+          "data_len", "footer_fits")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
+    // gzip member header (RFC 1952 §2.3) — the compression wrapper every
+    // crawl archive transits: magic 1f 8b, CM=8 (deflate), FLG with the
+    // FNAME bit, LE-u32 MTIME, XFL, OS byte, and the zero-terminated
+    // original filename when FNAME is set. Fixture: deterministic
+    // headers derived from doc_id (every-5th row is a non-gzip decoy
+    // the parser must reject); parse validates magic+CM, reads MTIME
+    // little-endian, maps the OS byte, and recovers the embedded
+    // filename from the terminator-delimited hex slice. Pure narrow
+    // maps over the binary column — zero shuffles until the final sort.
+    "q_multimodal_gzip" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("text"))
+        .withColumn("mt", (lit(1700000000L) + col("doc_id")).cast("long"))
+        .withColumn("hasf", col("doc_id") % 2 === 0)
+        .withColumn("xf",
+          when(col("doc_id") % 4 === 0, lit(2L)).otherwise(lit(4L)))
+        .withColumn("osb", element_at(
+          array(lit(3L), lit(11L), lit(7L), lit(0L)),
+          (col("doc_id") % 4 + 1).cast("int")))
+        .withColumn("fn",
+          concat(lit("d"), col("doc_id").cast("string"), lit(".txt")))
+      val gzHex = concat(lit("1F8B08"),
+        when(col("hasf"), lit("08")).otherwise(lit("00")),
+        le(col("mt"), 4),
+        lpad(hex(col("xf")), 2, "0"),
+        lpad(hex(col("osb")), 2, "0"),
+        when(col("hasf"),
+          concat(hex(col("fn").cast("binary")), lit("00")))
+          .otherwise(lit("")))
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(gzHex)
+      base.select(col("doc_id"), unhex(payloadHex).as("payload"))
+        .withColumn("h", hex(col("payload")))
+        .withColumn("is_gzip", length(col("payload")) >= 10 &&
+          expr("substring(h, 1, 4)") === "1F8B" &&
+          expr("substring(h, 5, 2)") === "08")
+        .withColumn("flg", when(col("is_gzip"), expr(
+          "CAST(conv(substring(h, 7, 2), 16, 10) AS BIGINT)")))
+        .withColumn("mtime", when(col("is_gzip"), leR(4, 4)))
+        .withColumn("xfl", when(col("is_gzip"), expr(
+          "CAST(conv(substring(h, 17, 2), 16, 10) AS BIGINT)")))
+        .withColumn("os_id", when(col("is_gzip"), expr(
+          "CAST(conv(substring(h, 19, 2), 16, 10) AS BIGINT)")))
+        .withColumn("os_name", when(col("is_gzip"), expr(
+          "CASE os_id WHEN 0 THEN 'fat' WHEN 3 THEN 'unix' " +
+            "WHEN 7 THEN 'macintosh' WHEN 11 THEN 'ntfs' " +
+            "ELSE 'other' END")))
+        .withColumn("has_fname",
+          when(col("is_gzip"), expr("(flg div 8) % 2 = 1")))
+        .withColumn("fname", when(col("is_gzip") && col("has_fname"),
+          expr("decode(unhex(substring(h, 21, length(h) - 22)), " +
+            "'UTF-8')")))
+        .select("doc_id", "is_gzip", "mtime", "xfl", "os_id", "os_name",
+          "has_fname", "fname")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     "q_multimodal_bmp" -> ((s, d) => {
       val docs = graft.Tables.table(s, d, "documents")
       val base = docs.select(col("doc_id"), col("text"))
@@ -1631,6 +1735,118 @@ object Multimodal {
     // Same payload construction; the height read decodes two's
     // complement from the u32 LE bytes and the stride/size identities
     // re-derive from parsed fields on both engines.
+    // Same envelope build; the dynamic-offset LE read spells length(h)
+    // arithmetic identically.
+    "q_multimodal_parquet" ->
+      """WITH src AS (
+        |  SELECT doc_id, text,
+        |    CAST(doc_id % 64 + 8 AS BIGINT) AS blen,
+        |    CAST(doc_id % 128 + 16 AS BIGINT) AS flen
+        |  FROM documents
+        |), enc AS (
+        |  SELECT doc_id, text, blen, flen,
+        |    lpad(hex(flen), 8, '0') AS flh
+        |  FROM src
+        |), built AS (
+        |  SELECT doc_id, from_hex(
+        |    CASE WHEN doc_id % 5 = 0
+        |    THEN hex(encode(substring(text, 1, 8)))
+        |    ELSE '50415231' ||
+        |      rpad('', CAST(2 * blen AS INT), 'AB') ||
+        |      rpad('', CAST(2 * flen AS INT), 'CD') ||
+        |      substring(flh, 7, 2) || substring(flh, 5, 2) ||
+        |      substring(flh, 3, 2) || substring(flh, 1, 2) ||
+        |      '50415231'
+        |    END) AS payload
+        |  FROM enc
+        |), parsed AS (
+        |  SELECT doc_id, hex(payload) AS h,
+        |    CAST(octet_length(payload) AS BIGINT) AS total_len
+        |  FROM built
+        |), f AS (
+        |  SELECT doc_id, total_len,
+        |    total_len >= 12
+        |      AND substring(h, 1, 8) = '50415231'
+        |      AND substring(h, length(h) - 7, 8) = '50415231'
+        |      AS is_parquet,
+        |    h
+        |  FROM parsed
+        |), g AS (
+        |  SELECT doc_id, is_parquet, total_len,
+        |    CASE WHEN is_parquet THEN CAST('0x'
+        |      || substring(h, length(h) - 9, 2)
+        |      || substring(h, length(h) - 11, 2)
+        |      || substring(h, length(h) - 13, 2)
+        |      || substring(h, length(h) - 15, 2) AS BIGINT) END
+        |      AS footer_len
+        |  FROM f
+        |)
+        |SELECT doc_id, is_parquet, total_len, footer_len,
+        |  CASE WHEN is_parquet THEN total_len - footer_len - 12 END
+        |    AS data_len,
+        |  CASE WHEN is_parquet THEN footer_len >= 0
+        |    AND total_len - footer_len - 12 >= 0 END AS footer_fits
+        |FROM g ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same doc_id-derived header fields; LE mtime via the byte-reversed
+    // hex fragment, filename recovered from the identical hex slice.
+    "q_multimodal_gzip" ->
+      s"""WITH src AS (
+        |  SELECT doc_id, text,
+        |    CAST(1700000000 + doc_id AS BIGINT) AS mt,
+        |    doc_id % 2 = 0 AS hasf,
+        |    CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 4 END AS BIGINT)
+        |      AS xf,
+        |    CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 11
+        |      WHEN 2 THEN 7 ELSE 0 END AS BIGINT) AS osb,
+        |    'd' || CAST(doc_id AS VARCHAR) || '.txt' AS fn
+        |  FROM documents
+        |), enc AS (
+        |  SELECT doc_id, text, hasf, xf, osb, fn,
+        |    lpad(hex(mt), 8, '0') AS mth
+        |  FROM src
+        |), built AS (
+        |  SELECT doc_id, from_hex(
+        |    CASE WHEN doc_id % 5 = 0
+        |    THEN hex(encode(substring(text, 1, 8)))
+        |    ELSE '1F8B08' || CASE WHEN hasf THEN '08' ELSE '00' END ||
+        |      ${sqlLeW("mth", 4)} ||
+        |      lpad(hex(xf), 2, '0') || lpad(hex(osb), 2, '0') ||
+        |      CASE WHEN hasf THEN hex(encode(fn)) || '00' ELSE '' END
+        |    END) AS payload
+        |  FROM enc
+        |), parsed AS (
+        |  SELECT doc_id, hex(payload) AS h,
+        |    octet_length(payload) >= 10
+        |      AND substring(hex(payload), 1, 4) = '1F8B'
+        |      AND substring(hex(payload), 5, 2) = '08' AS is_gzip
+        |  FROM built
+        |), f AS (
+        |  SELECT doc_id, is_gzip,
+        |    CASE WHEN is_gzip
+        |      THEN CAST('0x' || substring(h, 7, 2) AS BIGINT) END
+        |      AS flg,
+        |    CASE WHEN is_gzip THEN ${sqlLeR(4, 4)} END AS mtime,
+        |    CASE WHEN is_gzip
+        |      THEN CAST('0x' || substring(h, 17, 2) AS BIGINT) END
+        |      AS xfl,
+        |    CASE WHEN is_gzip
+        |      THEN CAST('0x' || substring(h, 19, 2) AS BIGINT) END
+        |      AS os_id,
+        |    h
+        |  FROM parsed
+        |)
+        |SELECT doc_id, is_gzip, mtime, xfl, os_id,
+        |  CASE WHEN is_gzip THEN
+        |    CASE os_id WHEN 0 THEN 'fat' WHEN 3 THEN 'unix'
+        |      WHEN 7 THEN 'macintosh' WHEN 11 THEN 'ntfs'
+        |      ELSE 'other' END END AS os_name,
+        |  CASE WHEN is_gzip THEN (flg // 8) % 2 = 1 END AS has_fname,
+        |  CASE WHEN is_gzip AND (flg // 8) % 2 = 1
+        |    THEN decode(from_hex(substring(h, 21, length(h) - 22)))
+        |    END AS fname
+        |FROM f ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
     "q_multimodal_bmp" ->
       """WITH src AS (
         |  SELECT doc_id,

@@ -338,6 +338,47 @@ object Sketches {
         .select("m", "used", "z", "est_distinct", "exact_distinct")
     }),
 
+    // AMS "tug-of-war" F2 sketch (Alon, Matias & Szegedy, STOC 1996):
+    // 16 counters, each the ±1-signed sum of per-user frequencies with
+    // signs drawn from one md5 digest's hex nibbles (bit 0 of nibble j
+    // → sign_j(user); E[c_j²] = F2 exactly), estimate = mean of the 16
+    // squared counters vs the exact second frequency moment Σ f² — the
+    // join-size/self-join-cardinality estimator a planner keeps per
+    // column at 100 TB (F2 IS the self-join size). Everything but the
+    // final mean/error divisions is exact integers: users collapse to
+    // (user, f) in ONE keyed agg, each user row derives its 16 signs
+    // from one md5, and the counters/c², f² sums are BIGINT-safe (f ≤
+    // events, |c_j| ≤ n). Scale: the sketch is what scales — the
+    // per-user frame never re-shuffles, counters are 16 map-side-
+    // combined sums, mergeable across shards by addition.
+    "q_sketch_ams" -> ((s, d) => {
+      val nC = 16
+      val ucnt = t(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("f"))
+        .withColumn("h", expr("md5(concat('ams_', " +
+          "CAST(user_id AS STRING)))"))
+      val signCols = (0 until nC).map(j => expr(
+        s"(CAST(conv(substring(h, ${j + 1}, 1), 16, 10) AS BIGINT) " +
+          s"% 2) * 2 - 1").as(s"sg$j"))
+      val aggs = (0 until nC).map(j =>
+        sum(expr(s"sg$j * f")).as(s"c$j"))
+      // c² in DOUBLE (|c_j| ≤ n can square past 2⁶³ at extreme scale);
+      // the 16-term sum is one fixed left-assoc tree — identical text
+      // both engines, so the estimate is bit-stable
+      val cSq = (0 until nC)
+        .map(j => s"CAST(c$j AS DOUBLE) * CAST(c$j AS DOUBLE)")
+        .mkString(" + ")
+      ucnt.select(Seq(col("f")) ++ signCols: _*)
+        .agg(sum(expr("f * f")).as("f2_exact"), aggs: _*)
+        .withColumn("f2_est", expr(
+          s"($cSq) / CAST($nC AS DOUBLE)"))
+        .withColumn("rel_err", expr(
+          "abs(f2_est - CAST(f2_exact AS DOUBLE)) " +
+            "/ CAST(f2_exact AS DOUBLE)"))
+        .select(col("f2_exact"), col("f2_est"), col("rel_err"),
+          lit(nC.toLong).as("n_counters"))
+    }),
+
     "q_sketch_kmv" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val hv = li.select(col("l_returnflag").as("flag"),
@@ -500,7 +541,44 @@ object Sketches {
     t(s, d, "lineitem").filter(probe)
   }
 
+  /** Same one-digest nibble signs, BIGINT counters, the identical
+    * fixed-order 16-term double tree. */
+  private def amsOracle: String = {
+    val signCols = (0 until 16).map(j =>
+      s"(CAST('0x' || substring(h, ${j + 1}, 1) AS BIGINT) % 2) * 2 " +
+        s"- 1 AS sg$j").mkString(",\n       |    ")
+    val cAggs = (0 until 16).map(j =>
+      s"CAST(SUM(sg$j * f) AS BIGINT) AS c$j").mkString(",\n       |    ")
+    val cSq = (0 until 16)
+      .map(j => s"CAST(c$j AS DOUBLE) * CAST(c$j AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH u AS (
+       |  SELECT user_id, COUNT(*) AS f FROM events GROUP BY 1
+       |), hh AS (
+       |  SELECT f, md5('ams_' || CAST(user_id AS VARCHAR)) AS h
+       |  FROM u
+       |), sg AS (
+       |  SELECT f,
+       |    $signCols
+       |  FROM hh
+       |), ag AS (
+       |  SELECT CAST(SUM(f * f) AS BIGINT) AS f2_exact,
+       |    $cAggs
+       |  FROM sg
+       |), est AS (
+       |  SELECT f2_exact,
+       |    ($cSq) / CAST(16 AS DOUBLE) AS f2_est
+       |  FROM ag
+       |)
+       |SELECT f2_exact, f2_est,
+       |  abs(f2_est - CAST(f2_exact AS DOUBLE))
+       |    / CAST(f2_exact AS DOUBLE) AS rel_err,
+       |  CAST(16 AS BIGINT) AS n_counters
+       |FROM est""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_sketch_ams" -> amsOracle,
     // Same 60-bit fold, bit-length ρ, shift-built powers of two, and
     // verbatim raw/small-range trees (`//` and `<<` spellings produce
     // the same exact integers).

@@ -994,6 +994,113 @@ object StatsTests {
         .orderBy(asc_nulls_last("event_type"))
     }),
 
+    // Randomization (permutation) test of the click-vs-view mean
+    // difference — the assumption-free twin of q_stats_ttest: 32
+    // deterministic pseudo-randomizations re-split the POOLED events by
+    // one md5-derived bit each (the Bernoulli-assignment variant of the
+    // permutation test — group sizes float, the standard large-n
+    // approximation), and the p-value is the fraction of splits whose
+    // |mean difference| reaches the observed one. The bit matrix is the
+    // q_stats_bootstrap_se chunk machinery verbatim (4 digests × 8
+    // 16-bit chunks, bit 0 of each chunk), v rides as the scaled
+    // BIGINT v4, the 64 partial sums are LONG buffers, the per-split
+    // means fold IN-ROW, and every double both engines compare is
+    // computed from identical text — so even the ≥-threshold COUNT is
+    // hash-stable. Scale: one |types|-keyed hash agg with map-side
+    // combine; zero row inflation (the bootstrap_se lesson).
+    "q_stats_randomization" -> ((s, d) => {
+      def wExpr(b: Int): String = {
+        val src = s"h${(b - 1) / 8 + 1}"
+        val pos = ((b - 1) % 8) * 4 + 1
+        s"(CAST(conv(substring($src, $pos, 4), 16, 10) AS BIGINT) % 2)"
+      }
+      val aggs = (1 to 32).flatMap(b => Seq(
+        sum(col(s"w$b")).as(s"sw$b"),
+        sum(expr(s"w$b * v4")).as(s"sv$b")))
+      val pairsArr = (1 to 32)
+        .map(b => s"struct(sw$b AS sw, sv$b AS sv)")
+        .mkString("array(", ", ", ")")
+      t(s, d, "events")
+        .filter(col("value").isNotNull
+          && col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+            .as("v4"),
+          expr("md5(concat('a_', CAST(event_id AS STRING)))").as("h1"),
+          expr("md5(concat('b_', CAST(event_id AS STRING)))").as("h2"),
+          expr("md5(concat('c_', CAST(event_id AS STRING)))").as("h3"),
+          expr("md5(concat('d_', CAST(event_id AS STRING)))").as("h4"))
+        .select(Seq(col("event_type"), col("v4")) ++
+          (1 to 32).map(b => expr(wExpr(b)).as(s"w$b")): _*)
+        .groupBy()
+        .agg(count(lit(1)).as("n"),
+          (Seq(sum(col("v4")).as("sv"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("n1"),
+            sum(when(col("event_type") === "click", col("v4"))
+              .otherwise(0L)).as("svc")) ++ aggs): _*)
+        .withColumn("obs_diff", expr(
+          "CAST(svc AS DOUBLE) / CAST(n1 AS DOUBLE) " +
+            "/ CAST(10000 AS DOUBLE) " +
+            "- CAST(sv - svc AS DOUBLE) / CAST(n - n1 AS DOUBLE) " +
+            "/ CAST(10000 AS DOUBLE)"))
+        .withColumn("diffs", expr(
+          s"transform(filter($pairsArr, " +
+            "p -> p.sw > 0 AND p.sw < n), p -> " +
+            "CAST(p.sv AS DOUBLE) / CAST(p.sw AS DOUBLE) " +
+            "/ CAST(10000 AS DOUBLE) " +
+            "- CAST(sv - p.sv AS DOUBLE) / CAST(n - p.sw AS DOUBLE) " +
+            "/ CAST(10000 AS DOUBLE))"))
+        .withColumn("n_splits", expr("CAST(size(diffs) AS BIGINT)"))
+        .withColumn("n_ge", expr(
+          "CAST(size(filter(diffs, " +
+            "x -> abs(x) >= abs(obs_diff))) AS BIGINT)"))
+        .withColumn("p_value", expr(
+          "CAST(n_ge AS DOUBLE) / CAST(n_splits AS DOUBLE)"))
+        .select(col("n1"), (col("n") - col("n1")).as("n2"),
+          col("obs_diff"), col("n_splits"), col("n_ge"), col("p_value"))
+    }),
+
+    // F test of equality of variances (the variance-ratio test) between
+    // the click and view value populations — the homoscedasticity gate
+    // run BEFORE a pooled t-test (Welch's q_stats_ttest sidesteps it;
+    // this query is how a pipeline decides it may pool). Exactness: v
+    // quantizes to the DECIMAL(18,4) grid as the scaled BIGINT v4 (the
+    // bootstrap_se move), per-type (n, Σv4, Σv4²) are exact integers
+    // with operand-first DECIMAL(38,0) squares, and F =
+    // [num1/(n1(n1−1))]/[num2/(n2(n2−1))] is ONE fixed IEEE tree over
+    // VARCHAR-routed exact pieces (the 10⁸ quantization scale cancels
+    // between numerator and denominator). Scale: one event_type-keyed
+    // partial agg with map-side combine; the two 1-row sides cross by
+    // constant key.
+    "q_stats_f_test" -> ((s, d) => {
+      val dec = "DECIMAL(38,0)"
+      val m = t(s, d, "events")
+        .filter(col("value").isNotNull
+          && col("event_type").isin("click", "view"))
+        .withColumn("v4",
+          expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v4").as("sv"),
+          sum(expr(s"CAST(v4 AS $dec) * CAST(v4 AS $dec)")).as("svv"))
+      def side(et: String, i: Int) = m
+        .filter(col("event_type") === et)
+        .select(col("n").as(s"n$i"), col("sv").as(s"s$i"),
+          col("svv").as(s"q$i"))
+        .withColumn("_one", lit(1))
+      def varNum(i: Int): String =
+        s"CAST(CAST(CAST(n$i AS $dec) * q$i " +
+          s"- CAST(s$i AS $dec) * CAST(s$i AS $dec) AS STRING) AS DOUBLE)"
+      side("click", 1).join(broadcast(side("view", 2)), "_one")
+        .withColumn("f_stat", expr(
+          s"(${varNum(1)} / (CAST(n1 AS DOUBLE) " +
+            "* CAST(n1 - 1 AS DOUBLE))) " +
+            s"/ (${varNum(2)} / (CAST(n2 AS DOUBLE) " +
+            "* CAST(n2 - 1 AS DOUBLE)))"))
+        .selectExpr("n1", "n2", "n1 - 1 AS df1", "n2 - 1 AS df2",
+          "f_stat")
+    }),
+
     // Wilson score interval (Wilson 1927) for a per-type event rate —
     // the 95% CI a rate monitor should show instead of the textbook
     // Wald interval (which collapses to width 0 at p̂ ∈ {0,1} and
@@ -1876,6 +1983,92 @@ object StatsTests {
         |    * CAST(n_resamples - 1 AS DOUBLE)))
         |    / CAST(10000000000 AS DOUBLE) AS se_boot
         |FROM ag ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    // Same four-digest chunk bits over the pooled population; per-split
+    // sums via the UNNEST cross join, the identical diff/threshold
+    // doubles.
+    "q_stats_randomization" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4,
+        |    md5('a_' || CAST(event_id AS VARCHAR)) AS h1,
+        |    md5('b_' || CAST(event_id AS VARCHAR)) AS h2,
+        |    md5('c_' || CAST(event_id AS VARCHAR)) AS h3,
+        |    md5('d_' || CAST(event_id AS VARCHAR)) AS h4
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |), tot AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(v4) AS BIGINT) AS sv,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN v4 ELSE 0 END)
+        |      AS BIGINT) AS sv1
+        |  FROM h
+        |), x AS (
+        |  SELECT e.v4, ks.b,
+        |    CAST('0x' || substring(
+        |      CASE WHEN b <= 8 THEN h1 WHEN b <= 16 THEN h2
+        |        WHEN b <= 24 THEN h3 ELSE h4 END,
+        |      CAST(((b - 1) % 8) * 4 + 1 AS INT), 4) AS BIGINT) % 2
+        |      AS w
+        |  FROM h e
+        |  CROSS JOIN (SELECT UNNEST(range(1, 33)) AS b) ks
+        |), res AS (
+        |  SELECT b, CAST(SUM(w) AS BIGINT) AS sw,
+        |    CAST(SUM(w * v4) AS BIGINT) AS svb
+        |  FROM x GROUP BY b
+        |), obs AS (
+        |  SELECT n1, n - n1 AS n2, n, sv,
+        |    CAST(sv1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      / CAST(10000 AS DOUBLE)
+        |    - CAST(sv - sv1 AS DOUBLE) / CAST(n - n1 AS DOUBLE)
+        |      / CAST(10000 AS DOUBLE) AS obs_diff
+        |  FROM tot
+        |), diffs AS (
+        |  SELECT CAST(r.svb AS DOUBLE) / CAST(r.sw AS DOUBLE)
+        |      / CAST(10000 AS DOUBLE)
+        |    - CAST(o.sv - r.svb AS DOUBLE) / CAST(o.n - r.sw AS DOUBLE)
+        |      / CAST(10000 AS DOUBLE) AS diff,
+        |    o.n1, o.n2, o.obs_diff
+        |  FROM res r, obs o
+        |  WHERE r.sw > 0 AND r.sw < o.n
+        |)
+        |SELECT n1, n2, obs_diff,
+        |  COUNT(*) AS n_splits,
+        |  CAST(SUM(CASE WHEN abs(diff) >= abs(obs_diff) THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_ge,
+        |  CAST(SUM(CASE WHEN abs(diff) >= abs(obs_diff) THEN 1 ELSE 0
+        |    END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p_value
+        |FROM diffs GROUP BY n1, n2, obs_diff""".stripMargin,
+
+    // Same scaled-BIGINT v4 moments; HUGEINT squares with operand-first
+    // casts, the identical VARCHAR-routed F tree.
+    "q_stats_f_test" ->
+      """WITH m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |      AS BIGINT)) AS BIGINT) AS sv,
+        |    SUM(CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |        AS BIGINT) AS HUGEINT)
+        |      * CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |        AS BIGINT) AS HUGEINT)) AS svv
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |), a AS (SELECT n AS n1, sv AS s1, svv AS q1 FROM m
+        |  WHERE event_type = 'click'),
+        |b AS (SELECT n AS n2, sv AS s2, svv AS q2 FROM m
+        |  WHERE event_type = 'view')
+        |SELECT n1, n2, n1 - 1 AS df1, n2 - 1 AS df2,
+        |  (CAST(CAST(CAST(n1 AS HUGEINT) * q1
+        |      - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS VARCHAR)
+        |      AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)))
+        |  / (CAST(CAST(CAST(n2 AS HUGEINT) * q2
+        |      - CAST(s2 AS HUGEINT) * CAST(s2 AS HUGEINT) AS VARCHAR)
+        |      AS DOUBLE)
+        |    / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))) AS f_stat
+        |FROM a, b""".stripMargin,
 
     // Exact (n, k) cells; the Wilson trees repeat the Spark text
     // verbatim (z² computed in-tree from the shared 1.96 literal).

@@ -1238,6 +1238,29 @@ object TextOps {
           "subword_total")
         .orderBy(asc_nulls_last("doc_id"))),
 
+    // Tokenizer fertility per language — subword tokens emitted per
+    // whitespace word (the q_text_tokencount vowel/consonant-run
+    // segmentation as the BPE-ish stand-in), THE number a multilingual
+    // pipeline watches per language: fertility ≫ 1 for a language means
+    // the tokenizer fragments it, inflating its compute cost per
+    // delivered word and starving it of effective context. Exact
+    // integer counts from narrow in-row regexes; one lang-keyed agg
+    // with map-side combine; one trailing IEEE division per lang.
+    "q_tokenizer_fertility" -> ((s, d) =>
+      t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("ws"),
+          (size(regexp_extract_all(col("text"), lit("[aeiou]+"),
+            lit(0))) +
+            size(regexp_extract_all(col("text"), lit("[^aeiou ]+"),
+              lit(0)))).cast("long").as("sub"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("ws").as("n_words"),
+          sum("sub").as("n_subwords"))
+        .withColumn("fertility", expr(
+          "CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE)"))
+        .orderBy(asc_nulls_last("lang"))),
+
     // Corpus bigram frequencies — the co-occurrence statistic BPE-style
     // tokenizer training starts from. In-row bigram arrays, one shuffle
     // on the bigram key.
@@ -3178,6 +3201,24 @@ object TextOps {
         |)
         |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max
         |FROM sh GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same run-segmentation regexes at the lang grain; the one division
+    // repeats the Spark text.
+    "q_tokenizer_fertility" ->
+      """WITH x AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text, '[aeiou]+'))
+        |      + len(regexp_extract_all(text, '[^aeiou ]+')) AS BIGINT)
+        |      AS sub
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS n_words,
+        |  CAST(SUM(sub) AS BIGINT) AS n_subwords,
+        |  CAST(SUM(sub) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE)
+        |    AS fertility
+        |FROM x GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin,
 
     "q_text_tokencount" ->
       """SELECT doc_id,

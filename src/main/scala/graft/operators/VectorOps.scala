@@ -510,10 +510,17 @@ object VectorOps {
     // the list a curation run reviews to pick the dedup threshold.
     // Two-phase ranking like q_dedup_embed: the codegen'd float dot
     // screens each cluster to 20 candidates, the exact-decimal dot
-    // settles the declared top-3. Scale: one cluster-keyed equi-join
-    // (hash-joinable; in-cluster fan-out is the k-means sizing knob,
-    // exactly the paper's design), per-cluster windows, no global
-    // anything.
+    // settles the declared top-3. Scale, stated HONESTLY (r11 sf1
+    // audit): the in-cluster fan-out is Θ((n/k)²·k) float dots — the
+    // SemDeDup paper's own cost, and with this query's FIXED k=8 it is
+    // the inventory's one deliberately quadratic member (sf1's 10×
+    // duplicated embedding corpus grew internal pairs 100×; wall grew
+    // 16×, sub-pair-linear because WindowGroupLimit prunes top-20 per
+    // cluster map-side before any exchange). The exact top-3-cosine-
+    // per-cluster CONTRACT makes the in-cluster pair scan irreducible;
+    // at 100 TB you grow k with the corpus (the paper's 50k clusters)
+    // so n/k stays bounded — and the sub-quadratic screening path when
+    // exactness is negotiable is the LSH-bucketed q_dedup_embed.
     "q_dedup_semantic" -> ((s, d) => {
       val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
       val cl = centroidAssign(s, e, e).select("vec_id", "cluster")

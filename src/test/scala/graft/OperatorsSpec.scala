@@ -1597,6 +1597,178 @@ class OperatorsSpec extends SparkSpec {
       ordered.head.getAs[Long]("bands"))
   }
 
+  test("q_stats_f_test: F equals the plain-Scala variance ratio and " +
+      "dfs are the group sizes minus one") {
+    import spark.implicits._
+    val out = StatsTests.queries("q_stats_f_test")(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val vals = Tables.table(spark, sf, "events")
+      .filter($"value".isNotNull && $"event_type".isin("click", "view"))
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    def svar(xs: Seq[Double]): Double = {
+      val q = xs.map(x => BigDecimal(x).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP))
+      val n = q.size
+      val s = q.sum
+      ((q.map(x => x * x).sum * n - s * s)
+        / (BigDecimal(n) * (n - 1))).toDouble
+    }
+    val c = vals.filter(_._1 == "click").map(_._2).toSeq
+    val v = vals.filter(_._1 == "view").map(_._2).toSeq
+    assert(r.getAs[Long]("n1") == c.size && r.getAs[Long]("n2") == v.size)
+    assert(r.getAs[Long]("df1") == c.size - 1)
+    val expect = svar(c) / svar(v)
+    assert(math.abs(r.getAs[Double]("f_stat") - expect)
+      <= 1e-9 * math.abs(expect))
+  }
+
+  test("q_ts_adf: beta/t recover a plain-Scala OLS of the daily " +
+      "difference on the lag level") {
+    import spark.implicits._
+    val out = EventAnalytics.queries("q_ts_adf")(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val daily = Tables.table(spark, sf, "events")
+      .groupBy(org.apache.spark.sql.functions.to_date($"ts").as("day"))
+      .count().orderBy("day")
+      .select($"day".cast("string"), $"count").as[(String, Long)]
+      .collect()
+    val byDay = daily.toMap
+    val pairs = daily.flatMap { case (day, x) =>
+      val next = java.time.LocalDate.parse(day).plusDays(1).toString
+      byDay.get(next).map(x2 => (x.toDouble, (x2 - x).toDouble))
+    }
+    val n = pairs.length
+    val (sz, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val szy = pairs.map(p => p._1 * p._2).sum
+    val szz = pairs.map(p => p._1 * p._1).sum
+    val beta = (n * szy - sz * sy) / (n * szz - sz * sz)
+    assert(r.getAs[Long]("n_pairs") == n)
+    assert(math.abs(r.getAs[Double]("beta") - beta)
+      <= 1e-9 * math.abs(beta) + 1e-12)
+    // a mean-reverting daily count series must reject the unit root
+    // direction-wise: beta < 0 and t < 0 on the fixture
+    assert(r.getAs[Double]("beta") < 0 && r.getAs[Double]("t_stat") < 0)
+  }
+
+  test("q_ts_spectral_entropy lies in [0, 2] bits and flatness is " +
+      "entropy/2") {
+    val r = EventAnalytics.queries("q_ts_spectral_entropy")(spark, sf)
+      .collect().head
+    val h = r.getAs[Double]("spectral_entropy_bits")
+    assert(h >= -1e-9 && h <= 2.0 + 1e-9)
+    assert(math.abs(r.getAs[Double]("flatness") - h / 2.0) < 1e-12)
+    assert(r.getAs[Long]("n_periods") >= 1L
+      && r.getAs[Long]("n_periods") <= 4L)
+  }
+
+  test("q_sketch_ams: the tug-of-war estimate lands within the " +
+      "Chebyshev band of the exact F2") {
+    val r = Sketches.queries("q_sketch_ams")(spark, sf).collect().head
+    val exact = r.getAs[Long]("f2_exact").toDouble
+    val est = r.getAs[Double]("f2_est")
+    assert(exact > 0 && est > 0)
+    // Var(mean of 16) <= 2 F2^2 / 16 => sd <= 0.354 F2; allow 4 sd
+    assert(math.abs(est - exact) <= 1.5 * exact,
+      s"est $est vs exact $exact")
+    assert(r.getAs[Long]("n_counters") == 16L)
+  }
+
+  test("q_graph_closeness: seeds are the 5 lowest graph nodes, the " +
+      "min seed's hop counts equal q_graph_bfs_layers, and harmonic " +
+      "assembles the fixed rational tree") {
+    val rows = Corpus.queries("q_graph_closeness")(spark, sf).collect()
+    assert(rows.length == 5)
+    val layers = Corpus.queries("q_graph_bfs_layers")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val minSeed = layers.map(_._1).min // bfs seeds the lowest node
+    val first = rows.head
+    assert(first.getAs[Long]("seed") == minSeed)
+    val hist = layers.groupBy(_._2).map { case (d, xs) => d -> xs.size }
+    (1 to 4).foreach { dd =>
+      assert(first.getAs[Long](s"c$dd") == hist.getOrElse(dd.toLong, 0))
+    }
+    rows.foreach { r =>
+      val h = r.getAs[Long]("c1") / 1.0 + r.getAs[Long]("c2") / 2.0 +
+        r.getAs[Long]("c3") / 3.0 + r.getAs[Long]("c4") / 4.0
+      assert(math.abs(r.getAs[Double]("harmonic") - h) < 1e-12)
+    }
+  }
+
+  test("q_tokenizer_fertility: every word emits at least one run, so " +
+      "fertility >= 1 per language") {
+    val rows = TextOps.queries("q_tokenizer_fertility")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Long]("n_subwords") >= r.getAs[Long]("n_words"))
+    }
+  }
+
+  test("q_multimodal_gzip: synthesized headers parse back to their " +
+      "generating fields; decoys are rejected") {
+    val rows = Multimodal.queries("q_multimodal_gzip")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 5 == 0) assert(!r.getAs[Boolean]("is_gzip"))
+      else {
+        assert(r.getAs[Boolean]("is_gzip"))
+        assert(r.getAs[Long]("mtime") == 1700000000L + id)
+        assert(r.getAs[Long]("xfl") == (if (id % 4 == 0) 2L else 4L))
+        val os = Seq(3L, 11L, 7L, 0L)((id % 4).toInt)
+        assert(r.getAs[Long]("os_id") == os)
+        if (id % 2 == 0) {
+          assert(r.getAs[Boolean]("has_fname"))
+          assert(r.getAs[String]("fname") == s"d$id.txt")
+        } else assert(!r.getAs[Boolean]("has_fname"))
+      }
+    }
+  }
+
+  test("q_multimodal_parquet: envelope fields parse back to their " +
+      "generating sizes; decoys are rejected") {
+    val rows = Multimodal.queries("q_multimodal_parquet")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 5 == 0) assert(!r.getAs[Boolean]("is_parquet"))
+      else {
+        assert(r.getAs[Boolean]("is_parquet"))
+        assert(r.getAs[Long]("footer_len") == id % 128 + 16)
+        assert(r.getAs[Long]("data_len") == id % 64 + 8)
+        assert(r.getAs[Boolean]("footer_fits"))
+        assert(r.getAs[Long]("total_len") ==
+          (id % 64 + 8) + (id % 128 + 16) + 12)
+      }
+    }
+  }
+
+  test("q_stats_randomization: observed diff matches a plain " +
+      "recomputation, p in [0,1], splits bounded by 32") {
+    import spark.implicits._
+    val r = StatsTests.queries("q_stats_randomization")(spark, sf)
+      .collect().head
+    val vals = Tables.table(spark, sf, "events")
+      .filter($"value".isNotNull && $"event_type".isin("click", "view"))
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    def q4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP)
+    val c = vals.filter(_._1 == "click").map(v => q4(v._2))
+    val v = vals.filter(_._1 == "view").map(v => q4(v._2))
+    val obs = (c.sum / c.size - v.sum / v.size).toDouble
+    assert(r.getAs[Long]("n1") == c.size && r.getAs[Long]("n2") == v.size)
+    assert(math.abs(r.getAs[Double]("obs_diff") - obs)
+      <= 1e-9 * math.abs(obs) + 1e-12)
+    val p = r.getAs[Double]("p_value")
+    assert(p >= 0.0 && p <= 1.0)
+    assert(r.getAs[Long]("n_splits") >= 1L
+      && r.getAs[Long]("n_splits") <= 32L)
+    assert(r.getAs[Long]("n_ge") <= r.getAs[Long]("n_splits"))
+  }
+
   test("q_text_winnow matches a plain-Scala winnowing recomputation") {
     import spark.implicits._
     val out = TextOps.queries("q_text_winnow")(spark, sf).collect()

@@ -288,6 +288,14 @@ class PlanRegressionSpec extends SparkSpec {
       // 1-row broadcast of the contingency grand total — the
       // q_stats_ttest shape
       "q_stats_chi2",
+      // the click-side and view-side 1-row moment aggregates joined on
+      // a constant key — both nested-loop sides are exactly one row
+      // (the q_stats_ttest shape)
+      "q_stats_f_test",
+      // the 1-row (nd, Σx, d0) grand-total broadcast + the 1-row shared
+      // downscale divisor g, each on a constant key against the 4-row
+      // period frame — the q_stats_ttest shape twice
+      "q_ts_spectral_entropy",
       // the 8-row trained-centroid broadcast + the bounded probe — the
       // q_kmeans_iter / q_ann_ivf broadcast-k shape
       "q_ann_ivf_trained",
