@@ -1407,6 +1407,86 @@ object EventAnalytics {
             "/ CAST(n_days * n_events AS DOUBLE) AS fano")
         .orderBy(asc_nulls_last("event_type"))),
 
+    // Hurst exponent via rescaled-range analysis (Hurst 1951; the R/S
+    // method of Mandelbrot & Wallis 1969) over the daily count series —
+    // the long-memory readout that separates mean-reverting (H < 0.5),
+    // random-walk (H ≈ 0.5), and trending/persistent (H > 0.5) traffic,
+    // deciding how far history helps a forecast. Exactness: the series
+    // re-indexes by a day-grain row_number; for window sizes w ∈
+    // {4,8,16} (sized to the fixture's 30-day span — at a production
+    // span you extend the bank upward, the assembly below only needs
+    // the log2-equal spacing) each ⌊n/w⌋ full window keeps EVERYTHING
+    // integer by the
+    // w-scaling trick — w·Y_j = w·cumsum_j − (j+1)·S_w (cumulative
+    // deviation without the mean division) and S_std·w =
+    // √(w·Σx² − S_w²), so R/S = range(w·Y)/√(w·Σx²−S_w²) is ONE
+    // sqrt+divide of exact integers per window (the implicit Y₀ = 0
+    // enters via greatest/least against 0; zero-variance windows are
+    // excluded by convention). Per-window R/S quantizes to the 1e-10
+    // grid before the order-insensitive integer mean, and because the
+    // three log2(w) points {2,3,4} are EQUALLY SPACED the least-squares
+    // slope collapses to (log2(RS₁₆)−log2(RS₄))/2 — two portable-log2
+    // chains on the quantized means, where the 1e10 scale cancels in
+    // the difference. Scale: day-grain frame throughout — one global
+    // re-index window bounded by the time span, then (w, window)-keyed
+    // partitioned windows and aggs.
+    "q_ts_hurst" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val wIdx = Window.orderBy(asc_nulls_last("day"))
+      val idx = daily
+        .withColumn("idx", row_number().over(wIdx).cast("long") - 1L)
+      val ws = idx.select(col("idx"), col("x"),
+          explode(expr("array(4L, 8L, 16L)")).as("w"))
+        .withColumn("widx", expr("idx div w"))
+        .withColumn("j", expr("idx % w"))
+      val wc = Window.partitionBy("w", "widx")
+        .orderBy(asc_nulls_last("j"))
+      val cum = ws.withColumn("cx", sum(col("x")).over(wc))
+      val tot = ws.groupBy("w", "widx")
+        .agg(count(lit(1)).as("cnt"), sum("x").as("sw"),
+          sum(expr("x * x")).as("sxx"))
+      val rs = cum.join(tot, Seq("w", "widx"))
+        .filter(col("cnt") === col("w")
+          && expr("cnt * sxx - sw * sw") > 0L)
+        .withColumn("wy", expr("w * cx - (j + 1) * sw"))
+        .groupBy("w", "widx")
+        .agg(max("wy").as("maxy"), min("wy").as("miny"),
+          max("sw").as("swx"), max("sxx").as("sxxx"),
+          max("cnt").as("cnt"))
+        .withColumn("rsv", expr(
+          "CAST(greatest(maxy, CAST(0 AS BIGINT)) " +
+            "- least(miny, CAST(0 AS BIGINT)) AS DOUBLE) " +
+            "/ sqrt(CAST(cnt * sxxx - swx * swx AS DOUBLE))"))
+        .withColumn("qrs", expr(
+          "CAST(floor(rsv * CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("nw"), sum("qrs").as("sq"))
+        .withColumn("qm", expr(
+          "CAST(floor(CAST(sq AS DOUBLE) / CAST(nw AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+      val one = rs.groupBy()
+        .agg(sum(when(col("w") === 4L, col("nw"))).as("nw4"),
+          sum(when(col("w") === 8L, col("nw"))).as("nw8"),
+          sum(when(col("w") === 16L, col("nw"))).as("nw16"),
+          sum(when(col("w") === 4L, col("qm"))).as("qm4"),
+          sum(when(col("w") === 8L, col("qm"))).as("qm8"),
+          sum(when(col("w") === 16L, col("qm"))).as("qm16"))
+      val l4 = graft.Det.withPlog2(one, "qm4", "l2a")
+      val l16 = graft.Det.withPlog2(l4, "qm16", "l2b")
+      l16
+        .withColumn("rs4", expr(
+          "CAST(qm4 AS DOUBLE) / CAST(10000000000 AS DOUBLE)"))
+        .withColumn("rs8", expr(
+          "CAST(qm8 AS DOUBLE) / CAST(10000000000 AS DOUBLE)"))
+        .withColumn("rs16", expr(
+          "CAST(qm16 AS DOUBLE) / CAST(10000000000 AS DOUBLE)"))
+        .withColumn("hurst", expr("(l2b - l2a) / CAST(2 AS DOUBLE)"))
+        .select("nw4", "nw8", "nw16", "rs4", "rs8", "rs16", "hurst")
+    }),
+
     // Dickey–Fuller unit-root regression (Dickey & Fuller 1979, the
     // plain DF form Δx_t = α + β·x_{t−1} + ε over the daily total-count
     // series) — the stationarity gate a forecasting pipeline runs
@@ -2961,6 +3041,77 @@ object EventAnalytics {
         |    / CAST(CAST(d.den AS VARCHAR) AS DOUBLE) AS score
         |FROM pw p, den d
         |ORDER BY period ASC NULLS LAST""".stripMargin,
+
+    // Same w-scaled integer R/S machinery (day re-index, per-(w,widx)
+    // running sums, greatest/least against the implicit Y₀=0), the
+    // identical quantize→integer-mean→two-portable-log2 assembly.
+    "q_ts_hurst" ->
+      s"""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1
+        |), idx AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY day ASC) AS BIGINT)
+        |    - 1 AS idx, x
+        |  FROM daily
+        |), ws AS (
+        |  SELECT i.idx, i.x, CAST(k.w AS BIGINT) AS w,
+        |    i.idx // CAST(k.w AS BIGINT) AS widx,
+        |    i.idx % CAST(k.w AS BIGINT) AS j
+        |  FROM idx i CROSS JOIN (SELECT UNNEST([4, 8, 16]) AS w) k
+        |), cum AS (
+        |  SELECT w, widx, j, CAST(SUM(x) OVER (PARTITION BY w, widx
+        |    ORDER BY j ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS cx
+        |  FROM ws
+        |), tot AS (
+        |  SELECT w, widx, COUNT(*) AS cnt, CAST(SUM(x) AS BIGINT) AS sw,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM ws GROUP BY 1, 2
+        |), dev AS (
+        |  SELECT c.w, c.widx, t.cnt, t.sw AS swx, t.sxx AS sxxx,
+        |    CAST(c.w * c.cx - (c.j + 1) * t.sw AS BIGINT) AS wy
+        |  FROM cum c JOIN tot t ON t.w = c.w AND t.widx = c.widx
+        |  WHERE t.cnt = c.w AND t.cnt * t.sxx - t.sw * t.sw > 0
+        |), rs AS (
+        |  SELECT w, widx, MAX(wy) AS maxy, MIN(wy) AS miny,
+        |    MAX(swx) AS swx, MAX(sxxx) AS sxxx, MAX(cnt) AS cnt
+        |  FROM dev GROUP BY 1, 2
+        |), q AS (
+        |  SELECT w, CAST(floor(
+        |    (CAST(greatest(maxy, CAST(0 AS BIGINT))
+        |      - least(miny, CAST(0 AS BIGINT)) AS DOUBLE)
+        |     / sqrt(CAST(cnt * sxxx - swx * swx AS DOUBLE)))
+        |    * CAST(10000000000 AS DOUBLE)
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qrs
+        |  FROM rs
+        |), mq AS (
+        |  SELECT w, COUNT(*) AS nw, CAST(SUM(qrs) AS BIGINT) AS sq
+        |  FROM q GROUP BY w
+        |), qmq AS (
+        |  SELECT w, nw, CAST(floor(CAST(sq AS DOUBLE)
+        |    / CAST(nw AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qm
+        |  FROM mq
+        |), one AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN w = 4 THEN nw END) AS BIGINT) AS nw4,
+        |    CAST(SUM(CASE WHEN w = 8 THEN nw END) AS BIGINT) AS nw8,
+        |    CAST(SUM(CASE WHEN w = 16 THEN nw END) AS BIGINT) AS nw16,
+        |    CAST(SUM(CASE WHEN w = 4 THEN qm END) AS BIGINT) AS qm4,
+        |    CAST(SUM(CASE WHEN w = 8 THEN qm END) AS BIGINT) AS qm8,
+        |    CAST(SUM(CASE WHEN w = 16 THEN qm END) AS BIGINT) AS qm16
+        |  FROM qmq
+        |), lg AS (
+        |  SELECT nw4, nw8, nw16, qm4, qm8, qm16,
+        |    ${Det.sqlPlog2Cols("qm4", "a")},
+        |    ${Det.sqlPlog2Cols("qm16", "b")}
+        |  FROM one
+        |)
+        |SELECT nw4, nw8, nw16,
+        |  CAST(qm4 AS DOUBLE) / CAST(10000000000 AS DOUBLE) AS rs4,
+        |  CAST(qm8 AS DOUBLE) / CAST(10000000000 AS DOUBLE) AS rs8,
+        |  CAST(qm16 AS DOUBLE) / CAST(10000000000 AS DOUBLE) AS rs16,
+        |  (bl2 - al2) / CAST(2 AS DOUBLE) AS hurst
+        |FROM lg""".stripMargin,
 
     // The autocorr day-pair join as the OLS sample; exact HUGEINT
     // moments with operand-first casts, the identical VARCHAR-routed

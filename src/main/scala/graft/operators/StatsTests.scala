@@ -994,6 +994,48 @@ object StatsTests {
         .orderBy(asc_nulls_last("event_type"))
     }),
 
+    // Cohen's d effect size (Cohen 1988) for the click-vs-view mean
+    // gap — the magnitude number the t-test family lacks: at 100 TB n
+    // makes EVERYTHING significant, so pipelines gate on d (0.2 small /
+    // 0.5 medium / 0.8 large), not p. d = (m1−m2)/s_pooled with the
+    // pooled SD from the same exact scaled-BIGINT moments as
+    // q_stats_f_test; one fixed VARCHAR-routed IEEE tree (the 10⁴
+    // scale cancels between the mean gap and the SD). Scale: one
+    // type-keyed partial agg; two 1-row sides cross by constant key.
+    "q_stats_cohens_d" -> ((s, d) => {
+      val dec = "DECIMAL(38,0)"
+      val m = t(s, d, "events")
+        .filter(col("value").isNotNull
+          && col("event_type").isin("click", "view"))
+        .withColumn("v4",
+          expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v4").as("sv"),
+          sum(expr(s"CAST(v4 AS $dec) * CAST(v4 AS $dec)")).as("svv"))
+      def side(et: String, i: Int) = m
+        .filter(col("event_type") === et)
+        .select(col("n").as(s"n$i"), col("sv").as(s"s$i"),
+          col("svv").as(s"q$i"))
+        .withColumn("_one", lit(1))
+      // per-group SS as a pure IEEE tree (identical text both engines)
+      // — a DECIMAL s²/n would round at engine-specific scales
+      def ssq(i: Int): String =
+        s"(CAST(CAST(q$i AS STRING) AS DOUBLE) " +
+          s"- CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) " +
+          s"/ CAST(n$i AS DOUBLE))"
+      side("click", 1).join(broadcast(side("view", 2)), "_one")
+        .withColumn("mean_diff", expr(
+          "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) " +
+            "- CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)"))
+        .withColumn("sd_pooled", expr(
+          s"sqrt((${ssq(1)} + ${ssq(2)}) " +
+            "/ CAST(n1 + n2 - 2 AS DOUBLE))"))
+        .withColumn("cohens_d", expr("mean_diff / sd_pooled"))
+        .selectExpr("n1", "n2",
+          "mean_diff / CAST(10000 AS DOUBLE) AS mean_diff",
+          "sd_pooled / CAST(10000 AS DOUBLE) AS sd_pooled", "cohens_d")
+    }),
+
     // Randomization (permutation) test of the click-vs-view mean
     // difference — the assumption-free twin of q_stats_ttest: 32
     // deterministic pseudo-randomizations re-split the POOLED events by
@@ -1983,6 +2025,43 @@ object StatsTests {
         |    * CAST(n_resamples - 1 AS DOUBLE)))
         |    / CAST(10000000000 AS DOUBLE) AS se_boot
         |FROM ag ORDER BY event_type ASC NULLS LAST""".stripMargin,
+
+    // Same v4 moments as the F-test twin; the SS/pooled-SD/d doubles
+    // repeat the Spark text verbatim.
+    "q_stats_cohens_d" ->
+      """WITH m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |      AS BIGINT)) AS BIGINT) AS sv,
+        |    SUM(CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |        AS BIGINT) AS HUGEINT)
+        |      * CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |        AS BIGINT) AS HUGEINT)) AS svv
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |), a AS (SELECT n AS n1, sv AS s1, svv AS q1 FROM m
+        |  WHERE event_type = 'click'),
+        |b AS (SELECT n AS n2, sv AS s2, svv AS q2 FROM m
+        |  WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT n1, n2,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_diff,
+        |    sqrt(((CAST(CAST(q1 AS VARCHAR) AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |          / CAST(n1 AS DOUBLE))
+        |      + (CAST(CAST(q2 AS VARCHAR) AS DOUBLE)
+        |        - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |          / CAST(n2 AS DOUBLE)))
+        |      / CAST(n1 + n2 - 2 AS DOUBLE)) AS sd_pooled
+        |  FROM a, b
+        |)
+        |SELECT n1, n2,
+        |  mean_diff / CAST(10000 AS DOUBLE) AS mean_diff,
+        |  sd_pooled / CAST(10000 AS DOUBLE) AS sd_pooled,
+        |  mean_diff / sd_pooled AS cohens_d
+        |FROM c""".stripMargin,
 
     // Same four-digest chunk bits over the pooled population; per-split
     // sums via the UNNEST cross join, the identical diff/threshold

@@ -1769,6 +1769,54 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_ge") <= r.getAs[Long]("n_splits"))
   }
 
+  test("q_stats_cohens_d: d equals the mean gap over the pooled SD " +
+      "recomputed in plain Scala") {
+    import spark.implicits._
+    val r = StatsTests.queries("q_stats_cohens_d")(spark, sf)
+      .collect().head
+    val vals = Tables.table(spark, sf, "events")
+      .filter($"value".isNotNull && $"event_type".isin("click", "view"))
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    def q4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val c = vals.filter(_._1 == "click").map(v => q4(v._2))
+    val v = vals.filter(_._1 == "view").map(v => q4(v._2))
+    def ss(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum
+    }
+    val sp = math.sqrt((ss(c) + ss(v)) / (c.length + v.length - 2))
+    val d = (c.sum / c.length - v.sum / v.length) / sp
+    assert(math.abs(r.getAs[Double]("cohens_d") - d)
+      <= 1e-6 * math.abs(d) + 1e-9)
+    assert(r.getAs[Double]("sd_pooled") > 0)
+  }
+
+  test("q_ts_hurst: R/S means are positive, window counts are the " +
+      "expected floor(n/w), and the exponent is a plausible [0,1] " +
+      "long-memory reading") {
+    val r = EventAnalytics.queries("q_ts_hurst")(spark, sf)
+      .collect().head
+    val nDays = Tables.table(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"))
+      .distinct().count()
+    // full windows only, MINUS any zero-variance window (excluded by
+    // convention) — so counts are bounded by floor(n/w) and nonzero
+    // on the fixture
+    assert(r.getAs[Long]("nw4") <= nDays / 4
+      && r.getAs[Long]("nw4") >= 1L)
+    assert(r.getAs[Long]("nw8") <= nDays / 8
+      && r.getAs[Long]("nw8") >= 1L)
+    assert(r.getAs[Long]("nw16") <= nDays / 16
+      && r.getAs[Long]("nw16") >= 1L)
+    // R/S grows with w for any non-degenerate series
+    assert(r.getAs[Double]("rs4") > 0)
+    assert(r.getAs[Double]("rs16") > r.getAs[Double]("rs4"))
+    val h = r.getAs[Double]("hurst")
+    assert(h > 0.0 && h < 1.0, s"hurst $h outside (0,1)")
+  }
+
   test("q_text_winnow matches a plain-Scala winnowing recomputation") {
     import spark.implicits._
     val out = TextOps.queries("q_text_winnow")(spark, sf).collect()

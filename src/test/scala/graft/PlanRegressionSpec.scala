@@ -179,7 +179,14 @@ class PlanRegressionSpec extends SparkSpec {
       // q_dedup_lsh_tune's recommendation rank runs over the CONFIG
       // domain — exactly 3 rows (the (bands, rows) factorings of the
       // 8-hash signature), bounded by the tuner's own config list
-      "q_dedup_lsh_tune" -> 1)
+      "q_dedup_lsh_tune" -> 1,
+      // q_ts_hurst's re-index row_number runs over the day-grain frame
+      // (one row per calendar day — bounded by the time span); the
+      // R/S windows below it are (w, window)-PARTITIONED. Cap 2: the
+      // unpersisted day subtree feeds both the cumsum and the
+      // per-window totals branches (ReuseExchange computes it once —
+      // the q_ts_decompose argument)
+      "q_ts_hurst" -> 2)
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed.contains).foreach { name =>
       val found = globalWindows(SparkEntry.queries(name)(spark, sf))
@@ -292,6 +299,8 @@ class PlanRegressionSpec extends SparkSpec {
       // a constant key — both nested-loop sides are exactly one row
       // (the q_stats_ttest shape)
       "q_stats_f_test",
+      // the same two 1-row moment sides on a constant key
+      "q_stats_cohens_d",
       // the 1-row (nd, Σx, d0) grand-total broadcast + the 1-row shared
       // downscale divisor g, each on a constant key against the 4-row
       // period frame — the q_stats_ttest shape twice
