@@ -57,6 +57,8 @@ object Bench {
     * the driver's tail buffer as the query count grows (legend:
     * BASELINE.md §bench name legend). */
   private val overrides = Map(
+    // round-12 additions
+    "q_sketch_quantile" -> "qn", "q_sketch_quantile_merge" -> "qm",
     // round-11 additions (2-char codes keep the stdout line in budget)
     "q_stats_randomization" -> "rz", "q_stats_f_test" -> "fv",
     "q_ts_adf" -> "uq", "q_ts_spectral_entropy" -> "sy",

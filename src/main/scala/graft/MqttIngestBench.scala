@@ -54,8 +54,14 @@ object MqttIngestBench {
       .start()
     def landed(): Long = spark.table(name).collect()
       .headOption.map(_.getLong(0)).getOrElse(0L)
+    // Producers live INSIDE the try/finally (r11 ADVICE: a failed
+    // require used to leak 8 connected clients and their threads past
+    // cleanup), and the producer-side count is asserted against `total`
+    // before the landed comparison so a silently-stalled producer thread
+    // reads as a producer bug, not a consumer drop.
+    var pubs: Seq[MqttClient] = Seq.empty
     try {
-      val pubs = (0 until producers).map(i =>
+      pubs = (0 until producers).map(i =>
         new MqttClient("127.0.0.1", broker.boundPort,
           s"ingest-pub-$lanes-$i").connect())
       val published = new AtomicLong(0L)
@@ -74,6 +80,8 @@ object MqttIngestBench {
         t.start(); t
       }
       threads.foreach(_.join())
+      require(published.get == total,
+        s"lanes=$lanes: producers published ${published.get} != $total")
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       while (landed() < total && System.nanoTime() < deadline)
         Thread.sleep(20)
@@ -84,9 +92,9 @@ object MqttIngestBench {
           s"(dropped=${bus.dropped}) — dup or loss, run is invalid")
       require(bus.dropped == 0,
         s"lanes=$lanes: ${bus.dropped} bridge drops")
-      pubs.foreach(_.disconnect())
       (dt, total / dt)
     } finally {
+      pubs.foreach(p => try p.disconnect() catch { case _: Throwable => () })
       try q.stop() catch { case _: Throwable => () }
       bus.close()
       broker.stop()

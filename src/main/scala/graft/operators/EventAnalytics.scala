@@ -1411,34 +1411,45 @@ object EventAnalytics {
     // method of Mandelbrot & Wallis 1969) over the daily count series —
     // the long-memory readout that separates mean-reverting (H < 0.5),
     // random-walk (H ≈ 0.5), and trending/persistent (H > 0.5) traffic,
-    // deciding how far history helps a forecast. Exactness: the series
-    // re-indexes by a day-grain row_number; for window sizes w ∈
-    // {4,8,16} (sized to the fixture's 30-day span — at a production
-    // span you extend the bank upward, the assembly below only needs
-    // the log2-equal spacing) each ⌊n/w⌋ full window keeps EVERYTHING
-    // integer by the
-    // w-scaling trick — w·Y_j = w·cumsum_j − (j+1)·S_w (cumulative
-    // deviation without the mean division) and S_std·w =
-    // √(w·Σx² − S_w²), so R/S = range(w·Y)/√(w·Σx²−S_w²) is ONE
-    // sqrt+divide of exact integers per window (the implicit Y₀ = 0
-    // enters via greatest/least against 0; zero-variance windows are
-    // excluded by convention). Per-window R/S quantizes to the 1e-10
-    // grid before the order-insensitive integer mean, and because the
-    // three log2(w) points {2,3,4} are EQUALLY SPACED the least-squares
-    // slope collapses to (log2(RS₁₆)−log2(RS₄))/2 — two portable-log2
-    // chains on the quantized means, where the 1e10 scale cancels in
-    // the difference. Scale: day-grain frame throughout — one global
-    // re-index window bounded by the time span, then (w, window)-keyed
-    // partitioned windows and aggs.
+    // deciding how far history helps a forecast. SPAN-ADAPTIVE window
+    // bank (r11 verdict item #4): w ∈ {4, 8, …, 2^M} with
+    // M = max(4, ⌊log2(n_days/2)⌋) derived ONCE from the measured day
+    // count as a driver literal (the q_join_bloom precedent; ⌊log2⌋ is
+    // an integer bit-length on both engines), so a production span
+    // extends the bank upward automatically — the regression uses the
+    // whole series instead of the 30-day fixture's {4,8,16}. Exactness:
+    // the series re-indexes by a day-grain row_number; each ⌊n/w⌋ full
+    // window keeps EVERYTHING integer by the w-scaling trick —
+    // w·Y_j = w·cumsum_j − (j+1)·S_w (cumulative deviation without the
+    // mean division) and S_std·w = √(w·Σx² − S_w²), so R/S =
+    // range(w·Y)/√(w·Σx²−S_w²) is ONE sqrt+divide of exact integers
+    // per window (the implicit Y₀ = 0 enters via greatest/least
+    // against 0; zero-variance windows are excluded by convention).
+    // Per-window R/S quantizes to the 1e-10 grid before the
+    // order-insensitive integer mean; per-w log2(R/S) is a portable-
+    // log2 chain whose result ALSO quantizes to the 1e-10 grid, so the
+    // bank-wide least-squares moments are INTEGER sums (B, Σi, Σi²,
+    // ΣqL, Σi·qL with i = log2 w exact) and the generic slope
+    // H = (B·Σi·qL − Σi·ΣqL)/(B·Σi² − (Σi)²)/1e10 is one fixed IEEE
+    // tree — for the 3-point fixture bank it equals the old
+    // (L₁₆−L₄)/2 endpoint form analytically. Scale: day-grain frame
+    // throughout — one global re-index window bounded by the time
+    // span, then (w, window)-keyed partitioned windows and aggs; the
+    // bank has ≤ ⌊log2 span⌋ members, so the explode factor grows
+    // logarithmically with the span.
     "q_ts_hurst" -> ((s, d) => {
       val daily = t(s, d, "events")
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("x"))
+      val nDays = daily.count()
+      val mMax = math.max(4,
+        63 - java.lang.Long.numberOfLeadingZeros(nDays / 2L))
+      val bank = (2 to mMax).map(i => 1L << i)
       val wIdx = Window.orderBy(asc_nulls_last("day"))
       val idx = daily
         .withColumn("idx", row_number().over(wIdx).cast("long") - 1L)
       val ws = idx.select(col("idx"), col("x"),
-          explode(expr("array(4L, 8L, 16L)")).as("w"))
+          explode(expr(bank.mkString("array(", "L, ", "L)"))).as("w"))
         .withColumn("widx", expr("idx div w"))
         .withColumn("j", expr("idx % w"))
       val wc = Window.partitionBy("w", "widx")
@@ -1467,24 +1478,27 @@ object EventAnalytics {
         .withColumn("qm", expr(
           "CAST(floor(CAST(sq AS DOUBLE) / CAST(nw AS DOUBLE) " +
             "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
-      val one = rs.groupBy()
-        .agg(sum(when(col("w") === 4L, col("nw"))).as("nw4"),
-          sum(when(col("w") === 8L, col("nw"))).as("nw8"),
-          sum(when(col("w") === 16L, col("nw"))).as("nw16"),
-          sum(when(col("w") === 4L, col("qm"))).as("qm4"),
-          sum(when(col("w") === 8L, col("qm"))).as("qm8"),
-          sum(when(col("w") === 16L, col("qm"))).as("qm16"))
-      val l4 = graft.Det.withPlog2(one, "qm4", "l2a")
-      val l16 = graft.Det.withPlog2(l4, "qm16", "l2b")
-      l16
-        .withColumn("rs4", expr(
-          "CAST(qm4 AS DOUBLE) / CAST(10000000000 AS DOUBLE)"))
-        .withColumn("rs8", expr(
-          "CAST(qm8 AS DOUBLE) / CAST(10000000000 AS DOUBLE)"))
-        .withColumn("rs16", expr(
-          "CAST(qm16 AS DOUBLE) / CAST(10000000000 AS DOUBLE)"))
-        .withColumn("hurst", expr("(l2b - l2a) / CAST(2 AS DOUBLE)"))
-        .select("nw4", "nw8", "nw16", "rs4", "rs8", "rs16", "hurst")
+      val lg = graft.Det.withPlog2(rs, "qm", "l2")
+        .withColumn("i", expr("CAST(length(bin(w)) - 1 AS BIGINT)"))
+        .withColumn("ql", expr(
+          "CAST(floor(l2 * CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+      lg.groupBy()
+        .agg(count(lit(1)).as("n_bank"), max("w").as("w_max"),
+          sum("i").as("si"), sum(expr("i * i")).as("sii"),
+          sum("ql").as("sl"), sum(expr("i * ql")).as("sil"),
+          expr("min_by(qm, w)").as("qm_min"),
+          expr("max_by(qm, w)").as("qm_max"),
+          sum("nw").as("nw_total"))
+        .select(lit(nDays).as("n_days"), col("n_bank"), col("w_max"),
+          col("nw_total"),
+          expr("CAST(qm_min AS DOUBLE) / CAST(10000000000 AS DOUBLE)")
+            .as("rs_wmin"),
+          expr("CAST(qm_max AS DOUBLE) / CAST(10000000000 AS DOUBLE)")
+            .as("rs_wmax"),
+          expr("CAST(n_bank * sil - si * sl AS DOUBLE) " +
+            "/ CAST(n_bank * sii - si * si AS DOUBLE) " +
+            "/ CAST(10000000000 AS DOUBLE)").as("hurst"))
     }),
 
     // Dickey–Fuller unit-root regression (Dickey & Fuller 1979, the
@@ -3044,20 +3058,30 @@ object EventAnalytics {
 
     // Same w-scaled integer R/S machinery (day re-index, per-(w,widx)
     // running sums, greatest/least against the implicit Y₀=0), the
-    // identical quantize→integer-mean→two-portable-log2 assembly.
+    // identical quantize→integer-mean assembly; the bank derives from
+    // the day count in SQL (bit-length = the Spark driver literal's
+    // numberOfLeadingZeros form), and the least-squares slope uses the
+    // same integer moments over per-w 1e-10-quantized log2 terms.
     "q_ts_hurst" ->
       s"""WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
         |  FROM events GROUP BY 1
+        |), nd AS (
+        |  SELECT COUNT(*) AS n_days FROM daily
+        |), bank AS (
+        |  SELECT CAST(CAST(1 AS BIGINT) << CAST(g.i AS INT) AS BIGINT)
+        |    AS w
+        |  FROM nd, (SELECT UNNEST(range(2, 63)) AS i) g
+        |  WHERE g.i <= GREATEST(4, length(bin(nd.n_days // 2)) - 1)
         |), idx AS (
         |  SELECT CAST(row_number() OVER (ORDER BY day ASC) AS BIGINT)
         |    - 1 AS idx, x
         |  FROM daily
         |), ws AS (
-        |  SELECT i.idx, i.x, CAST(k.w AS BIGINT) AS w,
-        |    i.idx // CAST(k.w AS BIGINT) AS widx,
-        |    i.idx % CAST(k.w AS BIGINT) AS j
-        |  FROM idx i CROSS JOIN (SELECT UNNEST([4, 8, 16]) AS w) k
+        |  SELECT i.idx, i.x, k.w,
+        |    i.idx // k.w AS widx,
+        |    i.idx % k.w AS j
+        |  FROM idx i CROSS JOIN bank k
         |), cum AS (
         |  SELECT w, widx, j, CAST(SUM(x) OVER (PARTITION BY w, widx
         |    ORDER BY j ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
@@ -3091,27 +3115,36 @@ object EventAnalytics {
         |  SELECT w, nw, CAST(floor(CAST(sq AS DOUBLE)
         |    / CAST(nw AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qm
         |  FROM mq
-        |), one AS (
-        |  SELECT
-        |    CAST(SUM(CASE WHEN w = 4 THEN nw END) AS BIGINT) AS nw4,
-        |    CAST(SUM(CASE WHEN w = 8 THEN nw END) AS BIGINT) AS nw8,
-        |    CAST(SUM(CASE WHEN w = 16 THEN nw END) AS BIGINT) AS nw16,
-        |    CAST(SUM(CASE WHEN w = 4 THEN qm END) AS BIGINT) AS qm4,
-        |    CAST(SUM(CASE WHEN w = 8 THEN qm END) AS BIGINT) AS qm8,
-        |    CAST(SUM(CASE WHEN w = 16 THEN qm END) AS BIGINT) AS qm16
-        |  FROM qmq
         |), lg AS (
-        |  SELECT nw4, nw8, nw16, qm4, qm8, qm16,
-        |    ${Det.sqlPlog2Cols("qm4", "a")},
-        |    ${Det.sqlPlog2Cols("qm16", "b")}
-        |  FROM one
+        |  SELECT w, nw, qm,
+        |    CAST(length(bin(w)) - 1 AS BIGINT) AS i,
+        |    ${Det.sqlPlog2Cols("qm", "h")}
+        |  FROM qmq
+        |), terms AS (
+        |  SELECT w, nw, qm, i,
+        |    CAST(floor(hl2 * CAST(10000000000 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ql
+        |  FROM lg
+        |), mom AS (
+        |  SELECT COUNT(*) AS b, CAST(MAX(w) AS BIGINT) AS w_max,
+        |    CAST(SUM(i) AS BIGINT) AS si,
+        |    CAST(SUM(i * i) AS BIGINT) AS sii,
+        |    CAST(SUM(ql) AS BIGINT) AS sl,
+        |    CAST(SUM(i * ql) AS BIGINT) AS sil,
+        |    min_by(qm, w) AS qm_min, max_by(qm, w) AS qm_max,
+        |    CAST(SUM(nw) AS BIGINT) AS nw_total
+        |  FROM terms
         |)
-        |SELECT nw4, nw8, nw16,
-        |  CAST(qm4 AS DOUBLE) / CAST(10000000000 AS DOUBLE) AS rs4,
-        |  CAST(qm8 AS DOUBLE) / CAST(10000000000 AS DOUBLE) AS rs8,
-        |  CAST(qm16 AS DOUBLE) / CAST(10000000000 AS DOUBLE) AS rs16,
-        |  (bl2 - al2) / CAST(2 AS DOUBLE) AS hurst
-        |FROM lg""".stripMargin,
+        |SELECT (SELECT n_days FROM nd) AS n_days,
+        |  b AS n_bank, w_max, nw_total,
+        |  CAST(qm_min AS DOUBLE) / CAST(10000000000 AS DOUBLE)
+        |    AS rs_wmin,
+        |  CAST(qm_max AS DOUBLE) / CAST(10000000000 AS DOUBLE)
+        |    AS rs_wmax,
+        |  CAST(b * sil - si * sl AS DOUBLE)
+        |    / CAST(b * sii - si * si AS DOUBLE)
+        |    / CAST(10000000000 AS DOUBLE) AS hurst
+        |FROM mom""".stripMargin,
 
     // The autocorr day-pair join as the OLS sample; exact HUGEINT
     // moments with operand-first casts, the identical VARCHAR-routed

@@ -42,6 +42,19 @@ object Sketches {
   /** KMV sketch size: keep the K smallest distinct hash values. */
   val KmvK = 64
 
+  /** Quantile-sketch sample size: the K rows with the smallest
+    * row-identity hashes form a uniform simple random sample, so rank
+    * selection inside the sample estimates any quantile with rank error
+    * O(sqrt(ln(2/δ)/2K)) uniformly over q (DKW inequality) — ±2.1% at
+    * K=4096, δ=10⁻⁴. Bottom-K (not GK/KLL) because it is the
+    * DETERMINISTIC mergeable member of the quantile-sketch family: GK
+    * compaction depends on arrival order and KLL on coin flips — both
+    * change results under Spark's nondeterministic partial-agg merge
+    * order — while "K smallest hashes of the union" is associative,
+    * commutative, and worst-case bounded, the exact algebra
+    * q_sketch_kmv/theta already rely on. */
+  val QuantK = 4096
+
   /** 60-bit hash space of [[hvExpr]] (16^15 = 2^60) — the KMV
     * estimator's normalization constant. */
   val HashSpace = 1152921504606846976L
@@ -403,6 +416,88 @@ object Sketches {
         .orderBy(asc_nulls_last("flag"))
     }),
 
+    // Quantile sketch (r11 verdict item #3 — the missing sketch-family
+    // member): per-event_type value quantiles from a bottom-K
+    // row-identity-hash sample (see [[QuantK]] for why bottom-K beats
+    // GK/KLL here), the scale substitute for q_percentile_exact's full
+    // per-group sort at 100 TB. Estimates are PURE RANK SELECTIONS
+    // (nearest-rank, ceil(q·m)): actual data values, zero FP arithmetic,
+    // so the whole row hash-matches the oracle. Scale: one narrow md5
+    // map, the bottom-K per group prunes map-side (WindowGroupLimit on
+    // the rank filter — each task keeps ≤K rows before the exchange),
+    // then ONE ≤K-element in-row sorted list per group; n_full rides a
+    // plain map-side-combined count. Groups smaller than K are their own
+    // sample (exact mode — the theta fallback argument). SketchesSpec
+    // property-bounds the rank error against the exact quantile.
+    "q_sketch_quantile" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("value").isNotNull)
+        .withColumn("hv",
+          expr(hvExpr("concat('qq_', CAST(event_id AS STRING))")))
+      val wq = Window.partitionBy("event_type")
+        .orderBy(asc_nulls_last("hv"), asc_nulls_last("event_id"))
+      val sk = ev
+        .withColumn("srk", row_number().over(wq))
+        .filter(col("srk") <= QuantK)
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("value"),
+          col("event_id")))).as("sk"), count(lit(1)).as("m"))
+      val nn = ev.groupBy("event_type").agg(count(lit(1)).as("n_full"))
+      def estq(q: String, alias: String) = expr(
+        s"element_at(sk, CAST(ceil(($q) * m) AS INT)).value").as(alias)
+      sk.join(nn, "event_type")
+        .select(col("event_type"), col("n_full"), col("m"),
+          estq("0.5", "est_p50"), estq("0.9", "est_p90"),
+          estq("0.99", "est_p99"))
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
+    // Quantile-sketch MERGE (the q_sketch_hll_union analogue): the
+    // per-event_type bottom-K sub-sketches — the state a distributed
+    // build keeps per shard — merge into ONE global sketch by "K
+    // smallest hashes of the concatenated sample lists" (associative,
+    // commutative: exactly the partial-agg merge), and the merged
+    // estimates are emitted BESIDE an independent single-pass global
+    // bottom-K (TakeOrderedAndProject — per-partition heaps, no global
+    // sort). The two paths must agree exactly: every global-bottom-K row
+    // is inside its group's bottom-K, so merge loses nothing — the law
+    // that makes the sketch safe to keep per-partition at 100 TB.
+    "q_sketch_quantile_merge" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("value").isNotNull)
+        .withColumn("hv",
+          expr(hvExpr("concat('qq_', CAST(event_id AS STRING))")))
+        .select("event_type", "event_id", "value", "hv")
+      val wq = Window.partitionBy("event_type")
+        .orderBy(asc_nulls_last("hv"), asc_nulls_last("event_id"))
+      val subs = ev
+        .withColumn("srk", row_number().over(wq))
+        .filter(col("srk") <= QuantK)
+        .groupBy("event_type")
+        .agg(collect_list(struct(col("hv"), col("event_id"),
+          col("value"))).as("sk"))
+      val merged = subs.agg(
+        expr(s"slice(sort_array(flatten(collect_list(sk))), 1, $QuantK)")
+          .as("mg"),
+        count(lit(1)).as("n_subs"))
+      val single = ev
+        .orderBy(asc_nulls_last("hv"), asc_nulls_last("event_id"))
+        .limit(QuantK)
+        .agg(collect_list(struct(col("hv"), col("event_id"),
+          col("value"))).as("sg"))
+      val nn = ev.agg(count(lit(1)).as("n_full"))
+      def estq(arr: String, q: String, alias: String) = expr(
+        s"element_at(sort_array(transform($arr, x -> x.value)), " +
+          s"CAST(ceil(($q) * size($arr)) AS INT))").as(alias)
+      merged.crossJoin(single).crossJoin(nn)
+        .filter(expr("size(mg) > 0"))
+        .select(col("n_full"), col("n_subs"),
+          expr("CAST(size(mg) AS BIGINT)").as("m_merged"),
+          expr("CAST(size(sg) AS BIGINT)").as("m_single"),
+          estq("mg", "0.5", "est_p50_merged"),
+          estq("sg", "0.5", "est_p50_single"),
+          estq("mg", "0.99", "est_p99_merged"),
+          estq("sg", "0.99", "est_p99_single"))
+    }),
+
     // Theta-sketch set algebra (Dasgupta et al., "Theta-Sketch
     // Framework", 2016) on the KMV machinery: DISTINCT-CUSTOMER overlap
     // of two order-year cohorts (1995 vs 1996 buyers — retention!)
@@ -579,6 +674,79 @@ object Sketches {
 
   val oracle: Map[String, String] = Map(
     "q_sketch_ams" -> amsOracle,
+    // Same 60-bit row-identity fold; the bottom-K and the nearest-rank
+    // selections restate the Spark side as windows (the PLAN differs —
+    // the RESULT is pure value selection, so it hash-matches exactly).
+    "q_sketch_quantile" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id, value,
+         |    ${sqlHv("'qq_' || CAST(event_id AS VARCHAR)")} AS hv
+         |  FROM events WHERE value IS NOT NULL
+         |), samp AS (
+         |  SELECT event_type, event_id, value FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY event_type
+         |      ORDER BY hv ASC, event_id ASC) AS srk
+         |    FROM ev) WHERE srk <= $QuantK
+         |), rk AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value ASC, event_id ASC) AS vrk,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS m
+         |  FROM samp
+         |), nn AS (
+         |  SELECT event_type, COUNT(*) AS n_full FROM ev GROUP BY 1
+         |), est AS (
+         |  SELECT event_type, m,
+         |    MAX(CASE WHEN vrk = CAST(ceil(0.5 * m) AS BIGINT)
+         |      THEN value END) AS est_p50,
+         |    MAX(CASE WHEN vrk = CAST(ceil(0.9 * m) AS BIGINT)
+         |      THEN value END) AS est_p90,
+         |    MAX(CASE WHEN vrk = CAST(ceil(0.99 * m) AS BIGINT)
+         |      THEN value END) AS est_p99
+         |  FROM rk GROUP BY 1, 2
+         |)
+         |SELECT e.event_type, n_full, CAST(m AS BIGINT) AS m,
+         |  est_p50, est_p90, est_p99
+         |FROM est e JOIN nn ON nn.event_type = e.event_type
+         |ORDER BY e.event_type ASC NULLS LAST""".stripMargin,
+
+    // Merged-vs-single equality is a THEOREM of bottom-K (every global
+    // bottom-K row is inside its group's bottom-K), so the oracle
+    // computes the global sample once and emits it for both paths; the
+    // Spark side must land the identical values through the actual
+    // merge machinery.
+    "q_sketch_quantile_merge" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id, value,
+         |    ${sqlHv("'qq_' || CAST(event_id AS VARCHAR)")} AS hv
+         |  FROM events WHERE value IS NOT NULL
+         |), g AS (
+         |  SELECT event_id, value FROM (
+         |    SELECT *, row_number() OVER (ORDER BY hv ASC, event_id ASC)
+         |      AS grk FROM ev)
+         |  WHERE grk <= $QuantK
+         |), rk AS (
+         |  SELECT value,
+         |    row_number() OVER (ORDER BY value ASC, event_id ASC) AS vrk,
+         |    COUNT(*) OVER () AS m
+         |  FROM g
+         |), est AS (
+         |  SELECT m,
+         |    MAX(CASE WHEN vrk = CAST(ceil(0.5 * m) AS BIGINT)
+         |      THEN value END) AS e50,
+         |    MAX(CASE WHEN vrk = CAST(ceil(0.99 * m) AS BIGINT)
+         |      THEN value END) AS e99
+         |  FROM rk GROUP BY 1
+         |), nn AS (
+         |  SELECT COUNT(*) AS n_full,
+         |    COUNT(DISTINCT event_type) AS n_subs
+         |  FROM ev
+         |)
+         |SELECT n_full, CAST(n_subs AS BIGINT) AS n_subs,
+         |  CAST(m AS BIGINT) AS m_merged, CAST(m AS BIGINT) AS m_single,
+         |  e50 AS est_p50_merged, e50 AS est_p50_single,
+         |  e99 AS est_p99_merged, e99 AS est_p99_single
+         |FROM est, nn""".stripMargin,
     // Same 60-bit fold, bit-length ρ, shift-built powers of two, and
     // verbatim raw/small-range trees (`//` and `<<` spellings produce
     // the same exact integers).

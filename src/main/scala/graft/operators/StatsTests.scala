@@ -1099,6 +1099,15 @@ object StatsTests {
             "x -> abs(x) >= abs(obs_diff))) AS BIGINT)"))
         .withColumn("p_value", expr(
           "CAST(n_ge AS DOUBLE) / CAST(n_splits AS DOUBLE)"))
+        // Degenerate-corpus parity (r11 ADVICE): the oracle's terminal
+        // GROUP BY over `diffs` yields 0 rows when every split is
+        // one-sided or the pooled corpus is empty, and obs_diff divides
+        // by zero when either group is empty — so this global aggregate
+        // drops its always-1 row in exactly those cases (the
+        // q_stats_bootstrap_se n_splits>0 move), keeping both engines
+        // at 0 rows on corpora the fixtures never produce.
+        .filter(col("n_splits") > 0 && col("n1") > 0
+          && (col("n") - col("n1")) > 0)
         .select(col("n1"), (col("n") - col("n1")).as("n2"),
           col("obs_diff"), col("n_splits"), col("n_ge"), col("p_value"))
     }),
@@ -2103,6 +2112,7 @@ object StatsTests {
         |    - CAST(sv - sv1 AS DOUBLE) / CAST(n - n1 AS DOUBLE)
         |      / CAST(10000 AS DOUBLE) AS obs_diff
         |  FROM tot
+        |  WHERE n1 > 0 AND n - n1 > 0
         |), diffs AS (
         |  SELECT CAST(r.svb AS DOUBLE) / CAST(r.sw AS DOUBLE)
         |      / CAST(10000 AS DOUBLE)

@@ -226,8 +226,9 @@ object VectorOps {
     * knob: each vector keeps its k nearest centroids, with the 1-based
     * nearness rank exposed as `crank` (the recall/cost-curve axis). */
   private def centroidAssign(s: SparkSession, e: DataFrame,
-      vecs: DataFrame, k: Int = 1): DataFrame = {
-    val cents = broadcast(e.filter(col("vec_id") < IvfCentroids)
+      vecs: DataFrame, k: Int = 1,
+      nCents: Long = IvfCentroids): DataFrame = {
+    val cents = broadcast(e.filter(col("vec_id") < nCents)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
         lit(1).as("_one")))
     val wAssign = Window.partitionBy("vec_id")
@@ -510,20 +511,26 @@ object VectorOps {
     // the list a curation run reviews to pick the dedup threshold.
     // Two-phase ranking like q_dedup_embed: the codegen'd float dot
     // screens each cluster to 20 candidates, the exact-decimal dot
-    // settles the declared top-3. Scale, stated HONESTLY (r11 sf1
-    // audit): the in-cluster fan-out is Θ((n/k)²·k) float dots — the
-    // SemDeDup paper's own cost, and with this query's FIXED k=8 it is
-    // the inventory's one deliberately quadratic member (sf1's 10×
-    // duplicated embedding corpus grew internal pairs 100×; wall grew
-    // 16×, sub-pair-linear because WindowGroupLimit prunes top-20 per
-    // cluster map-side before any exchange). The exact top-3-cosine-
-    // per-cluster CONTRACT makes the in-cluster pair scan irreducible;
-    // at 100 TB you grow k with the corpus (the paper's 50k clusters)
-    // so n/k stays bounded — and the sub-quadratic screening path when
-    // exactness is negotiable is the LSH-bucketed q_dedup_embed.
+    // settles the declared top-3. Scale (the r11 sf1 audit's one >10×
+    // member, fixed r12): the in-cluster fan-out is Θ((n/k)²·k) float
+    // dots — the SemDeDup paper's own cost — so k now GROWS WITH THE
+    // CORPUS, k = max(8, ceil(n/500)), computed once on the driver
+    // (exactly the q_join_bloom n_orders precedent: a bounded count →
+    // a deterministic plan literal the oracle mirrors as a scalar
+    // subquery). Clusters stay ≤~500 vectors, the pair bill per cluster
+    // is capped at ~125k float dots, and the TOTAL bill is ~125·n —
+    // linear in the corpus, the paper's own recipe (50k clusters at
+    // web scale). WindowGroupLimit still prunes top-20 per cluster
+    // map-side before any exchange. The exact top-3-cosine-per-cluster
+    // CONTRACT is unchanged at every SF where ceil(n/500) ≤ 8 (all
+    // three fixtures), and the sub-quadratic screening path when
+    // exactness is negotiable remains the LSH-bucketed q_dedup_embed.
     "q_dedup_semantic" -> ((s, d) => {
       val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
-      val cl = centroidAssign(s, e, e).select("vec_id", "cluster")
+      val kSem = math.max(IvfCentroids.toLong,
+        math.ceil(e.count() / 500.0).toLong)
+      val cl = centroidAssign(s, e, e, nCents = kSem)
+        .select("vec_id", "cluster")
       val m = e.join(cl, "vec_id")
         .select(col("cluster"), col("vec_id"), col("embedding"))
       val a = m.select(col("cluster"), col("vec_id").as("vec_a"),
@@ -2862,11 +2869,18 @@ object VectorOps {
     // The residualOracleCtes assignment idiom (exact-decimal cdot
     // argmax) + in-cluster all-pairs exact cosine, window top-3 —
     // states the screening semantics directly; the Spark side's float
-    // prefilter must land the same exact-decimal top-3.
+    // prefilter must land the same exact-decimal top-3. The cluster
+    // count mirrors the Spark side's corpus-derived driver literal
+    // k = max(8, ceil(n/500)) as a scalar subquery over the same
+    // non-null corpus — both engines see the same n, so the same k.
     "q_dedup_semantic" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS ccid, embedding AS cemb FROM embeddings
-         |  WHERE vec_id < $IvfCentroids
+      s"""WITH p AS (
+         |  SELECT GREATEST($IvfCentroids,
+         |    CAST(ceil(count(*) / 500.0) AS BIGINT)) AS k
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), cents AS (
+         |  SELECT vec_id AS ccid, embedding AS cemb FROM embeddings, p
+         |  WHERE vec_id < p.k AND embedding IS NOT NULL
          |), aa AS (
          |  SELECT e2.vec_id, c.ccid,
          |    ${sqlDot("e2.embedding", "c.cemb")} AS cdot

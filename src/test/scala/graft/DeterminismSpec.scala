@@ -68,12 +68,22 @@ class DeterminismSpec extends SparkSpec {
   private def assertPartitionInvariant(name: String): Unit = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
+      // NamedStages survive across queries by design; here each side
+      // must REBUILD its shared stages under its own partition setting
+      // or the invariance check is vacuous for the cached subtree
+      // (r11 ADVICE: nearDupCands built at 3 partitions would be read
+      // verbatim by the 13-partition run).
       spark.conf.set("spark.sql.shuffle.partitions", "3")
+      NamedStages.clearAll(spark)
       val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "13")
+      NamedStages.clearAll(spark)
       val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
       assert(a == b, s"$name changed under repartitioning")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      NamedStages.clearAll(spark)
+    }
   }
 
   /** FULL-INVENTORY sweep (r10 verdict item #5): every declared query
@@ -97,18 +107,42 @@ class DeterminismSpec extends SparkSpec {
 
   test("every other FP-bearing declared query is identical at " +
       "shuffle.partitions 3 vs 13 (auto-discovered from result schemas)") {
-    val rest = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => sensitive.contains(n) }
-      .filter { case (_, fn) => hasFloating(fn(spark, sf).schema) }
-    assert(rest.nonEmpty, "schema sweep found nothing — wiring bug")
-    val failures = rest.flatMap { case (name, _) =>
-      try { assertPartitionInvariant(name); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // Discovery and the 3-partition sample share ONE construction per
+      // query (r11 ADVICE: a separate discovery pass fully executes the
+      // driver-loop queries — graph BFS, kmeans — a third time just to
+      // read .schema). The schema gates enrollment; the same frame's
+      // collect IS the 3-partition side. NamedStages are cleared at each
+      // setting so shared stages rebuild under the partitioning being
+      // tested instead of serving the first setting's bytes verbatim.
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      NamedStages.clearAll(spark)
+      val threes = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => sensitive.contains(n) }
+        .flatMap { case (name, fn) =>
+          val df = fn(spark, sf)
+          if (hasFloating(df.schema)) Some((name, df.collect().toSeq))
+          else None
+        }
+      assert(threes.nonEmpty, "schema sweep found nothing — wiring bug")
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      NamedStages.clearAll(spark)
+      val failures = threes.flatMap { case (name, a) =>
+        try {
+          val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
+          if (a == b) None
+          else Some(s"$name changed under repartitioning")
+        } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+      }
+      assert(failures.isEmpty,
+        s"${failures.size}/${threes.size} FP-bearing queries changed " +
+          s"under repartitioning:\n${failures.mkString("\n")}")
+      info(s"${threes.size} auto-discovered FP-bearing queries invariant " +
+        s"(+ ${sensitive.size} curated)")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      NamedStages.clearAll(spark)
     }
-    assert(failures.isEmpty,
-      s"${failures.size}/${rest.size} FP-bearing queries changed under " +
-        s"repartitioning:\n${failures.mkString("\n")}")
-    info(s"${rest.size} auto-discovered FP-bearing queries invariant " +
-      s"(+ ${sensitive.size} curated)")
   }
 }

@@ -1792,27 +1792,57 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Double]("sd_pooled") > 0)
   }
 
-  test("q_ts_hurst: R/S means are positive, window counts are the " +
-      "expected floor(n/w), and the exponent is a plausible [0,1] " +
-      "long-memory reading") {
+  test("q_ts_hurst: span-adaptive bank is {4,8,16} on the 30-day " +
+      "fixture, R/S grows with w, and the exponent is a plausible " +
+      "[0,1] long-memory reading") {
     val r = EventAnalytics.queries("q_ts_hurst")(spark, sf)
       .collect().head
     val nDays = Tables.table(spark, sf, "events")
       .select(org.apache.spark.sql.functions.to_date(
         org.apache.spark.sql.functions.col("ts")).as("day"))
       .distinct().count()
+    assert(r.getAs[Long]("n_days") == nDays)
+    // M = max(4, floor(log2(30/2))) = 4 → the historical {4,8,16}
+    assert(r.getAs[Long]("n_bank") == 3L)
+    assert(r.getAs[Long]("w_max") == 16L)
     // full windows only, MINUS any zero-variance window (excluded by
-    // convention) — so counts are bounded by floor(n/w) and nonzero
-    // on the fixture
-    assert(r.getAs[Long]("nw4") <= nDays / 4
-      && r.getAs[Long]("nw4") >= 1L)
-    assert(r.getAs[Long]("nw8") <= nDays / 8
-      && r.getAs[Long]("nw8") >= 1L)
-    assert(r.getAs[Long]("nw16") <= nDays / 16
-      && r.getAs[Long]("nw16") >= 1L)
+    // convention) — total bounded by Σ floor(n/w), nonzero on fixture
+    val nwTotal = r.getAs[Long]("nw_total")
+    assert(nwTotal >= 3L && nwTotal <= nDays / 4 + nDays / 8 + nDays / 16)
     // R/S grows with w for any non-degenerate series
-    assert(r.getAs[Double]("rs4") > 0)
-    assert(r.getAs[Double]("rs16") > r.getAs[Double]("rs4"))
+    assert(r.getAs[Double]("rs_wmin") > 0)
+    assert(r.getAs[Double]("rs_wmax") > r.getAs[Double]("rs_wmin"))
+    val h = r.getAs[Double]("hurst")
+    assert(h > 0.0 && h < 1.0, s"hurst $h outside (0,1)")
+  }
+
+  test("q_ts_hurst: a 300-day production span extends the bank to " +
+      "w_max=128 automatically (the r11 span-adaptivity requirement)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("hurst_span").toString
+    // deterministic non-degenerate daily pattern over 300 days
+    val rows = (0 until 300).flatMap { day =>
+      val cnt = 3 + (day % 7) + ((day * day) % 11) % 3
+      (0 until cnt).map { k =>
+        (day.toLong * 100 + k,
+          java.sql.Timestamp.valueOf(
+            java.time.LocalDateTime.of(2024, 1, 1, 1, 0)
+              .plusDays(day.toLong)),
+          k.toLong, "click", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventAnalytics.queries("q_ts_hurst")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_days") == 300L)
+    // M = max(4, floor(log2(150))) = 7 → bank {4,8,16,32,64,128}
+    assert(r.getAs[Long]("w_max") == 128L,
+      s"wider bank must engage on the 10x span, got w_max=" +
+        r.getAs[Long]("w_max"))
+    assert(r.getAs[Long]("n_bank") == 6L)
     val h = r.getAs[Double]("hurst")
     assert(h > 0.0 && h < 1.0, s"hurst $h outside (0,1)")
   }

@@ -227,4 +227,51 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - users.length) <= tol,
       s"estimate $est vs exact ${users.length} (tol $tol)")
   }
+
+  test("q_sketch_quantile: rank error within the DKW envelope at sf0.1 " +
+      "(groups genuinely subsample there), exact mode below K") {
+    val big = "/root/testdata/sf0.1"
+    val rows = Sketches.queries("q_sketch_quantile")(spark, big).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.table(spark, big, "events")
+      .filter(col("value").isNotNull)
+    // DKW: P(sup_q |F_sample(q) - F(q)| > eps) <= 2 exp(-2 K eps²);
+    // eps = sqrt(ln(2/δ)/(2K)) at δ=1e-4 is ~0.035 for K=4096 — the
+    // fixture is deterministic, so this either holds or the sampler is
+    // biased. +1/n covers nearest-rank discretization.
+    val eps = math.sqrt(math.log(2.0 / 1e-4) / (2.0 * Sketches.QuantK))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val (nFull, m) = (r.getAs[Long]("n_full"), r.getAs[Long]("m"))
+      assert(m == math.min(Sketches.QuantK.toLong, nFull),
+        s"$et: sample size $m != min(K, $nFull)")
+      assert(nFull > Sketches.QuantK,
+        s"$et: sf0.1 group must exceed K or the test is vacuous")
+      val grp = ev.filter(col("event_type") === et)
+      Seq(0.5 -> "est_p50", 0.9 -> "est_p90", 0.99 -> "est_p99")
+        .foreach { case (q, cn) =>
+          val est = r.getAs[Double](cn)
+          val le = grp.filter(col("value") <= est).count().toDouble
+          val lt = grp.filter(col("value") < est).count().toDouble
+          // est's possible quantile positions span [lt/n, le/n] (ties);
+          // the target q must be within eps + 1/n of that interval
+          val slack = eps + 1.0 / nFull
+          assert(q >= lt / nFull - slack && q <= le / nFull + slack,
+            s"$et $cn=$est: rank in [${lt / nFull}, ${le / nFull}], " +
+              s"target $q, eps $eps")
+        }
+    }
+  }
+
+  test("q_sketch_quantile_merge: merged sub-sketches equal the " +
+      "single-pass global sketch exactly (the mergeability law)") {
+    val r = Sketches.queries("q_sketch_quantile_merge")(spark,
+      "/root/testdata/sf0.01").collect().head
+    assert(r.getAs[Long]("m_merged") == r.getAs[Long]("m_single"))
+    assert(r.getAs[Double]("est_p50_merged") ==
+      r.getAs[Double]("est_p50_single"))
+    assert(r.getAs[Double]("est_p99_merged") ==
+      r.getAs[Double]("est_p99_single"))
+    assert(r.getAs[Long]("n_subs") == 5L) // the 5 fixture event types
+  }
 }
