@@ -1391,20 +1391,28 @@ object EventAnalytics {
     // ONE trailing IEEE division (the n² in Var and the 1/n in Mean
     // partially cancel, so no intermediate division exists). Scale:
     // one keyed day-grain partial agg; the per-type moments are a
-    // second slim aggregate. (BIGINT headroom: n·Σx² overflows only
-    // past ~10⁶ events/day·type over 10 years — DECIMAL(38,0) is the
-    // drop-in if a deployment exceeds it.)
+    // second slim aggregate. The moments live in DECIMAL(38,0) (r12
+    // overflow sweep: the old BIGINT n·Σx² wrapped past ~10⁶
+    // events/day·type over 10 years — two orders BELOW a 100 TB
+    // deployment's daily volume); wide values route to DOUBLE via
+    // VARCHAR, the engine-portable convention.
     "q_ts_fano" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("x"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_days"), sum("x").as("n_events"),
-          sum(col("x") * col("x")).as("sxx"))
+          sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))"))
+            .as("sxx"))
+        .withColumn("vn", expr(
+          "n_days * sxx - CAST(n_events AS DECIMAL(38,0)) " +
+            "* CAST(n_events AS DECIMAL(38,0))"))
         .selectExpr("event_type", "n_days", "n_events",
-          "n_days * sxx - n_events * n_events AS var_num",
-          "CAST(n_days * sxx - n_events * n_events AS DOUBLE) " +
-            "/ CAST(n_days * n_events AS DOUBLE) AS fano")
+          "CAST(CAST(vn AS STRING) AS DOUBLE) AS var_num",
+          "CAST(CAST(vn AS STRING) AS DOUBLE) " +
+            "/ CAST(CAST(CAST(CAST(n_days AS DECIMAL(38,0)) " +
+            "* CAST(n_events AS DECIMAL(38,0)) AS STRING) AS DOUBLE) " +
+            "AS DOUBLE) AS fano")
         .orderBy(asc_nulls_last("event_type"))),
 
     // Hurst exponent via rescaled-range analysis (Hurst 1951; the R/S
@@ -1455,12 +1463,20 @@ object EventAnalytics {
       val wc = Window.partitionBy("w", "widx")
         .orderBy(asc_nulls_last("j"))
       val cum = ws.withColumn("cx", sum(col("x")).over(wc))
+      // x² and the w·Σx² − S² variance live in DECIMAL(38,0) (r12
+      // overflow sweep: a 100 TB day sees ~1e9+ events, so x² brushes
+      // 2⁶³ and S_w² crosses it); the wide value routes to DOUBLE via
+      // VARCHAR (the engine-portable decimal→double convention). wy
+      // stays BIGINT: |wy| ≤ w·S_w ≤ 128·window-events — 2⁶³ needs an
+      // 7e16-event window, three orders past the x² wrap point.
       val tot = ws.groupBy("w", "widx")
         .agg(count(lit(1)).as("cnt"), sum("x").as("sw"),
-          sum(expr("x * x")).as("sxx"))
+          sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))"))
+            .as("sxx"))
       val rs = cum.join(tot, Seq("w", "widx"))
         .filter(col("cnt") === col("w")
-          && expr("cnt * sxx - sw * sw") > 0L)
+          && expr("cnt * sxx - CAST(sw AS DECIMAL(38,0)) " +
+            "* CAST(sw AS DECIMAL(38,0))") > 0L)
         .withColumn("wy", expr("w * cx - (j + 1) * sw"))
         .groupBy("w", "widx")
         .agg(max("wy").as("maxy"), min("wy").as("miny"),
@@ -1469,7 +1485,8 @@ object EventAnalytics {
         .withColumn("rsv", expr(
           "CAST(greatest(maxy, CAST(0 AS BIGINT)) " +
             "- least(miny, CAST(0 AS BIGINT)) AS DOUBLE) " +
-            "/ sqrt(CAST(cnt * sxxx - swx * swx AS DOUBLE))"))
+            "/ sqrt(CAST(CAST(cnt * sxxx - CAST(swx AS DECIMAL(38,0)) " +
+            "* CAST(swx AS DECIMAL(38,0)) AS STRING) AS DOUBLE))"))
         .withColumn("qrs", expr(
           "CAST(floor(rsv * CAST(10000000000 AS DOUBLE) " +
             "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
@@ -2470,7 +2487,8 @@ object EventAnalytics {
         |SELECT day, n_events, y, trend, seasonal, resid FROM dec
         |ORDER BY day ASC NULLS LAST""".stripMargin,
 
-    // Same day-grain moments; the single division text is identical.
+    // Same day-grain moments in HUGEINT (the Spark DECIMAL(38,0)
+    // twin); wide values route to DOUBLE via VARCHAR on both engines.
     "q_ts_fano" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
@@ -2479,14 +2497,21 @@ object EventAnalytics {
         |), m AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
         |    CAST(SUM(x) AS BIGINT) AS n_events,
-        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
         |  FROM daily GROUP BY event_type
+        |), v AS (
+        |  SELECT event_type, n_days, n_events,
+        |    n_days * sxx - CAST(n_events AS HUGEINT)
+        |      * CAST(n_events AS HUGEINT) AS vn
+        |  FROM m
         |)
         |SELECT event_type, n_days, n_events,
-        |  n_days * sxx - n_events * n_events AS var_num,
-        |  CAST(n_days * sxx - n_events * n_events AS DOUBLE)
-        |    / CAST(n_days * n_events AS DOUBLE) AS fano
-        |FROM m ORDER BY event_type ASC NULLS LAST""".stripMargin,
+        |  CAST(CAST(vn AS VARCHAR) AS DOUBLE) AS var_num,
+        |  CAST(CAST(vn AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(CAST(n_days AS HUGEINT)
+        |      * CAST(n_events AS HUGEINT) AS VARCHAR) AS DOUBLE)
+        |    AS DOUBLE) AS fano
+        |FROM v ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     // The decompose CTEs, then the same quantized-decimal variance
     // ratios with VARCHAR-routed casts.
@@ -3089,13 +3114,14 @@ object EventAnalytics {
         |  FROM ws
         |), tot AS (
         |  SELECT w, widx, COUNT(*) AS cnt, CAST(SUM(x) AS BIGINT) AS sw,
-        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
         |  FROM ws GROUP BY 1, 2
         |), dev AS (
         |  SELECT c.w, c.widx, t.cnt, t.sw AS swx, t.sxx AS sxxx,
         |    CAST(c.w * c.cx - (c.j + 1) * t.sw AS BIGINT) AS wy
         |  FROM cum c JOIN tot t ON t.w = c.w AND t.widx = c.widx
-        |  WHERE t.cnt = c.w AND t.cnt * t.sxx - t.sw * t.sw > 0
+        |  WHERE t.cnt = c.w AND t.cnt * t.sxx
+        |    - CAST(t.sw AS HUGEINT) * CAST(t.sw AS HUGEINT) > 0
         |), rs AS (
         |  SELECT w, widx, MAX(wy) AS maxy, MIN(wy) AS miny,
         |    MAX(swx) AS swx, MAX(sxxx) AS sxxx, MAX(cnt) AS cnt
@@ -3104,7 +3130,8 @@ object EventAnalytics {
         |  SELECT w, CAST(floor(
         |    (CAST(greatest(maxy, CAST(0 AS BIGINT))
         |      - least(miny, CAST(0 AS BIGINT)) AS DOUBLE)
-        |     / sqrt(CAST(cnt * sxxx - swx * swx AS DOUBLE)))
+        |     / sqrt(CAST(CAST(cnt * sxxx - CAST(swx AS HUGEINT)
+        |       * CAST(swx AS HUGEINT) AS VARCHAR) AS DOUBLE)))
         |    * CAST(10000000000 AS DOUBLE)
         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qrs
         |  FROM rs

@@ -372,6 +372,12 @@ object Relational {
         .withColumn("k", count(lit(1)).over(w))
         .withColumn("st", sum("tt").over(w))
         .withColumn("sy", sum("yy").over(w))
+        // BIGINT survivor of the r12 overflow sweep, bounded by the
+        // 7-row frame: den = k·stt − st² ≤ 49·T² for T = span seconds
+        // since the 2024 epoch, which stays under 2⁶³ until T ≈ 4.3e8 s
+        // ≈ 13.7 YEARS of data — and tt·yy ≤ T·|v|·10⁴ needs |v| ≤ 2e5
+        // at that span. PropertyLawsSpec pins both bounds numerically;
+        // past them the epoch base (not the width) is what to move.
         .withColumn("stt", sum(expr("tt * tt")).over(w))
         .withColumn("sty", sum(expr("tt * yy")).over(w))
         .withColumn("den", expr("k * stt - st * st"))

@@ -360,8 +360,8 @@ object Sketches {
     // column at 100 TB (F2 IS the self-join size). Everything but the
     // final mean/error divisions is exact integers: users collapse to
     // (user, f) in ONE keyed agg, each user row derives its 16 signs
-    // from one md5, and the counters/c², f² sums are BIGINT-safe (f ≤
-    // events, |c_j| ≤ n). Scale: the sketch is what scales — the
+    // from one md5; counters are BIGINT-safe (|c_j| ≤ n) while f² goes
+    // through DECIMAL(38,0) (see below). Scale: the sketch is what scales — the
     // per-user frame never re-shuffles, counters are 16 map-side-
     // combined sums, mergeable across shards by addition.
     "q_sketch_ams" -> ((s, d) => {
@@ -377,17 +377,22 @@ object Sketches {
         sum(expr(s"sg$j * f")).as(s"c$j"))
       // c² in DOUBLE (|c_j| ≤ n can square past 2⁶³ at extreme scale);
       // the 16-term sum is one fixed left-assoc tree — identical text
-      // both engines, so the estimate is bit-stable
+      // both engines, so the estimate is bit-stable. f² sums live in
+      // DECIMAL(38,0) (r12 overflow sweep: ONE key with >3·10⁹ events
+      // wraps BIGINT f² — a plausible heavy hitter at 100 TB) and the
+      // wide exact moment routes to DOUBLE via VARCHAR on both engines.
       val cSq = (0 until nC)
         .map(j => s"CAST(c$j AS DOUBLE) * CAST(c$j AS DOUBLE)")
         .mkString(" + ")
       ucnt.select(Seq(col("f")) ++ signCols: _*)
-        .agg(sum(expr("f * f")).as("f2_exact"), aggs: _*)
+        .agg(sum(expr(
+          "CAST(f AS DECIMAL(38,0)) * CAST(f AS DECIMAL(38,0))"))
+          .as("f2x"), aggs: _*)
+        .withColumn("f2_exact", expr("CAST(CAST(f2x AS STRING) AS DOUBLE)"))
         .withColumn("f2_est", expr(
           s"($cSq) / CAST($nC AS DOUBLE)"))
         .withColumn("rel_err", expr(
-          "abs(f2_est - CAST(f2_exact AS DOUBLE)) " +
-            "/ CAST(f2_exact AS DOUBLE)"))
+          "abs(f2_est - f2_exact) / f2_exact"))
         .select(col("f2_exact"), col("f2_est"), col("rel_err"),
           lit(nC.toLong).as("n_counters"))
     }),
@@ -657,17 +662,16 @@ object Sketches {
        |    $signCols
        |  FROM hh
        |), ag AS (
-       |  SELECT CAST(SUM(f * f) AS BIGINT) AS f2_exact,
+       |  SELECT SUM(CAST(f AS HUGEINT) * CAST(f AS HUGEINT)) AS f2x,
        |    $cAggs
        |  FROM sg
        |), est AS (
-       |  SELECT f2_exact,
+       |  SELECT CAST(CAST(f2x AS VARCHAR) AS DOUBLE) AS f2_exact,
        |    ($cSq) / CAST(16 AS DOUBLE) AS f2_est
        |  FROM ag
        |)
        |SELECT f2_exact, f2_est,
-       |  abs(f2_est - CAST(f2_exact AS DOUBLE))
-       |    / CAST(f2_exact AS DOUBLE) AS rel_err,
+       |  abs(f2_est - f2_exact) / f2_exact AS rel_err,
        |  CAST(16 AS BIGINT) AS n_counters
        |FROM est""".stripMargin
   }

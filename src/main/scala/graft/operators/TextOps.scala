@@ -144,7 +144,14 @@ object TextOps {
       sizes.groupBy("sz")
         .agg(count(lit(1)).as("n_buckets"))
         .select(col("sz").as("bucket_size"), col("n_buckets"),
-          // integer DIV: the product is even, keep it off the FP path
+          // integer DIV: the product is even, keep it off the FP path.
+          // BIGINT survivor of the r12 overflow sweep: the pair bill
+          // per histogram row wraps only past 9.2e18 candidate pairs —
+          // ~300 years of verification at 1e9 cmp/s, i.e. a single
+          // bucket of >4.29e9 docs, two orders past where maxBucket
+          // already refuses to expand buckets (TextDedup). The reading
+          // saturates only where no configuration could ever run.
+          // PropertyLawsSpec pins the 4.29e9 single-bucket bound.
           expr("CAST(n_buckets * sz * (sz - 1) DIV 2 AS BIGINT)")
             .as("n_candidate_pairs"))
         .orderBy(asc_nulls_last("bucket_size"))
@@ -1684,8 +1691,18 @@ object TextOps {
         .withColumn("_one", lit(1))
         .join(total, "_one")
         .filter(col("n_ab") >= 5)
+        // operand-first DECIMAL(38,0) (r12 overflow sweep: n_ab·n_total
+        // in BIGINT wraps once the corpus passes ~10⁹ bigrams with a
+        // 10⁹-count pair — routine at 100 TB; the widened product peaks
+        // at ~1e29 ≪ 1e38). The QUOTIENT stays BIGINT: it is
+        // 1e6 × the PMI lift, which exceeds 9.2e18 only for a ≥5-count
+        // bigram whose tokens never appear apart in a >4.6e13-bigram
+        // corpus — a pathological token pair, not a statistic.
         .withColumn("pmi_scaled", expr(
-          "(n_ab * n_total * CAST(1000000 AS BIGINT)) DIV (n_a * n_b)"))
+          "CAST((CAST(n_ab AS DECIMAL(38,0)) " +
+            "* CAST(n_total AS DECIMAL(38,0)) * 1000000) " +
+            "DIV (CAST(n_a AS DECIMAL(38,0)) " +
+            "* CAST(n_b AS DECIMAL(38,0))) AS BIGINT)"))
         .select("a", "b", "n_ab", "n_a", "n_b", "pmi_scaled")
         .orderBy(desc_nulls_last("pmi_scaled"),
           asc_nulls_last("a"), asc_nulls_last("b"))
@@ -3116,8 +3133,9 @@ object TextOps {
         |  FROM c
         |)
         |SELECT a, b, n_ab, n_a, n_b,
-        |  CAST((n_ab * n_total * 1000000) // (n_a * n_b) AS BIGINT)
-        |    AS pmi_scaled
+        |  CAST((CAST(n_ab AS HUGEINT) * CAST(n_total AS HUGEINT)
+        |    * 1000000) // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT))
+        |    AS BIGINT) AS pmi_scaled
         |FROM m WHERE n_ab >= 5
         |ORDER BY pmi_scaled DESC NULLS LAST, a ASC NULLS LAST,
         |  b ASC NULLS LAST

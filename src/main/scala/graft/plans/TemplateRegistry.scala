@@ -37,11 +37,22 @@ final class TemplateRegistry {
   }
 
   /** Publish flips the draft flag — published versions are what triggers
-    * resolve against. */
+    * resolve against. CAS loop (r12): the naive get-then-put lost a
+    * concurrent writer's `put` on the same (id, version) — publish
+    * would resurrect the json it had read, silently merging two writes
+    * into a state neither writer produced. With `replace` the flip
+    * only lands on the exact entry it read; if a concurrent put wins,
+    * publish retries against the NEW entry, so the final state is
+    * always some writer's complete write (last-write-wins, never a
+    * splice). ControlPlaneSpec races two writers to pin this. */
   def publish(id: String, version: Int): Unit = {
-    val e = store.getOrElse((id, version),
-      throw new NoSuchElementException(s"template $id v$version"))
-    store((id, version)) = e.copy(draft = false)
+    var done = false
+    while (!done) {
+      val e = store.getOrElse((id, version),
+        throw new NoSuchElementException(s"template $id v$version"))
+      done = !e.draft ||
+        store.replace((id, version), e, e.copy(draft = false))
+    }
   }
 
   def get(id: String, version: Int): Option[String] =
@@ -129,17 +140,30 @@ final class TemplateRegistry {
     * file each, no partitioning. */
   def saveTo(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
-    store.readOnlySnapshot().toSeq
+    // The three maps snapshot at different instants, so a writer racing
+    // the save can register a trigger whose template is missing from
+    // the template snapshot — a torn save that loadFrom would then
+    // reject wholesale (r12). Snapshot templates FIRST and filter both
+    // trigger snapshots to keys that exist in it: the saved state is a
+    // consistent point-in-time view (a trigger registered mid-save
+    // simply waits for the next save), and every saveTo output is
+    // loadable by construction. ControlPlaneSpec races a saver against
+    // a writer to pin this.
+    val tplSnap = store.readOnlySnapshot().toSeq
+    val tplKeys = tplSnap.map(_._1).toSet
+    tplSnap
       .map { case ((id, v), e) => (id, v, e.json, e.draft) }
       .toDF("id", "version", "json", "draft")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/templates")
     triggers.readOnlySnapshot().toSeq
+      .filter { case (_, key) => tplKeys.contains(key) }
       .map { case (et, (id, v)) => (et, id, v) }
       .toDF("event_type", "id", "version")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/triggers")
     patternTriggers.readOnlySnapshot().toSeq
+      .filter { case (_, key) => tplKeys.contains(key) }
       .map { case (p, (id, v)) => (p, id, v) }
       .toDF("pattern", "id", "version")
       .coalesce(1)

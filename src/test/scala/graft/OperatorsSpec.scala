@@ -1666,7 +1666,7 @@ class OperatorsSpec extends SparkSpec {
   test("q_sketch_ams: the tug-of-war estimate lands within the " +
       "Chebyshev band of the exact F2") {
     val r = Sketches.queries("q_sketch_ams")(spark, sf).collect().head
-    val exact = r.getAs[Long]("f2_exact").toDouble
+    val exact = r.getAs[Double]("f2_exact")
     val est = r.getAs[Double]("f2_est")
     assert(exact > 0 && est > 0)
     // Var(mean of 16) <= 2 F2^2 / 16 => sd <= 0.354 F2; allow 4 sd

@@ -122,11 +122,27 @@ class PlanRegressionSpec extends SparkSpec {
     // partitioned by day
     // q_ts_cusum's rank+cumsum window likewise runs over the day-grain
     // frame (one row per calendar day), merged into a single node
-    // allowed maps each query to the max day/value-domain-bounded
-    // global-window NODES its plan may carry (node count, not distinct
-    // windows: an unpersisted multi-consumer frame duplicates its
-    // window subtree IDENTICALLY, and ReuseExchange computes it once)
-    val allowed = Map("q_concurrency_peak" -> 1, "q_ts_cusum" -> 1,
+    val allowed = globalWindowCap
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed.contains).foreach { name =>
+      val found = globalWindows(SparkEntry.queries(name)(spark, sf))
+      assert(found.isEmpty, s"$name plans a global window: $found")
+    }
+    // the allowlisted queries still have their event-grain work keyed:
+    // only the declared day-grain window nodes may appear
+    allowed.foreach { case (name, cap) =>
+      val found = globalWindows(SparkEntry.queries(name)(spark, sf))
+      assert(found.size <= cap, s"$name grew extra global windows: $found")
+    }
+  }
+
+  // globalWindowCap maps each query to the max day/value-domain-bounded
+  // global-window NODES its plan may carry (node count, not distinct
+  // windows: an unpersisted multi-consumer frame duplicates its
+  // window subtree IDENTICALLY, and ReuseExchange computes it once).
+  // Class-level so the sf0.1 sweep asserts the same contract.
+  private val globalWindowCap =
+    Map("q_concurrency_peak" -> 1, "q_ts_cusum" -> 1,
       // q_changepoint shares q_ts_cusum's skeleton: its single merged
       // rank+prefix-sum window runs over the day-grain frame (one row
       // per calendar day — bounded by the time span, not events)
@@ -187,18 +203,6 @@ class PlanRegressionSpec extends SparkSpec {
       // per-window totals branches (ReuseExchange computes it once —
       // the q_ts_decompose argument)
       "q_ts_hurst" -> 2)
-    SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(allowed.contains).foreach { name =>
-      val found = globalWindows(SparkEntry.queries(name)(spark, sf))
-      assert(found.isEmpty, s"$name plans a global window: $found")
-    }
-    // the allowlisted queries still have their event-grain work keyed:
-    // only the declared day-grain window nodes may appear
-    allowed.foreach { case (name, cap) =>
-      val found = globalWindows(SparkEntry.queries(name)(spark, sf))
-      assert(found.size <= cap, s"$name grew extra global windows: $found")
-    }
-  }
 
   // The scale-killer gate: a nested-loop join is quadratic in its inputs,
   // so it is only acceptable where one side is provably bounded — the
@@ -209,10 +213,19 @@ class PlanRegressionSpec extends SparkSpec {
   // that plans one is a regression that would melt at 100 TB even though
   // its values still verify.
   test("BroadcastNestedLoopJoin only on the allowlisted bounded queries") {
-    // allowlisted = provably bounded: one side is a 1-row aggregate on a
-    // constant key (docfreq/tfidf corpus count, simsearch probe) or an
-    // explicitly filtered verify stage (dedup_embed)
-    val allowed = Set("q_dedup_embed", "q_simsearch_topk", "q_ann_ivf",
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      if (!bnljAllowed(name))
+        assert(!plan(name).contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unbounded nested-loop join")
+    }
+  }
+
+  // allowlisted = provably bounded: one side is a 1-row aggregate on a
+  // constant key (docfreq/tfidf corpus count, simsearch probe) or an
+  // explicitly filtered verify stage (dedup_embed). Class-level so the
+  // sf0.1 sweep asserts the same contract.
+  private val bnljAllowed =
+    Set("q_dedup_embed", "q_simsearch_topk", "q_ann_ivf",
       "q_text_docfreq", "q_text_tfidf",
       // broadcast-k centroid assignment: the equi-key is a constant, so
       // Catalyst folds it away and the join is a k-row broadcast — linear
@@ -420,12 +433,43 @@ class PlanRegressionSpec extends SparkSpec {
       // the |sources|-bounded (≤ tens of rows at any corpus size)
       // pair-side broadcast on a constant key plus the 1-row pair-fold
       // broadcast — the q_stats_wilcoxon_signed bounded-frame argument
-      "q_source_gini")
-    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      if (!allowed(name))
-        assert(!plan(name).contains("BroadcastNestedLoopJoin"),
-          s"$name plans an unbounded nested-loop join")
-    }
+      "q_source_gini",
+      // two 1-row sketch-aggregate broadcasts (the merged ≤K-element
+      // list and the single-pass ≤K-element list) crossed with the
+      // 1-row count — every nested-loop side is exactly one row, the
+      // q_stats_ttest shape
+      "q_sketch_quantile_merge")
+
+  // The r11 verdict's item #6: the four structural gates above run at
+  // sf0.001, where AQE's broadcast thresholds can hide size-driven
+  // join-strategy flips. This sweep re-asserts ALL FOUR invariants
+  // (no cartesian, SortAggregate allowlist, global-window caps, BNLJ
+  // allowlist) against the plans AS COMPILED AT sf0.1 — the largest
+  // local fixture — with one construction per query. Any plan shape
+  // that is legal only because the data is tiny fails here.
+  test("the cartesian/sortAgg/global-window/BNLJ invariants hold on the " +
+      "sf0.1 plans too (AQE sees 100x the rows)") {
+    val big = "/root/testdata/sf0.1"
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val df = fn(spark, big)
+        val p = df.queryExecution.executedPlan.toString
+        val errs = scala.collection.mutable.Buffer.empty[String]
+        if (p.contains("CartesianProduct"))
+          errs += s"$name: CartesianProduct"
+        if (p.contains("SortAggregate") && !sortAggAllowed(name))
+          errs += s"$name: unargued SortAggregate"
+        val gw = globalWindows(df)
+        if (gw.size > globalWindowCap.getOrElse(name, 0))
+          errs += s"$name: global windows $gw over cap " +
+            globalWindowCap.getOrElse(name, 0)
+        if (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+          errs += s"$name: unargued BroadcastNestedLoopJoin"
+        errs
+      }
+    assert(failures.isEmpty,
+      s"${failures.size} sf0.1 plan regressions:\n" +
+        failures.mkString("\n"))
   }
 
   test("q_ann_neighbors pairs via an equi-join on bucket (hash-joinable)") {

@@ -365,4 +365,31 @@ class PropertyLawsSpec extends SparkSpec {
         s"$src: ${r.getDouble(3)} vs brute $kl")
     }
   }
+
+  test("overflow bounds of the BIGINT survivors (r12 sweep): " +
+      "q_window_rolling_beta's 7-row OLS den holds to a 13.7-year " +
+      "span, q_dedup_bucket_skew's pair bill to a 4.29e9-doc bucket") {
+    // q_window_rolling_beta: den = k·stt − st² over a 7-row frame with
+    // tt = seconds since the 2024 epoch. Worst case all 7 rows at span
+    // T: den components ≤ 49·T². The documented envelope (13.7 years)
+    // must fit; one more year must NOT — pinning that the comment's
+    // number is the actual wrap point, not folklore.
+    val yearSec = 365L * 24 * 3600
+    def den(tSec: Long): BigInt = BigInt(7) * 7 * BigInt(tSec) * tSec
+    val max = BigInt(Long.MaxValue)
+    assert(den((13.7 * yearSec).toLong) <= max,
+      "13.7-year span must stay inside BIGINT")
+    assert(den((14.7 * yearSec).toLong) > max,
+      "the wrap point must be near the documented 13.7 years")
+    // and the sty term: T·|v|·1e4 per row, 7 rows, |v| ≤ 2e5 at the
+    // 13.7-year envelope
+    assert(BigInt(7) * (13.7 * yearSec).toLong * 200000L * 10000L <= max)
+    // q_dedup_bucket_skew: a single histogram row wraps only when
+    // n_buckets·sz·(sz−1)/2 > 2⁶³−1; at n_buckets = 1 that is a single
+    // band bucket of > 4.29e9 docs (the comment's bound) — verify both
+    // sides of the boundary.
+    def pairs(sz: Long): BigInt = BigInt(sz) * (sz - 1) / 2
+    assert(pairs(4290000000L) <= max)
+    assert(pairs(4300000000L) > max)
+  }
 }
