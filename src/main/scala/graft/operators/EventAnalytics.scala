@@ -1518,6 +1518,54 @@ object EventAnalytics {
             "/ CAST(10000000000 AS DOUBLE)").as("hurst"))
     }),
 
+    // Sample entropy (Richman & Moorman 2000), m=1, over the daily
+    // count series — the regularity/complexity readout beside Hurst
+    // (long memory) and spectral entropy (frequency spread): low SampEn
+    // means tomorrow looks like today (predictable ops traffic), high
+    // means template matches don't persist (irregular). SampEn =
+    // −ln(A/B): B = pairs of days with |xᵢ−xⱼ| ≤ r, A = those whose
+    // NEXT days also match (m=1 → m+1 templates). Exactness: the
+    // tolerance r = max(1, Σx ÷ 5n) is an integer DIV (20% of the mean
+    // daily count — scale-free in the count units, no std/sqrt on the
+    // FP path), A and B are exact integer counts, and −ln(A/B) =
+    // (log2B − log2A)·ln2 is two portable-log2 chains on the counts —
+    // zero libm. Scale: the pair scan is the day-grain self-join —
+    // bounded by the CALENDAR squared (3650² ≈ 13M at a 10-year span),
+    // never by event count; events collapse to days in one keyed agg.
+    "q_ts_sample_entropy" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val pr = daily
+        .agg(count(lit(1)).as("n_days"), sum("x").as("sx"))
+        .withColumn("r", expr(
+          "greatest(sx div greatest(5 * n_days, CAST(1 AS BIGINT)), " +
+            "CAST(1 AS BIGINT))"))
+      val wIdx = Window.orderBy(asc_nulls_last("day"))
+      val f = daily
+        .withColumn("idx", row_number().over(wIdx).cast("long") - 1L)
+        .withColumn("xn", lead(col("x"), 1).over(wIdx))
+        .filter(col("xn").isNotNull)
+      val a = f.select(col("idx").as("ia"), col("x").as("xa"),
+        col("xn").as("xna"))
+      val b = f.select(col("idx").as("ib"), col("x").as("xb"),
+        col("xn").as("xnb"))
+      val cnts = a.join(b, col("ia") < col("ib"))
+        .crossJoin(broadcast(pr))
+        .agg(max("n_days").as("n_days"), max("r").as("r"),
+          count(when(expr("abs(xa - xb) <= r"), 1)).as("b_pairs"),
+          count(when(expr("abs(xa - xb) <= r AND abs(xna - xnb) <= r"),
+            1)).as("a_pairs"))
+        .withColumn("bz", expr("greatest(b_pairs, CAST(1 AS BIGINT))"))
+        .withColumn("az", expr("greatest(a_pairs, CAST(1 AS BIGINT))"))
+      val lg = graft.Det.withPlog2(
+        graft.Det.withPlog2(cnts, "bz", "lb"), "az", "la")
+      lg.selectExpr("n_days", "r", "b_pairs", "a_pairs",
+        "CASE WHEN a_pairs > 0 AND b_pairs > 0 THEN " +
+          "(lb - la) * CAST(0.6931471805599453 AS DOUBLE) END " +
+          "AS sampen")
+    }),
+
     // Dickey–Fuller unit-root regression (Dickey & Fuller 1979, the
     // plain DF form Δx_t = α + β·x_{t−1} + ε over the daily total-count
     // series) — the stationarity gate a forecasting pipeline runs
@@ -3172,6 +3220,44 @@ object EventAnalytics {
         |    / CAST(b * sii - si * si AS DOUBLE)
         |    / CAST(10000000000 AS DOUBLE) AS hurst
         |FROM mom""".stripMargin,
+
+    // Same day re-index + lead frame, the same integer tolerance and
+    // pair counts, the identical two-chain (log2B − log2A)·ln2 text.
+    "q_ts_sample_entropy" ->
+      s"""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1
+        |), p AS (
+        |  SELECT COUNT(*) AS n_days,
+        |    greatest(CAST(SUM(x) AS BIGINT)
+        |      // greatest(5 * COUNT(*), CAST(1 AS BIGINT)),
+        |      CAST(1 AS BIGINT)) AS r
+        |  FROM daily
+        |), f AS (
+        |  SELECT idx, x, xn FROM (
+        |    SELECT CAST(row_number() OVER (ORDER BY day ASC) AS BIGINT)
+        |      - 1 AS idx, x,
+        |      lead(x, 1) OVER (ORDER BY day ASC) AS xn
+        |    FROM daily)
+        |  WHERE xn IS NOT NULL
+        |), cnts AS (
+        |  SELECT MAX(p.n_days) AS n_days, MAX(p.r) AS r,
+        |    COUNT(CASE WHEN abs(a.x - b.x) <= p.r THEN 1 END)
+        |      AS b_pairs,
+        |    COUNT(CASE WHEN abs(a.x - b.x) <= p.r
+        |      AND abs(a.xn - b.xn) <= p.r THEN 1 END) AS a_pairs
+        |  FROM f a, f b, p WHERE a.idx < b.idx
+        |), z AS (
+        |  SELECT *, greatest(b_pairs, CAST(1 AS BIGINT)) AS bz,
+        |    greatest(a_pairs, CAST(1 AS BIGINT)) AS az
+        |  FROM cnts
+        |), lb AS (SELECT *, ${Det.sqlPlog2Cols("bz", "b")} FROM z),
+        |la AS (SELECT *, ${Det.sqlPlog2Cols("az", "a")} FROM lb)
+        |SELECT n_days, r, b_pairs, a_pairs,
+        |  CASE WHEN a_pairs > 0 AND b_pairs > 0 THEN
+        |    (bl2 - al2) * CAST(0.6931471805599453 AS DOUBLE) END
+        |    AS sampen
+        |FROM la""".stripMargin,
 
     // The autocorr day-pair join as the OLS sample; exact HUGEINT
     // moments with operand-first casts, the identical VARCHAR-routed

@@ -709,6 +709,62 @@ object Multimodal {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // EBML/WebM header (RFC 8794 + the WebM DocType convention) — the
+    // container wrapping web video crawls: magic 0x1A45DFA3 (the EBML
+    // element ID), then the header SIZE as an EBML VARINT — the family's
+    // first VARIABLE-WIDTH integer: the leading byte's first set bit
+    // encodes the width (0b1xxxxxxx = 1 byte … 0b0001xxxx = 4), and the
+    // value is the remaining 7·w bits. Fixture: widths 1–4 cycle by
+    // doc_id, the header carries one DocType element (ID 0x4282,
+    // "webm"/"matroska"), every-5th row is a text decoy (ASCII can't
+    // start 0x1A). Parse: width from the leading-byte CASE ladder,
+    // value = big-endian slice minus the marker bit 2^(7w), DocType
+    // recovered at the width-shifted offset. Pure narrow maps.
+    "q_multimodal_webm" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("text"))
+        .withColumn("w", (col("doc_id") % 4 + 1).cast("int"))
+        .withColumn("dt", when(col("doc_id") % 3 === 0, lit("matroska"))
+          .otherwise(lit("webm")))
+        .withColumn("dlen", length(col("dt")).cast("long"))
+        .withColumn("clen", col("dlen") + 3L)
+      val sizeHex = expr(
+        "lpad(hex(shiftleft(CAST(1 AS BIGINT), 7 * w) + clen), " +
+          "CAST(2 * w AS INT), '0')")
+      val ebmlHex = concat(lit("1A45DFA3"), sizeHex,
+        lit("4282"), expr("lpad(hex(128 + dlen), 2, '0')"),
+        hex(col("dt").cast("binary")))
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(ebmlHex)
+      base.select(col("doc_id"), unhex(payloadHex).as("payload"))
+        .withColumn("h", hex(col("payload")))
+        .withColumn("is_ebml", length(col("payload")) >= 5 &&
+          expr("substring(h, 1, 8)") === "1A45DFA3")
+        .withColumn("sb", when(col("is_ebml"), expr(
+          "CAST(conv(substring(h, 9, 2), 16, 10) AS BIGINT)")))
+        .withColumn("size_width", when(col("is_ebml"), expr(
+          "CAST(CASE WHEN sb >= 128 THEN 1 WHEN sb >= 64 THEN 2 " +
+            "WHEN sb >= 32 THEN 3 WHEN sb >= 16 THEN 4 END AS BIGINT)")))
+        .withColumn("header_size", when(col("is_ebml"), expr(
+          "CAST(conv(substring(h, 9, CAST(2 * size_width AS INT)), " +
+            "16, 10) AS BIGINT) " +
+            "- shiftleft(CAST(1 AS BIGINT), CAST(7 * size_width AS INT))")))
+        .withColumn("dt_ok", when(col("is_ebml"), expr(
+          "substring(h, CAST(9 + 2 * size_width AS INT), 4) = '4282'")))
+        .withColumn("dt_len", when(col("is_ebml") && col("dt_ok"), expr(
+          "CAST(conv(substring(h, CAST(13 + 2 * size_width AS INT), 2), " +
+            "16, 10) AS BIGINT) - 128")))
+        .withColumn("doctype", when(col("is_ebml") && col("dt_ok"), expr(
+          "decode(unhex(substring(h, CAST(15 + 2 * size_width AS INT), " +
+            "CAST(2 * dt_len AS INT))), 'UTF-8')")))
+        .withColumn("is_webm", when(col("is_ebml") && col("dt_ok"),
+          col("doctype") === "webm"))
+        .select("doc_id", "is_ebml", "size_width", "header_size",
+          "dt_ok", "doctype", "is_webm")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     "q_multimodal_bmp" -> ((s, d) => {
       val docs = graft.Tables.table(s, d, "documents")
       val base = docs.select(col("doc_id"), col("text"))
@@ -1787,6 +1843,78 @@ object Multimodal {
         |  CASE WHEN is_parquet THEN footer_len >= 0
         |    AND total_len - footer_len - 12 >= 0 END AS footer_fits
         |FROM g ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same varint build (marker bit 2^(7w) + content length, hex-padded
+    // to 2w digits); the width CASE ladder and the width-shifted
+    // DocType offsets repeat the Spark text with '0x'-cast reads.
+    "q_multimodal_webm" ->
+      """WITH src AS (
+        |  SELECT doc_id, text,
+        |    CAST(doc_id % 4 + 1 AS BIGINT) AS w,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'matroska' ELSE 'webm' END
+        |      AS dt
+        |  FROM documents
+        |), enc AS (
+        |  SELECT doc_id, text, w, dt,
+        |    CAST(length(dt) AS BIGINT) AS dlen,
+        |    CAST(length(dt) + 3 AS BIGINT) AS clen
+        |  FROM src
+        |), built AS (
+        |  SELECT doc_id, from_hex(
+        |    CASE WHEN doc_id % 5 = 0
+        |    THEN hex(encode(substring(text, 1, 8)))
+        |    ELSE '1A45DFA3' ||
+        |      lpad(hex((CAST(1 AS BIGINT) << CAST(7 * w AS INT))
+        |        + clen), CAST(2 * w AS INT), '0') ||
+        |      '4282' || lpad(hex(128 + dlen), 2, '0') || hex(encode(dt))
+        |    END) AS payload
+        |  FROM enc
+        |), parsed AS (
+        |  SELECT doc_id, hex(payload) AS h,
+        |    octet_length(payload) >= 5
+        |      AND substring(hex(payload), 1, 8) = '1A45DFA3' AS is_ebml
+        |  FROM built
+        |), f AS (
+        |  SELECT doc_id, is_ebml, h,
+        |    CASE WHEN is_ebml
+        |      THEN CAST('0x' || substring(h, 9, 2) AS BIGINT) END AS sb
+        |  FROM parsed
+        |), g AS (
+        |  SELECT *, CASE WHEN is_ebml THEN
+        |    CAST(CASE WHEN sb >= 128 THEN 1 WHEN sb >= 64 THEN 2
+        |      WHEN sb >= 32 THEN 3 WHEN sb >= 16 THEN 4 END AS BIGINT)
+        |    END AS size_width
+        |  FROM f
+        |), g2 AS (
+        |  SELECT *,
+        |    CASE WHEN is_ebml THEN
+        |      CAST('0x' || substring(h, 9, CAST(2 * size_width AS INT))
+        |        AS BIGINT)
+        |      - (CAST(1 AS BIGINT) << CAST(7 * size_width AS INT)) END
+        |      AS header_size,
+        |    CASE WHEN is_ebml THEN
+        |      substring(h, CAST(9 + 2 * size_width AS INT), 4) = '4282'
+        |      END AS dt_ok
+        |  FROM g
+        |), g3 AS (
+        |  SELECT *,
+        |    CASE WHEN is_ebml AND dt_ok THEN
+        |      CAST('0x' || substring(h,
+        |        CAST(13 + 2 * size_width AS INT), 2) AS BIGINT) - 128
+        |      END AS dt_len
+        |  FROM g2
+        |), g4 AS (
+        |  SELECT *,
+        |    CASE WHEN is_ebml AND dt_ok THEN
+        |      decode(from_hex(substring(h,
+        |        CAST(15 + 2 * size_width AS INT),
+        |        CAST(2 * dt_len AS INT)))) END AS doctype
+        |  FROM g3
+        |)
+        |SELECT doc_id, is_ebml, size_width, header_size, dt_ok, doctype,
+        |  CASE WHEN is_ebml AND dt_ok THEN doctype = 'webm' END
+        |    AS is_webm
+        |FROM g4 ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     // Same doc_id-derived header fields; LE mtime via the byte-reversed
     // hex fragment, filename recovered from the identical hex slice.

@@ -95,6 +95,19 @@ object Sketches {
   private[operators] def sqlHv(tok: String): String =
     s"CAST('0x' || substring(md5($tok), 1, 15) AS BIGINT)"
 
+  /** (event_type, event_id, value, hv) observations the quantile sketch
+    * consumes — the ONE place the row-identity hash is defined, shared
+    * by q_sketch_quantile / q_sketch_quantile_merge and the streaming
+    * twin ([[graft.streaming.StatefulTwins.quantileSketchStream]]), so
+    * the two sides cannot drift. Mode-agnostic: works on a batch frame
+    * or a streaming one (pure narrow map). */
+  def quantileObs(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events.filter(col("value").isNotNull)
+      .withColumn("hv",
+        expr(hvExpr("concat('qq_', CAST(event_id AS STRING))")))
+      .select("event_type", "event_id", "value", "hv")
+
   private def seedRows: String = (0 until CmDepth)
     .map(i => s"(${i}, ${MinHash.seeds(i)})").mkString(", ")
 
@@ -435,9 +448,7 @@ object Sketches {
     // sample (exact mode — the theta fallback argument). SketchesSpec
     // property-bounds the rank error against the exact quantile.
     "q_sketch_quantile" -> ((s, d) => {
-      val ev = t(s, d, "events").filter(col("value").isNotNull)
-        .withColumn("hv",
-          expr(hvExpr("concat('qq_', CAST(event_id AS STRING))")))
+      val ev = quantileObs(t(s, d, "events"))
       val wq = Window.partitionBy("event_type")
         .orderBy(asc_nulls_last("hv"), asc_nulls_last("event_id"))
       val sk = ev
@@ -467,10 +478,7 @@ object Sketches {
     // is inside its group's bottom-K, so merge loses nothing — the law
     // that makes the sketch safe to keep per-partition at 100 TB.
     "q_sketch_quantile_merge" -> ((s, d) => {
-      val ev = t(s, d, "events").filter(col("value").isNotNull)
-        .withColumn("hv",
-          expr(hvExpr("concat('qq_', CAST(event_id AS STRING))")))
-        .select("event_type", "event_id", "value", "hv")
+      val ev = quantileObs(t(s, d, "events"))
       val wq = Window.partitionBy("event_type")
         .orderBy(asc_nulls_last("hv"), asc_nulls_last("event_id"))
       val subs = ev

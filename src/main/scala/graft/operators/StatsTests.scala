@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.Tables
+import graft.{Det, Tables}
 
 /** Nonparametric two-sample tests (the distribution-shift monitors of a
   * data pipeline: "did the `click` value distribution drift away from
@@ -451,6 +451,84 @@ object StatsTests {
           "CASE WHEN n1 >= 1 AND n2 >= 1 AND n3 >= 1 " +
             s"AND n1+n2+n3 > 3 AND ($ssw) > 0 THEN " +
             s"(($ssb) / 2) / (($ssw) / (n1+n2+n3-3)) END AS f_stat")
+    }),
+
+    // Bartlett's test of homogeneity of variances (Bartlett 1937) over
+    // the click/view/purchase value populations — the parametric
+    // homoscedasticity gate beside Levene (robust twin) and the 2-group
+    // F test: T = [(N−k)·ln(Sp²) − Σ(nᵢ−1)·ln(Sᵢ²)] / C with
+    // C = 1 + (Σ1/(nᵢ−1) − 1/(N−k))/(3(k−1)), χ²(k−1) under H₀.
+    // Exactness: per-group (n, Σv₄, Σv₄²) are exact integers on the
+    // DECIMAL(18,4) grid with operand-first DECIMAL(38,0) squares (the
+    // f_test machinery ×3); each variance routes to DOUBLE via VARCHAR,
+    // then QUANTIZES to the 1e-6 grid before its portable-log2 chain —
+    // and because the ln coefficients sum to zero ((N−k) = Σ(nᵢ−1)),
+    // the grid scale cancels EXACTLY in T, the q_ts_hurst difference
+    // trick. Four plog2 chains, one fixed IEEE assembly. Scale: one
+    // event_type-keyed partial agg with map-side combine, 1-row output.
+    "q_stats_bartlett" -> ((s, d) => {
+      val dec = "DECIMAL(38,0)"
+      def cnt(ty: String): Column =
+        count(when(col("event_type") === ty, lit(1)))
+      def sv(ty: String): Column =
+        sum(when(col("event_type") === ty, col("v4")))
+      def svv(ty: String): Column =
+        sum(when(col("event_type") === ty,
+          expr(s"CAST(v4 AS $dec) * CAST(v4 AS $dec)")))
+      def s2(i: Int): String =
+        s"CAST(CAST(CAST(n$i AS $dec) * q$i - CAST(sv$i AS $dec) " +
+          s"* CAST(sv$i AS $dec) AS STRING) AS DOUBLE) " +
+          s"/ (CAST(n$i AS DOUBLE) * CAST(n$i - 1 AS DOUBLE)) " +
+          "/ CAST(100000000 AS DOUBLE)"
+      def qz(col: String): String =
+        s"greatest(CAST(floor($col * CAST(1000000 AS DOUBLE) " +
+          "+ CAST(0.5 AS DOUBLE)) AS BIGINT), CAST(1 AS BIGINT))"
+      val m = t(s, d, "events")
+        .filter(col("value").isNotNull
+          && col("event_type").isin("click", "view", "purchase"))
+        .withColumn("v4",
+          expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+        .agg(cnt("click").as("n1"), sv("click").as("sv1"),
+          svv("click").as("q1"),
+          cnt("view").as("n2"), sv("view").as("sv2"), svv("view").as("q2"),
+          cnt("purchase").as("n3"), sv("purchase").as("sv3"),
+          svv("purchase").as("q3"))
+        .withColumn("s2_1", expr(s2(1)))
+        .withColumn("s2_2", expr(s2(2)))
+        .withColumn("s2_3", expr(s2(3)))
+        .withColumn("s2_pooled", expr(
+          "(CAST(n1 - 1 AS DOUBLE) * s2_1 + CAST(n2 - 1 AS DOUBLE) " +
+            "* s2_2 + CAST(n3 - 1 AS DOUBLE) * s2_3) " +
+            "/ CAST(n1 + n2 + n3 - 3 AS DOUBLE)"))
+        .withColumn("z1", expr(qz("s2_1")))
+        .withColumn("z2", expr(qz("s2_2")))
+        .withColumn("z3", expr(qz("s2_3")))
+        .withColumn("zp", expr(qz("s2_pooled")))
+      val lg = Seq("z1" -> "l1", "z2" -> "l2x", "z3" -> "l3",
+        "zp" -> "lp").foldLeft(m) { case (df, (in, out)) =>
+        graft.Det.withPlog2(df, in, out)
+      }
+      lg
+        .withColumn("t_raw", expr(
+          "(CAST(n1 + n2 + n3 - 3 AS DOUBLE) * lp " +
+            "- (CAST(n1 - 1 AS DOUBLE) * l1 + CAST(n2 - 1 AS DOUBLE) " +
+            "* l2x + CAST(n3 - 1 AS DOUBLE) * l3)) " +
+            "* CAST(0.6931471805599453 AS DOUBLE)"))
+        .withColumn("c_factor", expr(
+          "CAST(1 AS DOUBLE) + (CAST(1 AS DOUBLE) / CAST(n1 - 1 " +
+            "AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE) " +
+            "+ CAST(1 AS DOUBLE) / CAST(n3 - 1 AS DOUBLE) " +
+            "- CAST(1 AS DOUBLE) / CAST(n1 + n2 + n3 - 3 AS DOUBLE)) " +
+            "/ CAST(6 AS DOUBLE)"))
+        .selectExpr("n1", "n2", "n3", "CAST(2 AS BIGINT) AS df",
+          "s2_1", "s2_2", "s2_3", "s2_pooled",
+          "CASE WHEN n1 >= 2 AND n2 >= 2 AND n3 >= 2 " +
+            "AND s2_1 > 0 AND s2_2 > 0 AND s2_3 > 0 THEN t_raw END " +
+            "AS t_raw",
+          "c_factor",
+          "CASE WHEN n1 >= 2 AND n2 >= 2 AND n3 >= 2 " +
+            "AND s2_1 > 0 AND s2_2 > 0 AND s2_3 > 0 " +
+            "THEN t_raw / c_factor END AS bartlett_stat")
     }),
 
     // Exact weighted median of extendedprice weighted by quantity, per
@@ -2158,6 +2236,76 @@ object StatsTests {
         |      AS DOUBLE)
         |    / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))) AS f_stat
         |FROM a, b""".stripMargin,
+
+    // Same scaled-BIGINT v4 moments ×3 with HUGEINT squares, the same
+    // VARCHAR-routed variances, 1e-6 quantization, four portable-log2
+    // chains, and the verbatim T/C assembly (the grid scale cancels in
+    // T because the ln coefficients sum to zero).
+    "q_stats_bartlett" -> {
+      def s2(i: Int): String =
+        s"CAST(CAST(CAST(n$i AS HUGEINT) * q$i - CAST(sv$i AS HUGEINT) " +
+          s"* CAST(sv$i AS HUGEINT) AS VARCHAR) AS DOUBLE) " +
+          s"/ (CAST(n$i AS DOUBLE) * CAST(n$i - 1 AS DOUBLE)) " +
+          "/ CAST(100000000 AS DOUBLE)"
+      def qz(c: String): String =
+        s"greatest(CAST(floor($c * CAST(1000000 AS DOUBLE) " +
+          "+ CAST(0.5 AS DOUBLE)) AS BIGINT), CAST(1 AS BIGINT))"
+      def grp(i: Int, ty: String): String =
+        s"COUNT(CASE WHEN event_type = '$ty' THEN 1 END) AS n$i,\n" +
+          s"        |    CAST(SUM(CASE WHEN event_type = '$ty' THEN v4 " +
+          s"END) AS BIGINT) AS sv$i,\n" +
+          s"        |    SUM(CASE WHEN event_type = '$ty' THEN " +
+          s"CAST(v4 AS HUGEINT) * CAST(v4 AS HUGEINT) END) AS q$i"
+      val guard = "n1 >= 2 AND n2 >= 2 AND n3 >= 2 " +
+        "AND s2_1 > 0 AND s2_2 > 0 AND s2_3 > 0"
+      s"""WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND event_type IN ('click', 'view', 'purchase')
+        |), m AS (
+        |  SELECT ${grp(1, "click")},
+        |    ${grp(2, "view")},
+        |    ${grp(3, "purchase")}
+        |  FROM e
+        |), v AS (
+        |  SELECT *, ${s2(1)} AS s2_1, ${s2(2)} AS s2_2,
+        |    ${s2(3)} AS s2_3
+        |  FROM m
+        |), vp AS (
+        |  SELECT *,
+        |    (CAST(n1 - 1 AS DOUBLE) * s2_1 + CAST(n2 - 1 AS DOUBLE)
+        |      * s2_2 + CAST(n3 - 1 AS DOUBLE) * s2_3)
+        |      / CAST(n1 + n2 + n3 - 3 AS DOUBLE) AS s2_pooled
+        |  FROM v
+        |), z AS (
+        |  SELECT *, ${qz("s2_1")} AS z1, ${qz("s2_2")} AS z2,
+        |    ${qz("s2_3")} AS z3, ${qz("s2_pooled")} AS zp
+        |  FROM vp
+        |), la AS (SELECT *, ${Det.sqlPlog2Cols("z1", "a")} FROM z),
+        |lb AS (SELECT *, ${Det.sqlPlog2Cols("z2", "b")} FROM la),
+        |lc AS (SELECT *, ${Det.sqlPlog2Cols("z3", "c")} FROM lb),
+        |lq AS (SELECT *, ${Det.sqlPlog2Cols("zp", "p")} FROM lc),
+        |fin AS (
+        |  SELECT *,
+        |    (CAST(n1 + n2 + n3 - 3 AS DOUBLE) * pl2
+        |      - (CAST(n1 - 1 AS DOUBLE) * al2 + CAST(n2 - 1 AS DOUBLE)
+        |      * bl2 + CAST(n3 - 1 AS DOUBLE) * cl2))
+        |      * CAST(0.6931471805599453 AS DOUBLE) AS t_raw,
+        |    CAST(1 AS DOUBLE) + (CAST(1 AS DOUBLE) / CAST(n1 - 1
+        |      AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE)
+        |      + CAST(1 AS DOUBLE) / CAST(n3 - 1 AS DOUBLE)
+        |      - CAST(1 AS DOUBLE) / CAST(n1 + n2 + n3 - 3 AS DOUBLE))
+        |      / CAST(6 AS DOUBLE) AS c_factor
+        |  FROM lq
+        |)
+        |SELECT n1, n2, n3, CAST(2 AS BIGINT) AS df,
+        |  s2_1, s2_2, s2_3, s2_pooled,
+        |  CASE WHEN $guard THEN t_raw END AS t_raw, c_factor,
+        |  CASE WHEN $guard THEN t_raw / c_factor END AS bartlett_stat
+        |FROM fin""".stripMargin
+    },
 
     // Exact (n, k) cells; the Wilson trees repeat the Spark text
     // verbatim (z² computed in-tree from the shared 1.96 literal).

@@ -561,6 +561,41 @@ object VectorOps {
         .select("vec_id", "bucket")
         .orderBy(asc_nulls_last("vec_id"))),
 
+    // Binary-embedding Hamming ANN (sign-bit quantization — Charikar
+    // 2002's hyperplane LSH with the coordinate basis): each vector
+    // compresses to EmbDim sign BITS packed into two 32-bit words, and
+    // the probe's top-10 ranks by Hamming distance = popcount(xor) —
+    // the 32×-smaller index a 100 TB ANN tier scans before any float
+    // touches memory. Determinism: packing is pure sign COMPARISON
+    // (no FP arithmetic), words/distances are exact integers, ties
+    // break by vec_id; the exact-decimal cosine of each returned
+    // neighbor rides along as the self-audit column (computed on the
+    // 10 survivors only). Scale: a narrow in-row fold, a 1-row probe
+    // broadcast, and TakeOrderedAndProject's per-partition heaps — no
+    // global sort, no float reads until the final 10 rows.
+    "q_ann_hamming" -> ((s, d) => {
+      def word(lo: Int): String =
+        s"aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT), " +
+          "(acc, i) -> acc + shiftleft(CAST(CASE WHEN embedding[i] > 0 " +
+          s"THEN 1 ELSE 0 END AS BIGINT), i - $lo))"
+      val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+        .withColumn("w0", expr(word(0)))
+        .withColumn("w1", expr(word(32)))
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("w0").as("pw0"), col("w1").as("pw1"),
+          col("embedding").as("pe"), lit(1).as("_one")))
+      e.filter(col("vec_id") =!= 0)
+        .withColumn("_one", lit(1))
+        .join(probe, "_one")
+        .withColumn("hamming", expr(
+          "CAST(bit_count(w0 ^ pw0) + bit_count(w1 ^ pw1) AS BIGINT)"))
+        .orderBy(asc_nulls_last("hamming"), asc_nulls_last("vec_id"))
+        .limit(10)
+        .withColumn("cosine", dotExpr(s, "embedding", "pe"))
+        .select("vec_id", "hamming", "cosine")
+        .orderBy(asc_nulls_last("hamming"), asc_nulls_last("vec_id"))
+    }),
+
     // Embedding L2 normalization — the standard pre-step before cosine
     // ANN (normalized vectors turn cosine into a plain dot product).
     // Pure narrow map. norm = sqrt(exact-decimal self-dot): sqrt is
@@ -2110,6 +2145,38 @@ object VectorOps {
          |LIMIT 20""".stripMargin,
 
     "q_ann_lsh" -> annOracle,
+
+    // Same two 32-bit sign-packed words (DuckDB lists are 1-based, so
+    // dims 1..32 / 33..64 shift by i−1 / i−33), xor() + bit_count for
+    // the distance, the shared exact-decimal dot for the audit column.
+    "q_ann_hamming" -> {
+      def word(lo: Int): String =
+        s"CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}), " +
+          s"i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) " +
+          s"<< CAST(i - $lo AS INT)) ELSE CAST(0 AS BIGINT) END)) " +
+          "AS BIGINT)"
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    ${word(1)} AS w0,
+         |    ${word(33)} AS w1
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), p AS (
+         |  SELECT w0 AS pw0, w1 AS pw1, embedding AS pe
+         |  FROM e WHERE vec_id = 0
+         |), h AS (
+         |  SELECT e.vec_id, e.embedding, p.pe,
+         |    CAST(bit_count(xor(e.w0, p.pw0))
+         |      + bit_count(xor(e.w1, p.pw1)) AS BIGINT) AS hamming
+         |  FROM e, p WHERE e.vec_id <> 0
+         |), topk AS (
+         |  SELECT * FROM h
+         |  ORDER BY hamming ASC NULLS LAST, vec_id ASC NULLS LAST
+         |  LIMIT 10
+         |)
+         |SELECT vec_id, hamming, ${sqlDot("embedding", "pe")} AS cosine
+         |FROM topk
+         |ORDER BY hamming ASC NULLS LAST, vec_id ASC NULLS LAST""".stripMargin
+    },
 
     // Mirrors the IVF phases with exact-decimal dots throughout:
     // assignment argmax via window top-1 (dot DESC, cid ASC tiebreak),

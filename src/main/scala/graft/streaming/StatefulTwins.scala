@@ -686,4 +686,58 @@ object StatefulTwins {
           }
       }
   }
+
+  /** Observation row for the quantile-sketch twin — hv MUST come from
+    * [[graft.operators.Sketches.quantileObs]] (the engine-computed
+    * md5 fold), never a reimplementation. */
+  case class QObs(event_type: String, event_id: Long, value: Double,
+      hv: Long)
+
+  /** Bottom-K sample + the exact count of rows seen. */
+  case class QSketch(rows: Vector[(Long, Long, Double)], nFull: Long)
+
+  /** The declared q_sketch_quantile row shape. */
+  case class QRow(event_type: String, n_full: Long, m: Long,
+      est_p50: Double, est_p90: Double, est_p99: Double)
+
+  /** Streaming twin of q_sketch_quantile (the r11 verdict's "streaming
+    * twin if the state fits FMGWS" — it does, trivially): per-type
+    * keyed state = the K smallest (hv, event_id, value) rows plus the
+    * exact row count; each micro-batch merges its arrivals ("K smallest
+    * of the union" — the same associative merge the batch partial agg
+    * runs) and emits the CURRENT sketch row in update mode. Replayed
+    * event_ids dedup by (hv, id) identity, so at-least-once delivery
+    * cannot bias the sample (it would keep nFull exact too only for
+    * distinct ids — the NearDupStream idempotence convention). Nearest-
+    * rank selection repeats the declared query's ceil(q·m) arithmetic
+    * verbatim; StreamingParitySpec proves the drained state equals the
+    * batch sketch row for row. State: ≤K slim rows per type — bounded
+    * regardless of stream length, the whole point of the sketch. */
+  def quantileSketchStream(obs: Dataset[QObs],
+      k: Int = graft.operators.Sketches.QuantK): Dataset[QRow] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.event_type)
+      .flatMapGroupsWithState[QSketch, QRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (ty: String, it: Iterator[QObs], state: GroupState[QSketch]) =>
+          val fresh = it.toVector
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val st = state.getOption.getOrElse(QSketch(Vector.empty, 0L))
+            val seen = st.rows.map(r => (r._1, r._2)).toSet
+            val add = fresh.map(e => (e.hv, e.event_id, e.value))
+              .distinct.filterNot(r => seen((r._1, r._2)))
+            val merged = (st.rows ++ add)
+              .sortBy(r => (r._1, r._2)).take(k)
+            val n = st.nFull + add.size
+            state.update(QSketch(merged, n))
+            val vals = merged.map(_._3).sorted
+            val m = vals.size
+            def est(q: Double): Double =
+              vals(math.ceil(q * m).toInt - 1)
+            Iterator.single(
+              QRow(ty, n, m.toLong, est(0.5), est(0.9), est(0.99)))
+          }
+      }
+  }
 }

@@ -1847,6 +1847,99 @@ class OperatorsSpec extends SparkSpec {
     assert(h > 0.0 && h < 1.0, s"hurst $h outside (0,1)")
   }
 
+  test("q_stats_bartlett matches a plain-Scala recomputation of T and C " +
+      "on the 1e-6 variance grid") {
+    import spark.implicits._
+    val r = StatsTests.queries("q_stats_bartlett")(spark, sf)
+      .collect().head
+    val groups = Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull
+        && col("event_type").isin("click", "view", "purchase"))
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(v =>
+        BigDecimal(v._2).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .*(10000).toLongExact)).toMap
+    val tys = Seq("click", "view", "purchase")
+    val ns = tys.map(t => groups(t).length.toLong)
+    def s2(vs: Array[Long]): Double = {
+      val n = vs.length.toLong
+      val q = vs.map(v => BigInt(v) * BigInt(v)).sum
+      val sv = BigInt(vs.sum)
+      (BigInt(n) * q - sv * sv).toDouble / (n.toDouble * (n - 1)) / 1e8
+    }
+    val s2s = tys.map(t => s2(groups(t)))
+    val nTot = ns.sum
+    val sp = tys.indices.map(i => (ns(i) - 1) * s2s(i)).sum / (nTot - 3)
+    def lnq(x: Double): Double =
+      math.log(math.max(1L, math.floor(x * 1e6 + 0.5).toLong)
+        .toDouble / 1e6) + math.log(1e6) - math.log(1e6)
+    val tRaw = (nTot - 3) * lnq(sp) -
+      tys.indices.map(i => (ns(i) - 1) * lnq(s2s(i))).sum
+    val c = 1.0 + (tys.indices.map(i => 1.0 / (ns(i) - 1)).sum
+      - 1.0 / (nTot - 3)) / 6.0
+    assert(r.getAs[Long]("n1") == ns(0) && r.getAs[Long]("n2") == ns(1)
+      && r.getAs[Long]("n3") == ns(2))
+    tys.indices.foreach(i => assert(
+      math.abs(r.getAs[Double](s"s2_${i + 1}") - s2s(i))
+        <= 1e-9 * s2s(i)))
+    assert(math.abs(r.getAs[Double]("t_raw") - tRaw)
+      <= 1e-5 * math.abs(tRaw) + 1e-7, s"t_raw ${r.getAs[Double]("t_raw")} vs $tRaw")
+    assert(math.abs(r.getAs[Double]("c_factor") - c) <= 1e-12)
+    val b = r.getAs[Double]("bartlett_stat")
+    assert(b >= 0 && math.abs(b - tRaw / c) <= 1e-9 * math.abs(b) + 1e-9)
+  }
+
+  test("q_ts_sample_entropy matches a plain-Scala SampEn(m=1) replay " +
+      "on the daily series") {
+    import spark.implicits._
+    val r = EventAnalytics.queries("q_ts_sample_entropy")(spark, sf)
+      .collect().head
+    val daily = Tables.table(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy("day").select("x").as[Long].collect()
+    val n = daily.length.toLong
+    val rr = math.max(1L, daily.sum / math.max(5 * n, 1L))
+    val f = daily.dropRight(1).zip(daily.drop(1))
+    var (bp, ap) = (0L, 0L)
+    for (i <- f.indices; j <- i + 1 until f.length) {
+      if (math.abs(f(i)._1 - f(j)._1) <= rr) {
+        bp += 1
+        if (math.abs(f(i)._2 - f(j)._2) <= rr) ap += 1
+      }
+    }
+    assert(r.getAs[Long]("n_days") == n)
+    assert(r.getAs[Long]("r") == rr)
+    assert(r.getAs[Long]("b_pairs") == bp)
+    assert(r.getAs[Long]("a_pairs") == ap)
+    assert(ap > 0, "fixture must exercise the matched-template path")
+    val expected = -math.log(ap.toDouble / bp.toDouble)
+    assert(math.abs(r.getAs[Double]("sampen") - expected)
+      <= 1e-5 * expected + 1e-7,
+      s"sampen ${r.getAs[Double]("sampen")} vs $expected")
+  }
+
+  test("q_multimodal_webm recovers the synthesized varint width, header " +
+      "size, and DocType; decoys rejected") {
+    val rows = Multimodal.queries("q_multimodal_webm")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 5 == 0) assert(!r.getAs[Boolean]("is_ebml"), s"doc $id")
+      else {
+        assert(r.getAs[Boolean]("is_ebml"), s"doc $id")
+        assert(r.getAs[Long]("size_width") == id % 4 + 1, s"doc $id width")
+        val dt = if (id % 3 == 0) "matroska" else "webm"
+        assert(r.getAs[Long]("header_size") == dt.length + 3L,
+          s"doc $id size")
+        assert(r.getAs[Boolean]("dt_ok"), s"doc $id dt_ok")
+        assert(r.getAs[String]("doctype") == dt, s"doc $id doctype")
+        assert(r.getAs[Boolean]("is_webm") == (dt == "webm"), s"doc $id")
+      }
+    }
+  }
+
   test("q_text_winnow matches a plain-Scala winnowing recomputation") {
     import spark.implicits._
     val out = TextOps.queries("q_text_winnow")(spark, sf).collect()

@@ -202,7 +202,13 @@ class PlanRegressionSpec extends SparkSpec {
       // unpersisted day subtree feeds both the cumsum and the
       // per-window totals branches (ReuseExchange computes it once —
       // the q_ts_decompose argument)
-      "q_ts_hurst" -> 2)
+      "q_ts_hurst" -> 2,
+      // q_ts_sample_entropy's re-index/lead window runs over the
+      // day-grain frame (one row per calendar day — bounded by the
+      // time span, not events); cap 2 because the unpersisted day
+      // subtree feeds both sides of the pair self-join (ReuseExchange
+      // computes it once — the q_ts_decompose argument)
+      "q_ts_sample_entropy" -> 2)
 
   // The scale-killer gate: a nested-loop join is quadratic in its inputs,
   // so it is only acceptable where one side is provably bounded — the
@@ -438,7 +444,16 @@ class PlanRegressionSpec extends SparkSpec {
       // list and the single-pass ≤K-element list) crossed with the
       // 1-row count — every nested-loop side is exactly one row, the
       // q_stats_ttest shape
-      "q_sketch_quantile_merge")
+      "q_sketch_quantile_merge",
+      // the day-grain pair self-join (idx < idx — inequality, so
+      // nested-loop by construction) is bounded by the CALENDAR
+      // squared, never the event count (the kendall/wilcoxon day-pair
+      // argument), plus the 1-row (n_days, r) tolerance broadcast on a
+      // constant key
+      "q_ts_sample_entropy",
+      // 1-row probe broadcast (packed sign words + embedding) on a
+      // constant key — the q_simsearch_topk bounded-probe shape
+      "q_ann_hamming")
 
   // The r11 verdict's item #6: the four structural gates above run at
   // sf0.001, where AQE's broadcast thresholds can hide size-driven

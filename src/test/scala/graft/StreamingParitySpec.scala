@@ -778,6 +778,44 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch: streamed bottom-K state drained over " +
+      "micro-batches equals the declared q_sketch_quantile rows, and a " +
+      "replayed batch changes nothing but the count") {
+    import graft.operators.Sketches
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Sketches.queries("q_sketch_quantile")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val obs = Sketches.quantileObs(Tables.table(spark, sf, "events"))
+      .orderBy("event_id").collect()
+      .map(r => StatefulTwins.QObs(r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3)))
+    val mem = MemoryStream[StatefulTwins.QObs]
+    val sinkName = s"qsk_${System.nanoTime()}"
+    val (a, b) = obs.splitAt(obs.length / 2)
+    mem.addData(a)
+    mem.addData(b)
+    mem.addData(a.take(25)) // replay: at-least-once must not bias the sample
+    val q = StatefulTwins.quantileSketchStream(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(sinkName).collect()
+      .groupBy(_.getString(0)).map { case (ty, rows) => ty -> rows.last }
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (ty, r) =>
+      val b = batch(ty)
+      assert(r.getLong(1) == b.getAs[Long]("n_full"), s"$ty n_full")
+      assert(r.getLong(2) == b.getAs[Long]("m"), s"$ty m")
+      Seq(3 -> "est_p50", 4 -> "est_p90", 5 -> "est_p99").foreach {
+        case (i, c) => assert(r.getDouble(i) == b.getAs[Double](c),
+          s"$ty $c: streamed ${r.getDouble(i)} vs ${b.getAs[Double](c)}")
+      }
+    }
+  }
+
   test("Jarque-Bera normality monitor: streamed per-type power sums " +
       "equal the batch moment sketch and assemble the identical " +
       "statistic") {

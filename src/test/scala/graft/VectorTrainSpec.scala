@@ -325,6 +325,29 @@ class VectorTrainSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_hamming equals a plain-Scala sign-bit pack + popcount " +
+      "top-10 replay") {
+    val out = VectorOps.queries("q_ann_hamming")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("hamming")))
+    val embs = Tables.table(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def pack(v: Array[Float]): (Long, Long) = {
+      var (w0, w1) = (0L, 0L)
+      for (i <- 0 until 32) if (v(i) > 0) w0 |= 1L << i
+      for (i <- 32 until 64) if (v(i) > 0) w1 |= 1L << (i - 32)
+      (w0, w1)
+    }
+    val probe = pack(embs.find(_._1 == 0L).get._2)
+    val brute = embs.filter(_._1 != 0L).map { case (id, v) =>
+      val (w0, w1) = pack(v)
+      (id, (java.lang.Long.bitCount(w0 ^ probe._1)
+        + java.lang.Long.bitCount(w1 ^ probe._2)).toLong)
+    }.sortBy(p => (p._2, p._1)).take(10).toSeq
+    assert(out.toSeq == brute, s"hamming top-10 diverged")
+  }
+
   test("q_embed_knn_classify equals a plain-Scala exact-decimal kNN " +
       "replay (top-5 vote, leave-one-out)") {
     val embs = Tables.table(spark, sf, "embeddings")
