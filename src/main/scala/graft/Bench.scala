@@ -61,7 +61,8 @@ object Bench {
     "q_sketch_quantile" -> "qn", "q_sketch_quantile_merge" -> "qm",
     "q_stats_bartlett" -> "bb", "q_ts_sample_entropy" -> "se2",
     "q_multimodal_webm" -> "wv", "q_ann_hamming" -> "hm",
-    "q_ts_hurst" -> "hz",
+    "q_ts_hurst" -> "hz", "q_stats_dunn" -> "du",
+    "q_ts_granger" -> "gc",
     // round-11 additions (2-char codes keep the stdout line in budget)
     "q_stats_randomization" -> "rz", "q_stats_f_test" -> "fv",
     "q_ts_adf" -> "uq", "q_ts_spectral_entropy" -> "sy",

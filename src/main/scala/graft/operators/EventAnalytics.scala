@@ -1579,6 +1579,67 @@ object EventAnalytics {
     // via the textbook identity SSE = Σyy − α·Σy − β·Σzy, no residual
     // pass. Scale: the autocorr economics — one day-grain shuffle, a
     // self-equi-join of the tiny day frame, a 1-row result.
+    // Granger causality, 1 lag (Granger 1969): does YESTERDAY'S click
+    // count improve today's purchase-count forecast beyond yesterday's
+    // purchases alone? Restricted p_t = α + β·p_{t−1} vs unrestricted
+    // + γ·c_{t−1}; F = (SSE_r − SSE_u)/(SSE_u/(n−3)), F(1, n−3) under
+    // "no causality" — the lead-indicator triage a metrics pipeline
+    // runs before wiring one series into another's forecast. Exactness:
+    // the 10 OLS moments are exact integers over the day-grain pair
+    // join (the q_ts_adf equi-join) with operand-first DECIMAL(38,0)
+    // products; every CENTERED moment is the n-scaled integer
+    // n·Σab − Σa·Σb routed to DOUBLE via VARCHAR, and the 2-regressor
+    // normal equations solve in ONE fixed IEEE tree — the n-scaling
+    // cancels in β/γ and in F (both SSEs carry the same n factor), so
+    // the reported nsse_* are the n·SSE integers' double images, named
+    // honestly. Scale: one day-grain shuffle, a tiny self-equi-join,
+    // a 1-row result.
+    "q_ts_granger" -> ((s, d) => {
+      val dec = "DECIMAL(38,0)"
+      val daily = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("p"),
+          sum(when(col("event_type") === "click", 1L)
+            .otherwise(0L)).as("c"))
+      val pairs = daily
+        .withColumn("day2", expr("date_add(day, 1)"))
+        .join(daily.select(col("day").as("day2"), col("p").as("y")),
+          "day2")
+        .select(col("p").as("z1"), col("c").as("z2"), col("y"))
+      def pr(a: String, b: String) =
+        sum(expr(s"CAST($a AS $dec) * CAST($b AS $dec)"))
+      def cs(spq: String, sa: String, sb: String): String =
+        s"CAST(CAST(CAST(n AS $dec) * $spq - CAST($sa AS $dec) " +
+          s"* CAST($sb AS $dec) AS STRING) AS DOUBLE)"
+      pairs.agg(count(lit(1)).as("n"),
+          sum("z1").as("s1"), sum("z2").as("s2"), sum("y").as("sy"),
+          pr("z1", "z1").as("s11"), pr("z2", "z2").as("s22"),
+          pr("z1", "z2").as("s12"), pr("z1", "y").as("s1y"),
+          pr("z2", "y").as("s2y"), pr("y", "y").as("syy"))
+        .withColumn("c11", expr(cs("s11", "s1", "s1")))
+        .withColumn("c22", expr(cs("s22", "s2", "s2")))
+        .withColumn("c12", expr(cs("s12", "s1", "s2")))
+        .withColumn("c1y", expr(cs("s1y", "s1", "sy")))
+        .withColumn("c2y", expr(cs("s2y", "s2", "sy")))
+        .withColumn("cyy", expr(cs("syy", "sy", "sy")))
+        .withColumn("dd", expr("c11 * c22 - c12 * c12"))
+        .withColumn("beta", expr(
+          "CASE WHEN dd > 0 THEN (c22 * c1y - c12 * c2y) / dd END"))
+        .withColumn("gamma", expr(
+          "CASE WHEN dd > 0 THEN (c11 * c2y - c12 * c1y) / dd END"))
+        .withColumn("nsse_u", expr(
+          "CASE WHEN dd > 0 THEN cyy - beta * c1y - gamma * c2y END"))
+        .withColumn("nsse_r", expr(
+          "CASE WHEN c11 > 0 THEN cyy - c1y * c1y / c11 END"))
+        .withColumn("f_granger", expr(
+          "CASE WHEN dd > 0 AND c11 > 0 AND n > 3 AND nsse_u > 0 " +
+            "THEN (nsse_r - nsse_u) " +
+            "/ (nsse_u / CAST(n - 3 AS DOUBLE)) END"))
+        .select("n", "beta", "gamma", "nsse_r", "nsse_u", "f_granger")
+    }),
+
     "q_ts_adf" -> ((s, d) => {
       val dec = "DECIMAL(38,0)"
       val daily = t(s, d, "events")
@@ -3258,6 +3319,68 @@ object EventAnalytics {
         |    (bl2 - al2) * CAST(0.6931471805599453 AS DOUBLE) END
         |    AS sampen
         |FROM la""".stripMargin,
+
+    // The same day-pair equi-join; exact HUGEINT moments, the n-scaled
+    // centered pieces VARCHAR-routed, the verbatim normal-equation and
+    // F trees.
+    "q_ts_granger" -> {
+      def cs(spq: String, sa: String, sb: String): String =
+        s"CAST(CAST(CAST(n AS HUGEINT) * $spq - CAST($sa AS HUGEINT) " +
+          s"* CAST($sb AS HUGEINT) AS VARCHAR) AS DOUBLE)"
+      s"""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS p,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1
+        |), pr AS (
+        |  SELECT d1.p AS z1, d1.c AS z2, d2.p AS y
+        |  FROM daily d1 JOIN daily d2 ON d2.day = d1.day + 1
+        |), mom AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(z1) AS BIGINT) AS s1,
+        |    CAST(SUM(z2) AS BIGINT) AS s2,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(z1 AS HUGEINT) * CAST(z1 AS HUGEINT)) AS s11,
+        |    SUM(CAST(z2 AS HUGEINT) * CAST(z2 AS HUGEINT)) AS s22,
+        |    SUM(CAST(z1 AS HUGEINT) * CAST(z2 AS HUGEINT)) AS s12,
+        |    SUM(CAST(z1 AS HUGEINT) * CAST(y AS HUGEINT)) AS s1y,
+        |    SUM(CAST(z2 AS HUGEINT) * CAST(y AS HUGEINT)) AS s2y,
+        |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |  FROM pr
+        |), ctr AS (
+        |  SELECT n,
+        |    ${cs("s11", "s1", "s1")} AS c11,
+        |    ${cs("s22", "s2", "s2")} AS c22,
+        |    ${cs("s12", "s1", "s2")} AS c12,
+        |    ${cs("s1y", "s1", "sy")} AS c1y,
+        |    ${cs("s2y", "s2", "sy")} AS c2y,
+        |    ${cs("syy", "sy", "sy")} AS cyy
+        |  FROM mom
+        |), sol AS (
+        |  SELECT *, c11 * c22 - c12 * c12 AS dd FROM ctr
+        |), fit AS (
+        |  SELECT *,
+        |    CASE WHEN dd > 0
+        |      THEN (c22 * c1y - c12 * c2y) / dd END AS beta,
+        |    CASE WHEN dd > 0
+        |      THEN (c11 * c2y - c12 * c1y) / dd END AS gamma
+        |  FROM sol
+        |), sse AS (
+        |  SELECT *,
+        |    CASE WHEN dd > 0
+        |      THEN cyy - beta * c1y - gamma * c2y END AS nsse_u,
+        |    CASE WHEN c11 > 0 THEN cyy - c1y * c1y / c11 END AS nsse_r
+        |  FROM fit
+        |)
+        |SELECT n, beta, gamma, nsse_r, nsse_u,
+        |  CASE WHEN dd > 0 AND c11 > 0 AND n > 3 AND nsse_u > 0
+        |    THEN (nsse_r - nsse_u)
+        |    / (nsse_u / CAST(n - 3 AS DOUBLE)) END AS f_granger
+        |FROM sse""".stripMargin
+    },
 
     // The autocorr day-pair join as the OLS sample; exact HUGEINT
     // moments with operand-first casts, the identical VARCHAR-routed

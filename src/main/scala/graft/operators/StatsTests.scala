@@ -130,7 +130,20 @@ object StatsTests {
     * [[cumulative]] (the carry window runs over integer value buckets,
     * bounded by the value domain, never event count), doubled rank
     * sums and the tie term in DECIMAL(38,0), then the wide-row H. */
-  def kruskalFrom(cnts: DataFrame): DataFrame = {
+  def kruskalFrom(cnts: DataFrame): DataFrame =
+    kruskalMoments(cnts)
+      .select(col("n_click"), col("n_view"), col("n_purchase"),
+        col("r2c").cast("string").as("r2_click"),
+        col("r2v").cast("string").as("r2_view"),
+        col("r2p").cast("string").as("r2_purchase"),
+        col("tt").cast("string").as("t_ties"),
+        expr(kruskalH).as("h"))
+
+  /** The pooled-midrank moment frame behind Kruskal–Wallis AND Dunn's
+    * post-hoc pairs: one row of (group counts, DOUBLED rank sums in
+    * DECIMAL(38,0), the tie term, N). Split out in r12 so the post-hoc
+    * shares the exact pieces instead of re-deriving them. */
+  def kruskalMoments(cnts: DataFrame): DataFrame = {
     val wb = Window.partitionBy("bucket").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wc = Window.orderBy("bucket")
@@ -156,13 +169,25 @@ object StatsTests {
           * col("m").cast(dec) - col("m").cast(dec)).as("tt"))
       .withColumn("n_all",
         col("n_click") + col("n_view") + col("n_purchase"))
-      .select(col("n_click"), col("n_view"), col("n_purchase"),
-        col("r2c").cast("string").as("r2_click"),
-        col("r2v").cast("string").as("r2_view"),
-        col("r2p").cast("string").as("r2_purchase"),
-        col("tt").cast("string").as("t_ties"),
-        expr(kruskalH).as("h"))
   }
+
+  /** Dunn's pairwise z assembled from STRING-routed exact pieces — one
+    * fixed IEEE tree, written once and spliced verbatim into the oracle
+    * SQL. Guarded NULL for empty groups / a degenerate (all-tied)
+    * pooled variance. */
+  private val dunnZ: String =
+    """CASE WHEN n_a > 0 AND n_b > 0 AND n_all > 1
+      |  AND (CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE) + 1.0)
+      |    / 12.0 - CAST(tt_s AS DOUBLE)
+      |    / (12.0 * (CAST(n_all AS DOUBLE) - 1.0))) > 0
+      |THEN (CAST(r2a AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE))
+      |    - CAST(r2b AS DOUBLE) / (2.0 * CAST(n_b AS DOUBLE)))
+      |  / sqrt((CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE) + 1.0)
+      |      / 12.0 - CAST(tt_s AS DOUBLE)
+      |      / (12.0 * (CAST(n_all AS DOUBLE) - 1.0)))
+      |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+      |END"""
+      .stripMargin.replace("\n", " ")
 
   /** The tie-corrected H statistic assembled from exact integers — ONE
     * wide row, so the whole double tree is a fixed left-associated
@@ -607,6 +632,42 @@ object StatsTests {
     // carry (the KS/MWU skeleton), one global agg — no event-grain sort.
     "q_stats_kruskal" -> ((s, d) =>
       kruskalFrom(kruskalCounts(t(s, d, "events")))),
+
+    // Dunn's post-hoc test (Dunn 1964) — WHICH groups differ once
+    // q_stats_kruskal rejects: pairwise z on mean pooled midranks with
+    // the shared tie correction, z_ab = (R̄_a − R̄_b) / √((N(N+1)/12 −
+    // T/(12(N−1)))·(1/n_a + 1/n_b)). A pipeline compares |z| to the
+    // Bonferroni-adjusted critical value — the standard follow-up, so
+    // the query emits the raw z per pair and the pair count (m=3) the
+    // adjustment divides by. Exactness: the moments are
+    // [[kruskalMoments]]' DOUBLED rank sums and tie term — exact
+    // DECIMAL(38,0) — STRING-routed into one fixed IEEE tree per pair;
+    // mean ranks ride beside z. Scale: the Kruskal economics (bucketed
+    // value-domain carry), then a 3-row in-row expansion of ONE row.
+    "q_stats_dunn" -> ((s, d) => {
+      val m = kruskalMoments(kruskalCounts(t(s, d, "events")))
+        .select(col("n_click"), col("n_view"), col("n_purchase"),
+          col("n_all"),
+          col("r2c").cast("string").as("r2c_s"),
+          col("r2v").cast("string").as("r2v_s"),
+          col("r2p").cast("string").as("r2p_s"),
+          col("tt").cast("string").as("tt_s"))
+      m.selectExpr("n_all", "tt_s",
+          "stack(3, " +
+            "'click_vs_view', n_click, n_view, r2c_s, r2v_s, " +
+            "'click_vs_purchase', n_click, n_purchase, r2c_s, r2p_s, " +
+            "'view_vs_purchase', n_view, n_purchase, r2v_s, r2p_s" +
+            ") AS (pair, n_a, n_b, r2a, r2b)")
+        .withColumn("mrank_a", expr(
+          "CAST(r2a AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE))"))
+        .withColumn("mrank_b", expr(
+          "CAST(r2b AS DOUBLE) / (2.0 * CAST(n_b AS DOUBLE))"))
+        .withColumn("z_dunn", expr(dunnZ))
+        .select(col("pair"), col("n_a"), col("n_b"),
+          col("mrank_a"), col("mrank_b"), col("z_dunn"),
+          lit(3L).as("n_pairs"))
+        .orderBy(asc_nulls_last("pair"))
+    }),
 
     // Friedman test (Friedman 1937) — the REPEATED-MEASURES companion
     // to q_stats_kruskal: blocks = days, treatments = the three
@@ -1761,6 +1822,60 @@ object StatsTests {
          |  CAST(tt AS VARCHAR) AS t_ties,
          |  $kruskalH AS h
          |FROM w""".stripMargin,
+
+    // The q_stats_kruskal moment CTEs (global-window rank carry states
+    // the same midranks), VARCHAR-routed pieces, the pair expansion as
+    // a UNION ALL of three selects, the verbatim z tree.
+    "q_stats_dunn" ->
+      s"""WITH pts AS (
+         |  SELECT value,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS dc,
+         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS dv,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS dp
+         |  FROM events WHERE value IS NOT NULL GROUP BY value
+         |), c AS (
+         |  SELECT dc, dv, dp, dc + dv + dp AS m,
+         |    coalesce(SUM(dc + dv + dp) OVER (ORDER BY value ASC NULLS
+         |      LAST ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS r
+         |  FROM pts
+         |), a AS (
+         |  SELECT CAST(SUM(dc) AS BIGINT) AS n_click,
+         |    CAST(SUM(dv) AS BIGINT) AS n_view,
+         |    CAST(SUM(dp) AS BIGINT) AS n_purchase,
+         |    SUM(CAST(dc AS HUGEINT) * (2 * r + m + 1)) AS r2c,
+         |    SUM(CAST(dv AS HUGEINT) * (2 * r + m + 1)) AS r2v,
+         |    SUM(CAST(dp AS HUGEINT) * (2 * r + m + 1)) AS r2p,
+         |    SUM(CAST(m AS HUGEINT) * m * m - m) AS tt
+         |  FROM c
+         |), w AS (
+         |  SELECT n_click, n_view, n_purchase,
+         |    n_click + n_view + n_purchase AS n_all,
+         |    CAST(r2c AS VARCHAR) AS r2c_s,
+         |    CAST(r2v AS VARCHAR) AS r2v_s,
+         |    CAST(r2p AS VARCHAR) AS r2p_s,
+         |    CAST(tt AS VARCHAR) AS tt_s
+         |  FROM a
+         |), pairs AS (
+         |  SELECT 'click_vs_view' AS pair, n_click AS n_a,
+         |    n_view AS n_b, r2c_s AS r2a, r2v_s AS r2b, n_all, tt_s
+         |  FROM w
+         |  UNION ALL
+         |  SELECT 'click_vs_purchase', n_click, n_purchase,
+         |    r2c_s, r2p_s, n_all, tt_s FROM w
+         |  UNION ALL
+         |  SELECT 'view_vs_purchase', n_view, n_purchase,
+         |    r2v_s, r2p_s, n_all, tt_s FROM w
+         |)
+         |SELECT pair, n_a, n_b,
+         |  CAST(r2a AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE)) AS mrank_a,
+         |  CAST(r2b AS DOUBLE) / (2.0 * CAST(n_b AS DOUBLE)) AS mrank_b,
+         |  $dunnZ AS z_dunn,
+         |  CAST(3 AS BIGINT) AS n_pairs
+         |FROM pairs ORDER BY pair ASC NULLS LAST""".stripMargin,
 
     // Same doubled-median classification, lag run starts, HUGEINT σ²
     // pieces VARCHAR-routed, identical z tree (decimal→double via the

@@ -1889,6 +1889,37 @@ class OperatorsSpec extends SparkSpec {
     assert(b >= 0 && math.abs(b - tRaw / c) <= 1e-9 * math.abs(b) + 1e-9)
   }
 
+  test("q_stats_dunn reassembles from q_stats_kruskal's own exact " +
+      "pieces, and the pairs are consistent with the omnibus H") {
+    val k = StatsTests.queries("q_stats_kruskal")(spark, sf)
+      .collect().head
+    val r2 = Map(
+      "click" -> BigInt(k.getAs[String]("r2_click")),
+      "view" -> BigInt(k.getAs[String]("r2_view")),
+      "purchase" -> BigInt(k.getAs[String]("r2_purchase")))
+    val n = Map("click" -> k.getAs[Long]("n_click"),
+      "view" -> k.getAs[Long]("n_view"),
+      "purchase" -> k.getAs[Long]("n_purchase"))
+    val nAll = n.values.sum
+    val tt = BigInt(k.getAs[String]("t_ties")).toDouble
+    val rows = StatsTests.queries("q_stats_dunn")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val Array(a, _, b) = r.getAs[String]("pair").split("_")
+      assert(r.getAs[Long]("n_a") == n(a) && r.getAs[Long]("n_b") == n(b))
+      val mra = r2(a).toDouble / (2.0 * n(a))
+      val mrb = r2(b).toDouble / (2.0 * n(b))
+      assert(math.abs(r.getAs[Double]("mrank_a") - mra) <= 1e-9 * mra)
+      assert(math.abs(r.getAs[Double]("mrank_b") - mrb) <= 1e-9 * mrb)
+      val sig2 = (nAll.toDouble * (nAll + 1.0) / 12.0
+        - tt / (12.0 * (nAll - 1.0))) * (1.0 / n(a) + 1.0 / n(b))
+      val z = (mra - mrb) / math.sqrt(sig2)
+      assert(math.abs(r.getAs[Double]("z_dunn") - z)
+        <= 1e-9 * math.abs(z) + 1e-12,
+        s"${r.getAs[String]("pair")}: ${r.getAs[Double]("z_dunn")} vs $z")
+    }
+  }
+
   test("q_ts_sample_entropy matches a plain-Scala SampEn(m=1) replay " +
       "on the daily series") {
     import spark.implicits._
@@ -1917,6 +1948,49 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("sampen") - expected)
       <= 1e-5 * expected + 1e-7,
       s"sampen ${r.getAs[Double]("sampen")} vs $expected")
+  }
+
+  test("q_ts_granger matches a plain-Scala 2-regressor OLS replay " +
+      "(restricted vs unrestricted SSE, F)") {
+    import spark.implicits._
+    val r = EventAnalytics.queries("q_ts_granger")(spark, sf)
+      .collect().head
+    val daily = Tables.table(spark, sf, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("p"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c"))
+      .orderBy("day").select("p", "c").as[(Long, Long)].collect()
+    val trip = daily.dropRight(1).zip(daily.drop(1))
+      .map { case ((p0, c0), (p1, _)) => (p0, c0, p1) }
+    val n = trip.length.toDouble
+    def m(f: ((Long, Long, Long)) => Double): Double = trip.map(f).sum
+    val (s1, s2, sy) = (m(_._1.toDouble), m(_._2.toDouble),
+      m(_._3.toDouble))
+    val c11 = n * m(t => t._1.toDouble * t._1) - s1 * s1
+    val c22 = n * m(t => t._2.toDouble * t._2) - s2 * s2
+    val c12 = n * m(t => t._1.toDouble * t._2) - s1 * s2
+    val c1y = n * m(t => t._1.toDouble * t._3) - s1 * sy
+    val c2y = n * m(t => t._2.toDouble * t._3) - s2 * sy
+    val cyy = n * m(t => t._3.toDouble * t._3) - sy * sy
+    val dd = c11 * c22 - c12 * c12
+    val beta = (c22 * c1y - c12 * c2y) / dd
+    val gamma = (c11 * c2y - c12 * c1y) / dd
+    val sseU = cyy - beta * c1y - gamma * c2y
+    val sseR = cyy - c1y * c1y / c11
+    val f = (sseR - sseU) / (sseU / (n - 3))
+    assert(r.getAs[Long]("n") == trip.length.toLong)
+    assert(math.abs(r.getAs[Double]("beta") - beta)
+      <= 1e-9 * math.abs(beta) + 1e-12)
+    assert(math.abs(r.getAs[Double]("gamma") - gamma)
+      <= 1e-9 * math.abs(gamma) + 1e-12)
+    assert(math.abs(r.getAs[Double]("f_granger") - f)
+      <= 1e-6 * math.abs(f) + 1e-9,
+      s"F ${r.getAs[Double]("f_granger")} vs $f")
+    assert(r.getAs[Double]("nsse_u") > 0
+      && r.getAs[Double]("nsse_r") >= r.getAs[Double]("nsse_u") - 1e-6)
   }
 
   test("q_multimodal_webm recovers the synthesized varint width, header " +

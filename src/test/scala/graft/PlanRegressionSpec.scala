@@ -181,6 +181,9 @@ class PlanRegressionSpec extends SparkSpec {
       // q_stats_kruskal reuses the same value-domain-bounded bucket
       // carry (StatsTests.kruskalPoints) for the 3-group pooled ranks
       "q_stats_kruskal" -> 1,
+      // q_stats_dunn consumes the SAME kruskalMoments bucket carry —
+      // the identical value-domain-bounded global window
+      "q_stats_dunn" -> 1,
       // q_stats_mood_median reads its pooled-median bracket off the
       // SAME value-domain-bounded bucket carry (StatsTests.cumulative)
       // — the q_stats_ks argument verbatim
