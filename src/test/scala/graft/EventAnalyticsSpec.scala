@@ -448,20 +448,25 @@ class EventAnalyticsSpec extends SparkSpec {
   }
 
   test("q_ts_fano matches brute-force daily-count dispersion moments") {
+    // var_num is a DOUBLE since the r12 overflow sweep (the exact
+    // DECIMAL(38,0) moment routed through VARCHAR) — the brute force
+    // recomputes the same exact integer and compares its double image
     val out = EventAnalytics.queries("q_ts_fano")(spark, sf).collect()
       .map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
     val byType = events.groupBy(_._3)
     assert(out.keySet == byType.keySet)
     byType.foreach { case (typ, evs) =>
       val daily = evs.groupBy(e => dayOf(e._2)).map(_._2.size.toLong)
       val n = daily.size.toLong
       val tot = daily.sum
-      val sxx = daily.map(x => x * x).sum
-      val varNum = n * sxx - tot * tot
+      val sxx = daily.map(x => BigInt(x) * BigInt(x)).sum
+      val varNum = BigInt(n) * sxx - BigInt(tot) * BigInt(tot)
       val (on, ot, ov, of) = out(typ)
-      assert(on == n && ot == tot && ov == varNum, s"$typ moments")
-      assert(of == varNum.toDouble / (n * tot).toDouble, s"$typ fano")
+      assert(on == n && ot == tot && ov == varNum.toDouble,
+        s"$typ moments")
+      assert(of == varNum.toDouble / (BigInt(n) * BigInt(tot)).toDouble,
+        s"$typ fano")
       assert(of >= 0.0, s"$typ nonneg")
     }
   }
