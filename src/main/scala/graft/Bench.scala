@@ -62,7 +62,8 @@ object Bench {
     "q_stats_bartlett" -> "bb", "q_ts_sample_entropy" -> "se2",
     "q_multimodal_webm" -> "wv", "q_ann_hamming" -> "hm",
     "q_ts_hurst" -> "hz", "q_stats_dunn" -> "du",
-    "q_ts_granger" -> "gc",
+    "q_ts_granger" -> "gc", "q_stats_ks_uniform" -> "ku",
+    "q_dedup_cluster_purity" -> "cp",
     // round-11 additions (2-char codes keep the stdout line in budget)
     "q_stats_randomization" -> "rz", "q_stats_f_test" -> "fv",
     "q_ts_adf" -> "uq", "q_ts_spectral_entropy" -> "sy",

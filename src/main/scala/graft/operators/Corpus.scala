@@ -428,6 +428,45 @@ object Corpus {
           (col("id") === col("lbl")).as("survivor"))
         .orderBy(asc_nulls_last("doc_id"))),
 
+    // Source purity per near-dup cluster (r12) — the "is this cluster a
+    // crawl artifact or cross-source contamination?" triage a curation
+    // run reads before choosing a dedup policy: same-source clusters
+    // are boilerplate/re-crawls (drop freely), cross-source clusters
+    // flag syndication or benchmark leakage (the q_decontaminate
+    // signal). Per cluster: member count, distinct sources, the
+    // dominant source (mode, source-asc tie-break), its share (ONE
+    // IEEE division of exact counts), and the cross-source flag.
+    // Scale: the shared CC labels + one (cluster, source)-keyed agg
+    // with map-side combine + a top-1 window over cluster-sized groups.
+    "q_dedup_cluster_purity" -> ((s, d) => {
+      val cl = connectedComponents(
+          nearDupPairs(s, d).select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      val bySrc = cl
+        .join(t(s, d, "documents").select("doc_id", "source"), "doc_id")
+        .groupBy("cluster", "source").agg(count(lit(1)).as("ns"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(desc_nulls_last("ns"), asc_nulls_last("source"))
+      // the mode row arrives by top-1-window + join rather than a
+      // max(string) aggregate: a string max forces SortAggregate (the
+      // plan gate's conscious-choice list), while this shape keeps the
+      // counts on the codegen'd hash-agg path and reuses the window
+      // sort it needs anyway
+      val agg = bySrc.groupBy("cluster")
+        .agg(sum("ns").as("n_members"), count(lit(1)).as("n_sources"))
+      val dom = bySrc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("source").as("dom_source"),
+          col("ns").as("dom_count"))
+      agg.join(dom, "cluster")
+        .withColumn("purity", expr(
+          "CAST(dom_count AS DOUBLE) / CAST(n_members AS DOUBLE)"))
+        .withColumn("cross_source", col("n_sources") > 1L)
+        .select("cluster", "n_members", "n_sources", "dom_source",
+          "dom_count", "purity", "cross_source")
+        .orderBy(asc_nulls_last("cluster"))
+    }),
+
     // The production dedup POLICY on top of the clusters: each duplicate
     // cluster keeps its best-QUALITY member (longest document, doc_id
     // tie-break) — not the arbitrary min-id — the canonical-copy
@@ -1794,6 +1833,34 @@ object Corpus {
         |FROM reach GROUP BY id
         |ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** Same closure, then the per-(cluster, source) counts and the
+    * mode-source top-1 window; the purity division repeats the Spark
+    * text over the identical integers. */
+  private def clusterPurityOracle: String =
+    clustersCtes +
+      """
+        |, cl AS (
+        |  SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id
+        |), ms AS (
+        |  SELECT cl.cluster, d.source, COUNT(*) AS ns
+        |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster
+        |    ORDER BY ns DESC, source ASC) AS rn
+        |  FROM ms
+        |)
+        |SELECT cluster, CAST(SUM(ns) AS BIGINT) AS n_members,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |  max(CASE WHEN rn = 1 THEN source END) AS dom_source,
+        |  CAST(max(CASE WHEN rn = 1 THEN ns END) AS BIGINT)
+        |    AS dom_count,
+        |  CAST(max(CASE WHEN rn = 1 THEN ns END) AS DOUBLE)
+        |    / CAST(SUM(ns) AS DOUBLE) AS purity,
+        |  COUNT(*) > 1 AS cross_source
+        |FROM r GROUP BY cluster
+        |ORDER BY cluster ASC NULLS LAST""".stripMargin
+
   /** Same closure, then the quality-ranked canonical pick per cluster. */
   private def survivorOracle: String =
     clustersCtes +
@@ -2307,6 +2374,7 @@ object Corpus {
         |FROM a""".stripMargin,
 
     "q_dedup_clusters" -> clustersOracle,
+    "q_dedup_cluster_purity" -> clusterPurityOracle,
     "q_dedup_survivor" -> survivorOracle,
     "q_graph_cc_sizes" -> ccSizesOracle,
     "q_graph_pagerank" -> pagerankOracle,

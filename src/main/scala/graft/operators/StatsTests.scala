@@ -633,6 +633,57 @@ object StatsTests {
     "q_stats_kruskal" -> ((s, d) =>
       kruskalFrom(kruskalCounts(t(s, d, "events")))),
 
+    // One-sample KS against the uniform reference on the observed
+    // range (the Lilliefors-style distribution-fit gate, per event
+    // type) — "is value ~ U(min, max), or does mass clump?": D⁺ =
+    // max(F̂(vᵢ) − F(vᵢ)), D⁻ = max(F(vᵢ) − F̂(vᵢ⁻)) evaluated at the
+    // jump points only (exact for a step-vs-continuous comparison),
+    // K = √n·D. Exactness: per-(type, value) exact counts, the
+    // empirical CDF from the two-level (type, value-bucket) prefix sum
+    // (the q_stats_ks carry bounded by the VALUE DOMAIN per type, never
+    // event count), the uniform CDF one fixed double tree per point —
+    // every double both engines MAX over is computed from identical
+    // text, and MAX is order-insensitive, so no quantization is needed.
+    // Degenerate guard: a single-valued type (vmax = vmin) reports NULL.
+    "q_stats_ks_uniform" -> ((s, d) => {
+      val pts = t(s, d, "events").filter(col("value").isNotNull)
+        .groupBy(col("event_type").as("ty"), col("value"))
+        .agg(count(lit(1)).as("m"))
+        .withColumn("bucket", floor(col("value")).cast("long"))
+      val wb = Window.partitionBy("ty", "bucket").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wc = Window.partitionBy("ty").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = pts.groupBy("ty", "bucket").agg(sum("m").as("tm"))
+        .select(col("ty"), col("bucket"),
+          coalesce(sum(col("tm")).over(wc), lit(0L)).as("pm"))
+      val tot = pts.groupBy("ty")
+        .agg(sum("m").as("n"), min("value").as("vmin"),
+          max("value").as("vmax"))
+      val terms = pts.withColumn("cb", sum("m").over(wb))
+        .join(carry, Seq("ty", "bucket"))
+        .withColumn("c", col("pm") + col("cb"))
+        .join(tot, Seq("ty"))
+        .withColumn("fu", expr(
+          "CASE WHEN vmax > vmin " +
+            "THEN (value - vmin) / (vmax - vmin) END"))
+        .withColumn("dp", expr(
+          "CAST(c AS DOUBLE) / CAST(n AS DOUBLE) - fu"))
+        .withColumn("dm", expr(
+          "fu - CAST(c - m AS DOUBLE) / CAST(n AS DOUBLE)"))
+      terms.groupBy("ty")
+        .agg(max("n").as("n"), min("vmin").as("vmin"),
+          max("vmax").as("vmax"), max("dp").as("d_plus"),
+          max("dm").as("d_minus"))
+        .withColumn("d_stat", expr("greatest(d_plus, d_minus)"))
+        .withColumn("k_stat", expr(
+          "sqrt(CAST(n AS DOUBLE)) * d_stat"))
+        .select(col("ty").as("event_type"), col("n"), col("vmin"),
+          col("vmax"), col("d_plus"), col("d_minus"), col("d_stat"),
+          col("k_stat"))
+        .orderBy(asc_nulls_last("event_type"))
+    }),
+
     // Dunn's post-hoc test (Dunn 1964) — WHICH groups differ once
     // q_stats_kruskal rejects: pairwise z on mean pooled midranks with
     // the shared tie correction, z_ab = (R̄_a − R̄_b) / √((N(N+1)/12 −
@@ -1822,6 +1873,40 @@ object StatsTests {
          |  CAST(tt AS VARCHAR) AS t_ties,
          |  $kruskalH AS h
          |FROM w""".stripMargin,
+
+    // Same jump-point evaluation: per-(type, value) counts, a plain
+    // per-type running-sum window (the PLAN differs, the cumulative
+    // counts are the same exact integers), the verbatim F/D/K trees.
+    "q_stats_ks_uniform" ->
+      """WITH pts AS (
+        |  SELECT event_type AS ty, value, COUNT(*) AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT ty, value, m,
+        |    SUM(m) OVER (PARTITION BY ty ORDER BY value ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM pts
+        |), tot AS (
+        |  SELECT ty, CAST(SUM(m) AS BIGINT) AS n, MIN(value) AS vmin,
+        |    MAX(value) AS vmax
+        |  FROM pts GROUP BY 1
+        |), terms AS (
+        |  SELECT cum.ty, t.n, t.vmin, t.vmax,
+        |    CASE WHEN t.vmax > t.vmin
+        |      THEN (cum.value - t.vmin) / (t.vmax - t.vmin) END AS fu,
+        |    cum.c, cum.m
+        |  FROM cum JOIN tot t ON t.ty = cum.ty
+        |), agg AS (
+        |  SELECT ty, MAX(n) AS n, MIN(vmin) AS vmin, MAX(vmax) AS vmax,
+        |    MAX(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) - fu) AS d_plus,
+        |    MAX(fu - CAST(c - m AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS d_minus
+        |  FROM terms GROUP BY ty
+        |)
+        |SELECT ty AS event_type, n, vmin, vmax, d_plus, d_minus,
+        |  greatest(d_plus, d_minus) AS d_stat,
+        |  sqrt(CAST(n AS DOUBLE)) * greatest(d_plus, d_minus) AS k_stat
+        |FROM agg ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     // The q_stats_kruskal moment CTEs (global-window rank carry states
     // the same midranks), VARCHAR-routed pieces, the pair expansion as

@@ -34,6 +34,31 @@ class CorpusSpec extends SparkSpec {
     assert(surv == out.values.toSet)
   }
 
+  test("q_dedup_cluster_purity is consistent with q_dedup_clusters " +
+      "labels and the documents source column") {
+    val cl = Corpus.queries("q_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val src = Tables.table(spark, sf, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val expected = cl.groupBy(_._2).map { case (c, ms) =>
+      val bySrc = ms.map(m => src(m._1)).groupBy(identity)
+        .map { case (s, g) => s -> g.size }
+      val (ds, dc) = bySrc.toSeq.sortBy(t => (-t._2, t._1)).head
+      c -> (ms.length.toLong, bySrc.size.toLong, ds, dc.toLong)
+    }
+    val rows = Corpus.queries("q_dedup_cluster_purity")(spark, sf)
+      .collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val e = expected(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))
+        == e, s"cluster ${r.getLong(0)}")
+      assert(r.getDouble(5) == e._4.toDouble / e._1)
+      assert(r.getBoolean(6) == (e._2 > 1L))
+      assert(r.getLong(1) >= 2L, "CC clusters are pair-born")
+    }
+  }
+
   test("q_graph_kcore equals a plain-Scala peel to the true 2-core " +
       "(and the fixture converges within the 3 unrolled rounds)") {
     val pairs = TextDedup.nearDuplicates(Tables.table(spark, sf, "documents"))

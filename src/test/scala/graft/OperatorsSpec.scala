@@ -1889,6 +1889,42 @@ class OperatorsSpec extends SparkSpec {
     assert(b >= 0 && math.abs(b - tRaw / c) <= 1e-9 * math.abs(b) + 1e-9)
   }
 
+  test("q_stats_ks_uniform matches a plain-Scala one-sample KS replay " +
+      "against the observed-range uniform") {
+    import spark.implicits._
+    val rows = StatsTests.queries("q_stats_ks_uniform")(spark, sf)
+      .collect()
+    val byType = Tables.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet == byType.keySet)
+    rows.foreach { r =>
+      val vs = byType(r.getString(0)).map(_._2).sorted
+      val n = vs.length
+      val (a, b) = (vs.head, vs.last)
+      assert(r.getAs[Long]("n") == n.toLong)
+      assert(r.getAs[Double]("vmin") == a && r.getAs[Double]("vmax") == b)
+      // group by distinct value, walk jump points
+      val pts = vs.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (v, g) => (v, g.length) }
+      var (c, dp, dm) = (0L, Double.MinValue, Double.MinValue)
+      pts.foreach { case (v, m) =>
+        val f = (v - a) / (b - a)
+        dm = math.max(dm, f - c.toDouble / n)
+        c += m
+        dp = math.max(dp, c.toDouble / n - f)
+      }
+      assert(math.abs(r.getAs[Double]("d_plus") - dp) <= 1e-12, "D+")
+      assert(math.abs(r.getAs[Double]("d_minus") - dm) <= 1e-12, "D-")
+      val dStat = math.max(dp, dm)
+      assert(math.abs(r.getAs[Double]("d_stat") - dStat) <= 1e-12)
+      assert(math.abs(r.getAs[Double]("k_stat")
+        - math.sqrt(n.toDouble) * dStat) <= 1e-9)
+      assert(dStat >= 0.0 && dStat <= 1.0)
+    }
+  }
+
   test("q_stats_dunn reassembles from q_stats_kruskal's own exact " +
       "pieces, and the pairs are consistent with the omnibus H") {
     val k = StatsTests.queries("q_stats_kruskal")(spark, sf)
