@@ -1513,9 +1513,13 @@ object EventAnalytics {
             .as("rs_wmin"),
           expr("CAST(qm_max AS DOUBLE) / CAST(10000000000 AS DOUBLE)")
             .as("rs_wmax"),
-          expr("CAST(n_bank * sil - si * sl AS DOUBLE) " +
+          // n_bank >= 2 guard (r12 ADVICE): with a single surviving
+          // window size the LS denominator is 0 — NULL on Spark but
+          // IEEE NaN on DuckDB; pin both engines to NULL.
+          expr("CASE WHEN n_bank >= 2 THEN " +
+            "CAST(n_bank * sil - si * sl AS DOUBLE) " +
             "/ CAST(n_bank * sii - si * si AS DOUBLE) " +
-            "/ CAST(10000000000 AS DOUBLE)").as("hurst"))
+            "/ CAST(10000000000 AS DOUBLE) END").as("hurst"))
     }),
 
     // Sample entropy (Richman & Moorman 2000), m=1, over the daily
@@ -3277,9 +3281,10 @@ object EventAnalytics {
         |    AS rs_wmin,
         |  CAST(qm_max AS DOUBLE) / CAST(10000000000 AS DOUBLE)
         |    AS rs_wmax,
-        |  CAST(b * sil - si * sl AS DOUBLE)
+        |  CASE WHEN b >= 2 THEN
+        |    CAST(b * sil - si * sl AS DOUBLE)
         |    / CAST(b * sii - si * si AS DOUBLE)
-        |    / CAST(10000000000 AS DOUBLE) AS hurst
+        |    / CAST(10000000000 AS DOUBLE) END AS hurst
         |FROM mom""".stripMargin,
 
     // Same day re-index + lead frame, the same integer tolerance and

@@ -500,11 +500,15 @@ object StatsTests {
       def svv(ty: String): Column =
         sum(when(col("event_type") === ty,
           expr(s"CAST(v4 AS $dec) * CAST(v4 AS $dec)")))
+      // n_i >= 2 guard (r12 ADVICE): a 1-row group is 0/0 — NULL on
+      // Spark but IEEE NaN on DuckDB, and qz(NaN)'s CAST raises there;
+      // NULL quantizes to NULL legally on both engines.
       def s2(i: Int): String =
-        s"CAST(CAST(CAST(n$i AS $dec) * q$i - CAST(sv$i AS $dec) " +
+        s"CASE WHEN n$i >= 2 THEN " +
+          s"CAST(CAST(CAST(n$i AS $dec) * q$i - CAST(sv$i AS $dec) " +
           s"* CAST(sv$i AS $dec) AS STRING) AS DOUBLE) " +
           s"/ (CAST(n$i AS DOUBLE) * CAST(n$i - 1 AS DOUBLE)) " +
-          "/ CAST(100000000 AS DOUBLE)"
+          "/ CAST(100000000 AS DOUBLE) END"
       def qz(col: String): String =
         s"greatest(CAST(floor($col * CAST(1000000 AS DOUBLE) " +
           "+ CAST(0.5 AS DOUBLE)) AS BIGINT), CAST(1 AS BIGINT))"
@@ -522,9 +526,10 @@ object StatsTests {
         .withColumn("s2_2", expr(s2(2)))
         .withColumn("s2_3", expr(s2(3)))
         .withColumn("s2_pooled", expr(
-          "(CAST(n1 - 1 AS DOUBLE) * s2_1 + CAST(n2 - 1 AS DOUBLE) " +
+          "CASE WHEN n1 >= 2 AND n2 >= 2 AND n3 >= 2 THEN " +
+            "(CAST(n1 - 1 AS DOUBLE) * s2_1 + CAST(n2 - 1 AS DOUBLE) " +
             "* s2_2 + CAST(n3 - 1 AS DOUBLE) * s2_3) " +
-            "/ CAST(n1 + n2 + n3 - 3 AS DOUBLE)"))
+            "/ CAST(n1 + n2 + n3 - 3 AS DOUBLE) END"))
         .withColumn("z1", expr(qz("s2_1")))
         .withColumn("z2", expr(qz("s2_2")))
         .withColumn("z3", expr(qz("s2_3")))
@@ -540,11 +545,12 @@ object StatsTests {
             "* l2x + CAST(n3 - 1 AS DOUBLE) * l3)) " +
             "* CAST(0.6931471805599453 AS DOUBLE)"))
         .withColumn("c_factor", expr(
-          "CAST(1 AS DOUBLE) + (CAST(1 AS DOUBLE) / CAST(n1 - 1 " +
+          "CASE WHEN n1 >= 2 AND n2 >= 2 AND n3 >= 2 THEN " +
+            "CAST(1 AS DOUBLE) + (CAST(1 AS DOUBLE) / CAST(n1 - 1 " +
             "AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE) " +
             "+ CAST(1 AS DOUBLE) / CAST(n3 - 1 AS DOUBLE) " +
             "- CAST(1 AS DOUBLE) / CAST(n1 + n2 + n3 - 3 AS DOUBLE)) " +
-            "/ CAST(6 AS DOUBLE)"))
+            "/ CAST(6 AS DOUBLE) END"))
         .selectExpr("n1", "n2", "n3", "CAST(2 AS BIGINT) AS df",
           "s2_1", "s2_2", "s2_3", "s2_pooled",
           "CASE WHEN n1 >= 2 AND n2 >= 2 AND n3 >= 2 " +
@@ -1271,6 +1277,19 @@ object StatsTests {
               .as("n1"),
             sum(when(col("event_type") === "click", col("v4"))
               .otherwise(0L)).as("svc")) ++ aggs): _*)
+        // Degenerate-corpus parity (r11 ADVICE) — placed HERE, adjacent
+        // to the aggregate, phrased over the raw sw_b columns:
+        // n_splits > 0 ⇔ some split is two-sided (0 < sw_b < n).
+        // Filtering on the DERIVED n_splits column instead costs ~0.9 s
+        // of pure optimizer time (r13 solo A/B: 1.4 → 0.5 s) because
+        // pushdown substitutes the 64-struct transform tree into the
+        // predicate; this form keeps the pushed predicate 32 scalar
+        // comparisons. NULL aggregates over an empty corpus make every
+        // conjunct NULL, which filters the row — both engines end at
+        // 0 rows (scripts/check_degenerate.py + the OperatorsSpec case).
+        .filter(col("n1") > 0 && (col("n") - col("n1")) > 0
+          && expr((1 to 32).map(b => s"sw$b")
+            .mkString("exists(array(", ", ", "), s -> s > 0 AND s < n)")))
         .withColumn("obs_diff", expr(
           "CAST(svc AS DOUBLE) / CAST(n1 AS DOUBLE) " +
             "/ CAST(10000 AS DOUBLE) " +
@@ -1289,15 +1308,6 @@ object StatsTests {
             "x -> abs(x) >= abs(obs_diff))) AS BIGINT)"))
         .withColumn("p_value", expr(
           "CAST(n_ge AS DOUBLE) / CAST(n_splits AS DOUBLE)"))
-        // Degenerate-corpus parity (r11 ADVICE): the oracle's terminal
-        // GROUP BY over `diffs` yields 0 rows when every split is
-        // one-sided or the pooled corpus is empty, and obs_diff divides
-        // by zero when either group is empty — so this global aggregate
-        // drops its always-1 row in exactly those cases (the
-        // q_stats_bootstrap_se n_splits>0 move), keeping both engines
-        // at 0 rows on corpora the fixtures never produce.
-        .filter(col("n_splits") > 0 && col("n1") > 0
-          && (col("n") - col("n1")) > 0)
         .select(col("n1"), (col("n") - col("n1")).as("n2"),
           col("obs_diff"), col("n_splits"), col("n_ge"), col("p_value"))
     }),
@@ -2442,11 +2452,14 @@ object StatsTests {
     // chains, and the verbatim T/C assembly (the grid scale cancels in
     // T because the ln coefficients sum to zero).
     "q_stats_bartlett" -> {
+      // Mirrors the Spark-side n_i >= 2 guards (r12 ADVICE): 0/0 must
+      // be NULL on both engines, never an IEEE NaN reaching qz's CAST.
       def s2(i: Int): String =
-        s"CAST(CAST(CAST(n$i AS HUGEINT) * q$i - CAST(sv$i AS HUGEINT) " +
+        s"CASE WHEN n$i >= 2 THEN " +
+          s"CAST(CAST(CAST(n$i AS HUGEINT) * q$i - CAST(sv$i AS HUGEINT) " +
           s"* CAST(sv$i AS HUGEINT) AS VARCHAR) AS DOUBLE) " +
           s"/ (CAST(n$i AS DOUBLE) * CAST(n$i - 1 AS DOUBLE)) " +
-          "/ CAST(100000000 AS DOUBLE)"
+          "/ CAST(100000000 AS DOUBLE) END"
       def qz(c: String): String =
         s"greatest(CAST(floor($c * CAST(1000000 AS DOUBLE) " +
           "+ CAST(0.5 AS DOUBLE)) AS BIGINT), CAST(1 AS BIGINT))"
@@ -2475,9 +2488,10 @@ object StatsTests {
         |  FROM m
         |), vp AS (
         |  SELECT *,
-        |    (CAST(n1 - 1 AS DOUBLE) * s2_1 + CAST(n2 - 1 AS DOUBLE)
+        |    CASE WHEN n1 >= 2 AND n2 >= 2 AND n3 >= 2 THEN
+        |      (CAST(n1 - 1 AS DOUBLE) * s2_1 + CAST(n2 - 1 AS DOUBLE)
         |      * s2_2 + CAST(n3 - 1 AS DOUBLE) * s2_3)
-        |      / CAST(n1 + n2 + n3 - 3 AS DOUBLE) AS s2_pooled
+        |      / CAST(n1 + n2 + n3 - 3 AS DOUBLE) END AS s2_pooled
         |  FROM v
         |), z AS (
         |  SELECT *, ${qz("s2_1")} AS z1, ${qz("s2_2")} AS z2,
@@ -2493,11 +2507,12 @@ object StatsTests {
         |      - (CAST(n1 - 1 AS DOUBLE) * al2 + CAST(n2 - 1 AS DOUBLE)
         |      * bl2 + CAST(n3 - 1 AS DOUBLE) * cl2))
         |      * CAST(0.6931471805599453 AS DOUBLE) AS t_raw,
-        |    CAST(1 AS DOUBLE) + (CAST(1 AS DOUBLE) / CAST(n1 - 1
+        |    CASE WHEN n1 >= 2 AND n2 >= 2 AND n3 >= 2 THEN
+        |      CAST(1 AS DOUBLE) + (CAST(1 AS DOUBLE) / CAST(n1 - 1
         |      AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE)
         |      + CAST(1 AS DOUBLE) / CAST(n3 - 1 AS DOUBLE)
         |      - CAST(1 AS DOUBLE) / CAST(n1 + n2 + n3 - 3 AS DOUBLE))
-        |      / CAST(6 AS DOUBLE) AS c_factor
+        |      / CAST(6 AS DOUBLE) END AS c_factor
         |  FROM lq
         |)
         |SELECT n1, n2, n3, CAST(2 AS BIGINT) AS df,

@@ -693,8 +693,10 @@ object StatefulTwins {
   case class QObs(event_type: String, event_id: Long, value: Double,
       hv: Long)
 
-  /** Bottom-K sample + the exact count of rows seen. */
-  case class QSketch(rows: Vector[(Long, Long, Double)], nFull: Long)
+  /** Bottom-K sample + the exact count of rows seen + the largest
+    * event_id ever counted (the replay high-watermark). */
+  case class QSketch(rows: Vector[(Long, Long, Double)], nFull: Long,
+      maxId: Long)
 
   /** The declared q_sketch_quantile row shape. */
   case class QRow(event_type: String, n_full: Long, m: Long,
@@ -705,14 +707,27 @@ object StatefulTwins {
     * keyed state = the K smallest (hv, event_id, value) rows plus the
     * exact row count; each micro-batch merges its arrivals ("K smallest
     * of the union" — the same associative merge the batch partial agg
-    * runs) and emits the CURRENT sketch row in update mode. Replayed
-    * event_ids dedup by (hv, id) identity, so at-least-once delivery
-    * cannot bias the sample (it would keep nFull exact too only for
-    * distinct ids — the NearDupStream idempotence convention). Nearest-
-    * rank selection repeats the declared query's ceil(q·m) arithmetic
-    * verbatim; StreamingParitySpec proves the drained state equals the
-    * batch sketch row for row. State: ≤K slim rows per type — bounded
-    * regardless of stream length, the whole point of the sketch. */
+    * runs) and emits the CURRENT sketch row in update mode.
+    *
+    * Replay handling (r12 ADVICE fix): the SAMPLE is idempotent by
+    * construction — a replayed row either already sits in state (the
+    * union dedups it) or was evicted, in which case the state's
+    * bottom-K keys have only tightened since, so the replay sorts out
+    * of take(k) again. The COUNT cannot be deduped against the sample
+    * alone (an evicted replay is indistinguishable from a fresh row by
+    * key), so nFull uses a per-type max-event_id high-watermark: under
+    * this file's ordering contract (per-key in-order FRESH arrival
+    * across micro-batches; a QoS-1 replay re-delivers only
+    * already-delivered ids) a row counts iff event_id > maxId. That
+    * keeps n_full EXACT under at-least-once delivery while the state
+    * stays ≤K slim rows + 2 longs per type; for sources that violate
+    * per-key arrival order, buffer by watermark first (the file-top
+    * contract) or treat n_full as exact-only-under-exactly-once.
+    * Nearest-rank selection repeats the declared query's ceil(q·m)
+    * arithmetic verbatim; StreamingParitySpec proves the drained state
+    * equals the batch sketch row for row AND that a replayed batch
+    * with k small enough to force eviction leaves both the sample and
+    * n_full unchanged. */
   def quantileSketchStream(obs: Dataset[QObs],
       k: Int = graft.operators.Sketches.QuantK): Dataset[QRow] = {
     import obs.sparkSession.implicits._
@@ -723,14 +738,15 @@ object StatefulTwins {
           val fresh = it.toVector
           if (fresh.isEmpty) Iterator.empty
           else {
-            val st = state.getOption.getOrElse(QSketch(Vector.empty, 0L))
-            val seen = st.rows.map(r => (r._1, r._2)).toSet
-            val add = fresh.map(e => (e.hv, e.event_id, e.value))
-              .distinct.filterNot(r => seen((r._1, r._2)))
-            val merged = (st.rows ++ add)
+            val st = state.getOption
+              .getOrElse(QSketch(Vector.empty, 0L, Long.MinValue))
+            val rows = fresh.map(e => (e.hv, e.event_id, e.value))
+              .distinct
+            val merged = (st.rows ++ rows).distinct
               .sortBy(r => (r._1, r._2)).take(k)
-            val n = st.nFull + add.size
-            state.update(QSketch(merged, n))
+            val n = st.nFull + rows.count(_._2 > st.maxId)
+            val maxId = math.max(st.maxId, rows.map(_._2).max)
+            state.update(QSketch(merged, n, maxId))
             val vals = merged.map(_._3).sorted
             val m = vals.size
             def est(q: Double): Double =

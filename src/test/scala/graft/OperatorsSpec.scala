@@ -1769,6 +1769,38 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_ge") <= r.getAs[Long]("n_splits"))
   }
 
+  test("q_stats_randomization degenerate corpora: one-sided and " +
+      "all-NULL pooled events yield ZERO rows on the Spark side — the " +
+      "oracle's obs/diffs CTEs go empty on the same corpora " +
+      "(scripts/check_degenerate.py), so both engines agree (r12 " +
+      "verdict item 1a)") {
+    import spark.implicits._
+    // Same two corpora as scripts/check_degenerate.py builds in DuckDB.
+    def corpus(oneSided: Boolean): org.apache.spark.sql.DataFrame =
+      spark.range(50).select(
+        $"id".as("event_id"),
+        expr("timestamp_micros(1704067200000000 + id * 1000000)")
+          .as("ts"),
+        $"id".as("user_id"),
+        (if (oneSided) lit("click")
+         else when($"id" % 2 === 0, "click").otherwise("view"))
+          .as("event_type"),
+        (if (oneSided) ($"id".cast("double") / 7.0)
+         else lit(null).cast("double")).as("value"),
+        lit("").as("props"))
+    Seq(true, false).foreach { oneSided =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_degen_").toString
+      corpus(oneSided).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+      val out = StatsTests
+        .queries("q_stats_randomization")(spark, dir).collect()
+      assert(out.isEmpty,
+        s"degenerate corpus (oneSided=$oneSided) must yield 0 rows, " +
+          s"got ${out.length}")
+    }
+  }
+
   test("q_stats_cohens_d: d equals the mean gap over the pooled SD " +
       "recomputed in plain Scala") {
     import spark.implicits._

@@ -780,7 +780,7 @@ class StreamingParitySpec extends SparkSpec {
 
   test("quantile sketch: streamed bottom-K state drained over " +
       "micro-batches equals the declared q_sketch_quantile rows, and a " +
-      "replayed batch changes nothing but the count") {
+      "replayed batch changes nothing") {
     import graft.operators.Sketches
     import graft.streaming.StatefulTwins
     implicit val sqlCtx = spark.sqlContext
@@ -813,6 +813,55 @@ class StreamingParitySpec extends SparkSpec {
         case (i, c) => assert(r.getDouble(i) == b.getAs[Double](c),
           s"$ty $c: streamed ${r.getDouble(i)} vs ${b.getAs[Double](c)}")
       }
+    }
+  }
+
+  test("quantile sketch replay past eviction: with k small enough " +
+      "that groups overflow the sample, a replayed batch leaves BOTH " +
+      "the sample and n_full unchanged (r12 ADVICE)") {
+    import graft.operators.Sketches
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8 // every sf0.01 type has >> 8 rows: eviction is guaranteed
+    val obs = Sketches.quantileObs(Tables.table(spark, sf, "events"))
+      .orderBy("event_id").collect()
+      .map(r => StatefulTwins.QObs(r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3)))
+    val mem = MemoryStream[StatefulTwins.QObs]
+    val sinkName = s"qskev_${System.nanoTime()}"
+    val (a, b) = obs.splitAt(obs.length / 2)
+    mem.addData(a)
+    mem.addData(b)
+    // replay rows from the FIRST half: by now every type's bottom-8
+    // state has tightened, so most replays were previously counted but
+    // evicted — exactly the over-count path the high-watermark guards
+    mem.addData(a)
+    val q = StatefulTwins.quantileSketchStream(mem.toDS(), k).toDF()
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(sinkName).collect()
+      .groupBy(_.getString(0)).map { case (ty, rows) => ty -> rows.last }
+    // plain-Scala expectation: n_full = distinct ids per type, sample =
+    // the k smallest (hv, id) rows, estimates = nearest-rank selections
+    val exp = obs.groupBy(_.event_type).map { case (ty, rows) =>
+      val dis = rows.map(e => (e.hv, e.event_id, e.value)).distinct
+      val bot = dis.sortBy(r => (r._1, r._2)).take(k)
+      val vals = bot.map(_._3).sorted
+      def est(q: Double): Double = vals(math.ceil(q * vals.size).toInt - 1)
+      ty -> (dis.size.toLong, vals.size.toLong,
+        est(0.5), est(0.9), est(0.99))
+    }
+    assert(streamed.keySet == exp.keySet)
+    streamed.foreach { case (ty, r) =>
+      val (nFull, m, p50, p90, p99) = exp(ty)
+      assert(r.getLong(1) == nFull,
+        s"$ty n_full over-counted under replay: ${r.getLong(1)} vs $nFull")
+      assert(r.getLong(2) == m, s"$ty m")
+      assert(r.getDouble(3) == p50 && r.getDouble(4) == p90 &&
+        r.getDouble(5) == p99, s"$ty replay biased the sample")
     }
   }
 
@@ -1520,6 +1569,82 @@ class StreamingParitySpec extends SparkSpec {
       bus.close()
       broker.stop()
     }
+  }
+
+  test("retained template announcements prime a LATE-joining worker: a " +
+      "subscriber connecting AFTER the control plane published (and " +
+      "overwrote) retained templates rebuilds the registry from the " +
+      "retained payloads alone and computes the IDENTICAL batch twin " +
+      "(r12 verdict item 7)") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import graft.plans.{TemplateCompiler, TemplateRegistry}
+    import graft.sources.{MqttBroker, MqttClient}
+    val tplV1 =
+      """{
+        |  "id": "fanin", "tasks": [
+        |    {"id": "a", "name": "trigger_filter",
+        |     "config": {"condition": "event_type = 'click'"}},
+        |    {"id": "agg", "name": "aggregate",
+        |     "config": {"group_by": ["event_type"],
+        |       "aggs": [{"fn": "count", "as": "n"}]}}
+        |  ],
+        |  "graph": {"a": ["agg"]}
+        |}""".stripMargin
+    val tplV2 = // the overwrite a reconnecting worker must see instead
+      """{
+        |  "id": "fanin", "tasks": [
+        |    {"id": "a", "name": "trigger_filter",
+        |     "config": {"condition": "event_type = 'click'"}},
+        |    {"id": "b", "name": "trigger_filter",
+        |     "config": {"condition": "event_type = 'view'"}},
+        |    {"id": "u", "name": "union", "config": {}},
+        |    {"id": "agg", "name": "aggregate",
+        |     "config": {"group_by": ["event_type"],
+        |       "aggs": [{"fn": "count", "as": "n"}]}}
+        |  ],
+        |  "graph": {"a": ["u"], "b": ["u"], "u": ["agg"]}
+        |}""".stripMargin
+    val broker = new MqttBroker().start()
+    try {
+      val ctrl = new MqttClient("127.0.0.1", broker.boundPort,
+        "retained-ctrl").connect()
+      ctrl.publish("graft/templates/fanin", tplV1.getBytes(UTF_8),
+        qos = 1, retain = true)
+      ctrl.publish("graft/templates/fanin", tplV2.getBytes(UTF_8),
+        qos = 1, retain = true) // last-writer-wins
+      ctrl.publish("graft/triggers/click", "fanin".getBytes(UTF_8),
+        qos = 1, retain = true)
+      // the worker connects ONLY NOW — nothing is re-published for it;
+      // its registry is rebuilt purely from the retained announcements
+      val reg = new TemplateRegistry
+      val primed = new CountDownLatch(2) // template + trigger binding
+      val late = new MqttClient("127.0.0.1", broker.boundPort,
+        "retained-late").connect()
+      late.subscribe("graft/templates/#") { (topic, payload) =>
+        val id = reg.put(new String(payload, UTF_8), 1)
+        reg.publish(id, 1)
+        primed.countDown()
+      }
+      late.subscribe("graft/triggers/#") { (topic, payload) =>
+        val et = topic.substring("graft/triggers/".length)
+        reg.setTrigger(et, new String(payload, UTF_8), 1)
+        primed.countDown()
+      }
+      assert(primed.await(10, TimeUnit.SECONDS),
+        "late subscriber was not primed from retained announcements")
+      val src = Tables.table(spark, sf, "events")
+      val got = reg.fire("click", src).get.collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      // the batch twin: the CURRENT template compiled directly
+      val expect = TemplateCompiler.compileJson(tplV2, src).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      assert(got.toSeq == expect.toSeq,
+        s"late-primed twin diverged: ${got.toSeq} vs ${expect.toSeq}")
+      // and it must be V2's two-type shape, not the stale V1
+      assert(got.map(_._1).toSet == Set("click", "view"))
+      late.disconnect(); ctrl.disconnect()
+    } finally broker.stop()
   }
 
   test("end-to-end MQTT hot path: events IN over the broker (QoS 1) -> " +
