@@ -36,12 +36,19 @@ import graft.plans.TopicMatch
   *     ids per connection and RETRANSMITS with the DUP flag until
   *     acknowledged (at-least-once, spec §4.3.2) — MqttSpec drives the
   *     dup path by withholding a PUBACK;
+  *   - RETAINED messages (spec §3.3.1.3, added r13): the broker stores
+  *     the last RETAIN=1 payload per topic (zero-byte clears) and
+  *     delivers matching retained messages with RETAIN=1 on every new
+  *     SUBSCRIBE — so a reconnecting subscriber is primed with the
+  *     current trigger/template announcements without waiting for the
+  *     next publish (the reference bus's operational pattern). Live
+  *     fan-out carries RETAIN=0 as the spec requires;
   *   - PINGREQ/PINGRESP, DISCONNECT.
   *
   * Descopes, stated: QoS 2 (exactly-once is the CHECKPOINT's contract
-  * in this engine, not the wire's), retained messages, wills,
-  * auth, and keep-alive enforcement. A violation (QoS 2 publish,
-  * oversized packet) fails the connection rather than guessing.
+  * in this engine, not the wire's), wills, auth, and keep-alive
+  * enforcement. A violation (QoS 2 publish, oversized packet) fails
+  * the connection rather than guessing.
   *
   * Scale note: this broker is test/dev infrastructure — the production
   * deployment points [[MqttBus]] (or a Kafka source, same seam) at a
@@ -132,8 +139,8 @@ object Mqtt {
 
   /** Assemble a PUBLISH packet. */
   def publishPacket(topic: String, payload: Array[Byte], qos: Int,
-      packetId: Int, dup: Boolean): Array[Byte] = {
-    val flags = (if (dup) 0x08 else 0) | (qos << 1)
+      packetId: Int, dup: Boolean, retain: Boolean = false): Array[Byte] = {
+    val flags = (if (dup) 0x08 else 0) | (qos << 1) | (if (retain) 1 else 0)
     val vh =
       if (qos > 0) utf8(topic) ++
         Array[Byte]((packetId >> 8).toByte, (packetId & 0xff).toByte)
@@ -149,7 +156,7 @@ final class MqttBroker(port: Int = 0) {
   import Mqtt._
 
   private final case class Pending(topic: String, payload: Array[Byte],
-      var deadlineNanos: Long)
+      var deadlineNanos: Long, retain: Boolean = false)
 
   private final class Conn(val sock: Socket) {
     val out: OutputStream = sock.getOutputStream
@@ -171,6 +178,11 @@ final class MqttBroker(port: Int = 0) {
     new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
   @volatile private var running = true
   private val conns = ConcurrentHashMap.newKeySet[Conn]()
+  // RETAIN store (spec §3.3.1.3): last retained payload+qos per topic;
+  // a zero-byte retained publish deletes the entry. Bounded by the
+  // topic space (announcements/config, not per-event topics) — the
+  // operational use is trigger/template priming for late subscribers.
+  private val retained = TrieMap.empty[String, (Array[Byte], Int)]
 
   def boundPort: Int = server.getLocalPort
 
@@ -201,7 +213,7 @@ final class MqttBroker(port: Int = 0) {
             if (now > p.deadlineNanos) {
               p.deadlineNanos = now + RetransmitMs * 1000000L
               try c.send(publishPacket(p.topic, p.payload, qos = 1,
-                packetId = id.intValue(), dup = true))
+                packetId = id.intValue(), dup = true, retain = p.retain))
               catch { case _: IOException => dropConn(c) }
             }
           }
@@ -251,6 +263,7 @@ final class MqttBroker(port: Int = 0) {
               val pid = readU16(b, 0)
               var off = 2
               val granted = Array.newBuilder[Byte]
+              val newFilters = Seq.newBuilder[(String, Int)]
               while (off < b.length) {
                 val (filter, o) = readStr(b, off)
                 val reqQos = b(o) & 0x03
@@ -258,11 +271,41 @@ final class MqttBroker(port: Int = 0) {
                 TopicMatch.validate(filter)
                 val q = math.min(reqQos, 1) // QoS 2 not offered
                 c.subs(filter) = q
+                newFilters += ((filter, q))
                 granted += q.toByte
               }
               c.send(packet(SUBACK << 4,
                 Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte)
                   ++ granted.result()))
+              // retained delivery (spec §3.3.1.3): each retained topic
+              // matching a just-granted filter goes out with RETAIN=1 —
+              // at most once per topic per SUBSCRIBE packet (max granted
+              // qos of the matching filters), so overlapping filters in
+              // one packet don't double-deliver. QoS 1 deliveries join
+              // the normal pending/retransmit machinery.
+              val fs = newFilters.result()
+              retained.readOnlySnapshot().foreach {
+                case (topic, (payload, rq)) =>
+                  val qs = fs.collect {
+                    case (f, q) if TopicMatch.matches(topic, f) => q
+                  }
+                  if (qs.nonEmpty) {
+                    val dq = math.min(rq, qs.max)
+                    try {
+                      if (dq == 0)
+                        c.send(publishPacket(topic, payload, 0, 0,
+                          dup = false, retain = true))
+                      else {
+                        val id = c.allocId()
+                        c.pending.put(Integer.valueOf(id),
+                          Pending(topic, payload, System.nanoTime()
+                            + RetransmitMs * 1000000L, retain = true))
+                        c.send(publishPacket(topic, payload, 1, id,
+                          dup = false, retain = true))
+                      }
+                    } catch { case _: IOException => dropConn(c) }
+                  }
+              }
             case UNSUBSCRIBE =>
               val pid = readU16(b, 0)
               var off = 2
@@ -284,6 +327,13 @@ final class MqttBroker(port: Int = 0) {
               if (qos == 1)
                 c.send(packet(PUBACK << 4,
                   Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte)))
+              // RETAIN=1 (spec §3.3.1.3): store as the topic's retained
+              // message (zero-byte payload deletes), then fan out
+              // normally — live deliveries carry RETAIN=0.
+              if ((h & 0x01) != 0) {
+                if (payload.isEmpty) retained.remove(topic)
+                else retained(topic) = (payload, qos)
+              }
               route(topic, payload, qos)
             case PUBACK =>
               c.pending.remove(Integer.valueOf(readU16(b, 0)))
@@ -407,20 +457,25 @@ final class MqttClient(host: String, port: Int,
   }
 
   /** Publish; QoS 1 blocks until the broker's PUBACK, retransmitting
-    * with DUP=1 on timeout. */
-  def publish(topic: String, payload: Array[Byte], qos: Int = 1): Unit = {
-    if (qos == 0) send(publishPacket(topic, payload, 0, 0, dup = false))
+    * with DUP=1 on timeout. `retain = true` asks the broker to store
+    * the message as the topic's retained message (spec §3.3.1.3) —
+    * late subscribers receive it on SUBSCRIBE; a zero-byte retained
+    * publish clears the slot. */
+  def publish(topic: String, payload: Array[Byte], qos: Int = 1,
+      retain: Boolean = false): Unit = {
+    if (qos == 0)
+      send(publishPacket(topic, payload, 0, 0, dup = false, retain))
     else {
       val id = nextId.getAndIncrement() & 0xffff
       val latch = new CountDownLatch(1)
       acks.put(Integer.valueOf(id), latch)
-      send(publishPacket(topic, payload, 1, id, dup = false))
+      send(publishPacket(topic, payload, 1, id, dup = false, retain))
       var attempts = 0
       while (!latch.await(RetransmitMs, TimeUnit.MILLISECONDS)) {
         attempts += 1
         if (attempts > 20)
           throw new IOException(s"PUBLISH $id unacked after $attempts tries")
-        send(publishPacket(topic, payload, 1, id, dup = true))
+        send(publishPacket(topic, payload, 1, id, dup = true, retain))
       }
     }
   }

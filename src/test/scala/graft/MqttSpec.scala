@@ -164,4 +164,81 @@ class MqttSpec extends AnyFunSuite {
       s3.close()
     }
   }
+
+  test("retained messages (spec §3.3.1.3): a late subscriber is primed " +
+      "with the last retained payload per topic under RETAIN=1, live " +
+      "fan-out carries RETAIN=0, last-writer-wins, and a zero-byte " +
+      "retained publish clears the slot") {
+    withBroker { b =>
+      val pub = new MqttClient("127.0.0.1", b.boundPort, "rpub").connect()
+      // retained announcements on two topics; t1 overwritten once
+      pub.publish("graft/ann/t1", "v1-old".getBytes(UTF_8), qos = 1,
+        retain = true)
+      pub.publish("graft/ann/t1", "v1".getBytes(UTF_8), qos = 1,
+        retain = true)
+      pub.publish("graft/ann/t2", "v2".getBytes(UTF_8), qos = 1,
+        retain = true)
+      pub.publish("graft/ann/gone", "x".getBytes(UTF_8), qos = 1,
+        retain = true)
+      pub.publish("graft/ann/gone", Array.empty[Byte], qos = 1,
+        retain = true) // zero-byte clears
+      // late subscriber on a RAW socket so the RETAIN bit is observable
+      val sock = new Socket("127.0.0.1", b.boundPort)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      out.write(Mqtt.packet(Mqtt.CONNECT << 4,
+        Mqtt.utf8("MQTT") ++ Array[Byte](4, 2, 0, 60) ++ Mqtt.utf8("late")))
+      out.flush()
+      assert(Mqtt.readPacket(in)._2(1) == 0)
+      out.write(Mqtt.packet((Mqtt.SUBSCRIBE << 4) | 2,
+        Array[Byte](0, 1) ++ Mqtt.utf8("graft/ann/#") :+ 1.toByte))
+      out.flush()
+      // SUBACK + exactly 2 retained deliveries (t1 current + t2), each
+      // with RETAIN=1; ack them so retransmits don't muddy the count
+      var suback = false
+      var got = Map.empty[String, (String, Boolean)]
+      sock.setSoTimeout(3000)
+      while (got.size < 2 || !suback) {
+        val (h, body) = Mqtt.readPacket(in)
+        (h >> 4) match {
+          case Mqtt.SUBACK => suback = true
+          case Mqtt.PUBLISH =>
+            val (topic, o) = Mqtt.readStr(body, 0)
+            val pid = Mqtt.readU16(body, o)
+            val payload = new String(body, o + 2, body.length - o - 2,
+              UTF_8)
+            got += topic -> (payload, (h & 0x01) != 0)
+            out.write(Mqtt.packet(Mqtt.PUBACK << 4,
+              Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte)))
+            out.flush()
+          case _ => ()
+        }
+      }
+      assert(got == Map(
+        "graft/ann/t1" -> ("v1", true),
+        "graft/ann/t2" -> ("v2", true)),
+        s"retained priming wrong: $got")
+      // live publish to the same filter arrives with RETAIN=0
+      pub.publish("graft/ann/t3", "live".getBytes(UTF_8), qos = 1,
+        retain = false)
+      var live: Option[(String, String, Boolean)] = None
+      while (live.isEmpty) {
+        val (h, body) = Mqtt.readPacket(in)
+        if ((h >> 4) == Mqtt.PUBLISH) {
+          val (topic, o) = Mqtt.readStr(body, 0)
+          val pid = Mqtt.readU16(body, o)
+          live = Some((topic,
+            new String(body, o + 2, body.length - o - 2, UTF_8),
+            (h & 0x01) != 0))
+          out.write(Mqtt.packet(Mqtt.PUBACK << 4,
+            Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte)))
+          out.flush()
+        }
+      }
+      assert(live.contains(("graft/ann/t3", "live", false)),
+        s"live delivery must carry RETAIN=0: $live")
+      sock.close()
+      pub.disconnect()
+    }
+  }
 }
