@@ -57,6 +57,8 @@ object Bench {
     * the driver's tail buffer as the query count grows (legend:
     * BASELINE.md §bench name legend). */
   private val overrides = Map(
+    // round-13 additions
+    "q_ann_hamming_panel" -> "hb",
     // round-12 additions
     "q_sketch_quantile" -> "qn", "q_sketch_quantile_merge" -> "qm",
     "q_stats_bartlett" -> "bb", "q_ts_sample_entropy" -> "se2",

@@ -456,7 +456,13 @@ class PlanRegressionSpec extends SparkSpec {
       "q_ts_sample_entropy",
       // 1-row probe broadcast (packed sign words + embedding) on a
       // constant key — the q_simsearch_topk bounded-probe shape
-      "q_ann_hamming")
+      "q_ann_hamming",
+      // the FIXED 32-row packed-word panel broadcast (vec_id < 32,
+      // bounded at any corpus size — the q_embed_knn_classify panel
+      // argument); the nested-loop fan-out is corpus × 32 slim integer
+      // rows, pruned to top-10 per probe by WindowGroupLimit before
+      // the 32-key shuffle
+      "q_ann_hamming_panel")
 
   // The r11 verdict's item #6: the four structural gates above run at
   // sf0.001, where AQE's broadcast thresholds can hide size-driven

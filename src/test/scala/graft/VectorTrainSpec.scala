@@ -348,6 +348,36 @@ class VectorTrainSpec extends SparkSpec {
     assert(out.toSeq == brute, s"hamming top-10 diverged")
   }
 
+  test("q_ann_hamming_panel equals a plain-Scala per-probe popcount " +
+      "top-10 replay over the fixed 32-probe panel") {
+    val out = VectorOps.queries("q_ann_hamming_panel")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("hamming"), r.getAs[Long]("rnk")))
+    val embs = Tables.table(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def pack(v: Array[Float]): (Long, Long) = {
+      var (w0, w1) = (0L, 0L)
+      for (i <- 0 until 32) if (v(i) > 0) w0 |= 1L << i
+      for (i <- 32 until 64) if (v(i) > 0) w1 |= 1L << (i - 32)
+      (w0, w1)
+    }
+    val packed = embs.map { case (id, v) => id -> pack(v) }
+    val brute = packed.filter(_._1 < 32).sortBy(_._1).flatMap {
+      case (pid, (pw0, pw1)) =>
+        packed.filter(_._1 != pid).map { case (id, (w0, w1)) =>
+          (id, (java.lang.Long.bitCount(w0 ^ pw0)
+            + java.lang.Long.bitCount(w1 ^ pw1)).toLong)
+        }.sortBy(p => (p._2, p._1)).take(10).zipWithIndex.map {
+          case ((id, hd), i) => (pid, id, hd, i + 1L)
+        }
+    }.toSeq
+    assert(out.length == brute.length && out.toSeq == brute,
+      "hamming panel top-10 diverged")
+  }
+
   test("q_embed_knn_classify equals a plain-Scala exact-decimal kNN " +
       "replay (top-5 vote, leave-one-out)") {
     val embs = Tables.table(spark, sf, "embeddings")
