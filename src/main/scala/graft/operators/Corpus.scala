@@ -1538,6 +1538,71 @@ object Corpus {
         .orderBy(asc_nulls_last("source"))
     }),
 
+    // Jensen–Shannon divergence (Lin 1991) per source vs the REST of
+    // the corpus — the SYMMETRIC, bounded-[0,1] sibling of q_source_kl
+    // (KL is infinite on source-only tokens and asymmetric; data-mixture
+    // balancing work compares sources with JSD for exactly that reason).
+    // JSD(P‖Q) = ½Σp·log2(p/m) + ½Σq·log2(q/m), m = (p+q)/2, with
+    // p = c_st/N_s and q = (c_t−c_st)/(N−N_s). Every log argument is a
+    // ratio of INTEGER products: p/m = 2·c_st·nr / (c_st·nr + rt·ns),
+    // q/m = 2·rt·ns / (same den) — three portable-log2 chains per
+    // (source, token) row, each term quantized to the 1e-10 grid and
+    // integer-summed (< 2^53 at any local SF; the DECIMAL(38,0) drop-in
+    // applies past ~1e15 tokens, the q_source_kl note). Tokens ABSENT
+    // from the source need no join at all: their q/m is exactly 2, so
+    // the whole missing mass folds to the CLOSED FORM (N − Σ_{t∈s}c_t)
+    // / (2·nr) — one extra aggregate column instead of an anti-join.
+    // A source-only token's q-part is 0·log0 = 0 (guarded); its p-part
+    // log2 is exactly 1 on the grid (plog2(2x) − plog2(x) ≡ 1).
+    // Scale: identical economics to q_source_kl — one (source, token)
+    // shuffle with map-side combine, token-keyed probe join, 1-row
+    // total broadcast; the closing term is free.
+    "q_source_jsd" -> ((s, d) => {
+      val st = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cst"))
+      val ct = st.groupBy("tok").agg(sum("cst").as("ct"))
+      val ns = st.groupBy("source").agg(sum("cst").as("ns"))
+      val tot = broadcast(ct.agg(sum("ct").as("n"))
+        .withColumn("_one", lit(1)))
+      val j = st.join(ct, "tok").join(ns, "source")
+        .withColumn("_one", lit(1)).join(tot, "_one")
+        .withColumn("rt", col("ct") - col("cst"))
+        .withColumn("nr", col("n") - col("ns"))
+        .withColumn("nump", lit(2L) * col("cst") * col("nr"))
+        // rt = 0 would feed plog2(0); the q-part is zeroed by its rt
+        // coefficient anyway, and plog2(1) = 0 exactly
+        .withColumn("numq", expr(
+          "CASE WHEN rt > 0 THEN 2 * rt * ns ELSE CAST(1 AS BIGINT) END"))
+        .withColumn("den", col("cst") * col("nr") + col("rt") * col("ns"))
+      graft.Det.withPlog2(graft.Det.withPlog2(graft.Det.withPlog2(
+          j, "nump", "lp"), "numq", "lq"), "den", "ld")
+        .withColumn("q", expr(
+          "CAST(floor((CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE) " +
+            "* (lp - ld) " +
+            "+ CASE WHEN rt > 0 THEN CAST(rt AS DOUBLE) " +
+            "/ CAST(nr AS DOUBLE) * (lq - ld) " +
+            "ELSE CAST(0 AS DOUBLE) END) " +
+            "/ CAST(2 AS DOUBLE) * CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .groupBy("source")
+        .agg(max("ns").as("n_tokens"), max("nr").as("n_rest"),
+          max("n").as("_n"), count(lit(1)).as("n_types"),
+          sum("q").as("sq"), sum("ct").as("cts_present"))
+        .withColumn("qmiss", expr(
+          "CASE WHEN n_rest > 0 THEN " +
+            "CAST(floor(CAST(_n - cts_present AS DOUBLE) " +
+            "/ (CAST(2 AS DOUBLE) * CAST(n_rest AS DOUBLE)) " +
+            "* CAST(10000000000 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT) END"))
+        .select(col("source"), col("n_tokens"), col("n_rest"),
+          col("n_types"),
+          expr("CASE WHEN n_rest > 0 THEN " +
+            "CAST(sq + qmiss AS DOUBLE) " +
+            "/ CAST(10000000000 AS DOUBLE) END").as("jsd_bits"))
+        .orderBy(asc_nulls_last("source"))
+    }),
+
     // Boilerplate removal: documents wrapped in deterministic HTML (tags,
     // entities, chrome) and cleaned back — tag strip, entity unescape,
     // whitespace collapse — with the SAME regexes on both engines (the
@@ -2816,6 +2881,71 @@ object Corpus {
          |SELECT source, n_tokens, n_types,
          |  CAST(sq AS DOUBLE) / CAST(10000000000 AS DOUBLE) AS kl_bits
          |FROM agg ORDER BY source ASC NULLS LAST""".stripMargin,
+
+    // Same st/ct/ns/tot CTEs; three plog2 chains (p-part, guarded
+    // q-part, shared den), identical quantized term text, and the
+    // closed-form missing-token mass added at the aggregate.
+    "q_source_jsd" ->
+      s"""WITH st AS (
+         |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cst FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents WHERE text IS NOT NULL
+         |  ) GROUP BY source, tok
+         |), ct AS (
+         |  SELECT tok, CAST(SUM(cst) AS BIGINT) AS ct FROM st GROUP BY tok
+         |), ns AS (
+         |  SELECT source, CAST(SUM(cst) AS BIGINT) AS ns
+         |  FROM st GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(SUM(ct) AS BIGINT) AS n FROM ct
+         |), j AS (
+         |  SELECT st.source, st.cst, ns.ns, ct.ct,
+         |    ct.ct - st.cst AS rt, tot.n - ns.ns AS nr, tot.n AS n,
+         |    2 * st.cst * (tot.n - ns.ns) AS nump,
+         |    CASE WHEN ct.ct - st.cst > 0
+         |      THEN 2 * (ct.ct - st.cst) * ns.ns
+         |      ELSE CAST(1 AS BIGINT) END AS numq,
+         |    st.cst * (tot.n - ns.ns) + (ct.ct - st.cst) * ns.ns AS den
+         |  FROM st JOIN ct ON st.tok = ct.tok
+         |  JOIN ns ON st.source = ns.source, tot
+         |), lg AS (
+         |  SELECT source, cst, ns, ct, rt, nr, n,
+         |    ${graft.Det.sqlPlog2Cols("nump", "p_")},
+         |    ${graft.Det.sqlPlog2Cols("numq", "q_")},
+         |    ${graft.Det.sqlPlog2Cols("den", "d_")}
+         |  FROM j
+         |), q AS (
+         |  SELECT source, ns, nr, n, ct,
+         |    CAST(floor((CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE)
+         |      * (p_l2 - d_l2)
+         |      + CASE WHEN rt > 0 THEN CAST(rt AS DOUBLE)
+         |      / CAST(nr AS DOUBLE) * (q_l2 - d_l2)
+         |      ELSE CAST(0 AS DOUBLE) END)
+         |      / CAST(2 AS DOUBLE) * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+         |  FROM lg
+         |), agg AS (
+         |  SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tokens,
+         |    CAST(MAX(nr) AS BIGINT) AS n_rest,
+         |    CAST(MAX(n) AS BIGINT) AS _n,
+         |    CAST(COUNT(*) AS BIGINT) AS n_types,
+         |    CAST(SUM(q) AS BIGINT) AS sq,
+         |    CAST(SUM(ct) AS BIGINT) AS cts_present
+         |  FROM q GROUP BY source
+         |), closed AS (
+         |  SELECT *,
+         |    CASE WHEN n_rest > 0 THEN
+         |      CAST(floor(CAST(_n - cts_present AS DOUBLE)
+         |      / (CAST(2 AS DOUBLE) * CAST(n_rest AS DOUBLE))
+         |      * CAST(10000000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS qmiss
+         |  FROM agg
+         |)
+         |SELECT source, n_tokens, n_rest, n_types,
+         |  CASE WHEN n_rest > 0 THEN
+         |    CAST(sq + qmiss AS DOUBLE)
+         |    / CAST(10000000000 AS DOUBLE) END AS jsd_bits
+         |FROM closed ORDER BY source ASC NULLS LAST""".stripMargin,
 
     // Same deterministic snapshot derivation; the diff classification
     // runs on md5 hashes both engines compute identically.

@@ -1132,6 +1132,70 @@ object Multimodal {
         .orderBy(asc_nulls_last("doc_id"))
     }),
 
+    // Standard MIDI File header parse (r13; the MIDI 1.0 / SMF public
+    // spec): "MThd" + u32 BE length (must be 6) + format/ntracks u16 BE
+    // + division, then the first "MTrk" chunk length. The DIVISION
+    // field is the family's first SIGNED-BYTE MODE DISPATCH: bit 15 = 0
+    // → ticks-per-quarter-note (PPQ, the u15 value); bit 15 = 1 →
+    // SMPTE, whose HIGH byte is a TWO'S-COMPLEMENT NEGATIVE frame rate
+    // (0xE8/0xE7/0xE3/0xE2 = −24/−25/−29/−30; decoded fps = 256 − byte)
+    // and whose low byte is ticks-per-frame — a wrong unsigned read
+    // yields fps 232, loudly absurd. Spec-correct fixture: format 0
+    // forces ntracks 1 (the spec's own constraint), PPQ and SMPTE docs
+    // alternate, every 5th doc is a text decoy the sniff rejects (8
+    // bytes < the 22-byte minimum). Pure narrow map over the binary
+    // column, zero shuffles until the terminal sort.
+    "q_multimodal_midi" -> ((s, d) => {
+      val docs = graft.Tables.table(s, d, "documents")
+      def be(v: Column, n: Int): Column = lpad(hex(v), 2 * n, "0")
+      val fmt = (col("doc_id") % 3).cast("int")
+      val ntrks = when(fmt === 0, 1)
+        .otherwise((col("doc_id") % 4 + 1).cast("int"))
+      val isSmpte = col("doc_id") % 2 === 1
+      val ppq = (when(col("doc_id") % 3 === 0, 96)
+        .when(col("doc_id") % 3 === 1, 192)
+        .otherwise(480)).cast("int")
+      val fpsByte = (when(col("doc_id") % 4 === 0, 232) // −24
+        .when(col("doc_id") % 4 === 1, 231) // −25
+        .when(col("doc_id") % 4 === 2, 227) // −29
+        .otherwise(226)).cast("int") // −30
+      val tpf = ((col("doc_id") % 3 + 1) * 40).cast("int")
+      val divisionHex = when(isSmpte,
+        concat(be(fpsByte, 1), be(tpf, 1))).otherwise(be(ppq, 2))
+      val midiHex = concat(
+        lit("4D546864"), lit("00000006"), // "MThd", length 6
+        be(fmt, 2), be(ntrks, 2), divisionHex,
+        lit("4D54726B"), be((col("n_chars") * 3).cast("int"), 4))
+      val textHex = hex(substring(col("text"), 1, 8).cast("binary"))
+      val payloadHex = when(col("doc_id") % 5 === 0, textHex)
+        .otherwise(midiHex)
+      val withPayload = docs.select(col("doc_id"),
+        unhex(payloadHex).as("payload"))
+      def beRead(off: Int, n: Int): Column = expr(
+        s"CAST(conv(substring(hex(payload), ${2 * off - 1}, ${2 * n}), " +
+          "16, 10) AS BIGINT)")
+      val isMidi = length(col("payload")) >= 22 &&
+        expr("substring(hex(payload), 1, 8)") === "4D546864" &&
+        beRead(5, 4) === 6 &&
+        expr("substring(hex(payload), 29, 8)") === "4D54726B"
+      def f(c: Column) = when(isMidi, c)
+      withPayload.select(
+        col("doc_id"),
+        isMidi.as("is_midi"),
+        f(beRead(9, 2)).as("mformat"),
+        f(beRead(11, 2)).as("n_tracks"),
+        f(when(beRead(13, 1) >= 128, "smpte").otherwise("ppq"))
+          .as("division_mode"),
+        f(when(beRead(13, 1) < 128,
+          beRead(13, 1) * 256 + beRead(14, 1))).as("ticks_per_quarter"),
+        f(when(beRead(13, 1) >= 128, lit(256L) - beRead(13, 1)))
+          .as("smpte_fps"),
+        f(when(beRead(13, 1) >= 128, beRead(14, 1)))
+          .as("ticks_per_frame"),
+        f(beRead(19, 4)).as("track_bytes"))
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // Video frame sampling — the "pick k frames per clip" stage of a
     // multimodal training pipeline, with the Spark-side plumbing real
     // and the codec stubbed exactly like q_multimodal_headers: a
@@ -2403,6 +2467,75 @@ object Multimodal {
         |SELECT doc_id, is_wav, n_channels, sample_rate, byte_rate,
         |  bits_per_sample, data_bytes,
         |  data_bytes * 1000 // byte_rate AS duration_ms
+        |FROM fields ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same spec-correct SMF construction; the division mode dispatch
+    // and the two's-complement fps decode are verbatim numeric CASEs.
+    "q_multimodal_midi" ->
+      """WITH src AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(doc_id % 3 AS INTEGER) AS fmt,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+        |      ELSE doc_id % 4 + 1 END AS INTEGER) AS ntrks,
+        |    doc_id % 2 = 1 AS smpte,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 96
+        |      WHEN doc_id % 3 = 1 THEN 192 ELSE 480 END AS INTEGER)
+        |      AS ppq,
+        |    CAST(CASE WHEN doc_id % 4 = 0 THEN 232
+        |      WHEN doc_id % 4 = 1 THEN 231
+        |      WHEN doc_id % 4 = 2 THEN 227 ELSE 226 END AS INTEGER)
+        |      AS fpsb,
+        |    CAST((doc_id % 3 + 1) * 40 AS INTEGER) AS tpf,
+        |    hex(encode(substring(text, 1, 8))) AS th
+        |  FROM documents
+        |), built AS (
+        |  SELECT doc_id, from_hex(
+        |    CASE WHEN doc_id % 5 = 0 THEN th ELSE
+        |      '4D546864' || '00000006' ||
+        |      lpad(hex(fmt), 4, '0') || lpad(hex(ntrks), 4, '0') ||
+        |      CASE WHEN smpte THEN
+        |        lpad(hex(fpsb), 2, '0') || lpad(hex(tpf), 2, '0')
+        |      ELSE lpad(hex(ppq), 4, '0') END ||
+        |      '4D54726B' ||
+        |      lpad(hex(CAST(n_chars * 3 AS INTEGER)), 8, '0')
+        |    END) AS payload
+        |  FROM src
+        |), parsed AS (
+        |  SELECT doc_id, hex(payload) AS ph,
+        |    octet_length(payload) >= 22
+        |      AND substring(hex(payload), 1, 8) = '4D546864'
+        |      AND CAST('0x' || substring(hex(payload), 9, 8) AS BIGINT)
+        |        = 6
+        |      AND substring(hex(payload), 29, 8) = '4D54726B' AS is_midi
+        |  FROM built
+        |), fields AS (
+        |  SELECT doc_id, is_midi,
+        |    CASE WHEN is_midi THEN
+        |      CAST('0x' || substring(ph, 17, 4) AS BIGINT) END
+        |      AS mformat,
+        |    CASE WHEN is_midi THEN
+        |      CAST('0x' || substring(ph, 21, 4) AS BIGINT) END
+        |      AS n_tracks,
+        |    CASE WHEN is_midi THEN
+        |      CAST('0x' || substring(ph, 25, 2) AS BIGINT) END AS hb,
+        |    CASE WHEN is_midi THEN
+        |      CAST('0x' || substring(ph, 27, 2) AS BIGINT) END AS lb,
+        |    CASE WHEN is_midi THEN
+        |      CAST('0x' || substring(ph, 37, 8) AS BIGINT) END
+        |      AS track_bytes
+        |  FROM parsed
+        |)
+        |SELECT doc_id, is_midi, mformat, n_tracks,
+        |  CASE WHEN is_midi THEN
+        |    CASE WHEN hb >= 128 THEN 'smpte' ELSE 'ppq' END END
+        |    AS division_mode,
+        |  CASE WHEN is_midi AND hb < 128 THEN hb * 256 + lb END
+        |    AS ticks_per_quarter,
+        |  CASE WHEN is_midi AND hb >= 128 THEN 256 - hb END
+        |    AS smpte_fps,
+        |  CASE WHEN is_midi AND hb >= 128 THEN lb END
+        |    AS ticks_per_frame,
+        |  track_bytes
         |FROM fields ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     "q_multimodal_mp4" ->

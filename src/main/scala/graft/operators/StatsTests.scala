@@ -783,6 +783,60 @@ object StatsTests {
           "num", "den", "chi2")
     }),
 
+    // Page's trend test (Page 1963) — the ORDERED-alternatives member
+    // of the Friedman family: same day blocks × 3 treatments, but the
+    // alternative hypothesizes a monotone ordering (here the funnel
+    // rarity order purchase < click < view, weights j = 1/2/3), and
+    //   L = Σ_j j·R_j
+    // rejects H₀ toward that trend — strictly more powerful than the
+    // omnibus Friedman when the suspected ordering is real. Midranks
+    // via the house DOUBLED-rank trick keep everything integer:
+    // L2 = Σ j·R2_j = 2L, E[L2] = 2·b·k(k+1)²/4 = 24b, Var(L) =
+    // b·k²(k+1)(k²−1)/144 = 2b (k=3; classic untied form — midranks
+    // handle ties in L itself, the variance keeps the textbook
+    // denominator, stated). z = (L2 − 24b)/(2·√(2b)) is ONE fixed IEEE
+    // tree over exact BIGINTs (√ is correctly-rounded on both
+    // engines); b = 0 guards to NULL. Scale: the Friedman economics
+    // verbatim — one day-keyed agg with map-side combine + day-domain
+    // windows, never an event-grain shuffle.
+    "q_stats_page_trend" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view", "purchase"))
+      val daily = ev
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("v"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("p"))
+      val long = daily.selectExpr("day",
+        "stack(3, 'click', c, 'view', v, 'purchase', p) AS (et, cnt)")
+      val ranked = long
+        .withColumn("rk", rank().over(
+          Window.partitionBy("day").orderBy(asc_nulls_last("cnt"))))
+        .withColumn("tc", count(lit(1)).over(
+          Window.partitionBy("day", "cnt")))
+        .withColumn("dr", lit(2L) * col("rk") + col("tc") - 1L)
+      ranked
+        .agg(countDistinct(col("day")).as("n_days"),
+          sum(when(col("et") === "purchase", col("dr")))
+            .as("r2_purchase"),
+          sum(when(col("et") === "click", col("dr"))).as("r2_click"),
+          sum(when(col("et") === "view", col("dr"))).as("r2_view"))
+        .withColumn("l2",
+          col("r2_purchase") + lit(2L) * col("r2_click")
+            + lit(3L) * col("r2_view"))
+        .withColumn("z", expr(
+          "CASE WHEN n_days > 0 THEN " +
+            "CAST(l2 - 24 * n_days AS DOUBLE) " +
+            "/ (CAST(2 AS DOUBLE) " +
+            "* sqrt(CAST(2 * n_days AS DOUBLE))) END"))
+        .select("n_days", "r2_purchase", "r2_click", "r2_view", "l2",
+          "z")
+    }),
+
     // Cochran's Q (Cochran 1950) — the BINARY repeated-measures member
     // of the Friedman family: same blocks (days) and treatments (the 3
     // conversion types), but the observation dichotomizes to "did this
@@ -1745,6 +1799,52 @@ object StatsTests {
          |  CASE WHEN den = 0 THEN CAST(0 AS DOUBLE) ELSE
          |    round(CAST(2 * num AS DOUBLE) / CAST(den AS DOUBLE), 6)
          |  END AS chi2
+         |FROM pieces""".stripMargin,
+
+    // Same daily/long/doubled-midrank CTEs; weighted L2 fold and the
+    // verbatim z tree (funnel order purchase=1, click=2, view=3).
+    "q_stats_page_trend" ->
+      s"""WITH daily AS (
+         |  SELECT date_trunc('day', ts) AS day,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c,
+         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS v,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS p
+         |  FROM events
+         |  WHERE event_type IN ('click', 'view', 'purchase')
+         |  GROUP BY 1
+         |), long AS (
+         |  SELECT day, 'click' AS et, c AS cnt FROM daily
+         |  UNION ALL
+         |  SELECT day, 'view' AS et, v AS cnt FROM daily
+         |  UNION ALL
+         |  SELECT day, 'purchase' AS et, p AS cnt FROM daily
+         |), ranked AS (
+         |  SELECT day, et,
+         |    2 * rank() OVER (PARTITION BY day ORDER BY cnt ASC)
+         |      + COUNT(*) OVER (PARTITION BY day, cnt) - 1 AS dr
+         |  FROM long
+         |), agg AS (
+         |  SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+         |    CAST(SUM(CASE WHEN et = 'purchase' THEN dr END) AS BIGINT)
+         |      AS r2_purchase,
+         |    CAST(SUM(CASE WHEN et = 'click' THEN dr END) AS BIGINT)
+         |      AS r2_click,
+         |    CAST(SUM(CASE WHEN et = 'view' THEN dr END) AS BIGINT)
+         |      AS r2_view
+         |  FROM ranked
+         |), pieces AS (
+         |  SELECT *,
+         |    r2_purchase + 2 * r2_click + 3 * r2_view AS l2
+         |  FROM agg
+         |)
+         |SELECT n_days, r2_purchase, r2_click, r2_view, l2,
+         |  CASE WHEN n_days > 0 THEN
+         |    CAST(l2 - 24 * n_days AS DOUBLE)
+         |    / (CAST(2 AS DOUBLE) * sqrt(CAST(2 * n_days AS DOUBLE)))
+         |  END AS z
          |FROM pieces""".stripMargin,
 
     // Same daily CTE; the dichotomize/assemble arithmetic is the

@@ -382,6 +382,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_multimodal_midi round-trips format/tracks/division incl. the " +
+      "two's-complement SMPTE fps decode, and rejects non-MIDI bytes") {
+    import spark.implicits._
+    val out = Multimodal.queries("q_multimodal_midi")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    assert(docs.nonEmpty && out.size == docs.length)
+    docs.foreach { case (id, nChars) =>
+      val r = out(id)
+      if (id % 5 == 0) {
+        assert(!r.getBoolean(1), s"doc $id should not sniff as MIDI")
+        assert(r.isNullAt(2) && r.isNullAt(4) && r.isNullAt(8))
+      } else {
+        val fmt = id % 3
+        val ntrks = if (fmt == 0) 1L else id % 4 + 1
+        assert(r.getBoolean(1))
+        assert(r.getLong(2) == fmt, s"format doc $id")
+        assert(r.getLong(3) == ntrks, s"n_tracks doc $id")
+        if (id % 2 == 1) { // SMPTE: negative fps byte decodes positive
+          val fps = Seq(24L, 25L, 29L, 30L)((id % 4).toInt)
+          assert(r.getString(4) == "smpte", s"mode doc $id")
+          assert(r.isNullAt(5), s"ppq must be NULL in smpte doc $id")
+          assert(r.getLong(6) == fps, s"smpte_fps doc $id")
+          assert(r.getLong(7) == (id % 3 + 1) * 40, s"tpf doc $id")
+        } else {
+          val ppq = if (id % 3 == 0) 96L else if (id % 3 == 1) 192L
+            else 480L
+          assert(r.getString(4) == "ppq", s"mode doc $id")
+          assert(r.getLong(5) == ppq, s"ppq doc $id")
+          assert(r.isNullAt(6) && r.isNullAt(7),
+            s"smpte fields must be NULL in ppq doc $id")
+        }
+        assert(r.getLong(8) == nChars * 3, s"track_bytes doc $id")
+      }
+    }
+  }
+
   test("q_multimodal_png parses the big-endian IHDR fields back exactly, " +
       "derives channels from the color type, and rejects non-PNG bytes") {
     import spark.implicits._
@@ -549,6 +587,40 @@ class OperatorsSpec extends SparkSpec {
     // doubled rank sums over n complete 3-blocks always total 12n
     assert(rsum.sum == 12L * n)
     assert(num >= 0, "Cauchy–Schwarz lower bound")
+  }
+
+  test("q_stats_page_trend equals a plain-Scala weighted doubled-" +
+      "midrank replay and the L bounds hold") {
+    val rows = Tables.table(spark, sf, "events")
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+    // the declared a-priori funnel order: purchase=1, click=2, view=3
+    val types = Seq("purchase", "click", "view")
+    val daily = rows.groupBy(_._1).view.mapValues { evs =>
+      types.map(t => evs.count(_._2 == t).toLong)
+    }.toMap
+    def dranks(cnts: Seq[Long]): Seq[Long] = cnts.map { x =>
+      2L * (cnts.count(_ < x) + 1) + cnts.count(_ == x) - 1
+    }
+    val blocks = daily.values.map(dranks).toSeq
+    val b = blocks.length.toLong
+    val rsum = types.indices.map(j => blocks.map(_(j)).sum)
+    val l2 = rsum.zipWithIndex.map { case (r2, j) => (j + 1) * r2 }.sum
+    val z = (l2 - 24.0 * b) / (2.0 * math.sqrt(2.0 * b))
+    val r = StatsTests.queries("q_stats_page_trend")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_days") == b)
+    assert(r.getAs[Long]("r2_purchase") == rsum(0)
+      && r.getAs[Long]("r2_click") == rsum(1)
+      && r.getAs[Long]("r2_view") == rsum(2))
+    assert(r.getAs[Long]("l2") == l2)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-12)
+    // rearrangement bounds: per block the doubled ranks are {2,4,6}
+    // up to ties (they always sum to 12), so Σj·dr ∈
+    // [1·6+2·4+3·2, 1·2+2·4+3·6] = [20, 28]; ties only pull inward
+    // (all-tied gives 4·(1+2+3) = 24, the H₀ mean)
+    assert(l2 >= 20L * b && l2 <= 28L * b, s"L2=$l2 outside [20b,28b]")
   }
 
   test("q_stats_cochran_q equals a plain-Scala dichotomized replay") {

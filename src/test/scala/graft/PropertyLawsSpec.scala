@@ -366,6 +366,45 @@ class PropertyLawsSpec extends SparkSpec {
     }
   }
 
+  test("q_source_jsd: bounded in [0, 1] bits, symmetric-construction " +
+      "sanity, and a brute-force replay per source (incl. the " +
+      "closed-form missing-token mass)") {
+    val rows = graft.operators.Corpus.queries("q_source_jsd")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val toks = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("source", "text").as[(String, String)].collect()
+      .flatMap { case (src, t) => t.split(" ").map(src -> _) }
+    val n = toks.length.toLong
+    val ct = toks.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    def lg2(x: Double): Double = math.log(x) / math.log(2.0)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val jsd = r.getDouble(4)
+      assert(jsd >= -1e-9 && jsd <= 1.0 + 1e-9,
+        s"$src: JSD $jsd outside [0,1]")
+      val mine = toks.filter(_._1 == src).map(_._2)
+      val ns = mine.length.toLong
+      val nr = n - ns
+      assert(r.getLong(1) == ns && r.getLong(2) == nr, s"$src totals")
+      val cst = mine.groupBy(identity)
+        .map { case (t, xs) => t -> xs.length.toLong }
+      assert(r.getLong(3) == cst.size, s"$src n_types")
+      // brute JSD over the FULL vocabulary (missing tokens included)
+      val brute = ct.map { case (t, c) =>
+        val cs = cst.getOrElse(t, 0L)
+        val p = cs.toDouble / ns
+        val q = (c - cs).toDouble / nr
+        val m = (p + q) / 2.0
+        (if (p > 0) p / 2.0 * lg2(p / m) else 0.0) +
+          (if (q > 0) q / 2.0 * lg2(q / m) else 0.0)
+      }.sum
+      assert(math.abs(jsd - brute) < 1e-4,
+        s"$src: $jsd vs brute $brute")
+    }
+  }
+
   test("overflow bounds of the BIGINT survivors (r12 sweep): " +
       "q_window_rolling_beta's 7-row OLS den holds to a 13.7-year " +
       "span, q_dedup_bucket_skew's pair bill to a 4.29e9-doc bucket") {
