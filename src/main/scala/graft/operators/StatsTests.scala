@@ -783,6 +783,57 @@ object StatsTests {
           "num", "den", "chi2")
     }),
 
+    // Cohen's kappa (Cohen 1960) between two AUTOMATIC document-quality
+    // raters — the inter-rater agreement audit a pipeline runs before
+    // trusting either classifier as a training-data filter (raw
+    // agreement po overstates consensus when both raters mostly say
+    // "quality"; kappa subtracts the chance-agreement floor pe). Rater
+    // A is q_text_quality's declared rule (length-damped TTR score
+    // > 0.3); rater B is an independent length/word-shape gate
+    // (n_tokens ≥ 30 AND avg token length > 3). The 2×2 table is four
+    // exact BIGINT counts; κ = (n·(n11+n00) − (a1·b1 + a0·b0)) /
+    // (n² − (a1·b1 + a0·b0)) is ONE fixed IEEE tree over exact
+    // integers (den = 0, a degenerate all-one-cell table, guards to
+    // NULL); po/pe ride along as single divisions. The rater scores
+    // are doubles computed from identical text on both engines (the
+    // q_text_quality precedent). Scale: one narrow map + ONE global
+    // 4-counter aggregate with map-side combine.
+    "q_stats_cohens_kappa" -> ((s, d) => {
+      t(s, d, "documents").filter(col("text").isNotNull)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("nt", size(col("toks")).cast("long"))
+        .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("score", expr(
+          "(CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE)) " +
+            "* (CAST(least(nt, 100) AS DOUBLE) / CAST(100 AS DOUBLE))"))
+        .withColumn("atl", expr(
+          "CAST(n_chars - (nt - 1) AS DOUBLE) / CAST(nt AS DOUBLE)"))
+        .withColumn("ra", (col("score") > 0.3).cast("int").cast("long"))
+        .withColumn("rb", (col("nt") >= 30
+          && col("atl") > 3.0).cast("int").cast("long"))
+        .groupBy()
+        .agg(count(lit(1)).as("n"),
+          sum(expr("ra * rb")).as("n11"),
+          sum(expr("ra * (1 - rb)")).as("n10"),
+          sum(expr("(1 - ra) * rb")).as("n01"),
+          sum(expr("(1 - ra) * (1 - rb)")).as("n00"))
+        .withColumn("a1", col("n11") + col("n10"))
+        .withColumn("b1", col("n11") + col("n01"))
+        .withColumn("chance",
+          col("a1") * col("b1")
+            + (col("n") - col("a1")) * (col("n") - col("b1")))
+        .withColumn("po", expr(
+          "CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("pe", expr(
+          "CAST(chance AS DOUBLE) / (CAST(n AS DOUBLE) " +
+            "* CAST(n AS DOUBLE))"))
+        .withColumn("kappa", expr(
+          "CASE WHEN n * n - chance <> 0 THEN " +
+            "CAST(n * (n11 + n00) - chance AS DOUBLE) " +
+            "/ CAST(n * n - chance AS DOUBLE) END"))
+        .select("n", "n11", "n10", "n01", "n00", "po", "pe", "kappa")
+    }),
+
     // Page's trend test (Page 1963) — the ORDERED-alternatives member
     // of the Friedman family: same day blocks × 3 treatments, but the
     // alternative hypothesizes a monotone ordering (here the funnel
@@ -1800,6 +1851,48 @@ object StatsTests {
          |    round(CAST(2 * num AS DOUBLE) / CAST(den AS DOUBLE), 6)
          |  END AS chi2
          |FROM pieces""".stripMargin,
+
+    // Same rater rules from identical double text; the 2×2 fold and
+    // the verbatim guarded κ tree.
+    "q_stats_cohens_kappa" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS nd,
+        |    n_chars
+        |  FROM documents WHERE text IS NOT NULL
+        |), r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST(least(nt, 100) AS DOUBLE) / CAST(100 AS DOUBLE))
+        |      > 0.3 THEN 1 ELSE 0 END AS ra,
+        |    CASE WHEN nt >= 30 AND
+        |      CAST(n_chars - (nt - 1) AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      > 3.0 THEN 1 ELSE 0 END AS rb
+        |  FROM f
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(ra * rb) AS BIGINT) AS n11,
+        |    CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+        |    CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01,
+        |    CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+        |  FROM r
+        |), pieces AS (
+        |  SELECT *,
+        |    n11 + n10 AS a1, n11 + n01 AS b1,
+        |    (n11 + n10) * (n11 + n01)
+        |      + (n - (n11 + n10)) * (n - (n11 + n01)) AS chance
+        |  FROM agg
+        |)
+        |SELECT n, n11, n10, n01, n00,
+        |  CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |  CAST(chance AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+        |  CASE WHEN n * n - chance <> 0 THEN
+        |    CAST(n * (n11 + n00) - chance AS DOUBLE)
+        |    / CAST(n * n - chance AS DOUBLE) END AS kappa
+        |FROM pieces""".stripMargin,
 
     // Same daily/long/doubled-midrank CTEs; weighted L2 fold and the
     // verbatim z tree (funnel order purchase=1, click=2, view=3).

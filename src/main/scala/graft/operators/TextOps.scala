@@ -1213,6 +1213,41 @@ object TextOps {
           "score", "is_quality")
         .orderBy(asc_nulls_last("doc_id"))),
 
+    // Moving-average type-token ratio, window 50 (Covington & McFall
+    // 2010) — the lexical-diversity metric that plain TTR gets WRONG on
+    // varying document lengths (TTR falls mechanically with length, so
+    // a length-based quality gate using raw TTR systematically favors
+    // short docs): average the distinct-type count over every 50-token
+    // sliding window. Docs shorter than the window fall back to plain
+    // TTR (the standard convention, stated). All counts exact integers
+    // folded IN-ROW (one higher-order transform + aggregate per doc —
+    // O(n·W) with W bounded, a pure narrow map); ONE trailing IEEE
+    // division. Scale: zero shuffles until the terminal sort.
+    "q_text_mattr" -> ((s, d) => {
+      val W = 50
+      t(s, d, "documents").filter(col("text").isNotNull)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_windows", expr(
+          s"CAST(CASE WHEN size(toks) >= $W THEN size(toks) - $W + 1 " +
+            "ELSE 1 END AS BIGINT)"))
+        .withColumn("sum_distinct", expr(
+          s"CAST(CASE WHEN size(toks) >= $W THEN " +
+            s"aggregate(transform(sequence(0, size(toks) - $W), " +
+            s"i -> size(array_distinct(slice(toks, i + 1, $W)))), " +
+            "0, (a, x) -> a + x) " +
+            "ELSE size(array_distinct(toks)) END AS BIGINT)"))
+        .withColumn("mattr", expr(
+          s"CASE WHEN n_tokens >= $W THEN " +
+            s"CAST(sum_distinct AS DOUBLE) " +
+            s"/ (CAST(n_windows AS DOUBLE) * CAST($W AS DOUBLE)) " +
+            "ELSE CAST(sum_distinct AS DOUBLE) " +
+            "/ CAST(n_tokens AS DOUBLE) END"))
+        .select("doc_id", "n_tokens", "n_windows", "sum_distinct",
+          "mattr")
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
+
     // Document fingerprint: extremal 2-gram shingle hashes (winnowing-
     // style representative selection, deterministic).
     "q_text_fingerprint" -> ((s, d) =>
@@ -3207,6 +3242,34 @@ object TextOps {
         |SELECT doc_id, n_tokens, n_distinct, ttr, avg_token_len, score,
         |  score > 0.3 AS is_quality
         |FROM q ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+
+    // Same in-row window fold via list_transform/list_aggregate over
+    // inclusive list_slice bounds; identical CASE and division text.
+    "q_text_mattr" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(CASE WHEN len(toks) >= 50 THEN len(toks) - 50 + 1
+        |      ELSE 1 END AS BIGINT) AS n_windows,
+        |    CAST(CASE WHEN len(toks) >= 50 THEN
+        |      list_aggregate(list_transform(
+        |        generate_series(0, len(toks) - 50),
+        |        i -> len(list_distinct(list_slice(toks, i + 1, i + 50)))
+        |      ), 'sum')
+        |      ELSE len(list_distinct(toks)) END AS BIGINT)
+        |      AS sum_distinct
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, n_windows, sum_distinct,
+        |  CASE WHEN n_tokens >= 50 THEN
+        |    CAST(sum_distinct AS DOUBLE)
+        |    / (CAST(n_windows AS DOUBLE) * CAST(50 AS DOUBLE))
+        |  ELSE CAST(sum_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |  END AS mattr
+        |FROM f ORDER BY doc_id ASC NULLS LAST""".stripMargin,
 
     "q_text_fingerprint" ->
       """WITH t AS (

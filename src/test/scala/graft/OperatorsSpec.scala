@@ -382,6 +382,74 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_text_mattr equals a plain-Scala sliding-window replay, with " +
+      "the plain-TTR fallback below the window") {
+    import spark.implicits._
+    val W = 50
+    val out = TextOps.queries("q_text_mattr")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(docs.nonEmpty && out.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val r = out(id)
+      assert(r.getLong(1) == toks.length, s"doc $id n_tokens")
+      val (nw, sd) =
+        if (toks.length >= W)
+          (toks.length - W + 1L,
+            (0 to toks.length - W)
+              .map(i => toks.slice(i, i + W).distinct.length.toLong).sum)
+        else (1L, toks.distinct.length.toLong)
+      assert(r.getLong(2) == nw && r.getLong(3) == sd, s"doc $id fold")
+      val expect = if (toks.length >= W) sd.toDouble / (nw.toDouble * W)
+        else sd.toDouble / toks.length
+      assert(r.getDouble(4) == expect, s"doc $id mattr")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("q_stats_cohens_kappa equals a plain-Scala 2x2 replay and the " +
+      "po/pe/kappa identities hold") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)].collect()
+    val flags = docs.map { case (_, text, nChars) =>
+      val toks = text.split(" ", -1)
+      val nt = toks.length.toLong
+      val score = toks.distinct.length.toDouble / nt *
+        (math.min(nt, 100L).toDouble / 100.0)
+      val atl = (nChars - (nt - 1)).toDouble / nt
+      (score > 0.3, nt >= 30 && atl > 3.0)
+    }
+    val n = flags.length.toLong
+    val n11 = flags.count(f => f._1 && f._2).toLong
+    val n10 = flags.count(f => f._1 && !f._2).toLong
+    val n01 = flags.count(f => !f._1 && f._2).toLong
+    val n00 = flags.count(f => !f._1 && !f._2).toLong
+    val r = StatsTests.queries("q_stats_cohens_kappa")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("n11") == n11
+      && r.getAs[Long]("n10") == n10 && r.getAs[Long]("n01") == n01
+      && r.getAs[Long]("n00") == n00, "2x2 table diverged")
+    val a1 = n11 + n10; val b1 = n11 + n01
+    val chance = a1 * b1 + (n - a1) * (n - b1)
+    val po = (n11 + n00).toDouble / n
+    val pe = chance.toDouble / (n.toDouble * n)
+    assert(r.getAs[Double]("po") == po && r.getAs[Double]("pe") == pe)
+    val kappa = r.getAs[Double]("kappa")
+    assert(kappa ==
+      (n * (n11 + n00) - chance).toDouble / (n * n - chance).toDouble)
+    assert(kappa <= 1.0 + 1e-12, "kappa cannot exceed 1")
+    // the fixture must exercise a non-degenerate table (both raters
+    // split) or the agreement audit is vacuous
+    assert(a1 > 0 && a1 < n && b1 > 0 && b1 < n,
+      s"degenerate rater split: a1=$a1 b1=$b1 n=$n")
+  }
+
   test("q_multimodal_midi round-trips format/tracks/division incl. the " +
       "two's-complement SMPTE fps decode, and rejects non-MIDI bytes") {
     import spark.implicits._
