@@ -35,6 +35,28 @@ class PlanRegressionSpec extends SparkSpec {
     assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("PLANS.md and PLANS_sf01.md are FRESH: the committed audit " +
+      "row-sets equal SparkEntry.queries.keySet (r12 verdict item 2 — " +
+      "the artifact the next round reads can never lag the inventory)") {
+    val declared = SparkEntry.queries.keySet
+    Seq("PLANS.md", "PLANS_sf01.md").foreach { f =>
+      val path = java.nio.file.Paths.get(f)
+      assert(java.nio.file.Files.exists(path), s"$f missing")
+      val rows = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(java.nio.file.Files.lines(path).iterator())
+        .asScala
+        .filter(_.startsWith("| q_"))
+        .map(_.split("\\|")(1).trim)
+        .toSet
+      val missing = declared -- rows
+      val stale = rows -- declared
+      assert(missing.isEmpty && stale.isEmpty,
+        s"$f is stale: missing=${missing.toSeq.sorted.take(5)} " +
+          s"extinct=${stale.toSeq.sorted.take(5)} — regenerate with " +
+          s"sbt \"runMain graft.PlanAudit <sfDir> $f\"")
+    }
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
