@@ -865,6 +865,50 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch ordering contract is LOAD-BEARING: an " +
+      "out-of-order FRESH batch (violating the documented per-key " +
+      "in-order arrival contract) under-counts n_full by exactly the " +
+      "rows behind the watermark — pinning the failure mode the " +
+      "contract excludes, while the SAMPLE stays exact regardless") {
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    val k = 4
+    def obs(id: Long) =
+      StatefulTwins.QObs("t", id, id.toDouble, id * 37 % 101)
+    val mem = MemoryStream[StatefulTwins.QObs]
+    val sinkName = s"qskooo_${System.nanoTime()}"
+    val q = StatefulTwins.quantileSketchStream(mem.toDS(), k).toDF()
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    // batch 1: ids 10..19; then a SEPARATE micro-batch that VIOLATES
+    // the contract: fresh ids 1..5 arrive after the watermark advanced
+    // to 19 (processAllAvailable between adds forces the separation —
+    // a single merged batch would legitimately count all 15)
+    mem.addData((10L to 19L).map(obs))
+    q.processAllAvailable()
+    mem.addData((1L to 5L).map(obs))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table(sinkName).collect().last
+    // n_full: 10 counted from batch 1, the 5 late FRESH ids dropped by
+    // the maxId watermark — exactly the documented under-count
+    assert(last.getLong(1) == 10L,
+      s"expected the documented under-count (10), got ${last.getLong(1)}")
+    // the SAMPLE is watermark-independent: bottom-k by (hv, id) over
+    // ALL 15 distinct rows, late or not
+    val expSample = (10L to 19L).map(obs) ++ (1L to 5L).map(obs)
+    val bot = expSample.map(e => (e.hv, e.event_id, e.value))
+      .sortBy(r => (r._1, r._2)).take(k)
+    val vals = bot.map(_._3).sorted
+    def est(p: Double): Double = vals(math.ceil(p * vals.size).toInt - 1)
+    assert(last.getLong(2) == k.toLong)
+    assert(last.getDouble(3) == est(0.5) && last.getDouble(4) == est(0.9)
+      && last.getDouble(5) == est(0.99),
+      "the sample must absorb late rows exactly")
+  }
+
   test("Jarque-Bera normality monitor: streamed per-type power sums " +
       "equal the batch moment sketch and assemble the identical " +
       "statistic") {
