@@ -430,5 +430,24 @@ class PropertyLawsSpec extends SparkSpec {
     def pairs(sz: Long): BigInt = BigInt(sz) * (sz - 1) / 2
     assert(pairs(4290000000L) <= max)
     assert(pairs(4300000000L) > max)
+    // q_source_kl / q_source_jsd (r13 ADVICE): the plog2 inputs are
+    // integer PRODUCTS of counts. The binding constraint is BIGINT
+    // overflow of the product itself, not the 2^53 double-exactness
+    // bound (past 2^53 both engines CAST BIGINT→DOUBLE with the same
+    // correctly-rounded value, so PARITY survives; only the mantissa
+    // decomposition's exactness degrades, <1 ulp). Adversarial worst
+    // case for jsd's den = cst·nr + rt·ns with one source holding half
+    // an all-one-token corpus: cst = ns = N/2, nr = N/2, rt = N/2 →
+    // den = N²/2. The guaranteed-safe corpus is N ≤ √(2·(2⁶³−1)) ≈
+    // 4.29e9 tokens; past ~6.1e9 the adversarial den wraps — the
+    // DECIMAL(38,0) drop-in noted in Corpus.scala applies there.
+    def jsdDen(n: Long): BigInt = {
+      val h = BigInt(n) / 2
+      h * h + h * h
+    }
+    assert(jsdDen(4290000000L) <= max,
+      "4.29e9 tokens must stay inside BIGINT even adversarially")
+    assert(jsdDen(6200000000L) > max,
+      "the adversarial wrap point must be near the documented ~6.1e9")
   }
 }
