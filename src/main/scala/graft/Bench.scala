@@ -61,6 +61,8 @@ object Bench {
     "q_ann_hamming_panel" -> "hb", "q_stats_page_trend" -> "pj",
     "q_source_jsd" -> "js", "q_multimodal_midi" -> "m3",
     "q_text_mattr" -> "mt", "q_stats_cohens_kappa" -> "kp",
+    "q_stats_prop_test" -> "zt", "q_ts_control_chart" -> "cc2",
+    "q_ann_hamming_multiprobe" -> "mp",
     // round-12 additions
     "q_sketch_quantile" -> "qn", "q_sketch_quantile_merge" -> "qm",
     "q_stats_bartlett" -> "bb", "q_ts_sample_entropy" -> "se2",

@@ -2009,6 +2009,51 @@ object EventAnalytics {
           "CAST(0 AS DOUBLE)))"))
         .select("event_type", "day", "x", "ewma", "ewm_var", "ewm_std")
         .orderBy(asc_nulls_last("event_type"), asc_nulls_last("day"))
+    }),
+
+    // EWMA control chart (Roberts 1959) per event type — the MONITOR
+    // composed from the ewma/ewm_var machinery: each day's count is
+    // judged against the smoothed level/spread of STRICTLY PRIOR days
+    // (day2 = day + k + 1 shifts the dyadic contribution window by one,
+    // so a spike never absolves itself by inflating its own baseline —
+    // the standard one-step-ahead control-chart discipline). Flag when
+    // |x − ewma_prior| > 3·sd_prior. The same α = 1/2 exact-dyadic
+    // weights keep every weighted sum EXACT (integer × power of two);
+    // z and the 3σ comparison are fixed IEEE trees with identical text;
+    // zero-spread days guard to NULL and don't flag. Each type's first
+    // day (no prior window) drops by the inner join, stated. Scale: the
+    // ewma economics verbatim — bounded 16-day explode of the
+    // day-grain frame, one keyed agg, then ONE per-type fold.
+    "q_ts_control_chart" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val contrib = daily
+        .select(col("event_type"), col("day"), col("x"),
+          explode(expr("sequence(0, 15)")).as("k"))
+        .withColumn("day2", expr("date_add(day, k + 1)"))
+        .withColumn("wgt",
+          lit(1.0) / expr("CAST(shiftleft(1L, k + 1) AS DOUBLE)"))
+        .groupBy(col("event_type").as("c_type"), col("day2"))
+        .agg(sum(col("x") * col("wgt")).as("num"),
+          sum(col("x") * col("x") * col("wgt")).as("num2"),
+          sum(col("wgt")).as("wsum"))
+      daily.join(contrib,
+          col("event_type") === col("c_type")
+            && col("day") === col("day2"))
+        .withColumn("ewma", expr("num / wsum"))
+        .withColumn("sd", expr(
+          "sqrt(greatest(num2 / wsum - (num / wsum) * (num / wsum), " +
+            "CAST(0 AS DOUBLE)))"))
+        .withColumn("z", expr(
+          "CASE WHEN sd > CAST(0 AS DOUBLE) THEN " +
+            "(CAST(x AS DOUBLE) - ewma) / sd END"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(expr("CASE WHEN abs(z) > CAST(3 AS DOUBLE) THEN 1 " +
+            "ELSE 0 END")).as("n_flagged"),
+          max(expr("abs(z)")).as("max_abs_z"))
+        .orderBy(asc_nulls_last("event_type"))
     })
   )
 
@@ -2937,6 +2982,44 @@ object EventAnalytics {
         |  sqrt(greatest(ewm_var, CAST(0 AS DOUBLE))) AS ewm_std
         |FROM j
         |ORDER BY event_type ASC NULLS LAST, day ASC NULLS LAST""".stripMargin,
+
+    // Same dyadic contribution CTE shifted one day forward (k + 1), the
+    // verbatim z/3σ trees, one per-type fold.
+    "q_ts_control_chart" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), ks AS (SELECT UNNEST(range(0, 16)) AS k),
+        |contrib AS (
+        |  SELECT d.event_type, d.day + CAST(ks.k + 1 AS INT) AS day2,
+        |    SUM(d.x * (CAST(1 AS DOUBLE) / CAST(1::BIGINT
+        |      << CAST(ks.k + 1 AS INT) AS DOUBLE))) AS num,
+        |    SUM(d.x * d.x * (CAST(1 AS DOUBLE) / CAST(1::BIGINT
+        |      << CAST(ks.k + 1 AS INT) AS DOUBLE))) AS num2,
+        |    SUM(CAST(1 AS DOUBLE) / CAST(1::BIGINT
+        |      << CAST(ks.k + 1 AS INT) AS DOUBLE)) AS wsum
+        |  FROM daily d CROSS JOIN ks
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT t.event_type, t.x,
+        |    c.num / c.wsum AS ewma,
+        |    sqrt(greatest(c.num2 / c.wsum
+        |      - (c.num / c.wsum) * (c.num / c.wsum),
+        |      CAST(0 AS DOUBLE))) AS sd
+        |  FROM daily t JOIN contrib c
+        |    ON c.event_type = t.event_type AND c.day2 = t.day
+        |), z AS (
+        |  SELECT event_type,
+        |    CASE WHEN sd > CAST(0 AS DOUBLE) THEN
+        |      (CAST(x AS DOUBLE) - ewma) / sd END AS z
+        |  FROM j
+        |)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(CASE WHEN abs(z) > CAST(3 AS DOUBLE) THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_flagged,
+        |  MAX(abs(z)) AS max_abs_z
+        |FROM z GROUP BY event_type
+        |ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     // Same pre-scaled integer residual grid ((sv·10⁴)·nd − S·10⁴ in
     // HUGEINT = Spark's DECIMAL(38,0)), one partitioned lag window over

@@ -783,6 +783,54 @@ object StatsTests {
           "num", "den", "chi2")
     }),
 
+    // Two-proportion z-test (the classic A/B conversion-rate test) on
+    // the pooled standard error — the USER-grain member next to
+    // q_stats_chi2's contingency view and q_stats_binom_ci's one-sample
+    // interval: assignment = user_id parity (the deterministic split a
+    // real experiment assigns at bucketing time), success = the user's
+    // purchase SHARE exceeds 20% (5·purchases > events — a pure
+    // integer comparison; "ever purchases" is degenerate on the
+    // fixtures, where every user eventually buys).
+    // z = (p̂₁ − p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the
+    // POOLED p̂ — the H₀-correct SE (per-group SEs belong to the CI,
+    // not the test). Counts exact BIGINTs from one user-keyed rollup;
+    // z is ONE fixed IEEE tree (√ correctly-rounded both engines);
+    // degenerate splits (empty arm, all-success, all-failure) guard to
+    // NULL. Scale: one user-keyed agg with map-side combine + one
+    // global 4-counter fold.
+    "q_stats_prop_test" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("np"), count(lit(1)).as("ne"))
+        .withColumn("conv",
+          when(col("np") * 5 > col("ne"), 1L).otherwise(0L))
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+        .groupBy()
+        .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("grp") === 0, col("conv")).otherwise(0L))
+            .as("s1"),
+          sum(when(col("grp") === 1, col("conv")).otherwise(0L))
+            .as("s2"))
+        .withColumn("p1", expr(
+          "CASE WHEN n1 > 0 THEN CAST(s1 AS DOUBLE) " +
+            "/ CAST(n1 AS DOUBLE) END"))
+        .withColumn("p2", expr(
+          "CASE WHEN n2 > 0 THEN CAST(s2 AS DOUBLE) " +
+            "/ CAST(n2 AS DOUBLE) END"))
+        .withColumn("z", expr(
+          "CASE WHEN n1 > 0 AND n2 > 0 AND s1 + s2 > 0 " +
+            "AND s1 + s2 < n1 + n2 THEN " +
+            "(p1 - p2) / sqrt(" +
+            "CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) " +
+            "* (CAST(1 AS DOUBLE) - CAST(s1 + s2 AS DOUBLE) " +
+            "/ CAST(n1 + n2 AS DOUBLE)) " +
+            "* (CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE) " +
+            "+ CAST(1 AS DOUBLE) / CAST(n2 AS DOUBLE))) END"))
+        .select("n1", "n2", "s1", "s2", "p1", "p2", "z")
+    }),
+
     // Cohen's kappa (Cohen 1960) between two AUTOMATIC document-quality
     // raters — the inter-rater agreement audit a pipeline runs before
     // trusting either classifier as a training-data filter (raw
@@ -1851,6 +1899,44 @@ object StatsTests {
          |    round(CAST(2 * num AS DOUBLE) / CAST(den AS DOUBLE), 6)
          |  END AS chi2
          |FROM pieces""".stripMargin,
+
+    // Same user rollup + 4-counter fold; the verbatim pooled-SE z tree.
+    "q_stats_prop_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) * 5 > COUNT(*) THEN 1 ELSE 0 END
+        |      AS BIGINT) AS conv
+        |  FROM events GROUP BY user_id
+        |), agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS s2
+        |  FROM u
+        |), p AS (
+        |  SELECT *,
+        |    CASE WHEN n1 > 0 THEN CAST(s1 AS DOUBLE)
+        |      / CAST(n1 AS DOUBLE) END AS p1,
+        |    CASE WHEN n2 > 0 THEN CAST(s2 AS DOUBLE)
+        |      / CAST(n2 AS DOUBLE) END AS p2
+        |  FROM agg
+        |)
+        |SELECT n1, n2, s1, s2, p1, p2,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND s1 + s2 > 0
+        |    AND s1 + s2 < n1 + n2 THEN
+        |    (p1 - p2) / sqrt(
+        |    CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+        |    * (CAST(1 AS DOUBLE) - CAST(s1 + s2 AS DOUBLE)
+        |    / CAST(n1 + n2 AS DOUBLE))
+        |    * (CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    + CAST(1 AS DOUBLE) / CAST(n2 AS DOUBLE))) END AS z
+        |FROM p""".stripMargin,
 
     // Same rater rules from identical double text; the 2×2 fold and
     // the verbatim guarded κ tree.

@@ -41,6 +41,15 @@ object VectorOps {
   /** Coarse-quantizer size for q_ann_ivf (first k vectors as centroids). */
   private val IvfCentroids = 8
 
+  /** Multiprobe xor masks over the 8-bit Hamming bucket key: identity,
+    * every 1-bit flip, every 2-bit flip — 1 + 8 + 28 = 37 constants
+    * shared verbatim by the Spark build and the DuckDB oracle
+    * (q_ann_hamming_multiprobe). */
+  private val ProbeMasks: Seq[Int] =
+    Seq(0) ++ (0 until 8).map(1 << _) ++
+      (for (i <- 0 until 8; j <- i + 1 until 8)
+        yield (1 << i) | (1 << j))
+
   /** Product-quantization geometry for q_ann_pq: EmbDim splits into
     * [[PqM]] contiguous sub-spaces of [[PqSubDim]] dims; the sub-space
     * codebooks are the matching slices of the first [[PqCodebook]]
@@ -630,6 +639,73 @@ object VectorOps {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 10)
         .orderBy(asc_nulls_last("p_id"), asc_nulls_last("rnk"))
+    }),
+
+    // Multiprobe Hamming LSH (r13; the Lv et al. 2007 multi-probe idea
+    // on the sign-bit index): instead of scanning the WHOLE packed-word
+    // tier (q_ann_hamming) or growing the table count, bucket the
+    // corpus by the low 8 bits of word0 and probe the query's bucket
+    // PLUS every 1-bit and 2-bit perturbation — 1+8+28 = 37 of 256
+    // buckets ≈ 14% of the corpus scanned, repairing any neighbor
+    // whose 64-bit divergence puts ≤ 2 bits inside the 8-bit key. The
+    // measured recall10 (0.2/0.5/0.6 across the fixture SFs) IS the
+    // predicted value, not a defect: the synthetic embeddings are
+    // near-random, so the exact top-10 sits at h ≈ 19–23 of 64 bits
+    // (verified from the q_ann_hamming dump) → expected h/8 ≈ 2.9 key
+    // bits astray → P(≤2) ≈ 0.5 per neighbor. On clustered real
+    // corpora (top-10 at h ≤ 6, < 1 expected key bit astray) the same
+    // 37-probe ring recovers ≈ all of them — recall is a function of
+    // neighbor distance, and the in-query self-audit reports the
+    // knob's true position instead of asserting a cherry-picked 1.0.
+    // Candidates rank by full 64-bit popcount; the
+    // EXACT full-scan top-10 is recomputed in-query and the overlap
+    // reported as recall10 — the self-audit making the trade-off
+    // measurable, not asserted. All integers; ties break by vec_id.
+    // Scale: corpus shuffles ONCE on the 256-value bucket key into an
+    // equi-join against the 37-row probe-bucket broadcast (never a
+    // nested loop over the corpus); both top-10s are
+    // TakeOrderedAndProject heaps; the final fold crosses three ≤10-row
+    // sides.
+    "q_ann_hamming_multiprobe" -> ((s, d) => {
+      def word(lo: Int): String =
+        s"aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT), " +
+          "(acc, i) -> acc + shiftleft(CAST(CASE WHEN embedding[i] > 0 " +
+          s"THEN 1 ELSE 0 END AS BIGINT), i - $lo))"
+      val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+        .withColumn("w0", expr(word(0)))
+        .withColumn("w1", expr(word(32)))
+        .select("vec_id", "w0", "w1")
+        .withColumn("bucket", expr("w0 % 256"))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("w0").as("pw0"), col("w1").as("pw1"),
+          col("bucket").as("pb"))
+      // the probe bucket + all 1-bit and 2-bit flips (37 distinct
+      // masks, constants) — the broadcast driving the equi-join
+      val probes = broadcast(probe
+        .select(col("pw0"), col("pw1"), explode(expr(
+          ProbeMasks.map(m => s"pb ^ $m")
+            .mkString("array(", ", ", ")"))).as("bucket")))
+      def ranked(cand: org.apache.spark.sql.DataFrame) = cand
+        .filter(col("vec_id") =!= 0)
+        .withColumn("hamming", expr(
+          "CAST(bit_count(w0 ^ pw0) + bit_count(w1 ^ pw1) AS BIGINT)"))
+        .orderBy(asc_nulls_last("hamming"), asc_nulls_last("vec_id"))
+        .limit(10)
+        .select("vec_id", "hamming")
+      val approx = ranked(e.join(probes, "bucket"))
+      val exact = ranked(e.crossJoin(
+        broadcast(probe.select("pw0", "pw1"))))
+      val nCand = e.join(probes, "bucket")
+        .filter(col("vec_id") =!= 0)
+        .agg(count(lit(1)).as("n_candidates")).withColumn("_one", lit(1))
+      val hit = approx.select(col("vec_id"))
+        .join(exact.select(col("vec_id")), "vec_id")
+        .agg(count(lit(1)).as("hit10")).withColumn("_one", lit(1))
+      nCand.join(hit, "_one")
+        .select(lit(ProbeMasks.size.toLong).as("n_probed_buckets"),
+          col("n_candidates"), col("hit10"),
+          expr("CAST(hit10 AS DOUBLE) / CAST(10 AS DOUBLE)")
+            .as("recall10"))
     }),
 
     // Embedding L2 normalization — the standard pre-step before cosine
@@ -2243,6 +2319,57 @@ object VectorOps {
          |)
          |SELECT p_id, vec_id, hamming, rnk FROM r WHERE rnk <= 10
          |ORDER BY p_id ASC NULLS LAST, rnk ASC NULLS LAST""".stripMargin
+    },
+
+    // Same packing; bucket = w0 % 256, the 37 probe buckets via xor
+    // UNNEST over the shared mask constants, both top-10s as
+    // ORDER/LIMIT CTEs, overlap join count.
+    "q_ann_hamming_multiprobe" -> {
+      def word(lo: Int): String =
+        s"CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}), " +
+          s"i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) " +
+          s"<< CAST(i - $lo AS INT)) ELSE CAST(0 AS BIGINT) END)) " +
+          "AS BIGINT)"
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    ${word(1)} AS w0,
+         |    ${word(33)} AS w1
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), eb AS (
+         |  SELECT vec_id, w0, w1, w0 % 256 AS bucket FROM e
+         |), p AS (
+         |  SELECT w0 AS pw0, w1 AS pw1, bucket AS pb
+         |  FROM eb WHERE vec_id = 0
+         |), probes AS (
+         |  SELECT p.pw0, p.pw1, UNNEST([${ProbeMasks
+              .map(m => s"xor(p.pb, $m)").mkString(", ")}]) AS bucket
+         |  FROM p
+         |), cand AS (
+         |  SELECT eb.vec_id,
+         |    CAST(bit_count(xor(eb.w0, pr.pw0))
+         |      + bit_count(xor(eb.w1, pr.pw1)) AS BIGINT) AS hamming
+         |  FROM eb JOIN probes pr ON eb.bucket = pr.bucket
+         |  WHERE eb.vec_id <> 0
+         |), approx AS (
+         |  SELECT vec_id FROM cand
+         |  ORDER BY hamming ASC NULLS LAST, vec_id ASC NULLS LAST
+         |  LIMIT 10
+         |), exact AS (
+         |  SELECT eb.vec_id FROM eb, p WHERE eb.vec_id <> 0
+         |  ORDER BY CAST(bit_count(xor(eb.w0, p.pw0))
+         |    + bit_count(xor(eb.w1, p.pw1)) AS BIGINT) ASC NULLS LAST,
+         |    eb.vec_id ASC NULLS LAST
+         |  LIMIT 10
+         |), nc AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand
+         |), h AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS hit10
+         |  FROM approx a JOIN exact x ON a.vec_id = x.vec_id
+         |)
+         |SELECT CAST(${ProbeMasks.size} AS BIGINT) AS n_probed_buckets,
+         |  nc.n_candidates, h.hit10,
+         |  CAST(h.hit10 AS DOUBLE) / CAST(10 AS DOUBLE) AS recall10
+         |FROM nc, h""".stripMargin
     },
 
     // Mirrors the IVF phases with exact-decimal dots throughout:

@@ -726,6 +726,47 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_ts_control_chart equals an exact-dyadic PRIOR-window replay: " +
+      "per type the flag count and max |z| match, and no day is judged " +
+      "against a baseline containing itself") {
+    val daily = events.groupBy(e => (e._3, e._2.toInstant
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate))
+      .view.mapValues(_.size.toLong).toMap
+    val out = EventAnalytics.queries("q_ts_control_chart")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val byType = daily.keys.groupBy(_._1)
+    out.foreach { r =>
+      val ty = r.getString(0)
+      val zs = byType(ty).toSeq.map(_._2).sorted.flatMap { day =>
+        // prior window: days day-16 .. day-1 (k+1 shift — the day
+        // itself NEVER contributes to its own baseline)
+        var num = 0.0; var num2 = 0.0; var wsum = 0.0
+        (1 to 16).foreach { k =>
+          daily.get((ty, day.minusDays(k))).foreach { x =>
+            val w = 1.0 / (1L << k).toDouble
+            num += x * w; num2 += x * x * w; wsum += w
+          }
+        }
+        if (wsum == 0.0) None // first day drops by the inner join
+        else {
+          val ewma = num / wsum
+          val sd = math.sqrt(
+            math.max(num2 / wsum - ewma * ewma, 0.0))
+          val x = daily((ty, day))
+          Some(if (sd > 0.0) Some((x.toDouble - ewma) / sd) else None)
+        }
+      }
+      assert(r.getAs[Long]("n_days") == zs.length.toLong, s"$ty n_days")
+      val defined = zs.flatten
+      assert(r.getAs[Long]("n_flagged") ==
+        defined.count(z => math.abs(z) > 3.0).toLong, s"$ty flags")
+      if (defined.nonEmpty)
+        assert(r.getAs[Double]("max_abs_z") ==
+          defined.map(math.abs).max, s"$ty max_abs_z")
+    }
+  }
+
   test("q_markov_2step equals P squared from the one-step matrix and " +
       "rows sum to ~1") {
     val one = EventAnalytics.queries("q_markov_transition")(spark, sf)

@@ -410,6 +410,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_stats_prop_test equals a plain-Scala user-rollup replay and " +
+      "the pooled-SE z identity holds") {
+    import spark.implicits._
+    val users = Tables.table(spark, sf, "events")
+      .select("user_id", "event_type").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (u, evs) =>
+        (u, if (evs.count(_._2 == "purchase") * 5 > evs.size) 1L
+        else 0L)
+      }
+    val (g0, g1) = users.partition(_._1 % 2 == 0)
+    val (n1, s1) = (g0.size.toLong, g0.map(_._2).sum)
+    val (n2, s2) = (g1.size.toLong, g1.map(_._2).sum)
+    val r = StatsTests.queries("q_stats_prop_test")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2
+      && r.getAs[Long]("s1") == s1 && r.getAs[Long]("s2") == s2)
+    val p1 = s1.toDouble / n1; val p2 = s2.toDouble / n2
+    assert(r.getAs[Double]("p1") == p1 && r.getAs[Double]("p2") == p2)
+    val pp = (s1 + s2).toDouble / (n1 + n2)
+    val z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-12)
+    // the fixture must exercise a non-degenerate test
+    assert(n1 > 0 && n2 > 0 && s1 + s2 > 0 && s1 + s2 < n1 + n2)
+  }
+
   test("q_stats_cohens_kappa equals a plain-Scala 2x2 replay and the " +
       "po/pe/kappa identities hold") {
     import spark.implicits._

@@ -301,6 +301,10 @@ class PlanRegressionSpec extends SparkSpec {
       // (perplexity's smoothing denominator) and the corpus token total
       // (KL's reference distribution) — the q_text_docfreq shape
       "q_text_perplexity", "q_source_kl",
+      // the identical q_source_kl shape (the jsd variant adds in-row
+      // columns, not joins): the nested-loop side is the 1-row corpus
+      // total on a constant key
+      "q_source_jsd",
       // the same 1-row constant-key broadcast: the KN (B + V + 1)
       // continuation denominator
       "q_text_lm_kn",
@@ -484,7 +488,12 @@ class PlanRegressionSpec extends SparkSpec {
       // argument); the nested-loop fan-out is corpus × 32 slim integer
       // rows, pruned to top-10 per probe by WindowGroupLimit before
       // the 32-key shuffle
-      "q_ann_hamming_panel")
+      "q_ann_hamming_panel",
+      // the exact-side ground truth is the 1-row probe broadcast (the
+      // q_ann_hamming shape); the approx side is the bucketed
+      // EQUI-join against the 9-row probe broadcast, and the final
+      // fold crosses three ≤10-row constant-key sides
+      "q_ann_hamming_multiprobe")
 
   // The r11 verdict's item #6: the four structural gates above run at
   // sf0.001, where AQE's broadcast thresholds can hide size-driven

@@ -378,6 +378,45 @@ class VectorTrainSpec extends SparkSpec {
       "hamming panel top-10 diverged")
   }
 
+  test("q_ann_hamming_multiprobe equals a plain-Scala 37-bucket probe " +
+      "replay: candidate count, hit count and recall all match the " +
+      "brute-force bucketed scan") {
+    val row = VectorOps.queries("q_ann_hamming_multiprobe")(spark, sf)
+      .collect().head
+    val embs = Tables.table(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def pack(v: Array[Float]): (Long, Long) = {
+      var (w0, w1) = (0L, 0L)
+      for (i <- 0 until 32) if (v(i) > 0) w0 |= 1L << i
+      for (i <- 32 until 64) if (v(i) > 0) w1 |= 1L << (i - 32)
+      (w0, w1)
+    }
+    val packed = embs.map { case (id, v) => (id, pack(v)) }
+    val (pw0, pw1) = packed.find(_._1 == 0L).get._2
+    val pb = pw0 % 256
+    val masks = Seq(0) ++ (0 until 8).map(1 << _) ++
+      (for (i <- 0 until 8; j <- i + 1 until 8)
+        yield (1 << i) | (1 << j))
+    val probeBuckets = masks.map(m => pb ^ m).toSet
+    assert(probeBuckets.size == 37, "masks must be distinct")
+    def ham(w: (Long, Long)): Long =
+      (java.lang.Long.bitCount(w._1 ^ pw0)
+        + java.lang.Long.bitCount(w._2 ^ pw1)).toLong
+    val cands = packed.filter(_._1 != 0L)
+      .filter(p => probeBuckets(p._2._1 % 256))
+    val approx = cands.map(p => (p._1, ham(p._2)))
+      .sortBy(t => (t._2, t._1)).take(10).map(_._1).toSet
+    val exact = packed.filter(_._1 != 0L).map(p => (p._1, ham(p._2)))
+      .sortBy(t => (t._2, t._1)).take(10).map(_._1).toSet
+    val hit = (approx & exact).size.toLong
+    assert(row.getLong(0) == 37L)
+    assert(row.getLong(1) == cands.length.toLong, "n_candidates")
+    assert(row.getLong(2) == hit, "hit10")
+    assert(row.getDouble(3) == hit.toDouble / 10.0, "recall10")
+  }
+
   test("q_embed_knn_classify equals a plain-Scala exact-decimal kNN " +
       "replay (top-5 vote, leave-one-out)") {
     val embs = Tables.table(spark, sf, "embeddings")
