@@ -71,6 +71,14 @@ object Mqtt {
   /** QoS 1 retransmit cadence. */
   val RetransmitMs = 500L
 
+  /** Broker-memory guard for the RETAIN store (spec §3.3.1.3 puts no
+    * bound on retained topics; this broker does): retained messages are
+    * for announcement/config topics, so a producer retaining on
+    * per-event topics is a misbehaving client — the publish that would
+    * exceed the cap fails its connection LOUDLY (the MaxPacketBytes
+    * pattern) instead of growing the store without bound. */
+  val MaxRetainedTopics: Int = 4096
+
   // ---- framing ---------------------------------------------------------
 
   /** Encode the remaining-length varint (spec §2.2.3: 7 bits per byte,
@@ -329,10 +337,20 @@ final class MqttBroker(port: Int = 0) {
                   Array[Byte]((pid >> 8).toByte, (pid & 0xff).toByte)))
               // RETAIN=1 (spec §3.3.1.3): store as the topic's retained
               // message (zero-byte payload deletes), then fan out
-              // normally — live deliveries carry RETAIN=0.
+              // normally — live deliveries carry RETAIN=0. The store is
+              // capped (MaxRetainedTopics): a NEW retained topic past
+              // the cap fails this connection rather than growing
+              // broker memory without bound (overwrites and deletes
+              // always succeed).
               if ((h & 0x01) != 0) {
                 if (payload.isEmpty) retained.remove(topic)
-                else retained(topic) = (payload, qos)
+                else {
+                  if (!retained.contains(topic)
+                      && retained.size >= MaxRetainedTopics)
+                    throw new IOException(
+                      s"retained-topic cap $MaxRetainedTopics exceeded")
+                  retained(topic) = (payload, qos)
+                }
               }
               route(topic, payload, qos)
             case PUBACK =>

@@ -241,4 +241,48 @@ class MqttSpec extends AnyFunSuite {
       pub.disconnect()
     }
   }
+
+  test("retained-topic cap: the publish creating topic 4097 fails its " +
+      "connection loudly (no unbounded broker memory), overwrites under " +
+      "the cap still succeed, and the broker keeps serving others") {
+    withBroker { b =>
+      val pub = new MqttClient("127.0.0.1", b.boundPort, "cap-pub")
+        .connect()
+      (0 until Mqtt.MaxRetainedTopics).foreach(i =>
+        pub.publish(s"graft/cap/t$i", "x".getBytes(UTF_8), qos = 1,
+          retain = true))
+      // overwriting an EXISTING retained topic is always fine
+      pub.publish("graft/cap/t0", "y".getBytes(UTF_8), qos = 1,
+        retain = true)
+      // the 4097th NEW retained topic kills the offending connection:
+      // raw socket so the EOF is observable
+      val sock = new Socket("127.0.0.1", b.boundPort)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      out.write(Mqtt.packet(Mqtt.CONNECT << 4,
+        Mqtt.utf8("MQTT") ++ Array[Byte](4, 2, 0, 60)
+          ++ Mqtt.utf8("cap-over")))
+      out.flush()
+      assert(Mqtt.readPacket(in)._2(1) == 0)
+      out.write(Mqtt.publishPacket("graft/cap/overflow",
+        "z".getBytes(UTF_8), qos = 0, packetId = 0, dup = false,
+        retain = true))
+      out.flush()
+      sock.setSoTimeout(5000)
+      assert(in.read() == -1, "overflowing connection must be dropped")
+      sock.close()
+      // the healthy publisher and the store survive: a late subscriber
+      // still gets the overwritten t0
+      val got = new ConcurrentLinkedQueue[String]()
+      val latch = new CountDownLatch(1)
+      val sub = new MqttClient("127.0.0.1", b.boundPort, "cap-sub")
+        .connect()
+      sub.subscribe("graft/cap/t0") { (_, p) =>
+        got.add(new String(p, UTF_8)); latch.countDown()
+      }
+      assert(latch.await(10, TimeUnit.SECONDS))
+      assert(got.toArray(Array.empty[String]).toSeq == Seq("y"))
+      sub.disconnect(); pub.disconnect()
+    }
+  }
 }
