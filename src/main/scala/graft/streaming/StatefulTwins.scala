@@ -728,6 +728,74 @@ object StatefulTwins {
     * equals the batch sketch row for row AND that a replayed batch
     * with k small enough to force eviction leaves both the sample and
     * n_full unchanged. */
+  /** One day-grain observation for the control-chart twin. */
+  case class CCDay(event_type: String, epoch_day: Long, x: Long)
+
+  /** ≤17 trailing (epochDay, count) pairs per type — the ENTIRE state
+    * the dyadic chart needs (weights 2^-k vanish past lag 16) — plus
+    * the max day ever processed: the replay high-watermark (a
+    * membership test against the EVICTED window would re-admit a
+    * replayed old day and re-emit its successors). */
+  case class CCState(days: Vector[(Long, Long)],
+      maxDay: Long = Long.MinValue)
+
+  /** Per-day monitor emission; z is None when the prior window has
+    * zero spread (the batch query's NULL). */
+  case class CCRow(event_type: String, epoch_day: Long, x: Long,
+      z: Option[Double], flagged: Boolean)
+
+  /** Streaming twin of q_ts_control_chart: per-type keyed state = the
+    * trailing ≤16 daily counts; each arriving day is judged against
+    * the STRICTLY PRIOR dyadic EWMA level/spread (identical arithmetic
+    * to the batch query: the dyadic weights make every weighted sum
+    * exact, so the JVM fold here and Spark SQL's fold there produce
+    * the bit-identical doubles), THEN inserted into state. A day with
+    * no prior window emits nothing (the batch inner join's drop); a
+    * replayed day already in state is skipped (idempotent under the
+    * file-top per-key in-order contract, like [[quantileSketchStream]]).
+    * StreamingParitySpec folds the emitted rows per type and matches
+    * the batch (n_days, n_flagged, max_abs_z) row exactly. State: ≤16
+    * slim pairs per type — bounded regardless of stream length. */
+  def controlChartStream(days: Dataset[CCDay]): Dataset[CCRow] = {
+    import days.sparkSession.implicits._
+    days.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CCState, CCRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (ty: String, it: Iterator[CCDay], state: GroupState[CCState]) =>
+          var st = state.getOption.getOrElse(CCState(Vector.empty))
+          val out = Vector.newBuilder[CCRow]
+          it.toVector.sortBy(_.epoch_day).foreach { d =>
+            // per-key in-order contract: a day ≤ the watermark is a
+            // QoS-1 replay — skip (the file-top contract, identical to
+            // quantileSketchStream's id watermark)
+            if (d.epoch_day > st.maxDay) {
+              var num = 0.0; var num2 = 0.0; var wsum = 0.0
+              (1 to 16).foreach { k =>
+                st.days.find(_._1 == d.epoch_day - k).foreach {
+                  case (_, x) =>
+                    val w = 1.0 / (1L << k).toDouble
+                    num += x * w; num2 += x * x * w; wsum += w
+                }
+              }
+              if (wsum > 0.0) {
+                val ewma = num / wsum
+                val sd = math.sqrt(
+                  math.max(num2 / wsum - ewma * ewma, 0.0))
+                val z = if (sd > 0.0) Some((d.x.toDouble - ewma) / sd)
+                  else None
+                out += CCRow(ty, d.epoch_day, d.x, z,
+                  z.exists(v => math.abs(v) > 3.0))
+              }
+              st = CCState((st.days :+ (d.epoch_day, d.x))
+                .filter(_._1 > d.epoch_day - 17).sortBy(_._1),
+                d.epoch_day)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def quantileSketchStream(obs: Dataset[QObs],
       k: Int = graft.operators.Sketches.QuantK): Dataset[QRow] = {
     import obs.sparkSession.implicits._

@@ -865,6 +865,66 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("control chart: streamed per-type trailing-16 state drained " +
+      "over micro-batches (with a replayed batch) folds to the exact " +
+      "batch q_ts_control_chart rows") {
+    import graft.operators.EventAnalytics
+    import graft.streaming.StatefulTwins
+    implicit val sqlCtx = spark.sqlContext
+    val daily = Tables.table(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => StatefulTwins.CCDay(r.getString(0),
+        r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+      .sortBy(d => (d.event_type, d.epoch_day))
+    val mem = MemoryStream[StatefulTwins.CCDay]
+    val sinkName = s"ccstream_${System.nanoTime()}"
+    val q = StatefulTwins.controlChartStream(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    // split by DAY RANGE (within each type the per-key order must
+    // hold), then replay the first half: state must bridge
+    // micro-batches and dedup the replay
+    val mid = daily.map(_.epoch_day).sorted.apply(daily.length / 2)
+    val (first, second) = daily.partition(_.epoch_day < mid)
+    mem.addData(first)
+    q.processAllAvailable()
+    mem.addData(second)
+    q.processAllAvailable()
+    mem.addData(first) // replay — must change nothing
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(sinkName).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4)))
+      .distinct // update-mode re-emissions collapse; rows are identical
+    val folded = streamed.groupBy(_._1).map { case (ty, rows) =>
+      val zs = rows.flatMap(_._4)
+      ty -> (rows.length.toLong, rows.count(_._5).toLong,
+        if (zs.nonEmpty) Some(zs.map(math.abs).max) else None)
+    }
+    val batch = EventAnalytics.queries("q_ts_control_chart")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(folded.keySet == batch.keySet)
+    folded.foreach { case (ty, (nDays, nFlagged, maxZ)) =>
+      val (bn, bf, bz) = batch(ty)
+      assert(nDays == bn, s"$ty n_days: $nDays vs $bn")
+      assert(nFlagged == bf, s"$ty n_flagged")
+      assert(maxZ == bz, s"$ty max_abs_z: $maxZ vs $bz")
+    }
+    // the replay added no rows: every (type, day) appears exactly once
+    val perDay = spark.table(sinkName).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(perDay.distinct.length == perDay.length,
+      "replayed days must not re-emit")
+  }
+
   test("quantile sketch ordering contract is LOAD-BEARING: an " +
       "out-of-order FRESH batch (violating the documented per-key " +
       "in-order arrival contract) under-counts n_full by exactly the " +
