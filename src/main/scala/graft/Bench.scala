@@ -294,14 +294,20 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
-    // Warm the JVM/codegen paths and pin the working set in memory so the
-    // timed section measures query compute, not one-time session startup
-    // or repeated cold scans of the same files (the standard warm-run
-    // benchmark protocol; at 100 TB the analogue is the cluster-wide
-    // parquet footer/OS page cache, not a full materialization).
+    // Warm the JVM/codegen paths and the OS page cache with ONE un-timed
+    // read-through of every base table (noop sink decodes every column).
+    // MEASUREMENT FIX (r13, declared in OPTIMIZATION_r13.md): this used
+    // to be `.cache().count()` per table, which pinned Spark-side
+    // materializations of the base tables for the whole run — the
+    // optimization-round contract forbids caching base tables outside
+    // the timed region, so every timed query now reads parquet itself
+    // (the OS page cache is the only warm state left, the same state a
+    // cluster's second scan of hot data sees). A/B at sf0.1: see
+    // OPTIMIZATION_r13.md §methodology.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.names.foreach { n =>
-      try Tables.table(spark, sfDir, n).cache().count()
+      try Tables.table(spark, sfDir, n)
+        .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     // Interleaved best-of-3: round-robin the full query list three times so
@@ -332,6 +338,7 @@ object Bench {
     val best = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to 3; (name, fn) <- ordered) {
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       try {
         // One CacheScope per run: within-query persists (registered via
@@ -347,7 +354,19 @@ object Bench {
         // sample); later consumers and rounds read it — the nightly-
         // pipeline sharing the r9 verdict asked for, with the best-of-3
         // floor reflecting the warm-stage steady state.
-        CacheScope.scoped { fn(spark, sfDir).count() }
+        // MEASUREMENT FIX (r13, declared in OPTIMIZATION_r13.md): the
+        // timed action is the NOOP SINK (guide §1.4), not `.count()`.
+        // count() let the optimizer prune the terminal sort, the output
+        // projection, and every narrow computed column not feeding a
+        // filter/agg — e.g. the multimodal header parses were mostly
+        // UNTIMED (count of a narrow map = count of the scan). The noop
+        // sink computes every column of every row and discards it, so
+        // the timed region now covers exactly what the declared query
+        // computes. Old-methodology numbers for r12-comparability are
+        // kept in OPTIMIZATION_r13.md §methodology.
+        CacheScope.scoped {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
         val t = (System.nanoTime() - t0) / 1e9
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
       } catch { case _: Throwable => failed += name }
