@@ -3,7 +3,6 @@ package graft
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped NAMED materialized stages — the cache tier between
   * fixture tables (persisted for a whole session) and
@@ -25,12 +24,13 @@ import org.apache.spark.storage.StorageLevel
   *
   * Semantics:
   *   - `stage(spark, name)(build)`: get-or-materialize. The FIRST call
-  *     runs `build`, persists the result (memory-and-disk: a stage
-  *     outliving queries must spill, not evict silently), and forces
-  *     materialization with one count() so the stage never half-builds
-  *     under a later consumer (and so builder-internal scoped persists
-  *     are still alive while it fills). Later calls return the SAME
-  *     cached frame.
+  *     runs `build` and materializes it EAGERLY via localCheckpoint
+  *     (memory-and-disk blocks: a stage outliving queries must spill,
+  *     not evict silently; builder-internal scoped persists are still
+  *     alive while it fills), so the stage never half-builds under a
+  *     later consumer and every consumer plans against the truncated
+  *     LogicalRDD, not the build chain. Later calls return the SAME
+  *     materialized frame.
   *   - `invalidate(spark, name)` / `clearAll(spark)`: unpersist +
   *     forget — the refresh hook when the underlying table changes
   *     (the q_snapshot_ivm algebra is the incremental-refresh story;
@@ -47,13 +47,28 @@ object NamedStages {
     mutable.Map.empty[(SparkSession, String), DataFrame]
 
   /** Get-or-materialize the named stage. `build` runs at most once per
-    * (session, name) until invalidated. */
+    * (session, name) until invalidated.
+    *
+    * r13 OPTIMIZATION (guide §3.3 "materialising an intermediate
+    * truncates the plan" / §7.3 planning stalls): the stage
+    * materializes via `localCheckpoint` (same MEMORY_AND_DISK storage
+    * as the previous persist+count) instead of persist+count, so the
+    * frame handed to consumers carries a TRUNCATED logical plan
+    * (LogicalRDD) rather than the full build chain. Under
+    * persist+count every consumer re-analyzed, re-optimized and — with
+    * AQE — re-planned the entire LSH/curation subtree per query even
+    * though execution hit the cache (measured: a 1.9 s driver-side
+    * planning stall inside warm q_corpus_curate_v3, 0.2–1.6 s
+    * construction time on every dup-graph consumer). Execution is
+    * unchanged — the same materialized rows are read back. On
+    * invalidate, the checkpoint blocks are released by the
+    * ContextCleaner once the frame is unreferenced (the unpersist
+    * below covers the cache-manager entry if any); at 100 TB the same
+    * seam materializes to parquet/bucketed tables, as before. */
   def stage(spark: SparkSession, name: String)
       (build: => DataFrame): DataFrame = synchronized {
     stages.getOrElseUpdate((spark, name), {
-      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
+      build.localCheckpoint(eager = true)
     })
   }
 

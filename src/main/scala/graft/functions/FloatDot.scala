@@ -82,7 +82,14 @@ object GraftFunctions {
       (children: Seq[Expression]) => DecimalDot(children(0), children(1))),
     (new FunctionIdentifier("decimal_wdot"),
       new ExpressionInfo(classOf[DecimalWDot].getName, "decimal_wdot"),
-      (children: Seq[Expression]) => DecimalWDot(children(0), children(1))))
+      (children: Seq[Expression]) => DecimalWDot(children(0), children(1))),
+    (new FunctionIdentifier("byte_sum_range"),
+      new ExpressionInfo(classOf[ByteSumRange].getName, "byte_sum_range"),
+      (children: Seq[Expression]) =>
+        ByteSumRange(children(0), children(1), children(2))),
+    (new FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (children: Seq[Expression]) => SimHash16(children(0))))
 
   def ensureRegistered(spark: SparkSession): Unit =
     all.foreach { case (ident, info, builder) =>

@@ -377,9 +377,26 @@ object Corpus {
     * named stages (shared ACROSS queries); only the decontamination
     * tail builds per query. */
   def curatedClean(s: SparkSession, d: String): DataFrame = {
+    // dependency stages resolve OUTSIDE the new stage's build, so the
+    // registry's getOrElseUpdate never nests a second insertion
     val docs = t(s, d, "documents")
     val kept = cleanKept(s, d)
     val losers = cleanLosers(s, d)
+    graft.NamedStages.stage(s, s"curate_clean:$d") {
+      curatedCleanBody(docs, kept, losers)
+    }
+  }
+
+  /** The decontamination tail (stage 4) — r13 OPTIMIZATION: promoted to
+    * the NAMED-STAGE tier (the cleanKept/cleanLosers precedent one stage
+    * further down the same pipeline). v2 and v3 each re-ran the two
+    * gram passes (~600k md5'd 8-gram strings at sf0.1, single-task on
+    * the fixture's one-row-group documents file) plus the gram-keyed
+    * membership join PER QUERY; a nightly pipeline computes the clean
+    * train corpus once and every budget/quota/report job reads it.
+    * Identical rows — the stage only adds the materialization. */
+  private def curatedCleanBody(docs: DataFrame, kept: DataFrame,
+      losers: DataFrame): DataFrame = {
     val surv = kept.join(losers, Seq("doc_id"), "left_anti")
     // gram positions via a GENERATOR + codegen'd md5 (the q_embed_cov
     // lesson; q_source_overlap measured 1.6 → 1.3 s from the same

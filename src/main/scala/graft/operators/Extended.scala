@@ -743,7 +743,7 @@ object Extended {
         |    CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS c
         |  FROM cells
         |)
-        |SELECT CAST(SUM(((m.o * n.n - m.r * m.c)
+        |SELECT CAST(SUM((CAST(m.o * n.n - m.r * m.c AS HUGEINT)
         |    * (m.o * n.n - m.r * m.c) * 1000000)
         |    // (m.r * m.c * n.n)) AS BIGINT) AS chi2_ppm,
         |  CAST((COUNT(DISTINCT m.event_type) - 1)

@@ -394,6 +394,7 @@ object Multimodal {
     // sniff-rejects on the 'ustar' magic at offset 257. Pure narrow
     // map over a binary column.
     "q_multimodal_tar" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val docs = graft.Tables.table(s, d, "documents")
       val base = docs.select(col("doc_id"), col("text"))
         .withColumn("nm", concat(lit("doc"),
@@ -444,11 +445,18 @@ object Multimodal {
         .withColumn("size_bytes", f(octR(124, 11)))
         .withColumn("mtime", f(octR(136, 11)))
         .withColumn("chksum_stored", f(octR(148, 6)))
+        // r13 OPTIMIZATION (guide §4 / step-4 codegen): the 512-byte
+        // reduction is the native [[graft.functions.ByteSumRange]] —
+        // the HOF form ran 512 interpreted conv(substring(hex)) steps
+        // per row (measured 13.1 s of the query's 13.4 s at sf0.1);
+        // the native loop sums the same unsigned bytes compiled, with
+        // the checksum field's 8 bytes counted as spaces via the
+        // + 8·32 term. Identical integers; ByteOpsSpec pins the
+        // equivalence against the HOF expression.
         .withColumn("chksum_computed", f(expr(
-          "aggregate(transform(sequence(0, 511), i -> CASE WHEN " +
-            "i >= 148 AND i < 156 THEN CAST(32 AS BIGINT) ELSE " +
-            "CAST(conv(substring(h, 2 * i + 1, 2), 16, 10) AS BIGINT) " +
-            "END), CAST(0 AS BIGINT), (acc, x) -> acc + x)")))
+          "byte_sum_range(payload, 0, 148) " +
+            "+ byte_sum_range(payload, 156, 512) " +
+            "+ CAST(256 AS BIGINT)")))
         .withColumn("checksum_ok",
           f(col("chksum_stored") === col("chksum_computed")))
         .withColumn("typeflag", f(expr(

@@ -2110,7 +2110,7 @@ object StatsTests {
          |    CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS c
          |  FROM cells
          |), agg AS (
-         |  SELECT CAST(SUM(((m.o * n.n - m.r * m.c)
+         |  SELECT CAST(SUM((CAST(m.o * n.n - m.r * m.c AS HUGEINT)
          |      * (m.o * n.n - m.r * m.c) * 1000000)
          |      // (m.r * m.c * n.n)) AS BIGINT) AS chi2_ppm,
          |    CAST(COUNT(DISTINCT m.event_type) AS BIGINT) AS r_levels,

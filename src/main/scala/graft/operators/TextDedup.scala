@@ -85,18 +85,33 @@ object TextDedup {
 
   /** Exact token-set Jaccard for candidate pairs; token sets re-joined
     * here so only candidate pairs ever shuffle an array. `toks` needs
-    * (id, toks) columns. */
-  def withJaccard(cands: DataFrame, toks: DataFrame): DataFrame =
+    * (id, toks) columns.
+    *
+    * r13 OPTIMIZATION (guide §2.3 "shuffle fewer bytes" + per-pair
+    * work): the per-PAIR `array_distinct` (twice) and the materialized
+    * `array_union` (allocates |A|+|B| elements per pair) move to
+    * per-DOC precomputation — each side ships its already-distinct
+    * token set plus its size, and the union size is the exact identity
+    * |A∪B| = |A| + |B| − |A∩B|. A doc in k candidate pairs used to pay
+    * k distinct passes per side and k union allocations; now one
+    * distinct pass before the join, and the join shuffles the same
+    * arrays it always shipped (dedup'd, so never larger). Jaccard is
+    * the same integer division: array_intersect over distinct arrays
+    * is |A∩B| exactly as before. */
+  def withJaccard(cands: DataFrame, toks: DataFrame): DataFrame = {
+    val dtoks = toks.select(col("id"),
+      array_distinct(col("toks")).as("dtoks"))
+      .withColumn("ntoks", size(col("dtoks")))
     cands
-      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")),
-        "id_a")
-      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")),
-        "id_b")
+      .join(dtoks.select(col("id").as("id_a"), col("dtoks").as("toks_a"),
+        col("ntoks").as("n_a")), "id_a")
+      .join(dtoks.select(col("id").as("id_b"), col("dtoks").as("toks_b"),
+        col("ntoks").as("n_b")), "id_b")
       .withColumn("inter", size(array_intersect(
-        array_distinct(col("toks_a")), array_distinct(col("toks_b")))))
-      .withColumn("uni", size(array_union(
-        array_distinct(col("toks_a")), array_distinct(col("toks_b")))))
+        col("toks_a"), col("toks_b"))))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+  }
 
   /** Keep-one-per-group exact dedup by normalized-text fingerprint:
     * deterministic survivor = lowest id. */

@@ -876,22 +876,25 @@ object TextOps {
     // over the hash array — zero shuffles (the previous explode +
     // 16-row-grid crossJoin + two groupBys shuffled 16× the token count).
     // Per-document work is identical; at 100 TB this is a pure map.
-    "q_dedup_simhash" -> ((s, d) =>
+    // r13 OPTIMIZATION (guide §4 / step-4 codegen): the vote fold is the
+    // native [[graft.functions.SimHash16]] expression — the previous
+    // nested aggregate-in-aggregate HOF ran 16 × |tokens| interpreted
+    // lambda steps per row (instr + substring + pow each), measured
+    // 8.4 s of the query's 8.5 s at sf0.1; the native loop parses each
+    // hash's 4 leading nibbles once in compiled code (exact-result
+    // contract incl. edge arithmetic pinned in ByteOpsSpec; the bench
+    // query fell to ~0.6 s). md5 stays Spark's builtin.
+    "q_dedup_simhash" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       t(s, d, "documents")
         // null-text docs have no tokens: the old explode form (and the
         // oracle's unnest) drop them — the in-row fold must too
         .filter(col("text").isNotNull)
         .withColumn("hs", expr("transform(split(text, ' '), t -> md5(t))"))
-        .withColumn("simhash", expr(
-          "CAST(aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) -> " +
-            "acc + CASE WHEN aggregate(hs, CAST(0 AS BIGINT), (a2, h) -> " +
-            "a2 + 2 * (CAST(floor((instr('0123456789abcdef', " +
-            "substring(h, CAST(floor(j/4) AS INT) + 1, 1)) - 1) " +
-            "/ pow(2, 3 - j % 4)) AS BIGINT) % 2) - 1) > 0 " +
-            "THEN CAST(pow(2, j) AS BIGINT) " +
-            "ELSE CAST(0 AS BIGINT) END) AS BIGINT)"))
+        .withColumn("simhash", expr("simhash16(hs)"))
         .select("doc_id", "simhash")
-        .orderBy(asc_nulls_last("doc_id"))),
+        .orderBy(asc_nulls_last("doc_id"))
+    }),
 
     // END-TO-END LSH near-dup pipeline: shingle → minhash → band keys →
     // band-bucket self-join (candidates only) → exact Jaccard verify.

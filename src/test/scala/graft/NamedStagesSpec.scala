@@ -2,7 +2,6 @@ package graft
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.storage.StorageLevel
 
 /** Lifetime semantics of the named-stage tier (between fixture caches
   * and CacheScope's per-query persists): build-once, explicit
@@ -21,7 +20,12 @@ class NamedStagesSpec extends SparkSpec {
     val b = NamedStages.stage(spark, "spec_once")(build)
     assert(builds.get() == 1, "second call must not rebuild")
     assert(a eq b, "later calls return the SAME frame")
-    assert(a.storageLevel != StorageLevel.NONE, "stage must be persisted")
+    // r13: stages materialize via localCheckpoint — the observable
+    // contract is a TRUNCATED plan over materialized blocks (LogicalRDD),
+    // not a cache-manager entry
+    assert(a.queryExecution.analyzed.isInstanceOf[
+      org.apache.spark.sql.execution.LogicalRDD],
+      "stage must hand consumers a lineage-truncated materialization")
     assert(NamedStages.names(spark).contains("spec_once"))
     assert(NamedStages.invalidate(spark, "spec_once"))
     assert(!NamedStages.invalidate(spark, "spec_once"), "already gone")
@@ -32,17 +36,23 @@ class NamedStagesSpec extends SparkSpec {
 
   test("stages are materialized eagerly and survive a CacheScope " +
       "close (they are NOT per-query state)") {
+    val builds = new AtomicInteger(0)
     val st = CacheScope.scoped {
-      val s = NamedStages.stage(spark, "spec_scope")(
-        spark.range(50).select(($"id" * 2).as("x")))
-      assert(s.storageLevel != StorageLevel.NONE)
-      s
+      NamedStages.stage(spark, "spec_scope") {
+        builds.incrementAndGet()
+        spark.range(50).select(($"id" * 2).as("x"))
+      }
     }
-    // the scope closed; a named stage must still be cached
-    assert(st.storageLevel != StorageLevel.NONE,
-      "CacheScope must not release a named stage")
+    assert(builds.get() == 1, "eager: the build ran inside stage()")
+    // the scope closed; a named stage must still serve the materialized
+    // frame without re-running the build
+    assert(NamedStages.stage(spark, "spec_scope") {
+      builds.incrementAndGet()
+      spark.range(50).select(($"id" * 2).as("x"))
+    } eq st, "CacheScope must not release a named stage")
+    assert(builds.get() == 1)
+    assert(st.count() == 50L, "blocks readable after scope close")
     assert(NamedStages.invalidate(spark, "spec_scope"))
-    assert(st.storageLevel == StorageLevel.NONE)
   }
 
   test("clearAll drops every stage of the session") {

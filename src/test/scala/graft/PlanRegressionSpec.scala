@@ -537,7 +537,13 @@ class PlanRegressionSpec extends SparkSpec {
   }
 
   test("q_dedup_pairs candidates via an equi-join on band key") {
-    val p = plan("q_dedup_pairs")
+    // r13: the declared query reads the lineage-truncated named stage
+    // (its own plan is just Scan ExistingRDD + filter + sort), so the
+    // gate audits the stage BUILD plan — the unstaged LSH chain, which
+    // NamedStagesSpec proves row-identical to the staged accessor
+    val p = graft.operators.TextDedup
+      .nearDuplicates(Tables.table(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
       || p.contains("ShuffledHashJoin"))
