@@ -281,6 +281,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // guide §9 baseline: let the planner pick SHUFFLED HASH JOIN when
+      // its size conditions hold (build side under the per-partition
+      // threshold and 3× smaller than probe) instead of always
+      // sort-merge — skips both sort passes on qualifying joins. Same
+      // setting at any scale (the planner's size gates, not this flag,
+      // decide per join); env-overridable for A/B.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The allowlisted bounded-frame global windows (PlanRegressionSpec

@@ -18,7 +18,10 @@ object ScratchProf {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // same warm protocol as Bench: JVM/codegen + OS page cache, nothing
     // retained by Spark

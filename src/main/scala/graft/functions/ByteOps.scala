@@ -158,3 +158,87 @@ object SimHash16 {
     out
   }
 }
+
+/** Native O(n) moving-average-TTR kernel: the sum over every W-token
+  * sliding window of the window's distinct-type count (n < W falls back
+  * to one whole-array distinct count) — q_text_mattr's in-row fold. The
+  * HOF form was O(n·W) interpreted (per window: a 50-element slice
+  * allocation + array_distinct), the open ADVICE r12 scaling item (a
+  * 100k-token doc paid ~5M list_distinct evaluations in one row); this
+  * loop maintains one token-count map and a live distinct counter —
+  * add the entering token, drop the leaving one — so each token is
+  * touched twice regardless of W. Identical integers: the same
+  * per-window distinct counts are summed (ByteOpsSpec pins equivalence
+  * against the HOF expression, including null elements, which
+  * array_distinct counts once).
+  */
+case class MattrSumDistinct(toks: Expression, window: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = toks
+  override def right: Expression = window
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (toks.dataType, window.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"mattr_sum_distinct requires (array<string>, int), got ($a, $b)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mattr_sum_distinct"
+
+  override def nullSafeEval(t: Any, w: Any): Any =
+    MattrSumDistinct.compute(t.asInstanceOf[ArrayData],
+      w.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, w) =>
+      s"${ev.value} = graft.functions.MattrSumDistinct$$.MODULE$$" +
+        s".compute($t, $w);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+object MattrSumDistinct {
+  /** One slot per distinct token; null elements use a reserved key so
+    * they count once, like array_distinct. */
+  def compute(arr: ArrayData, w: Int): Long = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[AnyRef, Integer]()
+    def keyAt(i: Int): AnyRef =
+      if (arr.isNullAt(i)) MattrSumDistinct.NullKey
+      else arr.getUTF8String(i)
+    // returns the token's count AFTER adding one occurrence
+    def add(k: AnyRef): Int = {
+      val c = counts.get(k)
+      val next = if (c == null) 1 else c.intValue() + 1
+      counts.put(k, Integer.valueOf(next))
+      next
+    }
+    if (n < w) {
+      var i = 0
+      while (i < n) { add(keyAt(i)); i += 1 }
+      return counts.size().toLong
+    }
+    var distinct = 0
+    var i = 0
+    while (i < w) {
+      if (add(keyAt(i)) == 1) distinct += 1
+      i += 1
+    }
+    var sum = distinct.toLong
+    while (i < n) {
+      if (add(keyAt(i)) == 1) distinct += 1
+      val leaving = keyAt(i - w)
+      val left = counts.get(leaving).intValue() - 1
+      if (left == 0) { counts.remove(leaving); distinct -= 1 }
+      else counts.put(leaving, Integer.valueOf(left))
+      sum += distinct
+      i += 1
+    }
+    sum
+  }
+  private val NullKey: AnyRef = new Object
+}

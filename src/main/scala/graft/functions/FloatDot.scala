@@ -89,7 +89,12 @@ object GraftFunctions {
         ByteSumRange(children(0), children(1), children(2))),
     (new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
-      (children: Seq[Expression]) => SimHash16(children(0))))
+      (children: Seq[Expression]) => SimHash16(children(0))),
+    (new FunctionIdentifier("mattr_sum_distinct"),
+      new ExpressionInfo(classOf[MattrSumDistinct].getName,
+        "mattr_sum_distinct"),
+      (children: Seq[Expression]) =>
+        MattrSumDistinct(children(0), children(1))))
 
   def ensureRegistered(spark: SparkSession): Unit =
     all.foreach { case (ident, info, builder) =>

@@ -1223,11 +1223,19 @@ object TextOps {
     // short docs): average the distinct-type count over every 50-token
     // sliding window. Docs shorter than the window fall back to plain
     // TTR (the standard convention, stated). All counts exact integers
-    // folded IN-ROW (one higher-order transform + aggregate per doc —
-    // O(n·W) with W bounded, a pure narrow map); ONE trailing IEEE
-    // division. Scale: zero shuffles until the terminal sort.
+    // folded IN-ROW (a pure narrow map); ONE trailing IEEE division.
+    // Scale: zero shuffles until the terminal sort.
+    // r13 OPTIMIZATION (guide step-4 codegen + the open ADVICE r12
+    // scaling item): the window fold is the native O(n)
+    // [[graft.functions.MattrSumDistinct]] — the HOF form paid an
+    // interpreted slice + array_distinct PER WINDOW (O(n·W); a
+    // 100k-token doc ≈ 5M list_distinct evaluations in one row); the
+    // native loop maintains one sliding count map. Same per-window
+    // distinct counts summed (ByteOpsSpec pins equivalence); the
+    // oracle keeps the direct fold. Bench 1.15 → see OPTIMIZATION_r13.
     "q_text_mattr" -> ((s, d) => {
       val W = 50
+      graft.functions.GraftFunctions.ensureRegistered(s)
       t(s, d, "documents").filter(col("text").isNotNull)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -1235,11 +1243,7 @@ object TextOps {
           s"CAST(CASE WHEN size(toks) >= $W THEN size(toks) - $W + 1 " +
             "ELSE 1 END AS BIGINT)"))
         .withColumn("sum_distinct", expr(
-          s"CAST(CASE WHEN size(toks) >= $W THEN " +
-            s"aggregate(transform(sequence(0, size(toks) - $W), " +
-            s"i -> size(array_distinct(slice(toks, i + 1, $W)))), " +
-            "0, (a, x) -> a + x) " +
-            "ELSE size(array_distinct(toks)) END AS BIGINT)"))
+          s"mattr_sum_distinct(toks, $W)"))
         .withColumn("mattr", expr(
           s"CASE WHEN n_tokens >= $W THEN " +
             s"CAST(sum_distinct AS DOUBLE) " +

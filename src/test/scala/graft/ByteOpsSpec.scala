@@ -82,4 +82,38 @@ class ByteOpsSpec extends SparkSpec {
       assert(h == r.getLong(1), s"edge mismatch: $r")
     }
   }
+
+  /** The exact HOF window fold q_text_mattr shipped through r12 (W
+    * spliced). */
+  private def hofMattr(w: Int): String =
+    s"CAST(CASE WHEN size(toks) >= $w THEN " +
+      s"aggregate(transform(sequence(0, size(toks) - $w), " +
+      s"i -> size(array_distinct(slice(toks, i + 1, $w)))), " +
+      "0, (a, x) -> a + x) " +
+      "ELSE size(array_distinct(toks)) END AS BIGINT)"
+
+  test("mattr_sum_distinct reproduces the HOF sliding-window distinct " +
+      "sum on fixture documents and on adversarial token arrays") {
+    for (w <- Seq(3, 50)) {
+      val docs = Tables.table(spark, sf, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("hof", expr(hofMattr(w)))
+        .withColumn("nat", expr(s"mattr_sum_distinct(toks, $w)"))
+      docs.select("hof", "nat").collect()
+        .foreach(r => assert(r.getLong(0) == r.getLong(1), s"w=$w"))
+    }
+    // repeats crossing window edges, a null element (array_distinct
+    // counts null once), the all-same array, and the shorter-than-W arm
+    val edge = Seq(
+      Seq("a", "b", "a", "a", "c", "b"),
+      Seq("a", null, "a", null, "b"),
+      Seq("x", "x", "x", "x"),
+      Seq("a", "b")
+    ).toDF("toks")
+      .withColumn("hof", expr(hofMattr(3)))
+      .withColumn("nat", expr("mattr_sum_distinct(toks, 3)"))
+    edge.select("hof", "nat").collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1), s"edge: $r"))
+  }
 }
