@@ -2,8 +2,11 @@
 """Subset variant of check_oracle.py for local iteration: checks only the
 queries actually dumped into <verifyOutDir> (a subset Verify run), instead
 of failing on every oracle entry with no dump. Same comparison semantics —
-it reuses check_oracle's machinery by filtering oracle_sql.json in place
-in a temp copy of the dir listing.
+it reuses check_oracle's machinery by swapping a FILTERED oracle_sql.json
+in for the duration of the check and restoring the original afterwards
+(r13 ADVICE: the previous version overwrote the file permanently, so a
+later full check_oracle on the same dir silently validated only the
+subset).
 
 Usage: python3 scripts/check_oracle_subset.py <sfDir> <verifyOutDir>
 """
@@ -14,15 +17,21 @@ import sys
 sys.argv = sys.argv[:3]
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 
-with open(f"{out_dir}/oracle_sql.json") as f:
-    oracles = json.load(f)
+oracle_path = f"{out_dir}/oracle_sql.json"
+with open(oracle_path) as f:
+    original_text = f.read()
+oracles = json.loads(original_text)
 present = {n for n in os.listdir(out_dir)
            if os.path.isdir(os.path.join(out_dir, n))}
 subset = {k: v for k, v in oracles.items() if k in present}
-with open(f"{out_dir}/oracle_sql.json", "w") as f:
-    json.dump(subset, f)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import check_oracle  # noqa: E402
 
-check_oracle.main()
+with open(oracle_path, "w") as f:
+    json.dump(subset, f)
+try:
+    check_oracle.main()
+finally:
+    with open(oracle_path, "w") as f:
+        f.write(original_text)

@@ -383,16 +383,21 @@ object Bench {
       name -> (if (failed(name)) -1.0
                else best.getOrElse(name, -1.0))
     }
+    // r14 (verdict item 3): publish per-stage build seconds next to the
+    // per-query floors. The best-of-3 protocol hides a stage's one-time
+    // build cost in its first consumer's discarded round-1 sample, so
+    // the amortized-vs-per-query split must be auditable in the record.
+    val stages = NamedStages.buildSeconds(spark).toSeq.sortBy(_._1)
     // canonical record: full names, 1 ms precision. Subset runs go to a
     // scratch file so the committed round record is always full-inventory.
     Files.writeString(
       Paths.get(if (only.isEmpty) "bench_out.json"
                 else "bench_out_subset.json"),
       fullLineFor(results, failed.size, sfDir.split('/').last,
-        subset = only.nonEmpty) + "\n")
+        subset = only.nonEmpty, stages = stages) + "\n")
     val stdoutLine =
       stdoutLineFor(results, failed.size, sfDir.split('/').last,
-        subset = only.nonEmpty)
+        subset = only.nonEmpty, stagesSec = stages.map(_._2).sum)
     spark.stop()
     // printed AFTER spark.stop() so executor-shutdown log noise cannot land
     // between the JSON and end-of-stream
@@ -418,12 +423,17 @@ object Bench {
     * (BENCH_ONLY runs) stamps a "subset":true key so the line can never
     * be mistaken for a full-inventory round record. */
   def fullLineFor(results: Seq[(String, Double)], nFailed: Int,
-      sfTag: String, subset: Boolean = false): String = {
+      sfTag: String, subset: Boolean = false,
+      stages: Seq[(String, Double)] = Nil): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sub = if (subset) """"subset":true,""" else ""
-    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$nFailed,$sub"queries":$qs,"sf":"$sfTag"}"""
+    // per-stage build seconds (NamedStages) — the amortized share the
+    // best-of-3 floors exclude; always present so its absence is loud
+    val st = stages.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+      .mkString(""""stages":{""", ",", "},")
+    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$nFailed,$sub$st"queries":$qs,"sf":"$sfTag"}"""
   }
 
   /** The printed stdout line: abbreviated names + compact values, bounded
@@ -438,13 +448,19 @@ object Bench {
     * Public (and pure) so BenchLineSpec asserts the bound on the line
     * actually printed. */
   def stdoutLineFor(results: Seq[(String, Double)], nFailed: Int,
-      sfTag: String, subset: Boolean = false): String = {
+      sfTag: String, subset: Boolean = false,
+      stagesSec: Double = 0.0): String = {
     def line(rs: Seq[(String, Double)], extra: String): String = {
       val qs = rs.map { case (k, v) => "\"" + abbr(k) + "\":" +
         fmtCompact(v) }.mkString("{", ",", "}")
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
       val sub = if (subset) """"subset":true,""" else ""
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$nFailed,$sub$extra"queries":$qs,"sf":"$sfTag"}"""
+      // total NamedStages build seconds, key abbreviated like the query
+      // names ("stg"; the full per-stage map is the "stages" field of
+      // bench_out.json) — ~11 chars of the tail budget, and the elision
+      // search below accounts for it automatically
+      val st = s""""stg":${fmt(stagesSec, 1)},"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$nFailed,$sub$st$extra"queries":$qs,"sf":"$sfTag"}"""
     }
     val full = line(results, "")
     if (full.length < 1992) full

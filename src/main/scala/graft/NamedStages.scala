@@ -2,6 +2,7 @@ package graft
 
 import scala.collection.mutable
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped NAMED materialized stages — the cache tier between
@@ -18,33 +19,64 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * every downstream job reads it. A named stage is exactly that: an
   * explicitly-keyed, explicitly-invalidated materialization the first
   * consumer builds and later consumers reuse — not a silent cache
-  * leak (it has a name, a storage level, and an invalidation API) and
+  * leak (it has a name, a storage level, an invalidation API, and —
+  * since r14 — a per-name build-seconds record the bench publishes) and
   * not per-query state (CacheScope never touches it, because stages
   * persist outside any scope's registration).
   *
   * Semantics:
   *   - `stage(spark, name)(build)`: get-or-materialize. The FIRST call
-  *     runs `build` and materializes it EAGERLY via localCheckpoint
-  *     (memory-and-disk blocks: a stage outliving queries must spill,
-  *     not evict silently; builder-internal scoped persists are still
-  *     alive while it fills), so the stage never half-builds under a
-  *     later consumer and every consumer plans against the truncated
-  *     LogicalRDD, not the build chain. Later calls return the SAME
-  *     materialized frame.
-  *   - `invalidate(spark, name)` / `clearAll(spark)`: unpersist +
-  *     forget — the refresh hook when the underlying table changes
+  *     runs `build` and materializes it EAGERLY (see the two media
+  *     below), so the stage never half-builds under a later consumer
+  *     and every consumer plans against a truncated leaf (LogicalRDD or
+  *     a parquet scan), not the build chain. Later calls return the
+  *     SAME materialized frame.
+  *   - `invalidate(spark, name)` / `clearAll(spark)`: release + forget
+  *     — the refresh hook when the underlying table changes
   *     (the q_snapshot_ivm algebra is the incremental-refresh story;
-  *     this layer is the full-rebuild one).
+  *     this layer is the full-rebuild one). Release covers BOTH the
+  *     cache-manager entry (df.unpersist) and the localCheckpoint
+  *     block storage (rdd.unpersist — r13 ADVICE: checkpoint blocks are
+  *     otherwise only freed when the GC collects the RDD), asserted by
+  *     NamedStagesSpec.
   *
-  * At 100 TB the same seam holds with a different medium: a stage this
-  * hot would materialize to parquet/bucketed tables rather than
-  * executor storage — the accessor signature (name → DataFrame) is
-  * what the rest of the engine depends on, not the storage choice.
+  * Storage media (r14, verdict item 7):
+  *   - DEFAULT: `localCheckpoint(eager = true)` — MEMORY_AND_DISK
+  *     executor-local blocks, plan truncated to a LogicalRDD. Fast and
+  *     right for local mode, but deliberately NOT fault-tolerant: the
+  *     truncated lineage cannot be recomputed, so on a real cluster an
+  *     executor loss fails every consumer of the stage until it is
+  *     invalidated and rebuilt, and it interacts poorly with dynamic
+  *     allocation (executors holding blocks cannot be released).
+  *   - RELIABLE: set `spark.graft.stageDir` (session conf) or
+  *     `SPARK_GRAFT_STAGE_DIR` (env) to a writable directory and the
+  *     stage materializes as parquet under it and is read back — the
+  *     100 TB medium (survives executor loss, shareable across jobs,
+  *     compactable), at the cost of one write+read through the
+  *     filesystem. Identical rows both ways (NamedStagesSpec toggles
+  *     the seam and compares).
   */
 object NamedStages {
 
+  private case class Entry(df: DataFrame, cpRdd: Option[RDD[_]],
+      buildSec: Double)
+
   private val stages =
-    mutable.Map.empty[(SparkSession, String), DataFrame]
+    mutable.Map.empty[(SparkSession, String), Entry]
+
+  /** The reliable-storage root, if configured (conf wins over env). */
+  private def stageDir(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.stageDir")
+      .orElse(sys.env.get("SPARK_GRAFT_STAGE_DIR"))
+      .filter(_.nonEmpty)
+
+  /** Filesystem-safe directory name for a stage key (stage names embed
+    * the fixture path, e.g. "curate_clean:/root/testdata/sf0.1"); the
+    * hash suffix keeps distinct keys distinct after sanitization. */
+  private def pathFor(root: String, name: String): String = {
+    val safe = name.map(c => if (c.isLetterOrDigit) c else '_')
+    f"$root/${safe}_${name.hashCode & 0xffffffffL}%08x"
+  }
 
   /** Get-or-materialize the named stage. `build` runs at most once per
     * (session, name) until invalidated.
@@ -60,30 +92,49 @@ object NamedStages {
     * though execution hit the cache (measured: a 1.9 s driver-side
     * planning stall inside warm q_corpus_curate_v3, 0.2–1.6 s
     * construction time on every dup-graph consumer). Execution is
-    * unchanged — the same materialized rows are read back. On
-    * invalidate, the checkpoint blocks are released by the
-    * ContextCleaner once the frame is unreferenced (the unpersist
-    * below covers the cache-manager entry if any); at 100 TB the same
-    * seam materializes to parquet/bucketed tables, as before. */
+    * unchanged — the same materialized rows are read back. */
   def stage(spark: SparkSession, name: String)
       (build: => DataFrame): DataFrame = synchronized {
     stages.getOrElseUpdate((spark, name), {
-      build.localCheckpoint(eager = true)
-    })
+      val t0 = System.nanoTime()
+      val entry = stageDir(spark) match {
+        case Some(root) =>
+          val path = pathFor(root, name)
+          build.write.mode("overwrite").parquet(path)
+          Entry(spark.read.parquet(path), None,
+            (System.nanoTime() - t0) / 1e9)
+        case None =>
+          val cp = build.localCheckpoint(eager = true)
+          // the checkpoint blocks belong to the RDD inside the
+          // truncated plan; keep a handle so invalidate can release
+          // them (df.unpersist alone only clears the cache manager)
+          val rdd = cp.queryExecution.optimizedPlan.collectFirst {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }
+          Entry(cp, rdd, (System.nanoTime() - t0) / 1e9)
+      }
+      entry
+    }).df
   }
 
-  /** Drop one stage (unpersist + forget). Returns true if it existed. */
+  /** Drop one stage (release storage + forget). Returns true if it
+    * existed. */
   def invalidate(spark: SparkSession, name: String): Boolean =
     synchronized {
-      stages.remove((spark, name)).exists { df =>
-        df.unpersist(blocking = false); true
+      stages.remove((spark, name)).exists { e =>
+        e.df.unpersist(blocking = false)
+        e.cpRdd.foreach(_.unpersist(blocking = false))
+        true
       }
     }
 
   /** Drop every stage of a session. */
   def clearAll(spark: SparkSession): Unit = synchronized {
     stages.keys.filter(_._1 eq spark).toSeq.foreach { k =>
-      stages.remove(k).foreach(_.unpersist(blocking = false))
+      stages.remove(k).foreach { e =>
+        e.df.unpersist(blocking = false)
+        e.cpRdd.foreach(_.unpersist(blocking = false))
+      }
     }
   }
 
@@ -91,4 +142,15 @@ object NamedStages {
   def names(spark: SparkSession): Set[String] = synchronized {
     stages.keys.collect { case (s, n) if s eq spark => n }.toSet
   }
+
+  /** Wall-clock build seconds per live stage of the session — published
+    * by the bench ("stages" field in bench_out.json) so the amortized
+    * (first-consumer) share of stage costs stays auditable next to the
+    * per-query best-of-3 floors (r13 verdict item 3). */
+  def buildSeconds(spark: SparkSession): Map[String, Double] =
+    synchronized {
+      stages.collect { case ((s, n), e) if s eq spark =>
+        n -> e.buildSec
+      }.toMap
+    }
 }

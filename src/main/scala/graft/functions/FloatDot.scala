@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnscaledValue}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -94,7 +94,27 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MattrSumDistinct].getName,
         "mattr_sum_distinct"),
       (children: Seq[Expression]) =>
-        MattrSumDistinct(children(0), children(1))))
+        MattrSumDistinct(children(0), children(1))),
+    (new FunctionIdentifier("pq_dists"),
+      new ExpressionInfo(classOf[PqDists].getName, "pq_dists"),
+      (children: Seq[Expression]) =>
+        PqDists(children(0), children(1), children(2), children(3))),
+    (new FunctionIdentifier("bootstrap_w32"),
+      new ExpressionInfo(classOf[BootstrapW32].getName, "bootstrap_w32"),
+      (children: Seq[Expression]) => BootstrapW32(children(0))),
+    // catalyst's UnscaledValue: DECIMAL → its exact unscaled BIGINT —
+    // a free field read for compact (p ≤ 18) decimals, loud
+    // longValueExact past long range. Used by Det.dsumProd4 to multiply
+    // scaled units as plain longs instead of BigDecimals.
+    (new FunctionIdentifier("unscaled"),
+      new ExpressionInfo(classOf[UnscaledValue].getName, "unscaled"),
+      (children: Seq[Expression]) => UnscaledValue(children(0))),
+    (new FunctionIdentifier("sum128"),
+      new ExpressionInfo(classOf[Sum128].getName, "sum128"),
+      (children: Seq[Expression]) =>
+        if (children.size == 1)
+          Sum128(children(0), Literal(null))
+        else Sum128(children(0), children(1))))
 
   def ensureRegistered(spark: SparkSession): Unit =
     all.foreach { case (ident, info, builder) =>

@@ -224,10 +224,11 @@ object Extended {
     // (built-in var_samp/stddev use engine-specific update formulas —
     // never hash-comparable).
     "q_stats_moments" -> ((s, d) => {
-      val s1 = sum(col("l_discount").cast(DecimalType(18, 6)))
-        .cast("double").as("s1")
-      val s2 = sum((col("l_discount") * col("l_discount"))
-        .cast(DecimalType(18, 12))).cast("double").as("s2")
+      // r14: Det.dsum IS sum(cast(x as DECIMAL(18,s))).cast(double) on
+      // the sum128 two-long accumulator — same rounding, same exact total
+      val s1 = Det.dsum(col("l_discount"), 6).as("s1")
+      val s2 = Det.dsum(col("l_discount") * col("l_discount"), 12)
+        .as("s2")
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), s1, s2)
@@ -249,23 +250,17 @@ object Extended {
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 4)))
-            .cast("double").as("sx"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 4)))
-            .cast("double").as("sy"),
-          // cast each FACTOR to decimal, then multiply exactly — casting
-          // the double product rounds differently per engine (Spark goes
-          // through the shortest decimal string, DuckDB through the exact
-          // binary value) and broke hash parity at the 13th digit
-          sum(col("l_quantity").cast(DecimalType(18, 4))
-            * col("l_extendedprice").cast(DecimalType(19, 4)))
-            .cast("double").as("sxy"),
-          sum(col("l_quantity").cast(DecimalType(18, 4))
-            * col("l_quantity").cast(DecimalType(19, 4)))
-            .cast("double").as("sxx"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 4))
-            * col("l_extendedprice").cast(DecimalType(19, 4)))
-            .cast("double").as("syy"))
+          // r14: Det.dsum/dsumProd4 are value-identical to the
+          // sum(cast-decimal) forms (each FACTOR rounds at scale 4, the
+          // product is exact — the cross-engine parity argument is
+          // unchanged), on the sum128 two-long accumulator
+          Det.dsum(col("l_quantity"), 4).as("sx"),
+          Det.dsum(col("l_extendedprice"), 4).as("sy"),
+          Det.dsumProd4(col("l_quantity"), col("l_extendedprice"))
+            .as("sxy"),
+          Det.dsumProd4(col("l_quantity"), col("l_quantity")).as("sxx"),
+          Det.dsumProd4(col("l_extendedprice"), col("l_extendedprice"))
+            .as("syy"))
         .selectExpr("l_returnflag", "n",
           "(sxy - sx * sy / n) / (n - 1) AS covar_samp",
           "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) " +
@@ -326,18 +321,12 @@ object Extended {
       val ev = t(s, d, "events")
       val g = ev.groupBy("event_type")
         .agg(count(col("value")).as("n"),
-          sum(col("value").cast(DecimalType(18, 4)))
-            .cast("double").as("sx"),
-          sum(col("value").cast(DecimalType(18, 4))
-            * col("value").cast(DecimalType(19, 4)))
-            .cast("double").as("sq"))
+          Det.dsum(col("value"), 4).as("sx"),
+          Det.dsumProd4(col("value"), col("value")).as("sq"))
       val tot = broadcast(ev.agg(
           count(col("value")).as("nt"),
-          sum(col("value").cast(DecimalType(18, 4)))
-            .cast("double").as("st"),
-          sum(col("value").cast(DecimalType(18, 4))
-            * col("value").cast(DecimalType(19, 4)))
-            .cast("double").as("qt"))
+          Det.dsum(col("value"), 4).as("st"),
+          Det.dsumProd4(col("value"), col("value")).as("qt"))
         .withColumn("_one", lit(1)))
       // Degenerate cases are pinned to NULL on BOTH engines (identical
       // CASE text): a single-member group (n < 2), a rest-side with < 2
@@ -373,20 +362,17 @@ object Extended {
             .as("n1"),
           sum(when(col("event_type") === "view", 1L).otherwise(0L))
             .as("n2"),
-          sum(when(col("event_type") === "click",
-            col("value").cast(DecimalType(18, 4)))).cast("double")
+          // r14: the unmatched-WHEN NULL factor nulls the scaled
+          // long / the product, so the same rows are skipped as under
+          // sum(when(cond, cast-decimal …))
+          Det.dsum(when(col("event_type") === "click", col("value")), 4)
             .as("s1"),
-          sum(when(col("event_type") === "view",
-            col("value").cast(DecimalType(18, 4)))).cast("double")
+          Det.dsum(when(col("event_type") === "view", col("value")), 4)
             .as("s2"),
-          sum(when(col("event_type") === "click",
-            col("value").cast(DecimalType(18, 4))
-              * col("value").cast(DecimalType(19, 4)))).cast("double")
-            .as("q1"),
-          sum(when(col("event_type") === "view",
-            col("value").cast(DecimalType(18, 4))
-              * col("value").cast(DecimalType(19, 4)))).cast("double")
-            .as("q2"))
+          Det.dsumProd4(when(col("event_type") === "click",
+            col("value")), col("value")).as("q1"),
+          Det.dsumProd4(when(col("event_type") === "view",
+            col("value")), col("value")).as("q2"))
         .selectExpr("n1", "n2",
           "s1 / n1 - s2 / n2 AS mean_diff",
           "CASE WHEN n1 >= 2 AND n2 >= 2 THEN sqrt(" +
@@ -403,16 +389,12 @@ object Extended {
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 4)))
-            .cast("double").as("sx"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 4)))
-            .cast("double").as("sy"),
-          sum(col("l_quantity").cast(DecimalType(18, 4))
-            * col("l_extendedprice").cast(DecimalType(19, 4)))
-            .cast("double").as("sxy"),
-          sum(col("l_quantity").cast(DecimalType(18, 4))
-            * col("l_quantity").cast(DecimalType(19, 4)))
-            .cast("double").as("sxx"))
+          Det.dsum(col("l_quantity"), 4).as("sx"),
+          Det.dsum(col("l_extendedprice"), 4).as("sy"),
+          Det.dsumProd4(col("l_quantity"), col("l_extendedprice"))
+            .as("sxy"),
+          Det.dsumProd4(col("l_quantity"), col("l_quantity"))
+            .as("sxx"))
         .selectExpr("l_returnflag", "n",
           "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope",
           "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n " +
@@ -655,8 +637,10 @@ object Extended {
         .agg(count_if(col("value") > 100).as("n_big"),
           bool_and(col("value") > 0).as("all_positive"),
           bool_or(col("value") > 300).as("any_huge"),
-          sum(when(col("value") > 100, col("value"))
-            .cast(DecimalType(18, 4))).cast("double").as("sum_big"))
+          // r14: identical to sum(cast(when … as DECIMAL(18,4))) cast
+          // double — the unmatched-WHEN NULL is skipped either way
+          Det.dsum(when(col("value") > 100, col("value")), 4)
+            .as("sum_big"))
         .orderBy(asc_nulls_last("event_type"))),
 
     "q_bitwise" -> ((s, d) =>

@@ -275,11 +275,13 @@ object Relational {
         .agg(
           Det.dsum(col("l_quantity")).as("sum_qty"),
           Det.dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(dec(6))).cast("double").as("sum_disc_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax"))).cast(dec(6))).cast("double")
-            .as("sum_charge"),
+          // r14: Det.dsum IS sum(cast(x as DECIMAL(18,6))).cast(double)
+          // — same per-row rounding and exact total, on the sum128
+          // two-long accumulator instead of a BigDecimal buffer
+          Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+            6).as("sum_disc_price"),
+          Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
           Det.davg(col("l_quantity")).as("avg_qty"),
           Det.davg(col("l_extendedprice")).as("avg_price"),
           Det.davg(col("l_discount"), 6).as("avg_disc"),

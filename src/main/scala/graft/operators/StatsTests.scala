@@ -448,13 +448,13 @@ object StatsTests {
     "q_stats_anova" -> ((s, d) => {
       def cnt(ty: String): Column =
         count(when(col("event_type") === ty, lit(1)))
+      // r14: Det.dsum/dsumProd4 — value-identical to the
+      // sum(when(cond, cast-decimal …)) forms on the sum128 accumulator
       def sx(ty: String): Column =
-        sum(when(col("event_type") === ty,
-          col("value").cast(DecimalType(18, 4)))).cast("double")
+        Det.dsum(when(col("event_type") === ty, col("value")), 4)
       def sq(ty: String): Column =
-        sum(when(col("event_type") === ty,
-          col("value").cast(DecimalType(18, 4))
-            * col("value").cast(DecimalType(19, 4)))).cast("double")
+        Det.dsumProd4(when(col("event_type") === ty, col("value")),
+          col("value"))
       val ssb = "s1*s1/n1 + s2*s2/n2 + s3*s3/n3 " +
         "- (s1+s2+s3)*(s1+s2+s3)/(n1+n2+n3)"
       val ssw = "q1 + q2 + q3 - (s1*s1/n1 + s2*s2/n2 + s3*s3/n3)"
@@ -1269,49 +1269,29 @@ object StatsTests {
     // the non-cheap md5/conv from being duplicated into consumers.
     "q_stats_bootstrap_se" -> ((s, d) => {
       val dec = "DECIMAL(38,0)"
-      // g columns: per digest d (1..4), three conv'd hex groups —
-      // g{d}a = chars 1-12 (chunks 0-2), g{d}b = 13-24 (3-5),
-      // g{d}c = 25-32 (6-7)
-      val gCols = (1 to 4).flatMap { dIdx =>
-        Seq(("a", 1, 12), ("b", 13, 12), ("c", 25, 8)).map {
-          case (part, pos, len) =>
-            expr(s"CAST(conv(substring(h$dIdx, $pos, $len), 16, 10) " +
-              s"AS BIGINT)").as(s"g$dIdx$part")
-        }
-      }
-      def wExpr(b: Int): String = {
-        val dIdx = (b - 1) / 8 + 1
-        val chunk = (b - 1) % 8
-        val sel = chunk match {
-          case 0 => s"(g${dIdx}a div 4294967296)"
-          case 1 => s"((g${dIdx}a div 65536) % 65536)"
-          case 2 => s"(g${dIdx}a % 65536)"
-          case 3 => s"(g${dIdx}b div 4294967296)"
-          case 4 => s"((g${dIdx}b div 65536) % 65536)"
-          case 5 => s"(g${dIdx}b % 65536)"
-          case 6 => s"(g${dIdx}c div 65536)"
-          case _ => s"(g${dIdx}c % 65536)"
-        }
-        s"($sel % 3)"
-      }
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val aggs = (1 to 32).flatMap(b => Seq(
         sum(col(s"w$b")).as(s"sw$b"),
         sum(expr(s"w$b * v4")).as(s"sv$b")))
       val pairsArr = (1 to 32)
         .map(b => s"struct(sw$b AS sw, sv$b AS sv)")
         .mkString("array(", ", ", ")")
+      // r14 (guide §4.2, verdict item 4): the per-event weight
+      // derivation — 4 md5-of-hex + 12 conv radix parses + 32 div/mod
+      // projections — now rides ONE native compiled call
+      // (bootstrap_w32: the same four raw MD5 digests read as big-endian
+      // 16-bit chunks mod 3; bit-exact equivalence with the old
+      // md5/conv/div-mod chain pinned in ByteOpsSpec). The statistic is
+      // untouched: identical w_b per event feed the same 64 long
+      // partial sums, and the oracle keeps the md5/conv derivation.
       t(s, d, "events")
         .filter(col("value").isNotNull)
         .select(col("event_type"),
           expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")
             .as("v4"),
-          expr("md5(concat('a_', CAST(event_id AS STRING)))").as("h1"),
-          expr("md5(concat('b_', CAST(event_id AS STRING)))").as("h2"),
-          expr("md5(concat('c_', CAST(event_id AS STRING)))").as("h3"),
-          expr("md5(concat('d_', CAST(event_id AS STRING)))").as("h4"))
-        .select(Seq(col("event_type"), col("v4")) ++ gCols: _*)
+          expr("bootstrap_w32(event_id)").as("ws"))
         .select(Seq(col("event_type"), col("v4")) ++
-          (1 to 32).map(b => expr(wExpr(b)).as(s"w$b")): _*)
+          (1 to 32).map(b => expr(s"ws[${b - 1}]").as(s"w$b")): _*)
         .groupBy("event_type")
         .agg(aggs.head, aggs.tail: _*)
         .withColumn("qbs", expr(

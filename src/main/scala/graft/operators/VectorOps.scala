@@ -274,13 +274,12 @@ object VectorOps {
         col("vec_id").cast("long").as("cid"), col("iv").as("cv"))))
         .as("cbs"))
       .withColumn("_one", lit(1)))
-    val distsExpr =
-      s"transform(sequence(0, ${PqM - 1}), m -> " +
-        "transform(cbs, c -> struct(" +
-        s"aggregate(zip_with(slice(iv, m * $PqSubDim + 1, $PqSubDim), " +
-        s"slice(c.cv, m * $PqSubDim + 1, $PqSubDim), " +
-        "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), " +
-        "(a, v) -> a + v) AS dist, c.cid AS cid)))"
+    // native codegen'd distance table (r14; guide §4.2): one compiled
+    // loop instead of the pqm × |cbs| × subdim interpreted HOF fold —
+    // bit-exact equivalence with [[pqDistsFoldReference]] pinned in
+    // ByteOpsSpec
+    val distsExpr = s"pq_dists(iv, cbs, $PqM, $PqSubDim)"
+    graft.functions.GraftFunctions.ensureRegistered(s)
     ints.withColumn("_one", lit(1))
       .join(cb, "_one")
       .withColumn("dists", expr(distsExpr))
@@ -291,13 +290,19 @@ object VectorOps {
   }
 
   /** Per-sub-space residual distance table expression: the [[pqEncoded]]
-    * `dists` fold applied to a residual vector `rv` against the residual
-    * codebook `cbs`. */
+    * `dists` kernel applied to a residual vector `rv` against the
+    * residual codebook `cbs` (native pq_dists — r14, guide §4.2). */
   private def residualDistsExpr: String =
-    s"transform(sequence(0, ${PqM - 1}), m -> " +
+    s"pq_dists(rv, cbs, $PqM, $PqSubDim)"
+
+  /** The interpreted HOF fold [[graft.functions.PqDists]] replaced and
+    * is proven against (ByteOpsSpec pins bit-exact equivalence,
+    * including slice/zip_with/aggregate NULL edge arithmetic). */
+  def pqDistsFoldReference(vec: String, pqm: Int, sub: Int): String =
+    s"transform(sequence(0, ${pqm - 1}), m -> " +
       "transform(cbs, c -> struct(" +
-      s"aggregate(zip_with(slice(rv, m * $PqSubDim + 1, $PqSubDim), " +
-      s"slice(c.cv, m * $PqSubDim + 1, $PqSubDim), " +
+      s"aggregate(zip_with(slice($vec, m * $sub + 1, $sub), " +
+      s"slice(c.cv, m * $sub + 1, $sub), " +
       "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), " +
       "(a, v) -> a + v) AS dist, c.cid AS cid)))"
 

@@ -116,4 +116,101 @@ class ByteOpsSpec extends SparkSpec {
     edge.select("hof", "nat").collect()
       .foreach(r => assert(r.getLong(0) == r.getLong(1), s"edge: $r"))
   }
+
+  test("pq_dists reproduces the interpreted PQ distance-table fold on " +
+      "random scaled vectors and on slice/NULL edge shapes") {
+    val hof = graft.operators.VectorOps.pqDistsFoldReference("iv", 8, 8)
+    val base = spark.range(64)
+      .withColumn("iv", expr(
+        "transform(sequence(0, 63), i -> " +
+          "CAST(hash(id, i) % 10000000 AS BIGINT))"))
+    val cb = base.filter("id < 4")
+      .agg(sort_array(collect_list(struct(
+        col("id").cast("long").as("cid"), col("iv").as("cv"))))
+        .as("cbs"))
+      .withColumn("_one", lit(1))
+    val rows = base.withColumn("_one", lit(1)).join(cb, "_one")
+      .withColumn("hof", expr(hof))
+      .withColumn("nat", expr("pq_dists(iv, cbs, 8, 8)"))
+      .select(expr("hof <=> nat").as("eq")).collect()
+    assert(rows.length == 64 && rows.forall(_.getBoolean(0)))
+    // edge shapes the HOF fold defined implicitly: short vectors
+    // (partial slices poison via zip_with NULL padding; equally-short
+    // slices fold the available prefix; two empty slices fold to 0),
+    // NULL elements, NULL iv/cv/cid, a NULL codebook struct, the empty
+    // codebook, and a NULL codebook array
+    val edge = spark.sql(
+      """SELECT iv, cbs FROM VALUES
+        | (array(CAST(1 AS BIGINT), 2, 3, 4, 5, 6, 7, 8, 9, 10),
+        |  array(named_struct('cid', CAST(0 AS BIGINT), 'cv',
+        |    array(CAST(5 AS BIGINT), 4, 3, 2, 1, 0, -1, -2, -3, -4)))),
+        | (array(CAST(1 AS BIGINT), 2, 3, 4, 5, 6, 7, 8, 9, 10),
+        |  array(named_struct('cid', CAST(1 AS BIGINT), 'cv',
+        |    array(CAST(1 AS BIGINT), 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
+        |      12, 13, 14, 15, 16)))),
+        | (array(CAST(1 AS BIGINT), NULL, 3, 4, 5, 6, 7, 8),
+        |  array(named_struct('cid', CAST(2 AS BIGINT), 'cv',
+        |    array(CAST(1 AS BIGINT), 2, 3, 4, 5, 6, 7, 8)))),
+        | (CAST(NULL AS ARRAY<BIGINT>),
+        |  array(named_struct('cid', CAST(3 AS BIGINT), 'cv',
+        |    array(CAST(1 AS BIGINT), 2, 3, 4, 5, 6, 7, 8)))),
+        | (array(CAST(1 AS BIGINT), 2, 3, 4, 5, 6, 7, 8),
+        |  array(named_struct('cid', CAST(4 AS BIGINT),
+        |    'cv', CAST(NULL AS ARRAY<BIGINT>)),
+        |   named_struct('cid', CAST(NULL AS BIGINT), 'cv',
+        |    array(CAST(1 AS BIGINT), 2, 3, 4, 5, 6, 7, 8)),
+        |   CAST(NULL AS STRUCT<cid: BIGINT, cv: ARRAY<BIGINT>>))),
+        | (array(CAST(1 AS BIGINT), 2, 3, 4, 5, 6, 7, 8),
+        |  CAST(array() AS ARRAY<STRUCT<cid: BIGINT, cv: ARRAY<BIGINT>>>)),
+        | (array(CAST(1 AS BIGINT), 2, 3, 4, 5, 6, 7, 8),
+        |  CAST(NULL AS ARRAY<STRUCT<cid: BIGINT, cv: ARRAY<BIGINT>>>))
+        | AS t(iv, cbs)""".stripMargin)
+      .withColumn("hof", expr(hof))
+      .withColumn("nat", expr("pq_dists(iv, cbs, 8, 8)"))
+    edge.select(expr("hof <=> nat").as("eq"), col("hof"), col("nat"))
+      .collect()
+      .foreach(r => assert(r.getBoolean(0),
+        s"edge mismatch: hof=${r.get(1)} nat=${r.get(2)}"))
+  }
+
+  /** The exact md5/conv/div-mod weight chain q_stats_bootstrap_se
+    * shipped through r13, restated as one array expression. */
+  private def hofBootstrapWs: String = {
+    def g(dIdx: Int, pos: Int, len: Int): String =
+      s"CAST(conv(substring(md5(concat('${('a' + dIdx - 1).toChar}_', " +
+        s"CAST(id AS STRING))), $pos, $len), 16, 10) AS BIGINT)"
+    val ws = (1 to 32).map { b =>
+      val dIdx = (b - 1) / 8 + 1
+      val sel = (b - 1) % 8 match {
+        case 0 => s"(${g(dIdx, 1, 12)} div 4294967296)"
+        case 1 => s"((${g(dIdx, 1, 12)} div 65536) % 65536)"
+        case 2 => s"(${g(dIdx, 1, 12)} % 65536)"
+        case 3 => s"(${g(dIdx, 13, 12)} div 4294967296)"
+        case 4 => s"((${g(dIdx, 13, 12)} div 65536) % 65536)"
+        case 5 => s"(${g(dIdx, 13, 12)} % 65536)"
+        case 6 => s"(${g(dIdx, 25, 8)} div 65536)"
+        case _ => s"(${g(dIdx, 25, 8)} % 65536)"
+      }
+      s"($sel % 3)"
+    }
+    ws.mkString("array(", ", ", ")")
+  }
+
+  test("bootstrap_w32 reproduces the md5/conv weight chain on fixture " +
+      "event ids and on adversarial ids") {
+    val ids = Tables.table(spark, sf, "events").select("event_id")
+      .limit(500)
+      .unionByName(Seq(0L, -1L, -987654321L, Long.MaxValue,
+        Long.MinValue).toDF("event_id"))
+      .withColumnRenamed("event_id", "id")
+    val rows = ids
+      .withColumn("hof", expr(hofBootstrapWs))
+      .withColumn("nat", expr("bootstrap_w32(id)"))
+      .select(expr("hof <=> nat").as("eq"), col("id")).collect()
+    assert(rows.length > 500 && rows.forall(_.getBoolean(0)))
+    // NULL id: the old chain's md5(concat(NULL)) poisoned every weight
+    val n = Seq[Option[Long]](None).toDF("id")
+      .select(expr("bootstrap_w32(id)").as("ws")).head()
+    assert(n.isNullAt(0))
+  }
 }

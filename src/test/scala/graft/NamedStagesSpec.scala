@@ -64,6 +64,53 @@ class NamedStagesSpec extends SparkSpec {
     assert(NamedStages.names(spark).isEmpty)
   }
 
+  test("invalidate releases the localCheckpoint block storage, not " +
+      "just the cache-manager entry (r13 ADVICE)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    NamedStages.stage(spark, "spec_blocks")(spark.range(1000).toDF("id"))
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty,
+      "the stage's checkpoint RDD must be registered as persistent")
+    NamedStages.invalidate(spark, "spec_blocks")
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"invalidate must unpersist the checkpoint RDD blocks, leaked: $after")
+  }
+
+  test("stage build seconds are recorded per name for the bench record") {
+    NamedStages.clearAll(spark)
+    NamedStages.stage(spark, "spec_secs")(spark.range(10).toDF("id"))
+    val secs = NamedStages.buildSeconds(spark)
+    assert(secs.contains("spec_secs") && secs("spec_secs") >= 0.0)
+    NamedStages.clearAll(spark)
+    assert(NamedStages.buildSeconds(spark).isEmpty,
+      "released stages must leave the build-seconds record")
+  }
+
+  test("the reliable-storage seam (spark.graft.stageDir) materializes " +
+      "to parquet with identical rows and plan-truncates to a scan") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stage_seam").toString
+    val data = spark.range(100).select(($"id" % 7).as("k"), $"id")
+    val cp = NamedStages.stage(spark, "spec_seam_cp")(data)
+    spark.conf.set("spark.graft.stageDir", dir)
+    try {
+      val pq = NamedStages.stage(spark, "spec_seam_pq")(data)
+      assert(!pq.queryExecution.analyzed.isInstanceOf[
+        org.apache.spark.sql.execution.LogicalRDD],
+        "stageDir stages must NOT be executor-local checkpoint blocks")
+      assert(pq.queryExecution.executedPlan.toString.contains("Parquet"),
+        "stageDir stages must read back from parquet")
+      assert(cp.orderBy("id").collect().toSeq
+        == pq.orderBy("id").collect().toSeq,
+        "identical rows through either medium")
+    } finally {
+      spark.conf.unset("spark.graft.stageDir")
+      NamedStages.invalidate(spark, "spec_seam_cp")
+      NamedStages.invalidate(spark, "spec_seam_pq")
+    }
+  }
+
   test("the engine's stage-backed accessors return identical results " +
       "to a fresh unstaged build (q_dedup_pairs is the oracle-proven " +
       "LSH chain)") {
