@@ -38,7 +38,15 @@ def rp(t):
 
 
 def write(t, sql):
-    con.sql(f"COPY ({sql}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+    # r14: cap row groups so SCANS can parallelize — a parquet row group
+    # is the atomic scan unit, and duckdb's default 122,880-row groups
+    # leave the small tables (documents/embeddings) as ONE group = one
+    # task at any core count (the r13 scaling-check blind spot).
+    # 4,096-row groups ≈ 12 groups for documents, 5 for embeddings at
+    # sf1 — enough for the core-ratio to be observable while each group
+    # stays >100 KB.
+    con.sql(f"COPY ({sql}) TO '{DST}/{t}.parquet' "
+            "(FORMAT PARQUET, ROW_GROUP_SIZE 4096)")
     n = con.sql(f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')"
                 ).fetchone()[0]
     print(f"{t}: {n} rows")

@@ -276,17 +276,45 @@ object Bench {
     // partitions (the round-1 default of 4 left 8× parallelism unused on
     // the 32-core host); SPARK_GRAFT_CPUS still overrides for local runs
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    var builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // Scale-adaptive split/coalesce knobs, parameterised per the
+    // optimization-round contract (scale-dependent settings must be
+    // conf/env, never constants tuned to one environment). ALL default
+    // UNSET — the driver's bench keeps Spark's defaults and stays
+    // round-comparable. They exist because the LOCAL fixtures sit below
+    // the production-appropriate defaults (4 MB file open cost, 1 MB
+    // AQE min partition size, 128 MB split size), which caps scan and
+    // reduce parallelism at any core count on MB-scale inputs — the r13
+    // scaling-check blind spot. The r14 sf1 core-scaling demonstration
+    // (OPTIMIZATION_r14.md) sets them to fixture-proportional values;
+    // at 100 TB the defaults are already right and these stay unset.
+    Seq(
+      "SPARK_GRAFT_MAX_PART_B" -> "spark.sql.files.maxPartitionBytes",
+      "SPARK_GRAFT_OPEN_COST_B" -> "spark.sql.files.openCostInBytes",
+      "SPARK_GRAFT_MIN_SPLITS" -> "spark.sql.files.minPartitionNum",
+      "SPARK_GRAFT_ADVISORY_B" ->
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "SPARK_GRAFT_MIN_COALESCE_B" ->
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    ).foreach { case (env, conf) =>
+      sys.env.get(env).foreach(v => builder = builder.config(conf, v))
+    }
+    val spark = builder
       // guide §9 baseline: let the planner pick SHUFFLED HASH JOIN when
       // its size conditions hold (build side under the per-partition
       // threshold and 3× smaller than probe) instead of always
       // sort-merge — skips both sort passes on qualifying joins. Same
       // setting at any scale (the planner's size gates, not this flag,
       // decide per join); env-overridable for A/B.
+      // Caveat (r13 ADVICE): an SHJ build side cannot SPILL — a bad
+      // size estimate or a skewed partition OOMs where sort-merge
+      // degrades gracefully. The per-join gates bound the exposure and
+      // SPARK_GRAFT_PREFER_SMJ=true is the escape hatch; at cluster
+      // scale pair it with AQE skew-join splitting (on by default).
       .config("spark.sql.join.preferSortMergeJoin",
         sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .getOrCreate()

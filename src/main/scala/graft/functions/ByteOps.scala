@@ -82,6 +82,15 @@ case class ByteSumRange(bytes: Expression, from: Expression,
   * sum to NULL, turning every CASE to the 0 arm — i.e. result 0; so
   * does a NULL array. All four behaviors are reproduced bit-for-bit
   * (SimHashSpec pins them against the HOF expression).
+  *
+  * NULL CONTRACT (r13 ADVICE, deliberate): NULL input → 0L, with
+  * nullable = false — this reproduces the HOF fold's NULL-poisoning
+  * arithmetic (every vote NULL → every CASE takes the 0 arm → 0), which
+  * is the value q_dedup_simhash's oracle mirrors. A caller that needs
+  * to distinguish NULL input from a legitimate simhash of 0 must guard
+  * with isNotNull BEFORE calling (as q_dedup_simhash's text filter
+  * does); changing the function to return NULL would flip the declared
+  * query's output column nullability mid-contract.
   */
 case class SimHash16(child: Expression) extends UnaryExpression {
 

@@ -568,8 +568,16 @@ object EventAnalytics {
             / count(lit(1))).as(as))
       }
       val med = median(ev, "value", 4, "med")
+      // r14 (verdict item 8, guide §2.4): dev has TWO consumers — the
+      // mad median rank and the final outlier flag — and the unpersisted
+      // form re-ran the whole med window pass + events scan under each
+      // (plan audit: 4 parquet scans, the med sort windows twice; AQE
+      // reuses only the exchange BELOW the window). One within-query
+      // scoped persist halves the windowed passes; same rows, identical
+      // results (the q_anomaly_stl dev precedent).
       val dev = ev.join(med, "event_type")
         .withColumn("adev", abs(col("value") - col("med")))
+        .persistScoped()
       val mad = median(dev, "adev", 7, "mad")
       dev.join(mad, "event_type")
         .groupBy("event_type", "med", "mad")
